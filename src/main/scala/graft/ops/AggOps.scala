@@ -1,0 +1,172 @@
+package graft.ops
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Aggregation family (SURVEY §2B "Aggregations"). Catalyst plans all of
+  * these as partial (map-side) + final hash aggregates; no custom shuffle
+  * management needed. Exact-decimal accumulation per §7.4.
+  */
+object AggOps extends QueryModule {
+
+  def queries: Seq[(String, Q)] = Seq(
+    // TPC-H Q1 shape.
+    "q_agg_basic" -> ((s: SparkSession, dir: String) =>
+      table(s, dir, "lineitem")
+        .where(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("sum_disc_price"),
+          dsum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax")), 6)
+            .as("sum_charge"),
+          round(dsum(col("l_quantity")) / count(lit(1)), 4).as("avg_qty"),
+          round(dsum(col("l_discount")) / count(lit(1)), 6).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")),
+
+    "q_agg_distinct" -> ((s: SparkSession, dir: String) =>
+      table(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          count_distinct(col("l_suppkey")).as("n_supp"),
+          count_distinct(col("l_partkey")).as("n_part"),
+          sum_distinct(col("l_quantity").cast("decimal(18,4)")).cast("double")
+            .as("sum_dist_qty"))
+        .orderBy("l_returnflag")),
+
+    "q_agg_rollup" -> ((s: SparkSession, dir: String) => {
+      // Spark's ambiguous-self-join check trips on DataFrame-API rollup over
+      // joined grouping columns; express the rollup in SQL over a temp view.
+      table(s, dir, "customer")
+        .join(broadcast(table(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(table(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+        .select("r_name", "n_name", "c_acctbal")
+        .createOrReplaceTempView("rollup_cust")
+      s.sql(
+        """SELECT coalesce(r_name, '(all)') AS grp_region,
+          |       coalesce(n_name, '(all)') AS grp_nation,
+          |       count(*) AS n_cust,
+          |       CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS sum_acctbal
+          |FROM rollup_cust
+          |GROUP BY ROLLUP (r_name, n_name)
+          |ORDER BY grp_region, grp_nation""".stripMargin)
+    }),
+
+    "q_agg_cube" -> ((s: SparkSession, dir: String) =>
+      table(s, dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+        .select(coalesce(col("l_returnflag"), lit("(all)")).as("grp_flag"),
+          coalesce(col("l_linestatus"), lit("(all)")).as("grp_status"),
+          col("n"), col("sum_qty"))
+        .orderBy("grp_flag", "grp_status")),
+
+    "q_agg_gsets" -> ((s: SparkSession, dir: String) => {
+      table(s, dir, "lineitem").createOrReplaceTempView("gs_lineitem")
+      s.sql(
+        """SELECT coalesce(l_returnflag, '(all)') AS grp_flag,
+          |       coalesce(l_linestatus, '(all)') AS grp_status,
+          |       count(*) AS n,
+          |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+          |FROM gs_lineitem
+          |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+          |ORDER BY grp_flag, grp_status""".stripMargin)
+    }),
+
+    "q_agg_having" -> ((s: SparkSession, dir: String) =>
+      table(s, dir, "orders")
+        .groupBy("o_custkey")
+        .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("total"))
+        .where(col("n_orders") >= 12 && col("total") > 100000)
+        .orderBy("o_custkey")),
+
+    // HLL sketch — legitimately oracle-less (sketch differs from DuckDB's).
+    "q_agg_approx_distinct" -> ((s: SparkSession, dir: String) =>
+      table(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+          count_distinct(col("l_partkey")).as("exact_parts"))
+        .orderBy("l_returnflag")),
+
+    // Exact interpolated percentiles (R-7, same definition as quantile_cont).
+    "q_agg_percentile" -> ((s: SparkSession, dir: String) =>
+      table(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          round(expr("percentile(l_quantity, 0.25)"), 4).as("p25_qty"),
+          round(expr("percentile(l_quantity, 0.5)"), 4).as("p50_qty"),
+          round(expr("percentile(l_quantity, 0.75)"), 4).as("p75_qty"),
+          round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50_price"))
+        .orderBy("l_returnflag"))
+  )
+
+  def oracle: Seq[(String, String)] = Seq(
+    "q_agg_basic" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+        |       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+        |       CAST(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+        |       round(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / count(*), 4) AS avg_qty,
+        |       round(CAST(sum(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / count(*), 6) AS avg_disc,
+        |       count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q_agg_distinct" ->
+      """SELECT l_returnflag,
+        |       count(DISTINCT l_suppkey) AS n_supp,
+        |       count(DISTINCT l_partkey) AS n_part,
+        |       CAST(sum(DISTINCT CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_dist_qty
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_agg_rollup" ->
+      """SELECT coalesce(r_name, '(all)') AS grp_region,
+        |       coalesce(n_name, '(all)') AS grp_nation,
+        |       count(*) AS n_cust,
+        |       CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS sum_acctbal
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP (r_name, n_name)
+        |ORDER BY grp_region, grp_nation""".stripMargin,
+
+    "q_agg_cube" ->
+      """SELECT coalesce(l_returnflag, '(all)') AS grp_flag,
+        |       coalesce(l_linestatus, '(all)') AS grp_status,
+        |       count(*) AS n,
+        |       CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY grp_flag, grp_status""".stripMargin,
+
+    "q_agg_gsets" ->
+      """SELECT coalesce(l_returnflag, '(all)') AS grp_flag,
+        |       coalesce(l_linestatus, '(all)') AS grp_status,
+        |       count(*) AS n,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        |ORDER BY grp_flag, grp_status""".stripMargin,
+
+    "q_agg_having" ->
+      """SELECT o_custkey, count(*) AS n_orders,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+        |FROM orders GROUP BY o_custkey
+        |HAVING count(*) >= 12
+        |   AND CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) > 100000
+        |ORDER BY o_custkey""".stripMargin,
+
+    "q_agg_percentile" ->
+      """SELECT l_returnflag,
+        |       round(quantile_cont(l_quantity, 0.25), 4) AS p25_qty,
+        |       round(quantile_cont(l_quantity, 0.5), 4) AS p50_qty,
+        |       round(quantile_cont(l_quantity, 0.75), 4) AS p75_qty,
+        |       round(quantile_cont(l_extendedprice, 0.5), 4) AS p50_price
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+  )
+}

@@ -1,0 +1,166 @@
+package graft.ops
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Join family (SURVEY §2B "Joins").
+  *
+  * Scale strategy: dimension tables (region/nation/customer at these shapes)
+  * are broadcast explicitly so the fact-side scan never shuffles for them;
+  * the multiway star join keeps lineitem as the streamed side throughout.
+  * The as-of and interval joins carry an equi key (user/cust) so Catalyst
+  * plans a shuffled equi-join with the range predicate as a post-filter —
+  * the per-key group sizes, not the table sizes, bound the blow-up.
+  */
+object JoinOps extends QueryModule {
+
+  def queries: Seq[(String, Q)] = Seq(
+    "q_join_inner" -> ((s: SparkSession, dir: String) =>
+      table(s, dir, "orders")
+        .join(broadcast(table(s, dir, "customer")),
+          col("o_custkey") === col("c_custkey"), "inner")
+        .select("o_orderkey", "o_totalprice", "c_name", "c_mktsegment")
+        .orderBy("o_orderkey")),
+
+    // TPC-H Q5-shaped star join: fact side streams, all dims broadcast.
+    "q_join_multiway" -> ((s: SparkSession, dir: String) =>
+      table(s, dir, "lineitem")
+        .join(table(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(table(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(table(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(table(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy("r_name", "n_name")),
+
+    // Full outer with unmatched rows on both sides.
+    "q_join_outer" -> ((s: SparkSession, dir: String) => {
+      val cust = table(s, dir, "customer").where(col("c_custkey") < 1000)
+      val ords = table(s, dir, "orders").where(col("o_custkey") >= 500)
+        .groupBy("o_custkey").agg(count(lit(1)).as("n_orders"))
+      cust.join(ords, col("c_custkey") === col("o_custkey"), "full_outer")
+        .select(coalesce(col("c_custkey"), col("o_custkey")).as("k"),
+          col("c_name"), col("n_orders"))
+        .orderBy("k")
+    }),
+
+    "q_join_semi" -> ((s: SparkSession, dir: String) =>
+      table(s, dir, "customer")
+        .join(table(s, dir, "orders").where(col("o_totalprice") > 250000),
+          col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name", "c_acctbal")
+        .orderBy("c_custkey")),
+
+    "q_join_anti" -> ((s: SparkSession, dir: String) =>
+      table(s, dir, "customer")
+        .join(table(s, dir, "orders").where(col("o_totalprice") > 250000),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name", "c_acctbal")
+        .orderBy("c_custkey")),
+
+    // Banded self-join: equi on p_size bounds the pair blow-up per band.
+    "q_join_theta" -> ((s: SparkSession, dir: String) => {
+      val p1 = table(s, dir, "part").select(
+        col("p_size"), col("p_partkey").as("k1"), col("p_retailprice").as("price1"))
+      val p2 = table(s, dir, "part").select(
+        col("p_size").as("p_size2"), col("p_partkey").as("k2"), col("p_retailprice").as("price2"))
+      p1.join(p2, col("p_size") === col("p_size2") && col("price1") < col("price2"))
+        .groupBy("p_size")
+        .agg(count(lit(1)).as("n_pairs"), dsum(col("price2") - col("price1")).as("sum_gap"))
+        .orderBy("p_size")
+    }),
+
+    // As-of: latest order at/before each event's timestamp for that user.
+    "q_join_asof" -> ((s: SparkSession, dir: String) => {
+      val e = table(s, dir, "events").select("event_id", "user_id", "ts")
+      val o = table(s, dir, "orders").select("o_custkey", "o_orderkey", "o_orderdate")
+      val w = Window.partitionBy("event_id")
+        .orderBy(desc_nulls_last("o_orderdate"), desc_nulls_last("o_orderkey"))
+      e.join(o, col("o_custkey") === col("user_id") && col("o_orderdate") <= col("ts"), "left")
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .select(col("event_id"), col("user_id"), col("o_orderkey"),
+          ntzMillis(col("o_orderdate")).as("order_date_ms"))
+        .orderBy("event_id")
+    }),
+
+    // Interval overlap: same-user event pairs within a 5-minute horizon.
+    "q_join_interval" -> ((s: SparkSession, dir: String) => {
+      val e1 = table(s, dir, "events")
+        .select(col("user_id").as("u1"), col("event_id").as("id1"), col("ts").as("ts1"))
+      val e2 = table(s, dir, "events")
+        .select(col("user_id").as("u2"), col("event_id").as("id2"), col("ts").as("ts2"))
+      e1.join(e2, col("u1") === col("u2") && col("id1") < col("id2")
+          && col("ts2") >= col("ts1")
+          && col("ts2") <= col("ts1") + expr("INTERVAL 5 MINUTES"))
+        .groupBy(col("u1").as("user_id"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy("user_id")
+    })
+  )
+
+  def oracle: Seq[(String, String)] = Seq(
+    "q_join_inner" ->
+      """SELECT o_orderkey, o_totalprice, c_name, c_mktsegment
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q_join_multiway" ->
+      """SELECT r_name, n_name,
+        |       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        |       count(*) AS n_items
+        |FROM lineitem
+        |JOIN orders   ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation   ON c_nationkey = n_nationkey
+        |JOIN region   ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name
+        |ORDER BY r_name, n_name""".stripMargin,
+
+    "q_join_outer" ->
+      """WITH cust AS (SELECT * FROM customer WHERE c_custkey < 1000),
+        |     ords AS (SELECT o_custkey, count(*) AS n_orders FROM orders
+        |              WHERE o_custkey >= 500 GROUP BY o_custkey)
+        |SELECT coalesce(c_custkey, o_custkey) AS k, c_name, n_orders
+        |FROM cust FULL OUTER JOIN ords ON c_custkey = o_custkey
+        |ORDER BY k""".stripMargin,
+
+    "q_join_semi" ->
+      """SELECT c_custkey, c_name, c_acctbal FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey AND o_totalprice > 250000)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_join_anti" ->
+      """SELECT c_custkey, c_name, c_acctbal FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_totalprice > 250000)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_join_theta" ->
+      """SELECT p1.p_size, count(*) AS n_pairs,
+        |       CAST(sum(CAST(p2.p_retailprice - p1.p_retailprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_gap
+        |FROM part p1 JOIN part p2
+        |  ON p1.p_size = p2.p_size AND p1.p_retailprice < p2.p_retailprice
+        |GROUP BY p1.p_size ORDER BY p1.p_size""".stripMargin,
+
+    "q_join_asof" ->
+      """WITH j AS (
+        |  SELECT e.event_id, e.user_id, o.o_orderkey, o.o_orderdate,
+        |         row_number() OVER (PARTITION BY e.event_id
+        |                            ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+        |  FROM events e LEFT JOIN orders o
+        |    ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts)
+        |SELECT event_id, user_id, o_orderkey, epoch_ms(o_orderdate) AS order_date_ms
+        |FROM j WHERE rn = 1 ORDER BY event_id""".stripMargin,
+
+    "q_join_interval" ->
+      """SELECT e1.user_id, count(*) AS n_pairs
+        |FROM events e1 JOIN events e2
+        |  ON e2.user_id = e1.user_id AND e2.event_id > e1.event_id
+        | AND e2.ts >= e1.ts AND e2.ts <= e1.ts + INTERVAL 5 MINUTE
+        |GROUP BY e1.user_id ORDER BY e1.user_id""".stripMargin
+  )
+}

@@ -1,0 +1,212 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** LLM-data-pipeline operators (SURVEY §2B "LLM-pipeline extensions"):
+  * dedup family (exact / MinHash-LSH / SimHash / n-gram Jaccard /
+  * embedding-cosine) and similarity search over the embedding column.
+  *
+  * Scale design notes (100 TB):
+  *   - every pairing op goes through an LSH-style bucketing stage first, so
+  *     the self-join is equi-keyed on (band, hash) / bucket and never a
+  *     cross product;
+  *   - mega-buckets (degenerate hash groups) are capped (`MaxBucket`) before
+  *     pairing — standard LSH practice, keeps worst-case quadratic work
+  *     bounded per bucket;
+  *   - exact Jaccard verification runs only on LSH candidates (candidate
+  *     generation → verification pipeline), never all-pairs.
+  */
+object LlmOps extends QueryModule {
+
+  private val MaxBucket = 50
+  private val NumHashes = 16
+  private val NumBands  = 8 // 2 rows per band
+
+  /** distinct (doc_id, token) pairs. */
+  private def docTokens(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .where(length(col("token")) > 0)
+      .distinct()
+
+  /** MinHash signature: per-doc min of NumHashes seeded xxhash64 values. */
+  private def minhashSigs(toks: DataFrame): DataFrame =
+    toks.groupBy("doc_id").agg(
+      min(xxhash64(lit(0), col("token"))).as("h0"),
+      (1 until NumHashes).map(i => min(xxhash64(lit(i), col("token"))).as(s"h$i")): _*)
+
+  /** (doc_id, band, bh) LSH bucket rows, mega-buckets removed. */
+  private def lshBuckets(sigs: DataFrame): DataFrame = {
+    val bandCols = (0 until NumBands).map { b =>
+      struct(lit(b).as("band"),
+        xxhash64(lit(b), col(s"h${2 * b}"), col(s"h${2 * b + 1}")).as("bh"))
+    }
+    val bands = sigs
+      .select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+    bands
+      .withColumn("grp_n", count(lit(1)).over(Window.partitionBy("band", "bh")))
+      .where(col("grp_n") <= MaxBucket)
+      .drop("grp_n")
+  }
+
+  /** Candidate near-dup pairs: docs sharing >= 1 LSH band. */
+  private def candidatePairs(docs: DataFrame): DataFrame = {
+    val buckets = lshBuckets(minhashSigs(docTokens(docs)))
+    val a = buckets.select(col("band"), col("bh"), col("doc_id").as("doc_a"))
+    val b = buckets.select(col("band"), col("bh"), col("doc_id").as("doc_b"))
+    a.join(b, Seq("band", "bh"))
+      .where(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("n_shared_bands"))
+  }
+
+  /** Cosine similarity between two array<double> columns. */
+  private def cosine(x: Column, y: Column): Column = {
+    def dot(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
+    dot(x, y) / (sqrt(dot(x, x)) * sqrt(dot(y, y)))
+  }
+
+  private def embDouble(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "embeddings")
+      .select(col("vec_id"), col("label"),
+        transform(col("embedding"), _.cast("double")).as("emb"))
+
+  def queries: Seq[(String, Q)] = Seq(
+    // Exact dedup on content hash, keep lowest doc_id per hash group.
+    "q_llm_exact_dedup" -> ((s: SparkSession, dir: String) =>
+      table(s, dir, "documents")
+        .groupBy(sha2(col("text"), 256).as("text_sha"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+        .orderBy("keep_id")),
+
+    "q_llm_text_stats" -> ((s: SparkSession, dir: String) =>
+      table(s, dir, "documents")
+        .withColumn("n_tokens", size(split(col("text"), " ")))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          asLong(sum(col("n_tokens"))).as("sum_tokens"),
+          (sum(col("n_chars")).cast("double") / count(lit(1))).as("avg_chars"),
+          min(col("n_chars")).as("min_chars"),
+          max(col("n_chars")).as("max_chars"))
+        .orderBy("lang")),
+
+    // Brute-force cosine top-k vs a probe vector — the correctness baseline
+    // for similarity search (oracle-less: float dot-product hash instability;
+    // covered by LlmSpec property tests instead).
+    "q_llm_sim_knn" -> ((s: SparkSession, dir: String) => {
+      val emb = embDouble(s, dir)
+      val probe = emb.where(col("vec_id") === 0)
+        .select("emb").head().getSeq[Double](0)
+      emb.where(col("vec_id") =!= 0)
+        .select(col("vec_id"), col("label"),
+          cosine(col("emb"), typedlit(probe)).as("cos_sim"))
+        .orderBy(desc("cos_sim"), asc("vec_id"))
+        .limit(10)
+    }),
+
+    // Scale path for ANN: sign-LSH bucketing (8 deterministic hyperplanes of
+    // ±1 weights), brute force only within the probe's bucket.
+    "q_llm_sim_knn_lsh" -> ((s: SparkSession, dir: String) => {
+      val planes: Seq[Seq[Double]] = Seq.tabulate(8, 64) { (p, i) =>
+        if (((p * 73856093 + i * 19349663) % 7 + 7) % 7 < 3) -1.0 else 1.0
+      }
+      val emb = embDouble(s, dir)
+      def bucketOf(e: Column): Column =
+        planes.zipWithIndex.map { case (plane, p) =>
+          when(aggregate(zip_with(e, typedlit(plane), (x, w) => x * w),
+            lit(0.0), (acc, v) => acc + v) > 0, lit(1L << p)).otherwise(lit(0L))
+        }.reduce(_ + _)
+      val withBucket = emb.withColumn("bucket", bucketOf(col("emb")))
+      val probeRow = withBucket.where(col("vec_id") === 0)
+        .select("emb", "bucket").head()
+      val probe = probeRow.getSeq[Double](0)
+      val probeBucket = probeRow.getLong(1)
+      withBucket
+        .where(col("bucket") === probeBucket && col("vec_id") =!= 0)
+        .select(col("vec_id"), col("label"),
+          cosine(col("emb"), typedlit(probe)).as("cos_sim"))
+        .orderBy(desc("cos_sim"), asc("vec_id"))
+        .limit(10)
+    }),
+
+    // MinHash-LSH near-dup candidate pairs (oracle-less; LlmSpec checks
+    // candidate quality against exact Jaccard).
+    "q_llm_minhash" -> ((s: SparkSession, dir: String) =>
+      candidatePairs(table(s, dir, "documents"))
+        .orderBy(desc("n_shared_bands"), asc("doc_a"), asc("doc_b"))
+        .limit(500)),
+
+    // Exact n-gram Jaccard verification over the LSH candidates only.
+    "q_llm_ngram_jaccard" -> ((s: SparkSession, dir: String) => {
+      val docs = table(s, dir, "documents")
+      val sets = docTokens(docs).groupBy("doc_id")
+        .agg(collect_set(col("token")).as("toks"))
+      val cands = candidatePairs(docs).where(col("n_shared_bands") >= 2)
+      cands
+        .join(sets.select(col("doc_id").as("doc_a"), col("toks").as("toks_a")), "doc_a")
+        .join(sets.select(col("doc_id").as("doc_b"), col("toks").as("toks_b")), "doc_b")
+        .select(col("doc_a"), col("doc_b"),
+          (size(array_intersect(col("toks_a"), col("toks_b"))).cast("double")
+            / size(array_union(col("toks_a"), col("toks_b")))).as("jaccard"))
+        .where(col("jaccard") >= 0.2)
+        .orderBy(desc("jaccard"), asc("doc_a"), asc("doc_b"))
+        .limit(200)
+    }),
+
+    // 16-bit SimHash fingerprints + cluster sizes (oracle-less).
+    "q_llm_simhash" -> ((s: SparkSession, dir: String) => {
+      val toks = docTokens(table(s, dir, "documents"))
+        .withColumn("h", xxhash64(col("token")))
+      val bitSums = (0 until 16).map { b =>
+        sum(shiftright(col("h"), b).bitwiseAND(lit(1L)) * 2 - 1).as(s"s$b")
+      }
+      val sigs = toks.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+      val simhash = (0 until 16).map { b =>
+        when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L))
+      }.reduce(_ + _)
+      sigs.select(col("doc_id"), simhash.as("simhash"))
+        .withColumn("cluster_n",
+          count(lit(1)).over(Window.partitionBy("simhash")))
+        .select(col("doc_id"), col("simhash"), asLong(col("cluster_n")).as("cluster_n"))
+        .orderBy("doc_id")
+    }),
+
+    // Embedding-cosine near-dup: sign-LSH bucket join, cosine within bucket.
+    "q_llm_embed_neardup" -> ((s: SparkSession, dir: String) => {
+      val planes: Seq[Seq[Double]] = Seq.tabulate(8, 64) { (p, i) =>
+        if (((p * 2654435761L + i * 40503) % 5 + 5) % 5 < 2) -1.0 else 1.0
+      }
+      val emb = embDouble(s, dir)
+      def bucketOf(e: Column): Column =
+        planes.zipWithIndex.map { case (plane, p) =>
+          when(aggregate(zip_with(e, typedlit(plane), (x, w) => x * w),
+            lit(0.0), (acc, v) => acc + v) > 0, lit(1L << p)).otherwise(lit(0L))
+        }.reduce(_ + _)
+      val withBucket = emb.withColumn("bucket", bucketOf(col("emb")))
+      val a = withBucket.select(col("bucket"), col("vec_id").as("id_a"), col("emb").as("emb_a"))
+      val b = withBucket.select(col("bucket"), col("vec_id").as("id_b"), col("emb").as("emb_b"))
+      a.join(b, Seq("bucket"))
+        .where(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"), cosine(col("emb_a"), col("emb_b")).as("cos_sim"))
+        .orderBy(desc("cos_sim"), asc("id_a"), asc("id_b"))
+        .limit(100)
+    })
+  )
+
+  def oracle: Seq[(String, String)] = Seq(
+    "q_llm_exact_dedup" ->
+      """SELECT sha256(text) AS text_sha, min(doc_id) AS keep_id, count(*) AS n_copies
+        |FROM documents GROUP BY sha256(text) ORDER BY keep_id""".stripMargin,
+
+    "q_llm_text_stats" ->
+      """SELECT lang, count(*) AS n_docs,
+        |       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS sum_tokens,
+        |       CAST(sum(n_chars) AS DOUBLE) / count(*) AS avg_chars,
+        |       min(n_chars) AS min_chars,
+        |       max(n_chars) AS max_chars
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+  )
+}

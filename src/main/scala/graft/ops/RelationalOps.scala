@@ -1,0 +1,135 @@
+package graft.ops
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Projection, filtering, sorting, top-k and set operations
+  * (SURVEY §2B "Projection / filter", "Sort / limit / top-k", "Set ops").
+  * All pure narrow/exchange Catalyst plans; filters and projections push
+  * into the parquet scan (verified via explain in BenchSpec).
+  */
+object RelationalOps extends QueryModule {
+
+  def queries: Seq[(String, Q)] = Seq(
+    "q_project" -> ((s: SparkSession, dir: String) =>
+      table(s, dir, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber"),
+        // 2-dec × (1 ± 2-dec) products are exact 4-decimals → round(·,4) is
+        // exact and engine-independent (§7.4).
+        round(col("l_extendedprice") * (lit(1) - col("l_discount")), 4).as("revenue"),
+        round(col("l_extendedprice") * (lit(1) + col("l_tax")), 4).as("charged"),
+        (col("l_quantity") * lit(100)).as("qty_pct"))
+        .orderBy("l_orderkey", "l_linenumber")),
+
+    "q_filter_pred" -> ((s: SparkSession, dir: String) =>
+      table(s, dir, "orders")
+        .where(col("o_totalprice").between(1000, 150000)
+          && col("o_orderstatus").isin("F", "O")
+          && col("o_orderpriority").like("%URGENT%")
+          && col("o_custkey").isNotNull
+          && !(col("o_orderkey") % 10 === 3))
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+        .orderBy("o_orderkey")),
+
+    "q_sort_multi" -> ((s: SparkSession, dir: String) =>
+      table(s, dir, "orders")
+        .select("o_orderkey", "o_orderpriority", "o_totalprice")
+        .orderBy(asc("o_orderpriority"), desc("o_totalprice"), asc("o_orderkey"))
+        .limit(1000)),
+
+    "q_topk" -> ((s: SparkSession, dir: String) =>
+      table(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+        .limit(100)),
+
+    "q_topk_group" -> ((s: SparkSession, dir: String) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+      table(s, dir, "orders")
+        .withColumn("rk", asLong(row_number().over(w)))
+        .where(col("rk") <= 3)
+        .select("o_custkey", "rk", "o_orderkey", "o_totalprice")
+        .orderBy("o_custkey", "rk")
+    }),
+
+    "q_set_union" -> ((s: SparkSession, dir: String) => {
+      val a = table(s, dir, "customer").where(col("c_acctbal") > 0)
+        .select(col("c_custkey").as("k"))
+      val b = table(s, dir, "orders").where(col("o_totalprice") > 100000)
+        .select(col("o_custkey").as("k"))
+      a.union(b).distinct().orderBy("k")
+    }),
+
+    "q_set_intersect" -> ((s: SparkSession, dir: String) => {
+      val a = table(s, dir, "customer").where(col("c_acctbal") > 1000)
+        .select(col("c_custkey").as("k"))
+      val b = table(s, dir, "orders").select(col("o_custkey").as("k"))
+      a.intersect(b).orderBy("k")
+    }),
+
+    "q_set_except" -> ((s: SparkSession, dir: String) => {
+      val a = table(s, dir, "customer").select(col("c_custkey").as("k"))
+      val b = table(s, dir, "orders").where(col("o_totalprice") > 200000)
+        .select(col("o_custkey").as("k"))
+      a.except(b).orderBy("k")
+    })
+  )
+
+  def oracle: Seq[(String, String)] = Seq(
+    "q_project" ->
+      """SELECT l_orderkey, l_linenumber,
+        |       round(l_extendedprice * (1 - l_discount), 4) AS revenue,
+        |       round(l_extendedprice * (1 + l_tax), 4) AS charged,
+        |       l_quantity * 100 AS qty_pct
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q_filter_pred" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
+        |FROM orders
+        |WHERE o_totalprice BETWEEN 1000 AND 150000
+        |  AND o_orderstatus IN ('F', 'O')
+        |  AND o_orderpriority LIKE '%URGENT%'
+        |  AND o_custkey IS NOT NULL
+        |  AND NOT (o_orderkey % 10 = 3)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q_sort_multi" ->
+      """SELECT o_orderkey, o_orderpriority, o_totalprice
+        |FROM orders
+        |ORDER BY o_orderpriority ASC, o_totalprice DESC, o_orderkey ASC
+        |LIMIT 1000""".stripMargin,
+
+    "q_topk" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 100""".stripMargin,
+
+    "q_topk_group" ->
+      """WITH r AS (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |         row_number() OVER (PARTITION BY o_custkey
+        |                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+        |  FROM orders)
+        |SELECT o_custkey, CAST(rk AS BIGINT) AS rk, o_orderkey, o_totalprice
+        |FROM r WHERE rk <= 3 ORDER BY o_custkey, rk""".stripMargin,
+
+    "q_set_union" ->
+      """SELECT c_custkey AS k FROM customer WHERE c_acctbal > 0
+        |UNION
+        |SELECT o_custkey AS k FROM orders WHERE o_totalprice > 100000
+        |ORDER BY k""".stripMargin,
+
+    "q_set_intersect" ->
+      """SELECT c_custkey AS k FROM customer WHERE c_acctbal > 1000
+        |INTERSECT
+        |SELECT o_custkey AS k FROM orders
+        |ORDER BY k""".stripMargin,
+
+    "q_set_except" ->
+      """SELECT c_custkey AS k FROM customer
+        |EXCEPT
+        |SELECT o_custkey AS k FROM orders WHERE o_totalprice > 200000
+        |ORDER BY k""".stripMargin
+  )
+}

@@ -1,0 +1,158 @@
+package graft.ops
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Scalar function families (SURVEY §2B "Scalar functions"). All built-in
+  * codegen'd expressions — no UDFs in this module (the serializer path on
+  * the reference, `Serializer.scala:24-34`, maps to the string/encode family
+  * here; the UDF variant lives in UdxOps for contrast).
+  */
+object ScalarFnOps extends QueryModule {
+
+  def queries: Seq[(String, Q)] = Seq(
+    "q_fn_string" -> ((s: SparkSession, dir: String) =>
+      table(s, dir, "customer").select(
+        col("c_custkey"),
+        upper(col("c_name")).as("up"),
+        lower(col("c_mktsegment")).as("lo"),
+        substring(col("c_name"), 1, 8).as("sub"),
+        asLong(length(col("c_name"))).as("len"),
+        regexp_replace(col("c_name"), "#", "-").as("repl"),
+        regexp_extract(col("c_name"), "([0-9]+)", 1).as("digits"),
+        asLong(size(split(col("c_name"), "#"))).as("n_parts"),
+        lpad(col("c_custkey").cast("string"), 10, "0").as("pad"),
+        trim(concat(lit("  "), col("c_name"), lit("  "))).as("trimmed"))
+        .orderBy("c_custkey")),
+
+    "q_fn_date" -> ((s: SparkSession, dir: String) =>
+      table(s, dir, "orders").select(
+        col("o_orderkey"),
+        asLong(year(col("o_orderdate"))).as("yr"),
+        asLong(month(col("o_orderdate"))).as("mo"),
+        asLong(dayofmonth(col("o_orderdate"))).as("dy"),
+        ntzMillis(date_trunc("month", col("o_orderdate"))).as("month_start_ms"),
+        asLong(datediff(col("o_orderdate"), lit("1995-01-01"))).as("days_since"),
+        ntzMillis(col("o_orderdate") + expr("INTERVAL 30 DAYS")).as("due_ms"),
+        unix_seconds(col("o_orderdate").cast("timestamp")).as("epoch_s"))
+        .orderBy("o_orderkey")),
+
+    "q_fn_math" -> ((s: SparkSession, dir: String) =>
+      table(s, dir, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber"),
+        round(abs(col("l_quantity") - 25.0), 4).as("abs_dev"),
+        asLong(ceil(col("l_extendedprice") / 100.0)).as("ceil_c"),
+        asLong(floor(col("l_extendedprice") / 100.0)).as("floor_c"),
+        round(pow(col("l_discount") + 1.0, 2), 6).as("pow_d"),
+        round(log(col("l_extendedprice")), 4).as("ln_p"),
+        round(sqrt(col("l_quantity")), 4).as("sqrt_q"),
+        asLong(col("l_orderkey") % 7).as("mod7"),
+        asLong(signum(col("l_quantity") - 25.0)).as("sgn"))
+        .orderBy("l_orderkey", "l_linenumber")),
+
+    "q_fn_case" -> ((s: SparkSession, dir: String) =>
+      table(s, dir, "orders").select(
+        col("o_orderkey"),
+        when(col("o_totalprice") < 50000, "low")
+          .when(col("o_totalprice") < 150000, "mid")
+          .otherwise("high").as("band"),
+        coalesce(nullif(col("o_orderstatus"), lit("O")), lit("OPEN")).as("status_c"),
+        col("o_orderkey").cast("string").as("key_str"),
+        asLong(floor(col("o_totalprice"))).as("price_floor"))
+        .orderBy("o_orderkey")),
+
+    "q_fn_array" -> ((s: SparkSession, dir: String) =>
+      table(s, dir, "embeddings").select(
+        col("vec_id"),
+        asLong(size(col("embedding"))).as("dim"),
+        element_at(col("embedding"), 1).cast("double").as("first_v"),
+        element_at(col("embedding"), 64).cast("double").as("last_v"),
+        element_at(sort_array(col("embedding")), 1).cast("double").as("min_v"),
+        element_at(sort_array(col("embedding")), 64).cast("double").as("max_v"),
+        asLong(size(slice(col("embedding"), 5, 10))).as("slice_n"))
+        .orderBy("vec_id")),
+
+    // Map construction / inspection — legitimately oracle-less (map key
+    // ordering is engine-specific); deterministic via sort_array first.
+    "q_fn_map" -> ((s: SparkSession, dir: String) =>
+      table(s, dir, "events")
+        .groupBy("user_id", "event_type").agg(count(lit(1)).as("n"))
+        .groupBy("user_id")
+        .agg(map_from_entries(sort_array(collect_list(struct(col("event_type"), col("n")))))
+          .as("type_counts"))
+        .select(col("user_id"),
+          asLong(size(map_keys(col("type_counts")))).as("n_types"),
+          coalesce(element_at(col("type_counts"), "purchase"), lit(0L)).as("purchases"),
+          coalesce(element_at(col("type_counts"), "click"), lit(0L)).as("clicks"))
+        .orderBy("user_id")),
+
+    "q_fn_json" -> ((s: SparkSession, dir: String) =>
+      table(s, dir, "events").select(
+        col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .orderBy("event_id"))
+  )
+
+  def oracle: Seq[(String, String)] = Seq(
+    "q_fn_string" ->
+      """SELECT c_custkey,
+        |       upper(c_name) AS up,
+        |       lower(c_mktsegment) AS lo,
+        |       substring(c_name, 1, 8) AS sub,
+        |       CAST(length(c_name) AS BIGINT) AS len,
+        |       replace(c_name, '#', '-') AS repl,
+        |       regexp_extract(c_name, '([0-9]+)', 1) AS digits,
+        |       CAST(len(string_split(c_name, '#')) AS BIGINT) AS n_parts,
+        |       lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS pad,
+        |       trim('  ' || c_name || '  ') AS trimmed
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "q_fn_date" ->
+      """SELECT o_orderkey,
+        |       CAST(year(o_orderdate) AS BIGINT) AS yr,
+        |       CAST(month(o_orderdate) AS BIGINT) AS mo,
+        |       CAST(day(o_orderdate) AS BIGINT) AS dy,
+        |       epoch_ms(date_trunc('month', o_orderdate)) AS month_start_ms,
+        |       CAST(datediff('day', DATE '1995-01-01', o_orderdate) AS BIGINT) AS days_since,
+        |       epoch_ms(o_orderdate + INTERVAL 30 DAY) AS due_ms,
+        |       epoch_ms(o_orderdate) // 1000 AS epoch_s
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "q_fn_math" ->
+      """SELECT l_orderkey, l_linenumber,
+        |       round(abs(l_quantity - 25.0), 4) AS abs_dev,
+        |       CAST(ceil(l_extendedprice / 100.0) AS BIGINT) AS ceil_c,
+        |       CAST(floor(l_extendedprice / 100.0) AS BIGINT) AS floor_c,
+        |       round(power(l_discount + 1.0, 2), 6) AS pow_d,
+        |       round(ln(l_extendedprice), 4) AS ln_p,
+        |       round(sqrt(l_quantity), 4) AS sqrt_q,
+        |       CAST(l_orderkey % 7 AS BIGINT) AS mod7,
+        |       CAST(sign(l_quantity - 25.0) AS BIGINT) AS sgn
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q_fn_case" ->
+      """SELECT o_orderkey,
+        |       CASE WHEN o_totalprice < 50000 THEN 'low'
+        |            WHEN o_totalprice < 150000 THEN 'mid'
+        |            ELSE 'high' END AS band,
+        |       coalesce(nullif(o_orderstatus, 'O'), 'OPEN') AS status_c,
+        |       CAST(o_orderkey AS VARCHAR) AS key_str,
+        |       CAST(floor(o_totalprice) AS BIGINT) AS price_floor
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "q_fn_array" ->
+      """SELECT vec_id,
+        |       CAST(len(embedding) AS BIGINT) AS dim,
+        |       CAST(embedding[1] AS DOUBLE) AS first_v,
+        |       CAST(embedding[64] AS DOUBLE) AS last_v,
+        |       CAST(list_sort(embedding)[1] AS DOUBLE) AS min_v,
+        |       CAST(list_sort(embedding)[64] AS DOUBLE) AS max_v,
+        |       CAST(len(list_slice(embedding, 5, 14)) AS BIGINT) AS slice_n
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
+
+    "q_fn_json" ->
+      """SELECT event_id,
+        |       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |FROM events ORDER BY event_id""".stripMargin
+  )
+}

@@ -1,0 +1,82 @@
+package graft.ops
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sources & sinks (SURVEY §2B "Sources / sinks").
+  *
+  * The reference's delivery model (reference `firehose.scala:58-62`:
+  * serialize each element, append a byte separator, assemble ≤500-record
+  * `PutRecordBatch`es — cap per `ProducerSettings.scala:61`) is re-expressed
+  * here as pure Catalyst column work: framing is `concat_ws` + separator,
+  * batch assignment is a `row_number` bucketed by 500.
+  *
+  * Scale note: `q_sink_batchify`'s global `row_number` is a single-partition
+  * window — correct for the declared batch-id semantics, but at 100 TB the
+  * streaming path (graft.streaming.DeliverySink) instead batches per
+  * micro-batch partition with no global ordering requirement.
+  */
+object SourceSinkOps extends QueryModule {
+
+  private val tables = Seq("region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def queries: Seq[(String, Q)] = Seq(
+    "q_scan_parquet" -> ((s: SparkSession, dir: String) =>
+      tables.map { n =>
+        table(s, dir, n).select(lit(n).as("table_name"))
+          .groupBy("table_name").agg(count(lit(1)).as("n_rows"))
+      }.reduce(_.union(_)).orderBy("table_name")),
+
+    // Frame each event into a delimited payload (reference firehose.scala:59:
+    // `Serializer[T].apply(x) ++ separator`); report checkable projections
+    // (length + sha) rather than raw bytes (§7.5 binary determinism).
+    "q_sink_frame" -> ((s: SparkSession, dir: String) =>
+      table(s, dir, "events")
+        .withColumn("payload", concat_ws("|",
+          col("event_id"), unix_micros(col("ts")), col("user_id"),
+          col("event_type"), col("props")))
+        .select(
+          col("event_id"),
+          asLong(length(col("payload")) + 1).as("payload_len"),
+          sha2(concat(col("payload"), lit("\n")), 256).as("payload_sha"))
+        .orderBy("event_id")),
+
+    // Assign records to ≤500-element delivery batches (ProducerSettings cap).
+    "q_sink_batchify" -> ((s: SparkSession, dir: String) =>
+      table(s, dir, "events")
+        .withColumn("rn", row_number().over(Window.orderBy("event_id")))
+        .withColumn("batch_id", expr("CAST((rn - 1) div 500 AS BIGINT)"))
+        .groupBy("batch_id")
+        .agg(count(lit(1)).as("n_records"),
+          min("event_id").as("first_id"), max("event_id").as("last_id"))
+        .orderBy("batch_id"))
+  )
+
+  def oracle: Seq[(String, String)] = Seq(
+    "q_scan_parquet" ->
+      ("SELECT * FROM (" +
+        tables.map(n => s"SELECT '$n' AS table_name, count(*) AS n_rows FROM $n")
+          .mkString(" UNION ALL ") +
+        ") ORDER BY table_name"),
+
+    "q_sink_frame" ->
+      """WITH f AS (
+        |  SELECT event_id,
+        |         concat_ws('|', event_id, epoch_us(ts), user_id, event_type, props) AS payload
+        |  FROM events)
+        |SELECT event_id,
+        |       CAST(length(payload) + 1 AS BIGINT) AS payload_len,
+        |       sha256(payload || chr(10)) AS payload_sha
+        |FROM f ORDER BY event_id""".stripMargin,
+
+    "q_sink_batchify" ->
+      """WITH t AS (
+        |  SELECT event_id, row_number() OVER (ORDER BY event_id) AS rn FROM events)
+        |SELECT CAST((rn - 1) // 500 AS BIGINT) AS batch_id,
+        |       count(*) AS n_records,
+        |       min(event_id) AS first_id, max(event_id) AS last_id
+        |FROM t GROUP BY 1 ORDER BY batch_id""".stripMargin
+  )
+}

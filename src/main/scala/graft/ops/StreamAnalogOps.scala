@@ -1,0 +1,177 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Batch-equivalent forms of the streaming operator set (SURVEY §2B
+  * "Streaming", §7.3): the same DataFrame programs run under `readStream`
+  * in graft.streaming; here they run on the bounded `events` fixture so
+  * DuckDB can oracle them.
+  *
+  * Reference semantics being mirrored:
+  *   - tumble/slide  ← `groupWithin(batchSize, timeWindow)` time dimension
+  *     (reference `firehose.scala:71`);
+  *   - dedup         ← retry-induced at-least-once duplicates
+  *     (reference `Firehose.scala:70-105`) must collapse downstream;
+  *   - delivery report ← the full produce() pipeline: dedup → serialize+frame
+  *     (`firehose.scala:58-60`) → ≤500-record batches
+  *     (`ProducerSettings.scala:61`) → per-window delivery stats.
+  */
+object StreamAnalogOps extends QueryModule {
+
+  /** Earliest row per event_id (deterministic dedup, keep-first). */
+  private def dedup(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("event_id").orderBy("ts", "user_id")
+    events.withColumn("dup_rn", row_number().over(w))
+      .where(col("dup_rn") === 1).drop("dup_rn")
+  }
+
+  /** The flagship pipeline (SURVEY §7.2); also SparkEntry.entry. */
+  def deliveryReport(s: SparkSession, dir: String): DataFrame = {
+    val deduped = dedup(table(s, dir, "events"))
+      .withColumn("payload_len",
+        length(concat_ws("|",
+          col("event_id"), unix_micros(col("ts")), col("user_id"),
+          col("event_type"), col("props"))) + 1)
+      .withColumn("rn", row_number().over(Window.orderBy("event_id")))
+      .withColumn("batch_id", expr("CAST((rn - 1) div 500 AS BIGINT)"))
+    deduped
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_records"),
+        asLong(sum(col("payload_len"))).as("payload_bytes"),
+        dsum(col("value")).as("sum_value"),
+        count_distinct(col("batch_id")).as("n_batches"))
+      .select(unix_millis(col("w.start")).as("win_ms"), col("event_type"),
+        col("n_records"), col("payload_bytes"), col("sum_value"), col("n_batches"))
+      .orderBy("win_ms", "event_type")
+  }
+
+  def queries: Seq[(String, Q)] = Seq(
+    "q_stream_tumble" -> ((s: SparkSession, dir: String) =>
+      table(s, dir, "events")
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+        .select(unix_millis(col("w.start")).as("win_ms"), col("event_type"),
+          col("n"), col("sum_value"))
+        .orderBy("win_ms", "event_type")),
+
+    "q_stream_slide" -> ((s: SparkSession, dir: String) =>
+      table(s, dir, "events")
+        .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+        .select(unix_millis(col("w.start")).as("win_ms"), col("event_type"),
+          col("n"), col("sum_value"))
+        .orderBy("win_ms", "event_type")),
+
+    "q_stream_session" -> ((s: SparkSession, dir: String) =>
+      table(s, dir, "events")
+        .groupBy(session_window(col("ts"), "30 minutes").as("sw"), col("user_id"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+        .select(col("user_id"),
+          unix_millis(col("sw.start")).as("sess_start_ms"),
+          unix_millis(col("sw.end")).as("sess_end_ms"),
+          col("n"), col("sum_value"))
+        .orderBy("user_id", "sess_start_ms")),
+
+    "q_stream_dedup" -> ((s: SparkSession, dir: String) =>
+      dedup(table(s, dir, "events"))
+        .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
+          col("user_id"), col("event_type"))
+        .orderBy("event_id")),
+
+    "q_stream_late" -> ((s: SparkSession, dir: String) => {
+      val w = Window.partitionBy("event_type")
+      table(s, dir, "events")
+        .withColumn("max_ts", max(col("ts")).over(w))
+        .withColumn("is_late",
+          (col("ts") < col("max_ts") - expr("INTERVAL 10 MINUTES")).cast("long"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_total"), asLong(sum(col("is_late"))).as("n_late"))
+        .orderBy("event_type")
+    }),
+
+    "q_stream_delivery_report" -> ((s: SparkSession, dir: String) =>
+      deliveryReport(s, dir))
+  )
+
+  def oracle: Seq[(String, String)] = Seq(
+    "q_stream_tumble" ->
+      """SELECT epoch_ms(date_trunc('hour', ts)) AS win_ms, event_type,
+        |       count(*) AS n,
+        |       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY win_ms, event_type""".stripMargin,
+
+    // An event at ts belongs to the two 1h windows starting on the 30-min
+    // grid at trunc30(ts) and trunc30(ts) - 30min (Spark window() semantics).
+    "q_stream_slide" ->
+      """WITH g AS (
+        |  SELECT epoch_ms(time_bucket(INTERVAL '30 minutes', ts)) AS win_ms,
+        |         event_type, value FROM events
+        |  UNION ALL
+        |  SELECT epoch_ms(time_bucket(INTERVAL '30 minutes', ts)) - 1800000 AS win_ms,
+        |         event_type, value FROM events)
+        |SELECT win_ms, event_type, count(*) AS n,
+        |       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM g GROUP BY 1, 2 ORDER BY win_ms, event_type""".stripMargin,
+
+    // Gaps-and-islands equivalent of session_window: break when the gap to
+    // the previous event is >= 30 min (Spark merges only strictly-inside).
+    "q_stream_session" ->
+      """WITH t AS (
+        |  SELECT user_id, ts, value,
+        |         CASE WHEN lag(ts) OVER w IS NULL
+        |                OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+        |              THEN 1 ELSE 0 END AS brk
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (
+        |  SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+        |                           ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM t)
+        |SELECT user_id,
+        |       epoch_ms(min(ts)) AS sess_start_ms,
+        |       epoch_ms(max(ts) + INTERVAL 30 MINUTE) AS sess_end_ms,
+        |       count(*) AS n,
+        |       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM s GROUP BY user_id, sid ORDER BY user_id, sess_start_ms""".stripMargin,
+
+    "q_stream_dedup" ->
+      """WITH r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY event_id
+        |                               ORDER BY ts, user_id) AS dup_rn
+        |  FROM events)
+        |SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type
+        |FROM r WHERE dup_rn = 1 ORDER BY event_id""".stripMargin,
+
+    "q_stream_late" ->
+      """WITH m AS (
+        |  SELECT event_type, ts,
+        |         max(ts) OVER (PARTITION BY event_type) AS max_ts
+        |  FROM events)
+        |SELECT event_type, count(*) AS n_total,
+        |       CAST(sum(CASE WHEN ts < max_ts - INTERVAL 10 MINUTE
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_late
+        |FROM m GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_stream_delivery_report" ->
+      """WITH d AS (
+        |  SELECT * FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY event_id
+        |                                 ORDER BY ts, user_id) AS dup_rn
+        |    FROM events) WHERE dup_rn = 1),
+        |f AS (
+        |  SELECT *,
+        |         length(concat_ws('|', event_id, epoch_us(ts), user_id,
+        |                          event_type, props)) + 1 AS payload_len,
+        |         row_number() OVER (ORDER BY event_id) AS rn
+        |  FROM d),
+        |b AS (SELECT *, CAST((rn - 1) // 500 AS BIGINT) AS batch_id FROM f)
+        |SELECT epoch_ms(date_trunc('hour', ts)) AS win_ms, event_type,
+        |       count(*) AS n_records,
+        |       CAST(sum(payload_len) AS BIGINT) AS payload_bytes,
+        |       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
+        |       count(DISTINCT batch_id) AS n_batches
+        |FROM b GROUP BY 1, 2 ORDER BY win_ms, event_type""".stripMargin
+  )
+}

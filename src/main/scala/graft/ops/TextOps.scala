@@ -1,0 +1,160 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators (north star): language ID, quality scoring,
+  * token counting, document fingerprinting.
+  */
+object TextOps extends QueryModule {
+
+  private val Stopwords = Seq("the", "a", "and", "of", "to")
+
+  /** Non-empty whitespace tokens, with multiplicity. */
+  private def tokens(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("token"))
+      .where(length(col("token")) > 0)
+
+  def queries: Seq[(String, Q)] = Seq(
+    // Language ID: per-language token profile (top-20 by frequency, built
+    // from the corpus itself), score each doc by distinct-token overlap with
+    // each profile, predict the argmax (ties broken by language asc).
+    "q_text_langid" -> ((s: SparkSession, dir: String) => {
+      val docs = table(s, dir, "documents")
+      val toks = tokens(docs)
+      val freq = toks.groupBy("lang", "token").agg(count(lit(1)).as("c"))
+      val prof = freq
+        .withColumn("prof_rn", row_number().over(
+          Window.partitionBy("lang").orderBy(desc("c"), asc("token"))))
+        .where(col("prof_rn") <= 20)
+        .select(col("lang").as("plang"), col("token"))
+      val dtok = toks.select("doc_id", "token").distinct()
+      val score = dtok.join(prof, "token").groupBy("doc_id", "plang")
+        .agg(count(lit(1)).as("s"))
+      val best = score
+        .withColumn("best_rn", row_number().over(
+          Window.partitionBy("doc_id").orderBy(desc("s"), asc("plang"))))
+        .where(col("best_rn") === 1)
+        .select(col("doc_id"), col("plang").as("lang_guess"))
+      docs.select("doc_id", "lang").join(best, Seq("doc_id"), "left")
+        .orderBy("doc_id")
+    }),
+
+    // Quality scoring: stopword ratio + length score → composite quality.
+    "q_text_quality" -> ((s: SparkSession, dir: String) => {
+      val stopList = Stopwords.map(w => s"'$w'").mkString(", ")
+      table(s, dir, "documents")
+        .withColumn("n_tokens", size(split(col("text"), " ")))
+        .withColumn("n_stop",
+          expr(s"size(filter(split(text, ' '), t -> t IN ($stopList)))"))
+        .select(col("doc_id"),
+          asLong(col("n_tokens")).as("n_tokens"),
+          (col("n_stop") / col("n_tokens")).as("stop_ratio"),
+          least(lit(1.0), col("n_chars") / 500.0).as("len_score"),
+          (col("n_stop") / col("n_tokens") * 0.5
+            + least(lit(1.0), col("n_chars") / 500.0) * 0.5).as("quality"))
+        .orderBy("doc_id")
+    }),
+
+    // Token counting: whitespace tokens vs a BPE-ish regex segmentation.
+    "q_text_tokens" -> ((s: SparkSession, dir: String) =>
+      table(s, dir, "documents")
+        .withColumn("re_toks",
+          expr("regexp_extract_all(text, '([a-z]+|[0-9]+|[^a-z0-9 ])', 1)"))
+        .select(col("doc_id"),
+          asLong(size(split(col("text"), " "))).as("n_ws_tokens"),
+          asLong(size(col("re_toks"))).as("n_re_tokens"),
+          (col("n_chars") / size(col("re_toks"))).as("chars_per_token"))
+        .orderBy("doc_id")),
+
+    // Document fingerprinting: polynomial rolling hash over the whole text
+    // plus a winnowing-style min-shingle hash (oracle-less; deterministic,
+    // checked by property tests in TextSpec).
+    "q_text_fingerprint" -> ((s: SparkSession, dir: String) => {
+      val fullHash = udf { text: String =>
+        var h = 0L
+        var i = 0
+        while (i < text.length) { h = h * 1315423911L + text.charAt(i); i += 1 }
+        h
+      }
+      val minShingle = udf { text: String =>
+        def poly(from: Int, until: Int): Long = {
+          var h = 0L
+          var j = from
+          while (j < until) { h = h * 1315423911L + text.charAt(j); j += 1 }
+          h
+        }
+        val k = 8
+        if (text.length < k) poly(0, text.length)
+        else {
+          var best = Long.MaxValue
+          var i = 0
+          while (i + k <= text.length) {
+            val h = poly(i, i + k)
+            if (h < best) best = h
+            i += 1
+          }
+          best
+        }
+      }
+      table(s, dir, "documents")
+        .select(col("doc_id"),
+          fullHash(col("text")).as("fingerprint"),
+          minShingle(col("text")).as("min_shingle_hash"))
+        .orderBy("doc_id")
+    })
+  )
+
+  def oracle: Seq[(String, String)] = Seq(
+    "q_text_langid" ->
+      """WITH tok AS (
+        |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS token
+        |  FROM documents),
+        |tokf AS (SELECT * FROM tok WHERE length(token) > 0),
+        |freq AS (SELECT lang, token, count(*) AS c FROM tokf GROUP BY lang, token),
+        |prof AS (
+        |  SELECT lang AS plang, token FROM (
+        |    SELECT lang, token,
+        |           row_number() OVER (PARTITION BY lang ORDER BY c DESC, token ASC) AS prof_rn
+        |    FROM freq) WHERE prof_rn <= 20),
+        |dtok AS (SELECT DISTINCT doc_id, token FROM tokf),
+        |score AS (
+        |  SELECT d.doc_id, p.plang, count(*) AS s
+        |  FROM dtok d JOIN prof p USING (token) GROUP BY d.doc_id, p.plang),
+        |best AS (
+        |  SELECT doc_id, plang AS lang_guess FROM (
+        |    SELECT doc_id, plang, s,
+        |           row_number() OVER (PARTITION BY doc_id ORDER BY s DESC, plang ASC) AS best_rn
+        |    FROM score) WHERE best_rn = 1)
+        |SELECT d.doc_id, d.lang, b.lang_guess
+        |FROM documents d LEFT JOIN best b USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
+
+    "q_text_quality" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, n_chars,
+         |         len(string_split(text, ' ')) AS n_tokens,
+         |         len(list_filter(string_split(text, ' '),
+         |             x -> x IN (${Stopwords.map(w => s"'$w'").mkString(", ")}))) AS n_stop
+         |  FROM documents)
+         |SELECT doc_id,
+         |       CAST(n_tokens AS BIGINT) AS n_tokens,
+         |       n_stop / n_tokens AS stop_ratio,
+         |       least(1.0, n_chars / 500.0) AS len_score,
+         |       n_stop / n_tokens * 0.5 + least(1.0, n_chars / 500.0) * 0.5 AS quality
+         |FROM t ORDER BY doc_id""".stripMargin,
+
+    "q_text_tokens" ->
+      """WITH t AS (
+        |  SELECT doc_id, n_chars,
+        |         string_split(text, ' ') AS ws_toks,
+        |         regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]') AS re_toks
+        |  FROM documents)
+        |SELECT doc_id,
+        |       CAST(len(ws_toks) AS BIGINT) AS n_ws_tokens,
+        |       CAST(len(re_toks) AS BIGINT) AS n_re_tokens,
+        |       n_chars / len(re_toks) AS chars_per_token
+        |FROM t ORDER BY doc_id""".stripMargin
+  )
+}

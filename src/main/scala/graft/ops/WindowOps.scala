@@ -1,0 +1,117 @@
+package graft.ops
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Analytic window family (SURVEY §2B "Window functions"). Partition keys
+  * (mktsegment / user_id / custkey) keep the state per-group — at 100 TB
+  * these shuffle once on the partition key and stream within each group,
+  * with no global ordering anywhere.
+  */
+object WindowOps extends QueryModule {
+
+  def queries: Seq[(String, Q)] = Seq(
+    "q_win_rank" -> ((s: SparkSession, dir: String) => {
+      val wUniq = Window.partitionBy("c_mktsegment")
+        .orderBy(desc("c_acctbal"), asc("c_custkey"))
+      val wTies = Window.partitionBy("c_mktsegment").orderBy(desc("c_acctbal"))
+      table(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"),
+          asLong(row_number().over(wUniq)).as("rn"),
+          asLong(rank().over(wTies)).as("rk"),
+          asLong(dense_rank().over(wTies)).as("drk"),
+          asLong(ntile(4).over(wUniq)).as("quartile"))
+        .orderBy("c_mktsegment", "rn")
+    }),
+
+    "q_win_lag" -> ((s: SparkSession, dir: String) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      table(s, dir, "events")
+        .withColumn("us", unix_micros(col("ts")))
+        .select(col("user_id"), col("event_id"),
+          (col("us") - lag(col("us"), 1).over(w)).as("gap_us"),
+          (lead(col("us"), 1).over(w) - col("us")).as("next_gap_us"))
+        .orderBy("user_id", "event_id")
+    }),
+
+    "q_win_running" -> ((s: SparkSession, dir: String) => {
+      val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      table(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          ntzMillis(col("o_orderdate")).as("order_ms"),
+          sum(col("o_totalprice").cast("decimal(18,4)")).over(w).cast("double")
+            .as("running_total"))
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
+    "q_win_moving" -> ((s: SparkSession, dir: String) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(-2, Window.currentRow)
+      table(s, dir, "events")
+        .select(col("user_id"), col("event_id"),
+          (sum(col("value").cast("decimal(18,4)")).over(w).cast("double")
+            / count(lit(1)).over(w)).as("moving_avg"))
+        .orderBy("user_id", "event_id")
+    }),
+
+    "q_win_firstlast" -> ((s: SparkSession, dir: String) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      table(s, dir, "events")
+        .select(col("user_id"),
+          first(col("event_type")).over(w).as("first_type"),
+          last(col("event_type")).over(w).as("last_type"))
+        .distinct()
+        .orderBy("user_id")
+    })
+  )
+
+  def oracle: Seq[(String, String)] = Seq(
+    "q_win_rank" ->
+      """SELECT c_custkey, c_mktsegment, c_acctbal,
+        |       CAST(row_number() OVER wu AS BIGINT) AS rn,
+        |       CAST(rank() OVER wt AS BIGINT) AS rk,
+        |       CAST(dense_rank() OVER wt AS BIGINT) AS drk,
+        |       CAST(ntile(4) OVER wu AS BIGINT) AS quartile
+        |FROM customer
+        |WINDOW wu AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey ASC),
+        |       wt AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC)
+        |ORDER BY c_mktsegment, rn""".stripMargin,
+
+    "q_win_lag" ->
+      """SELECT user_id, event_id,
+        |       epoch_us(ts) - lag(epoch_us(ts), 1) OVER w AS gap_us,
+        |       lead(epoch_us(ts), 1) OVER w - epoch_us(ts) AS next_gap_us
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY user_id, event_id""".stripMargin,
+
+    "q_win_running" ->
+      """SELECT o_custkey, o_orderkey, epoch_ms(o_orderdate) AS order_ms,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) OVER w AS DOUBLE) AS running_total
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "q_win_moving" ->
+      """SELECT user_id, event_id,
+        |       CAST(sum(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE)
+        |         / count(*) OVER w AS moving_avg
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, event_id""".stripMargin,
+
+    "q_win_firstlast" ->
+      """SELECT DISTINCT user_id,
+        |       first_value(event_type) OVER w AS first_type,
+        |       last_value(event_type) OVER w AS last_type
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY user_id""".stripMargin
+  )
+}

@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Batch operator inventory (SURVEY.md §2B). Each declared query is a
+  * `(SparkSession, fixtureDir) => DataFrame`, keyed by its SURVEY §2B id, and
+  * (where SQL-expressible) paired with an ANSI-SQL oracle the driver runs in
+  * DuckDB over the same parquet fixtures.
+  *
+  * Hash-match discipline (SURVEY §7.4):
+  *   - every oracled query ends in a total ORDER BY with a unique tie-break;
+  *   - money-like doubles in the fixtures are exact 2-decimals, so sums are
+  *     accumulated exactly as DECIMAL and only surfaced as DOUBLE at the end —
+  *     bit-identical on the Spark and DuckDB sides;
+  *   - computed integers are cast to BIGINT on both sides (DuckDB's
+  *     sum(int)→HUGEINT, length→BIGINT, ceil→DOUBLE quirks);
+  *   - timestamps are projected as epoch millis/micros, never as raw
+  *     timestamp or stringified-timestamp columns.
+  */
+package object ops {
+
+  /** A declared engine query over the driver fixtures. */
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Fixture table loader. `events.ts` is NANOS-precision parquet, which the
+    * Spark vectorized reader rejects (PARQUET_TYPE_ILLEGAL); read it as raw
+    * ns longs and rebuild a µs timestamp — the fixture data is µs-grained so
+    * the conversion is lossless, and DuckDB's `epoch_us` floors identically.
+    */
+  def table(s: SparkSession, dir: String, name: String): DataFrame =
+    if (name == "events") {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      s.read.parquet(s"$dir/events.parquet")
+        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    } else s.read.parquet(s"$dir/$name.parquet")
+
+  /** Exact sum surfaced as double: accumulate as DECIMAL(18,scale) (inputs
+    * are exact at that scale), cast the exact decimal total to DOUBLE.
+    * Oracle mirror: `CAST(sum(CAST(x AS DECIMAL(18,s))) AS DOUBLE)`. */
+  def dsum(c: Column, scale: Int = 4): Column =
+    sum(c.cast(s"decimal(18,$scale)")).cast("double")
+
+  def asLong(c: Column): Column = c.cast("long")
+
+  /** unix_millis over parquet TIMESTAMP_NTZ columns (session TZ is UTC on
+    * both engines, so NTZ→TZ is the identity wall-clock mapping). */
+  def ntzMillis(c: Column): Column = unix_millis(c.cast("timestamp"))
+
+  /** One module of the declared inventory. */
+  trait QueryModule {
+    def queries: Seq[(String, Q)]
+    def oracle: Seq[(String, String)]
+  }
+}
