@@ -71,7 +71,7 @@ object RelationalOps extends QueryModule {
 
     "q_set_except" -> ((s: SparkSession, dir: String) => {
       val a = table(s, dir, "customer").select(col("c_custkey").as("k"))
-      val b = table(s, dir, "orders").where(col("o_totalprice") > 200000)
+      val b = table(s, dir, "orders").where(col("o_totalprice") > 400000)
         .select(col("o_custkey").as("k"))
       a.except(b).orderBy("k")
     })
@@ -129,7 +129,7 @@ object RelationalOps extends QueryModule {
     "q_set_except" ->
       """SELECT c_custkey AS k FROM customer
         |EXCEPT
-        |SELECT o_custkey AS k FROM orders WHERE o_totalprice > 200000
+        |SELECT o_custkey AS k FROM orders WHERE o_totalprice > 400000
         |ORDER BY k""".stripMargin
   )
 }

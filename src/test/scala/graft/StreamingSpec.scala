@@ -1,0 +1,105 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.core.{DeliverySettings, RetryPolicy}
+import graft.streaming.{DeliverySink, MockDeliveryService}
+
+/** True Structured Streaming behavior of the delivery pipeline (SURVEY §2B
+  * engine-only row): memory source → micro-batches → framed sink with
+  * failed-row retry; windowed aggregation with watermark; streaming dedup.
+  */
+class StreamingSpec extends SparkTestBase {
+
+  private def checkpoint(): String =
+    Files.createTempDirectory("graft-ckpt").toString
+
+  test("streaming delivery pipeline delivers every record exactly once per input") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[String]
+    val svc = new MockDeliveryService()
+    val settings = DeliverySettings("s", batchSize = 50, parallelism = 2,
+      triggerIntervalMs = 0L, retryPolicy = Some(RetryPolicy(1, 6)))
+    val (query, stats) = DeliverySink.run(
+      input.toDF(), settings, svc, checkpoint())
+    try {
+      input.addData((1 to 120).map(i => s"r-$i"): _*)
+      query.processAllAvailable()
+      input.addData((121 to 130).map(i => s"r-$i"): _*)
+      query.processAllAvailable()
+      val st = stats()
+      assert(st.records == 130 && st.residualFailures == 0)
+      assert(svc.batchSizes.forall(_ <= 50))
+      assert(svc.delivered.size == 130)
+      assert(svc.deliveredStrings.forall(s => s.startsWith("{\"value\":\"r-") && s.endsWith("}\n")))
+    } finally query.stop()
+  }
+
+  test("streaming delivery retries failed records and reports them") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[String]
+    // every record fails its first attempt; succeeds when resubmitted
+    val svc = new MockDeliveryService(failEveryNth = 1, failFirstAttempts = 1)
+    val settings = DeliverySettings("s", batchSize = 500, parallelism = 1,
+      triggerIntervalMs = 0L, retryPolicy = Some(RetryPolicy(1, 6)))
+    val (query, stats) = DeliverySink.run(input.toDF(), settings, svc, checkpoint())
+    try {
+      input.addData((1 to 40).map(i => s"x-$i"): _*)
+      query.processAllAvailable()
+      val st = stats()
+      assert(st.records == 40 && st.retriedRecords == 40 && st.residualFailures == 0)
+    } finally query.stop()
+  }
+
+  test("windowed aggregation with watermark over a stream matches batch analog") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val agg = input.toDF().toDF("ts", "event_type", "value")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum("value").as("sum_value"))
+    val query = agg.writeStream
+      .format("memory").queryName("win_agg").outputMode("complete")
+      .option("checkpointLocation", checkpoint())
+      .start()
+    try {
+      def ts(h: Int, m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+      input.addData((ts(1, 5), "a", 1.0), (ts(1, 40), "a", 2.0), (ts(2, 10), "b", 4.0))
+      query.processAllAvailable()
+      val rows = spark.table("win_agg")
+        .select(col("window.start").cast("string"), col("event_type"), col("n"), col("sum_value"))
+        .as[(String, String, Long, Double)].collect().toSet
+      assert(rows == Set(
+        ("2024-01-01 01:00:00", "a", 2L, 3.0),
+        ("2024-01-01 02:00:00", "b", 1L, 4.0)))
+    } finally query.stop()
+  }
+
+  test("streaming dedup drops at-least-once duplicates within the watermark") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Long, java.sql.Timestamp)]
+    val dedup = input.toDF().toDF("event_id", "ts")
+      .withWatermark("ts", "1 hour")
+      .dropDuplicates("event_id")
+    val query = dedup.writeStream
+      .format("memory").queryName("dedup_out").outputMode("append")
+      .option("checkpointLocation", checkpoint())
+      .start()
+    try {
+      val t = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+      input.addData((1L, t), (2L, t), (1L, t))
+      query.processAllAvailable()
+      input.addData((2L, t), (3L, t))
+      query.processAllAvailable()
+      val ids = spark.table("dedup_out").select("event_id").as[Long].collect().sorted
+      assert(ids.toSeq == Seq(1L, 2L, 3L))
+    } finally query.stop()
+  }
+}
