@@ -62,11 +62,18 @@ object LlmOps extends QueryModule {
       .agg(count(lit(1)).as("n_shared_bands"))
   }
 
-  /** Cosine similarity between two array<double> columns. */
-  private def cosine(x: Column, y: Column): Column = {
-    def dot(a: Column, b: Column): Column =
-      aggregate(zip_with(a, b, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
-    dot(x, y) / (sqrt(dot(x, x)) * sqrt(dot(y, y)))
+  /** Cosine similarity via the codegen'd Catalyst expression
+    * (graft.functions.CosineSimilarity) — one fused array pass instead of
+    * three `aggregate(zip_with(...))` traversals. */
+  private def cosine(s: SparkSession)(x: Column, y: Column): Column = {
+    graft.functions.GraftFunctions.register(s)
+    call_function("cosine_sim", x, y)
+  }
+
+  /** Dot product via the codegen'd Catalyst expression. */
+  private def vdot(s: SparkSession)(x: Column, y: Column): Column = {
+    graft.functions.GraftFunctions.register(s)
+    call_function("vector_dot", x, y)
   }
 
   private def embDouble(s: SparkSession, dir: String): DataFrame =
@@ -102,7 +109,7 @@ object LlmOps extends QueryModule {
         .select("emb").head().getSeq[Double](0)
       emb.where(col("vec_id") =!= 0)
         .select(col("vec_id"), col("label"),
-          cosine(col("emb"), typedlit(probe)).as("cos_sim"))
+          cosine(s)(col("emb"), typedlit(probe)).as("cos_sim"))
         .orderBy(desc("cos_sim"), asc("vec_id"))
         .limit(10)
     }),
@@ -116,8 +123,7 @@ object LlmOps extends QueryModule {
       val emb = embDouble(s, dir)
       def bucketOf(e: Column): Column =
         planes.zipWithIndex.map { case (plane, p) =>
-          when(aggregate(zip_with(e, typedlit(plane), (x, w) => x * w),
-            lit(0.0), (acc, v) => acc + v) > 0, lit(1L << p)).otherwise(lit(0L))
+          when(vdot(s)(e, typedlit(plane)) > 0, lit(1L << p)).otherwise(lit(0L))
         }.reduce(_ + _)
       val withBucket = emb.withColumn("bucket", bucketOf(col("emb")))
       val probeRow = withBucket.where(col("vec_id") === 0)
@@ -127,7 +133,7 @@ object LlmOps extends QueryModule {
       withBucket
         .where(col("bucket") === probeBucket && col("vec_id") =!= 0)
         .select(col("vec_id"), col("label"),
-          cosine(col("emb"), typedlit(probe)).as("cos_sim"))
+          cosine(s)(col("emb"), typedlit(probe)).as("cos_sim"))
         .orderBy(desc("cos_sim"), asc("vec_id"))
         .limit(10)
     }),
@@ -182,15 +188,14 @@ object LlmOps extends QueryModule {
       val emb = embDouble(s, dir)
       def bucketOf(e: Column): Column =
         planes.zipWithIndex.map { case (plane, p) =>
-          when(aggregate(zip_with(e, typedlit(plane), (x, w) => x * w),
-            lit(0.0), (acc, v) => acc + v) > 0, lit(1L << p)).otherwise(lit(0L))
+          when(vdot(s)(e, typedlit(plane)) > 0, lit(1L << p)).otherwise(lit(0L))
         }.reduce(_ + _)
       val withBucket = emb.withColumn("bucket", bucketOf(col("emb")))
       val a = withBucket.select(col("bucket"), col("vec_id").as("id_a"), col("emb").as("emb_a"))
       val b = withBucket.select(col("bucket"), col("vec_id").as("id_b"), col("emb").as("emb_b"))
       a.join(b, Seq("bucket"))
         .where(col("id_a") < col("id_b"))
-        .select(col("id_a"), col("id_b"), cosine(col("emb_a"), col("emb_b")).as("cos_sim"))
+        .select(col("id_a"), col("id_b"), cosine(s)(col("emb_a"), col("emb_b")).as("cos_sim"))
         .orderBy(desc("cos_sim"), asc("id_a"), asc("id_b"))
         .limit(100)
     })

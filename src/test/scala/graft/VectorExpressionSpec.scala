@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.GraftFunctions
+
+/** Codegen'd vector expressions: agreement with the higher-order-function
+  * formulation, null/edge handling, SQL registration. */
+class VectorExpressionSpec extends SparkTestBase {
+
+  private def hofCosine = {
+    import org.apache.spark.sql.Column
+    def dot(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
+    (x: Column, y: Column) => dot(x, y) / (sqrt(dot(x, x)) * sqrt(dot(y, y)))
+  }
+
+  test("cosine_sim matches the aggregate/zip_with formulation on fixture vectors") {
+    GraftFunctions.register(spark)
+    val emb = ops.table(spark, sfDir, "embeddings")
+      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("e"))
+    val probe = emb.where(col("vec_id") === 1).select("e").head().getSeq[Double](0)
+    val both = emb.select(
+      call_function("cosine_sim", col("e"), typedlit(probe)).as("native"),
+      hofCosine(col("e"), typedlit(probe)).as("hof"))
+      .collect()
+    assert(both.nonEmpty)
+    both.foreach { r =>
+      assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-12,
+        s"native=${r.getDouble(0)} hof=${r.getDouble(1)}")
+    }
+  }
+
+  test("vector_dot and cosine_sim handle nulls, zeros, and self-similarity") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    val df = Seq(
+      (Some(Seq(1.0, 2.0, 3.0)), Some(Seq(4.0, 5.0, 6.0))),
+      (Some(Seq(1.0, 2.0, 3.0)), Some(Seq(1.0, 2.0, 3.0))),
+      (Some(Seq(0.0, 0.0)), Some(Seq(1.0, 1.0))),
+      (None, Some(Seq(1.0))),
+      (Some(Seq(1.0)), None))
+      .toDF("x", "y")
+    val rows = df.select(
+      call_function("vector_dot", col("x"), col("y")).as("d"),
+      call_function("cosine_sim", col("x"), col("y")).as("c"))
+      .collect()
+    assert(rows(0).getDouble(0) == 32.0)
+    assert(math.abs(rows(1).getDouble(1) - 1.0) < 1e-12)
+    assert(rows(2).getDouble(1) == 0.0) // zero norm → 0.0, not NaN
+    assert(rows(3).isNullAt(0) && rows(3).isNullAt(1))
+    assert(rows(4).isNullAt(0) && rows(4).isNullAt(1))
+  }
+
+  test("expressions are registered for SQL and float arrays implicitly cast") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      "SELECT vector_dot(array(CAST(1.5 AS FLOAT), CAST(2.0 AS FLOAT)), array(2.0D, 3.0D)) AS d")
+      .head().getDouble(0)
+    assert(r == 9.0)
+  }
+
+  test("the knn query plan uses the native expression, not HOF lambdas") {
+    val plan = SparkEntry.queries("q_llm_sim_knn")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("cosine_sim"))
+    assert(!plan.contains("aggregate(zip_with"))
+  }
+}
