@@ -1,0 +1,162 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ops._
+
+/** Multimodal columns (north star): image/audio/video as opaque BINARY
+  * columns plus typed metadata, with decode / resize / frame-sample /
+  * feature-extract as per-partition batch transforms.
+  *
+  * The container has no media codecs, so the codec layer is a clearly
+  * marked DETERMINISTIC STUB (`StubCodec`) — but everything Spark-side is
+  * real and load-bearing: the asset schema, the `Dataset[T]`/`mapPartitions`
+  * batch shape (decoder constructed once per partition, exactly where a
+  * JNI/FFI codec handle would live), the explode-based frame fan-out, and
+  * the binary-payload columns. Swapping `StubCodec` for a real codec
+  * changes no query shape.
+  *
+  * Scale notes: assets are value-heavy rows — transforms are narrow
+  * (no shuffle); frame sampling fans out via `explode(sequence(...))`
+  * (codegen'd, no UDF); only the tiny metadata projections ever aggregate.
+  */
+object MultimodalOps extends QueryModule {
+
+  /** An opaque media asset: typed metadata + binary payload. */
+  final case class MediaAsset(asset_id: Long, kind: String, content: Array[Byte])
+
+  final case class DecodedMeta(
+      asset_id: Long, kind: String, n_bytes: Long,
+      width: Long, height: Long, n_frames: Long)
+
+  /** DETERMINISTIC STUB for the codec layer: metadata is derived from the
+    * payload length by fixed formulas so the DuckDB oracle can replay it.
+    * A real implementation would parse the container header here.
+    */
+  object StubCodec extends Serializable {
+    def decode(a: MediaAsset): DecodedMeta = {
+      val n = a.content.length.toLong
+      DecodedMeta(a.asset_id, a.kind, n,
+        width = 1 + n % 320,
+        height = 1 + (n * 7) % 200,
+        n_frames = if (a.kind == "video") 1 + n / 100 else 1L)
+    }
+
+    /** Stub resize: a w×h×3 buffer filled with a constant byte. */
+    def resize(a: MediaAsset, w: Int, h: Int): Array[Byte] =
+      Array.fill(w * h * 3)('x'.toByte)
+
+    /** Stub feature extractor: 8 rolling-hash-derived floats in [0,1). */
+    def features(a: MediaAsset): Array[Float] = {
+      val out = new Array[Float](8)
+      var h = 1125899906842597L
+      var i = 0
+      while (i < a.content.length) {
+        h = h * 31 + (a.content(i) & 0xff)
+        out(i % 8) = math.abs((h % 1000003L).toFloat) / 1000003f
+        i += 1
+      }
+      out
+    }
+  }
+
+  /** Fixture assets: the documents table as opaque payloads (UTF-8 bytes of
+    * `text` — ASCII fixtures, so n_bytes == length(text) on both engines),
+    * kind assigned round-robin. */
+  def assets(s: SparkSession, dir: String): Dataset[MediaAsset] = {
+    import s.implicits._
+    table(s, dir, "documents")
+      .select(col("doc_id").as("asset_id"),
+        element_at(typedlit(Seq("image", "audio", "video")),
+          (col("doc_id") % 3 + 1).cast("int")).as("kind"),
+        encode(col("text"), "UTF-8").as("content"))
+      .as[MediaAsset]
+  }
+
+  /** Decode pass: one codec instance per partition, batch iteration. */
+  def decoded(s: SparkSession, dir: String): Dataset[DecodedMeta] = {
+    import s.implicits._
+    assets(s, dir).mapPartitions { it =>
+      val codec = StubCodec // per-partition decoder handle
+      it.map(codec.decode)
+    }
+  }
+
+  def queries: Seq[(String, Q)] = Seq(
+    "q_mm_decode" -> ((s: SparkSession, dir: String) =>
+      decoded(s, dir).toDF()
+        .select("asset_id", "kind", "n_bytes", "width", "height", "n_frames")
+        .orderBy("asset_id")),
+
+    // Frame sampling: every 5th frame of each video, fanned out without UDFs.
+    "q_mm_frame_sample" -> ((s: SparkSession, dir: String) =>
+      decoded(s, dir).toDF()
+        .where(col("kind") === "video")
+        .select(col("asset_id"),
+          explode(sequence(lit(0L), col("n_frames") - 1, lit(5L))).as("frame_idx"))
+        .orderBy("asset_id", "frame_idx")),
+
+    // Resize: stub payload, but the byte-level output is oracle-checkable.
+    "q_mm_resize" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      assets(s, dir)
+        .map { a =>
+          val resized = StubCodec.resize(a, 64, 48)
+          (a.asset_id, a.kind, resized.length.toLong, resized)
+        }
+        .toDF("asset_id", "kind", "resized_len", "resized")
+        .select(col("asset_id"), col("kind"), col("resized_len"),
+          sha2(col("resized"), 256).as("resized_sha"))
+        .orderBy("asset_id")
+    }),
+
+    // Feature extraction → embedding column (oracle-less; MultimodalSpec
+    // checks determinism, dimensionality and bounds).
+    "q_mm_embed" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      assets(s, dir)
+        .mapPartitions { it =>
+          val codec = StubCodec
+          it.map(a => (a.asset_id, codec.features(a)))
+        }
+        .toDF("asset_id", "features")
+        .select(col("asset_id"),
+          asLong(size(col("features"))).as("dim"),
+          element_at(col("features"), 1).cast("double").as("f1"),
+          col("features"))
+        .orderBy("asset_id")
+    })
+  )
+
+  def oracle: Seq[(String, String)] = Seq(
+    "q_mm_decode" ->
+      """WITH a AS (
+        |  SELECT doc_id AS asset_id,
+        |         ['image', 'audio', 'video'][CAST(doc_id % 3 + 1 AS INT)] AS kind,
+        |         CAST(length(text) AS BIGINT) AS n
+        |  FROM documents)
+        |SELECT asset_id, kind, n AS n_bytes,
+        |       1 + n % 320 AS width,
+        |       1 + (n * 7) % 200 AS height,
+        |       CASE WHEN kind = 'video' THEN 1 + n // 100 ELSE 1 END AS n_frames
+        |FROM a ORDER BY asset_id""".stripMargin,
+
+    "q_mm_frame_sample" ->
+      """WITH a AS (
+        |  SELECT doc_id AS asset_id,
+        |         ['image', 'audio', 'video'][CAST(doc_id % 3 + 1 AS INT)] AS kind,
+        |         CAST(length(text) AS BIGINT) AS n
+        |  FROM documents)
+        |SELECT asset_id, unnest(generate_series(0, (1 + n // 100) - 1, 5)) AS frame_idx
+        |FROM a WHERE kind = 'video'
+        |ORDER BY asset_id, frame_idx""".stripMargin,
+
+    "q_mm_resize" ->
+      """SELECT doc_id AS asset_id,
+        |       ['image', 'audio', 'video'][CAST(doc_id % 3 + 1 AS INT)] AS kind,
+        |       CAST(64 * 48 * 3 AS BIGINT) AS resized_len,
+        |       sha256(repeat('x', 64 * 48 * 3)) AS resized_sha
+        |FROM documents ORDER BY asset_id""".stripMargin
+  )
+}

@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.multimodal.MultimodalOps
+import graft.multimodal.MultimodalOps.{MediaAsset, StubCodec}
+
+/** Multimodal plumbing: schema, per-partition batch shape, determinism of
+  * the stubbed codec layer. */
+class MultimodalSpec extends SparkTestBase {
+
+  test("assets carry typed kind + binary payload for every document") {
+    val a = MultimodalOps.assets(spark, sfDir)
+    assert(a.schema.fieldNames.toSeq == Seq("asset_id", "kind", "content"))
+    assert(a.schema("content").dataType.typeName == "binary")
+    val kinds = a.groupBy("kind").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(kinds.keySet == Set("image", "audio", "video"))
+    assert(kinds.values.sum == 500)
+  }
+
+  test("decode metadata is consistent with the payload") {
+    val rows = MultimodalOps.decoded(spark, sfDir).collect()
+    assert(rows.length == 500)
+    rows.foreach { d =>
+      assert(d.width == 1 + d.n_bytes % 320)
+      assert(d.height == 1 + (d.n_bytes * 7) % 200)
+      assert(d.kind != "video" || d.n_frames == 1 + d.n_bytes / 100)
+    }
+  }
+
+  test("feature extraction is deterministic with fixed shape and bounds") {
+    val a = MediaAsset(1L, "image", "hello-world".getBytes)
+    val f1 = StubCodec.features(a)
+    val f2 = StubCodec.features(a)
+    assert(f1.toSeq == f2.toSeq)
+    assert(f1.length == 8)
+    assert(f1.forall(v => v >= 0f && v < 1f))
+
+    val df = SparkEntry.queries("q_mm_embed")(spark, sfDir)
+    assert(df.where(col("dim") =!= 8).count() == 0)
+    val twice = SparkEntry.queries("q_mm_embed")(spark, sfDir)
+    assert(df.select("asset_id", "f1").collect().toSeq ==
+      twice.select("asset_id", "f1").collect().toSeq)
+  }
+
+  test("frame sampling fans out only videos, stepping by 5") {
+    val df = SparkEntry.queries("q_mm_frame_sample")(spark, sfDir)
+    val byAsset = df.groupBy("asset_id").agg(
+      max("frame_idx").as("max_idx"), count(lit(1)).as("n")).collect()
+    assert(byAsset.nonEmpty)
+    byAsset.foreach { r =>
+      assert(r.getAs[Long]("max_idx") % 5 == 0)
+      assert(r.getAs[Long]("n") == r.getAs[Long]("max_idx") / 5 + 1)
+    }
+  }
+}
