@@ -90,6 +90,33 @@ object AggOps extends QueryModule {
           count_distinct(col("l_partkey")).as("exact_parts"))
         .orderBy("l_returnflag")),
 
+    // Pivot: one count column per event type (fixed value list so the
+    // output schema is static — required for a 100 TB plan anyway).
+    "q_agg_pivot" -> ((s: SparkSession, dir: String) =>
+      table(s, dir, "events")
+        .groupBy("user_id")
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .orderBy("user_id")),
+
+    // Ordered list aggregation (deterministic: sorted before joining).
+    "q_agg_listagg" -> ((s: SparkSession, dir: String) =>
+      table(s, dir, "customer")
+        .groupBy("c_nationkey")
+        .agg(concat_ws(",", sort_array(collect_list(col("c_name")))).as("members"),
+          count(lit(1)).as("n_members"))
+        .orderBy("c_nationkey")),
+
+    // t-digest/GK-sketch approximate percentile — oracle-less (sketch
+    // differs from DuckDB's); exact value alongside for the rows-only gate.
+    "q_agg_approx_percentile" -> ((s: SparkSession, dir: String) =>
+      table(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("approx_p50"),
+          expr("percentile(l_extendedprice, 0.5)").as("exact_p50"))
+        .orderBy("l_returnflag")),
+
     // Exact interpolated percentiles (R-7, same definition as quantile_cont).
     "q_agg_percentile" -> ((s: SparkSession, dir: String) =>
       table(s, dir, "lineitem")
@@ -160,6 +187,21 @@ object AggOps extends QueryModule {
         |HAVING count(*) >= 12
         |   AND CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) > 100000
         |ORDER BY o_custkey""".stripMargin,
+
+    "q_agg_pivot" ->
+      """SELECT user_id,
+        |       count(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+        |       count(CASE WHEN event_type = 'error' THEN 1 END) AS error,
+        |       count(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+        |       count(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+        |       count(CASE WHEN event_type = 'view' THEN 1 END) AS "view"
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q_agg_listagg" ->
+      """SELECT c_nationkey,
+        |       string_agg(c_name, ',' ORDER BY c_name) AS members,
+        |       count(*) AS n_members
+        |FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
 
     "q_agg_percentile" ->
       """SELECT l_returnflag,

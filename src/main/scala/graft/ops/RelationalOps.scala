@@ -54,6 +54,29 @@ object RelationalOps extends QueryModule {
         .orderBy("o_custkey", "rk")
     }),
 
+    // Correlated scalar subquery (Catalyst decorrelates to an agg+join).
+    "q_sub_scalar" -> ((s: SparkSession, dir: String) => {
+      table(s, dir, "customer").createOrReplaceTempView("sub_customer")
+      s.sql(
+        """SELECT c_custkey, c_acctbal
+          |FROM sub_customer c
+          |WHERE c_acctbal > (
+          |  SELECT CAST(sum(CAST(c2.c_acctbal AS DECIMAL(18,4))) AS DOUBLE) / count(*)
+          |  FROM sub_customer c2
+          |  WHERE c2.c_nationkey = c.c_nationkey)
+          |ORDER BY c_custkey""".stripMargin)
+    }),
+
+    // Explicit nulls-ordering semantics (fixtures are null-free, so nulls
+    // are minted with nullif; Spark's ASC default is NULLS FIRST, DuckDB's
+    // is NULLS LAST — both sides pin NULLS FIRST explicitly).
+    "q_sort_nulls" -> ((s: SparkSession, dir: String) =>
+      table(s, dir, "orders")
+        .select(col("o_orderkey"),
+          nullif(col("o_orderpriority"), lit("1-URGENT")).as("pri_n"))
+        .orderBy(asc_nulls_first("pri_n"), asc("o_orderkey"))
+        .limit(500)),
+
     "q_set_union" -> ((s: SparkSession, dir: String) => {
       val a = table(s, dir, "customer").where(col("c_acctbal") > 0)
         .select(col("c_custkey").as("k"))
@@ -113,6 +136,21 @@ object RelationalOps extends QueryModule {
         |  FROM orders)
         |SELECT o_custkey, CAST(rk AS BIGINT) AS rk, o_orderkey, o_totalprice
         |FROM r WHERE rk <= 3 ORDER BY o_custkey, rk""".stripMargin,
+
+    "q_sub_scalar" ->
+      """SELECT c_custkey, c_acctbal
+        |FROM customer c
+        |WHERE c_acctbal > (
+        |  SELECT CAST(sum(CAST(c2.c_acctbal AS DECIMAL(18,4))) AS DOUBLE) / count(*)
+        |  FROM customer c2
+        |  WHERE c2.c_nationkey = c.c_nationkey)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_sort_nulls" ->
+      """SELECT o_orderkey, nullif(o_orderpriority, '1-URGENT') AS pri_n
+        |FROM orders
+        |ORDER BY pri_n ASC NULLS FIRST, o_orderkey ASC
+        |LIMIT 500""".stripMargin,
 
     "q_set_union" ->
       """SELECT c_custkey AS k FROM customer WHERE c_acctbal > 0

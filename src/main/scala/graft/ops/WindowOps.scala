@@ -56,6 +56,19 @@ object WindowOps extends QueryModule {
         .orderBy("user_id", "event_id")
     }),
 
+    // RANGE frame over a numeric ordering key: trailing 30-day window.
+    "q_win_range" -> ((s: SparkSession, dir: String) => {
+      val w = Window.partitionBy("o_custkey").orderBy("order_ms")
+        .rangeBetween(-2592000000L, 0L) // 30 days in ms
+      table(s, dir, "orders")
+        .withColumn("order_ms", ntzMillis(col("o_orderdate")))
+        .select(col("o_custkey"), col("o_orderkey"), col("order_ms"),
+          sum(col("o_totalprice").cast("decimal(18,4)")).over(w).cast("double")
+            .as("trailing_30d_total"),
+          asLong(count(lit(1)).over(w)).as("trailing_30d_orders"))
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
     "q_win_firstlast" -> ((s: SparkSession, dir: String) => {
       val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
         .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
@@ -104,6 +117,17 @@ object WindowOps extends QueryModule {
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
         |             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
         |ORDER BY user_id, event_id""".stripMargin,
+
+    "q_win_range" ->
+      """WITH o AS (SELECT *, epoch_ms(o_orderdate) AS order_ms FROM orders)
+        |SELECT o_custkey, o_orderkey, order_ms,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) OVER w AS DOUBLE)
+        |         AS trailing_30d_total,
+        |       CAST(count(*) OVER w AS BIGINT) AS trailing_30d_orders
+        |FROM o
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY order_ms
+        |             RANGE BETWEEN 2592000000 PRECEDING AND CURRENT ROW)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
 
     "q_win_firstlast" ->
       """SELECT DISTINCT user_id,
