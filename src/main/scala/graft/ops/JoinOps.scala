@@ -73,16 +73,20 @@ object JoinOps extends QueryModule {
     }),
 
     // As-of: latest order at/before each event's timestamp for that user.
+    // Hash-aggregate formulation: max(struct(date, key)) per event replaces
+    // a partition-sort window — no per-group sort, partial aggregation on
+    // the map side, and the lexicographic struct max reproduces the
+    // (date DESC, key DESC) tie-break exactly.
     "q_join_asof" -> ((s: SparkSession, dir: String) => {
       val e = table(s, dir, "events").select("event_id", "user_id", "ts")
       val o = table(s, dir, "orders").select("o_custkey", "o_orderkey", "o_orderdate")
-      val w = Window.partitionBy("event_id")
-        .orderBy(desc_nulls_last("o_orderdate"), desc_nulls_last("o_orderkey"))
       e.join(o, col("o_custkey") === col("user_id") && col("o_orderdate") <= col("ts"), "left")
-        .withColumn("rn", row_number().over(w))
-        .where(col("rn") === 1)
-        .select(col("event_id"), col("user_id"), col("o_orderkey"),
-          ntzMillis(col("o_orderdate")).as("order_date_ms"))
+        .groupBy("event_id", "user_id")
+        .agg(max(when(col("o_orderkey").isNotNull,
+          struct(col("o_orderdate"), col("o_orderkey")))).as("best"))
+        .select(col("event_id"), col("user_id"),
+          col("best.o_orderkey").as("o_orderkey"),
+          ntzMillis(col("best.o_orderdate")).as("order_date_ms"))
         .orderBy("event_id")
     }),
 

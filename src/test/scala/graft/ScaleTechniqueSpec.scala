@@ -1,0 +1,69 @@
+package graft
+
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.Skew
+
+/** Scale techniques proven at small scale: bucketed co-located joins
+  * eliminate the join shuffle; salted joins reproduce plain join results
+  * exactly; the hash-agg as-of join matches the window formulation.
+  */
+class ScaleTechniqueSpec extends SparkTestBase {
+
+  test("bucketed tables join without a shuffle exchange") {
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      ops.table(spark, sfDir, "orders")
+        .write.mode("overwrite").bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .saveAsTable("b_orders")
+      ops.table(spark, sfDir, "lineitem")
+        .write.mode("overwrite").bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .saveAsTable("b_lineitem")
+      val joined = spark.table("b_lineitem")
+        .join(spark.table("b_orders"), col("l_orderkey") === col("o_orderkey"))
+      val plan = joined.queryExecution.sparkPlan.toString
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"))
+      assert(!plan.contains("Exchange"),
+        s"bucketed join should be co-located, plan was:\n$plan")
+      // and it is still correct
+      assert(joined.count() ==
+        ops.table(spark, sfDir, "lineitem")
+          .join(ops.table(spark, sfDir, "orders"),
+            col("l_orderkey") === col("o_orderkey")).count())
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS b_orders")
+      spark.sql("DROP TABLE IF EXISTS b_lineitem")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+    }
+  }
+
+  test("salted join returns exactly the plain join result") {
+    val orders = ops.table(spark, sfDir, "orders")
+    val customer = ops.table(spark, sfDir, "customer")
+    val plain = orders.join(customer, col("o_custkey") === col("c_custkey"))
+      .select("o_orderkey", "c_custkey", "c_name")
+    val salted = Skew.saltedJoin(orders, customer, "o_custkey", "c_custkey",
+        saltSource = col("o_orderkey"), salts = 8)
+      .select("o_orderkey", "c_custkey", "c_name")
+    assert(salted.count() == plain.count())
+    assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
+  }
+
+  test("hash-agg as-of join matches the window-function formulation") {
+    import org.apache.spark.sql.expressions.Window
+    val e = ops.table(spark, sfDir, "events").select("event_id", "user_id", "ts")
+    val o = ops.table(spark, sfDir, "orders").select("o_custkey", "o_orderkey", "o_orderdate")
+    val w = Window.partitionBy("event_id")
+      .orderBy(desc_nulls_last("o_orderdate"), desc_nulls_last("o_orderkey"))
+    val windowed = e.join(o,
+        col("o_custkey") === col("user_id") && col("o_orderdate") <= col("ts"), "left")
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(col("event_id"), col("o_orderkey"))
+    val agg = SparkEntry.queries("q_join_asof")(spark, sfDir)
+      .select(col("event_id"), col("o_orderkey"))
+    assert(agg.exceptAll(windowed).isEmpty && windowed.exceptAll(agg).isEmpty)
+  }
+}
