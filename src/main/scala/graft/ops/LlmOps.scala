@@ -138,6 +138,32 @@ object LlmOps extends QueryModule {
         .limit(10)
     }),
 
+    // IVF-style ANN: K deterministic centroids (lowest vec_ids), every
+    // vector assigned to its nearest centroid via a broadcast cross of the
+    // tiny centroid set, probe searched only within its own cell. At scale
+    // the assignment is one broadcast pass over the corpus and each query
+    // touches 1/K of it (nprobe=1 here).
+    "q_llm_sim_knn_ivf" -> ((s: SparkSession, dir: String) => {
+      val K = 8
+      val emb = embDouble(s, dir)
+      val centroids = emb.where(col("vec_id") < K)
+        .select(col("vec_id").as("cent_id"), col("emb").as("cent"))
+      val assigned = emb.join(broadcast(centroids))
+        .withColumn("sim", cosine(s)(col("emb"), col("cent")))
+        .withColumn("cell_rn", row_number().over(
+          Window.partitionBy("vec_id").orderBy(desc("sim"), asc("cent_id"))))
+        .where(col("cell_rn") === 1)
+        .select(col("vec_id"), col("label"), col("emb"), col("cent_id").as("cell"))
+      val probeRow = assigned.where(col("vec_id") === 0).select("emb", "cell").head()
+      val probe = probeRow.getSeq[Double](0)
+      val probeCell = probeRow.getLong(1)
+      assigned.where(col("cell") === probeCell && col("vec_id") =!= 0)
+        .select(col("vec_id"), col("label"),
+          cosine(s)(col("emb"), typedlit(probe)).as("cos_sim"))
+        .orderBy(desc("cos_sim"), asc("vec_id"))
+        .limit(10)
+    }),
+
     // MinHash-LSH near-dup candidate pairs (oracle-less; LlmSpec checks
     // candidate quality against exact Jaccard).
     "q_llm_minhash" -> ((s: SparkSession, dir: String) =>

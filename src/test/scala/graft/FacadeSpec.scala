@@ -1,0 +1,52 @@
+package graft
+
+import java.nio.charset.StandardCharsets
+
+import org.apache.spark.sql.functions.col
+
+import graft.streaming.MockDeliveryService
+
+/** The user-level Graft facade: the surface a reference-library user
+  * switches to (R1-R22 mapping in the Graft scaladoc). */
+class FacadeSpec extends SparkTestBase {
+
+  test("putOne / putAll mirror put and batchPut") {
+    val svc = new MockDeliveryService()
+    val st = Graft.settings("s").withBatchSize(10)
+      .withRetryPolicy(Some(Graft.retryPolicy(1, 3)))
+    assert(Graft.putOne(svc, st, "solo".getBytes(StandardCharsets.UTF_8)))
+    val n = Graft.putAll(svc, st,
+      (1 to 25).map(i => s"p-$i".getBytes(StandardCharsets.UTF_8)))
+    assert(n == 25)
+    assert(svc.batchSizes == Seq(1, 10, 10, 5))
+  }
+
+  test("enrichment syntax frames and delivers a DataFrame") {
+    import Graft.implicits._
+    import spark.implicits._
+    val svc = new MockDeliveryService()
+    val st = Graft.settings("s").withRetryPolicy(Some(Graft.retryPolicy(1, 3)))
+    val df = Seq("a", "b", "c").toDF("v")
+    val framed = df.asFramedRecords(st, col("v")).collect()
+      .map(r => new String(r.getAs[Array[Byte]](0), StandardCharsets.UTF_8))
+    assert(framed.toSet == Set("{\"v\":\"a\"}\n", "{\"v\":\"b\"}\n", "{\"v\":\"c\"}\n"))
+    val stats = df.deliverTo(st, svc)
+    assert(stats.records == 3 && stats.residualFailures == 0)
+  }
+
+  test("withStream brackets the catalog lifecycle") {
+    val seen = Graft.withStream("facade-tmp") { info =>
+      assert(Graft.catalog.describeStream("facade-tmp").isDefined)
+      info.name
+    }
+    assert(seen == "facade-tmp")
+    assert(Graft.catalog.describeStream("facade-tmp").isEmpty)
+  }
+
+  test("IVF knn variant returns a valid in-cell top-k") {
+    val rows = SparkEntry.queries("q_llm_sim_knn_ivf")(spark, sfDir).collect()
+    assert(rows.nonEmpty && rows.length <= 10)
+    val sims = rows.map(_.getAs[Double]("cos_sim")).toSeq
+    assert(sims == sims.sorted.reverse)
+  }
+}

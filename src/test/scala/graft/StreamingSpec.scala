@@ -81,6 +81,32 @@ class StreamingSpec extends SparkTestBase {
     } finally query.stop()
   }
 
+  test("session windows over a stream merge events within the gap") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, Long)]
+    val agg = input.toDF().toDF("ts", "user_id")
+      .withWatermark("ts", "1 hour")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+    val query = agg.writeStream
+      .format("memory").queryName("sess_win").outputMode("complete")
+      .option("checkpointLocation", checkpoint())
+      .start()
+    try {
+      def ts(h: Int, m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+      // user 1: two events 10 min apart (one session), then one 2 h later
+      input.addData((ts(1, 0), 1L), (ts(1, 10), 1L), (ts(3, 0), 1L))
+      query.processAllAvailable()
+      val rows = spark.table("sess_win")
+        .select(col("session_window.start").cast("string"), col("user_id"), col("n"))
+        .as[(String, Long, Long)].collect().toSet
+      assert(rows == Set(
+        ("2024-01-01 01:00:00", 1L, 2L),
+        ("2024-01-01 03:00:00", 1L, 1L)))
+    } finally query.stop()
+  }
+
   test("streaming dedup drops at-least-once duplicates within the watermark") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
