@@ -43,6 +43,39 @@ object SourceSinkOps extends QueryModule {
           sha2(concat(col("payload"), lit("\n")), 256).as("payload_sha"))
         .orderBy("event_id")),
 
+    // JSON source: framed-record-style export then schema'd re-read — the
+    // round trip proves the JSON reader path; the oracle is the same
+    // aggregate straight off parquet (round trips are lossless: timestamps
+    // travel as epoch micros, doubles as shortest-repr strings).
+    "q_src_json_roundtrip" -> ((s: SparkSession, dir: String) => {
+      val path = java.nio.file.Files.createTempDirectory("graft-json").toString
+      table(s, dir, "events")
+        .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
+          col("user_id"), col("event_type"), col("value"))
+        .write.mode("overwrite").json(path)
+      s.read.schema("event_id LONG, ts_us LONG, user_id LONG, event_type STRING, value DOUBLE")
+        .json(path)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"),
+          min("ts_us").as("first_us"))
+        .orderBy("event_type")
+    }),
+
+    "q_src_csv_roundtrip" -> ((s: SparkSession, dir: String) => {
+      val path = java.nio.file.Files.createTempDirectory("graft-csv").toString
+      table(s, dir, "events")
+        .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
+          col("user_id"), col("event_type"), col("value"))
+        .write.mode("overwrite").option("header", "true").csv(path)
+      s.read.option("header", "true")
+        .schema("event_id LONG, ts_us LONG, user_id LONG, event_type STRING, value DOUBLE")
+        .csv(path)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"),
+          min("ts_us").as("first_us"))
+        .orderBy("event_type")
+    }),
+
     // Assign records to ≤500-element delivery batches (ProducerSettings cap).
     "q_sink_batchify" -> ((s: SparkSession, dir: String) =>
       table(s, dir, "events")
@@ -60,6 +93,18 @@ object SourceSinkOps extends QueryModule {
         tables.map(n => s"SELECT '$n' AS table_name, count(*) AS n_rows FROM $n")
           .mkString(" UNION ALL ") +
         ") ORDER BY table_name"),
+
+    "q_src_json_roundtrip" ->
+      """SELECT event_type, count(*) AS n,
+        |       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
+        |       min(epoch_us(ts)) AS first_us
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_src_csv_roundtrip" ->
+      """SELECT event_type, count(*) AS n,
+        |       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
+        |       min(epoch_us(ts)) AS first_us
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q_sink_frame" ->
       """WITH f AS (
