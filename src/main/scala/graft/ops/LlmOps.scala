@@ -188,6 +188,21 @@ object LlmOps extends QueryModule {
         .limit(200)
     }),
 
+    // One-pass MinHash signatures via the typed aggregate
+    // (graft.functions.MinHashAgg): one K-long array buffer per group
+    // instead of K min() columns — the SURVEY §4.2 sketch-aggregate path.
+    "q_llm_minhash_sketch" -> ((s: SparkSession, dir: String) => {
+      val sketch = udaf(new graft.functions.MinHashAgg(NumHashes))
+      docTokens(table(s, dir, "documents"))
+        .groupBy("doc_id")
+        .agg(sketch(col("token")).as("sig"))
+        .select(col("doc_id"),
+          asLong(size(col("sig"))).as("k"),
+          element_at(col("sig"), 1).as("sig_head"),
+          array_min(col("sig")).as("sig_min"))
+        .orderBy("doc_id")
+    }),
+
     // 16-bit SimHash fingerprints + cluster sizes (oracle-less).
     "q_llm_simhash" -> ((s: SparkSession, dir: String) => {
       val toks = docTokens(table(s, dir, "documents"))

@@ -1,0 +1,58 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+
+import graft.core.{DeliverySettings, RetryPolicy}
+import graft.streaming.{DeliverySink, MockDeliveryService}
+
+/** End-to-end file-source streaming: a JSON drop directory consumed by
+  * readStream, deduplicated under a watermark, framed and delivered with
+  * retry — the full reference pipeline (source → groupWithin-style
+  * micro-batches → serialize ⧺ separator → ≤500 batches → retry) against a
+  * real file source instead of MemoryStream.
+  */
+class FileStreamSpec extends SparkTestBase {
+
+  test("json drop directory → dedup → framed delivery with retry") {
+    val srcDir = Files.createTempDirectory("graft-drop").toString
+    val ckpt = Files.createTempDirectory("graft-fs-ckpt").toString
+
+    def drop(name: String, lines: Seq[String]): Unit =
+      Files.write(Paths.get(srcDir, name),
+        lines.mkString("\n").getBytes("UTF-8"))
+
+    // first file: 30 events, ids 0..29, with id 5 duplicated at-least-once
+    drop("batch1.json",
+      (0 to 29).map(i => s"""{"event_id":$i,"ts":"2024-01-01 00:0${i % 10}:00","v":${i * 1.5}}""")
+        :+ """{"event_id":5,"ts":"2024-01-01 00:05:00","v":7.5}""")
+
+    val source = spark.readStream
+      .schema("event_id LONG, ts TIMESTAMP, v DOUBLE")
+      .json(srcDir)
+      .withWatermark("ts", "1 hour")
+      .dropDuplicates("event_id")
+
+    val svc = new MockDeliveryService(failEveryNth = 3, failFirstAttempts = 1)
+    val settings = DeliverySettings("file-stream", batchSize = 25,
+      triggerIntervalMs = 0L, retryPolicy = Some(RetryPolicy(1, 6)))
+    val (query, stats) = DeliverySink.run(source, settings, svc, ckpt)
+    try {
+      query.processAllAvailable()
+      val st1 = stats()
+      assert(st1.records == 30, s"expected 30 deduped records, got $st1")
+      assert(st1.residualFailures == 0)
+
+      // second file arrives: 10 more events plus a replay of id 7
+      drop("batch2.json",
+        (30 to 39).map(i => s"""{"event_id":$i,"ts":"2024-01-01 00:30:00","v":$i}""")
+          :+ """{"event_id":7,"ts":"2024-01-01 00:07:00","v":10.5}""")
+      query.processAllAvailable()
+      val st2 = stats()
+      assert(st2.records == 40, s"expected 40 total after second file, got $st2")
+      assert(svc.batchSizes.forall(_ <= 25))
+      assert(svc.deliveredStrings.forall(_.endsWith("\n")))
+    } finally query.stop()
+  }
+}
