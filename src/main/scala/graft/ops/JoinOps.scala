@@ -60,6 +60,30 @@ object JoinOps extends QueryModule {
         .select("c_custkey", "c_name", "c_acctbal")
         .orderBy("c_custkey")),
 
+    // Explicit cross join (dims only — a deliberate cartesian of two tiny
+    // tables; fact-side cross joins stay forbidden by design).
+    "q_join_cross" -> ((s: SparkSession, dir: String) =>
+      table(s, dir, "region").crossJoin(table(s, dir, "nation"))
+        .select(col("r_name"), col("n_name"),
+          (col("r_regionkey") === col("n_regionkey")).cast("long").as("is_home"))
+        .orderBy("r_name", "n_name")),
+
+    // arg-max aggregation: the key of the lexicographically best (price,
+    // orderkey) pair per customer — unique tie-break keeps both engines
+    // deterministic.
+    // Ordering key: exact integer (price-cents, orderkey) packed into one
+    // BIGINT so Spark max_by and DuckDB arg_max agree on ties.
+    "q_agg_argmax" -> ((s: SparkSession, dir: String) => {
+      val ordKey = round(col("o_totalprice") * 100).cast("long") * 100000000L +
+        col("o_orderkey")
+      table(s, dir, "orders")
+        .groupBy("o_custkey")
+        .agg(max_by(col("o_orderkey"), ordKey).as("best_order"),
+          min_by(col("o_orderkey"), ordKey).as("worst_order"),
+          max(col("o_totalprice")).as("best_price"))
+        .orderBy("o_custkey")
+    }),
+
     // Banded self-join: equi on p_size bounds the pair blow-up per band.
     "q_join_theta" -> ((s: SparkSession, dir: String) => {
       val p1 = table(s, dir, "part").select(
@@ -142,6 +166,19 @@ object JoinOps extends QueryModule {
         |WHERE NOT EXISTS (SELECT 1 FROM orders
         |                  WHERE o_custkey = c_custkey AND o_totalprice > 250000)
         |ORDER BY c_custkey""".stripMargin,
+
+    "q_join_cross" ->
+      """SELECT r_name, n_name,
+        |       CAST(r_regionkey = n_regionkey AS BIGINT) AS is_home
+        |FROM region CROSS JOIN nation
+        |ORDER BY r_name, n_name""".stripMargin,
+
+    "q_agg_argmax" ->
+      """SELECT o_custkey,
+        |       arg_max(o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) * 100000000 + o_orderkey) AS best_order,
+        |       arg_min(o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) * 100000000 + o_orderkey) AS worst_order,
+        |       max(o_totalprice) AS best_price
+        |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
 
     "q_join_theta" ->
       """SELECT p1.p_size, count(*) AS n_pairs,

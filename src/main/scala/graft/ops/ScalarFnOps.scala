@@ -86,6 +86,16 @@ object ScalarFnOps extends QueryModule {
           coalesce(element_at(col("type_counts"), "click"), lit(0L)).as("clicks"))
         .orderBy("user_id")),
 
+    "q_fn_bitwise" -> ((s: SparkSession, dir: String) =>
+      table(s, dir, "orders").select(
+        col("o_orderkey"),
+        (col("o_orderkey").bitwiseAND(lit(255L))).as("b_and"),
+        (col("o_orderkey").bitwiseOR(lit(4096L))).as("b_or"),
+        (col("o_orderkey").bitwiseXOR(col("o_custkey"))).as("b_xor"),
+        shiftleft(col("o_orderkey"), 2).as("b_shl"),
+        shiftright(col("o_orderkey"), 3).as("b_shr"))
+        .orderBy("o_orderkey")),
+
     "q_fn_json" -> ((s: SparkSession, dir: String) =>
       table(s, dir, "events").select(
         col("event_id"),
@@ -149,6 +159,15 @@ object ScalarFnOps extends QueryModule {
         |       CAST(list_sort(embedding)[64] AS DOUBLE) AS max_v,
         |       CAST(len(list_slice(embedding, 5, 14)) AS BIGINT) AS slice_n
         |FROM embeddings ORDER BY vec_id""".stripMargin,
+
+    "q_fn_bitwise" ->
+      """SELECT o_orderkey,
+        |       o_orderkey & 255 AS b_and,
+        |       o_orderkey | 4096 AS b_or,
+        |       xor(o_orderkey, o_custkey) AS b_xor,
+        |       o_orderkey << 2 AS b_shl,
+        |       o_orderkey >> 3 AS b_shr
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
 
     "q_fn_json" ->
       """SELECT event_id,

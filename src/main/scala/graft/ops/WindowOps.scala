@@ -56,6 +56,23 @@ object WindowOps extends QueryModule {
         .orderBy("user_id", "event_id")
     }),
 
+    // Distribution functions: percent_rank/cume_dist over unique ordering
+    // ((rank-1)/(n-1) and rank/n of identical longs → identical doubles on
+    // both engines), plus nth_value over an explicit frame.
+    "q_win_dist" -> ((s: SparkSession, dir: String) => {
+      val w = Window.partitionBy("c_mktsegment")
+        .orderBy(desc("c_acctbal"), asc("c_custkey"))
+      val wf = Window.partitionBy("c_mktsegment")
+        .orderBy(desc("c_acctbal"), asc("c_custkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      table(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"),
+          percent_rank().over(w).as("pct_rank"),
+          cume_dist().over(w).as("cume"),
+          nth_value(col("c_custkey"), 3).over(wf).as("third_key"))
+        .orderBy("c_mktsegment", "c_custkey")
+    }),
+
     // RANGE frame over a numeric ordering key: trailing 30-day window.
     "q_win_range" -> ((s: SparkSession, dir: String) => {
       val w = Window.partitionBy("o_custkey").orderBy("order_ms")
@@ -117,6 +134,17 @@ object WindowOps extends QueryModule {
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
         |             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
         |ORDER BY user_id, event_id""".stripMargin,
+
+    "q_win_dist" ->
+      """SELECT c_custkey, c_mktsegment,
+        |       percent_rank() OVER w AS pct_rank,
+        |       cume_dist() OVER w AS cume,
+        |       nth_value(c_custkey, 3) OVER wf AS third_key
+        |FROM customer
+        |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey ASC),
+        |       wf AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey ASC
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY c_mktsegment, c_custkey""".stripMargin,
 
     "q_win_range" ->
       """WITH o AS (SELECT *, epoch_ms(o_orderdate) AS order_ms FROM orders)
