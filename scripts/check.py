@@ -70,8 +70,18 @@ def main(sf_dir, out_dir):
             print(f"FAIL {name}: row {bad[0]}: spark={bad[1]} duck={bad[2]}")
         else:
             print(f"ok   {name} ({len(spark_rows)} rows)")
-    # oracle-less queries: rows > 0
+    # every declared query must have produced output (a failed Verify run
+    # leaves no directory but still exits 0 — catch that here)
     import os
+    declared_path = os.path.join(out_dir, "queries.json")
+    if os.path.exists(declared_path):
+        declared = set(json.load(open(declared_path)))
+        produced = {n for n in os.listdir(out_dir)
+                    if os.path.isdir(os.path.join(out_dir, n))}
+        for name in sorted(declared - produced):
+            failures.append(name)
+            print(f"FAIL {name}: declared but produced no output (Verify error?)")
+    # oracle-less queries: rows > 0
     for name in sorted(os.listdir(out_dir)):
         path = os.path.join(out_dir, name)
         if not os.path.isdir(path) or name in oracle:

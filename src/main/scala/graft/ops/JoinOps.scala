@@ -71,11 +71,11 @@ object JoinOps extends QueryModule {
     // arg-max aggregation: the key of the lexicographically best (price,
     // orderkey) pair per customer — unique tie-break keeps both engines
     // deterministic.
-    // Ordering key: exact integer (price-cents, orderkey) packed into one
-    // BIGINT so Spark max_by and DuckDB arg_max agree on ties.
+    // arg-max via lexicographic struct ordering — no packed-integer tricks,
+    // so no overflow at any orderkey scale; the oracle uses the equivalent
+    // window formulation because DuckDB's arg_max can't order by structs.
     "q_agg_argmax" -> ((s: SparkSession, dir: String) => {
-      val ordKey = round(col("o_totalprice") * 100).cast("long") * 100000000L +
-        col("o_orderkey")
+      val ordKey = struct(col("o_totalprice"), col("o_orderkey"))
       table(s, dir, "orders")
         .groupBy("o_custkey")
         .agg(max_by(col("o_orderkey"), ordKey).as("best_order"),
@@ -174,11 +174,18 @@ object JoinOps extends QueryModule {
         |ORDER BY r_name, n_name""".stripMargin,
 
     "q_agg_argmax" ->
-      """SELECT o_custkey,
-        |       arg_max(o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) * 100000000 + o_orderkey) AS best_order,
-        |       arg_min(o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) * 100000000 + o_orderkey) AS worst_order,
+      """WITH r AS (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |         row_number() OVER (PARTITION BY o_custkey
+        |                            ORDER BY o_totalprice DESC, o_orderkey DESC) AS rn_best,
+        |         row_number() OVER (PARTITION BY o_custkey
+        |                            ORDER BY o_totalprice ASC, o_orderkey ASC) AS rn_worst
+        |  FROM orders)
+        |SELECT o_custkey,
+        |       max(CASE WHEN rn_best = 1 THEN o_orderkey END) AS best_order,
+        |       max(CASE WHEN rn_worst = 1 THEN o_orderkey END) AS worst_order,
         |       max(o_totalprice) AS best_price
-        |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+        |FROM r GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
 
     "q_join_theta" ->
       """SELECT p1.p_size, count(*) AS n_pairs,

@@ -22,6 +22,11 @@ object Skew {
     *                   derive the deterministic salt — NOT `rand()`, so plans
     *                   stay reproducible and retry-safe.
     */
+  /** Join types whose output multiplicity survives build-side replication:
+    * an unmatched right row under right/full outer would otherwise emit one
+    * null-padded row per salt replica. */
+  private val SafeJoinTypes = Set("inner", "left", "left_outer", "leftouter")
+
   def saltedJoin(
       left: DataFrame,
       right: DataFrame,
@@ -31,6 +36,9 @@ object Skew {
       salts: Int = 16,
       joinType: String = "inner"): DataFrame = {
     require(salts > 0)
+    require(SafeJoinTypes.contains(joinType.toLowerCase.replace("_", "")),
+      s"saltedJoin supports ${SafeJoinTypes.mkString("/")} only: " +
+        "replicating the build side breaks right/full-outer multiplicity")
     val salted = left.withColumn("__salt", pmod(xxhash64(saltSource), lit(salts)))
     val replicated = right.withColumn("__salt",
       explode(array((0 until salts).map(i => lit(i.toLong)): _*)))

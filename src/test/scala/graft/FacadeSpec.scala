@@ -15,10 +15,17 @@ class FacadeSpec extends SparkTestBase {
     val st = Graft.settings("s").withBatchSize(10)
       .withRetryPolicy(Some(Graft.retryPolicy(1, 3)))
     assert(Graft.putOne(svc, st, "solo".getBytes(StandardCharsets.UTF_8)))
-    val n = Graft.putAll(svc, st,
+    val stats = Graft.putAll(svc, st,
       (1 to 25).map(i => s"p-$i".getBytes(StandardCharsets.UTF_8)))
-    assert(n == 25)
+    assert(stats.records == 25 && stats.batches == 3 && stats.residualFailures == 0)
     assert(svc.batchSizes == Seq(1, 10, 10, 5))
+
+    // residual failures are surfaced, not dropped
+    val poisonSvc = new MockDeliveryService(alwaysFailMarker = "poison")
+    val st2 = Graft.settings("s").withRetryPolicy(Some(Graft.retryPolicy(0, 2)))
+    val stats2 = Graft.putAll(poisonSvc, st2,
+      Seq("ok-1", "poison-2", "ok-3").map(_.getBytes(StandardCharsets.UTF_8)))
+    assert(stats2.records == 2 && stats2.residualFailures == 1)
   }
 
   test("enrichment syntax frames and delivers a DataFrame") {
