@@ -122,7 +122,17 @@ object GraftFunctions {
       (es: Seq[Expression]) => VectorDot(es(0), es(1))),
     (FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
-      (es: Seq[Expression]) => CosineSimilarity(es(0), es(1))))
+      (es: Seq[Expression]) => CosineSimilarity(es(0), es(1))),
+    (FunctionIdentifier("shingles"),
+      new ExpressionInfo(classOf[ShingleGenerator].getName, "shingles"),
+      (es: Seq[Expression]) => {
+        val n = es(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"shingles(text, n): n must be an integer literal, got $other")
+        }
+        ShingleGenerator(es(0), n)
+      }))
 
   /** Imperative registration on an existing session (idempotent override). */
   def register(spark: SparkSession): Unit =

@@ -63,7 +63,19 @@ object UdxOps extends QueryModule {
         .where(length(col("token")) > 0)
         .groupBy("token").agg(count(lit(1)).as("n"))
         .orderBy(desc("n"), asc("token"))
-        .limit(50))
+        .limit(50)),
+
+    // Custom Catalyst Generator: word 3-gram shingles streamed per row
+    // (graft.functions.ShingleGenerator), reduced to per-doc counts.
+    "q_udtf_shingles" -> ((s: SparkSession, dir: String) => {
+      graft.functions.GraftFunctions.register(s)
+      table(s, dir, "documents")
+        .select(col("doc_id"), call_function("shingles", col("text"), lit(3)))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_shingles"),
+          count_distinct(col("shingle")).as("n_distinct"))
+        .orderBy("doc_id")
+    })
   )
 
   def oracle: Seq[(String, String)] = Seq(
@@ -87,6 +99,22 @@ object UdxOps extends QueryModule {
       """SELECT token, count(*) AS n
         |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
         |WHERE length(token) > 0
-        |GROUP BY token ORDER BY n DESC, token ASC LIMIT 50""".stripMargin
+        |GROUP BY token ORDER BY n DESC, token ASC LIMIT 50""".stripMargin,
+
+    "q_udtf_shingles" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split(text, ' '), x -> length(x) > 0) AS toks
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, toks,
+        |         unnest(generate_series(1, greatest(len(toks) - 2, 0))) AS i
+        |  FROM t),
+        |g AS (
+        |  SELECT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle
+        |  FROM s)
+        |SELECT doc_id, count(*) AS n_shingles,
+        |       count(DISTINCT shingle) AS n_distinct
+        |FROM g GROUP BY doc_id ORDER BY doc_id""".stripMargin
   )
 }
