@@ -11,10 +11,19 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // The bench fixtures are single small parquet files (lineitem sf0.1 is
+    // ~11 MB): with the 128 MB default every scan is ONE input split, which
+    // serializes the read stage on local[N]. 8 MB splits measured ~1.8×
+    // faster end-to-end (2 MB over-splits). On a real cluster against TB
+    // inputs the default is correct — this is a small-input local tuning,
+    // overridable via SPARK_GRAFT_MAX_PARTITION_BYTES.
+    val maxPartitionBytes = sys.env.getOrElse("SPARK_GRAFT_MAX_PARTITION_BYTES", "8m")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.files.maxPartitionBytes", maxPartitionBytes)
+      .config("spark.sql.files.openCostInBytes", "1m")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
