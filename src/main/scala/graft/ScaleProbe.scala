@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** 10× scale-up probe: materializes a key-shifted ×10 copy of the sf0.1
+  * fixtures (≈6M lineitem rows, 1M events, 50k docs with 10 exact
+  * duplicates each) under /tmp and re-runs the heavy queries, so "would
+  * this plan survive a scale-up" is measured, not asserted. Results are
+  * recorded in SCALING.md.
+  *
+  * Key shifting keeps referential integrity: copy i shifts o_orderkey /
+  * l_orderkey by i·KeyStride (join keys still match), custkeys/partkeys
+  * untouched (dims unchanged, join fan-in grows ×10 — deliberately the
+  * harder case). events get new event_ids per copy but keep user_ids;
+  * documents get new doc_ids so the near-dup path faces real duplicates.
+  */
+object ScaleProbe {
+  private val KeyStride = 100000000L
+
+  def main(args: Array[String]): Unit = {
+    val srcDir = "/root/testdata/sf0.1"
+    val outDir = args.headOption.getOrElse("/tmp/graft-sfbig")
+    val copies = 10
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.files.maxPartitionBytes", "32m")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def replicate(df: DataFrame, shift: Map[String, Long]): DataFrame =
+      (0 until copies).map { i =>
+        shift.foldLeft(df) { case (d, (c, stride)) =>
+          d.withColumn(c, col(c) + lit(i * stride))
+        }
+      }.reduce(_.union(_))
+
+    if (!new java.io.File(s"$outDir/lineitem.parquet/_SUCCESS").exists()) {
+      println(s"[scale] generating ×$copies fixtures under $outDir")
+      val t0 = System.nanoTime()
+      replicate(ops.table(spark, srcDir, "lineitem"), Map("l_orderkey" -> KeyStride))
+        .write.mode("overwrite").parquet(s"$outDir/lineitem.parquet")
+      replicate(ops.table(spark, srcDir, "orders"), Map("o_orderkey" -> KeyStride))
+        .write.mode("overwrite").parquet(s"$outDir/orders.parquet")
+      // events: keep the raw-ns-long ts representation the loader expects
+      replicate(
+        ops.table(spark, srcDir, "events")
+          .withColumn("ts", unix_micros(col("ts")) * 1000),
+        Map("event_id" -> KeyStride))
+        .write.mode("overwrite").parquet(s"$outDir/events.parquet")
+      replicate(ops.table(spark, srcDir, "documents"), Map("doc_id" -> KeyStride))
+        .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+      replicate(ops.table(spark, srcDir, "embeddings"), Map("vec_id" -> KeyStride))
+        .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
+      for (t <- Seq("region", "nation", "customer", "supplier", "part"))
+        ops.table(spark, srcDir, t).write.mode("overwrite").parquet(s"$outDir/$t.parquet")
+      println(f"[scale] generated in ${(System.nanoTime() - t0) / 1e9}%.1f s")
+    }
+
+    val probes = if (args.length > 1) args.drop(1).toSeq else Seq(
+      "q_agg_basic", "q_join_multiway", "q_join_asof", "q_join_interval",
+      "q_topk_group", "q_win_running", "q_stream_session",
+      "q_stream_delivery_report", "q_llm_exact_dedup", "q_llm_minhash",
+      "q_llm_ngram_jaccard", "q_text_langid", "q_udtf_shingles",
+      "q_llm_sim_knn", "q_llm_embed_neardup")
+    // warmup
+    SparkEntry.queries("q_agg_basic")(spark, outDir).count()
+    val results = probes.map { name =>
+      val t0 = System.nanoTime()
+      val n = try SparkEntry.queries(name)(spark, outDir).count()
+        catch { case e: Throwable =>
+          println(s"[scale] $name FAILED: ${e.getMessage}"); -1L }
+      val dt = (System.nanoTime() - t0) / 1e9
+      println(f"[scale] $name%-28s ${dt}%7.2f s  rows=$n")
+      (name, dt, n)
+    }
+    println(f"[scale] TOTAL ${results.map(_._2).sum}%.1f s over ${results.size} probes")
+    spark.stop()
+  }
+}

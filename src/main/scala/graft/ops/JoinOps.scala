@@ -115,12 +115,23 @@ object JoinOps extends QueryModule {
     }),
 
     // Interval overlap: same-user event pairs within a 5-minute horizon.
+    // Time-bucketed blocking: joining on user_id alone makes pair
+    // generation quadratic in per-user event density (measured 36 s at a
+    // 10× blow-up, ScaleProbe/SCALING.md); adding a 5-min bucket to the
+    // equi key — left side exploded to its two candidate buckets — bounds
+    // the quadratic work per (user, bucket). Same result set, the range
+    // predicate still decides membership.
     "q_join_interval" -> ((s: SparkSession, dir: String) => {
+      val bucketUs = 300000000L // 5 min in µs
       val e1 = table(s, dir, "events")
-        .select(col("user_id").as("u1"), col("event_id").as("id1"), col("ts").as("ts1"))
+        .select(col("user_id").as("u1"), col("event_id").as("id1"), col("ts").as("ts1"),
+          expr(s"unix_micros(ts) div $bucketUs").as("b1"))
+        .withColumn("jb", explode(array(col("b1"), col("b1") + 1)))
       val e2 = table(s, dir, "events")
-        .select(col("user_id").as("u2"), col("event_id").as("id2"), col("ts").as("ts2"))
-      e1.join(e2, col("u1") === col("u2") && col("id1") < col("id2")
+        .select(col("user_id").as("u2"), col("event_id").as("id2"), col("ts").as("ts2"),
+          expr(s"unix_micros(ts) div $bucketUs").as("b2"))
+      e1.join(e2, col("u1") === col("u2") && col("jb") === col("b2")
+          && col("id1") < col("id2")
           && col("ts2") >= col("ts1")
           && col("ts2") <= col("ts1") + expr("INTERVAL 5 MINUTES"))
         .groupBy(col("u1").as("user_id"))
