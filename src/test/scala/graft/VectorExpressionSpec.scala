@@ -60,6 +60,17 @@ class VectorExpressionSpec extends SparkTestBase {
     assert(r == 9.0)
   }
 
+  test("interpreted (non-codegen) eval path agrees with codegen results") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import graft.functions.{CosineSimilarity, VectorDot}
+    val x = Literal.create(Seq(1.0, 2.0, 3.0))
+    val y = Literal.create(Seq(4.0, 5.0, 6.0))
+    assert(VectorDot(x, y).eval(null) == 32.0)
+    val c = CosineSimilarity(x, y).eval(null).asInstanceOf[Double]
+    assert(math.abs(c - 32.0 / (math.sqrt(14.0) * math.sqrt(77.0))) < 1e-12)
+    assert(VectorDot(Literal.create(null, x.dataType), y).eval(null) == null)
+  }
+
   test("the knn query plan uses the native expression, not HOF lambdas") {
     val plan = SparkEntry.queries("q_llm_sim_knn")(spark, sfDir)
       .queryExecution.executedPlan.toString
