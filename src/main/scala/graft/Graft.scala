@@ -62,6 +62,13 @@ object Graft {
       service: DeliveryService, cols: Column*): DeliverySink.DeliveryStats =
     DeliverySink.deliver(DeliverySink.payloads(df, settings, cols: _*), settings, service)
 
+  /** R4-R6 with the reference pipe's *output*: a distributed per-record
+    * delivery-report DataFrame (≙ the emitted `PutRecordBatchResult`s). */
+  def deliverWithReport(df: DataFrame, settings: DeliverySettings,
+      service: DeliveryService, cols: Column*): DataFrame =
+    DeliverySink.deliverWithReport(
+      DeliverySink.payloads(df, settings, cols: _*), settings, service)
+
   /** R4-R6 streaming form: the flagship `produce(settings)` pipe as a
     * Structured Streaming query (micro-batch ≙ `groupWithin`). */
   def produce(source: DataFrame, settings: DeliverySettings,

@@ -100,6 +100,57 @@ object DeliverySink {
     }
   }
 
+  /** Per-record delivery outcome row — the engine's analog of the
+    * reference pipe's `PutRecordBatchResult` output stream
+    * (`firehose.scala:67-69`: the producer pipe *emits* results, it doesn't
+    * just count them). */
+  final case class DeliveryReportRow(
+      payload_sha: String, payload_len: Int, delivered: Boolean, error: String)
+
+  /** Deliver and emit one report row per record. Delivery runs inside a
+    * `mapPartitions` transformation, so the report is itself a distributed
+    * DataFrame: per-record outcomes never funnel through the driver.
+    */
+  def deliverWithReport(
+      df: DataFrame,
+      settings: DeliverySettings,
+      service: DeliveryService): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val name = settings.streamName
+    val batchSize = settings.batchSize
+    val policy = settings.retryPolicy
+    df.repartition(settings.parallelism)
+      .mapPartitions { rows =>
+        rows.map(_.getAs[Array[Byte]](0)).grouped(batchSize).flatMap { chunk =>
+          // per-chunk retry mirroring putWithRetry, but keeping per-record
+          // terminal outcomes instead of totals
+          var current: Seq[(Array[Byte], Int)] = chunk.zipWithIndex
+          val outcome = new Array[RecordResult](chunk.size)
+          var res = service.putBatch(name, current.map(_._1))
+          current.zip(res.results).foreach { case ((_, i), r) => outcome(i) = r }
+          policy.foreach { p =>
+            var attempt = 0
+            while (res.failedPutCount > 0 && attempt < p.maxRetries) {
+              attempt += 1
+              if (p.delayMs(attempt) > 0) Thread.sleep(p.delayMs(attempt))
+              current = current.zip(res.results).collect {
+                case (rec, rr) if rr.failed => rec
+              }
+              res = service.putBatch(name, current.map(_._1))
+              current.zip(res.results).foreach { case ((_, i), r) => outcome(i) = r }
+            }
+          }
+          chunk.zipWithIndex.map { case (rec, i) =>
+            val sha = java.security.MessageDigest.getInstance("SHA-256")
+              .digest(rec).map("%02x".format(_)).mkString
+            DeliveryReportRow(sha, rec.length, !outcome(i).failed,
+              Option(outcome(i).errorCode).getOrElse(""))
+          }
+        }
+      }.toDF()
+  }
+
   /** Serialize + frame source columns into the single payload column
     * expected by [[deliver]]. */
   def payloads(df: DataFrame, settings: DeliverySettings, cols: Column*): DataFrame = {
@@ -108,6 +159,21 @@ object DeliverySink {
       else df.columns.toSeq.map(org.apache.spark.sql.functions.col)
     df.select(Serializers.framedRow(settings.separator, selected: _*).as("payload"))
   }
+
+  /** R1 analog: per-row streaming sink via `ForeachWriter` (reference
+    * `Firehose.scala:30/:65` — one synchronous `put` per record). Use only
+    * for low-volume streams; the batched [[run]] path is the default. */
+  def foreachWriter(settings: DeliverySettings,
+      service: DeliveryService): org.apache.spark.sql.ForeachWriter[org.apache.spark.sql.Row] =
+    new org.apache.spark.sql.ForeachWriter[org.apache.spark.sql.Row] {
+      override def open(partitionId: Long, epochId: Long): Boolean = true
+      override def process(row: org.apache.spark.sql.Row): Unit = {
+        val payload = row.getAs[Array[Byte]](0)
+        DeliverySink.putWithRetry(service, settings.streamName,
+          Seq(payload), settings.retryPolicy)
+      }
+      override def close(errorOrNull: Throwable): Unit = ()
+    }
 
   /** Run the full streaming pipeline: micro-batch the source per
     * `triggerIntervalMs` (≙ `groupWithin` time dimension), frame rows, and
