@@ -231,7 +231,12 @@ object LlmOps extends QueryModule {
         planes.zipWithIndex.map { case (plane, p) =>
           when(vdot(s)(e, typedlit(plane)) > 0, lit(1L << p)).otherwise(lit(0L))
         }.reduce(_ + _)
+      // same mega-bucket hygiene as the MinHash path: a degenerate bucket
+      // (duplicate-heavy corpora) would otherwise go quadratic (SCALING.md)
       val withBucket = emb.withColumn("bucket", bucketOf(col("emb")))
+        .withColumn("grp_n", count(lit(1)).over(Window.partitionBy("bucket")))
+        .where(col("grp_n") <= 200)
+        .drop("grp_n")
       val a = withBucket.select(col("bucket"), col("vec_id").as("id_a"), col("emb").as("emb_a"))
       val b = withBucket.select(col("bucket"), col("vec_id").as("id_b"), col("emb").as("emb_b"))
       a.join(b, Seq("bucket"))
