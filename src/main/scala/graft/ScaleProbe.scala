@@ -38,7 +38,10 @@ object ScaleProbe {
         }
       }.reduce(_.union(_))
 
-    if (!new java.io.File(s"$outDir/lineitem.parquet/_SUCCESS").exists()) {
+    // completion marker written only after ALL tables land — a run killed
+    // mid-generation regenerates from scratch instead of probing stale data
+    val doneMarker = new java.io.File(s"$outDir/_GRAFT_ALL_TABLES")
+    if (!doneMarker.exists()) {
       println(s"[scale] generating ×$copies fixtures under $outDir")
       val t0 = System.nanoTime()
       replicate(ops.table(spark, srcDir, "lineitem"), Map("l_orderkey" -> KeyStride))
@@ -57,6 +60,7 @@ object ScaleProbe {
         .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
       for (t <- Seq("region", "nation", "customer", "supplier", "part"))
         ops.table(spark, srcDir, t).write.mode("overwrite").parquet(s"$outDir/$t.parquet")
+      java.nio.file.Files.writeString(doneMarker.toPath, "ok")
       println(f"[scale] generated in ${(System.nanoTime() - t0) / 1e9}%.1f s")
     }
 

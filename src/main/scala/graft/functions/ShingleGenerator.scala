@@ -22,6 +22,14 @@ case class ShingleGenerator(child: Expression, n: Int)
 
   require(n >= 1 && n <= 16, s"shingle width out of range: $n")
 
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"shingles(text, n) requires a STRING first argument, got ${child.dataType.sql}")
+
   override def elementSchema: StructType = StructType(Seq(
     StructField("pos", LongType, nullable = false),
     StructField("shingle", StringType, nullable = false)))

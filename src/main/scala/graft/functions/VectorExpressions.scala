@@ -126,6 +126,8 @@ object GraftFunctions {
     (FunctionIdentifier("shingles"),
       new ExpressionInfo(classOf[ShingleGenerator].getName, "shingles"),
       (es: Seq[Expression]) => {
+        require(es.length == 2,
+          s"shingles(text, n) requires exactly 2 arguments, got ${es.length}")
         val n = es(1) match {
           case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
           case other => throw new IllegalArgumentException(

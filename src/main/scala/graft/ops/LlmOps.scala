@@ -21,8 +21,20 @@ import org.apache.spark.sql.functions._
 object LlmOps extends QueryModule {
 
   private val MaxBucket = 50
+  private val MaxEmbBucket = 200
   private val NumHashes = 16
   private val NumBands  = 8 // 2 rows per band
+
+  /** Mega-bucket hygiene shared by every LSH path: keep the first `max`
+    * members per bucket (deterministic by `orderCol`) rather than dropping
+    * oversized buckets wholesale — every bucket stays represented (bounded
+    * recall loss) while pair generation stays ≤ max² per bucket. */
+  private def capBuckets(df: DataFrame, bucketCols: Seq[String],
+      orderCol: String, max: Int): DataFrame =
+    df.withColumn("bucket_rn", row_number().over(
+        Window.partitionBy(bucketCols.map(col): _*).orderBy(orderCol)))
+      .where(col("bucket_rn") <= max)
+      .drop("bucket_rn")
 
   /** distinct (doc_id, token) pairs. */
   private def docTokens(docs: DataFrame): DataFrame =
@@ -45,10 +57,7 @@ object LlmOps extends QueryModule {
     val bands = sigs
       .select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
-    bands
-      .withColumn("grp_n", count(lit(1)).over(Window.partitionBy("band", "bh")))
-      .where(col("grp_n") <= MaxBucket)
-      .drop("grp_n")
+    capBuckets(bands, Seq("band", "bh"), "doc_id", MaxBucket)
   }
 
   /** Candidate near-dup pairs: docs sharing >= 1 LSH band. */
@@ -233,10 +242,9 @@ object LlmOps extends QueryModule {
         }.reduce(_ + _)
       // same mega-bucket hygiene as the MinHash path: a degenerate bucket
       // (duplicate-heavy corpora) would otherwise go quadratic (SCALING.md)
-      val withBucket = emb.withColumn("bucket", bucketOf(col("emb")))
-        .withColumn("grp_n", count(lit(1)).over(Window.partitionBy("bucket")))
-        .where(col("grp_n") <= 200)
-        .drop("grp_n")
+      val withBucket = capBuckets(
+        emb.withColumn("bucket", bucketOf(col("emb"))),
+        Seq("bucket"), "vec_id", MaxEmbBucket)
       val a = withBucket.select(col("bucket"), col("vec_id").as("id_a"), col("emb").as("emb_a"))
       val b = withBucket.select(col("bucket"), col("vec_id").as("id_b"), col("emb").as("emb_b"))
       a.join(b, Seq("bucket"))

@@ -46,20 +46,36 @@ object DeliverySink {
       streamName: String,
       batch: Seq[Array[Byte]],
       policy: Option[RetryPolicy]): (Long, Long, Long) = {
-    var current = batch
-    var res = service.putBatch(streamName, current)
+    val (outcomes, retried) = putWithRetryOutcomes(service, streamName, batch, policy)
+    val residual = outcomes.count(_.failed).toLong
+    ((batch.size - residual), residual, retried)
+  }
+
+  /** As [[putWithRetry]], but returns every record's terminal outcome
+    * (plus the retried-record count) — the single implementation of the R3
+    * loop; totals and per-record reports both derive from it. */
+  def putWithRetryOutcomes(
+      service: DeliveryService,
+      streamName: String,
+      batch: Seq[Array[Byte]],
+      policy: Option[RetryPolicy]): (Array[RecordResult], Long) = {
+    var current: Seq[(Array[Byte], Int)] = batch.zipWithIndex
+    val outcome = new Array[RecordResult](batch.size)
+    var res = service.putBatch(streamName, current.map(_._1))
+    current.zip(res.results).foreach { case ((_, i), r) => outcome(i) = r }
     var retried = 0L
     policy.foreach { p =>
       var attempt = 0
       while (res.failedPutCount > 0 && attempt < p.maxRetries) {
         attempt += 1
         if (p.delayMs(attempt) > 0) Thread.sleep(p.delayMs(attempt))
-        current = current.zip(res.results).collect { case (r, rr) if rr.failed => r }
+        current = current.zip(res.results).collect { case (rec, rr) if rr.failed => rec }
         retried += current.size
-        res = service.putBatch(streamName, current)
+        res = service.putBatch(streamName, current.map(_._1))
+        current.zip(res.results).foreach { case ((_, i), r) => outcome(i) = r }
       }
     }
-    ((batch.size - res.failedPutCount).toLong, res.failedPutCount.toLong, retried)
+    (outcome, retried)
   }
 
   /** Deliver a bounded DataFrame of framed payloads. `df` must expose a
@@ -108,8 +124,12 @@ object DeliverySink {
       payload_sha: String, payload_len: Int, delivered: Boolean, error: String)
 
   /** Deliver and emit one report row per record. Delivery runs inside a
-    * `mapPartitions` transformation, so the report is itself a distributed
-    * DataFrame: per-record outcomes never funnel through the driver.
+    * `mapPartitions` transformation so per-record outcomes never funnel
+    * through the driver; the result is eagerly materialized and persisted —
+    * otherwise every downstream action (or stage recomputation) would
+    * re-deliver the records. Delivery is therefore at-least-once under
+    * task retry, like any side-effecting Spark stage; callers should
+    * `unpersist()` the report when done.
     */
   def deliverWithReport(
       df: DataFrame,
@@ -120,27 +140,10 @@ object DeliverySink {
     val name = settings.streamName
     val batchSize = settings.batchSize
     val policy = settings.retryPolicy
-    df.repartition(settings.parallelism)
+    val report = df.repartition(settings.parallelism)
       .mapPartitions { rows =>
         rows.map(_.getAs[Array[Byte]](0)).grouped(batchSize).flatMap { chunk =>
-          // per-chunk retry mirroring putWithRetry, but keeping per-record
-          // terminal outcomes instead of totals
-          var current: Seq[(Array[Byte], Int)] = chunk.zipWithIndex
-          val outcome = new Array[RecordResult](chunk.size)
-          var res = service.putBatch(name, current.map(_._1))
-          current.zip(res.results).foreach { case ((_, i), r) => outcome(i) = r }
-          policy.foreach { p =>
-            var attempt = 0
-            while (res.failedPutCount > 0 && attempt < p.maxRetries) {
-              attempt += 1
-              if (p.delayMs(attempt) > 0) Thread.sleep(p.delayMs(attempt))
-              current = current.zip(res.results).collect {
-                case (rec, rr) if rr.failed => rec
-              }
-              res = service.putBatch(name, current.map(_._1))
-              current.zip(res.results).foreach { case ((_, i), r) => outcome(i) = r }
-            }
-          }
+          val (outcome, _) = putWithRetryOutcomes(service, name, chunk, policy)
           chunk.zipWithIndex.map { case (rec, i) =>
             val sha = java.security.MessageDigest.getInstance("SHA-256")
               .digest(rec).map("%02x".format(_)).mkString
@@ -149,6 +152,9 @@ object DeliverySink {
           }
         }
       }.toDF()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    report.count() // materialize exactly one delivery pass
+    report
   }
 
   /** Serialize + frame source columns into the single payload column
@@ -169,8 +175,13 @@ object DeliverySink {
       override def open(partitionId: Long, epochId: Long): Boolean = true
       override def process(row: org.apache.spark.sql.Row): Unit = {
         val payload = row.getAs[Array[Byte]](0)
-        DeliverySink.putWithRetry(service, settings.streamName,
-          Seq(payload), settings.retryPolicy)
+        val (_, residual, _) = DeliverySink.putWithRetry(service,
+          settings.streamName, Seq(payload), settings.retryPolicy)
+        // a ForeachWriter has no report channel: surfacing the residual
+        // failure means failing the task (Spark will retry the epoch)
+        if (residual > 0)
+          throw new RuntimeException(
+            s"record not delivered to '${settings.streamName}' after retries")
       }
       override def close(errorOrNull: Throwable): Unit = ()
     }
