@@ -117,6 +117,34 @@ object AggOps extends QueryModule {
           expr("percentile(l_extendedprice, 0.5)").as("exact_p50"))
         .orderBy("l_returnflag")),
 
+    // Statistical moments from exact decimal sums: Σx, Σx², Σxy are exact
+    // (2-dec inputs → products ≤4-dec), so variance/stddev/corr computed
+    // from them as final double arithmetic are bit-identical across
+    // engines — unlike streaming variance built-ins, whose accumulation
+    // order differs.
+    "q_agg_stats" -> ((s: SparkSession, dir: String) => {
+      val n = count(lit(1))
+      val sq = sum(col("l_quantity").cast("decimal(18,4)")).cast("double")
+      val sq2 = sum((col("l_quantity") * col("l_quantity")).cast("decimal(24,4)")).cast("double")
+      val sp = sum(col("l_extendedprice").cast("decimal(18,4)")).cast("double")
+      val sp2 = sum((col("l_extendedprice") * col("l_extendedprice")).cast("decimal(24,4)")).cast("double")
+      val sqp = sum((col("l_quantity") * col("l_extendedprice")).cast("decimal(24,4)")).cast("double")
+      table(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(n.as("n"), sq.as("sum_q"), sq2.as("sum_q2"), sp.as("sum_p"),
+          sp2.as("sum_p2"), sqp.as("sum_qp"))
+        .select(col("l_returnflag"), col("n"),
+          round((col("sum_q2") - col("sum_q") * col("sum_q") / col("n")) / (col("n") - 1), 4)
+            .as("var_qty"),
+          round(sqrt((col("sum_q2") - col("sum_q") * col("sum_q") / col("n")) / (col("n") - 1)), 4)
+            .as("stddev_qty"),
+          round((col("sum_qp") - col("sum_q") * col("sum_p") / col("n")) /
+            (sqrt(col("sum_q2") - col("sum_q") * col("sum_q") / col("n")) *
+              sqrt(col("sum_p2") - col("sum_p") * col("sum_p") / col("n"))), 6)
+            .as("corr_qty_price"))
+        .orderBy("l_returnflag")
+    }),
+
     // Exact interpolated percentiles (R-7, same definition as quantile_cont).
     "q_agg_percentile" -> ((s: SparkSession, dir: String) =>
       table(s, dir, "lineitem")
@@ -202,6 +230,23 @@ object AggOps extends QueryModule {
         |       string_agg(c_name, ',' ORDER BY c_name) AS members,
         |       count(*) AS n_members
         |FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+
+    "q_agg_stats" ->
+      """WITH m AS (
+        |  SELECT l_returnflag, count(*) AS n,
+        |         CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_q,
+        |         CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(24,4))) AS DOUBLE) AS sum_q2,
+        |         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_p,
+        |         CAST(sum(CAST(l_extendedprice * l_extendedprice AS DECIMAL(24,4))) AS DOUBLE) AS sum_p2,
+        |         CAST(sum(CAST(l_quantity * l_extendedprice AS DECIMAL(24,4))) AS DOUBLE) AS sum_qp
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, n,
+        |       round((sum_q2 - sum_q * sum_q / n) / (n - 1), 4) AS var_qty,
+        |       round(sqrt((sum_q2 - sum_q * sum_q / n) / (n - 1)), 4) AS stddev_qty,
+        |       round((sum_qp - sum_q * sum_p / n) /
+        |             (sqrt(sum_q2 - sum_q * sum_q / n) * sqrt(sum_p2 - sum_p * sum_p / n)), 6)
+        |         AS corr_qty_price
+        |FROM m ORDER BY l_returnflag""".stripMargin,
 
     "q_agg_percentile" ->
       """SELECT l_returnflag,
