@@ -42,17 +42,20 @@ object LlmOps extends QueryModule {
       .where(length(col("token")) > 0)
       .distinct()
 
-  /** MinHash signature: per-doc min of NumHashes seeded xxhash64 values. */
-  private def minhashSigs(toks: DataFrame): DataFrame =
-    toks.groupBy("doc_id").agg(
-      min(xxhash64(lit(0), col("token"))).as("h0"),
-      (1 until NumHashes).map(i => min(xxhash64(lit(i), col("token"))).as(s"h$i")): _*)
+  /** MinHash signatures via the one-pass typed aggregate
+    * (graft.functions.MinHashAgg): a single K-long array buffer per group
+    * instead of K separate min() buffers — one shuffle payload, one pass. */
+  private def minhashSigs(toks: DataFrame): DataFrame = {
+    val sketch = udaf(new graft.functions.MinHashAgg(NumHashes))
+    toks.groupBy("doc_id").agg(sketch(col("token")).as("sig"))
+  }
 
-  /** (doc_id, band, bh) LSH bucket rows, mega-buckets removed. */
+  /** (doc_id, band, bh) LSH bucket rows, mega-buckets capped. */
   private def lshBuckets(sigs: DataFrame): DataFrame = {
     val bandCols = (0 until NumBands).map { b =>
       struct(lit(b).as("band"),
-        xxhash64(lit(b), col(s"h${2 * b}"), col(s"h${2 * b + 1}")).as("bh"))
+        xxhash64(lit(b), element_at(col("sig"), 2 * b + 1),
+          element_at(col("sig"), 2 * b + 2)).as("bh"))
     }
     val bands = sigs
       .select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
