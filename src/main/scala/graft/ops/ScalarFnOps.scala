@@ -86,6 +86,18 @@ object ScalarFnOps extends QueryModule {
           coalesce(element_at(col("type_counts"), "click"), lit(0L)).as("clicks"))
         .orderBy("user_id")),
 
+    // Struct build + field re-extraction (nested type round trip; the
+    // oracle projects the equivalent flat values directly).
+    "q_fn_struct" -> ((s: SparkSession, dir: String) =>
+      table(s, dir, "events")
+        .withColumn("evt", struct(col("event_type").as("t"), col("value").as("v")))
+        .withColumn("tagged", struct(col("evt"), col("user_id").as("uid")))
+        .select(col("event_id"),
+          col("tagged.evt.t").as("t"),
+          col("tagged.evt.v").as("v"),
+          col("tagged.uid").as("uid"))
+        .orderBy("event_id")),
+
     "q_fn_bitwise" -> ((s: SparkSession, dir: String) =>
       table(s, dir, "orders").select(
         col("o_orderkey"),
@@ -159,6 +171,16 @@ object ScalarFnOps extends QueryModule {
         |       CAST(list_sort(embedding)[64] AS DOUBLE) AS max_v,
         |       CAST(len(list_slice(embedding, 5, 14)) AS BIGINT) AS slice_n
         |FROM embeddings ORDER BY vec_id""".stripMargin,
+
+    "q_fn_struct" ->
+      """WITH t AS (
+        |  SELECT event_id, user_id,
+        |         struct_pack(evt := struct_pack(t := event_type, v := value),
+        |                     uid := user_id) AS tagged
+        |  FROM events)
+        |SELECT event_id,
+        |       tagged.evt.t AS t, tagged.evt.v AS v, tagged.uid AS uid
+        |FROM t ORDER BY event_id""".stripMargin,
 
     "q_fn_bitwise" ->
       """SELECT o_orderkey,
