@@ -117,6 +117,15 @@ object AggOps extends QueryModule {
           expr("percentile(l_extendedprice, 0.5)").as("exact_p50"))
         .orderBy("l_returnflag")),
 
+    "q_agg_bool" -> ((s: SparkSession, dir: String) =>
+      table(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(bool_and(col("l_shipdate") < lit("1999-01-01").cast("timestamp"))
+          .as("all_shipped_before_99"),
+          bool_or(col("l_quantity") > 45).as("any_high_qty"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag")),
+
     // Statistical moments from exact decimal sums: Σx, Σx², Σxy are exact
     // (2-dec inputs → products ≤4-dec), so variance/stddev/corr computed
     // from them as final double arithmetic are bit-identical across
@@ -230,6 +239,13 @@ object AggOps extends QueryModule {
         |       string_agg(c_name, ',' ORDER BY c_name) AS members,
         |       count(*) AS n_members
         |FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+
+    "q_agg_bool" ->
+      """SELECT l_returnflag,
+        |       bool_and(l_shipdate < TIMESTAMP '1999-01-01 00:00:00') AS all_shipped_before_99,
+        |       bool_or(l_quantity > 45) AS any_high_qty,
+        |       count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "q_agg_stats" ->
       """WITH m AS (

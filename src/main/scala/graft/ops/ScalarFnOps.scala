@@ -86,6 +86,16 @@ object ScalarFnOps extends QueryModule {
           coalesce(element_at(col("type_counts"), "click"), lit(0L)).as("clicks"))
         .orderBy("user_id")),
 
+    // Null-safe equality (<=> ≙ IS NOT DISTINCT FROM).
+    "q_fn_nullsafe" -> ((s: SparkSession, dir: String) =>
+      table(s, dir, "orders")
+        .withColumn("pri_n", nullif(col("o_orderpriority"), lit("1-URGENT")))
+        .select(col("o_orderkey"),
+          col("pri_n").eqNullSafe(lit("5-LOW")).as("is_low_ns"),
+          col("pri_n").eqNullSafe(lit(null).cast("string")).as("is_null_ns"),
+          (col("pri_n") === lit("5-LOW")).as("is_low_plain"))
+        .orderBy("o_orderkey")),
+
     // Struct build + field re-extraction (nested type round trip; the
     // oracle projects the equivalent flat values directly).
     "q_fn_struct" -> ((s: SparkSession, dir: String) =>
@@ -171,6 +181,16 @@ object ScalarFnOps extends QueryModule {
         |       CAST(list_sort(embedding)[64] AS DOUBLE) AS max_v,
         |       CAST(len(list_slice(embedding, 5, 14)) AS BIGINT) AS slice_n
         |FROM embeddings ORDER BY vec_id""".stripMargin,
+
+    "q_fn_nullsafe" ->
+      """WITH t AS (
+        |  SELECT o_orderkey, nullif(o_orderpriority, '1-URGENT') AS pri_n
+        |  FROM orders)
+        |SELECT o_orderkey,
+        |       pri_n IS NOT DISTINCT FROM '5-LOW' AS is_low_ns,
+        |       pri_n IS NOT DISTINCT FROM NULL AS is_null_ns,
+        |       pri_n = '5-LOW' AS is_low_plain
+        |FROM t ORDER BY o_orderkey""".stripMargin,
 
     "q_fn_struct" ->
       """WITH t AS (
