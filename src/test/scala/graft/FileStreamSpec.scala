@@ -55,4 +55,31 @@ class FileStreamSpec extends SparkTestBase {
       assert(svc.deliveredStrings.forall(_.endsWith("\n")))
     } finally query.stop()
   }
+
+  test("checkpoint restart does not re-deliver committed files") {
+    val srcDir = Files.createTempDirectory("graft-drop2").toString
+    val ckpt = Files.createTempDirectory("graft-rs-ckpt").toString
+
+    def drop(name: String, ids: Range): Unit =
+      Files.write(Paths.get(srcDir, name),
+        ids.map(i => s"""{"event_id":$i,"v":$i}""").mkString("\n").getBytes("UTF-8"))
+
+    def source = spark.readStream.schema("event_id LONG, v DOUBLE").json(srcDir)
+    val svc = new MockDeliveryService()
+    val settings = DeliverySettings("restart", batchSize = 100,
+      triggerIntervalMs = 0L, retryPolicy = Some(RetryPolicy(1, 3)))
+
+    drop("f1.json", 0 until 50)
+    val (q1, _) = DeliverySink.run(source, settings, svc, ckpt)
+    try { q1.processAllAvailable() } finally q1.stop()
+    assert(svc.delivered.size == 50)
+
+    // new file arrives while the query is down; restart from the same
+    // checkpoint must deliver ONLY the new file (source offsets committed)
+    drop("f2.json", 50 until 70)
+    val (q2, _) = DeliverySink.run(source, settings, svc, ckpt)
+    try { q2.processAllAvailable() } finally q2.stop()
+    assert(svc.delivered.size == 70,
+      s"expected 70 after restart (no re-delivery), got ${svc.delivered.size}")
+  }
 }
