@@ -47,18 +47,23 @@ object MultimodalOps extends QueryModule {
     def resize(a: MediaAsset, w: Int, h: Int): Array[Byte] =
       Array.fill(w * h * 3)('x'.toByte)
 
-    /** Stub feature extractor: 8 rolling-hash-derived floats in [0,1). */
-    def features(a: MediaAsset): Array[Float] = {
-      val out = new Array[Float](8)
-      var h = 1125899906842597L
+    /** Stub feature extractor, integer lattice: slot j accumulates
+      * byte·position over bytes at positions ≡ j (mod 8), mod 1000003 —
+      * content-dependent, order-sensitive, and exactly replayable in the
+      * DuckDB oracle (no wrap-around arithmetic). */
+    def featureLattice(a: MediaAsset): Array[Long] = {
+      val out = new Array[Long](8)
       var i = 0
       while (i < a.content.length) {
-        h = h * 31 + (a.content(i) & 0xff)
-        out(i % 8) = math.abs((h % 1000003L).toFloat) / 1000003f
+        out(i % 8) = (out(i % 8) + (a.content(i) & 0xff).toLong * (i + 1)) % 1000003L
         i += 1
       }
       out
     }
+
+    /** Stub feature extractor: the lattice scaled into [0,1) floats. */
+    def features(a: MediaAsset): Array[Float] =
+      featureLattice(a).map(m => (m.toDouble / 1000003.0).toFloat)
   }
 
   /** Fixture assets: the documents table as opaque payloads (UTF-8 bytes of
@@ -111,20 +116,28 @@ object MultimodalOps extends QueryModule {
         .orderBy("asset_id")
     }),
 
-    // Feature extraction → embedding column (oracle-less; MultimodalSpec
-    // checks determinism, dimensionality and bounds).
+    // Feature extraction → embedding column. The raw float array stays an
+    // internal column (downstream ANN consumes it); the DECLARED output is
+    // hash-stable projections only — dim, f1 (exact: BIGINT/DOUBLE then one
+    // IEEE float round-trip, identical on both engines), and a sha256 digest
+    // of the integer lattice — so the DuckDB oracle can replay the
+    // deterministic StubCodec formula exactly, like q_mm_resize does.
     "q_mm_embed" -> ((s: SparkSession, dir: String) => {
       import s.implicits._
       assets(s, dir)
         .mapPartitions { it =>
           val codec = StubCodec
-          it.map(a => (a.asset_id, codec.features(a)))
+          it.map { a =>
+            val ms = codec.featureLattice(a)
+            (a.asset_id, codec.features(a), ms)
+          }
         }
-        .toDF("asset_id", "features")
+        .toDF("asset_id", "features", "lattice")
         .select(col("asset_id"),
           asLong(size(col("features"))).as("dim"),
           element_at(col("features"), 1).cast("double").as("f1"),
-          col("features"))
+          sha2(concat_ws(",", transform(col("lattice"), _.cast("string"))), 256)
+            .as("features_sha"))
         .orderBy("asset_id")
     })
   )
@@ -157,6 +170,23 @@ object MultimodalOps extends QueryModule {
         |       ['image', 'audio', 'video'][CAST(doc_id % 3 + 1 AS INT)] AS kind,
         |       CAST(64 * 48 * 3 AS BIGINT) AS resized_len,
         |       sha256(repeat('x', 64 * 48 * 3)) AS resized_sha
-        |FROM documents ORDER BY asset_id""".stripMargin
+        |FROM documents ORDER BY asset_id""".stripMargin,
+
+    // Replays StubCodec.featureLattice: slot j sums ord(char at 1-based
+    // position p)·p over p ≡ j+1 (mod 8), mod 1000003 (fixtures are ASCII so
+    // char == byte); f1 makes the same double→float→double round trip as the
+    // Spark side, so the hashes agree bit-for-bit.
+    "q_mm_embed" ->
+      """WITH f AS (
+        |  SELECT doc_id AS asset_id,
+        |         list_transform(range(0, 8), j ->
+        |           coalesce(list_sum(list_transform(range(j + 1, length(text) + 1, 8),
+        |             i -> ord(text[i]) * i)), 0) % 1000003) AS ms
+        |  FROM documents)
+        |SELECT asset_id,
+        |       CAST(8 AS BIGINT) AS dim,
+        |       CAST(CAST(ms[1] / 1000003.0 AS FLOAT) AS DOUBLE) AS f1,
+        |       sha256(array_to_string(ms, ',')) AS features_sha
+        |FROM f ORDER BY asset_id""".stripMargin
   )
 }

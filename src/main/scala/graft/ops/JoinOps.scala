@@ -114,6 +114,23 @@ object JoinOps extends QueryModule {
         .orderBy("event_id")
     }),
 
+    // Forward as-of: EARLIEST order at/after each event's timestamp for that
+    // user — the mirror of q_join_asof, min(struct) instead of max(struct);
+    // same hash-aggregate shape (no per-group sort, map-side partials), the
+    // lexicographic struct min reproduces the (date ASC, key ASC) tie-break.
+    "q_join_asof_fwd" -> ((s: SparkSession, dir: String) => {
+      val e = table(s, dir, "events").select("event_id", "user_id", "ts")
+      val o = table(s, dir, "orders").select("o_custkey", "o_orderkey", "o_orderdate")
+      e.join(o, col("o_custkey") === col("user_id") && col("o_orderdate") >= col("ts"), "left")
+        .groupBy("event_id", "user_id")
+        .agg(min(when(col("o_orderkey").isNotNull,
+          struct(col("o_orderdate"), col("o_orderkey")))).as("best"))
+        .select(col("event_id"), col("user_id"),
+          col("best.o_orderkey").as("o_orderkey"),
+          ntzMillis(col("best.o_orderdate")).as("order_date_ms"))
+        .orderBy("event_id")
+    }),
+
     // Interval overlap: same-user event pairs within a 5-minute horizon.
     // Time-bucketed blocking: joining on user_id alone makes pair
     // generation quadratic in per-user event density (measured 36 s at a
@@ -212,6 +229,16 @@ object JoinOps extends QueryModule {
         |                            ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
         |  FROM events e LEFT JOIN orders o
         |    ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts)
+        |SELECT event_id, user_id, o_orderkey, epoch_ms(o_orderdate) AS order_date_ms
+        |FROM j WHERE rn = 1 ORDER BY event_id""".stripMargin,
+
+    "q_join_asof_fwd" ->
+      """WITH j AS (
+        |  SELECT e.event_id, e.user_id, o.o_orderkey, o.o_orderdate,
+        |         row_number() OVER (PARTITION BY e.event_id
+        |                            ORDER BY o.o_orderdate ASC, o.o_orderkey ASC) AS rn
+        |  FROM events e LEFT JOIN orders o
+        |    ON o.o_custkey = e.user_id AND o.o_orderdate >= e.ts)
         |SELECT event_id, user_id, o_orderkey, epoch_ms(o_orderdate) AS order_date_ms
         |FROM j WHERE rn = 1 ORDER BY event_id""".stripMargin,
 

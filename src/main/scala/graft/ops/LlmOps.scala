@@ -127,7 +127,11 @@ object LlmOps extends QueryModule {
     }),
 
     // Scale path for ANN: sign-LSH bucketing (8 deterministic hyperplanes of
-    // ±1 weights), brute force only within the probe's bucket.
+    // ±1 weights), brute force only within the probe's bucket. SINGLE corpus
+    // scan: the probe's vector + bucket come from a key-pruned point read
+    // (vec_id = 0 pushed to the parquet scan), then the corpus is scanned
+    // once with the bucket filter evaluated inline — the bucketing expression
+    // never runs over the corpus twice.
     "q_llm_sim_knn_lsh" -> ((s: SparkSession, dir: String) => {
       val planes: Seq[Seq[Double]] = Seq.tabulate(8, 64) { (p, i) =>
         if (((p * 73856093 + i * 19349663) % 7 + 7) % 7 < 3) -1.0 else 1.0
@@ -137,13 +141,13 @@ object LlmOps extends QueryModule {
         planes.zipWithIndex.map { case (plane, p) =>
           when(vdot(s)(e, typedlit(plane)) > 0, lit(1L << p)).otherwise(lit(0L))
         }.reduce(_ + _)
-      val withBucket = emb.withColumn("bucket", bucketOf(col("emb")))
-      val probeRow = withBucket.where(col("vec_id") === 0)
-        .select("emb", "bucket").head()
+      // point read, not a corpus pass: vec_id = 0 is a pushed scan filter
+      val probeRow = emb.where(col("vec_id") === 0)
+        .select(col("emb"), bucketOf(col("emb")).as("bucket")).head()
       val probe = probeRow.getSeq[Double](0)
       val probeBucket = probeRow.getLong(1)
-      withBucket
-        .where(col("bucket") === probeBucket && col("vec_id") =!= 0)
+      emb
+        .where(col("vec_id") =!= 0 && bucketOf(col("emb")) === probeBucket)
         .select(col("vec_id"), col("label"),
           cosine(s)(col("emb"), typedlit(probe)).as("cos_sim"))
         .orderBy(desc("cos_sim"), asc("vec_id"))
@@ -151,25 +155,28 @@ object LlmOps extends QueryModule {
     }),
 
     // IVF-style ANN: K deterministic centroids (lowest vec_ids), every
-    // vector assigned to its nearest centroid via a broadcast cross of the
-    // tiny centroid set, probe searched only within its own cell. At scale
-    // the assignment is one broadcast pass over the corpus and each query
-    // touches 1/K of it (nprobe=1 here).
+    // vector assigned to its nearest centroid, probe searched only within
+    // its own cell (nprobe=1). The centroid set is collected once (K rows,
+    // key-pruned scan) and inlined as literals, so cell assignment is a
+    // codegen'd array_max over (sim, -cent_id) structs — a narrow map with
+    // NO join and NO window shuffle — and the corpus is scanned exactly
+    // once; the probe's cell comes from a vec_id = 0 point read.
     "q_llm_sim_knn_ivf" -> ((s: SparkSession, dir: String) => {
       val K = 8
       val emb = embDouble(s, dir)
-      val centroids = emb.where(col("vec_id") < K)
-        .select(col("vec_id").as("cent_id"), col("emb").as("cent"))
-      val assigned = emb.join(broadcast(centroids))
-        .withColumn("sim", cosine(s)(col("emb"), col("cent")))
-        .withColumn("cell_rn", row_number().over(
-          Window.partitionBy("vec_id").orderBy(desc("sim"), asc("cent_id"))))
-        .where(col("cell_rn") === 1)
-        .select(col("vec_id"), col("label"), col("emb"), col("cent_id").as("cell"))
-      val probeRow = assigned.where(col("vec_id") === 0).select("emb", "cell").head()
+      val cents: Seq[(Long, Seq[Double])] = emb.where(col("vec_id") < K)
+        .select(col("vec_id"), col("emb")).collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq.sortBy(_._1)
+      // argmax by (sim DESC, cent_id ASC) via lexicographic struct max
+      def cellOf(e: Column): Column =
+        array_max(array(cents.map { case (cid, vec) =>
+          struct(cosine(s)(e, typedlit(vec)).as("sim"), lit(-cid).as("neg_id"))
+        }: _*)).getField("neg_id") * -1
+      val probeRow = emb.where(col("vec_id") === 0)
+        .select(col("emb"), cellOf(col("emb")).as("cell")).head()
       val probe = probeRow.getSeq[Double](0)
       val probeCell = probeRow.getLong(1)
-      assigned.where(col("cell") === probeCell && col("vec_id") =!= 0)
+      emb.where(col("vec_id") =!= 0 && cellOf(col("emb")) === probeCell)
         .select(col("vec_id"), col("label"),
           cosine(s)(col("emb"), typedlit(probe)).as("cos_sim"))
         .orderBy(desc("cos_sim"), asc("vec_id"))

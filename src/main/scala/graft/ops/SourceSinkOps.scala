@@ -12,10 +12,11 @@ import org.apache.spark.sql.functions._
   * here as pure Catalyst column work: framing is `concat_ws` + separator,
   * batch assignment is a `row_number` bucketed by 500.
   *
-  * Scale note: `q_sink_batchify`'s global `row_number` is a single-partition
-  * window — correct for the declared batch-id semantics, but at 100 TB the
-  * streaming path (graft.streaming.DeliverySink) instead batches per
-  * micro-batch partition with no global ordering requirement.
+  * Scale note: `q_sink_batchify`'s batch ids need a total order, but NOT a
+  * single-partition window — `ops.globalRowNumber` assigns them with
+  * value-bucketed parallel ranking + broadcast per-bucket offsets (see
+  * SCALING.md). The streaming path (graft.streaming.DeliverySink) batches
+  * per micro-batch partition with no global ordering requirement at all.
   */
 object SourceSinkOps extends QueryModule {
 
@@ -88,9 +89,10 @@ object SourceSinkOps extends QueryModule {
     }),
 
     // Assign records to ≤500-element delivery batches (ProducerSettings cap).
+    // Batch ids come from the two-pass bucketed row number (ops.globalRowNumber)
+    // — same ids as a global-ordered window, no single-partition exchange.
     "q_sink_batchify" -> ((s: SparkSession, dir: String) =>
-      table(s, dir, "events")
-        .withColumn("rn", row_number().over(Window.orderBy("event_id")))
+      globalRowNumber(table(s, dir, "events"), "event_id", "rn")
         .withColumn("batch_id", expr("CAST((rn - 1) div 500 AS BIGINT)"))
         .groupBy("batch_id")
         .agg(count(lit(1)).as("n_records"),

@@ -29,12 +29,15 @@ object StreamAnalogOps extends QueryModule {
 
   /** The flagship pipeline (SURVEY §7.2); also SparkEntry.entry. */
   def deliveryReport(s: SparkSession, dir: String): DataFrame = {
-    val deduped = dedup(table(s, dir, "events"))
-      .withColumn("payload_len",
-        length(concat_ws("|",
-          col("event_id"), unix_micros(col("ts")), col("user_id"),
-          col("event_type"), col("props"))) + 1)
-      .withColumn("rn", row_number().over(Window.orderBy("event_id")))
+    // batch ids via the two-pass bucketed row number (ops.globalRowNumber):
+    // same ids as a global-ordered window, no single-partition exchange.
+    val deduped = globalRowNumber(
+      dedup(table(s, dir, "events"))
+        .withColumn("payload_len",
+          length(concat_ws("|",
+            col("event_id"), unix_micros(col("ts")), col("user_id"),
+            col("event_type"), col("props"))) + 1),
+      "event_id", "rn")
       .withColumn("batch_id", expr("CAST((rn - 1) div 500 AS BIGINT)"))
     deduped
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))

@@ -86,14 +86,16 @@ object WindowOps extends QueryModule {
         .orderBy("o_custkey", "o_orderkey")
     }),
 
+    // first/last event per user as ONE hash aggregate (min_by/max_by over a
+    // lexicographic (ts, event_id) struct) — map-side partials, no per-group
+    // window sort, no distinct; replaces the unbounded-frame window + distinct
+    // formulation, same result.
     "q_win_firstlast" -> ((s: SparkSession, dir: String) => {
-      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      val ordKey = struct(col("ts"), col("event_id"))
       table(s, dir, "events")
-        .select(col("user_id"),
-          first(col("event_type")).over(w).as("first_type"),
-          last(col("event_type")).over(w).as("last_type"))
-        .distinct()
+        .groupBy("user_id")
+        .agg(min_by(col("event_type"), ordKey).as("first_type"),
+          max_by(col("event_type"), ordKey).as("last_type"))
         .orderBy("user_id")
     })
   )

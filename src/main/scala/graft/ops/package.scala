@@ -47,6 +47,33 @@ package object ops {
     * both engines, so NTZ→TZ is the identity wall-clock mapping). */
   def ntzMillis(c: Column): Column = unix_millis(c.cast("timestamp"))
 
+  /** Global row_number without a single-partition window. A plain
+    * `row_number().over(Window.orderBy(k))` funnels every record through ONE
+    * task — the classic 100 TB scale-killer. Instead: block rows into
+    * deterministic value-buckets of the (numeric) order key, rank within each
+    * bucket in parallel, compute per-bucket offsets with a cumulative sum
+    * over the tiny bucket-count table (rows = #buckets, not #records), and
+    * broadcast-join the offsets back. Identical ids to the global window
+    * (ties within a bucket rank arbitrarily, exactly as the global window
+    * leaves ties arbitrary).
+    */
+  def globalRowNumber(df: DataFrame, orderCol: String, out: String,
+      bucketSize: Long = 4096L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val withB = df.withColumn("_grn_bucket", expr(s"$orderCol div $bucketSize"))
+    val local = withB.withColumn("_grn_local",
+      row_number().over(Window.partitionBy("_grn_bucket").orderBy(orderCol)))
+    val offsets = withB.groupBy("_grn_bucket")
+      .agg(count(lit(1)).as("_grn_cnt"))
+      .withColumn("_grn_off", coalesce(
+        sum("_grn_cnt").over(Window.orderBy("_grn_bucket")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("_grn_bucket", "_grn_off")
+    local.join(broadcast(offsets), "_grn_bucket")
+      .withColumn(out, (col("_grn_local") + col("_grn_off")).cast("long"))
+      .drop("_grn_bucket", "_grn_local")
+  }
+
   /** One module of the declared inventory. */
   trait QueryModule {
     def queries: Seq[(String, Q)]
