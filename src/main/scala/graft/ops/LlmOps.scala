@@ -37,7 +37,7 @@ object LlmOps extends QueryModule {
       .drop("bucket_rn")
 
   /** distinct (doc_id, token) pairs. */
-  private def docTokens(docs: DataFrame): DataFrame =
+  private[graft] def docTokens(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
       .where(length(col("token")) > 0)
       .distinct()
@@ -45,13 +45,16 @@ object LlmOps extends QueryModule {
   /** MinHash signatures via the one-pass typed aggregate
     * (graft.functions.MinHashAgg): a single K-long array buffer per group
     * instead of K separate min() buffers — one shuffle payload, one pass. */
-  private def minhashSigs(toks: DataFrame): DataFrame = {
+  private[graft] def minhashSigs(toks: DataFrame): DataFrame = {
     val sketch = udaf(new graft.functions.MinHashAgg(NumHashes))
     toks.groupBy("doc_id").agg(sketch(col("token")).as("sig"))
   }
 
-  /** (doc_id, band, bh) LSH bucket rows, mega-buckets capped. */
-  private def lshBuckets(sigs: DataFrame): DataFrame = {
+  /** (doc_id, band, bh) LSH bucket rows, mega-buckets capped at `maxBucket`.
+    * `maxBucket = Int.MaxValue` disables the cap (LlmSpec measures raw LSH
+    * recall against exact Jaccard without the production hygiene). */
+  private[graft] def lshBuckets(sigs: DataFrame,
+      maxBucket: Int = MaxBucket): DataFrame = {
     val bandCols = (0 until NumBands).map { b =>
       struct(lit(b).as("band"),
         xxhash64(lit(b), element_at(col("sig"), 2 * b + 1),
@@ -60,12 +63,14 @@ object LlmOps extends QueryModule {
     val bands = sigs
       .select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
-    capBuckets(bands, Seq("band", "bh"), "doc_id", MaxBucket)
+    if (maxBucket == Int.MaxValue) bands
+    else capBuckets(bands, Seq("band", "bh"), "doc_id", maxBucket)
   }
 
   /** Candidate near-dup pairs: docs sharing >= 1 LSH band. */
-  private def candidatePairs(docs: DataFrame): DataFrame = {
-    val buckets = lshBuckets(minhashSigs(docTokens(docs)))
+  private[graft] def candidatePairs(docs: DataFrame,
+      maxBucket: Int = MaxBucket): DataFrame = {
+    val buckets = lshBuckets(minhashSigs(docTokens(docs)), maxBucket)
     val a = buckets.select(col("band"), col("bh"), col("doc_id").as("doc_a"))
     val b = buckets.select(col("band"), col("bh"), col("doc_id").as("doc_b"))
     a.join(b, Seq("band", "bh"))

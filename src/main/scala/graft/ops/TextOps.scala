@@ -11,6 +11,40 @@ object TextOps extends QueryModule {
 
   private val Stopwords = Seq("the", "a", "and", "of", "to")
 
+  /** Polynomial rolling hash over the whole text (q_text_fingerprint).
+    * Exposed for TextSpec's determinism / sensitivity properties. */
+  private[graft] def fullHashFn(text: String): Long = {
+    var h = 0L
+    var i = 0
+    while (i < text.length) { h = h * 1315423911L + text.charAt(i); i += 1 }
+    h
+  }
+
+  /** Winnowing-style min-shingle hash: minimum polynomial hash over all
+    * k=8-char windows (whole-text hash for shorter inputs). Signed-min over
+    * a superset of windows can only shrink, so appending text never raises
+    * the value — TextSpec checks that monotonicity. */
+  private[graft] def minShingleFn(text: String): Long = {
+    def poly(from: Int, until: Int): Long = {
+      var h = 0L
+      var j = from
+      while (j < until) { h = h * 1315423911L + text.charAt(j); j += 1 }
+      h
+    }
+    val k = 8
+    if (text.length < k) poly(0, text.length)
+    else {
+      var best = Long.MaxValue
+      var i = 0
+      while (i + k <= text.length) {
+        val h = poly(i, i + k)
+        if (h < best) best = h
+        i += 1
+      }
+      best
+    }
+  }
+
   /** Non-empty whitespace tokens, with multiplicity. */
   private def tokens(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("token"))
@@ -72,32 +106,8 @@ object TextOps extends QueryModule {
     // plus a winnowing-style min-shingle hash (oracle-less; deterministic,
     // checked by property tests in TextSpec).
     "q_text_fingerprint" -> ((s: SparkSession, dir: String) => {
-      val fullHash = udf { text: String =>
-        var h = 0L
-        var i = 0
-        while (i < text.length) { h = h * 1315423911L + text.charAt(i); i += 1 }
-        h
-      }
-      val minShingle = udf { text: String =>
-        def poly(from: Int, until: Int): Long = {
-          var h = 0L
-          var j = from
-          while (j < until) { h = h * 1315423911L + text.charAt(j); j += 1 }
-          h
-        }
-        val k = 8
-        if (text.length < k) poly(0, text.length)
-        else {
-          var best = Long.MaxValue
-          var i = 0
-          while (i + k <= text.length) {
-            val h = poly(i, i + k)
-            if (h < best) best = h
-            i += 1
-          }
-          best
-        }
-      }
+      val fullHash = udf(fullHashFn _)
+      val minShingle = udf(minShingleFn _)
       table(s, dir, "documents")
         .select(col("doc_id"),
           fullHash(col("text")).as("fingerprint"),

@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import graft.ops.TextOps
+
+/** Property tests for the text-analysis family, centered on the oracle-less
+  * `q_text_fingerprint` (SURVEY §2B): determinism, content sensitivity, and
+  * the winnowing monotonicity of the min-shingle hash.
+  */
+class TextSpec extends SparkTestBase {
+
+  private def q(name: String): DataFrame = SparkEntry.queries(name)(spark, sfDir)
+
+  // ---- hash-function unit properties (pure driver-side) ------------------
+
+  test("fullHash is deterministic and positionally sensitive") {
+    val t = "the quick brown fox jumps over the lazy dog"
+    assert(TextOps.fullHashFn(t) == TextOps.fullHashFn(t))
+    // single-char substitution changes the hash
+    assert(TextOps.fullHashFn(t) != TextOps.fullHashFn(t.replace('q', 'x')))
+    // same multiset of chars, different order (shift sensitivity)
+    val rotated = t.substring(1) + t.charAt(0)
+    assert(TextOps.fullHashFn(t) != TextOps.fullHashFn(rotated))
+    // appending changes the hash
+    assert(TextOps.fullHashFn(t) != TextOps.fullHashFn(t + "."))
+  }
+
+  test("minShingle equals the minimum rolling hash over all 8-char windows") {
+    val t = "abcdefghijklmnopqrstuvwxyz0123456789"
+    val windows = (0 to t.length - 8).map(i => TextOps.fullHashFn(t.substring(i, i + 8)))
+    assert(TextOps.minShingleFn(t) == windows.min)
+    // short inputs fall back to the whole-text hash
+    assert(TextOps.minShingleFn("abc") == TextOps.fullHashFn("abc"))
+  }
+
+  test("minShingle is monotone under appends (windows only ever get added)") {
+    val base = "the quick brown fox jumps over the lazy dog"
+    var t = base
+    var prev = TextOps.minShingleFn(t)
+    for (suffix <- Seq(" again", " and again", " 0123456789")) {
+      t += suffix
+      val cur = TextOps.minShingleFn(t)
+      assert(cur <= prev, s"append raised min-shingle: $prev -> $cur")
+      prev = cur
+    }
+    // the winnowing property that makes it near-dup-robust: an append only
+    // changes the fingerprint if one of the NEW boundary/suffix windows
+    // hashes below the current minimum
+    val min0 = TextOps.minShingleFn(base)
+    val appended = base + " zz"
+    val addedWindows = (base.length - 7 to appended.length - 8)
+      .map(i => TextOps.fullHashFn(appended.substring(i, i + 8)))
+    assert(TextOps.minShingleFn(appended) == math.min(min0, addedWindows.min))
+  }
+
+  // ---- query-level properties on the fixture -----------------------------
+
+  test("q_text_fingerprint is deterministic across runs and matches the exposed functions") {
+    val run1 = q("q_text_fingerprint").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val run2 = q("q_text_fingerprint").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(run1.toSeq == run2.toSeq)
+
+    val textOf = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    run1.foreach { case (id, full, shingle) =>
+      assert(full == TextOps.fullHashFn(textOf(id)))
+      assert(shingle == TextOps.minShingleFn(textOf(id)))
+    }
+  }
+
+  test("fingerprints separate distinct texts and unite identical ones on the fixture") {
+    val rows = q("q_text_fingerprint").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val textOf = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    val byText = rows.groupBy { case (id, _) => textOf(id) }
+    // identical text -> identical fingerprint (trivially true — same input —
+    // but guards against nondeterministic UDF evaluation across partitions)
+    byText.foreach { case (_, g) => assert(g.map(_._2).distinct.length == 1) }
+    // distinct texts -> distinct fingerprints (collision-free on the corpus)
+    val distinctTexts = byText.size
+    val distinctPrints = rows.map(_._2).distinct.length
+    info(s"distinct texts: $distinctTexts, distinct fingerprints: $distinctPrints")
+    assert(distinctPrints == distinctTexts)
+  }
+}
