@@ -6,8 +6,19 @@ import org.apache.spark.sql.SparkSession
   * JSON line of per-query seconds. An untimed warmup first JITs the parquet
   * reader / codegen / regex paths so per-query numbers reflect steady state,
   * and queries run in sorted order so timings are attributable run-to-run.
+  *
+  * Each query is timed SPARK_GRAFT_BENCH_REPS times (default 3) and the
+  * MEDIAN is reported — round 2 showed single-shot timings on the shared
+  * local[32] sandbox swing 2-3x run-to-run (JIT/GC/page-cache), which made
+  * round-over-round deltas unreadable; the median suppresses one-off stalls
+  * so BENCH_r{N} deltas are signal.
   */
 object Bench {
+
+  private def median(xs: Seq[Double]): Double = {
+    val s = xs.sorted
+    if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
+  }
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -35,13 +46,17 @@ object Bench {
         .selectExpr("sha2(text, 256)", "regexp_extract_all(text, '([a-z]+)', 1)")
         .count()
     } catch { case _: Throwable => () }
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok = try { fn(spark, sfDir).count(); true }
+      val times = (1 to reps).flatMap { _ =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
         catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}"); false }
-      // failed queries report -1.0 so a regression can never read as a win
-      (name, if (ok) (System.nanoTime() - t0) / 1e9 else -1.0, ok)
+          System.err.println(s"[bench] $name failed: ${e.getMessage}"); None }
+      }
+      // any failed rep reports -1.0 so a regression can never read as a win
+      val ok = times.size == reps
+      (name, if (ok) median(times) else -1.0, ok)
     }
     val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
