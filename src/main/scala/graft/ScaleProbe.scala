@@ -65,11 +65,13 @@ object ScaleProbe {
     }
 
     val probes = if (args.length > 1) args.drop(1).toSeq else Seq(
-      "q_agg_basic", "q_join_multiway", "q_join_asof", "q_join_interval",
-      "q_topk_group", "q_win_running", "q_stream_session",
+      "q_agg_basic", "q_join_multiway", "q_join_asof", "q_join_asof_fwd",
+      "q_join_interval", "q_topk_group", "q_win_running", "q_sub_scalar",
+      "q_scan_parquet", "q_sink_batchify", "q_stream_session",
       "q_stream_delivery_report", "q_llm_exact_dedup", "q_llm_minhash",
       "q_llm_ngram_jaccard", "q_text_langid", "q_udtf_shingles",
-      "q_llm_sim_knn", "q_llm_embed_neardup")
+      "q_llm_sim_knn", "q_llm_sim_knn_lsh", "q_llm_sim_knn_ivf",
+      "q_llm_embed_neardup")
     // warmup
     SparkEntry.queries("q_agg_basic")(spark, outDir).count()
     val results = probes.map { name =>
@@ -82,6 +84,38 @@ object ScaleProbe {
       (name, dt, n)
     }
     println(f"[scale] TOTAL ${results.map(_._2).sum}%.1f s over ${results.size} probes")
+    streamingProbe(spark, outDir)
     spark.stop()
+  }
+
+  /** Streaming-path probe: the full DeliverySink.run pipeline (file source →
+    * micro-batch → frame → ≤500-record chunks → submit) over the ×10 events
+    * fixture (~1M records), against a no-op accepting service so the number
+    * measures ENGINE throughput (serialization, chunking, lane repartition),
+    * not mock bookkeeping. Records/s lands in SCALING.md.
+    */
+  private def streamingProbe(spark: SparkSession, outDir: String): Unit = {
+    import graft.core.DeliverySettings
+    import graft.streaming.{BatchResult, DeliveryService, DeliverySink, RecordResult}
+    val evDir = s"$outDir/events.parquet"
+    val schema = spark.read.parquet(evDir).schema
+    val source = spark.readStream.schema(schema).parquet(evDir)
+      .select("event_id", "user_id", "event_type", "value")
+    val acceptAll = new DeliveryService {
+      override def putBatch(streamName: String,
+          records: Seq[Array[Byte]]): BatchResult =
+        BatchResult(records.map(_ => RecordResult("ok", null)))
+    }
+    val settings = DeliverySettings("scale-probe", triggerIntervalMs = 0L,
+      parallelism = 32)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-scale-ckpt").toString
+    val t0 = System.nanoTime()
+    val (query, stats) = DeliverySink.run(source, settings, acceptAll, ckpt)
+    try query.processAllAvailable() finally query.stop()
+    val dt = (System.nanoTime() - t0) / 1e9
+    val st = stats()
+    println(f"[scale] streaming_delivery          ${dt}%7.2f s  " +
+      f"records=${st.records} batches=${st.batches} " +
+      f"rate=${st.records / dt}%.0f rec/s residual=${st.residualFailures}")
   }
 }
