@@ -71,7 +71,8 @@ object ScaleProbe {
       "q_stream_delivery_report", "q_llm_exact_dedup", "q_llm_minhash",
       "q_llm_ngram_jaccard", "q_text_langid", "q_udtf_shingles",
       "q_llm_sim_knn", "q_llm_sim_knn_lsh", "q_llm_sim_knn_ivf",
-      "q_llm_embed_neardup")
+      "q_llm_embed_neardup", "q_llm_dup_clusters", "q_llm_simhash_neardup",
+      "q_text_tfidf")
     // warmup
     SparkEntry.queries("q_agg_basic")(spark, outDir).count()
     val results = probes.map { name =>

@@ -1,0 +1,241 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-data curation operators (SURVEY §2B "LLM-pipeline extensions",
+  * round 3): duplicate-cluster assignment, SimHash hamming near-dup pairing,
+  * TF-IDF scoring, vocabulary building, deterministic stratified sampling.
+  *
+  * Scale design (100 TB):
+  *   - the duplicate-cluster edge set comes from an equi-join on exact
+  *     5-word shingles with stop-shingle hygiene — never an all-pairs
+  *     comparison — and label propagation converges in diameter-many
+  *     passes over the (sparse) edge list, all executor-side;
+  *   - SimHash pairing blocks on 16-bit bands of a 64-bit fingerprint
+  *     (pigeonhole: hamming ≤ 3 ⇒ ≥ 1 identical band), with the standard
+  *     mega-bucket cap;
+  *   - TF-IDF / vocabulary are two hash aggregations and an equi-join on
+  *     token — partial aggregation keeps the heavy lifting in the scan;
+  *   - stratified sampling is a stateless scan-side filter, no shuffle.
+  */
+object CurationOps extends QueryModule {
+
+  /** Max docs per shingle for cluster edges (stop-shingle hygiene): a
+    * shingle shared by more docs than this is boilerplate, not duplication
+    * signal, and would emit O(n²) edges. Same constant in the oracle. */
+  private val MaxShingleDocs = 50
+
+  /** Label-propagation iteration cap — components from shingle-sharing are
+    * near-cliques (diameter ≤ ~3 in practice); the loop exits early on
+    * convergence, this bound only guards pathological chains. */
+  private val MaxLpIters = 20
+
+  /** Distinct (doc_id, 5-word-shingle) pairs with stop-shingles removed. */
+  private def clusterShingles(s: SparkSession, docs: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val sh = docs
+      .select(col("doc_id"), call_function("shingles", col("text"), lit(5)))
+      .select(col("doc_id"), col("shingle"))
+      .distinct()
+    sh.withColumn("n_docs", count(lit(1)).over(Window.partitionBy("shingle")))
+      .where(col("n_docs") <= MaxShingleDocs)
+      .drop("n_docs")
+  }
+
+  /** Connected components over shingle-sharing edges by iterative min-label
+    * propagation: every doc starts labeled with its own id; each pass each
+    * doc takes the min of its own label and its neighbors' labels; fixpoint
+    * = every doc carries the min doc_id of its component. The convergence
+    * check reads ONE aggregated scalar per pass (sum of labels — strictly
+    * decreasing until fixpoint), not per-row data.
+    */
+  private[graft] def dupClusters(s: SparkSession, docs: DataFrame): DataFrame = {
+    val sh = clusterShingles(s, docs)
+    val half = sh.as("x").join(sh.as("y"), "shingle")
+      .where(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("src"), col("y.doc_id").as("dst"))
+      .distinct()
+    // Each iteration references `labels` twice (join + union), so without
+    // lineage truncation the logical plan doubles per pass — exponential
+    // planning memory. localCheckpoint materializes each round and cuts the
+    // plan back to a leaf (on a cluster, prefer reliable checkpoint() with a
+    // checkpoint dir for lineage-free recovery; same shape).
+    val edges = half
+      .union(half.select(col("dst").as("src"), col("src").as("dst")))
+      .localCheckpoint(true)
+    var labels = docs.select(col("doc_id"), col("doc_id").as("label"))
+      .localCheckpoint(true)
+    var checksum = labels.agg(sum("label")).head().getLong(0)
+    var converged = false
+    var it = 0
+    while (!converged && it < MaxLpIters) {
+      val prop = edges
+        .join(labels.withColumnRenamed("doc_id", "dst"), "dst")
+        .select(col("src").as("doc_id"), col("label"))
+      labels = labels.union(prop)
+        .groupBy("doc_id").agg(min("label").as("label"))
+        .localCheckpoint(true)
+      val nextSum = labels.agg(sum("label")).head().getLong(0)
+      converged = nextSum == checksum
+      checksum = nextSum
+      it += 1
+    }
+    labels.withColumnRenamed("label", "cluster_id")
+  }
+
+  def queries: Seq[(String, Q)] = Seq(
+    // Duplicate-cluster assignment: transitive closure of "shares a 5-word
+    // shingle" — the cluster step after candidate generation in a dedup
+    // pipeline (keep one doc per cluster_id downstream).
+    "q_llm_dup_clusters" -> ((s: SparkSession, dir: String) =>
+      dupClusters(s, table(s, dir, "documents"))
+        .withColumn("cluster_size",
+          asLong(count(lit(1)).over(Window.partitionBy("cluster_id"))))
+        .orderBy("doc_id")),
+
+    // SimHash hamming near-dup pairs: 64-bit fingerprints, paired via
+    // 16-bit band blocking (hamming <= 3 implies sharing >= 1 of 4 bands,
+    // so band-join recall is exact by pigeonhole), hamming via codegen'd
+    // bit_count(xor). Oracle-less (xxhash64 sigs aren't SQL-replayable);
+    // CurationSpec pins the result to a driver-side all-pairs ground truth.
+    "q_llm_simhash_neardup" -> ((s: SparkSession, dir: String) => {
+      val sigs = LlmOps.simhashSigs(table(s, dir, "documents"), 64)
+      val bandCols = (0 until 4).map { b =>
+        struct(lit(b).as("band"),
+          shiftrightunsigned(col("simhash"), 16 * b)
+            .bitwiseAND(lit(0xFFFFL)).as("bv"))
+      }
+      val bands = sigs
+        .select(col("doc_id"), col("simhash"), explode(array(bandCols: _*)).as("bb"))
+        .select(col("doc_id"), col("simhash"),
+          col("bb.band").as("band"), col("bb.bv").as("bv"))
+      val capped = LlmOps.capBuckets(bands, Seq("band", "bv"), "doc_id", 50)
+      val a = capped.select(col("band"), col("bv"),
+        col("doc_id").as("doc_a"), col("simhash").as("sh_a"))
+      val b = capped.select(col("band"), col("bv"),
+        col("doc_id").as("doc_b"), col("simhash").as("sh_b"))
+      a.join(b, Seq("band", "bv"))
+        .where(col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b"),
+          bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("long").as("hamming"))
+        .distinct()
+        .where(col("hamming") <= 3)
+        .orderBy("doc_a", "doc_b")
+    }),
+
+    // Per-doc top-3 TF-IDF tokens. The idf is the RATIONAL (N+1)/(df+1)
+    // variant, not ln of it: IEEE division is correctly rounded and thus
+    // bit-identical across engines, while ln() is libm-dependent and would
+    // break the DuckDB hash gate (§7.4 discipline).
+    "q_text_tfidf" -> ((s: SparkSession, dir: String) => {
+      val docs = table(s, dir, "documents")
+      val n = docs.count()
+      val tf = docs
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+        .where(length(col("token")) > 0)
+        .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
+      tf.join(dfreq, "token")
+        .withColumn("tfidf",
+          (col("tf") * lit(n + 1)).cast("double") / (col("df") + lit(1)))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("doc_id").orderBy(desc("tfidf"), asc("token"))))
+        .where(col("rn") <= 3)
+        .select(col("doc_id"), col("token"), col("tf"), col("df"), col("tfidf"))
+        .orderBy("doc_id", "token")
+    }),
+
+    // Corpus vocabulary: top-100 tokens by total frequency with document
+    // frequency alongside — the vocabulary-building pass of a BPE-ish
+    // tokenizer pipeline.
+    "q_text_vocab" -> ((s: SparkSession, dir: String) =>
+      table(s, dir, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+        .where(length(col("token")) > 0)
+        .groupBy("token")
+        .agg(count(lit(1)).as("tf_corpus"), count_distinct(col("doc_id")).as("df"))
+        .orderBy(desc("tf_corpus"), asc("token"))
+        .limit(100)),
+
+    // Deterministic stratified sampling for training-mix curation: per-lang
+    // keep-rates applied via doc_id mod — reproducible across engines and
+    // runs (no RNG), a pure scan-side filter at any scale.
+    "q_llm_curation_sample" -> ((s: SparkSession, dir: String) => {
+      val rate = when(col("lang") === "en", 50)
+        .when(col("lang") === "fr", 30)
+        .when(col("lang") === "es", 20)
+        .when(col("lang") === "zh", 10)
+        .otherwise(5)
+      table(s, dir, "documents")
+        .where(pmod(col("doc_id"), lit(100)) < rate)
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+        .orderBy("doc_id")
+    })
+  )
+
+  def oracle: Seq[(String, String)] = Seq(
+    "q_llm_dup_clusters" ->
+      s"""WITH RECURSIVE
+         |t AS (
+         |  SELECT doc_id, list_filter(string_split(text, ' '), x -> length(x) > 0) AS toks
+         |  FROM documents),
+         |sgen AS (
+         |  SELECT doc_id, toks, unnest(generate_series(1, greatest(len(toks) - 4, 0))) AS i
+         |  FROM t),
+         |sh0 AS (
+         |  SELECT DISTINCT doc_id,
+         |         toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' ||
+         |         toks[i+3] || ' ' || toks[i+4] AS shingle
+         |  FROM sgen),
+         |keep AS (SELECT shingle FROM sh0 GROUP BY shingle HAVING count(*) <= $MaxShingleDocs),
+         |sh AS (SELECT sh0.* FROM sh0 JOIN keep USING (shingle)),
+         |e AS (
+         |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+         |  FROM sh x JOIN sh y USING (shingle) WHERE x.doc_id <> y.doc_id),
+         |reach AS (
+         |  SELECT doc_id, doc_id AS label FROM documents
+         |  UNION
+         |  SELECT e.a AS doc_id, r.label FROM e JOIN reach r ON e.b = r.doc_id),
+         |cl AS (SELECT doc_id, min(label) AS cluster_id FROM reach GROUP BY doc_id)
+         |SELECT doc_id, cluster_id,
+         |       CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size
+         |FROM cl ORDER BY doc_id""".stripMargin,
+
+    "q_text_tfidf" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+        |tfq AS (
+        |  SELECT doc_id, token, count(*) AS tf FROM tok
+        |  WHERE length(token) > 0 GROUP BY doc_id, token),
+        |dfq AS (SELECT token, count(*) AS df FROM tfq GROUP BY token),
+        |nq AS (SELECT count(*) AS n FROM documents),
+        |sc AS (
+        |  SELECT tfq.doc_id, tfq.token, tfq.tf, dfq.df,
+        |         CAST(tfq.tf * (nq.n + 1) AS DOUBLE) / (dfq.df + 1) AS tfidf,
+        |         row_number() OVER (
+        |           PARTITION BY tfq.doc_id
+        |           ORDER BY CAST(tfq.tf * (nq.n + 1) AS DOUBLE) / (dfq.df + 1) DESC,
+        |                    tfq.token ASC) AS rn
+        |  FROM tfq JOIN dfq USING (token) CROSS JOIN nq)
+        |SELECT doc_id, token, tf, df, tfidf
+        |FROM sc WHERE rn <= 3 ORDER BY doc_id, token""".stripMargin,
+
+    "q_text_vocab" ->
+      """SELECT token, count(*) AS tf_corpus, count(DISTINCT doc_id) AS df
+        |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+        |WHERE length(token) > 0
+        |GROUP BY token
+        |ORDER BY tf_corpus DESC, token ASC
+        |LIMIT 100""".stripMargin,
+
+    "q_llm_curation_sample" ->
+      """SELECT doc_id, lang, source, n_chars
+        |FROM documents
+        |WHERE doc_id % 100 < CASE lang
+        |  WHEN 'en' THEN 50 WHEN 'fr' THEN 30 WHEN 'es' THEN 20
+        |  WHEN 'zh' THEN 10 ELSE 5 END
+        |ORDER BY doc_id""".stripMargin
+  )
+}

@@ -29,7 +29,7 @@ object LlmOps extends QueryModule {
     * members per bucket (deterministic by `orderCol`) rather than dropping
     * oversized buckets wholesale — every bucket stays represented (bounded
     * recall loss) while pair generation stays ≤ max² per bucket. */
-  private def capBuckets(df: DataFrame, bucketCols: Seq[String],
+  private[graft] def capBuckets(df: DataFrame, bucketCols: Seq[String],
       orderCol: String, max: Int): DataFrame =
     df.withColumn("bucket_rn", row_number().over(
         Window.partitionBy(bucketCols.map(col): _*).orderBy(orderCol)))
@@ -65,6 +65,23 @@ object LlmOps extends QueryModule {
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
     if (maxBucket == Int.MaxValue) bands
     else capBuckets(bands, Seq("band", "bh"), "doc_id", maxBucket)
+  }
+
+  /** `bits`-wide SimHash per doc over the distinct-token set: per-bit ±1
+    * vote sums aggregated in one pass (partial+final hash agg), sign →
+    * bit. Disjoint powers of two are combined by addition, which equals OR
+    * even for bit 63 under two's complement. */
+  private[graft] def simhashSigs(docs: DataFrame, bits: Int): DataFrame = {
+    require(bits >= 1 && bits <= 64)
+    val toks = docTokens(docs).withColumn("h", xxhash64(col("token")))
+    val bitSums = (0 until bits).map { b =>
+      sum(shiftright(col("h"), b).bitwiseAND(lit(1L)) * 2 - 1).as(s"s$b")
+    }
+    val sigs = toks.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+    val simhash = (0 until bits).map { b =>
+      when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    sigs.select(col("doc_id"), simhash.as("simhash"))
   }
 
   /** Candidate near-dup pairs: docs sharing >= 1 LSH band. */
@@ -228,22 +245,12 @@ object LlmOps extends QueryModule {
     }),
 
     // 16-bit SimHash fingerprints + cluster sizes (oracle-less).
-    "q_llm_simhash" -> ((s: SparkSession, dir: String) => {
-      val toks = docTokens(table(s, dir, "documents"))
-        .withColumn("h", xxhash64(col("token")))
-      val bitSums = (0 until 16).map { b =>
-        sum(shiftright(col("h"), b).bitwiseAND(lit(1L)) * 2 - 1).as(s"s$b")
-      }
-      val sigs = toks.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
-      val simhash = (0 until 16).map { b =>
-        when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L))
-      }.reduce(_ + _)
-      sigs.select(col("doc_id"), simhash.as("simhash"))
+    "q_llm_simhash" -> ((s: SparkSession, dir: String) =>
+      simhashSigs(table(s, dir, "documents"), 16)
         .withColumn("cluster_n",
           count(lit(1)).over(Window.partitionBy("simhash")))
         .select(col("doc_id"), col("simhash"), asLong(col("cluster_n")).as("cluster_n"))
-        .orderBy("doc_id")
-    }),
+        .orderBy("doc_id")),
 
     // Embedding-cosine near-dup: sign-LSH bucket join, cosine within bucket.
     "q_llm_embed_neardup" -> ((s: SparkSession, dir: String) => {

@@ -1,0 +1,134 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Property tests for the training-data curation family (CurationOps).
+  * `q_llm_dup_clusters` and `q_llm_simhash_neardup` are additionally pinned
+  * here against independent driver-side reimplementations (union-find /
+  * all-pairs hamming) on the sf0.001 fixtures; the other three queries are
+  * DuckDB-oracled, so tests here cover invariants the hash gate can't.
+  */
+class CurationSpec extends SparkTestBase {
+
+  private def q(name: String): DataFrame = SparkEntry.queries(name)(spark, sfDir)
+
+  private lazy val docTexts: Array[(Long, String)] =
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+      .sortBy(_._1)
+
+  test("dup clusters match a driver-side union-find over the same edge rule") {
+    // independent reimplementation: 5-word shingles, <=50-doc stop filter,
+    // union-find — no Spark code shared with the query
+    val shingleDocs = collection.mutable.Map.empty[String, List[Long]]
+    docTexts.foreach { case (id, text) =>
+      val toks = text.split(' ').filter(_.nonEmpty)
+      toks.sliding(5).filter(_.length == 5).map(_.mkString(" ")).toSet
+        .foreach((sh: String) => shingleDocs(sh) = id :: shingleDocs.getOrElse(sh, Nil))
+    }
+    val parent = collection.mutable.Map(docTexts.map(d => d._1 -> d._1): _*)
+    def find(x: Long): Long = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x
+      while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    shingleDocs.values.filter(_.size <= 50).foreach { ds =>
+      ds.tail.foreach { d =>
+        val (ra, rb) = (find(ds.head), find(d))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+    }
+    val expected = docTexts.map { case (id, _) => id -> find(id) }.toMap
+    val sizes = expected.values.groupBy(identity).map { case (k, v) => k -> v.size }
+
+    val got = q("q_llm_dup_clusters").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.length == docTexts.length)
+    got.foreach { case (id, cl, sz) =>
+      assert(cl == expected(id), s"doc $id: cluster $cl, expected ${expected(id)}")
+      assert(sz == sizes(expected(id)).toLong, s"doc $id: size $sz")
+    }
+    val nClusters = expected.values.toSet.size
+    info(s"docs=${got.length} clusters=$nClusters largest=${sizes.values.max}")
+    assert(nClusters < docTexts.length, "fixture sanity: some docs cluster together")
+  }
+
+  test("simhash near-dup pairs: sound, hamming-exact, and complete under the bucket cap") {
+    val sigs = graft.ops.LlmOps
+      .simhashSigs(spark.read.parquet(s"$sfDir/documents.parquet"), 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val sigOf = sigs.toMap
+    def hamming(a: Long, b: Long): Long =
+      java.lang.Long.bitCount(sigOf(a) ^ sigOf(b)).toLong
+
+    // driver-side replication of the full operator: 4 x 16-bit band
+    // blocking, first-50-by-doc_id cap per (band, value) bucket, pairs from
+    // capped buckets, hamming filter — independent code path, same rule
+    val expected = (for {
+      band <- (0 until 4).iterator
+      (_, members) <- sigs.groupBy { case (_, sh) => (sh >>> (16 * band)) & 0xFFFFL }.iterator
+      capped = members.map(_._1).sorted.take(50)
+      i <- capped.indices.iterator
+      j <- (i + 1) until capped.length
+      h = hamming(capped(i), capped(j))
+      if h <= 3
+    } yield ((capped(i), capped(j)), h)).toMap
+    assert(expected.nonEmpty, "fixture sanity: near-identical fingerprints exist")
+
+    val got = q("q_llm_simhash_neardup").collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    // soundness: every reported pair is genuinely hamming-close, value exact
+    got.foreach { case ((a, b), h) =>
+      assert(h == hamming(a, b) && h <= 3, s"pair ($a,$b): hamming $h")
+    }
+    // completeness w.r.t. the capped band rule
+    assert(got.keySet == expected.keySet,
+      s"missing=${(expected.keySet -- got.keySet).take(5)} " +
+        s"extra=${(got.keySet -- expected.keySet).take(5)}")
+    // the cap trades recall on this duplicate-heavy fixture — quantify it
+    val uncapped = (for {
+      i <- sigs.indices.iterator
+      j <- (i + 1) until sigs.length
+      if java.lang.Long.bitCount(sigs(i)._2 ^ sigs(j)._2) <= 3
+    } yield 1).sum
+    info(s"pairs reported=${got.size}, uncapped hamming<=3 pairs=$uncapped")
+  }
+
+  test("tfidf ranks rarer tokens above common ones within a doc") {
+    val rows = q("q_text_tfidf").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    assert(rows.nonEmpty)
+    val n = docTexts.length.toLong
+    rows.foreach { case (_, _, tf, df, tfidf) =>
+      assert(math.abs(tfidf - tf.toDouble * (n + 1) / (df + 1)) < 1e-12)
+      assert(df >= 1 && df <= n && tf >= 1)
+    }
+    assert(rows.groupBy(_._1).forall(_._2.length <= 3), "top-3 per doc")
+  }
+
+  test("vocabulary counts are consistent (tf >= df, df <= corpus size)") {
+    val rows = q("q_text_vocab").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val vocabSize = docTexts.flatMap(_._2.split(' ').filter(_.nonEmpty)).distinct.length
+    assert(rows.length == math.min(100, vocabSize))
+    rows.foreach { case (_, tf, df) =>
+      assert(tf >= df && df >= 1 && df <= docTexts.length.toLong)
+    }
+    assert(rows.map(_._2).toSeq == rows.map(_._2).sortBy(-_).toSeq, "ordered by tf desc")
+  }
+
+  test("stratified sample keeps exactly the mod-rule rows") {
+    val rates = Map("en" -> 50, "fr" -> 30, "es" -> 20, "zh" -> 10).withDefaultValue(5)
+    val langs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "lang").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val expected = langs.collect { case (id, l) if id % 100 < rates(l) => id }.toSet
+    val got = q("q_llm_curation_sample").collect().map(_.getLong(0)).toSet
+    assert(got == expected)
+    assert(got.nonEmpty && got.size < langs.length)
+  }
+}
