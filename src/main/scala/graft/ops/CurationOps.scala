@@ -50,10 +50,29 @@ object CurationOps extends QueryModule {
     * = every doc carries the min doc_id of its component. The convergence
     * check reads ONE aggregated scalar per pass (sum of labels — strictly
     * decreasing until fixpoint), not per-row data.
+    *
+    * Exact duplicates are contracted first: docs with identical text have
+    * identical shingle sets, so collapsing each text group to its min-doc_id
+    * representative is a graph quotient that leaves components (and the
+    * min-id cluster labels) unchanged while shrinking the self-join and the
+    * propagation passes by the duplication factor — the dominant cost on
+    * duplicate-heavy corpora (10× probe: the edge/label work runs on unique
+    * texts only). Stop-shingle document counts are still taken over ALL
+    * docs, keeping the declared semantics (and the DuckDB oracle) intact.
     */
   private[graft] def dupClusters(s: SparkSession, docs: DataFrame): DataFrame = {
+    val withSha = docs.withColumn("text_sha", sha2(col("text"), 256))
+    val repOf = withSha.groupBy("text_sha")
+      .agg(min(col("doc_id")).as("rep_id"))
+    val reps = withSha.select(col("doc_id"), col("text_sha"))
+      .join(repOf, "text_sha")
+      .where(col("doc_id") === col("rep_id"))
+      .select(col("doc_id"))
+    // shingle document-frequency over ALL docs (oracle semantics), edges
+    // over representatives only
     val sh = clusterShingles(s, docs)
-    val half = sh.as("x").join(sh.as("y"), "shingle")
+    val repSh = sh.join(reps.select(col("doc_id")), "doc_id")
+    val half = repSh.as("x").join(repSh.as("y"), "shingle")
       .where(col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("src"), col("y.doc_id").as("dst"))
       .distinct()
@@ -65,7 +84,7 @@ object CurationOps extends QueryModule {
     val edges = half
       .union(half.select(col("dst").as("src"), col("src").as("dst")))
       .localCheckpoint(true)
-    var labels = docs.select(col("doc_id"), col("doc_id").as("label"))
+    var labels = reps.select(col("doc_id"), col("doc_id").as("label"))
       .localCheckpoint(true)
     var checksum = labels.agg(sum("label")).head().getLong(0)
     var converged = false
@@ -82,13 +101,22 @@ object CurationOps extends QueryModule {
       checksum = nextSum
       it += 1
     }
-    labels.withColumnRenamed("label", "cluster_id")
+    // expand the quotient back: every doc inherits its representative's
+    // component label (= min doc_id of the full cluster, since each rep is
+    // already the min of its exact-duplicate group)
+    withSha.select(col("doc_id"), col("text_sha"))
+      .join(repOf, "text_sha")
+      .join(labels.withColumnRenamed("doc_id", "rep_id"), "rep_id")
+      .select(col("doc_id"), col("label").as("cluster_id"))
   }
 
   def queries: Seq[(String, Q)] = Seq(
-    // Duplicate-cluster assignment: transitive closure of "shares a 5-word
-    // shingle" — the cluster step after candidate generation in a dedup
-    // pipeline (keep one doc per cluster_id downstream).
+    // Duplicate-cluster assignment: transitive closure of "shares a kept
+    // 5-word shingle OR has identical text" — the cluster step after
+    // candidate generation in a dedup pipeline (keep one doc per cluster_id
+    // downstream). Identical text is an edge in its own right so that exact
+    // duplicates always cluster even when boilerplate stop-shingle filtering
+    // drops every shingle they share.
     "q_llm_dup_clusters" -> ((s: SparkSession, dir: String) =>
       dupClusters(s, table(s, dir, "documents"))
         .withColumn("cluster_size",
@@ -123,6 +151,29 @@ object CurationOps extends QueryModule {
         .distinct()
         .where(col("hamming") <= 3)
         .orderBy("doc_a", "doc_b")
+    }),
+
+    // Capstone dedup composition: cluster (q_llm_dup_clusters edge rule) →
+    // keep the highest-quality member per cluster (q_text_quality formula),
+    // ties to the lowest doc_id — the "which copy survives" decision of a
+    // dedup pipeline, as one hash aggregate over the cluster assignment.
+    "q_llm_dedup_keep_best" -> ((s: SparkSession, dir: String) => {
+      val docs = table(s, dir, "documents")
+      val stopList = TextOps.Stopwords.map(w => s"'$w'").mkString(", ")
+      val quality = docs
+        .withColumn("n_tokens", size(split(col("text"), " ")))
+        .withColumn("n_stop",
+          expr(s"size(filter(split(text, ' '), t -> t IN ($stopList)))"))
+        .select(col("doc_id"),
+          (col("n_stop") / col("n_tokens") * 0.5
+            + least(lit(1.0), col("n_chars") / 500.0) * 0.5).as("quality"))
+      dupClusters(s, docs).join(quality, "doc_id")
+        .groupBy("cluster_id")
+        .agg(
+          max_by(col("doc_id"), struct(col("quality"), -col("doc_id"))).as("keep_id"),
+          asLong(count(lit(1))).as("n_members"),
+          max(col("quality")).as("best_quality"))
+        .orderBy("cluster_id")
     }),
 
     // Per-doc top-3 TF-IDF tokens. The idf is the RATIONAL (N+1)/(df+1)
@@ -193,7 +244,11 @@ object CurationOps extends QueryModule {
          |sh AS (SELECT sh0.* FROM sh0 JOIN keep USING (shingle)),
          |e AS (
          |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
-         |  FROM sh x JOIN sh y USING (shingle) WHERE x.doc_id <> y.doc_id),
+         |  FROM sh x JOIN sh y USING (shingle) WHERE x.doc_id <> y.doc_id
+         |  UNION
+         |  SELECT d1.doc_id AS a, d2.doc_id AS b
+         |  FROM documents d1 JOIN documents d2
+         |    ON d1.text = d2.text AND d1.doc_id <> d2.doc_id),
          |reach AS (
          |  SELECT doc_id, doc_id AS label FROM documents
          |  UNION
@@ -202,6 +257,53 @@ object CurationOps extends QueryModule {
          |SELECT doc_id, cluster_id,
          |       CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size
          |FROM cl ORDER BY doc_id""".stripMargin,
+
+    "q_llm_dedup_keep_best" ->
+      s"""WITH RECURSIVE
+         |t AS (
+         |  SELECT doc_id, list_filter(string_split(text, ' '), x -> length(x) > 0) AS toks
+         |  FROM documents),
+         |sgen AS (
+         |  SELECT doc_id, toks, unnest(generate_series(1, greatest(len(toks) - 4, 0))) AS i
+         |  FROM t),
+         |sh0 AS (
+         |  SELECT DISTINCT doc_id,
+         |         toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' ||
+         |         toks[i+3] || ' ' || toks[i+4] AS shingle
+         |  FROM sgen),
+         |keep AS (SELECT shingle FROM sh0 GROUP BY shingle HAVING count(*) <= $MaxShingleDocs),
+         |sh AS (SELECT sh0.* FROM sh0 JOIN keep USING (shingle)),
+         |e AS (
+         |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+         |  FROM sh x JOIN sh y USING (shingle) WHERE x.doc_id <> y.doc_id
+         |  UNION
+         |  SELECT d1.doc_id AS a, d2.doc_id AS b
+         |  FROM documents d1 JOIN documents d2
+         |    ON d1.text = d2.text AND d1.doc_id <> d2.doc_id),
+         |reach AS (
+         |  SELECT doc_id, doc_id AS label FROM documents
+         |  UNION
+         |  SELECT e.a AS doc_id, r.label FROM e JOIN reach r ON e.b = r.doc_id),
+         |cl AS (SELECT doc_id, min(label) AS cluster_id FROM reach GROUP BY doc_id),
+         |qual AS (
+         |  SELECT doc_id,
+         |         n_stop / n_tokens * 0.5 + least(1.0, n_chars / 500.0) * 0.5 AS quality
+         |  FROM (
+         |    SELECT doc_id, n_chars,
+         |           len(string_split(text, ' ')) AS n_tokens,
+         |           len(list_filter(string_split(text, ' '),
+         |               x -> x IN (${TextOps.Stopwords.map(w => s"'$w'").mkString(", ")}))) AS n_stop
+         |    FROM documents)),
+         |r AS (
+         |  SELECT cl.cluster_id, cl.doc_id, qual.quality,
+         |         row_number() OVER (PARTITION BY cl.cluster_id
+         |                            ORDER BY qual.quality DESC, cl.doc_id ASC) AS rn,
+         |         count(*) OVER (PARTITION BY cl.cluster_id) AS n_members,
+         |         max(qual.quality) OVER (PARTITION BY cl.cluster_id) AS best_quality
+         |  FROM cl JOIN qual USING (doc_id))
+         |SELECT cluster_id, doc_id AS keep_id,
+         |       CAST(n_members AS BIGINT) AS n_members, best_quality
+         |FROM r WHERE rn = 1 ORDER BY cluster_id""".stripMargin,
 
     "q_text_tfidf" ->
       """WITH tok AS (

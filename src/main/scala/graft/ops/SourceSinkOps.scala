@@ -88,6 +88,25 @@ object SourceSinkOps extends QueryModule {
         .orderBy("event_type")
     }),
 
+    // Partitioned parquet sink round-trip: write documents partitioned by
+    // lang (the 100 TB output layout — partition pruning on read, one dir
+    // per partition value), re-read from the partitioned layout, aggregate.
+    // Lossless round trip, so the oracle aggregates the original table.
+    "q_sink_partitioned" -> ((s: SparkSession, dir: String) => {
+      val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft-sink-part-${math.abs(dir.hashCode)}").getAbsolutePath
+      val marker = new java.io.File(path, "_SUCCESS")
+      if (!marker.exists())
+        table(s, dir, "documents")
+          .write.mode("overwrite").partitionBy("lang").parquet(path)
+      s.read.parquet(path)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          asLong(sum(col("n_chars"))).as("sum_chars"),
+          min("doc_id").as("first_doc"))
+        .orderBy("lang")
+    }),
+
     // Assign records to ≤500-element delivery batches (ProducerSettings cap).
     // Batch ids come from the two-pass bucketed row number (ops.globalRowNumber)
     // — same ids as a global-ordered window, no single-partition exchange.
@@ -128,6 +147,12 @@ object SourceSinkOps extends QueryModule {
         |       CAST(length(payload) + 1 AS BIGINT) AS payload_len,
         |       sha256(payload || chr(10)) AS payload_sha
         |FROM f ORDER BY event_id""".stripMargin,
+
+    "q_sink_partitioned" ->
+      """SELECT lang, count(*) AS n_docs,
+        |       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |       min(doc_id) AS first_doc
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
 
     "q_sink_batchify" ->
       """WITH t AS (

@@ -9,7 +9,7 @@ import org.apache.spark.sql.functions._
   */
 object TextOps extends QueryModule {
 
-  private val Stopwords = Seq("the", "a", "and", "of", "to")
+  private[graft] val Stopwords = Seq("the", "a", "and", "of", "to")
 
   /** Polynomial rolling hash over the whole text (q_text_fingerprint).
     * Exposed for TextSpec's determinism / sensitivity properties. */

@@ -42,6 +42,13 @@ class CurationSpec extends SparkTestBase {
         if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
       }
     }
+    // identical text is an edge in its own right (exact dups always cluster)
+    docTexts.groupBy(_._2).values.filter(_.length > 1).foreach { g =>
+      g.tail.foreach { case (d, _) =>
+        val (ra, rb) = (find(g.head._1), find(d))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+    }
     val expected = docTexts.map { case (id, _) => id -> find(id) }.toMap
     val sizes = expected.values.groupBy(identity).map { case (k, v) => k -> v.size }
 
@@ -96,6 +103,27 @@ class CurationSpec extends SparkTestBase {
       if java.lang.Long.bitCount(sigs(i)._2 ^ sigs(j)._2) <= 3
     } yield 1).sum
     info(s"pairs reported=${got.size}, uncapped hamming<=3 pairs=$uncapped")
+  }
+
+  test("dedup keep-best picks the highest-quality member of each cluster") {
+    val clusters = q("q_llm_dup_clusters").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val quality = SparkEntry.queries("q_text_quality")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getDouble(4))).toMap
+    val expected = clusters.groupBy(_._2).map { case (cl, ms) =>
+      val members = ms.map(_._1)
+      val best = members.minBy(id => (-quality(id), id))
+      (cl, (best, members.length.toLong, members.map(quality).max))
+    }
+    val got = q("q_llm_dedup_keep_best").collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(got.keySet == expected.keySet)
+    expected.foreach { case (cl, (keep, n, bq)) =>
+      val (gKeep, gN, gBq) = got(cl)
+      assert(gKeep == keep && gN == n, s"cluster $cl: got ${got(cl)}, want ($keep,$n)")
+      assert(math.abs(gBq - bq) < 1e-12)
+    }
   }
 
   test("tfidf ranks rarer tokens above common ones within a doc") {

@@ -28,6 +28,23 @@ class OpsSpec extends SparkTestBase {
     }
   }
 
+  test("partitioned sink lays out one directory per lang and prunes on read") {
+    import org.apache.spark.sql.functions.col
+    // the query itself writes the layout on first use
+    SparkEntry.queries("q_sink_partitioned")(spark, sfDir).count()
+    val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft-sink-part-${math.abs(sfDir.hashCode)}")
+    val langDirs = path.listFiles().filter(_.isDirectory).map(_.getName).sorted
+    assert(langDirs.forall(_.startsWith("lang=")), langDirs.mkString(","))
+    val pruned = spark.read.parquet(path.toString).where(col("lang") === "en")
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(lang"),
+      "expected the lang predicate to prune partitions at the scan")
+    val full = spark.read.parquet(s"$sfDir/documents.parquet")
+    assert(pruned.count() ==
+      full.where(col("lang") === "en").count())
+  }
+
   test("FP-sensitive aggregates are run-to-run deterministic") {
     for (name <- Seq("q_agg_basic", "q_join_multiway", "q_udaf_weighted", "q_win_moving")) {
       val a = SparkEntry.queries(name)(spark, sfDir).collect().toSeq
