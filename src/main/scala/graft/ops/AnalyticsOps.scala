@@ -1,0 +1,97 @@
+package graft.ops
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Event-analytics operators over `events` (SURVEY §2B, round 3): funnel
+  * stage analysis and cohort retention — the warehouse-side queries a
+  * product pipeline runs next to the delivery stream.
+  *
+  * Scale design: both are per-user sequences — every stage is a hash
+  * aggregate or equi-join keyed on user_id, so work shuffles once per stage
+  * on the user key and partial aggregation runs map-side. Time buckets are
+  * pure integer arithmetic on epoch micros (no calendar functions), which
+  * is also what keeps the DuckDB oracle bit-exact.
+  */
+object AnalyticsOps extends QueryModule {
+
+  private val WeekUs = 7L * 86400L * 1000000L
+
+  def queries: Seq[(String, Q)] = Seq(
+    // Ordered funnel per user: earliest view, earliest click at/after that
+    // view, earliest purchase at/after that click; stage = how deep the
+    // user got. Three conditional-min hash aggregates chained on user_id.
+    "q_funnel_steps" -> ((s: SparkSession, dir: String) => {
+      val ev = table(s, dir, "events")
+        .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("ts_us"))
+      val t1 = ev.groupBy("user_id")
+        .agg(min(when(col("event_type") === "view", col("ts_us"))).as("view_us"))
+      val t2 = ev.join(t1, "user_id")
+        .groupBy("user_id", "view_us")
+        .agg(min(when(col("event_type") === "click" && col("ts_us") >= col("view_us"),
+          col("ts_us"))).as("click_us"))
+      val t3 = ev.join(t2, "user_id")
+        .groupBy("user_id", "view_us", "click_us")
+        .agg(min(when(col("event_type") === "purchase" && col("ts_us") >= col("click_us"),
+          col("ts_us"))).as("purchase_us"))
+      t3.select(col("user_id"), col("view_us"), col("click_us"), col("purchase_us"),
+          asLong(when(col("purchase_us").isNotNull, 3)
+            .when(col("click_us").isNotNull, 2)
+            .when(col("view_us").isNotNull, 1)
+            .otherwise(0)).as("funnel_stage"))
+        .orderBy("user_id")
+    }),
+
+    // Cohort retention: cohort = integer week of a user's first event,
+    // activity = distinct (user, week); cell (cohort_week, week_offset) =
+    // distinct active users. Week index is epoch_us div (7 days of µs).
+    "q_retention_cohort" -> ((s: SparkSession, dir: String) => {
+      val ev = table(s, dir, "events")
+        .select(col("user_id"),
+          expr(s"unix_micros(ts) div $WeekUs").as("week"))
+      val cohort = ev.groupBy("user_id").agg(min("week").as("cohort_week"))
+      val active = ev.distinct()
+      active.join(cohort, "user_id")
+        .groupBy(col("cohort_week"), (col("week") - col("cohort_week")).as("week_offset"))
+        .agg(count_distinct(col("user_id")).as("n_users"))
+        .orderBy("cohort_week", "week_offset")
+    })
+  )
+
+  def oracle: Seq[(String, String)] = Seq(
+    "q_funnel_steps" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
+        |t1 AS (
+        |  SELECT user_id,
+        |         min(CASE WHEN event_type = 'view' THEN ts_us END) AS view_us
+        |  FROM ev GROUP BY user_id),
+        |t2 AS (
+        |  SELECT ev.user_id, t1.view_us,
+        |         min(CASE WHEN ev.event_type = 'click' AND ev.ts_us >= t1.view_us
+        |                  THEN ev.ts_us END) AS click_us
+        |  FROM ev JOIN t1 USING (user_id) GROUP BY ev.user_id, t1.view_us),
+        |t3 AS (
+        |  SELECT ev.user_id, t2.view_us, t2.click_us,
+        |         min(CASE WHEN ev.event_type = 'purchase' AND ev.ts_us >= t2.click_us
+        |                  THEN ev.ts_us END) AS purchase_us
+        |  FROM ev JOIN t2 USING (user_id) GROUP BY ev.user_id, t2.view_us, t2.click_us)
+        |SELECT user_id, view_us, click_us, purchase_us,
+        |       CAST(CASE WHEN purchase_us IS NOT NULL THEN 3
+        |                 WHEN click_us IS NOT NULL THEN 2
+        |                 WHEN view_us IS NOT NULL THEN 1
+        |                 ELSE 0 END AS BIGINT) AS funnel_stage
+        |FROM t3 ORDER BY user_id""".stripMargin,
+
+    "q_retention_cohort" ->
+      s"""WITH ev AS (
+         |  SELECT DISTINCT user_id, epoch_us(ts) // $WeekUs AS week FROM events),
+         |cohort AS (
+         |  SELECT user_id, min(week) AS cohort_week FROM ev GROUP BY user_id)
+         |SELECT cohort_week, ev.week - cohort_week AS week_offset,
+         |       count(DISTINCT ev.user_id) AS n_users
+         |FROM ev JOIN cohort USING (user_id)
+         |GROUP BY cohort_week, week_offset
+         |ORDER BY cohort_week, week_offset""".stripMargin
+  )
+}

@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+/** Invariant tests for the event-analytics family (AnalyticsOps); value
+  * correctness is the DuckDB hash gate, these pin the semantic shape.
+  */
+class AnalyticsSpec extends SparkTestBase {
+
+  private def q(name: String): DataFrame = SparkEntry.queries(name)(spark, sfDir)
+
+  test("funnel stages are ordered and monotone-decreasing in population") {
+    val rows = q("q_funnel_steps").collect().map { r =>
+      (r.getLong(0),
+        Option(r.get(1)).map(_.asInstanceOf[Long]),
+        Option(r.get(2)).map(_.asInstanceOf[Long]),
+        Option(r.get(3)).map(_.asInstanceOf[Long]),
+        r.getLong(4))
+    }
+    assert(rows.nonEmpty)
+    rows.foreach { case (u, v, c, p, stage) =>
+      // each stage's timestamp is at/after the previous stage's
+      for (cv <- c; vv <- v) assert(cv >= vv, s"user $u: click before view")
+      for (pv <- p; cv <- c) assert(pv >= cv, s"user $u: purchase before click")
+      // a stage exists only if every earlier stage exists
+      assert(c.isEmpty || v.nonEmpty)
+      assert(p.isEmpty || c.nonEmpty)
+      val expectedStage = if (p.nonEmpty) 3L else if (c.nonEmpty) 2L else if (v.nonEmpty) 1L else 0L
+      assert(stage == expectedStage)
+    }
+    val byStage = (0L to 3L).map(k => rows.count(_._5 >= k))
+    assert(byStage == byStage.sorted.reverse, s"population not monotone: $byStage")
+  }
+
+  test("retention offset-0 cell equals the cohort size") {
+    val rows = q("q_retention_cohort").collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2)))
+    assert(rows.nonEmpty)
+    assert(rows.forall { case ((_, off), n) => off >= 0 && n >= 1 })
+    // every user is active in their cohort week, so offset 0 counts the
+    // whole cohort, and no later offset can exceed it
+    val byCohort = rows.groupBy(_._1._1)
+    byCohort.foreach { case (cw, cells) =>
+      val at0 = cells.collectFirst { case ((_, 0L), n) => n }
+      assert(at0.nonEmpty, s"cohort $cw missing offset 0")
+      assert(cells.forall(_._2 <= at0.get), s"cohort $cw: offset beats cohort size")
+    }
+  }
+}
