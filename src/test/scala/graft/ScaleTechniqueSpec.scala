@@ -51,6 +51,35 @@ class ScaleTechniqueSpec extends SparkTestBase {
     assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
   }
 
+  test("runtime bloom filter prunes the fact side of a selective dim join") {
+    // At 100 TB a selective dimension predicate should also prune the fact
+    // scan. Spark's InjectRuntimeFilter does that automatically once the
+    // fact side is large enough — thresholds are lowered here so the
+    // mechanism is demonstrable at fixture scale.
+    val prevBroadcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB")
+    try {
+      val li = ops.table(spark, sfDir, "lineitem")
+      val sel = ops.table(spark, sfDir, "orders")
+        .where(col("o_totalprice") > 400000.0)
+      val j = li.join(sel, col("l_orderkey") === col("o_orderkey"))
+      val optimized = j.queryExecution.optimizedPlan.toString
+      assert(optimized.contains("might_contain"),
+        s"expected a runtime bloom filter on the fact side, plan:\n$optimized")
+      // and the filtered plan returns the same rows as the plain join
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "false")
+      val plain = li.join(sel, col("l_orderkey") === col("o_orderkey"))
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      assert(j.count() == plain.count())
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
+      spark.conf.unset("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
+      spark.conf.unset("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold")
+    }
+  }
+
   test("hash-agg as-of join matches the window-function formulation") {
     import org.apache.spark.sql.expressions.Window
     val e = ops.table(spark, sfDir, "events").select("event_id", "user_id", "ts")
