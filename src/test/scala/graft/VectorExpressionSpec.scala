@@ -71,6 +71,34 @@ class VectorExpressionSpec extends SparkTestBase {
     assert(VectorDot(Literal.create(null, x.dataType), y).eval(null) == null)
   }
 
+  test("spark.sql.extensions injection registers the functions declaratively") {
+    import org.apache.spark.sql.SparkSession
+    // a fresh SparkSession over the same SparkContext, wired through the
+    // same GraftExtensions class a cluster names in spark.sql.extensions
+    // (the config-string path only applies at SparkContext creation, so the
+    // public withExtensions hook is the testable equivalent here); no
+    // imperative register() call anywhere
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val s2 = SparkSession.builder()
+        .master("local[4]") // reuses the suite's live SparkContext
+        .withExtensions(new graft.functions.GraftExtensions)
+        .getOrCreate()
+      val d = s2.sql("SELECT cosine_sim(array(1.0D, 0.0D), array(1.0D, 0.0D)) AS c")
+        .head().getDouble(0)
+      assert(math.abs(d - 1.0) < 1e-15)
+      val sh = s2.sql("SELECT shingle FROM (SELECT 'a b c' AS t) LATERAL VIEW shingles(t, 2) AS pos, shingle")
+        .collect().map(_.getString(0)).toSeq
+      assert(sh == Seq("a b", "b c"))
+    } finally {
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+      SparkSession.setActiveSession(spark)
+      SparkSession.setDefaultSession(spark)
+    }
+  }
+
   test("the knn query plan uses the native expression, not HOF lambdas") {
     val plan = SparkEntry.queries("q_llm_sim_knn")(spark, sfDir)
       .queryExecution.executedPlan.toString
