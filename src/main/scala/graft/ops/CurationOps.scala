@@ -32,6 +32,72 @@ object CurationOps extends QueryModule {
     * convergence, this bound only guards pathological chains. */
   private val MaxLpIters = 20
 
+  /** Per-lang deterministic keep-rates (doc_id mod 100) shared by the
+    * sampling and end-to-end pipeline queries, with the SQL twin. */
+  private val Rates = Seq("en" -> 50, "fr" -> 30, "es" -> 20, "zh" -> 10)
+  private val DefaultRate = 5
+  private def rateCol =
+    Rates.tail.foldLeft(when(col("lang") === Rates.head._1, Rates.head._2)) {
+      case (acc, (l, r)) => acc.when(col("lang") === l, r)
+    }.otherwise(DefaultRate)
+  private val rateCaseSql = "CASE lang " +
+    Rates.map { case (l, r) => s"WHEN '$l' THEN $r" }.mkString(" ") +
+    s" ELSE $DefaultRate END"
+
+  /** (doc_id, quality) with the q_text_quality composite formula. */
+  private def qualityOf(docs: DataFrame): DataFrame = {
+    val stopList = TextOps.Stopwords.map(w => s"'$w'").mkString(", ")
+    docs
+      .withColumn("n_tokens", size(split(col("text"), " ")))
+      .withColumn("n_stop",
+        expr(s"size(filter(split(text, ' '), t -> t IN ($stopList)))"))
+      .select(col("doc_id"),
+        (col("n_stop") / col("n_tokens") * 0.5
+          + least(lit(1.0), col("n_chars") / 500.0) * 0.5).as("quality"))
+  }
+
+  /** Shared DuckDB CTE fragments — single source for every cluster-derived
+    * oracle so the SQL twins cannot drift from each other. `clusterCte`
+    * ends with `cl(doc_id, cluster_id)`; `qualCte` defines
+    * `qual(doc_id, quality)` mirroring [[qualityOf]]. */
+  private def clusterCte: String =
+    s"""t AS (
+       |  SELECT doc_id, list_filter(string_split(text, ' '), x -> length(x) > 0) AS toks
+       |  FROM documents),
+       |sgen AS (
+       |  SELECT doc_id, toks, unnest(generate_series(1, greatest(len(toks) - 4, 0))) AS i
+       |  FROM t),
+       |sh0 AS (
+       |  SELECT DISTINCT doc_id,
+       |         toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' ||
+       |         toks[i+3] || ' ' || toks[i+4] AS shingle
+       |  FROM sgen),
+       |keep AS (SELECT shingle FROM sh0 GROUP BY shingle HAVING count(*) <= $MaxShingleDocs),
+       |sh AS (SELECT sh0.* FROM sh0 JOIN keep USING (shingle)),
+       |e AS (
+       |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+       |  FROM sh x JOIN sh y USING (shingle) WHERE x.doc_id <> y.doc_id
+       |  UNION
+       |  SELECT d1.doc_id AS a, d2.doc_id AS b
+       |  FROM documents d1 JOIN documents d2
+       |    ON d1.text = d2.text AND d1.doc_id <> d2.doc_id),
+       |reach AS (
+       |  SELECT doc_id, doc_id AS label FROM documents
+       |  UNION
+       |  SELECT e.a AS doc_id, r.label FROM e JOIN reach r ON e.b = r.doc_id),
+       |cl AS (SELECT doc_id, min(label) AS cluster_id FROM reach GROUP BY doc_id)""".stripMargin
+
+  private def qualCte: String =
+    s"""qual AS (
+       |  SELECT doc_id,
+       |         n_stop / n_tokens * 0.5 + least(1.0, n_chars / 500.0) * 0.5 AS quality
+       |  FROM (
+       |    SELECT doc_id, n_chars,
+       |           len(string_split(text, ' ')) AS n_tokens,
+       |           len(list_filter(string_split(text, ' '),
+       |               x -> x IN (${TextOps.Stopwords.map(w => s"'$w'").mkString(", ")}))) AS n_stop
+       |    FROM documents))""".stripMargin
+
   /** Distinct (doc_id, 5-word-shingle) pairs with stop-shingles removed. */
   private def clusterShingles(s: SparkSession, docs: DataFrame): DataFrame = {
     graft.functions.GraftFunctions.register(s)
@@ -159,15 +225,7 @@ object CurationOps extends QueryModule {
     // dedup pipeline, as one hash aggregate over the cluster assignment.
     "q_llm_dedup_keep_best" -> ((s: SparkSession, dir: String) => {
       val docs = table(s, dir, "documents")
-      val stopList = TextOps.Stopwords.map(w => s"'$w'").mkString(", ")
-      val quality = docs
-        .withColumn("n_tokens", size(split(col("text"), " ")))
-        .withColumn("n_stop",
-          expr(s"size(filter(split(text, ' '), t -> t IN ($stopList)))"))
-        .select(col("doc_id"),
-          (col("n_stop") / col("n_tokens") * 0.5
-            + least(lit(1.0), col("n_chars") / 500.0) * 0.5).as("quality"))
-      dupClusters(s, docs).join(quality, "doc_id")
+      dupClusters(s, docs).join(qualityOf(docs), "doc_id")
         .groupBy("cluster_id")
         .agg(
           max_by(col("doc_id"), struct(col("quality"), -col("doc_id"))).as("keep_id"),
@@ -213,87 +271,49 @@ object CurationOps extends QueryModule {
     // Deterministic stratified sampling for training-mix curation: per-lang
     // keep-rates applied via doc_id mod — reproducible across engines and
     // runs (no RNG), a pure scan-side filter at any scale.
-    "q_llm_curation_sample" -> ((s: SparkSession, dir: String) => {
-      val rate = when(col("lang") === "en", 50)
-        .when(col("lang") === "fr", 30)
-        .when(col("lang") === "es", 20)
-        .when(col("lang") === "zh", 10)
-        .otherwise(5)
+    "q_llm_curation_sample" -> ((s: SparkSession, dir: String) =>
       table(s, dir, "documents")
-        .where(pmod(col("doc_id"), lit(100)) < rate)
+        .where(pmod(col("doc_id"), lit(100)) < rateCol)
         .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
-        .orderBy("doc_id")
+        .orderBy("doc_id")),
+
+    // End-to-end curation pipeline — THE LLM-training-data query: duplicate
+    // clusters → keep the best member per cluster → quality gate → stratified
+    // mod-sample → per-language training-set stats. Every stage is one of
+    // the declared operators above composed into a single plan; quality
+    // aggregates surface as min/max (order-independent — an avg of doubles
+    // would be summation-order-dependent and break the hash gate).
+    "q_llm_corpus_curate" -> ((s: SparkSession, dir: String) => {
+      val docs = table(s, dir, "documents")
+      val quality = qualityOf(docs)
+      val keepIds = dupClusters(s, docs).join(quality, "doc_id")
+        .groupBy("cluster_id")
+        .agg(max_by(col("doc_id"), struct(col("quality"), -col("doc_id"))).as("doc_id"))
+        .select("doc_id")
+      docs.join(keepIds, "doc_id").join(quality, "doc_id")
+        .where(col("quality") >= 0.25 && pmod(col("doc_id"), lit(100)) < rateCol)
+        .withColumn("n_tokens", size(split(col("text"), " ")))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          asLong(sum(col("n_tokens"))).as("sum_tokens"),
+          min(col("quality")).as("min_quality"),
+          max(col("quality")).as("max_quality"))
+        .orderBy("lang")
     })
   )
 
   def oracle: Seq[(String, String)] = Seq(
     "q_llm_dup_clusters" ->
       s"""WITH RECURSIVE
-         |t AS (
-         |  SELECT doc_id, list_filter(string_split(text, ' '), x -> length(x) > 0) AS toks
-         |  FROM documents),
-         |sgen AS (
-         |  SELECT doc_id, toks, unnest(generate_series(1, greatest(len(toks) - 4, 0))) AS i
-         |  FROM t),
-         |sh0 AS (
-         |  SELECT DISTINCT doc_id,
-         |         toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' ||
-         |         toks[i+3] || ' ' || toks[i+4] AS shingle
-         |  FROM sgen),
-         |keep AS (SELECT shingle FROM sh0 GROUP BY shingle HAVING count(*) <= $MaxShingleDocs),
-         |sh AS (SELECT sh0.* FROM sh0 JOIN keep USING (shingle)),
-         |e AS (
-         |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
-         |  FROM sh x JOIN sh y USING (shingle) WHERE x.doc_id <> y.doc_id
-         |  UNION
-         |  SELECT d1.doc_id AS a, d2.doc_id AS b
-         |  FROM documents d1 JOIN documents d2
-         |    ON d1.text = d2.text AND d1.doc_id <> d2.doc_id),
-         |reach AS (
-         |  SELECT doc_id, doc_id AS label FROM documents
-         |  UNION
-         |  SELECT e.a AS doc_id, r.label FROM e JOIN reach r ON e.b = r.doc_id),
-         |cl AS (SELECT doc_id, min(label) AS cluster_id FROM reach GROUP BY doc_id)
+         |$clusterCte
          |SELECT doc_id, cluster_id,
          |       CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size
          |FROM cl ORDER BY doc_id""".stripMargin,
 
     "q_llm_dedup_keep_best" ->
       s"""WITH RECURSIVE
-         |t AS (
-         |  SELECT doc_id, list_filter(string_split(text, ' '), x -> length(x) > 0) AS toks
-         |  FROM documents),
-         |sgen AS (
-         |  SELECT doc_id, toks, unnest(generate_series(1, greatest(len(toks) - 4, 0))) AS i
-         |  FROM t),
-         |sh0 AS (
-         |  SELECT DISTINCT doc_id,
-         |         toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' ||
-         |         toks[i+3] || ' ' || toks[i+4] AS shingle
-         |  FROM sgen),
-         |keep AS (SELECT shingle FROM sh0 GROUP BY shingle HAVING count(*) <= $MaxShingleDocs),
-         |sh AS (SELECT sh0.* FROM sh0 JOIN keep USING (shingle)),
-         |e AS (
-         |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
-         |  FROM sh x JOIN sh y USING (shingle) WHERE x.doc_id <> y.doc_id
-         |  UNION
-         |  SELECT d1.doc_id AS a, d2.doc_id AS b
-         |  FROM documents d1 JOIN documents d2
-         |    ON d1.text = d2.text AND d1.doc_id <> d2.doc_id),
-         |reach AS (
-         |  SELECT doc_id, doc_id AS label FROM documents
-         |  UNION
-         |  SELECT e.a AS doc_id, r.label FROM e JOIN reach r ON e.b = r.doc_id),
-         |cl AS (SELECT doc_id, min(label) AS cluster_id FROM reach GROUP BY doc_id),
-         |qual AS (
-         |  SELECT doc_id,
-         |         n_stop / n_tokens * 0.5 + least(1.0, n_chars / 500.0) * 0.5 AS quality
-         |  FROM (
-         |    SELECT doc_id, n_chars,
-         |           len(string_split(text, ' ')) AS n_tokens,
-         |           len(list_filter(string_split(text, ' '),
-         |               x -> x IN (${TextOps.Stopwords.map(w => s"'$w'").mkString(", ")}))) AS n_stop
-         |    FROM documents)),
+         |$clusterCte,
+         |$qualCte,
          |r AS (
          |  SELECT cl.cluster_id, cl.doc_id, qual.quality,
          |         row_number() OVER (PARTITION BY cl.cluster_id
@@ -333,11 +353,29 @@ object CurationOps extends QueryModule {
         |LIMIT 100""".stripMargin,
 
     "q_llm_curation_sample" ->
-      """SELECT doc_id, lang, source, n_chars
-        |FROM documents
-        |WHERE doc_id % 100 < CASE lang
-        |  WHEN 'en' THEN 50 WHEN 'fr' THEN 30 WHEN 'es' THEN 20
-        |  WHEN 'zh' THEN 10 ELSE 5 END
-        |ORDER BY doc_id""".stripMargin
+      s"""SELECT doc_id, lang, source, n_chars
+         |FROM documents
+         |WHERE doc_id % 100 < $rateCaseSql
+         |ORDER BY doc_id""".stripMargin,
+
+    "q_llm_corpus_curate" ->
+      s"""WITH RECURSIVE
+         |$clusterCte,
+         |$qualCte,
+         |best AS (
+         |  SELECT doc_id FROM (
+         |    SELECT cl.doc_id,
+         |           row_number() OVER (PARTITION BY cl.cluster_id
+         |                              ORDER BY qual.quality DESC, cl.doc_id ASC) AS rn
+         |    FROM cl JOIN qual USING (doc_id))
+         |  WHERE rn = 1),
+         |kept AS (
+         |  SELECT d.lang, d.text, q.quality
+         |  FROM documents d JOIN best USING (doc_id) JOIN qual q USING (doc_id)
+         |  WHERE q.quality >= 0.25 AND d.doc_id % 100 < $rateCaseSql)
+         |SELECT lang, count(*) AS n_docs,
+         |       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS sum_tokens,
+         |       min(quality) AS min_quality, max(quality) AS max_quality
+         |FROM kept GROUP BY lang ORDER BY lang""".stripMargin
   )
 }

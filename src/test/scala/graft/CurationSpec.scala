@@ -126,6 +126,28 @@ class CurationSpec extends SparkTestBase {
     }
   }
 
+  test("corpus-curate pipeline = keep-best ∘ quality gate ∘ sample, per lang") {
+    val rates = Map("en" -> 50, "fr" -> 30, "es" -> 20, "zh" -> 10).withDefaultValue(5)
+    val keepIds = q("q_llm_dedup_keep_best").collect().map(_.getLong(1)).toSet
+    val quality = SparkEntry.queries("q_text_quality")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getDouble(4))).toMap
+    val meta = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "lang", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val kept = meta.filter { case (id, l, _) =>
+      keepIds(id) && quality(id) >= 0.25 && id % 100 < rates(l)
+    }
+    val expected = kept.groupBy(_._2).map { case (l, ds) =>
+      // split(text, " ", -1): Spark's size(split(...)) keeps empty tokens
+      l -> (ds.length.toLong, ds.map(_._3.split(" ", -1).length.toLong).sum)
+    }
+    val got = q("q_llm_corpus_curate").collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getLong(2)))).toMap
+    assert(got.keySet == expected.keySet)
+    expected.foreach { case (l, e) => assert(got(l) == e, s"lang $l: ${got(l)} vs $e") }
+    assert(kept.nonEmpty && kept.length < meta.length)
+  }
+
   test("tfidf ranks rarer tokens above common ones within a doc") {
     val rows = q("q_text_tfidf").collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
