@@ -116,6 +116,35 @@ object MultimodalOps extends QueryModule {
         .orderBy("asset_id")
     }),
 
+    // Cosine top-10 over the extracted feature lattices — the ONLY oracled
+    // kNN in the inventory: dot product and norms are exact BIGINT sums
+    // (lattice slots < 1000003, so no overflow at 8 dims), and the cosine
+    // itself uses only IEEE-correctly-rounded ops (sqrt, multiply, divide),
+    // which DuckDB reproduces bit-for-bit — unlike the float-accumulation
+    // cosine over `embeddings`, which is legitimately oracle-less.
+    "q_mm_embed_knn" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val feats = assets(s, dir).mapPartitions { it =>
+        val codec = StubCodec
+        it.map(a => (a.asset_id, codec.featureLattice(a)))
+      }.toDF("asset_id", "ms")
+      val probe = feats.where(col("asset_id") === 0)
+        .select("ms").head().getSeq[Long](0)
+      val probeNorm = probe.map(x => x * x).sum
+      val pv = typedlit(probe)
+      val dotCol = aggregate(zip_with(col("ms"), pv, _ * _), lit(0L), _ + _)
+      val naCol = aggregate(transform(col("ms"), x => x * x), lit(0L), _ + _)
+      feats.where(col("asset_id") =!= 0)
+        .select(col("asset_id"), dotCol.as("dot"), naCol.as("na"))
+        .select(col("asset_id"), col("dot"),
+          when(col("na") === 0L || lit(probeNorm) === 0L, 0.0)
+            .otherwise(col("dot").cast("double")
+              / (sqrt(col("na").cast("double")) * lit(math.sqrt(probeNorm.toDouble))))
+            .as("cos_sim"))
+        .orderBy(desc("cos_sim"), asc("asset_id"))
+        .limit(10)
+    }),
+
     // Feature extraction → embedding column. The raw float array stays an
     // internal column (downstream ANN consumes it); the DECLARED output is
     // hash-stable projections only — dim, f1 (exact: BIGINT/DOUBLE then one
@@ -171,6 +200,26 @@ object MultimodalOps extends QueryModule {
         |       CAST(64 * 48 * 3 AS BIGINT) AS resized_len,
         |       sha256(repeat('x', 64 * 48 * 3)) AS resized_sha
         |FROM documents ORDER BY asset_id""".stripMargin,
+
+    "q_mm_embed_knn" ->
+      """WITH f AS (
+        |  SELECT doc_id AS asset_id,
+        |         list_transform(range(0, 8), j ->
+        |           coalesce(list_sum(list_transform(range(j + 1, length(text) + 1, 8),
+        |             i -> ord(text[i]) * i)), 0) % 1000003) AS ms
+        |  FROM documents),
+        |p AS (SELECT ms AS pms FROM f WHERE asset_id = 0),
+        |sc AS (
+        |  SELECT f.asset_id,
+        |         CAST(list_sum(list_transform(range(1, 9), k -> f.ms[k] * p.pms[k])) AS BIGINT) AS dot,
+        |         CAST(list_sum(list_transform(range(1, 9), k -> f.ms[k] * f.ms[k])) AS BIGINT) AS na,
+        |         CAST(list_sum(list_transform(range(1, 9), k -> p.pms[k] * p.pms[k])) AS BIGINT) AS nb
+        |  FROM f CROSS JOIN p WHERE f.asset_id <> 0)
+        |SELECT asset_id, dot,
+        |       CASE WHEN na = 0 OR nb = 0 THEN 0.0
+        |            ELSE CAST(dot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE)))
+        |       END AS cos_sim
+        |FROM sc ORDER BY cos_sim DESC, asset_id ASC LIMIT 10""".stripMargin,
 
     // Replays StubCodec.featureLattice: slot j sums ord(char at 1-based
     // position p)·p over p ≡ j+1 (mod 8), mod 1000003 (fixtures are ASCII so

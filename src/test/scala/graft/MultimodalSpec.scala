@@ -44,6 +44,26 @@ class MultimodalSpec extends SparkTestBase {
       twice.select("asset_id", "f1").collect().toSeq)
   }
 
+  test("lattice kNN matches a driver-side exact cosine reimplementation") {
+    import graft.multimodal.MultimodalOps
+    val lattices = MultimodalOps.assets(spark, sfDir).collect()
+      .map(a => (a.asset_id, MultimodalOps.StubCodec.featureLattice(a)))
+      .sortBy(_._1)
+    val probe = lattices.find(_._1 == 0L).get._2
+    val nb = math.sqrt(probe.map(x => x.toDouble * x).sum)
+    val expected = lattices.filter(_._1 != 0L).map { case (id, ms) =>
+      val dot = ms.zip(probe).map { case (x, y) => x * y }.sum
+      val na = math.sqrt(ms.map(x => x.toDouble * x).sum)
+      (id, if (na == 0.0 || nb == 0.0) 0.0 else dot.toDouble / (na * nb))
+    }.sortBy { case (id, c) => (-c, id) }.take(10)
+    val got = SparkEntry.queries("q_mm_embed_knn")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getDouble(2)))
+    assert(got.map(_._1).toSeq == expected.map(_._1).toSeq)
+    got.zip(expected).foreach { case ((_, g), (_, w)) =>
+      assert(math.abs(g - w) < 1e-12)
+    }
+  }
+
   test("frame sampling fans out only videos, stepping by 5") {
     val df = SparkEntry.queries("q_mm_frame_sample")(spark, sfDir)
     val byAsset = df.groupBy("asset_id").agg(
