@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ops.{CurationOps, LlmOps}
+
+/** Public library surface for the LLM-training-data pipeline operators.
+  *
+  * The declared queries in [[SparkEntry]] run these same primitives against
+  * the driver fixtures; this facade exposes them for arbitrary DataFrames so
+  * the engine is usable as a library, not just a query registry. Inputs are
+  * schema-by-convention: a document frame has (`doc_id` LONG, `text` STRING,
+  * plus optional metadata); an embedding frame has (`vec_id` LONG,
+  * `embedding` ARRAY<FLOAT|DOUBLE>).
+  *
+  * Every operator keeps the scale properties documented in SCALING.md:
+  * pairing goes through bucketed equi-joins (never all-pairs), aggregation
+  * is partial-by-default, and iterative clustering truncates lineage per
+  * round.
+  */
+object Pipelines {
+
+  /** Exact dedup: one row per distinct `text` (lowest `doc_id` wins),
+    * with the group size alongside. */
+  def exactDedup(docs: DataFrame): DataFrame =
+    docs.groupBy(sha2(col("text"), 256).as("text_sha"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** MinHash-LSH near-duplicate candidate pairs (16 hashes, 8 bands):
+    * (doc_a, doc_b, n_shared_bands), doc_a < doc_b. `maxBucket` caps
+    * degenerate LSH buckets (keep-first-K by doc_id); pass `Int.MaxValue`
+    * to disable when measuring recall. */
+  def minhashCandidates(docs: DataFrame, maxBucket: Int = 50): DataFrame =
+    LlmOps.candidatePairs(docs, maxBucket)
+
+  /** Duplicate clusters: connected components over "shares a kept 5-word
+    * shingle OR identical text" (see q_llm_dup_clusters). Returns
+    * (doc_id, cluster_id) where cluster_id = min doc_id of the component. */
+  def dupClusters(spark: SparkSession, docs: DataFrame): DataFrame =
+    CurationOps.dupClusters(spark, docs)
+
+  /** Composite quality score in [0,1]: stopword ratio and length score,
+    * equally weighted (see q_text_quality). Returns (doc_id, quality). */
+  def quality(docs: DataFrame): DataFrame = CurationOps.qualityOf(docs)
+
+  /** The ids to KEEP after deduplication: the highest-quality member of
+    * each duplicate cluster, ties to the lowest doc_id. */
+  def dedupKeepBest(spark: SparkSession, docs: DataFrame): DataFrame =
+    dupClusters(spark, docs).join(quality(docs), "doc_id")
+      .groupBy("cluster_id")
+      .agg(max_by(col("doc_id"), struct(col("quality"), -col("doc_id"))).as("keep_id"))
+      .select(col("keep_id").as("doc_id"))
+
+  /** `bits`-wide SimHash fingerprint per document over its distinct-token
+    * set. Returns (doc_id, simhash). */
+  def simhash(docs: DataFrame, bits: Int = 64): DataFrame =
+    LlmOps.simhashSigs(docs, bits)
+
+  /** Brute-force cosine top-k of `probe` over an embedding frame — the
+    * correctness baseline for similarity search (codegen'd fused cosine).
+    * Returns (vec_id, cos_sim) ordered best-first. */
+  def knn(spark: SparkSession, embeddings: DataFrame, probe: Seq[Double],
+      k: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    embeddings
+      .select(col("vec_id"),
+        transform(col("embedding"), _.cast("double")).as("emb"))
+      .select(col("vec_id"),
+        call_function("cosine_sim", col("emb"), typedlit(probe)).as("cos_sim"))
+      .orderBy(desc("cos_sim"), asc("vec_id"))
+      .limit(k)
+  }
+}

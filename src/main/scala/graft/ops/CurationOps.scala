@@ -45,7 +45,7 @@ object CurationOps extends QueryModule {
     s" ELSE $DefaultRate END"
 
   /** (doc_id, quality) with the q_text_quality composite formula. */
-  private def qualityOf(docs: DataFrame): DataFrame = {
+  private[graft] def qualityOf(docs: DataFrame): DataFrame = {
     val stopList = TextOps.Stopwords.map(w => s"'$w'").mkString(", ")
     docs
       .withColumn("n_tokens", size(split(col("text"), " ")))

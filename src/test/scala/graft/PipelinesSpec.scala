@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** The public library facade works on arbitrary conforming DataFrames and
+  * agrees with the declared queries that run the same primitives. */
+class PipelinesSpec extends SparkTestBase {
+
+  private lazy val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+
+  test("exactDedup groups identical texts and keeps the lowest id") {
+    import spark.implicits._
+    val tiny = Seq(
+      (1L, "alpha beta"), (2L, "alpha beta"), (3L, "gamma")
+    ).toDF("doc_id", "text")
+    val got = Pipelines.exactDedup(tiny).collect()
+      .map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(got.toSeq == Seq((1L, 2L), (3L, 1L)))
+  }
+
+  test("facade primitives agree with the declared queries on the fixture") {
+    val viaFacade = Pipelines.dedupKeepBest(spark, docs).collect()
+      .map(_.getLong(0)).toSet
+    val viaQuery = SparkEntry.queries("q_llm_dedup_keep_best")(spark, sfDir)
+      .collect().map(_.getLong(1)).toSet
+    assert(viaFacade == viaQuery)
+
+    val cands = Pipelines.minhashCandidates(docs).limit(5).collect()
+    assert(cands.nonEmpty && cands.forall(r => r.getLong(0) < r.getLong(1)))
+
+    val sims = Pipelines.simhash(docs, 16).collect().map(_.getLong(1))
+    assert(sims.forall(s => s >= 0L && s < (1L << 16)))
+  }
+
+  test("knn returns the same neighbors as the declared brute-force query") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val probe = emb.where(col("vec_id") === 0)
+      .select(transform(col("embedding"), _.cast("double")))
+      .head().getSeq[Double](0)
+    val got = Pipelines.knn(spark, emb.where(col("vec_id") =!= 0), probe, 10)
+      .collect().map(_.getLong(0)).toSeq
+    val want = SparkEntry.queries("q_llm_sim_knn")(spark, sfDir)
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == want)
+  }
+}
