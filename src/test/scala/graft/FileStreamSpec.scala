@@ -56,6 +56,46 @@ class FileStreamSpec extends SparkTestBase {
     } finally query.stop()
   }
 
+  test("streaming curation: content-hash dedup + quality gate before delivery") {
+    val srcDir = Files.createTempDirectory("graft-cur-drop").toString
+    val ckpt = Files.createTempDirectory("graft-cur-ckpt").toString
+    def doc(id: Long, text: String) =
+      s"""{"doc_id":$id,"text":"$text","n_chars":${text.length}}"""
+    // two exact duplicates (same text), one low-quality doc (no stopwords,
+    // short), two good docs
+    val good1 = "the quick brown fox jumps over the lazy dog and runs to the hills " * 8
+    val good2 = "a stitch in time saves nine and the early bird catches the worm here " * 8
+    Files.write(Paths.get(srcDir, "d1.json"), Seq(
+      doc(1, good1.trim), doc(2, good1.trim), doc(3, "xyzzy plugh"),
+      doc(4, good2.trim)
+    ).mkString("\n").getBytes("UTF-8"))
+
+    val quality =
+      expr("size(filter(split(text, ' '), t -> t IN ('the','a','and','of','to')))")
+        .cast("double") / size(split(col("text"), " ")) * 0.5 +
+        least(lit(1.0), col("n_chars") / 500.0) * 0.5
+    val source = spark.readStream
+      .schema("doc_id LONG, text STRING, n_chars LONG")
+      .json(srcDir)
+      .withColumn("text_sha", sha2(col("text"), 256))
+      .dropDuplicates("text_sha")
+      .where(quality >= 0.25)
+      .select("doc_id", "text")
+
+    val svc = new MockDeliveryService()
+    val settings = DeliverySettings("curated", batchSize = 100,
+      triggerIntervalMs = 0L, retryPolicy = Some(RetryPolicy(1, 3)))
+    val (query, stats) = DeliverySink.run(source, settings, svc, ckpt)
+    try {
+      query.processAllAvailable()
+      val st = stats()
+      // doc 2 collapses into doc 1 (same sha), doc 3 fails the gate
+      assert(st.records == 2, s"expected 2 curated records, got $st")
+      assert(st.residualFailures == 0)
+      assert(svc.delivered.size == 2)
+    } finally query.stop()
+  }
+
   test("checkpoint restart does not re-deliver committed files") {
     val srcDir = Files.createTempDirectory("graft-drop2").toString
     val ckpt = Files.createTempDirectory("graft-rs-ckpt").toString
