@@ -39,6 +39,33 @@ class ScaleTechniqueSpec extends SparkTestBase {
     }
   }
 
+  test("globalRowNumber matches the global window on sparse, negative, and dense keys") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // sparse with huge gaps, negatives straddling the bucket-0 boundary,
+    // and a dense run — all distinct, so ids must match the window exactly
+    val keys = (Seq(-5000000L, -4097L, -4096L, -1L, 0L, 1L, 4095L, 4096L)
+      ++ (100000L until 101000L) ++ Seq(7L * 1000 * 1000 * 1000L)).distinct
+    val df = keys.toDF("k").repartition(7)
+    val got = ops.globalRowNumber(df, "k", "rn")
+      .select("k", "rn").collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val want = df.withColumn("rn", row_number().over(Window.orderBy("k")))
+      .collect().map(r => (r.getLong(0), r.getInt(1).toLong)).toMap
+    assert(got == want)
+  }
+
+  test("globalRowNumber on duplicate-heavy keys is a valid dense numbering") {
+    import spark.implicits._
+    // one hot key (skew), ties rank arbitrarily but ids must be a
+    // permutation of 1..N with keys non-decreasing in id order
+    val keys = Seq.fill(5000)(42L) ++ (0L until 100L) ++ Seq.fill(300)(8192L)
+    val rows = ops.globalRowNumber(keys.toDF("k").repartition(11), "k", "rn")
+      .select("k", "rn").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.map(_._2).sorted.toSeq == (1L to keys.length).toSeq)
+    val keysByRn = rows.sortBy(_._2).map(_._1).toSeq
+    assert(keysByRn == keysByRn.sorted, "keys must be non-decreasing in id order")
+  }
+
   test("salted join returns exactly the plain join result") {
     val orders = ops.table(spark, sfDir, "orders")
     val customer = ops.table(spark, sfDir, "customer")
