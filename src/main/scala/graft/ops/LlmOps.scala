@@ -67,21 +67,19 @@ object LlmOps extends QueryModule {
     else capBuckets(bands, Seq("band", "bh"), "doc_id", maxBucket)
   }
 
-  /** `bits`-wide SimHash per doc over the distinct-token set: per-bit ±1
-    * vote sums aggregated in one pass (partial+final hash agg), sign →
-    * bit. Disjoint powers of two are combined by addition, which equals OR
-    * even for bit 63 under two's complement. */
+  /** `bits`-wide SimHash per doc over the distinct-token set. Tokens are
+    * hashed by the codegen'd xxhash64 expression, then the one-pass
+    * [[graft.functions.SimHashAgg]] typed aggregate folds all per-bit ±1
+    * vote sums in a single primitive-array buffer — one shuffle payload per
+    * group instead of `bits` separate sum columns (same shape win as
+    * MinHashAgg; measurably faster at bits = 64). */
   private[graft] def simhashSigs(docs: DataFrame, bits: Int): DataFrame = {
     require(bits >= 1 && bits <= 64)
-    val toks = docTokens(docs).withColumn("h", xxhash64(col("token")))
-    val bitSums = (0 until bits).map { b =>
-      sum(shiftright(col("h"), b).bitwiseAND(lit(1L)) * 2 - 1).as(s"s$b")
-    }
-    val sigs = toks.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
-    val simhash = (0 until bits).map { b =>
-      when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L))
-    }.reduce(_ + _)
-    sigs.select(col("doc_id"), simhash.as("simhash"))
+    val agg = udaf(new graft.functions.SimHashAgg(bits))
+    docTokens(docs)
+      .withColumn("h", xxhash64(col("token")))
+      .groupBy("doc_id")
+      .agg(agg(col("h")).as("simhash"))
   }
 
   /** Candidate near-dup pairs: docs sharing >= 1 LSH band. */

@@ -8,6 +8,39 @@ import graft.functions.MinHashAgg
   * (merge correctness), and agreement with a driver-side reference. */
 class MinHashAggSpec extends SparkTestBase {
 
+  test("SimHashAgg equals the expression-based bit-sum formulation") {
+    import org.apache.spark.sql.functions._
+    for (bits <- Seq(16, 64)) {
+      val toks = graft.ops.LlmOps
+        .docTokens(ops.table(spark, sfDir, "documents"))
+        .withColumn("h", xxhash64(col("token")))
+      val bitSums = (0 until bits).map { b =>
+        sum(shiftright(col("h"), b).bitwiseAND(lit(1L)) * 2 - 1).as(s"s$b")
+      }
+      val viaColumns = toks.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+        .select(col("doc_id"),
+          (0 until bits).map { b =>
+            when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L))
+          }.reduce(_ + _).as("simhash"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      val viaAgg = graft.ops.LlmOps
+        .simhashSigs(ops.table(spark, sfDir, "documents"), bits)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(viaAgg == viaColumns, s"bits=$bits")
+    }
+  }
+
+  test("SimHashAgg is partition-invariant (merge is correct)") {
+    import org.apache.spark.sql.functions._
+    val a = graft.ops.LlmOps
+      .simhashSigs(ops.table(spark, sfDir, "documents").repartition(1), 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val b = graft.ops.LlmOps
+      .simhashSigs(ops.table(spark, sfDir, "documents").repartition(13), 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(a == b)
+  }
+
   test("signatures are partition-invariant (merge is correct)") {
     import spark.implicits._
     val sketch = udaf(new MinHashAgg(16))
