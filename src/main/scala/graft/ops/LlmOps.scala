@@ -84,8 +84,16 @@ object LlmOps extends QueryModule {
 
   /** Candidate near-dup pairs: docs sharing >= 1 LSH band. */
   private[graft] def candidatePairs(docs: DataFrame,
-      maxBucket: Int = MaxBucket): DataFrame = {
-    val buckets = lshBuckets(minhashSigs(docTokens(docs)), maxBucket)
+      maxBucket: Int = MaxBucket): DataFrame =
+    candidatePairsFromToks(docTokens(docs), maxBucket)
+
+  /** As [[candidatePairs]] but over an already-computed (doc_id, token)
+    * frame — lets callers that also need the token sets (the Jaccard
+    * verification stage) materialize the explode+distinct ONCE and feed
+    * both branches, instead of Spark recomputing the subplan per branch. */
+  private[graft] def candidatePairsFromToks(toks: DataFrame,
+      maxBucket: Int): DataFrame = {
+    val buckets = lshBuckets(minhashSigs(toks), maxBucket)
     val a = buckets.select(col("band"), col("bh"), col("doc_id").as("doc_a"))
     val b = buckets.select(col("band"), col("bh"), col("doc_id").as("doc_b"))
     a.join(b, Seq("band", "bh"))
@@ -211,11 +219,17 @@ object LlmOps extends QueryModule {
         .limit(500)),
 
     // Exact n-gram Jaccard verification over the LSH candidates only.
+    // The (doc_id, token) frame feeds BOTH the token-set aggregation and
+    // the candidate pipeline; Spark recomputes unshared subplans per
+    // branch (measured on q_text_langid — see SCALING.md), so it is
+    // materialized once with an eager localCheckpoint.
     "q_llm_ngram_jaccard" -> ((s: SparkSession, dir: String) => {
       val docs = table(s, dir, "documents")
-      val sets = docTokens(docs).groupBy("doc_id")
+      val toks = docTokens(docs).localCheckpoint(true)
+      val sets = toks.groupBy("doc_id")
         .agg(collect_set(col("token")).as("toks"))
-      val cands = candidatePairs(docs).where(col("n_shared_bands") >= 2)
+      val cands = candidatePairsFromToks(toks, MaxBucket)
+        .where(col("n_shared_bands") >= 2)
       cands
         .join(sets.select(col("doc_id").as("doc_a"), col("toks").as("toks_a")), "doc_a")
         .join(sets.select(col("doc_id").as("doc_b"), col("toks").as("toks_b")), "doc_b")
