@@ -1,0 +1,85 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming near-duplicate detection: MinHash-LSH candidate generation
+  * over an UNBOUNDED document stream — what a 100 TB ingest pipeline runs
+  * in front of the batch dedup pass, so near-copies are flagged as they
+  * arrive instead of in a nightly job.
+  *
+  * Shape:
+  *   1. per-row MinHash signatures built from pure codegen'd expressions
+  *      (`transform` + `xxhash64(seed, token)` + `array_min`) — no
+  *      aggregation, so they stream;
+  *   2. the same (band, band-hash) LSH blocking as the batch path
+  *      (graft.ops.LlmOps): docs agreeing on any band are candidates;
+  *   3. keyed state per bucket (`flatMapGroupsWithState`) remembers the
+  *      first `maxPerBucket` doc ids seen and emits a candidate pair for
+  *      every later arrival — the streaming analog of the batch
+  *      keep-first-K mega-bucket cap, bounding both state size and pair
+  *      fan-out per bucket.
+  *
+  * Candidates are emitted at-least-once across bands (same as the batch
+  * path before its n_shared_bands aggregation); downstream exact
+  * verification (Jaccard) is idempotent, so duplicates are harmless.
+  */
+object StreamingDedup {
+
+  final case class CandidatePair(doc_a: Long, doc_b: Long, band: Int)
+
+  private val NumHashes = 16
+  private val NumBands = 8 // 2 rows per band
+
+  /** (doc_id, band, bh) LSH bucket rows from a streaming (or batch)
+    * DataFrame with `doc_id` and `text` columns — stateless, codegen'd. */
+  def lshBands(docs: DataFrame): DataFrame = {
+    val toks = array_distinct(filter(split(col("text"), " "),
+      t => length(t) > 0))
+    val sigCols = (0 until NumHashes).map { k =>
+      array_min(transform(toks, t => xxhash64(lit(k), t))).as(s"sig$k")
+    }
+    val withSigs = docs.select(col("doc_id") +: sigCols: _*)
+    val bandCols = (0 until NumBands).map { b =>
+      struct(lit(b).as("band"),
+        xxhash64(lit(b), col(s"sig${2 * b}"), col(s"sig${2 * b + 1}")).as("bh"))
+    }
+    withSigs
+      .select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+  }
+
+  /** Candidate near-dup pairs over a streaming document source. State per
+    * LSH bucket holds at most `maxPerBucket` doc ids (keep-first, by
+    * arrival then id); each new doc pairs against the remembered members.
+    */
+  def nearDupCandidates(docs: DataFrame,
+      maxPerBucket: Int = 50): Dataset[CandidatePair] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    lshBands(docs)
+      .as[(Long, Int, Long)]
+      .groupByKey { case (_, band, bh) => (band, bh) }
+      .flatMapGroupsWithState(
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (key: (Int, Long), rows: Iterator[(Long, Int, Long)],
+         state: GroupState[Seq[Long]]) =>
+          val seen = state.getOption.getOrElse(Seq.empty)
+          val newcomers = rows.map(_._1).toSeq.distinct.sorted
+            .filterNot(seen.contains)
+          var members = seen
+          val out = newcomers.flatMap { id =>
+            val pairs =
+              if (members.size < maxPerBucket)
+                members.map(prev =>
+                  CandidatePair(math.min(prev, id), math.max(prev, id), key._1))
+              else Seq.empty // bucket capped: stop pairing AND stop growing
+            if (members.size < maxPerBucket) members = members :+ id
+            pairs
+          }
+          state.update(members)
+          out.iterator
+      }
+  }
+}
