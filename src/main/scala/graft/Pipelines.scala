@@ -45,12 +45,11 @@ object Pipelines {
   def quality(docs: DataFrame): DataFrame = CurationOps.qualityOf(docs)
 
   /** The ids to KEEP after deduplication: the highest-quality member of
-    * each duplicate cluster, ties to the lowest doc_id. */
+    * each duplicate cluster, ties to the lowest doc_id (the same rule the
+    * oracled q_llm_dedup_keep_best query runs). */
   def dedupKeepBest(spark: SparkSession, docs: DataFrame): DataFrame =
-    dupClusters(spark, docs).join(quality(docs), "doc_id")
-      .groupBy("cluster_id")
-      .agg(max_by(col("doc_id"), struct(col("quality"), -col("doc_id"))).as("keep_id"))
-      .select(col("keep_id").as("doc_id"))
+    CurationOps.keepBestPerCluster(dupClusters(spark, docs), quality(docs))
+      .select("doc_id")
 
   /** `bits`-wide SimHash fingerprint per document over its distinct-token
     * set. Returns (doc_id, simhash). */

@@ -100,6 +100,10 @@ object ScaleProbe {
     import graft.core.DeliverySettings
     import graft.streaming.{BatchResult, DeliveryService, DeliverySink, RecordResult}
     val evDir = s"$outDir/events.parquet"
+    // direct parquet read is safe HERE only because this dir is ScaleProbe's
+    // own output, written with ts as a raw µs-derived long (see the
+    // generation step above) — the CLAUDE.md "events via ops.table only"
+    // rule targets the driver fixtures, whose ts is ns-precision parquet
     val schema = spark.read.parquet(evDir).schema
     val source = spark.readStream.schema(schema).parquet(evDir)
       .select("event_id", "user_id", "event_type", "value")

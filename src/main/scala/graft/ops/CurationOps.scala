@@ -44,6 +44,19 @@ object CurationOps extends QueryModule {
     Rates.map { case (l, r) => s"WHEN '$l' THEN $r" }.mkString(" ") +
     s" ELSE $DefaultRate END"
 
+  /** The SINGLE definition of the keep-best rule: highest quality per
+    * cluster, ties to the lowest doc_id — shared by q_llm_dedup_keep_best,
+    * q_llm_corpus_curate, and the Pipelines facade so they cannot drift.
+    * Returns (cluster_id, doc_id) of each cluster's survivor. */
+  private[graft] def keepBestCol =
+    max_by(col("doc_id"), struct(col("quality"), -col("doc_id")))
+
+  private[graft] def keepBestPerCluster(clusters: DataFrame,
+      quality: DataFrame): DataFrame =
+    clusters.join(quality, "doc_id")
+      .groupBy("cluster_id")
+      .agg(keepBestCol.as("doc_id"))
+
   /** (doc_id, quality) with the q_text_quality composite formula. */
   private[graft] def qualityOf(docs: DataFrame): DataFrame = {
     val stopList = TextOps.Stopwords.map(w => s"'$w'").mkString(", ")
@@ -127,7 +140,12 @@ object CurationOps extends QueryModule {
     * docs, keeping the declared semantics (and the DuckDB oracle) intact.
     */
   private[graft] def dupClusters(s: SparkSession, docs: DataFrame): DataFrame = {
-    val withSha = docs.withColumn("text_sha", sha2(col("text"), 256))
+    // NULL text gets a per-doc unique key: it must neither be dropped by
+    // the equi-join on the sha nor contract with other NULL-text docs —
+    // the oracle's text-equality edge (NULL = NULL is never true) leaves
+    // each such doc a singleton, and so does this.
+    val withSha = docs.withColumn("text_sha",
+      coalesce(sha2(col("text"), 256), concat(lit("null-"), col("doc_id"))))
     val repOf = withSha.groupBy("text_sha")
       .agg(min(col("doc_id")).as("rep_id"))
     val reps = withSha.select(col("doc_id"), col("text_sha"))
@@ -152,8 +170,12 @@ object CurationOps extends QueryModule {
       .localCheckpoint(true)
     var labels = reps.select(col("doc_id"), col("doc_id").as("label"))
       .localCheckpoint(true)
-    var checksum = labels.agg(sum("label")).head().getLong(0)
-    var converged = false
+    // sum(label) over an empty frame is NULL → empty input: nothing to
+    // propagate, skip the loop and return the (empty) expansion below
+    def labelSum(): Option[Long] =
+      Option(labels.agg(sum("label")).head().get(0)).map(_.asInstanceOf[Long])
+    var checksum = labelSum()
+    var converged = checksum.isEmpty
     var it = 0
     while (!converged && it < MaxLpIters) {
       val prop = edges
@@ -162,11 +184,16 @@ object CurationOps extends QueryModule {
       labels = labels.union(prop)
         .groupBy("doc_id").agg(min("label").as("label"))
         .localCheckpoint(true)
-      val nextSum = labels.agg(sum("label")).head().getLong(0)
+      val nextSum = labelSum()
       converged = nextSum == checksum
       checksum = nextSum
       it += 1
     }
+    if (!converged)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"dupClusters label propagation did not converge in $MaxLpIters " +
+          "passes (component diameter exceeds the cap); cluster ids may be " +
+          "non-minimal and diverge from the transitive-closure oracle")
     // expand the quotient back: every doc inherits its representative's
     // component label (= min doc_id of the full cluster, since each rep is
     // already the min of its exact-duplicate group)
@@ -228,7 +255,7 @@ object CurationOps extends QueryModule {
       dupClusters(s, docs).join(qualityOf(docs), "doc_id")
         .groupBy("cluster_id")
         .agg(
-          max_by(col("doc_id"), struct(col("quality"), -col("doc_id"))).as("keep_id"),
+          keepBestCol.as("keep_id"),
           asLong(count(lit(1))).as("n_members"),
           max(col("quality")).as("best_quality"))
         .orderBy("cluster_id")
@@ -286,9 +313,7 @@ object CurationOps extends QueryModule {
     "q_llm_corpus_curate" -> ((s: SparkSession, dir: String) => {
       val docs = table(s, dir, "documents")
       val quality = qualityOf(docs)
-      val keepIds = dupClusters(s, docs).join(quality, "doc_id")
-        .groupBy("cluster_id")
-        .agg(max_by(col("doc_id"), struct(col("quality"), -col("doc_id"))).as("doc_id"))
+      val keepIds = keepBestPerCluster(dupClusters(s, docs), quality)
         .select("doc_id")
       docs.join(keepIds, "doc_id").join(quality, "doc_id")
         .where(col("quality") >= 0.25 && pmod(col("doc_id"), lit(100)) < rateCol)

@@ -23,13 +23,23 @@ object SourceSinkOps extends QueryModule {
   private val tables = Seq("region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  /** Export events once per (fixture dir, format) to a stable temp path —
-    * repeated Bench/Verify invocations reuse it instead of leaking a fresh
-    * directory (and re-paying the write) per call. Content is deterministic
-    * for a given fixture dir. */
+  /** Cache key for derived copies of a fixture dir: path plus the source
+    * file's mtime and size, so a REGENERATED fixture (same path, new
+    * content) gets a fresh copy instead of serving stale data into the
+    * hash gate. */
+  private[graft] def fixtureKey(dir: String, file: String): String = {
+    val f = new java.io.File(dir, file)
+    java.lang.Long.toHexString(
+      scala.util.hashing.MurmurHash3.stringHash(
+        s"$dir|${f.lastModified}|${f.length}").toLong & 0xFFFFFFFFL)
+  }
+
+  /** Export events once per (fixture dir content, format) to a stable temp
+    * path — repeated Bench/Verify invocations reuse it instead of leaking a
+    * fresh directory (and re-paying the write) per call. */
   private def exportOnce(s: SparkSession, dir: String, format: String): String = {
     val path = new java.io.File(System.getProperty("java.io.tmpdir"),
-      s"graft-src-$format-${math.abs(dir.hashCode)}").getAbsolutePath
+      s"graft-src-$format-${fixtureKey(dir, "events.parquet")}").getAbsolutePath
     val marker = new java.io.File(path, "_SUCCESS")
     if (!marker.exists()) {
       val out = table(s, dir, "events")
@@ -94,7 +104,7 @@ object SourceSinkOps extends QueryModule {
     // Lossless round trip, so the oracle aggregates the original table.
     "q_sink_partitioned" -> ((s: SparkSession, dir: String) => {
       val path = new java.io.File(System.getProperty("java.io.tmpdir"),
-        s"graft-sink-part-${math.abs(dir.hashCode)}").getAbsolutePath
+        s"graft-sink-part-${fixtureKey(dir, "documents.parquet")}").getAbsolutePath
       val marker = new java.io.File(path, "_SUCCESS")
       if (!marker.exists())
         table(s, dir, "documents")

@@ -21,9 +21,10 @@ object TextOps extends QueryModule {
   }
 
   /** Winnowing-style min-shingle hash: minimum polynomial hash over all
-    * k=8-char windows (whole-text hash for shorter inputs). Signed-min over
-    * a superset of windows can only shrink, so appending text never raises
-    * the value — TextSpec checks that monotonicity. */
+    * k=8-char windows (whole-text hash for shorter inputs). For texts of
+    * at least k chars, appending only ADDS windows, so the signed min can
+    * only shrink — TextSpec checks that monotonicity. (Texts shorter than
+    * k switch formulas at the k boundary, so the invariant starts there.) */
   private[graft] def minShingleFn(text: String): Long = {
     def poly(from: Int, until: Int): Long = {
       var h = 0L

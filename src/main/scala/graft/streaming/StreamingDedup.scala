@@ -13,8 +13,11 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   *   1. per-row MinHash signatures built from pure codegen'd expressions
   *      (`transform` + `xxhash64(seed, token)` + `array_min`) — no
   *      aggregation, so they stream;
-  *   2. the same (band, band-hash) LSH blocking as the batch path
-  *      (graft.ops.LlmOps): docs agreeing on any band are candidates;
+  *   2. the same banded-blocking SHAPE as the batch path (graft.ops.LlmOps)
+  *      — 16 hashes, 8 bands of 2 rows, docs agreeing on any band are
+  *      candidates — but a different (per-row-computable) hash family, so
+  *      streaming and batch candidate sets are statistically equivalent,
+  *      not row-identical;
   *   3. keyed state per bucket (`flatMapGroupsWithState`) remembers the
   *      first `maxPerBucket` doc ids seen and emits a candidate pair for
   *      every later arrival — the streaming analog of the batch

@@ -33,7 +33,7 @@ class OpsSpec extends SparkTestBase {
     // the query itself writes the layout on first use
     SparkEntry.queries("q_sink_partitioned")(spark, sfDir).count()
     val path = new java.io.File(System.getProperty("java.io.tmpdir"),
-      s"graft-sink-part-${math.abs(sfDir.hashCode)}")
+      s"graft-sink-part-${graft.ops.SourceSinkOps.fixtureKey(sfDir, "documents.parquet")}")
     val langDirs = path.listFiles().filter(_.isDirectory).map(_.getName).sorted
     assert(langDirs.forall(_.startsWith("lang=")), langDirs.mkString(","))
     val pruned = spark.read.parquet(path.toString).where(col("lang") === "en")

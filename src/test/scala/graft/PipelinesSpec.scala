@@ -18,6 +18,20 @@ class PipelinesSpec extends SparkTestBase {
     assert(got.toSeq == Seq((1L, 2L), (3L, 1L)))
   }
 
+  test("dupClusters handles empty and NULL-text inputs") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(Pipelines.dupClusters(spark, empty).isEmpty)
+
+    // NULL-text docs stay singleton clusters (never dropped, never merged
+    // with each other) — matching the oracle's text-equality edge semantics
+    val mixed = Seq((1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, null), (3L, null)).toDF("doc_id", "text")
+    val got = Pipelines.dupClusters(spark, mixed).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == Map(1L -> 1L, 2L -> 2L, 3L -> 3L))
+  }
+
   test("facade primitives agree with the declared queries on the fixture") {
     val viaFacade = Pipelines.dedupKeepBest(spark, docs).collect()
       .map(_.getLong(0)).toSet

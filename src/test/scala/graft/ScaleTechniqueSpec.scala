@@ -95,11 +95,14 @@ class ScaleTechniqueSpec extends SparkTestBase {
       val optimized = j.queryExecution.optimizedPlan.toString
       assert(optimized.contains("might_contain"),
         s"expected a runtime bloom filter on the fact side, plan:\n$optimized")
-      // and the filtered plan returns the same rows as the plain join
+      // and the filtered plan returns the same rows as the plain join —
+      // the control must EXECUTE while the filter is disabled (the conf is
+      // read at optimization time, i.e. during the action)
       spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "false")
-      val plain = li.join(sel, col("l_orderkey") === col("o_orderkey"))
-      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
-      assert(j.count() == plain.count())
+      val plainCount =
+        try li.join(sel, col("l_orderkey") === col("o_orderkey")).count()
+        finally spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      assert(j.count() == plainCount)
     } finally {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
       spark.conf.unset("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
