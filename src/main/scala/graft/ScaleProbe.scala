@@ -39,9 +39,14 @@ object ScaleProbe {
       }.reduce(_.union(_))
 
     // completion marker written only after ALL tables land — a run killed
-    // mid-generation regenerates from scratch instead of probing stale data
+    // mid-generation regenerates from scratch instead of probing stale
+    // data; the marker carries the SOURCE fixture's content key, so a
+    // regenerated sf0.1 also invalidates the ×10 copy
+    val srcKey = graft.ops.SourceSinkOps.fixtureKey(srcDir, "lineitem.parquet")
     val doneMarker = new java.io.File(s"$outDir/_GRAFT_ALL_TABLES")
-    if (!doneMarker.exists()) {
+    val fresh = doneMarker.exists() &&
+      java.nio.file.Files.readString(doneMarker.toPath) == srcKey
+    if (!fresh) {
       println(s"[scale] generating ×$copies fixtures under $outDir")
       val t0 = System.nanoTime()
       replicate(ops.table(spark, srcDir, "lineitem"), Map("l_orderkey" -> KeyStride))
@@ -60,7 +65,7 @@ object ScaleProbe {
         .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
       for (t <- Seq("region", "nation", "customer", "supplier", "part"))
         ops.table(spark, srcDir, t).write.mode("overwrite").parquet(s"$outDir/$t.parquet")
-      java.nio.file.Files.writeString(doneMarker.toPath, "ok")
+      java.nio.file.Files.writeString(doneMarker.toPath, srcKey)
       println(f"[scale] generated in ${(System.nanoTime() - t0) / 1e9}%.1f s")
     }
 
