@@ -211,6 +211,41 @@ object LlmOps extends QueryModule {
         .limit(10)
     }),
 
+    // IVF with nprobe=2 — the recall dial: search the probe's TWO nearest
+    // cells instead of one. Same single-scan shape (centroids inlined,
+    // cell argmax evaluated in the scan filter); recall rises toward
+    // brute force at 2x the in-cell work, still ~K-fold less than a full
+    // scan. LlmSpec pins it to a driver-side reimplementation and checks
+    // its top-10 is at least as close to brute force as nprobe=1's.
+    "q_llm_sim_knn_ivf2" -> ((s: SparkSession, dir: String) => {
+      val K = 8
+      val emb = embDouble(s, dir)
+      val cents: Seq[(Long, Seq[Double])] = emb.where(col("vec_id") < K)
+        .select(col("vec_id"), col("emb")).collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq.sortBy(_._1)
+      def cellOf(e: Column): Column =
+        array_max(array(cents.map { case (cid, vec) =>
+          struct(cosine(s)(e, typedlit(vec)).as("sim"), lit(-cid).as("neg_id"))
+        }: _*)).getField("neg_id") * -1
+      val probe = emb.where(col("vec_id") === 0)
+        .select("emb").head().getSeq[Double](0)
+      // the probe's two nearest cells, computed over the K collected
+      // centroids driver-side (K rows, not a corpus pass)
+      def cosLocal(a: Seq[Double], b: Seq[Double]): Double = {
+        val dot = a.zip(b).map { case (x, y) => x * y }.sum
+        val na = math.sqrt(a.map(x => x * x).sum)
+        val nb = math.sqrt(b.map(x => x * x).sum)
+        if (na == 0 || nb == 0) 0.0 else dot / (na * nb)
+      }
+      val nearest2 = cents.map { case (cid, v) => (cid, cosLocal(probe, v)) }
+        .sortBy { case (cid, sim) => (-sim, cid) }.take(2).map(_._1)
+      emb.where(col("vec_id") =!= 0 && cellOf(col("emb")).isin(nearest2: _*))
+        .select(col("vec_id"), col("label"),
+          cosine(s)(col("emb"), typedlit(probe)).as("cos_sim"))
+        .orderBy(desc("cos_sim"), asc("vec_id"))
+        .limit(10)
+    }),
+
     // MinHash-LSH near-dup candidate pairs (oracle-less; LlmSpec checks
     // candidate quality against exact Jaccard).
     "q_llm_minhash" -> ((s: SparkSession, dir: String) =>

@@ -173,6 +173,24 @@ class LlmSpec extends SparkTestBase {
       "on this fixture the probe's IVF cell contains the global nearest neighbor")
   }
 
+  test("IVF nprobe=2 = exact top-10 in the probe's two best cells, and recall only improves") {
+    val cents = vectors.filter(_._1 < 8L)
+    def cellOf(v: Array[Double]): Long =
+      cents.map { case (cid, c) => (cosine(v, c), -cid) }.max match {
+        case (_, negId) => -negId
+      }
+    val near2 = cents.map { case (cid, c) => (cid, cosine(probeVec, c)) }
+      .sortBy { case (cid, s) => (-s, cid) }.take(2).map(_._1).toSet
+    val inCells = simToProbe.filter { case (id, _) =>
+      near2(cellOf(vectors.find(_._1 == id).get._2))
+    }
+    val got = q("q_llm_sim_knn_ivf2").collect().map(r => (r.getLong(0), r.getDouble(2)))
+    assertTopK(got, top10(inCells))
+    // widening nprobe can only improve (or tie) the best similarity found
+    val got1 = q("q_llm_sim_knn_ivf").collect().map(r => (r.getLong(0), r.getDouble(2)))
+    assert(got.head._2 >= got1.head._2)
+  }
+
   test("embedding near-dup pairs carry exact cosine values, ordered descending") {
     val got = q("q_llm_embed_neardup").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
