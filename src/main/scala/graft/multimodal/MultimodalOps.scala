@@ -1,6 +1,6 @@
 package graft.multimodal
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.ops._
@@ -88,6 +88,18 @@ object MultimodalOps extends QueryModule {
     }
   }
 
+  /** ±1 hyperplanes for the lattice sign-LSH (q_mm_neardup): 4 planes over
+    * the 8 feature slots, deterministic pattern. Plane dots over integer
+    * lattices are exact integer sums, so the BUCKETING ITSELF is
+    * DuckDB-replayable — both the Column expressions and the oracle SQL
+    * are generated from this one matrix. */
+  private val Planes: Seq[Seq[Int]] = Seq.tabulate(4, 8) { (p, i) =>
+    if ((p * 37 + i * 11) % 3 < 2) 1 else -1
+  }
+
+  /** Keep-first-K per bucket, replayed identically in SQL. */
+  private val MaxNdBucket = 200
+
   def queries: Seq[(String, Q)] = Seq(
     "q_mm_decode" -> ((s: SparkSession, dir: String) =>
       decoded(s, dir).toDF()
@@ -145,6 +157,46 @@ object MultimodalOps extends QueryModule {
         .limit(10)
     }),
 
+    // Sign-LSH near-dup pairing over the feature lattices — the first
+    // FULLY-oracled bucketed near-dup pipeline in the inventory: the plane
+    // dots are exact integer sums (sign reproducible in SQL), the
+    // keep-first-K bucket cap is a row_number both engines compute
+    // identically, and the cosine uses only IEEE-exact ops.
+    "q_mm_neardup" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val feats = assets(s, dir).mapPartitions { it =>
+        val codec = StubCodec
+        it.map(a => (a.asset_id, codec.featureLattice(a)))
+      }.toDF("asset_id", "ms")
+      def planeDot(plane: Seq[Int]): Column =
+        plane.zipWithIndex.map { case (sgn, i) =>
+          element_at(col("ms"), i + 1) * lit(sgn.toLong)
+        }.reduce(_ + _)
+      val bucket = Planes.zipWithIndex.map { case (plane, p) =>
+        when(planeDot(plane) > 0, lit(1L << p)).otherwise(lit(0L))
+      }.reduce(_ + _)
+      val capped = feats.withColumn("bucket", bucket)
+        .withColumn("brn", row_number().over(
+          Window.partitionBy("bucket").orderBy("asset_id")))
+        .where(col("brn") <= MaxNdBucket)
+        .drop("brn")
+      val a = capped.select(col("bucket"), col("asset_id").as("doc_a"), col("ms").as("ms_a"))
+      val b = capped.select(col("bucket"), col("asset_id").as("doc_b"), col("ms").as("ms_b"))
+      val dot = aggregate(zip_with(col("ms_a"), col("ms_b"), _ * _), lit(0L), _ + _)
+      val na = aggregate(transform(col("ms_a"), x => x * x), lit(0L), _ + _)
+      val nb = aggregate(transform(col("ms_b"), x => x * x), lit(0L), _ + _)
+      a.join(b, Seq("bucket"))
+        .where(col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b"),
+          when(na === 0L || nb === 0L, 0.0)
+            .otherwise(dot.cast("double")
+              / (sqrt(na.cast("double")) * sqrt(nb.cast("double"))))
+            .as("cos_sim"))
+        .orderBy(desc("cos_sim"), asc("doc_a"), asc("doc_b"))
+        .limit(50)
+    }),
+
     // Feature extraction → embedding column. The raw float array stays an
     // internal column (downstream ANN consumes it); the DECLARED output is
     // hash-stable projections only — dim, f1 (exact: BIGINT/DOUBLE then one
@@ -200,6 +252,42 @@ object MultimodalOps extends QueryModule {
         |       CAST(64 * 48 * 3 AS BIGINT) AS resized_len,
         |       sha256(repeat('x', 64 * 48 * 3)) AS resized_sha
         |FROM documents ORDER BY asset_id""".stripMargin,
+
+    "q_mm_neardup" -> {
+      val planeSql = Planes.zipWithIndex.map { case (plane, p) =>
+        val dot = plane.zipWithIndex
+          .map { case (sgn, i) => s"ms[${i + 1}] * ($sgn)" }.mkString(" + ")
+        s"(CASE WHEN $dot > 0 THEN ${1L << p} ELSE 0 END)"
+      }.mkString(" + ")
+      val pairDot = (1 to 8).map(k => s"x.ms[$k] * y.ms[$k]").mkString(" + ")
+      def norm(side: String) = (1 to 8).map(k => s"$side.ms[$k] * $side.ms[$k]").mkString(" + ")
+      s"""WITH f AS (
+         |  SELECT doc_id AS asset_id,
+         |         list_transform(range(0, 8), j ->
+         |           coalesce(list_sum(list_transform(range(j + 1, length(text) + 1, 8),
+         |             i -> ord(text[i]) * i)), 0) % 1000003) AS ms
+         |  FROM documents),
+         |bkt AS (
+         |  SELECT asset_id, ms, $planeSql AS bucket FROM f),
+         |capped AS (
+         |  SELECT * FROM (
+         |    SELECT asset_id, ms, bucket,
+         |           row_number() OVER (PARTITION BY bucket ORDER BY asset_id) AS brn
+         |    FROM bkt) WHERE brn <= $MaxNdBucket),
+         |pairs AS (
+         |  SELECT x.asset_id AS doc_a, y.asset_id AS doc_b,
+         |         CAST($pairDot AS BIGINT) AS dot,
+         |         CAST(${norm("x")} AS BIGINT) AS na,
+         |         CAST(${norm("y")} AS BIGINT) AS nb
+         |  FROM capped x JOIN capped y USING (bucket)
+         |  WHERE x.asset_id < y.asset_id)
+         |SELECT doc_a, doc_b,
+         |       CASE WHEN na = 0 OR nb = 0 THEN 0.0
+         |            ELSE CAST(dot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE)))
+         |       END AS cos_sim
+         |FROM pairs
+         |ORDER BY cos_sim DESC, doc_a ASC, doc_b ASC LIMIT 50""".stripMargin
+    },
 
     "q_mm_embed_knn" ->
       """WITH f AS (
