@@ -103,6 +103,23 @@ object TextOps extends QueryModule {
           (col("n_chars") / size(col("re_toks"))).as("chars_per_token"))
         .orderBy("doc_id")),
 
+    // OOV analysis: per-doc out-of-vocabulary token rate against the
+    // corpus top-30 vocabulary — the coverage metric a tokenizer pipeline
+    // tracks. The tiny vocabulary is broadcast; the token stream joins it
+    // without shuffling.
+    "q_text_oov" -> ((s: SparkSession, dir: String) => {
+      val toks = tokens(table(s, dir, "documents")).select("doc_id", "token")
+      val vocab = toks.groupBy("token").agg(count(lit(1)).as("tf"))
+        .orderBy(desc("tf"), asc("token")).limit(30)
+        .select(col("token"), lit(1L).as("in_vocab"))
+      toks.join(broadcast(vocab), Seq("token"), "left")
+        .groupBy("doc_id")
+        .agg(asLong(count(lit(1))).as("n_tokens"),
+          asLong(count(lit(1)) - sum(coalesce(col("in_vocab"), lit(0L)))).as("n_oov"))
+        .withColumn("oov_rate", col("n_oov").cast("double") / col("n_tokens"))
+        .orderBy("doc_id")
+    }),
+
     // Document fingerprinting: polynomial rolling hash over the whole text
     // plus a winnowing-style min-shingle hash (oracle-less; deterministic,
     // checked by property tests in TextSpec).
@@ -155,6 +172,24 @@ object TextOps extends QueryModule {
          |       least(1.0, n_chars / 500.0) AS len_score,
          |       n_stop / n_tokens * 0.5 + least(1.0, n_chars / 500.0) * 0.5 AS quality
          |FROM t ORDER BY doc_id""".stripMargin,
+
+    "q_text_oov" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+        |tokf AS (SELECT * FROM tok WHERE length(token) > 0),
+        |vocab AS (
+        |  SELECT token FROM (
+        |    SELECT token, count(*) AS tf FROM tokf GROUP BY token
+        |    ORDER BY tf DESC, token ASC LIMIT 30)),
+        |j AS (
+        |  SELECT t.doc_id,
+        |         CASE WHEN v.token IS NULL THEN 0 ELSE 1 END AS iv
+        |  FROM tokf t LEFT JOIN vocab v USING (token))
+        |SELECT doc_id,
+        |       CAST(count(*) AS BIGINT) AS n_tokens,
+        |       CAST(count(*) - sum(iv) AS BIGINT) AS n_oov,
+        |       CAST(count(*) - sum(iv) AS DOUBLE) / count(*) AS oov_rate
+        |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q_text_tokens" ->
       """WITH t AS (
