@@ -304,6 +304,27 @@ object CurationOps extends QueryModule {
         .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
         .orderBy("doc_id")),
 
+    // Train/eval contamination detection: flag "training" docs (sources
+    // other than src0) sharing any kept 5-word shingle with the "benchmark"
+    // set (source src0) — the decontamination pass a training pipeline runs
+    // before an eval split ships. Same stop-shingle hygiene as clustering;
+    // the join is equi on the shingle string, never all-pairs.
+    "q_llm_contamination" -> ((s: SparkSession, dir: String) => {
+      val docs = table(s, dir, "documents")
+      val sh = clusterShingles(s, docs)
+        .join(docs.select("doc_id", "source"), "doc_id")
+      val evalSh = sh.where(col("source") === "src0")
+        .select(col("shingle"), col("doc_id").as("eval_doc"))
+      val trainSh = sh.where(col("source") =!= "src0")
+        .select(col("shingle"), col("doc_id"))
+      trainSh.join(evalSh, "shingle")
+        .groupBy("doc_id")
+        .agg(asLong(count(lit(1))).as("n_hits"),
+          asLong(count_distinct(col("shingle"))).as("n_shingles"),
+          min(col("eval_doc")).as("first_eval_doc"))
+        .orderBy("doc_id")
+    }),
+
     // End-to-end curation pipeline — THE LLM-training-data query: duplicate
     // clusters → keep the best member per cluster → quality gate → stratified
     // mod-sample → per-language training-set stats. Every stage is one of
@@ -382,6 +403,32 @@ object CurationOps extends QueryModule {
          |FROM documents
          |WHERE doc_id % 100 < $rateCaseSql
          |ORDER BY doc_id""".stripMargin,
+
+    "q_llm_contamination" ->
+      s"""WITH
+         |t AS (
+         |  SELECT doc_id, list_filter(string_split(text, ' '), x -> length(x) > 0) AS toks
+         |  FROM documents),
+         |sgen AS (
+         |  SELECT doc_id, toks, unnest(generate_series(1, greatest(len(toks) - 4, 0))) AS i
+         |  FROM t),
+         |sh0 AS (
+         |  SELECT DISTINCT doc_id,
+         |         toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' ||
+         |         toks[i+3] || ' ' || toks[i+4] AS shingle
+         |  FROM sgen),
+         |keep AS (SELECT shingle FROM sh0 GROUP BY shingle HAVING count(*) <= $MaxShingleDocs),
+         |sh AS (
+         |  SELECT sh0.doc_id, sh0.shingle, d.source
+         |  FROM sh0 JOIN keep USING (shingle) JOIN documents d USING (doc_id)),
+         |ev AS (SELECT shingle, doc_id AS eval_doc FROM sh WHERE source = 'src0'),
+         |tr AS (SELECT shingle, doc_id FROM sh WHERE source <> 'src0')
+         |SELECT tr.doc_id,
+         |       CAST(count(*) AS BIGINT) AS n_hits,
+         |       CAST(count(DISTINCT tr.shingle) AS BIGINT) AS n_shingles,
+         |       min(ev.eval_doc) AS first_eval_doc
+         |FROM tr JOIN ev USING (shingle)
+         |GROUP BY tr.doc_id ORDER BY tr.doc_id""".stripMargin,
 
     "q_llm_corpus_curate" ->
       s"""WITH RECURSIVE
