@@ -79,7 +79,7 @@ object ScaleProbe {
       "q_llm_embed_neardup", "q_llm_dup_clusters", "q_llm_simhash_neardup",
       "q_text_tfidf", "q_llm_dedup_keep_best", "q_llm_corpus_curate",
       "q_mm_embed_knn", "q_mm_neardup", "q_llm_sim_knn_ivf2",
-      "q_funnel_steps", "q_retention_cohort")
+      "q_llm_contamination", "q_funnel_steps", "q_retention_cohort")
     // warmup
     SparkEntry.queries("q_agg_basic")(spark, outDir).count()
     val results = probes.map { name =>
