@@ -73,6 +73,43 @@ class PropertySpec extends SparkTestBase {
     assert(dedup1.groupBy("event_id").count().filter("count > 1").count() == 0)
   }
 
+  test("dupClusters equals brute-force union-find on random near-dup corpora") {
+    import spark.implicits._
+    val word = Gen.oneOf("spark", "scan", "merge", "sort", "hash", "join", "row", "batch")
+    val baseGen = Gen.chooseNum(6, 10).flatMap(n => Gen.listOfN(n, word)).map(_.mkString(" "))
+    val corpusGen = for {
+      bases <- Gen.chooseNum(2, 4).flatMap(k => Gen.listOfN(k, baseGen))
+      n <- Gen.chooseNum(8, 16)
+      docs <- Gen.listOfN(n, for {
+        b <- Gen.oneOf(bases)
+        extra <- Gen.chooseNum(0, 2).flatMap(m => Gen.listOfN(m, word))
+      } yield (b +: extra).mkString(" "))
+    } yield docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+
+    forSamples(corpusGen, n = 6) { docs =>
+      // ground truth: union-find over "share a 5-gram" OR "identical text"
+      val parent = collection.mutable.Map(docs.map(d => d._1 -> d._1): _*)
+      def find(x: Long): Long = { var r = x; while (parent(r) != r) r = parent(r); r }
+      def union(a: Long, b: Long): Unit = {
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      def grams(t: String): Set[String] =
+        t.split(' ').filter(_.nonEmpty).sliding(5).filter(_.length == 5)
+          .map(_.mkString(" ")).toSet
+      for {
+        (ida, ta) <- docs; (idb, tb) <- docs if ida < idb
+        if ta == tb || grams(ta).exists(grams(tb).contains)
+      } union(ida, idb)
+      val expected = docs.map { case (id, _) => id -> find(id) }.toMap
+
+      val got = graft.ops.CurationOps
+        .dupClusters(spark, docs.toDF("doc_id", "text"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(got == expected, s"docs=$docs")
+    }
+  }
+
   test("knn cosine similarities are bounded and sorted descending") {
     val knn = SparkEntry.queries("q_llm_sim_knn")(spark, sfDir).collect()
     assert(knn.nonEmpty)
