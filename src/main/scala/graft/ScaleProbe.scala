@@ -40,9 +40,13 @@ object ScaleProbe {
 
     // completion marker written only after ALL tables land — a run killed
     // mid-generation regenerates from scratch instead of probing stale
-    // data; the marker carries the SOURCE fixture's content key, so a
-    // regenerated sf0.1 also invalidates the ×10 copy
-    val srcKey = graft.ops.SourceSinkOps.fixtureKey(srcDir, "lineitem.parquet")
+    // data; the marker carries a content key over EVERY source table (the
+    // probe copies all ten), so regenerating any of them invalidates the
+    // ×10 copy
+    val srcKey = Seq("region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings")
+      .map(t => graft.ops.SourceSinkOps.fixtureKey(srcDir, s"$t.parquet"))
+      .mkString("-")
     val doneMarker = new java.io.File(s"$outDir/_GRAFT_ALL_TABLES")
     val fresh = doneMarker.exists() &&
       java.nio.file.Files.readString(doneMarker.toPath) == srcKey

@@ -88,13 +88,18 @@ object MultimodalOps extends QueryModule {
     }
   }
 
-  /** ±1 hyperplanes for the lattice sign-LSH (q_mm_neardup): 4 planes over
-    * the 8 feature slots, deterministic pattern. Plane dots over integer
-    * lattices are exact integer sums, so the BUCKETING ITSELF is
-    * DuckDB-replayable — both the Column expressions and the oracle SQL
+  /** ±1 hyperplanes for the lattice sign-LSH (q_mm_neardup): the seven
+    * non-trivial Walsh-Hadamard rows over the 8 feature slots —
+    * pairwise-orthogonal and provably distinct (an earlier linear-mod
+    * pattern silently duplicated a plane). 7 planes → 128 buckets, enough
+    * key cardinality for the bucket-cap window to parallelize. Plane dots
+    * over integer lattices are exact integer sums, so the BUCKETING ITSELF
+    * is DuckDB-replayable — both the Column expressions and the oracle SQL
     * are generated from this one matrix. */
-  private val Planes: Seq[Seq[Int]] = Seq.tabulate(4, 8) { (p, i) =>
-    if ((p * 37 + i * 11) % 3 < 2) 1 else -1
+  private val Planes: Seq[Seq[Int]] = (1 to 7).map { p =>
+    (0 until 8).map { i =>
+      if (java.lang.Integer.bitCount(p & i) % 2 == 0) 1 else -1
+    }
   }
 
   /** Keep-first-K per bucket, replayed identically in SQL. */
@@ -164,7 +169,6 @@ object MultimodalOps extends QueryModule {
     // identically, and the cosine uses only IEEE-exact ops.
     "q_mm_neardup" -> ((s: SparkSession, dir: String) => {
       import s.implicits._
-      import org.apache.spark.sql.expressions.Window
       val feats = assets(s, dir).mapPartitions { it =>
         val codec = StubCodec
         it.map(a => (a.asset_id, codec.featureLattice(a)))
@@ -176,11 +180,9 @@ object MultimodalOps extends QueryModule {
       val bucket = Planes.zipWithIndex.map { case (plane, p) =>
         when(planeDot(plane) > 0, lit(1L << p)).otherwise(lit(0L))
       }.reduce(_ + _)
-      val capped = feats.withColumn("bucket", bucket)
-        .withColumn("brn", row_number().over(
-          Window.partitionBy("bucket").orderBy("asset_id")))
-        .where(col("brn") <= MaxNdBucket)
-        .drop("brn")
+      val capped = graft.ops.LlmOps.capBuckets(
+        feats.withColumn("bucket", bucket),
+        Seq("bucket"), "asset_id", MaxNdBucket)
       val a = capped.select(col("bucket"), col("asset_id").as("doc_a"), col("ms").as("ms_a"))
       val b = capped.select(col("bucket"), col("asset_id").as("doc_b"), col("ms").as("ms_b"))
       val dot = aggregate(zip_with(col("ms_a"), col("ms_b"), _ * _), lit(0L), _ + _)

@@ -116,6 +116,48 @@ object LlmOps extends QueryModule {
     call_function("vector_dot", x, y)
   }
 
+  /** IVF ANN, parameterized on nprobe — the single implementation behind
+    * q_llm_sim_knn_ivf (nprobe=1) and q_llm_sim_knn_ivf2 (nprobe=2).
+    *
+    * K deterministic centroids (lowest vec_ids) are collected once (K
+    * rows, key-pruned scan) and inlined as literals, so cell assignment is
+    * a codegen'd array_max over (sim, -cent_id) structs — a narrow map
+    * with NO join and NO window shuffle — and the corpus is scanned
+    * exactly once with the cell membership evaluated inline. The probe's
+    * nprobe nearest cells come from a driver-side ranking over the K
+    * collected centroids (same dot/norm accumulation order as the
+    * codegen'd CosineSimilarity, so the rankings agree), never a corpus
+    * pass. Recall rises with nprobe toward brute force at nprobe/K of the
+    * full-scan work.
+    */
+  private def ivfQuery(nprobe: Int): Q = (s: SparkSession, dir: String) => {
+    val K = 8
+    val emb = embDouble(s, dir)
+    val cents: Seq[(Long, Seq[Double])] = emb.where(col("vec_id") < K)
+      .select(col("vec_id"), col("emb")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq.sortBy(_._1)
+    // argmax by (sim DESC, cent_id ASC) via lexicographic struct max
+    def cellOf(e: Column): Column =
+      array_max(array(cents.map { case (cid, vec) =>
+        struct(cosine(s)(e, typedlit(vec)).as("sim"), lit(-cid).as("neg_id"))
+      }: _*)).getField("neg_id") * -1
+    val probe = emb.where(col("vec_id") === 0)
+      .select("emb").head().getSeq[Double](0)
+    def cosLocal(a: Seq[Double], b: Seq[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val cells = cents.map { case (cid, v) => (cid, cosLocal(probe, v)) }
+      .sortBy { case (cid, sim) => (-sim, cid) }.take(nprobe).map(_._1)
+    emb.where(col("vec_id") =!= 0 && cellOf(col("emb")).isin(cells: _*))
+      .select(col("vec_id"), col("label"),
+        cosine(s)(col("emb"), typedlit(probe)).as("cos_sim"))
+      .orderBy(desc("cos_sim"), asc("vec_id"))
+      .limit(10)
+  }
+
   private def embDouble(s: SparkSession, dir: String): DataFrame =
     table(s, dir, "embeddings")
       .select(col("vec_id"), col("label"),
@@ -184,67 +226,11 @@ object LlmOps extends QueryModule {
 
     // IVF-style ANN: K deterministic centroids (lowest vec_ids), every
     // vector assigned to its nearest centroid, probe searched only within
-    // its own cell (nprobe=1). The centroid set is collected once (K rows,
-    // key-pruned scan) and inlined as literals, so cell assignment is a
-    // codegen'd array_max over (sim, -cent_id) structs — a narrow map with
-    // NO join and NO window shuffle — and the corpus is scanned exactly
-    // once; the probe's cell comes from a vec_id = 0 point read.
-    "q_llm_sim_knn_ivf" -> ((s: SparkSession, dir: String) => {
-      val K = 8
-      val emb = embDouble(s, dir)
-      val cents: Seq[(Long, Seq[Double])] = emb.where(col("vec_id") < K)
-        .select(col("vec_id"), col("emb")).collect()
-        .map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq.sortBy(_._1)
-      // argmax by (sim DESC, cent_id ASC) via lexicographic struct max
-      def cellOf(e: Column): Column =
-        array_max(array(cents.map { case (cid, vec) =>
-          struct(cosine(s)(e, typedlit(vec)).as("sim"), lit(-cid).as("neg_id"))
-        }: _*)).getField("neg_id") * -1
-      val probeRow = emb.where(col("vec_id") === 0)
-        .select(col("emb"), cellOf(col("emb")).as("cell")).head()
-      val probe = probeRow.getSeq[Double](0)
-      val probeCell = probeRow.getLong(1)
-      emb.where(col("vec_id") =!= 0 && cellOf(col("emb")) === probeCell)
-        .select(col("vec_id"), col("label"),
-          cosine(s)(col("emb"), typedlit(probe)).as("cos_sim"))
-        .orderBy(desc("cos_sim"), asc("vec_id"))
-        .limit(10)
-    }),
-
-    // IVF with nprobe=2 — the recall dial: search the probe's TWO nearest
-    // cells instead of one. Same single-scan shape (centroids inlined,
-    // cell argmax evaluated in the scan filter); recall rises toward
-    // brute force at 2x the in-cell work, still ~K-fold less than a full
-    // scan. LlmSpec pins it to a driver-side reimplementation and checks
-    // its top-10 is at least as close to brute force as nprobe=1's.
-    "q_llm_sim_knn_ivf2" -> ((s: SparkSession, dir: String) => {
-      val K = 8
-      val emb = embDouble(s, dir)
-      val cents: Seq[(Long, Seq[Double])] = emb.where(col("vec_id") < K)
-        .select(col("vec_id"), col("emb")).collect()
-        .map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq.sortBy(_._1)
-      def cellOf(e: Column): Column =
-        array_max(array(cents.map { case (cid, vec) =>
-          struct(cosine(s)(e, typedlit(vec)).as("sim"), lit(-cid).as("neg_id"))
-        }: _*)).getField("neg_id") * -1
-      val probe = emb.where(col("vec_id") === 0)
-        .select("emb").head().getSeq[Double](0)
-      // the probe's two nearest cells, computed over the K collected
-      // centroids driver-side (K rows, not a corpus pass)
-      def cosLocal(a: Seq[Double], b: Seq[Double]): Double = {
-        val dot = a.zip(b).map { case (x, y) => x * y }.sum
-        val na = math.sqrt(a.map(x => x * x).sum)
-        val nb = math.sqrt(b.map(x => x * x).sum)
-        if (na == 0 || nb == 0) 0.0 else dot / (na * nb)
-      }
-      val nearest2 = cents.map { case (cid, v) => (cid, cosLocal(probe, v)) }
-        .sortBy { case (cid, sim) => (-sim, cid) }.take(2).map(_._1)
-      emb.where(col("vec_id") =!= 0 && cellOf(col("emb")).isin(nearest2: _*))
-        .select(col("vec_id"), col("label"),
-          cosine(s)(col("emb"), typedlit(probe)).as("cos_sim"))
-        .orderBy(desc("cos_sim"), asc("vec_id"))
-        .limit(10)
-    }),
+    // its nprobe nearest cells. One implementation behind both declared
+    // queries (nprobe=1 scale path, nprobe=2 recall dial) so they cannot
+    // drift; see ivfQuery.
+    "q_llm_sim_knn_ivf" -> ivfQuery(nprobe = 1),
+    "q_llm_sim_knn_ivf2" -> ivfQuery(nprobe = 2),
 
     // MinHash-LSH near-dup candidate pairs (oracle-less; LlmSpec checks
     // candidate quality against exact Jaccard).
