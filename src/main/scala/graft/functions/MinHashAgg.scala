@@ -16,31 +16,27 @@ import org.apache.spark.sql.expressions.Aggregator
   * so the shuffle carries one K-long array per (group, partition) instead
   * of K separate buffers.
   *
-  * The hash family is xxh64-style mixing of (seed, token-hash) — the same
-  * family shape as the expression-based variant, deterministic across runs.
+  * The hash family is [[ReplayableHash]] — one polynomial base hash per
+  * token plus K universal affine maps mod a prime, chosen (round 4) so the
+  * DuckDB oracle can replay every signature bit-identically in SQL; see
+  * ReplayableHash for the overflow-freedom argument.
   */
 final class MinHashAgg(k: Int) extends Aggregator[String, Array[Long], Seq[Long]] {
-  require(k > 0 && k <= 128)
+  require(k > 0 && k <= ReplayableHash.MinHashParams.length)
 
   override def zero: Array[Long] = Array.fill(k)(Long.MaxValue)
 
-  private def mix(seed: Long, h0: Long): Long = {
-    // xxh64-ish avalanche over the token hash and seed
-    var h = h0 ^ (seed * 0x9E3779B185EBCA87L)
-    h ^= h >>> 33; h *= 0xFF51AFD7ED558CCDL
-    h ^= h >>> 33; h *= 0xC4CEB9FE1A85EC53L
-    h ^= h >>> 33
-    h
-  }
+  // flat (a0, b0, a1, b1, ...) array: primitive access in the hot loop
+  private val ab: Array[Long] =
+    ReplayableHash.MinHashParams.take(k)
+      .flatMap { case (a, b) => Seq(a, b) }.toArray
 
   override def reduce(buf: Array[Long], token: String): Array[Long] = {
-    // hash the token once; derive the K family members by seed mixing
-    var h0 = 0xCBF29CE484222325L
-    var i = 0
-    while (i < token.length) { h0 = (h0 ^ token.charAt(i)) * 0x100000001B3L; i += 1 }
+    // hash the token once; derive the K family members by affine maps
+    val h0 = ReplayableHash.tokenHash(token)
     var j = 0
     while (j < k) {
-      val h = mix(j.toLong, h0)
+      val h = (ab(2 * j) * h0 + ab(2 * j + 1)) % ReplayableHash.P
       if (h < buf(j)) buf(j) = h
       j += 1
     }

@@ -1,0 +1,125 @@
+package graft.functions
+
+/** SQL-replayable hash family for the MinHash / SimHash dedup operators.
+  *
+  * Round 3 left the MinHash/SimHash family oracle-less only because
+  * `xxhash64` has no DuckDB twin. This object replaces it with arithmetic
+  * BOTH engines compute bit-identically in 64-bit integers, so the whole
+  * bucket/cap/pair/verify pipeline replays in SQL (the q_mm_neardup
+  * pattern, generalized):
+  *
+  *   - token hash: polynomial rolling hash over code points,
+  *     `h = (h * 131 + cp) % 1000000007` — DuckDB replays it with
+  *     `list_reduce` over `ord(token[i])` (code points, same values Java's
+  *     `codePointAt` yields for all BMP text);
+  *   - family member k: affine map `(a_k * h + b_k) % P` with deterministic
+  *     per-k constants. Everything stays < 2^63: `h < P ≈ 2^30`, `a_k < P`,
+  *     so `a_k * h + b_k < ~2^60` — no overflow on either engine (DuckDB
+  *     BIGINT overflow is an ERROR, not a wrap, so this bound is load-bearing);
+  *   - LSH band key: `sig_even * P + sig_odd` — an injective pairing of two
+  *     `[0, P)` values, max ≈ 1.0e18 < 2^63.
+  *
+  * This is standard "one base hash + k universal affine maps" MinHash
+  * practice; the constants are fixed (not seeded per run) so results are
+  * reproducible across engines, runs, and partitionings.
+  *
+  * Every SQL fragment the oracles need is GENERATED from the same constants
+  * (single source of truth — the Spark expression and its SQL twin cannot
+  * drift).
+  */
+object ReplayableHash extends Serializable {
+
+  val P: Long = 1000000007L
+  val Base: Long = 131L
+
+  /** Polynomial rolling hash over code points, in [0, P). */
+  def tokenHash(s: String): Long = {
+    var h = 0L
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      h = (h * Base + cp) % P
+      i += Character.charCount(cp)
+    }
+    h
+  }
+
+  /** Deterministic affine-map constants: a_k in [1, P), b_k in [0, P). */
+  def params(n: Int, salt: Long): IndexedSeq[(Long, Long)] =
+    (0 until n).map { k =>
+      val a = ((2654435761L * (k + 1) + 97L * salt) % (P - 1)) + 1
+      val b = (40503L * (k + 1) * (k + 1) + 1009L * salt) % P
+      (a, b)
+    }
+
+  /** k-th member of a family applied to a base token hash. */
+  def affine(a: Long, b: Long, th: Long): Long = (a * th + b) % P
+
+  /** MinHash family (16 hashes → 8 bands of 2 rows). */
+  val MinHashParams: IndexedSeq[(Long, Long)] = params(64, salt = 1)
+
+  /** SimHash bit family (one parity per bit, up to 64 bits). */
+  val SimHashParams: IndexedSeq[(Long, Long)] = params(64, salt = 2)
+
+  // ---- DuckDB SQL twins (generated from the same constants) --------------
+
+  /** SQL computing [[tokenHash]] of a string expression. */
+  def tokenHashSql(col: String): String =
+    s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |  list_transform(range(1, length($col) + 1), i -> CAST(ord($col[i]) AS BIGINT))),
+       |  (h, c) -> (h * $Base + c) % $P)""".stripMargin
+
+  /** `(VALUES ...) name(k, a, b)` relation of the first `n` family params. */
+  def paramsSql(ps: IndexedSeq[(Long, Long)], n: Int, name: String): String = {
+    val rows = ps.take(n).zipWithIndex
+      .map { case ((a, b), k) => s"($k, $a, $b)" }.mkString(", ")
+    s"(SELECT * FROM (VALUES $rows) $name(k, a, b))"
+  }
+
+  /** Signed-decimal literal of `1L << j` (DuckDB rejects `1 << 63`; the
+    * two's-complement min value is emitted as an arithmetic expression). */
+  def bitWeightSql(j: Int): String =
+    if (j == 63) "(-9223372036854775807 - 1)" else (1L << j).toString
+
+  /** Shared oracle prelude over `documents`: distinct non-empty whitespace
+    * tokens (the docTokens contract) and their base hashes.
+    * Ends with `th(doc_id, token, th)`. */
+  def tokenHashCte: String =
+    s"""tok AS (
+       |  SELECT DISTINCT doc_id, token FROM (
+       |    SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+       |  WHERE length(token) > 0),
+       |th AS (SELECT doc_id, token, ${tokenHashSql("token")} AS th FROM tok)""".stripMargin
+
+  /** MinHash signatures CTE: `sigs(doc_id, k, sig)` for k in [0, n). */
+  def minhashSigsCte(n: Int): String =
+    s"""mp AS ${paramsSql(MinHashParams, n, "v")},
+       |sigs AS (
+       |  SELECT doc_id, mp.k, min((mp.a * th.th + mp.b) % $P) AS sig
+       |  FROM th CROSS JOIN mp GROUP BY doc_id, mp.k)""".stripMargin
+
+  /** LSH band keys CTE over `sigs`: `bands(doc_id, band, bh)` with the same
+    * injective pairing the Spark side uses. */
+  def lshBandsCte: String =
+    s"""bands AS (
+       |  SELECT doc_id, CAST(k // 2 AS INT) AS band,
+       |         max(CASE WHEN k % 2 = 0 THEN sig END) * $P
+       |           + max(CASE WHEN k % 2 = 1 THEN sig END) AS bh
+       |  FROM sigs GROUP BY doc_id, k // 2)""".stripMargin
+
+  /** SimHash fingerprint CTE: `sh(doc_id, simhash)` over `bits` bit
+    * parities (vote +1 when the affine hash is odd, -1 when even; bit set
+    * iff the vote sum is positive — the SimHashAgg contract). */
+  def simhashCte(bits: Int): String = {
+    val weights = (0 until bits)
+      .map(j => s"CASE WHEN v.j = $j AND v.v > 0 THEN ${bitWeightSql(j)} ELSE 0 END")
+    s"""sp AS ${paramsSql(SimHashParams, bits, "v")},
+       |votes AS (
+       |  SELECT doc_id, sp.k AS j,
+       |         sum(CASE WHEN ((sp.a * th.th + sp.b) % $P) % 2 = 1 THEN 1 ELSE -1 END) AS v
+       |  FROM th CROSS JOIN sp GROUP BY doc_id, sp.k),
+       |sh AS (
+       |  SELECT doc_id, CAST(sum(${weights.mkString(" + ")}) AS BIGINT) AS simhash
+       |  FROM votes v GROUP BY doc_id)""".stripMargin
+  }
+}

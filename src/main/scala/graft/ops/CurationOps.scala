@@ -219,8 +219,9 @@ object CurationOps extends QueryModule {
     // SimHash hamming near-dup pairs: 64-bit fingerprints, paired via
     // 16-bit band blocking (hamming <= 3 implies sharing >= 1 of 4 bands,
     // so band-join recall is exact by pigeonhole), hamming via codegen'd
-    // bit_count(xor). Oracle-less (xxhash64 sigs aren't SQL-replayable);
-    // CurationSpec pins the result to a driver-side all-pairs ground truth.
+    // bit_count(xor). Fully oracled since round 4 (ReplayableHash sigs
+    // replay in SQL); CurationSpec additionally pins the result to a
+    // driver-side all-pairs ground truth.
     "q_llm_simhash_neardup" -> ((s: SparkSession, dir: String) => {
       val sigs = LlmOps.simhashSigs(table(s, dir, "documents"), 64)
       val bandCols = (0 until 4).map { b =>
@@ -349,6 +350,29 @@ object CurationOps extends QueryModule {
   )
 
   def oracle: Seq[(String, String)] = Seq(
+    "q_llm_simhash_neardup" -> {
+      val RH = graft.functions.ReplayableHash
+      s"""WITH
+         |${RH.tokenHashCte},
+         |${RH.simhashCte(64)},
+         |bands AS (
+         |  SELECT doc_id, simhash, b.band,
+         |         (simhash >> (16 * b.band)) & 65535 AS bv
+         |  FROM sh CROSS JOIN (SELECT unnest(range(0, 4)) AS band) b),
+         |capped AS (
+         |  SELECT doc_id, simhash, band, bv FROM (
+         |    SELECT doc_id, simhash, band, bv,
+         |           row_number() OVER (PARTITION BY band, bv ORDER BY doc_id) AS brn
+         |    FROM bands) WHERE brn <= 50),
+         |p AS (
+         |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+         |         CAST(bit_count(xor(x.simhash, y.simhash)) AS BIGINT) AS hamming
+         |  FROM capped x JOIN capped y USING (band, bv)
+         |  WHERE x.doc_id < y.doc_id)
+         |SELECT doc_a, doc_b, hamming FROM p
+         |WHERE hamming <= 3 ORDER BY doc_a, doc_b""".stripMargin
+    },
+
     "q_llm_dup_clusters" ->
       s"""WITH RECURSIVE
          |$clusterCte

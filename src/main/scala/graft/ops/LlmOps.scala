@@ -52,13 +52,18 @@ object LlmOps extends QueryModule {
 
   /** (doc_id, band, bh) LSH bucket rows, mega-buckets capped at `maxBucket`.
     * `maxBucket = Int.MaxValue` disables the cap (LlmSpec measures raw LSH
-    * recall against exact Jaccard without the production hygiene). */
+    * recall against exact Jaccard without the production hygiene).
+    *
+    * The band key is the injective pairing `sig_even * P + sig_odd`
+    * (both sigs < P, so the product stays < 2^63) — collision-free within a
+    * band and, unlike the previous xxhash64 combine, exactly replayable in
+    * the DuckDB oracle (graft.functions.ReplayableHash.lshBandsCte). */
   private[graft] def lshBuckets(sigs: DataFrame,
       maxBucket: Int = MaxBucket): DataFrame = {
     val bandCols = (0 until NumBands).map { b =>
       struct(lit(b).as("band"),
-        xxhash64(lit(b), element_at(col("sig"), 2 * b + 1),
-          element_at(col("sig"), 2 * b + 2)).as("bh"))
+        (element_at(col("sig"), 2 * b + 1) * lit(graft.functions.ReplayableHash.P)
+          + element_at(col("sig"), 2 * b + 2)).as("bh"))
     }
     val bands = sigs
       .select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
@@ -67,19 +72,19 @@ object LlmOps extends QueryModule {
     else capBuckets(bands, Seq("band", "bh"), "doc_id", maxBucket)
   }
 
-  /** `bits`-wide SimHash per doc over the distinct-token set. Tokens are
-    * hashed by the codegen'd xxhash64 expression, then the one-pass
-    * [[graft.functions.SimHashAgg]] typed aggregate folds all per-bit ±1
-    * vote sums in a single primitive-array buffer — one shuffle payload per
+  /** `bits`-wide SimHash per doc over the distinct-token set. The one-pass
+    * [[graft.functions.SimHashAgg]] typed aggregate hashes each token once
+    * (ReplayableHash polynomial base hash) and folds all per-bit ±1 vote
+    * sums in a single primitive-array buffer — one shuffle payload per
     * group instead of `bits` separate sum columns (same shape win as
-    * MinHashAgg; measurably faster at bits = 64). */
+    * MinHashAgg; measurably faster at bits = 64), and since round 4 the
+    * fingerprints replay bit-identically in the DuckDB oracle. */
   private[graft] def simhashSigs(docs: DataFrame, bits: Int): DataFrame = {
     require(bits >= 1 && bits <= 64)
     val agg = udaf(new graft.functions.SimHashAgg(bits))
     docTokens(docs)
-      .withColumn("h", xxhash64(col("token")))
       .groupBy("doc_id")
-      .agg(agg(col("h")).as("simhash"))
+      .agg(agg(col("token")).as("simhash"))
   }
 
   /** Candidate near-dup pairs: docs sharing >= 1 LSH band. */
@@ -232,8 +237,9 @@ object LlmOps extends QueryModule {
     "q_llm_sim_knn_ivf" -> ivfQuery(nprobe = 1),
     "q_llm_sim_knn_ivf2" -> ivfQuery(nprobe = 2),
 
-    // MinHash-LSH near-dup candidate pairs (oracle-less; LlmSpec checks
-    // candidate quality against exact Jaccard).
+    // MinHash-LSH near-dup candidate pairs. Fully oracled since round 4
+    // (ReplayableHash family); LlmSpec additionally checks candidate
+    // quality against exact Jaccard — a property the hash gate can't see.
     "q_llm_minhash" -> ((s: SparkSession, dir: String) =>
       candidatePairs(table(s, dir, "documents"))
         .orderBy(desc("n_shared_bands"), asc("doc_a"), asc("doc_b"))
@@ -265,6 +271,7 @@ object LlmOps extends QueryModule {
     // One-pass MinHash signatures via the typed aggregate
     // (graft.functions.MinHashAgg): one K-long array buffer per group
     // instead of K min() columns — the SURVEY §4.2 sketch-aggregate path.
+    // Oracled since round 4: the signature projections replay in SQL.
     "q_llm_minhash_sketch" -> ((s: SparkSession, dir: String) => {
       val sketch = udaf(new graft.functions.MinHashAgg(NumHashes))
       docTokens(table(s, dir, "documents"))
@@ -277,7 +284,7 @@ object LlmOps extends QueryModule {
         .orderBy("doc_id")
     }),
 
-    // 16-bit SimHash fingerprints + cluster sizes (oracle-less).
+    // 16-bit SimHash fingerprints + cluster sizes (oracled since round 4).
     "q_llm_simhash" -> ((s: SparkSession, dir: String) =>
       simhashSigs(table(s, dir, "documents"), 16)
         .withColumn("cluster_n",
@@ -310,7 +317,77 @@ object LlmOps extends QueryModule {
     })
   )
 
-  def oracle: Seq[(String, String)] = Seq(
+  /** Keep-first-K bucket cap replayed in SQL (the capBuckets contract). */
+  private def cappedBandsSql(cap: Int): String =
+    s"""capped AS (
+       |  SELECT doc_id, band, bh FROM (
+       |    SELECT doc_id, band, bh,
+       |           row_number() OVER (PARTITION BY band, bh ORDER BY doc_id) AS brn
+       |    FROM bands) WHERE brn <= $cap)""".stripMargin
+
+  def oracle: Seq[(String, String)] = {
+    val RH = graft.functions.ReplayableHash
+    Seq(
+    "q_llm_minhash" ->
+      s"""WITH
+         |${RH.tokenHashCte},
+         |${RH.minhashSigsCte(NumHashes)},
+         |${RH.lshBandsCte},
+         |${cappedBandsSql(MaxBucket)},
+         |pairs AS (
+         |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b
+         |  FROM capped x JOIN capped y USING (band, bh)
+         |  WHERE x.doc_id < y.doc_id)
+         |SELECT doc_a, doc_b, count(*) AS n_shared_bands
+         |FROM pairs GROUP BY doc_a, doc_b
+         |ORDER BY n_shared_bands DESC, doc_a, doc_b LIMIT 500""".stripMargin,
+
+    "q_llm_minhash_sketch" ->
+      s"""WITH
+         |${RH.tokenHashCte},
+         |${RH.minhashSigsCte(NumHashes)}
+         |SELECT doc_id, CAST($NumHashes AS BIGINT) AS k,
+         |       min(CASE WHEN sigs.k = 0 THEN sig END) AS sig_head,
+         |       min(sig) AS sig_min
+         |FROM sigs GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_llm_simhash" ->
+      s"""WITH
+         |${RH.tokenHashCte},
+         |${RH.simhashCte(16)}
+         |SELECT doc_id, simhash,
+         |       CAST(count(*) OVER (PARTITION BY simhash) AS BIGINT) AS cluster_n
+         |FROM sh ORDER BY doc_id""".stripMargin,
+
+    "q_llm_ngram_jaccard" ->
+      s"""WITH
+         |${RH.tokenHashCte},
+         |${RH.minhashSigsCte(NumHashes)},
+         |${RH.lshBandsCte},
+         |${cappedBandsSql(MaxBucket)},
+         |cand AS (
+         |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b
+         |  FROM capped x JOIN capped y USING (band, bh)
+         |  WHERE x.doc_id < y.doc_id
+         |  GROUP BY 1, 2 HAVING count(*) >= 2),
+         |sz AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+         |ix AS (
+         |  SELECT c.doc_a, c.doc_b, count(*) AS ni
+         |  FROM cand c
+         |  JOIN tok a ON a.doc_id = c.doc_a
+         |  JOIN tok b ON b.doc_id = c.doc_b AND b.token = a.token
+         |  GROUP BY c.doc_a, c.doc_b),
+         |jc AS (
+         |  SELECT c.doc_a, c.doc_b,
+         |         CAST(coalesce(ix.ni, 0) AS DOUBLE)
+         |           / (sa.n + sb.n - coalesce(ix.ni, 0)) AS jaccard
+         |  FROM cand c
+         |  JOIN sz sa ON sa.doc_id = c.doc_a
+         |  JOIN sz sb ON sb.doc_id = c.doc_b
+         |  LEFT JOIN ix ON ix.doc_a = c.doc_a AND ix.doc_b = c.doc_b)
+         |SELECT doc_a, doc_b, jaccard FROM jc WHERE jaccard >= 0.2
+         |ORDER BY jaccard DESC, doc_a, doc_b LIMIT 200""".stripMargin,
+
     "q_llm_exact_dedup" ->
       """SELECT sha256(text) AS text_sha, min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY sha256(text) ORDER BY keep_id""".stripMargin,
@@ -323,4 +400,5 @@ object LlmOps extends QueryModule {
         |       max(n_chars) AS max_chars
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
   )
+  }
 }

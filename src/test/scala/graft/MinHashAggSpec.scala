@@ -10,12 +10,15 @@ class MinHashAggSpec extends SparkTestBase {
 
   test("SimHashAgg equals the expression-based bit-sum formulation") {
     import org.apache.spark.sql.functions._
+    val RH = graft.functions.ReplayableHash
+    val thUdf = udf((t: String) => RH.tokenHash(t))
     for (bits <- Seq(16, 64)) {
       val toks = graft.ops.LlmOps
         .docTokens(ops.table(spark, sfDir, "documents"))
-        .withColumn("h", xxhash64(col("token")))
+        .withColumn("h", thUdf(col("token")))
       val bitSums = (0 until bits).map { b =>
-        sum(shiftright(col("h"), b).bitwiseAND(lit(1L)) * 2 - 1).as(s"s$b")
+        val (a, bb) = RH.SimHashParams(b)
+        sum(((col("h") * lit(a) + lit(bb)) % lit(RH.P) % 2) * 2 - 1).as(s"s$b")
       }
       val viaColumns = toks.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
         .select(col("doc_id"),
