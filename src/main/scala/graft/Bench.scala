@@ -63,7 +63,32 @@ object Bench {
     val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.collect { case (_, v, true) => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+    // Absolute anchor: the pinned DuckDB wall times of the oracle SQL twins
+    // (scripts/bench_duckdb.py → BASELINE_DUCKDB.json). The ratio compares
+    // the two engines on the SAME queries only (oracled ∩ benched, both
+    // succeeded), so adding oracle-less queries can't skew it.
+    val baseline = duckdbRatio(results)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed$baseline,"sf":"$sfDir"}""")
     spark.stop()
+  }
+
+  /** `,"duckdb_total":…,"spark_on_common":…,"vs_duckdb_ratio":…` if the
+    * pinned baseline file exists (repo root or SPARK_GRAFT_DUCKDB_BASELINE),
+    * empty otherwise. */
+  private def duckdbRatio(results: Seq[(String, Double, Boolean)]): String = {
+    val path = sys.env.getOrElse("SPARK_GRAFT_DUCKDB_BASELINE", "BASELINE_DUCKDB.json")
+    val f = new java.io.File(path)
+    if (!f.exists()) return ""
+    // flat {"q_name": sec} pairs — regex keeps Bench dependency-free
+    val txt = java.nio.file.Files.readString(f.toPath)
+    val duck = "\"(q_[a-z0-9_]+)\"\\s*:\\s*([0-9.eE+-]+)".r
+      .findAllMatchIn(txt).map(m => m.group(1) -> m.group(2).toDouble).toMap
+    val common = results.collect {
+      case (name, sec, true) if duck.contains(name) => (sec, duck(name))
+    }
+    if (common.isEmpty) return ""
+    val sparkSum = common.map(_._1).sum
+    val duckSum = common.map(_._2).sum
+    f""","duckdb_total":$duckSum%.3f,"spark_on_common":$sparkSum%.3f,"vs_duckdb_ratio":${sparkSum / duckSum}%.3f"""
   }
 }

@@ -76,8 +76,9 @@ object ScaleProbe {
     val probes = if (args.length > 1) args.drop(1).toSeq else Seq(
       "q_agg_basic", "q_join_multiway", "q_join_asof", "q_join_asof_fwd",
       "q_join_interval", "q_topk_group", "q_win_running", "q_sub_scalar",
-      "q_scan_parquet", "q_sink_batchify", "q_stream_session",
+      "q_scan_parquet", "q_sink_batchify", "q_stream_session", "q_stream_late",
       "q_stream_delivery_report", "q_llm_exact_dedup", "q_llm_minhash",
+      "q_llm_minhash_sketch",
       "q_llm_ngram_jaccard", "q_text_langid", "q_udtf_shingles",
       "q_llm_sim_knn", "q_llm_sim_knn_lsh", "q_llm_sim_knn_ivf",
       "q_llm_embed_neardup", "q_llm_dup_clusters", "q_llm_simhash_neardup",
@@ -96,8 +97,75 @@ object ScaleProbe {
       (name, dt, n)
     }
     println(f"[scale] TOTAL ${results.map(_._2).sum}%.1f s over ${results.size} probes")
+    bucketHistograms(spark, srcDir, outDir)
+    skewProbe(spark, outDir)
     streamingProbe(spark, outDir)
     spark.stop()
+  }
+
+  /** Bucket-size distributions behind the two super-linear ×10 rows
+    * (q_llm_simhash_neardup, q_mm_neardup), at sf0.1 and ×10 — so
+    * "cap-bounded, grows with the bucket histogram" is SHOWN in SCALING.md,
+    * not assumed. Reports, per path and scale: bucket count, max/p99 sizes,
+    * and the capped pair work Σ min(n, cap)² the join actually performs.
+    */
+  private def bucketHistograms(spark: SparkSession, srcDir: String,
+      outDir: String): Unit = {
+    def report(tag: String, buckets: DataFrame, cap: Int): Unit = {
+      val row = buckets.groupBy("bucket_key").agg(count(lit(1)).as("n"))
+        .agg(count(lit(1)).as("n_buckets"), max(col("n")).as("max_n"),
+          expr("percentile(n, 0.99)").as("p99_n"),
+          sum(least(col("n"), lit(cap)) * least(col("n"), lit(cap))).as("pair_work"),
+          sum(when(col("n") > cap, col("n") - cap).otherwise(0)).as("rows_capped"))
+        .head()
+      println(f"[scale] hist $tag%-28s buckets=${row.getLong(0)}%7d " +
+        f"max=${row.getLong(1)}%6d p99=${row.getDouble(2)}%8.1f " +
+        f"pair_work=${row.getLong(3)}%12d rows_over_cap=${row.getLong(4)}%8d")
+    }
+    for ((dir, scale) <- Seq((srcDir, "sf0.1"), (outDir, "x10"))) {
+      val sigs = ops.LlmOps.simhashSigs(ops.table(spark, dir, "documents"), 64)
+      val simBands = (0 until 4).map { b =>
+        sigs.select(concat_ws("/", lit(b),
+          shiftrightunsigned(col("simhash"), 16 * b)
+            .bitwiseAND(lit(0xFFFFL))).as("bucket_key"))
+      }.reduce(_.union(_))
+      report(s"simhash_neardup@$scale", simBands, cap = 50)
+      report(s"mm_neardup@$scale",
+        multimodal.MultimodalOps.latticeBuckets(spark, dir)
+          .select(col("bucket").cast("string").as("bucket_key")),
+        cap = 200)
+    }
+  }
+
+  /** Deliberately skewed as-of probe: collapse every 10th user onto one hot
+    * key in BOTH events and orders (×10 fixture → ~100k events and ~150k
+    * orders on a single user, ≈150× the average density). The old
+    * join-then-aggregate as-of would generate 100k×150k ≈ 1.5e10
+    * intermediate pairs for that key alone; the merge-scan formulation
+    * sorts the hot user's ~250k timeline rows in one task — the probe
+    * passes iff the runtime stays in the same decade as the unskewed ×10
+    * row (SCALING.md).
+    */
+  private def skewProbe(spark: SparkSession, outDir: String): Unit = {
+    val skewDir = s"$outDir-skew"
+    val marker = new java.io.File(s"$skewDir/_GRAFT_SKEW_DONE")
+    if (!marker.exists()) {
+      ops.table(spark, outDir, "events")
+        .withColumn("user_id",
+          when(col("user_id") % 10 === 0, lit(0L)).otherwise(col("user_id")))
+        .withColumn("ts", unix_micros(col("ts")) * 1000) // loader's raw-ns form
+        .write.mode("overwrite").parquet(s"$skewDir/events.parquet")
+      ops.table(spark, outDir, "orders")
+        .withColumn("o_custkey",
+          when(col("o_custkey") % 10 === 0, lit(0L)).otherwise(col("o_custkey")))
+        .write.mode("overwrite").parquet(s"$skewDir/orders.parquet")
+      java.nio.file.Files.writeString(marker.toPath, "ok")
+    }
+    for (name <- Seq("q_join_asof", "q_join_asof_fwd")) {
+      val t0 = System.nanoTime()
+      val n = SparkEntry.queries(name)(spark, skewDir).count()
+      println(f"[scale] skew150x $name%-20s ${(System.nanoTime() - t0) / 1e9}%7.2f s  rows=$n")
+    }
   }
 
   /** Streaming-path probe: the full DeliverySink.run pipeline (file source →

@@ -67,11 +67,21 @@ object MultimodalOps extends QueryModule {
   }
 
   /** Fixture assets: the documents table as opaque payloads (UTF-8 bytes of
-    * `text` — ASCII fixtures, so n_bytes == length(text) on both engines),
-    * kind assigned round-robin. */
+    * `text`), kind assigned round-robin.
+    *
+    * The DuckDB oracles replay the byte-level StubCodec formulas with
+    * `ord(text[i])` — CODE POINTS — so byte/code-point agreement (ASCII) is
+    * load-bearing for the hash gate. The guard makes the assumption fail
+    * loudly at read time instead of surfacing as an inscrutable hash
+    * mismatch: any non-ASCII fixture text throws. */
   def assets(s: SparkSession, dir: String): Dataset[MediaAsset] = {
     import s.implicits._
     table(s, dir, "documents")
+      .where(coalesce(assert_true(
+        col("text").isNull || !col("text").rlike("[^\\x00-\\x7F]"),
+        lit("multimodal fixture text must be ASCII: the byte-level " +
+          "StubCodec lattice is replayed in DuckDB over code points")),
+        lit(true)))
       .select(col("doc_id").as("asset_id"),
         element_at(typedlit(Seq("image", "audio", "video")),
           (col("doc_id") % 3 + 1).cast("int")).as("kind"),
@@ -104,6 +114,24 @@ object MultimodalOps extends QueryModule {
 
   /** Keep-first-K per bucket, replayed identically in SQL. */
   private val MaxNdBucket = 200
+
+  /** (asset_id, ms, bucket) — the q_mm_neardup bucketing stage, exposed for
+    * ScaleProbe's bucket-size histogram (SCALING.md superlinear-row audit). */
+  private[graft] def latticeBuckets(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val feats = assets(s, dir).mapPartitions { it =>
+      val codec = StubCodec
+      it.map(a => (a.asset_id, codec.featureLattice(a)))
+    }.toDF("asset_id", "ms")
+    def planeDot(plane: Seq[Int]): Column =
+      plane.zipWithIndex.map { case (sgn, i) =>
+        element_at(col("ms"), i + 1) * lit(sgn.toLong)
+      }.reduce(_ + _)
+    val bucket = Planes.zipWithIndex.map { case (plane, p) =>
+      when(planeDot(plane) > 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    feats.withColumn("bucket", bucket)
+  }
 
   def queries: Seq[(String, Q)] = Seq(
     "q_mm_decode" -> ((s: SparkSession, dir: String) =>
@@ -168,20 +196,8 @@ object MultimodalOps extends QueryModule {
     // keep-first-K bucket cap is a row_number both engines compute
     // identically, and the cosine uses only IEEE-exact ops.
     "q_mm_neardup" -> ((s: SparkSession, dir: String) => {
-      import s.implicits._
-      val feats = assets(s, dir).mapPartitions { it =>
-        val codec = StubCodec
-        it.map(a => (a.asset_id, codec.featureLattice(a)))
-      }.toDF("asset_id", "ms")
-      def planeDot(plane: Seq[Int]): Column =
-        plane.zipWithIndex.map { case (sgn, i) =>
-          element_at(col("ms"), i + 1) * lit(sgn.toLong)
-        }.reduce(_ + _)
-      val bucket = Planes.zipWithIndex.map { case (plane, p) =>
-        when(planeDot(plane) > 0, lit(1L << p)).otherwise(lit(0L))
-      }.reduce(_ + _)
       val capped = graft.ops.LlmOps.capBuckets(
-        feats.withColumn("bucket", bucket),
+        latticeBuckets(s, dir),
         Seq("bucket"), "asset_id", MaxNdBucket)
       val a = capped.select(col("bucket"), col("asset_id").as("doc_a"), col("ms").as("ms_a"))
       val b = capped.select(col("bucket"), col("asset_id").as("doc_b"), col("ms").as("ms_b"))

@@ -29,8 +29,12 @@ object CurationOps extends QueryModule {
 
   /** Label-propagation iteration cap — components from shingle-sharing are
     * near-cliques (diameter ≤ ~3 in practice); the loop exits early on
-    * convergence, this bound only guards pathological chains. */
-  private val MaxLpIters = 20
+    * convergence, this bound only guards pathological chains. Hitting it
+    * now THROWS (round-4 advice): a non-fixpoint labeling would silently
+    * diverge from the transitive-closure oracle downstream, so fail fast —
+    * lineage is truncated per round, so a deep chain costs passes, not
+    * memory, and 100 covers any component of diameter ≤ 100. */
+  private val MaxLpIters = 100
 
   /** Per-lang deterministic keep-rates (doc_id mod 100) shared by the
     * sampling and end-to-end pipeline queries, with the SQL twin. */
@@ -171,9 +175,14 @@ object CurationOps extends QueryModule {
     var labels = reps.select(col("doc_id"), col("doc_id").as("label"))
       .localCheckpoint(true)
     // sum(label) over an empty frame is NULL → empty input: nothing to
-    // propagate, skip the loop and return the (empty) expansion below
-    def labelSum(): Option[Long] =
-      Option(labels.agg(sum("label")).head().get(0)).map(_.asInstanceOf[Long])
+    // propagate, skip the loop and return the (empty) expansion below.
+    // Accumulated as DECIMAL(38,0): labels are monotone non-increasing, so
+    // sum-equality is a correct fixpoint test — but a LONG sum would
+    // silently wrap at ~10^10 docs × large ids and could fake convergence;
+    // the 38-digit decimal cannot overflow at any real corpus size.
+    def labelSum(): Option[java.math.BigDecimal] =
+      Option(labels.agg(sum(col("label").cast("decimal(38,0)"))).head().get(0))
+        .map(_.asInstanceOf[java.math.BigDecimal])
     var checksum = labelSum()
     var converged = checksum.isEmpty
     var it = 0
@@ -190,10 +199,11 @@ object CurationOps extends QueryModule {
       it += 1
     }
     if (!converged)
-      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+      throw new IllegalStateException(
         s"dupClusters label propagation did not converge in $MaxLpIters " +
-          "passes (component diameter exceeds the cap); cluster ids may be " +
-          "non-minimal and diverge from the transitive-closure oracle")
+          "passes (component diameter exceeds the cap); refusing to return " +
+          "non-minimal cluster ids that would diverge from the " +
+          "transitive-closure semantics")
     // expand the quotient back: every doc inherits its representative's
     // component label (= min doc_id of the full cluster, since each rep is
     // already the min of its exact-duplicate group)

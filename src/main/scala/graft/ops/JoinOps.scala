@@ -15,6 +15,49 @@ import org.apache.spark.sql.functions._
   */
 object JoinOps extends QueryModule {
 
+  /** Shared merge-scan as-of implementation (both directions).
+    *
+    * Events and orders are unioned onto one per-user timeline (order dates
+    * cast NTZ→timestamp; the session TZ is UTC on both engines, so the
+    * ordering is exactly the one the range predicate `o_orderdate <= ts`
+    * implies). `kind` breaks time ties so that the qualifying same-instant
+    * orders fall INSIDE each event's window frame: backward (`<=`) sorts
+    * orders before events, forward (`>=`) sorts events before orders. A
+    * running lexicographic max/min of struct(date, key) over the frame then
+    * reproduces the (date, key) tie-break of the join formulation exactly.
+    *
+    * The trailing groupBy(event_id, user_id) collapses duplicate event rows
+    * the same way the join+aggregate formulation did (its group key), and
+    * costs one hash agg over #events rows.
+    */
+  private def asofMerge(s: SparkSession, dir: String, forward: Boolean): org.apache.spark.sql.DataFrame = {
+    val oRows = table(s, dir, "orders")
+      .select(col("o_custkey").as("user_id"),
+        col("o_orderdate").cast("timestamp").as("t"),
+        lit(if (forward) 1 else 0).as("kind"),
+        struct(col("o_orderdate"), col("o_orderkey")).as("ord"))
+    val eRows = table(s, dir, "events")
+      .select(col("user_id"), col("ts").as("t"),
+        lit(if (forward) 0 else 1).as("kind"), col("event_id"))
+    val timeline = oRows.unionByName(eRows, allowMissingColumns = true)
+    val w = {
+      val base = Window.partitionBy("user_id").orderBy(col("t"), col("kind"))
+      if (forward) base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      else base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    }
+    val runBest = if (forward) min(col("ord")).over(w) else max(col("ord")).over(w)
+    val perEventBest = if (forward) min(col("run_best")) else max(col("run_best"))
+    timeline
+      .withColumn("run_best", runBest)
+      .where(col("event_id").isNotNull)
+      .groupBy("event_id", "user_id")
+      .agg(perEventBest.as("best"))
+      .select(col("event_id"), col("user_id"),
+        col("best.o_orderkey").as("o_orderkey"),
+        ntzMillis(col("best.o_orderdate")).as("order_date_ms"))
+      .orderBy("event_id")
+  }
+
   def queries: Seq[(String, Q)] = Seq(
     "q_join_inner" -> ((s: SparkSession, dir: String) =>
       table(s, dir, "orders")
@@ -97,39 +140,22 @@ object JoinOps extends QueryModule {
     }),
 
     // As-of: latest order at/before each event's timestamp for that user.
-    // Hash-aggregate formulation: max(struct(date, key)) per event replaces
-    // a partition-sort window — no per-group sort, partial aggregation on
-    // the map side, and the lexicographic struct max reproduces the
-    // (date DESC, key DESC) tie-break exactly.
-    "q_join_asof" -> ((s: SparkSession, dir: String) => {
-      val e = table(s, dir, "events").select("event_id", "user_id", "ts")
-      val o = table(s, dir, "orders").select("o_custkey", "o_orderkey", "o_orderdate")
-      e.join(o, col("o_custkey") === col("user_id") && col("o_orderdate") <= col("ts"), "left")
-        .groupBy("event_id", "user_id")
-        .agg(max(when(col("o_orderkey").isNotNull,
-          struct(col("o_orderdate"), col("o_orderkey")))).as("best"))
-        .select(col("event_id"), col("user_id"),
-          col("best.o_orderkey").as("o_orderkey"),
-          ntzMillis(col("best.o_orderdate")).as("order_date_ms"))
-        .orderBy("event_id")
-    }),
+    // Merge-scan formulation (round 4): union events and orders onto one
+    // per-user timeline, running max(struct(date, key)) over the sorted
+    // stream gives every event its answer directly — ZERO pair expansion.
+    // The previous left-join + hash-agg shape expanded events×orders per
+    // user before aggregating, which goes quadratic on a power-law-hot key
+    // at 100×; this is one shuffle by user + a per-user sort, linearithmic
+    // in the hot key's rows (measured: ScaleProbe skew row, SCALING.md).
+    "q_join_asof" -> ((s: SparkSession, dir: String) =>
+      asofMerge(s, dir, forward = false)),
 
-    // Forward as-of: EARLIEST order at/after each event's timestamp for that
-    // user — the mirror of q_join_asof, min(struct) instead of max(struct);
-    // same hash-aggregate shape (no per-group sort, map-side partials), the
-    // lexicographic struct min reproduces the (date ASC, key ASC) tie-break.
-    "q_join_asof_fwd" -> ((s: SparkSession, dir: String) => {
-      val e = table(s, dir, "events").select("event_id", "user_id", "ts")
-      val o = table(s, dir, "orders").select("o_custkey", "o_orderkey", "o_orderdate")
-      e.join(o, col("o_custkey") === col("user_id") && col("o_orderdate") >= col("ts"), "left")
-        .groupBy("event_id", "user_id")
-        .agg(min(when(col("o_orderkey").isNotNull,
-          struct(col("o_orderdate"), col("o_orderkey")))).as("best"))
-        .select(col("event_id"), col("user_id"),
-          col("best.o_orderkey").as("o_orderkey"),
-          ntzMillis(col("best.o_orderdate")).as("order_date_ms"))
-        .orderBy("event_id")
-    }),
+    // Forward as-of: EARLIEST order at/after each event's timestamp for
+    // that user — the mirror image: running min(struct) over the frame
+    // [current row, unbounded following], events sorted before same-time
+    // orders so `>=` ties are included. Same merge-scan shape.
+    "q_join_asof_fwd" -> ((s: SparkSession, dir: String) =>
+      asofMerge(s, dir, forward = true)),
 
     // Interval overlap: same-user event pairs within a 5-minute horizon.
     // Time-bucketed blocking: joining on user_id alone makes pair

@@ -121,31 +121,76 @@ object LlmOps extends QueryModule {
     call_function("vector_dot", x, y)
   }
 
-  /** IVF ANN, parameterized on nprobe — the single implementation behind
-    * q_llm_sim_knn_ivf (nprobe=1) and q_llm_sim_knn_ivf2 (nprobe=2).
+  /** Deterministic k-means centroids as a small broadcastable relation
+    * (cent_id, cvec) — the real-IVF index-build step.
     *
-    * K deterministic centroids (lowest vec_ids) are collected once (K
-    * rows, key-pruned scan) and inlined as literals, so cell assignment is
-    * a codegen'd array_max over (sim, -cent_id) structs — a narrow map
-    * with NO join and NO window shuffle — and the corpus is scanned
-    * exactly once with the cell membership evaluated inline. The probe's
-    * nprobe nearest cells come from a driver-side ranking over the K
-    * collected centroids (same dot/norm accumulation order as the
-    * codegen'd CosineSimilarity, so the rankings agree), never a corpus
-    * pass. Recall rises with nprobe toward brute force at nprobe/K of the
-    * full-scan work.
+    * Init is the K lowest-vec_id vectors (fixed, seedless); each Lloyd
+    * iteration assigns every vector to its nearest centroid via a
+    * BROADCAST join against the K-row centroid relation (scales to any K,
+    * unlike inlining K centroid literals into one expression tree, which
+    * stops codegenning past K≈100) and recomputes per-cell means with
+    * EXACT decimal accumulation per dimension, so the centroids — and
+    * therefore the cell boundaries — are bit-deterministic regardless of
+    * partitioning (double summation order would otherwise wobble them
+    * run-to-run). Empty cells keep their previous centroid. Per-iteration
+    * localCheckpoint truncates the lineage (the dupClusters lesson).
     */
-  private def ivfQuery(nprobe: Int): Q = (s: SparkSession, dir: String) => {
-    val K = 8
+  private[graft] def kmeansCentroids(s: SparkSession, emb: DataFrame,
+      k: Int, iters: Int): DataFrame = {
+    var cents = emb.where(col("vec_id") < k)
+      .select(col("vec_id").as("cent_id"), col("emb").as("cvec"))
+      .localCheckpoint(true)
+    for (_ <- 0 until iters) {
+      val sums = assignCells(s, emb, cents)
+        .select(col("cell"), posexplode(col("emb")).as(Seq("pos", "v")))
+        .groupBy("cell", "pos")
+        .agg(sum(col("v").cast("decimal(30,15)")).as("sv"), count(lit(1)).as("n"))
+      val means = sums
+        .select(col("cell"), col("pos"),
+          (col("sv") / col("n")).cast("double").as("m"))
+        .groupBy("cell")
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+          x => x.getField("m")).as("mvec"))
+        .withColumnRenamed("cell", "cent_id")
+      cents = cents.join(means, Seq("cent_id"), "left")
+        .select(col("cent_id"), coalesce(col("mvec"), col("cvec")).as("cvec"))
+        .localCheckpoint(true)
+    }
+    cents
+  }
+
+  /** (vec_id, emb, cell): nearest centroid by (cosine DESC, cent_id ASC),
+    * via broadcast join + one partial-aggregating hash agg — the corpus is
+    * scanned once, never shuffled by the join. */
+  private def assignCells(s: SparkSession, emb: DataFrame,
+      cents: DataFrame): DataFrame =
+    emb.join(broadcast(cents))
+      .select(col("vec_id"), col("emb"), col("label"),
+        struct(cosine(s)(col("emb"), col("cvec")).as("sim"),
+          (-col("cent_id")).as("neg_id")).as("scored"))
+      .groupBy("vec_id")
+      .agg(first(col("emb")).as("emb"),     // constant within the group
+        first(col("label")).as("label"),    // likewise
+        (-max(col("scored")).getField("neg_id")).as("cell"))
+
+  /** IVF ANN, parameterized on (nprobe, K, Lloyd iterations) — the single
+    * implementation behind q_llm_sim_knn_ivf (nprobe=1) and
+    * q_llm_sim_knn_ivf2 (nprobe=2), and LlmSpec's K=64/nprobe=4 probe.
+    *
+    * The probe's nprobe nearest cells come from a driver-side ranking over
+    * the K collected centroid rows (an O(K) read of the tiny index
+    * relation, same IEEE accumulation order as the codegen'd
+    * CosineSimilarity, so the rankings agree — never a corpus pass).
+    * Recall rises with nprobe toward brute force at nprobe/K of the
+    * full-scan work; nprobe = K searches every cell and IS brute force
+    * (LlmSpec pins that identity).
+    */
+  private[graft] def ivfTopK(s: SparkSession, dir: String, nprobe: Int,
+      k: Int = 8, iters: Int = 2, topK: Int = 10): DataFrame = {
     val emb = embDouble(s, dir)
-    val cents: Seq[(Long, Seq[Double])] = emb.where(col("vec_id") < K)
-      .select(col("vec_id"), col("emb")).collect()
+    val cents = kmeansCentroids(s, emb, k, iters)
+    val centRows: Seq[(Long, Seq[Double])] = cents.collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq.sortBy(_._1)
-    // argmax by (sim DESC, cent_id ASC) via lexicographic struct max
-    def cellOf(e: Column): Column =
-      array_max(array(cents.map { case (cid, vec) =>
-        struct(cosine(s)(e, typedlit(vec)).as("sim"), lit(-cid).as("neg_id"))
-      }: _*)).getField("neg_id") * -1
     val probe = emb.where(col("vec_id") === 0)
       .select("emb").head().getSeq[Double](0)
     def cosLocal(a: Seq[Double], b: Seq[Double]): Double = {
@@ -154,14 +199,18 @@ object LlmOps extends QueryModule {
       while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
       if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
     }
-    val cells = cents.map { case (cid, v) => (cid, cosLocal(probe, v)) }
+    val cells = centRows.map { case (cid, v) => (cid, cosLocal(probe, v)) }
       .sortBy { case (cid, sim) => (-sim, cid) }.take(nprobe).map(_._1)
-    emb.where(col("vec_id") =!= 0 && cellOf(col("emb")).isin(cells: _*))
+    assignCells(s, emb.where(col("vec_id") =!= 0), cents)
+      .where(col("cell").isin(cells: _*))
       .select(col("vec_id"), col("label"),
         cosine(s)(col("emb"), typedlit(probe)).as("cos_sim"))
       .orderBy(desc("cos_sim"), asc("vec_id"))
-      .limit(10)
+      .limit(topK)
   }
+
+  private def ivfQuery(nprobe: Int): Q = (s: SparkSession, dir: String) =>
+    ivfTopK(s, dir, nprobe)
 
   private def embDouble(s: SparkSession, dir: String): DataFrame =
     table(s, dir, "embeddings")
@@ -229,11 +278,12 @@ object LlmOps extends QueryModule {
         .limit(10)
     }),
 
-    // IVF-style ANN: K deterministic centroids (lowest vec_ids), every
+    // IVF-style ANN: deterministic k-means centroids (seed-id init + 2
+    // exact-arithmetic Lloyd iterations) as a broadcast relation, every
     // vector assigned to its nearest centroid, probe searched only within
     // its nprobe nearest cells. One implementation behind both declared
     // queries (nprobe=1 scale path, nprobe=2 recall dial) so they cannot
-    // drift; see ivfQuery.
+    // drift; see ivfTopK / kmeansCentroids.
     "q_llm_sim_knn_ivf" -> ivfQuery(nprobe = 1),
     "q_llm_sim_knn_ivf2" -> ivfQuery(nprobe = 2),
 

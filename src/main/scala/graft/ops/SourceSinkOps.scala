@@ -23,15 +23,28 @@ object SourceSinkOps extends QueryModule {
   private val tables = Seq("region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  /** Cache key for derived copies of a fixture dir: path plus the source
-    * file's mtime and size, so a REGENERATED fixture (same path, new
-    * content) gets a fresh copy instead of serving stale data into the
-    * hash gate. */
+  /** Cache key for derived copies of a fixture dir, so a REGENERATED
+    * fixture (same path, new content) gets a fresh copy instead of serving
+    * stale data into the hash gate. Parquet fixtures are usually
+    * DIRECTORIES whose own mtime/length are weak content proxies (an
+    * in-place part-file rewrite can leave both unchanged), so the key
+    * digests every LEAF file's name, size and mtime, and keeps 128 hash
+    * bits (MD5) — no practical collision window. */
   private[graft] def fixtureKey(dir: String, file: String): String = {
-    val f = new java.io.File(dir, file)
-    java.lang.Long.toHexString(
-      scala.util.hashing.MurmurHash3.stringHash(
-        s"$dir|${f.lastModified}|${f.length}").toLong & 0xFFFFFFFFL)
+    def leaves(f: java.io.File): Seq[java.io.File] = {
+      val children = f.listFiles()
+      if (children == null) Seq(f)
+      else children.sortBy(_.getName).toSeq.flatMap(leaves)
+    }
+    val root = new java.io.File(dir, file)
+    val desc =
+      if (!root.exists()) s"${root.getAbsolutePath}|absent"
+      else leaves(root)
+        .map(f => s"${f.getAbsolutePath}|${f.length}|${f.lastModified}")
+        .mkString("\n")
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(desc.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
   }
 
   /** Export events once per (fixture dir content, format) to a stable temp

@@ -83,10 +83,16 @@ object StreamAnalogOps extends QueryModule {
           col("user_id"), col("event_type"))
         .orderBy("event_id")),
 
+    // Late-arrival share per type (the watermark decision input). NOT a
+    // window over partitionBy(event_type): event_type has ~5 distinct
+    // values, so that window funnels N/5 of all records through each of 5
+    // sort tasks — the low-cardinality-partition scale-killer (round-3
+    // verdict). Instead: per-type max(ts) as a partial+final hash aggregate
+    // (5 rows), broadcast back, one more hash aggregate. Same result hash.
     "q_stream_late" -> ((s: SparkSession, dir: String) => {
-      val w = Window.partitionBy("event_type")
-      table(s, dir, "events")
-        .withColumn("max_ts", max(col("ts")).over(w))
+      val events = table(s, dir, "events")
+      val maxes = events.groupBy("event_type").agg(max(col("ts")).as("max_ts"))
+      events.join(broadcast(maxes), "event_type")
         .withColumn("is_late",
           (col("ts") < col("max_ts") - expr("INTERVAL 10 MINUTES")).cast("long"))
         .groupBy("event_type")

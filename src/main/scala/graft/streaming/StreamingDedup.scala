@@ -56,33 +56,61 @@ object StreamingDedup {
   /** Candidate near-dup pairs over a streaming document source. State per
     * LSH bucket holds at most `maxPerBucket` doc ids (keep-first, by
     * arrival then id); each new doc pairs against the remembered members.
+    *
+    * State is evicted after `stateTtl` of bucket inactivity (processing-time
+    * timeout): on an UNBOUNDED stream the per-bucket keep-first sets would
+    * otherwise grow with the number of distinct buckets ever seen and
+    * eventually exhaust the state store — near-dups in an ingest pipeline
+    * are overwhelmingly temporally close, so an idle bucket's members stop
+    * earning their keep. A production deployment of the unbounded pipeline
+    * should ALWAYS set a TTL, paired with a real trigger interval: pending
+    * processing-time timers make Spark schedule micro-batches continuously,
+    * so with the default 0 ms trigger a TTL'd query busy-loops (measured —
+    * hence TTL is opt-in rather than defaulted, and bounded replays keep
+    * total recall).
     */
   def nearDupCandidates(docs: DataFrame,
-      maxPerBucket: Int = 50): Dataset[CandidatePair] = {
+      maxPerBucket: Int = 50,
+      stateTtl: Option[java.time.Duration] = None)
+      : Dataset[CandidatePair] = {
     val spark = docs.sparkSession
     import spark.implicits._
+    val timeoutConf =
+      if (stateTtl.isDefined) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
     lshBands(docs)
       .as[(Long, Int, Long)]
       .groupByKey { case (_, band, bh) => (band, bh) }
-      .flatMapGroupsWithState(
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
-        (key: (Int, Long), rows: Iterator[(Long, Int, Long)],
-         state: GroupState[Seq[Long]]) =>
-          val seen = state.getOption.getOrElse(Seq.empty)
-          val newcomers = rows.map(_._1).toSeq.distinct.sorted
-            .filterNot(seen.contains)
-          var members = seen
-          val out = newcomers.flatMap { id =>
-            val pairs =
-              if (members.size < maxPerBucket)
-                members.map(prev =>
-                  CandidatePair(math.min(prev, id), math.max(prev, id), key._1))
-              else Seq.empty // bucket capped: stop pairing AND stop growing
-            if (members.size < maxPerBucket) members = members :+ id
-            pairs
-          }
-          state.update(members)
-          out.iterator
-      }
+      .flatMapGroupsWithState(OutputMode.Append(), timeoutConf)(
+        bucketUpdate(maxPerBucket, stateTtl.map(_.toMillis)))
   }
+
+  /** The keyed state-update function behind [[nearDupCandidates]], exposed
+    * for deterministic unit testing with Spark's `TestGroupState`
+    * (processing-time TTL can't be pinned through a live query: pending
+    * timers schedule continuous micro-batches). */
+  private[graft] def bucketUpdate(maxPerBucket: Int, ttlMs: Option[Long])(
+      key: (Int, Long), rows: Iterator[(Long, Int, Long)],
+      state: GroupState[Seq[Long]]): Iterator[CandidatePair] =
+    if (state.hasTimedOut) {
+      state.remove() // idle bucket: drop its keep-first set
+      Iterator.empty
+    } else {
+      val seen = state.getOption.getOrElse(Seq.empty)
+      val newcomers = rows.map(_._1).toSeq.distinct.sorted
+        .filterNot(seen.contains)
+      var members = seen
+      val out = newcomers.flatMap { id =>
+        val pairs =
+          if (members.size < maxPerBucket)
+            members.map(prev =>
+              CandidatePair(math.min(prev, id), math.max(prev, id), key._1))
+          else Seq.empty // bucket capped: stop pairing AND stop growing
+        if (members.size < maxPerBucket) members = members :+ id
+        pairs
+      }
+      state.update(members)
+      ttlMs.foreach(state.setTimeoutDuration) // re-arm on every activity
+      out.iterator
+    }
 }

@@ -159,36 +159,78 @@ class LlmSpec extends SparkTestBase {
       s"LSH top-1 ${got.head._2} vs brute top-1 $bruteBest")
   }
 
-  test("IVF ANN = exact top-10 in the probe's cell; top-1 agrees with brute force here") {
-    val cents = vectors.filter(_._1 < 8L)
-    def cellOf(v: Array[Double]): Long =
-      cents.map { case (cid, c) => (cosine(v, c), -cid) }.max match {
-        case (_, negId) => -negId
+  // Since round 4 the IVF index is real k-means (seed-id init + exact-
+  // arithmetic Lloyd iterations, broadcast centroid relation), so the spec
+  // pins semantic properties rather than replicating the centroid
+  // arithmetic driver-side: cosines are exact, searching every cell IS
+  // brute force, recall is monotone in nprobe, and the index is
+  // bit-deterministic across runs.
+
+  test("IVF: exact cosines per result, and nprobe = K searches everything = brute force") {
+    val brute = q("q_llm_sim_knn").collect().map(r => (r.getLong(0), r.getDouble(2)))
+    val full = graft.ops.LlmOps.ivfTopK(spark, sfDir, nprobe = 8).collect()
+      .map(r => (r.getLong(0), r.getDouble(2)))
+    assertTopK(full, brute.toSeq)
+    val byId = vectors.toMap
+    for (name <- Seq("q_llm_sim_knn_ivf", "q_llm_sim_knn_ivf2")) {
+      val got = q(name).collect().map(r => (r.getLong(0), r.getDouble(2)))
+      assert(got.nonEmpty, name)
+      got.foreach { case (id, s) =>
+        assert(math.abs(s - cosine(byId(id), probeVec)) < 1e-9, s"$name id=$id")
       }
-    val pc = cellOf(probeVec)
-    val inCell = simToProbe.filter { case (id, _) => cellOf(vectors.find(_._1 == id).get._2) == pc }
-    val got = q("q_llm_sim_knn_ivf").collect().map(r => (r.getLong(0), r.getDouble(2)))
-    assertTopK(got, top10(inCell))
-    assert(got.head._1 == top10(simToProbe).head._1,
-      "on this fixture the probe's IVF cell contains the global nearest neighbor")
+      assert(got.map(_._2).toSeq == got.map(_._2).sortBy(-_).toSeq, s"$name order")
+    }
   }
 
-  test("IVF nprobe=2 = exact top-10 in the probe's two best cells, and recall only improves") {
-    val cents = vectors.filter(_._1 < 8L)
-    def cellOf(v: Array[Double]): Long =
-      cents.map { case (cid, c) => (cosine(v, c), -cid) }.max match {
-        case (_, negId) => -negId
-      }
-    val near2 = cents.map { case (cid, c) => (cid, cosine(probeVec, c)) }
-      .sortBy { case (cid, s) => (-s, cid) }.take(2).map(_._1).toSet
-    val inCells = simToProbe.filter { case (id, _) =>
-      near2(cellOf(vectors.find(_._1 == id).get._2))
+  test("IVF recall monotone in nprobe; k-means cohesion beats seed centroids at K=8 and K=64") {
+    val bruteIds = q("q_llm_sim_knn").collect().map(_.getLong(0)).toSet
+    def recall(np: Int, k: Int, iters: Int = 2): Double =
+      graft.ops.LlmOps.ivfTopK(spark, sfDir, nprobe = np, k = k, iters = iters)
+        .collect().map(_.getLong(0)).count(bruteIds.contains).toDouble / bruteIds.size
+    val r1 = recall(1, 8)
+    val r2 = recall(2, 8)
+    val r64 = Seq(1, 2, 4, 8).map(np => np -> recall(np, 64)).toMap
+    val seed1 = recall(1, 8, iters = 0)
+    val seed64 = recall(4, 64, iters = 0)
+    info(f"IVF recall: K=8 np=1 -> $r1%.2f (seed-centroid $seed1%.2f), np=2 -> $r2%.2f; " +
+      s"K=64 np=1/2/4/8 -> ${Seq(1, 2, 4, 8).map(r64).map(r => f"$r%.2f").mkString("/")}" +
+      f" (seed-centroid np=4 $seed64%.2f)")
+    // a superset of searched cells can only add global-top-10 members
+    assert(r2 >= r1)
+    assert(r64(1) <= r64(2) && r64(2) <= r64(4) && r64(4) <= r64(8))
+    // Index quality, measured on the statistic k-means actually optimizes —
+    // mean best-centroid cosine over ALL corpus vectors. Single-probe top-10
+    // recall deltas are ±1-neighbor noise on these near-uniform synthetic
+    // embeddings (and comparing across K at fixed nprobe measures corpus
+    // COVERAGE: K=64/np=4 scans 6% vs 12.5% at K=8/np=1), so the "real
+    // centroids beat lowest-id seeds" claim is pinned on cohesion, where the
+    // improvement is large and stable (measured +37% at K=8, +31% at K=64).
+    val byId2 = vectors.toMap
+    def cohesion(iters: Int, k: Int): Double = {
+      val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+        .select(col("vec_id"), col("label"),
+          transform(col("embedding"), _.cast("double")).as("emb"))
+      val cents = graft.ops.LlmOps.kmeansCentroids(spark, emb, k, iters)
+        .collect().map(_.getSeq[Double](1).toArray)
+      byId2.values.map(v => cents.map(c => cosine(v, c)).max).sum / byId2.size
     }
-    val got = q("q_llm_sim_knn_ivf2").collect().map(r => (r.getLong(0), r.getDouble(2)))
-    assertTopK(got, top10(inCells))
+    for (k <- Seq(8, 64)) {
+      val c0 = cohesion(0, k)
+      val c2 = cohesion(2, k)
+      info(f"k-means cohesion K=$k: seed $c0%.4f -> 2 Lloyd iters $c2%.4f")
+      assert(c2 > c0,
+        f"K=$k: k-means cohesion $c2%.4f did not improve on seed centroids $c0%.4f")
+    }
     // widening nprobe can only improve (or tie) the best similarity found
-    val got1 = q("q_llm_sim_knn_ivf").collect().map(r => (r.getLong(0), r.getDouble(2)))
-    assert(got.head._2 >= got1.head._2)
+    val got1 = q("q_llm_sim_knn_ivf").collect().map(r => r.getDouble(2))
+    val got2 = q("q_llm_sim_knn_ivf2").collect().map(r => r.getDouble(2))
+    assert(got2.head >= got1.head)
+  }
+
+  test("IVF is bit-deterministic across runs (exact decimal centroid accumulation)") {
+    def run(): Seq[(Long, Double)] =
+      q("q_llm_sim_knn_ivf").collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    assert(run() == run())
   }
 
   test("embedding near-dup pairs carry exact cosine values, ordered descending") {

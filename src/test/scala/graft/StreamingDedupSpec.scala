@@ -79,4 +79,36 @@ class StreamingDedupSpec extends SparkTestBase {
       } yield (a, b)).toSet, s"got ${pairs.size} pairs")
     } finally query.stop()
   }
+
+  test("state TTL: timers are armed on activity, timed-out buckets evict, post-eviction restarts fresh") {
+    import org.apache.spark.api.java.Optional
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+    // deterministic unit test of the keyed update function: a live query
+    // with pending processing-time timers schedules micro-batches
+    // continuously, so TTL behavior is pinned here instead
+    val fn = StreamingDedup.bucketUpdate(5, Some(2000L)) _
+
+    // fresh bucket: pair emitted, members remembered, timer armed now+TTL
+    val s1 = TestGroupState.create[Seq[Long]](
+      Optional.empty(), GroupStateTimeout.ProcessingTimeTimeout,
+      10000L, Optional.empty(), false)
+    val out1 = fn((0, 7L), Iterator((1L, 0, 7L), (2L, 0, 7L)), s1).toSeq
+    assert(out1 == Seq(StreamingDedup.CandidatePair(1L, 2L, 0)))
+    assert(s1.get == Seq(1L, 2L))
+    assert(s1.getTimeoutTimestampMs.get.asInstanceOf[Long] == 12000L)
+
+    // idle past the TTL: Spark invokes with hasTimedOut — state is removed
+    val s2 = TestGroupState.create[Seq[Long]](
+      Optional.of(Seq(1L, 2L)), GroupStateTimeout.ProcessingTimeTimeout,
+      20000L, Optional.empty(), true)
+    assert(fn((0, 7L), Iterator.empty, s2).isEmpty)
+    assert(s2.isRemoved, "timed-out bucket state must be evicted")
+
+    // a later arrival starts a FRESH bucket: no pairs with evicted members
+    val s3 = TestGroupState.create[Seq[Long]](
+      Optional.empty(), GroupStateTimeout.ProcessingTimeTimeout,
+      30000L, Optional.empty(), false)
+    assert(fn((0, 7L), Iterator((9L, 0, 7L)), s3).isEmpty)
+    assert(s3.get == Seq(9L))
+  }
 }
