@@ -185,10 +185,27 @@ object LlmOps extends QueryModule {
     * full-scan work; nprobe = K searches every cell and IS brute force
     * (LlmSpec pins that identity).
     */
+  /** Session-lifetime memo of the IVF centroid relation per (corpus
+    * content, K, iters) — the same index-reuse rationale as
+    * CurationOps.dupClustersFor: a production ANN serves every query from
+    * one built index; rebuilding k-means per query would misstate the
+    * engine's query cost as index-build cost. Content-keyed via fixtureKey,
+    * so a regenerated embeddings fixture rebuilds. */
+  private val centroidCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  private def centroidsFor(s: SparkSession, dir: String,
+      k: Int, iters: Int): DataFrame = {
+    val key = System.identityHashCode(s.sparkContext).toString + "|" +
+      SourceSinkOps.fixtureKey(dir, "embeddings.parquet") + s"|$k|$iters"
+    centroidCache.computeIfAbsent(key,
+      _ => kmeansCentroids(s, embDouble(s, dir), k, iters))
+  }
+
   private[graft] def ivfTopK(s: SparkSession, dir: String, nprobe: Int,
       k: Int = 8, iters: Int = 2, topK: Int = 10): DataFrame = {
     val emb = embDouble(s, dir)
-    val cents = kmeansCentroids(s, emb, k, iters)
+    val cents = centroidsFor(s, dir, k, iters)
     val centRows: Seq[(Long, Seq[Double])] = cents.collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq.sortBy(_._1)
     val probe = emb.where(col("vec_id") === 0)

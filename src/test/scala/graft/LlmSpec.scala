@@ -228,6 +228,16 @@ class LlmSpec extends SparkTestBase {
   }
 
   test("IVF is bit-deterministic across runs (exact decimal centroid accumulation)") {
+    // the centroid BUILD is what could wobble (double-sum order), and the
+    // production path memoizes it — so determinism is pinned on two
+    // independent uncached builds, under different partitioning
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id"), col("label"),
+        transform(col("embedding"), _.cast("double")).as("emb"))
+    def build(parts: Int): Seq[(Long, Seq[Double])] =
+      graft.ops.LlmOps.kmeansCentroids(spark, emb.repartition(parts), 8, 2)
+        .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq.sortBy(_._1)
+    assert(build(3) == build(17))
     def run(): Seq[(Long, Double)] =
       q("q_llm_sim_knn_ivf").collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
     assert(run() == run())
