@@ -11,33 +11,35 @@ object TextOps extends QueryModule {
 
   private[graft] val Stopwords = Seq("the", "a", "and", "of", "to")
 
-  /** Polynomial rolling hash over the whole text (q_text_fingerprint).
+  /** Polynomial rolling hash over the whole text (q_text_fingerprint) —
+    * since round 4 the SQL-replayable mod-prime form (ReplayableHash), so
+    * the fingerprint query graduates from spec-pinned to DuckDB-oracled.
     * Exposed for TextSpec's determinism / sensitivity properties. */
-  private[graft] def fullHashFn(text: String): Long = {
-    var h = 0L
-    var i = 0
-    while (i < text.length) { h = h * 1315423911L + text.charAt(i); i += 1 }
-    h
-  }
+  private[graft] def fullHashFn(text: String): Long =
+    graft.functions.ReplayableHash.tokenHash(text)
 
   /** Winnowing-style min-shingle hash: minimum polynomial hash over all
-    * k=8-char windows (whole-text hash for shorter inputs). For texts of
-    * at least k chars, appending only ADDS windows, so the signed min can
-    * only shrink — TextSpec checks that monotonicity. (Texts shorter than
-    * k switch formulas at the k boundary, so the invariant starts there.) */
+    * k=8-codepoint windows (whole-text hash for shorter inputs). For texts
+    * of at least k chars, appending only ADDS windows, so the min can only
+    * shrink — TextSpec checks that monotonicity. (Texts shorter than k
+    * switch formulas at the k boundary, so the invariant starts there.)
+    * Windows step over CODE POINTS, matching DuckDB's character indexing,
+    * so the oracle replays it for any BMP+ text. */
   private[graft] def minShingleFn(text: String): Long = {
+    import graft.functions.ReplayableHash.{Base, P}
+    val cps = text.codePoints().toArray
     def poly(from: Int, until: Int): Long = {
       var h = 0L
       var j = from
-      while (j < until) { h = h * 1315423911L + text.charAt(j); j += 1 }
+      while (j < until) { h = (h * Base + cps(j)) % P; j += 1 }
       h
     }
     val k = 8
-    if (text.length < k) poly(0, text.length)
+    if (cps.length < k) poly(0, cps.length)
     else {
       var best = Long.MaxValue
       var i = 0
-      while (i + k <= text.length) {
+      while (i + k <= cps.length) {
         val h = poly(i, i + k)
         if (h < best) best = h
         i += 1
@@ -121,8 +123,9 @@ object TextOps extends QueryModule {
     }),
 
     // Document fingerprinting: polynomial rolling hash over the whole text
-    // plus a winnowing-style min-shingle hash (oracle-less; deterministic,
-    // checked by property tests in TextSpec).
+    // plus a winnowing-style min-shingle hash. Oracled since round 4 (the
+    // mod-prime form replays in SQL); TextSpec keeps the winnowing
+    // monotonicity and sensitivity properties the hash gate can't see.
     "q_text_fingerprint" -> ((s: SparkSession, dir: String) => {
       val fullHash = udf(fullHashFn _)
       val minShingle = udf(minShingleFn _)
@@ -135,6 +138,20 @@ object TextOps extends QueryModule {
   )
 
   def oracle: Seq[(String, String)] = Seq(
+    "q_text_fingerprint" -> {
+      val th = graft.functions.ReplayableHash.tokenHashSql("text")
+      val RH = graft.functions.ReplayableHash
+      s"""SELECT doc_id,
+         |  $th AS fingerprint,
+         |  CASE WHEN length(text) < 8 THEN $th
+         |       ELSE list_aggregate(list_transform(range(1, length(text) - 6), i ->
+         |              list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |                list_transform(range(i, i + 8), j -> CAST(ord(text[j]) AS BIGINT))),
+         |                (h, c) -> (h * ${RH.Base} + c) % ${RH.P})), 'min')
+         |  END AS min_shingle_hash
+         |FROM documents ORDER BY doc_id""".stripMargin
+    },
+
     "q_text_langid" ->
       """WITH tok AS (
         |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS token
