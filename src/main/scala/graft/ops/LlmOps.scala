@@ -25,6 +25,21 @@ object LlmOps extends QueryModule {
   private val NumHashes = 16
   private val NumBands  = 8 // 2 rows per band
 
+  /** Deterministic ±1 hyperplane families for the two sign-LSH paths —
+    * shared by the Spark queries and their generated SQL twins. Plane dots
+    * and cosines over `array<double>` accumulate IEEE doubles in INDEX
+    * ORDER on both engines (VectorDot/CosineSimilarity loop left-to-right;
+    * the SQL twin folds the products in the same order), and every step is
+    * a correctly-rounded IEEE-754 operation, so the values — and with them
+    * buckets, filters, and orderings — are bit-identical. That is what lets
+    * the float-embedding family be hash-gate oracled at all. */
+  private val SimKnnPlanes: Seq[Seq[Double]] = Seq.tabulate(8, 64) { (p, i) =>
+    if (((p * 73856093 + i * 19349663) % 7 + 7) % 7 < 3) -1.0 else 1.0
+  }
+  private val NeardupPlanes: Seq[Seq[Double]] = Seq.tabulate(8, 64) { (p, i) =>
+    if (((p * 2654435761L + i * 40503) % 5 + 5) % 5 < 2) -1.0 else 1.0
+  }
+
   /** Mega-bucket hygiene shared by every LSH path: keep the first `max`
     * members per bucket (deterministic by `orderCol`) rather than dropping
     * oversized buckets wholesale — every bucket stays represented (bounded
@@ -254,8 +269,9 @@ object LlmOps extends QueryModule {
         .orderBy("lang")),
 
     // Brute-force cosine top-k vs a probe vector — the correctness baseline
-    // for similarity search (oracle-less: float dot-product hash instability;
-    // covered by LlmSpec property tests instead).
+    // for similarity search. Oracled since round 4: the fused cosine
+    // accumulates in index order with correctly-rounded IEEE ops, so the
+    // DuckDB twin's ordered fold reproduces every double bit-for-bit.
     "q_llm_sim_knn" -> ((s: SparkSession, dir: String) => {
       val emb = embDouble(s, dir)
       val probe = emb.where(col("vec_id") === 0)
@@ -274,9 +290,7 @@ object LlmOps extends QueryModule {
     // once with the bucket filter evaluated inline — the bucketing expression
     // never runs over the corpus twice.
     "q_llm_sim_knn_lsh" -> ((s: SparkSession, dir: String) => {
-      val planes: Seq[Seq[Double]] = Seq.tabulate(8, 64) { (p, i) =>
-        if (((p * 73856093 + i * 19349663) % 7 + 7) % 7 < 3) -1.0 else 1.0
-      }
+      val planes = SimKnnPlanes
       val emb = embDouble(s, dir)
       def bucketOf(e: Column): Column =
         planes.zipWithIndex.map { case (plane, p) =>
@@ -359,11 +373,10 @@ object LlmOps extends QueryModule {
         .select(col("doc_id"), col("simhash"), asLong(col("cluster_n")).as("cluster_n"))
         .orderBy("doc_id")),
 
-    // Embedding-cosine near-dup: sign-LSH bucket join, cosine within bucket.
+    // Embedding-cosine near-dup: sign-LSH bucket join, cosine within bucket
+    // (fully oracled since round 4 — buckets, cap, and pair cosines replay).
     "q_llm_embed_neardup" -> ((s: SparkSession, dir: String) => {
-      val planes: Seq[Seq[Double]] = Seq.tabulate(8, 64) { (p, i) =>
-        if (((p * 2654435761L + i * 40503) % 5 + 5) % 5 < 2) -1.0 else 1.0
-      }
+      val planes = NeardupPlanes
       val emb = embDouble(s, dir)
       def bucketOf(e: Column): Column =
         planes.zipWithIndex.map { case (plane, p) =>
@@ -384,6 +397,38 @@ object LlmOps extends QueryModule {
     })
   )
 
+  // ---- SQL twins for the float-embedding family --------------------------
+  // Ordered IEEE folds reproduce VectorDot/CosineSimilarity bit-for-bit
+  // (see SimKnnPlanes doc). Generated from the same plane constants.
+
+  private def foldSql(terms: String): String =
+    s"list_reduce(list_prepend(CAST(0 AS DOUBLE), $terms), (a, b) -> a + b)"
+
+  private def normSql(v: String): String =
+    foldSql(s"list_transform(range(1, len($v) + 1), i -> $v[i] * $v[i])")
+
+  private def dotSql(x: String, y: String): String =
+    foldSql(s"list_transform(range(1, least(len($x), len($y)) + 1), i -> $x[i] * $y[i])")
+
+  private def cosSql(x: String, y: String): String =
+    s"""CASE WHEN ${normSql(x)} = 0 OR ${normSql(y)} = 0 THEN 0.0
+       |       ELSE ${dotSql(x, y)} / (sqrt(${normSql(x)}) * sqrt(${normSql(y)})) END""".stripMargin
+
+  private def planeDotSql(vec: String, plane: Seq[Double]): String = {
+    val lit = plane.map(d => if (d < 0) "-1.0" else "1.0").mkString("[", ", ", "]")
+    foldSql(s"list_transform(range(1, least(len($vec), ${plane.length}) + 1), i -> $vec[i] * $lit[i])")
+  }
+
+  private def bucketSql(vec: String, planes: Seq[Seq[Double]]): String =
+    planes.zipWithIndex.map { case (pl, p) =>
+      s"(CASE WHEN ${planeDotSql(vec, pl)} > 0 THEN ${1L << p} ELSE 0 END)"
+    }.mkString(" + ")
+
+  private val embCte =
+    """e AS (
+      |  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+      |  FROM embeddings)""".stripMargin
+
   /** Keep-first-K bucket cap replayed in SQL (the capBuckets contract). */
   private def cappedBandsSql(cap: Int): String =
     s"""capped AS (
@@ -395,6 +440,41 @@ object LlmOps extends QueryModule {
   def oracle: Seq[(String, String)] = {
     val RH = graft.functions.ReplayableHash
     Seq(
+    "q_llm_sim_knn" ->
+      s"""WITH $embCte,
+         |p AS (SELECT emb AS pemb FROM e WHERE vec_id = 0),
+         |sc AS (
+         |  SELECT e.vec_id, e.label, ${cosSql("e.emb", "p.pemb")} AS cos_sim
+         |  FROM e CROSS JOIN p WHERE e.vec_id <> 0)
+         |SELECT vec_id, label, cos_sim FROM sc
+         |ORDER BY cos_sim DESC, vec_id ASC LIMIT 10""".stripMargin,
+
+    "q_llm_sim_knn_lsh" ->
+      s"""WITH $embCte,
+         |b AS (SELECT vec_id, label, emb, ${bucketSql("emb", SimKnnPlanes)} AS bucket FROM e),
+         |p AS (SELECT emb AS pemb, bucket AS pbucket FROM b WHERE vec_id = 0),
+         |sc AS (
+         |  SELECT b.vec_id, b.label, ${cosSql("b.emb", "p.pemb")} AS cos_sim
+         |  FROM b CROSS JOIN p WHERE b.vec_id <> 0 AND b.bucket = p.pbucket)
+         |SELECT vec_id, label, cos_sim FROM sc
+         |ORDER BY cos_sim DESC, vec_id ASC LIMIT 10""".stripMargin,
+
+    "q_llm_embed_neardup" ->
+      s"""WITH $embCte,
+         |b AS (SELECT vec_id, emb, ${bucketSql("emb", NeardupPlanes)} AS bucket FROM e),
+         |capped AS (
+         |  SELECT vec_id, emb, bucket FROM (
+         |    SELECT vec_id, emb, bucket,
+         |           row_number() OVER (PARTITION BY bucket ORDER BY vec_id) AS brn
+         |    FROM b) WHERE brn <= $MaxEmbBucket),
+         |pairs AS (
+         |  SELECT x.vec_id AS id_a, y.vec_id AS id_b,
+         |         ${cosSql("x.emb", "y.emb")} AS cos_sim
+         |  FROM capped x JOIN capped y USING (bucket)
+         |  WHERE x.vec_id < y.vec_id)
+         |SELECT id_a, id_b, cos_sim FROM pairs
+         |ORDER BY cos_sim DESC, id_a ASC, id_b ASC LIMIT 100""".stripMargin,
+
     "q_llm_minhash" ->
       s"""WITH
          |${RH.tokenHashCte},

@@ -72,8 +72,10 @@ object ScalarFnOps extends QueryModule {
         asLong(size(slice(col("embedding"), 5, 10))).as("slice_n"))
         .orderBy("vec_id")),
 
-    // Map construction / inspection — legitimately oracle-less (map key
-    // ordering is engine-specific); deterministic via sort_array first.
+    // Map construction / inspection. The MAP itself never leaves the query
+    // (key order is engine-specific) — the declared output is scalar
+    // projections of it, which ARE oracle-able (round 4): n_types is the
+    // key count, purchases/clicks are lookups with a 0 default.
     "q_fn_map" -> ((s: SparkSession, dir: String) =>
       table(s, dir, "events")
         .groupBy("user_id", "event_type").agg(count(lit(1)).as("n"))
@@ -126,6 +128,13 @@ object ScalarFnOps extends QueryModule {
   )
 
   def oracle: Seq[(String, String)] = Seq(
+    "q_fn_map" ->
+      """SELECT user_id,
+        |       count(DISTINCT event_type) AS n_types,
+        |       CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS purchases,
+        |       CAST(count(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS clicks
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
     "q_fn_string" ->
       """SELECT c_custkey,
         |       upper(c_name) AS up,
