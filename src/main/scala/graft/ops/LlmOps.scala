@@ -136,56 +136,79 @@ object LlmOps extends QueryModule {
     call_function("vector_dot", x, y)
   }
 
+  /** Quantization scale for the IVF index lattice: a float times 2^20 is
+    * EXACT (power-of-two exponent shift), and `round` resolves the
+    * remaining dyadic .5 ties away from zero on both engines — so the
+    * lattice, and everything built from it, replays in SQL. */
+  private[graft] val QScale = 1L << 20
+
+  /** embeddings + the quantized index lattice: (vec_id, label, emb, qv). */
+  private[graft] def embWithLattice(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "embeddings")
+      .select(col("vec_id"), col("label"),
+        transform(col("embedding"), _.cast("double")).as("emb"),
+        transform(col("embedding"),
+          x => round(x.cast("double") * QScale).cast("long")).as("qv"))
+
   /** Deterministic k-means centroids as a small broadcastable relation
-    * (cent_id, cvec) — the real-IVF index-build step.
+    * (cent_id, cvec) over the QUANTIZED lattice — the real-IVF index-build
+    * step, in the "quantized coarse index + exact re-rank" shape real ANN
+    * systems use.
     *
-    * Init is the K lowest-vec_id vectors (fixed, seedless); each Lloyd
-    * iteration assigns every vector to its nearest centroid via a
+    * Init is the K lowest-vec_id lattice vectors (fixed, seedless); each
+    * Lloyd iteration assigns every vector to its nearest centroid via a
     * BROADCAST join against the K-row centroid relation (scales to any K,
     * unlike inlining K centroid literals into one expression tree, which
-    * stops codegenning past K≈100) and recomputes per-cell means with
-    * EXACT decimal accumulation per dimension, so the centroids — and
-    * therefore the cell boundaries — are bit-deterministic regardless of
-    * partitioning (double summation order would otherwise wobble them
-    * run-to-run). Empty cells keep their previous centroid. Per-iteration
-    * localCheckpoint truncates the lineage (the dupClusters lesson).
+    * stops codegenning past K≈100) and recomputes per-cell SUM vectors
+    * with exact BIGINT accumulation per dimension. Cosine assignment is
+    * scale-invariant, so the sum vector is equivalent to the mean — no
+    * division, no floating/decimal rounding anywhere in the update, hence
+    * centroids (and cell boundaries) are bit-deterministic regardless of
+    * partitioning AND the whole build replays in DuckDB (exact integer
+    * sums; assignment cosines are index-ordered IEEE folds over exactly-
+    * converted integers). Empty cells keep their previous centroid.
+    * Per-iteration localCheckpoint truncates the lineage (the dupClusters
+    * lesson). Magnitudes: |q| ≤ ~2^22 per slot, cell sums ≤ members·2^22 —
+    * exact in BIGINT and exactly convertible to double far beyond 10^8
+    * vectors per cell.
     */
   private[graft] def kmeansCentroids(s: SparkSession, emb: DataFrame,
       k: Int, iters: Int): DataFrame = {
     var cents = emb.where(col("vec_id") < k)
-      .select(col("vec_id").as("cent_id"), col("emb").as("cvec"))
+      .select(col("vec_id").as("cent_id"), col("qv").as("cvec"))
       .localCheckpoint(true)
     for (_ <- 0 until iters) {
       val sums = assignCells(s, emb, cents)
-        .select(col("cell"), posexplode(col("emb")).as(Seq("pos", "v")))
+        .select(col("cell"), posexplode(col("qv")).as(Seq("pos", "v")))
         .groupBy("cell", "pos")
-        .agg(sum(col("v").cast("decimal(30,15)")).as("sv"), count(lit(1)).as("n"))
-      val means = sums
-        .select(col("cell"), col("pos"),
-          (col("sv") / col("n")).cast("double").as("m"))
+        .agg(sum(col("v")).as("sv")) // exact BIGINT, order-independent
+      val newVecs = sums
         .groupBy("cell")
-        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
-          x => x.getField("m")).as("mvec"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("sv")))),
+          x => x.getField("sv")).as("svec"))
         .withColumnRenamed("cell", "cent_id")
-      cents = cents.join(means, Seq("cent_id"), "left")
-        .select(col("cent_id"), coalesce(col("mvec"), col("cvec")).as("cvec"))
+      cents = cents.join(newVecs, Seq("cent_id"), "left")
+        .select(col("cent_id"), coalesce(col("svec"), col("cvec")).as("cvec"))
         .localCheckpoint(true)
     }
     cents
   }
 
-  /** (vec_id, emb, cell): nearest centroid by (cosine DESC, cent_id ASC),
-    * via broadcast join + one partial-aggregating hash agg — the corpus is
-    * scanned once, never shuffled by the join. */
+  /** (vec_id, emb, qv, label, cell): nearest centroid over the lattice by
+    * (cosine DESC, cent_id ASC), via broadcast join + one
+    * partial-aggregating hash agg — the corpus is scanned once, never
+    * shuffled by the join. */
   private def assignCells(s: SparkSession, emb: DataFrame,
       cents: DataFrame): DataFrame =
     emb.join(broadcast(cents))
-      .select(col("vec_id"), col("emb"), col("label"),
-        struct(cosine(s)(col("emb"), col("cvec")).as("sim"),
+      .select(col("vec_id"), col("emb"), col("qv"), col("label"),
+        struct(cosine(s)(col("qv").cast("array<double>"),
+            col("cvec").cast("array<double>")).as("sim"),
           (-col("cent_id")).as("neg_id")).as("scored"))
       .groupBy("vec_id")
       .agg(first(col("emb")).as("emb"),     // constant within the group
-        first(col("label")).as("label"),    // likewise
+        first(col("qv")).as("qv"),          // likewise
+        first(col("label")).as("label"),
         (-max(col("scored")).getField("neg_id")).as("cell"))
 
   /** IVF ANN, parameterized on (nprobe, K, Lloyd iterations) — the single
@@ -214,24 +237,29 @@ object LlmOps extends QueryModule {
     val key = System.identityHashCode(s.sparkContext).toString + "|" +
       SourceSinkOps.fixtureKey(dir, "embeddings.parquet") + s"|$k|$iters"
     centroidCache.computeIfAbsent(key,
-      _ => kmeansCentroids(s, embDouble(s, dir), k, iters))
+      _ => kmeansCentroids(s, embWithLattice(s, dir), k, iters))
   }
 
   private[graft] def ivfTopK(s: SparkSession, dir: String, nprobe: Int,
       k: Int = 8, iters: Int = 2, topK: Int = 10): DataFrame = {
-    val emb = embDouble(s, dir)
+    val emb = embWithLattice(s, dir)
     val cents = centroidsFor(s, dir, k, iters)
-    val centRows: Seq[(Long, Seq[Double])] = cents.collect()
-      .map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq.sortBy(_._1)
-    val probe = emb.where(col("vec_id") === 0)
-      .select("emb").head().getSeq[Double](0)
+    val centRows: Seq[(Long, Seq[Long])] = cents.collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1))).toSeq.sortBy(_._1)
+    val probeRow = emb.where(col("vec_id") === 0)
+      .select("emb", "qv").head()
+    val probe = probeRow.getSeq[Double](0)
+    val probeQ = probeRow.getSeq[Long](1).map(_.toDouble)
+    // index-order IEEE accumulation — identical to the codegen'd
+    // CosineSimilarity and to the oracle's ordered fold
     def cosLocal(a: Seq[Double], b: Seq[Double]): Double = {
       var dot = 0.0; var na = 0.0; var nb = 0.0
       var i = 0
       while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
       if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
     }
-    val cells = centRows.map { case (cid, v) => (cid, cosLocal(probe, v)) }
+    val cells = centRows
+      .map { case (cid, v) => (cid, cosLocal(probeQ, v.map(_.toDouble))) }
       .sortBy { case (cid, sim) => (-sim, cid) }.take(nprobe).map(_._1)
     assignCells(s, emb.where(col("vec_id") =!= 0), cents)
       .where(col("cell").isin(cells: _*))
@@ -429,6 +457,70 @@ object LlmOps extends QueryModule {
       |  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
       |  FROM embeddings)""".stripMargin
 
+  /** Cosine over integer (lattice) lists, cast elementwise to double first
+    * — mirrors the engine's `cosine(qv.cast(array<double>), ...)`. */
+  private def cosIntSql(x: String, y: String): String =
+    cosSql(s"list_transform($x, v -> CAST(v AS DOUBLE))",
+      s"list_transform($y, v -> CAST(v AS DOUBLE))")
+
+  /** Full SQL replay of the quantized-lattice IVF (kmeansCentroids +
+    * ivfTopK): exact-dyadic quantization, `iters` Lloyd rounds with exact
+    * BIGINT sum-centroids, probe-cell ranking, final-cell assignment, and
+    * float re-rank — every float step an index-ordered IEEE fold, every
+    * integer step exact, so the whole index build replays bit-for-bit. */
+  private def ivfOracleSql(nprobe: Int, k: Int = 8, iters: Int = 2,
+      dims: Int = 64, topK: Int = 10): String = {
+    def lloydCtes(i: Int): String = {
+      val prev = if (i == 0) "c0" else s"c$i"
+      s"""a${i + 1} AS (
+         |  SELECT vec_id, qv, cell FROM (
+         |    SELECT e.vec_id, e.qv, c.cent_id AS cell,
+         |           row_number() OVER (PARTITION BY e.vec_id
+         |             ORDER BY ${cosIntSql("e.qv", "c.cvec")} DESC, c.cent_id ASC) AS rn
+         |    FROM e CROSS JOIN $prev c) WHERE rn = 1),
+         |s${i + 1} AS (
+         |  SELECT cell, d.i, sum(qv[d.i]) AS sv
+         |  FROM a${i + 1} CROSS JOIN (SELECT unnest(range(1, $dims + 1)) AS i) d
+         |  GROUP BY cell, d.i),
+         |v${i + 1} AS (
+         |  SELECT cell AS cent_id, list(sv ORDER BY i) AS cvec FROM s${i + 1} GROUP BY cell),
+         |c${i + 1} AS (
+         |  SELECT p.cent_id, coalesce(n.cvec, p.cvec) AS cvec
+         |  FROM $prev p LEFT JOIN v${i + 1} n USING (cent_id))""".stripMargin
+    }
+    val cf = s"c$iters"
+    s"""WITH $embCte0,
+       |c0 AS (SELECT vec_id AS cent_id, qv AS cvec FROM e WHERE vec_id < $k),
+       |${(0 until iters).map(lloydCtes).mkString(",\n")},
+       |p AS (SELECT qv AS pqv, emb AS pemb FROM e WHERE vec_id = 0),
+       |pc AS (
+       |  SELECT cent_id FROM (
+       |    SELECT c.cent_id,
+       |           row_number() OVER (ORDER BY ${cosIntSql("p.pqv", "c.cvec")} DESC,
+       |                              c.cent_id ASC) AS rn
+       |    FROM $cf c CROSS JOIN p) WHERE rn <= $nprobe),
+       |af AS (
+       |  SELECT vec_id, label, emb, cell FROM (
+       |    SELECT e.vec_id, e.label, e.emb, c.cent_id AS cell,
+       |           row_number() OVER (PARTITION BY e.vec_id
+       |             ORDER BY ${cosIntSql("e.qv", "c.cvec")} DESC, c.cent_id ASC) AS rn
+       |    FROM e CROSS JOIN $cf c WHERE e.vec_id <> 0) WHERE rn = 1)
+       |SELECT af.vec_id, af.label, ${cosSql("af.emb", "p.pemb")} AS cos_sim
+       |FROM af JOIN pc ON af.cell = pc.cent_id CROSS JOIN p
+       |ORDER BY cos_sim DESC, vec_id ASC LIMIT $topK""".stripMargin
+  }
+
+  /** embCte plus the quantized lattice column (the engine's embWithLattice
+    * twin): round() resolves dyadic .5 ties away from zero on BOTH engines,
+    * and a float times 2^20 is exact, so qv is bit-identical. */
+  private val embCte0 =
+    s"""e AS (
+       |  SELECT vec_id, label,
+       |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb,
+       |         list_transform(embedding,
+       |           x -> CAST(round(CAST(x AS DOUBLE) * $QScale) AS BIGINT)) AS qv
+       |  FROM embeddings)""".stripMargin
+
   /** Keep-first-K bucket cap replayed in SQL (the capBuckets contract). */
   private def cappedBandsSql(cap: Int): String =
     s"""capped AS (
@@ -440,6 +532,9 @@ object LlmOps extends QueryModule {
   def oracle: Seq[(String, String)] = {
     val RH = graft.functions.ReplayableHash
     Seq(
+    "q_llm_sim_knn_ivf" -> ivfOracleSql(nprobe = 1),
+    "q_llm_sim_knn_ivf2" -> ivfOracleSql(nprobe = 2),
+
     "q_llm_sim_knn" ->
       s"""WITH $embCte,
          |p AS (SELECT emb AS pemb FROM e WHERE vec_id = 0),

@@ -207,11 +207,12 @@ class LlmSpec extends SparkTestBase {
     // improvement is large and stable (measured +37% at K=8, +31% at K=64).
     val byId2 = vectors.toMap
     def cohesion(iters: Int, k: Int): Double = {
-      val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
-        .select(col("vec_id"), col("label"),
-          transform(col("embedding"), _.cast("double")).as("emb"))
-      val cents = graft.ops.LlmOps.kmeansCentroids(spark, emb, k, iters)
-        .collect().map(_.getSeq[Double](1).toArray)
+      // centroids are integer-sum DIRECTION vectors over the quantized
+      // lattice (cosine is scale-invariant), compared against the true
+      // float vectors
+      val cents = graft.ops.LlmOps
+        .kmeansCentroids(spark, graft.ops.LlmOps.embWithLattice(spark, sfDir), k, iters)
+        .collect().map(_.getSeq[Long](1).map(_.toDouble).toArray)
       byId2.values.map(v => cents.map(c => cosine(v, c)).max).sum / byId2.size
     }
     for (k <- Seq(8, 64)) {
@@ -227,16 +228,15 @@ class LlmSpec extends SparkTestBase {
     assert(got2.head >= got1.head)
   }
 
-  test("IVF is bit-deterministic across runs (exact decimal centroid accumulation)") {
-    // the centroid BUILD is what could wobble (double-sum order), and the
+  test("IVF is bit-deterministic across runs (exact integer lattice accumulation)") {
+    // the centroid BUILD is what could wobble (summation order), and the
     // production path memoizes it — so determinism is pinned on two
-    // independent uncached builds, under different partitioning
-    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
-      .select(col("vec_id"), col("label"),
-        transform(col("embedding"), _.cast("double")).as("emb"))
-    def build(parts: Int): Seq[(Long, Seq[Double])] =
+    // independent uncached builds, under different partitioning (exact
+    // BIGINT lattice sums are order-independent by construction)
+    val emb = graft.ops.LlmOps.embWithLattice(spark, sfDir)
+    def build(parts: Int): Seq[(Long, Seq[Long])] =
       graft.ops.LlmOps.kmeansCentroids(spark, emb.repartition(parts), 8, 2)
-        .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq.sortBy(_._1)
+        .collect().map(r => (r.getLong(0), r.getSeq[Long](1))).toSeq.sortBy(_._1)
     assert(build(3) == build(17))
     def run(): Seq[(Long, Double)] =
       q("q_llm_sim_knn_ivf").collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
