@@ -327,6 +327,29 @@ object CurationOps extends QueryModule {
         .orderBy(desc("tf_corpus"), asc("token"))
         .limit(100)),
 
+    // Bigram language-model statistics — the count-based n-gram LM training
+    // pass of a data pipeline: per adjacent token pair, corpus count,
+    // left-context count, and the conditional probability p(w2|w1) as ONE
+    // exact integer division (IEEE-correctly-rounded, so the hash gate
+    // holds; no log-space math, which would be libm-dependent).
+    "q_llm_ngram_lm" -> ((s: SparkSession, dir: String) => {
+      val bigrams = table(s, dir, "documents")
+        .withColumn("toks", expr("filter(split(text, ' '), t -> length(t) > 0)"))
+        .where(size(col("toks")) >= 2)
+        .select(explode(expr(
+          """zip_with(slice(toks, 1, size(toks) - 1),
+            |         slice(toks, 2, size(toks) - 1),
+            |         (a, b) -> struct(a AS w1, b AS w2))""".stripMargin)).as("bg"))
+        .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      val c12 = bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+      val c1 = bigrams.groupBy("w1").agg(count(lit(1)).as("c1"))
+      c12.join(c1, "w1")
+        .select(col("w1"), col("w2"), col("c12"), col("c1"),
+          (col("c12").cast("double") / col("c1")).as("p"))
+        .orderBy(desc("c12"), asc("w1"), asc("w2"))
+        .limit(100)
+    }),
+
     // Deterministic stratified sampling for training-mix curation: per-lang
     // keep-rates applied via doc_id mod — reproducible across engines and
     // runs (no RNG), a pure scan-side filter at any scale.
@@ -452,6 +475,21 @@ object CurationOps extends QueryModule {
         |GROUP BY token
         |ORDER BY tf_corpus DESC, token ASC
         |LIMIT 100""".stripMargin,
+
+    "q_llm_ngram_lm" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> length(x) > 0) AS toks
+        |  FROM documents),
+        |b AS (
+        |  SELECT toks[i] AS w1, toks[i + 1] AS w2
+        |  FROM (SELECT toks, unnest(generate_series(1, len(toks) - 1)) AS i
+        |        FROM t WHERE len(toks) >= 2)),
+        |c12 AS (SELECT w1, w2, count(*) AS c12 FROM b GROUP BY w1, w2),
+        |c1 AS (SELECT w1, count(*) AS c1 FROM b GROUP BY w1)
+        |SELECT c12.w1, c12.w2, c12.c12, c1.c1,
+        |       CAST(c12.c12 AS DOUBLE) / c1.c1 AS p
+        |FROM c12 JOIN c1 USING (w1)
+        |ORDER BY c12 DESC, w1 ASC, w2 ASC LIMIT 100""".stripMargin,
 
     "q_llm_curation_sample" ->
       s"""SELECT doc_id, lang, source, n_chars

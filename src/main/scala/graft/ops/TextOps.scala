@@ -122,6 +122,26 @@ object TextOps extends QueryModule {
         .orderBy("doc_id")
     }),
 
+    // Repetitiveness scoring — the "degenerate/repetitive document" signal
+    // an LM-curation pipeline filters on: Simpson concentration index
+    // Σ tf² / n² over the token distribution (1/n = perfectly diverse,
+    // → 1 = one token repeated) plus the distinct-token ratio. All
+    // accumulation is exact BIGINT; the two divisions are single
+    // correctly-rounded IEEE ops, so the hash gate holds (the entropy
+    // formulation would need log() — libm-dependent, rejected).
+    "q_text_repetition" -> ((s: SparkSession, dir: String) =>
+      tokens(table(s, dir, "documents"))
+        .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+        .groupBy("doc_id")
+        .agg(asLong(sum(col("tf"))).as("n_tokens"),
+          asLong(count(lit(1))).as("n_distinct"),
+          asLong(sum(col("tf") * col("tf"))).as("sum_sq"))
+        .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+          (col("sum_sq").cast("double") / (col("n_tokens") * col("n_tokens")))
+            .as("simpson"),
+          (col("n_distinct").cast("double") / col("n_tokens")).as("distinct_ratio"))
+        .orderBy("doc_id")),
+
     // Document fingerprinting: polynomial rolling hash over the whole text
     // plus a winnowing-style min-shingle hash. Oracled since round 4 (the
     // mod-prime form replays in SQL); TextSpec keeps the winnowing
@@ -151,6 +171,22 @@ object TextOps extends QueryModule {
          |  END AS min_shingle_hash
          |FROM documents ORDER BY doc_id""".stripMargin
     },
+
+    "q_text_repetition" ->
+      """WITH tf AS (
+        |  SELECT doc_id, token, count(*) AS tf FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+        |  WHERE length(token) > 0 GROUP BY doc_id, token),
+        |agg AS (
+        |  SELECT doc_id,
+        |         CAST(sum(tf) AS BIGINT) AS n_tokens,
+        |         CAST(count(*) AS BIGINT) AS n_distinct,
+        |         CAST(sum(tf * tf) AS BIGINT) AS sum_sq
+        |  FROM tf GROUP BY doc_id)
+        |SELECT doc_id, n_tokens, n_distinct,
+        |       CAST(sum_sq AS DOUBLE) / (n_tokens * n_tokens) AS simpson,
+        |       CAST(n_distinct AS DOUBLE) / n_tokens AS distinct_ratio
+        |FROM agg ORDER BY doc_id""".stripMargin,
 
     "q_text_langid" ->
       """WITH tok AS (

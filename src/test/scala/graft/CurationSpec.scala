@@ -171,6 +171,31 @@ class CurationSpec extends SparkTestBase {
     assert(rows.map(_._2).toSeq == rows.map(_._2).sortBy(-_).toSeq, "ordered by tf desc")
   }
 
+  test("bigram LM stats: counts match a driver-side recount, p is the exact rational") {
+    val c12 = collection.mutable.Map.empty[(String, String), Long]
+    val c1 = collection.mutable.Map.empty[String, Long]
+    docTexts.foreach { case (_, text) =>
+      val toks = text.split(' ').filter(_.nonEmpty)
+      toks.sliding(2).filter(_.length == 2).foreach { w =>
+        c12((w(0), w(1))) = c12.getOrElse((w(0), w(1)), 0L) + 1
+        c1(w(0)) = c1.getOrElse(w(0), 0L) + 1
+      }
+    }
+    val got = q("q_llm_ngram_lm").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    assert(got.length == math.min(100, c12.size))
+    got.foreach { case (w1, w2, n12, n1, p) =>
+      assert(n12 == c12((w1, w2)), s"c12($w1,$w2)")
+      assert(n1 == c1(w1), s"c1($w1)")
+      assert(p == n12.toDouble / n1, s"p($w1,$w2)")
+    }
+    // descending by pair count, and nothing outside the result beats the cut
+    assert(got.map(_._3).toSeq == got.map(_._3).sortBy(-_).toSeq)
+    val cut = got.last._3
+    val returned = got.map(g => (g._1, g._2)).toSet
+    assert(c12.forall { case (k, n) => returned(k) || n <= cut })
+  }
+
   test("stratified sample keeps exactly the mod-rule rows") {
     val rates = Map("en" -> 50, "fr" -> 30, "es" -> 20, "zh" -> 10).withDefaultValue(5)
     val langs = spark.read.parquet(s"$sfDir/documents.parquet")

@@ -71,6 +71,24 @@ class TextSpec extends SparkTestBase {
     }
   }
 
+  test("repetition score is the exact Simpson concentration of each token distribution") {
+    val textOf = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    val rows = q("q_text_repetition").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, n, k, simpson, ratio) =>
+      val tfs = textOf(id).split(' ').filter(_.nonEmpty)
+        .groupBy(identity).map(_._2.length.toLong)
+      assert(n == tfs.sum && k == tfs.size.toLong, s"doc $id counts")
+      assert(simpson == tfs.map(t => t * t).sum.toDouble / (n * n), s"doc $id simpson")
+      assert(ratio == k.toDouble / n, s"doc $id ratio")
+      // Simpson bounds: 1/k (perfectly even) <= s <= 1 (single token)
+      assert(simpson >= 1.0 / k - 1e-15 && simpson <= 1.0)
+    }
+  }
+
   test("fingerprints separate distinct texts and unite identical ones on the fixture") {
     val rows = q("q_text_fingerprint").collect()
       .map(r => (r.getLong(0), r.getLong(1)))
