@@ -47,7 +47,15 @@ object Bench {
         .count()
     } catch { case _: Throwable => () }
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Optional comma-separated subset for targeted re-runs (perf triage);
+    // unset = full suite, which is what the driver records.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val selected = only match {
+      case Some(names) => SparkEntry.queries.filter { case (k, _) => names(k) }
+      case None        => SparkEntry.queries
+    }
+    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val times = (1 to reps).flatMap { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
@@ -72,9 +80,20 @@ object Bench {
     spark.stop()
   }
 
-  /** `,"duckdb_total":…,"spark_on_common":…,"vs_duckdb_ratio":…` if the
-    * pinned baseline file exists (repo root or SPARK_GRAFT_DUCKDB_BASELINE),
-    * empty otherwise. */
+  /** The DuckDB twins of these four queries are written for BIT-EXACT float
+    * replay (index-ordered IEEE lambda folds; the IVF pair replays a whole
+    * k-means build in SQL) — correctness artifacts, not an optimized DuckDB
+    * implementation, so they run slowly there and flatter the raw ratio.
+    * Bench reports the ratio both ways so the honesty split in BASELINE.md
+    * is machine-generated and cannot drift from the artifact.
+    */
+  private val replayTwins = Set(
+    "q_llm_sim_knn_lsh", "q_llm_embed_neardup",
+    "q_llm_sim_knn_ivf", "q_llm_sim_knn_ivf2")
+
+  /** `,"duckdb_total":…,"spark_on_common":…,"vs_duckdb_ratio":…` plus the
+    * `_ex_twins` variants (replay-twin set excluded) if the pinned baseline
+    * file exists (repo root or SPARK_GRAFT_DUCKDB_BASELINE), empty otherwise. */
   private def duckdbRatio(results: Seq[(String, Double, Boolean)]): String = {
     val path = sys.env.getOrElse("SPARK_GRAFT_DUCKDB_BASELINE", "BASELINE_DUCKDB.json")
     val f = new java.io.File(path)
@@ -84,11 +103,16 @@ object Bench {
     val duck = "\"(q_[a-z0-9_]+)\"\\s*:\\s*([0-9.eE+-]+)".r
       .findAllMatchIn(txt).map(m => m.group(1) -> m.group(2).toDouble).toMap
     val common = results.collect {
-      case (name, sec, true) if duck.contains(name) => (sec, duck(name))
+      case (name, sec, true) if duck.contains(name) => (name, sec, duck(name))
     }
     if (common.isEmpty) return ""
-    val sparkSum = common.map(_._1).sum
-    val duckSum = common.map(_._2).sum
-    f""","duckdb_total":$duckSum%.3f,"spark_on_common":$sparkSum%.3f,"vs_duckdb_ratio":${sparkSum / duckSum}%.3f"""
+    def ratioFields(rows: Seq[(String, Double, Double)], suffix: String): String = {
+      if (rows.isEmpty) return ""
+      val sparkSum = rows.map(_._2).sum
+      val duckSum = rows.map(_._3).sum
+      f""","duckdb_total$suffix":$duckSum%.3f,"spark_on_common$suffix":$sparkSum%.3f,"vs_duckdb_ratio$suffix":${sparkSum / duckSum}%.3f"""
+    }
+    ratioFields(common, "") +
+      ratioFields(common.filterNot(r => replayTwins(r._1)), "_ex_twins")
   }
 }

@@ -253,6 +253,14 @@ object CurationOps extends QueryModule {
     // bit_count(xor). Fully oracled since round 4 (ReplayableHash sigs
     // replay in SQL); CurationSpec additionally pins the result to a
     // driver-side all-pairs ground truth.
+    //
+    // Pair generation is IN-BUCKET (groupBy band,bv → sorted member array →
+    // higher-order-function combinations), not a band self-join: a self-join
+    // recomputes the whole sig pipeline on both sides (broadcast sides don't
+    // reuse exchanges), while this shape is one linear pipeline and the
+    // first-50-by-doc_id cap becomes a slice of the sorted array instead of
+    // a window pass. Per-group state is <= 50 structs, so executor memory is
+    // bounded regardless of corpus size — the shape survives 100 TB.
     "q_llm_simhash_neardup" -> ((s: SparkSession, dir: String) => {
       val sigs = LlmOps.simhashSigs(table(s, dir, "documents"), 64)
       val bandCols = (0 until 4).map { b =>
@@ -264,17 +272,22 @@ object CurationOps extends QueryModule {
         .select(col("doc_id"), col("simhash"), explode(array(bandCols: _*)).as("bb"))
         .select(col("doc_id"), col("simhash"),
           col("bb.band").as("band"), col("bb.bv").as("bv"))
-      val capped = LlmOps.capBuckets(bands, Seq("band", "bv"), "doc_id", 50)
-      val a = capped.select(col("band"), col("bv"),
-        col("doc_id").as("doc_a"), col("simhash").as("sh_a"))
-      val b = capped.select(col("band"), col("bv"),
-        col("doc_id").as("doc_b"), col("simhash").as("sh_b"))
-      a.join(b, Seq("band", "bv"))
-        .where(col("doc_a") < col("doc_b"))
-        .select(col("doc_a"), col("doc_b"),
-          bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("long").as("hamming"))
-        .distinct()
+      bands
+        .groupBy("band", "bv")
+        .agg(expr("slice(sort_array(collect_list(struct(doc_id, simhash))), 1, 50)")
+          .as("mem"))
+        .where(size(col("mem")) >= 2)
+        // members are sorted by doc_id, so pairing each x with the elements
+        // after it yields exactly the doc_a < doc_b pairs of the old join
+        .select(explode(expr(
+          """flatten(transform(mem, (x, i) ->
+            |  transform(slice(mem, i + 2, size(mem)), y ->
+            |    struct(x.doc_id AS doc_a, y.doc_id AS doc_b,
+            |           x.simhash AS sh_a, y.simhash AS sh_b))))""".stripMargin)).as("p"))
+        .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"),
+          bit_count(col("p.sh_a").bitwiseXOR(col("p.sh_b"))).cast("long").as("hamming"))
         .where(col("hamming") <= 3)
+        .distinct()
         .orderBy("doc_a", "doc_b")
     }),
 
@@ -299,15 +312,19 @@ object CurationOps extends QueryModule {
     // break the DuckDB hash gate (§7.4 discipline).
     "q_text_tfidf" -> ((s: SparkSession, dir: String) => {
       val docs = table(s, dir, "documents")
-      val n = docs.count()
+      // Corpus size as a broadcast 1-row relation (the DuckDB twin's `nq`
+      // CTE), not a driver-side docs.count(): folds the extra job into the
+      // plan. Same long arithmetic → same IEEE double → same oracle hash.
+      val nDocs = docs.agg(count(lit(1)).as("n_docs"))
       val tf = docs
         .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
         .where(length(col("token")) > 0)
         .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
       val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
       tf.join(dfreq, "token")
+        .crossJoin(broadcast(nDocs))
         .withColumn("tfidf",
-          (col("tf") * lit(n + 1)).cast("double") / (col("df") + lit(1)))
+          (col("tf") * (col("n_docs") + lit(1L))).cast("double") / (col("df") + lit(1)))
         .withColumn("rn", row_number().over(
           Window.partitionBy("doc_id").orderBy(desc("tfidf"), asc("token"))))
         .where(col("rn") <= 3)

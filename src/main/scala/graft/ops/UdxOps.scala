@@ -17,8 +17,14 @@ import org.apache.spark.sql.functions._
   */
 object UdxOps extends QueryModule {
 
-  /** Weighted average of price by quantity, exact-decimal buffer. */
-  private case class WBuf(sumPQ: BigDecimal, sumQ: BigDecimal)
+  /** Weighted average of price by quantity, exact-decimal buffer.
+    * `private[graft]`, not `private`: Janino-generated encoder code lives in
+    * the default package and cannot resolve methods on a JVM-private inner
+    * class — `private` made every buffer (de)serialization fall back to the
+    * interpreted projection (logged `compilerError` per task). `private[X]`
+    * erases to public in bytecode, so codegen works.
+    */
+  private[graft] case class WBuf(sumPQ: BigDecimal, sumQ: BigDecimal)
 
   private object WeightedAvg extends Aggregator[(Double, Double), WBuf, Double] {
     def zero: WBuf = WBuf(BigDecimal(0), BigDecimal(0))
