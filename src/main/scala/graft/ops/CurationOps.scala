@@ -234,6 +234,10 @@ object CurationOps extends QueryModule {
       _ => dupClusters(s, table(s, dir, "documents")).localCheckpoint(true))
   }
 
+  /** Drop the memoized cluster index (ScaleProbe's amortization probe uses
+    * this to measure a genuinely cold build; production never needs it). */
+  private[graft] def clearIndexCache(): Unit = clusterCache.clear()
+
   def queries: Seq[(String, Q)] = Seq(
     // Duplicate-cluster assignment: transitive closure of "shares a kept
     // 5-word shingle OR has identical text" — the cluster step after

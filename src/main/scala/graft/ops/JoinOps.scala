@@ -15,7 +15,9 @@ import org.apache.spark.sql.functions._
   */
 object JoinOps extends QueryModule {
 
-  /** Shared merge-scan as-of implementation (both directions).
+  /** Shared merge-scan as-of implementation (both directions), salted by a
+    * coarse time bucket so no single hot key ever sorts its whole timeline
+    * in one task.
     *
     * Events and orders are unioned onto one per-user timeline (order dates
     * cast NTZ→timestamp; the session TZ is UTC on both engines, so the
@@ -26,11 +28,24 @@ object JoinOps extends QueryModule {
     * running lexicographic max/min of struct(date, key) over the frame then
     * reproduces the (date, key) tie-break of the join formulation exactly.
     *
+    * Two-level structure (the `ops.globalRowNumber` shape): the running
+    * best is computed WITHIN each (user, hour-of-time) bucket, and a
+    * per-(user, bucket) summary relation — rows = #occupied buckets, never
+    * #records — carries the running best across PRECEDING (resp. following)
+    * buckets via a window over that tiny relation; an equi-join on
+    * (user_id, bucket) merges the two. Same t ⇒ same bucket, so the
+    * tie-break stays in the local level and the cross-bucket level only
+    * sees strictly earlier/later times — semantics are bucket-width-
+    * independent (the DuckDB oracle is unchanged). A hot key's sort cost
+    * drops from its full timeline to its densest bucket; the probe at 750×
+    * single-key skew stays flat (SCALING.md).
+    *
     * The trailing groupBy(event_id, user_id) collapses duplicate event rows
     * the same way the join+aggregate formulation did (its group key), and
     * costs one hash agg over #events rows.
     */
   private def asofMerge(s: SparkSession, dir: String, forward: Boolean): org.apache.spark.sql.DataFrame = {
+    val bucketUs = 3600L * 1000000L // 1 hour
     val oRows = table(s, dir, "orders")
       .select(col("o_custkey").as("user_id"),
         col("o_orderdate").cast("timestamp").as("t"),
@@ -40,16 +55,39 @@ object JoinOps extends QueryModule {
       .select(col("user_id"), col("ts").as("t"),
         lit(if (forward) 0 else 1).as("kind"), col("event_id"))
     val timeline = oRows.unionByName(eRows, allowMissingColumns = true)
-    val w = {
-      val base = Window.partitionBy("user_id").orderBy(col("t"), col("kind"))
+      .withColumn("tb", expr(s"unix_micros(t) div $bucketUs"))
+    // level 1: running best within the (user, bucket) sort group
+    val wLocal = {
+      val base = Window.partitionBy("user_id", "tb").orderBy(col("t"), col("kind"))
       if (forward) base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
       else base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     }
-    val runBest = if (forward) min(col("ord")).over(w) else max(col("ord")).over(w)
+    val localBest = if (forward) min(col("ord")).over(wLocal) else max(col("ord")).over(wLocal)
+    // level 2: best order per occupied bucket (max/min ignore the null ord
+    // of event rows, and every event bucket is present by construction),
+    // then the running best over strictly earlier/later buckets
+    val wCross = {
+      val base = Window.partitionBy("user_id").orderBy("tb")
+      if (forward) base.rowsBetween(1, Window.unboundedFollowing)
+      else base.rowsBetween(Window.unboundedPreceding, -1)
+    }
+    val bucketBest = if (forward) min(col("ord")) else max(col("ord"))
+    val crossBest = if (forward) min(col("bucket_best")).over(wCross)
+      else max(col("bucket_best")).over(wCross)
+    val summary = timeline.groupBy("user_id", "tb")
+      .agg(bucketBest.as("bucket_best"))
+      .withColumn("cross_best", crossBest)
+      .select("user_id", "tb", "cross_best")
+    // greatest/least skip nulls (a bucket with no preceding orders has a
+    // null cross_best), matching the running-max-over-nullable semantics
+    val merged = if (forward) least(col("local_best"), col("cross_best"))
+      else greatest(col("local_best"), col("cross_best"))
     val perEventBest = if (forward) min(col("run_best")) else max(col("run_best"))
     timeline
-      .withColumn("run_best", runBest)
+      .withColumn("local_best", localBest)
       .where(col("event_id").isNotNull)
+      .join(summary, Seq("user_id", "tb"))
+      .withColumn("run_best", merged)
       .groupBy("event_id", "user_id")
       .agg(perEventBest.as("best"))
       .select(col("event_id"), col("user_id"),
@@ -143,10 +181,9 @@ object JoinOps extends QueryModule {
     // Merge-scan formulation (round 4): union events and orders onto one
     // per-user timeline, running max(struct(date, key)) over the sorted
     // stream gives every event its answer directly — ZERO pair expansion.
-    // The previous left-join + hash-agg shape expanded events×orders per
-    // user before aggregating, which goes quadratic on a power-law-hot key
-    // at 100×; this is one shuffle by user + a per-user sort, linearithmic
-    // in the hot key's rows (measured: ScaleProbe skew row, SCALING.md).
+    // Round 5 salts that window by a 1-hour time bucket (two-level merge,
+    // see asofMerge) so even a single hot key never sorts its whole
+    // timeline in one task — flat at 750× single-key skew (SCALING.md).
     "q_join_asof" -> ((s: SparkSession, dir: String) =>
       asofMerge(s, dir, forward = false)),
 

@@ -240,6 +240,10 @@ object LlmOps extends QueryModule {
       _ => kmeansCentroids(s, embWithLattice(s, dir), k, iters))
   }
 
+  /** Drop the memoized IVF centroid index (ScaleProbe's amortization probe
+    * uses this to measure a genuinely cold build). */
+  private[graft] def clearIndexCache(): Unit = centroidCache.clear()
+
   private[graft] def ivfTopK(s: SparkSession, dir: String, nprobe: Int,
       k: Int = 8, iters: Int = 2, topK: Int = 10): DataFrame = {
     val emb = embWithLattice(s, dir)

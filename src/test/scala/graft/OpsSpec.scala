@@ -52,4 +52,49 @@ class OpsSpec extends SparkTestBase {
       assert(a == b, s"$name not deterministic")
     }
   }
+
+  // ---- quantitative pins for the two BY-DESIGN non-oracled sketch rows ----
+  // (cross-engine sketch algorithms differ, so there is no DuckDB hash gate;
+  // these pin the error bound instead of just the shape. Both sketches hash
+  // deterministically, so the observed error is a fixed fact of the fixture
+  // — the assertions are exact-repeatable, not flaky.)
+
+  test("approx_count_distinct stays within 3×rsd of the exact distinct count (sf0.01)") {
+    val rows = SparkEntry.queries("q_agg_approx_distinct")(
+      spark, "/root/testdata/sf0.01").collect()
+    assert(rows.length >= 3)
+    rows.foreach { r =>
+      val approx = r.getAs[Long]("approx_parts").toDouble
+      val exact = r.getAs[Long]("exact_parts").toDouble
+      val relErr = math.abs(approx - exact) / exact
+      // default HLL++ rsd = 0.05; 3σ = 15%
+      assert(relErr <= 0.15,
+        s"group ${r.get(0)}: approx=$approx exact=$exact relErr=$relErr > 0.15")
+    }
+  }
+
+  test("approx_percentile stays within GK rank epsilon of the exact median (sf0.01)") {
+    import org.apache.spark.sql.functions.col
+    val dir = "/root/testdata/sf0.01"
+    val rows = SparkEntry.queries("q_agg_approx_percentile")(spark, dir).collect()
+    assert(rows.length >= 3)
+    val li = ops.table(spark, dir, "lineitem")
+      .select("l_returnflag", "l_extendedprice").cache()
+    try {
+      rows.foreach { r =>
+        val flag = r.getString(0)
+        val approx = r.getAs[Double]("approx_p50")
+        val grp = li.where(col("l_returnflag") === flag)
+        val n = grp.count().toDouble
+        val lt = grp.where(col("l_extendedprice") < approx).count()
+        val le = grp.where(col("l_extendedprice") <= approx).count()
+        // accuracy=1000 → the returned value's rank interval [lt+1, le] must
+        // intersect [n(0.5-ε), n(0.5+ε)] with ε = 1/accuracy
+        val eps = 1.0 / 1000
+        assert(lt <= n * (0.5 + eps) && le >= n * (0.5 - eps),
+          s"group $flag: approx=$approx rank in [${lt + 1},$le] outside " +
+            s"[${n * (0.5 - eps)},${n * (0.5 + eps)}] of n=$n")
+      }
+    } finally li.unpersist()
+  }
 }

@@ -122,16 +122,26 @@ class ScaleTechniqueSpec extends SparkTestBase {
       s"expected the 5-row max-ts relation to be broadcast, plan:\n$plan")
   }
 
-  test("as-of merge-scan plan: no join operator at all, one window over the user timeline") {
-    // the round-4 skew fix: events x orders expansion is gone entirely —
-    // the plan is union -> shuffle by user -> sort -> running max window
+  test("as-of two-level plan: bucketed windows, one summary equi-join on the salt key") {
+    // r4 removed the events×orders pair expansion (merge-scan); r5 salts the
+    // per-user window by a coarse time bucket. The plan must be: union →
+    // windows over (user, bucket) → ONE equi-join against the per-bucket
+    // summary relation (rows = #occupied buckets, not #records). Any second
+    // join, or any non-equi join, would mean pair expansion crept back in.
     for (name <- Seq("q_join_asof", "q_join_asof_fwd")) {
       val plan = SparkEntry.queries(name)(spark, sfDir)
         .queryExecution.sparkPlan.toString
-      assert(!plan.contains("Join"),
-        s"$name merge-scan must not join, plan:\n$plan")
       assert(plan.contains("Window") && plan.contains("Union"),
         s"$name should be a union + running window, plan:\n$plan")
+      assert(!plan.contains("CartesianProduct")
+          && !plan.contains("BroadcastNestedLoopJoin"),
+        s"$name must not contain a non-equi join, plan:\n$plan")
+      val joins = "(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)".r
+        .findAllIn(plan).size
+      assert(joins == 1,
+        s"$name must have exactly the summary rejoin, found $joins, plan:\n$plan")
+      assert(plan.contains("tb#"),
+        s"$name join key must carry the time-bucket salt, plan:\n$plan")
     }
   }
 
