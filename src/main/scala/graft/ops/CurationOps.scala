@@ -371,6 +371,35 @@ object CurationOps extends QueryModule {
         .limit(100)
     }),
 
+    // Per-document novelty scoring against the corpus bigram LM — the
+    // "boilerplate vs novel text" ranking signal of a curation pipeline:
+    // per doc, total bigram occurrences, distinct bigrams, and occurrences
+    // whose corpus count is 1 (transitions unique to this doc). All counts
+    // are exact BIGINTs; novelty_rate is ONE long/long IEEE division, so
+    // the hash gate holds (a log-probability score would be libm-dependent,
+    // rejected — same discipline as q_text_repetition). The corpus-count
+    // rejoin is an equi-join on the bigram itself: count relation rows =
+    // #distinct bigrams, shuffle bounded by token count, never pairs.
+    "q_llm_doc_lm_score" -> ((s: SparkSession, dir: String) => {
+      val bigrams = table(s, dir, "documents")
+        .withColumn("toks", expr("filter(split(text, ' '), t -> length(t) > 0)"))
+        .where(size(col("toks")) >= 2)
+        .select(col("doc_id"), explode(expr(
+          """zip_with(slice(toks, 1, size(toks) - 1),
+            |         slice(toks, 2, size(toks) - 1),
+            |         (a, b) -> struct(a AS w1, b AS w2))""".stripMargin)).as("bg"))
+        .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      val c12 = bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+      bigrams.join(c12, Seq("w1", "w2"))
+        .groupBy("doc_id")
+        .agg(asLong(count(lit(1))).as("n_bigrams"),
+          asLong(count_distinct(concat_ws(" ", col("w1"), col("w2")))).as("n_distinct"),
+          asLong(sum(when(col("c12") === 1, 1L).otherwise(0L))).as("n_singleton"))
+        .withColumn("novelty_rate",
+          col("n_singleton").cast("double") / col("n_bigrams"))
+        .orderBy("doc_id")
+    }),
+
     // Deterministic stratified sampling for training-mix curation: per-lang
     // keep-rates applied via doc_id mod — reproducible across engines and
     // runs (no RNG), a pure scan-side filter at any scale.
@@ -511,6 +540,23 @@ object CurationOps extends QueryModule {
         |       CAST(c12.c12 AS DOUBLE) / c1.c1 AS p
         |FROM c12 JOIN c1 USING (w1)
         |ORDER BY c12 DESC, w1 ASC, w2 ASC LIMIT 100""".stripMargin,
+
+    "q_llm_doc_lm_score" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> length(x) > 0) AS toks
+        |  FROM documents),
+        |b AS (
+        |  SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+        |  FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 1)) AS i
+        |        FROM t WHERE len(toks) >= 2)),
+        |c12 AS (SELECT w1, w2, count(*) AS c12 FROM b GROUP BY w1, w2)
+        |SELECT doc_id,
+        |       CAST(count(*) AS BIGINT) AS n_bigrams,
+        |       CAST(count(DISTINCT w1 || ' ' || w2) AS BIGINT) AS n_distinct,
+        |       CAST(sum(CASE WHEN c12 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_singleton,
+        |       CAST(sum(CASE WHEN c12 = 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS novelty_rate
+        |FROM b JOIN c12 USING (w1, w2)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q_llm_curation_sample" ->
       s"""SELECT doc_id, lang, source, n_chars

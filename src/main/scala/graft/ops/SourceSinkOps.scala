@@ -60,6 +60,7 @@ object SourceSinkOps extends QueryModule {
           col("user_id"), col("event_type"), col("value"))
         .write.mode("overwrite")
       if (format == "json") out.json(path)
+      else if (format == "orc") out.orc(path)
       else out.option("header", "true").csv(path)
     }
     path
@@ -111,6 +112,18 @@ object SourceSinkOps extends QueryModule {
         .orderBy("event_type")
     }),
 
+    // ORC source: Spark-native columnar alternative to parquet (same
+    // pushdown/pruning machinery). Round trip is lossless (longs + doubles
+    // + strings), so the oracle is the same aggregate straight off parquet.
+    "q_src_orc_roundtrip" -> ((s: SparkSession, dir: String) => {
+      val path = exportOnce(s, dir, "orc")
+      s.read.orc(path)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"),
+          min("ts_us").as("first_us"))
+        .orderBy("event_type")
+    }),
+
     // Partitioned parquet sink round-trip: write documents partitioned by
     // lang (the 100 TB output layout — partition pruning on read, one dir
     // per partition value), re-read from the partitioned layout, aggregate.
@@ -156,6 +169,12 @@ object SourceSinkOps extends QueryModule {
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q_src_csv_roundtrip" ->
+      """SELECT event_type, count(*) AS n,
+        |       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
+        |       min(epoch_us(ts)) AS first_us
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_src_orc_roundtrip" ->
       """SELECT event_type, count(*) AS n,
         |       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
         |       min(epoch_us(ts)) AS first_us

@@ -142,6 +142,24 @@ object TextOps extends QueryModule {
           (col("n_distinct").cast("double") / col("n_tokens")).as("distinct_ratio"))
         .orderBy("doc_id")),
 
+    // Text normalization + normalized-exact-dup grouping — the first pass
+    // of a curation pipeline (lowercase, trim, collapse whitespace) and the
+    // dup-group sizes it induces. The shuffle carries (len, sha256) — never
+    // the normalized text itself — so the grouping cost is flat in document
+    // size; group counts rejoin on the 256-bit digest (collision-free in
+    // practice at any corpus scale).
+    "q_text_normalize" -> ((s: SparkSession, dir: String) => {
+      val norm = regexp_replace(trim(lower(col("text"))), " +", " ")
+      val docs = table(s, dir, "documents")
+        .select(col("doc_id"),
+          asLong(length(norm)).as("norm_len"),
+          sha2(norm, 256).as("nhash"))
+      val counts = docs.groupBy("nhash").agg(count(lit(1)).as("n_same_norm"))
+      docs.join(counts, "nhash")
+        .select(col("doc_id"), col("norm_len"), col("nhash"), col("n_same_norm"))
+        .orderBy("doc_id")
+    }),
+
     // Document fingerprinting: polynomial rolling hash over the whole text
     // plus a winnowing-style min-shingle hash. Oracled since round 4 (the
     // mod-prime form replays in SQL); TextSpec keeps the winnowing
@@ -158,6 +176,16 @@ object TextOps extends QueryModule {
   )
 
   def oracle: Seq[(String, String)] = Seq(
+    "q_text_normalize" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |         CAST(length(regexp_replace(trim(lower(text)), ' +', ' ', 'g')) AS BIGINT) AS norm_len,
+        |         sha256(regexp_replace(trim(lower(text)), ' +', ' ', 'g')) AS nhash
+        |  FROM documents),
+        |c AS (SELECT nhash, count(*) AS n_same_norm FROM h GROUP BY nhash)
+        |SELECT doc_id, norm_len, h.nhash, n_same_norm
+        |FROM h JOIN c USING (nhash) ORDER BY doc_id""".stripMargin,
+
     "q_text_fingerprint" -> {
       val th = graft.functions.ReplayableHash.tokenHashSql("text")
       val RH = graft.functions.ReplayableHash

@@ -56,6 +56,18 @@ object WindowOps extends QueryModule {
         .orderBy("user_id", "event_id")
     }),
 
+    // Quantile bucketing: ntile over a unique ordering (both engines give
+    // the first (n mod k) buckets the extra row, so ids match exactly).
+    "q_win_ntile" -> ((s: SparkSession, dir: String) => {
+      val w = Window.partitionBy("c_mktsegment")
+        .orderBy(desc("c_acctbal"), asc("c_custkey"))
+      table(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"),
+          ntile(4).over(w).cast("long").as("balance_quartile"),
+          asLong(row_number().over(w)).as("seg_rank"))
+        .orderBy("c_mktsegment", "c_custkey")
+    }),
+
     // Distribution functions: percent_rank/cume_dist over unique ordering
     // ((rank-1)/(n-1) and rank/n of identical longs → identical doubles on
     // both engines), plus nth_value over an explicit frame.
@@ -136,6 +148,14 @@ object WindowOps extends QueryModule {
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
         |             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
         |ORDER BY user_id, event_id""".stripMargin,
+
+    "q_win_ntile" ->
+      """SELECT c_custkey, c_mktsegment,
+        |       CAST(ntile(4) OVER w AS BIGINT) AS balance_quartile,
+        |       CAST(row_number() OVER w AS BIGINT) AS seg_rank
+        |FROM customer
+        |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey ASC)
+        |ORDER BY c_mktsegment, c_custkey""".stripMargin,
 
     "q_win_dist" ->
       """SELECT c_custkey, c_mktsegment,

@@ -196,6 +196,27 @@ class CurationSpec extends SparkTestBase {
     assert(c12.forall { case (k, n) => returned(k) || n <= cut })
   }
 
+  test("doc LM novelty score matches a driver-side recount of singleton bigrams") {
+    val corpus = collection.mutable.Map.empty[(String, String), Long]
+    val perDoc = collection.mutable.Map.empty[Long, Seq[(String, String)]]
+    docTexts.foreach { case (id, text) =>
+      val bgs = text.split(' ').filter(_.nonEmpty)
+        .sliding(2).filter(_.length == 2).map(w => (w(0), w(1))).toSeq
+      if (bgs.nonEmpty) perDoc(id) = bgs
+      bgs.foreach(b => corpus(b) = corpus.getOrElse(b, 0L) + 1)
+    }
+    val got = q("q_llm_doc_lm_score").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    assert(got.length == perDoc.size)
+    got.foreach { case (id, n, k, singles, rate) =>
+      val bgs = perDoc(id)
+      assert(n == bgs.length.toLong, s"doc $id n_bigrams")
+      assert(k == bgs.distinct.length.toLong, s"doc $id n_distinct")
+      assert(singles == bgs.count(corpus(_) == 1L).toLong, s"doc $id n_singleton")
+      assert(rate == singles.toDouble / n, s"doc $id novelty_rate")
+    }
+  }
+
   test("stratified sample keeps exactly the mod-rule rows") {
     val rates = Map("en" -> 50, "fr" -> 30, "es" -> 20, "zh" -> 10).withDefaultValue(5)
     val langs = spark.read.parquet(s"$sfDir/documents.parquet")

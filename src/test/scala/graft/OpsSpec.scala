@@ -53,6 +53,15 @@ class OpsSpec extends SparkTestBase {
     }
   }
 
+  test("ntile quartiles are balanced within each segment") {
+    val rows = SparkEntry.queries("q_win_ntile")(spark, sfDir).collect()
+      .map(r => (r.getString(1), r.getLong(2)))
+    rows.groupBy(_._1).foreach { case (seg, rs) =>
+      val sizes = rs.groupBy(_._2).map(_._2.length)
+      assert(sizes.max - sizes.min <= 1, s"segment $seg unbalanced: $sizes")
+    }
+  }
+
   // ---- quantitative pins for the two BY-DESIGN non-oracled sketch rows ----
   // (cross-engine sketch algorithms differ, so there is no DuckDB hash gate;
   // these pin the error bound instead of just the shape. Both sketches hash

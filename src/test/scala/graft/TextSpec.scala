@@ -89,6 +89,28 @@ class TextSpec extends SparkTestBase {
     }
   }
 
+  test("normalization is idempotent and its dup-group sizes partition the corpus") {
+    val rows = q("q_text_normalize").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val textOf = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(rows.length == textOf.size)
+    def normalize(t: String) = t.toLowerCase.trim.replaceAll(" +", " ")
+    rows.foreach { case (id, len, _, n) =>
+      val norm = normalize(textOf(id))
+      assert(len == norm.length.toLong, s"doc $id norm_len")
+      assert(normalize(norm) == norm, s"doc $id not idempotent")
+      assert(n >= 1)
+    }
+    // group sizes partition the corpus: each distinct nhash contributes its
+    // size exactly once, and the sizes sum back to the doc count
+    val bySize = rows.groupBy(_._3).values.map { g =>
+      assert(g.map(_._4).distinct.length == 1); g.head._4
+    }
+    assert(bySize.sum == rows.length.toLong)
+  }
+
   test("fingerprints separate distinct texts and unite identical ones on the fixture") {
     val rows = q("q_text_fingerprint").collect()
       .map(r => (r.getLong(0), r.getLong(1)))
