@@ -276,10 +276,15 @@ object CurationOps extends QueryModule {
         .select(col("doc_id"), col("simhash"), explode(array(bandCols: _*)).as("bb"))
         .select(col("doc_id"), col("simhash"),
           col("bb.band").as("band"), col("bb.bv").as("bv"))
-      bands
+      // window-cap BEFORE collecting: the row_number pass is sort-based and
+      // spillable, so a degenerate band value never materializes an
+      // uncapped member array in one task; the groupBy then collects ≤50
+      // structs per group on the same (band, bv) partitioning (no extra
+      // exchange). Same member set as slicing after collection — both keep
+      // the 50 smallest doc_ids.
+      LlmOps.capBuckets(bands, Seq("band", "bv"), "doc_id", 50)
         .groupBy("band", "bv")
-        .agg(expr("slice(sort_array(collect_list(struct(doc_id, simhash))), 1, 50)")
-          .as("mem"))
+        .agg(expr("sort_array(collect_list(struct(doc_id, simhash)))").as("mem"))
         .where(size(col("mem")) >= 2)
         // members are sorted by doc_id, so pairing each x with the elements
         // after it yields exactly the doc_a < doc_b pairs of the old join

@@ -110,7 +110,15 @@ object LlmOps extends QueryModule {
   /** As [[candidatePairs]] but over an already-computed (doc_id, token)
     * frame — lets callers that also need the token sets (the Jaccard
     * verification stage) materialize the explode+distinct ONCE and feed
-    * both branches, instead of Spark recomputing the subplan per branch. */
+    * both branches, instead of Spark recomputing the subplan per branch.
+    *
+    * Shape note (measured, r5): the in-bucket pair generation that won 5×
+    * on q_llm_simhash_neardup (groupBy → sorted member array → HOF
+    * combinations) was tried here and LOST (0.76 → 1.2 s at sf0.1): the
+    * LSH bucket histogram is many SMALL buckets, where the per-group
+    * array+explode overhead dominates, and the band self-join is cheap
+    * because both sides reuse one exchange (`ReusedExchange` — the
+    * tokens→sigs→bands pipeline is NOT computed twice). Kept the self-join. */
   private[graft] def candidatePairsFromToks(toks: DataFrame,
       maxBucket: Int): DataFrame = {
     val buckets = lshBuckets(minhashSigs(toks), maxBucket)
