@@ -90,6 +90,21 @@ object AggOps extends QueryModule {
           count_distinct(col("l_partkey")).as("exact_parts"))
         .orderBy("l_returnflag")),
 
+    // Unpivot (melt): wide measure columns to (measure, value) rows via the
+    // native Dataset.unpivot (Catalyst Expand — one pass, no union of
+    // scans), then a per-measure aggregate. Inverse surface of q_agg_pivot.
+    "q_agg_unpivot" -> ((s: SparkSession, dir: String) =>
+      table(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice"),
+          col("l_discount"), col("l_tax"))
+        .unpivot(Array(col("l_orderkey")),
+          Array(col("l_quantity"), col("l_extendedprice"),
+            col("l_discount"), col("l_tax")),
+          "measure", "value")
+        .groupBy("measure")
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("total"))
+        .orderBy("measure")),
+
     // Pivot: one count column per event type (fixed value list so the
     // output schema is static — required for a 100 TB plan anyway).
     "q_agg_pivot" -> ((s: SparkSession, dir: String) =>
@@ -167,6 +182,16 @@ object AggOps extends QueryModule {
   )
 
   def oracle: Seq[(String, String)] = Seq(
+    "q_agg_unpivot" ->
+      """WITH u AS (
+        |  SELECT 'l_quantity' AS measure, l_quantity AS value FROM lineitem
+        |  UNION ALL SELECT 'l_extendedprice', l_extendedprice FROM lineitem
+        |  UNION ALL SELECT 'l_discount', l_discount FROM lineitem
+        |  UNION ALL SELECT 'l_tax', l_tax FROM lineitem)
+        |SELECT measure, count(*) AS n,
+        |       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total
+        |FROM u GROUP BY measure ORDER BY measure""".stripMargin,
+
     "q_agg_basic" ->
       """SELECT l_returnflag, l_linestatus,
         |       CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,

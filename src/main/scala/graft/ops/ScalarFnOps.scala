@@ -124,7 +124,18 @@ object ScalarFnOps extends QueryModule {
       table(s, dir, "events").select(
         col("event_id"),
         get_json_object(col("props"), "$.k").cast("long").as("k"))
-        .orderBy("event_id"))
+        .orderBy("event_id")),
+
+    // Regex family: extract / count / match. Patterns are kept to the
+    // Java-regex ∩ RE2 common subset (literal words, [a-z]+ classes) so the
+    // two engines' regex dialects agree; both count non-overlapping matches.
+    "q_fn_regex" -> ((s: SparkSession, dir: String) =>
+      table(s, dir, "documents").select(
+        col("doc_id"),
+        regexp_extract(col("text"), "([a-z]+)", 1).as("first_word"),
+        regexp_count(col("text"), lit("table")).cast("long").as("n_table"),
+        col("text").rlike("window").cast("long").as("has_window"))
+        .orderBy("doc_id"))
   )
 
   def oracle: Seq[(String, String)] = Seq(
@@ -223,6 +234,13 @@ object ScalarFnOps extends QueryModule {
     "q_fn_json" ->
       """SELECT event_id,
         |       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
-        |FROM events ORDER BY event_id""".stripMargin
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "q_fn_regex" ->
+      """SELECT doc_id,
+        |       regexp_extract(text, '([a-z]+)', 1) AS first_word,
+        |       CAST(len(regexp_extract_all(text, 'table')) AS BIGINT) AS n_table,
+        |       CAST(regexp_matches(text, 'window') AS BIGINT) AS has_window
+        |FROM documents ORDER BY doc_id""".stripMargin
   )
 }
