@@ -1,29 +1,85 @@
 package graft.ops
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Analytic window family (SURVEY §2B "Window functions"). Partition keys
   * (mktsegment / user_id / custkey) keep the state per-group — at 100 TB
   * these shuffle once on the partition key and stream within each group,
-  * with no global ordering anywhere.
+  * with no global ordering anywhere. The mktsegment family (5-value key —
+  * the low-cardinality-window scale-killer) ranks through the two-level
+  * bucketed shape ([[segRanks]]) instead of per-segment single-task sorts.
   */
 object WindowOps extends QueryModule {
 
+  /** Segment-partitioned analytic ranks WITHOUT a per-segment single-task
+    * sort. `Window.partitionBy(c_mktsegment)` funnels N/5 of the table
+    * through one sort task — the round-3 q_stream_late scale-killer, which
+    * this family previously still exhibited. Two-level shape (the
+    * `ops.globalRowNumber` generalization to partitioned windows): rows
+    * bucket by the exact scaled balance (2-dec money → `round(×100)` is an
+    * exact long; negated so descending balance maps to ascending buckets),
+    * local row_number/rank/dense_rank run per (segment, bucket), and
+    * cross-bucket offsets (row count, distinct-value count) come from a
+    * window over the per-(segment, bucket) summary — rows = #occupied
+    * buckets, bounded by the VALUE RANGE / 4096 per segment, independent of
+    * table size, hence always broadcastable. A tie group (equal balance)
+    * maps to one bucket by construction, so local rank + count offset and
+    * local dense_rank + distinct offset are exact.
+    *
+    * Returns the input columns plus `rn` (unique order: balance desc,
+    * custkey asc), `rk`/`drk` (ties on balance), `n_seg` (segment size).
+    */
+  private def segRanks(customer: DataFrame): DataFrame = {
+    val bucketSize = 4096L
+    val withB = customer
+      .withColumn("_sr_key", round(-col("c_acctbal") * 100).cast("long"))
+      .withColumn("_sr_bucket", expr(s"_sr_key div $bucketSize"))
+    val wLocalU = Window.partitionBy("c_mktsegment", "_sr_bucket")
+      .orderBy(desc("c_acctbal"), asc("c_custkey"))
+    val wLocalT = Window.partitionBy("c_mktsegment", "_sr_bucket")
+      .orderBy(desc("c_acctbal"))
+    val wOff = Window.partitionBy("c_mktsegment").orderBy("_sr_bucket")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wSeg = Window.partitionBy("c_mktsegment")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val offs = withB.groupBy("c_mktsegment", "_sr_bucket")
+      .agg(count(lit(1)).as("_sr_cnt"), count_distinct(col("_sr_key")).as("_sr_dcnt"))
+      .withColumn("_sr_off", coalesce(sum("_sr_cnt").over(wOff), lit(0L)))
+      .withColumn("_sr_doff", coalesce(sum("_sr_dcnt").over(wOff), lit(0L)))
+      .withColumn("_sr_n", sum("_sr_cnt").over(wSeg))
+      .select("c_mktsegment", "_sr_bucket", "_sr_off", "_sr_doff", "_sr_n")
+    withB
+      .withColumn("_sr_rn", row_number().over(wLocalU))
+      .withColumn("_sr_rk", rank().over(wLocalT))
+      .withColumn("_sr_drk", dense_rank().over(wLocalT))
+      .join(broadcast(offs), Seq("c_mktsegment", "_sr_bucket"))
+      .withColumn("rn", (col("_sr_rn") + col("_sr_off")).cast("long"))
+      .withColumn("rk", (col("_sr_rk") + col("_sr_off")).cast("long"))
+      .withColumn("drk", (col("_sr_drk") + col("_sr_doff")).cast("long"))
+      .withColumn("n_seg", col("_sr_n").cast("long"))
+      .drop("_sr_key", "_sr_bucket", "_sr_rn", "_sr_rk", "_sr_drk",
+        "_sr_off", "_sr_doff", "_sr_n")
+  }
+
+  /** ntile(k) from a unique 1-based rank column and the partition-size
+    * column — the standard definition both engines share: the first
+    * (n mod k) tiles get one extra row. Pure integer arithmetic (`div`),
+    * bit-identical across engines. */
+  private def ntileSql(rn: String, n: String, k: Int): Column = expr(
+    s"""CAST(CASE WHEN $rn <= ($n % $k) * ($n div $k + 1)
+       |     THEN ($rn - 1) div ($n div $k + 1) + 1
+       |     ELSE ($n % $k) + ($rn - ($n % $k) * ($n div $k + 1) - 1) div ($n div $k) + 1
+       |     END AS BIGINT)""".stripMargin)
+
   def queries: Seq[(String, Q)] = Seq(
-    "q_win_rank" -> ((s: SparkSession, dir: String) => {
-      val wUniq = Window.partitionBy("c_mktsegment")
-        .orderBy(desc("c_acctbal"), asc("c_custkey"))
-      val wTies = Window.partitionBy("c_mktsegment").orderBy(desc("c_acctbal"))
-      table(s, dir, "customer")
+    "q_win_rank" -> ((s: SparkSession, dir: String) =>
+      segRanks(table(s, dir, "customer"))
         .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"),
-          asLong(row_number().over(wUniq)).as("rn"),
-          asLong(rank().over(wTies)).as("rk"),
-          asLong(dense_rank().over(wTies)).as("drk"),
-          asLong(ntile(4).over(wUniq)).as("quartile"))
-        .orderBy("c_mktsegment", "rn")
-    }),
+          col("rn"), col("rk"), col("drk"),
+          ntileSql("rn", "n_seg", 4).as("quartile"))
+        .orderBy("c_mktsegment", "rn")),
 
     "q_win_lag" -> ((s: SparkSession, dir: String) => {
       val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
@@ -56,32 +112,33 @@ object WindowOps extends QueryModule {
         .orderBy("user_id", "event_id")
     }),
 
-    // Quantile bucketing: ntile over a unique ordering (both engines give
-    // the first (n mod k) buckets the extra row, so ids match exactly).
-    "q_win_ntile" -> ((s: SparkSession, dir: String) => {
-      val w = Window.partitionBy("c_mktsegment")
-        .orderBy(desc("c_acctbal"), asc("c_custkey"))
-      table(s, dir, "customer")
+    // Quantile bucketing: ntile + row_number over a unique ordering, via
+    // the bucketed two-level rank (no per-segment single-task sort; both
+    // engines give the first (n mod k) tiles the extra row, and the rank is
+    // unique, so tile ids match the window formulation exactly).
+    "q_win_ntile" -> ((s: SparkSession, dir: String) =>
+      segRanks(table(s, dir, "customer"))
         .select(col("c_custkey"), col("c_mktsegment"),
-          ntile(4).over(w).cast("long").as("balance_quartile"),
-          asLong(row_number().over(w)).as("seg_rank"))
-        .orderBy("c_mktsegment", "c_custkey")
-    }),
+          ntileSql("rn", "n_seg", 4).as("balance_quartile"),
+          col("rn").as("seg_rank"))
+        .orderBy("c_mktsegment", "c_custkey")),
 
-    // Distribution functions: percent_rank/cume_dist over unique ordering
-    // ((rank-1)/(n-1) and rank/n of identical longs → identical doubles on
-    // both engines), plus nth_value over an explicit frame.
+    // Distribution functions from the bucketed rank: the ordering is unique
+    // (custkey tie-break), so rank == row_number and percent_rank/cume_dist
+    // are the exact rationals (rn-1)/(n-1) and rn/n — single IEEE divisions
+    // of exact longs, identical on both engines. nth_value over the
+    // unbounded frame is the rank-3 custkey broadcast back per segment.
     "q_win_dist" -> ((s: SparkSession, dir: String) => {
-      val w = Window.partitionBy("c_mktsegment")
-        .orderBy(desc("c_acctbal"), asc("c_custkey"))
-      val wf = Window.partitionBy("c_mktsegment")
-        .orderBy(desc("c_acctbal"), asc("c_custkey"))
-        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-      table(s, dir, "customer")
+      val ranked = segRanks(table(s, dir, "customer"))
+      val third = ranked.where(col("rn") === 3)
+        .select(col("c_mktsegment"), col("c_custkey").as("third_key"))
+      ranked.join(broadcast(third), Seq("c_mktsegment"), "left")
         .select(col("c_custkey"), col("c_mktsegment"),
-          percent_rank().over(w).as("pct_rank"),
-          cume_dist().over(w).as("cume"),
-          nth_value(col("c_custkey"), 3).over(wf).as("third_key"))
+          when(col("n_seg") === 1, lit(0.0))
+            .otherwise((col("rn") - 1).cast("double") / (col("n_seg") - 1))
+            .as("pct_rank"),
+          (col("rn").cast("double") / col("n_seg")).as("cume"),
+          col("third_key"))
         .orderBy("c_mktsegment", "c_custkey")
     }),
 

@@ -145,6 +145,32 @@ class ScaleTechniqueSpec extends SparkTestBase {
     }
   }
 
+  test("segment ranking is bucketed two-level and matches the naive window formulation") {
+    import org.apache.spark.sql.expressions.Window
+    // r5: the mktsegment analytic family must not sort N/5 of the table in
+    // one task — every Window in the plan carries the value bucket in its
+    // partition spec, and the results still match the plain windows exactly
+    val cust = ops.table(spark, sfDir, "customer")
+    val wUniq = Window.partitionBy("c_mktsegment")
+      .orderBy(desc("c_acctbal"), asc("c_custkey"))
+    val wTies = Window.partitionBy("c_mktsegment").orderBy(desc("c_acctbal"))
+    val naive = cust.select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"),
+      row_number().over(wUniq).cast("long").as("rn"),
+      rank().over(wTies).cast("long").as("rk"),
+      dense_rank().over(wTies).cast("long").as("drk"),
+      ntile(4).over(wUniq).cast("long").as("quartile"))
+    val got = SparkEntry.queries("q_win_rank")(spark, sfDir)
+    assert(got.exceptAll(naive).isEmpty && naive.exceptAll(got).isEmpty)
+    for (name <- Seq("q_win_rank", "q_win_ntile", "q_win_dist")) {
+      val plan = SparkEntry.queries(name)(spark, sfDir)
+        .queryExecution.sparkPlan.toString
+      // every record-stream window partitions by (segment, bucket); the only
+      // segment-alone window runs over the tiny per-bucket summary relation
+      assert(plan.contains("_sr_bucket"),
+        s"$name should rank via the bucketed two-level shape, plan:\n$plan")
+    }
+  }
+
   test("IVF cell assignment broadcasts the centroid relation (no K-arm literal expression)") {
     val plan = graft.ops.LlmOps.ivfTopK(spark, sfDir, nprobe = 1)
       .queryExecution.sparkPlan.toString
