@@ -128,4 +128,49 @@ class StreamingSpec extends SparkTestBase {
       assert(ids.toSeq == Seq(1L, 2L, 3L))
     } finally query.stop()
   }
+
+  test("stream-stream interval join matches the batch join on the same rows") {
+    // two UNBOUNDED sources joined on key + time range: both sides carry a
+    // watermark and the range condition bounds the buffered state — the
+    // Structured Streaming attribution-join shape (impression ← click
+    // within 10 minutes). Output must equal the batch join of the same data.
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(h: Int, m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    val imps = MemoryStream[(Long, java.sql.Timestamp)]
+    val clicks = MemoryStream[(Long, java.sql.Timestamp)]
+    val impDf = imps.toDF().toDF("ad_id", "imp_ts").withWatermark("imp_ts", "30 minutes")
+    val clkDf = clicks.toDF().toDF("c_ad_id", "clk_ts").withWatermark("clk_ts", "30 minutes")
+    val joined = impDf.join(clkDf,
+      col("ad_id") === col("c_ad_id") &&
+        col("clk_ts") >= col("imp_ts") &&
+        col("clk_ts") <= col("imp_ts") + expr("INTERVAL 10 MINUTES"))
+      .select(col("ad_id"), col("imp_ts"), col("clk_ts"))
+    val query = joined.writeStream
+      .format("memory").queryName("ss_join").outputMode("append")
+      .option("checkpointLocation", checkpoint())
+      .start()
+    try {
+      val impRows = Seq((1L, ts(1, 0)), (2L, ts(1, 5)), (3L, ts(2, 0)))
+      val clkRows = Seq((1L, ts(1, 4)), // joins (within 10 min)
+        (2L, ts(1, 30)), // too late after the impression -> no join
+        (3L, ts(1, 50)), // before the impression -> no join
+        (1L, ts(1, 9))) // second click on ad 1, also joins
+      imps.addData(impRows: _*)
+      clicks.addData(clkRows.take(2): _*)
+      query.processAllAvailable()
+      clicks.addData(clkRows.drop(2): _*)
+      query.processAllAvailable()
+      val got = spark.table("ss_join")
+        .as[(Long, java.sql.Timestamp, java.sql.Timestamp)].collect().toSet
+      val want = impRows.toDF("ad_id", "imp_ts")
+        .join(clkRows.toDF("c_ad_id", "clk_ts"),
+          col("ad_id") === col("c_ad_id") &&
+            col("clk_ts") >= col("imp_ts") &&
+            col("clk_ts") <= col("imp_ts") + expr("INTERVAL 10 MINUTES"))
+        .select(col("ad_id"), col("imp_ts"), col("clk_ts"))
+        .as[(Long, java.sql.Timestamp, java.sql.Timestamp)].collect().toSet
+      assert(got == want && got.size == 2)
+    } finally query.stop()
+  }
 }
