@@ -90,6 +90,18 @@ object AggOps extends QueryModule {
           count_distinct(col("l_partkey")).as("exact_parts"))
         .orderBy("l_returnflag")),
 
+    // Equi-width histogram: bucket o_totalprice into fixed 25k-wide bins by
+    // pure integer math (exact 2-dec money → scaled long), count + exact
+    // sum per bin. The standard profiling aggregate; one hash agg, fully
+    // map-side-combinable at any scale.
+    "q_agg_hist" -> ((s: SparkSession, dir: String) =>
+      table(s, dir, "orders")
+        .withColumn("bin",
+          expr("CAST(CAST(round(o_totalprice * 100) AS BIGINT) div 2500000 AS BIGINT)"))
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("bin_total"))
+        .orderBy("bin")),
+
     // Unpivot (melt): wide measure columns to (measure, value) rows via the
     // native Dataset.unpivot (Catalyst Expand — one pass, no union of
     // scans), then a per-measure aggregate. Inverse surface of q_agg_pivot.
@@ -182,6 +194,12 @@ object AggOps extends QueryModule {
   )
 
   def oracle: Seq[(String, String)] = Seq(
+    "q_agg_hist" ->
+      """SELECT CAST(CAST(round(o_totalprice * 100) AS BIGINT) // 2500000 AS BIGINT) AS bin,
+        |       count(*) AS n,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS bin_total
+        |FROM orders GROUP BY bin ORDER BY bin""".stripMargin,
+
     "q_agg_unpivot" ->
       """WITH u AS (
         |  SELECT 'l_quantity' AS measure, l_quantity AS value FROM lineitem

@@ -323,6 +323,25 @@ object LlmOps extends QueryModule {
         .limit(10)
     }),
 
+    // Per-label exact mean embedding (class centroids — the
+    // nearest-class-mean building block of an embedding pipeline). Floats
+    // scale EXACTLY by 2^16 (power of two only shifts the exponent), so
+    // round() has no ties and the per-dimension accumulation is exact
+    // BIGINT; the mean is one IEEE division of exact values — fully
+    // SQL-replayable, unlike a naive float sum (order-dependent) or a
+    // double→DECIMAL cast (rounding-mode ties, see §7.4). One explode +
+    // hash agg, map-side combinable at any corpus size.
+    "q_llm_emb_centroid" -> ((s: SparkSession, dir: String) =>
+      table(s, dir, "embeddings")
+        .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "x")))
+        .groupBy("label", "dim")
+        .agg(count(lit(1)).as("n"),
+          sum(expr("CAST(round(CAST(x AS DOUBLE) * 65536) AS BIGINT)")).as("qsum"))
+        .select(col("label").cast("long").as("label"),
+          col("dim").cast("long").as("dim"), col("n"),
+          (col("qsum").cast("double") / (col("n") * lit(65536.0))).as("centroid"))
+        .orderBy("label", "dim")),
+
     // Scale path for ANN: sign-LSH bucketing (8 deterministic hyperplanes of
     // ±1 weights), brute force only within the probe's bucket. SINGLE corpus
     // scan: the probe's vector + bucket come from a key-pruned point read
@@ -546,6 +565,17 @@ object LlmOps extends QueryModule {
     Seq(
     "q_llm_sim_knn_ivf" -> ivfOracleSql(nprobe = 1),
     "q_llm_sim_knn_ivf2" -> ivfOracleSql(nprobe = 2),
+
+    "q_llm_emb_centroid" ->
+      """WITH x AS (
+        |  SELECT label, i, embedding[i] AS x
+        |  FROM (SELECT label, embedding, unnest(generate_series(1, len(embedding))) AS i
+        |        FROM embeddings))
+        |SELECT CAST(label AS BIGINT) AS label, CAST(i - 1 AS BIGINT) AS dim,
+        |       count(*) AS n,
+        |       CAST(sum(CAST(round(CAST(x AS DOUBLE) * 65536) AS BIGINT)) AS DOUBLE)
+        |         / (count(*) * 65536.0) AS centroid
+        |FROM x GROUP BY label, i ORDER BY label, dim""".stripMargin,
 
     "q_llm_sim_knn" ->
       s"""WITH $embCte,
