@@ -342,6 +342,37 @@ object LlmOps extends QueryModule {
           (col("qsum").cast("double") / (col("n") * lit(65536.0))).as("centroid"))
         .orderBy("label", "dim")),
 
+    // Nearest-class-mean classification — the capstone of the embedding
+    // family: build the exact per-label centroid arrays (same quantized
+    // arithmetic as q_llm_emb_centroid), broadcast the tiny #labels-row
+    // relation against a single corpus scan, score every vector against
+    // every centroid with the replayable index-ordered cosine fold
+    // (graft.functions.CosineSimilarity ≡ the oracle's list_reduce), and
+    // arg-max with a label tie-break. One corpus scan + one hash agg;
+    // centroid build is one explode + two hash aggs.
+    "q_llm_emb_classify" -> ((s: SparkSession, dir: String) => {
+      val cents = table(s, dir, "embeddings")
+        .select(col("label").as("c_label"),
+          posexplode(col("embedding")).as(Seq("dim", "x")))
+        .withColumn("qx", expr("CAST(round(CAST(x AS DOUBLE) * 65536) AS BIGINT)"))
+        .groupBy("c_label", "dim")
+        .agg(sum("qx").as("qsum"), count(lit(1)).as("n"))
+        .withColumn("c", col("qsum").cast("double") / (col("n") * lit(65536.0)))
+        .groupBy("c_label")
+        .agg(expr("transform(sort_array(collect_list(struct(dim, c))), p -> p.c)")
+          .as("cent"))
+      embDouble(s, dir)
+        .crossJoin(broadcast(cents))
+        .withColumn("cos", cosine(s)(col("emb"), col("cent")))
+        .groupBy("vec_id", "label")
+        .agg(expr("max_by(c_label, named_struct('c', cos, 'nl', -c_label))")
+          .as("pred_label"),
+          max(col("cos")).as("best_cos"))
+        .select(col("vec_id"), col("label").cast("long").as("label"),
+          col("pred_label").cast("long").as("pred_label"), col("best_cos"))
+        .orderBy("vec_id")
+    }),
+
     // Scale path for ANN: sign-LSH bucketing (8 deterministic hyperplanes of
     // ±1 weights), brute force only within the probe's bucket. SINGLE corpus
     // scan: the probe's vector + bucket come from a key-pruned point read
@@ -565,6 +596,30 @@ object LlmOps extends QueryModule {
     Seq(
     "q_llm_sim_knn_ivf" -> ivfOracleSql(nprobe = 1),
     "q_llm_sim_knn_ivf2" -> ivfOracleSql(nprobe = 2),
+
+    "q_llm_emb_classify" ->
+      s"""WITH $embCte,
+         |q AS (
+         |  SELECT label AS c_label, i - 1 AS dim,
+         |         CAST(round(CAST(embedding[i] AS DOUBLE) * 65536) AS BIGINT) AS qx
+         |  FROM (SELECT label, embedding, unnest(generate_series(1, len(embedding))) AS i
+         |        FROM embeddings)),
+         |cd AS (
+         |  SELECT c_label, dim, CAST(sum(qx) AS DOUBLE) / (count(*) * 65536.0) AS c
+         |  FROM q GROUP BY c_label, dim),
+         |cent AS (SELECT c_label, list(c ORDER BY dim) AS cent FROM cd GROUP BY c_label),
+         |sc AS (
+         |  SELECT e.vec_id, e.label, cent.c_label,
+         |         ${cosSql("e.emb", "cent.cent")} AS cos
+         |  FROM e CROSS JOIN cent),
+         |r AS (
+         |  SELECT vec_id, label, c_label, cos,
+         |         row_number() OVER (PARTITION BY vec_id
+         |                            ORDER BY cos DESC, c_label ASC) AS rn
+         |  FROM sc)
+         |SELECT vec_id, CAST(label AS BIGINT) AS label,
+         |       CAST(c_label AS BIGINT) AS pred_label, cos AS best_cos
+         |FROM r WHERE rn = 1 ORDER BY vec_id""".stripMargin,
 
     "q_llm_emb_centroid" ->
       """WITH x AS (

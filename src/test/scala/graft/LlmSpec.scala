@@ -269,4 +269,16 @@ class LlmSpec extends SparkTestBase {
         s"docs ${group.map(_._1).mkString(",")} share a token set but differ in simhash")
     }
   }
+
+  test("nearest-class-mean classification beats chance on the fixture") {
+    // the hash gate pins the values; this pins the SIGNAL — the fixture's
+    // label clusters are separable, so centroid classification must beat
+    // random assignment by a clear margin (sf0.01 measures 4.1x chance)
+    val rows = SparkEntry.queries("q_llm_emb_classify")(spark, sfDir).collect()
+      .map(r => (r.getLong(1), r.getLong(2)))
+    val nLabels = rows.map(_._1).distinct.length
+    val acc = rows.count(p => p._1 == p._2).toDouble / rows.length
+    assert(nLabels >= 2)
+    assert(acc > 2.0 / nLabels, s"accuracy $acc vs chance ${1.0 / nLabels}")
+  }
 }
