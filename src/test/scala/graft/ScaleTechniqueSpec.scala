@@ -178,6 +178,71 @@ class ScaleTechniqueSpec extends SparkTestBase {
       s"expected a broadcast join against the centroid relation, plan:\n$plan")
   }
 
+  test("ntile formula matches the built-in ntile on adversarial partition sizes") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // sizes around the div/mod edges: < k, == k, k±1, big prime, multiples
+    val sizes = Seq(1, 2, 3, 4, 5, 7, 8, 97, 100)
+    val rows = sizes.zipWithIndex.flatMap { case (n, seg) =>
+      (1 to n).map(i => (s"seg$seg", i.toLong))
+    }
+    val df = rows.toDF("seg", "v")
+    val w = Window.partitionBy("seg").orderBy("v")
+    val withBoth = df
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("n_seg", count(lit(1)).over(
+        Window.partitionBy("seg")
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)).cast("long"))
+      .withColumn("builtin", ntile(4).over(w).cast("long"))
+      .withColumn("formula", expr(
+        """CAST(CASE WHEN rn <= (n_seg % 4) * (n_seg div 4 + 1)
+          |     THEN (rn - 1) div (n_seg div 4 + 1) + 1
+          |     ELSE (n_seg % 4) + (rn - (n_seg % 4) * (n_seg div 4 + 1) - 1) div (n_seg div 4) + 1
+          |     END AS BIGINT)""".stripMargin))
+    val bad = withBoth.where(col("builtin") =!= col("formula")).count()
+    assert(bad == 0, s"$bad rows disagree with built-in ntile")
+  }
+
+  test("salted as-of matches the naive window on a tie-heavy random interleaving") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // deliberately collide instants: few users, coarse times, orders AND
+    // events at the same microsecond, orders tied on time (key tie-break),
+    // bucket-boundary times (multiples of the 1-hour salt width)
+    val rnd = new scala.util.Random(42)
+    val hourUs = 3600L * 1000000L
+    def t(): Long = {
+      val base = (rnd.nextInt(20).toLong) * hourUs / 2 // half-bucket grid
+      base + (if (rnd.nextBoolean()) 0L else rnd.nextInt(3).toLong)
+    }
+    val orders = (1 to 400).map(i =>
+      (100L + rnd.nextInt(5), t(), i.toLong)) // (user, t_us, orderkey)
+    val events = (1 to 300).map(i =>
+      (100L + rnd.nextInt(5), t(), 1000L + i)) // (user, t_us, event_id)
+    val oDf = orders.toDF("user_id", "t_us", "o_orderkey")
+      .withColumn("o_orderdate", expr("timestamp_micros(t_us)")).drop("t_us")
+    val eDf = events.toDF("user_id", "t_us", "event_id")
+      .withColumn("ts", expr("timestamp_micros(t_us)")).drop("t_us")
+    // naive ground truth: left join + rank, the oracle's formulation
+    val w = Window.partitionBy("event_id")
+      .orderBy(desc_nulls_last("o_orderdate"), desc_nulls_last("o_orderkey"))
+    val want = eDf.join(oDf.withColumnRenamed("user_id", "o_user"),
+        col("o_user") === col("user_id") && col("o_orderdate") <= col("ts"), "left")
+      .withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+      .select(col("event_id"), col("o_orderkey"))
+    // engine path: write a fixture dir and run the declared query
+    val dir = java.nio.file.Files.createTempDirectory("graft-asof-rand").toString
+    oDf.select(col("o_orderkey"), col("user_id").as("o_custkey"),
+        col("o_orderdate").cast("timestamp_ntz").as("o_orderdate"))
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    eDf.select(col("event_id"), col("user_id"),
+        (unix_micros(col("ts")) * 1000).as("ts")) // loader's raw-ns form
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = SparkEntry.queries("q_join_asof")(spark, dir)
+      .select(col("event_id"), col("o_orderkey"))
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+  }
+
   test("merge-scan as-of join matches the window-function formulation") {
     import org.apache.spark.sql.expressions.Window
     val e = ops.table(spark, sfDir, "events").select("event_id", "user_id", "ts")
