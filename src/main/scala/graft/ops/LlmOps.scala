@@ -416,6 +416,27 @@ object LlmOps extends QueryModule {
         .orderBy(desc("n_shared_bands"), asc("doc_a"), asc("doc_b"))
         .limit(500)),
 
+    // Signature-agreement Jaccard ESTIMATION over the LSH candidates — the
+    // classic use of the MinHash sketch: Pr[sig_k(A)=sig_k(B)] = J(A,B),
+    // so the agreeing-position fraction estimates Jaccard without touching
+    // token sets (O(K) per pair instead of O(|A|+|B|) — at 100 TB this is
+    // the cheap filter BEFORE exact verification). n_agree is an exact
+    // integer; the estimate is one IEEE division. LlmSpec pins estimator
+    // quality (exact-dup pairs estimate 1.0, MAE vs exact Jaccard).
+    "q_llm_minhash_est" -> ((s: SparkSession, dir: String) => {
+      val toks = docTokens(table(s, dir, "documents")).localCheckpoint(true)
+      val sigs = minhashSigs(toks)
+      candidatePairsFromToks(toks, MaxBucket)
+        .where(col("n_shared_bands") >= 2)
+        .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
+        .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), "doc_b")
+        .withColumn("n_agree", expr(
+          "CAST(size(filter(zip_with(sig_a, sig_b, (a, b) -> a = b), x -> x)) AS BIGINT)"))
+        .select(col("doc_a"), col("doc_b"), col("n_shared_bands"), col("n_agree"),
+          (col("n_agree").cast("double") / lit(NumHashes)).as("jaccard_est"))
+        .orderBy("doc_a", "doc_b")
+    }),
+
     // Exact n-gram Jaccard verification over the LSH candidates only.
     // The (doc_id, token) frame feeds BOTH the token-set aggregation and
     // the candidate pipeline; Spark recomputes unshared subplans per
@@ -680,6 +701,30 @@ object LlmOps extends QueryModule {
          |SELECT doc_a, doc_b, count(*) AS n_shared_bands
          |FROM pairs GROUP BY doc_a, doc_b
          |ORDER BY n_shared_bands DESC, doc_a, doc_b LIMIT 500""".stripMargin,
+
+    "q_llm_minhash_est" ->
+      s"""WITH
+         |${RH.tokenHashCte},
+         |${RH.minhashSigsCte(NumHashes)},
+         |${RH.lshBandsCte},
+         |${cappedBandsSql(MaxBucket)},
+         |cand AS (
+         |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS n_shared_bands
+         |  FROM capped x JOIN capped y USING (band, bh)
+         |  WHERE x.doc_id < y.doc_id
+         |  GROUP BY 1, 2 HAVING count(*) >= 2),
+         |ag AS (
+         |  SELECT c.doc_a, c.doc_b,
+         |         count(*) FILTER (WHERE sa.sig = sb.sig) AS n_agree
+         |  FROM cand c
+         |  JOIN sigs sa ON sa.doc_id = c.doc_a
+         |  JOIN sigs sb ON sb.doc_id = c.doc_b AND sb.k = sa.k
+         |  GROUP BY 1, 2)
+         |SELECT c.doc_a, c.doc_b, c.n_shared_bands,
+         |       CAST(ag.n_agree AS BIGINT) AS n_agree,
+         |       CAST(ag.n_agree AS DOUBLE) / $NumHashes AS jaccard_est
+         |FROM cand c JOIN ag USING (doc_a, doc_b)
+         |ORDER BY doc_a, doc_b""".stripMargin,
 
     "q_llm_minhash_sketch" ->
       s"""WITH

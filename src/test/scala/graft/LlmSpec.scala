@@ -270,6 +270,23 @@ class LlmSpec extends SparkTestBase {
     }
   }
 
+  test("minhash signature-agreement estimates exact Jaccard (J=1 exact, bounded MAE)") {
+    val rows = q("q_llm_minhash_est").collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(3), r.getDouble(4)))
+    assert(rows.nonEmpty)
+    val errs = rows.map { case (pair, nAgree, est) =>
+      assert(est == nAgree.toDouble / 16, s"$pair est not the exact rational")
+      val exact = exactJaccard.getOrElse(pair, 0.0)
+      // identical token sets must agree on EVERY signature position
+      if (exact == 1.0) assert(est == 1.0, s"$pair J=1 but est=$est")
+      math.abs(est - exact)
+    }
+    // K=16 → per-pair std ≤ 0.125; the mean absolute error over the
+    // candidate set must stay well inside that envelope
+    val mae = errs.sum / errs.length
+    assert(mae < 0.15, s"MAE $mae too large for K=16")
+  }
+
   test("nearest-class-mean classification beats chance on the fixture") {
     // the hash gate pins the values; this pins the SIGNAL — the fixture's
     // label clusters are separable, so centroid classification must beat
