@@ -85,6 +85,7 @@ object ScaleProbe {
       "q_text_tfidf", "q_llm_ngram_lm", "q_text_repetition",
       "q_text_normalize", "q_llm_doc_lm_score", "q_agg_unpivot", "q_fn_regex",
       "q_agg_hist", "q_llm_emb_centroid", "q_llm_emb_classify",
+      "q_llm_minhash_est",
       "q_llm_dedup_keep_best", "q_llm_corpus_curate",
       "q_mm_embed_knn", "q_mm_neardup", "q_llm_sim_knn_ivf2",
       "q_llm_contamination", "q_funnel_steps", "q_retention_cohort")
