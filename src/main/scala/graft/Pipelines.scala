@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ops.{CurationOps, LlmOps}
+import graft.ops.{CurationOps, LlmOps, TextOps}
 
 /** Public library surface for the LLM-training-data pipeline operators.
   *
@@ -70,4 +70,28 @@ object Pipelines {
       .orderBy(desc("cos_sim"), asc("vec_id"))
       .limit(k)
   }
+
+  /** Text normalization (lowercase/trim/collapse-whitespace) +
+    * normalized-exact-dup group sizes: (doc_id, norm_len, nhash,
+    * n_same_norm). The shuffle carries digests, never the text. */
+  def normalize(docs: DataFrame): DataFrame =
+    TextOps.normalizedDupGroups(docs)
+
+  /** Per-document LM novelty vs the corpus bigram counts: (doc_id,
+    * n_bigrams, n_distinct, n_singleton, novelty_rate) — the
+    * "boilerplate vs novel" ranking signal (see q_llm_doc_lm_score). */
+  def noveltyScore(docs: DataFrame): DataFrame =
+    CurationOps.docLmScore(docs)
+
+  /** Exact per-label mean-embedding arrays (2^16-quantized BIGINT sums —
+    * deterministic at any parallelism): (c_label, cent ARRAY<DOUBLE>).
+    * #labels rows — always broadcastable. */
+  def classCentroids(embeddings: DataFrame): DataFrame =
+    LlmOps.embCentroidArrays(embeddings)
+
+  /** Nearest-class-mean classification: every vector scored against the
+    * broadcast class centroids with the fused cosine, argmax with a label
+    * tie-break. Returns (vec_id, label, pred_label, best_cos). */
+  def classify(spark: SparkSession, embeddings: DataFrame): DataFrame =
+    LlmOps.classifyByCentroids(spark, embeddings)
 }

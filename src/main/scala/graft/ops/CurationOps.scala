@@ -238,6 +238,29 @@ object CurationOps extends QueryModule {
     * this to measure a genuinely cold build; production never needs it). */
   private[graft] def clearIndexCache(): Unit = clusterCache.clear()
 
+  /** Per-document LM novelty against the corpus bigram counts for an
+    * arbitrary (doc_id, text) frame — the q_llm_doc_lm_score primitive,
+    * exposed for [[graft.Pipelines]]. Exact BIGINT counts; novelty_rate is
+    * one IEEE division. */
+  private[graft] def docLmScore(docs: DataFrame): DataFrame = {
+    val bigrams = docs
+      .withColumn("toks", expr("filter(split(text, ' '), t -> length(t) > 0)"))
+      .where(size(col("toks")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        """zip_with(slice(toks, 1, size(toks) - 1),
+          |         slice(toks, 2, size(toks) - 1),
+          |         (a, b) -> struct(a AS w1, b AS w2))""".stripMargin)).as("bg"))
+      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val c12 = bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    bigrams.join(c12, Seq("w1", "w2"))
+      .groupBy("doc_id")
+      .agg(asLong(count(lit(1))).as("n_bigrams"),
+        asLong(count_distinct(concat_ws(" ", col("w1"), col("w2")))).as("n_distinct"),
+        asLong(sum(when(col("c12") === 1, 1L).otherwise(0L))).as("n_singleton"))
+      .withColumn("novelty_rate",
+        col("n_singleton").cast("double") / col("n_bigrams"))
+  }
+
   def queries: Seq[(String, Q)] = Seq(
     // Duplicate-cluster assignment: transitive closure of "shares a kept
     // 5-word shingle OR has identical text" — the cluster step after
@@ -385,25 +408,8 @@ object CurationOps extends QueryModule {
     // rejected — same discipline as q_text_repetition). The corpus-count
     // rejoin is an equi-join on the bigram itself: count relation rows =
     // #distinct bigrams, shuffle bounded by token count, never pairs.
-    "q_llm_doc_lm_score" -> ((s: SparkSession, dir: String) => {
-      val bigrams = table(s, dir, "documents")
-        .withColumn("toks", expr("filter(split(text, ' '), t -> length(t) > 0)"))
-        .where(size(col("toks")) >= 2)
-        .select(col("doc_id"), explode(expr(
-          """zip_with(slice(toks, 1, size(toks) - 1),
-            |         slice(toks, 2, size(toks) - 1),
-            |         (a, b) -> struct(a AS w1, b AS w2))""".stripMargin)).as("bg"))
-        .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
-      val c12 = bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
-      bigrams.join(c12, Seq("w1", "w2"))
-        .groupBy("doc_id")
-        .agg(asLong(count(lit(1))).as("n_bigrams"),
-          asLong(count_distinct(concat_ws(" ", col("w1"), col("w2")))).as("n_distinct"),
-          asLong(sum(when(col("c12") === 1, 1L).otherwise(0L))).as("n_singleton"))
-        .withColumn("novelty_rate",
-          col("n_singleton").cast("double") / col("n_bigrams"))
-        .orderBy("doc_id")
-    }),
+    "q_llm_doc_lm_score" -> ((s: SparkSession, dir: String) =>
+      docLmScore(table(s, dir, "documents")).orderBy("doc_id")),
 
     // Deterministic stratified sampling for training-mix curation: per-lang
     // keep-rates applied via doc_id mod — reproducible across engines and

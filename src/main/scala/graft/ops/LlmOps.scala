@@ -252,6 +252,39 @@ object LlmOps extends QueryModule {
     * uses this to measure a genuinely cold build). */
   private[graft] def clearIndexCache(): Unit = centroidCache.clear()
 
+  /** Per-label exact centroid ARRAYS over an arbitrary (label,
+    * embedding ARRAY<FLOAT|DOUBLE>) frame: floats scale exactly by 2^16,
+    * sums accumulate as BIGINTs, the mean is one IEEE division. Returns
+    * (c_label, cent ARRAY<DOUBLE>) — #labels rows, always broadcastable. */
+  private[graft] def embCentroidArrays(emb: DataFrame): DataFrame =
+    emb
+      .select(col("label").as("c_label"),
+        posexplode(col("embedding")).as(Seq("dim", "x")))
+      .withColumn("qx", expr("CAST(round(CAST(x AS DOUBLE) * 65536) AS BIGINT)"))
+      .groupBy("c_label", "dim")
+      .agg(sum("qx").as("qsum"), count(lit(1)).as("n"))
+      .withColumn("c", col("qsum").cast("double") / (col("n") * lit(65536.0)))
+      .groupBy("c_label")
+      .agg(expr("transform(sort_array(collect_list(struct(dim, c))), p -> p.c)")
+        .as("cent"))
+
+  /** Nearest-class-mean classification for an arbitrary (vec_id, label,
+    * embedding) frame — the q_llm_emb_classify primitive, exposed for
+    * [[graft.Pipelines]]: broadcast centroid arrays × one corpus scan,
+    * replayable cosine fold, label-tie-break argmax. */
+  private[graft] def classifyByCentroids(s: SparkSession, emb: DataFrame): DataFrame =
+    emb
+      .select(col("vec_id"), col("label"),
+        transform(col("embedding"), _.cast("double")).as("emb"))
+      .crossJoin(broadcast(embCentroidArrays(emb)))
+      .withColumn("cos", cosine(s)(col("emb"), col("cent")))
+      .groupBy("vec_id", "label")
+      .agg(expr("max_by(c_label, named_struct('c', cos, 'nl', -c_label))")
+        .as("pred_label"),
+        max(col("cos")).as("best_cos"))
+      .select(col("vec_id"), col("label").cast("long").as("label"),
+        col("pred_label").cast("long").as("pred_label"), col("best_cos"))
+
   private[graft] def ivfTopK(s: SparkSession, dir: String, nprobe: Int,
       k: Int = 8, iters: Int = 2, topK: Int = 10): DataFrame = {
     val emb = embWithLattice(s, dir)
@@ -350,28 +383,8 @@ object LlmOps extends QueryModule {
     // (graft.functions.CosineSimilarity ≡ the oracle's list_reduce), and
     // arg-max with a label tie-break. One corpus scan + one hash agg;
     // centroid build is one explode + two hash aggs.
-    "q_llm_emb_classify" -> ((s: SparkSession, dir: String) => {
-      val cents = table(s, dir, "embeddings")
-        .select(col("label").as("c_label"),
-          posexplode(col("embedding")).as(Seq("dim", "x")))
-        .withColumn("qx", expr("CAST(round(CAST(x AS DOUBLE) * 65536) AS BIGINT)"))
-        .groupBy("c_label", "dim")
-        .agg(sum("qx").as("qsum"), count(lit(1)).as("n"))
-        .withColumn("c", col("qsum").cast("double") / (col("n") * lit(65536.0)))
-        .groupBy("c_label")
-        .agg(expr("transform(sort_array(collect_list(struct(dim, c))), p -> p.c)")
-          .as("cent"))
-      embDouble(s, dir)
-        .crossJoin(broadcast(cents))
-        .withColumn("cos", cosine(s)(col("emb"), col("cent")))
-        .groupBy("vec_id", "label")
-        .agg(expr("max_by(c_label, named_struct('c', cos, 'nl', -c_label))")
-          .as("pred_label"),
-          max(col("cos")).as("best_cos"))
-        .select(col("vec_id"), col("label").cast("long").as("label"),
-          col("pred_label").cast("long").as("pred_label"), col("best_cos"))
-        .orderBy("vec_id")
-    }),
+    "q_llm_emb_classify" -> ((s: SparkSession, dir: String) =>
+      classifyByCentroids(s, table(s, dir, "embeddings")).orderBy("vec_id")),
 
     // Scale path for ANN: sign-LSH bucketing (8 deterministic hyperplanes of
     // ±1 weights), brute force only within the probe's bucket. SINGLE corpus

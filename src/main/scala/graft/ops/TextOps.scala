@@ -11,6 +11,21 @@ object TextOps extends QueryModule {
 
   private[graft] val Stopwords = Seq("the", "a", "and", "of", "to")
 
+  /** Normalization (lowercase/trim/collapse-whitespace) + normalized-
+    * exact-dup group sizes for an arbitrary (doc_id, text) frame — the
+    * q_text_normalize primitive, exposed for [[graft.Pipelines]]. The
+    * shuffle carries (len, sha256) digests, never the text. */
+  private[graft] def normalizedDupGroups(docs: DataFrame): DataFrame = {
+    val norm = regexp_replace(trim(lower(col("text"))), " +", " ")
+    val hashed = docs
+      .select(col("doc_id"),
+        asLong(length(norm)).as("norm_len"),
+        sha2(norm, 256).as("nhash"))
+    val counts = hashed.groupBy("nhash").agg(count(lit(1)).as("n_same_norm"))
+    hashed.join(counts, "nhash")
+      .select(col("doc_id"), col("norm_len"), col("nhash"), col("n_same_norm"))
+  }
+
   /** Polynomial rolling hash over the whole text (q_text_fingerprint) —
     * since round 4 the SQL-replayable mod-prime form (ReplayableHash), so
     * the fingerprint query graduates from spec-pinned to DuckDB-oracled.
@@ -148,17 +163,8 @@ object TextOps extends QueryModule {
     // the normalized text itself — so the grouping cost is flat in document
     // size; group counts rejoin on the 256-bit digest (collision-free in
     // practice at any corpus scale).
-    "q_text_normalize" -> ((s: SparkSession, dir: String) => {
-      val norm = regexp_replace(trim(lower(col("text"))), " +", " ")
-      val docs = table(s, dir, "documents")
-        .select(col("doc_id"),
-          asLong(length(norm)).as("norm_len"),
-          sha2(norm, 256).as("nhash"))
-      val counts = docs.groupBy("nhash").agg(count(lit(1)).as("n_same_norm"))
-      docs.join(counts, "nhash")
-        .select(col("doc_id"), col("norm_len"), col("nhash"), col("n_same_norm"))
-        .orderBy("doc_id")
-    }),
+    "q_text_normalize" -> ((s: SparkSession, dir: String) =>
+      normalizedDupGroups(table(s, dir, "documents")).orderBy("doc_id")),
 
     // Document fingerprinting: polynomial rolling hash over the whole text
     // plus a winnowing-style min-shingle hash. Oracled since round 4 (the

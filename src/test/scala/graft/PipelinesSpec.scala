@@ -46,6 +46,38 @@ class PipelinesSpec extends SparkTestBase {
     assert(sims.forall(s => s >= 0L && s < (1L << 16)))
   }
 
+  test("r5 facade primitives agree with their declared queries") {
+    val viaNorm = Pipelines.normalize(docs)
+      .select("doc_id", "n_same_norm").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val qNorm = SparkEntry.queries("q_text_normalize")(spark, sfDir)
+      .select("doc_id", "n_same_norm").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(viaNorm == qNorm)
+
+    val viaNov = Pipelines.noveltyScore(docs)
+      .select("doc_id", "novelty_rate").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toMap
+    val qNov = SparkEntry.queries("q_llm_doc_lm_score")(spark, sfDir)
+      .select("doc_id", "novelty_rate").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(viaNov == qNov)
+
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val viaCls = Pipelines.classify(spark, emb)
+      .select("vec_id", "pred_label").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val qCls = SparkEntry.queries("q_llm_emb_classify")(spark, sfDir)
+      .select("vec_id", "pred_label").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(viaCls == qCls)
+
+    // centroid relation is one row per label, arrays of equal length
+    val cents = Pipelines.classCentroids(emb).collect()
+    assert(cents.length == emb.select("label").distinct().count())
+    assert(cents.map(_.getSeq[Double](1).length).distinct.length == 1)
+  }
+
   test("knn returns the same neighbors as the declared brute-force query") {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val probe = emb.where(col("vec_id") === 0)
