@@ -1,0 +1,258 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Dataset-diagnostics operators (SURVEY §2B "LLM-pipeline extensions",
+  * round 6): column profiling, heavy-hitter / skew analysis, robust-stats
+  * outlier flagging, exact distributed winsorization, and time-series
+  * gap-fill — the "understand and repair the data before training on it"
+  * toolkit.
+  *
+  * Scale design (100 TB):
+  *   - profiling is ONE pass: a Catalyst `stack` expand (4 rows per input
+  *     row, column-pruned to the profiled columns) into a hash agg keyed by
+  *     column name — never one job per column;
+  *   - heavy hitters aggregate to #distinct-keys rows, take the top-k with
+  *     TakeOrderedAndProject, and only the k survivors cross the one
+  *     single-partition window (k rows, constant);
+  *   - z-scores come from a broadcast per-group stats relation (exact
+  *     DECIMAL moments surfaced as DOUBLE once — the §7.4 discipline);
+  *   - winsorization needs per-group ORDER STATISTICS — the classic
+  *     per-group-sort trap for a 5-value group key — and computes them with
+  *     a value-bucketed histogram: cumulative counts over the per-bucket
+  *     summary (rows = #occupied buckets) locate the target bucket, a local
+  *     rank WITHIN that one bucket extracts the exact quantile value, and
+  *     the per-group cut points broadcast back. No group ever sorts in one
+  *     task (the segRanks/globalRowNumber shape, specialized to selection);
+  *   - gap-fill generates the dense (group × hour) grid from a broadcast
+  *     1-row range relation — grid size = #groups × #hours, independent of
+  *     event count — and left-joins the per-bucket aggregates.
+  */
+object DiagOps extends QueryModule {
+
+  /** Scaled-value bucket width for the winsorize histogram. */
+  private val WinsorBucket = 4096L
+
+  /** Micros per hour (gap-fill bucket). */
+  private val HourUs = 3600000000L
+
+  /** Per-(event_type) exact p05/p95 cut points via bucketed rank selection.
+    * Both engines agree exactly: the k-th order statistic of `value` equals
+    * the k-th order statistic of the exact scaled long `round(value*100)`
+    * (2-dec money fixture), and ties inside a bucket cannot change the
+    * selected VALUE. Rank targets are ceil(p·n) in pure integer math. */
+  private def winsorCuts(ev: DataFrame): DataFrame = {
+    val withK = ev
+      .withColumn("_w_key", round(col("value") * 100).cast("long"))
+      .withColumn("_w_bucket", expr(s"_w_key div $WinsorBucket"))
+    val wOff = Window.partitionBy("event_type").orderBy("_w_bucket")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wAll = Window.partitionBy("event_type")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val hist = withK.groupBy("event_type", "_w_bucket")
+      .agg(count(lit(1)).as("_w_cnt"))
+      .withColumn("_w_prev", coalesce(sum("_w_cnt").over(wOff), lit(0L)))
+      .withColumn("_w_n", sum("_w_cnt").over(wAll))
+    def target(rank: org.apache.spark.sql.Column, out: String): DataFrame =
+      hist.where(col("_w_prev") < rank
+          && col("_w_prev") + col("_w_cnt") >= rank)
+        .select(col("event_type"), col("_w_bucket"),
+          (rank - col("_w_prev")).as("_w_local"), lit(out).as("_w_which"))
+    val targets =
+      target(expr("(_w_n + 19) div 20"), "p05")
+        .union(target(expr("(19 * _w_n + 19) div 20"), "p95"))
+    val wLocal = Window.partitionBy("event_type", "_w_bucket", "_w_which")
+      .orderBy("_w_key", "event_id")
+    withK.join(broadcast(targets), Seq("event_type", "_w_bucket"))
+      .withColumn("_w_rn", row_number().over(wLocal))
+      .where(col("_w_rn") === col("_w_local"))
+      .groupBy("event_type")
+      .agg(min(when(col("_w_which") === "p05", col("value"))).as("p05"),
+        min(when(col("_w_which") === "p95", col("value"))).as("p95"))
+  }
+
+  def queries: Seq[(String, Q)] = Seq(
+    // Column profiling of `orders` in ONE scan: a stack-expand to
+    // (col_name, value) rows feeding a single hash agg — row count, null
+    // count, distinct count, min/max per column. Numeric and date columns
+    // project onto DOUBLE (all values < 2^53, so the projection is exact);
+    // a per-column-job formulation would scan the table once per column.
+    "q_profile_table" -> ((s: SparkSession, dir: String) =>
+      table(s, dir, "orders")
+        .select(expr(
+          """stack(4,
+            |  'o_orderkey', CAST(o_orderkey AS DOUBLE),
+            |  'o_custkey', CAST(o_custkey AS DOUBLE),
+            |  'o_totalprice', o_totalprice,
+            |  'o_orderdate_ms', CAST(unix_millis(CAST(o_orderdate AS TIMESTAMP)) AS DOUBLE)
+            |) AS (col_name, v)""".stripMargin))
+        .groupBy("col_name")
+        .agg(asLong(count(lit(1))).as("n_rows"),
+          asLong(sum(when(col("v").isNull, 1L).otherwise(0L))).as("n_nulls"),
+          asLong(count_distinct(col("v"))).as("n_distinct"),
+          min("v").as("min_v"), max("v").as("max_v"))
+        .orderBy("col_name")),
+
+    // Heavy-hitter / skew diagnosis on lineitem.l_partkey: top-20 keys by
+    // frequency with share and cumulative share of the table. The count
+    // relation is a hash agg (#distinct keys rows), top-k is
+    // TakeOrderedAndProject, and the cumulative sum runs over exactly 20
+    // rows — exact BIGINT cumulation, shares as single IEEE divisions.
+    "q_agg_heavy_hitters" -> ((s: SparkSession, dir: String) => {
+      val li = table(s, dir, "lineitem")
+      val tot = li.agg(count(lit(1)).as("n_total"))
+      val top = li.groupBy("l_partkey").agg(count(lit(1)).as("c"))
+        .orderBy(desc("c"), asc("l_partkey")).limit(20)
+      val wCum = Window.orderBy(desc("c"), asc("l_partkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      top.crossJoin(broadcast(tot))
+        .withColumn("cum_c", sum("c").over(wCum))
+        .select(col("l_partkey"), col("c"),
+          (col("c").cast("double") / col("n_total")).as("share"),
+          asLong(col("cum_c")).as("cum_c"),
+          (col("cum_c").cast("double") / col("n_total")).as("cum_share"))
+        .orderBy(desc("c"), asc("l_partkey"))
+    }),
+
+    // Per-event-type z-score outliers: moments accumulate as exact DECIMAL
+    // (value is exact at 2 decimals, its square exact at 8), surface as
+    // DOUBLE once, then mean/var/std/z are a fixed sequence of
+    // correctly-rounded IEEE ops — identical on both engines. The 5-row
+    // stats relation broadcasts back onto the scan; outliers are |z| > 2.5.
+    "q_agg_zscore_outlier" -> ((s: SparkSession, dir: String) => {
+      val ev = table(s, dir, "events")
+      val dec = col("value").cast("decimal(18,4)")
+      val stats = ev.groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(dec).cast("double").as("s1d"),
+          sum(dec * dec).cast("double").as("s2d"))
+        .withColumn("mean", col("s1d") / col("n"))
+        .withColumn("std",
+          sqrt(col("s2d") / col("n") - (col("s1d") / col("n")) * (col("s1d") / col("n"))))
+        .select("event_type", "mean", "std")
+      ev.join(broadcast(stats), "event_type")
+        .withColumn("z", (col("value") - col("mean")) / col("std"))
+        .where(abs(col("z")) > 2.5)
+        .select(col("event_id"), col("event_type"), col("value"), col("z"))
+        .orderBy("event_id")
+    }),
+
+    // Exact distributed winsorization: clamp each event's value into its
+    // type's [p05, p95] — cut points from the bucketed-histogram selection
+    // in [[winsorCuts]] (no per-group single-task sort), broadcast back.
+    "q_win_winsorize" -> ((s: SparkSession, dir: String) => {
+      val ev = table(s, dir, "events")
+        .select(col("event_id"), col("event_type"), col("value"))
+      ev.join(broadcast(winsorCuts(ev)), "event_type")
+        .select(col("event_id"), col("event_type"), col("value"),
+          least(greatest(col("value"), col("p05")), col("p95")).as("value_w"))
+        .orderBy("event_id")
+    }),
+
+    // Time-series gap-fill: dense per-(event_type, hour) activity over the
+    // corpus' full hour range — absent buckets surface as explicit zero
+    // rows (the resample step before any windowed time-series model). The
+    // hour range is a broadcast 1-row relation; the grid explodes to
+    // #types × #hours rows regardless of event count.
+    "q_ts_gapfill" -> ((s: SparkSession, dir: String) => {
+      val ev = table(s, dir, "events")
+        .withColumn("h", expr(s"unix_micros(ts) div $HourUs"))
+      val rng = ev.agg(min("h").as("h0"), max("h").as("h1"))
+      val grid = ev.select("event_type").distinct()
+        .crossJoin(broadcast(rng))
+        .select(col("event_type"), explode(expr("sequence(h0, h1)")).as("h"))
+      val actual = ev.groupBy("event_type", "h")
+        .agg(count(lit(1)).as("cnt"), dsum(col("value")).as("sv"))
+      grid.join(actual, Seq("event_type", "h"), "left")
+        .select(col("event_type"), col("h").as("hour_idx"),
+          coalesce(col("cnt"), lit(0L)).as("n_events"),
+          coalesce(col("sv"), lit(0.0)).as("total_value"))
+        .orderBy("event_type", "hour_idx")
+    })
+  )
+
+  def oracle: Seq[(String, String)] = Seq(
+    "q_profile_table" -> {
+      def one(name: String, sqlExpr: String) =
+        s"""SELECT '$name' AS col_name,
+           |       CAST(count(*) AS BIGINT) AS n_rows,
+           |       CAST(sum(CASE WHEN $sqlExpr IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+           |       CAST(count(DISTINCT $sqlExpr) AS BIGINT) AS n_distinct,
+           |       CAST(min($sqlExpr) AS DOUBLE) AS min_v,
+           |       CAST(max($sqlExpr) AS DOUBLE) AS max_v
+           |FROM orders""".stripMargin
+      Seq(
+        one("o_orderkey", "CAST(o_orderkey AS DOUBLE)"),
+        one("o_custkey", "CAST(o_custkey AS DOUBLE)"),
+        one("o_totalprice", "o_totalprice"),
+        one("o_orderdate_ms", "CAST(epoch_ms(o_orderdate) AS DOUBLE)"))
+        .mkString("SELECT * FROM (\n", "\nUNION ALL\n", "\n) ORDER BY col_name")
+    },
+
+    "q_agg_heavy_hitters" ->
+      """WITH c AS (SELECT l_partkey, count(*) AS c FROM lineitem GROUP BY l_partkey),
+        |t AS (SELECT count(*) AS n_total FROM lineitem),
+        |r AS (
+        |  SELECT l_partkey, c,
+        |         row_number() OVER (ORDER BY c DESC, l_partkey) AS rn,
+        |         CAST(sum(c) OVER (ORDER BY c DESC, l_partkey) AS BIGINT) AS cum_c
+        |  FROM c)
+        |SELECT l_partkey, c,
+        |       CAST(c AS DOUBLE) / n_total AS share,
+        |       cum_c,
+        |       CAST(cum_c AS DOUBLE) / n_total AS cum_share
+        |FROM r CROSS JOIN t WHERE rn <= 20
+        |ORDER BY c DESC, l_partkey""".stripMargin,
+
+    "q_agg_zscore_outlier" ->
+      """WITH st AS (
+        |  SELECT event_type, count(*) AS n,
+        |         CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS s1d,
+        |         CAST(sum(CAST(value AS DECIMAL(18,4)) * CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS s2d
+        |  FROM events GROUP BY event_type),
+        |p AS (
+        |  SELECT event_type, s1d / n AS mean,
+        |         sqrt(s2d / n - (s1d / n) * (s1d / n)) AS std
+        |  FROM st)
+        |SELECT e.event_id, e.event_type, e.value,
+        |       (e.value - p.mean) / p.std AS z
+        |FROM events e JOIN p USING (event_type)
+        |WHERE abs((e.value - p.mean) / p.std) > 2.5
+        |ORDER BY e.event_id""".stripMargin,
+
+    "q_win_winsorize" ->
+      """WITH s AS (
+        |  SELECT event_type, value,
+        |         row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+        |         count(*) OVER (PARTITION BY event_type) AS n
+        |  FROM events),
+        |p AS (
+        |  SELECT event_type,
+        |         max(CASE WHEN rn = (n + 19) // 20 THEN value END) AS p05,
+        |         max(CASE WHEN rn = (19 * n + 19) // 20 THEN value END) AS p95
+        |  FROM s GROUP BY event_type)
+        |SELECT e.event_id, e.event_type, e.value,
+        |       least(greatest(e.value, p.p05), p.p95) AS value_w
+        |FROM events e JOIN p USING (event_type)
+        |ORDER BY e.event_id""".stripMargin,
+
+    "q_ts_gapfill" ->
+      s"""WITH e AS (
+         |  SELECT event_type, epoch_us(ts) // $HourUs AS h, value FROM events),
+         |r AS (SELECT min(h) AS h0, max(h) AS h1 FROM e),
+         |g AS (
+         |  SELECT t.event_type, unnest(generate_series(r.h0, r.h1)) AS h
+         |  FROM (SELECT DISTINCT event_type FROM e) t CROSS JOIN r),
+         |a AS (
+         |  SELECT event_type, h, count(*) AS cnt,
+         |         CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sv
+         |  FROM e GROUP BY event_type, h)
+         |SELECT g.event_type, g.h AS hour_idx,
+         |       COALESCE(a.cnt, 0) AS n_events,
+         |       COALESCE(a.sv, 0.0) AS total_value
+         |FROM g LEFT JOIN a USING (event_type, h)
+         |ORDER BY g.event_type, hour_idx""".stripMargin
+  )
+}

@@ -1,0 +1,258 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.ReplayableHash
+
+/** Training-mix assembly operators (SURVEY §2B "LLM-pipeline extensions",
+  * round 6): deterministic train/val/test splitting, temperature-weighted
+  * domain mixing, concat-and-chunk sequence packing, and corpus boilerplate
+  * detection — the passes that turn a curated corpus into an actual
+  * training mixture.
+  *
+  * Scale design (100 TB):
+  *   - the split is a stateless scan-side hash of the key — no shuffle, no
+  *     RNG, reproducible across engines/runs/partitionings (the same
+  *     ReplayableHash affine family as the MinHash pipeline);
+  *   - domain-mix weights aggregate to #sources rows; the only double
+  *     summation (the weight normalizer) is an index-ordered fold over that
+  *     tiny relation, so it is both IEEE-replayable and broadcastable;
+  *   - sequence packing needs a GLOBAL token cumsum — the classic
+  *     single-partition-window trap — and uses the two-level bucketed shape
+  *     instead (local cumsum per doc_id bucket + broadcast per-bucket
+  *     offsets; rows through the one ordered window = #buckets, not #docs,
+  *     exactly like `ops.globalRowNumber`);
+  *   - boilerplate detection is two hash aggregations and one equi-join on
+  *     the shingle string — never a pairwise comparison.
+  */
+object MixOps extends QueryModule {
+
+  /** Context-window capacity (tokens) for concat-and-chunk packing. */
+  private val ChunkTokens = 512L
+
+  /** doc_id bucket width for the two-level cumsum. */
+  private val PackBucket = 4096L
+
+  /** A 5-gram shared by at least this many docs is "boilerplate". */
+  private val BoilerDf = 3
+
+  /** Split-hash constants — one affine family member over the doc key,
+    * salt distinct from the MinHash(1)/SimHash(2) families. The SQL twin is
+    * generated from the same constants, so Spark and the oracle cannot
+    * drift. `a * doc_id + b < P² ≈ 2^60` — inside the §7.4 BIGINT bound. */
+  private val (splitA, splitB) = ReplayableHash.params(1, salt = 6).head
+
+  private def splitBucketCol = expr(
+    s"(($splitA * doc_id + $splitB) % ${ReplayableHash.P}) % 100")
+  private def splitBucketSql =
+    s"(($splitA * doc_id + $splitB) % ${ReplayableHash.P}) % 100"
+
+  def queries: Seq[(String, Q)] = Seq(
+    // Deterministic train/val/test assignment: hash the stable doc key into
+    // 100 buckets (90/5/5). No RNG and no state — a pure scan-side map, so
+    // the split is identical on every engine, run, and partitioning, and a
+    // doc's assignment never changes as the corpus grows (the property a
+    // training pipeline actually needs from its split).
+    "q_llm_split_assign" -> ((s: SparkSession, dir: String) =>
+      table(s, dir, "documents")
+        .withColumn("bucket", asLong(splitBucketCol))
+        .select(col("doc_id"), col("lang"),
+          col("bucket"),
+          when(col("bucket") < 90, "train")
+            .when(col("bucket") < 95, "val")
+            .otherwise("test").as("split"))
+        .orderBy("doc_id")),
+
+    // Temperature-weighted domain mixing: per-source corpus stats and the
+    // sqrt-temperature sampling weight w = sqrt(n_docs), normalized into a
+    // share. sqrt and one division are IEEE-correctly-rounded; the weight
+    // TOTAL is the one order-sensitive double sum, computed as an
+    // index-ordered fold over the per-source rows sorted by source — same
+    // sequence on both engines (the log-free analog of T=0.5 temperature
+    // sampling; pow(x, α) for general α is libm-dependent, rejected).
+    "q_llm_domain_mix" -> ((s: SparkSession, dir: String) => {
+      val bySrc = table(s, dir, "documents")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          asLong(sum(col("n_chars"))).as("sum_chars"))
+        .withColumn("w", sqrt(col("n_docs").cast("double")))
+      val tot = bySrc.agg(
+        aggregate(array_sort(collect_list(struct(col("source"), col("w")))),
+          lit(0.0), (acc, x) => acc + x.getField("w")).as("tot_w"))
+      bySrc.crossJoin(broadcast(tot))
+        .select(col("source"), col("n_docs"), col("sum_chars"), col("w"),
+          (col("w") / col("tot_w")).as("share"))
+        .orderBy("source")
+    }),
+
+    // Concat-and-chunk sequence packing (the LM-training data layout: all
+    // docs concatenated in doc_id order, cut every 512 tokens): per doc its
+    // global token offset and the chunk span it lands in. The global cumsum
+    // runs two-level — local sums per doc_id bucket in parallel, offsets
+    // from a window over the per-bucket totals (rows = #buckets), broadcast
+    // back — so no record ever crosses a single-partition exchange.
+    "q_llm_pack_chunks" -> ((s: SparkSession, dir: String) => {
+      val docs = table(s, dir, "documents")
+        .withColumn("n_tokens",
+          asLong(expr("size(filter(split(text, ' '), t -> length(t) > 0))")))
+        .withColumn("_pc_bucket", expr(s"doc_id div $PackBucket"))
+      val local = docs.withColumn("_pc_cum",
+        sum("n_tokens").over(
+          Window.partitionBy("_pc_bucket").orderBy("doc_id")))
+      val offs = docs.groupBy("_pc_bucket")
+        .agg(sum("n_tokens").as("_pc_tot"))
+        .withColumn("_pc_off", coalesce(
+          sum("_pc_tot").over(Window.orderBy("_pc_bucket")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select("_pc_bucket", "_pc_off")
+      local.join(broadcast(offs), "_pc_bucket")
+        .withColumn("start_off", col("_pc_off") + col("_pc_cum") - col("n_tokens"))
+        .withColumn("chunk_first", expr(s"start_off div $ChunkTokens"))
+        .withColumn("chunk_last",
+          expr(s"(start_off + n_tokens - 1) div $ChunkTokens"))
+        .select(col("doc_id"), col("n_tokens"), col("start_off"),
+          col("chunk_first"), col("chunk_last"),
+          (col("chunk_last") - col("chunk_first") + lit(1L)).as("n_chunks"))
+        .orderBy("doc_id")
+    }),
+
+    // Embedding L2-normalization + int8 scalar quantization — the storage
+    // layout an ANN-serving pipeline actually ships (×4 smaller than
+    // float32). The norm is the index-ordered IEEE fold of squares (the
+    // replayable-cosine discipline), each quantized component one fixed
+    // sequence of correctly-rounded ops (x/norm → ×127 → +0.5 → floor), and
+    // the reported projections (sum, L1, min, max of the int8 vector) are
+    // exact BIGINT — so the whole compression step hash-gates. A zero
+    // vector quantizes to zeros.
+    "q_llm_emb_quantize" -> ((s: SparkSession, dir: String) =>
+      table(s, dir, "embeddings")
+        .select(col("vec_id"), col("label").cast("long").as("label"),
+          transform(col("embedding"), _.cast("double")).as("emb"))
+        .withColumn("norm", sqrt(aggregate(
+          transform(col("emb"), x => x * x), lit(0.0), (a, b) => a + b)))
+        .withColumn("qv", when(col("norm") === 0.0,
+            transform(col("emb"), _ => lit(0L)))
+          .otherwise(transform(col("emb"),
+            x => floor(x / col("norm") * 127.0 + 0.5).cast("long"))))
+        .select(col("vec_id"), col("label"), col("norm"),
+          aggregate(col("qv"), lit(0L), (a, b) => a + b).as("q_sum"),
+          aggregate(transform(col("qv"), v => abs(v)), lit(0L), (a, b) => a + b).as("q_l1"),
+          array_min(col("qv")).as("q_min"),
+          array_max(col("qv")).as("q_max"))
+        .orderBy("vec_id")),
+
+    // Corpus boilerplate detection: 5-gram shingles shared by ≥ BoilerDf
+    // docs are boilerplate; per doc, its distinct-shingle count, how many of
+    // those are boilerplate, and the ratio — the C4-style "remove repeated
+    // spans" signal at document granularity. Two hash aggs + one equi-join
+    // on the shingle; the same shingle definition as the dup-cluster
+    // pipeline (graft.functions.ShingleGenerator, docs shorter than 5
+    // tokens emit none).
+    "q_text_boilerplate" -> ((s: SparkSession, dir: String) => {
+      graft.functions.GraftFunctions.register(s)
+      val sh = table(s, dir, "documents")
+        .select(col("doc_id"), call_function("shingles", col("text"), lit(5)))
+        .select("doc_id", "shingle")
+        .distinct()
+      val boiler = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+        .where(col("df") >= BoilerDf)
+        .select(col("shingle"), lit(1L).as("is_boiler"))
+      sh.join(boiler, Seq("shingle"), "left")
+        .groupBy("doc_id")
+        .agg(asLong(count(lit(1))).as("n_shingles"),
+          asLong(sum(coalesce(col("is_boiler"), lit(0L)))).as("n_boiler"))
+        .withColumn("boiler_ratio",
+          col("n_boiler").cast("double") / col("n_shingles"))
+        .orderBy("doc_id")
+    })
+  )
+
+  def oracle: Seq[(String, String)] = Seq(
+    "q_llm_split_assign" ->
+      s"""SELECT doc_id, lang,
+         |       CAST($splitBucketSql AS BIGINT) AS bucket,
+         |       CASE WHEN $splitBucketSql < 90 THEN 'train'
+         |            WHEN $splitBucketSql < 95 THEN 'val'
+         |            ELSE 'test' END AS split
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_llm_domain_mix" ->
+      """WITH b AS (
+        |  SELECT source, count(*) AS n_docs,
+        |         CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |         sqrt(CAST(count(*) AS DOUBLE)) AS w
+        |  FROM documents GROUP BY source),
+        |t AS (
+        |  SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |           list(w ORDER BY source)), (h, c) -> h + c) AS tot_w
+        |  FROM b)
+        |SELECT source, n_docs, sum_chars, w, w / tot_w AS share
+        |FROM b CROSS JOIN t ORDER BY source""".stripMargin,
+
+    "q_llm_emb_quantize" -> {
+      def fold(terms: String, init: String) =
+        s"list_reduce(list_prepend($init, $terms), (a, b) -> a + b)"
+      val normSql = s"sqrt(${fold(
+        "list_transform(range(1, len(emb) + 1), i -> emb[i] * emb[i])",
+        "CAST(0 AS DOUBLE)")})"
+      s"""WITH e AS (
+         |  SELECT vec_id, CAST(label AS BIGINT) AS label,
+         |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+         |  FROM embeddings),
+         |n AS (SELECT vec_id, label, emb, $normSql AS norm FROM e),
+         |q AS (
+         |  SELECT vec_id, label, norm,
+         |         CASE WHEN norm = 0
+         |           THEN list_transform(emb, x -> CAST(0 AS BIGINT))
+         |           ELSE list_transform(emb,
+         |                  x -> CAST(floor(x / norm * 127.0 + 0.5) AS BIGINT))
+         |         END AS qv
+         |  FROM n)
+         |SELECT vec_id, label, norm,
+         |       ${fold("qv", "CAST(0 AS BIGINT)")} AS q_sum,
+         |       ${fold("list_transform(qv, v -> abs(v))", "CAST(0 AS BIGINT)")} AS q_l1,
+         |       list_aggregate(qv, 'min') AS q_min,
+         |       list_aggregate(qv, 'max') AS q_max
+         |FROM q ORDER BY vec_id""".stripMargin
+    },
+
+    "q_llm_pack_chunks" ->
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |         CAST(len(list_filter(string_split(text, ' '), x -> length(x) > 0)) AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |c AS (
+         |  SELECT doc_id, n_tokens,
+         |         CAST(sum(n_tokens) OVER (ORDER BY doc_id) - n_tokens AS BIGINT) AS start_off
+         |  FROM t)
+         |SELECT doc_id, n_tokens, start_off,
+         |       start_off // $ChunkTokens AS chunk_first,
+         |       (start_off + n_tokens - 1) // $ChunkTokens AS chunk_last,
+         |       (start_off + n_tokens - 1) // $ChunkTokens
+         |         - start_off // $ChunkTokens + 1 AS n_chunks
+         |FROM c ORDER BY doc_id""".stripMargin,
+
+    "q_text_boilerplate" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, list_filter(string_split(text, ' '), x -> length(x) > 0) AS toks
+         |  FROM documents),
+         |g AS (
+         |  SELECT doc_id, toks, unnest(generate_series(1, greatest(len(toks) - 4, 0))) AS i
+         |  FROM t),
+         |sh AS (
+         |  SELECT DISTINCT doc_id,
+         |         toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' ||
+         |         toks[i+3] || ' ' || toks[i+4] AS shingle
+         |  FROM g),
+         |b AS (SELECT shingle AS bsh FROM sh GROUP BY shingle HAVING count(*) >= $BoilerDf),
+         |j AS (
+         |  SELECT sh.doc_id, CASE WHEN b.bsh IS NULL THEN 0 ELSE 1 END AS ib
+         |  FROM sh LEFT JOIN b ON sh.shingle = b.bsh)
+         |SELECT doc_id,
+         |       CAST(count(*) AS BIGINT) AS n_shingles,
+         |       CAST(sum(ib) AS BIGINT) AS n_boiler,
+         |       CAST(sum(ib) AS DOUBLE) / count(*) AS boiler_ratio
+         |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  )
+}

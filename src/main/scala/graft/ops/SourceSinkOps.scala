@@ -124,6 +124,34 @@ object SourceSinkOps extends QueryModule {
         .orderBy("event_type")
     }),
 
+    // Plain-text source: frame documents as one TSV line each (digesting
+    // the text — §7.5 binary determinism), write via the text sink, re-read
+    // with spark.read.text and re-parse. Proves the line-oriented
+    // reader/writer path (the lowest-common-denominator interchange format
+    // of corpus pipelines); the round trip is lossless, so the oracle
+    // aggregates the original table.
+    "q_src_text_roundtrip" -> ((s: SparkSession, dir: String) => {
+      val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft-src-text-${fixtureKey(dir, "documents.parquet")}").getAbsolutePath
+      val marker = new java.io.File(path, "_SUCCESS")
+      if (!marker.exists())
+        table(s, dir, "documents")
+          .select(concat_ws("\t", col("doc_id"), col("lang"),
+            col("n_chars"), sha2(col("text"), 256)).as("value"))
+          .write.mode("overwrite").text(path)
+      s.read.text(path)
+        .select(split(col("value"), "\t").as("p"))
+        .select(col("p").getItem(0).cast("long").as("doc_id"),
+          col("p").getItem(1).as("lang"),
+          col("p").getItem(2).cast("long").as("n_chars"),
+          col("p").getItem(3).as("text_sha"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          asLong(sum(col("n_chars"))).as("sum_chars"),
+          min("text_sha").as("first_sha"))
+        .orderBy("lang")
+    }),
+
     // Partitioned parquet sink round-trip: write documents partitioned by
     // lang (the 100 TB output layout — partition pruning on read, one dir
     // per partition value), re-read from the partitioned layout, aggregate.
@@ -189,6 +217,12 @@ object SourceSinkOps extends QueryModule {
         |       CAST(length(payload) + 1 AS BIGINT) AS payload_len,
         |       sha256(payload || chr(10)) AS payload_sha
         |FROM f ORDER BY event_id""".stripMargin,
+
+    "q_src_text_roundtrip" ->
+      """SELECT lang, count(*) AS n_docs,
+        |       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |       min(sha256(text)) AS first_sha
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
 
     "q_sink_partitioned" ->
       """SELECT lang, count(*) AS n_docs,

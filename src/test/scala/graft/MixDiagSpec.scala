@@ -1,0 +1,151 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Semantic invariants for the round-6 training-mix (MixOps) and
+  * diagnostics (DiagOps) families — properties the DuckDB hash gate cannot
+  * see (it only proves Spark ≡ oracle, not that either is RIGHT).
+  */
+class MixDiagSpec extends SparkTestBase {
+
+  private def q(name: String) = SparkEntry.queries(name)(spark, sfDir)
+
+  test("split_assign buckets are in [0,100) and the split matches its bucket") {
+    val rows = q("q_llm_split_assign")
+      .select("bucket", "split").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (b, s) = (r.getLong(0), r.getString(1))
+      assert(b >= 0 && b < 100)
+      val expected = if (b < 90) "train" else if (b < 95) "val" else "test"
+      assert(s == expected, s"bucket $b mapped to $s")
+    }
+  }
+
+  test("split_assign is deterministic across runs and partitionings") {
+    val a = q("q_llm_split_assign").collect().toSeq
+    val b = SparkEntry.queries("q_llm_split_assign")(spark, sfDir)
+      .repartition(7).orderBy("doc_id").collect().toSeq
+    assert(a == b)
+  }
+
+  test("domain_mix shares are positive and sum to 1 (within fp tolerance)") {
+    val rows = q("q_llm_domain_mix").select("share", "n_docs", "w").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getDouble(0) > 0.0)
+      assert(math.abs(r.getDouble(2) - math.sqrt(r.getLong(1).toDouble)) == 0.0)
+    }
+    val tot = rows.map(_.getDouble(0)).sum
+    assert(math.abs(tot - 1.0) < 1e-9, s"shares sum to $tot")
+  }
+
+  test("pack_chunks offsets are contiguous in doc_id order and chunk spans are consistent") {
+    val rows = q("q_llm_pack_chunks")
+      .select("doc_id", "n_tokens", "start_off", "chunk_first", "chunk_last", "n_chunks")
+      .orderBy("doc_id").collect()
+    assert(rows.nonEmpty)
+    var expectedOff = 0L
+    rows.foreach { r =>
+      val (nt, off, cf, cl, nc) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(off == expectedOff, s"doc ${r.getLong(0)}: off $off != $expectedOff")
+      expectedOff += nt
+      assert(cf == off / 512 && cl == (off + nt - 1) / 512 && nc == cl - cf + 1)
+    }
+  }
+
+  test("emb_quantize components are int8-bounded and norms positive on the fixture") {
+    val rows = q("q_llm_emb_quantize")
+      .select("norm", "q_min", "q_max", "q_l1").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getDouble(0) > 0.0)
+      assert(r.getLong(1) >= -127L && r.getLong(2) <= 127L)
+      assert(r.getLong(3) >= math.max(math.abs(r.getLong(1)), math.abs(r.getLong(2))))
+    }
+  }
+
+  test("boilerplate counts are bounded and the ratio is a true fraction") {
+    val rows = q("q_text_boilerplate")
+      .select("n_shingles", "n_boiler", "boiler_ratio").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(1) >= 0 && r.getLong(1) <= r.getLong(0))
+      val ratio = r.getDouble(2)
+      assert(ratio >= 0.0 && ratio <= 1.0)
+    }
+  }
+
+  test("profile_table profiles every declared column over the same row count") {
+    val rows = q("q_profile_table").collect()
+    assert(rows.map(_.getString(0)).sorted.toSeq ==
+      Seq("o_custkey", "o_orderdate_ms", "o_orderkey", "o_totalprice"))
+    val nRows = rows.map(_.getLong(1)).distinct
+    assert(nRows.length == 1 && nRows.head > 0)
+    rows.foreach { r =>
+      assert(r.getLong(2) == 0L) // fixture has no nulls
+      assert(r.getDouble(4) <= r.getDouble(5))
+      assert(r.getLong(3) <= r.getLong(1))
+    }
+  }
+
+  test("heavy_hitters is capped at 20, ordered, and cumulative") {
+    val rows = q("q_agg_heavy_hitters")
+      .select("c", "share", "cum_c", "cum_share").collect()
+    assert(rows.length <= 20 && rows.nonEmpty)
+    var cum = 0L
+    var lastC = Long.MaxValue
+    rows.foreach { r =>
+      assert(r.getLong(0) <= lastC); lastC = r.getLong(0)
+      cum += r.getLong(0)
+      assert(r.getLong(2) == cum)
+      assert(r.getDouble(1) > 0.0 && r.getDouble(3) <= 1.0 + 1e-12)
+    }
+  }
+
+  test("zscore_outlier only emits |z| > 2.5 and flags a small minority") {
+    val out = q("q_agg_zscore_outlier").select("z").collect()
+    out.foreach(r => assert(math.abs(r.getDouble(0)) > 2.5))
+    val total = graft.ops.table(spark, sfDir, "events").count()
+    assert(out.length < total / 10, s"${out.length} outliers of $total events")
+  }
+
+  test("winsorize clamps into a sub-range and leaves the bulk untouched") {
+    val df = q("q_win_winsorize").cache()
+    try {
+      val n = df.count()
+      val changed = df.where(col("value_w") =!= col("value")).count()
+      // p05/p95 winsorization changes at most ~10% of rows (plus ties)
+      assert(changed <= n / 5, s"$changed of $n rows clamped")
+      assert(changed > 0, "expected some clamped rows on the fixture")
+      // clamped range is inside the raw range, per event_type
+      val bad = df.groupBy("event_type")
+        .agg(min("value").as("lo"), max("value").as("hi"),
+          min("value_w").as("lo_w"), max("value_w").as("hi_w"))
+        .where(col("lo_w") < col("lo") || col("hi_w") > col("hi"))
+        .count()
+      assert(bad == 0)
+    } finally df.unpersist()
+  }
+
+  test("gapfill grid is dense: #types × #hours rows, event total preserved") {
+    val df = q("q_ts_gapfill").cache()
+    try {
+      val types = df.select("event_type").distinct().count()
+      val hours = df.select("hour_idx").distinct().count()
+      assert(df.count() == types * hours, "grid is not dense")
+      val evTotal = graft.ops.table(spark, sfDir, "events").count()
+      val gridTotal = df.agg(sum("n_events")).head().getLong(0)
+      assert(gridTotal == evTotal)
+      // at least one gap row exists on the sparse sf0.001 fixture
+      assert(df.where(col("n_events") === 0).count() > 0)
+    } finally df.unpersist()
+  }
+
+  test("text roundtrip preserves per-lang doc counts") {
+    val rt = q("q_src_text_roundtrip")
+      .agg(sum("n_docs")).head().getLong(0)
+    assert(rt == graft.ops.table(spark, sfDir, "documents").count())
+  }
+}
