@@ -15,7 +15,9 @@ object Explain {
       else Seq("q_agg_basic", "q_join_multiway", "q_join_inner", "q_filter_pred",
         "q_topk_group", "q_stream_tumble", "q_llm_minhash", "q_join_asof",
         "q_sink_batchify", "q_llm_sim_knn_lsh", "q_text_tfidf", "q_funnel_steps",
-        "q_win_ntile", "q_text_normalize", "q_llm_emb_classify")
+        "q_win_ntile", "q_text_normalize", "q_llm_emb_classify",
+        "q_win_winsorize", "q_llm_pack_chunks", "q_profile_table",
+        "q_agg_heavy_hitters", "q_ts_gapfill")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ops.{CurationOps, LlmOps, TextOps}
+import graft.ops.{CurationOps, DiagOps, LlmOps, MixOps, TextOps}
 
 /** Public library surface for the LLM-training-data pipeline operators.
   *
@@ -94,4 +94,39 @@ object Pipelines {
     * tie-break. Returns (vec_id, label, pred_label, best_cos). */
   def classify(spark: SparkSession, embeddings: DataFrame): DataFrame =
     LlmOps.classifyByCentroids(spark, embeddings)
+
+  /** Deterministic 90/5/5 train/val/test assignment by a replayable hash
+    * of `doc_id` — no RNG, stable under corpus growth, zero shuffle. Adds
+    * (bucket, split) to the input frame (see q_llm_split_assign). */
+  def splitAssign(docs: DataFrame): DataFrame = MixOps.splitAssign(docs)
+
+  /** sqrt-temperature domain-mixing weights per `source`: (source, n_docs,
+    * sum_chars, w, share), share summing to 1 (see q_llm_domain_mix). */
+  def domainMix(docs: DataFrame): DataFrame = MixOps.domainMix(docs)
+
+  /** Concat-and-chunk packing offsets in doc_id order: (doc_id, n_tokens,
+    * start_off, chunk_first, chunk_last, n_chunks) for `chunkTokens`-sized
+    * context windows, via the two-level bucketed cumsum — no
+    * single-partition window (see q_llm_pack_chunks). */
+  def packChunks(docs: DataFrame, chunkTokens: Long = 512L): DataFrame =
+    MixOps.packChunks(docs, chunkTokens)
+
+  /** L2-normalize + int8-quantize an embedding frame: (vec_id, label, norm,
+    * q_sum, q_l1, q_min, q_max) — all projections exact BIGINT (see
+    * q_llm_emb_quantize). */
+  def quantizeEmbeddings(embeddings: DataFrame): DataFrame =
+    MixOps.quantizeEmbeddings(embeddings)
+
+  /** Per-doc boilerplate coverage against 5-gram shingles shared by ≥
+    * `minDf` docs: (doc_id, n_shingles, n_boiler, boiler_ratio) (see
+    * q_text_boilerplate). */
+  def boilerplate(spark: SparkSession, docs: DataFrame,
+      minDf: Int = 3): DataFrame =
+    MixOps.boilerplateCoverage(spark, docs, minDf)
+
+  /** Exact distributed winsorization of an (event_id, event_type, value)
+    * frame at the per-group [p05, p95]: adds `value_w`, cut points located
+    * by bucketed order-statistic selection — no per-group single-task sort
+    * (see q_win_winsorize). */
+  def winsorize(events: DataFrame): DataFrame = DiagOps.winsorize(events)
 }

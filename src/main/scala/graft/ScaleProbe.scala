@@ -88,7 +88,11 @@ object ScaleProbe {
       "q_llm_minhash_est",
       "q_llm_dedup_keep_best", "q_llm_corpus_curate",
       "q_mm_embed_knn", "q_mm_neardup", "q_llm_sim_knn_ivf2",
-      "q_llm_contamination", "q_funnel_steps", "q_retention_cohort")
+      "q_llm_contamination", "q_funnel_steps", "q_retention_cohort",
+      "q_llm_split_assign", "q_llm_domain_mix", "q_llm_pack_chunks",
+      "q_text_boilerplate", "q_llm_emb_quantize", "q_profile_table",
+      "q_agg_heavy_hitters", "q_agg_zscore_outlier", "q_win_winsorize",
+      "q_ts_gapfill")
     // warmup
     SparkEntry.queries("q_agg_basic")(spark, outDir).count()
     val results = probes.map { name =>

@@ -73,6 +73,13 @@ object DiagOps extends QueryModule {
         min(when(col("_w_which") === "p95", col("value"))).as("p95"))
   }
 
+  /** Winsorized copy of an (event_id, event_type, value) frame — the
+    * q_win_winsorize primitive, exposed for [[graft.Pipelines]]. */
+  private[graft] def winsorize(ev: DataFrame): DataFrame =
+    ev.join(broadcast(winsorCuts(ev)), "event_type")
+      .select(col("event_id"), col("event_type"), col("value"),
+        least(greatest(col("value"), col("p05")), col("p95")).as("value_w"))
+
   def queries: Seq[(String, Q)] = Seq(
     // Column profiling of `orders` in ONE scan: a stack-expand to
     // (col_name, value) rows feeding a single hash agg — row count, null
@@ -142,14 +149,10 @@ object DiagOps extends QueryModule {
     // Exact distributed winsorization: clamp each event's value into its
     // type's [p05, p95] — cut points from the bucketed-histogram selection
     // in [[winsorCuts]] (no per-group single-task sort), broadcast back.
-    "q_win_winsorize" -> ((s: SparkSession, dir: String) => {
-      val ev = table(s, dir, "events")
-        .select(col("event_id"), col("event_type"), col("value"))
-      ev.join(broadcast(winsorCuts(ev)), "event_type")
-        .select(col("event_id"), col("event_type"), col("value"),
-          least(greatest(col("value"), col("p05")), col("p95")).as("value_w"))
-        .orderBy("event_id")
-    }),
+    "q_win_winsorize" -> ((s: SparkSession, dir: String) =>
+      winsorize(table(s, dir, "events")
+        .select(col("event_id"), col("event_type"), col("value")))
+        .orderBy("event_id")),
 
     // Time-series gap-fill: dense per-(event_type, hour) activity over the
     // corpus' full hour range — absent buckets surface as explicit zero

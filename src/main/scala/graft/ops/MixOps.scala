@@ -48,6 +48,100 @@ object MixOps extends QueryModule {
   private def splitBucketSql =
     s"(($splitA * doc_id + $splitB) % ${ReplayableHash.P}) % 100"
 
+  /** Train/val/test assignment for any (doc_id, …) frame — the
+    * q_llm_split_assign primitive, exposed for [[graft.Pipelines]]. */
+  private[graft] def splitAssign(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("bucket", asLong(splitBucketCol))
+      .withColumn("split",
+        when(col("bucket") < 90, "train")
+          .when(col("bucket") < 95, "val")
+          .otherwise("test"))
+
+  /** sqrt-temperature mixing weights per `source` — the q_llm_domain_mix
+    * primitive. Returns (source, n_docs, sum_chars, w, share). */
+  private[graft] def domainMix(docs: DataFrame): DataFrame = {
+    val bySrc = docs
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        asLong(sum(col("n_chars"))).as("sum_chars"))
+      .withColumn("w", sqrt(col("n_docs").cast("double")))
+    val tot = bySrc.agg(
+      aggregate(array_sort(collect_list(struct(col("source"), col("w")))),
+        lit(0.0), (acc, x) => acc + x.getField("w")).as("tot_w"))
+    bySrc.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"), col("sum_chars"), col("w"),
+        (col("w") / col("tot_w")).as("share"))
+  }
+
+  /** Concat-and-chunk packing offsets — the q_llm_pack_chunks primitive.
+    * Two-level bucketed cumsum in doc_id order; returns (doc_id, n_tokens,
+    * start_off, chunk_first, chunk_last, n_chunks). */
+  private[graft] def packChunks(docs: DataFrame,
+      chunkTokens: Long = ChunkTokens): DataFrame = {
+    val withTok = docs
+      .withColumn("n_tokens",
+        asLong(expr("size(filter(split(text, ' '), t -> length(t) > 0))")))
+      .withColumn("_pc_bucket", expr(s"doc_id div $PackBucket"))
+    val local = withTok.withColumn("_pc_cum",
+      sum("n_tokens").over(
+        Window.partitionBy("_pc_bucket").orderBy("doc_id")))
+    val offs = withTok.groupBy("_pc_bucket")
+      .agg(sum("n_tokens").as("_pc_tot"))
+      .withColumn("_pc_off", coalesce(
+        sum("_pc_tot").over(Window.orderBy("_pc_bucket")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("_pc_bucket", "_pc_off")
+    local.join(broadcast(offs), "_pc_bucket")
+      .withColumn("start_off", col("_pc_off") + col("_pc_cum") - col("n_tokens"))
+      .withColumn("chunk_first", expr(s"start_off div $chunkTokens"))
+      .withColumn("chunk_last",
+        expr(s"(start_off + n_tokens - 1) div $chunkTokens"))
+      .select(col("doc_id"), col("n_tokens"), col("start_off"),
+        col("chunk_first"), col("chunk_last"),
+        (col("chunk_last") - col("chunk_first") + lit(1L)).as("n_chunks"))
+  }
+
+  /** L2-normalize + int8-quantize an embedding frame — the
+    * q_llm_emb_quantize primitive. Returns (vec_id, label, norm, q_sum,
+    * q_l1, q_min, q_max). */
+  private[graft] def quantizeEmbeddings(emb: DataFrame): DataFrame =
+    emb
+      .select(col("vec_id"), col("label").cast("long").as("label"),
+        transform(col("embedding"), _.cast("double")).as("emb"))
+      .withColumn("norm", sqrt(aggregate(
+        transform(col("emb"), x => x * x), lit(0.0), (a, b) => a + b)))
+      .withColumn("qv", when(col("norm") === 0.0,
+          transform(col("emb"), _ => lit(0L)))
+        .otherwise(transform(col("emb"),
+          x => floor(x / col("norm") * 127.0 + 0.5).cast("long"))))
+      .select(col("vec_id"), col("label"), col("norm"),
+        aggregate(col("qv"), lit(0L), (a, b) => a + b).as("q_sum"),
+        aggregate(transform(col("qv"), v => abs(v)), lit(0L), (a, b) => a + b).as("q_l1"),
+        array_min(col("qv")).as("q_min"),
+        array_max(col("qv")).as("q_max"))
+
+  /** Boilerplate-coverage ratios — the q_text_boilerplate primitive.
+    * Returns (doc_id, n_shingles, n_boiler, boiler_ratio); docs shorter
+    * than 5 tokens emit no shingles and no row. */
+  private[graft] def boilerplateCoverage(s: SparkSession,
+      docs: DataFrame, minDf: Int = BoilerDf): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val sh = docs
+      .select(col("doc_id"), call_function("shingles", col("text"), lit(5)))
+      .select("doc_id", "shingle")
+      .distinct()
+    val boiler = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+      .where(col("df") >= minDf)
+      .select(col("shingle"), lit(1L).as("is_boiler"))
+    sh.join(boiler, Seq("shingle"), "left")
+      .groupBy("doc_id")
+      .agg(asLong(count(lit(1))).as("n_shingles"),
+        asLong(sum(coalesce(col("is_boiler"), lit(0L)))).as("n_boiler"))
+      .withColumn("boiler_ratio",
+        col("n_boiler").cast("double") / col("n_shingles"))
+  }
+
   def queries: Seq[(String, Q)] = Seq(
     // Deterministic train/val/test assignment: hash the stable doc key into
     // 100 buckets (90/5/5). No RNG and no state — a pure scan-side map, so
@@ -55,13 +149,8 @@ object MixOps extends QueryModule {
     // doc's assignment never changes as the corpus grows (the property a
     // training pipeline actually needs from its split).
     "q_llm_split_assign" -> ((s: SparkSession, dir: String) =>
-      table(s, dir, "documents")
-        .withColumn("bucket", asLong(splitBucketCol))
-        .select(col("doc_id"), col("lang"),
-          col("bucket"),
-          when(col("bucket") < 90, "train")
-            .when(col("bucket") < 95, "val")
-            .otherwise("test").as("split"))
+      splitAssign(table(s, dir, "documents"))
+        .select("doc_id", "lang", "bucket", "split")
         .orderBy("doc_id")),
 
     // Temperature-weighted domain mixing: per-source corpus stats and the
@@ -71,20 +160,8 @@ object MixOps extends QueryModule {
     // index-ordered fold over the per-source rows sorted by source — same
     // sequence on both engines (the log-free analog of T=0.5 temperature
     // sampling; pow(x, α) for general α is libm-dependent, rejected).
-    "q_llm_domain_mix" -> ((s: SparkSession, dir: String) => {
-      val bySrc = table(s, dir, "documents")
-        .groupBy("source")
-        .agg(count(lit(1)).as("n_docs"),
-          asLong(sum(col("n_chars"))).as("sum_chars"))
-        .withColumn("w", sqrt(col("n_docs").cast("double")))
-      val tot = bySrc.agg(
-        aggregate(array_sort(collect_list(struct(col("source"), col("w")))),
-          lit(0.0), (acc, x) => acc + x.getField("w")).as("tot_w"))
-      bySrc.crossJoin(broadcast(tot))
-        .select(col("source"), col("n_docs"), col("sum_chars"), col("w"),
-          (col("w") / col("tot_w")).as("share"))
-        .orderBy("source")
-    }),
+    "q_llm_domain_mix" -> ((s: SparkSession, dir: String) =>
+      domainMix(table(s, dir, "documents")).orderBy("source")),
 
     // Concat-and-chunk sequence packing (the LM-training data layout: all
     // docs concatenated in doc_id order, cut every 512 tokens): per doc its
@@ -92,30 +169,8 @@ object MixOps extends QueryModule {
     // runs two-level — local sums per doc_id bucket in parallel, offsets
     // from a window over the per-bucket totals (rows = #buckets), broadcast
     // back — so no record ever crosses a single-partition exchange.
-    "q_llm_pack_chunks" -> ((s: SparkSession, dir: String) => {
-      val docs = table(s, dir, "documents")
-        .withColumn("n_tokens",
-          asLong(expr("size(filter(split(text, ' '), t -> length(t) > 0))")))
-        .withColumn("_pc_bucket", expr(s"doc_id div $PackBucket"))
-      val local = docs.withColumn("_pc_cum",
-        sum("n_tokens").over(
-          Window.partitionBy("_pc_bucket").orderBy("doc_id")))
-      val offs = docs.groupBy("_pc_bucket")
-        .agg(sum("n_tokens").as("_pc_tot"))
-        .withColumn("_pc_off", coalesce(
-          sum("_pc_tot").over(Window.orderBy("_pc_bucket")
-            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-        .select("_pc_bucket", "_pc_off")
-      local.join(broadcast(offs), "_pc_bucket")
-        .withColumn("start_off", col("_pc_off") + col("_pc_cum") - col("n_tokens"))
-        .withColumn("chunk_first", expr(s"start_off div $ChunkTokens"))
-        .withColumn("chunk_last",
-          expr(s"(start_off + n_tokens - 1) div $ChunkTokens"))
-        .select(col("doc_id"), col("n_tokens"), col("start_off"),
-          col("chunk_first"), col("chunk_last"),
-          (col("chunk_last") - col("chunk_first") + lit(1L)).as("n_chunks"))
-        .orderBy("doc_id")
-    }),
+    "q_llm_pack_chunks" -> ((s: SparkSession, dir: String) =>
+      packChunks(table(s, dir, "documents")).orderBy("doc_id")),
 
     // Embedding L2-normalization + int8 scalar quantization — the storage
     // layout an ANN-serving pipeline actually ships (×4 smaller than
@@ -126,21 +181,7 @@ object MixOps extends QueryModule {
     // exact BIGINT — so the whole compression step hash-gates. A zero
     // vector quantizes to zeros.
     "q_llm_emb_quantize" -> ((s: SparkSession, dir: String) =>
-      table(s, dir, "embeddings")
-        .select(col("vec_id"), col("label").cast("long").as("label"),
-          transform(col("embedding"), _.cast("double")).as("emb"))
-        .withColumn("norm", sqrt(aggregate(
-          transform(col("emb"), x => x * x), lit(0.0), (a, b) => a + b)))
-        .withColumn("qv", when(col("norm") === 0.0,
-            transform(col("emb"), _ => lit(0L)))
-          .otherwise(transform(col("emb"),
-            x => floor(x / col("norm") * 127.0 + 0.5).cast("long"))))
-        .select(col("vec_id"), col("label"), col("norm"),
-          aggregate(col("qv"), lit(0L), (a, b) => a + b).as("q_sum"),
-          aggregate(transform(col("qv"), v => abs(v)), lit(0L), (a, b) => a + b).as("q_l1"),
-          array_min(col("qv")).as("q_min"),
-          array_max(col("qv")).as("q_max"))
-        .orderBy("vec_id")),
+      quantizeEmbeddings(table(s, dir, "embeddings")).orderBy("vec_id")),
 
     // Corpus boilerplate detection: 5-gram shingles shared by ≥ BoilerDf
     // docs are boilerplate; per doc, its distinct-shingle count, how many of
@@ -149,23 +190,8 @@ object MixOps extends QueryModule {
     // on the shingle; the same shingle definition as the dup-cluster
     // pipeline (graft.functions.ShingleGenerator, docs shorter than 5
     // tokens emit none).
-    "q_text_boilerplate" -> ((s: SparkSession, dir: String) => {
-      graft.functions.GraftFunctions.register(s)
-      val sh = table(s, dir, "documents")
-        .select(col("doc_id"), call_function("shingles", col("text"), lit(5)))
-        .select("doc_id", "shingle")
-        .distinct()
-      val boiler = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
-        .where(col("df") >= BoilerDf)
-        .select(col("shingle"), lit(1L).as("is_boiler"))
-      sh.join(boiler, Seq("shingle"), "left")
-        .groupBy("doc_id")
-        .agg(asLong(count(lit(1))).as("n_shingles"),
-          asLong(sum(coalesce(col("is_boiler"), lit(0L)))).as("n_boiler"))
-        .withColumn("boiler_ratio",
-          col("n_boiler").cast("double") / col("n_shingles"))
-        .orderBy("doc_id")
-    })
+    "q_text_boilerplate" -> ((s: SparkSession, dir: String) =>
+      boilerplateCoverage(s, table(s, dir, "documents")).orderBy("doc_id"))
   )
 
   def oracle: Seq[(String, String)] = Seq(

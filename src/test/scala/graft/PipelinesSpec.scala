@@ -78,6 +78,68 @@ class PipelinesSpec extends SparkTestBase {
     assert(cents.map(_.getSeq[Double](1).length).distinct.length == 1)
   }
 
+  test("r6 facade primitives agree with their declared queries") {
+    val viaSplit = Pipelines.splitAssign(docs)
+      .select("doc_id", "split").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    val qSplit = SparkEntry.queries("q_llm_split_assign")(spark, sfDir)
+      .select("doc_id", "split").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(viaSplit == qSplit)
+
+    val viaMix = Pipelines.domainMix(docs)
+      .select("source", "share").collect()
+      .map(r => (r.getString(0), r.getDouble(1))).toMap
+    val qMix = SparkEntry.queries("q_llm_domain_mix")(spark, sfDir)
+      .select("source", "share").collect()
+      .map(r => (r.getString(0), r.getDouble(1))).toMap
+    assert(viaMix == qMix)
+
+    val viaPack = Pipelines.packChunks(docs)
+      .select("doc_id", "start_off").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val qPack = SparkEntry.queries("q_llm_pack_chunks")(spark, sfDir)
+      .select("doc_id", "start_off").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(viaPack == qPack)
+
+    // a non-default chunk size changes spans but preserves contiguity
+    val packed256 = Pipelines.packChunks(docs, 256L)
+      .orderBy("doc_id").collect()
+    var off = 0L
+    packed256.foreach { r =>
+      assert(r.getLong(2) == off); off += r.getLong(1)
+      assert(r.getLong(3) == r.getLong(2) / 256)
+    }
+
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val viaQ = Pipelines.quantizeEmbeddings(emb)
+      .select("vec_id", "q_sum").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val qQ = SparkEntry.queries("q_llm_emb_quantize")(spark, sfDir)
+      .select("vec_id", "q_sum").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(viaQ == qQ)
+
+    val viaBp = Pipelines.boilerplate(spark, docs)
+      .select("doc_id", "n_boiler").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val qBp = SparkEntry.queries("q_text_boilerplate")(spark, sfDir)
+      .select("doc_id", "n_boiler").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(viaBp == qBp)
+
+    val ev = graft.ops.table(spark, sfDir, "events")
+      .select(col("event_id"), col("event_type"), col("value"))
+    val viaW = Pipelines.winsorize(ev)
+      .select("event_id", "value_w").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toMap
+    val qW = SparkEntry.queries("q_win_winsorize")(spark, sfDir)
+      .select("event_id", "value_w").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(viaW == qW)
+  }
+
   test("knn returns the same neighbors as the declared brute-force query") {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val probe = emb.where(col("vec_id") === 0)
