@@ -124,6 +124,11 @@ object Pipelines {
       minDf: Int = 3): DataFrame =
     MixOps.boilerplateCoverage(spark, docs, minDf)
 
+  /** Exactly-k uniform deterministic sample of a document frame by
+    * replayable hash rank — guarantees the sample SIZE (unlike rate-based
+    * mod filters) with no RNG and no global sort (see q_llm_sample_k). */
+  def sampleK(docs: DataFrame, k: Int): DataFrame = MixOps.sampleK(docs, k)
+
   /** Exact distributed winsorization of an (event_id, event_type, value)
     * frame at the per-group [p05, p95]: adds `value_w`, cut points located
     * by bucketed order-statistic selection — no per-group single-task sort

@@ -127,6 +127,19 @@ object AggOps extends QueryModule {
         .na.fill(0L)
         .orderBy("user_id")),
 
+    // Per-group exact mode (most frequent event_type per user, ties to the
+    // lexicographically smallest type): two hash aggregates — counts, then a
+    // min_by over the lexicographic (-count, type) struct. No window, no
+    // per-group sort; both stages partial-aggregate map-side.
+    "q_agg_mode" -> ((s: SparkSession, dir: String) =>
+      table(s, dir, "events")
+        .groupBy("user_id", "event_type").agg(count(lit(1)).as("c"))
+        .groupBy("user_id")
+        .agg(min_by(col("event_type"), struct(-col("c"), col("event_type")))
+            .as("mode_type"),
+          max(col("c")).as("mode_n"))
+        .orderBy("user_id")),
+
     // Ordered list aggregation (deterministic: sorted before joining).
     "q_agg_listagg" -> ((s: SparkSession, dir: String) =>
       table(s, dir, "customer")
@@ -276,6 +289,18 @@ object AggOps extends QueryModule {
         |       count(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
         |       count(CASE WHEN event_type = 'view' THEN 1 END) AS "view"
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q_agg_mode" ->
+      """WITH c AS (
+        |  SELECT user_id, event_type, count(*) AS c
+        |  FROM events GROUP BY user_id, event_type),
+        |r AS (
+        |  SELECT user_id, event_type, c,
+        |         row_number() OVER (PARTITION BY user_id
+        |           ORDER BY c DESC, event_type ASC) AS rn
+        |  FROM c)
+        |SELECT user_id, event_type AS mode_type, c AS mode_n
+        |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin,
 
     "q_agg_listagg" ->
       """SELECT c_nationkey,

@@ -48,6 +48,20 @@ object MixOps extends QueryModule {
   private def splitBucketSql =
     s"(($splitA * doc_id + $splitB) % ${ReplayableHash.P}) % 100"
 
+  /** Sample-hash constants (salt distinct from every other family use). */
+  private val (sampleA, sampleB) = ReplayableHash.params(1, salt = 7).head
+
+  /** Exactly-k uniform deterministic sample: rank docs by a replayable hash
+    * of doc_id and keep the k smallest — reproducible across engines, runs,
+    * and partitionings, and executed as TakeOrderedAndProject (top-k
+    * per-partition then k-merge; no global sort, no RNG state). The
+    * q_llm_sample_k primitive, exposed for [[graft.Pipelines]]. */
+  private[graft] def sampleK(docs: DataFrame, k: Int): DataFrame =
+    docs
+      .withColumn("h", expr(s"($sampleA * doc_id + $sampleB) % ${ReplayableHash.P}"))
+      .orderBy("h", "doc_id")
+      .limit(k)
+
   /** Train/val/test assignment for any (doc_id, …) frame — the
     * q_llm_split_assign primitive, exposed for [[graft.Pipelines]]. */
   private[graft] def splitAssign(docs: DataFrame): DataFrame =
@@ -163,6 +177,16 @@ object MixOps extends QueryModule {
     "q_llm_domain_mix" -> ((s: SparkSession, dir: String) =>
       domainMix(table(s, dir, "documents")).orderBy("source")),
 
+    // Exactly-k uniform sample without RNG: rank by a replayable hash of
+    // the key, keep the 100 smallest. Unlike rate-based sampling
+    // (q_llm_curation_sample's mod filter), this guarantees the SAMPLE
+    // SIZE; the plan is TakeOrderedAndProject — per-partition top-k then a
+    // k-row merge, no global sort at any scale.
+    "q_llm_sample_k" -> ((s: SparkSession, dir: String) =>
+      sampleK(table(s, dir, "documents"), 100)
+        .select(col("doc_id"), col("lang"), col("source"), col("h"))
+        .orderBy("h", "doc_id")),
+
     // Concat-and-chunk sequence packing (the LM-training data layout: all
     // docs concatenated in doc_id order, cut every 512 tokens): per doc its
     // global token offset and the chunk span it lands in. The global cumsum
@@ -215,6 +239,12 @@ object MixOps extends QueryModule {
         |  FROM b)
         |SELECT source, n_docs, sum_chars, w, w / tot_w AS share
         |FROM b CROSS JOIN t ORDER BY source""".stripMargin,
+
+    "q_llm_sample_k" ->
+      s"""SELECT doc_id, lang, source,
+         |       ($sampleA * doc_id + $sampleB) % ${ReplayableHash.P} AS h
+         |FROM documents
+         |ORDER BY h, doc_id LIMIT 100""".stripMargin,
 
     "q_llm_emb_quantize" -> {
       def fold(terms: String, init: String) =

@@ -143,6 +143,36 @@ class MixDiagSpec extends SparkTestBase {
     } finally df.unpersist()
   }
 
+  test("sample_k returns exactly k rows, deterministically, ranked by hash") {
+    val a = q("q_llm_sample_k").collect()
+    val b = q("q_llm_sample_k").collect()
+    assert(a.toSeq == b.toSeq)
+    val total = graft.ops.table(spark, sfDir, "documents").count()
+    assert(a.length == math.min(100L, total))
+    // facade with a different k nests: smaller samples are prefixes
+    val ids10 = Pipelines.sampleK(
+      graft.ops.table(spark, sfDir, "documents"), 10)
+      .collect().map(_.getAs[Long]("doc_id")).toSeq
+    val ids25 = Pipelines.sampleK(
+      graft.ops.table(spark, sfDir, "documents"), 25)
+      .collect().map(_.getAs[Long]("doc_id")).toSeq
+    assert(ids25.take(10) == ids10)
+  }
+
+  test("agg_mode picks the per-user majority event type with the declared tie-break") {
+    val ev = graft.ops.table(spark, sfDir, "events")
+      .select("user_id", "event_type").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val expected = ev.groupBy(_._1).map { case (u, rows) =>
+      val counts = rows.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+      val best = counts.toSeq.minBy { case (t, c) => (-c, t) }
+      (u, best)
+    }
+    val got = q("q_agg_mode").collect()
+      .map(r => (r.getLong(0), (r.getString(1), r.getLong(2)))).toMap
+    assert(got == expected)
+  }
+
   test("text roundtrip preserves per-lang doc counts") {
     val rt = q("q_src_text_roundtrip")
       .agg(sum("n_docs")).head().getLong(0)
