@@ -122,7 +122,8 @@ object ScaleProbe {
   private def amortizationProbe(spark: SparkSession, outDir: String): Unit = {
     val consumers = Seq("q_llm_dup_clusters", "q_llm_dedup_keep_best",
       "q_llm_corpus_curate", "q_llm_contamination",
-      "q_llm_sim_knn_ivf", "q_llm_sim_knn_ivf2")
+      "q_llm_sim_knn_ivf", "q_llm_sim_knn_ivf2",
+      "q_llm_minhash", "q_llm_minhash_est", "q_llm_ngram_jaccard")
     def pass(label: String): Double = {
       val t0 = System.nanoTime()
       consumers.foreach(n => SparkEntry.queries(n)(spark, outDir).count())

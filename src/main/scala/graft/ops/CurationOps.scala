@@ -143,7 +143,8 @@ object CurationOps extends QueryModule {
     * texts only). Stop-shingle document counts are still taken over ALL
     * docs, keeping the declared semantics (and the DuckDB oracle) intact.
     */
-  private[graft] def dupClusters(s: SparkSession, docs: DataFrame): DataFrame = {
+  private[graft] def dupClusters(s: SparkSession, docs: DataFrame,
+      keptShingles: Option[DataFrame] = None): DataFrame = {
     // NULL text gets a per-doc unique key: it must neither be dropped by
     // the equi-join on the sha nor contract with other NULL-text docs —
     // the oracle's text-equality edge (NULL = NULL is never true) leaves
@@ -158,7 +159,7 @@ object CurationOps extends QueryModule {
       .select(col("doc_id"))
     // shingle document-frequency over ALL docs (oracle semantics), edges
     // over representatives only
-    val sh = clusterShingles(s, docs)
+    val sh = keptShingles.getOrElse(clusterShingles(s, docs))
     val repSh = sh.join(reps.select(col("doc_id")), "doc_id")
     val half = repSh.as("x").join(repSh.as("y"), "shingle")
       .where(col("x.doc_id") < col("y.doc_id"))
@@ -231,12 +232,30 @@ object CurationOps extends QueryModule {
     val key = System.identityHashCode(s.sparkContext).toString + "|" +
       SourceSinkOps.fixtureKey(dir, "documents.parquet")
     clusterCache.computeIfAbsent(key,
-      _ => dupClusters(s, table(s, dir, "documents")).localCheckpoint(true))
+      _ => dupClusters(s, table(s, dir, "documents"),
+        Some(keptShinglesFor(s, dir))).localCheckpoint(true))
   }
 
-  /** Drop the memoized cluster index (ScaleProbe's amortization probe uses
-    * this to measure a genuinely cold build; production never needs it). */
-  private[graft] def clearIndexCache(): Unit = clusterCache.clear()
+  /** Memoized kept-shingle frame (same content-keyed pattern): the
+    * distinct (doc_id, shingle) pairs with stop-shingle hygiene are the
+    * shared substrate of clustering AND contamination; the explode +
+    * distinct + document-frequency pass is paid once per corpus. */
+  private val shingleCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  private[graft] def keptShinglesFor(s: SparkSession, dir: String): DataFrame = {
+    val key = System.identityHashCode(s.sparkContext).toString + "|" +
+      SourceSinkOps.fixtureKey(dir, "documents.parquet")
+    shingleCache.computeIfAbsent(key,
+      _ => clusterShingles(s, table(s, dir, "documents")).localCheckpoint(true))
+  }
+
+  /** Drop the memoized indexes (ScaleProbe's amortization probe uses
+    * this to measure genuinely cold builds; production never needs it). */
+  private[graft] def clearIndexCache(): Unit = {
+    clusterCache.clear()
+    shingleCache.clear()
+  }
 
   /** Per-document LM novelty against the corpus bigram counts for an
     * arbitrary (doc_id, text) frame — the q_llm_doc_lm_score primitive,
@@ -427,7 +446,7 @@ object CurationOps extends QueryModule {
     // the join is equi on the shingle string, never all-pairs.
     "q_llm_contamination" -> ((s: SparkSession, dir: String) => {
       val docs = table(s, dir, "documents")
-      val sh = clusterShingles(s, docs)
+      val sh = keptShinglesFor(s, dir)
         .join(docs.select("doc_id", "source"), "doc_id")
       val evalSh = sh.where(col("source") === "src0")
         .select(col("shingle"), col("doc_id").as("eval_doc"))
