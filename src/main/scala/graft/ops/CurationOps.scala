@@ -270,6 +270,9 @@ object CurationOps extends QueryModule {
           |         slice(toks, 2, size(toks) - 1),
           |         (a, b) -> struct(a AS w1, b AS w2))""".stripMargin)).as("bg"))
       .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      // feeds BOTH the corpus-count agg and the per-doc rejoin — materialize
+      // the explode once (the candidate-pipeline localCheckpoint rationale)
+      .localCheckpoint(true)
     val c12 = bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
     bigrams.join(c12, Seq("w1", "w2"))
       .groupBy("doc_id")
@@ -371,6 +374,7 @@ object CurationOps extends QueryModule {
         .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
         .where(length(col("token")) > 0)
         .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+        .localCheckpoint(true) // feeds the df agg AND the rejoin — one pass
       val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
       tf.join(dfreq, "token")
         .crossJoin(broadcast(nDocs))

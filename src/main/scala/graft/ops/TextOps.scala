@@ -74,6 +74,9 @@ object TextOps extends QueryModule {
     // each profile, predict the argmax (ties broken by language asc).
     "q_text_langid" -> ((s: SparkSession, dir: String) => {
       val docs = table(s, dir, "documents")
+      // the token explode feeds the profile agg AND the per-doc distinct;
+      // measured r6: re-exploding per branch beats materializing the 10×
+      // token rows (the aggs shrink before any shuffle), so NO checkpoint
       val toks = tokens(docs)
       val freq = toks.groupBy("lang", "token").agg(count(lit(1)).as("c"))
       val prof = freq
@@ -126,6 +129,7 @@ object TextOps extends QueryModule {
     // without shuffling.
     "q_text_oov" -> ((s: SparkSession, dir: String) => {
       val toks = tokens(table(s, dir, "documents")).select("doc_id", "token")
+        .localCheckpoint(true) // feeds the vocab agg AND the rejoin
       val vocab = toks.groupBy("token").agg(count(lit(1)).as("tf"))
         .orderBy(desc("tf"), asc("token")).limit(30)
         .select(col("token"), lit(1L).as("in_vocab"))
