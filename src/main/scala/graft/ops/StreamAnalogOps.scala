@@ -100,6 +100,37 @@ object StreamAnalogOps extends QueryModule {
         .orderBy("event_type")
     }),
 
+    // Stream-stream interval join, batch analog (the q_join_interval shape
+    // on the event stream itself): every click joined to the same user's
+    // purchases within the following hour. The join key carries an equi
+    // TIME BUCKET alongside user_id — each purchase expands into its own
+    // hour bucket and the previous one (a purchase ≤1h after a click lies
+    // in the click's bucket or the next), then the exact interval predicate
+    // filters — so per-key work is bounded by per-(user, hour) density,
+    // never a per-user cross product (the SCALING.md pairing rule). The
+    // true streaming form is the watermarked stream-stream join exercised
+    // in StreamingSpec; this bounded run is what DuckDB can oracle.
+    "q_stream_join" -> ((s: SparkSession, dir: String) => {
+      val hourUs = 3600000000L
+      val ev = table(s, dir, "events")
+        .withColumn("us", unix_micros(col("ts")))
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("click_id"),
+          col("us").as("click_us"),
+          expr(s"us div $hourUs").as("bucket"))
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("purchase_id"),
+          col("us").as("p_us"),
+          explode(array(expr(s"us div $hourUs"),
+            expr(s"us div $hourUs - 1"))).as("bucket"))
+      clicks.join(purchases, Seq("user_id", "bucket"))
+        .where(col("p_us") > col("click_us")
+          && col("p_us") <= col("click_us") + hourUs)
+        .select(col("user_id"), col("click_id"), col("purchase_id"),
+          (col("p_us") - col("click_us")).as("delay_us"))
+        .orderBy("user_id", "click_id", "purchase_id")
+    }),
+
     "q_stream_delivery_report" -> ((s: SparkSession, dir: String) =>
       deliveryReport(s, dir))
   )
@@ -162,6 +193,18 @@ object StreamAnalogOps extends QueryModule {
         |       CAST(sum(CASE WHEN ts < max_ts - INTERVAL 10 MINUTE
         |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_late
         |FROM m GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_stream_join" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events),
+        |c AS (SELECT user_id, event_id AS click_id, us AS click_us
+        |      FROM e WHERE event_type = 'click'),
+        |p AS (SELECT user_id, event_id AS purchase_id, us AS p_us
+        |      FROM e WHERE event_type = 'purchase')
+        |SELECT c.user_id, click_id, purchase_id, p_us - click_us AS delay_us
+        |FROM c JOIN p ON c.user_id = p.user_id
+        |  AND p_us > click_us AND p_us <= click_us + 3600000000
+        |ORDER BY c.user_id, click_id, purchase_id""".stripMargin,
 
     "q_stream_delivery_report" ->
       """WITH d AS (

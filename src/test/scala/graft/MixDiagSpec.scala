@@ -173,6 +173,24 @@ class MixDiagSpec extends SparkTestBase {
     assert(got == expected)
   }
 
+  test("stream_join equals the brute-force interval join on the fixture") {
+    val ev = graft.ops.table(spark, sfDir, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val clicks = ev.filter(_._3 == "click")
+    val purchases = ev.filter(_._3 == "purchase")
+    val expected = (for {
+      (cid, cu, _, cus) <- clicks
+      (pid, pu, _, pus) <- purchases
+      if pu == cu && pus > cus && pus <= cus + 3600000000L
+    } yield (cu, cid, pid, pus - cus)).toSet
+    val got = q("q_stream_join").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == expected)
+    assert(got.nonEmpty, "fixture should produce at least one joined pair")
+  }
+
   test("text roundtrip preserves per-lang doc counts") {
     val rt = q("q_src_text_roundtrip")
       .agg(sum("n_docs")).head().getLong(0)
