@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Aggregation family (SURVEY §2B "Aggregations"). Catalyst plans all of
@@ -195,15 +195,53 @@ object AggOps extends QueryModule {
     }),
 
     // Exact interpolated percentiles (R-7, same definition as quantile_cont).
-    "q_agg_percentile" -> ((s: SparkSession, dir: String) =>
-      table(s, dir, "lineitem")
-        .groupBy("l_returnflag")
-        .agg(
-          round(expr("percentile(l_quantity, 0.25)"), 4).as("p25_qty"),
-          round(expr("percentile(l_quantity, 0.5)"), 4).as("p50_qty"),
-          round(expr("percentile(l_quantity, 0.75)"), 4).as("p75_qty"),
-          round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50_price"))
-        .orderBy("l_returnflag"))
+    // Exact interpolated quantiles per group — NOT Spark's `percentile`
+    // aggregate (a TypedImperativeAggregate that buffers EVERY group value
+    // in one task's memory: with a 3-value group key that is N/3 values per
+    // buffer — the same low-cardinality trap as a per-group sort window,
+    // fatal at 100 TB). Re-expressed round 6 over the bucketed
+    // order-statistic selection (DiagOps.valueAtRanks): the quantile_cont
+    // position q·(n−1) splits into exact integer lo-rank/frac (q = a/b ⇒
+    // lo = a(n−1) div b, frac = (a(n−1) mod b)/b — dyadic, bit-exact), the
+    // two bracketing order statistics come from the histogram selection,
+    // and one interpolation per quantile reproduces the previous
+    // formulation bit-for-bit (same DuckDB oracle, unchanged).
+    "q_agg_percentile" -> ((s: SparkSession, dir: String) => {
+      val li = table(s, dir, "lineitem")
+      val grp = "l_returnflag"
+      val nRel = li.groupBy(grp).agg(count(lit(1)).as("n"))
+      def ranksFor(tag: String, a: Int, b: Int): DataFrame =
+        nRel.select(col(grp), explode(array(
+          struct(lit(s"${tag}_lo").as("which"),
+            expr(s"($a * (n - 1)) div $b + 1").as("rank")),
+          struct(lit(s"${tag}_hi").as("which"),
+            expr(s"least(($a * (n - 1)) div $b + 2, n)").as("rank"))))
+          .as("t"))
+          .select(col(grp), col("t.which").as("which"), col("t.rank").as("rank"))
+      val qtyRanks = ranksFor("q25", 1, 4)
+        .union(ranksFor("q50", 1, 2)).union(ranksFor("q75", 3, 4))
+      val qtyVals = DiagOps.valueAtRanks(li, grp, "l_quantity", qtyRanks)
+      val priceVals = DiagOps.valueAtRanks(li, grp, "l_extendedprice",
+        ranksFor("q50", 1, 2))
+      def at(vals: DataFrame, which: String) =
+        min(when(col("which") === which, col("value")))
+      val qty = qtyVals.groupBy(grp).agg(
+        at(qtyVals, "q25_lo").as("q25_lo"), at(qtyVals, "q25_hi").as("q25_hi"),
+        at(qtyVals, "q50_lo").as("q50_lo"), at(qtyVals, "q50_hi").as("q50_hi"),
+        at(qtyVals, "q75_lo").as("q75_lo"), at(qtyVals, "q75_hi").as("q75_hi"))
+      val price = priceVals.groupBy(grp).agg(
+        at(priceVals, "q50_lo").as("p50_lo"), at(priceVals, "q50_hi").as("p50_hi"))
+      def interp(lo: String, hi: String, a: Int, b: Int) =
+        col(lo) + expr(s"(($a * (n - 1)) % $b) / CAST($b AS DOUBLE)") *
+          (col(hi) - col(lo))
+      qty.join(price, grp).join(broadcast(nRel), grp)
+        .select(col(grp),
+          round(interp("q25_lo", "q25_hi", 1, 4), 4).as("p25_qty"),
+          round(interp("q50_lo", "q50_hi", 1, 2), 4).as("p50_qty"),
+          round(interp("q75_lo", "q75_hi", 3, 4), 4).as("p75_qty"),
+          round(interp("p50_lo", "p50_hi", 1, 2), 4).as("p50_price"))
+        .orderBy(grp)
+    })
   )
 
   def oracle: Seq[(String, String)] = Seq(

@@ -73,6 +73,39 @@ object DiagOps extends QueryModule {
         min(when(col("_w_which") === "p95", col("value"))).as("p95"))
   }
 
+  /** Generalized bucketed ORDER-STATISTIC selection (the winsorCuts shape,
+    * parameterized): for each (group, named 1-based rank) row in `ranks`,
+    * return the rank-th smallest `valueCol` of that group. The value must
+    * be exact at 2 decimals (`round(v*100)` is an exact long key — the
+    * fixture money/quantity discipline). Never sorts a group in one task:
+    * a per-(group, bucket) histogram (rows = #occupied buckets) locates
+    * each target bucket via cumulative counts, and a local row_number
+    * ranks ONLY the rows equi-joined into target buckets. Ties share a
+    * key, hence a bucket, hence a value — the selected VALUE is exact
+    * regardless of tie order. Returns (grpCol, which, value). */
+  private[graft] def valueAtRanks(df: DataFrame, grpCol: String,
+      valueCol: String, ranks: DataFrame): DataFrame = {
+    val withK = df
+      .withColumn("_vr_key", round(col(valueCol) * 100).cast("long"))
+      .withColumn("_vr_bucket", expr(s"_vr_key div $WinsorBucket"))
+    val wOff = Window.partitionBy(grpCol).orderBy("_vr_bucket")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val hist = withK.groupBy(grpCol, "_vr_bucket")
+      .agg(count(lit(1)).as("_vr_cnt"))
+      .withColumn("_vr_prev", coalesce(sum("_vr_cnt").over(wOff), lit(0L)))
+    val targets = ranks.join(hist, grpCol)
+      .where(col("_vr_prev") < col("rank")
+        && col("_vr_prev") + col("_vr_cnt") >= col("rank"))
+      .select(col(grpCol), col("_vr_bucket"), col("which"),
+        (col("rank") - col("_vr_prev")).as("_vr_local"))
+    val wLocal = Window.partitionBy(grpCol, "_vr_bucket", "which")
+      .orderBy("_vr_key")
+    withK.join(broadcast(targets), Seq(grpCol, "_vr_bucket"))
+      .withColumn("_vr_rn", row_number().over(wLocal))
+      .where(col("_vr_rn") === col("_vr_local"))
+      .select(col(grpCol), col("which"), col(valueCol).as("value"))
+  }
+
   /** Winsorized copy of an (event_id, event_type, value) frame — the
     * q_win_winsorize primitive, exposed for [[graft.Pipelines]]. */
   private[graft] def winsorize(ev: DataFrame): DataFrame =
