@@ -206,35 +206,60 @@ object AggOps extends QueryModule {
     // two bracketing order statistics come from the histogram selection,
     // and one interpolation per quantile reproduces the previous
     // formulation bit-for-bit (same DuckDB oracle, unchanged).
+    //
+    // Cost shape (measured): ~1.4 s at sf0.01 vs ~3.0 s at sf0.1 — the
+    // pipeline is stage-LATENCY-bound at toy scale (≈6 bounded stages),
+    // with only a mild data term; at cluster scale that fixed latency is
+    // noise and every window stays bounded (#buckets, then ≤4096 keys).
+    // The GK sketch (q_agg_approx_percentile) remains the cheap path when
+    // exactness isn't required.
     "q_agg_percentile" -> ((s: SparkSession, dir: String) => {
-      val li = table(s, dir, "lineitem")
       val grp = "l_returnflag"
-      val nRel = li.groupBy(grp).agg(count(lit(1)).as("n"))
-      def ranksFor(tag: String, a: Int, b: Int): DataFrame =
-        nRel.select(col(grp), explode(array(
-          struct(lit(s"${tag}_lo").as("which"),
-            expr(s"($a * (n - 1)) div $b + 1").as("rank")),
-          struct(lit(s"${tag}_hi").as("which"),
-            expr(s"least(($a * (n - 1)) div $b + 2, n)").as("rank"))))
-          .as("t"))
-          .select(col(grp), col("t.which").as("which"), col("t.rank").as("rank"))
-      val qtyRanks = ranksFor("q25", 1, 4)
-        .union(ranksFor("q50", 1, 2)).union(ranksFor("q75", 3, 4))
-      val qtyVals = DiagOps.valueAtRanks(li, grp, "l_quantity", qtyRanks)
-      val priceVals = DiagOps.valueAtRanks(li, grp, "l_extendedprice",
-        ranksFor("q50", 1, 2))
-      def at(vals: DataFrame, which: String) =
-        min(when(col("which") === which, col("value")))
-      val qty = qtyVals.groupBy(grp).agg(
-        at(qtyVals, "q25_lo").as("q25_lo"), at(qtyVals, "q25_hi").as("q25_hi"),
-        at(qtyVals, "q50_lo").as("q50_lo"), at(qtyVals, "q50_hi").as("q50_hi"),
-        at(qtyVals, "q75_lo").as("q75_lo"), at(qtyVals, "q75_hi").as("q75_hi"))
-      val price = priceVals.groupBy(grp).agg(
-        at(priceVals, "q50_lo").as("p50_lo"), at(priceVals, "q50_hi").as("p50_hi"))
+      // one unpivoted frame covers BOTH measure columns, so the whole query
+      // is a single selection pipeline over a composite (group, measure)
+      // key: one histogram pass + one targeted-rank pass, regardless of how
+      // many quantiles are requested
+      val longv = table(s, dir, "lineitem")
+        .select(col(grp), expr(
+          "stack(2, 'qty', l_quantity, 'price', l_extendedprice) AS (vcol, value)"))
+        .withColumn("g", concat_ws("|", col(grp), col("vcol")))
+        .localCheckpoint(true) // feeds the count, the histogram, the rank join
+      // 6-row relation, but referenced by FOUR ranksFor branches plus the
+      // final interpolation join — materialize once or every branch re-scans
+      // and re-aggregates the stacked frame
+      val nRel = longv.groupBy("g").agg(count(lit(1)).as("n"))
+        .localCheckpoint(true)
+      // quantile q = a/b at 0-based position q(n-1): exact integer lo-rank
+      // and the two bracketing 1-based ranks (hi clamped to n)
+      def ranksFor(tag: String, a: Int, b: Int, vcol: String): DataFrame =
+        nRel.where(col("g").endsWith(s"|$vcol"))
+          .select(col("g"), explode(array(
+            struct(lit(s"${tag}_lo").as("which"),
+              expr(s"($a * (n - 1)) div $b + 1").as("rank")),
+            struct(lit(s"${tag}_hi").as("which"),
+              expr(s"least(($a * (n - 1)) div $b + 2, n)").as("rank"))))
+            .as("t"))
+          .select(col("g"), col("t.which").as("which"), col("t.rank").as("rank"))
+      val ranks = ranksFor("q25", 1, 4, "qty")
+        .union(ranksFor("q50", 1, 2, "qty"))
+        .union(ranksFor("q75", 3, 4, "qty"))
+        .union(ranksFor("q50", 1, 2, "price"))
+      def at(which: String, vcol: String) =
+        min(when(col("which") === which && col("g").endsWith(s"|$vcol"),
+          col("value")))
+      val vals = DiagOps.valueAtRanks(longv, "g", "value", ranks)
+        .withColumn(grp, expr("split(g, '\\\\|')[0]"))
+        .groupBy(grp).agg(
+          at("q25_lo", "qty").as("q25_lo"), at("q25_hi", "qty").as("q25_hi"),
+          at("q50_lo", "qty").as("q50_lo"), at("q50_hi", "qty").as("q50_hi"),
+          at("q75_lo", "qty").as("q75_lo"), at("q75_hi", "qty").as("q75_hi"),
+          at("q50_lo", "price").as("p50_lo"), at("q50_hi", "price").as("p50_hi"))
+      val nGrp = nRel.where(col("g").endsWith("|qty"))
+        .select(expr("split(g, '\\\\|')[0]").as(grp), col("n"))
       def interp(lo: String, hi: String, a: Int, b: Int) =
         col(lo) + expr(s"(($a * (n - 1)) % $b) / CAST($b AS DOUBLE)") *
           (col(hi) - col(lo))
-      qty.join(price, grp).join(broadcast(nRel), grp)
+      vals.join(broadcast(nGrp), grp)
         .select(col(grp),
           round(interp("q25_lo", "q25_hi", 1, 4), 4).as("p25_qty"),
           round(interp("q50_lo", "q50_hi", 1, 2), 4).as("p50_qty"),

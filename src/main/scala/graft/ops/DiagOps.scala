@@ -44,45 +44,33 @@ object DiagOps extends QueryModule {
     * (2-dec money fixture), and ties inside a bucket cannot change the
     * selected VALUE. Rank targets are ceil(p·n) in pure integer math. */
   private def winsorCuts(ev: DataFrame): DataFrame = {
-    val withK = ev
-      .withColumn("_w_key", round(col("value") * 100).cast("long"))
-      .withColumn("_w_bucket", expr(s"_w_key div $WinsorBucket"))
-    val wOff = Window.partitionBy("event_type").orderBy("_w_bucket")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val wAll = Window.partitionBy("event_type")
-      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    val hist = withK.groupBy("event_type", "_w_bucket")
-      .agg(count(lit(1)).as("_w_cnt"))
-      .withColumn("_w_prev", coalesce(sum("_w_cnt").over(wOff), lit(0L)))
-      .withColumn("_w_n", sum("_w_cnt").over(wAll))
-    def target(rank: org.apache.spark.sql.Column, out: String): DataFrame =
-      hist.where(col("_w_prev") < rank
-          && col("_w_prev") + col("_w_cnt") >= rank)
-        .select(col("event_type"), col("_w_bucket"),
-          (rank - col("_w_prev")).as("_w_local"), lit(out).as("_w_which"))
-    val targets =
-      target(expr("(_w_n + 19) div 20"), "p05")
-        .union(target(expr("(19 * _w_n + 19) div 20"), "p95"))
-    val wLocal = Window.partitionBy("event_type", "_w_bucket", "_w_which")
-      .orderBy("_w_key", "event_id")
-    withK.join(broadcast(targets), Seq("event_type", "_w_bucket"))
-      .withColumn("_w_rn", row_number().over(wLocal))
-      .where(col("_w_rn") === col("_w_local"))
+    val nRel = ev.groupBy("event_type").agg(count(lit(1)).as("n"))
+    val ranks = nRel.select(col("event_type"), explode(array(
+      struct(lit("p05").as("which"), expr("(n + 19) div 20").as("rank")),
+      struct(lit("p95").as("which"), expr("(19 * n + 19) div 20").as("rank"))))
+      .as("t"))
+      .select(col("event_type"), col("t.which").as("which"),
+        col("t.rank").as("rank"))
+    valueAtRanks(ev, "event_type", "value", ranks)
       .groupBy("event_type")
-      .agg(min(when(col("_w_which") === "p05", col("value"))).as("p05"),
-        min(when(col("_w_which") === "p95", col("value"))).as("p95"))
+      .agg(min(when(col("which") === "p05", col("value"))).as("p05"),
+        min(when(col("which") === "p95", col("value"))).as("p95"))
   }
 
-  /** Generalized bucketed ORDER-STATISTIC selection (the winsorCuts shape,
-    * parameterized): for each (group, named 1-based rank) row in `ranks`,
-    * return the rank-th smallest `valueCol` of that group. The value must
-    * be exact at 2 decimals (`round(v*100)` is an exact long key — the
-    * fixture money/quantity discipline). Never sorts a group in one task:
-    * a per-(group, bucket) histogram (rows = #occupied buckets) locates
-    * each target bucket via cumulative counts, and a local row_number
-    * ranks ONLY the rows equi-joined into target buckets. Ties share a
-    * key, hence a bucket, hence a value — the selected VALUE is exact
-    * regardless of tie order. Returns (grpCol, which, value). */
+  /** Generalized bucketed ORDER-STATISTIC selection: for each (group,
+    * named 1-based rank) row in `ranks`, return the rank-th smallest
+    * `valueCol` of that group. The value must be exact at 2 decimals
+    * (`round(v*100)` is an exact long key — the fixture money/quantity
+    * discipline). TWO histogram levels, NO row-level window anywhere:
+    * a per-(group, 4096-wide bucket) histogram (rows = #occupied buckets)
+    * locates each target bucket via cumulative counts, then a per-EXACT-KEY
+    * histogram WITHIN the target buckets (≤ 4096 keys per bucket — a
+    * second bounded window) locates the key whose cumulative count crosses
+    * the local rank. Ties share a key, so key-level counts determine the
+    * order statistic exactly — a row-level rank would sort a whole bucket
+    * in one task, which for a DENSE value domain (l_quantity's 50 distinct
+    * values all land in one bucket) means sorting nearly the whole group.
+    * Returns (grpCol, which, value). */
   private[graft] def valueAtRanks(df: DataFrame, grpCol: String,
       valueCol: String, ranks: DataFrame): DataFrame = {
     val withK = df
@@ -98,12 +86,18 @@ object DiagOps extends QueryModule {
         && col("_vr_prev") + col("_vr_cnt") >= col("rank"))
       .select(col(grpCol), col("_vr_bucket"), col("which"),
         (col("rank") - col("_vr_prev")).as("_vr_local"))
-    val wLocal = Window.partitionBy(grpCol, "_vr_bucket", "which")
-      .orderBy("_vr_key")
+    // key-level histogram inside the target buckets only; value is
+    // functionally determined by the key (min() is just the projection)
+    val wKey = Window.partitionBy(grpCol, "_vr_bucket", "which")
+      .orderBy("_vr_key").rowsBetween(Window.unboundedPreceding, -1)
     withK.join(broadcast(targets), Seq(grpCol, "_vr_bucket"))
-      .withColumn("_vr_rn", row_number().over(wLocal))
-      .where(col("_vr_rn") === col("_vr_local"))
-      .select(col(grpCol), col("which"), col(valueCol).as("value"))
+      .groupBy(col(grpCol), col("_vr_bucket"), col("which"),
+        col("_vr_local"), col("_vr_key"))
+      .agg(count(lit(1)).as("_vr_kcnt"), min(col(valueCol)).as("value"))
+      .withColumn("_vr_kprev", coalesce(sum("_vr_kcnt").over(wKey), lit(0L)))
+      .where(col("_vr_kprev") < col("_vr_local")
+        && col("_vr_kprev") + col("_vr_kcnt") >= col("_vr_local"))
+      .select(col(grpCol), col("which"), col("value"))
   }
 
   /** Winsorized copy of an (event_id, event_type, value) frame — the
