@@ -93,7 +93,7 @@ object ScaleProbe {
       "q_text_boilerplate", "q_llm_emb_quantize", "q_profile_table",
       "q_agg_heavy_hitters", "q_agg_zscore_outlier", "q_win_winsorize",
       "q_ts_gapfill", "q_agg_mode", "q_llm_sample_k",
-      "q_agg_percentile", "q_stream_join")
+      "q_agg_percentile", "q_stream_join", "q_agg_skew")
     // warmup
     SparkEntry.queries("q_agg_basic")(spark, outDir).count()
     val results = probes.map { name =>

@@ -223,7 +223,6 @@ object AggOps extends QueryModule {
         .select(col(grp), expr(
           "stack(2, 'qty', l_quantity, 'price', l_extendedprice) AS (vcol, value)"))
         .withColumn("g", concat_ws("|", col(grp), col("vcol")))
-        .localCheckpoint(true) // feeds the count, the histogram, the rank join
       // 6-row relation, but referenced by FOUR ranksFor branches plus the
       // final interpolation join — materialize once or every branch re-scans
       // and re-aggregates the stacked frame

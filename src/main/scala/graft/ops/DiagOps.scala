@@ -38,6 +38,34 @@ object DiagOps extends QueryModule {
   /** Micros per hour (gap-fill bucket). */
   private val HourUs = 3600000000L
 
+  /** hi/lo split base for the 3rd/4th scaled-moment sums: each partial sum
+    * stays below 2^53 at the oracle scales, so BOTH engines' (decimal →
+    * double) conversions are EXACT — a single decimal sum above 2^64 is
+    * NOT replayable (DuckDB converts the two int128 limbs separately,
+    * off-by-ulps vs Spark's correctly-rounded BigDecimal path; found by
+    * the round-6 hash gate). */
+  private[graft] val MomentSplit = 1073741824L // 2^30
+
+  /** Shared skew/kurtosis projections over (n, s1d, s2d, s3hid, s3lod,
+    * s4aad, s4abd, s4bbd) — ONE formula string evaluated by both engines
+    * (Spark selectExpr and the DuckDB oracle), so the IEEE op sequence
+    * cannot drift between them. The 4th moment is never computed as a
+    * single k2² product (k2 ≤ ~3.2e9 at sf0.1 ⇒ k2² > 2^63, an ERROR in
+    * DuckDB and a silent wrap in Spark): k2 = a·2^16 + b splits it into
+    * three in-range partial sums recombined in doubles. */
+  private val momentFormulas: Seq[String] = {
+    val s3d = s"(s3hid * $MomentSplit.0 + s3lod)"
+    val s4d = "(s4aad * 4294967296.0 + s4abd * 65536.0 + s4bbd)"
+    val m = "(s1d / n)"
+    val m2 = s"(s2d / n - $m * $m)"
+    val m3 = s"($s3d / n - 3.0 * $m * (s2d / n) + 2.0 * $m * $m * $m)"
+    val m4 = s"($s4d / n - 4.0 * $m * ($s3d / n) + 6.0 * $m * $m * (s2d / n)" +
+      s" - 3.0 * $m * $m * $m * $m)"
+    Seq(
+      s"$m3 / ($m2 * sqrt($m2)) AS skewness",
+      s"$m4 / ($m2 * $m2) - 3.0 AS excess_kurtosis")
+  }
+
   /** Per-(event_type) exact p05/p95 cut points via bucketed rank selection.
     * Both engines agree exactly: the k-th order statistic of `value` equals
     * the k-th order statistic of the exact scaled long `round(value*100)`
@@ -181,6 +209,41 @@ object DiagOps extends QueryModule {
         .select(col("event_id"), col("event_type"), col("value")))
         .orderBy("event_id")),
 
+    // Distribution-shape profiling: exact skewness and excess kurtosis per
+    // event_type from integer-scaled moment sums. The scaled value
+    // k = round(value·100) is an exact long; Σk and Σk² stay in BIGINT,
+    // Σk³ and Σk⁴ accumulate as DECIMAL(38,0) (k³ ≈ 1.2e14 per row
+    // overflows BIGINT in aggregate; DuckDB BIGINT overflow is an ERROR —
+    // the §7.4 bound). The raw→central-moment expansion and the two
+    // dimensionless ratios are ONE shared formula string evaluated by both
+    // engines (identical op sequence ⇒ identical doubles; the 100× scale
+    // factor cancels algebraically and both engines compute the same
+    // residual). Map-side-combinable hash agg — one pass, no window.
+    "q_agg_skew" -> ((s: SparkSession, dir: String) =>
+      table(s, dir, "events")
+        .withColumn("k", round(col("value") * 100).cast("long"))
+        .withColumn("k2", col("k") * col("k"))
+        .withColumn("k3", col("k2") * col("k")) // ≤ ~1.8e14, exact long
+        .withColumn("a", expr("k2 div 65536"))
+        .withColumn("b", expr("k2 % 65536"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(col("k")).cast("double").as("s1d"),
+          sum(col("k2")).cast("double").as("s2d"),
+          sum(expr(s"k3 div $MomentSplit").cast("decimal(38,0)"))
+            .cast("double").as("s3hid"),
+          sum(expr(s"k3 % $MomentSplit").cast("decimal(38,0)"))
+            .cast("double").as("s3lod"),
+          sum((col("a") * col("a")).cast("decimal(38,0)"))
+            .cast("double").as("s4aad"),
+          sum((lit(2L) * col("a") * col("b")).cast("decimal(38,0)"))
+            .cast("double").as("s4abd"),
+          sum((col("b") * col("b")).cast("decimal(38,0)"))
+            .cast("double").as("s4bbd"))
+        .selectExpr(Seq("event_type", "CAST(n AS BIGINT) AS n") ++
+          momentFormulas: _*)
+        .orderBy("event_type")),
+
     // Time-series gap-fill: dense per-(event_type, hour) activity over the
     // corpus' full hour range — absent buckets surface as explicit zero
     // rows (the resample step before any windowed time-series model). The
@@ -267,6 +330,29 @@ object DiagOps extends QueryModule {
         |       least(greatest(e.value, p.p05), p.p95) AS value_w
         |FROM events e JOIN p USING (event_type)
         |ORDER BY e.event_id""".stripMargin,
+
+    "q_agg_skew" ->
+      s"""WITH k0 AS (
+         |  SELECT event_type,
+         |         CAST(round(value * 100) AS BIGINT) AS k,
+         |         CAST(round(value * 100) AS BIGINT)
+         |           * CAST(round(value * 100) AS BIGINT) AS k2
+         |  FROM events),
+         |k AS (SELECT event_type, k, k2, k2 * k AS k3,
+         |             k2 // 65536 AS a, k2 % 65536 AS b FROM k0),
+         |st AS (
+         |  SELECT event_type, count(*) AS n,
+         |         CAST(sum(k) AS DOUBLE) AS s1d,
+         |         CAST(sum(k2) AS DOUBLE) AS s2d,
+         |         CAST(sum(CAST(k3 // $MomentSplit AS DECIMAL(38,0))) AS DOUBLE) AS s3hid,
+         |         CAST(sum(CAST(k3 % $MomentSplit AS DECIMAL(38,0))) AS DOUBLE) AS s3lod,
+         |         CAST(sum(CAST(a * a AS DECIMAL(38,0))) AS DOUBLE) AS s4aad,
+         |         CAST(sum(CAST(2 * a * b AS DECIMAL(38,0))) AS DOUBLE) AS s4abd,
+         |         CAST(sum(CAST(b * b AS DECIMAL(38,0))) AS DOUBLE) AS s4bbd
+         |  FROM k GROUP BY event_type)
+         |SELECT event_type, CAST(n AS BIGINT) AS n,
+         |       ${momentFormulas.mkString(",\n       ")}
+         |FROM st ORDER BY event_type""".stripMargin,
 
     "q_ts_gapfill" ->
       s"""WITH e AS (

@@ -173,6 +173,25 @@ class MixDiagSpec extends SparkTestBase {
     assert(got == expected)
   }
 
+  test("agg_skew matches a driver-side exact-moment recomputation") {
+    val vals = graft.ops.table(spark, sfDir, "events")
+      .select("event_type", "value").collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+    val expected: Map[String, (Double, Double)] =
+      vals.groupBy(_._1).map { case (t, rows) =>
+        val ks = rows.map(r => math.round(r._2 * 100).toDouble)
+        val n = ks.length.toDouble
+        val m = ks.sum / n
+        def cm(p: Int) = ks.map(k => math.pow(k - m, p)).sum / n
+        t -> ((cm(3) / math.pow(cm(2), 1.5), cm(4) / (cm(2) * cm(2)) - 3.0))
+      }
+    q("q_agg_skew").collect().foreach { r =>
+      val (t, sk, ku) = (r.getString(0), r.getDouble(2), r.getDouble(3))
+      assert(math.abs(sk - expected(t)._1) < 1e-6, s"$t skew $sk vs ${expected(t)._1}")
+      assert(math.abs(ku - expected(t)._2) < 1e-6, s"$t kurt $ku vs ${expected(t)._2}")
+    }
+  }
+
   test("stream_join equals the brute-force interval join on the fixture") {
     val ev = graft.ops.table(spark, sfDir, "events")
       .select(col("event_id"), col("user_id"), col("event_type"),
