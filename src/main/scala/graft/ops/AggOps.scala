@@ -223,37 +223,39 @@ object AggOps extends QueryModule {
         .select(col(grp), expr(
           "stack(2, 'qty', l_quantity, 'price', l_extendedprice) AS (vcol, value)"))
         .withColumn("g", concat_ws("|", col(grp), col("vcol")))
-      // 6-row relation, but referenced by FOUR ranksFor branches plus the
-      // final interpolation join — materialize once or every branch re-scans
-      // and re-aggregates the stacked frame
-      val nRel = longv.groupBy("g").agg(count(lit(1)).as("n"))
-        .localCheckpoint(true)
       // quantile q = a/b at 0-based position q(n-1): exact integer lo-rank
-      // and the two bracketing 1-based ranks (hi clamped to n)
-      def ranksFor(tag: String, a: Int, b: Int, vcol: String): DataFrame =
-        nRel.where(col("g").endsWith(s"|$vcol"))
-          .select(col("g"), explode(array(
-            struct(lit(s"${tag}_lo").as("which"),
-              expr(s"($a * (n - 1)) div $b + 1").as("rank")),
-            struct(lit(s"${tag}_hi").as("which"),
-              expr(s"least(($a * (n - 1)) div $b + 2, n)").as("rank"))))
-            .as("t"))
-          .select(col("g"), col("t.which").as("which"), col("t.rank").as("rank"))
-      val ranks = ranksFor("q25", 1, 4, "qty")
-        .union(ranksFor("q50", 1, 2, "qty"))
-        .union(ranksFor("q75", 3, 4, "qty"))
-        .union(ranksFor("q50", 1, 2, "price"))
+      // and the two bracketing 1-based ranks (hi clamped to n). The count
+      // relation arrives from valueAtRanks' own key histogram (no second
+      // input pass); captured for the final interpolation join.
+      var nCap: DataFrame = null
+      def mkRanks(nRel: DataFrame): DataFrame = {
+        val cp = nRel.localCheckpoint(true) // 6 rows, five consumers below
+        nCap = cp
+        def ranksFor(tag: String, a: Int, b: Int, vcol: String): DataFrame =
+          cp.where(col("g").endsWith(s"|$vcol"))
+            .select(col("g"), explode(array(
+              struct(lit(s"${tag}_lo").as("which"),
+                expr(s"($a * (n - 1)) div $b + 1").as("rank")),
+              struct(lit(s"${tag}_hi").as("which"),
+                expr(s"least(($a * (n - 1)) div $b + 2, n)").as("rank"))))
+              .as("t"))
+            .select(col("g"), col("t.which").as("which"), col("t.rank").as("rank"))
+        ranksFor("q25", 1, 4, "qty")
+          .union(ranksFor("q50", 1, 2, "qty"))
+          .union(ranksFor("q75", 3, 4, "qty"))
+          .union(ranksFor("q50", 1, 2, "price"))
+      }
       def at(which: String, vcol: String) =
         min(when(col("which") === which && col("g").endsWith(s"|$vcol"),
           col("value")))
-      val vals = DiagOps.valueAtRanks(longv, "g", "value", ranks)
+      val vals = DiagOps.valueAtRanks(longv, "g", "value", mkRanks)
         .withColumn(grp, expr("split(g, '\\\\|')[0]"))
         .groupBy(grp).agg(
           at("q25_lo", "qty").as("q25_lo"), at("q25_hi", "qty").as("q25_hi"),
           at("q50_lo", "qty").as("q50_lo"), at("q50_hi", "qty").as("q50_hi"),
           at("q75_lo", "qty").as("q75_lo"), at("q75_hi", "qty").as("q75_hi"),
           at("q50_lo", "price").as("p50_lo"), at("q50_hi", "price").as("p50_hi"))
-      val nGrp = nRel.where(col("g").endsWith("|qty"))
+      val nGrp = nCap.where(col("g").endsWith("|qty"))
         .select(expr("split(g, '\\\\|')[0]").as(grp), col("n"))
       def interp(lo: String, hi: String, a: Int, b: Int) =
         col(lo) + expr(s"(($a * (n - 1)) % $b) / CAST($b AS DOUBLE)") *

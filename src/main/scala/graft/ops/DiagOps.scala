@@ -71,19 +71,17 @@ object DiagOps extends QueryModule {
     * the k-th order statistic of the exact scaled long `round(value*100)`
     * (2-dec money fixture), and ties inside a bucket cannot change the
     * selected VALUE. Rank targets are ceil(p·n) in pure integer math. */
-  private def winsorCuts(ev: DataFrame): DataFrame = {
-    val nRel = ev.groupBy("event_type").agg(count(lit(1)).as("n"))
-    val ranks = nRel.select(col("event_type"), explode(array(
-      struct(lit("p05").as("which"), expr("(n + 19) div 20").as("rank")),
-      struct(lit("p95").as("which"), expr("(19 * n + 19) div 20").as("rank"))))
-      .as("t"))
-      .select(col("event_type"), col("t.which").as("which"),
-        col("t.rank").as("rank"))
-    valueAtRanks(ev, "event_type", "value", ranks)
+  private def winsorCuts(ev: DataFrame): DataFrame =
+    valueAtRanks(ev, "event_type", "value", nRel =>
+      nRel.select(col("event_type"), explode(array(
+        struct(lit("p05").as("which"), expr("(n + 19) div 20").as("rank")),
+        struct(lit("p95").as("which"), expr("(19 * n + 19) div 20").as("rank"))))
+        .as("t"))
+        .select(col("event_type"), col("t.which").as("which"),
+          col("t.rank").as("rank")))
       .groupBy("event_type")
       .agg(min(when(col("which") === "p05", col("value"))).as("p05"),
         min(when(col("which") === "p95", col("value"))).as("p95"))
-  }
 
   /** Generalized bucketed ORDER-STATISTIC selection: for each (group,
     * named 1-based rank) row in `ranks`, return the rank-th smallest
@@ -100,28 +98,33 @@ object DiagOps extends QueryModule {
     * values all land in one bucket) means sorting nearly the whole group.
     * Returns (grpCol, which, value). */
   private[graft] def valueAtRanks(df: DataFrame, grpCol: String,
-      valueCol: String, ranks: DataFrame): DataFrame = {
-    val withK = df
+      valueCol: String, mkRanks: DataFrame => DataFrame): DataFrame = {
+    // ONE pass over the data: the key-level histogram (rows = #distinct
+    // (group, value) pairs, value-domain-bounded) is the only full-input
+    // aggregation; the bucket histogram, the per-group counts handed to
+    // `mkRanks`, and the final selection all derive from this compact
+    // materialized frame. `value` is functionally determined by the key
+    // (min() is just the projection).
+    val keyHist = df
       .withColumn("_vr_key", round(col(valueCol) * 100).cast("long"))
+      .groupBy(col(grpCol), col("_vr_key"))
+      .agg(count(lit(1)).as("_vr_kcnt"), min(col(valueCol)).as("value"))
       .withColumn("_vr_bucket", expr(s"_vr_key div $WinsorBucket"))
+      .localCheckpoint(true)
     val wOff = Window.partitionBy(grpCol).orderBy("_vr_bucket")
       .rowsBetween(Window.unboundedPreceding, -1)
-    val hist = withK.groupBy(grpCol, "_vr_bucket")
-      .agg(count(lit(1)).as("_vr_cnt"))
+    val hist = keyHist.groupBy(grpCol, "_vr_bucket")
+      .agg(sum("_vr_kcnt").as("_vr_cnt"))
       .withColumn("_vr_prev", coalesce(sum("_vr_cnt").over(wOff), lit(0L)))
-    val targets = ranks.join(hist, grpCol)
+    val nRel = keyHist.groupBy(grpCol).agg(sum("_vr_kcnt").as("n"))
+    val targets = mkRanks(nRel).join(hist, grpCol)
       .where(col("_vr_prev") < col("rank")
         && col("_vr_prev") + col("_vr_cnt") >= col("rank"))
       .select(col(grpCol), col("_vr_bucket"), col("which"),
         (col("rank") - col("_vr_prev")).as("_vr_local"))
-    // key-level histogram inside the target buckets only; value is
-    // functionally determined by the key (min() is just the projection)
     val wKey = Window.partitionBy(grpCol, "_vr_bucket", "which")
       .orderBy("_vr_key").rowsBetween(Window.unboundedPreceding, -1)
-    withK.join(broadcast(targets), Seq(grpCol, "_vr_bucket"))
-      .groupBy(col(grpCol), col("_vr_bucket"), col("which"),
-        col("_vr_local"), col("_vr_key"))
-      .agg(count(lit(1)).as("_vr_kcnt"), min(col(valueCol)).as("value"))
+    keyHist.join(broadcast(targets), Seq(grpCol, "_vr_bucket"))
       .withColumn("_vr_kprev", coalesce(sum("_vr_kcnt").over(wKey), lit(0L)))
       .where(col("_vr_kprev") < col("_vr_local")
         && col("_vr_kprev") + col("_vr_kcnt") >= col("_vr_local"))
