@@ -296,6 +296,19 @@ object CurationOps extends QueryModule {
           asLong(count(lit(1)).over(Window.partitionBy("cluster_id"))))
         .orderBy("doc_id")),
 
+    // Cluster-size distribution — the dedup telemetry a curation run
+    // reports (how much of the corpus is singletons vs mass duplication):
+    // two hash aggs over the memoized cluster index, rows = #distinct
+    // cluster sizes.
+    "q_llm_cluster_stats" -> ((s: SparkSession, dir: String) =>
+      dupClustersFor(s, dir)
+        .groupBy("cluster_id").agg(count(lit(1)).as("sz"))
+        .groupBy("sz")
+        .agg(asLong(count(lit(1))).as("n_clusters"))
+        .select(col("sz"), col("n_clusters"),
+          (col("sz") * col("n_clusters")).as("n_docs"))
+        .orderBy("sz")),
+
     // SimHash hamming near-dup pairs: 64-bit fingerprints, paired via
     // 16-bit band blocking (hamming <= 3 implies sharing >= 1 of 4 bands,
     // so band-join recall is exact by pigeonhole), hamming via codegen'd
@@ -517,6 +530,14 @@ object CurationOps extends QueryModule {
          |SELECT doc_id, cluster_id,
          |       CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size
          |FROM cl ORDER BY doc_id""".stripMargin,
+
+    "q_llm_cluster_stats" ->
+      s"""WITH RECURSIVE
+         |$clusterCte,
+         |sz AS (SELECT cluster_id, count(*) AS sz FROM cl GROUP BY cluster_id)
+         |SELECT sz, CAST(count(*) AS BIGINT) AS n_clusters,
+         |       sz * CAST(count(*) AS BIGINT) AS n_docs
+         |FROM sz GROUP BY sz ORDER BY sz""".stripMargin,
 
     "q_llm_dedup_keep_best" ->
       s"""WITH RECURSIVE

@@ -210,6 +210,13 @@ class MixDiagSpec extends SparkTestBase {
     assert(got.nonEmpty, "fixture should produce at least one joined pair")
   }
 
+  test("cluster_stats partitions the corpus exactly") {
+    val rows = q("q_llm_cluster_stats").collect()
+    rows.foreach(r => assert(r.getLong(2) == r.getLong(0) * r.getLong(1)))
+    val total = rows.map(_.getLong(2)).sum
+    assert(total == graft.ops.table(spark, sfDir, "documents").count())
+  }
+
   test("text roundtrip preserves per-lang doc counts") {
     val rt = q("q_src_text_roundtrip")
       .agg(sum("n_docs")).head().getLong(0)

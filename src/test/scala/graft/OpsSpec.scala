@@ -12,8 +12,8 @@ class OpsSpec extends SparkTestBase {
     val o = SparkEntry.oracleSql.keySet
     assert(o.subsetOf(q), s"oracles without queries: ${o -- q}")
     assert(q.forall(_.startsWith("q_")))
-    assert(q.size >= 126, s"inventory shrank: ${q.size}")
-    assert(o.size >= 124, s"oracled set shrank: ${o.size}")
+    assert(q.size >= 127, s"inventory shrank: ${q.size}")
+    assert(o.size >= 125, s"oracled set shrank: ${o.size}")
   }
 
   test("entry (flagship) returns rows") {
