@@ -122,9 +122,16 @@ object CurationOps extends QueryModule {
       .select(col("doc_id"), call_function("shingles", col("text"), lit(5)))
       .select(col("doc_id"), col("shingle"))
       .distinct()
-    sh.withColumn("n_docs", count(lit(1)).over(Window.partitionBy("shingle")))
+    // Document frequency via hash agg + equi-join, NOT a count window over
+    // shingle: the stop-shingle being dropped is by definition the hottest
+    // key, and a window would funnel its whole group through one task right
+    // before discarding it. The hash agg partial-combines map-side, the
+    // over-cap shingles are filtered BEFORE the rejoin, and every surviving
+    // join key touches <= MaxShingleDocs rows — bounded on any corpus.
+    val kept = sh.groupBy("shingle").agg(count(lit(1)).as("n_docs"))
       .where(col("n_docs") <= MaxShingleDocs)
-      .drop("n_docs")
+      .select("shingle")
+    sh.join(kept, "shingle").select(col("doc_id"), col("shingle"))
   }
 
   /** Connected components over shingle-sharing edges by iterative min-label
@@ -290,11 +297,19 @@ object CurationOps extends QueryModule {
     // downstream). Identical text is an edge in its own right so that exact
     // duplicates always cluster even when boilerplate stop-shingle filtering
     // drops every shingle they share.
-    "q_llm_dup_clusters" -> ((s: SparkSession, dir: String) =>
-      dupClustersFor(s, dir)
-        .withColumn("cluster_size",
-          asLong(count(lit(1)).over(Window.partitionBy("cluster_id"))))
-        .orderBy("doc_id")),
+    // cluster_size via hash-agg + broadcast rejoin, NOT a count window over
+    // cluster_id: a degenerate corpus (one mega-cluster) would funnel the
+    // whole window partition through a single task, while the aggregated
+    // size relation is at most #clusters rows (tiny, broadcastable) and the
+    // doc side never leaves its scan partitioning.
+    "q_llm_dup_clusters" -> ((s: SparkSession, dir: String) => {
+      val clusters = dupClustersFor(s, dir)
+      val sizes = clusters.groupBy("cluster_id")
+        .agg(asLong(count(lit(1))).as("cluster_size"))
+      clusters.join(broadcast(sizes), Seq("cluster_id"))
+        .select(col("doc_id"), col("cluster_id"), col("cluster_size"))
+        .orderBy("doc_id")
+    }),
 
     // Cluster-size distribution — the dedup telemetry a curation run
     // reports (how much of the corpus is singletons vs mass duplication):

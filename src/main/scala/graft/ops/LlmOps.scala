@@ -521,12 +521,20 @@ object LlmOps extends QueryModule {
     }),
 
     // 16-bit SimHash fingerprints + cluster sizes (oracled since round 4).
-    "q_llm_simhash" -> ((s: SparkSession, dir: String) =>
-      simhashSigs(table(s, dir, "documents"), 16)
-        .withColumn("cluster_n",
-          count(lit(1)).over(Window.partitionBy("simhash")))
-        .select(col("doc_id"), col("simhash"), asLong(col("cluster_n")).as("cluster_n"))
-        .orderBy("doc_id")),
+    // cluster_n via hash-agg + broadcast rejoin, NOT a count window over
+    // simhash: a duplicate-heavy corpus concentrates one fingerprint in one
+    // window partition (single-task funnel), while the count relation is at
+    // most 2^16 rows. Both branches share the sigs pipeline's doc_id
+    // exchange (ReusedExchange), so the token scan + partial agg is paid
+    // once.
+    "q_llm_simhash" -> ((s: SparkSession, dir: String) => {
+      val sigs = simhashSigs(table(s, dir, "documents"), 16)
+      val counts = sigs.groupBy("simhash")
+        .agg(asLong(count(lit(1))).as("cluster_n"))
+      sigs.join(broadcast(counts), Seq("simhash"))
+        .select(col("doc_id"), col("simhash"), col("cluster_n"))
+        .orderBy("doc_id")
+    }),
 
     // Embedding-cosine near-dup: sign-LSH bucket join, cosine within bucket
     // (fully oracled since round 4 — buckets, cap, and pair cosines replay).
