@@ -40,13 +40,19 @@ object MixOps extends QueryModule {
   /** Split-hash constants — one affine family member over the doc key,
     * salt distinct from the MinHash(1)/SimHash(2) families. The SQL twin is
     * generated from the same constants, so Spark and the oracle cannot
-    * drift. `a * doc_id + b < P² ≈ 2^60` — inside the §7.4 BIGINT bound. */
+    * drift. The key is reduced mod P BEFORE the affine map — identical
+    * result for every key (modular arithmetic), and `a * (doc_id % P) + b
+    * < P² ≈ 2^60` stays inside the §7.4 BIGINT bound for ANY 64-bit
+    * doc_id, where the unreduced product would overflow at ~1.4e10 docs
+    * (an ANSI/DuckDB runtime error at the 100 TB design scale). */
   private val (splitA, splitB) = ReplayableHash.params(1, salt = 6).head
 
   private def splitBucketCol = expr(
-    s"(($splitA * doc_id + $splitB) % ${ReplayableHash.P}) % 100")
+    s"(($splitA * (doc_id % ${ReplayableHash.P}) + $splitB)" +
+      s" % ${ReplayableHash.P}) % 100")
   private def splitBucketSql =
-    s"(($splitA * doc_id + $splitB) % ${ReplayableHash.P}) % 100"
+    s"(($splitA * (doc_id % ${ReplayableHash.P}) + $splitB)" +
+      s" % ${ReplayableHash.P}) % 100"
 
   /** Sample-hash constants (salt distinct from every other family use). */
   private val (sampleA, sampleB) = ReplayableHash.params(1, salt = 7).head
@@ -58,7 +64,8 @@ object MixOps extends QueryModule {
     * q_llm_sample_k primitive, exposed for [[graft.Pipelines]]. */
   private[graft] def sampleK(docs: DataFrame, k: Int): DataFrame =
     docs
-      .withColumn("h", expr(s"($sampleA * doc_id + $sampleB) % ${ReplayableHash.P}"))
+      .withColumn("h", expr(s"($sampleA * (doc_id % ${ReplayableHash.P})" +
+        s" + $sampleB) % ${ReplayableHash.P}"))
       .orderBy("h", "doc_id")
       .limit(k)
 
@@ -242,7 +249,7 @@ object MixOps extends QueryModule {
 
     "q_llm_sample_k" ->
       s"""SELECT doc_id, lang, source,
-         |       ($sampleA * doc_id + $sampleB) % ${ReplayableHash.P} AS h
+         |       ($sampleA * (doc_id % ${ReplayableHash.P}) + $sampleB) % ${ReplayableHash.P} AS h
          |FROM documents
          |ORDER BY h, doc_id LIMIT 100""".stripMargin,
 

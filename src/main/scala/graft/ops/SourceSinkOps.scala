@@ -131,13 +131,25 @@ object SourceSinkOps extends QueryModule {
     // of corpus pipelines); the round trip is lossless, so the oracle
     // aggregates the original table.
     "q_src_text_roundtrip" -> ((s: SparkSession, dir: String) => {
+      // Cache dir carries a FORMAT VERSION token alongside the fixture
+      // content digest: a change to the line framing must miss the cache
+      // (a digest-only key would silently reuse stale files and fail the
+      // hash gate confusingly). v2 = NULL-safe framing below.
       val path = new java.io.File(System.getProperty("java.io.tmpdir"),
-        s"graft-src-text-${fixtureKey(dir, "documents.parquet")}").getAbsolutePath
+        s"graft-src-text-v2-${fixtureKey(dir, "documents.parquet")}").getAbsolutePath
       val marker = new java.io.File(path, "_SUCCESS")
       if (!marker.exists())
         table(s, dir, "documents")
-          .select(concat_ws("\t", col("doc_id"), col("lang"),
-            col("n_chars"), sha2(col("text"), 256)).as("value"))
+          // concat_ws SKIPS null arguments (a NULL lang would shift every
+          // following field on re-parse): coalesce each nullable field to
+          // an explicit empty-string placeholder so the framing is
+          // positionally stable for any input. Tabs/newlines inside fields
+          // remain a declared invariant of the format (true of the fixture;
+          // a production TSV exporter would escape them).
+          .select(concat_ws("\t", col("doc_id"),
+            coalesce(col("lang"), lit("")),
+            col("n_chars"),
+            coalesce(sha2(col("text"), 256), lit(""))).as("value"))
           .write.mode("overwrite").text(path)
       s.read.text(path)
         .select(split(col("value"), "\t").as("p"))
