@@ -41,6 +41,14 @@ object Verify {
     // failed to produce output (not just compare what exists).
     Files.writeString(Paths.get(s"$outDir/queries.json"),
       SparkEntry.queries.keys.toSeq.sorted.map(q).mkString("[", ",", "]"))
+    // Optional mechanical plan audit in the same run (also enforced by
+    // PlanAuditSpec in `sbt test`): SPARK_GRAFT_PLAN_AUDIT=1.
+    if (sys.env.get("SPARK_GRAFT_PLAN_AUDIT").contains("1")) {
+      val violations = PlanAudit.auditAll(spark, sfDir)
+      violations.foreach(v => System.err.println(s"[verify] plan-audit: $v"))
+      System.err.println(
+        s"[verify] plan-audit: ${violations.size} violations")
+    }
     spark.stop()
   }
 }

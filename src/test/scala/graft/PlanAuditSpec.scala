@@ -1,0 +1,53 @@
+package graft
+
+/** Runs [[PlanAudit]] over the full declared inventory at sf0.01 — the
+  * mechanical version of the per-round "read 127 explain outputs" review.
+  * The round-4 simhash_neardup pairing regression and the round-6
+  * count-window-over-hot-key nits are the class of shape this catches. */
+class PlanAuditSpec extends SparkTestBase {
+
+  test("all declared query plans pass the mechanical scale audit") {
+    val violations = PlanAudit.auditAll(spark, "/root/testdata/sf0.01")
+    assert(violations.isEmpty,
+      violations.mkString("plan audit violations:\n  ", "\n  ", ""))
+  }
+
+  // The audit must be able to FIRE — each rule proven on a deliberately
+  // bad plan, so a future refactor that silently blinds a check fails here.
+
+  private def planOf(df: org.apache.spark.sql.DataFrame) = {
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try df.queryExecution.executedPlan
+    finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
+  test("audit flags a single-partition shuffle over an unbounded scan") {
+    val bad = planOf(ops.table(spark, sfDir, "lineitem").repartition(1))
+    assert(PlanAudit.auditPlan("bad_repart", bad)
+      .exists(_.contains("SinglePartition")))
+    // ...but not when the input is aggregated first
+    val ok = planOf(ops.table(spark, sfDir, "lineitem")
+      .groupBy("l_returnflag").count().repartition(1))
+    assert(PlanAudit.auditPlan("ok_repart", ok).isEmpty)
+  }
+
+  test("audit flags a cartesian product") {
+    val li = ops.table(spark, sfDir, "lineitem")
+    val bad = planOf(li.as("a").crossJoin(li.as("b")))
+    assert(PlanAudit.auditPlan("bad_cartesian", bad).nonEmpty)
+  }
+
+  test("audit flags a shuffled join with a constant-bounded tiny side") {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val bad = planOf(ops.table(spark, sfDir, "lineitem")
+        .join(ops.table(spark, sfDir, "nation")
+          .withColumnRenamed("n_nationkey", "l_suppkey"), "l_suppkey"))
+      assert(PlanAudit.auditJoinSides("bad_smj", bad)
+        .exists(_.contains("broadcast it")))
+    } finally
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+}
