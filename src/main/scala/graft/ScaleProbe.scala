@@ -20,7 +20,11 @@ object ScaleProbe {
 
   def main(args: Array[String]): Unit = {
     val srcDir = "/root/testdata/sf0.1"
-    val outDir = args.headOption.getOrElse("/tmp/graft-sfbig")
+    // `runMain graft.ScaleProbe degen` = adversarial-corpus probe only
+    // (no ×10 generation) — the full run includes it at the end.
+    val degenOnly = args.headOption.contains("degen")
+    val outDir = args.headOption.filterNot(_ == "degen")
+      .getOrElse("/tmp/graft-sfbig")
     val copies = 10
     val spark = SparkSession.builder()
       .master("local[32]")
@@ -30,6 +34,12 @@ object ScaleProbe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+
+    if (degenOnly) {
+      degenerateProbe(spark, srcDir)
+      spark.stop()
+      return
+    }
 
     def replicate(df: DataFrame, shift: Map[String, Long]): DataFrame =
       (0 until copies).map { i =>
@@ -110,7 +120,79 @@ object ScaleProbe {
     skewProbe(spark, outDir)
     amortizationProbe(spark, outDir)
     streamingProbe(spark, outDir)
+    degenerateProbe(spark, srcDir)
     spark.stop()
+  }
+
+  /** Adversarial-corpus probe: the uniform ×10 and hot-key skew probes
+    * leave one failure mode unmeasured — a DEGENERATE corpus where mass
+    * duplication concentrates the near-dup/cluster machinery onto single
+    * keys. Built from sf0.1: half of all documents get ONE identical text
+    * (⇒ a 2500-doc exact-dup mega-cluster, one dominant 16-bit simhash
+    * fingerprint, one dominant MinHash band bucket, one dominant shingle
+    * set) and half of all embeddings get ONE identical vector (⇒ one
+    * dominant sign-LSH bucket). Every family query must stay in the same
+    * decade as its uniform sf0.1 time — the caps (mega-bucket cap 50,
+    * stop-shingle df cap, exact-dup contraction, hash-agg cluster sizes)
+    * are what bound it, and this probe is where that claim is MEASURED.
+    */
+  private def degenerateProbe(spark: SparkSession, srcDir: String): Unit = {
+    val degDir = "/tmp/graft-sfdeg"
+    val srcKey = Seq("documents", "embeddings")
+      .map(t => graft.ops.SourceSinkOps.fixtureKey(srcDir, s"$t.parquet"))
+      .mkString("-")
+    val marker = new java.io.File(s"$degDir/_GRAFT_DEG_DONE")
+    val fresh = marker.exists() &&
+      java.nio.file.Files.readString(marker.toPath) == srcKey
+    if (!fresh) {
+      val docs = ops.table(spark, srcDir, "documents")
+      val hotText = docs.orderBy("doc_id").limit(1)
+        .select(col("text").as("hot_text"))
+      docs.crossJoin(broadcast(hotText))
+        .withColumn("text",
+          when(col("doc_id") % 2 === 0, col("hot_text")).otherwise(col("text")))
+        .withColumn("n_chars", length(col("text")).cast("long"))
+        .drop("hot_text")
+        .write.mode("overwrite").parquet(s"$degDir/documents.parquet")
+      val emb = ops.table(spark, srcDir, "embeddings")
+      val hotVec = emb.orderBy("vec_id").limit(1)
+        .select(col("embedding").as("hot_emb"))
+      emb.crossJoin(broadcast(hotVec))
+        .withColumn("embedding",
+          when(col("vec_id") % 2 === 0, col("hot_emb")).otherwise(col("embedding")))
+        .drop("hot_emb")
+        .write.mode("overwrite").parquet(s"$degDir/embeddings.parquet")
+      java.nio.file.Files.writeString(marker.toPath, srcKey)
+    }
+    val family = Seq(
+      "q_llm_exact_dedup", "q_llm_minhash", "q_llm_minhash_est",
+      "q_llm_minhash_sketch", "q_llm_ngram_jaccard", "q_llm_simhash",
+      "q_llm_simhash_neardup", "q_llm_dup_clusters", "q_llm_cluster_stats",
+      "q_llm_dedup_keep_best", "q_llm_corpus_curate", "q_llm_contamination",
+      "q_llm_embed_neardup", "q_text_boilerplate", "q_text_fingerprint")
+    for ((dir, label) <- Seq((srcDir, "uniform"), (degDir, "degen"))) {
+      family.foreach { name =>
+        val t0 = System.nanoTime()
+        val n = try SparkEntry.queries(name)(spark, dir).count()
+          catch { case e: Throwable =>
+            println(s"[scale] degen $name FAILED: ${e.getMessage}"); -1L }
+        println(f"[scale] degen/$label%-7s $name%-24s " +
+          f"${(System.nanoTime() - t0) / 1e9}%7.2f s  rows=$n")
+      }
+    }
+    // the bound itself: capped pair work in the dominant band bucket
+    val sigs = ops.LlmOps.simhashSigs(ops.table(spark, degDir, "documents"), 64)
+    val simBands = (0 until 4).map { b =>
+      sigs.select(concat_ws("/", lit(b),
+        shiftrightunsigned(col("simhash"), 16 * b)
+          .bitwiseAND(lit(0xFFFFL))).as("bucket_key"))
+    }.reduce(_.union(_))
+    val row = simBands.groupBy("bucket_key").agg(count(lit(1)).as("n"))
+      .agg(count(lit(1)).as("n_buckets"), max(col("n")).as("max_n"),
+        sum(least(col("n"), lit(50)) * least(col("n"), lit(50))).as("pair_work"))
+      .head()
+    println(f"[scale] degen simhash bands: buckets=${row.getLong(0)} " +
+      f"max=${row.getLong(1)} capped_pair_work=${row.getLong(2)}")
   }
 
   /** Index-build amortization, measured end-to-end: the expensive index
