@@ -147,7 +147,9 @@ object DiagOps extends QueryModule {
         rankHistCache.computeIfAbsent(full, _ => build())
       case None => build()
     }
-    val targets = mkRanks(nRel).join(hist, grpCol)
+    // hist is an RDD leaf (unknown stats): without the hint this tiny join
+    // plans as a sort-merge with exchanges over two index-sized frames
+    val targets = mkRanks(nRel).join(broadcast(hist), grpCol)
       .where(col("_vr_prev") < col("rank")
         && col("_vr_prev") + col("_vr_cnt") >= col("rank"))
       .select(col(grpCol), col("_vr_bucket"), col("which"),

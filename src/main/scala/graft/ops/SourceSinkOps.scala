@@ -67,11 +67,16 @@ object SourceSinkOps extends QueryModule {
   }
 
   def queries: Seq[(String, Q)] = Seq(
+    // One tagged row stream over all ten scans into a SINGLE aggregation:
+    // the per-branch groupBy variant paid ten separate exchanges + final
+    // aggs (one per table) for the same 10-row result; this shape prunes
+    // every scan to zero columns and shuffles ten partial-agg rows once.
     "q_scan_parquet" -> ((s: SparkSession, dir: String) =>
       tables.map { n =>
         table(s, dir, n).select(lit(n).as("table_name"))
-          .groupBy("table_name").agg(count(lit(1)).as("n_rows"))
-      }.reduce(_.union(_)).orderBy("table_name")),
+      }.reduce(_.union(_))
+        .groupBy("table_name").agg(count(lit(1)).as("n_rows"))
+        .orderBy("table_name")),
 
     // Frame each event into a delimited payload (reference firehose.scala:59:
     // `Serializer[T].apply(x) ++ separator`); report checkable projections
