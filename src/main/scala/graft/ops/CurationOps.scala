@@ -324,6 +324,27 @@ object CurationOps extends QueryModule {
           (col("sz") * col("n_clusters")).as("n_docs"))
         .orderBy("sz")),
 
+    // Per-source duplication telemetry: how much of each domain's slice is
+    // caught in duplicate clusters — the per-provider dedup-rate report a
+    // corpus run publishes. Reads the memoized cluster index (hash aggs +
+    // a broadcast size rejoin); the DuckDB twin pays the full recursive-CTE
+    // clustering, the same accounting as the rest of the cluster family.
+    "q_llm_dup_rate_by_source" -> ((s: SparkSession, dir: String) => {
+      val clusters = dupClustersFor(s, dir)
+      val sizes = clusters.groupBy("cluster_id")
+        .agg(count(lit(1)).as("sz"))
+      table(s, dir, "documents").select("doc_id", "source")
+        .join(clusters, "doc_id")
+        .join(broadcast(sizes), "cluster_id")
+        .groupBy("source")
+        .agg(asLong(count(lit(1))).as("n_docs"),
+          asLong(sum(when(col("sz") > 1, 1L).otherwise(0L))).as("n_dup_docs"),
+          asLong(count_distinct(col("cluster_id"))).as("n_clusters"))
+        .withColumn("dup_rate",
+          col("n_dup_docs").cast("double") / col("n_docs"))
+        .orderBy("source")
+    }),
+
     // SimHash hamming near-dup pairs: 64-bit fingerprints, paired via
     // 16-bit band blocking (hamming <= 3 implies sharing >= 1 of 4 bands,
     // so band-join recall is exact by pigeonhole), hamming via codegen'd
@@ -553,6 +574,18 @@ object CurationOps extends QueryModule {
          |SELECT sz, CAST(count(*) AS BIGINT) AS n_clusters,
          |       sz * CAST(count(*) AS BIGINT) AS n_docs
          |FROM sz GROUP BY sz ORDER BY sz""".stripMargin,
+
+    "q_llm_dup_rate_by_source" ->
+      s"""WITH RECURSIVE
+         |$clusterCte,
+         |sz AS (SELECT cluster_id, count(*) AS sz FROM cl GROUP BY cluster_id)
+         |SELECT d.source,
+         |       CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(sum(CASE WHEN sz.sz > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs,
+         |       CAST(count(DISTINCT cl.cluster_id) AS BIGINT) AS n_clusters,
+         |       CAST(sum(CASE WHEN sz.sz > 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS dup_rate
+         |FROM documents d JOIN cl USING (doc_id) JOIN sz USING (cluster_id)
+         |GROUP BY d.source ORDER BY d.source""".stripMargin,
 
     "q_llm_dedup_keep_best" ->
       s"""WITH RECURSIVE

@@ -57,6 +57,25 @@ object MixOps extends QueryModule {
   /** Sample-hash constants (salt distinct from every other family use). */
   private val (sampleA, sampleB) = ReplayableHash.params(1, salt = 7).head
 
+  private def sampleHashSql =
+    s"($sampleA * (doc_id % ${ReplayableHash.P}) + $sampleB) % ${ReplayableHash.P}"
+
+  /** Snapshot-diff hash constants (salt 8 — its own family member, so the
+    * synthetic v2 snapshot is independent of the split/sample assignments). */
+  private val (diffA, diffB) = ReplayableHash.params(1, salt = 8).head
+
+  private def diffBucketSql =
+    s"(($diffA * (doc_id % ${ReplayableHash.P}) + $diffB) % ${ReplayableHash.P}) % 100"
+
+  /** Sliding-window chunking: 64-token windows every 48 tokens (25 %
+    * overlap — the RAG/pretraining chunk layout, vs pack_chunks' disjoint
+    * packing). */
+  private val ChunkWin = 64L
+  private val ChunkStride = 48L
+
+  /** doc_id offset for the synthetic v2 snapshot's added docs. */
+  private val DiffAddedBase = 1000000L
+
   /** Exactly-k uniform deterministic sample: rank docs by a replayable hash
     * of doc_id and keep the k smallest — reproducible across engines, runs,
     * and partitionings, and executed as TakeOrderedAndProject (top-k
@@ -222,8 +241,79 @@ object MixOps extends QueryModule {
     // pipeline (graft.functions.ShingleGenerator, docs shorter than 5
     // tokens emit none).
     "q_text_boilerplate" -> ((s: SparkSession, dir: String) =>
-      boilerplateCoverage(s, table(s, dir, "documents")).orderBy("doc_id"))
+      boilerplateCoverage(s, table(s, dir, "documents")).orderBy("doc_id")),
+
+    // Sliding-window chunking with overlap (64-token windows every 48
+    // tokens): per chunk its start offset and clipped length — the
+    // RAG/long-context layout where pack_chunks is the disjoint one. Pure
+    // scan-side integer math (`sequence` + `explode`), zero shuffle before
+    // the output sort; empty docs emit no chunks (guarded identically in
+    // the oracle).
+    "q_llm_chunk_overlap" -> ((s: SparkSession, dir: String) =>
+      table(s, dir, "documents")
+        .withColumn("n_tokens",
+          asLong(expr("size(filter(split(text, ' '), t -> length(t) > 0))")))
+        .where(col("n_tokens") > 0)
+        .select(col("doc_id"), col("n_tokens"),
+          explode(sequence(lit(0L), col("n_tokens") - 1, lit(ChunkStride)))
+            .as("start"))
+        .select(col("doc_id"), col("n_tokens"),
+          asLong(expr(s"start div $ChunkStride")).as("chunk_id"),
+          col("start"),
+          least(lit(ChunkWin), col("n_tokens") - col("start")).as("chunk_len"))
+        .orderBy("doc_id", "chunk_id")),
+
+    // Exactly-k-per-stratum deterministic sample (k=5 per source): the
+    // stratified counterpart of q_llm_sample_k, same replayable hash
+    // family. The rank-≤-k filter after row_number triggers Spark's
+    // WindowGroupLimit: each input partition pre-truncates to its own
+    // top-5 per source BEFORE the shuffle, so the exchange carries
+    // O(k · #sources · #partitions) rows, never the corpus.
+    "q_llm_stratified_sample" -> ((s: SparkSession, dir: String) =>
+      table(s, dir, "documents")
+        .withColumn("h", expr(sampleHashSql))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("source").orderBy("h", "doc_id")))
+        .where(col("rn") <= 5)
+        .select(col("source"), asLong(col("rn")).as("rn"),
+          col("doc_id"), col("h"))
+        .orderBy("source", "rn")),
+
+    // Dataset snapshot diff (added / removed / changed / unchanged per
+    // doc): v2 is derived deterministically from v1 by the salt-8
+    // replayable hash (bucket <10 dropped, 10–19 text-amended, ≥95 also
+    // cloned under a shifted doc_id), so both engines construct the SAME
+    // synthetic second snapshot. One corpus-keyed full outer join —
+    // the dataset-versioning audit a curation run reports.
+    "q_llm_dataset_diff" -> ((s: SparkSession, dir: String) => {
+      val v1 = table(s, dir, "documents")
+        .select(col("doc_id"), col("text").as("text1"), lit(1).as("p1"))
+      val v2 = snapshotV2(table(s, dir, "documents"))
+        .select(col("doc_id"), col("text").as("text2"), lit(1).as("p2"))
+      v1.join(v2, Seq("doc_id"), "full_outer")
+        .select(col("doc_id"),
+          when(col("p1").isNull, "added")
+            .when(col("p2").isNull, "removed")
+            .when(col("text1") =!= col("text2"), "changed")
+            .otherwise("unchanged").as("status"))
+        .orderBy("doc_id")
+    })
   )
+
+  /** The synthetic v2 snapshot behind q_llm_dataset_diff (diff-hash bucket:
+    * <10 removed, 10–19 changed, ≥95 additionally cloned as a new doc). */
+  private[graft] def snapshotV2(docs: DataFrame): DataFrame = {
+    val bucketed = docs.withColumn("_b", expr(diffBucketSql))
+    val base = bucketed
+      .where(col("_b") >= 10)
+      .withColumn("text",
+        when(col("_b") < 20, concat(col("text"), lit(" v2")))
+          .otherwise(col("text")))
+    val added = bucketed
+      .where(col("_b") >= 95)
+      .withColumn("doc_id", col("doc_id") + lit(DiffAddedBase))
+    base.unionByName(added).drop("_b")
+  }
 
   def oracle: Seq[(String, String)] = Seq(
     "q_llm_split_assign" ->
@@ -316,6 +406,48 @@ object MixOps extends QueryModule {
          |       CAST(count(*) AS BIGINT) AS n_shingles,
          |       CAST(sum(ib) AS BIGINT) AS n_boiler,
          |       CAST(sum(ib) AS DOUBLE) / count(*) AS boiler_ratio
-         |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin
+         |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_llm_chunk_overlap" ->
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |         CAST(len(list_filter(string_split(text, ' '), x -> length(x) > 0)) AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |c AS (
+         |  SELECT doc_id, n_tokens,
+         |         unnest(generate_series(0, n_tokens - 1, $ChunkStride)) AS start
+         |  FROM t WHERE n_tokens > 0)
+         |SELECT doc_id, n_tokens,
+         |       CAST(start // $ChunkStride AS BIGINT) AS chunk_id,
+         |       CAST(start AS BIGINT) AS start,
+         |       CAST(least($ChunkWin, n_tokens - start) AS BIGINT) AS chunk_len
+         |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
+
+    "q_llm_stratified_sample" ->
+      s"""SELECT source, CAST(rn AS BIGINT) AS rn, doc_id, h FROM (
+         |  SELECT source, doc_id, $sampleHashSql AS h,
+         |         row_number() OVER (PARTITION BY source
+         |                            ORDER BY $sampleHashSql, doc_id) AS rn
+         |  FROM documents)
+         |WHERE rn <= 5 ORDER BY source, rn""".stripMargin,
+
+    "q_llm_dataset_diff" ->
+      s"""WITH b AS (
+         |  SELECT doc_id, text, $diffBucketSql AS bucket FROM documents),
+         |v2 AS (
+         |  SELECT doc_id,
+         |         CASE WHEN bucket < 20 THEN text || ' v2' ELSE text END AS text2,
+         |         1 AS p2
+         |  FROM b WHERE bucket >= 10
+         |  UNION ALL
+         |  SELECT doc_id + $DiffAddedBase, text, 1 FROM b WHERE bucket >= 95),
+         |v1 AS (SELECT doc_id, text AS text1, 1 AS p1 FROM documents)
+         |SELECT doc_id,
+         |       CASE WHEN p1 IS NULL THEN 'added'
+         |            WHEN p2 IS NULL THEN 'removed'
+         |            WHEN text1 <> text2 THEN 'changed'
+         |            ELSE 'unchanged' END AS status
+         |FROM v1 FULL OUTER JOIN v2 USING (doc_id)
+         |ORDER BY doc_id""".stripMargin
   )
 }

@@ -11,6 +11,12 @@ object TextOps extends QueryModule {
 
   private[graft] val Stopwords = Seq("the", "a", "and", "of", "to")
 
+  /** q_text_scrub term pattern + placeholder. RE2-compatible (both Java
+    * regex and DuckDB's RE2 agree on \b and plain alternation), so the
+    * redacted bytes are identical across engines and the sha hash-gates. */
+  private[graft] val SensitivePattern = "\\b(customer|vector|key)\\b"
+  private[graft] val Redaction = "[REDACTED]"
+
   /** Normalization (lowercase/trim/collapse-whitespace) + normalized-
     * exact-dup group sizes for an arbitrary (doc_id, text) frame — the
     * q_text_normalize primitive, exposed for [[graft.Pipelines]]. The
@@ -170,6 +176,23 @@ object TextOps extends QueryModule {
     "q_text_normalize" -> ((s: SparkSession, dir: String) =>
       normalizedDupGroups(table(s, dir, "documents")).orderBy("doc_id")),
 
+    // Sensitive-term scrubbing (the PII-redaction shape: a term/pattern
+    // list replaced by a placeholder before the text ships to training):
+    // per doc the match count, redacted length, and redacted-text sha
+    // (§7.5 binary determinism — the shuffle/output never carries the
+    // scrubbed text). Pure scan-side regex, zero shuffle; both engines
+    // run the identical RE2-compatible pattern.
+    "q_text_scrub" -> ((s: SparkSession, dir: String) =>
+      table(s, dir, "documents")
+        .select(col("doc_id"),
+          asLong(size(regexp_extract_all(col("text"),
+            lit(SensitivePattern), lit(0)))).as("n_sensitive"),
+          asLong(length(regexp_replace(col("text"),
+            SensitivePattern, Redaction))).as("clean_len"),
+          sha2(regexp_replace(col("text"),
+            SensitivePattern, Redaction), 256).as("clean_sha"))
+        .orderBy("doc_id")),
+
     // Document fingerprinting: polynomial rolling hash over the whole text
     // plus a winnowing-style min-shingle hash. Oracled since round 4 (the
     // mod-prime form replays in SQL); TextSpec keeps the winnowing
@@ -281,6 +304,13 @@ object TextOps extends QueryModule {
         |       CAST(count(*) - sum(iv) AS BIGINT) AS n_oov,
         |       CAST(count(*) - sum(iv) AS DOUBLE) / count(*) AS oov_rate
         |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_text_scrub" ->
+      s"""SELECT doc_id,
+         |  CAST(len(regexp_extract_all(text, '$SensitivePattern')) AS BIGINT) AS n_sensitive,
+         |  CAST(length(regexp_replace(text, '$SensitivePattern', '$Redaction', 'g')) AS BIGINT) AS clean_len,
+         |  sha256(regexp_replace(text, '$SensitivePattern', '$Redaction', 'g')) AS clean_sha
+         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q_text_tokens" ->
       """WITH t AS (

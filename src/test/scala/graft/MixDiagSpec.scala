@@ -222,4 +222,71 @@ class MixDiagSpec extends SparkTestBase {
       .agg(sum("n_docs")).head().getLong(0)
     assert(rt == graft.ops.table(spark, sfDir, "documents").count())
   }
+
+  test("chunk_overlap covers every token with 48-token strides and clipped tails") {
+    val rows = q("q_llm_chunk_overlap")
+      .select("doc_id", "n_tokens", "chunk_id", "start", "chunk_len")
+      .collect().groupBy(_.getLong(0))
+    assert(rows.nonEmpty)
+    rows.foreach { case (doc, chunks) =>
+      val sorted = chunks.sortBy(_.getLong(2))
+      val n = sorted.head.getLong(1)
+      // starts are exactly 0, 48, 96, ... ≤ n-1
+      sorted.zipWithIndex.foreach { case (r, i) =>
+        assert(r.getLong(2) == i && r.getLong(3) == i * 48L,
+          s"doc $doc chunk $i starts at ${r.getLong(3)}")
+        assert(r.getLong(4) == math.min(64L, n - r.getLong(3)))
+      }
+      // last chunk reaches the final token; stride < window ⇒ full coverage
+      val last = sorted.last
+      assert(last.getLong(3) + last.getLong(4) == n)
+      assert(last.getLong(3) <= n - 1)
+    }
+  }
+
+  test("stratified_sample takes exactly min(5, stratum size) smallest-hash docs per source") {
+    val perSource = graft.ops.table(spark, sfDir, "documents")
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val got = q("q_llm_stratified_sample").collect()
+      .groupBy(_.getString(0))
+    assert(got.keySet == perSource.filter(_._2 > 0).keySet)
+    got.foreach { case (src, rows) =>
+      assert(rows.length == math.min(5L, perSource(src)))
+      assert(rows.map(_.getLong(1)).sorted.toSeq == (1L to rows.length).toSeq)
+      // hashes are ascending with rank (the k SMALLEST, not arbitrary k)
+      val byRn = rows.sortBy(_.getLong(1)).map(_.getLong(3))
+      assert(byRn.toSeq == byRn.sorted.toSeq)
+    }
+  }
+
+  test("dataset_diff statuses partition v1 ∪ v2 and match the bucket rules") {
+    val rows = q("q_llm_dataset_diff").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val v1 = graft.ops.table(spark, sfDir, "documents")
+    // every v1 doc and every added doc id is classified, nothing else
+    val added = rows.keys.filter(_ >= 1000000L)
+    assert(rows.size == v1.count() + added.size)
+    added.foreach(id => assert(rows(id) == "added"))
+    assert(rows.values.toSet.subsetOf(
+      Set("added", "removed", "changed", "unchanged")))
+    // every non-added class is present on the fixture
+    assert(Seq("removed", "changed", "unchanged")
+      .forall(c => rows.values.exists(_ == c)))
+    // an added clone's source doc must itself be unchanged (bucket ≥ 95)
+    added.foreach(id => assert(rows(id - 1000000L) == "unchanged"))
+  }
+
+  test("dup_rate_by_source totals reconcile with the corpus and cluster index") {
+    val rows = q("q_llm_dup_rate_by_source").collect()
+    val totalDocs = rows.map(_.getLong(1)).sum
+    assert(totalDocs == graft.ops.table(spark, sfDir, "documents").count())
+    rows.foreach { r =>
+      val (n, dup, clusters, rate) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))
+      assert(dup >= 0 && dup <= n)
+      assert(clusters >= 1 && clusters <= n)
+      assert(math.abs(rate - dup.toDouble / n) == 0.0)
+    }
+  }
 }

@@ -127,4 +127,31 @@ class TextSpec extends SparkTestBase {
     info(s"distinct texts: $distinctTexts, distinct fingerprints: $distinctPrints")
     assert(distinctPrints == distinctTexts)
   }
+
+  test("scrub removes every sensitive term and counts match a driver-side recount") {
+    val pattern = graft.ops.TextOps.SensitivePattern.r
+    val textOf = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    val rows = q("q_text_scrub").collect()
+    assert(rows.nonEmpty)
+    var sawMatch = false
+    rows.foreach { r =>
+      val (id, n, len, sha) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))
+      val text = textOf(id)
+      val matches = pattern.findAllIn(text).size
+      assert(n == matches, s"doc $id: engine counted $n, driver $matches")
+      if (matches > 0) sawMatch = true
+      val redacted = pattern.replaceAllIn(text,
+        java.util.regex.Matcher.quoteReplacement(graft.ops.TextOps.Redaction))
+      assert(len == redacted.length)
+      // redacted text matches nothing anymore
+      assert(pattern.findFirstIn(redacted).isEmpty)
+      val driverSha = java.security.MessageDigest.getInstance("SHA-256")
+        .digest(redacted.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      assert(sha == driverSha)
+    }
+    assert(sawMatch, "fixture must exercise at least one redaction")
+  }
 }
