@@ -134,4 +134,32 @@ object Pipelines {
     * by bucketed order-statistic selection — no per-group single-task sort
     * (see q_win_winsorize). */
   def winsorize(events: DataFrame): DataFrame = DiagOps.winsorize(events)
+
+  /** Sensitive-term/PII scrubbing: (doc_id, n_sensitive, clean_len,
+    * clean_sha) for an RE2-compatible `pattern` replaced by `placeholder`
+    * — the scrubbed text never leaves the scan (see q_text_scrub). */
+  def scrub(docs: DataFrame,
+      pattern: String = TextOps.SensitivePattern,
+      placeholder: String = TextOps.Redaction): DataFrame =
+    TextOps.scrub(docs, pattern, placeholder)
+
+  /** Sliding-window chunk spans with overlap: (doc_id, n_tokens, chunk_id,
+    * start, chunk_len) for `win`-token windows every `stride` tokens — the
+    * RAG/long-context layout; [[packChunks]] is the disjoint variant (see
+    * q_llm_chunk_overlap). */
+  def chunkOverlap(docs: DataFrame, win: Long = 64L,
+      stride: Long = 48L): DataFrame =
+    MixOps.chunkOverlap(docs, win, stride)
+
+  /** Exactly-k-per-`source` deterministic sample by replayable hash rank:
+    * (source, rn, doc_id, h) — the stratified counterpart of [[sampleK]]
+    * (see q_llm_stratified_sample). */
+  def stratifiedSample(docs: DataFrame, k: Int = 5): DataFrame =
+    MixOps.stratifiedSample(docs, k)
+
+  /** Snapshot diff of two (doc_id, text) frames: (doc_id, status) with
+    * status in added/removed/changed/unchanged — the dataset-versioning
+    * audit (see q_llm_dataset_diff). */
+  def datasetDiff(v1: DataFrame, v2: DataFrame): DataFrame =
+    MixOps.datasetDiff(v1, v2)
 }

@@ -250,17 +250,7 @@ object MixOps extends QueryModule {
     // the output sort; empty docs emit no chunks (guarded identically in
     // the oracle).
     "q_llm_chunk_overlap" -> ((s: SparkSession, dir: String) =>
-      table(s, dir, "documents")
-        .withColumn("n_tokens",
-          asLong(expr("size(filter(split(text, ' '), t -> length(t) > 0))")))
-        .where(col("n_tokens") > 0)
-        .select(col("doc_id"), col("n_tokens"),
-          explode(sequence(lit(0L), col("n_tokens") - 1, lit(ChunkStride)))
-            .as("start"))
-        .select(col("doc_id"), col("n_tokens"),
-          asLong(expr(s"start div $ChunkStride")).as("chunk_id"),
-          col("start"),
-          least(lit(ChunkWin), col("n_tokens") - col("start")).as("chunk_len"))
+      chunkOverlap(table(s, dir, "documents"))
         .orderBy("doc_id", "chunk_id")),
 
     // Exactly-k-per-stratum deterministic sample (k=5 per source): the
@@ -270,13 +260,7 @@ object MixOps extends QueryModule {
     // top-5 per source BEFORE the shuffle, so the exchange carries
     // O(k · #sources · #partitions) rows, never the corpus.
     "q_llm_stratified_sample" -> ((s: SparkSession, dir: String) =>
-      table(s, dir, "documents")
-        .withColumn("h", expr(sampleHashSql))
-        .withColumn("rn", row_number().over(
-          Window.partitionBy("source").orderBy("h", "doc_id")))
-        .where(col("rn") <= 5)
-        .select(col("source"), asLong(col("rn")).as("rn"),
-          col("doc_id"), col("h"))
+      stratifiedSample(table(s, dir, "documents"))
         .orderBy("source", "rn")),
 
     // Dataset snapshot diff (added / removed / changed / unchanged per
@@ -286,19 +270,52 @@ object MixOps extends QueryModule {
     // synthetic second snapshot. One corpus-keyed full outer join —
     // the dataset-versioning audit a curation run reports.
     "q_llm_dataset_diff" -> ((s: SparkSession, dir: String) => {
-      val v1 = table(s, dir, "documents")
-        .select(col("doc_id"), col("text").as("text1"), lit(1).as("p1"))
-      val v2 = snapshotV2(table(s, dir, "documents"))
-        .select(col("doc_id"), col("text").as("text2"), lit(1).as("p2"))
-      v1.join(v2, Seq("doc_id"), "full_outer")
-        .select(col("doc_id"),
-          when(col("p1").isNull, "added")
-            .when(col("p2").isNull, "removed")
-            .when(col("text1") =!= col("text2"), "changed")
-            .otherwise("unchanged").as("status"))
-        .orderBy("doc_id")
+      val docs = table(s, dir, "documents")
+      datasetDiff(docs, snapshotV2(docs)).orderBy("doc_id")
     })
   )
+
+  /** Sliding-window chunk spans — the q_llm_chunk_overlap primitive.
+    * Returns (doc_id, n_tokens, chunk_id, start, chunk_len); docs with no
+    * tokens emit no chunks. */
+  private[graft] def chunkOverlap(docs: DataFrame, win: Long = ChunkWin,
+      stride: Long = ChunkStride): DataFrame =
+    docs
+      .withColumn("n_tokens",
+        asLong(expr("size(filter(split(text, ' '), t -> length(t) > 0))")))
+      .where(col("n_tokens") > 0)
+      .select(col("doc_id"), col("n_tokens"),
+        explode(sequence(lit(0L), col("n_tokens") - 1, lit(stride)))
+          .as("start"))
+      .select(col("doc_id"), col("n_tokens"),
+        asLong(expr(s"start div $stride")).as("chunk_id"),
+        col("start"),
+        least(lit(win), col("n_tokens") - col("start")).as("chunk_len"))
+
+  /** Exactly-k-per-stratum deterministic sample — the
+    * q_llm_stratified_sample primitive. Returns (source, rn, doc_id, h). */
+  private[graft] def stratifiedSample(docs: DataFrame, k: Int = 5): DataFrame =
+    docs
+      .withColumn("h", expr(sampleHashSql))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("source").orderBy("h", "doc_id")))
+      .where(col("rn") <= k)
+      .select(col("source"), asLong(col("rn")).as("rn"),
+        col("doc_id"), col("h"))
+
+  /** Snapshot diff of two (doc_id, text) frames — the q_llm_dataset_diff
+    * primitive. Returns (doc_id, status) with status in
+    * added/removed/changed/unchanged. One corpus-keyed full outer join. */
+  private[graft] def datasetDiff(v1: DataFrame, v2: DataFrame): DataFrame = {
+    val a = v1.select(col("doc_id"), col("text").as("text1"), lit(1).as("p1"))
+    val b = v2.select(col("doc_id"), col("text").as("text2"), lit(1).as("p2"))
+    a.join(b, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        when(col("p1").isNull, "added")
+          .when(col("p2").isNull, "removed")
+          .when(col("text1") =!= col("text2"), "changed")
+          .otherwise("unchanged").as("status"))
+  }
 
   /** The synthetic v2 snapshot behind q_llm_dataset_diff (diff-hash bucket:
     * <10 removed, 10–19 changed, ≥95 additionally cloned as a new doc). */

@@ -69,6 +69,20 @@ object TextOps extends QueryModule {
     }
   }
 
+  /** Sensitive-term scrubbing — the q_text_scrub primitive. Returns
+    * (doc_id, n_sensitive, clean_len, clean_sha); the scrubbed text itself
+    * never leaves the scan (digest discipline). */
+  private[graft] def scrub(docs: DataFrame,
+      pattern: String = SensitivePattern,
+      placeholder: String = Redaction): DataFrame =
+    docs.select(col("doc_id"),
+      asLong(size(regexp_extract_all(col("text"),
+        lit(pattern), lit(0)))).as("n_sensitive"),
+      asLong(length(regexp_replace(col("text"),
+        pattern, placeholder))).as("clean_len"),
+      sha2(regexp_replace(col("text"), pattern, placeholder), 256)
+        .as("clean_sha"))
+
   /** Non-empty whitespace tokens, with multiplicity. */
   private def tokens(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("token"))
@@ -183,15 +197,7 @@ object TextOps extends QueryModule {
     // scrubbed text). Pure scan-side regex, zero shuffle; both engines
     // run the identical RE2-compatible pattern.
     "q_text_scrub" -> ((s: SparkSession, dir: String) =>
-      table(s, dir, "documents")
-        .select(col("doc_id"),
-          asLong(size(regexp_extract_all(col("text"),
-            lit(SensitivePattern), lit(0)))).as("n_sensitive"),
-          asLong(length(regexp_replace(col("text"),
-            SensitivePattern, Redaction))).as("clean_len"),
-          sha2(regexp_replace(col("text"),
-            SensitivePattern, Redaction), 256).as("clean_sha"))
-        .orderBy("doc_id")),
+      scrub(table(s, dir, "documents")).orderBy("doc_id")),
 
     // Document fingerprinting: polynomial rolling hash over the whole text
     // plus a winnowing-style min-shingle hash. Oracled since round 4 (the

@@ -151,4 +151,38 @@ class PipelinesSpec extends SparkTestBase {
       .collect().map(_.getLong(0)).toSeq
     assert(got == want)
   }
+
+  test("scrub, chunkOverlap and stratifiedSample work on arbitrary frames") {
+    import spark.implicits._
+    val tiny = Seq(
+      (1L, "the customer saw a vector of keys", "s1"),
+      (2L, "no sensitive words here at all today", "s1"),
+      (3L, "customer customer vector", "s2")
+    ).toDF("doc_id", "text", "source")
+
+    val sc = Pipelines.scrub(tiny).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // "keys" does not match \bkey\b; "customer customer vector" matches 3
+    assert(sc == Map(1L -> 2L, 2L -> 0L, 3L -> 3L))
+
+    val ch = Pipelines.chunkOverlap(tiny, win = 4L, stride = 3L).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // doc 1: 7 tokens -> chunks at 0 (len 4), 3 (len 4), 6 (len 1)
+    assert(ch.filter(_._1 == 1L).toSet ==
+      Set((1L, 0L, 0L, 4L), (1L, 1L, 3L, 4L), (1L, 2L, 6L, 1L)))
+
+    val st = Pipelines.stratifiedSample(tiny, k = 1).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(st.keySet == Set("s1", "s2") && st("s2") == 3L)
+  }
+
+  test("datasetDiff classifies all four statuses") {
+    import spark.implicits._
+    val v1 = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("doc_id", "text")
+    val v2 = Seq((2L, "b"), (3L, "c2"), (4L, "d")).toDF("doc_id", "text")
+    val got = Pipelines.datasetDiff(v1, v2).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "removed", 2L -> "unchanged",
+      3L -> "changed", 4L -> "added"))
+  }
 }
