@@ -162,4 +162,11 @@ object Pipelines {
     * audit (see q_llm_dataset_diff). */
   def datasetDiff(v1: DataFrame, v2: DataFrame): DataFrame =
     MixOps.datasetDiff(v1, v2)
+
+  /** Largest-remainder token-budget allocation across `source` strata:
+    * (source, n_tokens, alloc_tokens) with Σ alloc = `budget` exactly and
+    * every allocation within 1 of its exact proportional share (see
+    * q_llm_token_budget). */
+  def tokenBudget(docs: DataFrame, budget: Long = 1000000L): DataFrame =
+    MixOps.tokenBudget(docs, budget)
 }

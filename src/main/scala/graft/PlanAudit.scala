@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.plans.physical.SinglePartition
 import org.apache.spark.sql.execution._
 import org.apache.spark.sql.execution.aggregate.{HashAggregateExec, ObjectHashAggregateExec, SortAggregateExec}
-import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.execution.exchange.{ReusedExchangeExec, ShuffleExchangeExec}
 import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec, ShuffledHashJoinExec, SortMergeJoinExec}
 
 /** Mechanical audit of every declared query's physical plan — the
@@ -51,6 +51,8 @@ object PlanAudit {
     // localCheckpoint'd memoized index / literal relation leaves are
     // materialized compact frames, not unbounded scans
     case _: RDDScanExec | _: LocalTableScanExec => true
+    // a reused exchange is a leaf REFERENCE — judge the exchange it reuses
+    case r: ReusedExchangeExec => boundedBelow(r.child)
     case other if other.children.isEmpty => false
     case other => other.children.forall(boundedBelow)
   }

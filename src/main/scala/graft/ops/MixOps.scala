@@ -76,6 +76,9 @@ object MixOps extends QueryModule {
   /** doc_id offset for the synthetic v2 snapshot's added docs. */
   private val DiffAddedBase = 1000000L
 
+  /** Token budget apportioned across sources (q_llm_token_budget). */
+  private val TokenBudget = 1000000L
+
   /** Exactly-k uniform deterministic sample: rank docs by a replayable hash
     * of doc_id and keep the k smallest — reproducible across engines, runs,
     * and partitionings, and executed as TakeOrderedAndProject (top-k
@@ -272,8 +275,44 @@ object MixOps extends QueryModule {
     "q_llm_dataset_diff" -> ((s: SparkSession, dir: String) => {
       val docs = table(s, dir, "documents")
       datasetDiff(docs, snapshotV2(docs)).orderBy("doc_id")
-    })
+    }),
+
+    // Token-budget apportionment: split a 1M-token sampling budget across
+    // sources proportionally to their token mass with largest-remainder
+    // (Hamilton) rounding — allocations are integers summing to EXACTLY
+    // the budget, each within 1 of its exact proportional share, and every
+    // step is replayable integer math (the budget×tokens products run in
+    // DECIMAL(38,0)/HUGEINT so no engine overflows at any corpus size).
+    // One corpus scan; the remainder-rank window sees #sources rows.
+    "q_llm_token_budget" -> ((s: SparkSession, dir: String) =>
+      tokenBudget(table(s, dir, "documents")).orderBy("source"))
   )
+
+  /** Largest-remainder token-budget allocation — the q_llm_token_budget
+    * primitive. Returns (source, n_tokens, alloc_tokens) with
+    * Σ alloc_tokens = budget exactly. */
+  private[graft] def tokenBudget(docs: DataFrame,
+      budget: Long = TokenBudget): DataFrame = {
+    val perSrc = docs
+      .withColumn("n_tok",
+        asLong(expr("size(filter(split(text, ' '), t -> length(t) > 0))")))
+      .groupBy("source").agg(asLong(sum(col("n_tok"))).as("n_tokens"))
+    val tot = perSrc.agg(asLong(sum(col("n_tokens"))).as("total"))
+    val based = perSrc.crossJoin(broadcast(tot))
+      .withColumn("base", expr(
+        s"CAST((CAST($budget AS DECIMAL(38,0)) * n_tokens)" +
+          " div CAST(total AS DECIMAL(38,0)) AS BIGINT)"))
+      .withColumn("rem", expr(
+        s"CAST($budget AS DECIMAL(38,0)) * n_tokens" +
+          " - CAST(base AS DECIMAL(38,0)) * total"))
+    val leftover = based.agg((lit(budget) - sum(col("base"))).as("leftover"))
+    based.crossJoin(broadcast(leftover))
+      .withColumn("rk", row_number().over(
+        Window.orderBy(desc("rem"), asc("source"))))
+      .select(col("source"), col("n_tokens"),
+        (col("base") + when(col("rk") <= col("leftover"), 1L).otherwise(0L))
+          .as("alloc_tokens"))
+  }
 
   /** Sliding-window chunk spans — the q_llm_chunk_overlap primitive.
     * Returns (doc_id, n_tokens, chunk_id, start, chunk_len); docs with no
@@ -447,6 +486,27 @@ object MixOps extends QueryModule {
          |                            ORDER BY $sampleHashSql, doc_id) AS rn
          |  FROM documents)
          |WHERE rn <= 5 ORDER BY source, rn""".stripMargin,
+
+    "q_llm_token_budget" ->
+      s"""WITH t AS (
+         |  SELECT source,
+         |         CAST(sum(len(list_filter(string_split(text, ' '), x -> length(x) > 0))) AS BIGINT) AS n_tokens
+         |  FROM documents GROUP BY source),
+         |tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total FROM t),
+         |b AS (
+         |  SELECT source, n_tokens,
+         |         CAST(($TokenBudget::HUGEINT * n_tokens) // total AS BIGINT) AS base,
+         |         $TokenBudget::HUGEINT * n_tokens
+         |           - (($TokenBudget::HUGEINT * n_tokens) // total) * total AS rem
+         |  FROM t CROSS JOIN tot),
+         |l AS (SELECT $TokenBudget - CAST(sum(base) AS BIGINT) AS leftover FROM b),
+         |r AS (
+         |  SELECT source, n_tokens, base,
+         |         row_number() OVER (ORDER BY rem DESC, source ASC) AS rk
+         |  FROM b)
+         |SELECT source, n_tokens,
+         |       CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT) AS alloc_tokens
+         |FROM r CROSS JOIN l ORDER BY source""".stripMargin,
 
     "q_llm_dataset_diff" ->
       s"""WITH b AS (

@@ -277,6 +277,20 @@ class MixDiagSpec extends SparkTestBase {
     added.foreach(id => assert(rows(id - 1000000L) == "unchanged"))
   }
 
+  test("token_budget allocations sum to exactly the budget, each within 1 of exact share") {
+    val rows = q("q_llm_token_budget").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    val budget = 1000000L
+    assert(rows.map(_._3).sum == budget)
+    val total = rows.map(_._2).sum
+    rows.foreach { case (src, n, alloc) =>
+      val exact = BigInt(budget) * n / total // floor of the exact share
+      assert(alloc == exact.toLong || alloc == exact.toLong + 1,
+        s"$src: alloc $alloc not within 1 of exact $exact")
+    }
+  }
+
   test("dup_rate_by_source totals reconcile with the corpus and cluster index") {
     val rows = q("q_llm_dup_rate_by_source").collect()
     val totalDocs = rows.map(_.getLong(1)).sum
