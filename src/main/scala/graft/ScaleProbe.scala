@@ -103,7 +103,9 @@ object ScaleProbe {
       "q_text_boilerplate", "q_llm_emb_quantize", "q_profile_table",
       "q_agg_heavy_hitters", "q_agg_zscore_outlier", "q_win_winsorize",
       "q_ts_gapfill", "q_agg_mode", "q_llm_sample_k",
-      "q_agg_percentile", "q_stream_join", "q_agg_skew")
+      "q_agg_percentile", "q_stream_join", "q_agg_skew",
+      "q_text_scrub", "q_llm_chunk_overlap", "q_llm_stratified_sample",
+      "q_llm_dataset_diff", "q_llm_dup_rate_by_source", "q_llm_token_budget")
     // warmup
     SparkEntry.queries("q_agg_basic")(spark, outDir).count()
     val results = probes.map { name =>
