@@ -96,6 +96,43 @@ class FileStreamSpec extends SparkTestBase {
     } finally query.stop()
   }
 
+  test("streaming scrub: sensitive terms are redacted before delivery") {
+    val srcDir = Files.createTempDirectory("graft-scrub-drop").toString
+    val ckpt = Files.createTempDirectory("graft-scrub-ckpt").toString
+    Files.write(Paths.get(srcDir, "d1.json"), Seq(
+      """{"doc_id":1,"text":"the customer bought a vector of things"}""",
+      """{"doc_id":2,"text":"nothing to hide here"}""",
+      """{"doc_id":3,"text":"key customer key"}"""
+    ).mkString("\n").getBytes("UTF-8"))
+
+    // the same scan-side scrub expression the batch q_text_scrub runs,
+    // applied inside readStream before framing — redaction composes with
+    // the delivery pipeline because it is pure column math
+    val source = spark.readStream
+      .schema("doc_id LONG, text STRING")
+      .json(srcDir)
+      .withColumn("text",
+        regexp_replace(col("text"),
+          graft.ops.TextOps.SensitivePattern, graft.ops.TextOps.Redaction))
+      .select("doc_id", "text")
+
+    val svc = new MockDeliveryService()
+    val settings = DeliverySettings("scrubbed", batchSize = 10,
+      triggerIntervalMs = 0L, retryPolicy = Some(RetryPolicy(1, 3)))
+    val (query, stats) = DeliverySink.run(source, settings, svc, ckpt)
+    try {
+      query.processAllAvailable()
+      assert(stats().records == 3)
+      val payloads = svc.deliveredStrings
+      assert(payloads.size == 3)
+      // no sensitive term survives into any delivered payload
+      val pat = graft.ops.TextOps.SensitivePattern.r
+      payloads.foreach(p => assert(pat.findFirstIn(p).isEmpty, s"leak in: $p"))
+      assert(payloads.exists(_.contains("[REDACTED]")))
+      assert(payloads.exists(_.contains("nothing to hide here")))
+    } finally query.stop()
+  }
+
   test("checkpoint restart does not re-deliver committed files") {
     val srcDir = Files.createTempDirectory("graft-drop2").toString
     val ckpt = Files.createTempDirectory("graft-rs-ckpt").toString
