@@ -41,8 +41,8 @@ object PlanAudit {
   val TinySideRows = 100L
 
   /** Walk `plan`; true if every leaf-ward path hits a data-reducing
-    * operator before (or at) the leaves. `exists` over children keeps the
-    * check lenient for unions of bounded branches. */
+    * operator before (or at) the leaves — `forall` over children, so a
+    * union/join is bounded only when ALL of its branches are. */
   private def boundedBelow(p: SparkPlan): Boolean = p match {
     case _: HashAggregateExec | _: ObjectHashAggregateExec |
          _: SortAggregateExec => true

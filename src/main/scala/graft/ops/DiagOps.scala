@@ -97,7 +97,9 @@ object DiagOps extends QueryModule {
     * order statistic exactly — a row-level rank would sort a whole bucket
     * in one task, which for a DENSE value domain (l_quantity's 50 distinct
     * values all land in one bucket) means sorting nearly the whole group.
-    * Returns (grpCol, which, value). */
+    * Returns (selection (grpCol, which, value), count relation (grpCol, n))
+    * — the count leaf rides along so callers' rank formulas and final
+    * interpolation joins never re-aggregate (see [[valueAtRanks]]). */
   /** Session-lifetime memo of the (key histogram, per-group counts) pair
     * per corpus content digest — the same index-reuse rationale as
     * LlmOps.candidateIndexFor / CurationOps.dupClustersFor: the key
