@@ -277,6 +277,14 @@ class MixDiagSpec extends SparkTestBase {
     added.foreach(id => assert(rows(id - 1000000L) == "unchanged"))
   }
 
+  test("rank-histogram memo is result-invisible: cold and warm runs agree") {
+    val warm1 = q("q_agg_percentile").collect().toSeq
+    graft.ops.DiagOps.clearIndexCache()
+    val cold = q("q_agg_percentile").collect().toSeq   // rebuilds the index
+    val warm2 = q("q_agg_percentile").collect().toSeq  // memo hit
+    assert(cold == warm1 && warm2 == cold)
+  }
+
   test("token_budget allocations sum to exactly the budget, each within 1 of exact share") {
     val rows = q("q_llm_token_budget").collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
