@@ -86,4 +86,28 @@ class ReplayableHashSpec extends AnyFunSuite {
     assert(ReplayableHash.bitWeightSql(0) == "1")
     assert(ReplayableHash.bitWeightSql(62) == (1L << 62).toString)
   }
+
+  test("mod-P-reduced affine map equals the unreduced map for ANY non-negative key") {
+    // the round-7 overflow fix: (a·(k % P) + b) % P must equal
+    // (a·k + b) % P for every 63-bit key, while keeping every Long
+    // intermediate below 2^63 — checked against a BigInteger reference
+    // at the key magnitudes where the UNREDUCED form would wrap
+    // (doc_id ≳ 1.4e10, the documented 100 TB corpus scale)
+    val rnd = new scala.util.Random(7)
+    val keys = Seq(0L, 1L, P - 1, P, P + 1, 1400000000L * 10, Long.MaxValue) ++
+      Seq.fill(2000)(rnd.nextLong() & Long.MaxValue)
+    for (salt <- Seq(6L, 7L, 8L); (a, b) = ReplayableHash.params(1, salt).head;
+         k <- keys) {
+      val reduced = (a * (k % P) + b) % P // the engine/oracle formula
+      val ref = BigInteger.valueOf(a)
+        .multiply(BigInteger.valueOf(k))
+        .add(BigInteger.valueOf(b))
+        .mod(BigInteger.valueOf(P)).longValueExact()
+      assert(reduced == ref, s"salt=$salt k=$k: $reduced != $ref")
+      // the Long intermediate provably cannot wrap
+      assert(BigInteger.valueOf(a)
+        .multiply(BigInteger.valueOf(P - 1))
+        .add(BigInteger.valueOf(b)).bitLength() <= 62)
+    }
+  }
 }
