@@ -84,17 +84,33 @@ object PlanAudit {
     * [[TinySideRows]] should have been broadcast. Executes the side
     * subtrees (cheap at audit scale — only shuffled joins are counted). */
   def auditJoinSides(name: String, plan: SparkPlan): Seq[String] = {
-    def sides(p: SparkPlan): Seq[(SparkPlan, SparkPlan)] = p.collect {
-      case j: SortMergeJoinExec => (j.left, j.right)
-      case j: ShuffledHashJoinExec => (j.left, j.right)
+    import org.apache.spark.sql.catalyst.plans._
+    // only flag a tiny side where broadcasting it is LEGAL for the join
+    // type: inner/cross either side, left-ish joins only the right side,
+    // right outer only the left, full outer neither (Spark cannot
+    // broadcast any side of a full outer join — SMJ is the right plan
+    // there regardless of size)
+    def broadcastable(jt: JoinType, which: String): Boolean = jt match {
+      case Inner | Cross => true
+      case LeftOuter | LeftSemi | LeftAnti | _: ExistenceJoin =>
+        which == "right"
+      case RightOuter => which == "left"
+      case _ => false
     }
-    sides(plan).flatMap { case (l, r) =>
+    def sides(p: SparkPlan): Seq[(JoinType, SparkPlan, SparkPlan)] = p.collect {
+      case j: SortMergeJoinExec => (j.joinType, j.left, j.right)
+      case j: ShuffledHashJoinExec => (j.joinType, j.left, j.right)
+    }
+    sides(plan).flatMap { case (jt, l, r) =>
       Seq("left" -> l, "right" -> r).flatMap { case (which, side) =>
-        val n = side.execute().count()
-        if (n < TinySideRows)
-          Some(s"$name: shuffled join $which side has only $n rows " +
-            "(constant-bounded relation — broadcast it)")
-        else None
+        if (!broadcastable(jt, which)) None
+        else {
+          val n = side.execute().count()
+          if (n < TinySideRows)
+            Some(s"$name: shuffled $jt join $which side has only $n rows " +
+              "(constant-bounded relation — broadcast it)")
+          else None
+        }
       }
     }
   }
