@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.plans.physical.SinglePartition
+import org.apache.spark.sql.catalyst.plans.physical.{HashPartitioning, SinglePartition}
 import org.apache.spark.sql.execution._
 import org.apache.spark.sql.execution.aggregate.{HashAggregateExec, ObjectHashAggregateExec, SortAggregateExec}
 import org.apache.spark.sql.execution.exchange.{ReusedExchangeExec, ShuffleExchangeExec}
@@ -26,7 +26,10 @@ import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, Cartes
   *      scale;
   *   4. every BroadcastNestedLoopJoin's broadcast side must itself be
   *      bounded (the 1-row-total crossJoin pattern) — a BNLJ against an
-  *      unbounded broadcast side is an accidental cartesian.
+  *      unbounded broadcast side is an accidental cartesian;
+  *   5. no hash-partitioned exchange over unbounded input whose payload
+  *      carries a raw text column — the digest discipline (pipelines
+  *      shuffle (len, sha256), never document text) made mechanical.
   *
   * Plans are built with AQE OFF: the audit gates the STATIC plan (what a
   * cost-blind planner would run), so a shape that only AQE rescues still
@@ -42,20 +45,36 @@ object PlanAudit {
 
   /** Walk `plan`; true if every leaf-ward path hits a data-reducing
     * operator before (or at) the leaves — `forall` over children, so a
-    * union/join is bounded only when ALL of its branches are. */
+    * union/join is bounded only when ALL of its branches are.
+    *
+    * RDD / local-relation leaves are NOT blanket-exempt: several memoized
+    * index frames (duplicate clusters, rank histograms) are corpus-sized
+    * localCheckpoints, so a leaf only counts as bounded when an actual
+    * row-count probe says it is tiny at the audit scale (the leaves are
+    * already materialized, so the count is a cheap driver-side pass). */
   private def boundedBelow(p: SparkPlan): Boolean = p match {
     case _: HashAggregateExec | _: ObjectHashAggregateExec |
          _: SortAggregateExec => true
     case _: TakeOrderedAndProjectExec | _: GlobalLimitExec |
          _: LocalLimitExec | _: CollectLimitExec => true
-    // localCheckpoint'd memoized index / literal relation leaves are
-    // materialized compact frames, not unbounded scans
-    case _: RDDScanExec | _: LocalTableScanExec => true
+    case leaf @ (_: RDDScanExec | _: LocalTableScanExec) =>
+      leaf.execute().count() < TinySideRows
     // a reused exchange is a leaf REFERENCE — judge the exchange it reuses
     case r: ReusedExchangeExec => boundedBelow(r.child)
     case other if other.children.isEmpty => false
     case other => other.children.forall(boundedBelow)
   }
+
+  /** Columns a shuffle must never carry (rule 5): raw document text. The
+    * digest discipline (CLAUDE.md r5) says pipelines ship (len, sha256)
+    * digests, never text, through exchanges — at 100 TB a text-bearing
+    * exchange re-ships the corpus. Hash-partitioned exchanges are the
+    * computation shuffles (joins/aggs) where the discipline binds; a
+    * range exchange is the final presentation sort, which carries each
+    * output row exactly once and only exists for deterministic compare. */
+  private def textLike(name: String): Boolean =
+    name == "text" || name.matches("(?i)text\\d*") ||
+      name.matches("(?i).*_text\\d*")
 
   /** Violations for one physical plan (empty = clean). */
   def auditPlan(name: String, plan: SparkPlan): Seq[String] = {
@@ -66,6 +85,14 @@ object PlanAudit {
       case e: ShuffleExchangeExec if e.outputPartitioning == SinglePartition
           && !boundedBelow(e.child) =>
         out += s"$name: SinglePartition exchange over unbounded input"
+      case e: ShuffleExchangeExec
+          if e.outputPartitioning.isInstanceOf[HashPartitioning] =>
+        val texts = e.child.output.filter(a =>
+          a.dataType == org.apache.spark.sql.types.StringType &&
+            textLike(a.name))
+        if (texts.nonEmpty && !boundedBelow(e.child))
+          out += s"$name: hash exchange carries raw text column(s) " +
+            s"${texts.map(_.name).mkString(", ")} (ship digests, not text)"
       // q_join_cross's 25x5 nation x region is the one declared deliberate
       // cross join; its broadcast side is a raw (5-row) dimension scan.
       case j: BroadcastNestedLoopJoinExec if name != "q_join_cross" =>

@@ -299,15 +299,21 @@ object CurationOps extends QueryModule {
     // drops every shingle they share.
     // cluster_size via hash-agg + broadcast rejoin, NOT a count window over
     // cluster_id: a degenerate corpus (one mega-cluster) would funnel the
-    // whole window partition through a single task, while the aggregated
-    // size relation is at most #clusters rows (tiny, broadcastable) and the
-    // doc side never leaves its scan partitioning.
+    // whole window partition through a single task, while the doc side of
+    // the rejoin never leaves its scan partitioning. Only the NON-SINGLETON
+    // clusters are broadcast (misses coalesce to size 1): the full size
+    // relation is one row per cluster INCLUDING singletons — O(#docs) on a
+    // mostly-unique corpus, not broadcastable at 100 TB — while the sz>1
+    // slice is bounded by #duplicated_docs / 2 (and is a handful of rows on
+    // both the uniform and the degenerate fixture).
     "q_llm_dup_clusters" -> ((s: SparkSession, dir: String) => {
       val clusters = dupClustersFor(s, dir)
-      val sizes = clusters.groupBy("cluster_id")
+      val multi = clusters.groupBy("cluster_id")
         .agg(asLong(count(lit(1))).as("cluster_size"))
-      clusters.join(broadcast(sizes), Seq("cluster_id"))
-        .select(col("doc_id"), col("cluster_id"), col("cluster_size"))
+        .where(col("cluster_size") > 1L)
+      clusters.join(broadcast(multi), Seq("cluster_id"), "left")
+        .select(col("doc_id"), col("cluster_id"),
+          coalesce(col("cluster_size"), lit(1L)).as("cluster_size"))
         .orderBy("doc_id")
     }),
 
@@ -327,15 +333,19 @@ object CurationOps extends QueryModule {
     // Per-source duplication telemetry: how much of each domain's slice is
     // caught in duplicate clusters — the per-provider dedup-rate report a
     // corpus run publishes. Reads the memoized cluster index (hash aggs +
-    // a broadcast size rejoin); the DuckDB twin pays the full recursive-CTE
-    // clustering, the same accounting as the rest of the cluster family.
+    // a broadcast rejoin of the sz>1 clusters only — the full size relation
+    // is O(#docs) on a mostly-unique corpus; singletons left-join-miss to
+    // sz NULL, which the dup predicate already treats as not-duplicated);
+    // the DuckDB twin pays the full recursive-CTE clustering, the same
+    // accounting as the rest of the cluster family.
     "q_llm_dup_rate_by_source" -> ((s: SparkSession, dir: String) => {
       val clusters = dupClustersFor(s, dir)
-      val sizes = clusters.groupBy("cluster_id")
+      val multi = clusters.groupBy("cluster_id")
         .agg(count(lit(1)).as("sz"))
+        .where(col("sz") > 1)
       table(s, dir, "documents").select("doc_id", "source")
         .join(clusters, "doc_id")
-        .join(broadcast(sizes), "cluster_id")
+        .join(broadcast(multi), Seq("cluster_id"), "left")
         .groupBy("source")
         .agg(asLong(count(lit(1))).as("n_docs"),
           asLong(sum(when(col("sz") > 1, 1L).otherwise(0L))).as("n_dup_docs"),

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.ReplayableHash
@@ -73,8 +73,13 @@ object MixOps extends QueryModule {
   private val ChunkWin = 64L
   private val ChunkStride = 48L
 
-  /** doc_id offset for the synthetic v2 snapshot's added docs. */
-  private val DiffAddedBase = 1000000L
+  /** Clone ids for the synthetic v2 snapshot's added docs live in the
+    * NEGATIVE id space (`-doc_id - 1`): real doc_ids are non-negative, so
+    * clones can never collide with a live key at any corpus size (a fixed
+    * positive offset would collide once ids reach it — at the ~1.4e10-doc
+    * design scale a +1e6 offset is inside the live range). */
+  private def diffCloneId(id: Column): Column = -id - lit(1L)
+  private val diffCloneIdSql = "-doc_id - 1"
 
   /** Token budget apportioned across sources (q_llm_token_budget). */
   private val TokenBudget = 1000000L
@@ -269,9 +274,10 @@ object MixOps extends QueryModule {
     // Dataset snapshot diff (added / removed / changed / unchanged per
     // doc): v2 is derived deterministically from v1 by the salt-8
     // replayable hash (bucket <10 dropped, 10–19 text-amended, ≥95 also
-    // cloned under a shifted doc_id), so both engines construct the SAME
-    // synthetic second snapshot. One corpus-keyed full outer join —
-    // the dataset-versioning audit a curation run reports.
+    // cloned under a negative clone id), so both engines construct the
+    // SAME synthetic second snapshot. One corpus-keyed full outer join
+    // carrying per-side sha256 digests, never raw text — the
+    // dataset-versioning audit a curation run reports.
     "q_llm_dataset_diff" -> ((s: SparkSession, dir: String) => {
       val docs = table(s, dir, "documents")
       datasetDiff(docs, snapshotV2(docs)).orderBy("doc_id")
@@ -344,20 +350,27 @@ object MixOps extends QueryModule {
 
   /** Snapshot diff of two (doc_id, text) frames — the q_llm_dataset_diff
     * primitive. Returns (doc_id, status) with status in
-    * added/removed/changed/unchanged. One corpus-keyed full outer join. */
+    * added/removed/changed/unchanged. One corpus-keyed full outer join whose
+    * exchange carries (doc_id, sha256) per side — digest discipline: the
+    * changed-detection compares 32-byte digests, so raw document text never
+    * crosses the shuffle (at 100 TB the diff exchange would otherwise ship
+    * the whole corpus text twice). */
   private[graft] def datasetDiff(v1: DataFrame, v2: DataFrame): DataFrame = {
-    val a = v1.select(col("doc_id"), col("text").as("text1"), lit(1).as("p1"))
-    val b = v2.select(col("doc_id"), col("text").as("text2"), lit(1).as("p2"))
+    val a = v1.select(col("doc_id"), sha2(col("text"), 256).as("d1"),
+      lit(1).as("p1"))
+    val b = v2.select(col("doc_id"), sha2(col("text"), 256).as("d2"),
+      lit(1).as("p2"))
     a.join(b, Seq("doc_id"), "full_outer")
       .select(col("doc_id"),
         when(col("p1").isNull, "added")
           .when(col("p2").isNull, "removed")
-          .when(col("text1") =!= col("text2"), "changed")
+          .when(col("d1") =!= col("d2"), "changed")
           .otherwise("unchanged").as("status"))
   }
 
   /** The synthetic v2 snapshot behind q_llm_dataset_diff (diff-hash bucket:
-    * <10 removed, 10–19 changed, ≥95 additionally cloned as a new doc). */
+    * <10 removed, 10–19 changed, ≥95 additionally cloned as a new doc under
+    * a negative clone id — see [[diffCloneId]]). */
   private[graft] def snapshotV2(docs: DataFrame): DataFrame = {
     val bucketed = docs.withColumn("_b", expr(diffBucketSql))
     val base = bucketed
@@ -367,7 +380,7 @@ object MixOps extends QueryModule {
           .otherwise(col("text")))
     val added = bucketed
       .where(col("_b") >= 95)
-      .withColumn("doc_id", col("doc_id") + lit(DiffAddedBase))
+      .withColumn("doc_id", diffCloneId(col("doc_id")))
     base.unionByName(added).drop("_b")
   }
 
@@ -513,16 +526,16 @@ object MixOps extends QueryModule {
          |  SELECT doc_id, text, $diffBucketSql AS bucket FROM documents),
          |v2 AS (
          |  SELECT doc_id,
-         |         CASE WHEN bucket < 20 THEN text || ' v2' ELSE text END AS text2,
+         |         sha256(CASE WHEN bucket < 20 THEN text || ' v2' ELSE text END) AS d2,
          |         1 AS p2
          |  FROM b WHERE bucket >= 10
          |  UNION ALL
-         |  SELECT doc_id + $DiffAddedBase, text, 1 FROM b WHERE bucket >= 95),
-         |v1 AS (SELECT doc_id, text AS text1, 1 AS p1 FROM documents)
+         |  SELECT $diffCloneIdSql, sha256(text), 1 FROM b WHERE bucket >= 95),
+         |v1 AS (SELECT doc_id, sha256(text) AS d1, 1 AS p1 FROM documents)
          |SELECT doc_id,
          |       CASE WHEN p1 IS NULL THEN 'added'
          |            WHEN p2 IS NULL THEN 'removed'
-         |            WHEN text1 <> text2 THEN 'changed'
+         |            WHEN d1 <> d2 THEN 'changed'
          |            ELSE 'unchanged' END AS status
          |FROM v1 FULL OUTER JOIN v2 USING (doc_id)
          |ORDER BY doc_id""".stripMargin

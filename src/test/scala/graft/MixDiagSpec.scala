@@ -264,8 +264,10 @@ class MixDiagSpec extends SparkTestBase {
     val rows = q("q_llm_dataset_diff").collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
     val v1 = graft.ops.table(spark, sfDir, "documents")
-    // every v1 doc and every added doc id is classified, nothing else
-    val added = rows.keys.filter(_ >= 1000000L)
+    // every v1 doc and every added doc id is classified, nothing else;
+    // clones live in the negative id space (-doc_id - 1), disjoint from
+    // any live non-negative doc_id
+    val added = rows.keys.filter(_ < 0L)
     assert(rows.size == v1.count() + added.size)
     added.foreach(id => assert(rows(id) == "added"))
     assert(rows.values.toSet.subsetOf(
@@ -274,7 +276,7 @@ class MixDiagSpec extends SparkTestBase {
     assert(Seq("removed", "changed", "unchanged")
       .forall(c => rows.values.exists(_ == c)))
     // an added clone's source doc must itself be unchanged (bucket ≥ 95)
-    added.foreach(id => assert(rows(id - 1000000L) == "unchanged"))
+    added.foreach(id => assert(rows(-id - 1L) == "unchanged"))
   }
 
   test("rank-histogram memo is result-invisible: cold and warm runs agree") {

@@ -38,6 +38,36 @@ class PlanAuditSpec extends SparkTestBase {
     assert(PlanAudit.auditPlan("bad_cartesian", bad).nonEmpty)
   }
 
+  test("audit flags a hash exchange carrying raw text (digest discipline)") {
+    import org.apache.spark.sql.functions._
+    val docs = ops.table(spark, sfDir, "documents")
+    // the pre-round-8 q_llm_dataset_diff shape: full-outer join carrying
+    // raw text through the corpus-keyed exchange
+    val bad = planOf(docs.select(col("doc_id"), col("text").as("text1"))
+      .join(docs.select(col("doc_id"), col("text").as("text2")),
+        Seq("doc_id"), "full_outer"))
+    assert(PlanAudit.auditPlan("bad_textjoin", bad)
+      .exists(_.contains("raw text")))
+    // ...digest payloads pass
+    val ok = planOf(docs.select(col("doc_id"), sha2(col("text"), 256).as("d1"))
+      .join(docs.select(col("doc_id"), sha2(col("text"), 256).as("d2")),
+        Seq("doc_id"), "full_outer"))
+    assert(PlanAudit.auditPlan("ok_digestjoin", ok).isEmpty)
+  }
+
+  test("audit does NOT blanket-exempt corpus-sized RDD leaves (row-count probe)") {
+    // a localCheckpoint'd corpus-sized frame under a single-partition
+    // shuffle must still flag — pre-round-8 the RDD leaf was blanket-bounded
+    val big = ops.table(spark, sfDir, "lineitem")
+      .select("l_orderkey", "l_linenumber").localCheckpoint(true)
+    assert(PlanAudit.auditPlan("bad_rdd_repart", planOf(big.repartition(1)))
+      .exists(_.contains("SinglePartition")))
+    // ...a genuinely tiny materialized leaf stays exempt
+    val tiny = ops.table(spark, sfDir, "region").localCheckpoint(true)
+    assert(PlanAudit.auditPlan("ok_rdd_repart", planOf(tiny.repartition(1)))
+      .isEmpty)
+  }
+
   test("audit flags a shuffled join with a constant-bounded tiny side") {
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
