@@ -219,6 +219,7 @@ object ScaleProbe {
     ops.CurationOps.clearIndexCache()
     ops.LlmOps.clearIndexCache()
     ops.DiagOps.clearIndexCache()
+    ops.StreamAnalogOps.clearIndexCache()
     val cold = pass("cold")
     val warm = pass("warm")
     println(f"[scale] amortize build-share ${(cold - warm) / cold * 100}%.0f%%" +

@@ -229,8 +229,9 @@ object AggOps extends QueryModule {
       // and the two bracketing 1-based ranks (hi clamped to n). The count
       // relation arrives from valueAtRanks' own key histogram (no second
       // input pass) — returned alongside the selection for the final
-      // interpolation join, and already a checkpointed #groups-row leaf so
-      // the five consumers below never re-aggregate.
+      // interpolation join, a #groups-row aggregation of the memoized
+      // key-histogram leaf (cheap to recompute per consumer; checkpointing
+      // it cost a full extra job on every cold build).
       def mkRanks(nRel: DataFrame): DataFrame = {
         def ranksFor(tag: String, a: Int, b: Int, vcol: String): DataFrame =
           nRel.where(col("g").endsWith(s"|$vcol"))
