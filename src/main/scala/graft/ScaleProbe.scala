@@ -329,5 +329,12 @@ object ScaleProbe {
     println(f"[scale] streaming_delivery          ${dt}%7.2f s  " +
       f"records=${st.records} batches=${st.batches} " +
       f"rate=${st.records / dt}%.0f rec/s residual=${st.residualFailures}")
+    // regression floor (round-7 verdict): the probe has measured 590–670k
+    // rec/s across rounds — ≥400k leaves contention headroom but trips on
+    // any multiplicative executor-path regression. (sbt test carries its
+    // own scaled floor in DeliveryThroughputSpec.)
+    require(st.records / dt >= 400000.0,
+      f"streaming delivery rate ${st.records / dt}%.0f rec/s " +
+        "below the 400k local[32] floor")
   }
 }

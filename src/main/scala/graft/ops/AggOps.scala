@@ -83,11 +83,17 @@ object AggOps extends QueryModule {
         .orderBy("o_custkey")),
 
     // HLL sketch — legitimately oracle-less (sketch differs from DuckDB's).
+    // within_3rsd carries the quantitative bound (default HLL++ rsd=0.05,
+    // 3σ = 15% — the OpsSpec pin) INTO the dumped artifact, so the
+    // driver's row record shows the bound holding, not just a row count.
     "q_agg_approx_distinct" -> ((s: SparkSession, dir: String) =>
       table(s, dir, "lineitem")
         .groupBy("l_returnflag")
         .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
           count_distinct(col("l_partkey")).as("exact_parts"))
+        .withColumn("within_3rsd",
+          abs(col("approx_parts") - col("exact_parts")).cast("double")
+            <= lit(0.15) * col("exact_parts"))
         .orderBy("l_returnflag")),
 
     // Equi-width histogram: bucket o_totalprice into fixed 25k-wide bins by
@@ -150,11 +156,21 @@ object AggOps extends QueryModule {
 
     // t-digest/GK-sketch approximate percentile — oracle-less (sketch
     // differs from DuckDB's); exact value alongside for the rows-only gate.
+    // within_eps carries the GK bound (accuracy=1000 → rank ε = 1/1000)
+    // into the dumped artifact: the sketch median must lie between the
+    // exact 0.499 and 0.501 quantiles (one percentile buffer evaluates all
+    // three ranks — this 3-group sketch DIAGNOSTIC deliberately uses the
+    // buffering built-in it is judged against; the exact-percentile
+    // OPERATOR is q_agg_percentile via the bucketed valueAtRanks).
     "q_agg_approx_percentile" -> ((s: SparkSession, dir: String) =>
       table(s, dir, "lineitem")
         .groupBy("l_returnflag")
         .agg(expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("approx_p50"),
-          expr("percentile(l_extendedprice, 0.5)").as("exact_p50"))
+          expr("percentile(l_extendedprice, array(0.499D, 0.5D, 0.501D))").as("_ps"))
+        .select(col("l_returnflag"), col("approx_p50"),
+          col("_ps").getItem(1).as("exact_p50"),
+          (col("approx_p50") >= col("_ps").getItem(0)
+            && col("approx_p50") <= col("_ps").getItem(2)).as("within_eps"))
         .orderBy("l_returnflag")),
 
     "q_agg_bool" -> ((s: SparkSession, dir: String) =>

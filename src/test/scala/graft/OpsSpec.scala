@@ -79,6 +79,9 @@ class OpsSpec extends SparkTestBase {
       // default HLL++ rsd = 0.05; 3σ = 15%
       assert(relErr <= 0.15,
         s"group ${r.get(0)}: approx=$approx exact=$exact relErr=$relErr > 0.15")
+      // the emitted bound column (what the driver artifact records) agrees
+      assert(r.getAs[Boolean]("within_3rsd"), s"group ${r.get(0)}: " +
+        "within_3rsd column false while the spec-side bound holds")
     }
   }
 
@@ -103,6 +106,9 @@ class OpsSpec extends SparkTestBase {
         assert(lt <= n * (0.5 + eps) && le >= n * (0.5 - eps),
           s"group $flag: approx=$approx rank in [${lt + 1},$le] outside " +
             s"[${n * (0.5 - eps)},${n * (0.5 + eps)}] of n=$n")
+        // the emitted bound column (what the driver artifact records) agrees
+        assert(r.getAs[Boolean]("within_eps"), s"group $flag: " +
+          "within_eps column false while the spec-side rank bound holds")
       }
     } finally li.unpersist()
   }
