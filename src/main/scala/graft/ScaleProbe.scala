@@ -133,14 +133,21 @@ object ScaleProbe {
     * (⇒ a 2500-doc exact-dup mega-cluster, one dominant 16-bit simhash
     * fingerprint, one dominant MinHash band bucket, one dominant shingle
     * set) and half of all embeddings get ONE identical vector (⇒ one
-    * dominant sign-LSH bucket). Every family query must stay in the same
-    * decade as its uniform sf0.1 time — the caps (mega-bucket cap 50,
-    * stop-shingle df cap, exact-dup contraction, hash-agg cluster sizes)
-    * are what bound it, and this probe is where that claim is MEASURED.
+    * dominant sign-LSH bucket). Round 8 adds a third axis to the same
+    * fixture: 90 % of documents collapse onto ONE source value, so the
+    * per-source operators (dup_rate_by_source, stratified_sample,
+    * token_budget) face a dominant group — the low-cardinality-window /
+    * hot-aggregation-key trap measured instead of assumed. Every family
+    * query must stay in the same decade as its uniform sf0.1 time — the
+    * caps (mega-bucket cap 50, stop-shingle df cap, exact-dup contraction,
+    * hash-agg cluster sizes, WindowGroupLimit pre-truncation) are what
+    * bound it, and this probe is where that claim is MEASURED.
     */
   private def degenerateProbe(spark: SparkSession, srcDir: String): Unit = {
     val degDir = "/tmp/graft-sfdeg"
-    val srcKey = Seq("documents", "embeddings")
+    // v2: fixture format token — r8 added source dominance, a digest-only
+    // key would silently reuse the r7 fixture
+    val srcKey = "v2-" + Seq("documents", "embeddings")
       .map(t => graft.ops.SourceSinkOps.fixtureKey(srcDir, s"$t.parquet"))
       .mkString("-")
     val marker = new java.io.File(s"$degDir/_GRAFT_DEG_DONE")
@@ -154,6 +161,9 @@ object ScaleProbe {
         .withColumn("text",
           when(col("doc_id") % 2 === 0, col("hot_text")).otherwise(col("text")))
         .withColumn("n_chars", length(col("text")).cast("long"))
+        .withColumn("source",
+          when(col("doc_id") % 10 =!= 1, lit("hot-source"))
+            .otherwise(col("source")))
         .drop("hot_text")
         .write.mode("overwrite").parquet(s"$degDir/documents.parquet")
       val emb = ops.table(spark, srcDir, "embeddings")
@@ -171,7 +181,13 @@ object ScaleProbe {
       "q_llm_minhash_sketch", "q_llm_ngram_jaccard", "q_llm_simhash",
       "q_llm_simhash_neardup", "q_llm_dup_clusters", "q_llm_cluster_stats",
       "q_llm_dedup_keep_best", "q_llm_corpus_curate", "q_llm_contamination",
-      "q_llm_embed_neardup", "q_text_boilerplate", "q_text_fingerprint")
+      "q_llm_embed_neardup", "q_text_boilerplate", "q_text_fingerprint",
+      // r8: the round-7 operators, probed under mass duplication + the
+      // 90%-one-source corpus (dataset_diff's full-outer join carries a
+      // half-duplicated digest payload; the three per-source shapes face
+      // one dominant group key)
+      "q_llm_dataset_diff", "q_llm_dup_rate_by_source",
+      "q_llm_stratified_sample", "q_llm_token_budget")
     for ((dir, label) <- Seq((srcDir, "uniform"), (degDir, "degen"))) {
       family.foreach { name =>
         val t0 = System.nanoTime()
