@@ -244,44 +244,51 @@ object AggOps extends QueryModule {
       // quantile q = a/b at 0-based position q(n-1): exact integer lo-rank
       // and the two bracketing 1-based ranks (hi clamped to n). The count
       // relation arrives from valueAtRanks' own key histogram (no second
-      // input pass) — returned alongside the selection for the final
-      // interpolation join, a #groups-row aggregation of the memoized
-      // key-histogram leaf (cheap to recompute per consumer; checkpointing
-      // it cost a full extra job on every cold build).
-      def mkRanks(nRel: DataFrame): DataFrame = {
-        def ranksFor(tag: String, a: Int, b: Int, vcol: String): DataFrame =
-          nRel.where(col("g").endsWith(s"|$vcol"))
-            .select(col("g"), explode(array(
-              struct(lit(s"${tag}_lo").as("which"),
-                expr(s"($a * (n - 1)) div $b + 1").as("rank")),
-              struct(lit(s"${tag}_hi").as("which"),
-                expr(s"least(($a * (n - 1)) div $b + 2, n)").as("rank"))))
-              .as("t"))
-            .select(col("g"), col("t.which").as("which"), col("t.rank").as("rank"))
-        ranksFor("q25", 1, 4, "qty")
-          .union(ranksFor("q50", 1, 2, "qty"))
-          .union(ranksFor("q75", 3, 4, "qty"))
-          .union(ranksFor("q50", 1, 2, "price"))
-      }
+      // input pass). ONE pass over it builds every (which, rank) target —
+      // the quantile spec lives in a literal array filtered per measure
+      // column (the previous 4-way union re-aggregated the count relation
+      // once per quantile) — and n rides THROUGH the selection (the
+      // valueAtRanks extras channel), so the final interpolation needs no
+      // re-join against the count relation: one fewer broadcast job per
+      // call, measured round 8.
+      def mkRanks(nRel: DataFrame): DataFrame =
+        nRel
+          .select(col("g"), col("n"), explode(expr(
+            """filter(array(
+              |  named_struct('tag', 'q25', 'a', 1, 'b', 4, 'vc', 'qty'),
+              |  named_struct('tag', 'q50', 'a', 1, 'b', 2, 'vc', 'qty'),
+              |  named_struct('tag', 'q75', 'a', 3, 'b', 4, 'vc', 'qty'),
+              |  named_struct('tag', 'q50', 'a', 1, 'b', 2, 'vc', 'price')),
+              | s -> endswith(g, concat('|', s.vc)))""".stripMargin))
+            .as("spec"))
+          .select(col("g"), col("n"), explode(array(
+            struct(concat(col("spec.tag"), lit("_lo")).as("which"),
+              expr("(spec.a * (n - 1)) div spec.b + 1").as("rank")),
+            struct(concat(col("spec.tag"), lit("_hi")).as("which"),
+              expr("least((spec.a * (n - 1)) div spec.b + 2, n)").as("rank"))))
+            .as("t"))
+          .select(col("g"), col("t.which").as("which"),
+            col("t.rank").as("rank"), col("n"))
       def at(which: String, vcol: String) =
         min(when(col("which") === which && col("g").endsWith(s"|$vcol"),
           col("value")))
-      val (sel, nCap) = DiagOps.valueAtRanks(longv, "g", "value", mkRanks,
+      val (sel, _) = DiagOps.valueAtRanks(longv, "g", "value", mkRanks,
         Some("pctl-lineitem|" +
           SourceSinkOps.fixtureKey(dir, "lineitem.parquet")))
+      // qty and price rows of one flag share n (one stack row each per
+      // lineitem row, no nulls in either measure), so max() just reads it
       val vals = sel
         .withColumn(grp, expr("split(g, '\\\\|')[0]"))
         .groupBy(grp).agg(
           at("q25_lo", "qty").as("q25_lo"), at("q25_hi", "qty").as("q25_hi"),
           at("q50_lo", "qty").as("q50_lo"), at("q50_hi", "qty").as("q50_hi"),
           at("q75_lo", "qty").as("q75_lo"), at("q75_hi", "qty").as("q75_hi"),
-          at("q50_lo", "price").as("p50_lo"), at("q50_hi", "price").as("p50_hi"))
-      val nGrp = nCap.where(col("g").endsWith("|qty"))
-        .select(expr("split(g, '\\\\|')[0]").as(grp), col("n"))
+          at("q50_lo", "price").as("p50_lo"), at("q50_hi", "price").as("p50_hi"),
+          max(col("n")).as("n"))
       def interp(lo: String, hi: String, a: Int, b: Int) =
         col(lo) + expr(s"(($a * (n - 1)) % $b) / CAST($b AS DOUBLE)") *
           (col(hi) - col(lo))
-      vals.join(broadcast(nGrp), grp)
+      vals
         .select(col(grp),
           round(interp("q25_lo", "q25_hi", 1, 4), 4).as("p25_qty"),
           round(interp("q50_lo", "q50_hi", 1, 2), 4).as("p50_qty"),

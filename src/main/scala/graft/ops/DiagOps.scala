@@ -154,19 +154,27 @@ object DiagOps extends QueryModule {
     }
     // hist aggregates an RDD leaf (unknown stats propagate up): without
     // the hint this tiny join plans as a sort-merge with exchanges over
-    // two index-sized frames
-    val targets = mkRanks(nRel).join(broadcast(hist), grpCol)
+    // two index-sized frames. Any extra columns mkRanks attaches beyond
+    // (grp, which, rank) ride through to the selection output — callers
+    // carry their per-group counts along instead of re-joining them after
+    // (one fewer broadcast job per call).
+    val ranks = mkRanks(nRel)
+    val extras = ranks.columns.toSeq
+      .filterNot(Set(grpCol, "which", "rank"))
+    val targets = ranks.join(broadcast(hist), grpCol)
       .where(col("_vr_prev") < col("rank")
         && col("_vr_prev") + col("_vr_cnt") >= col("rank"))
-      .select(col(grpCol), col("_vr_bucket"), col("which"),
-        (col("rank") - col("_vr_prev")).as("_vr_local"))
+      .select(col(grpCol) +: col("_vr_bucket") +: col("which") +:
+        (col("rank") - col("_vr_prev")).as("_vr_local") +:
+        extras.map(col): _*)
     val wKey = Window.partitionBy(grpCol, "_vr_bucket", "which")
       .orderBy("_vr_key").rowsBetween(Window.unboundedPreceding, -1)
     val sel = keyHist.join(broadcast(targets), Seq(grpCol, "_vr_bucket"))
       .withColumn("_vr_kprev", coalesce(sum("_vr_kcnt").over(wKey), lit(0L)))
       .where(col("_vr_kprev") < col("_vr_local")
         && col("_vr_kprev") + col("_vr_kcnt") >= col("_vr_local"))
-      .select(col(grpCol), col("which"), col("value"))
+      .select(col(grpCol) +: col("which") +: col("value") +:
+        extras.map(col): _*)
     (sel, nRel)
   }
 
