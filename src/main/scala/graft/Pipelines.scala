@@ -169,4 +169,11 @@ object Pipelines {
     * q_llm_token_budget). */
   def tokenBudget(docs: DataFrame, budget: Long = 1000000L): DataFrame =
     MixOps.tokenBudget(docs, budget)
+
+  /** Train/test split-leakage audit: per TEST-split doc (the [[splitAssign]]
+    * assignment), the kept 5-word shingles it shares with any TRAIN-split
+    * doc — (test_doc, n_hits, n_shingles, first_train_doc); empty result =
+    * no near-dup leakage across the boundary (see q_llm_split_leakage). */
+  def splitLeakage(spark: SparkSession, docs: DataFrame): DataFrame =
+    CurationOps.splitLeakage(spark, docs)
 }

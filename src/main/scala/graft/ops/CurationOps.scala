@@ -264,6 +264,32 @@ object CurationOps extends QueryModule {
     shingleCache.clear()
   }
 
+  /** Split-leakage audit over a kept-shingle frame — the
+    * q_llm_split_leakage primitive: per TEST-split doc (salt-6 bucket
+    * ≥ 95), the kept shingles it shares with any TRAIN-split doc
+    * (bucket < 90), with hit/shingle counts and the smallest leaking
+    * train doc. The shingle equi-join's per-key work is bounded by the
+    * stop-shingle df cap (≤ 50 docs per shingle ⇒ ≤ cap² join rows per
+    * key) — never corpus-quadratic. */
+  private[graft] def splitLeakageFromShingles(sh: DataFrame): DataFrame = {
+    val bkt = sh.withColumn("bucket", MixOps.splitBucketCol)
+    val testSh = bkt.where(col("bucket") >= 95)
+      .select(col("shingle"), col("doc_id").as("test_doc"))
+    val trainSh = bkt.where(col("bucket") < 90)
+      .select(col("shingle"), col("doc_id").as("train_doc"))
+    testSh.join(trainSh, "shingle")
+      .groupBy("test_doc")
+      .agg(asLong(count(lit(1))).as("n_hits"),
+        asLong(count_distinct(col("shingle"))).as("n_shingles"),
+        min(col("train_doc")).as("first_train_doc"))
+      .orderBy("test_doc")
+  }
+
+  /** As [[splitLeakageFromShingles]] for an arbitrary (doc_id, text)
+    * frame, exposed for [[graft.Pipelines]] (pays the shingle pass). */
+  private[graft] def splitLeakage(s: SparkSession, docs: DataFrame): DataFrame =
+    splitLeakageFromShingles(clusterShingles(s, docs))
+
   /** Per-document LM novelty against the corpus bigram counts for an
     * arbitrary (doc_id, text) frame — the q_llm_doc_lm_score primitive,
     * exposed for [[graft.Pipelines]]. Exact BIGINT counts; novelty_rate is
@@ -523,6 +549,17 @@ object CurationOps extends QueryModule {
         .orderBy("doc_id")
     }),
 
+    // Train/test split-leakage audit (r8): for each TEST-split document,
+    // the kept 5-word shingles it shares with any TRAIN-split document —
+    // the pre-ship near-dup leakage check on the SAME salt-6 assignment
+    // q_llm_split_assign actually produces (a leaked test doc invalidates
+    // the benchmark it feeds). Same capped-shingle substrate as
+    // contamination: the memoized kept-shingle frame bounds per-shingle
+    // document frequency at 50, so the shingle equi-join's per-key work is
+    // cap², never corpus-quadratic — the SCALING.md pairing rule.
+    "q_llm_split_leakage" -> ((s: SparkSession, dir: String) =>
+      splitLeakageFromShingles(keptShinglesFor(s, dir))),
+
     // End-to-end curation pipeline — THE LLM-training-data query: duplicate
     // clusters → keep the best member per cluster → quality gate → stratified
     // mod-sample → per-language training-set stats. Every stage is one of
@@ -702,6 +739,31 @@ object CurationOps extends QueryModule {
          |       min(ev.eval_doc) AS first_eval_doc
          |FROM tr JOIN ev USING (shingle)
          |GROUP BY tr.doc_id ORDER BY tr.doc_id""".stripMargin,
+
+    "q_llm_split_leakage" ->
+      s"""WITH
+         |t AS (
+         |  SELECT doc_id, list_filter(string_split(text, ' '), x -> length(x) > 0) AS toks
+         |  FROM documents),
+         |sgen AS (
+         |  SELECT doc_id, toks, unnest(generate_series(1, greatest(len(toks) - 4, 0))) AS i
+         |  FROM t),
+         |sh0 AS (
+         |  SELECT DISTINCT doc_id,
+         |         toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' ||
+         |         toks[i+3] || ' ' || toks[i+4] AS shingle
+         |  FROM sgen),
+         |keep AS (SELECT shingle FROM sh0 GROUP BY shingle HAVING count(*) <= $MaxShingleDocs),
+         |sh AS (SELECT sh0.doc_id, sh0.shingle FROM sh0 JOIN keep USING (shingle)),
+         |bkt AS (SELECT doc_id, shingle, ${MixOps.splitBucketSql} AS bucket FROM sh),
+         |te AS (SELECT shingle, doc_id AS test_doc FROM bkt WHERE bucket >= 95),
+         |tr AS (SELECT shingle, doc_id AS train_doc FROM bkt WHERE bucket < 90)
+         |SELECT test_doc,
+         |       CAST(count(*) AS BIGINT) AS n_hits,
+         |       CAST(count(DISTINCT shingle) AS BIGINT) AS n_shingles,
+         |       min(train_doc) AS first_train_doc
+         |FROM te JOIN tr USING (shingle)
+         |GROUP BY test_doc ORDER BY test_doc""".stripMargin,
 
     "q_llm_corpus_curate" ->
       s"""WITH RECURSIVE

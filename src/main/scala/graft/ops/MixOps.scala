@@ -47,10 +47,13 @@ object MixOps extends QueryModule {
     * (an ANSI/DuckDB runtime error at the 100 TB design scale). */
   private val (splitA, splitB) = ReplayableHash.params(1, salt = 6).head
 
-  private def splitBucketCol = expr(
+  // private[graft]: the split-leakage audit (CurationOps) partitions its
+  // shingle frame by the SAME salt-6 assignment, so leakage is measured
+  // against the split q_llm_split_assign actually ships
+  private[graft] def splitBucketCol = expr(
     s"(($splitA * (doc_id % ${ReplayableHash.P}) + $splitB)" +
       s" % ${ReplayableHash.P}) % 100")
-  private def splitBucketSql =
+  private[graft] def splitBucketSql =
     s"(($splitA * (doc_id % ${ReplayableHash.P}) + $splitB)" +
       s" % ${ReplayableHash.P}) % 100"
 

@@ -217,6 +217,40 @@ class CurationSpec extends SparkTestBase {
     }
   }
 
+  test("split leakage matches a driver-side naive recomputation") {
+    // independent ground truth: shingles, df cap, salt-6 buckets and the
+    // test×train intersection all recomputed from raw text in plain Scala
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val shingleSets: Map[Long, Set[String]] = docs.map { case (id, text) =>
+      id -> text.split(' ').filter(_.nonEmpty)
+        .sliding(5).filter(_.length == 5).map(_.mkString(" ")).toSet
+    }.toMap
+    val df = shingleSets.values.flatten
+      .groupBy(identity).map { case (sh, xs) => sh -> xs.size }
+    val kept = shingleSets.map { case (id, ss) =>
+      id -> ss.filter(df(_) <= 50)
+    }
+    val P = graft.functions.ReplayableHash.P
+    val (a, b) = graft.functions.ReplayableHash.params(1, salt = 6).head
+    def bucket(id: Long): Long = ((a * (id % P) + b) % P) % 100
+    val testIds = kept.keySet.filter(bucket(_) >= 95)
+    val trainIds = kept.keySet.filter(bucket(_) < 90)
+    val expected = testIds.toSeq.flatMap { t =>
+      val hits = trainIds.toSeq
+        .flatMap(tr => kept(t).intersect(kept(tr)).toSeq.map((_, tr)))
+      if (hits.isEmpty) None
+      else Some((t, hits.size.toLong,
+        hits.map(_._1).distinct.size.toLong, hits.map(_._2).min))
+    }.sortBy(_._1)
+    val got = q("q_llm_split_leakage").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(got.nonEmpty, "fixture produced no leakage rows — weak fixture")
+    assert(got == expected)
+  }
+
   test("stratified sample keeps exactly the mod-rule rows") {
     val rates = Map("en" -> 50, "fr" -> 30, "es" -> 20, "zh" -> 10).withDefaultValue(5)
     val langs = spark.read.parquet(s"$sfDir/documents.parquet")
