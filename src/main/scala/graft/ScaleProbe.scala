@@ -105,7 +105,8 @@ object ScaleProbe {
       "q_ts_gapfill", "q_agg_mode", "q_llm_sample_k",
       "q_agg_percentile", "q_stream_join", "q_agg_skew",
       "q_text_scrub", "q_llm_chunk_overlap", "q_llm_stratified_sample",
-      "q_llm_dataset_diff", "q_llm_dup_rate_by_source", "q_llm_token_budget")
+      "q_llm_dataset_diff", "q_llm_dup_rate_by_source", "q_llm_token_budget",
+      "q_llm_split_leakage")
     // warmup
     SparkEntry.queries("q_agg_basic")(spark, outDir).count()
     val results = probes.map { name =>
@@ -187,7 +188,10 @@ object ScaleProbe {
       // half-duplicated digest payload; the three per-source shapes face
       // one dominant group key)
       "q_llm_dataset_diff", "q_llm_dup_rate_by_source",
-      "q_llm_stratified_sample", "q_llm_token_budget")
+      "q_llm_stratified_sample", "q_llm_token_budget",
+      // r8 late: the leakage audit under mass duplication — the hot
+      // shingle set crosses the df cap and drops out of the join entirely
+      "q_llm_split_leakage")
     for ((dir, label) <- Seq((srcDir, "uniform"), (degDir, "degen"))) {
       family.foreach { name =>
         val t0 = System.nanoTime()
