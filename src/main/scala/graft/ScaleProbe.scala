@@ -106,7 +106,10 @@ object ScaleProbe {
       "q_agg_percentile", "q_stream_join", "q_agg_skew",
       "q_text_scrub", "q_llm_chunk_overlap", "q_llm_stratified_sample",
       "q_llm_dataset_diff", "q_llm_dup_rate_by_source", "q_llm_token_budget",
-      "q_llm_split_leakage")
+      "q_llm_split_leakage",
+      // r8 late: span-level dedup (block-hash df rejoin) and the
+      // attribution merge-scan (asofMerge shape over the event timeline)
+      "q_llm_block_dedup", "q_analytics_attribution")
     // warmup
     SparkEntry.queries("q_agg_basic")(spark, outDir).count()
     val results = probes.map { name =>
@@ -191,7 +194,11 @@ object ScaleProbe {
       "q_llm_stratified_sample", "q_llm_token_budget",
       // r8 late: the leakage audit under mass duplication — the hot
       // shingle set crosses the df cap and drops out of the join entirely
-      "q_llm_split_leakage")
+      "q_llm_split_leakage",
+      // r8 late: block dedup under mass duplication — the 2,500-clone
+      // block hashes concentrate the df rejoin on few keys, but the join
+      // carries one small row per block occurrence, never span text
+      "q_llm_block_dedup")
     for ((dir, label) <- Seq((srcDir, "uniform"), (degDir, "degen"))) {
       family.foreach { name =>
         val t0 = System.nanoTime()

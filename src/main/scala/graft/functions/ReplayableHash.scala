@@ -32,6 +32,14 @@ object ReplayableHash extends Serializable {
   val P: Long = 1000000007L
   val Base: Long = 131L
 
+  /** Fold base for combining the token hashes of a fixed-width block
+    * (BlockHashGenerator): `h = (h * BlockBase + th) % P`. `h, th < P`
+    * and `BlockBase < P`, so every step stays < ~2^60 — replayable on
+    * DuckDB BIGINTs. Fixed block width means the unsalted fold is
+    * prefix-unambiguous; this is a combine constant, not a new affine
+    * family, so the no-salt-reuse rule does not apply. */
+  val BlockBase: Long = 1000003L
+
   /** Polynomial rolling hash over code points, in [0, P). */
   def tokenHash(s: String): Long = {
     var h = 0L
@@ -80,6 +88,12 @@ object ReplayableHash extends Serializable {
     * two's-complement min value is emitted as an arithmetic expression). */
   def bitWeightSql(j: Int): String =
     if (j == 63) "(-9223372036854775807 - 1)" else (1L << j).toString
+
+  /** SQL computing the [[BlockHashGenerator]] fold over a BIGINT-list
+    * expression of token hashes (list order = token order). */
+  def blockFoldSql(listExpr: String): String =
+    s"""list_reduce(list_prepend(CAST(0 AS BIGINT), $listExpr),
+       |  (h, x) -> (h * $BlockBase + x) % $P)""".stripMargin
 
   /** Shared oracle prelude over `documents`: distinct non-empty whitespace
     * tokens (the docTokens contract) and their base hashes.

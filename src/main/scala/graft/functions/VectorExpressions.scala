@@ -134,6 +134,18 @@ object GraftFunctions {
             s"shingles(text, n): n must be an integer literal, got $other")
         }
         ShingleGenerator(es(0), n)
+      }),
+    (FunctionIdentifier("block_hashes"),
+      new ExpressionInfo(classOf[BlockHashGenerator].getName, "block_hashes"),
+      (es: Seq[Expression]) => {
+        require(es.length == 2,
+          s"block_hashes(text, w) requires exactly 2 arguments, got ${es.length}")
+        val w = es(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"block_hashes(text, w): w must be an integer literal, got $other")
+        }
+        BlockHashGenerator(es(0), w)
       }))
 
   /** Imperative registration on an existing session (idempotent override). */

@@ -16,6 +16,7 @@ import org.apache.spark.sql.functions._
 object AnalyticsOps extends QueryModule {
 
   private val WeekUs = 7L * 86400L * 1000000L
+  private val DayUs = 86400L * 1000000L
 
   def queries: Seq[(String, Q)] = Seq(
     // Ordered funnel per user: earliest view, earliest click at/after that
@@ -55,6 +56,51 @@ object AnalyticsOps extends QueryModule {
         .groupBy(col("cohort_week"), (col("week") - col("cohort_week")).as("week_offset"))
         .agg(count_distinct(col("user_id")).as("n_users"))
         .orderBy("cohort_week", "week_offset")
+    }),
+
+    // Last-touch conversion attribution: each purchase credits the latest
+    // click/view STRICTLY before it (tie-break event_id) within a 7-day
+    // lookback, else the 'none' channel; report conversions + exact
+    // revenue per channel. Same merge-scan discipline as q_join_asof: the
+    // running best-touch struct is computed two-level — within a (user,
+    // day-bucket) sort group, then across buckets on the one-row-per-
+    // bucket summary — so even a single hot user never sorts its whole
+    // timeline in one task. The lookback filter runs AFTER the running
+    // max: the latest touch overall is also the latest inside any window
+    // that contains one, so filtering it is equivalent to windowed argmax.
+    // All comparisons are integer epoch-µs; struct order never reaches
+    // the channel string ((t_us, id) is unique per event).
+    "q_analytics_attribution" -> ((s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.expressions.Window
+      val tl = table(s, dir, "events")
+        .where(col("event_type").isin("click", "view", "purchase"))
+        .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+          col("event_id"), col("event_type"), col("value"),
+          when(col("event_type") === "purchase", 0).otherwise(1).as("kind"))
+        .withColumn("tb", expr(s"ts_us div $DayUs"))
+        .withColumn("touch", when(col("kind") === 1,
+          struct(col("ts_us").as("t_us"), col("event_id").as("id"),
+            col("event_type").as("ch"))))
+      val wLocal = Window.partitionBy("user_id", "tb")
+        .orderBy(col("ts_us"), col("kind"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val summary = tl.groupBy("user_id", "tb")
+        .agg(max(col("touch")).as("bucket_best"))
+        .withColumn("cross_best", max(col("bucket_best")).over(
+          Window.partitionBy("user_id").orderBy("tb")
+            .rowsBetween(Window.unboundedPreceding, -1)))
+        .select("user_id", "tb", "cross_best")
+      tl.withColumn("local_best", max(col("touch")).over(wLocal))
+        .where(col("kind") === 0)
+        .join(summary, Seq("user_id", "tb"))
+        .withColumn("best", greatest(col("local_best"), col("cross_best")))
+        .select(coalesce(
+            when(col("best.t_us") >= col("ts_us") - lit(7L * DayUs), col("best.ch")),
+            lit("none")).as("channel"),
+          col("value"))
+        .groupBy("channel")
+        .agg(count(lit(1)).as("n_conv"), dsum(col("value")).as("revenue"))
+        .orderBy("channel")
     })
   )
 
@@ -92,6 +138,27 @@ object AnalyticsOps extends QueryModule {
          |       count(DISTINCT ev.user_id) AS n_users
          |FROM ev JOIN cohort USING (user_id)
          |GROUP BY cohort_week, week_offset
-         |ORDER BY cohort_week, week_offset""".stripMargin
+         |ORDER BY cohort_week, week_offset""".stripMargin,
+
+    // The oracle computes the same running best-touch with one plain
+    // window (DuckDB struct max orders field-by-field, same as Spark);
+    // the engine's two-level bucketed shape is a pure execution choice.
+    "q_analytics_attribution" ->
+      s"""WITH tl AS (
+         |  SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type, value,
+         |         CASE WHEN event_type = 'purchase' THEN 0 ELSE 1 END AS kind
+         |  FROM events WHERE event_type IN ('click', 'view', 'purchase')),
+         |w AS (
+         |  SELECT *,
+         |         max(CASE WHEN kind = 1
+         |                  THEN {'t_us': ts_us, 'id': event_id, 'ch': event_type} END)
+         |         OVER (PARTITION BY user_id ORDER BY ts_us, kind, event_id
+         |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS best
+         |  FROM tl)
+         |SELECT COALESCE(CASE WHEN best.t_us >= ts_us - ${7L * DayUs}
+         |                     THEN best.ch END, 'none') AS channel,
+         |       count(*) AS n_conv,
+         |       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+         |FROM w WHERE kind = 0 GROUP BY channel ORDER BY channel""".stripMargin
   )
 }

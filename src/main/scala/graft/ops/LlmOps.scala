@@ -364,6 +364,43 @@ object LlmOps extends QueryModule {
         .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
         .orderBy("keep_id")),
 
+    // Span-level exact dedup stats (the "duplicated training-data spans"
+    // operator of corpus curation — Lee et al. 2022's substring dedup,
+    // block-granular and sized to this corpus's short docs): disjoint
+    // 8-token block hashes per doc (BlockHashGenerator — digests leave
+    // the scan, never span text), global occurrence counts per hash, and
+    // per-doc duplication stats plus a replayable mod-P fingerprint of
+    // the UNIQUE blocks (what survives span dedup). Every exchange
+    // carries (doc_id, blk, bh) integers only; the df-count is a
+    // map-side-combinable hash agg rejoined on the hash (never a
+    // count-over-window); all arithmetic stays < 2^63 so the DuckDB twin
+    // replays it bit-for-bit.
+    "q_llm_block_dedup" -> ((s: SparkSession, dir: String) => {
+      graft.functions.GraftFunctions.register(s)
+      val P = graft.functions.ReplayableHash.P
+      val docs = table(s, dir, "documents")
+      val blocks = docs.select(col("doc_id"),
+        call_function("block_hashes", col("text"), lit(8)))
+      val occ = blocks.groupBy("bh").agg(count(lit(1)).as("df"))
+      val st = blocks.join(occ, "bh")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_blocks"),
+          asLong(sum(when(col("df") > 1, 1L).otherwise(0L))).as("n_dup_blocks"),
+          asLong(sum(when(col("df") === 1,
+            ((col("blk") + 1) % P) * col("bh") % P).otherwise(0L)) % P).as("uniq_fp"))
+      docs.select(col("doc_id"),
+          size(filter(split(col("text"), " "), t => length(t) > 0))
+            .cast("long").as("n_tokens"))
+        .join(st, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_tokens"),
+          coalesce(col("n_blocks"), lit(0L)).as("n_blocks"),
+          coalesce(col("n_dup_blocks"), lit(0L)).as("n_dup_blocks"),
+          when(col("n_blocks") > 0,
+            col("n_dup_blocks").cast("double") / col("n_blocks")).as("dup_ratio"),
+          coalesce(col("uniq_fp"), lit(0L)).as("uniq_fp"))
+        .orderBy("doc_id")
+    }),
+
     "q_llm_text_stats" -> ((s: SparkSession, dir: String) =>
       table(s, dir, "documents")
         .withColumn("n_tokens", size(split(col("text"), " ")))
@@ -827,6 +864,42 @@ object LlmOps extends QueryModule {
     "q_llm_exact_dedup" ->
       """SELECT sha256(text) AS text_sha, min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY sha256(text) ORDER BY keep_id""".stripMargin,
+
+    // Positional token hashes (NOT the distinct-token tokenHashCte —
+    // block identity is order-sensitive), fixed-width complete blocks,
+    // then the same fold / df-count / mod-P fingerprint arithmetic the
+    // Spark side computes, generated from the shared constants.
+    "q_llm_block_dedup" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, list_filter(string_split(text, ' '), t -> length(t) > 0) AS ts
+         |  FROM documents),
+         |tkpos AS (SELECT doc_id, unnest(range(1, length(ts) + 1)) AS pos, ts FROM toks),
+         |tk AS (SELECT doc_id, pos, ts[CAST(pos AS INT)] AS token FROM tkpos),
+         |pth AS (SELECT doc_id, pos, ${RH.tokenHashSql("token")} AS th FROM tk),
+         |blk AS (
+         |  SELECT doc_id, CAST((pos - 1) // 8 AS BIGINT) AS blk, list(th ORDER BY pos) AS hs
+         |  FROM pth GROUP BY doc_id, (pos - 1) // 8 HAVING count(*) = 8),
+         |bh AS (SELECT doc_id, blk, ${RH.blockFoldSql("hs")} AS bh FROM blk),
+         |occ AS (SELECT bh AS h, count(*) AS df FROM bh GROUP BY bh),
+         |st AS (
+         |  SELECT b.doc_id, count(*) AS n_blocks,
+         |         CAST(sum(CASE WHEN o.df > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_blocks,
+         |         CAST(sum(CASE WHEN o.df = 1
+         |                       THEN (((b.blk + 1) % ${RH.P}) * b.bh) % ${RH.P}
+         |                       ELSE 0 END) % ${RH.P} AS BIGINT) AS uniq_fp
+         |  FROM bh b JOIN occ o ON o.h = b.bh GROUP BY b.doc_id),
+         |nt AS (
+         |  SELECT doc_id,
+         |         CAST(length(list_filter(string_split(text, ' '), t -> length(t) > 0)) AS BIGINT) AS n_tokens
+         |  FROM documents)
+         |SELECT nt.doc_id AS doc_id, nt.n_tokens AS n_tokens,
+         |       COALESCE(st.n_blocks, 0) AS n_blocks,
+         |       COALESCE(st.n_dup_blocks, 0) AS n_dup_blocks,
+         |       CASE WHEN st.n_blocks > 0
+         |            THEN CAST(st.n_dup_blocks AS DOUBLE) / st.n_blocks END AS dup_ratio,
+         |       COALESCE(st.uniq_fp, 0) AS uniq_fp
+         |FROM nt LEFT JOIN st ON st.doc_id = nt.doc_id
+         |ORDER BY nt.doc_id""".stripMargin,
 
     "q_llm_text_stats" ->
       """SELECT lang, count(*) AS n_docs,

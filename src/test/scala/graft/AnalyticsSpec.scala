@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
 
 /** Invariant tests for the event-analytics family (AnalyticsOps); value
   * correctness is the DuckDB hash gate, these pin the semantic shape.
@@ -30,6 +31,31 @@ class AnalyticsSpec extends SparkTestBase {
     }
     val byStage = (0L to 3L).map(k => rows.count(_._5 >= k))
     assert(byStage == byStage.sorted.reverse, s"population not monotone: $byStage")
+  }
+
+  test("attribution matches a per-purchase driver-side replay") {
+    // independent ground truth: brute-force scan of each user's timeline
+    // (sf0.001 fixture — O(n²) loops are test scaffolding, not engine path)
+    val ev = ops.table(spark, sfDir, "events")
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        col("event_id"), col("event_type"), col("value"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3), r.getDouble(4)))
+    val touches = ev.filter(e => e._4 == "click" || e._4 == "view")
+    val purchases = ev.filter(_._4 == "purchase")
+    val week = 7L * 86400L * 1000000L
+    val expected = purchases.groupBy { case (u, ts, id, _, _) =>
+      touches.filter(t => t._1 == u && t._2 < ts && t._2 >= ts - week)
+        .sortBy(t => (t._2, t._3)).lastOption.map(_._4).getOrElse("none")
+    }.map { case (ch, ps) => (ch, (ps.length.toLong,
+      ps.map(p => BigDecimal(p._5).setScale(4, BigDecimal.RoundingMode.HALF_UP))
+        .sum.toDouble)) }
+    val got = q("q_analytics_attribution").collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getDouble(2)))).toMap
+    assert(got.keySet == expected.keySet)
+    expected.foreach { case (ch, e) =>
+      assert(got(ch) == e, s"channel $ch: got ${got(ch)}, expected $e")
+    }
   }
 
   test("retention offset-0 cell equals the cohort size") {

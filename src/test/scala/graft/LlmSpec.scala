@@ -287,6 +287,36 @@ class LlmSpec extends SparkTestBase {
     assert(mae < 0.15, s"MAE $mae too large for K=16")
   }
 
+  test("block dedup stats match an independent string-block ground truth") {
+    // ground truth on TOKEN-STRING blocks (collision-free by construction),
+    // independent of the generator's hash arithmetic
+    val blocks: Array[(Long, Array[Seq[String]])] = tokenSets.map(_._1).map { id =>
+      val toks = docsDf.where(col("doc_id") === id)
+        .head().getAs[String]("text").split(' ').filter(_.nonEmpty)
+      (id, toks.grouped(8).filter(_.length == 8).map(_.toSeq).toArray)
+    }
+    val df = blocks.flatMap(_._2).groupBy(identity).view.mapValues(_.length).toMap
+    val expected = blocks.map { case (id, bs) =>
+      (id, (bs.length.toLong, bs.count(b => df(b) > 1).toLong))
+    }.toMap
+    val got = q("q_llm_block_dedup").collect()
+      .map(r => (r.getLong(0), (r.getLong(2), r.getLong(3)))).toMap
+    assert(got.keySet == expected.keySet)
+    val bad = expected.filter { case (id, e) => got(id) != e }
+    assert(bad.isEmpty, s"mismatched block stats: ${bad.take(5)}")
+    // fingerprint wiring: recompute one doc's unique-block fingerprint from
+    // the shared constants
+    val RH = graft.functions.ReplayableHash
+    val (id0, bs0) = blocks.find(_._2.nonEmpty).get
+    val hs = bs0.map(_.foldLeft(0L)((h, t) => (h * RH.BlockBase + RH.tokenHash(t)) % RH.P))
+    val fp = hs.zipWithIndex.collect {
+      case (h, i) if df(bs0(i)) == 1 => ((i + 1) % RH.P) * h % RH.P
+    }.sum % RH.P
+    val gotFp = q("q_llm_block_dedup").where(col("doc_id") === id0)
+      .head().getAs[Long]("uniq_fp")
+    assert(gotFp == fp, s"doc $id0 fingerprint $gotFp != recomputed $fp")
+  }
+
   test("nearest-class-mean classification beats chance on the fixture") {
     // the hash gate pins the values; this pins the SIGNAL — the fixture's
     // label clusters are separable, so centroid classification must beat
