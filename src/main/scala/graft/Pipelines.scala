@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ops.{CurationOps, DiagOps, LlmOps, MixOps, TextOps}
+import graft.ops.{AnalyticsOps, CurationOps, DiagOps, LlmOps, MixOps, TextOps}
 
 /** Public library surface for the LLM-training-data pipeline operators.
   *
@@ -176,4 +176,27 @@ object Pipelines {
     * no near-dup leakage across the boundary (see q_llm_split_leakage). */
   def splitLeakage(spark: SparkSession, docs: DataFrame): DataFrame =
     CurationOps.splitLeakage(spark, docs)
+
+  /** Span-level exact-dup stats per doc: disjoint `w`-token block hashes,
+    * global duplicate-block counts, and a fingerprint of the unique blocks
+    * (what survives span dedup) — (doc_id, n_tokens, n_blocks,
+    * n_dup_blocks, dup_ratio, uniq_fp). See q_llm_block_dedup. */
+  def blockDedup(spark: SparkSession, docs: DataFrame, w: Int = 8): DataFrame =
+    LlmOps.blockDedupStats(spark, docs, w)
+
+  /** SemDeDup-shaped per-vector dedup verdict over (vec_id, label,
+    * emb ARRAY<DOUBLE>): within a capped sign-LSH cell, drop any vector
+    * with a lower-id neighbor at cosine >= tau — (vec_id, label, dup_of,
+    * keep). See q_llm_emb_semdedup. */
+  def semdedup(spark: SparkSession, emb: DataFrame, tau: Double = 0.4): DataFrame =
+    LlmOps.semdedupVerdicts(spark, emb, tau)
+
+  /** Sensitive-content incidence per source (the pre-scrub audit):
+    * (source, n_docs, docs_with_hits, total_hits, max_hits). */
+  def piiAudit(docs: DataFrame): DataFrame = TextOps.piiAudit(docs)
+
+  /** Last-touch conversion attribution over an events frame:
+    * (channel, n_conv, revenue). See q_analytics_attribution. */
+  def attribution(events: DataFrame): DataFrame =
+    AnalyticsOps.lastTouchAttribution(events)
 }

@@ -107,9 +107,12 @@ object ScaleProbe {
       "q_text_scrub", "q_llm_chunk_overlap", "q_llm_stratified_sample",
       "q_llm_dataset_diff", "q_llm_dup_rate_by_source", "q_llm_token_budget",
       "q_llm_split_leakage",
-      // r8 late: span-level dedup (block-hash df rejoin) and the
-      // attribution merge-scan (asofMerge shape over the event timeline)
-      "q_llm_block_dedup", "q_analytics_attribution")
+      // r8 late: span-level dedup (block-hash df rejoin), the attribution
+      // merge-scan (asofMerge shape over the event timeline), the
+      // semdedup verdict (capped sign-LSH cell self-join), and the
+      // per-source PII audit (scan-side regexp_count)
+      "q_llm_block_dedup", "q_analytics_attribution",
+      "q_llm_emb_semdedup", "q_text_pii_audit")
     // warmup
     SparkEntry.queries("q_agg_basic")(spark, outDir).count()
     val results = probes.map { name =>
@@ -198,7 +201,11 @@ object ScaleProbe {
       // r8 late: block dedup under mass duplication — the 2,500-clone
       // block hashes concentrate the df rejoin on few keys, but the join
       // carries one small row per block occurrence, never span text
-      "q_llm_block_dedup")
+      "q_llm_block_dedup",
+      // r8 late: semdedup under mass duplication — the identical-vector
+      // mega-cell is cut to MaxEmbBucket members before pairing (vectors
+      // past the cap keep their verdict trivially)
+      "q_llm_emb_semdedup")
     for ((dir, label) <- Seq((srcDir, "uniform"), (degDir, "degen"))) {
       family.foreach { name =>
         val t0 = System.nanoTime()

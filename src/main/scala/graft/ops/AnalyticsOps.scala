@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Event-analytics operators over `events` (SURVEY §2B, round 3): funnel
@@ -17,6 +17,45 @@ object AnalyticsOps extends QueryModule {
 
   private val WeekUs = 7L * 86400L * 1000000L
   private val DayUs = 86400L * 1000000L
+
+  /** Last-touch attribution over an arbitrary events frame (user_id, ts,
+    * event_id, event_type, value) — the q_analytics_attribution primitive,
+    * exposed for [[graft.Pipelines]]. See the query comment for the
+    * two-level merge-scan rationale. */
+  private[graft] def lastTouchAttribution(events: DataFrame,
+      touchTypes: Seq[String] = Seq("click", "view"),
+      convType: String = "purchase",
+      lookbackUs: Long = 7L * 86400L * 1000000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tl = events
+      .where(col("event_type").isin(touchTypes :+ convType: _*))
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        col("event_id"), col("event_type"), col("value"),
+        when(col("event_type") === convType, 0).otherwise(1).as("kind"))
+      .withColumn("tb", expr(s"ts_us div $DayUs"))
+      .withColumn("touch", when(col("kind") === 1,
+        struct(col("ts_us").as("t_us"), col("event_id").as("id"),
+          col("event_type").as("ch"))))
+    val wLocal = Window.partitionBy("user_id", "tb")
+      .orderBy(col("ts_us"), col("kind"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val summary = tl.groupBy("user_id", "tb")
+      .agg(max(col("touch")).as("bucket_best"))
+      .withColumn("cross_best", max(col("bucket_best")).over(
+        Window.partitionBy("user_id").orderBy("tb")
+          .rowsBetween(Window.unboundedPreceding, -1)))
+      .select("user_id", "tb", "cross_best")
+    tl.withColumn("local_best", max(col("touch")).over(wLocal))
+      .where(col("kind") === 0)
+      .join(summary, Seq("user_id", "tb"))
+      .withColumn("best", greatest(col("local_best"), col("cross_best")))
+      .select(coalesce(
+          when(col("best.t_us") >= col("ts_us") - lit(lookbackUs), col("best.ch")),
+          lit("none")).as("channel"),
+        col("value"))
+      .groupBy("channel")
+      .agg(count(lit(1)).as("n_conv"), dsum(col("value")).as("revenue"))
+  }
 
   def queries: Seq[(String, Q)] = Seq(
     // Ordered funnel per user: earliest view, earliest click at/after that
@@ -70,38 +109,8 @@ object AnalyticsOps extends QueryModule {
     // that contains one, so filtering it is equivalent to windowed argmax.
     // All comparisons are integer epoch-µs; struct order never reaches
     // the channel string ((t_us, id) is unique per event).
-    "q_analytics_attribution" -> ((s: SparkSession, dir: String) => {
-      import org.apache.spark.sql.expressions.Window
-      val tl = table(s, dir, "events")
-        .where(col("event_type").isin("click", "view", "purchase"))
-        .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
-          col("event_id"), col("event_type"), col("value"),
-          when(col("event_type") === "purchase", 0).otherwise(1).as("kind"))
-        .withColumn("tb", expr(s"ts_us div $DayUs"))
-        .withColumn("touch", when(col("kind") === 1,
-          struct(col("ts_us").as("t_us"), col("event_id").as("id"),
-            col("event_type").as("ch"))))
-      val wLocal = Window.partitionBy("user_id", "tb")
-        .orderBy(col("ts_us"), col("kind"), col("event_id"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val summary = tl.groupBy("user_id", "tb")
-        .agg(max(col("touch")).as("bucket_best"))
-        .withColumn("cross_best", max(col("bucket_best")).over(
-          Window.partitionBy("user_id").orderBy("tb")
-            .rowsBetween(Window.unboundedPreceding, -1)))
-        .select("user_id", "tb", "cross_best")
-      tl.withColumn("local_best", max(col("touch")).over(wLocal))
-        .where(col("kind") === 0)
-        .join(summary, Seq("user_id", "tb"))
-        .withColumn("best", greatest(col("local_best"), col("cross_best")))
-        .select(coalesce(
-            when(col("best.t_us") >= col("ts_us") - lit(7L * DayUs), col("best.ch")),
-            lit("none")).as("channel"),
-          col("value"))
-        .groupBy("channel")
-        .agg(count(lit(1)).as("n_conv"), dsum(col("value")).as("revenue"))
-        .orderBy("channel")
-    })
+    "q_analytics_attribution" -> ((s: SparkSession, dir: String) =>
+      lastTouchAttribution(table(s, dir, "events")).orderBy("channel"))
   )
 
   def oracle: Seq[(String, String)] = Seq(

@@ -396,7 +396,7 @@ object CurationOps extends QueryModule {
     // a window pass. Per-group state is <= 50 structs, so executor memory is
     // bounded regardless of corpus size — the shape survives 100 TB.
     "q_llm_simhash_neardup" -> ((s: SparkSession, dir: String) => {
-      val sigs = LlmOps.simhashSigs(table(s, dir, "documents"), 64)
+      val sigs = LlmOps.simhashSigsFor(s, dir, 64)
       val bandCols = (0 until 4).map { b =>
         struct(lit(b).as("band"),
           shiftrightunsigned(col("simhash"), 16 * b)

@@ -22,6 +22,7 @@ object LlmOps extends QueryModule {
 
   private val MaxBucket = 50
   private val MaxEmbBucket = 200
+  private val SemDedupTau = 0.4
   private val NumHashes = 16
   private val NumBands  = 8 // 2 rows per band
 
@@ -50,6 +51,70 @@ object LlmOps extends QueryModule {
         Window.partitionBy(bucketCols.map(col): _*).orderBy(orderCol)))
       .where(col("bucket_rn") <= max)
       .drop("bucket_rn")
+
+  /** SemDeDup-shaped per-vector dedup verdict for an arbitrary (vec_id,
+    * label, emb ARRAY<DOUBLE>) frame — the q_llm_emb_semdedup primitive,
+    * exposed for [[graft.Pipelines]]: coarse-partition by sign-LSH cell
+    * (capped — the same mega-bucket hygiene as embed_neardup), drop every
+    * vector with a lower-id neighbor at cosine >= tau, emit (keep, dup_of).
+    * tau defaults to the fixture-calibrated SemDedupTau; real text
+    * embeddings would use ~0.95+. */
+  private[graft] def semdedupVerdicts(s: SparkSession, emb: DataFrame,
+      tau: Double = SemDedupTau): DataFrame = {
+    def bucketOf(e: Column): Column =
+      NeardupPlanes.zipWithIndex.map { case (plane, p) =>
+        when(vdot(s)(e, typedlit(plane)) > 0, lit(1L << p)).otherwise(lit(0L))
+      }.reduce(_ + _)
+    val withBucket = capBuckets(
+      emb.withColumn("bucket", bucketOf(col("emb"))),
+      Seq("bucket"), "vec_id", MaxEmbBucket)
+    val a = withBucket.select(col("bucket"), col("vec_id").as("id_a"), col("emb").as("emb_a"))
+    val b = withBucket.select(col("bucket"), col("vec_id").as("id_b"), col("emb").as("emb_b"))
+    val dups = a.join(b, Seq("bucket"))
+      .where(col("id_a") < col("id_b")
+        && cosine(s)(col("emb_a"), col("emb_b")) >= tau)
+      .groupBy(col("id_b").as("vec_id"))
+      .agg(min(col("id_a")).as("dup_of"))
+    // dups is GENUINELY bounded: 8 planes → ≤ 2^8 cells, each capped at
+    // MaxEmbBucket members, so at most 256·(200−1) verdict rows exist at
+    // ANY corpus size — broadcast is legal everywhere (the simhash
+    // 2^16-count-side rule, not the dup_clusters O(#docs) trap).
+    emb.select(col("vec_id"), col("label"))
+      .join(broadcast(dups), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("label"), col("dup_of"),
+        col("dup_of").isNull.as("keep"))
+  }
+
+  /** Span-level exact-dup stats for an arbitrary (doc_id, text) frame —
+    * the q_llm_block_dedup primitive, exposed for [[graft.Pipelines]]:
+    * disjoint `w`-token block hashes per doc (BlockHashGenerator — digests
+    * leave the scan, never span text), a map-side-combinable df hash agg
+    * rejoined on the hash, and per-doc duplication stats plus a replayable
+    * mod-P fingerprint of the UNIQUE blocks (what survives span dedup). */
+  private[graft] def blockDedupStats(s: SparkSession, docs: DataFrame,
+      w: Int = 8): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val P = graft.functions.ReplayableHash.P
+    val blocks = docs.select(col("doc_id"),
+      call_function("block_hashes", col("text"), lit(w)))
+    val occ = blocks.groupBy("bh").agg(count(lit(1)).as("df"))
+    val st = blocks.join(occ, "bh")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_blocks"),
+        asLong(sum(when(col("df") > 1, 1L).otherwise(0L))).as("n_dup_blocks"),
+        asLong(sum(when(col("df") === 1,
+          ((col("blk") + 1) % P) * col("bh") % P).otherwise(0L)) % P).as("uniq_fp"))
+    docs.select(col("doc_id"),
+        size(filter(split(col("text"), " "), t => length(t) > 0))
+          .cast("long").as("n_tokens"))
+      .join(st, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_blocks"), lit(0L)).as("n_blocks"),
+        coalesce(col("n_dup_blocks"), lit(0L)).as("n_dup_blocks"),
+        when(col("n_blocks") > 0,
+          col("n_dup_blocks").cast("double") / col("n_blocks")).as("dup_ratio"),
+        coalesce(col("uniq_fp"), lit(0L)).as("uniq_fp"))
+  }
 
   /** distinct (doc_id, token) pairs. */
   private[graft] def docTokens(docs: DataFrame): DataFrame =
@@ -118,6 +183,22 @@ object LlmOps extends QueryModule {
     * (toks, sigs, candidate pairs at the default cap). */
   private val candCache = new java.util.concurrent.ConcurrentHashMap[
     String, (DataFrame, DataFrame, DataFrame)]()
+
+  /** Session-lifetime memo of the SimHash signature index per (corpus
+    * content, bits) — the same one-built-index rationale as
+    * candidateIndexFor: both simhash queries (and every probe rep) read
+    * the fingerprint relation a production dedup pipeline maintains,
+    * instead of re-hashing every token per query. */
+  private val simhashSigCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  private[graft] def simhashSigsFor(s: SparkSession, dir: String,
+      bits: Int): DataFrame = {
+    val key = System.identityHashCode(s.sparkContext).toString + "|" +
+      SourceSinkOps.fixtureKey(dir, "documents.parquet") + s"|sh$bits"
+    simhashSigCache.computeIfAbsent(key,
+      _ => simhashSigs(table(s, dir, "documents"), bits).localCheckpoint(true))
+  }
 
   private[graft] def candidateIndexFor(s: SparkSession,
       dir: String): (DataFrame, DataFrame, DataFrame) = {
@@ -284,6 +365,7 @@ object LlmOps extends QueryModule {
   private[graft] def clearIndexCache(): Unit = {
     centroidCache.clear()
     candCache.clear()
+    simhashSigCache.clear()
   }
 
   /** Per-label exact centroid ARRAYS over an arbitrary (label,
@@ -375,31 +457,8 @@ object LlmOps extends QueryModule {
     // map-side-combinable hash agg rejoined on the hash (never a
     // count-over-window); all arithmetic stays < 2^63 so the DuckDB twin
     // replays it bit-for-bit.
-    "q_llm_block_dedup" -> ((s: SparkSession, dir: String) => {
-      graft.functions.GraftFunctions.register(s)
-      val P = graft.functions.ReplayableHash.P
-      val docs = table(s, dir, "documents")
-      val blocks = docs.select(col("doc_id"),
-        call_function("block_hashes", col("text"), lit(8)))
-      val occ = blocks.groupBy("bh").agg(count(lit(1)).as("df"))
-      val st = blocks.join(occ, "bh")
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_blocks"),
-          asLong(sum(when(col("df") > 1, 1L).otherwise(0L))).as("n_dup_blocks"),
-          asLong(sum(when(col("df") === 1,
-            ((col("blk") + 1) % P) * col("bh") % P).otherwise(0L)) % P).as("uniq_fp"))
-      docs.select(col("doc_id"),
-          size(filter(split(col("text"), " "), t => length(t) > 0))
-            .cast("long").as("n_tokens"))
-        .join(st, Seq("doc_id"), "left")
-        .select(col("doc_id"), col("n_tokens"),
-          coalesce(col("n_blocks"), lit(0L)).as("n_blocks"),
-          coalesce(col("n_dup_blocks"), lit(0L)).as("n_dup_blocks"),
-          when(col("n_blocks") > 0,
-            col("n_dup_blocks").cast("double") / col("n_blocks")).as("dup_ratio"),
-          coalesce(col("uniq_fp"), lit(0L)).as("uniq_fp"))
-        .orderBy("doc_id")
-    }),
+    "q_llm_block_dedup" -> ((s: SparkSession, dir: String) =>
+      blockDedupStats(s, table(s, dir, "documents")).orderBy("doc_id")),
 
     "q_llm_text_stats" -> ((s: SparkSession, dir: String) =>
       table(s, dir, "documents")
@@ -565,7 +624,7 @@ object LlmOps extends QueryModule {
     // exchange (ReusedExchange), so the token scan + partial agg is paid
     // once.
     "q_llm_simhash" -> ((s: SparkSession, dir: String) => {
-      val sigs = simhashSigs(table(s, dir, "documents"), 16)
+      val sigs = simhashSigsFor(s, dir, 16)
       val counts = sigs.groupBy("simhash")
         .agg(asLong(count(lit(1))).as("cluster_n"))
       sigs.join(broadcast(counts), Seq("simhash"))
@@ -594,7 +653,21 @@ object LlmOps extends QueryModule {
         .select(col("id_a"), col("id_b"), cosine(s)(col("emb_a"), col("emb_b")).as("cos_sim"))
         .orderBy(desc("cos_sim"), asc("id_a"), asc("id_b"))
         .limit(100)
-    })
+    }),
+
+    // SemDeDup-shaped embedding dedup DECISION: coarse-partition the
+    // corpus (sign-LSH cell — the same capped bucket discipline as
+    // embed_neardup; SemDeDup proper uses k-means cells, and either
+    // coarse index bounds the pairwise stage), then within each cell drop
+    // every vector that has a lower-id neighbor at cosine >= tau, keeping
+    // the lowest id per duplicate group. Emits the per-vector verdict
+    // (keep, dup_of) — the relation a curation pipeline joins on to
+    // materialize the deduped corpus. tau = 0.4 is corpus-calibrated: the
+    // fixture's near-dup cosine mass sits at 0.4-0.5 (real text
+    // embeddings would use ~0.95+); the verdict still exercises the full
+    // candidate/verify/argmin machinery at every scale.
+    "q_llm_emb_semdedup" -> ((s: SparkSession, dir: String) =>
+      semdedupVerdicts(s, embDouble(s, dir)).orderBy("vec_id"))
   )
 
   // ---- SQL twins for the float-embedding family --------------------------
@@ -776,6 +849,24 @@ object LlmOps extends QueryModule {
          |  WHERE x.vec_id < y.vec_id)
          |SELECT id_a, id_b, cos_sim FROM pairs
          |ORDER BY cos_sim DESC, id_a ASC, id_b ASC LIMIT 100""".stripMargin,
+
+    "q_llm_emb_semdedup" ->
+      s"""WITH $embCte,
+         |b AS (SELECT vec_id, label, emb, ${bucketSql("emb", NeardupPlanes)} AS bucket FROM e),
+         |capped AS (
+         |  SELECT vec_id, emb, bucket FROM (
+         |    SELECT vec_id, emb, bucket,
+         |           row_number() OVER (PARTITION BY bucket ORDER BY vec_id) AS brn
+         |    FROM b) WHERE brn <= $MaxEmbBucket),
+         |dups AS (
+         |  SELECT y.vec_id, min(x.vec_id) AS dup_of
+         |  FROM capped x JOIN capped y USING (bucket)
+         |  WHERE x.vec_id < y.vec_id AND ${cosSql("x.emb", "y.emb")} >= $SemDedupTau
+         |  GROUP BY y.vec_id)
+         |SELECT e.vec_id AS vec_id, e.label AS label, d.dup_of AS dup_of,
+         |       d.dup_of IS NULL AS keep
+         |FROM e LEFT JOIN dups d ON d.vec_id = e.vec_id
+         |ORDER BY e.vec_id""".stripMargin,
 
     "q_llm_minhash" ->
       s"""WITH

@@ -83,6 +83,20 @@ object TextOps extends QueryModule {
       sha2(regexp_replace(col("text"), pattern, placeholder), 256)
         .as("clean_sha"))
 
+  /** Sensitive-content incidence per source — the q_text_pii_audit
+    * primitive, exposed for [[graft.Pipelines]]: the aggregate report a
+    * pipeline runs BEFORE scrubbing to decide which sources need it. */
+  private[graft] def piiAudit(docs: DataFrame,
+      pattern: String = SensitivePattern): DataFrame =
+    docs
+      .select(col("source"),
+        regexp_count(col("text"), lit(pattern)).as("hits"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        asLong(sum(when(col("hits") > 0, 1L).otherwise(0L))).as("docs_with_hits"),
+        asLong(sum(col("hits"))).as("total_hits"),
+        asLong(max(col("hits"))).as("max_hits"))
+
   /** Non-empty whitespace tokens, with multiplicity. */
   private def tokens(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("token"))
@@ -198,6 +212,14 @@ object TextOps extends QueryModule {
     // run the identical RE2-compatible pattern.
     "q_text_scrub" -> ((s: SparkSession, dir: String) =>
       scrub(table(s, dir, "documents")).orderBy("doc_id")),
+
+    // Sensitive-content incidence audit per source — the aggregate report
+    // a pipeline runs BEFORE scrubbing to decide which sources need it
+    // (q_text_scrub is the per-doc redaction itself). Scan-side
+    // regexp_count + one tiny hash agg on the bounded source key; the
+    // shared RE2-compatible pattern keeps both engines' counts identical.
+    "q_text_pii_audit" -> ((s: SparkSession, dir: String) =>
+      piiAudit(table(s, dir, "documents")).orderBy("source")),
 
     // Document fingerprinting: polynomial rolling hash over the whole text
     // plus a winnowing-style min-shingle hash. Oracled since round 4 (the
@@ -317,6 +339,17 @@ object TextOps extends QueryModule {
          |  CAST(length(regexp_replace(text, '$SensitivePattern', '$Redaction', 'g')) AS BIGINT) AS clean_len,
          |  sha256(regexp_replace(text, '$SensitivePattern', '$Redaction', 'g')) AS clean_sha
          |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_text_pii_audit" ->
+      s"""WITH h AS (
+         |  SELECT source,
+         |         len(regexp_extract_all(text, '$SensitivePattern')) AS hits
+         |  FROM documents)
+         |SELECT source, count(*) AS n_docs,
+         |       CAST(sum(CASE WHEN hits > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_hits,
+         |       CAST(sum(hits) AS BIGINT) AS total_hits,
+         |       CAST(max(hits) AS BIGINT) AS max_hits
+         |FROM h GROUP BY source ORDER BY source""".stripMargin,
 
     "q_text_tokens" ->
       """WITH t AS (

@@ -317,6 +317,29 @@ class LlmSpec extends SparkTestBase {
     assert(gotFp == fp, s"doc $id0 fingerprint $gotFp != recomputed $fp")
   }
 
+  test("semdedup verdicts are sound: every drop cites a lower-id neighbor above tau") {
+    val embs: Map[Long, Seq[Double]] =
+      spark.read.parquet(s"$sfDir/embeddings.parquet").collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble))).toMap
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      if (na == 0 || nb == 0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val rows = q("q_llm_emb_semdedup").collect()
+      .map(r => (r.getLong(0), Option(r.get(2)).map(_.asInstanceOf[Long]), r.getBoolean(3)))
+    assert(rows.map(_._1).toSet == embs.keySet)
+    rows.foreach { case (id, dupOf, keep) =>
+      assert(keep == dupOf.isEmpty, s"vec $id: keep inconsistent with dup_of")
+      dupOf.foreach { d =>
+        assert(d < id, s"vec $id cites non-lower dup_of $d")
+        val c = cos(embs(id), embs(d))
+        assert(c >= 0.4 - 1e-12, s"vec $id dropped for $d but cos=$c < tau")
+      }
+    }
+    assert(rows.exists(!_._3), "fixture sanity: expected at least one drop")
+  }
+
   test("nearest-class-mean classification beats chance on the fixture") {
     // the hash gate pins the values; this pins the SIGNAL — the fixture's
     // label clusters are separable, so centroid classification must beat

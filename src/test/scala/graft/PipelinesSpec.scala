@@ -185,4 +185,27 @@ class PipelinesSpec extends SparkTestBase {
     assert(got == Map(1L -> "removed", 2L -> "unchanged",
       3L -> "changed", 4L -> "added"))
   }
+
+  test("r8 facade primitives agree with their declared queries") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val bd = Pipelines.blockDedup(spark, docs).orderBy("doc_id").collect()
+    val bdQ = SparkEntry.queries("q_llm_block_dedup")(spark, sfDir).collect()
+    assert(bd.map(_.toSeq).toSeq == bdQ.map(_.toSeq).toSeq)
+
+    val pa = Pipelines.piiAudit(docs).orderBy("source").collect()
+    val paQ = SparkEntry.queries("q_text_pii_audit")(spark, sfDir).collect()
+    assert(pa.map(_.toSeq).toSeq == paQ.map(_.toSeq).toSeq)
+
+    val at = Pipelines.attribution(ops.table(spark, sfDir, "events"))
+      .orderBy("channel").collect()
+    val atQ = SparkEntry.queries("q_analytics_attribution")(spark, sfDir).collect()
+    assert(at.map(_.toSeq).toSeq == atQ.map(_.toSeq).toSeq)
+
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id"), col("label"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("emb"))
+    val sd = Pipelines.semdedup(spark, emb).orderBy("vec_id").collect()
+    val sdQ = SparkEntry.queries("q_llm_emb_semdedup")(spark, sfDir).collect()
+    assert(sd.map(_.toSeq).toSeq == sdQ.map(_.toSeq).toSeq)
+  }
 }

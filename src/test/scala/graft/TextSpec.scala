@@ -154,4 +154,24 @@ class TextSpec extends SparkTestBase {
     }
     assert(sawMatch, "fixture must exercise at least one redaction")
   }
+
+  test("pii audit per-source counts match a driver-side regex replay") {
+    val pattern = graft.ops.TextOps.SensitivePattern.r
+    val bySource = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("source", "text").collect()
+      .map(r => (r.getString(0), pattern.findAllIn(r.getString(1)).size))
+      .groupBy(_._1)
+    val expected = bySource.map { case (src, hits) =>
+      (src, (hits.length.toLong, hits.count(_._2 > 0).toLong,
+        hits.map(_._2.toLong).sum, hits.map(_._2.toLong).max))
+    }
+    val got = q("q_text_pii_audit").collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    assert(got.keySet == expected.keySet)
+    expected.foreach { case (src, e) =>
+      assert(got(src) == e, s"source $src: got ${got(src)}, expected $e")
+    }
+    assert(expected.values.exists(_._3 > 0), "fixture sanity: expected hits")
+  }
 }
