@@ -17,6 +17,7 @@ object AnalyticsOps extends QueryModule {
 
   private val WeekUs = 7L * 86400L * 1000000L
   private val DayUs = 86400L * 1000000L
+  private val SessionGapUs = 30L * 60L * 1000000L
 
   /** Last-touch attribution over an arbitrary events frame (user_id, ts,
     * event_id, event_type, value) — the q_analytics_attribution primitive,
@@ -110,7 +111,34 @@ object AnalyticsOps extends QueryModule {
     // All comparisons are integer epoch-µs; struct order never reaches
     // the channel string ((t_us, id) is unique per event).
     "q_analytics_attribution" -> ((s: SparkSession, dir: String) =>
-      lastTouchAttribution(table(s, dir, "events")).orderBy("channel"))
+      lastTouchAttribution(table(s, dir, "events")).orderBy("channel")),
+
+    // Gap-based sessionization: a user's events split into sessions at
+    // >30-minute silences; emit per-session stats (the session relation
+    // every engagement/attribution report joins against). Both window
+    // passes (lag + running new-session count) ride ONE per-user sort —
+    // user_id is the high-cardinality event key, not the low-cardinality
+    // window trap — and the rollup is a hash agg on (user_id, session_n).
+    // Pure integer epoch-µs arithmetic end to end.
+    "q_analytics_sessionize" -> ((s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("t_us", "event_id")
+      table(s, dir, "events")
+        .select(col("user_id"), unix_micros(col("ts")).as("t_us"),
+          col("event_id"))
+        .withColumn("is_new", when(lag("t_us", 1).over(w).isNull
+            || col("t_us") - lag("t_us", 1).over(w) > lit(SessionGapUs), 1L)
+          .otherwise(0L))
+        .withColumn("session_n", sum("is_new").over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("user_id", "session_n")
+        .agg(asLong(count(lit(1))).as("n_events"),
+          min("t_us").as("start_us"), max("t_us").as("end_us"))
+        .select(col("user_id"), col("session_n"), col("n_events"),
+          col("start_us"), col("end_us"),
+          (col("end_us") - col("start_us")).as("duration_us"))
+        .orderBy("user_id", "session_n")
+    })
   )
 
   def oracle: Seq[(String, String)] = Seq(
@@ -168,6 +196,33 @@ object AnalyticsOps extends QueryModule {
          |                     THEN best.ch END, 'none') AS channel,
          |       count(*) AS n_conv,
          |       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS revenue
-         |FROM w WHERE kind = 0 GROUP BY channel ORDER BY channel""".stripMargin
+         |FROM w WHERE kind = 0 GROUP BY channel ORDER BY channel""".stripMargin,
+
+    "q_analytics_sessionize" ->
+      s"""WITH ev AS (
+         |  SELECT user_id, epoch_us(ts) AS t_us, event_id FROM events),
+         |l AS (
+         |  SELECT user_id, t_us, event_id,
+         |         lag(t_us) OVER (PARTITION BY user_id
+         |                         ORDER BY t_us, event_id) AS prev_us
+         |  FROM ev),
+         |n AS (
+         |  SELECT user_id, t_us, event_id,
+         |         CASE WHEN prev_us IS NULL
+         |                OR t_us - prev_us > $SessionGapUs THEN 1
+         |              ELSE 0 END AS is_new
+         |  FROM l),
+         |sn AS (
+         |  SELECT user_id, t_us,
+         |         CAST(sum(is_new) OVER (PARTITION BY user_id
+         |           ORDER BY t_us, event_id
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |           AS session_n
+         |  FROM n)
+         |SELECT user_id, session_n, count(*) AS n_events,
+         |       min(t_us) AS start_us, max(t_us) AS end_us,
+         |       max(t_us) - min(t_us) AS duration_us
+         |FROM sn GROUP BY user_id, session_n
+         |ORDER BY user_id, session_n""".stripMargin
   )
 }

@@ -667,7 +667,84 @@ object LlmOps extends QueryModule {
     // embeddings would use ~0.95+); the verdict still exercises the full
     // candidate/verify/argmin machinery at every scale.
     "q_llm_emb_semdedup" -> ((s: SparkSession, dir: String) =>
-      semdedupVerdicts(s, embDouble(s, dir)).orderBy("vec_id"))
+      semdedupVerdicts(s, embDouble(s, dir)).orderBy("vec_id")),
+
+    // Token novelty per doc — the chronological-novelty signal a curation
+    // pipeline uses to spot re-crawls and boilerplate floods (a doc whose
+    // distinct tokens ALL appeared in earlier docs adds no new content):
+    // per token, the first doc_id it appears in (one token-keyed hash agg
+    // over the memoized distinct (doc_id, token) index — map-side
+    // combinable); the per-doc novel-token count is then ANOTHER hash agg
+    // over that first-occurrence relation, so there is never a
+    // token-fanout rejoin of two corpus-sized sides. novelty =
+    // n_novel / n_tokens, one IEEE division of exact counts.
+    "q_llm_ngram_novelty" -> ((s: SparkSession, dir: String) => {
+      val (toks, _, _) = candidateIndexFor(s, dir)
+      val perDoc = toks.groupBy("doc_id")
+        .agg(asLong(count(lit(1))).as("n_tokens"))
+      val novel = toks.groupBy("token").agg(min("doc_id").as("doc_id"))
+        .groupBy("doc_id").agg(asLong(count(lit(1))).as("n_novel"))
+      perDoc.join(novel, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_tokens"),
+          coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+          (coalesce(col("n_novel"), lit(0L)).cast("double")
+            / col("n_tokens")).as("novelty"))
+        .orderBy("doc_id")
+    }),
+
+    // Cross-source near-dup overlap — the inter-source contamination
+    // matrix (how much of each source pair is the same content, e.g. one
+    // crawl re-shipping another source's pages): LSH candidate pairs at
+    // >= 2 shared bands (from the memoized index) joined per side to the
+    // (doc_id, source) projection — two corpus-keyed equi joins, neither
+    // side broadcast (both are O(#docs); the dup_clusters lesson) —
+    // rolled up on the unordered source-pair key. The 1-row total behind
+    // pair_share is the declared broadcast-total pattern.
+    "q_llm_cross_source_overlap" -> ((s: SparkSession, dir: String) => {
+      val cands = candidateIndexFor(s, dir)._3
+        .where(col("n_shared_bands") >= 2)
+      val src = table(s, dir, "documents").select(col("doc_id"), col("source"))
+      val pairs = cands
+        .join(src.select(col("doc_id").as("doc_a"), col("source").as("src_a")), "doc_a")
+        .join(src.select(col("doc_id").as("doc_b"), col("source").as("src_b")), "doc_b")
+        .select(least(col("src_a"), col("src_b")).as("source_lo"),
+          greatest(col("src_a"), col("src_b")).as("source_hi"))
+        .groupBy("source_lo", "source_hi")
+        .agg(asLong(count(lit(1))).as("n_pairs"))
+      val total = pairs.agg(sum(col("n_pairs")).as("total_pairs"))
+      pairs.crossJoin(broadcast(total))
+        .select(col("source_lo"), col("source_hi"), col("n_pairs"),
+          (col("n_pairs").cast("double") / col("total_pairs")).as("pair_share"),
+          (col("source_lo") =!= col("source_hi")).as("cross_source"))
+        .orderBy("source_lo", "source_hi")
+    }),
+
+    // Within-class embedding outliers — the prototypicality pruning
+    // signal (data-pruning pipelines rank examples by distance to their
+    // class centroid; the far tail is labeling noise or off-distribution
+    // content): exact per-label centroid arrays (the emb_centroid
+    // arithmetic), broadcast against ONE corpus scan, every vector scored
+    // by the replayable cosine to its OWN label centroid, bottom-5 per
+    // label. The rank filter sits directly on the row_number so Spark
+    // plans a WindowGroupLimit — partial per-map top-k BEFORE the
+    // per-label exchange, never a full per-label sort (the
+    // low-cardinality-partition trap, CLAUDE.md).
+    "q_llm_emb_outliers" -> ((s: SparkSession, dir: String) => {
+      val emb = table(s, dir, "embeddings")
+      val scored = emb
+        .select(col("vec_id"), col("label"),
+          transform(col("embedding"), _.cast("double")).as("emb"))
+        .join(broadcast(embCentroidArrays(emb)), col("label") === col("c_label"))
+        .select(col("vec_id"), col("label").cast("long").as("label"),
+          cosine(s)(col("emb"), col("cent")).as("cos_self"))
+      scored
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("label").orderBy(asc("cos_self"), asc("vec_id"))))
+        .where(col("rn") <= 5)
+        .select(col("label"), asLong(col("rn")).as("rn"), col("vec_id"),
+          col("cos_self"))
+        .orderBy("label", "rn")
+    })
   )
 
   // ---- SQL twins for the float-embedding family --------------------------
@@ -998,7 +1075,72 @@ object LlmOps extends QueryModule {
         |       CAST(sum(n_chars) AS DOUBLE) / count(*) AS avg_chars,
         |       min(n_chars) AS min_chars,
         |       max(n_chars) AS max_chars
-        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // First-occurrence novelty: the same two-hash-agg shape the engine
+    // runs (min doc_id per token, then the per-doc histogram of firsts).
+    "q_llm_ngram_novelty" ->
+      s"""WITH
+         |${RH.tokenHashCte},
+         |nd AS (SELECT doc_id, count(*) AS n_tokens FROM tok GROUP BY doc_id),
+         |fo AS (SELECT min(doc_id) AS doc_id FROM tok GROUP BY token),
+         |nv AS (SELECT doc_id, count(*) AS n_novel FROM fo GROUP BY doc_id)
+         |SELECT nd.doc_id AS doc_id, nd.n_tokens AS n_tokens,
+         |       COALESCE(nv.n_novel, 0) AS n_novel,
+         |       CAST(COALESCE(nv.n_novel, 0) AS DOUBLE) / nd.n_tokens AS novelty
+         |FROM nd LEFT JOIN nv ON nv.doc_id = nd.doc_id
+         |ORDER BY nd.doc_id""".stripMargin,
+
+    "q_llm_cross_source_overlap" ->
+      s"""WITH
+         |${RH.tokenHashCte},
+         |${RH.minhashSigsCte(NumHashes)},
+         |${RH.lshBandsCte},
+         |${cappedBandsSql(MaxBucket)},
+         |cand AS (
+         |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b
+         |  FROM capped x JOIN capped y USING (band, bh)
+         |  WHERE x.doc_id < y.doc_id
+         |  GROUP BY 1, 2 HAVING count(*) >= 2),
+         |ps AS (
+         |  SELECT least(da.source, db.source) AS source_lo,
+         |         greatest(da.source, db.source) AS source_hi,
+         |         count(*) AS n_pairs
+         |  FROM cand c
+         |  JOIN documents da ON da.doc_id = c.doc_a
+         |  JOIN documents db ON db.doc_id = c.doc_b
+         |  GROUP BY 1, 2),
+         |t AS (SELECT CAST(sum(n_pairs) AS BIGINT) AS total_pairs FROM ps)
+         |SELECT source_lo, source_hi, n_pairs,
+         |       CAST(n_pairs AS DOUBLE) / t.total_pairs AS pair_share,
+         |       source_lo <> source_hi AS cross_source
+         |FROM ps CROSS JOIN t
+         |ORDER BY source_lo, source_hi""".stripMargin,
+
+    // Same exact-integer centroid build as the q_llm_emb_classify twin;
+    // the cosine fold replays the engine's index-ordered accumulation.
+    "q_llm_emb_outliers" ->
+      s"""WITH $embCte,
+         |q AS (
+         |  SELECT label AS c_label, i - 1 AS dim,
+         |         CAST(round(CAST(embedding[i] AS DOUBLE) * 65536) AS BIGINT) AS qx
+         |  FROM (SELECT label, embedding, unnest(generate_series(1, len(embedding))) AS i
+         |        FROM embeddings)),
+         |cd AS (
+         |  SELECT c_label, dim, CAST(sum(qx) AS DOUBLE) / (count(*) * 65536.0) AS c
+         |  FROM q GROUP BY c_label, dim),
+         |cent AS (SELECT c_label, list(c ORDER BY dim) AS cent FROM cd GROUP BY c_label),
+         |sc AS (
+         |  SELECT e.vec_id, CAST(e.label AS BIGINT) AS label,
+         |         ${cosSql("e.emb", "cent.cent")} AS cos_self
+         |  FROM e JOIN cent ON cent.c_label = e.label),
+         |r AS (
+         |  SELECT label, vec_id, cos_self,
+         |         row_number() OVER (PARTITION BY label
+         |                            ORDER BY cos_self ASC, vec_id ASC) AS rn
+         |  FROM sc)
+         |SELECT label, CAST(rn AS BIGINT) AS rn, vec_id, cos_self
+         |FROM r WHERE rn <= 5 ORDER BY label, rn""".stripMargin
   )
   }
 }

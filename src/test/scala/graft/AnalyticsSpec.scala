@@ -72,4 +72,36 @@ class AnalyticsSpec extends SparkTestBase {
       assert(cells.forall(_._2 <= at0.get), s"cohort $cw: offset beats cohort size")
     }
   }
+
+  test("sessionize matches a driver-side gap-split replay") {
+    val ev = ops.table(spark, sfDir, "events")
+      .select(col("user_id"), unix_micros(col("ts")).as("t_us"), col("event_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val gap = 30L * 60L * 1000000L
+    val expected = ev.groupBy(_._1).flatMap { case (u, es) =>
+      val sorted = es.sortBy(e => (e._2, e._3))
+      var session = 0L
+      var prev = Long.MinValue
+      val tagged = sorted.map { case (_, t, _) =>
+        if (prev == Long.MinValue || t - prev > gap) session += 1
+        prev = t
+        (session, t)
+      }
+      tagged.groupBy(_._1).map { case (sn, ts) =>
+        (u, sn, ts.length.toLong, ts.map(_._2).min, ts.map(_._2).max)
+      }
+    }.toSet
+    val got = q("q_analytics_sessionize").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(got.map(t => (t._1, t._2, t._3, t._4, t._5)).toSet == expected)
+    got.foreach(t => assert(t._6 == t._5 - t._4, s"duration mismatch: $t"))
+    // consecutive sessions are separated by a real silence (> gap)
+    got.groupBy(_._1).foreach { case (u, ss) =>
+      ss.sortBy(_._2).toSeq.sliding(2).foreach {
+        case Seq(a, b) => assert(b._4 - a._5 > gap, s"user $u: sessions touch")
+        case _ => ()
+      }
+    }
+  }
 }

@@ -340,6 +340,74 @@ class LlmSpec extends SparkTestBase {
     assert(rows.exists(!_._3), "fixture sanity: expected at least one drop")
   }
 
+  test("token novelty matches a driver-side first-occurrence replay") {
+    // tokenSets is sorted by doc_id, so a token's first occurrence is the
+    // first doc that carries it in iteration order
+    val firstDoc = scala.collection.mutable.Map[String, Long]()
+    tokenSets.foreach { case (id, ts) =>
+      ts.foreach(t => if (!firstDoc.contains(t)) firstDoc(t) = id)
+    }
+    val expected = tokenSets.map { case (id, ts) =>
+      val novel = ts.count(t => firstDoc(t) == id).toLong
+      (id, ts.size.toLong, novel, novel.toDouble / ts.size)
+    }.toSeq
+    val got = q("q_llm_ngram_novelty").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(got == expected)
+    // fixture sanity: duplicates exist, so some docs must be fully stale
+    assert(got.exists(_._3 == 0L), "expected at least one zero-novelty doc")
+  }
+
+  test("cross-source overlap matrix recounts from the candidate pair list") {
+    val srcOf = docsDf.select("doc_id", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    // q_llm_minhash_est lists every capped candidate pair at >= 2 bands —
+    // the same relation the overlap matrix rolls up
+    val pairs = q("q_llm_minhash_est").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val expected = pairs.groupBy { case (a, b) =>
+      val (sa, sb) = (srcOf(a), srcOf(b))
+      (if (sa <= sb) sa else sb, if (sa <= sb) sb else sa)
+    }.view.mapValues(_.length.toLong).toMap
+    val total = expected.values.sum
+    val got = q("q_llm_cross_source_overlap").collect()
+      .map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getDouble(3), r.getBoolean(4))))
+    assert(got.map(_._1).toSet == expected.keySet)
+    got.foreach { case ((lo, hi), (n, share, cross)) =>
+      assert(n == expected((lo, hi)), s"pair ($lo,$hi)")
+      assert(share == n.toDouble / total, s"share ($lo,$hi)")
+      assert(cross == (lo != hi), s"cross flag ($lo,$hi)")
+    }
+  }
+
+  test("embedding outliers are the true bottom-5 by own-label centroid cosine") {
+    val rows = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id"), col("label").cast("long").as("label"),
+        transform(col("embedding"), _.cast("double")).as("emb"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Double](2).toArray))
+    val byLabel = rows.groupBy(_._2)
+    // exact centroid replay: HALF_UP-rounded 2^16 quantization, BIGINT
+    // sums, one IEEE division per dimension — the engine's arithmetic
+    val cents = byLabel.map { case (lab, vs) =>
+      val cent = Array.tabulate(vs.head._3.length) { d =>
+        val qsum = vs.map(v => BigDecimal(v._3(d) * 65536)
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong).sum
+        qsum.toDouble / (vs.length * 65536.0)
+      }
+      (lab, cent)
+    }
+    val expected = byLabel.flatMap { case (lab, vs) =>
+      vs.map { case (id, _, v) => (id, cosine(v, cents(lab))) }
+        .toSeq.sortBy { case (id, c) => (c, id) }.take(5)
+        .zipWithIndex.map { case ((id, c), i) => (lab, i + 1L, id, c) }
+    }.toSet
+    val got = q("q_llm_emb_outliers").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(got == expected)
+  }
+
   test("nearest-class-mean classification beats chance on the fixture") {
     // the hash gate pins the values; this pins the SIGNAL — the fixture's
     // label clusters are separable, so centroid classification must beat
