@@ -366,6 +366,24 @@ object LlmOps extends QueryModule {
     centroidCache.clear()
     candCache.clear()
     simhashSigCache.clear()
+    centArraysCache.clear()
+  }
+
+  /** Session-lifetime memo of the exact per-label centroid ARRAYS per
+    * embeddings fixture digest — both nearest-class-mean consumers
+    * (q_llm_emb_classify, q_llm_emb_outliers) read the same #labels-row
+    * relation, so the posexplode + two-hash-agg build is one corpus pass,
+    * paid once (the candidateIndexFor rationale). Joins against the
+    * localCheckpoint'd leaf must hint broadcast() explicitly — RDD leaves
+    * have unknown stats (CLAUDE.md r7). */
+  private val centArraysCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  private[graft] def centroidArraysFor(s: SparkSession, dir: String): DataFrame = {
+    val key = System.identityHashCode(s.sparkContext).toString + "|" +
+      SourceSinkOps.fixtureKey(dir, "embeddings.parquet") + "|centArrays"
+    centArraysCache.computeIfAbsent(key,
+      _ => embCentroidArrays(table(s, dir, "embeddings")).localCheckpoint(true))
   }
 
   /** Per-label exact centroid ARRAYS over an arbitrary (label,
@@ -388,11 +406,12 @@ object LlmOps extends QueryModule {
     * embedding) frame — the q_llm_emb_classify primitive, exposed for
     * [[graft.Pipelines]]: broadcast centroid arrays × one corpus scan,
     * replayable cosine fold, label-tie-break argmax. */
-  private[graft] def classifyByCentroids(s: SparkSession, emb: DataFrame): DataFrame =
+  private[graft] def classifyByCentroids(s: SparkSession, emb: DataFrame,
+      cents: Option[DataFrame] = None): DataFrame =
     emb
       .select(col("vec_id"), col("label"),
         transform(col("embedding"), _.cast("double")).as("emb"))
-      .crossJoin(broadcast(embCentroidArrays(emb)))
+      .crossJoin(broadcast(cents.getOrElse(embCentroidArrays(emb))))
       .withColumn("cos", cosine(s)(col("emb"), col("cent")))
       .groupBy("vec_id", "label")
       .agg(expr("max_by(c_label, named_struct('c', cos, 'nl', -c_label))")
@@ -514,7 +533,8 @@ object LlmOps extends QueryModule {
     // arg-max with a label tie-break. One corpus scan + one hash agg;
     // centroid build is one explode + two hash aggs.
     "q_llm_emb_classify" -> ((s: SparkSession, dir: String) =>
-      classifyByCentroids(s, table(s, dir, "embeddings")).orderBy("vec_id")),
+      classifyByCentroids(s, table(s, dir, "embeddings"),
+        Some(centroidArraysFor(s, dir))).orderBy("vec_id")),
 
     // Scale path for ANN: sign-LSH bucketing (8 deterministic hyperplanes of
     // ±1 weights), brute force only within the probe's bucket. SINGLE corpus
@@ -711,8 +731,11 @@ object LlmOps extends QueryModule {
           greatest(col("src_a"), col("src_b")).as("source_hi"))
         .groupBy("source_lo", "source_hi")
         .agg(asLong(count(lit(1))).as("n_pairs"))
-      val total = pairs.agg(sum(col("n_pairs")).as("total_pairs"))
-      pairs.crossJoin(broadcast(total))
+      // the matrix is <= #sources² rows (agg-bounded above), so the share
+      // denominator is one no-partition window pass over it — same plan
+      // branch, no recomputed total relation
+      pairs
+        .withColumn("total_pairs", sum("n_pairs").over(Window.partitionBy()))
         .select(col("source_lo"), col("source_hi"), col("n_pairs"),
           (col("n_pairs").cast("double") / col("total_pairs")).as("pair_share"),
           (col("source_lo") =!= col("source_hi")).as("cross_source"))
@@ -734,7 +757,7 @@ object LlmOps extends QueryModule {
       val scored = emb
         .select(col("vec_id"), col("label"),
           transform(col("embedding"), _.cast("double")).as("emb"))
-        .join(broadcast(embCentroidArrays(emb)), col("label") === col("c_label"))
+        .join(broadcast(centroidArraysFor(s, dir)), col("label") === col("c_label"))
         .select(col("vec_id"), col("label").cast("long").as("label"),
           cosine(s)(col("emb"), col("cent")).as("cos_self"))
       scored
