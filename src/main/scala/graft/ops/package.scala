@@ -27,13 +27,30 @@ package object ops {
     * Spark vectorized reader rejects (PARQUET_TYPE_ILLEGAL); read it as raw
     * ns longs and rebuild a µs timestamp — the fixture data is µs-grained so
     * the conversion is lossless, and DuckDB's `epoch_us` floors identically.
+    *
+    * The resolved relation is memoized per (SparkContext, path, content
+    * digest) — the catalog role a metastore plays on a real cluster. Every
+    * `spark.read.parquet` call otherwise re-lists the path and re-parses
+    * the footer schema on the driver; across a 140-query suite that pure
+    * metadata overhead is paid hundreds of times for the same ten immutable
+    * fixtures. The content digest (file name/size/mtime walk, the
+    * SourceSinkOps.fixtureKey discipline) keeps a REGENERATED fixture from
+    * serving a stale relation into the hash gate.
     */
-  def table(s: SparkSession, dir: String, name: String): DataFrame =
-    if (name == "events") {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      s.read.parquet(s"$dir/events.parquet")
-        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-    } else s.read.parquet(s"$dir/$name.parquet")
+  def table(s: SparkSession, dir: String, name: String): DataFrame = {
+    val key = System.identityHashCode(s.sparkContext).toString + "|" +
+      dir + "|" + name + "|" +
+      SourceSinkOps.fixtureKey(dir, s"$name.parquet")
+    tableCache.computeIfAbsent(key, _ =>
+      if (name == "events") {
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        s.read.parquet(s"$dir/events.parquet")
+          .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      } else s.read.parquet(s"$dir/$name.parquet"))
+  }
+
+  private val tableCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
 
   /** Exact sum surfaced as double: accumulate as DECIMAL(18,scale) (inputs
     * are exact at that scale), cast the exact decimal total to DOUBLE.
