@@ -580,6 +580,48 @@ object CurationOps extends QueryModule {
           min(col("quality")).as("min_quality"),
           max(col("quality")).as("max_quality"))
         .orderBy("lang")
+    }),
+
+    // First BPE merge iteration (tokenizer fitting): corpus-wide adjacent
+    // character-pair frequencies, top-100. The classic BPE counting shape:
+    // collapse to the token-count relation FIRST (one corpus pass, vocab-
+    // bounded output), then explode character pairs of DISTINCT tokens
+    // weighted by multiplicity — at 100 TB the pair stage's input is
+    // #distinct-tokens rows regardless of corpus size. The top-K is an
+    // orderBy+limit (TakeOrderedAndProject), never a global window.
+    "q_llm_bpe_pairs" -> ((s: SparkSession, dir: String) => {
+      val tc = table(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("tok"))
+        .where(length(col("tok")) > 0)
+        .groupBy("tok").agg(count(lit(1)).as("n"))
+      tc.where(length(col("tok")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(1, length(tok) - 1), i -> substring(tok, i, 2))"))
+          .as("pair"), col("n"))
+        .groupBy("pair").agg(asLong(sum(col("n"))).as("pair_count"))
+        .orderBy(desc("pair_count"), asc("pair"))
+        .limit(100)
+    }),
+
+    // Prefix dedup (the crawl-truncation artifact: near-copies that share
+    // an identical head): documents collapse on the sha256 of their first
+    // 64 NORMALIZED chars, keep-lowest doc_id per group. Shuffle
+    // discipline: the exchange carries the 64-hex digest, never prefix
+    // text; group sizes come from a hash agg + shuffled equi-rejoin on the
+    // digest — both sides are corpus-shaped, so no broadcast (the size
+    // relation is one row per group INCLUDING singletons, O(#docs) on a
+    // mostly-unique corpus — the dup_clusters rule).
+    "q_llm_prefix_dedup" -> ((s: SparkSession, dir: String) => {
+      val norm = regexp_replace(trim(lower(col("text"))), " +", " ")
+      val keyed = table(s, dir, "documents")
+        .select(col("doc_id"), sha2(substring(norm, 1, 64), 256).as("phash"))
+      val grp = keyed.groupBy("phash")
+        .agg(asLong(count(lit(1))).as("n_same_prefix"),
+          min(col("doc_id")).as("keep_id"))
+      keyed.join(grp, "phash")
+        .select(col("doc_id"), col("phash"), col("n_same_prefix"),
+          (col("doc_id") === col("keep_id")).as("keep"))
+        .orderBy("doc_id")
     })
   )
 
@@ -783,6 +825,33 @@ object CurationOps extends QueryModule {
          |SELECT lang, count(*) AS n_docs,
          |       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS sum_tokens,
          |       min(quality) AS min_quality, max(quality) AS max_quality
-         |FROM kept GROUP BY lang ORDER BY lang""".stripMargin
+         |FROM kept GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q_llm_bpe_pairs" ->
+      """WITH toks AS (
+        |  SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+        |tc AS (
+        |  SELECT tok, count(*) AS n FROM toks
+        |  WHERE length(tok) > 0 GROUP BY tok),
+        |pairs AS (
+        |  SELECT substring(tok, CAST(g.i AS INTEGER), 2) AS pair, n
+        |  FROM tc, generate_series(1, length(tok) - 1) AS g(i)
+        |  WHERE length(tok) >= 2)
+        |SELECT pair, CAST(sum(n) AS BIGINT) AS pair_count
+        |FROM pairs GROUP BY pair
+        |ORDER BY pair_count DESC, pair LIMIT 100""".stripMargin,
+
+    "q_llm_prefix_dedup" ->
+      """WITH k AS (
+        |  SELECT doc_id,
+        |         sha256(substring(
+        |           regexp_replace(trim(lower(text)), ' +', ' ', 'g'), 1, 64)) AS phash
+        |  FROM documents),
+        |g AS (
+        |  SELECT phash, CAST(count(*) AS BIGINT) AS n_same_prefix,
+        |         min(doc_id) AS keep_id
+        |  FROM k GROUP BY phash)
+        |SELECT doc_id, phash, n_same_prefix, doc_id = keep_id AS keep
+        |FROM k JOIN g USING (phash) ORDER BY doc_id""".stripMargin
   )
 }

@@ -318,6 +318,48 @@ object DiagOps extends QueryModule {
           coalesce(col("cnt"), lit(0L)).as("n_events"),
           coalesce(col("sv"), lit(0.0)).as("total_value"))
         .orderBy("event_type", "hour_idx")
+    }),
+
+    // Gap INTERPOLATION: the q_ts_gapfill grid with linear interpolation
+    // between the bracketing observed hours instead of zero-fill — the
+    // resampling step before a time-series feature join. The bracketing
+    // lookups are two IGNORE NULLS window passes over the GRID relation,
+    // whose row count is time-span × #event-types bounded (NOT corpus-
+    // bounded): the per-type window never funnels event rows through one
+    // task — the corpus collapsed in the hash agg first. Interpolation
+    // arithmetic is an int-ratio double division, one multiply, one add —
+    // each IEEE-exact-rounded, composed in the same order in both engines,
+    // over exact DECIMAL→DOUBLE hour sums (< 2^53, replayable).
+    "q_ts_interpolate" -> ((s: SparkSession, dir: String) => {
+      val ev = table(s, dir, "events")
+        .withColumn("h", expr(s"unix_micros(ts) div $HourUs"))
+      val rng = ev.agg(min("h").as("h0"), max("h").as("h1"))
+      val grid = ev.select("event_type").distinct()
+        .crossJoin(broadcast(rng))
+        .select(col("event_type"), explode(expr("sequence(h0, h1)")).as("h"))
+      val actual = ev.groupBy("event_type", "h")
+        .agg(dsum(col("value")).as("sv"))
+      val wPrev = Window.partitionBy("event_type").orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wNext = Window.partitionBy("event_type").orderBy("h")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      grid.join(actual, Seq("event_type", "h"), "left")
+        .withColumn("prev_v", last(col("sv"), ignoreNulls = true).over(wPrev))
+        .withColumn("prev_h",
+          last(when(col("sv").isNotNull, col("h")), ignoreNulls = true).over(wPrev))
+        .withColumn("next_v", first(col("sv"), ignoreNulls = true).over(wNext))
+        .withColumn("next_h",
+          first(when(col("sv").isNotNull, col("h")), ignoreNulls = true).over(wNext))
+        .select(col("event_type"), col("h").as("hour_idx"),
+          col("sv").isNotNull.as("observed"),
+          when(col("sv").isNotNull, col("sv"))
+            .when(col("prev_v").isNull, col("next_v"))
+            .when(col("next_v").isNull, col("prev_v"))
+            .otherwise(col("prev_v") + (col("next_v") - col("prev_v"))
+              * ((col("h") - col("prev_h")).cast("double")
+                / (col("next_h") - col("prev_h"))))
+            .as("value_interp"))
+        .orderBy("event_type", "hour_idx")
     })
   )
 
@@ -424,6 +466,44 @@ object DiagOps extends QueryModule {
          |       COALESCE(a.cnt, 0) AS n_events,
          |       COALESCE(a.sv, 0.0) AS total_value
          |FROM g LEFT JOIN a USING (event_type, h)
-         |ORDER BY g.event_type, hour_idx""".stripMargin
+         |ORDER BY g.event_type, hour_idx""".stripMargin,
+
+    "q_ts_interpolate" ->
+      s"""WITH e AS (
+         |  SELECT event_type, epoch_us(ts) // $HourUs AS h, value FROM events),
+         |r AS (SELECT min(h) AS h0, max(h) AS h1 FROM e),
+         |g AS (
+         |  SELECT t.event_type, unnest(generate_series(r.h0, r.h1)) AS h
+         |  FROM (SELECT DISTINCT event_type FROM e) t CROSS JOIN r),
+         |a AS (
+         |  SELECT event_type, h,
+         |         CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sv
+         |  FROM e GROUP BY event_type, h),
+         |j AS (
+         |  SELECT g.event_type, g.h, a.sv
+         |  FROM g LEFT JOIN a USING (event_type, h)),
+         |w AS (
+         |  SELECT event_type, h, sv,
+         |         last_value(sv IGNORE NULLS) OVER
+         |           (PARTITION BY event_type ORDER BY h
+         |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_v,
+         |         last_value(CASE WHEN sv IS NOT NULL THEN h END IGNORE NULLS) OVER
+         |           (PARTITION BY event_type ORDER BY h
+         |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_h,
+         |         first_value(sv IGNORE NULLS) OVER
+         |           (PARTITION BY event_type ORDER BY h
+         |            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_v,
+         |         first_value(CASE WHEN sv IS NOT NULL THEN h END IGNORE NULLS) OVER
+         |           (PARTITION BY event_type ORDER BY h
+         |            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_h
+         |  FROM j)
+         |SELECT event_type, h AS hour_idx, sv IS NOT NULL AS observed,
+         |       CASE WHEN sv IS NOT NULL THEN sv
+         |            WHEN prev_v IS NULL THEN next_v
+         |            WHEN next_v IS NULL THEN prev_v
+         |            ELSE prev_v + (next_v - prev_v)
+         |                 * (CAST(h - prev_h AS DOUBLE) / (next_h - prev_h))
+         |       END AS value_interp
+         |FROM w ORDER BY event_type, hour_idx""".stripMargin
   )
 }

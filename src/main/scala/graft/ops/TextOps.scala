@@ -233,7 +233,30 @@ object TextOps extends QueryModule {
           fullHash(col("text")).as("fingerprint"),
           minShingle(col("text")).as("min_shingle_hash"))
         .orderBy("doc_id")
-    })
+    }),
+
+    // Readability profile (LIX-style): words-per-sentence + long-word
+    // share from pure integer counts — the curation quality signal
+    // complementing q_text_quality's stopword/length score. Scan-side
+    // arithmetic, zero shuffle before the presentation sort; both
+    // divisions are int→double (IEEE-exact-rounded in both engines) and
+    // the two LIX addends combine in the same pinned order, so the
+    // doubles hash-gate.
+    "q_text_readability" -> ((s: SparkSession, dir: String) =>
+      table(s, dir, "documents")
+        .withColumn("n_words", asLong(greatest(lit(1),
+          size(expr("filter(split(text, ' '), t -> length(t) > 0)")))))
+        .withColumn("n_long", asLong(
+          size(expr("filter(split(text, ' '), t -> length(t) >= 7)"))))
+        .withColumn("n_sentences", asLong(greatest(lit(1),
+          size(regexp_extract_all(col("text"), lit("[.!?]+"), lit(0))))))
+        .select(col("doc_id"), col("n_words"), col("n_long"), col("n_sentences"),
+          (col("n_words").cast("double") / col("n_sentences"))
+            .as("words_per_sentence"),
+          ((col("n_words").cast("double") / col("n_sentences"))
+            + (col("n_long") * lit(100L)).cast("double") / col("n_words"))
+            .as("lix"))
+        .orderBy("doc_id"))
   )
 
   def oracle: Seq[(String, String)] = Seq(
@@ -361,6 +384,24 @@ object TextOps extends QueryModule {
         |       CAST(len(ws_toks) AS BIGINT) AS n_ws_tokens,
         |       CAST(len(re_toks) AS BIGINT) AS n_re_tokens,
         |       n_chars / len(re_toks) AS chars_per_token
-        |FROM t ORDER BY doc_id""".stripMargin
+        |FROM t ORDER BY doc_id""".stripMargin,
+
+    "q_text_readability" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |         greatest(1, len(list_filter(string_split(text, ' '),
+        |                                     x -> length(x) > 0))) AS n_words,
+        |         len(list_filter(string_split(text, ' '),
+        |                         x -> length(x) >= 7)) AS n_long,
+        |         greatest(1, len(regexp_extract_all(text, '[.!?]+'))) AS n_sentences
+        |  FROM documents)
+        |SELECT doc_id,
+        |       CAST(n_words AS BIGINT) AS n_words,
+        |       CAST(n_long AS BIGINT) AS n_long,
+        |       CAST(n_sentences AS BIGINT) AS n_sentences,
+        |       CAST(n_words AS DOUBLE) / n_sentences AS words_per_sentence,
+        |       (CAST(n_words AS DOUBLE) / n_sentences)
+        |         + CAST(n_long * 100 AS DOUBLE) / n_words AS lix
+        |FROM d ORDER BY doc_id""".stripMargin
   )
 }
