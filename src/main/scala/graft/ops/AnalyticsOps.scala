@@ -17,7 +17,7 @@ object AnalyticsOps extends QueryModule {
 
   private val WeekUs = 7L * 86400L * 1000000L
   private val DayUs = 86400L * 1000000L
-  private val SessionGapUs = 30L * 60L * 1000000L
+  private[graft] val SessionGapUs = 30L * 60L * 1000000L
 
   /** Last-touch attribution over an arbitrary events frame (user_id, ts,
     * event_id, event_type, value) — the q_analytics_attribution primitive,

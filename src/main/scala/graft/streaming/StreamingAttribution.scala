@@ -76,8 +76,15 @@ object StreamingAttribution {
           if (best.forall(b => Ordering[(Long, Long)].compare(cand, (b._1, b._2)) > 0))
             best = Some((r.t_us, r.event_id, r.channel))
         } else {
+          // `t < r.t_us` guards the CROSS-batch equal-instant case: a touch
+          // at exactly the conversion's t_us that arrived in an earlier
+          // micro-batch is already in state, and without the strict bound it
+          // would be credited — making the verdict depend on where the
+          // batch boundary fell. In-batch, the sort already orders the
+          // conversion first, so the strictly-before rule now holds
+          // regardless of batching.
           val ch = best match {
-            case Some((t, _, c)) if t >= r.t_us - lookbackUs => c
+            case Some((t, _, c)) if t < r.t_us && t >= r.t_us - lookbackUs => c
             case _ => "none"
           }
           out += Attributed(r.event_id, user, r.t_us, ch, r.value)

@@ -100,4 +100,28 @@ class StreamingAttributionSpec extends SparkTestBase {
       s, week).toSeq
     assert(out2 == Seq(Attributed(2002L, 9L, 100L + week + 1L, "none", 4.0)))
   }
+
+  test("cross-batch same-instant touch is excluded too (batch-boundary independence)") {
+    import org.apache.spark.api.java.Optional
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+    val week = StreamingAttribution.DefaultLookbackUs
+    val s = TestGroupState.create[(Long, Long, String)](
+      Optional.empty(), GroupStateTimeout.NoTimeout, 0L, Optional.empty(), false)
+    // batch 1: only the touch at t=100 — it lands in state
+    val out1 = StreamingAttribution.userUpdate(3L,
+      Iterator(TouchRow(3L, 100L, 31L, is_conv = false, "click", 0.0)),
+      s, week).toSeq
+    assert(out1.isEmpty && s.get == ((100L, 31L, "click")))
+    // batch 2: conversion at the SAME t=100 — the strictly-before rule must
+    // hold even though the touch arrived in an earlier micro-batch
+    val out2 = StreamingAttribution.userUpdate(3L,
+      Iterator(TouchRow(3L, 100L, 3001L, is_conv = true, "purchase", 2.0)),
+      s, week).toSeq
+    assert(out2 == Seq(Attributed(3001L, 3L, 100L, "none", 2.0)))
+    // a strictly later conversion is still credited from that state
+    val out3 = StreamingAttribution.userUpdate(3L,
+      Iterator(TouchRow(3L, 101L, 3002L, is_conv = true, "purchase", 6.0)),
+      s, week).toSeq
+    assert(out3 == Seq(Attributed(3002L, 3L, 101L, "click", 6.0)))
+  }
 }
