@@ -76,6 +76,28 @@ object PlanAudit {
     name == "text" || name.matches("(?i)text\\d*") ||
       name.matches("(?i).*_text\\d*")
 
+  /** Token-grained string payloads (rule 5b): shingles, tokens, words,
+    * n-grams. Unlike raw document text these are BOUNDED per row (a token
+    * is ~10 bytes, a 5-word shingle ~30), but an exchange carrying one row
+    * per token/shingle still ships O(corpus tokens) strings — fine only
+    * when the column IS the join/group key (you cannot equi-join without
+    * shipping the key) and the query declares that choice in
+    * [[TokenShuffleExempt]] with its justification. Anything else should
+    * hash the token to an int64 (ReplayableHash) before shuffling. */
+  private def tokenLike(name: String): Boolean =
+    name.matches("(?i)(tok|token|shingle|chunk|word|ngram|bigram|trigram)s?\\d*") ||
+      name.matches("(?i).*_(tok|token|shingle|chunk|word|ngram|bigram|trigram)s?\\d*")
+
+  /** Declared rule-5b exemptions: query -> why shuffling this bounded token
+    * text is the intended design rather than an accident. Adding a new
+    * token-keyed shuffle requires adding a row HERE, which is the review
+    * hook (mirrors q_join_cross's cartesian exemption in rule 1). */
+  val TokenShuffleExempt: Map[String, String] = Map(
+    "q_text_tfidf" -> ("the token IS the group key and the result payload " +
+      "(per-doc top-3 tokens): the exchanges carry one row per distinct " +
+      "(doc, token) after map-side partial aggregation, and the output " +
+      "must surface the token string — hashing it would drop the answer"))
+
   /** Violations for one physical plan (empty = clean). */
   def auditPlan(name: String, plan: SparkPlan): Seq[String] = {
     val out = Seq.newBuilder[String]
@@ -87,12 +109,18 @@ object PlanAudit {
         out += s"$name: SinglePartition exchange over unbounded input"
       case e: ShuffleExchangeExec
           if e.outputPartitioning.isInstanceOf[HashPartitioning] =>
-        val texts = e.child.output.filter(a =>
-          a.dataType == org.apache.spark.sql.types.StringType &&
-            textLike(a.name))
+        val strs = e.child.output.filter(
+          _.dataType == org.apache.spark.sql.types.StringType)
+        val texts = strs.filter(a => textLike(a.name))
+        val toks = strs.filter(a => tokenLike(a.name))
         if (texts.nonEmpty && !boundedBelow(e.child))
           out += s"$name: hash exchange carries raw text column(s) " +
             s"${texts.map(_.name).mkString(", ")} (ship digests, not text)"
+        else if (toks.nonEmpty && !boundedBelow(e.child) &&
+            !TokenShuffleExempt.contains(name))
+          out += s"$name: hash exchange carries token-text column(s) " +
+            s"${toks.map(_.name).mkString(", ")} (hash the token, or declare " +
+            "the exemption in PlanAudit.TokenShuffleExempt)"
       // q_join_cross's 25x5 nation x region is the one declared deliberate
       // cross join; its broadcast side is a raw (5-row) dimension scan.
       case j: BroadcastNestedLoopJoinExec if name != "q_join_cross" =>

@@ -32,6 +32,18 @@ object ReplayableHash extends Serializable {
   val P: Long = 1000000007L
   val Base: Long = 131L
 
+  /** Second polynomial BASE for the 60-bit shingle pairing digest
+    * ([[shingleKeySql]]): two independent-base rolling hashes of the same
+    * string, paired injectively as `h131 * P + h137` (max ≈ 1.0e18 < 2^63,
+    * replayable on DuckDB BIGINTs). A cross-string collision needs BOTH
+    * polynomial hashes to collide (~P² ≈ 2^60 keyspace), so equi-joins on
+    * the digest are collision-safe at any realistic corpus scale — vs the
+    * ~2^30 keyspace of a single hash, which collides at ~50k distinct
+    * shingles. NOTE: this is a second polynomial base, not a new affine
+    * family — the no-salt-reuse rule tracks affine salts, which this does
+    * not consume. */
+  val Base2: Long = 137L
+
   /** Fold base for combining the token hashes of a fixed-width block
     * (BlockHashGenerator): `h = (h * BlockBase + th) % P`. `h, th < P`
     * and `BlockBase < P`, so every step stays < ~2^60 — replayable on
@@ -41,12 +53,15 @@ object ReplayableHash extends Serializable {
   val BlockBase: Long = 1000003L
 
   /** Polynomial rolling hash over code points, in [0, P). */
-  def tokenHash(s: String): Long = {
+  def tokenHash(s: String): Long = tokenHash(s, Base)
+
+  /** As [[tokenHash]] with an explicit base (see [[Base2]]). */
+  def tokenHash(s: String, base: Long): Long = {
     var h = 0L
     var i = 0
     while (i < s.length) {
       val cp = s.codePointAt(i)
-      h = (h * Base + cp) % P
+      h = (h * base + cp) % P
       i += Character.charCount(cp)
     }
     h
@@ -72,10 +87,18 @@ object ReplayableHash extends Serializable {
   // ---- DuckDB SQL twins (generated from the same constants) --------------
 
   /** SQL computing [[tokenHash]] of a string expression. */
-  def tokenHashSql(col: String): String =
+  def tokenHashSql(col: String): String = tokenHashSql(col, Base)
+
+  /** As [[tokenHashSql]] with an explicit base. */
+  def tokenHashSql(col: String, base: Long): String =
     s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
        |  list_transform(range(1, length($col) + 1), i -> CAST(ord($col[i]) AS BIGINT))),
-       |  (h, c) -> (h * $Base + c) % $P)""".stripMargin
+       |  (h, c) -> (h * $base + c) % $P)""".stripMargin
+
+  /** SQL twin of the [[graft.functions.ShingleKey]] 60-bit pairing digest:
+    * `tokenHash(s, 131) * P + tokenHash(s, 137)`. */
+  def shingleKeySql(col: String): String =
+    s"(${tokenHashSql(col, Base)} * $P + ${tokenHashSql(col, Base2)})"
 
   /** `(VALUES ...) name(k, a, b)` relation of the first `n` family params. */
   def paramsSql(ps: IndexedSeq[(Long, Long)], n: Int, name: String): String = {

@@ -135,6 +135,24 @@ object GraftFunctions {
         }
         ShingleGenerator(es(0), n)
       }),
+    (FunctionIdentifier("shingle_key"),
+      new ExpressionInfo(classOf[ShingleKey].getName, "shingle_key"),
+      (es: Seq[Expression]) => ShingleKey(es(0))),
+    (FunctionIdentifier("text_full_hash"),
+      new ExpressionInfo(classOf[TextFullHash].getName, "text_full_hash"),
+      (es: Seq[Expression]) => TextFullHash(es(0))),
+    (FunctionIdentifier("min_shingle_hash"),
+      new ExpressionInfo(classOf[MinShingleHash].getName, "min_shingle_hash"),
+      (es: Seq[Expression]) => {
+        require(es.length == 2,
+          s"min_shingle_hash(text, k) requires exactly 2 arguments, got ${es.length}")
+        val k = es(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"min_shingle_hash(text, k): k must be an integer literal, got $other")
+        }
+        MinShingleHash(es(0), k)
+      }),
     (FunctionIdentifier("block_hashes"),
       new ExpressionInfo(classOf[BlockHashGenerator].getName, "block_hashes"),
       (es: Seq[Expression]) => {

@@ -115,7 +115,12 @@ object CurationOps extends QueryModule {
        |               x -> x IN (${TextOps.Stopwords.map(w => s"'$w'").mkString(", ")}))) AS n_stop
        |    FROM documents))""".stripMargin
 
-  /** Distinct (doc_id, 5-word-shingle) pairs with stop-shingles removed. */
+  /** Distinct (doc_id, 5-word-shingle) pairs with stop-shingles removed,
+    * plus the 60-bit replayable pairing digest `sh_key` (ShingleKey).
+    * Downstream equi-joins (contamination, split leakage) join on `sh_key`
+    * so their exchanges ship 8-byte longs, never repeated shingle text —
+    * the PlanAudit rule-5b digest discipline; the string column stays on
+    * the frame for consumers that genuinely need it (cluster edges). */
   private def clusterShingles(s: SparkSession, docs: DataFrame): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     val sh = docs
@@ -131,7 +136,9 @@ object CurationOps extends QueryModule {
     val kept = sh.groupBy("shingle").agg(count(lit(1)).as("n_docs"))
       .where(col("n_docs") <= MaxShingleDocs)
       .select("shingle")
-    sh.join(kept, "shingle").select(col("doc_id"), col("shingle"))
+    sh.join(kept, "shingle")
+      .select(col("doc_id"), col("shingle"),
+        call_function("shingle_key", col("shingle")).as("sh_key"))
   }
 
   /** Connected components over shingle-sharing edges by iterative min-label
@@ -272,15 +279,18 @@ object CurationOps extends QueryModule {
     * stop-shingle df cap (≤ 50 docs per shingle ⇒ ≤ cap² join rows per
     * key) — never corpus-quadratic. */
   private[graft] def splitLeakageFromShingles(sh: DataFrame): DataFrame = {
-    val bkt = sh.withColumn("bucket", MixOps.splitBucketCol)
+    // equi on the 60-bit digest, same rule-5b discipline (and collision
+    // caveat) as q_llm_contamination — the string never reaches a shuffle
+    val bkt = sh.select(col("doc_id"), col("sh_key"))
+      .withColumn("bucket", MixOps.splitBucketCol)
     val testSh = bkt.where(col("bucket") >= 95)
-      .select(col("shingle"), col("doc_id").as("test_doc"))
+      .select(col("sh_key"), col("doc_id").as("test_doc"))
     val trainSh = bkt.where(col("bucket") < 90)
-      .select(col("shingle"), col("doc_id").as("train_doc"))
-    testSh.join(trainSh, "shingle")
+      .select(col("sh_key"), col("doc_id").as("train_doc"))
+    testSh.join(trainSh, "sh_key")
       .groupBy("test_doc")
       .agg(asLong(count(lit(1))).as("n_hits"),
-        asLong(count_distinct(col("shingle"))).as("n_shingles"),
+        asLong(count_distinct(col("sh_key"))).as("n_shingles"),
         min(col("train_doc")).as("first_train_doc"))
       .orderBy("test_doc")
   }
@@ -531,20 +541,25 @@ object CurationOps extends QueryModule {
     // Train/eval contamination detection: flag "training" docs (sources
     // other than src0) sharing any kept 5-word shingle with the "benchmark"
     // set (source src0) — the decontamination pass a training pipeline runs
-    // before an eval split ships. Same stop-shingle hygiene as clustering;
-    // the join is equi on the shingle string, never all-pairs.
+    // before an eval split ships. Same stop-shingle hygiene as clustering.
+    // The join is equi on the 60-bit shingle DIGEST (sh_key), never the
+    // string and never all-pairs: every exchange ships 8-byte longs (rule
+    // 5b), and at 100 TB that is the difference between re-shuffling the
+    // corpus's shingle text and shuffling one long per kept (doc, shingle).
+    // n_shingles counts distinct digests — identical to distinct shingles
+    // absent a ~2^-60-per-pair double-polynomial collision.
     "q_llm_contamination" -> ((s: SparkSession, dir: String) => {
       val docs = table(s, dir, "documents")
-      val sh = keptShinglesFor(s, dir)
+      val sh = keptShinglesFor(s, dir).select("doc_id", "sh_key")
         .join(docs.select("doc_id", "source"), "doc_id")
       val evalSh = sh.where(col("source") === "src0")
-        .select(col("shingle"), col("doc_id").as("eval_doc"))
+        .select(col("sh_key"), col("doc_id").as("eval_doc"))
       val trainSh = sh.where(col("source") =!= "src0")
-        .select(col("shingle"), col("doc_id"))
-      trainSh.join(evalSh, "shingle")
+        .select(col("sh_key"), col("doc_id"))
+      trainSh.join(evalSh, "sh_key")
         .groupBy("doc_id")
         .agg(asLong(count(lit(1))).as("n_hits"),
-          asLong(count_distinct(col("shingle"))).as("n_shingles"),
+          asLong(count_distinct(col("sh_key"))).as("n_shingles"),
           min(col("eval_doc")).as("first_eval_doc"))
         .orderBy("doc_id")
     }),
@@ -771,15 +786,17 @@ object CurationOps extends QueryModule {
          |  FROM sgen),
          |keep AS (SELECT shingle FROM sh0 GROUP BY shingle HAVING count(*) <= $MaxShingleDocs),
          |sh AS (
-         |  SELECT sh0.doc_id, sh0.shingle, d.source
+         |  SELECT sh0.doc_id,
+         |         ${graft.functions.ReplayableHash.shingleKeySql("shingle")} AS sh_key,
+         |         d.source
          |  FROM sh0 JOIN keep USING (shingle) JOIN documents d USING (doc_id)),
-         |ev AS (SELECT shingle, doc_id AS eval_doc FROM sh WHERE source = 'src0'),
-         |tr AS (SELECT shingle, doc_id FROM sh WHERE source <> 'src0')
+         |ev AS (SELECT sh_key, doc_id AS eval_doc FROM sh WHERE source = 'src0'),
+         |tr AS (SELECT sh_key, doc_id FROM sh WHERE source <> 'src0')
          |SELECT tr.doc_id,
          |       CAST(count(*) AS BIGINT) AS n_hits,
-         |       CAST(count(DISTINCT tr.shingle) AS BIGINT) AS n_shingles,
+         |       CAST(count(DISTINCT tr.sh_key) AS BIGINT) AS n_shingles,
          |       min(ev.eval_doc) AS first_eval_doc
-         |FROM tr JOIN ev USING (shingle)
+         |FROM tr JOIN ev USING (sh_key)
          |GROUP BY tr.doc_id ORDER BY tr.doc_id""".stripMargin,
 
     "q_llm_split_leakage" ->
@@ -796,15 +813,18 @@ object CurationOps extends QueryModule {
          |         toks[i+3] || ' ' || toks[i+4] AS shingle
          |  FROM sgen),
          |keep AS (SELECT shingle FROM sh0 GROUP BY shingle HAVING count(*) <= $MaxShingleDocs),
-         |sh AS (SELECT sh0.doc_id, sh0.shingle FROM sh0 JOIN keep USING (shingle)),
-         |bkt AS (SELECT doc_id, shingle, ${MixOps.splitBucketSql} AS bucket FROM sh),
-         |te AS (SELECT shingle, doc_id AS test_doc FROM bkt WHERE bucket >= 95),
-         |tr AS (SELECT shingle, doc_id AS train_doc FROM bkt WHERE bucket < 90)
+         |sh AS (
+         |  SELECT sh0.doc_id,
+         |         ${graft.functions.ReplayableHash.shingleKeySql("shingle")} AS sh_key
+         |  FROM sh0 JOIN keep USING (shingle)),
+         |bkt AS (SELECT doc_id, sh_key, ${MixOps.splitBucketSql} AS bucket FROM sh),
+         |te AS (SELECT sh_key, doc_id AS test_doc FROM bkt WHERE bucket >= 95),
+         |tr AS (SELECT sh_key, doc_id AS train_doc FROM bkt WHERE bucket < 90)
          |SELECT test_doc,
          |       CAST(count(*) AS BIGINT) AS n_hits,
-         |       CAST(count(DISTINCT shingle) AS BIGINT) AS n_shingles,
+         |       CAST(count(DISTINCT sh_key) AS BIGINT) AS n_shingles,
          |       min(train_doc) AS first_train_doc
-         |FROM te JOIN tr USING (shingle)
+         |FROM te JOIN tr USING (sh_key)
          |GROUP BY test_doc ORDER BY test_doc""".stripMargin,
 
     "q_llm_corpus_curate" ->
@@ -834,8 +854,9 @@ object CurationOps extends QueryModule {
         |  SELECT tok, count(*) AS n FROM toks
         |  WHERE length(tok) > 0 GROUP BY tok),
         |pairs AS (
-        |  SELECT substring(tok, CAST(g.i AS INTEGER), 2) AS pair, n
-        |  FROM tc, generate_series(1, length(tok) - 1) AS g(i)
+        |  SELECT unnest(list_transform(range(1, CAST(length(tok) AS BIGINT)),
+        |           i -> substring(tok, CAST(i AS INTEGER), 2))) AS pair, n
+        |  FROM tc
         |  WHERE length(tok) >= 2)
         |SELECT pair, CAST(sum(n) AS BIGINT) AS pair_count
         |FROM pairs GROUP BY pair

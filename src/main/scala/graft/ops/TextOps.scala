@@ -35,7 +35,8 @@ object TextOps extends QueryModule {
   /** Polynomial rolling hash over the whole text (q_text_fingerprint) —
     * since round 4 the SQL-replayable mod-prime form (ReplayableHash), so
     * the fingerprint query graduates from spec-pinned to DuckDB-oracled.
-    * Exposed for TextSpec's determinism / sensitivity properties. */
+    * Delegates to the codegen'd kernel (TextHashes) the query itself runs;
+    * exposed for TextSpec's determinism / sensitivity properties. */
   private[graft] def fullHashFn(text: String): Long =
     graft.functions.ReplayableHash.tokenHash(text)
 
@@ -46,28 +47,9 @@ object TextOps extends QueryModule {
     * switch formulas at the k boundary, so the invariant starts there.)
     * Windows step over CODE POINTS, matching DuckDB's character indexing,
     * so the oracle replays it for any BMP+ text. */
-  private[graft] def minShingleFn(text: String): Long = {
-    import graft.functions.ReplayableHash.{Base, P}
-    val cps = text.codePoints().toArray
-    def poly(from: Int, until: Int): Long = {
-      var h = 0L
-      var j = from
-      while (j < until) { h = (h * Base + cps(j)) % P; j += 1 }
-      h
-    }
-    val k = 8
-    if (cps.length < k) poly(0, cps.length)
-    else {
-      var best = Long.MaxValue
-      var i = 0
-      while (i + k <= cps.length) {
-        val h = poly(i, i + k)
-        if (h < best) best = h
-        i += 1
-      }
-      best
-    }
-  }
+  private[graft] def minShingleFn(text: String): Long =
+    graft.functions.TextHashes.minShingle(
+      org.apache.spark.unsafe.types.UTF8String.fromString(text), 8)
 
   /** Sensitive-term scrubbing — the q_text_scrub primitive. Returns
     * (doc_id, n_sensitive, clean_len, clean_sha); the scrubbed text itself
@@ -225,13 +207,15 @@ object TextOps extends QueryModule {
     // plus a winnowing-style min-shingle hash. Oracled since round 4 (the
     // mod-prime form replays in SQL); TextSpec keeps the winnowing
     // monotonicity and sensitivity properties the hash gate can't see.
+    // Native codegen'd expressions (TextHashExpressions) since round 9 —
+    // no UDF serialization round-trip; the scan stays one codegen span.
     "q_text_fingerprint" -> ((s: SparkSession, dir: String) => {
-      val fullHash = udf(fullHashFn _)
-      val minShingle = udf(minShingleFn _)
+      graft.functions.GraftFunctions.register(s)
       table(s, dir, "documents")
         .select(col("doc_id"),
-          fullHash(col("text")).as("fingerprint"),
-          minShingle(col("text")).as("min_shingle_hash"))
+          call_function("text_full_hash", col("text")).as("fingerprint"),
+          call_function("min_shingle_hash", col("text"), lit(8))
+            .as("min_shingle_hash"))
         .orderBy("doc_id")
     }),
 

@@ -23,30 +23,41 @@ package object ops {
   /** A declared engine query over the driver fixtures. */
   type Q = (SparkSession, String) => DataFrame
 
-  /** Fixture table loader. `events.ts` is NANOS-precision parquet, which the
-    * Spark vectorized reader rejects (PARQUET_TYPE_ILLEGAL); read it as raw
-    * ns longs and rebuild a µs timestamp — the fixture data is µs-grained so
-    * the conversion is lossless, and DuckDB's `epoch_us` floors identically.
+  /** Fixture table loader. `events.ts` has shipped in three physical forms
+    * across fixture generations (ns-precision parquet, raw ns longs from the
+    * ScaleProbe replicators, plain µs TIMESTAMP_NTZ since the round-9
+    * fixtures), so the loader normalizes BY TYPE to one logical shape — a
+    * µs-grained session-TZ TimestampType column (session TZ is UTC on both
+    * engines, so the NTZ cast is the identity wall-clock mapping and DuckDB's
+    * `epoch_us` floors identically).
     *
-    * The resolved relation is memoized per (SparkContext, path, content
+    * The resolved relation is memoized per (SparkSession, path, content
     * digest) — the catalog role a metastore plays on a real cluster. Every
     * `spark.read.parquet` call otherwise re-lists the path and re-parses
     * the footer schema on the driver; across a 140-query suite that pure
     * metadata overhead is paid hundreds of times for the same ten immutable
     * fixtures. The content digest (file name/size/mtime walk, the
     * SourceSinkOps.fixtureKey discipline) keeps a REGENERATED fixture from
-    * serving a stale relation into the hash gate.
+    * serving a stale relation into the hash gate: on a digest miss, entries
+    * for the same (session, dir, name) under an older digest are evicted so
+    * the cache stays bounded by the live fixture set.
     */
   def table(s: SparkSession, dir: String, name: String): DataFrame = {
-    val key = System.identityHashCode(s.sparkContext).toString + "|" +
-      dir + "|" + name + "|" +
-      SourceSinkOps.fixtureKey(dir, s"$name.parquet")
-    tableCache.computeIfAbsent(key, _ =>
-      if (name == "events") {
-        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        s.read.parquet(s"$dir/events.parquet")
-          .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-      } else s.read.parquet(s"$dir/$name.parquet"))
+    val prefix = System.identityHashCode(s).toString + "|" + dir + "|" + name
+    val key = prefix + "|" + SourceSinkOps.fixtureKey(dir, s"$name.parquet")
+    if (name == "events") // set unconditionally: cache hits must not depend
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true") // on miss order
+    tableCache.computeIfAbsent(key, _ => {
+      tableCache.keySet.removeIf(k => k != key && k.startsWith(prefix + "|"))
+      val raw = s.read.parquet(s"$dir/$name.parquet")
+      if (name == "events") raw.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType => // ns longs (legacy / probes)
+          raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        case _: org.apache.spark.sql.types.TimestampNTZType =>
+          raw.withColumn("ts", col("ts").cast("timestamp"))
+        case _ => raw
+      } else raw
+    })
   }
 
   private val tableCache =
