@@ -112,7 +112,13 @@ object ScaleProbe {
       // semdedup verdict (capped sign-LSH cell self-join), and the
       // per-source PII audit (scan-side regexp_count)
       "q_llm_block_dedup", "q_analytics_attribution",
-      "q_llm_emb_semdedup", "q_text_pii_audit")
+      "q_llm_emb_semdedup", "q_text_pii_audit",
+      // r9: the remaining round-8 operators — BPE pair counting (vocab-
+      // bounded pair stage), prefix dedup (bounded prefix-key groups),
+      // n-gram novelty (bigram df rejoin), cross-source overlap
+      // (window-pass source pairing)
+      "q_llm_bpe_pairs", "q_llm_prefix_dedup", "q_llm_ngram_novelty",
+      "q_llm_cross_source_overlap")
     // warmup
     SparkEntry.queries("q_agg_basic")(spark, outDir).count()
     val results = probes.map { name =>
@@ -205,7 +211,14 @@ object ScaleProbe {
       // r8 late: semdedup under mass duplication — the identical-vector
       // mega-cell is cut to MaxEmbBucket members before pairing (vectors
       // past the cap keep their verdict trivially)
-      "q_llm_emb_semdedup")
+      "q_llm_emb_semdedup",
+      // r9: the round-8 operators under mass duplication + source
+      // dominance — bpe's pair stage shrinks (fewer distinct tokens),
+      // prefix dedup faces one dominant prefix group, novelty's bigram
+      // df rejoin concentrates on the cloned bigrams, and cross-source
+      // overlap faces the 90%-one-source histogram
+      "q_llm_bpe_pairs", "q_llm_prefix_dedup", "q_llm_ngram_novelty",
+      "q_llm_cross_source_overlap")
     for ((dir, label) <- Seq((srcDir, "uniform"), (degDir, "degen"))) {
       family.foreach { name =>
         val t0 = System.nanoTime()

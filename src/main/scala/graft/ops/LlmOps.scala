@@ -60,14 +60,18 @@ object LlmOps extends QueryModule {
     * tau defaults to the fixture-calibrated SemDedupTau; real text
     * embeddings would use ~0.95+. */
   private[graft] def semdedupVerdicts(s: SparkSession, emb: DataFrame,
-      tau: Double = SemDedupTau): DataFrame = {
+      tau: Double = SemDedupTau,
+      nPlanes: Int = NeardupPlanes.length,
+      cap: Int = MaxEmbBucket): DataFrame = {
+    // nPlanes/cap are spec knobs (LlmSpec's recall probe): plane-PREFIX
+    // cells nest, so fewer planes = coarser cells = recall can only rise
     def bucketOf(e: Column): Column =
-      NeardupPlanes.zipWithIndex.map { case (plane, p) =>
+      NeardupPlanes.take(nPlanes).zipWithIndex.map { case (plane, p) =>
         when(vdot(s)(e, typedlit(plane)) > 0, lit(1L << p)).otherwise(lit(0L))
       }.reduce(_ + _)
     val withBucket = capBuckets(
       emb.withColumn("bucket", bucketOf(col("emb"))),
-      Seq("bucket"), "vec_id", MaxEmbBucket)
+      Seq("bucket"), "vec_id", cap)
     val a = withBucket.select(col("bucket"), col("vec_id").as("id_a"), col("emb").as("emb_a"))
     val b = withBucket.select(col("bucket"), col("vec_id").as("id_b"), col("emb").as("emb_b"))
     val dups = a.join(b, Seq("bucket"))
@@ -452,7 +456,7 @@ object LlmOps extends QueryModule {
   private def ivfQuery(nprobe: Int): Q = (s: SparkSession, dir: String) =>
     ivfTopK(s, dir, nprobe)
 
-  private def embDouble(s: SparkSession, dir: String): DataFrame =
+  private[graft] def embDouble(s: SparkSession, dir: String): DataFrame =
     table(s, dir, "embeddings")
       .select(col("vec_id"), col("label"),
         transform(col("embedding"), _.cast("double")).as("emb"))

@@ -340,6 +340,62 @@ class LlmSpec extends SparkTestBase {
     assert(rows.exists(!_._3), "fixture sanity: expected at least one drop")
   }
 
+  test("semdedup recall vs exact ground truth: quantified, monotone in plane count") {
+    // exact within-tau ground truth on sf0.001 (500 vectors — test-side
+    // O(n²) only): a vector is a TRUE dup iff some lower-id vector sits at
+    // cosine >= tau. The sign-LSH cells miss cross-cell neighbors
+    // (nprobe=1), so engine recall < 1 by design; this pins HOW MUCH.
+    val embs: Array[(Long, Seq[Double])] =
+      spark.read.parquet(s"$sfDir/embeddings.parquet").collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble)))
+        .sortBy(_._1)
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      if (na == 0 || nb == 0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val tau = 0.4
+    val trueDups: Set[Long] = (for {
+      j <- embs.indices
+      if embs.indices.take(j).exists(i => cos(embs(i)._2, embs(j)._2) >= tau - 1e-12)
+    } yield embs(j)._1).toSet
+    assert(trueDups.nonEmpty, "fixture sanity: ground truth has dups")
+
+    val emb = graft.ops.LlmOps.embDouble(spark, sfDir)
+    def recallAt(nPlanes: Int, cap: Int): Double = {
+      val dropped = graft.ops.LlmOps
+        .semdedupVerdicts(spark, emb, tau, nPlanes, cap)
+        .where(!col("keep")).collect().map(_.getLong(0)).toSet
+      // soundness (pinned elsewhere) implies dropped ⊆ trueDups
+      assert(dropped.subsetOf(trueDups), s"unsound drop at nPlanes=$nPlanes")
+      dropped.size.toDouble / trueDups.size
+    }
+
+    // uncapped, plane-prefix cells NEST: fewer planes = coarser cells ⊇
+    // finer cells, so candidate pairs (and recall) are monotone
+    // non-increasing in plane count — structural, not statistical (note
+    // even 1 plane is TWO half-space cells, so recall < 1 everywhere:
+    // the cross-cell miss exists at every plane count)
+    val uncapped = Seq(1, 2, 4, 8).map(p => p -> recallAt(p, Int.MaxValue))
+    uncapped.sliding(2).foreach { case Seq((pa, ra), (pb, rb)) =>
+      assert(ra >= rb - 1e-12, s"recall rose with planes: $pa->$ra, $pb->$rb")
+    }
+    val shipped = recallAt(8, 200)
+    info(s"semdedup recall: uncapped by planes " +
+      uncapped.map { case (p, r) => f"$p->$r%.3f" }.mkString(", ") +
+      f", shipped (8 planes, cap 200) -> $shipped%.3f over ${trueDups.size} true dups")
+    // the SHIPPED config (8 planes, cap 200) measured 0.194 on this
+    // fixture (uncapped by planes: 1->0.629, 2->0.452, 4->0.258,
+    // 8->0.194; cap 200 costs nothing at 500 vectors). tau=0.4 is a ~66°
+    // angle — sign-LSH agreement decays fast there, which is exactly why
+    // SemDeDup proper uses k-means cells (or multi-probe) for low-tau
+    // regimes; at its production tau≈0.95 the same 8 planes agree far
+    // more often. Pinned below the measured value so a silent recall
+    // collapse (plane or cap regression) fails loudly while the nprobe=1
+    // cross-cell miss stays quantified instead of just documented.
+    assert(shipped >= 0.15, s"shipped-config recall $shipped < 0.15")
+  }
+
   test("token novelty matches a driver-side first-occurrence replay") {
     // tokenSets is sorted by doc_id, so a token's first occurrence is the
     // first doc that carries it in iteration order
