@@ -80,7 +80,7 @@ object Bench {
     spark.stop()
   }
 
-  /** The DuckDB twins of these five queries are written for BIT-EXACT float
+  /** The DuckDB twins of these queries are written for BIT-EXACT float
     * replay (index-ordered IEEE lambda folds; the IVF pair replays a whole
     * k-means build in SQL) — correctness artifacts, not an optimized DuckDB
     * implementation, so they run slowly there and flatter the raw ratio.
@@ -90,7 +90,7 @@ object Bench {
   private val replayTwins = Set(
     "q_llm_sim_knn_lsh", "q_llm_embed_neardup",
     "q_llm_sim_knn_ivf", "q_llm_sim_knn_ivf2",
-    "q_llm_emb_semdedup")
+    "q_llm_emb_semdedup", "q_llm_emb_semdedup_mp")
 
   /** `,"duckdb_total":…,"spark_on_common":…,"vs_duckdb_ratio":…` plus the
     * `_ex_twins` variants (replay-twin set excluded) if the pinned baseline

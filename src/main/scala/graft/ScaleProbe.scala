@@ -218,7 +218,10 @@ object ScaleProbe {
       // df rejoin concentrates on the cloned bigrams, and cross-source
       // overlap faces the 90%-one-source histogram
       "q_llm_bpe_pairs", "q_llm_prefix_dedup", "q_llm_ngram_novelty",
-      "q_llm_cross_source_overlap")
+      "q_llm_cross_source_overlap",
+      // r9 late: multi-probe semdedup under the identical-vector mega-cell
+      // (probe rows double the cell load; the cap still bounds pairing)
+      "q_llm_emb_semdedup_mp")
     for ((dir, label) <- Seq((srcDir, "uniform"), (degDir, "degen"))) {
       family.foreach { name =>
         val t0 = System.nanoTime()

@@ -89,6 +89,60 @@ object LlmOps extends QueryModule {
         col("dup_of").isNull.as("keep"))
   }
 
+  /** Multi-probe SemDeDup verdict (q_llm_emb_semdedup_mp): same capped
+    * sign-LSH cells as [[semdedupVerdicts]], but each vector ALSO probes
+    * the neighboring cell with its WEAKEST plane flipped (argmin |plane·x|,
+    * ties to the lowest plane index) — classic multi-probe LSH. Near-dups
+    * that straddle a hyperplane do so exactly where the margin is small,
+    * so flipping the smallest-margin bit recovers part of the nprobe=1
+    * cross-cell miss for one extra bucket row per vector (2× bucket rows,
+    * ≤4× pair work — the recall/cost dial, measured in LlmSpec: 0.194 →
+    * 0.258 on the sf0.001 ground truth at the fixture tau=0.4, where
+    * near-dup cells differ in ~3 of 8 bits on average so one flip is
+    * inherently modest; at a production tau≈0.95 the expected bit
+    * distance is <1 and the same single flip recovers most misses). All
+    * margin
+    * comparisons are IEEE-exact on both engines, so the probe cell — and
+    * with it the whole verdict — replays in the DuckDB twin. */
+  private[graft] def semdedupMultiProbeVerdicts(s: SparkSession,
+      emb: DataFrame, tau: Double = SemDedupTau,
+      cap: Int = MaxEmbBucket): DataFrame = {
+    val n = NeardupPlanes.length
+    val dotCols = NeardupPlanes.zipWithIndex.map { case (pl, p) =>
+      vdot(s)(col("emb"), typedlit(pl)).as(s"d$p")
+    }
+    val withDots = emb.select(
+      Seq(col("vec_id"), col("emb")) ++ dotCols: _*)
+    val bucket = (0 until n)
+      .map(p => when(col(s"d$p") > 0, lit(1L << p)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    val minAbs = least((0 until n).map(p => abs(col(s"d$p"))): _*)
+    val weakestMask = (1 until n)
+      .foldLeft(when(abs(col("d0")) === col("minabs"), lit(1L << 0))) {
+        (acc, p) => acc.when(abs(col(s"d$p")) === col("minabs"), lit(1L << p))
+      }
+    val cells = withDots
+      .withColumn("minabs", minAbs)
+      .withColumn("bucket0", bucket)
+      .withColumn("probe", col("bucket0").bitwiseXOR(weakestMask))
+      .select(col("vec_id"), col("emb"),
+        explode(array(col("bucket0"), col("probe"))).as("bucket"))
+    val capped = capBuckets(cells, Seq("bucket"), "vec_id", cap)
+    val a = capped.select(col("bucket"), col("vec_id").as("id_a"), col("emb").as("emb_a"))
+    val b = capped.select(col("bucket"), col("vec_id").as("id_b"), col("emb").as("emb_b"))
+    val dups = a.join(b, Seq("bucket"))
+      .where(col("id_a") < col("id_b")
+        && cosine(s)(col("emb_a"), col("emb_b")) >= tau)
+      .groupBy(col("id_b").as("vec_id"))
+      .agg(min(col("id_a")).as("dup_of"))
+    // bounded exactly like the single-probe dups relation (2^8 cells ×
+    // cap members, constant at any corpus size) — broadcast stays legal
+    emb.select(col("vec_id"), col("label"))
+      .join(broadcast(dups), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("label"), col("dup_of"),
+        col("dup_of").isNull.as("keep"))
+  }
+
   /** Span-level exact-dup stats for an arbitrary (doc_id, text) frame —
     * the q_llm_block_dedup primitive, exposed for [[graft.Pipelines]]:
     * disjoint `w`-token block hashes per doc (BlockHashGenerator — digests
@@ -693,6 +747,15 @@ object LlmOps extends QueryModule {
     "q_llm_emb_semdedup" -> ((s: SparkSession, dir: String) =>
       semdedupVerdicts(s, embDouble(s, dir)).orderBy("vec_id")),
 
+    // Multi-probe variant of the semdedup verdict (r9): each vector also
+    // probes the cell across its smallest-margin hyperplane (recall
+    // 0.194 → 0.258 on the sf0.001 exact ground truth at the low fixture
+    // tau, LlmSpec; far more at production tau where bit distances are
+    // <1) for 2× bucket rows / ≤4× pair work — the recall/cost dial a
+    // 100 TB operator tunes instead of rerunning with more planes.
+    "q_llm_emb_semdedup_mp" -> ((s: SparkSession, dir: String) =>
+      semdedupMultiProbeVerdicts(s, embDouble(s, dir)).orderBy("vec_id")),
+
     // Token novelty per doc — the chronological-novelty signal a curation
     // pipeline uses to spot re-crawls and boilerplate floods (a doc whose
     // distinct tokens ALL appeared in earlier docs adds no new content):
@@ -971,6 +1034,45 @@ object LlmOps extends QueryModule {
          |       d.dup_of IS NULL AS keep
          |FROM e LEFT JOIN dups d ON d.vec_id = e.vec_id
          |ORDER BY e.vec_id""".stripMargin,
+
+    // multi-probe twin: the plane dots, margins, argmin tie-break, and the
+    // XOR'd probe cell all replay IEEE/integer-exactly, so the verdict
+    // hash-gates like the single-probe one
+    "q_llm_emb_semdedup_mp" -> {
+      val n = NeardupPlanes.length
+      s"""WITH $embCte,
+         |dd AS (
+         |  SELECT vec_id, label, emb,
+         |         ${(0 until n).map(p => planeDotSql("emb", NeardupPlanes(p)) + s" AS d$p").mkString(",\n         ")}
+         |  FROM e),
+         |bb AS (
+         |  SELECT vec_id, emb,
+         |         ${(0 until n).map(p => s"(CASE WHEN d$p > 0 THEN ${1L << p} ELSE 0 END)").mkString(" + ")} AS bucket,
+         |         least(${(0 until n).map(p => s"abs(d$p)").mkString(", ")}) AS minabs,
+         |         ${(0 until n).map(p => s"d$p").mkString(", ")}
+         |  FROM dd),
+         |mm AS (
+         |  SELECT vec_id, emb, bucket,
+         |         CASE ${(0 until n).map(p => s"WHEN abs(d$p) = minabs THEN CAST(${1L << p} AS BIGINT)").mkString(" ")} END AS mask
+         |  FROM bb),
+         |pb AS (
+         |  SELECT vec_id, emb, unnest([bucket, xor(bucket, mask)]) AS bucket2
+         |  FROM mm),
+         |capped AS (
+         |  SELECT vec_id, emb, bucket2 FROM (
+         |    SELECT vec_id, emb, bucket2,
+         |           row_number() OVER (PARTITION BY bucket2 ORDER BY vec_id) AS brn
+         |    FROM pb) WHERE brn <= $MaxEmbBucket),
+         |dups AS (
+         |  SELECT y.vec_id, min(x.vec_id) AS dup_of
+         |  FROM capped x JOIN capped y USING (bucket2)
+         |  WHERE x.vec_id < y.vec_id AND ${cosSql("x.emb", "y.emb")} >= $SemDedupTau
+         |  GROUP BY y.vec_id)
+         |SELECT e.vec_id AS vec_id, e.label AS label, d.dup_of AS dup_of,
+         |       d.dup_of IS NULL AS keep
+         |FROM e LEFT JOIN dups d ON d.vec_id = e.vec_id
+         |ORDER BY e.vec_id""".stripMargin
+    },
 
     "q_llm_minhash" ->
       s"""WITH
