@@ -118,7 +118,9 @@ object ScaleProbe {
       // n-gram novelty (bigram df rejoin), cross-source overlap
       // (window-pass source pairing)
       "q_llm_bpe_pairs", "q_llm_prefix_dedup", "q_llm_ngram_novelty",
-      "q_llm_cross_source_overlap")
+      "q_llm_cross_source_overlap",
+      // r9 late: the multi-probe semdedup verdict
+      "q_llm_emb_semdedup_mp")
     // warmup
     SparkEntry.queries("q_agg_basic")(spark, outDir).count()
     val results = probes.map { name =>
