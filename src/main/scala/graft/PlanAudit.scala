@@ -88,15 +88,19 @@ object PlanAudit {
     name.matches("(?i)(tok|token|shingle|chunk|word|ngram|bigram|trigram)s?\\d*") ||
       name.matches("(?i).*_(tok|token|shingle|chunk|word|ngram|bigram|trigram)s?\\d*")
 
-  /** Declared rule-5b exemptions: query -> why shuffling this bounded token
-    * text is the intended design rather than an accident. Adding a new
-    * token-keyed shuffle requires adding a row HERE, which is the review
-    * hook (mirrors q_join_cross's cartesian exemption in rule 1). */
-  val TokenShuffleExempt: Map[String, String] = Map(
-    "q_text_tfidf" -> ("the token IS the group key and the result payload " +
-      "(per-doc top-3 tokens): the exchanges carry one row per distinct " +
-      "(doc, token) after map-side partial aggregation, and the output " +
-      "must surface the token string — hashing it would drop the answer"))
+  /** Declared rule-5b exemptions: query -> (exempt COLUMN NAMES, why
+    * shuffling that bounded token text is the intended design). The
+    * exemption is per column set, not blanket-per-query: a future edit
+    * adding a shuffle of a DIFFERENTLY-named token column to an exempted
+    * query still trips the rule. Adding a new token-keyed shuffle requires
+    * adding/extending a row HERE, which is the review hook (mirrors
+    * q_join_cross's cartesian exemption in rule 1). */
+  val TokenShuffleExempt: Map[String, (Set[String], String)] = Map(
+    "q_text_tfidf" -> (Set("token") ->
+      ("the token IS the group key and the result payload (per-doc top-3 " +
+        "tokens): the exchanges carry one row per distinct (doc, token) " +
+        "after map-side partial aggregation, and the output must surface " +
+        "the token string — hashing it would drop the answer")))
 
   /** Violations for one physical plan (empty = clean). */
   def auditPlan(name: String, plan: SparkPlan): Seq[String] = {
@@ -113,13 +117,14 @@ object PlanAudit {
           _.dataType == org.apache.spark.sql.types.StringType)
         val texts = strs.filter(a => textLike(a.name))
         val toks = strs.filter(a => tokenLike(a.name))
+        val exemptCols = TokenShuffleExempt.get(name).map(_._1).getOrElse(Set.empty)
+        val unexempt = toks.filterNot(a => exemptCols(a.name))
         if (texts.nonEmpty && !boundedBelow(e.child))
           out += s"$name: hash exchange carries raw text column(s) " +
             s"${texts.map(_.name).mkString(", ")} (ship digests, not text)"
-        else if (toks.nonEmpty && !boundedBelow(e.child) &&
-            !TokenShuffleExempt.contains(name))
+        else if (unexempt.nonEmpty && !boundedBelow(e.child))
           out += s"$name: hash exchange carries token-text column(s) " +
-            s"${toks.map(_.name).mkString(", ")} (hash the token, or declare " +
+            s"${unexempt.map(_.name).mkString(", ")} (hash the token, or declare " +
             "the exemption in PlanAudit.TokenShuffleExempt)"
       // q_join_cross's 25x5 nation x region is the one declared deliberate
       // cross join; its broadcast side is a raw (5-row) dimension scan.

@@ -6,33 +6,27 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.types.{DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
-/** Static hash kernels shared by [[TextFullHash]] / [[MinShingleHash]] and
-  * their interpreted paths. Top-level object ⇒ Java static forwarders, so
-  * generated code calls `graft.functions.TextHashes.fullHash(s)` directly —
-  * the expressions stay INSIDE whole-stage codegen (no UDF serialization
-  * round-trip, no CodegenFallback interpreted row path).
+/** Static hash kernels shared by [[TextFullHash]] / [[MinShingleHash]] /
+  * [[ShingleKey]] and their interpreted paths. Top-level object ⇒ Java
+  * static forwarders, so generated code calls
+  * `graft.functions.TextHashes.fullHash(s)` directly — the expressions
+  * stay INSIDE whole-stage codegen. The win over the retired `udf()` is
+  * eliminating the per-row encoder round-trip (Catalyst→external Row and
+  * back) and the codegen-span break, NOT the `toString` copy — each
+  * kernel still materializes the String (codePoint iteration needs it).
   */
 object TextHashes {
 
-  /** [[ReplayableHash.tokenHash]] over a UTF8String without the
-    * String copy: polynomial fold over code points in [0, P). */
-  def fullHash(s: UTF8String): Long = {
-    val str = s.toString
-    var h = 0L
-    var i = 0
-    while (i < str.length) {
-      val cp = str.codePointAt(i)
-      h = (h * ReplayableHash.Base + cp) % ReplayableHash.P
-      i += Character.charCount(cp)
-    }
-    h
-  }
+  /** [[ReplayableHash.tokenHash]] (the oracle-generating canonical
+    * kernel) applied to a UTF8String input. */
+  def fullHash(s: UTF8String): Long =
+    ReplayableHash.tokenHash(s.toString)
 
   /** 60-bit pairing digest for shingle/token equi-joins
     * ([[ReplayableHash.shingleKeySql]] twin): both independent-base rolling
-    * hashes in ONE pass over the code points, paired as `h131 * P + h137`.
-    * Joining on this 8-byte long instead of the string is the rule-5b
-    * digest discipline: the exchange ships fixed-width longs, not repeated
+    * hashes in one code-point pass, paired as `h131 * P + h137`. Joining
+    * on this 8-byte long instead of the string is the rule-5b digest
+    * discipline: the exchange ships fixed-width longs, not repeated
     * shingle text. */
   def shingleKey(s: UTF8String): Long = {
     val str = s.toString

@@ -137,10 +137,18 @@ object GraftFunctions {
       }),
     (FunctionIdentifier("shingle_key"),
       new ExpressionInfo(classOf[ShingleKey].getName, "shingle_key"),
-      (es: Seq[Expression]) => ShingleKey(es(0))),
+      (es: Seq[Expression]) => {
+        require(es.length == 1,
+          s"shingle_key(text) requires exactly 1 argument, got ${es.length}")
+        ShingleKey(es(0))
+      }),
     (FunctionIdentifier("text_full_hash"),
       new ExpressionInfo(classOf[TextFullHash].getName, "text_full_hash"),
-      (es: Seq[Expression]) => TextFullHash(es(0))),
+      (es: Seq[Expression]) => {
+        require(es.length == 1,
+          s"text_full_hash(text) requires exactly 1 argument, got ${es.length}")
+        TextFullHash(es(0))
+      }),
     (FunctionIdentifier("min_shingle_hash"),
       new ExpressionInfo(classOf[MinShingleHash].getName, "min_shingle_hash"),
       (es: Seq[Expression]) => {

@@ -47,8 +47,13 @@ package object ops {
     val key = prefix + "|" + SourceSinkOps.fixtureKey(dir, s"$name.parquet")
     if (name == "events") // set unconditionally: cache hits must not depend
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true") // on miss order
-    tableCache.computeIfAbsent(key, _ => {
+    // evict stale-digest siblings BEFORE computeIfAbsent: a mapping
+    // function must not modify the map (CHM contract — a same-bin removal
+    // from inside it can detach the node the new entry is appended to,
+    // silently losing the memoization)
+    if (!tableCache.containsKey(key))
       tableCache.keySet.removeIf(k => k != key && k.startsWith(prefix + "|"))
+    tableCache.computeIfAbsent(key, _ => {
       val raw = s.read.parquet(s"$dir/$name.parquet")
       if (name == "events") raw.schema("ts").dataType match {
         case org.apache.spark.sql.types.LongType => // ns longs (legacy / probes)

@@ -30,10 +30,13 @@ import graft.ops.AnalyticsOps
   * `t_us` at-or-behind the current watermark), the emitted rows equal the
   * batch query's on the same inputs — StreamingSessionizeSpec pins exactly
   * that on the fixtures, including a session spanning micro-batches. An
-  * event arriving BEHIND the watermark after its user's session timed out
-  * starts a fresh session (streaming enrichment contract, corrections
-  * owned by the batch pass) — the same class of divergence every
-  * watermark-based sessionizer accepts.
+  * event arriving BEHIND the watermark is DROPPED by the engine before
+  * the state function runs (Spark filters late rows whenever
+  * EventTimeTimeout is configured), so a too-short watermark delay
+  * undercounts rather than corrupting state — corrections are owned by
+  * the batch pass, the standard watermark trade every streaming
+  * sessionizer accepts. (That same filter is why `setTimeoutTimestamp`
+  * below can never see a timestamp at-or-behind the watermark.)
   */
 object StreamingSessionize {
 

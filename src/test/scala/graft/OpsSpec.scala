@@ -85,6 +85,41 @@ class OpsSpec extends SparkTestBase {
     }
   }
 
+  test("ops.table normalizes every historical events.ts physical form to µs timestamps") {
+    import org.apache.spark.sql.functions._
+    // the loader has to accept three fixture generations: raw ns LONGs
+    // (legacy/probe replicators), TIMESTAMP_NTZ (r9 fixtures), and plain
+    // TIMESTAMP — all must come back as a session-TZ TimestampType column
+    // with identical µs values, or every epoch-µs oracle silently shifts
+    val base = java.nio.file.Files.createTempDirectory("graft-evts").toString
+    val tUs = 1700000000123456L
+    def check(dir: String): Unit = {
+      val df = ops.table(spark, dir, "events")
+      assert(df.schema("ts").dataType ==
+        org.apache.spark.sql.types.TimestampType, s"$dir: ${df.schema("ts")}")
+      val got = df.select(unix_micros(col("ts"))).head().getLong(0)
+      assert(got == tUs, s"$dir: $got != $tUs")
+    }
+    // ns longs
+    val d1 = s"$base/ns"
+    spark.range(1).select(lit(tUs * 1000L).as("ts"), lit(1L).as("event_id"))
+      .write.parquet(s"$d1/events.parquet")
+    check(d1)
+    // TIMESTAMP_NTZ
+    val d2 = s"$base/ntz"
+    spark.range(1).select(
+        timestamp_micros(lit(tUs)).cast("timestamp_ntz").as("ts"),
+        lit(1L).as("event_id"))
+      .write.parquet(s"$d2/events.parquet")
+    check(d2)
+    // plain TIMESTAMP (already the target shape)
+    val d3 = s"$base/ts"
+    spark.range(1).select(timestamp_micros(lit(tUs)).as("ts"),
+        lit(1L).as("event_id"))
+      .write.parquet(s"$d3/events.parquet")
+    check(d3)
+  }
+
   test("approx_percentile stays within GK rank epsilon of the exact median (sf0.01)") {
     import org.apache.spark.sql.functions.col
     val dir = "/root/testdata/sf0.01"
