@@ -52,6 +52,44 @@ class VectorExpressionSpec extends SparkTestBase {
     assert(rows(4).isNullAt(0) && rows(4).isNullAt(1))
   }
 
+  test("text hash expressions: codegen/interpreted parity, kernels, nulls") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    import graft.functions.{ReplayableHash, TextHashes}
+    import org.apache.spark.unsafe.types.UTF8String
+    val samples = Seq("", "a", "hello world", "caf\u00e9 \u00fcber",
+      "the quick brown fox jumps", "\ud83d\ude00 emoji pair test",
+      "x" * 300)
+    val df = samples.toDF("t")
+    // whole-stage codegen path (the default local plan)
+    def run(frame: org.apache.spark.sql.DataFrame) = frame.select(
+      call_function("text_full_hash", col("t")).as("fh"),
+      call_function("min_shingle_hash", col("t"), lit(8)).as("ms"),
+      call_function("shingle_key", col("t")).as("sk")).collect()
+    val codegen = run(df)
+    // interpreted path: force codegen off for the same plan
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    val interp = try run(df) finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+    samples.indices.foreach { i =>
+      assert(codegen(i) == interp(i), s"parity at '${samples(i).take(20)}'")
+      // and both equal the static kernels / canonical constants
+      val u = UTF8String.fromString(samples(i))
+      assert(codegen(i).getLong(0) == ReplayableHash.tokenHash(samples(i)))
+      assert(codegen(i).getLong(1) == TextHashes.minShingle(u, 8))
+      assert(codegen(i).getLong(2) ==
+        ReplayableHash.tokenHash(samples(i), ReplayableHash.Base) * ReplayableHash.P
+          + ReplayableHash.tokenHash(samples(i), ReplayableHash.Base2))
+    }
+    // null propagates as null through all three
+    val n = Seq(Option.empty[String]).toDF("t")
+    val nr = run(n)(0)
+    assert(nr.isNullAt(0) && nr.isNullAt(1) && nr.isNullAt(2))
+  }
+
   test("expressions are registered for SQL and float arrays implicitly cast") {
     GraftFunctions.register(spark)
     val r = spark.sql(
