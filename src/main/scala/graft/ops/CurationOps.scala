@@ -27,6 +27,12 @@ object CurationOps extends QueryModule {
     * signal, and would emit O(n²) edges. Same constant in the oracle. */
   private val MaxShingleDocs = 50
 
+  /** q_llm_bpe_train: symbol separator (a control char no fixture token
+    * contains — the double-separator encoding makes plain replace() the
+    * boundary-safe BPE merge, see the query comment) and merge count. */
+  private[graft] val BpeSep = "\u0001"
+  private[graft] val BpeTrainIters = 3
+
   /** Label-propagation iteration cap — components from shingle-sharing are
     * near-cliques (diameter ≤ ~3 in practice); the loop exits early on
     * convergence, this bound only guards pathological chains. Hitting it
@@ -618,6 +624,65 @@ object CurationOps extends QueryModule {
         .limit(100)
     }),
 
+    // BPE TRAINING, three full merge iterations (r9) — the capstone over
+    // q_llm_bpe_pairs' single counting pass: per iteration, the most
+    // frequent adjacent symbol pair (weighted by token multiplicity,
+    // ties to the lexicographically first pair) is merged into one symbol
+    // EVERYWHERE before the next count. Everything after the first
+    // token-count aggregation runs on the DISTINCT-token symbol relation
+    // (vocab-bounded at ANY corpus size — the corpus is scanned exactly
+    // once), and each iteration's top pair is one 1-row driver action,
+    // the dupClusters labelSum discipline. Merging uses a boundary-safe
+    // double-separator encoding ("␁␁a␁␁b␁␁"): the pattern
+    // "␁p1␁␁p2␁" -> "␁p1p2␁" leaves one separator on each flank, so
+    // plain left-to-right non-overlapping replace() — identical
+    // semantics in Spark and DuckDB — IS the BPE merge (consecutive
+    // overlapping occurrences like "a b a b" merge correctly to
+    // "ab ab", and multi-char symbols can never false-match inside a
+    // neighbor). The oracle unrolls the same three iterations as CTE
+    // stages with scalar-subquery merges.
+    "q_llm_bpe_train" -> ((s: SparkSession, dir: String) => {
+      val S = BpeSep
+      val S2 = S + S
+      val tc = table(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("tok"))
+        .where(length(col("tok")) > 0)
+        .groupBy("tok").agg(count(lit(1)).as("n"))
+      // vocab-bounded; materialized once so each iteration's 1-row action
+      // re-reads the symbol relation, not the corpus
+      var syms = tc.select(
+        concat(lit(S2), array_join(expr("split(tok, '')"), S2), lit(S2))
+          .as("sym"), col("n"))
+        .localCheckpoint(true)
+      val merges = Seq.newBuilder[(Long, String, String, Long)]
+      for (k <- 1 to BpeTrainIters) {
+        val top = syms
+          .select(filter(
+            split(col("sym"), java.util.regex.Pattern.quote(S2)),
+            x => length(x) > 0).as("ss"), col("n"))
+          .where(size(col("ss")) >= 2)
+          .select(explode(expr(
+            """zip_with(slice(ss, 1, size(ss) - 1),
+              |         slice(ss, 2, size(ss) - 1),
+              |         (a, b) -> struct(a AS p1, b AS p2))""".stripMargin)).as("pp"),
+            col("n"))
+          .groupBy(col("pp.p1").as("p1"), col("pp.p2").as("p2"))
+          .agg(sum(col("n")).as("c"))
+          .orderBy(desc("c"), asc("p1"), asc("p2"))
+          .limit(1).collect()
+        if (top.nonEmpty) {
+          val (p1, p2, c) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+          merges += ((k.toLong, p1, p2, c))
+          syms = syms.withColumn("sym",
+            call_function("replace", col("sym"),
+              lit(S + p1 + S2 + p2 + S), lit(S + p1 + p2 + S)))
+        }
+      }
+      import s.implicits._
+      merges.result().toDF("merge_rank", "p1", "p2", "pair_count")
+        .orderBy("merge_rank")
+    }),
+
     // Prefix dedup (the crawl-truncation artifact: near-copies that share
     // an identical head): documents collapse on the sha256 of their first
     // 64 NORMALIZED chars, keep-lowest doc_id per group. Shuffle
@@ -861,6 +926,57 @@ object CurationOps extends QueryModule {
         |SELECT pair, CAST(sum(n) AS BIGINT) AS pair_count
         |FROM pairs GROUP BY pair
         |ORDER BY pair_count DESC, pair LIMIT 100""".stripMargin,
+
+    // unrolled BPE training twin: per iteration a pairs CTE over the
+    // current symbol relation, a 1-row top-pair CTE, and a replace() merge
+    // via scalar subqueries — the same boundary-safe double-separator
+    // encoding as the engine, so the merge is bit-identical
+    "q_llm_bpe_train" -> {
+      // chr(1) is BpeSep; S = single sep, S2 = the double separator
+      val pairsCte = (from: String, out: String) =>
+        s"""$out AS (
+           |  SELECT ss[i] AS p1, ss[i + 1] AS p2, sum(n) AS c FROM (
+           |    SELECT ss, n, unnest(generate_series(1, len(ss) - 1)) AS i FROM (
+           |      SELECT list_filter(string_split(sym, chr(1) || chr(1)),
+           |                         x -> length(x) > 0) AS ss, n
+           |      FROM $from) WHERE len(ss) >= 2)
+           |  GROUP BY 1, 2)""".stripMargin
+      val mergeCte = (from: String, top: String, out: String) =>
+        s"""$out AS (
+           |  SELECT replace(sym,
+           |           chr(1) || (SELECT p1 FROM $top) || chr(1) || chr(1) ||
+           |             (SELECT p2 FROM $top) || chr(1),
+           |           chr(1) || (SELECT p1 || p2 FROM $top) || chr(1)) AS sym, n
+           |  FROM $from)""".stripMargin
+      val topCte = (pairs: String, out: String) =>
+        s"$out AS (SELECT p1, p2, c FROM $pairs ORDER BY c DESC, p1, p2 LIMIT 1)"
+      s"""WITH toks AS (
+         |  SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+         |tc AS (
+         |  SELECT tok, count(*) AS n FROM toks
+         |  WHERE length(tok) > 0 GROUP BY tok),
+         |s0 AS (
+         |  SELECT chr(1) || chr(1) ||
+         |           array_to_string(list_transform(
+         |                range(1, CAST(length(tok) + 1 AS BIGINT)),
+         |                i -> tok[CAST(i AS INTEGER)]), chr(1) || chr(1)) ||
+         |           chr(1) || chr(1) AS sym, n
+         |  FROM tc),
+         |${pairsCte("s0", "pr1")},
+         |${topCte("pr1", "m1")},
+         |${mergeCte("s0", "m1", "s1")},
+         |${pairsCte("s1", "pr2")},
+         |${topCte("pr2", "m2")},
+         |${mergeCte("s1", "m2", "s2")},
+         |${pairsCte("s2", "pr3")},
+         |${topCte("pr3", "m3")}
+         |SELECT CAST(1 AS BIGINT) AS merge_rank, p1, p2, CAST(c AS BIGINT) AS pair_count FROM m1
+         |UNION ALL
+         |SELECT CAST(2 AS BIGINT), p1, p2, CAST(c AS BIGINT) FROM m2
+         |UNION ALL
+         |SELECT CAST(3 AS BIGINT), p1, p2, CAST(c AS BIGINT) FROM m3
+         |ORDER BY merge_rank""".stripMargin
+    },
 
     "q_llm_prefix_dedup" ->
       """WITH k AS (

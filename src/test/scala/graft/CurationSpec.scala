@@ -19,6 +19,48 @@ class CurationSpec extends SparkTestBase {
       .map(r => (r.getLong(0), r.getString(1)))
       .sortBy(_._1)
 
+  test("bpe training matches a driver-side symbol-level BPE replay") {
+    // independent reimplementation: token counts, then 3 iterations of
+    // (count adjacent symbol pairs weighted by n, merge the argmax with
+    // the (count DESC, p1, p2) tie-break left-to-right non-overlapping)
+    // — pure Scala lists, no string-replace encoding shared with the query
+    val tc = collection.mutable.Map.empty[String, Long]
+    docTexts.foreach { case (_, text) =>
+      text.split(' ').filter(_.nonEmpty).foreach(t => tc(t) = tc.getOrElse(t, 0L) + 1L)
+    }
+    var syms: Map[Vector[String], Long] =
+      tc.toMap.map { case (t, n) => t.split("").toVector -> n }
+    def mergeOnce(): (String, String, Long) = {
+      val counts = collection.mutable.Map.empty[(String, String), Long]
+      syms.foreach { case (ss, n) =>
+        ss.indices.dropRight(1).foreach { i =>
+          val k = (ss(i), ss(i + 1)); counts(k) = counts.getOrElse(k, 0L) + n
+        }
+      }
+      val ((p1, p2), c) = counts.toSeq.minBy { case ((a, b), n) => (-n, a, b) }
+      syms = syms.toSeq.map { case (ss, n) =>
+        val out = Vector.newBuilder[String]
+        var i = 0
+        while (i < ss.length) {
+          if (i + 1 < ss.length && ss(i) == p1 && ss(i + 1) == p2) {
+            out += p1 + p2; i += 2 // left-to-right non-overlapping
+          } else { out += ss(i); i += 1 }
+        }
+        out.result() -> n
+      }.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+      (p1, p2, c)
+    }
+    val expected = (1 to 3).map { k =>
+      val (p1, p2, c) = mergeOnce(); (k.toLong, p1, p2, c)
+    }
+    val got = q("q_llm_bpe_train").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    assert(got == expected)
+    // merge counts are monotone non-increasing: any pair created by a
+    // merge occurs at most as often as some pre-merge pair did
+    assert(got.map(_._4) == got.map(_._4).sortBy(-_))
+  }
+
   test("dup clusters match a driver-side union-find over the same edge rule") {
     // independent reimplementation: 5-word shingles, <=50-doc stop filter,
     // union-find — no Spark code shared with the query
