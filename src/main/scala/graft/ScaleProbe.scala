@@ -119,8 +119,8 @@ object ScaleProbe {
       // (window-pass source pairing)
       "q_llm_bpe_pairs", "q_llm_prefix_dedup", "q_llm_ngram_novelty",
       "q_llm_cross_source_overlap",
-      // r9 late: the multi-probe semdedup verdict + the BPE trainer
-      "q_llm_emb_semdedup_mp", "q_llm_bpe_train")
+      // r9 late: the multi-probe semdedup verdict + the BPE trainer/encoder
+      "q_llm_emb_semdedup_mp", "q_llm_bpe_train", "q_llm_bpe_encode")
     // warmup
     SparkEntry.queries("q_agg_basic")(spark, outDir).count()
     val results = probes.map { name =>
@@ -223,9 +223,10 @@ object ScaleProbe {
       "q_llm_cross_source_overlap",
       // r9 late: multi-probe semdedup under the identical-vector mega-cell
       // (probe rows double the cell load; the cap still bounds pairing),
-      // and the BPE trainer (mass duplication shrinks the distinct-token
-      // symbol relation, so the merge loop gets cheaper)
-      "q_llm_emb_semdedup_mp", "q_llm_bpe_train")
+      // and the BPE trainer/encoder (mass duplication shrinks the
+      // distinct-token symbol relation, so the merge loop gets cheaper;
+      // the encode broadcast map shrinks with it)
+      "q_llm_emb_semdedup_mp", "q_llm_bpe_train", "q_llm_bpe_encode")
     for ((dir, label) <- Seq((srcDir, "uniform"), (degDir, "degen"))) {
       family.foreach { name =>
         val t0 = System.nanoTime()

@@ -33,6 +33,52 @@ object CurationOps extends QueryModule {
   private[graft] val BpeSep = "\u0001"
   private[graft] val BpeTrainIters = 3
 
+  /** Shared DuckDB CTE chain for the two BPE oracles: per-doc token stream
+    * `tf(doc_id, tok)`, token counts `tc`, symbol relations `s0..s2`
+    * (carrying `tok`), pair counts `pr1..pr3`, and the three 1-row
+    * top-pair CTEs `m1..m3`. chr(1) is [[BpeSep]]; the double-separator
+    * encoding and scalar-subquery replace() mirror the engine exactly. */
+  private def bpePairsCte(from: String, out: String): String =
+    s"""$out AS (
+       |  SELECT ss[i] AS p1, ss[i + 1] AS p2, sum(n) AS c FROM (
+       |    SELECT ss, n, unnest(generate_series(1, len(ss) - 1)) AS i FROM (
+       |      SELECT list_filter(string_split(sym, chr(1) || chr(1)),
+       |                         x -> length(x) > 0) AS ss, n
+       |      FROM $from) WHERE len(ss) >= 2)
+       |  GROUP BY 1, 2)""".stripMargin
+
+  private def bpeMergeCte(from: String, top: String, out: String): String =
+    s"""$out AS (
+       |  SELECT tok, replace(sym,
+       |           chr(1) || (SELECT p1 FROM $top) || chr(1) || chr(1) ||
+       |             (SELECT p2 FROM $top) || chr(1),
+       |           chr(1) || (SELECT p1 || p2 FROM $top) || chr(1)) AS sym, n
+       |  FROM $from)""".stripMargin
+
+  private def bpeTopCte(pairs: String, out: String): String =
+    s"$out AS (SELECT p1, p2, c FROM $pairs ORDER BY c DESC, p1, p2 LIMIT 1)"
+
+  private def bpeMergeStagesCte: String =
+    s"""toks AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+       |tf AS (SELECT doc_id, tok FROM toks WHERE length(tok) > 0),
+       |tc AS (SELECT tok, count(*) AS n FROM tf GROUP BY tok),
+       |s0 AS (
+       |  SELECT tok, chr(1) || chr(1) ||
+       |           array_to_string(list_transform(
+       |                range(1, CAST(length(tok) + 1 AS BIGINT)),
+       |                i -> tok[CAST(i AS INTEGER)]), chr(1) || chr(1)) ||
+       |           chr(1) || chr(1) AS sym, n
+       |  FROM tc),
+       |${bpePairsCte("s0", "pr1")},
+       |${bpeTopCte("pr1", "m1")},
+       |${bpeMergeCte("s0", "m1", "s1")},
+       |${bpePairsCte("s1", "pr2")},
+       |${bpeTopCte("pr2", "m2")},
+       |${bpeMergeCte("s1", "m2", "s2")},
+       |${bpePairsCte("s2", "pr3")},
+       |${bpeTopCte("pr3", "m3")}""".stripMargin
+
   /** Label-propagation iteration cap — components from shingle-sharing are
     * near-cliques (diameter ≤ ~3 in practice); the loop exits early on
     * convergence, this bound only guards pathological chains. Hitting it
@@ -683,6 +729,64 @@ object CurationOps extends QueryModule {
         .orderBy("merge_rank")
     }),
 
+    // BPE ENCODE (r9) — the consuming side of q_llm_bpe_train: apply the
+    // three learned merges to every document and report per-doc token /
+    // symbol counts and the chars-per-symbol compression the tokenizer
+    // buys. Scale shape: the merge loop runs once on the vocab-bounded
+    // symbol relation (identical algorithm to the trainer); the per-token
+    // post-merge symbol count is then a VOCAB-SIZED map broadcast into the
+    // per-doc token explode — the corpus-sized side never shuffles a token
+    // string (the groupBy(doc_id) exchange carries partial sums only), and
+    // the encode pass itself is stateless scan-side work at any scale.
+    "q_llm_bpe_encode" -> ((s: SparkSession, dir: String) => {
+      val S = BpeSep
+      val S2 = S + S
+      val docs = table(s, dir, "documents")
+      val tc = docs
+        .select(explode(split(col("text"), " ")).as("tok"))
+        .where(length(col("tok")) > 0)
+        .groupBy("tok").agg(count(lit(1)).as("n"))
+      var syms = tc.select(col("tok"),
+          concat(lit(S2), array_join(expr("split(tok, '')"), S2), lit(S2))
+            .as("sym"), col("n"))
+        .localCheckpoint(true)
+      for (_ <- 1 to BpeTrainIters) {
+        val top = syms
+          .select(filter(
+            split(col("sym"), java.util.regex.Pattern.quote(S2)),
+            x => length(x) > 0).as("ss"), col("n"))
+          .where(size(col("ss")) >= 2)
+          .select(explode(expr(
+            """zip_with(slice(ss, 1, size(ss) - 1),
+              |         slice(ss, 2, size(ss) - 1),
+              |         (a, b) -> struct(a AS p1, b AS p2))""".stripMargin)).as("pp"),
+            col("n"))
+          .groupBy(col("pp.p1").as("p1"), col("pp.p2").as("p2"))
+          .agg(sum(col("n")).as("c"))
+          .orderBy(desc("c"), asc("p1"), asc("p2"))
+          .limit(1).collect()
+        if (top.nonEmpty)
+          syms = syms.withColumn("sym",
+            call_function("replace", col("sym"),
+              lit(S + top(0).getString(0) + S2 + top(0).getString(1) + S),
+              lit(S + top(0).getString(0) + top(0).getString(1) + S)))
+      }
+      val vocab = syms.select(col("tok"),
+        size(filter(split(col("sym"), java.util.regex.Pattern.quote(S2)),
+          x => length(x) > 0)).cast("long").as("tok_syms"),
+        length(col("tok")).cast("long").as("tok_chars"))
+      docs.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        .where(length(col("tok")) > 0)
+        .join(broadcast(vocab), "tok")
+        .groupBy("doc_id")
+        .agg(asLong(count(lit(1))).as("n_tokens"),
+          asLong(sum(col("tok_chars"))).as("n_chars_tok"),
+          asLong(sum(col("tok_syms"))).as("n_syms"))
+        .select(col("doc_id"), col("n_tokens"), col("n_chars_tok"), col("n_syms"),
+          (col("n_chars_tok").cast("double") / col("n_syms")).as("chars_per_sym"))
+        .orderBy("doc_id")
+    }),
+
     // Prefix dedup (the crawl-truncation artifact: near-copies that share
     // an identical head): documents collapse on the sha256 of their first
     // 64 NORMALIZED chars, keep-lowest doc_id per group. Shuffle
@@ -931,52 +1035,39 @@ object CurationOps extends QueryModule {
     // current symbol relation, a 1-row top-pair CTE, and a replace() merge
     // via scalar subqueries — the same boundary-safe double-separator
     // encoding as the engine, so the merge is bit-identical
-    "q_llm_bpe_train" -> {
-      // chr(1) is BpeSep; S = single sep, S2 = the double separator
-      val pairsCte = (from: String, out: String) =>
-        s"""$out AS (
-           |  SELECT ss[i] AS p1, ss[i + 1] AS p2, sum(n) AS c FROM (
-           |    SELECT ss, n, unnest(generate_series(1, len(ss) - 1)) AS i FROM (
-           |      SELECT list_filter(string_split(sym, chr(1) || chr(1)),
-           |                         x -> length(x) > 0) AS ss, n
-           |      FROM $from) WHERE len(ss) >= 2)
-           |  GROUP BY 1, 2)""".stripMargin
-      val mergeCte = (from: String, top: String, out: String) =>
-        s"""$out AS (
-           |  SELECT replace(sym,
-           |           chr(1) || (SELECT p1 FROM $top) || chr(1) || chr(1) ||
-           |             (SELECT p2 FROM $top) || chr(1),
-           |           chr(1) || (SELECT p1 || p2 FROM $top) || chr(1)) AS sym, n
-           |  FROM $from)""".stripMargin
-      val topCte = (pairs: String, out: String) =>
-        s"$out AS (SELECT p1, p2, c FROM $pairs ORDER BY c DESC, p1, p2 LIMIT 1)"
-      s"""WITH toks AS (
-         |  SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
-         |tc AS (
-         |  SELECT tok, count(*) AS n FROM toks
-         |  WHERE length(tok) > 0 GROUP BY tok),
-         |s0 AS (
-         |  SELECT chr(1) || chr(1) ||
-         |           array_to_string(list_transform(
-         |                range(1, CAST(length(tok) + 1 AS BIGINT)),
-         |                i -> tok[CAST(i AS INTEGER)]), chr(1) || chr(1)) ||
-         |           chr(1) || chr(1) AS sym, n
-         |  FROM tc),
-         |${pairsCte("s0", "pr1")},
-         |${topCte("pr1", "m1")},
-         |${mergeCte("s0", "m1", "s1")},
-         |${pairsCte("s1", "pr2")},
-         |${topCte("pr2", "m2")},
-         |${mergeCte("s1", "m2", "s2")},
-         |${pairsCte("s2", "pr3")},
-         |${topCte("pr3", "m3")}
+    "q_llm_bpe_train" ->
+      s"""WITH $bpeMergeStagesCte
          |SELECT CAST(1 AS BIGINT) AS merge_rank, p1, p2, CAST(c AS BIGINT) AS pair_count FROM m1
          |UNION ALL
          |SELECT CAST(2 AS BIGINT), p1, p2, CAST(c AS BIGINT) FROM m2
          |UNION ALL
          |SELECT CAST(3 AS BIGINT), p1, p2, CAST(c AS BIGINT) FROM m3
-         |ORDER BY merge_rank""".stripMargin
-    },
+         |ORDER BY merge_rank""".stripMargin,
+
+    // encode twin: the same three merge stages, then the post-merge
+    // per-token symbol counts (vocab CTE) joined back into the per-doc
+    // token stream — integer counts + one IEEE division, hash-gates
+    "q_llm_bpe_encode" ->
+      s"""WITH $bpeMergeStagesCte,
+         |s3 AS (
+         |  SELECT tok, replace(sym,
+         |           chr(1) || (SELECT p1 FROM m3) || chr(1) || chr(1) ||
+         |             (SELECT p2 FROM m3) || chr(1),
+         |           chr(1) || (SELECT p1 || p2 FROM m3) || chr(1)) AS sym
+         |  FROM s2),
+         |vocab AS (
+         |  SELECT tok,
+         |         CAST(len(list_filter(string_split(sym, chr(1) || chr(1)),
+         |                              x -> length(x) > 0)) AS BIGINT) AS tok_syms,
+         |         CAST(length(tok) AS BIGINT) AS tok_chars
+         |  FROM s3)
+         |SELECT doc_id,
+         |       CAST(count(*) AS BIGINT) AS n_tokens,
+         |       CAST(sum(tok_chars) AS BIGINT) AS n_chars_tok,
+         |       CAST(sum(tok_syms) AS BIGINT) AS n_syms,
+         |       CAST(sum(tok_chars) AS DOUBLE) / sum(tok_syms) AS chars_per_sym
+         |FROM tf JOIN vocab USING (tok)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q_llm_prefix_dedup" ->
       """WITH k AS (

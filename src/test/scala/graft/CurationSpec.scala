@@ -59,6 +59,37 @@ class CurationSpec extends SparkTestBase {
     // merge counts are monotone non-increasing: any pair created by a
     // merge occurs at most as often as some pre-merge pair did
     assert(got.map(_._4) == got.map(_._4).sortBy(-_))
+
+    // the ENCODE side: per-token post-merge symbol counts from the same
+    // replay (replay tracks merged symbol vectors per ORIGINAL token via
+    // a fresh single-token application), rolled up per doc
+    val mergeList = expected.map { case (_, p1, p2, _) => (p1, p2) }
+    def encodeTok(t: String): Int = {
+      var ss = t.split("").toVector
+      mergeList.foreach { case (p1, p2) =>
+        val out = Vector.newBuilder[String]
+        var i = 0
+        while (i < ss.length) {
+          if (i + 1 < ss.length && ss(i) == p1 && ss(i + 1) == p2) {
+            out += p1 + p2; i += 2
+          } else { out += ss(i); i += 1 }
+        }
+        ss = out.result()
+      }
+      ss.length
+    }
+    val encExpected = docTexts.map { case (id, text) =>
+      val ts = text.split(' ').filter(_.nonEmpty)
+      val chars = ts.map(_.length.toLong).sum
+      val nsyms = ts.map(t => encodeTok(t).toLong).sum
+      (id, ts.length.toLong, chars, nsyms, chars.toDouble / nsyms)
+    }.filter(_._2 > 0).toSeq
+    val encGot = q("q_llm_bpe_encode").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).toSeq
+    assert(encGot == encExpected)
+    // merges only ever shrink the symbol stream
+    assert(encGot.forall(r => r._4 <= r._3))
   }
 
   test("dup clusters match a driver-side union-find over the same edge rule") {
