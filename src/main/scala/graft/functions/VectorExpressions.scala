@@ -108,8 +108,12 @@ case class CosineSimilarity(left: Expression, right: Expression) extends VectorB
   * with [[GraftFunctions.register]]. Both are idempotent.
   */
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
-  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     GraftFunctions.injectables.foreach(ext.injectFunction)
+    // opt-in (spark.graft.lsh.joinRewrite): brute-force cosine-threshold
+    // joins become sign-LSH bucket equi-joins — see plans.LshJoinRewrite
+    ext.injectOptimizerRule(_ => graft.plans.LshJoinRewrite)
+  }
 }
 
 object GraftFunctions {

@@ -37,7 +37,7 @@ object LlmOps extends QueryModule {
   private val SimKnnPlanes: Seq[Seq[Double]] = Seq.tabulate(8, 64) { (p, i) =>
     if (((p * 73856093 + i * 19349663) % 7 + 7) % 7 < 3) -1.0 else 1.0
   }
-  private val NeardupPlanes: Seq[Seq[Double]] = Seq.tabulate(8, 64) { (p, i) =>
+  private[graft] val NeardupPlanes: Seq[Seq[Double]] = Seq.tabulate(8, 64) { (p, i) =>
     if (((p * 2654435761L + i * 40503) % 5 + 5) % 5 < 2) -1.0 else 1.0
   }
 
