@@ -23,7 +23,10 @@ object ScaleProbe {
     // `runMain graft.ScaleProbe degen` = adversarial-corpus probe only
     // (no ×10 generation) — the full run includes it at the end.
     val degenOnly = args.headOption.contains("degen")
-    val outDir = args.headOption.filterNot(_ == "degen")
+    // `runMain graft.ScaleProbe lshjoin` = naive-vs-rewritten similarity
+    // join timing only (uses the existing ×10 fixture if present)
+    val lshOnly = args.headOption.contains("lshjoin")
+    val outDir = args.headOption.filterNot(a => a == "degen" || a == "lshjoin")
       .getOrElse("/tmp/graft-sfbig")
     val copies = 10
     val spark = SparkSession.builder()
@@ -37,6 +40,11 @@ object ScaleProbe {
 
     if (degenOnly) {
       degenerateProbe(spark, srcDir)
+      spark.stop()
+      return
+    }
+    if (lshOnly) {
+      lshJoinProbe(spark, srcDir)
       spark.stop()
       return
     }
@@ -158,6 +166,41 @@ object ScaleProbe {
     * hash-agg cluster sizes, WindowGroupLimit pre-truncation) are what
     * bound it, and this probe is where that claim is MEASURED.
     */
+  /** Naive-vs-rewritten similarity join (plans.LshJoinRewrite): time the
+    * brute-force `cosine_sim >= tau` self-join against the rewritten
+    * bucket equi-join on sf0.1 and (when the ×10 fixture exists) at ×10 —
+    * the measured gap is the rule's SCALING.md row. Counts only; the
+    * naive side at ×10 is O((10·n)²) cosines, which is the point. */
+  private def lshJoinProbe(spark: SparkSession, srcDir: String): Unit = {
+    graft.functions.GraftFunctions.register(spark)
+    if (!spark.experimental.extraOptimizations.contains(graft.plans.LshJoinRewrite))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.LshJoinRewrite
+    def run(dir: String, label: String): Unit = {
+      if (!new java.io.File(s"$dir/embeddings.parquet").exists()) {
+        println(s"[scale] lshjoin $label: no fixture at $dir, skipped")
+        return
+      }
+      val e = ops.LlmOps.embDouble(spark, dir)
+      def joined = {
+        val a = e.select(col("vec_id").as("id_a"), col("emb").as("emb_a"))
+        val b = e.select(col("vec_id").as("id_b"), col("emb").as("emb_b"))
+        a.join(b, call_function("cosine_sim", col("emb_a"), col("emb_b"))
+          >= lit(0.4) && col("id_a") < col("id_b"))
+      }
+      for (enabled <- Seq(false, true)) {
+        spark.conf.set(graft.plans.LshJoinRewrite.EnabledKey, enabled.toString)
+        val t0 = System.nanoTime()
+        val n = joined.count()
+        println(f"[scale] lshjoin $label%-6s rewrite=$enabled%-5s " +
+          f"${(System.nanoTime() - t0) / 1e9}%8.2f s  pairs=$n")
+      }
+      spark.conf.set(graft.plans.LshJoinRewrite.EnabledKey, "false")
+    }
+    run(srcDir, "sf0.1")
+    run("/tmp/graft-sfbig", "x10")
+  }
+
   private def degenerateProbe(spark: SparkSession, srcDir: String): Unit = {
     val degDir = "/tmp/graft-sfdeg"
     // v2: fixture format token — r8 added source dominance, a digest-only
