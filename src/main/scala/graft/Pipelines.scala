@@ -199,4 +199,40 @@ object Pipelines {
     * (channel, n_conv, revenue). See q_analytics_attribution. */
   def attribution(events: DataFrame): DataFrame =
     AnalyticsOps.lastTouchAttribution(events)
+
+  /** Multi-probe SemDeDup verdict (r9): as [[semdedup]] but each vector
+    * also probes the cell across its smallest-margin hyperplane — part of
+    * the single-probe recall miss recovered for 2× bucket rows. See
+    * q_llm_emb_semdedup_mp. */
+  def semdedupMultiProbe(spark: SparkSession, emb: DataFrame,
+      tau: Double = 0.4): DataFrame =
+    LlmOps.semdedupMultiProbeVerdicts(spark, emb, tau)
+
+  /** BPE training (r9): the top merge per iteration as
+    * (merge_rank, p1, p2, pair_count) — vocab-bounded after one corpus
+    * scan. See q_llm_bpe_train. */
+  def bpeTrain(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    CurationOps.bpeMergeLoop(spark, docs)._1
+      .toDF("merge_rank", "p1", "p2", "pair_count")
+  }
+
+  /** BPE encode (r9): apply the merges learned from `docs` to `docs`
+    * itself — per-doc (n_tokens, n_chars_tok, n_syms, chars_per_sym).
+    * The per-doc pass is a broadcast vocab map; no token text shuffles.
+    * See q_llm_bpe_encode. */
+  def bpeEncode(spark: SparkSession, docs: DataFrame): DataFrame =
+    CurationOps.bpeEncodeFrame(docs, CurationOps.bpeMergeLoop(spark, docs)._2)
+
+  /** Install + enable the opt-in LSH similarity-join rewrite on a live
+    * session: a `a JOIN b ON cosine_sim(...) >= tau` written naively is
+    * re-planned as a sign-LSH bucket equi-join (approximate — the cosine
+    * predicate survives as the exact in-cell verifier). See
+    * graft.plans.LshJoinRewrite for the contract and recall caveat. */
+  def enableLshJoinRewrite(spark: SparkSession): Unit = {
+    if (!spark.experimental.extraOptimizations.contains(graft.plans.LshJoinRewrite))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.LshJoinRewrite
+    spark.conf.set(graft.plans.LshJoinRewrite.EnabledKey, "true")
+  }
 }

@@ -45,7 +45,7 @@ object CurationOps extends QueryModule {
     * Returns (merge list, final symbol relation carrying tok). Everything
     * after the one corpus scan is vocab-bounded; each iteration's top
     * pair is one 1-row driver action (the labelSum discipline). */
-  private def bpeMergeLoop(s: SparkSession, docs: DataFrame)
+  private[graft] def bpeMergeLoop(s: SparkSession, docs: DataFrame)
       : (Seq[(Long, String, String, Long)], DataFrame) = {
     val S = BpeSep
     val S2 = S + S
@@ -97,6 +97,26 @@ object CurationOps extends QueryModule {
       SourceSinkOps.fixtureKey(dir, "documents.parquet")
     bpeCache.computeIfAbsent(key,
       _ => bpeMergeLoop(s, table(s, dir, "documents")))
+  }
+
+  /** Per-doc encode over a learned symbol relation (the q_llm_bpe_encode
+    * primitive, exposed for [[graft.Pipelines]]): vocab-sized broadcast
+    * map of post-merge symbol counts joined into the per-doc token
+    * explode — the corpus-sized side never shuffles a token string. */
+  private[graft] def bpeEncodeFrame(docs: DataFrame,
+      mergedSyms: DataFrame): DataFrame = {
+    val vocab = mergedSyms.select(col("tok"),
+      size(bpeSymsCol).cast("long").as("tok_syms"),
+      length(col("tok")).cast("long").as("tok_chars"))
+    docs.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .where(length(col("tok")) > 0)
+      .join(broadcast(vocab), "tok")
+      .groupBy("doc_id")
+      .agg(asLong(count(lit(1))).as("n_tokens"),
+        asLong(sum(col("tok_chars"))).as("n_chars_tok"),
+        asLong(sum(col("tok_syms"))).as("n_syms"))
+      .select(col("doc_id"), col("n_tokens"), col("n_chars_tok"), col("n_syms"),
+        (col("n_chars_tok").cast("double") / col("n_syms")).as("chars_per_sym"))
   }
 
   /** Shared DuckDB CTE chain for the two BPE oracles: per-doc token stream
@@ -770,22 +790,9 @@ object CurationOps extends QueryModule {
     // per-doc token explode — the corpus-sized side never shuffles a token
     // string (the groupBy(doc_id) exchange carries partial sums only), and
     // the encode pass itself is stateless scan-side work at any scale.
-    "q_llm_bpe_encode" -> ((s: SparkSession, dir: String) => {
-      val docs = table(s, dir, "documents")
-      val vocab = bpeMergesFor(s, dir)._2.select(col("tok"),
-        size(bpeSymsCol).cast("long").as("tok_syms"),
-        length(col("tok")).cast("long").as("tok_chars"))
-      docs.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-        .where(length(col("tok")) > 0)
-        .join(broadcast(vocab), "tok")
-        .groupBy("doc_id")
-        .agg(asLong(count(lit(1))).as("n_tokens"),
-          asLong(sum(col("tok_chars"))).as("n_chars_tok"),
-          asLong(sum(col("tok_syms"))).as("n_syms"))
-        .select(col("doc_id"), col("n_tokens"), col("n_chars_tok"), col("n_syms"),
-          (col("n_chars_tok").cast("double") / col("n_syms")).as("chars_per_sym"))
-        .orderBy("doc_id")
-    }),
+    "q_llm_bpe_encode" -> ((s: SparkSession, dir: String) =>
+      bpeEncodeFrame(table(s, dir, "documents"), bpeMergesFor(s, dir)._2)
+        .orderBy("doc_id")),
 
     // Prefix dedup (the crawl-truncation artifact: near-copies that share
     // an identical head): documents collapse on the sha256 of their first

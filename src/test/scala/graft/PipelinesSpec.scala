@@ -208,4 +208,22 @@ class PipelinesSpec extends SparkTestBase {
     val sdQ = SparkEntry.queries("q_llm_emb_semdedup")(spark, sfDir).collect()
     assert(sd.map(_.toSeq).toSeq == sdQ.map(_.toSeq).toSeq)
   }
+
+  test("r9 facade primitives agree with their declared queries") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val bt = Pipelines.bpeTrain(spark, docs).orderBy("merge_rank").collect()
+    val btQ = SparkEntry.queries("q_llm_bpe_train")(spark, sfDir).collect()
+    assert(bt.map(_.toSeq).toSeq == btQ.map(_.toSeq).toSeq)
+
+    val be = Pipelines.bpeEncode(spark, docs).orderBy("doc_id").collect()
+    val beQ = SparkEntry.queries("q_llm_bpe_encode")(spark, sfDir).collect()
+    assert(be.map(_.toSeq).toSeq == beQ.map(_.toSeq).toSeq)
+
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id"), col("label"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("emb"))
+    val mp = Pipelines.semdedupMultiProbe(spark, emb).orderBy("vec_id").collect()
+    val mpQ = SparkEntry.queries("q_llm_emb_semdedup_mp")(spark, sfDir).collect()
+    assert(mp.map(_.toSeq).toSeq == mpQ.map(_.toSeq).toSeq)
+  }
 }
