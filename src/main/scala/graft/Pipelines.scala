@@ -208,21 +208,32 @@ object Pipelines {
       tau: Double = 0.4): DataFrame =
     LlmOps.semdedupMultiProbeVerdicts(spark, emb, tau)
 
-  /** BPE training (r9): the top merge per iteration as
-    * (merge_rank, p1, p2, pair_count) — vocab-bounded after one corpus
-    * scan. See q_llm_bpe_train. */
-  def bpeTrain(spark: SparkSession, docs: DataFrame): DataFrame = {
+  /** BPE fit (r9): run the merge loop ONCE and get both artifacts — the
+    * merge table (merge_rank, p1, p2, pair_count) and the learned symbol
+    * relation to pass to [[bpeEncode]]. NOTE: unlike the other (lazy)
+    * facade methods this runs Spark jobs at call time (one corpus scan +
+    * one 1-row action per iteration). Train-then-encode should call THIS
+    * once, not bpeTrain + the one-argument bpeEncode (which would pay the
+    * loop twice). */
+  def bpeFit(spark: SparkSession, docs: DataFrame): (DataFrame, DataFrame) = {
     import spark.implicits._
-    CurationOps.bpeMergeLoop(spark, docs)._1
-      .toDF("merge_rank", "p1", "p2", "pair_count")
+    val (merges, syms) = CurationOps.bpeMergeLoop(spark, docs)
+    (merges.toDF("merge_rank", "p1", "p2", "pair_count"), syms)
   }
 
-  /** BPE encode (r9): apply the merges learned from `docs` to `docs`
-    * itself — per-doc (n_tokens, n_chars_tok, n_syms, chars_per_sym).
-    * The per-doc pass is a broadcast vocab map; no token text shuffles.
-    * See q_llm_bpe_encode. */
+  /** BPE training (r9): the merge table alone. See q_llm_bpe_train. */
+  def bpeTrain(spark: SparkSession, docs: DataFrame): DataFrame =
+    bpeFit(spark, docs)._1
+
+  /** BPE encode (r9) with a symbol relation from [[bpeFit]]: per-doc
+    * (n_tokens, n_chars_tok, n_syms, chars_per_sym). The per-doc pass is
+    * a broadcast vocab map; no token text shuffles. See q_llm_bpe_encode. */
+  def bpeEncode(docs: DataFrame, learnedSyms: DataFrame): DataFrame =
+    CurationOps.bpeEncodeFrame(docs, learnedSyms)
+
+  /** Fit-and-encode convenience (pays the merge loop). */
   def bpeEncode(spark: SparkSession, docs: DataFrame): DataFrame =
-    CurationOps.bpeEncodeFrame(docs, CurationOps.bpeMergeLoop(spark, docs)._2)
+    bpeEncode(docs, bpeFit(spark, docs)._2)
 
   /** Install + enable the opt-in LSH similarity-join rewrite on a live
     * session: a `a JOIN b ON cosine_sim(...) >= tau` written naively is
@@ -230,9 +241,15 @@ object Pipelines {
     * predicate survives as the exact in-cell verifier). See
     * graft.plans.LshJoinRewrite for the contract and recall caveat. */
   def enableLshJoinRewrite(spark: SparkSession): Unit = {
+    installLshJoinRewrite(spark)
+    spark.conf.set(graft.plans.LshJoinRewrite.EnabledKey, "true")
+  }
+
+  /** Idempotently install the rule WITHOUT enabling it (the flag stays
+    * whatever it was) — the single install path ScaleProbe and the specs
+    * also route through. */
+  def installLshJoinRewrite(spark: SparkSession): Unit =
     if (!spark.experimental.extraOptimizations.contains(graft.plans.LshJoinRewrite))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ graft.plans.LshJoinRewrite
-    spark.conf.set(graft.plans.LshJoinRewrite.EnabledKey, "true")
-  }
 }

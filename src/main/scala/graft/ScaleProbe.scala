@@ -173,9 +173,7 @@ object ScaleProbe {
     * naive side at ×10 is O((10·n)²) cosines, which is the point. */
   private def lshJoinProbe(spark: SparkSession, srcDir: String): Unit = {
     graft.functions.GraftFunctions.register(spark)
-    if (!spark.experimental.extraOptimizations.contains(graft.plans.LshJoinRewrite))
-      spark.experimental.extraOptimizations =
-        spark.experimental.extraOptimizations :+ graft.plans.LshJoinRewrite
+    Pipelines.installLshJoinRewrite(spark)
     def run(dir: String, label: String): Unit = {
       if (!new java.io.File(s"$dir/embeddings.parquet").exists()) {
         println(s"[scale] lshjoin $label: no fixture at $dir, skipped")

@@ -55,9 +55,14 @@ object CurationOps extends QueryModule {
       .groupBy("tok").agg(count(lit(1)).as("n"))
     // vocab-bounded; materialized once so each iteration's 1-row action
     // re-reads the symbol relation, not the corpus
+    // filter the trailing empty Spark's split('') keeps, so the encoding
+    // is exactly the documented "S2-wrapped, S2-separated" form the
+    // oracle builds (without it the engine carries a harmless-but-
+    // undocumented extra S2 tail that a future sym consumer would trip on)
     var syms = tc.select(col("tok"),
-        concat(lit(S2), array_join(expr("split(tok, '')"), S2), lit(S2))
-          .as("sym"), col("n"))
+        concat(lit(S2),
+          array_join(expr("filter(split(tok, ''), x -> length(x) > 0)"), S2),
+          lit(S2)).as("sym"), col("n"))
       .localCheckpoint(true)
     val merges = Seq.newBuilder[(Long, String, String, Long)]
     for (k <- 1 to BpeTrainIters) {
@@ -134,11 +139,14 @@ object CurationOps extends QueryModule {
        |  GROUP BY 1, 2)""".stripMargin
 
   private def bpeMergeCte(from: String, top: String, out: String): String =
+    // coalesce: when iteration $top found no pair (vocabulary exhausted),
+    // the scalar subqueries are NULL and replace() NULL-cascades — keep
+    // sym unchanged instead, matching the engine's skip-empty-iteration
     s"""$out AS (
-       |  SELECT tok, replace(sym,
+       |  SELECT tok, coalesce(replace(sym,
        |           chr(1) || (SELECT p1 FROM $top) || chr(1) || chr(1) ||
        |             (SELECT p2 FROM $top) || chr(1),
-       |           chr(1) || (SELECT p1 || p2 FROM $top) || chr(1)) AS sym, n
+       |           chr(1) || (SELECT p1 || p2 FROM $top) || chr(1)), sym) AS sym, n
        |  FROM $from)""".stripMargin
 
   private def bpeTopCte(pairs: String, out: String): String =
@@ -1057,10 +1065,10 @@ object CurationOps extends QueryModule {
     "q_llm_bpe_encode" ->
       s"""WITH $bpeMergeStagesCte,
          |s3 AS (
-         |  SELECT tok, replace(sym,
+         |  SELECT tok, coalesce(replace(sym,
          |           chr(1) || (SELECT p1 FROM m3) || chr(1) || chr(1) ||
          |             (SELECT p2 FROM m3) || chr(1),
-         |           chr(1) || (SELECT p1 || p2 FROM m3) || chr(1)) AS sym
+         |           chr(1) || (SELECT p1 || p2 FROM m3) || chr(1)), sym) AS sym
          |  FROM s2),
          |vocab AS (
          |  SELECT tok,

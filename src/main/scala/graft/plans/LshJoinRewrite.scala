@@ -68,7 +68,7 @@ object LshJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
     case _ => false
   }
 
-  /** The cosine-threshold conjunct, as (cosine, isThresholdOnRight). */
+  /** The cosine-threshold conjunct of a join condition. */
   private def cosineConjunct(cond: Expression): Option[CosineSimilarity] =
     splitConjunctivePredicates(cond).collectFirst {
       case GreaterThanOrEqual(c: CosineSimilarity, Literal(_, DoubleType)) => c
@@ -77,11 +77,31 @@ object LshJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
       case LessThan(Literal(_, DoubleType), c: CosineSimilarity) => c
     }
 
+  /** True if the condition already carries a cross-side equality conjunct —
+    * such a join plans as a hash/sort-merge join on that key (e.g. a
+    * hand-written banded-LSH pipeline with its own recall guarantee), and
+    * adding our bucket equality would silently TIGHTEN its results. The
+    * rule only rescues joins that would otherwise be nested-loop. */
+  private def hasEquiKey(cond: Expression, left: LogicalPlan,
+      right: LogicalPlan): Boolean = {
+    def crossSides(a: Expression, b: Expression): Boolean =
+      (a.references.subsetOf(left.outputSet) && a.references.nonEmpty &&
+        b.references.subsetOf(right.outputSet) && b.references.nonEmpty) ||
+      (a.references.subsetOf(right.outputSet) && a.references.nonEmpty &&
+        b.references.subsetOf(left.outputSet) && b.references.nonEmpty)
+    splitConjunctivePredicates(cond).exists {
+      case EqualTo(a, b) => crossSides(a, b)
+      case EqualNullSafe(a, b) => crossSides(a, b)
+      case _ => false
+    }
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (!enabled) return plan
     plan.transformUp {
       case j @ Join(left, right, Inner | Cross, Some(cond), hint)
-          if !alreadyBucketed(left) && !alreadyBucketed(right) =>
+          if !alreadyBucketed(left) && !alreadyBucketed(right)
+            && !hasEquiKey(cond, left, right) =>
         cosineConjunct(cond).flatMap { cos =>
           // one argument must be computable from each side
           val sides = Seq(cos.left, cos.right).map { e =>

@@ -28,15 +28,25 @@ class CurationSpec extends SparkTestBase {
     docTexts.foreach { case (_, text) =>
       text.split(' ').filter(_.nonEmpty).foreach(t => tc(t) = tc.getOrElse(t, 0L) + 1L)
     }
+    // CODE-POINT symbols + UTF-8 binary tie-break, matching both engines
+    // (String.split("")/String ordering are UTF-16 — they diverge on
+    // astral/private-use chars even though the current fixture is ASCII)
+    def cps(t: String): Vector[String] =
+      t.codePoints().toArray.toVector.map(cp => new String(Character.toChars(cp)))
+    implicit val utf8Order: Ordering[String] = (a: String, b: String) =>
+      java.util.Arrays.compareUnsigned(
+        a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+        b.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     var syms: Map[Vector[String], Long] =
-      tc.toMap.map { case (t, n) => t.split("").toVector -> n }
-    def mergeOnce(): (String, String, Long) = {
+      tc.toMap.map { case (t, n) => cps(t) -> n }
+    def mergeOnce(): Option[(String, String, Long)] = {
       val counts = collection.mutable.Map.empty[(String, String), Long]
       syms.foreach { case (ss, n) =>
         ss.indices.dropRight(1).foreach { i =>
           val k = (ss(i), ss(i + 1)); counts(k) = counts.getOrElse(k, 0L) + n
         }
       }
+      if (counts.isEmpty) return None // engine skips an empty iteration
       val ((p1, p2), c) = counts.toSeq.minBy { case ((a, b), n) => (-n, a, b) }
       syms = syms.toSeq.map { case (ss, n) =>
         val out = Vector.newBuilder[String]
@@ -48,10 +58,10 @@ class CurationSpec extends SparkTestBase {
         }
         out.result() -> n
       }.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
-      (p1, p2, c)
+      Some((p1, p2, c))
     }
-    val expected = (1 to 3).map { k =>
-      val (p1, p2, c) = mergeOnce(); (k.toLong, p1, p2, c)
+    val expected = (1 to 3).flatMap { k =>
+      mergeOnce().map { case (p1, p2, c) => (k.toLong, p1, p2, c) }
     }
     val got = q("q_llm_bpe_train").collect()
       .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
@@ -65,7 +75,7 @@ class CurationSpec extends SparkTestBase {
     // a fresh single-token application), rolled up per doc
     val mergeList = expected.map { case (_, p1, p2, _) => (p1, p2) }
     def encodeTok(t: String): Int = {
-      var ss = t.split("").toVector
+      var ss = cps(t)
       mergeList.foreach { case (p1, p2) =>
         val out = Vector.newBuilder[String]
         var i = 0
@@ -80,7 +90,8 @@ class CurationSpec extends SparkTestBase {
     }
     val encExpected = docTexts.map { case (id, text) =>
       val ts = text.split(' ').filter(_.nonEmpty)
-      val chars = ts.map(_.length.toLong).sum
+      // code-point length = the engines' character length()
+      val chars = ts.map(t => t.codePointCount(0, t.length).toLong).sum
       val nsyms = ts.map(t => encodeTok(t).toLong).sum
       (id, ts.length.toLong, chars, nsyms, chars.toDouble / nsyms)
     }.filter(_._2 > 0).toSeq

@@ -16,10 +16,7 @@ class LshJoinRewriteSpec extends SparkTestBase {
 
   private val Tau = 0.4
 
-  private def installRule(): Unit =
-    if (!spark.experimental.extraOptimizations.contains(LshJoinRewrite))
-      spark.experimental.extraOptimizations =
-        spark.experimental.extraOptimizations :+ LshJoinRewrite
+  private def installRule(): Unit = Pipelines.installLshJoinRewrite(spark)
 
   private def bruteForceJoin(): DataFrame = {
     GraftFunctions.register(spark)

@@ -67,12 +67,16 @@ class VectorExpressionSpec extends SparkTestBase {
       call_function("min_shingle_hash", col("t"), lit(8)).as("ms"),
       call_function("shingle_key", col("t")).as("sk")).collect()
     val codegen = run(df)
-    // interpreted path: force codegen off for the same plan
+    // interpreted path: force codegen off for the same plan, restoring the
+    // session's PRIOR values (not hardcoded defaults — the session is
+    // shared across suites)
+    val prevWs = spark.conf.get("spark.sql.codegen.wholeStage")
+    val prevFm = spark.conf.get("spark.sql.codegen.factoryMode")
     spark.conf.set("spark.sql.codegen.wholeStage", "false")
     spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
     val interp = try run(df) finally {
-      spark.conf.set("spark.sql.codegen.wholeStage", "true")
-      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+      spark.conf.set("spark.sql.codegen.wholeStage", prevWs)
+      spark.conf.set("spark.sql.codegen.factoryMode", prevFm)
     }
     samples.indices.foreach { i =>
       assert(codegen(i) == interp(i), s"parity at '${samples(i).take(20)}'")
