@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ops.{AnalyticsOps, CurationOps, DiagOps, LlmOps, MixOps, TextOps}
+import graft.ops.{AnalyticsOps, CurationOps, DiagOps, GraphOps, LlmOps, MixOps, TextOps}
 
 /** Public library surface for the LLM-training-data pipeline operators.
   *
@@ -234,6 +234,32 @@ object Pipelines {
   /** Fit-and-encode convenience (pays the merge loop). */
   def bpeEncode(spark: SparkSession, docs: DataFrame): DataFrame =
     bpeEncode(docs, bpeFit(spark, docs)._2)
+
+  /** Winnowing fingerprint stats (r9, the MOSS selection): per doc the
+    * selected-fingerprint count and how widely its most-shared fingerprint
+    * occurs corpus-wide. Guarantee: any shared substring of ≥ 11 codepoints
+    * shares a fingerprint. See q_text_winnow. */
+  def winnowStats(spark: SparkSession, docs: DataFrame): DataFrame =
+    TextOps.winnowStats(spark, docs)
+
+  /** Content-defined chunking report (r9, Rabin-style boundaries): per
+    * source the chunk-level storage-dedup numbers (total vs distinct chunk
+    * digests, avg chunk length). See q_llm_cdc_chunks. */
+  def cdcChunkReport(spark: SparkSession, docs: DataFrame): DataFrame =
+    CurationOps.cdcChunkReport(spark, docs)
+
+  /** Integer-scaled PageRank (r9) over an arbitrary directed `(src, dst)`
+    * arc frame: returns (node_id, r) after [[ops.GraphOps.PrIters]]
+    * damped iterations, r in units of [[ops.GraphOps.PrScale]] per node.
+    * Give every node an out-arc (e.g. arcs both ways for an undirected
+    * graph) — dangling mass is not redistributed. NOTE: runs Spark jobs at
+    * call time (the per-iteration rank checkpoint). See q_graph_pagerank. */
+  def pagerank(edges: DataFrame): DataFrame = {
+    val e = edges.select(col("src"), col("dst")).localCheckpoint(true)
+    val deg = e.groupBy("src").agg(count(lit(1)).cast("long").as("d"))
+      .localCheckpoint(true)
+    GraphOps.pagerankRanks(e, deg)
+  }
 
   /** Install + enable the opt-in LSH similarity-join rewrite on a live
     * session: a `a JOIN b ON cosine_sim(...) >= tau` written naively is

@@ -128,7 +128,13 @@ object ScaleProbe {
       "q_llm_bpe_pairs", "q_llm_prefix_dedup", "q_llm_ngram_novelty",
       "q_llm_cross_source_overlap",
       // r9 late: the multi-probe semdedup verdict + the BPE trainer/encoder
-      "q_llm_emb_semdedup_mp", "q_llm_bpe_train", "q_llm_bpe_encode")
+      "q_llm_emb_semdedup_mp", "q_llm_bpe_train", "q_llm_bpe_encode",
+      // r9 late: winnow (fingerprint df rejoin), CDC chunking (pure
+      // counting aggs), and the purchase-graph pair — at ×10 the graph
+      // DENSIFIES (same custkeys, 10× orders), so edge count, not row
+      // count, is the scaling axis to read
+      "q_text_winnow", "q_llm_cdc_chunks",
+      "q_graph_pagerank", "q_graph_degree")
     // warmup
     SparkEntry.queries("q_agg_basic")(spark, outDir).count()
     val results = probes.map { name =>
@@ -267,7 +273,13 @@ object ScaleProbe {
       // and the BPE trainer/encoder (mass duplication shrinks the
       // distinct-token symbol relation, so the merge loop gets cheaper;
       // the encode broadcast map shrinks with it)
-      "q_llm_emb_semdedup_mp", "q_llm_bpe_train", "q_llm_bpe_encode")
+      "q_llm_emb_semdedup_mp", "q_llm_bpe_train", "q_llm_bpe_encode",
+      // r9 late: winnow under mass duplication (the cloned docs' selected
+      // fingerprints all collide — nd concentrates but the rejoin carries
+      // one row per (doc, fingerprint), never a window over the hot key)
+      // and CDC chunking (counting, not pairing: the hot chunks collapse
+      // in the (source, digest) agg, so duplication makes it CHEAPER)
+      "q_text_winnow", "q_llm_cdc_chunks")
     for ((dir, label) <- Seq((srcDir, "uniform"), (degDir, "degen"))) {
       family.foreach { name =>
         val t0 = System.nanoTime()
@@ -304,7 +316,8 @@ object ScaleProbe {
     val consumers = Seq("q_llm_dup_clusters", "q_llm_dedup_keep_best",
       "q_llm_corpus_curate", "q_llm_contamination",
       "q_llm_sim_knn_ivf", "q_llm_sim_knn_ivf2",
-      "q_llm_minhash", "q_llm_minhash_est", "q_llm_ngram_jaccard")
+      "q_llm_minhash", "q_llm_minhash_est", "q_llm_ngram_jaccard",
+      "q_graph_pagerank", "q_graph_degree")
     def pass(label: String): Double = {
       val t0 = System.nanoTime()
       consumers.foreach(n => SparkEntry.queries(n)(spark, outDir).count())
@@ -316,6 +329,7 @@ object ScaleProbe {
     ops.LlmOps.clearIndexCache()
     ops.DiagOps.clearIndexCache()
     ops.StreamAnalogOps.clearIndexCache()
+    ops.GraphOps.clearIndexCache()
     val cold = pass("cold")
     val warm = pass("warm")
     println(f"[scale] amortize build-share ${(cold - warm) / cold * 100}%.0f%%" +

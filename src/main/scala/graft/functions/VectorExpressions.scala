@@ -176,7 +176,29 @@ object GraftFunctions {
             s"block_hashes(text, w): w must be an integer literal, got $other")
         }
         BlockHashGenerator(es(0), w)
+      }),
+    (FunctionIdentifier("winnow_hashes"),
+      new ExpressionInfo(classOf[WinnowGenerator].getName, "winnow_hashes"),
+      (es: Seq[Expression]) => {
+        require(es.length == 3,
+          s"winnow_hashes(text, k, w) requires exactly 3 arguments, got ${es.length}")
+        WinnowGenerator(es(0), intLit(es(1), "winnow_hashes", "k"),
+          intLit(es(2), "winnow_hashes", "w"))
+      }),
+    (FunctionIdentifier("cdc_chunks"),
+      new ExpressionInfo(classOf[CdcChunkGenerator].getName, "cdc_chunks"),
+      (es: Seq[Expression]) => {
+        require(es.length == 3,
+          s"cdc_chunks(text, k, mod) requires exactly 3 arguments, got ${es.length}")
+        CdcChunkGenerator(es(0), intLit(es(1), "cdc_chunks", "k"),
+          intLit(es(2), "cdc_chunks", "mod"))
       }))
+
+  private def intLit(e: Expression, fn: String, arg: String): Int = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$fn: $arg must be an integer literal, got $other")
+  }
 
   /** Imperative registration on an existing session (idempotent override). */
   def register(spark: SparkSession): Unit =

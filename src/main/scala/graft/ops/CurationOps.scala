@@ -27,6 +27,12 @@ object CurationOps extends QueryModule {
     * signal, and would emit O(n²) edges. Same constant in the oracle. */
   private val MaxShingleDocs = 50
 
+  /** q_llm_cdc_chunks parameters: k-gram width of the rolling boundary
+    * hash and the cut modulus (a cut fires when hash % mod == 0, so the
+    * expected gap between cuts is ~mod codepoints past the k-gram). */
+  private[graft] val CdcK = 8
+  private[graft] val CdcMod = 16
+
   /** q_llm_bpe_train: symbol separator (a control char no fixture token
     * contains — the double-separator encoding makes plain replace() the
     * boundary-safe BPE merge, see the query comment) and merge count. */
@@ -821,8 +827,43 @@ object CurationOps extends QueryModule {
         .select(col("doc_id"), col("phash"), col("n_same_prefix"),
           (col("doc_id") === col("keep_id")).as("keep"))
         .orderBy("doc_id")
-    })
+    }),
+
+    // Content-defined chunking (Rabin-style): cut wherever the 8-codepoint
+    // rolling hash ≡ 0 (mod 16), so boundaries follow CONTENT, not
+    // position — a local edit redraws only the chunks it touches
+    // (CurationSpec pins it). See cdcChunkReport for the scale shape.
+    "q_llm_cdc_chunks" -> ((s: SparkSession, dir: String) =>
+      cdcChunkReport(s, table(s, dir, "documents")).orderBy("source"))
   )
+
+  /** Per-source chunk-level storage-dedup report for an arbitrary
+    * (doc_id, source, text) frame — the q_llm_cdc_chunks primitive,
+    * exposed for [[graft.Pipelines]]: how much of each source is redundant
+    * at SUB-document granularity (the signal exact doc-level dedup cannot
+    * see). Scale shape: CdcChunkGenerator ships 60-bit chunk digests off
+    * the scan (never chunk text), the (source, digest) hash agg is
+    * map-side combinable, and the per-source rollup is bounded by the
+    * source key — counting, never pairing, so no caps needed. */
+  private[graft] def cdcChunkReport(s: SparkSession, docs: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val ch = docs.select(col("source"),
+      call_function("cdc_chunks", col("text"), lit(CdcK), lit(CdcMod)))
+    val perDigest = ch.groupBy("source", "ch")
+      .agg(count(lit(1)).as("cnt"), sum(col("clen")).as("chars"))
+    val per = perDigest.groupBy("source")
+      .agg(asLong(sum(col("cnt"))).as("n_chunks"),
+        asLong(count(lit(1))).as("n_distinct_chunks"),
+        asLong(sum(col("chars"))).as("total_chars"))
+    docs.groupBy("source").agg(asLong(count(lit(1))).as("n_docs"))
+      .join(per, "source")
+      .select(col("source"), col("n_docs"), col("n_chunks"),
+        col("n_distinct_chunks"),
+        (col("total_chars").cast("double") / col("n_chunks"))
+          .as("avg_chunk_len"),
+        ((col("n_chunks") - col("n_distinct_chunks")).cast("double")
+          / col("n_chunks")).as("dup_chunk_ratio"))
+  }
 
   def oracle: Seq[(String, String)] = Seq(
     "q_llm_simhash_neardup" -> {
@@ -1095,6 +1136,52 @@ object CurationOps extends QueryModule {
         |         min(doc_id) AS keep_id
         |  FROM k GROUP BY phash)
         |SELECT doc_id, phash, n_same_prefix, doc_id = keep_id AS keep
-        |FROM k JOIN g USING (phash) ORDER BY doc_id""".stripMargin
+        |FROM k JOIN g USING (phash) ORDER BY doc_id""".stripMargin,
+
+    // CDC twin: the same k-gram boundary rule (cut after offset p+K-1 when
+    // the k-gram hash ≡ 0 mod M; list_distinct folds the no-op final cut),
+    // chunk digests via the shared 60-bit pairing-digest builder
+    "q_llm_cdc_chunks" -> {
+      val RH = graft.functions.ReplayableHash
+      val K = CdcK
+      val M = CdcMod
+      s"""WITH raw AS (
+         |  SELECT doc_id, source, text, CAST(length(text) AS BIGINT) AS n,
+         |    CASE WHEN length(text) >= $K
+         |      THEN list_transform(range(1, length(text) - ${K - 2}), i ->
+         |        list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |          list_transform(range(i, i + $K), j -> CAST(ord(text[j]) AS BIGINT))),
+         |          (h, c) -> (h * ${RH.Base} + c) % ${RH.P}))
+         |      ELSE [] END AS kg
+         |  FROM documents),
+         |bs AS (
+         |  SELECT doc_id, source, text,
+         |    list_sort(list_distinct(list_concat(list_concat([CAST(0 AS BIGINT)],
+         |      list_transform(list_filter(range(1, len(kg) + 1), p -> kg[p] % $M = 0),
+         |        p -> p + ${K - 1})),
+         |      CASE WHEN n > 0 THEN [n] ELSE [] END))) AS b
+         |  FROM raw),
+         |ck AS (
+         |  SELECT source, text,
+         |    unnest(list_transform(range(1, len(b)), j ->
+         |      struct_pack(cs := b[j] + 1, ce := b[j + 1]))) AS c
+         |  FROM bs),
+         |cd AS (
+         |  SELECT source, c.ce - c.cs + 1 AS clen,
+         |    ${RH.shingleKeySql("(text[c.cs : c.ce])")} AS ch
+         |  FROM ck),
+         |pd AS (SELECT source, ch, count(*) AS cnt, sum(clen) AS chars
+         |       FROM cd GROUP BY source, ch),
+         |per AS (SELECT source, CAST(sum(cnt) AS BIGINT) AS n_chunks,
+         |          CAST(count(*) AS BIGINT) AS n_distinct_chunks,
+         |          CAST(sum(chars) AS BIGINT) AS total_chars
+         |        FROM pd GROUP BY source),
+         |nd AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+         |       FROM documents GROUP BY source)
+         |SELECT nd.source, n_docs, n_chunks, n_distinct_chunks,
+         |       CAST(total_chars AS DOUBLE) / n_chunks AS avg_chunk_len,
+         |       CAST(n_chunks - n_distinct_chunks AS DOUBLE) / n_chunks AS dup_chunk_ratio
+         |FROM nd JOIN per USING (source) ORDER BY nd.source""".stripMargin
+    }
   )
 }

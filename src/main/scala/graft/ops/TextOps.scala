@@ -79,6 +79,38 @@ object TextOps extends QueryModule {
         asLong(sum(col("hits"))).as("total_hits"),
         asLong(max(col("hits"))).as("max_hits"))
 
+  /** Winnowing parameters (q_text_winnow): k-gram width and the number of
+    * consecutive k-gram hashes per selection window. Guarantee (SIGMOD'03):
+    * any shared substring of ≥ w + k - 1 = 11 codepoints yields at least
+    * one shared selected fingerprint — TextSpec pins it. */
+  private[graft] val WinnowK = 8
+  private[graft] val WinnowW = 4
+
+  /** Winnowing fingerprint stats for an arbitrary (doc_id, text) frame —
+    * the q_text_winnow primitive, exposed for [[graft.Pipelines]]. Per doc:
+    * k-gram count, selected-fingerprint count, how many of its fingerprints
+    * any other doc shares, and the corpus-wide occurrence count of its
+    * most-shared fingerprint. Scale shape: digests leave the scan
+    * (WinnowGenerator — no text on any exchange), fingerprint df via
+    * map-side-combinable hash agg, and ONLY the nd>1 slice rejoins (misses
+    * coalesce to 1) — on a mostly-unique corpus the rejoin side is the
+    * shared-content volume, not O(#fingerprints). */
+  private[graft] def winnowStats(s: SparkSession, docs: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val sel = docs.select(col("doc_id"),
+      call_function("winnow_hashes", col("text"), lit(WinnowK), lit(WinnowW)))
+    val shared = sel.groupBy("wh").agg(count(lit(1)).as("nd"))
+      .where(col("nd") > 1)
+    val per = sel.join(shared, Seq("wh"), "left")
+      .groupBy("doc_id")
+      .agg(asLong(count(lit(1))).as("n_selected"),
+        asLong(sum(when(col("nd").isNotNull, 1L).otherwise(0L))).as("n_shared"),
+        asLong(max(coalesce(col("nd"), lit(1L)))).as("max_shared"))
+    docs.select(col("doc_id"),
+        asLong(greatest(length(col("text")) - (WinnowK - 1), lit(0))).as("n_kgrams"))
+      .join(per, Seq("doc_id"))
+  }
+
   /** Non-empty whitespace tokens, with multiplicity. */
   private def tokens(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("token"))
@@ -218,6 +250,14 @@ object TextOps extends QueryModule {
             .as("min_shingle_hash"))
         .orderBy("doc_id")
     }),
+
+    // Winnowing fingerprint selection (the MOSS algorithm, SIGMOD'03):
+    // min of each run of 4 consecutive 8-gram hashes — a
+    // position-independent fingerprint sample with the guarantee that any
+    // shared substring of ≥ 11 codepoints shares a fingerprint (TextSpec
+    // pins it). See winnowStats for the scale shape.
+    "q_text_winnow" -> ((s: SparkSession, dir: String) =>
+      winnowStats(s, table(s, dir, "documents")).orderBy("doc_id")),
 
     // Readability profile (LIX-style): words-per-sentence + long-word
     // share from pure integer counts — the curation quality signal
@@ -369,6 +409,40 @@ object TextOps extends QueryModule {
         |       CAST(len(re_toks) AS BIGINT) AS n_re_tokens,
         |       n_chars / len(re_toks) AS chars_per_token
         |FROM t ORDER BY doc_id""".stripMargin,
+
+    "q_text_winnow" -> {
+      val RH = graft.functions.ReplayableHash
+      val K = WinnowK
+      val W = WinnowW
+      s"""WITH g AS (
+         |  SELECT doc_id,
+         |    CASE WHEN length(text) < $K THEN [${RH.tokenHashSql("text")}]
+         |    ELSE list_transform(range(1, length(text) - ${K - 2}), i ->
+         |      list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |        list_transform(range(i, i + $K), j -> CAST(ord(text[j]) AS BIGINT))),
+         |        (h, c) -> (h * ${RH.Base} + c) % ${RH.P}))
+         |    END AS kg
+         |  FROM documents),
+         |sel AS (
+         |  SELECT doc_id, unnest(list_distinct(
+         |    CASE WHEN len(kg) < $W THEN [list_aggregate(kg, 'min')]
+         |    ELSE list_transform(range(1, len(kg) - ${W - 2}), p ->
+         |           list_aggregate(kg[p : p + ${W - 1}], 'min'))
+         |    END)) AS wh
+         |  FROM g),
+         |shared AS (
+         |  SELECT wh, count(*) AS nd FROM sel GROUP BY wh HAVING count(*) > 1),
+         |per AS (
+         |  SELECT s.doc_id,
+         |         CAST(count(*) AS BIGINT) AS n_selected,
+         |         CAST(sum(CASE WHEN sh.nd IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+         |         CAST(max(coalesce(sh.nd, 1)) AS BIGINT) AS max_shared
+         |  FROM sel s LEFT JOIN shared sh USING (wh) GROUP BY s.doc_id)
+         |SELECT d.doc_id,
+         |       CAST(greatest(length(d.text) - ${K - 1}, 0) AS BIGINT) AS n_kgrams,
+         |       n_selected, n_shared, max_shared
+         |FROM documents d JOIN per USING (doc_id) ORDER BY d.doc_id""".stripMargin
+    },
 
     "q_text_readability" ->
       """WITH d AS (

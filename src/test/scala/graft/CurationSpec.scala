@@ -345,4 +345,85 @@ class CurationSpec extends SparkTestBase {
     assert(got == expected)
     assert(got.nonEmpty && got.size < langs.length)
   }
+
+  // ---- q_llm_cdc_chunks (r9): content-defined chunking -------------------
+
+  private def cdc(t: String): Array[(Long, Int)] =
+    graft.functions.ContentChunkers.cdcChunks(
+      org.apache.spark.unsafe.types.UTF8String.fromString(t),
+      graft.ops.CurationOps.CdcK, graft.ops.CurationOps.CdcMod)
+
+  private def cdcB(t: String): Array[Int] =
+    graft.functions.ContentChunkers.cdcBoundaries(
+      t.codePoints().toArray, graft.ops.CurationOps.CdcK,
+      graft.ops.CurationOps.CdcMod)
+
+  test("cdc chunks partition the text and digest each span exactly") {
+    val rnd = new scala.util.Random(21)
+    val samples = Seq("", "a", "abcdefg", "abcdefgh") ++
+      (1 to 15).map(_ => rnd.alphanumeric.take(20 + rnd.nextInt(400)).mkString)
+    for (t <- samples) {
+      val b = cdcB(t)
+      assert(b.head == 0)
+      if (t.nonEmpty) assert(b.last == t.length)
+      assert(b.sameElements(b.distinct.sorted), "boundaries not increasing")
+      val chunks = cdc(t)
+      assert(chunks.length == b.length - 1 || (t.isEmpty && chunks.isEmpty))
+      assert(chunks.map(_._2).sum == t.length, "chunks do not partition")
+      chunks.zipWithIndex.foreach { case ((h, len), j) =>
+        val span = t.substring(b(j), b(j + 1))
+        assert(len == span.length)
+        assert(h == graft.functions.TextHashes.shingleKey(
+          org.apache.spark.unsafe.types.UTF8String.fromString(span)),
+          s"chunk digest is not the span's pairing digest")
+      }
+    }
+  }
+
+  test("cdc edit locality: a same-length substitution only redraws chunks near the edit") {
+    val rnd = new scala.util.Random(22)
+    val k = graft.ops.CurationOps.CdcK
+    for (_ <- 1 to 10) {
+      val t1 = rnd.alphanumeric.take(400).mkString
+      val e = 150 + rnd.nextInt(100)
+      val t2 = t1.substring(0, e) + (if (t1(e) == 'Q') 'R' else 'Q') +
+        t1.substring(e + 1)
+      // every k-gram starting at ≥ e+1 is untouched, so every cut offset
+      // > e+k is present in both boundary sets; chunks from the first such
+      // shared cut onward are identical
+      val b1 = cdcB(t1).filter(_ > e + k)
+      val b2 = cdcB(t2).filter(_ > e + k)
+      assert(b1.sameElements(b2), "far boundaries moved under a local edit")
+      val c1 = cdc(t1); val c2 = cdc(t2)
+      val tail1 = c1.takeRight(b1.length - 1)
+      val tail2 = c2.takeRight(b2.length - 1)
+      assert(tail1.sameElements(tail2), "far chunks redrawn under a local edit")
+      assert(c1.map(_._1).toSet != c2.map(_._1).toSet,
+        "edit did not change any chunk digest (vacuous)")
+    }
+  }
+
+  test("q_llm_cdc_chunks per-source report matches a driver-side replay") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val expected = docs.groupBy(_._1).map { case (src, rows) =>
+      val chunks = rows.flatMap(r => cdc(r._2))
+      val n = chunks.length.toLong
+      val nd = chunks.map(_._1).distinct.length.toLong
+      (src, (rows.length.toLong, n, nd,
+        chunks.map(_._2.toLong).sum.toDouble / n,
+        (n - nd).toDouble / n))
+    }
+    val got = q("q_llm_cdc_chunks").collect()
+      .map(r => (r.getString(0),
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5))))
+      .toMap
+    assert(got.keySet == expected.keySet)
+    expected.foreach { case (src, e) =>
+      assert(got(src) == e, s"source $src: got ${got(src)}, expected $e")
+    }
+    // fixture sanity: sub-document redundancy must exist (dup families)
+    assert(expected.values.exists(_._5 > 0), "no duplicate chunks at all")
+  }
 }

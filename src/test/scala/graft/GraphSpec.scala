@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import graft.ops.GraphOps
+
+/** q_graph_pagerank / q_graph_degree (r9): the distributed integer PageRank
+  * must equal an independent driver-side replay of the same arithmetic on
+  * the collected edge list — the strongest check available beyond the
+  * DuckDB oracle (which shares the unrolled-CTE formulation; this replay
+  * shares nothing but the constants).
+  */
+class GraphSpec extends SparkTestBase {
+
+  private def q(name: String): DataFrame = SparkEntry.queries(name)(spark, sfDir)
+
+  private lazy val edges: Array[(Long, Long)] = {
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select("l_orderkey", "l_suppkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val ord = spark.read.parquet(s"$sfDir/orders.parquet")
+      .select("o_orderkey", "o_custkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val pairs = li.map { case (ok, sk) => (ord(ok), sk) }.distinct
+    (pairs.map { case (c, s) => (2 * c, 2 * s + 1) } ++
+      pairs.map { case (c, s) => (2 * s + 1, 2 * c) })
+  }
+
+  private lazy val driverRanks: Map[Long, Long] = {
+    val deg = edges.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val S = GraphOps.PrScale
+    var r = deg.keys.map(_ -> S).toMap
+    for (_ <- 1 to GraphOps.PrIters) {
+      val contrib = r.map { case (n, v) => n -> v / deg(n) }
+      val m = edges.groupBy(_._2).view
+        .mapValues(_.map(e => contrib(e._1)).sum).toMap
+      r = m.map { case (n, v) => n -> (15 * S + 85 * v) / 100 }
+    }
+    r
+  }
+
+  test("pagerank equals an independent driver-side integer replay, including order") {
+    val expectedTop = driverRanks.toSeq
+      .sortBy { case (n, v) => (-v, n) }.take(50)
+    val got = q("q_graph_pagerank").collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+    assert(got.length == math.min(50, driverRanks.size))
+    assert(got.toSeq == expectedTop, "top-50 ranks or order differ")
+    // node_type labels derive from the id parity
+    q("q_graph_pagerank").collect().foreach { r =>
+      val t = if (r.getLong(0) % 2 == 0) "customer" else "supplier"
+      assert(r.getString(1) == t)
+    }
+  }
+
+  test("pagerank mass stays conserved up to integer-floor loss") {
+    // every iteration floors twice (contrib and damping), so total mass can
+    // only shrink, and by < 1 unit per node per floor per iteration
+    val S = GraphOps.PrScale
+    val n = driverRanks.size
+    val total = driverRanks.values.sum
+    assert(total <= n * S)
+    assert(total >= n * S - GraphOps.PrIters * 2L * n * 100,
+      "integer floor lost more mass than the bound allows")
+  }
+
+  test("degree profile counts every node once and every arc twice") {
+    val rows = q("q_graph_degree").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val nodes = rows.map(_._3).sum
+    val arcs = rows.map(r => r._2 * r._3).sum
+    val deg = edges.groupBy(_._1).view.mapValues(_.length).toMap
+    assert(nodes == deg.size)
+    assert(arcs == edges.length, "sum(degree·n_nodes) must equal arc count")
+    // replay the full histogram
+    val expected = deg.toSeq
+      .groupBy { case (id, d) =>
+        (if (id % 2 == 0) "customer" else "supplier", d.toLong) }
+      .map { case (k, v) => (k._1, k._2, v.size.toLong) }.toSet
+    assert(rows.toSet == expected)
+  }
+}

@@ -174,4 +174,71 @@ class TextSpec extends SparkTestBase {
     }
     assert(expected.values.exists(_._3 > 0), "fixture sanity: expected hits")
   }
+
+  // ---- q_text_winnow (r9): winnowing fingerprint selection ---------------
+
+  private def winnowRef(t: String, k: Int, w: Int): Seq[Long] = {
+    val RH = graft.functions.ReplayableHash
+    if (t.length < k) Seq(RH.tokenHash(t))
+    else {
+      val kg = (0 to t.length - k).map(i => RH.tokenHash(t.substring(i, i + k)))
+      if (kg.length < w) Seq(kg.min)
+      else (0 to kg.length - w).map(p => kg.slice(p, p + w).min)
+        .distinct.sorted
+    }
+  }
+
+  private def winnowSel(t: String): Seq[Long] =
+    graft.functions.ContentChunkers.winnowSelect(
+      org.apache.spark.unsafe.types.UTF8String.fromString(t),
+      TextOps.WinnowK, TextOps.WinnowW).toSeq
+
+  test("winnowSelect matches a brute-force reference across input regimes") {
+    val rnd = new scala.util.Random(7)
+    val samples = Seq("", "a", "abcdefg", "abcdefgh", "abcdefghij",
+      "aaaaaaaaaaaaaaaaaaaa",
+      "the quick brown fox jumps over the lazy dog") ++
+      (1 to 20).map(_ => rnd.alphanumeric.take(1 + rnd.nextInt(80)).mkString)
+    for (t <- samples)
+      assert(winnowSel(t) == winnowRef(t, TextOps.WinnowK, TextOps.WinnowW),
+        s"mismatch on ${t.take(30)}…")
+  }
+
+  test("winnowing guarantee: a shared substring of w+k-1 codepoints shares a fingerprint") {
+    // SIGMOD'03: every window of w consecutive k-grams selects some hash,
+    // and a shared substring of length ≥ w+k-1 contains a full such window,
+    // so the two documents must select a common value from it.
+    val rnd = new scala.util.Random(13)
+    val t = TextOps.WinnowW + TextOps.WinnowK - 1 // = 11
+    for (i <- 1 to 20) {
+      val shared = rnd.alphanumeric.take(t).mkString
+      val d1 = rnd.alphanumeric.take(rnd.nextInt(40)).mkString + shared +
+        rnd.alphanumeric.take(rnd.nextInt(40)).mkString
+      val d2 = rnd.alphanumeric.take(rnd.nextInt(40)).mkString + shared +
+        rnd.alphanumeric.take(rnd.nextInt(40)).mkString
+      assert(winnowSel(d1).intersect(winnowSel(d2)).nonEmpty,
+        s"trial $i: no shared fingerprint for shared substring '$shared'")
+    }
+  }
+
+  test("q_text_winnow matches a full driver-side replay on the fixture") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val sel = docs.map { case (id, t) => (id, winnowSel(t)) }
+    val df = sel.flatMap(_._2).groupBy(identity).view.mapValues(_.size).toMap
+    val expected = sel.map { case (id, hs) =>
+      val nds = hs.map(df)
+      (id, (hs.size.toLong, nds.count(_ > 1).toLong, nds.max.toLong))
+    }.toMap
+    val rows = q("q_text_winnow").collect()
+    assert(rows.length == docs.length)
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      assert((r.getLong(2), r.getLong(3), r.getLong(4)) == expected(id),
+        s"doc $id winnow stats mismatch")
+    }
+    // fixture sanity: the near-dup families must actually share fingerprints
+    assert(expected.values.exists(_._2 > 0), "no shared fingerprints at all")
+  }
 }
