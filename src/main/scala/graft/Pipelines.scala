@@ -261,6 +261,31 @@ object Pipelines {
     GraphOps.pagerankRanks(e, deg)
   }
 
+  /** Connected components (r9) over an arbitrary undirected arc frame
+    * (`src`, `dst`; supply both directions): `iters` rounds of min-label
+    * propagation, each round's label relation localCheckpointed. Returns
+    * (node, lab) — lab converges to the component's min node id once
+    * `iters` reaches the labeling diameter (GraphSpec pins convergence on
+    * the fixtures at the default). NOTE: runs Spark jobs at call time. */
+  def connectedComponents(edges: DataFrame,
+      iters: Int = GraphOps.CcIters): DataFrame =
+    GraphOps.minLabelRounds(
+      edges.select(col("src"), col("dst")).localCheckpoint(true), iters)
+
+  /** Weight-proportional exactly-k deterministic sample (r9, sequential
+    * Poisson): keep the k docs with smallest salt-9-hash·2²⁰ div weight.
+    * `docs` needs `doc_id` and the weight column (default n_chars). */
+  def weightedSample(docs: DataFrame, k: Int,
+      weightCol: String = "n_chars"): DataFrame =
+    MixOps.weightedSample(docs, k, weightCol)
+
+  /** Quantized-DSIR importance weights (r9): per-doc integer-log2
+    * likelihood ratio of its bigrams under `targetSource` vs the whole
+    * corpus. See q_llm_importance_weights. */
+  def importanceWeights(spark: SparkSession, docs: DataFrame,
+      targetSource: String = "src0"): DataFrame =
+    CurationOps.importanceWeights(spark, docs, targetSource)
+
   /** Install + enable the opt-in LSH similarity-join rewrite on a live
     * session: a `a JOIN b ON cosine_sim(...) >= tau` written naively is
     * re-planned as a sign-LSH bucket equi-join (approximate — the cosine

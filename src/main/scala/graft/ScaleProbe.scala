@@ -134,7 +134,15 @@ object ScaleProbe {
       // DENSIFIES (same custkeys, 10× orders), so edge count, not row
       // count, is the scaling axis to read
       "q_text_winnow", "q_llm_cdc_chunks",
-      "q_graph_pagerank", "q_graph_degree")
+      "q_graph_pagerank", "q_graph_degree",
+      // r9 late: strong-component labeling + mutual-KNN triangles — at ×10
+      // the co-purchase graph DENSIFIES (same part catalog, 10× orders):
+      // strong-edge count and kept-KNN arcs, not row count, are the axes;
+      // the basket/KNN caps are what hold wedge work at n·K². Plus the
+      // weighted sampler (pure top-k scan) and quantized-DSIR weights
+      // (bigram digest shuffle + vocab-bounded count rejoin)
+      "q_graph_concomp", "q_graph_triangles",
+      "q_llm_weighted_sample", "q_llm_importance_weights")
     // warmup
     SparkEntry.queries("q_agg_basic")(spark, outDir).count()
     val results = probes.map { name =>
@@ -279,7 +287,14 @@ object ScaleProbe {
       // one row per (doc, fingerprint), never a window over the hot key)
       // and CDC chunking (counting, not pairing: the hot chunks collapse
       // in the (source, digest) agg, so duplication makes it CHEAPER)
-      "q_text_winnow", "q_llm_cdc_chunks")
+      "q_text_winnow", "q_llm_cdc_chunks",
+      // r9 late: the weighted sampler under mass duplication (n_chars
+      // collapses to one hot length — priorities still total-order by the
+      // salt-9 hash, the top-k scan shape is data-independent) and the
+      // importance weights under it (one dominant bigram multiset: the
+      // count agg combines map-side, the rejoin stays 1-build-row-per-key
+      // however hot the key — the count-over-hot-key discipline)
+      "q_llm_weighted_sample", "q_llm_importance_weights")
     for ((dir, label) <- Seq((srcDir, "uniform"), (degDir, "degen"))) {
       family.foreach { name =>
         val t0 = System.nanoTime()

@@ -479,6 +479,43 @@ object CurationOps extends QueryModule {
         col("n_singleton").cast("double") / col("n_bigrams"))
   }
 
+  /** Quantized-DSIR data-selection importance weights — the
+    * q_llm_importance_weights primitive, exposed for [[graft.Pipelines]].
+    * Per doc: Σ over bigram occurrences of ilog2(1 + c_target) −
+    * ilog2(1 + c_corpus), target = docs with source == `targetSource`.
+    * True log-probs are libm-dependent (rejected by the §7.4 hash gate), so
+    * the ratio is quantized to INTEGER log2 — ilog2(n) = length(bin(n))−1,
+    * exact in both engines — keeping the score BIGINT end to end. Bigrams
+    * travel as the 60-bit shingle_key digest (never token text on a
+    * shuffle, rule 5b); the count relation is bigram-vocab-bounded and its
+    * rejoin is 1-row-per-key; the left rejoin backfills <2-token docs with
+    * coalesced zeros (NULL-cascade discipline, both engines). */
+  private[graft] def importanceWeights(s: SparkSession, docs: DataFrame,
+      targetSource: String = "src0"): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val bg = docs
+      .withColumn("toks", expr("filter(split(text, ' '), t -> length(t) > 0)"))
+      .where(size(col("toks")) >= 2)
+      .select(col("doc_id"), col("source"), explode(expr(
+        """zip_with(slice(toks, 1, size(toks) - 1),
+          |         slice(toks, 2, size(toks) - 1),
+          |         (a, b) -> concat(a, ' ', b))""".stripMargin)).as("bgr"))
+      .select(col("doc_id"), col("source"),
+        call_function("shingle_key", col("bgr")).as("key"))
+    val counts = bg.groupBy("key").agg(
+      count(lit(1)).as("c_all"),
+      count(when(col("source") === targetSource, 1)).as("c_tgt"))
+    val perDoc = bg.join(counts, "key")
+      .groupBy("doc_id")
+      .agg(asLong(count(lit(1))).as("n_bigrams"),
+        asLong(sum((length(bin(col("c_tgt") + 1)) - 1)
+          - (length(bin(col("c_all") + 1)) - 1))).as("iw_score"))
+    docs.select(col("doc_id"), col("source")).join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("source"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("iw_score"), lit(0L)).as("iw_score"))
+  }
+
   def queries: Seq[(String, Q)] = Seq(
     // Duplicate-cluster assignment: transitive closure of "shares a kept
     // 5-word shingle OR has identical text" — the cluster step after
@@ -681,6 +718,12 @@ object CurationOps extends QueryModule {
     // #distinct bigrams, shuffle bounded by token count, never pairs.
     "q_llm_doc_lm_score" -> ((s: SparkSession, dir: String) =>
       docLmScore(table(s, dir, "documents")).orderBy("doc_id")),
+
+    // Quantized-DSIR data-selection importance weights vs the src0 target
+    // domain — see [[importanceWeights]] for the integer-log2 replay
+    // rationale and the shuffle discipline.
+    "q_llm_importance_weights" -> ((s: SparkSession, dir: String) =>
+      importanceWeights(s, table(s, dir, "documents")).orderBy("doc_id")),
 
     // Deterministic stratified sampling for training-mix curation: per-lang
     // keep-rates applied via doc_id mod — reproducible across engines and
@@ -989,6 +1032,33 @@ object CurationOps extends QueryModule {
         |       CAST(sum(CASE WHEN c12 = 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS novelty_rate
         |FROM b JOIN c12 USING (w1, w2)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_llm_importance_weights" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, source,
+         |         list_filter(string_split(text, ' '), x -> length(x) > 0) AS toks
+         |  FROM documents),
+         |b AS (
+         |  SELECT doc_id, source, toks[i] || ' ' || toks[i + 1] AS bgr
+         |  FROM (SELECT doc_id, source, toks,
+         |               unnest(generate_series(1, len(toks) - 1)) AS i
+         |        FROM t WHERE len(toks) >= 2)),
+         |k AS (SELECT doc_id, source, ${graft.functions.ReplayableHash.shingleKeySql("bgr")} AS key
+         |      FROM b),
+         |c AS (SELECT key,
+         |             CAST(count(*) AS BIGINT) AS c_all,
+         |             CAST(count(*) FILTER (WHERE source = 'src0') AS BIGINT) AS c_tgt
+         |      FROM k GROUP BY key),
+         |s AS (SELECT k.doc_id,
+         |             CAST(count(*) AS BIGINT) AS n_bigrams,
+         |             CAST(sum((length(bin(c_tgt + 1)) - 1)
+         |                      - (length(bin(c_all + 1)) - 1)) AS BIGINT) AS iw_score
+         |      FROM k JOIN c USING (key) GROUP BY k.doc_id)
+         |SELECT d.doc_id, d.source,
+         |       coalesce(s.n_bigrams, 0) AS n_bigrams,
+         |       coalesce(s.iw_score, 0) AS iw_score
+         |FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
 
     "q_llm_curation_sample" ->
       s"""SELECT doc_id, lang, source, n_chars

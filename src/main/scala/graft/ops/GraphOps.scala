@@ -23,6 +23,36 @@ object GraphOps extends QueryModule {
   private[graft] val PrIters = 3
   private[graft] val PrScale = 1000000L
 
+  /** Min-label propagation rounds for [[q_graph_concomp]]. Both engines run
+    * the SAME fixed count, so the hash gate holds regardless of
+    * convergence; convergence itself (true components) is pinned in
+    * GraphSpec against a driver-side union-find ground truth — measured
+    * convergence depth is 4 (sf0.001) / 11 (sf0.01) / 8 (sf0.1), so 12
+    * carries margin on every fixture. A production run loops to fixpoint
+    * (the q_llm_dup_clusters discipline); the fixed unroll exists so the
+    * DuckDB twin can replay the loop as CTE stages. */
+  private[graft] val CcIters = 12
+
+  /** Strong co-purchase edge support: parts must share ≥ this many orders.
+    * Thresholding is what makes components meaningful — the support-1
+    * graph is one giant hairball at every fixture scale. */
+  private[graft] val StrongSupport = 2
+
+  /** Per-order basket cap for co-purchase pair generation: pair fan-out per
+    * order is quadratic in basket size, so an unbounded cart is the exact
+    * per-key-density trap SCALING.md bans. Kept items are the first
+    * [[MaxBasket]] by part id (replayable rank in both engines); TPC-H-ish
+    * baskets are ≤7 items so the fixtures are uncapped in practice. */
+  private[graft] val MaxBasket = 32
+
+  /** Mutual-KNN cap for triangle counting: each part keeps its top
+    * [[KnnK]] co-purchase neighbors by (support DESC, neighbor id ASC) and
+    * an edge survives only if BOTH endpoints keep it (the mutual-KNN graph
+    * of the ANN literature). Bounds wedge enumeration at n·K² at any
+    * corpus size — the same keep-first-K discipline as MaxBucket/
+    * MaxEmbBucket, with the cap and tie-break replayed in the oracle. */
+  private[graft] val KnnK = 20
+
   /** Session-lifetime memo of the (edges, deg) relations per fixture
     * content digest — the graph an operator maintains once, read by both
     * graph queries and every bench/probe rep (the LlmOps.candidateIndexFor
@@ -60,6 +90,7 @@ object GraphOps extends QueryModule {
   private[graft] def clearIndexCache(): Unit = {
     graphCache.clear()
     rankCache.clear()
+    copurchaseCache.clear()
   }
 
   /** Undirected purchase edges as two directed arcs, node ids unified as
@@ -81,6 +112,62 @@ object GraphOps extends QueryModule {
     val deg = edges.groupBy("src").agg(asLong(count(lit(1))).as("d"))
       .localCheckpoint(true)
     (edges, deg)
+  }
+
+  /** Directed co-purchase adjacency `(src part, dst part, support n)`:
+    * distinct per-order part sets (basket-capped at [[MaxBasket]] by a
+    * replayable rank), per-order pair generation via an order-equi
+    * self-join (per-key density bounded by the cap — never corpus-wide
+    * pairs), support counts, then both directions. localCheckpointed and
+    * memoized per fixture digest: the relation is the graph index both
+    * triangle counting and component labeling read. */
+  private val copurchaseCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  private[graft] def copurchaseAdj(s: SparkSession, dir: String): DataFrame = {
+    val key = System.identityHashCode(s.sparkContext).toString + "|" +
+      SourceSinkOps.fixtureKey(dir, "lineitem.parquet")
+    copurchaseCache.computeIfAbsent(key, { _ =>
+      import org.apache.spark.sql.expressions.Window
+      val e0 = table(s, dir, "lineitem")
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .distinct()
+      // o_orderkey is high-cardinality, so the per-order rank window never
+      // funnels into few tasks (the low-cardinality window trap does not
+      // apply); the cap bounds the quadratic pair fan-out per order.
+      val capped = e0
+        .withColumn("rk",
+          row_number().over(Window.partitionBy("o").orderBy("p")))
+        .where(col("rk") <= MaxBasket).drop("rk")
+      val b = capped.select(col("o").as("o2"), col("p").as("p2"))
+      val pairs = capped.join(b, col("o") === col("o2") && col("p") < col("p2"))
+        .groupBy(col("p").as("p1"), col("p2"))
+        .agg(asLong(count(lit(1))).as("n"))
+      pairs.select(col("p1").as("src"), col("p2").as("dst"), col("n"))
+        .union(pairs.select(col("p2").as("src"), col("p1").as("dst"), col("n")))
+        .localCheckpoint(true)
+    })
+  }
+
+  /** [[CcIters]] rounds of min-label propagation over arbitrary undirected
+    * arcs — returns `(node, lab)`. Per round: one message join (arc-sized,
+    * one fixed-width long per arc), one map-side-combinable min on dst, one
+    * node-sized rejoin; each round's label relation is localCheckpointed
+    * (cuts the self-referential lineage and keeps the plan shallow — the
+    * pagerankRanks discipline). Every node has an in-arc (undirected
+    * construction), so the rejoin is inner. */
+  private[graft] def minLabelRounds(arcs: DataFrame, iters: Int): DataFrame = {
+    var lab = arcs.select(col("src").as("node")).distinct()
+      .withColumn("lab", col("node"))
+      .localCheckpoint(true)
+    for (_ <- 1 to iters) {
+      val msg = arcs.join(lab, arcs("src") === lab("node"))
+        .groupBy(arcs("dst").as("mnode")).agg(min(col("lab")).as("m"))
+      lab = lab.join(msg, lab("node") === msg("mnode"))
+        .select(col("node"), least(col("lab"), col("m")).as("lab"))
+        .localCheckpoint(true)
+    }
+    lab
   }
 
   /** The [[PrIters]]-iteration core over arbitrary `(src, dst)` arcs +
@@ -137,6 +224,55 @@ object GraphOps extends QueryModule {
         .groupBy("node_type", "degree")
         .agg(asLong(count(lit(1))).as("n_nodes"))
         .orderBy("node_type", "degree")
+    }),
+
+    // Connected components of the STRONG co-purchase graph (parts sharing
+    // ≥ StrongSupport orders — the support-1 graph is one giant hairball;
+    // thresholding is what yields product families). CcIters fixed rounds
+    // of min-label propagation (both engines run the same count; true
+    // convergence is spec-pinned against a union-find ground truth).
+    // Output: the component size histogram — the report an operator reads
+    // to size downstream per-component work.
+    "q_graph_concomp" -> ((s: SparkSession, dir: String) => {
+      val arcs = copurchaseAdj(s, dir)
+        .where(col("n") >= StrongSupport).select("src", "dst")
+      val lab = minLabelRounds(arcs, CcIters)
+      lab.groupBy("lab").agg(count(lit(1)).as("csize"))
+        .groupBy("csize").agg(asLong(count(lit(1))).as("n_comps"))
+        .select(asLong(col("csize")).as("csize"), col("n_comps"))
+        .orderBy("csize")
+    }),
+
+    // Triangle counts on the mutual-KNN co-purchase graph: each part keeps
+    // its top-KnnK neighbors by (support DESC, id ASC), an edge survives
+    // only if both endpoints keep it, then oriented wedge join + closing
+    // edge. Wedge work is bounded at n·K² at ANY corpus size (the
+    // keep-first-K discipline), and the cap + tie-break replay exactly in
+    // the oracle. Top-50 parts by triangle participation.
+    "q_graph_triangles" -> ((s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.expressions.Window
+      val r = copurchaseAdj(s, dir)
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("src").orderBy(desc("n"), asc("dst"))))
+        .where(col("rk") <= KnnK).select("src", "dst")
+      // mutual-KNN: (src,dst) kept by both endpoints, oriented src < dst.
+      // Eagerly checkpointed: ≤ n·K/2 rows, reused by all three join roles.
+      val e = r.as("a").join(r.as("b"),
+          col("a.src") === col("b.dst") && col("a.dst") === col("b.src"))
+        .where(col("a.src") < col("a.dst"))
+        .select(col("a.src").as("u"), col("a.dst").as("v"))
+        .localCheckpoint(true)
+      val tri = e.as("e1").join(e.as("e2"),
+          col("e1.u") === col("e2.u") && col("e1.v") < col("e2.v"))
+        .select(col("e1.u").as("x"), col("e1.v").as("y"), col("e2.v").as("z"))
+        .join(e.as("e3"), col("y") === col("e3.u") && col("z") === col("e3.v"))
+        .select("x", "y", "z")
+      tri.select(col("x").as("p"))
+        .union(tri.select(col("y").as("p")))
+        .union(tri.select(col("z").as("p")))
+        .groupBy("p").agg(asLong(count(lit(1))).as("n_tri"))
+        .select(col("p").as("partkey"), col("n_tri"))
+        .orderBy(desc("n_tri"), asc("partkey")).limit(50)
     })
   )
 
@@ -164,7 +300,78 @@ object GraphOps extends QueryModule {
          |r$k AS (SELECT node_id, (${15 * PrScale} + 85 * m) // 100 AS r FROM m$k)""".stripMargin
     }.mkString(",\n")
 
+  /** Shared co-purchase CTEs (e0cp/cap/pr/adj) — generated from the same
+    * MaxBasket constant as the Spark builder (single source of truth). */
+  private def copurchaseCte: String =
+    s"""e0cp AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+       |cap AS (
+       |  SELECT o, p FROM (
+       |    SELECT o, p, row_number() OVER (PARTITION BY o ORDER BY p) AS rk
+       |    FROM e0cp)
+       |  WHERE rk <= $MaxBasket),
+       |pr AS (
+       |  SELECT a.p AS p1, b.p AS p2, CAST(count(*) AS BIGINT) AS n
+       |  FROM cap a JOIN cap b ON a.o = b.o AND a.p < b.p
+       |  GROUP BY 1, 2),
+       |adj AS (
+       |  SELECT p1 AS src, p2 AS dst, n FROM pr
+       |  UNION ALL
+       |  SELECT p2 AS src, p1 AS dst, n FROM pr)""".stripMargin
+
+  /** Unrolled min-label stages l1 … l[[CcIters]] over `arcs` — generated
+    * from the same iteration count as the Spark loop. Every stage is
+    * `AS MATERIALIZED`: each l_k references l_{k-1} TWICE, so DuckDB's
+    * default CTE inlining would expand the chain to 2^K copies of l0
+    * (observed as a "too many open files" parquet-reopen storm at K=12) —
+    * materialization is the oracle-side analog of the Spark loop's
+    * per-iteration localCheckpoint. */
+  private def ccStagesCte: String =
+    (1 to CcIters).map { k =>
+      s"""m$k AS MATERIALIZED (
+         |  SELECT e.dst AS node, min(l.lab) AS m
+         |  FROM arcs e JOIN l${k - 1} l ON e.src = l.node
+         |  GROUP BY e.dst),
+         |l$k AS MATERIALIZED (
+         |  SELECT l.node, least(l.lab, m.m) AS lab
+         |  FROM l${k - 1} l JOIN m$k m ON l.node = m.node)""".stripMargin
+    }.mkString(",\n")
+
   def oracle: Seq[(String, String)] = Seq(
+    "q_graph_concomp" ->
+      s"""WITH $copurchaseCte,
+         |arcs AS MATERIALIZED (SELECT src, dst FROM adj WHERE n >= $StrongSupport),
+         |l0 AS MATERIALIZED (SELECT DISTINCT src AS node, src AS lab FROM arcs),
+         |$ccStagesCte,
+         |c AS (SELECT lab, CAST(count(*) AS BIGINT) AS csize
+         |      FROM l$CcIters GROUP BY lab)
+         |SELECT csize, CAST(count(*) AS BIGINT) AS n_comps
+         |FROM c GROUP BY csize ORDER BY csize""".stripMargin,
+
+    "q_graph_triangles" ->
+      s"""WITH $copurchaseCte,
+         |r AS (
+         |  SELECT src, dst FROM (
+         |    SELECT src, dst,
+         |           row_number() OVER (PARTITION BY src
+         |                              ORDER BY n DESC, dst) AS rk
+         |    FROM adj)
+         |  WHERE rk <= $KnnK),
+         |e AS (
+         |  SELECT a.src AS u, a.dst AS v
+         |  FROM r a JOIN r b ON a.src = b.dst AND a.dst = b.src
+         |  WHERE a.src < a.dst),
+         |t AS (
+         |  SELECT e1.u AS x, e1.v AS y, e2.v AS z
+         |  FROM e e1
+         |  JOIN e e2 ON e1.u = e2.u AND e1.v < e2.v
+         |  JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v),
+         |roles AS (
+         |  SELECT x AS p FROM t
+         |  UNION ALL SELECT y FROM t
+         |  UNION ALL SELECT z FROM t)
+         |SELECT p AS partkey, CAST(count(*) AS BIGINT) AS n_tri
+         |FROM roles GROUP BY p ORDER BY n_tri DESC, partkey LIMIT 50""".stripMargin,
+
     "q_graph_pagerank" ->
       s"""WITH $graphCte,
          |r0 AS (SELECT src AS node_id, CAST($PrScale AS BIGINT) AS r FROM deg),

@@ -70,6 +70,30 @@ object MixOps extends QueryModule {
   private def diffBucketSql =
     s"(($diffA * (doc_id % ${ReplayableHash.P}) + $diffB) % ${ReplayableHash.P}) % 100"
 
+  /** Weighted-sample hash constants (salt 9 — its own affine family, so the
+    * weighted draw is independent of the uniform sample/split/diff
+    * assignments). Sequential Poisson sampling (Ohlsson 1998): rank units
+    * by `u / w` where u is a fixed-scale uniform surrogate — here the
+    * replayable hash — and keep the k smallest, giving inclusion
+    * probability ≈ proportional to the weight. The priority stays integer:
+    * `(h · 2^20) div w` with h < P ≈ 2^30 keeps the product < 2^50 (§7.4
+    * BIGINT bound), and integer floor-div replays exactly in DuckDB. */
+  private val (wsampleA, wsampleB) = ReplayableHash.params(1, salt = 9).head
+  private val WsampleScale = 1L << 20
+
+  private def wsampleHashSql =
+    s"($wsampleA * (doc_id % ${ReplayableHash.P}) + $wsampleB) % ${ReplayableHash.P}"
+
+  /** The q_llm_weighted_sample primitive, exposed for [[graft.Pipelines]]:
+    * bottom-k by integer sequential-Poisson priority over `weightCol`. */
+  private[graft] def weightedSample(docs: DataFrame, k: Int,
+      weightCol: String = "n_chars"): DataFrame =
+    docs
+      .withColumn("priority", expr(
+        s"(($wsampleHashSql) * $WsampleScale) div greatest($weightCol, 1L)"))
+      .orderBy("priority", "doc_id")
+      .limit(k)
+
   /** Sliding-window chunking: 64-token windows every 48 tokens (25 %
     * overlap — the RAG/pretraining chunk layout, vs pack_chunks' disjoint
     * packing). */
@@ -223,6 +247,18 @@ object MixOps extends QueryModule {
       sampleK(table(s, dir, "documents"), 100)
         .select(col("doc_id"), col("lang"), col("source"), col("h"))
         .orderBy("h", "doc_id")),
+
+    // Weight-proportional exactly-k sample (sequential Poisson / Ohlsson):
+    // priority = hash·2^20 div n_chars, keep the 100 smallest — longer
+    // docs draw proportionally more often, the draw is deterministic
+    // across engines/runs/partitionings, and the plan is the same
+    // TakeOrderedAndProject top-k as q_llm_sample_k (no global sort, no
+    // RNG state). The length-biased draw is the standard token-budget
+    // sampler for training-mix assembly.
+    "q_llm_weighted_sample" -> ((s: SparkSession, dir: String) =>
+      weightedSample(table(s, dir, "documents"), 100)
+        .select(col("doc_id"), col("source"), col("n_chars"), col("priority"))
+        .orderBy("priority", "doc_id")),
 
     // Concat-and-chunk sequence packing (the LM-training data layout: all
     // docs concatenated in doc_id order, cut every 512 tokens): per doc its
@@ -414,6 +450,12 @@ object MixOps extends QueryModule {
          |       ($sampleA * (doc_id % ${ReplayableHash.P}) + $sampleB) % ${ReplayableHash.P} AS h
          |FROM documents
          |ORDER BY h, doc_id LIMIT 100""".stripMargin,
+
+    "q_llm_weighted_sample" ->
+      s"""SELECT doc_id, source, n_chars,
+         |       (($wsampleHashSql) * $WsampleScale) // greatest(n_chars, 1) AS priority
+         |FROM documents
+         |ORDER BY priority, doc_id LIMIT 100""".stripMargin,
 
     "q_llm_emb_quantize" -> {
       def fold(terms: String, init: String) =

@@ -426,4 +426,40 @@ class CurationSpec extends SparkTestBase {
     // fixture sanity: sub-document redundancy must exist (dup families)
     assert(expected.values.exists(_._5 > 0), "no duplicate chunks at all")
   }
+
+  test("importance_weights equals a driver-side quantized-DSIR replay") {
+    // independent replay on bigram STRINGS (no digest): equality also pins
+    // that the 60-bit shingle_key join introduced no collisions here
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    def bigrams(t: String): Seq[String] = {
+      val toks = t.split(" ").filter(_.nonEmpty)
+      if (toks.length < 2) Seq.empty
+      else toks.sliding(2).map(w => w(0) + " " + w(1)).toSeq
+    }
+    val all = docs.flatMap { case (id, src, t) =>
+      bigrams(t).map(b => (id, src, b)) }
+    val cAll = all.groupBy(_._3).view.mapValues(_.length.toLong).toMap
+    val cTgt = all.filter(_._2 == "src0").groupBy(_._3).view
+      .mapValues(_.length.toLong).toMap
+    def ilog2(n: Long): Long = 63L - java.lang.Long.numberOfLeadingZeros(n)
+    val perDoc = all.groupBy(_._1).view.mapValues { occ =>
+      (occ.length.toLong, occ.map { case (_, _, b) =>
+        ilog2(cTgt.getOrElse(b, 0L) + 1) - ilog2(cAll(b) + 1) }.sum)
+    }.toMap
+    val expected = docs.map { case (id, src, _) =>
+      val (n, s) = perDoc.getOrElse(id, (0L, 0L))
+      (id, src, n, s)
+    }.sortBy(_._1).toSeq
+    val got = q("q_llm_importance_weights").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == expected)
+    // the signal the weights exist for: target-domain docs must score
+    // higher on average than the rest (their bigrams are what c_tgt counts)
+    val tgt = got.filter(_._2 == "src0").map(_._4.toDouble)
+    val rest = got.filterNot(_._2 == "src0").map(_._4.toDouble)
+    assert(tgt.sum / tgt.length > rest.sum / rest.length,
+      "src0 docs do not score above the rest on average")
+  }
 }

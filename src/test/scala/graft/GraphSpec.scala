@@ -63,6 +63,78 @@ class GraphSpec extends SparkTestBase {
       "integer floor lost more mass than the bound allows")
   }
 
+  /** Driver-side strong co-purchase edges: basket-capped distinct
+    * (order, part) pairs, support counts, threshold — the same constants
+    * as the engine, none of its execution. */
+  private lazy val strongEdges: Seq[(Long, Long)] = {
+    val op = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select("l_orderkey", "l_partkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).distinct.toSeq
+    val capped = op.groupBy(_._1).toSeq.flatMap { case (o, ps) =>
+      ps.map(_._2).sorted.take(GraphOps.MaxBasket).map(p => (o, p))
+    }
+    capped.groupBy(_._1).toSeq.flatMap { case (_, ps) =>
+      val parts = ps.map(_._2).sorted
+      for (i <- parts.indices; j <- (i + 1) until parts.length)
+        yield (parts(i), parts(j))
+    }.groupBy(identity).iterator.collect {
+      // NB: .collect on the Map itself would rebuild a Map from the tuple
+      // results and silently collapse pairs sharing a first element
+      case (e, occ) if occ.size >= GraphOps.StrongSupport => e
+    }.toSeq
+  }
+
+  test("concomp equals a union-find ground truth (propagation truly converged)") {
+    // union-find is fully converged by construction, so equality also pins
+    // that CcIters=12 rounds reach the fixpoint on this fixture
+    val par = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = par.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); par(x) = r; r }
+    }
+    strongEdges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b)); if (ra != rb) par(ra) = rb
+    }
+    val hist = par.keys.toSeq.map(find).groupBy(identity)
+      .map(_._2.size).groupBy(identity)
+      .map { case (sz, cs) => (sz.toLong, cs.size.toLong) }
+    val got = q("q_graph_concomp").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq.sortBy(_._1) == hist.toSeq.sortBy(_._1),
+      "component size histogram differs from union-find ground truth")
+  }
+
+  test("triangles equal a brute-force mutual-KNN replay, including order") {
+    val op = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select("l_orderkey", "l_partkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).distinct.toSeq
+    val capped = op.groupBy(_._1).toSeq.flatMap { case (o, ps) =>
+      ps.map(_._2).sorted.take(GraphOps.MaxBasket).map(p => (o, p))
+    }
+    val support = capped.groupBy(_._1).toSeq.flatMap { case (_, ps) =>
+      val parts = ps.map(_._2).sorted
+      for (i <- parts.indices; j <- (i + 1) until parts.length)
+        yield (parts(i), parts(j))
+    }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val adj = support.toSeq.flatMap { case ((a, b), n) =>
+      Seq((a, b, n), (b, a, n)) }
+    val kept = adj.groupBy(_._1).toSeq.flatMap { case (s, ns) =>
+      ns.sortBy(t => (-t._3, t._2)).take(GraphOps.KnnK).map(t => (s, t._2))
+    }.toSet
+    val mutual = kept.filter { case (u, v) => u < v && kept((v, u)) }
+    val nbrs = mutual.toSeq.groupBy(_._1).view
+      .mapValues(_.map(_._2).toSet).toMap
+    val triCnt = scala.collection.mutable.Map[Long, Long]().withDefaultValue(0L)
+    for ((u, vs) <- nbrs; v <- vs; w <- vs if v < w
+         if nbrs.getOrElse(v, Set.empty[Long])(w)) {
+      triCnt(u) += 1; triCnt(v) += 1; triCnt(w) += 1
+    }
+    val expected = triCnt.toSeq.sortBy { case (p, n) => (-n, p) }.take(50)
+    val got = q("q_graph_triangles").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == expected, "top-50 triangle counts or order differ")
+  }
+
   test("degree profile counts every node once and every arc twice") {
     val rows = q("q_graph_degree").collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))

@@ -301,6 +301,27 @@ class MixDiagSpec extends SparkTestBase {
     }
   }
 
+  test("weighted_sample equals a driver-side sequential-Poisson replay and is length-biased") {
+    val P = graft.functions.ReplayableHash.P
+    val (a, b) = graft.functions.ReplayableHash.params(1, salt = 9).head
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "source", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val expected = docs.map { case (id, src, nc) =>
+      val h = (a * (id % P) + b) % P
+      (id, src, nc, (h << 20) / math.max(nc, 1L))
+    }.sortBy(t => (t._4, t._1)).take(100).toSeq
+    val got = q("q_llm_weighted_sample").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == expected, "sample membership, priorities, or order differ")
+    // the length bias the sampler exists for: the weighted draw's mean doc
+    // length must exceed the corpus mean (weights ∝ n_chars)
+    val corpusMean = docs.map(_._3).sum.toDouble / docs.length
+    val sampleMean = got.map(_._3).sum.toDouble / got.length
+    assert(sampleMean > corpusMean,
+      s"weighted sample mean $sampleMean not above corpus mean $corpusMean")
+  }
+
   test("dup_rate_by_source totals reconcile with the corpus and cluster index") {
     val rows = q("q_llm_dup_rate_by_source").collect()
     val totalDocs = rows.map(_.getLong(1)).sum
