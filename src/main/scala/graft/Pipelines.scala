@@ -262,15 +262,15 @@ object Pipelines {
   }
 
   /** Connected components (r9) over an arbitrary undirected arc frame
-    * (`src`, `dst`; supply both directions): `iters` rounds of min-label
-    * propagation, each round's label relation localCheckpointed. Returns
-    * (node, lab) — lab converges to the component's min node id once
-    * `iters` reaches the labeling diameter (GraphSpec pins convergence on
-    * the fixtures at the default). NOTE: runs Spark jobs at call time. */
+    * (`src`, `dst`; supply both directions): relax+jump min-label doubling
+    * to the fixpoint — O(log diameter) checkpointed rounds; throws rather
+    * than return unconverged labels past `maxRounds` (diameter > 2^rounds).
+    * Returns (node, lab) with lab = the component's min node id. NOTE:
+    * runs Spark jobs at call time. */
   def connectedComponents(edges: DataFrame,
-      iters: Int = GraphOps.CcIters): DataFrame =
+      maxRounds: Int = GraphOps.CcMaxRounds): DataFrame =
     GraphOps.minLabelRounds(
-      edges.select(col("src"), col("dst")).localCheckpoint(true), iters)
+      edges.select(col("src"), col("dst")).localCheckpoint(true), maxRounds)
 
   /** Weight-proportional exactly-k deterministic sample (r9, sequential
     * Poisson): keep the k docs with smallest salt-9-hash·2²⁰ div weight.

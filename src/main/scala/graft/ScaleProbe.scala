@@ -141,7 +141,7 @@ object ScaleProbe {
       // the basket/KNN caps are what hold wedge work at n·K². Plus the
       // weighted sampler (pure top-k scan) and quantized-DSIR weights
       // (bigram digest shuffle + vocab-bounded count rejoin)
-      "q_graph_concomp", "q_graph_triangles",
+      "q_graph_concomp", "q_graph_triangles", "q_graph_simnodes",
       "q_llm_weighted_sample", "q_llm_importance_weights")
     // warmup
     SparkEntry.queries("q_agg_basic")(spark, outDir).count()

@@ -29,6 +29,8 @@ object VerifyOne {
         .mode("overwrite").parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify-one] $name failed: ${e.getMessage}")
+        if (sys.env.get("SPARK_GRAFT_DEBUG").contains("1"))
+          e.printStackTrace()
       }
     }
     def q(s: String): String = "\"" + s.flatMap {

@@ -23,15 +23,22 @@ object GraphOps extends QueryModule {
   private[graft] val PrIters = 3
   private[graft] val PrScale = 1000000L
 
-  /** Min-label propagation rounds for [[q_graph_concomp]]. Both engines run
-    * the SAME fixed count, so the hash gate holds regardless of
-    * convergence; convergence itself (true components) is pinned in
-    * GraphSpec against a driver-side union-find ground truth — measured
-    * convergence depth is 4 (sf0.001) / 11 (sf0.01) / 8 (sf0.1), so 12
-    * carries margin on every fixture. A production run loops to fixpoint
-    * (the q_llm_dup_clusters discipline); the fixed unroll exists so the
-    * DuckDB twin can replay the loop as CTE stages. */
-  private[graft] val CcIters = 12
+  /** Plain min-label rounds unrolled in the q_graph_concomp ORACLE. The
+    * engine computes the same FIXPOINT by relax+pointer-jump doubling
+    * ([[minLabelRounds]] — O(log diameter) rounds) and refuses to return
+    * unconverged labels, so engine ≡ oracle exactly when the plain unroll
+    * also reaches the fixpoint: measured plain-propagation depth is 4
+    * (sf0.001) / 11 (sf0.01) / 8 (sf0.1), so 16 carries margin on every
+    * fixture (a fixture needing more would fail the hash gate loudly, not
+    * silently). */
+  private[graft] val CcIters = 16
+
+  /** Round cap for the engine-side fixpoint loop (rounds = propagation
+    * depth ≤ component diameter; fixtures measure ≤ 11). Non-convergence
+    * throws (the dupClusters refusal discipline) rather than returning
+    * non-component labels — Pipelines.connectedComponents takes the cap as
+    * a parameter for deeper graphs. */
+  private[graft] val CcMaxRounds = 50
 
   /** Strong co-purchase edge support: parts must share ≥ this many orders.
     * Thresholding is what makes components meaningful — the support-1
@@ -91,6 +98,7 @@ object GraphOps extends QueryModule {
     graphCache.clear()
     rankCache.clear()
     copurchaseCache.clear()
+    mutualKnnCache.clear()
   }
 
   /** Undirected purchase edges as two directed arcs, node ids unified as
@@ -135,10 +143,14 @@ object GraphOps extends QueryModule {
       // o_orderkey is high-cardinality, so the per-order rank window never
       // funnels into few tasks (the low-cardinality window trap does not
       // apply); the cap bounds the quadratic pair fan-out per order.
+      // materialized once: BOTH sides of the pair self-join read it, and
+      // without the checkpoint the distinct+window pipeline runs twice
+      // (the rename on side b defeats exchange reuse)
       val capped = e0
         .withColumn("rk",
           row_number().over(Window.partitionBy("o").orderBy("p")))
         .where(col("rk") <= MaxBasket).drop("rk")
+        .localCheckpoint(true)
       val b = capped.select(col("o").as("o2"), col("p").as("p2"))
       val pairs = capped.join(b, col("o") === col("o2") && col("p") < col("p2"))
         .groupBy(col("p").as("p1"), col("p2"))
@@ -149,24 +161,96 @@ object GraphOps extends QueryModule {
     })
   }
 
-  /** [[CcIters]] rounds of min-label propagation over arbitrary undirected
-    * arcs — returns `(node, lab)`. Per round: one message join (arc-sized,
-    * one fixed-width long per arc), one map-side-combinable min on dst, one
-    * node-sized rejoin; each round's label relation is localCheckpointed
-    * (cuts the self-referential lineage and keeps the plan shallow — the
-    * pagerankRanks discipline). Every node has an in-arc (undirected
-    * construction), so the rejoin is inner. */
-  private[graft] def minLabelRounds(arcs: DataFrame, iters: Int): DataFrame = {
-    var lab = arcs.select(col("src").as("node")).distinct()
-      .withColumn("lab", col("node"))
-      .localCheckpoint(true)
-    for (_ <- 1 to iters) {
+  /** Mutual-KNN edge set `(u, v)` with u < v over the co-purchase
+    * adjacency: each part keeps its top-[[KnnK]] neighbors by
+    * (support DESC, id ASC); an edge survives only if BOTH endpoints keep
+    * it. localCheckpointed + memoized per fixture digest — triangles AND
+    * node-similarity both read it (≤ n·K/2 rows at any corpus size). */
+  private val mutualKnnCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  private[graft] def mutualKnnEdges(s: SparkSession, dir: String): DataFrame = {
+    val key = System.identityHashCode(s.sparkContext).toString + "|" +
+      SourceSinkOps.fixtureKey(dir, "lineitem.parquet")
+    mutualKnnCache.computeIfAbsent(key, { _ =>
+      import org.apache.spark.sql.expressions.Window
+      val r = copurchaseAdj(s, dir)
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("src").orderBy(desc("n"), asc("dst"))))
+        .where(col("rk") <= KnnK).select("src", "dst")
+      r.as("a").join(r.as("b"),
+          col("a.src") === col("b.dst") && col("a.dst") === col("b.src"))
+        .where(col("a.src") < col("a.dst"))
+        .select(col("a.src").as("u"), col("a.dst").as("v"))
+        .localCheckpoint(true)
+    })
+  }
+
+  /** Min-label FIXPOINT over arbitrary undirected arcs — returns
+    * `(node, lab)` with lab = the component's min node id. Per round:
+    * lab(v) ← min(lab(v), min over in-neighbors' labels) — one arc-sized
+    * message join (one fixed-width long per arc), one map-side-combinable
+    * min, one node-sized rejoin, all on key-uniform shuffle keys.
+    *
+    * Each round is ONE Spark job: the round's labels are persisted as a
+    * row RDD and the fixpoint checksum (exact BigInt label sum — labels
+    * are monotone non-increasing, the dupClusters test) is computed in the
+    * same materializing action, then the RDD is rewrapped as a clean leaf.
+    * Early exit at the fixpoint: converged labels are invariant under
+    * further rounds, so the result equals the oracle's [[CcIters]]-round
+    * plain unroll whenever that unroll also converges. Non-convergence
+    * within `maxRounds` throws (the dupClusters refusal discipline). */
+  private[graft] def minLabelRounds(arcs: DataFrame,
+      maxRounds: Int = CcMaxRounds): DataFrame = {
+    val spark = arcs.sparkSession
+    // one JOB per round: materialize the round's labels by PERSISTING the
+    // row RDD and computing the convergence checksum in the same action
+    // (sum of labels, exact BigInt — the dupClusters fixpoint test), then
+    // rewrap the persisted RDD as a clean DataFrame leaf. localCheckpoint +
+    // a separate agg would pay the local job-latency floor twice per round
+    // (measured ~0.25 s/job × rounds — the dominant cost of this query).
+    var prevRdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = null
+    def materialize(df: DataFrame): (DataFrame, BigInt) = {
+      val rdd = df.rdd
+      rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val s = rdd.mapPartitions { it =>
+        var acc = BigInt(0); it.foreach(r => acc += r.getLong(1)); Iterator(acc)
+      }.fold(BigInt(0))(_ + _)
+      if (prevRdd != null) prevRdd.unpersist(blocking = false)
+      prevRdd = rdd
+      (spark.createDataFrame(rdd, df.schema), s)
+    }
+    var (lab, checksum) = materialize(
+      arcs.select(col("src").as("node")).distinct()
+        .withColumn("lab", col("node")))
+    var converged = lab.isEmpty // empty graph: nothing to propagate
+    var it = 0
+    while (!converged && it < maxRounds) {
+      // PLAIN relax via message-agg + least-rejoin. Two shapes were tried
+      // and rejected here: the union+min relax trips
+      // UnionBase.rewriteConstraints on Spark 4.1 ("key not found:
+      // node#n"), and pointer-jumping (lab ∘ lab) is a HOT-KEY JOIN near
+      // convergence — every node's label approaches the component min, so
+      // the composition self-join funnels a giant component through one
+      // task (measured 1.7× SLOWER than plain rounds at ×10). Plain
+      // rounds keep every shuffle key-uniform.
       val msg = arcs.join(lab, arcs("src") === lab("node"))
         .groupBy(arcs("dst").as("mnode")).agg(min(col("lab")).as("m"))
-      lab = lab.join(msg, lab("node") === msg("mnode"))
-        .select(col("node"), least(col("lab"), col("m")).as("lab"))
-        .localCheckpoint(true)
+      val (next, nextSum) = materialize(
+        lab.join(msg, lab("node") === msg("mnode"))
+          .select(col("node"), least(col("lab"), col("m")).as("lab")))
+      lab = next
+      converged = nextSum == checksum
+      checksum = nextSum
+      it += 1
     }
+    if (sys.env.get("SPARK_GRAFT_DEBUG").contains("1"))
+      System.err.println(s"[concomp] relax rounds: $it (converged=$converged)")
+    if (!converged)
+      throw new IllegalStateException(
+        s"min-label propagation did not converge in $maxRounds rounds " +
+          "(component diameter exceeds the cap); refusing to return " +
+          "non-component labels")
     lab
   }
 
@@ -228,15 +312,15 @@ object GraphOps extends QueryModule {
 
     // Connected components of the STRONG co-purchase graph (parts sharing
     // ≥ StrongSupport orders — the support-1 graph is one giant hairball;
-    // thresholding is what yields product families). CcIters fixed rounds
-    // of min-label propagation (both engines run the same count; true
-    // convergence is spec-pinned against a union-find ground truth).
-    // Output: the component size histogram — the report an operator reads
-    // to size downstream per-component work.
+    // thresholding is what yields product families). Engine: relax+jump
+    // doubling to the fixpoint; oracle: CcIters plain rounds unrolled —
+    // identical outputs whenever the unroll converges (spec-pinned against
+    // a union-find ground truth). Output: the component size histogram —
+    // the report an operator reads to size downstream per-component work.
     "q_graph_concomp" -> ((s: SparkSession, dir: String) => {
       val arcs = copurchaseAdj(s, dir)
         .where(col("n") >= StrongSupport).select("src", "dst")
-      val lab = minLabelRounds(arcs, CcIters)
+      val lab = minLabelRounds(arcs)
       lab.groupBy("lab").agg(count(lit(1)).as("csize"))
         .groupBy("csize").agg(asLong(count(lit(1))).as("n_comps"))
         .select(asLong(col("csize")).as("csize"), col("n_comps"))
@@ -250,18 +334,9 @@ object GraphOps extends QueryModule {
     // keep-first-K discipline), and the cap + tie-break replay exactly in
     // the oracle. Top-50 parts by triangle participation.
     "q_graph_triangles" -> ((s: SparkSession, dir: String) => {
-      import org.apache.spark.sql.expressions.Window
-      val r = copurchaseAdj(s, dir)
-        .withColumn("rk", row_number().over(
-          Window.partitionBy("src").orderBy(desc("n"), asc("dst"))))
-        .where(col("rk") <= KnnK).select("src", "dst")
-      // mutual-KNN: (src,dst) kept by both endpoints, oriented src < dst.
-      // Eagerly checkpointed: ≤ n·K/2 rows, reused by all three join roles.
-      val e = r.as("a").join(r.as("b"),
-          col("a.src") === col("b.dst") && col("a.dst") === col("b.src"))
-        .where(col("a.src") < col("a.dst"))
-        .select(col("a.src").as("u"), col("a.dst").as("v"))
-        .localCheckpoint(true)
+      // mutual-KNN edges (shared memoized index), oriented u < v,
+      // reused by all three join roles
+      val e = mutualKnnEdges(s, dir)
       val tri = e.as("e1").join(e.as("e2"),
           col("e1.u") === col("e2.u") && col("e1.v") < col("e2.v"))
         .select(col("e1.u").as("x"), col("e1.v").as("y"), col("e2.v").as("z"))
@@ -273,6 +348,35 @@ object GraphOps extends QueryModule {
         .groupBy("p").agg(asLong(count(lit(1))).as("n_tri"))
         .select(col("p").as("partkey"), col("n_tri"))
         .orderBy(desc("n_tri"), asc("partkey")).limit(50)
+    }),
+
+    // Node similarity ("customers also bought"): neighbor-set Jaccard over
+    // the mutual-KNN graph. Candidate pairs are the two-hop wedges — parts
+    // sharing ≥1 neighbor — so pair work is n·K²-bounded like triangles,
+    // never all-pairs; similar parts need NOT be co-purchased themselves
+    // (that is the point of the two-hop signal). Jaccard = common /
+    // (deg_a + deg_b − common): exact BIGINTs + ONE IEEE division (§7.4).
+    "q_graph_simnodes" -> ((s: SparkSession, dir: String) => {
+      val e = mutualKnnEdges(s, dir)
+      // adjacency keyed by the wedge middle m, materialized once: the
+      // wedge self-join reads it twice and the degree agg a third time
+      val adj = e.select(col("u").as("m"), col("v").as("x"))
+        .union(e.select(col("v").as("m"), col("u").as("x")))
+        .localCheckpoint(true)
+      val common = adj.as("p").join(adj.as("q"),
+          col("p.m") === col("q.m") && col("p.x") < col("q.x"))
+        .groupBy(col("p.x").as("a"), col("q.x").as("b"))
+        .agg(asLong(count(lit(1))).as("n_common"))
+      val deg = adj.groupBy(col("m")).agg(asLong(count(lit(1))).as("d"))
+      common
+        .join(deg.select(col("m").as("a2"), col("d").as("deg_a")),
+          col("a") === col("a2"))
+        .join(deg.select(col("m").as("b2"), col("d").as("deg_b")),
+          col("b") === col("b2"))
+        .select(col("a"), col("b"), col("n_common"), col("deg_a"), col("deg_b"),
+          (col("n_common").cast("double") /
+            (col("deg_a") + col("deg_b") - col("n_common"))).as("jaccard"))
+        .orderBy(desc("jaccard"), asc("a"), asc("b")).limit(100)
     })
   )
 
@@ -318,8 +422,29 @@ object GraphOps extends QueryModule {
        |  UNION ALL
        |  SELECT p2 AS src, p1 AS dst, n FROM pr)""".stripMargin
 
-  /** Unrolled min-label stages l1 … l[[CcIters]] over `arcs` — generated
-    * from the same iteration count as the Spark loop. Every stage is
+  /** Shared mutual-KNN CTEs (r, e) over `adj` — generated from the same
+    * KnnK constant as [[mutualKnnEdges]]. `e` is `AS MATERIALIZED`: the
+    * triangle oracle references it three times and the node-similarity
+    * oracle's adjacency twice, and DuckDB's default inlining would re-run
+    * the windowed cap + mutual join per reference. */
+  private def mutualKnnCte: String =
+    s"""r AS (
+       |  SELECT src, dst FROM (
+       |    SELECT src, dst,
+       |           row_number() OVER (PARTITION BY src
+       |                              ORDER BY n DESC, dst) AS rk
+       |    FROM adj)
+       |  WHERE rk <= $KnnK),
+       |e AS MATERIALIZED (
+       |  SELECT a.src AS u, a.dst AS v
+       |  FROM r a JOIN r b ON a.src = b.dst AND a.dst = b.src
+       |  WHERE a.src < a.dst)""".stripMargin
+
+  /** Unrolled PLAIN min-label stages l1 … l[[CcIters]] over `arcs`. The
+    * engine reaches the same fixpoint by relax+jump doubling (and refuses
+    * non-convergence), so the twin needs only enough plain rounds for the
+    * unroll itself to converge — CcIters=16 vs measured fixture depth ≤ 11
+    * ([[minLabelRounds]]). Every stage is
     * `AS MATERIALIZED`: each l_k references l_{k-1} TWICE, so DuckDB's
     * default CTE inlining would expand the chain to 2^K copies of l0
     * (observed as a "too many open files" parquet-reopen storm at K=12) —
@@ -349,17 +474,7 @@ object GraphOps extends QueryModule {
 
     "q_graph_triangles" ->
       s"""WITH $copurchaseCte,
-         |r AS (
-         |  SELECT src, dst FROM (
-         |    SELECT src, dst,
-         |           row_number() OVER (PARTITION BY src
-         |                              ORDER BY n DESC, dst) AS rk
-         |    FROM adj)
-         |  WHERE rk <= $KnnK),
-         |e AS (
-         |  SELECT a.src AS u, a.dst AS v
-         |  FROM r a JOIN r b ON a.src = b.dst AND a.dst = b.src
-         |  WHERE a.src < a.dst),
+         |$mutualKnnCte,
          |t AS (
          |  SELECT e1.u AS x, e1.v AS y, e2.v AS z
          |  FROM e e1
@@ -371,6 +486,24 @@ object GraphOps extends QueryModule {
          |  UNION ALL SELECT z FROM t)
          |SELECT p AS partkey, CAST(count(*) AS BIGINT) AS n_tri
          |FROM roles GROUP BY p ORDER BY n_tri DESC, partkey LIMIT 50""".stripMargin,
+
+    "q_graph_simnodes" ->
+      s"""WITH $copurchaseCte,
+         |$mutualKnnCte,
+         |na AS MATERIALIZED (
+         |  SELECT u AS m, v AS x FROM e
+         |  UNION ALL
+         |  SELECT v AS m, u AS x FROM e),
+         |c AS (
+         |  SELECT p.x AS a, q.x AS b, CAST(count(*) AS BIGINT) AS n_common
+         |  FROM na p JOIN na q ON p.m = q.m AND p.x < q.x
+         |  GROUP BY 1, 2),
+         |dg AS (SELECT m, CAST(count(*) AS BIGINT) AS d FROM na GROUP BY m)
+         |SELECT c.a, c.b, c.n_common,
+         |       da.d AS deg_a, db.d AS deg_b,
+         |       CAST(c.n_common AS DOUBLE) / (da.d + db.d - c.n_common) AS jaccard
+         |FROM c JOIN dg da ON c.a = da.m JOIN dg db ON c.b = db.m
+         |ORDER BY jaccard DESC, a, b LIMIT 100""".stripMargin,
 
     "q_graph_pagerank" ->
       s"""WITH $graphCte,

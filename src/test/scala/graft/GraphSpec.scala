@@ -104,7 +104,9 @@ class GraphSpec extends SparkTestBase {
       "component size histogram differs from union-find ground truth")
   }
 
-  test("triangles equal a brute-force mutual-KNN replay, including order") {
+  /** Driver-side mutual-KNN edge set (u < v) — same constants as the
+    * engine, none of its execution. */
+  private lazy val mutualEdges: Set[(Long, Long)] = {
     val op = spark.read.parquet(s"$sfDir/lineitem.parquet")
       .select("l_orderkey", "l_partkey").collect()
       .map(r => (r.getLong(0), r.getLong(1))).distinct.toSeq
@@ -121,8 +123,11 @@ class GraphSpec extends SparkTestBase {
     val kept = adj.groupBy(_._1).toSeq.flatMap { case (s, ns) =>
       ns.sortBy(t => (-t._3, t._2)).take(GraphOps.KnnK).map(t => (s, t._2))
     }.toSet
-    val mutual = kept.filter { case (u, v) => u < v && kept((v, u)) }
-    val nbrs = mutual.toSeq.groupBy(_._1).view
+    kept.filter { case (u, v) => u < v && kept((v, u)) }
+  }
+
+  test("triangles equal a brute-force mutual-KNN replay, including order") {
+    val nbrs = mutualEdges.toSeq.groupBy(_._1).view
       .mapValues(_.map(_._2).toSet).toMap
     val triCnt = scala.collection.mutable.Map[Long, Long]().withDefaultValue(0L)
     for ((u, vs) <- nbrs; v <- vs; w <- vs if v < w
@@ -133,6 +138,30 @@ class GraphSpec extends SparkTestBase {
     val got = q("q_graph_triangles").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSeq
     assert(got == expected, "top-50 triangle counts or order differ")
+  }
+
+  test("simnodes equal a brute-force neighbor-Jaccard replay, including order") {
+    // undirected neighbor sets from the mutual edges
+    val nbr = scala.collection.mutable.Map[Long, Set[Long]]()
+      .withDefaultValue(Set.empty)
+    mutualEdges.foreach { case (u, v) =>
+      nbr(u) = nbr(u) + v; nbr(v) = nbr(v) + u
+    }
+    // candidate pairs = share at least one neighbor (two-hop wedges)
+    val pairs = nbr.toSeq.flatMap { case (_, vs) =>
+      val s = vs.toSeq.sorted
+      for (i <- s.indices; j <- (i + 1) until s.length) yield (s(i), s(j))
+    }.distinct
+    val expected = pairs.map { case (a, b) =>
+      val common = (nbr(a) & nbr(b)).size.toLong
+      val (da, db) = (nbr(a).size.toLong, nbr(b).size.toLong)
+      (a, b, common, da, db, common.toDouble / (da + db - common))
+    }.filter(_._3 > 0)
+      .sortBy { case (a, b, _, _, _, j) => (-j, a, b) }.take(100)
+    val got = q("q_graph_simnodes").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5))).toSeq
+    assert(got == expected, "top-100 similarity pairs or order differ")
   }
 
   test("degree profile counts every node once and every arc twice") {
