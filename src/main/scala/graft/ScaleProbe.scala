@@ -142,7 +142,10 @@ object ScaleProbe {
       // weighted sampler (pure top-k scan) and quantized-DSIR weights
       // (bigram digest shuffle + vocab-bounded count rejoin)
       "q_graph_concomp", "q_graph_triangles", "q_graph_simnodes",
-      "q_llm_weighted_sample", "q_llm_importance_weights")
+      "q_llm_weighted_sample", "q_llm_importance_weights",
+      // r9 late: integer-entropy scoring (digest-keyed tf agg) and the
+      // CCNet tertile buckets (valueAtRanks cuts over the bigram scorer)
+      "q_text_entropy", "q_llm_quality_buckets")
     // warmup
     SparkEntry.queries("q_agg_basic")(spark, outDir).count()
     val results = probes.map { name =>
@@ -294,7 +297,12 @@ object ScaleProbe {
       // importance weights under it (one dominant bigram multiset: the
       // count agg combines map-side, the rejoin stays 1-build-row-per-key
       // however hot the key — the count-over-hot-key discipline)
-      "q_llm_weighted_sample", "q_llm_importance_weights")
+      "q_llm_weighted_sample", "q_llm_importance_weights",
+      // r9 late: entropy under mass duplication (hot token digests stay
+      // map-side-combinable counts) and the tertile buckets (one dominant
+      // ppm value stresses the cut ties — all clones land in one bucket,
+      // the valueAtRanks histogram stays value-domain-bounded)
+      "q_text_entropy", "q_llm_quality_buckets")
     for ((dir, label) <- Seq((srcDir, "uniform"), (degDir, "degen"))) {
       family.foreach { name =>
         val t0 = System.nanoTime()

@@ -422,6 +422,7 @@ object CurationOps extends QueryModule {
     clusterCache.clear()
     shingleCache.clear()
     bpeCache.clear()
+    qbScoreCache.clear()
   }
 
   /** Split-leakage audit over a kept-shingle frame — the
@@ -514,6 +515,63 @@ object CurationOps extends QueryModule {
       .select(col("doc_id"), col("source"),
         coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
         coalesce(col("iw_score"), lit(0L)).as("iw_score"))
+  }
+
+  /** CCNet-style head/middle/tail curation buckets — the
+    * q_llm_quality_buckets primitive. Per language, docs are cut at the
+    * exact per-lang tertile values of an LM-novelty score (the CCNet
+    * recipe buckets on LM perplexity; the replayable proxy here is the
+    * singleton-bigram rate in ppm — pure integer: n_singleton·10⁶ div
+    * n_bigrams over [[docLmScore]]'s exact counts). The tertile cut
+    * values come from [[DiagOps.valueAtRanks]] — the engine's bucketed
+    * order-statistic selection — because `lang` is a LOW-CARDINALITY
+    * group key: a per-lang rank window would funnel each language through
+    * one task (the CLAUDE.md percentile trap), while the bucketed
+    * selection stays distributed at any corpus size. Docs with < 2 tokens
+    * have no bigram distribution and are out of scope (same row set as
+    * q_llm_doc_lm_score). Bucketing compares VALUES against the cut
+    * (head: ppm ≤ c1, middle: ≤ c2, else tail), so ties at a cut all land
+    * in the lower bucket — deterministic in both engines. */
+  /** Per-doc (lang, n_chars, ppm) score relation, memoized per corpus
+    * digest like the other maintained indexes: the bigram scorer is the
+    * dominant per-call cost, and both the cut-histogram build and the
+    * bucket rejoin read the same one-row-per-doc relation. */
+  private val qbScoreCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  private[graft] def qualityBuckets(docs: DataFrame,
+      cacheKey: Option[String] = None): DataFrame = {
+    def build(): DataFrame = docLmScore(docs)
+      .join(docs.select(col("doc_id"), col("lang"), col("n_chars")), "doc_id")
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        expr("n_singleton * 1000000 div n_bigrams").as("ppm"))
+      .localCheckpoint(true)
+    val score = cacheKey match {
+      case Some(k) =>
+        val full = System.identityHashCode(
+          docs.sparkSession.sparkContext).toString + "|qbscore|" + k
+        qbScoreCache.computeIfAbsent(full, _ => build())
+      case None => build()
+    }
+    def mkRanks(nRel: DataFrame): DataFrame = nRel
+      .select(col("lang"), explode(array(
+        struct(lit("c1").as("which"), expr("(n + 2) div 3").as("rank")),
+        struct(lit("c2").as("which"), expr("(2 * n + 2) div 3").as("rank"))))
+        .as("t"))
+      .select(col("lang"), col("t.which").as("which"), col("t.rank").as("rank"))
+    val (sel, _) = DiagOps.valueAtRanks(score, "lang", "ppm", mkRanks, cacheKey)
+    val cuts = sel.groupBy("lang").agg(
+      max(when(col("which") === "c1", col("value"))).as("c1"),
+      max(when(col("which") === "c2", col("value"))).as("c2"))
+    score.join(broadcast(cuts), "lang")
+      .withColumn("bucket",
+        when(col("ppm") <= col("c1"), "head")
+          .when(col("ppm") <= col("c2"), "middle").otherwise("tail"))
+      .groupBy("lang", "bucket")
+      .agg(asLong(count(lit(1))).as("n_docs"),
+        asLong(sum(col("n_chars"))).as("sum_chars"),
+        asLong(min(col("ppm"))).as("min_ppm"),
+        asLong(max(col("ppm"))).as("max_ppm"))
   }
 
   def queries: Seq[(String, Q)] = Seq(
@@ -718,6 +776,16 @@ object CurationOps extends QueryModule {
     // #distinct bigrams, shuffle bounded by token count, never pairs.
     "q_llm_doc_lm_score" -> ((s: SparkSession, dir: String) =>
       docLmScore(table(s, dir, "documents")).orderBy("doc_id")),
+
+    // CCNet-style per-lang head/middle/tail buckets on the integer LM
+    // novelty score — see [[qualityBuckets]] (valueAtRanks cuts, never a
+    // per-lang rank window). ORDER BY (lang, bucket) is total: buckets
+    // are distinct within a lang by construction.
+    "q_llm_quality_buckets" -> ((s: SparkSession, dir: String) =>
+      qualityBuckets(table(s, dir, "documents"),
+        Some("qbuckets|" +
+          SourceSinkOps.fixtureKey(dir, "documents.parquet")))
+        .orderBy("lang", "bucket")),
 
     // Quantized-DSIR data-selection importance weights vs the src0 target
     // domain — see [[importanceWeights]] for the integer-log2 replay
@@ -1032,6 +1100,43 @@ object CurationOps extends QueryModule {
         |       CAST(sum(CASE WHEN c12 = 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS novelty_rate
         |FROM b JOIN c12 USING (w1, w2)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_llm_quality_buckets" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> length(x) > 0) AS toks
+        |  FROM documents),
+        |b AS (
+        |  SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+        |  FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 1)) AS i
+        |        FROM t WHERE len(toks) >= 2)),
+        |c12 AS (SELECT w1, w2, count(*) AS c12 FROM b GROUP BY w1, w2),
+        |sc AS (
+        |  SELECT doc_id,
+        |         CAST(sum(CASE WHEN c12 = 1 THEN 1 ELSE 0 END) * 1000000
+        |              // count(*) AS BIGINT) AS ppm
+        |  FROM b JOIN c12 USING (w1, w2) GROUP BY doc_id),
+        |s AS MATERIALIZED (
+        |  SELECT d.lang, d.n_chars, sc.ppm
+        |  FROM sc JOIN documents d USING (doc_id)),
+        |rk AS (
+        |  SELECT lang, ppm,
+        |         row_number() OVER (PARTITION BY lang ORDER BY ppm) AS r,
+        |         count(*) OVER (PARTITION BY lang) AS n
+        |  FROM s),
+        |cut AS (
+        |  SELECT lang,
+        |         max(CASE WHEN r = (n + 2) // 3 THEN ppm END) AS c1,
+        |         max(CASE WHEN r = (2 * n + 2) // 3 THEN ppm END) AS c2
+        |  FROM rk GROUP BY lang)
+        |SELECT s.lang,
+        |       CASE WHEN ppm <= c1 THEN 'head'
+        |            WHEN ppm <= c2 THEN 'middle' ELSE 'tail' END AS bucket,
+        |       CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |       CAST(min(ppm) AS BIGINT) AS min_ppm,
+        |       CAST(max(ppm) AS BIGINT) AS max_ppm
+        |FROM s JOIN cut USING (lang)
+        |GROUP BY 1, 2 ORDER BY lang, bucket""".stripMargin,
 
     "q_llm_importance_weights" ->
       s"""WITH t AS (

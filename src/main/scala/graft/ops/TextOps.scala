@@ -209,6 +209,32 @@ object TextOps extends QueryModule {
           (col("n_distinct").cast("double") / col("n_tokens")).as("distinct_ratio"))
         .orderBy("doc_id")),
 
+    // Token-entropy diversity scoring — the Shannon-entropy quality signal
+    // q_text_repetition's comment rejected as libm-dependent, made
+    // replayable by the round-9 INTEGER-log2 quantization (the
+    // q_llm_importance_weights trick): ent_proxy = n·ilog2(n) −
+    // Σ tf·ilog2(tf) with ilog2(x) = length(bin(x))−1, exact BIGINT in
+    // both engines (= Σ tf·(ilog2 n − ilog2 tf), entropy in floor-log2
+    // quanta scaled by n). Tokens travel as the 60-bit shingle_key digest
+    // (rule 5b); ent_rate is ONE IEEE division.
+    "q_text_entropy" -> ((s: SparkSession, dir: String) => {
+      graft.functions.GraftFunctions.register(s)
+      val ent = (col("n_tokens") * (length(bin(col("n_tokens"))) - 1)
+        - col("s_tlog"))
+      tokens(table(s, dir, "documents"))
+        .select(col("doc_id"),
+          call_function("shingle_key", col("token")).as("key"))
+        .groupBy("doc_id", "key").agg(count(lit(1)).as("tf"))
+        .groupBy("doc_id")
+        .agg(asLong(sum(col("tf"))).as("n_tokens"),
+          asLong(count(lit(1))).as("n_distinct"),
+          asLong(sum(col("tf") * (length(bin(col("tf"))) - 1))).as("s_tlog"))
+        .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+          asLong(ent).as("ent_proxy"),
+          (ent.cast("double") / col("n_tokens")).as("ent_rate"))
+        .orderBy("doc_id")
+    }),
+
     // Text normalization + normalized-exact-dup grouping — the first pass
     // of a curation pipeline (lowercase, trim, collapse whitespace) and the
     // dup-group sizes it induces. The shuffle carries (len, sha256) — never
@@ -323,6 +349,24 @@ object TextOps extends QueryModule {
         |       CAST(sum_sq AS DOUBLE) / (n_tokens * n_tokens) AS simpson,
         |       CAST(n_distinct AS DOUBLE) / n_tokens AS distinct_ratio
         |FROM agg ORDER BY doc_id""".stripMargin,
+
+    "q_text_entropy" ->
+      s"""WITH tf AS (
+         |  SELECT doc_id, ${graft.functions.ReplayableHash.shingleKeySql("token")} AS key,
+         |         count(*) AS tf FROM (
+         |    SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+         |  WHERE length(token) > 0 GROUP BY 1, 2),
+         |a AS (
+         |  SELECT doc_id,
+         |         CAST(sum(tf) AS BIGINT) AS n_tokens,
+         |         CAST(count(*) AS BIGINT) AS n_distinct,
+         |         CAST(sum(tf * (length(bin(tf)) - 1)) AS BIGINT) AS s_tlog
+         |  FROM tf GROUP BY doc_id)
+         |SELECT doc_id, n_tokens, n_distinct,
+         |       n_tokens * (length(bin(n_tokens)) - 1) - s_tlog AS ent_proxy,
+         |       CAST(n_tokens * (length(bin(n_tokens)) - 1) - s_tlog AS DOUBLE)
+         |         / n_tokens AS ent_rate
+         |FROM a ORDER BY doc_id""".stripMargin,
 
     "q_text_langid" ->
       """WITH tok AS (

@@ -427,6 +427,52 @@ class CurationSpec extends SparkTestBase {
     assert(expected.values.exists(_._5 > 0), "no duplicate chunks at all")
   }
 
+  test("quality_buckets equal a driver-side tertile replay") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "lang", "n_chars", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getString(3)))
+    // corpus bigram counts, then per-doc singleton-rate ppm
+    val bgOf: ((Long, String, Long, String)) => Seq[String] = { case (_, _, _, t) =>
+      val toks = t.split(" ").filter(_.nonEmpty)
+      if (toks.length < 2) Seq.empty
+      else toks.sliding(2).map(w => w(0) + " " + w(1)).toSeq
+    }
+    val c12 = docs.flatMap(bgOf).groupBy(identity).view
+      .mapValues(_.length.toLong).toMap
+    val scored = docs.flatMap { d =>
+      val bgs = bgOf(d)
+      if (bgs.isEmpty) None
+      else {
+        val singles = bgs.count(b => c12(b) == 1L).toLong
+        Some((d._2, d._3, singles * 1000000L / bgs.length))
+      }
+    }
+    val expected = scored.groupBy(_._1).toSeq.flatMap { case (lang, rows) =>
+      val ppms = rows.map(_._3).sorted
+      val n = ppms.length
+      val c1 = ppms((n + 2) / 3 - 1)
+      val c2 = ppms((2 * n + 2) / 3 - 1)
+      rows.groupBy { case (_, _, p) =>
+        if (p <= c1) "head" else if (p <= c2) "middle" else "tail"
+      }.map { case (bucket, bs) =>
+        (lang, bucket, bs.length.toLong, bs.map(_._2).sum,
+          bs.map(_._3).min, bs.map(_._3).max)
+      }
+    }.sortBy(t => (t._1, t._2))
+    val got = q("q_llm_quality_buckets").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(got == expected, "bucket rows differ from the driver tertile replay")
+    // bucket boundaries are consistent: head ⩽ middle ⩽ tail by ppm range
+    got.groupBy(_._1).foreach { case (lang, rows) =>
+      val m = rows.map(r => r._2 -> (r._5, r._6)).toMap
+      for (h <- m.get("head"); mid <- m.get("middle"))
+        assert(h._2 <= mid._1, s"$lang: head max above middle min")
+      for (mid <- m.get("middle"); t <- m.get("tail"))
+        assert(mid._2 <= t._1, s"$lang: middle max above tail min")
+    }
+  }
+
   test("importance_weights equals a driver-side quantized-DSIR replay") {
     // independent replay on bigram STRINGS (no digest): equality also pins
     // that the 60-bit shingle_key join introduced no collisions here

@@ -241,4 +241,41 @@ class TextSpec extends SparkTestBase {
     // fixture sanity: the near-dup families must actually share fingerprints
     assert(expected.values.exists(_._2 > 0), "no shared fingerprints at all")
   }
+
+  test("entropy proxy equals a driver-side integer-log2 replay") {
+    def ilog2(n: Long): Long = 63L - java.lang.Long.numberOfLeadingZeros(n)
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val expected = docs.flatMap { case (id, t) =>
+      val toks = t.split(" ").filter(_.nonEmpty)
+      if (toks.isEmpty) None
+      else {
+        val tf = toks.groupBy(identity).view.mapValues(_.length.toLong)
+        val n = toks.length.toLong
+        val ent = n * ilog2(n) - tf.values.map(c => c * ilog2(c)).sum
+        Some(id -> ((n, tf.size.toLong, ent, ent.toDouble / n)))
+      }
+    }.toMap
+    val got = q("q_text_entropy").collect()
+    assert(got.length == expected.size)
+    got.foreach { r =>
+      val id = r.getLong(0)
+      assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))
+        == expected(id), s"doc $id entropy mismatch")
+      // quantized-entropy range: 0 ≤ ent_proxy ≤ n·ilog2(n)
+      assert(r.getLong(3) >= 0 && r.getLong(3) <= r.getLong(1) * ilog2(r.getLong(1)))
+    }
+    // the signal the score exists for: a repeated-token doc must score
+    // below a same-length all-distinct doc (diversity ordering)
+    val byId = got.map(r => r.getLong(0) -> r.getDouble(4)).toMap
+    val rep = docs.collectFirst { case (id, t)
+      if t.split(" ").count(_.nonEmpty) >= 8 &&
+        t.split(" ").filter(_.nonEmpty).distinct.length * 2 <=
+          t.split(" ").count(_.nonEmpty) => id }
+    rep.foreach { id =>
+      val maxRate = byId.values.max
+      assert(byId(id) < maxRate, "a highly repetitive doc scored as most diverse")
+    }
+  }
 }
