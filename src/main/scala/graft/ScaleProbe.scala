@@ -143,9 +143,10 @@ object ScaleProbe {
       // (bigram digest shuffle + vocab-bounded count rejoin)
       "q_graph_concomp", "q_graph_triangles", "q_graph_simnodes",
       "q_llm_weighted_sample", "q_llm_importance_weights",
-      // r9 late: integer-entropy scoring (digest-keyed tf agg) and the
-      // CCNet tertile buckets (valueAtRanks cuts over the bigram scorer)
-      "q_text_entropy", "q_llm_quality_buckets")
+      // r9 late: integer-entropy scoring (digest-keyed tf agg), the
+      // CCNet tertile buckets (valueAtRanks cuts over the bigram scorer),
+      // and the per-lang tokenizer fertility audit (broadcast vocab join)
+      "q_text_entropy", "q_llm_quality_buckets", "q_llm_tok_fertility")
     // warmup
     SparkEntry.queries("q_agg_basic")(spark, outDir).count()
     val results = probes.map { name =>
@@ -299,10 +300,11 @@ object ScaleProbe {
       // however hot the key — the count-over-hot-key discipline)
       "q_llm_weighted_sample", "q_llm_importance_weights",
       // r9 late: entropy under mass duplication (hot token digests stay
-      // map-side-combinable counts) and the tertile buckets (one dominant
+      // map-side-combinable counts), the tertile buckets (one dominant
       // ppm value stresses the cut ties — all clones land in one bucket,
-      // the valueAtRanks histogram stays value-domain-bounded)
-      "q_text_entropy", "q_llm_quality_buckets")
+      // the valueAtRanks histogram stays value-domain-bounded), and the
+      // fertility audit (duplication SHRINKS the broadcast vocab)
+      "q_text_entropy", "q_llm_quality_buckets", "q_llm_tok_fertility")
     for ((dir, label) <- Seq((srcDir, "uniform"), (degDir, "degen"))) {
       family.foreach { name =>
         val t0 = System.nanoTime()

@@ -158,6 +158,23 @@ object CurationOps extends QueryModule {
   private def bpeTopCte(pairs: String, out: String): String =
     s"$out AS (SELECT p1, p2, c FROM $pairs ORDER BY c DESC, p1, p2 LIMIT 1)"
 
+  /** Final-merge symbol relation + per-token vocab metrics (s3, vocab) —
+    * shared by the encode and fertility oracles so the twins cannot
+    * drift. Keeps the exact text the encode oracle has always generated. */
+  private def bpeVocabCte: String =
+    """s3 AS (
+      |  SELECT tok, coalesce(replace(sym,
+      |           chr(1) || (SELECT p1 FROM m3) || chr(1) || chr(1) ||
+      |             (SELECT p2 FROM m3) || chr(1),
+      |           chr(1) || (SELECT p1 || p2 FROM m3) || chr(1)), sym) AS sym
+      |  FROM s2),
+      |vocab AS (
+      |  SELECT tok,
+      |         CAST(len(list_filter(string_split(sym, chr(1) || chr(1)),
+      |                              x -> length(x) > 0)) AS BIGINT) AS tok_syms,
+      |         CAST(length(tok) AS BIGINT) AS tok_chars
+      |  FROM s3)""".stripMargin
+
   private def bpeMergeStagesCte: String =
     s"""toks AS (
        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
@@ -919,6 +936,31 @@ object CurationOps extends QueryModule {
       bpeEncodeFrame(table(s, dir, "documents"), bpeMergesFor(s, dir)._2)
         .orderBy("doc_id")),
 
+    // Tokenizer-fairness audit: per-language fertility (symbols per
+    // whitespace token) and compression (chars per symbol) under the
+    // corpus-trained BPE vocab — the disparity report multilingual
+    // tokenizer work grades on (a language with higher fertility pays
+    // more sequence length for the same text). Same memoized merge loop
+    // and broadcast-vocab join as q_llm_bpe_encode; one more map-side-
+    // combinable agg, keyed by lang instead of doc.
+    "q_llm_tok_fertility" -> ((s: SparkSession, dir: String) => {
+      val vocab = bpeMergesFor(s, dir)._2.select(col("tok"),
+        size(bpeSymsCol).cast("long").as("tok_syms"),
+        length(col("tok")).cast("long").as("tok_chars"))
+      table(s, dir, "documents")
+        .select(col("lang"), explode(split(col("text"), " ")).as("tok"))
+        .where(length(col("tok")) > 0)
+        .join(broadcast(vocab), "tok")
+        .groupBy("lang")
+        .agg(asLong(count(lit(1))).as("n_tokens"),
+          asLong(sum(col("tok_syms"))).as("n_syms"),
+          asLong(sum(col("tok_chars"))).as("n_chars_tok"))
+        .select(col("lang"), col("n_tokens"), col("n_syms"), col("n_chars_tok"),
+          (col("n_syms").cast("double") / col("n_tokens")).as("fertility"),
+          (col("n_chars_tok").cast("double") / col("n_syms")).as("chars_per_sym"))
+        .orderBy("lang")
+    }),
+
     // Prefix dedup (the crawl-truncation artifact: near-copies that share
     // an identical head): documents collapse on the sha256 of their first
     // 64 NORMALIZED chars, keep-lowest doc_id per group. Shuffle
@@ -1280,18 +1322,7 @@ object CurationOps extends QueryModule {
     // token stream — integer counts + one IEEE division, hash-gates
     "q_llm_bpe_encode" ->
       s"""WITH $bpeMergeStagesCte,
-         |s3 AS (
-         |  SELECT tok, coalesce(replace(sym,
-         |           chr(1) || (SELECT p1 FROM m3) || chr(1) || chr(1) ||
-         |             (SELECT p2 FROM m3) || chr(1),
-         |           chr(1) || (SELECT p1 || p2 FROM m3) || chr(1)), sym) AS sym
-         |  FROM s2),
-         |vocab AS (
-         |  SELECT tok,
-         |         CAST(len(list_filter(string_split(sym, chr(1) || chr(1)),
-         |                              x -> length(x) > 0)) AS BIGINT) AS tok_syms,
-         |         CAST(length(tok) AS BIGINT) AS tok_chars
-         |  FROM s3)
+         |$bpeVocabCte
          |SELECT doc_id,
          |       CAST(count(*) AS BIGINT) AS n_tokens,
          |       CAST(sum(tok_chars) AS BIGINT) AS n_chars_tok,
@@ -1299,6 +1330,18 @@ object CurationOps extends QueryModule {
          |       CAST(sum(tok_chars) AS DOUBLE) / sum(tok_syms) AS chars_per_sym
          |FROM tf JOIN vocab USING (tok)
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_llm_tok_fertility" ->
+      s"""WITH $bpeMergeStagesCte,
+         |$bpeVocabCte
+         |SELECT d.lang,
+         |       CAST(count(*) AS BIGINT) AS n_tokens,
+         |       CAST(sum(tok_syms) AS BIGINT) AS n_syms,
+         |       CAST(sum(tok_chars) AS BIGINT) AS n_chars_tok,
+         |       CAST(sum(tok_syms) AS DOUBLE) / count(*) AS fertility,
+         |       CAST(sum(tok_chars) AS DOUBLE) / sum(tok_syms) AS chars_per_sym
+         |FROM tf JOIN vocab USING (tok) JOIN documents d USING (doc_id)
+         |GROUP BY d.lang ORDER BY lang""".stripMargin,
 
     "q_llm_prefix_dedup" ->
       """WITH k AS (

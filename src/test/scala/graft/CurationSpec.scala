@@ -427,6 +427,29 @@ class CurationSpec extends SparkTestBase {
     assert(expected.values.exists(_._5 > 0), "no duplicate chunks at all")
   }
 
+  test("tok_fertility reconciles with the per-doc encode and orders sanely") {
+    val perDoc = q("q_llm_bpe_encode").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val langOf = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "lang").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    // summing q_llm_bpe_encode's per-doc counts by lang must reproduce the
+    // fertility report exactly (same vocab, same token explode)
+    val expected = perDoc.groupBy(d => langOf(d._1)).map { case (lang, ds) =>
+      val (nt, nc, ns) = (ds.map(_._2).sum, ds.map(_._3).sum, ds.map(_._4).sum)
+      (lang, nt, ns, nc, ns.toDouble / nt, nc.toDouble / ns)
+    }.toSeq.sortBy(_._1)
+    val got = q("q_llm_tok_fertility").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5))).toSeq
+    assert(got == expected, "fertility report does not reconcile with encode")
+    // fertility ≥ 1 (a token is at least one symbol) and compression ≥ 1
+    got.foreach { r =>
+      assert(r._5 >= 1.0, s"${r._1}: fertility ${r._5} < 1")
+      assert(r._6 >= 1.0, s"${r._1}: chars/sym ${r._6} < 1")
+    }
+  }
+
   test("quality_buckets equal a driver-side tertile replay") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       .select("doc_id", "lang", "n_chars", "text").collect()
