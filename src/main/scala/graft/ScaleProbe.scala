@@ -146,7 +146,8 @@ object ScaleProbe {
       // r9 late: integer-entropy scoring (digest-keyed tf agg), the
       // CCNet tertile buckets (valueAtRanks cuts over the bigram scorer),
       // and the per-lang tokenizer fertility audit (broadcast vocab join)
-      "q_text_entropy", "q_llm_quality_buckets", "q_llm_tok_fertility")
+      "q_text_entropy", "q_llm_quality_buckets", "q_llm_tok_fertility",
+      "q_llm_curriculum", "q_llm_shard_pack")
     // warmup
     SparkEntry.queries("q_agg_basic")(spark, outDir).count()
     val results = probes.map { name =>
@@ -304,7 +305,8 @@ object ScaleProbe {
       // ppm value stresses the cut ties — all clones land in one bucket,
       // the valueAtRanks histogram stays value-domain-bounded), and the
       // fertility audit (duplication SHRINKS the broadcast vocab)
-      "q_text_entropy", "q_llm_quality_buckets", "q_llm_tok_fertility")
+      "q_text_entropy", "q_llm_quality_buckets", "q_llm_tok_fertility",
+      "q_llm_curriculum", "q_llm_shard_pack")
     for ((dir, label) <- Seq((srcDir, "uniform"), (degDir, "degen"))) {
       family.foreach { name =>
         val t0 = System.nanoTime()

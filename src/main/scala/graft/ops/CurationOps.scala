@@ -556,20 +556,90 @@ object CurationOps extends QueryModule {
   private val qbScoreCache =
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
 
-  private[graft] def qualityBuckets(docs: DataFrame,
-      cacheKey: Option[String] = None): DataFrame = {
+  /** The memoized (doc_id, lang, n_chars, ppm) score relation behind
+    * [[qualityBuckets]] and [[curriculumOrder]]. */
+  private[graft] def qbScoreFor(docs: DataFrame,
+      cacheKey: Option[String]): DataFrame = {
     def build(): DataFrame = docLmScore(docs)
       .join(docs.select(col("doc_id"), col("lang"), col("n_chars")), "doc_id")
       .select(col("doc_id"), col("lang"), col("n_chars"),
         expr("n_singleton * 1000000 div n_bigrams").as("ppm"))
       .localCheckpoint(true)
-    val score = cacheKey match {
+    cacheKey match {
       case Some(k) =>
         val full = System.identityHashCode(
           docs.sparkSession.sparkContext).toString + "|qbscore|" + k
         qbScoreCache.computeIfAbsent(full, _ => build())
       case None => build()
     }
+  }
+
+  /** Deterministic curriculum ordering (easy→hard: ascending LM-novelty
+    * ppm, doc_id tie-break) — the q_llm_curriculum primitive. The global
+    * `train_order` is computed WITHOUT a single-partition window: rows
+    * bucket on `(ppm, doc_id div 65536)` — a PREFIX of the total order
+    * `(ppm, doc_id)`, so per-bucket local ranks + cumulative bucket
+    * offsets compose to the exact global row number, every per-bucket
+    * sort is ≤ 65536 rows EVEN when one score value dominates (the degen
+    * corpus), and the offset relation is ≤ #docs/65536 + #distinct-ppm
+    * rows. The ops.globalRowNumber idea, with the tie-break carried into
+    * the bucket key so ties are deterministic, not arbitrary. */
+  private[graft] def curriculumOrder(docs: DataFrame,
+      cacheKey: Option[String] = None): DataFrame = {
+    val score = qbScoreFor(docs, cacheKey)
+    val withB = score.withColumn("_cb", expr("doc_id div 65536"))
+    val local = withB.withColumn("_cl", row_number().over(
+      Window.partitionBy("ppm", "_cb").orderBy("doc_id")))
+    val offsets = withB.groupBy("ppm", "_cb")
+      .agg(count(lit(1)).as("_cc"))
+      .withColumn("_co", coalesce(
+        sum("_cc").over(Window.orderBy("ppm", "_cb")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("ppm").as("_cp"), col("_cb"), col("_co"))
+    local.join(broadcast(offsets),
+        local("ppm") === col("_cp") && local("_cb") === offsets("_cb"))
+      .select(local("doc_id"), local("lang"), local("ppm"),
+        (col("_cl") + col("_co")).cast("long").as("train_order"))
+  }
+
+  /** Balanced training-shard assignment — the q_llm_shard_pack primitive:
+    * rank docs by (n_chars DESC, doc_id) with the same skew-proof
+    * two-level numbering as [[curriculumOrder]] (bucket key
+    * `(-n_chars, doc_id div 65536)` is a prefix of the total order), then
+    * deal them to `nShards` shards in a SNAKE draft (shard = pos on even
+    * rounds, N−1−pos on odd) — the classic greedy size-balancing heuristic
+    * made deterministic and replayable (pure integer arithmetic on the
+    * rank). Big docs land first, the snake alternation keeps per-shard
+    * mass within one max-doc of even; ShardPackSpec pins the balance. */
+  private[graft] def shardPack(docs: DataFrame, nShards: Int): DataFrame = {
+    val withB = docs
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .withColumn("_sk", -col("n_chars"))
+      .withColumn("_sb", expr("doc_id div 65536"))
+    val local = withB.withColumn("_sl", row_number().over(
+      Window.partitionBy("_sk", "_sb").orderBy("doc_id")))
+    val offsets = withB.groupBy("_sk", "_sb")
+      .agg(count(lit(1)).as("_sc"))
+      .withColumn("_so", coalesce(
+        sum("_sc").over(Window.orderBy("_sk", "_sb")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("_sk").as("_sk2"), col("_sb").as("_sb2"), col("_so"))
+    local.join(broadcast(offsets),
+        local("_sk") === col("_sk2") && local("_sb") === col("_sb2"))
+      .withColumn("_rank", (col("_sl") + col("_so") - 1).cast("long"))
+      .withColumn("shard", expr(
+        s"""CASE WHEN (_rank div $nShards) % 2 = 0 THEN _rank % $nShards
+           |     ELSE ${nShards - 1} - _rank % $nShards END""".stripMargin))
+      .groupBy("shard")
+      .agg(asLong(count(lit(1))).as("n_docs"),
+        asLong(sum(col("n_chars"))).as("sum_chars"),
+        asLong(max(col("n_chars"))).as("max_chars"),
+        asLong(min(col("n_chars"))).as("min_chars"))
+  }
+
+  private[graft] def qualityBuckets(docs: DataFrame,
+      cacheKey: Option[String] = None): DataFrame = {
+    val score = qbScoreFor(docs, cacheKey)
     def mkRanks(nRel: DataFrame): DataFrame = nRel
       .select(col("lang"), explode(array(
         struct(lit("c1").as("which"), expr("(n + 2) div 3").as("rank")),
@@ -803,6 +873,21 @@ object CurationOps extends QueryModule {
         Some("qbuckets|" +
           SourceSinkOps.fixtureKey(dir, "documents.parquet")))
         .orderBy("lang", "bucket")),
+
+    // Balanced shard assignment (8 shards) for training-data file layout —
+    // see [[shardPack]] (snake draft over the skew-proof size rank).
+    "q_llm_shard_pack" -> ((s: SparkSession, dir: String) =>
+      shardPack(table(s, dir, "documents"), 8).orderBy("shard")),
+
+    // Deterministic easy→hard curriculum order over the LM-novelty score —
+    // see [[curriculumOrder]] for the skew-proof two-level global
+    // numbering (the single-partition window trap, avoided with the
+    // tie-break IN the bucket key).
+    "q_llm_curriculum" -> ((s: SparkSession, dir: String) =>
+      curriculumOrder(table(s, dir, "documents"),
+        Some("qbuckets|" +
+          SourceSinkOps.fixtureKey(dir, "documents.parquet")))
+        .orderBy("train_order")),
 
     // Quantized-DSIR data-selection importance weights vs the src0 target
     // domain — see [[importanceWeights]] for the integer-log2 replay
@@ -1179,6 +1264,43 @@ object CurationOps extends QueryModule {
         |       CAST(max(ppm) AS BIGINT) AS max_ppm
         |FROM s JOIN cut USING (lang)
         |GROUP BY 1, 2 ORDER BY lang, bucket""".stripMargin,
+
+    "q_llm_shard_pack" ->
+      """WITH r AS (
+        |  SELECT doc_id, n_chars,
+        |         row_number() OVER (ORDER BY n_chars DESC, doc_id) - 1 AS rk
+        |  FROM documents),
+        |a AS (
+        |  SELECT n_chars,
+        |         CASE WHEN (rk // 8) % 2 = 0 THEN rk % 8
+        |              ELSE 7 - rk % 8 END AS shard
+        |  FROM r)
+        |SELECT shard,
+        |       CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |       CAST(max(n_chars) AS BIGINT) AS max_chars,
+        |       CAST(min(n_chars) AS BIGINT) AS min_chars
+        |FROM a GROUP BY shard ORDER BY shard""".stripMargin,
+
+    "q_llm_curriculum" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> length(x) > 0) AS toks
+        |  FROM documents),
+        |b AS (
+        |  SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+        |  FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 1)) AS i
+        |        FROM t WHERE len(toks) >= 2)),
+        |c12 AS (SELECT w1, w2, count(*) AS c12 FROM b GROUP BY w1, w2),
+        |sc AS (
+        |  SELECT doc_id,
+        |         CAST(sum(CASE WHEN c12 = 1 THEN 1 ELSE 0 END) * 1000000
+        |              // count(*) AS BIGINT) AS ppm
+        |  FROM b JOIN c12 USING (w1, w2) GROUP BY doc_id)
+        |SELECT sc.doc_id, d.lang, sc.ppm,
+        |       CAST(row_number() OVER (ORDER BY sc.ppm, sc.doc_id) AS BIGINT)
+        |         AS train_order
+        |FROM sc JOIN documents d USING (doc_id)
+        |ORDER BY train_order""".stripMargin,
 
     "q_llm_importance_weights" ->
       s"""WITH t AS (

@@ -450,6 +450,42 @@ class CurationSpec extends SparkTestBase {
     }
   }
 
+  test("curriculum is the exact (ppm, doc_id) permutation, two-level numbering included") {
+    val rows = q("q_llm_curriculum").collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+    // train_order is a permutation 1..n
+    assert(rows.map(_._3).sorted.toSeq == (1L to rows.length).toSeq)
+    // and enumerates exactly the (ppm, doc_id) total order
+    val byOrder = rows.sortBy(_._3).map(t => (t._2, t._1)).toSeq
+    assert(byOrder == byOrder.sorted,
+      "train_order does not follow the (ppm ASC, doc_id) total order")
+    // scope = docs with a bigram distribution (same row set as doc_lm_score)
+    assert(rows.length == q("q_llm_doc_lm_score").count())
+  }
+
+  test("shard_pack equals a driver snake replay and balances within one max doc") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val ranked = docs.sortBy { case (id, nc) => (-nc, id) }.zipWithIndex
+    val expected = ranked.map { case ((_, nc), rk) =>
+      val pos = rk % 8
+      val shard = if ((rk / 8) % 2 == 0) pos else 7 - pos
+      (shard.toLong, nc)
+    }.groupBy(_._1).map { case (s, xs) =>
+      (s, (xs.length.toLong, xs.map(_._2).sum, xs.map(_._2).max, xs.map(_._2).min))
+    }
+    val got = q("q_llm_shard_pack").collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))).toMap
+    assert(got == expected, "shard report differs from the snake replay")
+    // the balance the snake draft exists for: spread ≤ one largest doc
+    val sums = got.values.map(_._2)
+    val maxDoc = docs.map(_._2).max
+    assert(sums.max - sums.min <= maxDoc,
+      s"shard spread ${sums.max - sums.min} exceeds the largest doc $maxDoc")
+  }
+
   test("quality_buckets equal a driver-side tertile replay") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       .select("doc_id", "lang", "n_chars", "text").collect()
