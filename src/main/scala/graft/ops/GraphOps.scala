@@ -24,9 +24,9 @@ object GraphOps extends QueryModule {
   private[graft] val PrScale = 1000000L
 
   /** Plain min-label rounds unrolled in the q_graph_concomp ORACLE. The
-    * engine computes the same FIXPOINT by relax+pointer-jump doubling
-    * ([[minLabelRounds]] — O(log diameter) rounds) and refuses to return
-    * unconverged labels, so engine ≡ oracle exactly when the plain unroll
+    * engine computes the same FIXPOINT by early-exiting relax rounds
+    * ([[minLabelRounds]]) and refuses to return unconverged labels, so
+    * engine ≡ oracle exactly when the plain unroll
     * also reaches the fixpoint: measured plain-propagation depth is 4
     * (sf0.001) / 11 (sf0.01) / 8 (sf0.1), so 16 carries margin on every
     * fixture (a fixture needing more would fail the hash gate loudly, not
@@ -312,8 +312,8 @@ object GraphOps extends QueryModule {
 
     // Connected components of the STRONG co-purchase graph (parts sharing
     // ≥ StrongSupport orders — the support-1 graph is one giant hairball;
-    // thresholding is what yields product families). Engine: relax+jump
-    // doubling to the fixpoint; oracle: CcIters plain rounds unrolled —
+    // thresholding is what yields product families). Engine: plain relax
+    // rounds to the fixpoint; oracle: CcIters plain rounds unrolled —
     // identical outputs whenever the unroll converges (spec-pinned against
     // a union-find ground truth). Output: the component size histogram —
     // the report an operator reads to size downstream per-component work.
@@ -441,9 +441,9 @@ object GraphOps extends QueryModule {
        |  WHERE a.src < a.dst)""".stripMargin
 
   /** Unrolled PLAIN min-label stages l1 … l[[CcIters]] over `arcs`. The
-    * engine reaches the same fixpoint by relax+jump doubling (and refuses
-    * non-convergence), so the twin needs only enough plain rounds for the
-    * unroll itself to converge — CcIters=16 vs measured fixture depth ≤ 11
+    * engine runs the same relaxation to the fixpoint with early exit (and
+    * refuses non-convergence), so the twin needs only enough rounds for
+    * the unroll itself to converge — CcIters=16 vs measured depth ≤ 11
     * ([[minLabelRounds]]). Every stage is
     * `AS MATERIALIZED`: each l_k references l_{k-1} TWICE, so DuckDB's
     * default CTE inlining would expand the chain to 2^K copies of l0

@@ -86,7 +86,8 @@ class GraphSpec extends SparkTestBase {
 
   test("concomp equals a union-find ground truth (propagation truly converged)") {
     // union-find is fully converged by construction, so equality also pins
-    // that CcIters=12 rounds reach the fixpoint on this fixture
+    // that the engine's fixpoint loop (and the oracle's CcIters-round
+    // unroll) truly reach the components on this fixture
     val par = scala.collection.mutable.Map[Long, Long]()
     def find(x: Long): Long = {
       val p = par.getOrElseUpdate(x, x)
