@@ -110,6 +110,37 @@ class PropertySpec extends SparkTestBase {
     }
   }
 
+  test("Misra-Gries insert preserves mass accounting, capacity, and the decrement bound") {
+    import graft.streaming.StreamingTopK
+    val genCase = for {
+      cap <- Gen.chooseNum(1, 6)
+      nOps <- Gen.chooseNum(1, 60)
+      ops <- Gen.listOfN(nOps,
+        Gen.zip(Gen.chooseNum(0L, 9L), Gen.chooseNum(1L, 12L)))
+    } yield (cap, ops)
+    forSamples(genCase) { case (cap, ops) =>
+      var m = Map.empty[Long, Long]
+      var decrs = 0L
+      var n = 0L
+      ops.foreach { case (k, w) =>
+        val before = m.values.sum
+        val (m2, d) = StreamingTopK.mgInsert(m, cap, k, w)
+        // mass accounting: each decrement unit removes one unit from every
+        // surviving-or-vacating counter AND absorbs one unit of the
+        // arriving weight — total stored mass moves by w − d·(|table|+1)
+        assert(m2.values.sum == before + w - d * (cap + 1),
+          s"mass equation violated: $m + ($k,$w) -> $m2 d=$d")
+        assert(m2.size <= cap)
+        assert(m2.values.forall(_ > 0))
+        m = m2; decrs += d; n += w
+      }
+      // MG guarantee: total decrements ≤ n/(capacity+1), so every key with
+      // true count above that bound survives
+      assert(decrs <= n / (cap + 1),
+        s"decrement total $decrs exceeds n/(cap+1) = ${n / (cap + 1)}")
+    }
+  }
+
   test("knn cosine similarities are bounded and sorted descending") {
     val knn = SparkEntry.queries("q_llm_sim_knn")(spark, sfDir).collect()
     assert(knn.nonEmpty)
