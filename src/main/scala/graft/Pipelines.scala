@@ -291,9 +291,14 @@ object Pipelines {
     * re-planned as a sign-LSH bucket equi-join (approximate — the cosine
     * predicate survives as the exact in-cell verifier). See
     * graft.plans.LshJoinRewrite for the contract and recall caveat. */
-  def enableLshJoinRewrite(spark: SparkSession): Unit = {
+  def enableLshJoinRewrite(spark: SparkSession,
+      multiProbe: Boolean = false): Unit = {
     installLshJoinRewrite(spark)
     spark.conf.set(graft.plans.LshJoinRewrite.EnabledKey, "true")
+    // widen recall with the weakest-plane-flip probe (2× left-side bucket
+    // rows, still duplicate-free and a strict brute-force subset)
+    spark.conf.set(graft.plans.LshJoinRewrite.MultiProbeKey,
+      multiProbe.toString)
   }
 
   /** Idempotently install the rule WITHOUT enabling it (the flag stays

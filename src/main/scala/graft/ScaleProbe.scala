@@ -205,14 +205,17 @@ object ScaleProbe {
         a.join(b, call_function("cosine_sim", col("emb_a"), col("emb_b"))
           >= lit(0.4) && col("id_a") < col("id_b"))
       }
-      for (enabled <- Seq(false, true)) {
+      // (rewrite, multiProbe): naive → single-probe → multi-probe
+      for ((enabled, mp) <- Seq((false, false), (true, false), (true, true))) {
         spark.conf.set(graft.plans.LshJoinRewrite.EnabledKey, enabled.toString)
+        spark.conf.set(graft.plans.LshJoinRewrite.MultiProbeKey, mp.toString)
         val t0 = System.nanoTime()
         val n = joined.count()
-        println(f"[scale] lshjoin $label%-6s rewrite=$enabled%-5s " +
+        println(f"[scale] lshjoin $label%-6s rewrite=$enabled%-5s mp=$mp%-5s " +
           f"${(System.nanoTime() - t0) / 1e9}%8.2f s  pairs=$n")
       }
       spark.conf.set(graft.plans.LshJoinRewrite.EnabledKey, "false")
+      spark.conf.set(graft.plans.LshJoinRewrite.MultiProbeKey, "false")
     }
     run(srcDir, "sf0.1")
     run("/tmp/graft-sfbig", "x10")

@@ -48,20 +48,75 @@ import graft.functions.CosineSimilarity
 object LshJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
 
   val EnabledKey = "spark.graft.lsh.joinRewrite"
+
+  /** Second opt-in: multi-probe. The LEFT side additionally probes the
+    * neighboring cell with its weakest plane flipped (argmin |plane·x|,
+    * ties to the lowest plane index — the q_llm_emb_semdedup_mp recipe),
+    * so the surviving semantics widen from "same cell" to "right cell ∈
+    * left's {cell, cell⊕weakest}". Still a strict subset of the brute
+    * force, still duplicate-free (the right side carries ONE bucket value,
+    * which can match at most one of the left's distinct probes), at 2×
+    * left-side bucket rows — the recall/cost dial, measured in
+    * LshJoinRewriteSpec. */
+  val MultiProbeKey = "spark.graft.lsh.multiProbe"
+
   private val BucketName = "__graft_lsh_bucket"
 
   private def enabled: Boolean =
     conf.getConfString(EnabledKey, "false").toBoolean
 
-  private def bucketExpr(emb: Expression): Expression =
-    graft.ops.LlmOps.NeardupPlanes.zipWithIndex.map { case (plane, p) =>
-      If(
-        GreaterThan(
-          graft.functions.VectorDot(emb,
-            Literal.create(plane, ArrayType(DoubleType))),
-          Literal(0.0)),
-        Literal(1L << p), Literal(0L))
+  private def multiProbe: Boolean =
+    conf.getConfString(MultiProbeKey, "false").toBoolean
+
+  private def dotExprs(emb: Expression): Seq[Expression] =
+    graft.ops.LlmOps.NeardupPlanes.map { plane =>
+      graft.functions.VectorDot(emb,
+        Literal.create(plane, ArrayType(DoubleType)))
+    }
+
+  private def bucketOf(dots: Seq[Expression]): Expression =
+    dots.zipWithIndex.map { case (d, p) =>
+      If(GreaterThan(d, Literal(0.0)), Literal(1L << p), Literal(0L))
     }.reduce[Expression]((a, b) => Add(a, b))
+
+  private def bucketExpr(emb: Expression): Expression =
+    bucketOf(dotExprs(emb))
+
+  /** Single-bucket side: one projected `__graft_lsh_bucket` column. */
+  private def bucketSide(plan: LogicalPlan, emb: Expression)
+      : (LogicalPlan, Attribute) = {
+    val a = Alias(bucketExpr(emb), BucketName)()
+    (Project(plan.output :+ a, plan), a.toAttribute)
+  }
+
+  /** Multi-probe side: dots are materialized once in a lower projection,
+    * then the row fans out (Generate/Explode) to its exact cell AND the
+    * weakest-plane-flipped cell. ArrayDistinct guards the degenerate
+    * mask-0 case so the fan-out can never emit the same bucket twice
+    * (which would duplicate result pairs). The dot columns are pruned
+    * before the join so the shuffle carries only the 8-byte bucket. */
+  private def probeSide(plan: LogicalPlan, emb: Expression)
+      : (LogicalPlan, Attribute) = {
+    val dotAliases = dotExprs(emb).zipWithIndex.map { case (d, p) =>
+      Alias(d, s"__graft_lsh_d$p")()
+    }
+    val withDots = Project(plan.output ++ dotAliases, plan)
+    val dAttrs = dotAliases.map(_.toAttribute)
+    val bucket = bucketOf(dAttrs)
+    val minAbs = Least(dAttrs.map(Abs(_)))
+    val mask = CaseWhen(
+      dAttrs.zipWithIndex.map { case (d, p) =>
+        (EqualTo(Abs(d), minAbs), Literal(1L << p)): (Expression, Expression)
+      }, Some(Literal(0L)))
+    val probes = ArrayDistinct(CreateArray(Seq(
+      bucket, BitwiseXor(bucket, mask))))
+    val genOut = AttributeReference(BucketName,
+      org.apache.spark.sql.types.LongType, nullable = false)()
+    val gen = org.apache.spark.sql.catalyst.plans.logical.Generate(
+      Explode(probes), unrequiredChildIndex = Nil, outer = false,
+      qualifier = None, generatorOutput = Seq(genOut), child = withDots)
+    (Project(plan.output :+ genOut, gen), genOut)
+  }
 
   private def alreadyBucketed(p: LogicalPlan): Boolean = p match {
     case Project(list, _) => list.exists(_.name == BucketName)
@@ -116,14 +171,13 @@ object LshJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
           }
         } match {
           case Some((lEmb, rEmb)) =>
-            val al = Alias(bucketExpr(lEmb), BucketName)()
-            val ar = Alias(bucketExpr(rEmb), BucketName)()
+            val (newLeft, lb) =
+              if (multiProbe) probeSide(left, lEmb)
+              else bucketSide(left, lEmb)
+            val (newRight, rb) = bucketSide(right, rEmb)
             val newJoin = Join(
-              Project(left.output :+ al, left),
-              Project(right.output :+ ar, right),
-              j.joinType,
-              Some(And(EqualTo(al.toAttribute, ar.toAttribute), cond)),
-              hint)
+              newLeft, newRight, j.joinType,
+              Some(And(EqualTo(lb, rb), cond)), hint)
             Project(j.output, newJoin)
           case None => j
         }

@@ -90,4 +90,51 @@ class LshJoinRewriteSpec extends SparkTestBase {
         + s"(${got.size}/${bruteTruth.size} pairs)")
     } finally spark.conf.set(LshJoinRewrite.EnabledKey, "false")
   }
+
+  /** Probe set replay: exact cell + weakest-plane-flipped cell, ties to
+    * the lowest plane index (the q_llm_emb_semdedup_mp recipe). */
+  private def probeSetOf(x: Array[Double]): Set[Long] = {
+    val dots = ops.LlmOps.NeardupPlanes.map { plane =>
+      var d = 0.0
+      var i = 0
+      while (i < math.min(x.length, plane.length)) { d += x(i) * plane(i); i += 1 }
+      d
+    }
+    val b = dots.zipWithIndex.map { case (d, p) => if (d > 0) 1L << p else 0L }.sum
+    val minAbs = dots.map(math.abs).min
+    val weakest = dots.indexWhere(d => math.abs(d) == minAbs)
+    Set(b, b ^ (1L << weakest))
+  }
+
+  test("multi-probe: fan-out plan, exact probe-set subset, no duplicates, better recall") {
+    installRule()
+    spark.conf.set(LshJoinRewrite.EnabledKey, "true")
+    try {
+      // single-probe baseline for the monotonicity claim
+      val single = bruteForceJoin().collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      spark.conf.set(LshJoinRewrite.MultiProbeKey, "true")
+      val df = bruteForceJoin()
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("Generate"), s"no fan-out in multi-probe plan:\n$plan")
+      assert(!plan.contains("CartesianProduct")
+        && !plan.contains("BroadcastNestedLoopJoin"))
+      val rows = df.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(rows.size == rows.toSet.size, "multi-probe emitted duplicate pairs")
+      val got = rows.toSet
+      // exact semantics: right cell ∈ left's probe set, then the verifier
+      val cells = embs.map { case (id, x) => id -> bucketOf(x) }.toMap
+      val probes = embs.map { case (id, x) => id -> probeSetOf(x) }.toMap
+      val expected = bruteTruth.filter { case (a, b) => probes(a)(cells(b)) }
+      assert(got == expected, "multi-probe result is not the exact probe-set subset")
+      assert(single.subsetOf(got), "multi-probe recall regressed below single-probe")
+      assert(got.subsetOf(bruteTruth))
+      info(f"multi-probe recall: ${got.size.toDouble / bruteTruth.size}%.3f vs "
+        + f"single ${single.size.toDouble / bruteTruth.size}%.3f "
+        + s"(${got.size} vs ${single.size} of ${bruteTruth.size} pairs)")
+    } finally {
+      spark.conf.set(LshJoinRewrite.EnabledKey, "false")
+      spark.conf.set(LshJoinRewrite.MultiProbeKey, "false")
+    }
+  }
 }
