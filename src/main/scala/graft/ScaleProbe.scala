@@ -347,7 +347,12 @@ object ScaleProbe {
       "q_llm_corpus_curate", "q_llm_contamination",
       "q_llm_sim_knn_ivf", "q_llm_sim_knn_ivf2",
       "q_llm_minhash", "q_llm_minhash_est", "q_llm_ngram_jaccard",
-      "q_graph_pagerank", "q_graph_degree")
+      "q_graph_pagerank", "q_graph_degree",
+      // r9 late: the co-purchase graph family (shared adjacency +
+      // mutual-KNN indexes, memoized component labels) and the
+      // quality-score consumers (shared qbScore relation)
+      "q_graph_concomp", "q_graph_triangles", "q_graph_simnodes",
+      "q_llm_quality_buckets", "q_llm_curriculum")
     def pass(label: String): Double = {
       val t0 = System.nanoTime()
       consumers.foreach(n => SparkEntry.queries(n)(spark, outDir).count())
