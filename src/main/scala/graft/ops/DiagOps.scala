@@ -360,6 +360,36 @@ object DiagOps extends QueryModule {
                 / (col("next_h") - col("prev_h"))))
             .as("value_interp"))
         .orderBy("event_type", "hour_idx")
+    }),
+
+    // OHLC downsampling bars: per (event_type, hour) the open/high/low/
+    // close/volume summary a time-series feature store serves. PURE
+    // AGGREGATION — no window, no row shuffle: open/close are min_by/
+    // max_by over a packed (epoch_us, event_id) integer order key, so the
+    // whole query is one map-side-combinable hash agg whose shuffle
+    // carries #groups partial rows, never events. Replay: the pack is
+    // epoch_us · 10^19 + event_id (unique — event_id is the PK; 10^19 >
+    // any int64, so the sum is injective), DECIMAL(38,0) on Spark ≡
+    // HUGEINT in DuckDB (max ~1.7e34, exact in both); high/low compare
+    // raw doubles, volume is the exact-DECIMAL dsum.
+    "q_ts_ohlc" -> ((s: SparkSession, dir: String) => {
+      table(s, dir, "events")
+        .withColumn("h", expr(s"unix_micros(ts) div $HourUs"))
+        .withColumn("okey", expr(
+          "CAST(unix_micros(ts) AS DECIMAL(38,0)) * 10000000000000000000BD" +
+            " + CAST(event_id AS DECIMAL(38,0))"))
+        .groupBy("event_type", "h")
+        .agg(
+          asLong(count(lit(1))).as("n_events"),
+          expr("min_by(value, okey)").as("open"),
+          max(col("value")).as("high"),
+          min(col("value")).as("low"),
+          expr("max_by(value, okey)").as("close"),
+          dsum(col("value")).as("volume"))
+        .select(col("event_type"), asLong(col("h")).as("hour_idx"),
+          col("n_events"), col("open"), col("high"), col("low"),
+          col("close"), col("volume"))
+        .orderBy("event_type", "hour_idx")
     })
   )
 
@@ -504,6 +534,21 @@ object DiagOps extends QueryModule {
          |            ELSE prev_v + (next_v - prev_v)
          |                 * (CAST(h - prev_h AS DOUBLE) / (next_h - prev_h))
          |       END AS value_interp
-         |FROM w ORDER BY event_type, hour_idx""".stripMargin
+         |FROM w ORDER BY event_type, hour_idx""".stripMargin,
+
+    "q_ts_ohlc" ->
+      s"""WITH e AS (
+         |  SELECT event_type, epoch_us(ts) // $HourUs AS h, value,
+         |         CAST(epoch_us(ts) AS HUGEINT) * 10000000000000000000
+         |           + event_id AS okey
+         |  FROM events)
+         |SELECT event_type, h AS hour_idx,
+         |       CAST(count(*) AS BIGINT) AS n_events,
+         |       arg_min(value, okey) AS open,
+         |       max(value) AS high,
+         |       min(value) AS low,
+         |       arg_max(value, okey) AS close,
+         |       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS volume
+         |FROM e GROUP BY event_type, h ORDER BY event_type, hour_idx""".stripMargin
   )
 }

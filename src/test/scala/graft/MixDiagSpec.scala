@@ -143,6 +143,29 @@ class MixDiagSpec extends SparkTestBase {
     } finally df.unpersist()
   }
 
+  test("ohlc bars agree with a driver-side recomputation on the fixture") {
+    val rows = q("q_ts_ohlc").collect()
+    assert(rows.nonEmpty)
+    val ev = graft.ops.table(spark, sfDir, "events")
+      .select(expr("unix_micros(ts)").as("us"), col("event_id"),
+        col("event_type"), col("value"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3)))
+    val groups = ev.groupBy { case (us, _, t, _) => (t, us / 3600000000L) }
+    assert(rows.length == groups.size, "one bar per non-empty (type, hour)")
+    rows.foreach { r =>
+      val g = groups((r.getString(0), r.getLong(1)))
+        .sortBy { case (us, id, _, _) => (us, id) }
+      assert(r.getLong(2) == g.length)
+      assert(r.getDouble(3) == g.head._4, "open = value at min (ts, event_id)")
+      assert(r.getDouble(4) == g.map(_._4).max, "high")
+      assert(r.getDouble(5) == g.map(_._4).min, "low")
+      assert(r.getDouble(6) == g.last._4, "close = value at max (ts, event_id)")
+      val vol = g.map(t => BigDecimal(t._4)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP)).sum.toDouble
+      assert(r.getDouble(7) == vol, "volume is the exact DECIMAL(18,4) sum")
+    }
+  }
+
   test("sample_k returns exactly k rows, deterministically, ranked by hash") {
     val a = q("q_llm_sample_k").collect()
     val b = q("q_llm_sample_k").collect()
