@@ -52,6 +52,24 @@ object GraphOps extends QueryModule {
     * baskets are ≤7 items so the fixtures are uncapped in practice. */
   private[graft] val MaxBasket = 32
 
+  /** k-core threshold: the peel keeps the maximal subgraph where every
+    * node has ≥ [[KCoreK]] surviving mutual-KNN neighbors — the standard
+    * "dense cohesive region" extraction (cores survive hub removal where
+    * raw degree does not). */
+  private[graft] val KCoreK = 3
+
+  /** Unroll depth of the k-core ORACLE stages. The engine peels to the
+    * FIXPOINT with early exit and refuses non-convergence, so engine ≡
+    * oracle exactly when the plain unroll also reaches the fixpoint:
+    * measured peel depth (incl. the confirming no-change round) is 2
+    * (sf0.001) / 9 (sf0.01) / 4 (sf0.1), so 16 carries margin on every
+    * fixture (a deeper fixture fails the hash gate loudly, not silently —
+    * the CcIters discipline). */
+  private[graft] val KcIters = 16
+
+  /** Engine-side peel round cap (the CcMaxRounds refusal discipline). */
+  private[graft] val KcMaxRounds = 50
+
   /** Mutual-KNN cap for triangle counting: each part keeps its top
     * [[KnnK]] co-purchase neighbors by (support DESC, neighbor id ASC) and
     * an edge survives only if BOTH endpoints keep it (the mutual-KNN graph
@@ -100,6 +118,70 @@ object GraphOps extends QueryModule {
     copurchaseCache.clear()
     mutualKnnCache.clear()
     labelCache.clear()
+    kcoreCache.clear()
+  }
+
+  /** Memoized [[KCoreK]]-core arc set per fixture digest — the same
+    * maintained-index accounting as the strong-component labels. */
+  private val kcoreCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  private[graft] def kcoreArcsFor(s: SparkSession, dir: String): DataFrame = {
+    val key = System.identityHashCode(s.sparkContext).toString + "|" +
+      SourceSinkOps.fixtureKey(dir, "lineitem.parquet")
+    kcoreCache.computeIfAbsent(key, { _ =>
+      val e = mutualKnnEdges(s, dir)
+      val arcs = e.select(col("u").as("src"), col("v").as("dst"))
+        .union(e.select(col("v").as("src"), col("u").as("dst")))
+      kcorePeel(arcs, KCoreK)
+    })
+  }
+
+  /** Iterative k-core peel to the FIXPOINT: each round drops every node
+    * whose degree in the CURRENT subgraph is < k, until the arc set stops
+    * shrinking. Per round: one map-side-combinable degree count, two
+    * node-keyed semi joins (arc-sized shuffles on uniform keys — the peel
+    * never enumerates pairs). One Spark JOB per round: the round's arcs are
+    * persisted as a row RDD and the convergence checksum (the arc COUNT —
+    * strictly decreasing until the fixpoint) is computed in the same
+    * action, then rewrapped as a clean leaf (the minLabelRounds shape; the
+    * rewrap also cuts the deg-derived lineage that would otherwise trip
+    * Spark's ambiguous-self-join check). Non-convergence within
+    * `maxRounds` throws (the dupClusters refusal discipline). */
+  private[graft] def kcorePeel(arcs0: DataFrame, k: Int,
+      maxRounds: Int = KcMaxRounds): DataFrame = {
+    val spark = arcs0.sparkSession
+    var prevRdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = null
+    def materialize(df: DataFrame): (DataFrame, Long) = {
+      val rdd = df.rdd
+      rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val n = rdd.count()
+      if (prevRdd != null) prevRdd.unpersist(blocking = false)
+      prevRdd = rdd
+      (spark.createDataFrame(rdd, df.schema), n)
+    }
+    var (arcs, n) = materialize(arcs0)
+    var converged = n == 0L
+    var it = 0
+    while (!converged && it < maxRounds) {
+      val keep = arcs.groupBy("src").agg(count(lit(1)).as("d"))
+        .where(col("d") >= k).select(col("src").as("knode"))
+      val (next, nextN) = materialize(
+        arcs.join(keep, arcs("src") === keep("knode"), "left_semi")
+          .join(keep.select(col("knode").as("knode2")),
+            arcs("dst") === col("knode2"), "left_semi"))
+      converged = nextN == n
+      arcs = next
+      n = nextN
+      it += 1
+    }
+    if (sys.env.get("SPARK_GRAFT_DEBUG").contains("1"))
+      System.err.println(s"[kcore] peel rounds: $it (converged=$converged, arcs=$n)")
+    if (!converged)
+      throw new IllegalStateException(
+        s"k-core peel did not converge in $maxRounds rounds; refusing to " +
+          "return a non-core subgraph")
+    arcs
   }
 
   /** Memoized strong-component labels per fixture digest — the same
@@ -369,6 +451,19 @@ object GraphOps extends QueryModule {
         .orderBy(desc("n_tri"), asc("partkey")).limit(50)
     }),
 
+    // k-core of the mutual-KNN co-purchase graph: the maximal subgraph
+    // where every part keeps ≥ KCoreK surviving neighbors — the dense
+    // cohesive product families that survive iterative hub-trim. Engine:
+    // peel rounds to the fixpoint (memoized per fixture digest); oracle:
+    // KcIters plain rounds unrolled. Output: the in-core degree histogram
+    // — the report that sizes per-community downstream work.
+    "q_graph_kcore" -> ((s: SparkSession, dir: String) => {
+      kcoreArcsFor(s, dir)
+        .groupBy("src").agg(asLong(count(lit(1))).as("degree"))
+        .groupBy("degree").agg(asLong(count(lit(1))).as("n_nodes"))
+        .orderBy("degree")
+    }),
+
     // Node similarity ("customers also bought"): neighbor-set Jaccard over
     // the mutual-KNN graph. Candidate pairs are the two-hop wedges — parts
     // sharing ≥1 neighbor — so pair work is n·K²-bounded like triangles,
@@ -480,7 +575,34 @@ object GraphOps extends QueryModule {
          |  FROM l${k - 1} l JOIN m$k m ON l.node = m.node)""".stripMargin
     }.mkString(",\n")
 
+  /** Unrolled k-core peel stages s1 … s[[KcIters]] over `s0`. Every stage
+    * is `AS MATERIALIZED`: each s_k references s_{k-1} three times (degree
+    * count + two endpoint filters), so DuckDB's default inlining would
+    * expand the chain 3^K-fold (the ccStagesCte lesson). */
+  private def kcStagesCte: String =
+    (1 to KcIters).map { k =>
+      s"""d$k AS MATERIALIZED (
+         |  SELECT src, count(*) AS c FROM s${k - 1} GROUP BY src),
+         |s$k AS MATERIALIZED (
+         |  SELECT t.src, t.dst FROM s${k - 1} t
+         |  JOIN d$k a ON t.src = a.src AND a.c >= $KCoreK
+         |  JOIN d$k b ON t.dst = b.src AND b.c >= $KCoreK)""".stripMargin
+    }.mkString(",\n")
+
   def oracle: Seq[(String, String)] = Seq(
+    "q_graph_kcore" ->
+      s"""WITH $copurchaseCte,
+         |$mutualKnnCte,
+         |s0 AS MATERIALIZED (
+         |  SELECT u AS src, v AS dst FROM e
+         |  UNION ALL
+         |  SELECT v AS src, u AS dst FROM e),
+         |$kcStagesCte,
+         |df AS (SELECT src, CAST(count(*) AS BIGINT) AS degree
+         |       FROM s$KcIters GROUP BY src)
+         |SELECT degree, CAST(count(*) AS BIGINT) AS n_nodes
+         |FROM df GROUP BY degree ORDER BY degree""".stripMargin,
+
     "q_graph_concomp" ->
       s"""WITH $copurchaseCte,
          |arcs AS MATERIALIZED (SELECT src, dst FROM adj WHERE n >= $StrongSupport),

@@ -165,6 +165,35 @@ class GraphSpec extends SparkTestBase {
     assert(got == expected, "top-100 similarity pairs or order differ")
   }
 
+  test("kcore equals a brute-force peel to the fixpoint") {
+    // driver-side peel on the mutual-KNN graph: converged by construction,
+    // so equality also pins that the engine's early-exit loop (and the
+    // oracle's KcIters-round unroll) truly reach the fixpoint
+    var nbr = scala.collection.mutable.Map[Long, Set[Long]]()
+      .withDefaultValue(Set.empty)
+    mutualEdges.foreach { case (u, v) =>
+      nbr(u) = nbr(u) + v; nbr(v) = nbr(v) + u
+    }
+    var changed = true
+    while (changed) {
+      val drop = nbr.collect {
+        case (n, vs) if vs.size < GraphOps.KCoreK => n }.toSet
+      changed = drop.nonEmpty
+      if (changed) {
+        drop.foreach(nbr.remove)
+        nbr.keys.toSeq.foreach(n => nbr(n) = nbr(n) -- drop)
+      }
+    }
+    val expected = nbr.values.map(_.size.toLong).groupBy(identity)
+      .map { case (d, xs) => (d, xs.size.toLong) }.toSeq.sortBy(_._1)
+    val got = q("q_graph_kcore").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == expected, "in-core degree histogram differs from brute peel")
+    // the core is non-trivial on the fixture and every node meets the bound
+    assert(got.map(_._2).sum > 0, "fixture 3-core is empty — cap needs a look")
+    assert(got.forall(_._1 >= GraphOps.KCoreK))
+  }
+
   test("degree profile counts every node once and every arc twice") {
     val rows = q("q_graph_degree").collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
