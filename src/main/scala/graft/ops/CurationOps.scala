@@ -874,6 +874,32 @@ object CurationOps extends QueryModule {
           SourceSinkOps.fixtureKey(dir, "documents.parquet")))
         .orderBy("lang", "bucket")),
 
+    // Pareto-frontier curation prune: keep exactly the docs NOT dominated
+    // by a (cleaner, longer) alternative — minimize the LM-novelty ppm
+    // (CCNet head = low singleton-bigram rate), maximize n_chars. A doc is
+    // dominated iff some doc has ppm ≤ AND n_chars ≥ with one strict.
+    // Shape: the frontier needs only the per-ppm max length plus its
+    // STRICT prefix max in ppm order — and the distinct-ppm relation is
+    // VALUE-DOMAIN-bounded (ppm ∈ [0, 10^6] by construction), so the one
+    // single-partition window runs over ≤ 10^6+1 aggregated rows at ANY
+    // corpus size (the simhash 2^16 rule) and sits above a hash agg
+    // (PlanAudit rule 2). The corpus-sized side only does one hash agg and
+    // one broadcast-frontier rejoin — no pair enumeration anywhere. Docs
+    // with < 2 tokens have no bigram distribution and are out of scope
+    // (the q_llm_doc_lm_score row set).
+    "q_llm_pareto_prune" -> ((s: SparkSession, dir: String) => {
+      val sc = qbScoreFor(table(s, dir, "documents"),
+        Some("qbuckets|" + SourceSinkOps.fixtureKey(dir, "documents.parquet")))
+      val gmax = sc.groupBy("ppm").agg(max(col("n_chars")).as("gmax"))
+      val fr = gmax.withColumn("m1", max(col("gmax")).over(
+        Window.orderBy("ppm").rowsBetween(Window.unboundedPreceding, -1)))
+      sc.join(broadcast(fr), "ppm")
+        .where(col("n_chars") === col("gmax") &&
+          (col("m1").isNull || col("n_chars") > col("m1")))
+        .select(col("doc_id"), col("lang"), col("ppm"), col("n_chars"))
+        .orderBy("ppm", "doc_id")
+    }),
+
     // Balanced shard assignment (8 shards) for training-data file layout —
     // see [[shardPack]] (snake draft over the skew-proof size rank).
     "q_llm_shard_pack" -> ((s: SparkSession, dir: String) =>
@@ -1264,6 +1290,34 @@ object CurationOps extends QueryModule {
         |       CAST(max(ppm) AS BIGINT) AS max_ppm
         |FROM s JOIN cut USING (lang)
         |GROUP BY 1, 2 ORDER BY lang, bucket""".stripMargin,
+
+    "q_llm_pareto_prune" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> length(x) > 0) AS toks
+        |  FROM documents),
+        |b AS (
+        |  SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+        |  FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 1)) AS i
+        |        FROM t WHERE len(toks) >= 2)),
+        |c12 AS (SELECT w1, w2, count(*) AS c12 FROM b GROUP BY w1, w2),
+        |sc AS (
+        |  SELECT doc_id,
+        |         CAST(sum(CASE WHEN c12 = 1 THEN 1 ELSE 0 END) * 1000000
+        |              // count(*) AS BIGINT) AS ppm
+        |  FROM b JOIN c12 USING (w1, w2) GROUP BY doc_id),
+        |sd AS MATERIALIZED (
+        |  SELECT sc.doc_id, d.lang, d.n_chars, sc.ppm
+        |  FROM sc JOIN documents d USING (doc_id)),
+        |g AS (SELECT ppm, max(n_chars) AS gmax FROM sd GROUP BY ppm),
+        |f AS (
+        |  SELECT ppm, gmax,
+        |         max(gmax) OVER (ORDER BY ppm
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS m1
+        |  FROM g)
+        |SELECT sd.doc_id, sd.lang, sd.ppm, CAST(sd.n_chars AS BIGINT) AS n_chars
+        |FROM sd JOIN f USING (ppm)
+        |WHERE sd.n_chars = f.gmax AND (f.m1 IS NULL OR sd.n_chars > f.m1)
+        |ORDER BY ppm, doc_id""".stripMargin,
 
     "q_llm_shard_pack" ->
       """WITH r AS (

@@ -532,6 +532,40 @@ class CurationSpec extends SparkTestBase {
     }
   }
 
+  test("pareto_prune equals brute-force 2-D dominance, and nothing on the frontier is dominated") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "lang", "n_chars", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getString(3)))
+    val bgOf: String => Seq[String] = { t =>
+      val toks = t.split(" ").filter(_.nonEmpty)
+      if (toks.length < 2) Seq.empty
+      else toks.sliding(2).map(w => w(0) + " " + w(1)).toSeq
+    }
+    val c12 = docs.flatMap(d => bgOf(d._4)).groupBy(identity).view
+      .mapValues(_.length.toLong).toMap
+    val scored = docs.flatMap { case (id, lang, len, t) =>
+      val bgs = bgOf(t)
+      if (bgs.isEmpty) None
+      else Some((id, lang, bgs.count(b => c12(b) == 1L).toLong * 1000000L
+        / bgs.length, len))
+    }
+    // O(n²) dominance at fixture scale: (ppm ≤, len ≥, one strict)
+    val expected = scored.filter { case (i, _, pi, li) =>
+      !scored.exists { case (j, _, pj, lj) =>
+        j != i && pj <= pi && lj >= li && (pj < pi || lj > li)
+      }
+    }.sortBy(t => (t._3, t._1)).toSeq
+    val got = q("q_llm_pareto_prune").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == expected, "frontier differs from brute-force dominance")
+    assert(got.nonEmpty && got.size < scored.size,
+      "frontier should be a strict non-empty subset on the fixture")
+    // frontier is a staircase: strictly increasing ppm ⇒ strictly decreasing
+    // max-length, and ties in ppm share one length (the per-ppm gmax)
+    got.groupBy(_._3).foreach { case (_, rows) =>
+      assert(rows.map(_._4).distinct.size == 1) }
+  }
+
   test("importance_weights equals a driver-side quantized-DSIR replay") {
     // independent replay on bigram STRINGS (no digest): equality also pins
     // that the 60-bit shingle_key join introduced no collisions here
