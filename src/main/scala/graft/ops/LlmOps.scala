@@ -26,6 +26,17 @@ object LlmOps extends QueryModule {
   private val NumHashes = 16
   private val NumBands  = 8 // 2 rows per band
 
+  /** Compared-prefix cap for edit-distance verification: bounds BOTH the
+    * per-pair DP cost (O(EditPfx²), corpus-independent) and the exchange
+    * payload (≤ 256 bytes/row — the reason a capped prefix may ride a
+    * shuffle where raw unbounded text must not). Fixture docs are ≤ ~600
+    * chars, so the cap bites only on real long-document corpora — exactly
+    * where it must. */
+  private[graft] val EditPfx = 256
+
+  /** Similarity floor for emitted near-dup pairs: 1 − dist/maxlen ≥ 0.8. */
+  private[graft] val EditSimTau = 0.8
+
   /** Deterministic ±1 hyperplane families for the two sign-LSH paths —
     * shared by the Spark queries and their generated SQL twins. Plane dots
     * and cosines over `array<double>` accumulate IEEE doubles in INDEX
@@ -657,6 +668,33 @@ object LlmOps extends QueryModule {
         .orderBy("doc_a", "doc_b")
     }),
 
+    // Edit-distance (Levenshtein) verification over the LSH candidates —
+    // the character-level near-dup check that catches small in-place edits
+    // n-gram Jaccard smears (a one-word change flips up to n shingles).
+    // Never all-pairs: candidates come from the memoized MinHash index
+    // (≥2 shared bands), and the DP runs on EditPfx-capped prefixes so
+    // per-pair cost AND shuffle payload are corpus-independent constants.
+    // The prefix column is the bounded exception to the text-shuffle
+    // discipline (256 bytes/row, doc'd at [[EditPfx]]); fixture text is
+    // ASCII, where Spark's codepoint DP ≡ DuckDB's byte DP exactly.
+    "q_llm_editdist_neardup" -> ((s: SparkSession, dir: String) => {
+      val cands = candidateIndexFor(s, dir)._3
+        .where(col("n_shared_bands") >= 2)
+      val p = table(s, dir, "documents")
+        .select(col("doc_id"), substring(col("text"), 1, EditPfx).as("pfx"))
+      cands
+        .join(p.select(col("doc_id").as("doc_a"), col("pfx").as("pfx_a")), "doc_a")
+        .join(p.select(col("doc_id").as("doc_b"), col("pfx").as("pfx_b")), "doc_b")
+        .select(col("doc_a"), col("doc_b"),
+          levenshtein(col("pfx_a"), col("pfx_b")).cast("long").as("edit_dist"),
+          length(col("pfx_a")).cast("long").as("len_a"),
+          length(col("pfx_b")).cast("long").as("len_b"))
+        .withColumn("edit_sim", lit(1.0) - col("edit_dist").cast("double")
+          / greatest(col("len_a"), col("len_b"), lit(1L)))
+        .where(col("edit_sim") >= EditSimTau)
+        .orderBy(desc("edit_sim"), asc("doc_a"), asc("doc_b"))
+    }),
+
     // Exact n-gram Jaccard verification over the LSH candidates only.
     // The (doc_id, token) frame feeds BOTH the token-set aggregation and
     // the candidate pipeline; Spark recomputes unshared subplans per
@@ -1128,6 +1166,35 @@ object LlmOps extends QueryModule {
          |SELECT doc_id, simhash,
          |       CAST(count(*) OVER (PARTITION BY simhash) AS BIGINT) AS cluster_n
          |FROM sh ORDER BY doc_id""".stripMargin,
+
+    "q_llm_editdist_neardup" ->
+      s"""WITH
+         |${RH.tokenHashCte},
+         |${RH.minhashSigsCte(NumHashes)},
+         |${RH.lshBandsCte},
+         |${cappedBandsSql(MaxBucket)},
+         |cand AS (
+         |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b
+         |  FROM capped x JOIN capped y USING (band, bh)
+         |  WHERE x.doc_id < y.doc_id
+         |  GROUP BY 1, 2 HAVING count(*) >= 2),
+         |p AS (SELECT doc_id, substring(text, 1, $EditPfx) AS pfx FROM documents),
+         |x AS (
+         |  SELECT c.doc_a, c.doc_b,
+         |         CAST(levenshtein(a.pfx, b.pfx) AS BIGINT) AS edit_dist,
+         |         CAST(length(a.pfx) AS BIGINT) AS len_a,
+         |         CAST(length(b.pfx) AS BIGINT) AS len_b
+         |  FROM cand c
+         |  JOIN p a ON a.doc_id = c.doc_a
+         |  JOIN p b ON b.doc_id = c.doc_b),
+         |sim AS (
+         |  SELECT doc_a, doc_b, edit_dist, len_a, len_b,
+         |         1.0 - CAST(edit_dist AS DOUBLE) / greatest(len_a, len_b, 1)
+         |           AS edit_sim
+         |  FROM x)
+         |SELECT doc_a, doc_b, edit_dist, len_a, len_b, edit_sim
+         |FROM sim WHERE edit_sim >= $EditSimTau
+         |ORDER BY edit_sim DESC, doc_a, doc_b""".stripMargin,
 
     "q_llm_ngram_jaccard" ->
       s"""WITH

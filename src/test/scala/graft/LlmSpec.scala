@@ -126,6 +126,41 @@ class LlmSpec extends SparkTestBase {
     }
   }
 
+  test("editdist_neardup equals an independent driver-side Levenshtein DP over the candidates") {
+    def lev(a: String, b: String): Int = {
+      val prev = new Array[Int](b.length + 1)
+      val cur = new Array[Int](b.length + 1)
+      for (j <- 0 to b.length) prev(j) = j
+      for (i <- 1 to a.length) {
+        cur(0) = i
+        for (j <- 1 to b.length)
+          cur(j) = math.min(math.min(cur(j - 1) + 1, prev(j) + 1),
+            prev(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+        Array.copy(cur, 0, prev, 0, b.length + 1)
+      }
+      prev(b.length)
+    }
+    val texts = docsDf.select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).take(graft.ops.LlmOps.EditPfx)))
+      .toMap
+    // the full (unlimited) memoized candidate relation the query reads
+    val cands = graft.ops.LlmOps.candidateIndexFor(spark, sfDir)._3.collect()
+      .filter(_.getAs[Long]("n_shared_bands") >= 2)
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))
+    val expected = cands.map { case (a, b) =>
+      val (ta, tb) = (texts(a), texts(b))
+      val d = lev(ta, tb).toLong
+      val mx = math.max(1L, math.max(ta.length.toLong, tb.length.toLong))
+      (a, b, d, ta.length.toLong, tb.length.toLong, 1.0 - d.toDouble / mx)
+    }.filter(_._6 >= graft.ops.LlmOps.EditSimTau)
+      .sortBy { case (a, b, _, _, _, s) => (-s, a, b) }.toSeq
+    val got = q("q_llm_editdist_neardup").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5))).toSeq
+    assert(got == expected, "edit-distance pairs differ from the driver DP")
+    assert(got.nonEmpty, "fixture should surface at least one near-dup pair")
+  }
+
   test("brute-force kNN matches a driver-side exact reimplementation") {
     val got = q("q_llm_sim_knn").collect().map(r => (r.getLong(0), r.getDouble(2)))
     assertTopK(got, top10(simToProbe))
