@@ -147,7 +147,15 @@ object ScaleProbe {
       // CCNet tertile buckets (valueAtRanks cuts over the bigram scorer),
       // and the per-lang tokenizer fertility audit (broadcast vocab join)
       "q_text_entropy", "q_llm_quality_buckets", "q_llm_tok_fertility",
-      "q_llm_curriculum", "q_llm_shard_pack")
+      "q_llm_curriculum", "q_llm_shard_pack",
+      // r9 continuation: OHLC bars (pure map-side agg — shuffle carries
+      // #bars rows), k-core peel (arc-bounded rounds over the mutual-KNN
+      // index; at ×10 the graph densifies so the peel faces 10× arcs),
+      // the Pareto frontier (bounded distinct-ppm staircase + broadcast
+      // rejoin), and edit-distance verification (EditPfx-capped DP over
+      // the capped candidate pairs)
+      "q_ts_ohlc", "q_graph_kcore", "q_llm_pareto_prune",
+      "q_llm_editdist_neardup")
     // warmup
     SparkEntry.queries("q_agg_basic")(spark, outDir).count()
     val results = probes.map { name =>
@@ -309,7 +317,13 @@ object ScaleProbe {
       // the valueAtRanks histogram stays value-domain-bounded), and the
       // fertility audit (duplication SHRINKS the broadcast vocab)
       "q_text_entropy", "q_llm_quality_buckets", "q_llm_tok_fertility",
-      "q_llm_curriculum", "q_llm_shard_pack")
+      "q_llm_curriculum", "q_llm_shard_pack",
+      // r9 continuation: the Pareto frontier under mass duplication (the
+      // 2,500 clones share ONE (ppm, n_chars) point — the per-ppm agg
+      // collapses them before the bounded staircase window) and the
+      // edit-distance verdict (the clone mega-bucket is cut to MaxBucket
+      // candidates BEFORE any DP; per-pair cost stays EditPfx²-bounded)
+      "q_llm_pareto_prune", "q_llm_editdist_neardup")
     for ((dir, label) <- Seq((srcDir, "uniform"), (degDir, "degen"))) {
       family.foreach { name =>
         val t0 = System.nanoTime()
