@@ -27,6 +27,10 @@ object CurationOps extends QueryModule {
     * signal, and would emit O(n²) edges. Same constant in the oracle. */
   private val MaxShingleDocs = 50
 
+  /** q_llm_collocations: min bigram support and report size. */
+  private val CollMinSupport = 5
+  private val CollTopK = 100
+
   /** q_llm_cdc_chunks parameters: k-gram width of the rolling boundary
     * hash and the cut modulus (a cut fires when hash % mod == 0, so the
     * expected gap between cuts is ~mod codepoints past the k-gram). */
@@ -874,6 +878,55 @@ object CurationOps extends QueryModule {
           SourceSinkOps.fixtureKey(dir, "documents.parquet")))
         .orderBy("lang", "bucket")),
 
+    // Collocation extraction: top-100 bigrams by integer POINTWISE-LIFT
+    // score c12·N·10⁶ div (c1·c2) (the log of which is PMI — log is libm-
+    // divergent across engines, the monotone integer ratio is not) with
+    // min-support 5. The shuffle discipline throughout: every counting
+    // exchange carries 60-bit shingle DIGESTS (kb/k1/k2 longs), never the
+    // bigram string; the string is recovered ONLY for the 100 winners via
+    // a broadcast-semi-filtered agg whose exchange carries ≤ top-k rows
+    // per partition after the map-side partial. The aggs shrink before
+    // any shuffle, so the exploded frame is deliberately NOT checkpointed
+    // (the ngram_lm re-explode measurement). Overflow bound: lift ≤
+    // N·10⁶/minsup < 2^63 up to ~4.6e13 corpus bigrams (~20T-token
+    // corpora — 100 TB of text — stay in range; beyond that drop the ppm
+    // scale a decade).
+    "q_llm_collocations" -> ((s: SparkSession, dir: String) => {
+      graft.functions.GraftFunctions.register(s)
+      val bg = table(s, dir, "documents")
+        .withColumn("toks", expr("filter(split(text, ' '), t -> length(t) > 0)"))
+        .where(size(col("toks")) >= 2)
+        .select(explode(expr(
+          """zip_with(slice(toks, 1, size(toks) - 1),
+            |         slice(toks, 2, size(toks) - 1),
+            |         (a, b) -> named_struct('w1', a, 'w2', b))""".stripMargin))
+          .as("p"))
+        .select(
+          call_function("shingle_key",
+            concat(col("p.w1"), lit(" "), col("p.w2"))).as("kb"),
+          call_function("shingle_key", col("p.w1")).as("k1"),
+          call_function("shingle_key", col("p.w2")).as("k2"),
+          concat(col("p.w1"), lit(" "), col("p.w2")).as("bgr"))
+      val c12 = bg.groupBy("kb").agg(count(lit(1)).as("c12"),
+          min(col("k1")).as("k1"), min(col("k2")).as("k2"))
+        .where(col("c12") >= CollMinSupport)
+      val c1 = bg.groupBy("k1").agg(count(lit(1)).as("c1"))
+      val c2 = bg.groupBy("k2").agg(count(lit(1)).as("c2"))
+      val nb = bg.agg(count(lit(1)).as("nb"))
+      val top = c12.join(c1, "k1").join(c2, "k2").crossJoin(broadcast(nb))
+        .withColumn("lift_ppm", expr(
+          "(CAST(c12 AS DECIMAL(38,0)) * CAST(nb AS DECIMAL(38,0)) * 1000000)" +
+            " div (CAST(c1 AS DECIMAL(38,0)) * CAST(c2 AS DECIMAL(38,0)))"))
+        .orderBy(desc("lift_ppm"), asc("kb")).limit(CollTopK)
+      val names = bg.join(broadcast(top.select("kb")), "kb")
+        .groupBy("kb").agg(min(col("bgr")).as("bigram"))
+      top.join(broadcast(names), "kb")
+        .select(col("bigram"), col("kb"), asLong(col("c12")).as("c12"),
+          asLong(col("c1")).as("c1"), asLong(col("c2")).as("c2"),
+          col("lift_ppm"))
+        .orderBy(desc("lift_ppm"), asc("kb"))
+    }),
+
     // Pareto-frontier curation prune: keep exactly the docs NOT dominated
     // by a (cleaner, longer) alternative — minimize the LM-novelty ppm
     // (CCNet head = low singleton-bigram rate), maximize n_chars. A doc is
@@ -1290,6 +1343,39 @@ object CurationOps extends QueryModule {
         |       CAST(max(ppm) AS BIGINT) AS max_ppm
         |FROM s JOIN cut USING (lang)
         |GROUP BY 1, 2 ORDER BY lang, bucket""".stripMargin,
+
+    "q_llm_collocations" -> {
+      val RH = graft.functions.ReplayableHash
+      s"""WITH t AS (
+         |  SELECT list_filter(string_split(text, ' '), x -> length(x) > 0) AS toks
+         |  FROM documents),
+         |b AS (
+         |  SELECT toks[i] AS w1, toks[i + 1] AS w2,
+         |         toks[i] || ' ' || toks[i + 1] AS bgr
+         |  FROM (SELECT toks, unnest(generate_series(1, len(toks) - 1)) AS i
+         |        FROM t WHERE len(toks) >= 2)),
+         |k AS MATERIALIZED (
+         |  SELECT ${RH.shingleKeySql("bgr")} AS kb,
+         |         ${RH.shingleKeySql("w1")} AS k1,
+         |         ${RH.shingleKeySql("w2")} AS k2,
+         |         bgr
+         |  FROM b),
+         |c12 AS (
+         |  SELECT kb, min(k1) AS k1, min(k2) AS k2, min(bgr) AS bigram,
+         |         count(*) AS c12
+         |  FROM k GROUP BY kb HAVING count(*) >= $CollMinSupport),
+         |c1 AS (SELECT k1, count(*) AS c1 FROM k GROUP BY k1),
+         |c2 AS (SELECT k2, count(*) AS c2 FROM k GROUP BY k2),
+         |n AS (SELECT count(*) AS nb FROM k)
+         |SELECT c12.bigram, c12.kb,
+         |       CAST(c12.c12 AS BIGINT) AS c12,
+         |       CAST(c1.c1 AS BIGINT) AS c1,
+         |       CAST(c2.c2 AS BIGINT) AS c2,
+         |       CAST((CAST(c12.c12 AS HUGEINT) * nb * 1000000)
+         |            // (CAST(c1.c1 AS HUGEINT) * c2.c2) AS BIGINT) AS lift_ppm
+         |FROM c12 JOIN c1 USING (k1) JOIN c2 USING (k2) CROSS JOIN n
+         |ORDER BY lift_ppm DESC, kb LIMIT $CollTopK""".stripMargin
+    },
 
     "q_llm_pareto_prune" ->
       """WITH t AS (

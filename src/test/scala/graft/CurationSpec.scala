@@ -532,6 +532,31 @@ class CurationSpec extends SparkTestBase {
     }
   }
 
+  test("collocations equal a driver-side integer-lift replay on raw strings") {
+    // replay groups by the bigram STRING, so digest collisions would
+    // surface here as a mismatch (the engine counts by 60-bit digest)
+    val bgs = docTexts.flatMap { case (_, t) =>
+      val toks = t.split(' ').filter(_.nonEmpty)
+      if (toks.length < 2) Seq.empty
+      else toks.sliding(2).map(w => (w(0), w(1))).toSeq
+    }
+    val n = BigInt(bgs.length)
+    def key(s: String): Long = graft.functions.TextHashes.shingleKey(
+      org.apache.spark.unsafe.types.UTF8String.fromString(s))
+    val c12 = bgs.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val c1 = bgs.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val c2 = bgs.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val expected = c12.toSeq.filter(_._2 >= 5L).map { case ((w1, w2), c) =>
+      val lift = (BigInt(c) * n * 1000000 / (BigInt(c1(w1)) * c2(w2))).toLong
+      (w1 + " " + w2, key(w1 + " " + w2), c, c1(w1), c2(w2), lift)
+    }.sortBy { case (_, kb, _, _, _, l) => (-l, kb) }.take(100)
+    val got = q("q_llm_collocations").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(got == expected, "top collocations differ from the string replay")
+    assert(got.nonEmpty, "fixture should surface supported collocations")
+  }
+
   test("pareto_prune equals brute-force 2-D dominance, and nothing on the frontier is dominated") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       .select("doc_id", "lang", "n_chars", "text").collect()

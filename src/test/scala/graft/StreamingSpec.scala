@@ -107,6 +107,51 @@ class StreamingSpec extends SparkTestBase {
     } finally query.stop()
   }
 
+  test("streaming OHLC bars finalize exactly once and equal a driver-side replay") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Long, java.sql.Timestamp, String, Double)]
+    val bars = graft.streaming.StreamingOhlc.bars(
+      input.toDF().toDF("event_id", "ts", "event_type", "value"), "30 minutes")
+    val query = bars.writeStream
+      .format("memory").queryName("ohlc_out").outputMode("append")
+      .option("checkpointLocation", checkpoint())
+      .start()
+    def ts(h: Int, m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    // batch 1: out-of-order arrivals inside two hour-bars, plus a tie-break
+    // case (two events at the same instant — event_id orders open/close)
+    val data = Seq(
+      (1L, ts(1, 20), "a", 10.0), (2L, ts(1, 5), "a", 7.0),
+      (3L, ts(1, 45), "a", 9.0), (6L, ts(1, 45), "a", 12.0),
+      (4L, ts(2, 10), "a", 3.0), (5L, ts(2, 15), "b", 4.5))
+    try {
+      input.addData(data: _*)
+      query.processAllAvailable()
+      // closed bars only append once the watermark passes the window end —
+      // nothing may be emitted yet
+      val sentinel = (99L, ts(9, 0), "a", 1.0)
+      input.addData(sentinel)
+      query.processAllAvailable()
+      val got = spark.table("ohlc_out")
+        .select("event_type", "hour_idx", "n_events", "open", "high", "low",
+          "close", "volume")
+        .as[(String, Long, Long, Double, Double, Double, Double, Double)]
+        .collect().toSet
+      // independent driver-side replay (sentinel's bar is still open)
+      val expected = data.groupBy(e => (e._3, e._2.getTime / 3600000L))
+        .map { case ((t, h), es) =>
+          val sorted = es.sortBy(e => (e._2.getTime, e._1))
+          (t, h, es.size.toLong, sorted.head._4, es.map(_._4).max,
+            es.map(_._4).min, sorted.last._4,
+            es.map(e => BigDecimal(e._4).setScale(4, BigDecimal.RoundingMode.HALF_UP))
+              .sum.toDouble)
+        }.toSet
+      assert(got == expected, "finalized streaming bars differ from batch replay")
+      assert(!got.exists(_._2 == sentinel._2.getTime / 3600000L),
+        "the open sentinel bar must not be emitted yet")
+    } finally query.stop()
+  }
+
   test("streaming dedup drops at-least-once duplicates within the watermark") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
