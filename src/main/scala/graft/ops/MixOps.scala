@@ -57,6 +57,17 @@ object MixOps extends QueryModule {
     s"(($splitA * (doc_id % ${ReplayableHash.P}) + $splitB)" +
       s" % ${ReplayableHash.P}) % 100"
 
+  /** Span-corruption constants (salt 10 — next free in the family
+    * registry): member 0 decides span STARTS (rate 1/[[SpanRate]]),
+    * member 1 draws the span length (1..[[SpanMaxLen]], mean 3). The
+    * position key is `((doc_id % P) · 4099 + pos) % P` — reduced mod P
+    * before every multiply, the §7.4 overflow discipline. */
+  private val spanPs = ReplayableHash.params(2, salt = 10)
+  private val (spanA0, spanB0) = spanPs(0)
+  private val (spanA1, spanB1) = spanPs(1)
+  private[graft] val SpanRate = 20L
+  private[graft] val SpanMaxLen = 5L
+
   /** Sample-hash constants (salt distinct from every other family use). */
   private val (sampleA, sampleB) = ReplayableHash.params(1, salt = 7).head
 
@@ -227,6 +238,52 @@ object MixOps extends QueryModule {
       splitAssign(table(s, dir, "documents"))
         .select("doc_id", "lang", "bucket", "split")
         .orderBy("doc_id")),
+
+    // T5-style span-corruption PLAN: deterministic mask spans per document
+    // (start rate 1/SpanRate per position, lengths 1..SpanMaxLen) drawn
+    // from a ReplayableHash affine pair (salt 10) on the (doc_id, pos)
+    // key; overlapping spans merge EXACTLY via gaps-and-islands over the
+    // distinct masked positions — the pre-training mask layout a pipeline
+    // ships with the batch, reproducible across engines/runs/partitionings
+    // (no RNG). Scale: exploded frames carry only (doc_id, pos) longs (a
+    // start fans out ≤ SpanMaxLen+1 rows), and the island window
+    // partitions by doc_id — high-cardinality, never a global window.
+    "q_llm_span_corrupt" -> ((s: SparkSession, dir: String) => {
+      val P = ReplayableHash.P
+      val tk = table(s, dir, "documents")
+        .withColumn("toks", expr("filter(split(text, ' '), t -> length(t) > 0)"))
+        .select(col("doc_id"), size(col("toks")).cast("long").as("n"),
+          posexplode(col("toks")))
+        .select(col("doc_id"), col("n"), (col("pos") + 1).cast("long").as("pos"))
+        .withColumn("h0", expr(s"((doc_id % $P) * 4099 + pos) % $P"))
+      val st = tk
+        .where(expr(s"(($spanA0 * h0 + $spanB0) % $P) % $SpanRate = 0"))
+        .select(col("doc_id"), col("pos"),
+          least(col("pos") +
+            expr(s"(($spanA1 * h0 + $spanB1) % $P) % $SpanMaxLen"),
+            col("n")).as("send"))
+      val masked = st.select(col("doc_id"),
+          explode(expr("sequence(pos, send)")).as("mpos")).distinct()
+      val ag = masked
+        .withColumn("prev",
+          lag("mpos", 1).over(Window.partitionBy("doc_id").orderBy("mpos")))
+        .groupBy("doc_id").agg(
+          asLong(count(lit(1))).as("n_masked"),
+          asLong(sum(when(col("prev").isNull ||
+            col("prev") =!= col("mpos") - 1, 1L).otherwise(0L))).as("n_spans"))
+      table(s, dir, "documents")
+        .select(col("doc_id"), expr(
+          "CAST(size(filter(split(text, ' '), t -> length(t) > 0)) AS BIGINT)")
+          .as("n_tokens"))
+        .join(ag, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_tokens"),
+          coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+          coalesce(col("n_masked"), lit(0L)).as("n_masked"),
+          when(col("n_tokens") > 0,
+            coalesce(col("n_masked"), lit(0L)).cast("double") / col("n_tokens"))
+            .as("mask_rate"))
+        .orderBy("doc_id")
+    }),
 
     // Temperature-weighted domain mixing: per-source corpus stats and the
     // sqrt-temperature sampling weight w = sqrt(n_docs), normalized into a
@@ -431,6 +488,49 @@ object MixOps extends QueryModule {
          |            WHEN $splitBucketSql < 95 THEN 'val'
          |            ELSE 'test' END AS split
          |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_llm_span_corrupt" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, list_filter(string_split(text, ' '), x -> length(x) > 0) AS ts
+         |  FROM documents),
+         |tk AS (
+         |  SELECT doc_id, CAST(len(ts) AS BIGINT) AS n,
+         |         CAST(unnest(range(1, len(ts) + 1)) AS BIGINT) AS pos
+         |  FROM t),
+         |h AS (
+         |  SELECT doc_id, n, pos,
+         |         ((doc_id % ${ReplayableHash.P}) * 4099 + pos) % ${ReplayableHash.P} AS h0
+         |  FROM tk),
+         |st AS (
+         |  SELECT doc_id, pos,
+         |         least(pos + (($spanA1 * h0 + $spanB1) % ${ReplayableHash.P}) % $SpanMaxLen, n) AS send
+         |  FROM h
+         |  WHERE (($spanA0 * h0 + $spanB0) % ${ReplayableHash.P}) % $SpanRate = 0),
+         |mm AS (
+         |  SELECT DISTINCT doc_id, mpos FROM (
+         |    SELECT doc_id, unnest(generate_series(pos, send)) AS mpos FROM st)),
+         |i AS (
+         |  SELECT doc_id, mpos,
+         |         lag(mpos) OVER (PARTITION BY doc_id ORDER BY mpos) AS prev
+         |  FROM mm),
+         |ag AS (
+         |  SELECT doc_id,
+         |         CAST(count(*) AS BIGINT) AS n_masked,
+         |         CAST(sum(CASE WHEN prev IS NULL OR prev <> mpos - 1
+         |                       THEN 1 ELSE 0 END) AS BIGINT) AS n_spans
+         |  FROM i GROUP BY doc_id),
+         |nt AS (
+         |  SELECT doc_id,
+         |         CAST(len(list_filter(string_split(text, ' '), x -> length(x) > 0)) AS BIGINT) AS n_tokens
+         |  FROM documents)
+         |SELECT nt.doc_id, nt.n_tokens,
+         |       COALESCE(ag.n_spans, 0) AS n_spans,
+         |       COALESCE(ag.n_masked, 0) AS n_masked,
+         |       CASE WHEN nt.n_tokens > 0
+         |            THEN CAST(COALESCE(ag.n_masked, 0) AS DOUBLE) / nt.n_tokens
+         |       END AS mask_rate
+         |FROM nt LEFT JOIN ag USING (doc_id)
+         |ORDER BY nt.doc_id""".stripMargin,
 
     "q_llm_domain_mix" ->
       """WITH b AS (

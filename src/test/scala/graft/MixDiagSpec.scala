@@ -143,6 +143,42 @@ class MixDiagSpec extends SparkTestBase {
     } finally df.unpersist()
   }
 
+  test("span_corrupt equals a driver-side mask replay with exact island merge") {
+    import graft.functions.ReplayableHash
+    val P = ReplayableHash.P
+    val ps = ReplayableHash.params(2, salt = 10)
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val expected = docs.map { case (id, t) =>
+      val n = t.split(' ').count(_.nonEmpty)
+      val mask = collection.mutable.SortedSet[Long]()
+      for (pos <- 1 to n) {
+        val h0 = ((id % P) * 4099 + pos) % P
+        if ((ps(0)._1 * h0 + ps(0)._2) % P % graft.ops.MixOps.SpanRate == 0) {
+          val send = math.min(
+            pos + (ps(1)._1 * h0 + ps(1)._2) % P % graft.ops.MixOps.SpanMaxLen,
+            n.toLong)
+          (pos.toLong to send).foreach(mask += _)
+        }
+      }
+      val spans = mask.toSeq.foldLeft((0L, Long.MinValue)) {
+        case ((cnt, prev), p) => (if (p == prev + 1) cnt else cnt + 1, p)
+      }._1
+      (id, n.toLong, spans, mask.size.toLong,
+        if (n > 0) Some(mask.size.toDouble / n) else None)
+    }.sortBy(_._1).toSeq
+    val got = q("q_llm_span_corrupt").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        if (r.isNullAt(4)) None else Some(r.getDouble(4)))).toSeq
+    assert(got == expected, "mask layout differs from the driver replay")
+    // sanity: overall mask fraction in the designed band (rate 1/20,
+    // mean span 3 → ~14% before overlap merge)
+    val tot = expected.map(_._2).sum.toDouble
+    val msk = expected.map(_._4).sum.toDouble
+    assert(msk / tot > 0.05 && msk / tot < 0.3, s"mask rate ${msk / tot}")
+  }
+
   test("ohlc bars agree with a driver-side recomputation on the fixture") {
     val rows = q("q_ts_ohlc").collect()
     assert(rows.nonEmpty)
