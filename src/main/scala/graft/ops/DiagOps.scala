@@ -46,6 +46,22 @@ object DiagOps extends QueryModule {
     * the round-6 hash gate). */
   private[graft] val MomentSplit = 1073741824L // 2^30
 
+  /** q_ts_acf: max lag of the correlogram. */
+  private val AcfMaxLag = 5L
+
+  /** Shared ACF projection over (n, sx, sy, s{xx,yy,xy}{hi,lo}) — ONE
+    * formula string evaluated by both engines (the momentFormulas
+    * discipline), recombining the hi/lo-split second moments in doubles.
+    * Declared AFTER [[MomentSplit]]: object vals initialize in order, and
+    * a forward reference would bake 0 into the formula string. */
+  private val acfFormula: Seq[String] = {
+    val sxx = s"(sxxhi * $MomentSplit.0 + sxxlo)"
+    val syy = s"(syyhi * $MomentSplit.0 + syylo)"
+    val sxy = s"(sxyhi * $MomentSplit.0 + sxylo)"
+    val den = s"(sqrt($sxx - sx * sx / n) * sqrt($syy - sy * sy / n))"
+    Seq(s"CASE WHEN $den > 0 THEN ($sxy - sx * sy / n) / $den END AS acf")
+  }
+
   /** Shared skew/kurtosis projections over (n, s1d, s2d, s3hid, s3lod,
     * s4aad, s4abd, s4bbd) — ONE formula string evaluated by both engines
     * (Spark selectExpr and the DuckDB oracle), so the IEEE op sequence
@@ -362,6 +378,58 @@ object DiagOps extends QueryModule {
         .orderBy("event_type", "hour_idx")
     }),
 
+    // Sample autocorrelation (correlogram) of the hourly value series per
+    // event type, lags 1..5 — the seasonality/trend diagnostic read before
+    // any time-series feature join. Series = the ZERO-FILLED gapfill grid
+    // (lags are ill-defined over missing hours), so every window/join runs
+    // over the time-span-bounded grid, never event rows. Replay: hourly
+    // sums are exact 2-dec values ⇒ k = round(v·100) is an exact integer;
+    // lag pairs come from a grid self-join on (type, h−lag) (identical in
+    // both engines — no lag() asymmetry); second moments are hi/lo-split
+    // (div/% 2^30) DECIMAL(38,0) partial sums so each surfaces < 2^53
+    // (the q_agg_skew replay rule — a single sum would exceed 2^64 and
+    // diverge in ulps), recombined in ONE shared formula string evaluated
+    // by both engines. Bound: per-hour cent sums must stay < 3.03e9
+    // (|x·y| < 2^63) — ~$30M/hour at 2 decimals, 10^4× the ×10 fixture.
+    "q_ts_acf" -> ((s: SparkSession, dir: String) => {
+      val ev = table(s, dir, "events")
+        .withColumn("h", expr(s"unix_micros(ts) div $HourUs"))
+      val rng = ev.agg(min("h").as("h0"), max("h").as("h1"))
+      val grid = ev.select("event_type").distinct()
+        .crossJoin(broadcast(rng))
+        .select(col("event_type"), explode(expr("sequence(h0, h1)")).as("h"))
+      val actual = ev.groupBy("event_type", "h")
+        .agg(dsum(col("value")).as("sv"))
+      val g = grid.join(actual, Seq("event_type", "h"), "left")
+        .select(col("event_type"), col("h"),
+          expr("CAST(round(coalesce(sv, 0.0) * 100) AS BIGINT)").as("k"))
+      // lag fan-out via explode on the bounded grid (5 rows per grid row)
+      // — no broadcast-nested-loop join anywhere in the plan
+      val pairs = g
+        .withColumn("lag_h", explode(expr(
+          s"sequence(CAST(1 AS BIGINT), CAST($AcfMaxLag AS BIGINT))")))
+        .join(g.select(col("event_type").as("et2"), col("h").as("h2"),
+          col("k").as("k2")),
+          col("event_type") === col("et2") && col("h2") === col("h") - col("lag_h"))
+        .select(col("event_type"), col("lag_h"), col("k").as("x"), col("k2").as("y"))
+      val agg = pairs
+        .withColumn("pxx", col("x") * col("x"))
+        .withColumn("pyy", col("y") * col("y"))
+        .withColumn("pxy", col("x") * col("y"))
+        .groupBy("event_type", "lag_h")
+        .agg(asLong(count(lit(1))).as("n"),
+          sum(col("x")).cast("double").as("sx"),
+          sum(col("y")).cast("double").as("sy"),
+          sum(expr(s"pxx div $MomentSplit").cast("decimal(38,0)")).cast("double").as("sxxhi"),
+          sum(expr(s"pxx % $MomentSplit").cast("decimal(38,0)")).cast("double").as("sxxlo"),
+          sum(expr(s"pyy div $MomentSplit").cast("decimal(38,0)")).cast("double").as("syyhi"),
+          sum(expr(s"pyy % $MomentSplit").cast("decimal(38,0)")).cast("double").as("syylo"),
+          sum(expr(s"pxy div $MomentSplit").cast("decimal(38,0)")).cast("double").as("sxyhi"),
+          sum(expr(s"pxy % $MomentSplit").cast("decimal(38,0)")).cast("double").as("sxylo"))
+      agg.selectExpr(Seq("event_type", "lag_h", "n") ++ acfFormula: _*)
+        .orderBy("event_type", "lag_h")
+    }),
+
     // OHLC downsampling bars: per (event_type, hour) the open/high/low/
     // close/volume summary a time-series feature store serves. PURE
     // AGGREGATION — no window, no row shuffle: open/close are min_by/
@@ -535,6 +603,42 @@ object DiagOps extends QueryModule {
          |                 * (CAST(h - prev_h AS DOUBLE) / (next_h - prev_h))
          |       END AS value_interp
          |FROM w ORDER BY event_type, hour_idx""".stripMargin,
+
+    "q_ts_acf" ->
+      s"""WITH e AS (
+         |  SELECT event_type, epoch_us(ts) // $HourUs AS h, value FROM events),
+         |r AS (SELECT min(h) AS h0, max(h) AS h1 FROM e),
+         |g0 AS (
+         |  SELECT t.event_type, unnest(generate_series(r.h0, r.h1)) AS h
+         |  FROM (SELECT DISTINCT event_type FROM e) t CROSS JOIN r),
+         |a AS (
+         |  SELECT event_type, h,
+         |         CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sv
+         |  FROM e GROUP BY event_type, h),
+         |g AS MATERIALIZED (
+         |  SELECT g0.event_type, g0.h,
+         |         CAST(round(COALESCE(a.sv, 0.0) * 100) AS BIGINT) AS k
+         |  FROM g0 LEFT JOIN a USING (event_type, h)),
+         |l AS (SELECT unnest(generate_series(1, $AcfMaxLag)) AS lag_h),
+         |p AS (
+         |  SELECT x.event_type, l.lag_h, x.k AS x, y.k AS y
+         |  FROM g x CROSS JOIN l
+         |  JOIN g y ON y.event_type = x.event_type AND y.h = x.h - l.lag_h),
+         |m AS (
+         |  SELECT event_type, CAST(lag_h AS BIGINT) AS lag_h,
+         |         CAST(count(*) AS BIGINT) AS n,
+         |         CAST(sum(x) AS DOUBLE) AS sx,
+         |         CAST(sum(y) AS DOUBLE) AS sy,
+         |         CAST(sum(CAST((x * x) // $MomentSplit AS DECIMAL(38,0))) AS DOUBLE) AS sxxhi,
+         |         CAST(sum(CAST((x * x) % $MomentSplit AS DECIMAL(38,0))) AS DOUBLE) AS sxxlo,
+         |         CAST(sum(CAST((y * y) // $MomentSplit AS DECIMAL(38,0))) AS DOUBLE) AS syyhi,
+         |         CAST(sum(CAST((y * y) % $MomentSplit AS DECIMAL(38,0))) AS DOUBLE) AS syylo,
+         |         CAST(sum(CAST((x * y) // $MomentSplit AS DECIMAL(38,0))) AS DOUBLE) AS sxyhi,
+         |         CAST(sum(CAST((x * y) % $MomentSplit AS DECIMAL(38,0))) AS DOUBLE) AS sxylo
+         |  FROM p GROUP BY event_type, lag_h)
+         |SELECT event_type, lag_h, n,
+         |       ${acfFormula.mkString(",\n       ")}
+         |FROM m ORDER BY event_type, lag_h""".stripMargin,
 
     "q_ts_ohlc" ->
       s"""WITH e AS (

@@ -143,6 +143,41 @@ class MixDiagSpec extends SparkTestBase {
     } finally df.unpersist()
   }
 
+  test("acf matches a naive driver-side correlogram and is structurally sane") {
+    val rows = q("q_ts_acf").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3))))
+    assert(rows.nonEmpty)
+    // driver-side series replay: zero-filled hourly cent sums per type
+    val ev = graft.ops.table(spark, sfDir, "events")
+      .select(expr("unix_micros(ts) div 3600000000").as("h"),
+        col("event_type"), col("value")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    val (h0, h1) = (ev.map(_._1).min, ev.map(_._1).max)
+    val series = ev.groupBy(_._2).map { case (t, es) =>
+      val sums = es.groupBy(_._1).view.mapValues(
+        _.map(e => BigDecimal(e._3).setScale(4, BigDecimal.RoundingMode.HALF_UP))
+          .sum).toMap
+      t -> (h0 to h1).map(h =>
+        (sums.getOrElse(h, BigDecimal(0)) * 100).toLong).toArray
+    }
+    rows.foreach { case (t, lagH, n, acf) =>
+      val v = series(t)
+      assert(n == v.length - lagH, "one pair per overlapping grid hour")
+      val xs = v.drop(lagH.toInt).map(_.toDouble)
+      val ys = v.dropRight(lagH.toInt).map(_.toDouble)
+      val (mx, my) = (xs.sum / n, ys.sum / n)
+      val den = math.sqrt(xs.map(x => (x - mx) * (x - mx)).sum) *
+        math.sqrt(ys.map(y => (y - my) * (y - my)).sum)
+      if (den > 0) {
+        val expected = xs.zip(ys).map { case (x, y) => (x - mx) * (y - my) }.sum / den
+        assert(math.abs(acf.get - expected) < 1e-6,
+          s"$t lag $lagH: ${acf.get} vs naive $expected")
+        assert(acf.get >= -1.0 - 1e-9 && acf.get <= 1.0 + 1e-9)
+      } else assert(acf.isEmpty)
+    }
+  }
+
   test("span_corrupt equals a driver-side mask replay with exact island merge") {
     import graft.functions.ReplayableHash
     val P = ReplayableHash.P
