@@ -52,6 +52,18 @@ object GraphOps extends QueryModule {
     * baskets are ≤7 items so the fixtures are uncapped in practice. */
   private[graft] val MaxBasket = 32
 
+  /** BFS "infinity" sentinel (unreached) — additive-safe (INF+1 is far
+    * from BIGINT overflow) and far above any real hop count. */
+  private[graft] val BfsInf = 1000000000L
+
+  /** Unroll depth of the BFS ORACLE stages: the engine relaxes to the
+    * FIXPOINT with early exit (and refuses non-convergence), so engine ≡
+    * oracle whenever the plain unroll converges too. Measured relax depth
+    * (incl. the confirming round) is 4 (sf0.001) / 8 (sf0.01) / 12
+    * (sf0.1); 20 carries margin (the CcIters discipline — a deeper
+    * fixture fails the hash gate loudly). */
+  private[graft] val BfsIters = 20
+
   /** k-core threshold: the peel keeps the maximal subgraph where every
     * node has ≥ [[KCoreK]] surviving mutual-KNN neighbors — the standard
     * "dense cohesive region" extraction (cores survive hub removal where
@@ -119,6 +131,24 @@ object GraphOps extends QueryModule {
     mutualKnnCache.clear()
     labelCache.clear()
     kcoreCache.clear()
+    bfsCache.clear()
+  }
+
+  /** Memoized min-id-source BFS distances per fixture digest. */
+  private val bfsCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  private[graft] def bfsDistFor(s: SparkSession, dir: String): DataFrame = {
+    val key = System.identityHashCode(s.sparkContext).toString + "|" +
+      SourceSinkOps.fixtureKey(dir, "lineitem.parquet")
+    bfsCache.computeIfAbsent(key, { _ =>
+      val e = mutualKnnEdges(s, dir)
+      val arcs = e.select(col("u").as("src"), col("v").as("dst"))
+        .union(e.select(col("v").as("src"), col("u").as("dst")))
+      val srcRow = arcs.agg(min(col("src"))).head()
+      val srcNode = if (srcRow.isNullAt(0)) 0L else srcRow.getLong(0)
+      bfsRounds(arcs, srcNode)
+    })
   }
 
   /** Memoized [[KCoreK]]-core arc set per fixture digest — the same
@@ -287,6 +317,56 @@ object GraphOps extends QueryModule {
         .select(col("a.src").as("u"), col("a.dst").as("v"))
         .localCheckpoint(true)
     })
+  }
+
+  /** Single-source BFS hop distances over arbitrary arcs, as Bellman-Ford
+    * relax rounds to the FIXPOINT — the [[minLabelRounds]] shape with
+    * (d+1) messages: every node starts at [[BfsInf]] except the source at
+    * 0, each round takes `least(d, min over in-neighbors d+1)` via one
+    * arc-sized message join + map-side-combinable min + node-sized rejoin
+    * (the union+min shape is deliberately avoided — Spark 4.1's
+    * UnionBase.rewriteConstraints trap). One job per round: labels persist
+    * as a row RDD with the (count, exact-BigInt-sum) convergence checksum
+    * computed in the same action. Returns (node, d); unreached nodes keep
+    * [[BfsInf]]. */
+  private[graft] def bfsRounds(arcs: DataFrame, srcNode: Long,
+      maxRounds: Int = CcMaxRounds): DataFrame = {
+    val spark = arcs.sparkSession
+    var prevRdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = null
+    def materialize(df: DataFrame): (DataFrame, BigInt) = {
+      val rdd = df.rdd
+      rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val s = rdd.mapPartitions { it =>
+        var acc = BigInt(0); it.foreach(r => acc += r.getLong(1)); Iterator(acc)
+      }.fold(BigInt(0))(_ + _)
+      if (prevRdd != null) prevRdd.unpersist(blocking = false)
+      prevRdd = rdd
+      (spark.createDataFrame(rdd, df.schema), s)
+    }
+    var (dist, checksum) = materialize(
+      arcs.select(col("src").as("node")).distinct()
+        .withColumn("d",
+          when(col("node") === srcNode, 0L).otherwise(BfsInf)))
+    var converged = dist.isEmpty
+    var it = 0
+    while (!converged && it < maxRounds) {
+      val msg = arcs.join(dist, arcs("src") === dist("node"))
+        .groupBy(arcs("dst").as("mnode")).agg(min(col("d") + 1L).as("m"))
+      val (next, nextSum) = materialize(
+        dist.join(msg, dist("node") === msg("mnode"))
+          .select(col("node"), least(col("d"), col("m")).as("d")))
+      dist = next
+      converged = nextSum == checksum
+      checksum = nextSum
+      it += 1
+    }
+    if (sys.env.get("SPARK_GRAFT_DEBUG").contains("1"))
+      System.err.println(s"[bfs] relax rounds: $it (converged=$converged)")
+    if (!converged)
+      throw new IllegalStateException(
+        s"BFS relaxation did not converge in $maxRounds rounds; refusing " +
+          "to return non-fixpoint distances")
+    dist
   }
 
   /** Min-label FIXPOINT over arbitrary undirected arcs — returns
@@ -464,6 +544,21 @@ object GraphOps extends QueryModule {
         .orderBy("degree")
     }),
 
+    // Single-source BFS hop layers from the deterministic min-id node of
+    // the mutual-KNN graph: how much of the catalog is reachable in k
+    // hops — the neighborhood-growth report (and the third iterative
+    // shape alongside min-label relax and the k-core peel). Unreached
+    // nodes (other components) report hops = -1. Engine: Bellman-Ford
+    // relax to the fixpoint (memoized per fixture digest); oracle:
+    // BfsIters plain rounds unrolled.
+    "q_graph_bfs" -> ((s: SparkSession, dir: String) => {
+      bfsDistFor(s, dir)
+        .groupBy("d").agg(asLong(count(lit(1))).as("n_nodes"))
+        .select(when(col("d") === BfsInf, -1L).otherwise(col("d"))
+          .cast("long").as("hops"), col("n_nodes"))
+        .orderBy("hops")
+    }),
+
     // Node similarity ("customers also bought"): neighbor-set Jaccard over
     // the mutual-KNN graph. Candidate pairs are the two-hop wedges — parts
     // sharing ≥1 neighbor — so pair work is n·K²-bounded like triangles,
@@ -589,7 +684,39 @@ object GraphOps extends QueryModule {
          |  JOIN d$k b ON t.dst = b.src AND b.c >= $KCoreK)""".stripMargin
     }.mkString(",\n")
 
+  /** Unrolled BFS relax stages b1 … b[[BfsIters]] over `b0` — ccStagesCte
+    * with (d+1) messages; every stage MATERIALIZED (each referenced
+    * twice). */
+  private def bfsStagesCte: String =
+    (1 to BfsIters).map { k =>
+      s"""bm$k AS MATERIALIZED (
+         |  SELECT e.dst AS node, min(l.d + 1) AS m
+         |  FROM arcs e JOIN b${k - 1} l ON e.src = l.node
+         |  GROUP BY e.dst),
+         |b$k AS MATERIALIZED (
+         |  SELECT l.node, least(l.d, m.m) AS d
+         |  FROM b${k - 1} l JOIN bm$k m ON l.node = m.node)""".stripMargin
+    }.mkString(",\n")
+
   def oracle: Seq[(String, String)] = Seq(
+    "q_graph_bfs" ->
+      s"""WITH $copurchaseCte,
+         |$mutualKnnCte,
+         |arcs AS MATERIALIZED (
+         |  SELECT u AS src, v AS dst FROM e
+         |  UNION ALL
+         |  SELECT v AS src, u AS dst FROM e),
+         |sr AS (SELECT min(src) AS s FROM arcs),
+         |b0 AS MATERIALIZED (
+         |  SELECT t.node,
+         |         CASE WHEN t.node = sr.s THEN CAST(0 AS BIGINT)
+         |              ELSE CAST($BfsInf AS BIGINT) END AS d
+         |  FROM (SELECT DISTINCT src AS node FROM arcs) t CROSS JOIN sr),
+         |$bfsStagesCte
+         |SELECT CAST(CASE WHEN d = $BfsInf THEN -1 ELSE d END AS BIGINT) AS hops,
+         |       CAST(count(*) AS BIGINT) AS n_nodes
+         |FROM b$BfsIters GROUP BY 1 ORDER BY hops""".stripMargin,
+
     "q_graph_kcore" ->
       s"""WITH $copurchaseCte,
          |$mutualKnnCte,

@@ -194,6 +194,29 @@ class GraphSpec extends SparkTestBase {
     assert(got.forall(_._1 >= GraphOps.KCoreK))
   }
 
+  test("bfs layers equal a brute-force queue BFS from the min-id node") {
+    val nbr = scala.collection.mutable.Map[Long, Set[Long]]()
+      .withDefaultValue(Set.empty)
+    mutualEdges.foreach { case (u, v) =>
+      nbr(u) = nbr(u) + v; nbr(v) = nbr(v) + u
+    }
+    val src = nbr.keys.min
+    val dist = scala.collection.mutable.Map(src -> 0L)
+    var frontier = List(src)
+    while (frontier.nonEmpty) {
+      frontier = frontier.flatMap(u => nbr(u).filterNot(dist.contains)
+        .map { v => dist(v) = dist(u) + 1; v })
+    }
+    val expected = nbr.keys.toSeq
+      .map(n => dist.getOrElse(n, -1L)).groupBy(identity)
+      .map { case (h, xs) => (h, xs.size.toLong) }.toSeq.sortBy(_._1)
+    val got = q("q_graph_bfs").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == expected, "hop histogram differs from queue BFS")
+    // source layer is exactly one node at hops 0
+    assert(got.exists(r => r._1 == 0L && r._2 == 1L))
+  }
+
   test("degree profile counts every node once and every arc twice") {
     val rows = q("q_graph_degree").collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
