@@ -84,6 +84,10 @@ object ReplayableHash extends Serializable {
   /** SimHash bit family (one parity per bit, up to 64 bits). */
   val SimHashParams: IndexedSeq[(Long, Long)] = params(64, salt = 2)
 
+  /** Count-Min row-hash family (q_agg_countmin; salt 11 — see the salt
+    * registry in CLAUDE.md). Depth 4: one affine hash per sketch row. */
+  val CountMinParams: IndexedSeq[(Long, Long)] = params(4, salt = 11)
+
   // ---- DuckDB SQL twins (generated from the same constants) --------------
 
   /** SQL computing [[tokenHash]] of a string expression. */

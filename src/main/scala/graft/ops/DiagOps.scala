@@ -4,6 +4,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.functions.ReplayableHash
+
 /** Dataset-diagnostics operators (SURVEY §2B "LLM-pipeline extensions",
   * round 6): column profiling, heavy-hitter / skew analysis, robust-stats
   * outlier flagging, exact distributed winsorization, and time-series
@@ -48,6 +50,21 @@ object DiagOps extends QueryModule {
 
   /** q_ts_acf: max lag of the correlogram. */
   private val AcfMaxLag = 5L
+
+  /** q_ts_ewma: truncated-window length K — the smoother reads the K most
+    * recent grid hours with geometric weights 2^(K-1-lag) (α = 1/2). */
+  private val EwmaLags = 8L
+
+  /** q_agg_countmin: sketch depth (rows — one [[ReplayableHash]] affine
+    * hash each, salt 11) and width (columns per row). */
+  private val CmDepth = 4
+  private val CmWidth = 512L
+
+  /** Shared EWMA projection over (num, den) — ONE formula string evaluated
+    * by both engines. num ≤ 255 × per-hour cent sum stays < 2^53 at any
+    * recorded fixture scale, so the BIGINT→DOUBLE casts are exact; /100.0
+    * restores dollars from cents. */
+  private val ewmaFormula = "CAST(num AS DOUBLE) / den / 100.0 AS ewma"
 
   /** Shared ACF projection over (n, sx, sy, s{xx,yy,xy}{hi,lo}) — ONE
     * formula string evaluated by both engines (the momentFormulas
@@ -458,6 +475,83 @@ object DiagOps extends QueryModule {
           col("n_events"), col("open"), col("high"), col("low"),
           col("close"), col("volume"))
         .orderBy("event_type", "hour_idx")
+    }),
+
+    // Truncated EWMA smoothing of the zero-filled hourly value series per
+    // event type — the trend/denoise pass before anomaly thresholds or
+    // forecast features. Window = the K=8 most recent grid hours with
+    // geometric weights 2^(K-1-lag) (α = 1/2), renormalized over the lags
+    // actually present near the series start (standard adjusted-EWMA). All
+    // joins/windows run over the time-span-bounded grid (the q_ts_acf
+    // shape), never event rows. Replay: cent values and power-of-two
+    // weights are exact integers; num = Σ w·k ≤ 255 × per-hour cent sum
+    // < 2^53 ⇒ the final DOUBLE casts and the shared division formula are
+    // IEEE-exact in both engines.
+    "q_ts_ewma" -> ((s: SparkSession, dir: String) => {
+      val ev = table(s, dir, "events")
+        .withColumn("h", expr(s"unix_micros(ts) div $HourUs"))
+      val rng = ev.agg(min("h").as("h0"), max("h").as("h1"))
+      val grid = ev.select("event_type").distinct()
+        .crossJoin(broadcast(rng))
+        .select(col("event_type"), explode(expr("sequence(h0, h1)")).as("h"))
+      val actual = ev.groupBy("event_type", "h")
+        .agg(dsum(col("value")).as("sv"))
+      val g = grid.join(actual, Seq("event_type", "h"), "left")
+        .select(col("event_type"), col("h"),
+          expr("CAST(round(coalesce(sv, 0.0) * 100) AS BIGINT)").as("k"))
+      val pairs = g
+        .withColumn("lag_h", explode(expr(
+          s"sequence(CAST(0 AS BIGINT), CAST(${EwmaLags - 1} AS BIGINT))")))
+        .join(g.select(col("event_type").as("et2"), col("h").as("h2"),
+          col("k").as("k2")),
+          col("event_type") === col("et2") && col("h2") === col("h") - col("lag_h"))
+        .select(col("event_type"), col("h"),
+          expr(s"shiftleft(CAST(1 AS BIGINT), " +
+            s"CAST(${EwmaLags - 1} - lag_h AS INT))").as("w"),
+          col("k2"))
+      pairs.groupBy("event_type", "h")
+        .agg(asLong(count(lit(1))).as("n_lags"),
+          sum(col("w") * col("k2")).as("num"),
+          sum(col("w")).as("den"))
+        .selectExpr("event_type", "CAST(h AS BIGINT) AS hour_idx", "n_lags",
+          ewmaFormula)
+        .orderBy("event_type", "hour_idx")
+    }),
+
+    // Count-Min sketch over the l_partkey frequency stream — the bounded-
+    // memory frequency estimator a 100 TB pipeline keeps when the exact
+    // per-key relation is too large to hold (the streaming-side twin of
+    // q_agg_heavy_hitters' exact counts). The sketch is DETERMINISTIC
+    // (ReplayableHash affine rows, salt 11), so unlike the HLL/GK sketches
+    // this "approximate" operator has an EXACT DuckDB oracle: both engines
+    // build the identical d×w = 4×512 counter table and read the identical
+    // min-over-rows estimates; the output quantifies the overestimate
+    // (est − true ≥ 0 always, the CM guarantee — spec-pinned). Scale: the
+    // exact per-key relation collapses in a hash agg FIRST (O(#keys) rows,
+    // never O(#rows)); the 4-row param relation and the ≤2048-row cell
+    // table broadcast; mod-P before multiply keeps a·(key%P)+b < P² < 2^63
+    // at any key domain (the round-7 replay rule).
+    "q_agg_countmin" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val P = ReplayableHash.P
+      val prel = ReplayableHash.CountMinParams.zipWithIndex
+        .map { case ((a, b), k) => (k.toLong, a, b) }.toDF("r", "a", "b")
+      val freq = table(s, dir, "lineitem")
+        .groupBy("l_partkey").agg(count(lit(1)).as("c"))
+      val col512 = expr(s"((a * (l_partkey % $P) + b) % $P) % $CmWidth")
+      val cells = freq.crossJoin(broadcast(prel))
+        .withColumn("cm_col", col512)
+        .groupBy("r", "cm_col").agg(sum(col("c")).as("cell"))
+      val top = freq.orderBy(desc("c"), asc("l_partkey")).limit(20)
+      top.crossJoin(broadcast(prel))
+        .withColumn("cm_col", col512)
+        .join(broadcast(cells), Seq("r", "cm_col"))
+        .groupBy("l_partkey", "c")
+        .agg(min(col("cell")).as("c_est"))
+        .select(col("l_partkey"), col("c").as("c_true"),
+          asLong(col("c_est")).as("c_est"),
+          asLong(col("c_est") - col("c")).as("overest"))
+        .orderBy(desc("c_true"), asc("l_partkey"))
     })
   )
 
@@ -653,6 +747,59 @@ object DiagOps extends QueryModule {
          |       min(value) AS low,
          |       arg_max(value, okey) AS close,
          |       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS volume
-         |FROM e GROUP BY event_type, h ORDER BY event_type, hour_idx""".stripMargin
+         |FROM e GROUP BY event_type, h ORDER BY event_type, hour_idx""".stripMargin,
+
+    "q_ts_ewma" ->
+      s"""WITH e AS (
+         |  SELECT event_type, epoch_us(ts) // $HourUs AS h, value FROM events),
+         |r AS (SELECT min(h) AS h0, max(h) AS h1 FROM e),
+         |g0 AS (
+         |  SELECT t.event_type, unnest(generate_series(r.h0, r.h1)) AS h
+         |  FROM (SELECT DISTINCT event_type FROM e) t CROSS JOIN r),
+         |a AS (
+         |  SELECT event_type, h,
+         |         CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sv
+         |  FROM e GROUP BY event_type, h),
+         |g AS MATERIALIZED (
+         |  SELECT g0.event_type, g0.h,
+         |         CAST(round(COALESCE(a.sv, 0.0) * 100) AS BIGINT) AS k
+         |  FROM g0 LEFT JOIN a USING (event_type, h)),
+         |l AS (SELECT unnest(generate_series(0, ${EwmaLags - 1})) AS lag_h),
+         |p AS (
+         |  SELECT x.event_type, x.h,
+         |         (CAST(1 AS BIGINT) << CAST(${EwmaLags - 1} - l.lag_h AS INTEGER)) AS w,
+         |         y.k AS k2
+         |  FROM g x CROSS JOIN l
+         |  JOIN g y ON y.event_type = x.event_type AND y.h = x.h - l.lag_h),
+         |m AS (
+         |  SELECT event_type, h, CAST(count(*) AS BIGINT) AS n_lags,
+         |         CAST(sum(w * k2) AS BIGINT) AS num,
+         |         CAST(sum(w) AS BIGINT) AS den
+         |  FROM p GROUP BY event_type, h)
+         |SELECT event_type, h AS hour_idx, n_lags,
+         |       $ewmaFormula
+         |FROM m ORDER BY event_type, hour_idx""".stripMargin,
+
+    "q_agg_countmin" -> {
+      val P = ReplayableHash.P
+      s"""WITH c AS (
+         |  SELECT l_partkey, CAST(count(*) AS BIGINT) AS c
+         |  FROM lineitem GROUP BY l_partkey),
+         |pr AS ${ReplayableHash.paramsSql(ReplayableHash.CountMinParams, CmDepth, "v")},
+         |cells AS MATERIALIZED (
+         |  SELECT pr.k AS r, ((pr.a * (c.l_partkey % $P) + pr.b) % $P) % $CmWidth AS cm_col,
+         |         CAST(sum(c.c) AS BIGINT) AS cell
+         |  FROM c CROSS JOIN pr GROUP BY 1, 2),
+         |top AS (SELECT l_partkey, c FROM c ORDER BY c DESC, l_partkey LIMIT 20),
+         |est AS (
+         |  SELECT t.l_partkey, t.c, min(cells.cell) AS c_est
+         |  FROM top t CROSS JOIN pr
+         |  JOIN cells ON cells.r = pr.k
+         |   AND cells.cm_col = ((pr.a * (t.l_partkey % $P) + pr.b) % $P) % $CmWidth
+         |  GROUP BY t.l_partkey, t.c)
+         |SELECT l_partkey, c AS c_true, CAST(c_est AS BIGINT) AS c_est,
+         |       CAST(c_est - c AS BIGINT) AS overest
+         |FROM est ORDER BY c_true DESC, l_partkey""".stripMargin
+    }
   )
 }

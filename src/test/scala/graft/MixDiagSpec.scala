@@ -214,6 +214,77 @@ class MixDiagSpec extends SparkTestBase {
     assert(msk / tot > 0.05 && msk / tot < 0.3, s"mask rate ${msk / tot}")
   }
 
+  test("countmin estimates replay exactly and honor the CM guarantees") {
+    import graft.functions.ReplayableHash
+    val P = ReplayableHash.P
+    val ps = ReplayableHash.CountMinParams
+    val counts = graft.ops.table(spark, sfDir, "lineitem")
+      .groupBy("l_partkey").count().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    // driver-side sketch replay: 4×512 counters, min over rows
+    val cells = collection.mutable.Map[(Int, Long), Long]().withDefaultValue(0L)
+    counts.foreach { case (k, c) =>
+      ps.zipWithIndex.foreach { case ((a, b), r) =>
+        cells((r, (a * (k % P) + b) % P % 512)) += c
+      }
+    }
+    def est(k: Long): Long = ps.zipWithIndex.map { case ((a, b), r) =>
+      cells((r, (a * (k % P) + b) % P % 512))
+    }.min
+    val rows = q("q_agg_countmin").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.length == 20)
+    val n = counts.values.sum
+    rows.foreach { case (k, cTrue, cEst, over) =>
+      assert(cTrue == counts(k))
+      assert(cEst == est(k), s"key $k: sketch read differs from replay")
+      assert(over == cEst - cTrue && over >= 0, "CM never underestimates")
+      // deterministic worst-case: one row's collision mass is bounded by
+      // the total stream count; in practice (4 rows, 512 cols, ~2k keys)
+      // the min-row overestimate stays well under N/width × depth
+      assert(over <= 4L * n / 512L, s"key $k overestimate $over implausible")
+    }
+    // the top-20 set is the exact heavy-hitter head, same order
+    val expectTop = counts.toSeq.sortBy { case (k, c) => (-c, k) }.take(20)
+    assert(rows.map(r => (r._1, r._2)).toSeq == expectTop)
+  }
+
+  test("ewma equals a driver-side truncated geometric-weight replay") {
+    val rows = q("q_ts_ewma").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    // driver-side series replay: zero-filled hourly cent sums per type
+    val ev = graft.ops.table(spark, sfDir, "events")
+      .select(expr("unix_micros(ts) div 3600000000").as("h"),
+        col("event_type"), col("value")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    val (h0, h1) = (ev.map(_._1).min, ev.map(_._1).max)
+    val series = ev.groupBy(_._2).map { case (t, es) =>
+      val sums = es.groupBy(_._1).view.mapValues(
+        _.map(e => BigDecimal(e._3).setScale(4, BigDecimal.RoundingMode.HALF_UP))
+          .sum).toMap
+      t -> (h0 to h1).map(h =>
+        (sums.getOrElse(h, BigDecimal(0)) * 100).toLong).toArray
+    }
+    val nHours = (h1 - h0 + 1)
+    assert(rows.length == series.size * nHours, "one row per grid cell")
+    rows.foreach { case (t, hourIdx, nLags, ewma) =>
+      val v = series(t)
+      val i = (hourIdx - h0).toInt
+      val lags = (0 until math.min(8, i + 1)).toSeq
+      assert(nLags == lags.length, "lag count adapts near the series start")
+      val num = lags.map(l => (1L << (7 - l)) * v(i - l)).sum
+      val den = lags.map(l => 1L << (7 - l)).sum
+      assert(ewma == num.toDouble / den / 100.0,
+        s"$t hour $hourIdx: $ewma vs naive ${num.toDouble / den / 100.0}")
+    }
+    // smoothing sanity: the EWMA series has no larger range than the raw one
+    series.foreach { case (t, v) =>
+      val sm = rows.filter(_._1 == t).map(_._4)
+      assert(sm.max <= v.max / 100.0 + 1e-9 && sm.min >= v.min / 100.0 - 1e-9)
+    }
+  }
+
   test("ohlc bars agree with a driver-side recomputation on the fixture") {
     val rows = q("q_ts_ohlc").collect()
     assert(rows.nonEmpty)
