@@ -19,6 +19,18 @@ object AnalyticsOps extends QueryModule {
   private val DayUs = 86400L * 1000000L
   private[graft] val SessionGapUs = 30L * 60L * 1000000L
 
+  /** q_analytics_basket: minimum pair support (baskets containing both). */
+  private val BasketMinSupport = 2L
+
+  /** Shared association-rule projections over (sab, sa, sb, n) — ONE
+    * formula string evaluated by both engines. At fixture scales every
+    * product stays < 2^53 so the DOUBLE chain is exact; at 100 TB the
+    * multiply-then-divide order degrades gracefully (doubles, not BIGINT
+    * overflow — sab·n would exceed 2^63 as an integer). */
+  private val basketFormulas = Seq(
+    "CAST(sab AS DOUBLE) / sa AS confidence",
+    "CAST(sab AS DOUBLE) * n / sa / sb AS lift")
+
   /** Last-touch attribution over an arbitrary events frame (user_id, ts,
     * event_id, event_type, value) — the q_analytics_attribution primitive,
     * exposed for [[graft.Pipelines]]. See the query comment for the
@@ -138,6 +150,40 @@ object AnalyticsOps extends QueryModule {
           col("start_us"), col("end_us"),
           (col("end_us") - col("start_us")).as("duration_us"))
         .orderBy("user_id", "session_n")
+    }),
+
+    // Market-basket association rules over order baskets: the top-25 part
+    // pairs by lift (with support + confidence) among pairs co-purchased in
+    // ≥ 2 orders — the co-occurrence mining pass of a recommendations /
+    // curriculum pipeline. Scale: the pair generation is a self-join of the
+    // DISTINCT (order, part) relation on the ORDER key — the equi bucket is
+    // the basket, whose size is bounded by order width (≤ 13 distinct parts
+    // on the fixture), never per-part density, so per-key work is O(width²)
+    // at any corpus size (the SCALING.md pairing rule). Support rejoins are
+    // plain shuffled joins on the part key (O(#parts) rows — deliberately
+    // NOT broadcast, the dup_clusters rule); the order count is a broadcast
+    // 1-row relation. Lift/confidence evaluate via ONE shared formula
+    // string, and the top-25 rides TakeOrderedAndProject with a unique
+    // (lift, part_a, part_b) tie-broken total order.
+    "q_analytics_basket" -> ((s: SparkSession, dir: String) => {
+      val baskets = table(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+      val nOrders = baskets.agg(count_distinct(col("ok")).as("n"))
+      val supp = baskets.groupBy("pk").agg(count(lit(1)).as("s"))
+      val pairs = baskets
+        .join(baskets.select(col("ok"), col("pk").as("pk2")), "ok")
+        .where(col("pk") < col("pk2"))
+        .groupBy("pk", "pk2").agg(count(lit(1)).as("sab"))
+        .where(col("sab") >= BasketMinSupport)
+      pairs
+        .join(supp.select(col("pk"), col("s").as("sa")), "pk")
+        .join(supp.select(col("pk").as("pk2"), col("s").as("sb")), "pk2")
+        .crossJoin(broadcast(nOrders))
+        .selectExpr(Seq("pk AS part_a", "pk2 AS part_b", "sab AS supp_pair",
+          "sa AS supp_a", "sb AS supp_b") ++ basketFormulas: _*)
+        .orderBy(desc("lift"), asc("part_a"), asc("part_b"))
+        .limit(25)
     })
   )
 
@@ -223,6 +269,25 @@ object AnalyticsOps extends QueryModule {
          |       min(t_us) AS start_us, max(t_us) AS end_us,
          |       max(t_us) - min(t_us) AS duration_us
          |FROM sn GROUP BY user_id, session_n
-         |ORDER BY user_id, session_n""".stripMargin
+         |ORDER BY user_id, session_n""".stripMargin,
+
+    "q_analytics_basket" ->
+      s"""WITH b AS MATERIALIZED (
+         |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+         |nq AS (SELECT CAST(count(DISTINCT ok) AS BIGINT) AS n FROM b),
+         |s AS MATERIALIZED (
+         |  SELECT pk, CAST(count(*) AS BIGINT) AS s FROM b GROUP BY pk),
+         |p AS (
+         |  SELECT a.pk AS pk, b2.pk AS pk2, CAST(count(*) AS BIGINT) AS sab
+         |  FROM b a JOIN b b2 ON b2.ok = a.ok AND a.pk < b2.pk
+         |  GROUP BY 1, 2 HAVING count(*) >= $BasketMinSupport),
+         |j AS (
+         |  SELECT p.pk AS part_a, p.pk2 AS part_b, p.sab AS sab,
+         |         sa.s AS sa, sb.s AS sb, nq.n AS n
+         |  FROM p JOIN s sa ON sa.pk = p.pk
+         |         JOIN s sb ON sb.pk = p.pk2 CROSS JOIN nq)
+         |SELECT part_a, part_b, sab AS supp_pair, sa AS supp_a, sb AS supp_b,
+         |       ${basketFormulas.mkString(",\n       ")}
+         |FROM j ORDER BY lift DESC, part_a, part_b LIMIT 25""".stripMargin
   )
 }

@@ -104,4 +104,30 @@ class AnalyticsSpec extends SparkTestBase {
       }
     }
   }
+
+  test("basket rules equal a driver-side support/confidence/lift replay") {
+    val rows = q("q_analytics_basket").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5), r.getDouble(6)))
+    assert(rows.nonEmpty && rows.length <= 25)
+    val baskets = graft.ops.table(spark, sfDir, "lineitem")
+      .select("l_orderkey", "l_partkey").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val n = baskets.map(_._1).distinct.length.toLong
+    val supp = baskets.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val pairSupp = baskets.groupBy(_._1).values.flatMap { bs =>
+      val ps = bs.map(_._2).distinct.sorted
+      for (i <- ps.indices; j <- i + 1 until ps.length) yield (ps(i), ps(j))
+    }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val expected = pairSupp.toSeq.collect { case ((a, b), sab) if sab >= 2 =>
+      (a, b, sab, supp(a), supp(b), sab.toDouble / supp(a),
+        sab.toDouble * n / supp(a) / supp(b))
+    }.sortBy { case (a, b, _, _, _, _, l) => (-l, a, b) }.take(25)
+    assert(rows.toSeq == expected, "rule set differs from the naive replay")
+    // semantic sanity: confidence ≤ 1, supports consistent, top rule lifts
+    rows.foreach { case (_, _, sab, sa, sb, conf, lift) =>
+      assert(sab <= sa && sab <= sb && conf <= 1.0 + 1e-12)
+      assert(lift > 0.0)
+    }
+  }
 }
