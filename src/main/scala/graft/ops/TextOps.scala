@@ -111,6 +111,30 @@ object TextOps extends QueryModule {
       .join(per, Seq("doc_id"))
   }
 
+  /** q_text_bm25: the fixed query terms (fixture mid-frequency vocabulary)
+    * in term_id order — the per-doc score adds the per-term partials in
+    * THIS order, so it is part of the replay contract. */
+  private val Bm25Terms = Seq("spark", "hash", "merge", "window")
+
+  /** Shared BM25 per-(doc, term) projection over (tf, df, dl, n, sdl) —
+    * ONE formula string evaluated by both engines. LOG-FREE variant: the
+    * rational idf (N − df + ½)/(df + ½) (scaled ×2 to stay integer-exact
+    * before the one division) replaces ln(·) because ln is libm-dependent
+    * and would break the bit-exact hash gate; it is a monotone transform of
+    * classic BM25 idf, so rankings for a single term agree and the
+    * saturation shape (k1 = 1.2, b = 0.75) is untouched. All BIGINT→DOUBLE
+    * conversions stay < 2^53 ⇒ every step is IEEE-exact-rounded. Every
+    * fractional literal is wrapped in CAST(… AS DOUBLE): a bare `1.2`
+    * parses as DECIMAL(2,1) in BOTH engines, and their DECIMAL
+    * division scale/rounding rules differ (measured: last-3-ulp drift at
+    * sf0.01) — the idf numerator/denominator therefore stay in exact
+    * BIGINT with ONE double division. */
+  private val bm25TermFormula =
+    "(CAST(2 * n - 2 * df + 1 AS DOUBLE) / (2 * df + 1))" +
+      " * (CAST(tf AS DOUBLE) * CAST(2.2 AS DOUBLE)" +
+      " / (tf + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE)" +
+      " + CAST(0.75 AS DOUBLE) * (CAST(dl AS DOUBLE) * n / sdl)))) AS s"
+
   /** Non-empty whitespace tokens, with multiplicity. */
   private def tokens(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("token"))
@@ -306,7 +330,49 @@ object TextOps extends QueryModule {
           ((col("n_words").cast("double") / col("n_sentences"))
             + (col("n_long") * lit(100L)).cast("double") / col("n_words"))
             .as("lix"))
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    // BM25 retrieval scoring of every document against a fixed 4-term
+    // query — the ranking pass of a search/RAG pipeline (log-free rational
+    // idf: see bm25TermFormula). Scale: tokens map to a BOUNDED integer
+    // term_id at the scan (only the 4 query terms survive the filter), so
+    // no raw token string ever reaches an exchange (PlanAudit rule 5b);
+    // doc length and corpus stats are hash aggs (the stats pair is a
+    // broadcast 1-row relation); the per-doc total adds the ≤4 per-term
+    // partials in FIXED term_id order via a conditional-max pivot (FP
+    // addition is order-sensitive — a sum() over an unordered group would
+    // not replay); top-20 rides TakeOrderedAndProject.
+    "q_text_bm25" -> ((s: SparkSession, dir: String) => {
+      val docs = table(s, dir, "documents")
+      val toks = docs
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+        .where(length(col("token")) > 0)
+      val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+      val stats = docs.agg(count(lit(1)).as("n"))
+        .crossJoin(toks.agg(count(lit(1)).as("sdl")))
+      val termId = Bm25Terms.zipWithIndex
+        .foldLeft(lit(null).cast("long")) { case (acc, (t, i)) =>
+          when(col("token") === t, i.toLong).otherwise(acc)
+        }
+      val tf = toks.withColumn("term_id", termId)
+        .where(col("term_id").isNotNull).drop("token")
+        .groupBy("doc_id", "term_id").agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy("term_id").agg(count(lit(1)).as("df"))
+      val scored = tf.join(dfreq, "term_id").join(dl, "doc_id")
+        .crossJoin(broadcast(stats))
+        .selectExpr("doc_id", "term_id", bm25TermFormula)
+      val pivots = Bm25Terms.indices.map(i =>
+        max(when(col("term_id") === i.toLong, col("s"))).as(s"s$i"))
+      scored.groupBy("doc_id")
+        .agg(asLong(count(lit(1))).as("n_terms"),
+          pivots: _*)
+        .join(dl, "doc_id")
+        .selectExpr("doc_id", "CAST(dl AS BIGINT) AS dl", "n_terms",
+          Bm25Terms.indices.map(i => s"COALESCE(s$i, 0.0)")
+            .mkString("", " + ", " AS bm25"))
+        .orderBy(desc("bm25"), asc("doc_id"))
+        .limit(20)
+    })
   )
 
   def oracle: Seq[(String, String)] = Seq(
@@ -504,6 +570,43 @@ object TextOps extends QueryModule {
         |       CAST(n_words AS DOUBLE) / n_sentences AS words_per_sentence,
         |       (CAST(n_words AS DOUBLE) / n_sentences)
         |         + CAST(n_long * 100 AS DOUBLE) / n_words AS lix
-        |FROM d ORDER BY doc_id""".stripMargin
+        |FROM d ORDER BY doc_id""".stripMargin,
+
+    "q_text_bm25" -> {
+      val termCase = Bm25Terms.zipWithIndex
+        .map { case (t, i) => s"WHEN '$t' THEN $i" }.mkString(" ")
+      val termList = Bm25Terms.map(t => s"'$t'").mkString(", ")
+      val sumExpr = Bm25Terms.indices
+        .map(i => s"COALESCE(s$i, 0.0)").mkString(" + ")
+      val pivotCols = Bm25Terms.indices
+        .map(i => s"max(CASE WHEN term_id = $i THEN s END) AS s$i")
+        .mkString(",\n         ")
+      s"""WITH t AS MATERIALIZED (
+         |  SELECT doc_id, token FROM (
+         |    SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+         |  WHERE length(token) > 0),
+         |dl AS MATERIALIZED (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM t GROUP BY doc_id),
+         |st AS (
+         |  SELECT (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n,
+         |         (SELECT CAST(count(*) AS BIGINT) FROM t) AS sdl),
+         |tf AS (
+         |  SELECT doc_id, CASE token $termCase END AS term_id,
+         |         CAST(count(*) AS BIGINT) AS tf
+         |  FROM t WHERE token IN ($termList) GROUP BY 1, 2),
+         |dfq AS (SELECT term_id, CAST(count(*) AS BIGINT) AS df
+         |        FROM tf GROUP BY term_id),
+         |sc AS (
+         |  SELECT tf.doc_id, tf.term_id, $bm25TermFormula
+         |  FROM tf JOIN dfq USING (term_id) JOIN dl USING (doc_id) CROSS JOIN st),
+         |pv AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms,
+         |         $pivotCols
+         |  FROM sc GROUP BY doc_id)
+         |SELECT pv.doc_id, dl.dl AS dl, pv.n_terms,
+         |       $sumExpr AS bm25
+         |FROM pv JOIN dl USING (doc_id)
+         |ORDER BY bm25 DESC, pv.doc_id LIMIT 20""".stripMargin
+    }
   )
 }

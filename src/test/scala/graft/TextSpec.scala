@@ -278,4 +278,32 @@ class TextSpec extends SparkTestBase {
       assert(byId(id) < maxRate, "a highly repetitive doc scored as most diverse")
     }
   }
+
+  test("bm25 top-20 equals a driver-side scoring replay, same FP order") {
+    val terms = Seq("spark", "hash", "merge", "window")
+    val docs = graft.ops.table(spark, sfDir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).split(' ').filter(_.nonEmpty)))
+    val n = docs.length.toLong
+    val sdl = docs.map(_._2.length.toLong).sum
+    val df = terms.map(t => t -> docs.count(_._2.contains(t)).toLong).toMap
+    val scored = docs.map { case (id, toks) =>
+      val dl = toks.length.toLong
+      val parts = terms.map { t =>
+        val tf = toks.count(_ == t).toLong
+        if (tf == 0) 0.0
+        else ((2.0 * n - 2.0 * df(t) + 1.0) / (2.0 * df(t) + 1.0)) *
+          (tf.toDouble * 2.2 / (tf + 1.2 * (0.25 + 0.75 * (dl.toDouble * n / sdl))))
+      }
+      // the FIXED term-order left-to-right add — part of the replay contract
+      (id, dl, parts.count(_ != 0.0).toLong, parts.foldLeft(0.0)(_ + _))
+    }.filter(_._3 > 0)
+    val expected = scored.sortBy { case (id, _, _, s) => (-s, id) }.take(20).toSeq
+    val got = q("q_text_bm25").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(got == expected, "bm25 ranking differs from the driver replay")
+    // ranking sanity: scores are positive and non-increasing
+    assert(got.forall(_._4 > 0.0))
+    assert(got.map(_._4).sliding(2).forall { case Seq(a, b) => a >= b; case _ => true })
+  }
 }
