@@ -155,7 +155,12 @@ object ScaleProbe {
       // rejoin), and edit-distance verification (EditPfx-capped DP over
       // the capped candidate pairs)
       "q_ts_ohlc", "q_graph_kcore", "q_llm_pareto_prune",
-      "q_llm_editdist_neardup")
+      "q_llm_editdist_neardup",
+      // r9 continuation: EWMA (time-span-bounded grid fan-out — same axis
+      // as acf/gapfill), Count-Min (per-key hash agg + broadcast 2048-cell
+      // rejoin), basket rules (order-key self-join, basket-width-bounded),
+      // BM25 (scan-side 4-term filter + doc-keyed aggs)
+      "q_ts_ewma", "q_agg_countmin", "q_analytics_basket", "q_text_bm25")
     // warmup
     SparkEntry.queries("q_agg_basic")(spark, outDir).count()
     val results = probes.map { name =>
@@ -323,7 +328,12 @@ object ScaleProbe {
       // collapses them before the bounded staircase window) and the
       // edit-distance verdict (the clone mega-bucket is cut to MaxBucket
       // candidates BEFORE any DP; per-pair cost stays EditPfx²-bounded)
-      "q_llm_pareto_prune", "q_llm_editdist_neardup")
+      "q_llm_pareto_prune", "q_llm_editdist_neardup",
+      // r9 continuation: BM25 under mass duplication — the clones share
+      // one (dl, tf) profile, so the per-(doc, term) relation stays
+      // 4-bounded per doc and the conditional-max pivot agg combines
+      // map-side; the hot doc text never reaches an exchange
+      "q_text_bm25")
     for ((dir, label) <- Seq((srcDir, "uniform"), (degDir, "degen"))) {
       family.foreach { name =>
         val t0 = System.nanoTime()

@@ -169,6 +169,7 @@ object AnalyticsOps extends QueryModule {
       val baskets = table(s, dir, "lineitem")
         .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
         .distinct()
+        .localCheckpoint(true) // feeds nOrders + supp + BOTH pair sides
       val nOrders = baskets.agg(count_distinct(col("ok")).as("n"))
       val supp = baskets.groupBy("pk").agg(count(lit(1)).as("s"))
       val pairs = baskets
