@@ -61,6 +61,7 @@ object SourceSinkOps extends QueryModule {
         .write.mode("overwrite")
       if (format == "json") out.json(path)
       else if (format == "orc") out.orc(path)
+      else if (format == "xml") out.option("rowTag", "event").xml(path)
       else out.option("header", "true").csv(path)
     }
     path
@@ -123,6 +124,23 @@ object SourceSinkOps extends QueryModule {
     "q_src_orc_roundtrip" -> ((s: SparkSession, dir: String) => {
       val path = exportOnce(s, dir, "orc")
       s.read.orc(path)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"),
+          min("ts_us").as("first_us"))
+        .orderBy("event_type")
+    }),
+
+    // XML source: Spark 4's NATIVE xml datasource (spark-xml merged
+    // upstream), the interchange format of legacy feeds. Doubles survive
+    // the string round trip exactly (Java shortest-repr printing parses
+    // back to the identical bits), so the oracle is the same aggregate
+    // straight off parquet. Schema is declared, not inferred — inference
+    // would scan the files twice and could widen types.
+    "q_src_xml_roundtrip" -> ((s: SparkSession, dir: String) => {
+      val path = exportOnce(s, dir, "xml")
+      s.read.option("rowTag", "event")
+        .schema("event_id LONG, ts_us LONG, user_id LONG, event_type STRING, value DOUBLE")
+        .xml(path)
         .groupBy("event_type")
         .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"),
           min("ts_us").as("first_us"))
@@ -220,6 +238,12 @@ object SourceSinkOps extends QueryModule {
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q_src_orc_roundtrip" ->
+      """SELECT event_type, count(*) AS n,
+        |       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
+        |       min(epoch_us(ts)) AS first_us
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_src_xml_roundtrip" ->
       """SELECT event_type, count(*) AS n,
         |       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
         |       min(epoch_us(ts)) AS first_us
