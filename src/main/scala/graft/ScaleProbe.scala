@@ -160,7 +160,11 @@ object ScaleProbe {
       // as acf/gapfill), Count-Min (per-key hash agg + broadcast 2048-cell
       // rejoin), basket rules (order-key self-join, basket-width-bounded),
       // BM25 (scan-side 4-term filter + doc-keyed aggs)
-      "q_ts_ewma", "q_agg_countmin", "q_analytics_basket", "q_text_bm25")
+      "q_ts_ewma", "q_agg_countmin", "q_analytics_basket", "q_text_bm25",
+      // r9 continuation: RRF fusion — both lists are bounded top-100 cuts,
+      // so only the list builders (bm25 aggs + the memoized ppm scorer)
+      // scale with the corpus
+      "q_text_rank_fusion")
     // warmup
     SparkEntry.queries("q_agg_basic")(spark, outDir).count()
     val results = probes.map { name =>
@@ -333,7 +337,11 @@ object ScaleProbe {
       // one (dl, tf) profile, so the per-(doc, term) relation stays
       // 4-bounded per doc and the conditional-max pivot agg combines
       // map-side; the hot doc text never reaches an exchange
-      "q_text_bm25")
+      "q_text_bm25",
+      // r9 continuation: fusion under mass duplication — clone ties in
+      // both lists resolve by doc_id; the bounded top-100 cuts keep the
+      // fusion join size fixed however hot the clone scores are
+      "q_text_rank_fusion")
     for ((dir, label) <- Seq((srcDir, "uniform"), (degDir, "degen"))) {
       family.foreach { name =>
         val t0 = System.nanoTime()

@@ -31,6 +31,19 @@ object CurationOps extends QueryModule {
   private val CollMinSupport = 5
   private val CollTopK = 100
 
+  /** q_text_rank_fusion: per-list depth and the classic RRF constant. */
+  private val RrfK = 100
+  private val RrfC = 60
+
+  /** Shared RRF projection over nullable (ra, rb) ranks — ONE formula
+    * string, TWO addends in fixed (bm25, cleanliness) order (FP addition
+    * order is part of the replay contract); absent-list contributions
+    * coalesce to exactly 0.0. Integer 1 and the rank sums stay BIGINT
+    * until the one double division (the bm25 decimal-literal rule). */
+  private val rrfFormula =
+    s"COALESCE(CAST(1 AS DOUBLE) / ($RrfC + ra), CAST(0 AS DOUBLE))" +
+      s" + COALESCE(CAST(1 AS DOUBLE) / ($RrfC + rb), CAST(0 AS DOUBLE)) AS rrf"
+
   /** q_llm_cdc_chunks parameters: k-gram width of the rolling boundary
     * hash and the cut modulus (a cut fires when hash % mod == 0, so the
     * expected gap between cuts is ~mod codepoints past the k-gram). */
@@ -974,6 +987,31 @@ object CurationOps extends QueryModule {
     "q_llm_importance_weights" -> ((s: SparkSession, dir: String) =>
       importanceWeights(s, table(s, dir, "documents")).orderBy("doc_id")),
 
+    // Reciprocal-rank fusion of two retrieval signals — the top-20 docs
+    // fusing the BM25 relevance list (TextOps.bm25Doc, fixed 4-term query)
+    // with the LM-cleanliness list (ascending qbScoreFor ppm) via classic
+    // RRF: Σ 1/(60 + rank) over the lists the doc appears in. Scale: each
+    // list is cut to its top-100 FIRST (TakeOrderedAndProject at any
+    // corpus size), so the rank windows and the full-outer fusion join run
+    // over ≤ 100-row constant-bounded relations — never a global rank over
+    // unbounded doubles (the curriculum two-level shape is unnecessary
+    // when only a bounded head fuses). Both ranks are tie-broken by doc_id
+    // and the two RRF addends evaluate in fixed list order.
+    "q_text_rank_fusion" -> ((s: SparkSession, dir: String) => {
+      val a = TextOps.bm25Doc(s, dir)
+        .orderBy(desc("bm25"), asc("doc_id")).limit(RrfK)
+        .select(col("doc_id"), row_number().over(
+          Window.orderBy(desc("bm25"), asc("doc_id"))).cast("long").as("ra"))
+      val b = qbScoreFor(table(s, dir, "documents"),
+          Some("qbuckets|" + SourceSinkOps.fixtureKey(dir, "documents.parquet")))
+        .orderBy(asc("ppm"), asc("doc_id")).limit(RrfK)
+        .select(col("doc_id"), row_number().over(
+          Window.orderBy(asc("ppm"), asc("doc_id"))).cast("long").as("rb"))
+      a.join(b, Seq("doc_id"), "full_outer")
+        .selectExpr("doc_id", "ra", "rb", rrfFormula)
+        .orderBy(desc("rrf"), asc("doc_id")).limit(20)
+    }),
+
     // Deterministic stratified sampling for training-mix curation: per-lang
     // keep-rates applied via doc_id mod — reproducible across engines and
     // runs (no RNG), a pure scan-side filter at any scale.
@@ -1662,6 +1700,35 @@ object CurationOps extends QueryModule {
          |       CAST(total_chars AS DOUBLE) / n_chunks AS avg_chunk_len,
          |       CAST(n_chunks - n_distinct_chunks AS DOUBLE) / n_chunks AS dup_chunk_ratio
          |FROM nd JOIN per USING (source) ORDER BY nd.source""".stripMargin
-    }
+    },
+
+    "q_text_rank_fusion" ->
+      s"""WITH ${TextOps.bm25DocCte},
+         |t AS (
+         |  SELECT doc_id, list_filter(string_split(text, ' '), x -> length(x) > 0) AS toks
+         |  FROM documents),
+         |b AS (
+         |  SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+         |  FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 1)) AS i
+         |        FROM t WHERE len(toks) >= 2)),
+         |c12 AS (SELECT w1, w2, count(*) AS c12 FROM b GROUP BY w1, w2),
+         |sc AS (
+         |  SELECT doc_id,
+         |         CAST(sum(CASE WHEN c12 = 1 THEN 1 ELSE 0 END) * 1000000
+         |              // count(*) AS BIGINT) AS ppm
+         |  FROM b JOIN c12 USING (w1, w2) GROUP BY doc_id),
+         |la AS (
+         |  SELECT doc_id,
+         |         CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS BIGINT) AS ra
+         |  FROM bmdoc ORDER BY bm25 DESC, doc_id LIMIT $RrfK),
+         |lb AS (
+         |  SELECT doc_id,
+         |         CAST(row_number() OVER (ORDER BY ppm, doc_id) AS BIGINT) AS rb
+         |  FROM sc ORDER BY ppm, doc_id LIMIT $RrfK),
+         |f AS (
+         |  SELECT COALESCE(la.doc_id, lb.doc_id) AS doc_id, la.ra AS ra, lb.rb AS rb
+         |  FROM la FULL OUTER JOIN lb ON la.doc_id = lb.doc_id)
+         |SELECT doc_id, ra, rb, $rrfFormula
+         |FROM f ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin
   )
 }

@@ -342,38 +342,44 @@ object TextOps extends QueryModule {
     // partials in FIXED term_id order via a conditional-max pivot (FP
     // addition is order-sensitive — a sum() over an unordered group would
     // not replay); top-20 rides TakeOrderedAndProject.
-    "q_text_bm25" -> ((s: SparkSession, dir: String) => {
-      val docs = table(s, dir, "documents")
-      val toks = docs
-        .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
-        .where(length(col("token")) > 0)
-      val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
-      val stats = docs.agg(count(lit(1)).as("n"))
-        .crossJoin(toks.agg(count(lit(1)).as("sdl")))
-      val termId = Bm25Terms.zipWithIndex
-        .foldLeft(lit(null).cast("long")) { case (acc, (t, i)) =>
-          when(col("token") === t, i.toLong).otherwise(acc)
-        }
-      val tf = toks.withColumn("term_id", termId)
-        .where(col("term_id").isNotNull).drop("token")
-        .groupBy("doc_id", "term_id").agg(count(lit(1)).as("tf"))
-      val dfreq = tf.groupBy("term_id").agg(count(lit(1)).as("df"))
-      val scored = tf.join(dfreq, "term_id").join(dl, "doc_id")
-        .crossJoin(broadcast(stats))
-        .selectExpr("doc_id", "term_id", bm25TermFormula)
-      val pivots = Bm25Terms.indices.map(i =>
-        max(when(col("term_id") === i.toLong, col("s"))).as(s"s$i"))
-      scored.groupBy("doc_id")
-        .agg(asLong(count(lit(1))).as("n_terms"),
-          pivots: _*)
-        .join(dl, "doc_id")
-        .selectExpr("doc_id", "CAST(dl AS BIGINT) AS dl", "n_terms",
-          Bm25Terms.indices.map(i => s"COALESCE(s$i, 0.0)")
-            .mkString("", " + ", " AS bm25"))
+    "q_text_bm25" -> ((s: SparkSession, dir: String) =>
+      bm25Doc(s, dir)
         .orderBy(desc("bm25"), asc("doc_id"))
-        .limit(20)
-    })
+        .limit(20))
   )
+
+  /** The per-doc BM25 relation (doc_id, dl, n_terms, bm25) over the fixed
+    * [[Bm25Terms]] query — docs matching ≥ 1 term. The q_text_bm25
+    * primitive, exposed for the rank-fusion operator (CurationOps). */
+  private[graft] def bm25Doc(s: SparkSession, dir: String): DataFrame = {
+    val docs = table(s, dir, "documents")
+    val toks = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .where(length(col("token")) > 0)
+    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val stats = docs.agg(count(lit(1)).as("n"))
+      .crossJoin(toks.agg(count(lit(1)).as("sdl")))
+    val termId = Bm25Terms.zipWithIndex
+      .foldLeft(lit(null).cast("long")) { case (acc, (t, i)) =>
+        when(col("token") === t, i.toLong).otherwise(acc)
+      }
+    val tf = toks.withColumn("term_id", termId)
+      .where(col("term_id").isNotNull).drop("token")
+      .groupBy("doc_id", "term_id").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term_id").agg(count(lit(1)).as("df"))
+    val scored = tf.join(dfreq, "term_id").join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .selectExpr("doc_id", "term_id", bm25TermFormula)
+    val pivots = Bm25Terms.indices.map(i =>
+      max(when(col("term_id") === i.toLong, col("s"))).as(s"s$i"))
+    scored.groupBy("doc_id")
+      .agg(asLong(count(lit(1))).as("n_terms"),
+        pivots: _*)
+      .join(dl, "doc_id")
+      .selectExpr("doc_id", "CAST(dl AS BIGINT) AS dl", "n_terms",
+        Bm25Terms.indices.map(i => s"COALESCE(s$i, 0.0)")
+          .mkString("", " + ", " AS bm25"))
+  }
 
   def oracle: Seq[(String, String)] = Seq(
     "q_text_normalize" ->
@@ -572,41 +578,51 @@ object TextOps extends QueryModule {
         |         + CAST(n_long * 100 AS DOUBLE) / n_words AS lix
         |FROM d ORDER BY doc_id""".stripMargin,
 
-    "q_text_bm25" -> {
-      val termCase = Bm25Terms.zipWithIndex
-        .map { case (t, i) => s"WHEN '$t' THEN $i" }.mkString(" ")
-      val termList = Bm25Terms.map(t => s"'$t'").mkString(", ")
-      val sumExpr = Bm25Terms.indices
-        .map(i => s"COALESCE(s$i, 0.0)").mkString(" + ")
-      val pivotCols = Bm25Terms.indices
-        .map(i => s"max(CASE WHEN term_id = $i THEN s END) AS s$i")
-        .mkString(",\n         ")
-      s"""WITH t AS MATERIALIZED (
-         |  SELECT doc_id, token FROM (
-         |    SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
-         |  WHERE length(token) > 0),
-         |dl AS MATERIALIZED (
-         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM t GROUP BY doc_id),
-         |st AS (
-         |  SELECT (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n,
-         |         (SELECT CAST(count(*) AS BIGINT) FROM t) AS sdl),
-         |tf AS (
-         |  SELECT doc_id, CASE token $termCase END AS term_id,
-         |         CAST(count(*) AS BIGINT) AS tf
-         |  FROM t WHERE token IN ($termList) GROUP BY 1, 2),
-         |dfq AS (SELECT term_id, CAST(count(*) AS BIGINT) AS df
-         |        FROM tf GROUP BY term_id),
-         |sc AS (
-         |  SELECT tf.doc_id, tf.term_id, $bm25TermFormula
-         |  FROM tf JOIN dfq USING (term_id) JOIN dl USING (doc_id) CROSS JOIN st),
-         |pv AS (
-         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms,
-         |         $pivotCols
-         |  FROM sc GROUP BY doc_id)
-         |SELECT pv.doc_id, dl.dl AS dl, pv.n_terms,
-         |       $sumExpr AS bm25
-         |FROM pv JOIN dl USING (doc_id)
-         |ORDER BY bm25 DESC, pv.doc_id LIMIT 20""".stripMargin
-    }
+    "q_text_bm25" ->
+      s"""WITH $bm25DocCte
+         |SELECT doc_id, dl, n_terms, bm25
+         |FROM bmdoc ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin
   )
+
+  /** Oracle CTE chain computing [[bm25Doc]]'s relation, ending with
+    * `bmdoc(doc_id, dl, n_terms, bm25)`. CTE names are b-prefixed so the
+    * fragment composes with other chains (the rank-fusion oracle nests it
+    * next to the ppm score chain). Shared between the q_text_bm25 and
+    * q_text_rank_fusion twins so they cannot drift. */
+  private[graft] lazy val bm25DocCte: String = {
+    val termCase = Bm25Terms.zipWithIndex
+      .map { case (t, i) => s"WHEN '$t' THEN $i" }.mkString(" ")
+    val termList = Bm25Terms.map(t => s"'$t'").mkString(", ")
+    val sumExpr = Bm25Terms.indices
+      .map(i => s"COALESCE(s$i, 0.0)").mkString(" + ")
+    val pivotCols = Bm25Terms.indices
+      .map(i => s"max(CASE WHEN term_id = $i THEN s END) AS s$i")
+      .mkString(",\n         ")
+    s"""bt AS MATERIALIZED (
+       |  SELECT doc_id, token FROM (
+       |    SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+       |  WHERE length(token) > 0),
+       |bdl AS MATERIALIZED (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM bt GROUP BY doc_id),
+       |bst AS (
+       |  SELECT (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n,
+       |         (SELECT CAST(count(*) AS BIGINT) FROM bt) AS sdl),
+       |btf AS (
+       |  SELECT doc_id, CASE token $termCase END AS term_id,
+       |         CAST(count(*) AS BIGINT) AS tf
+       |  FROM bt WHERE token IN ($termList) GROUP BY 1, 2),
+       |bdfq AS (SELECT term_id, CAST(count(*) AS BIGINT) AS df
+       |         FROM btf GROUP BY term_id),
+       |bsc AS (
+       |  SELECT btf.doc_id, btf.term_id, $bm25TermFormula
+       |  FROM btf JOIN bdfq USING (term_id) JOIN bdl USING (doc_id) CROSS JOIN bst),
+       |bpv AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms,
+       |         $pivotCols
+       |  FROM bsc GROUP BY doc_id),
+       |bmdoc AS (
+       |  SELECT bpv.doc_id AS doc_id, bdl.dl AS dl, bpv.n_terms AS n_terms,
+       |         $sumExpr AS bm25
+       |  FROM bpv JOIN bdl USING (doc_id))""".stripMargin
+  }
 }

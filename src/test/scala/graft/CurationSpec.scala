@@ -626,4 +626,31 @@ class CurationSpec extends SparkTestBase {
     assert(tgt.sum / tgt.length > rest.sum / rest.length,
       "src0 docs do not score above the rest on average")
   }
+
+  test("rank fusion equals a driver-side RRF over the two engine lists") {
+    val bm = graft.ops.TextOps.bm25Doc(spark, sfDir)
+      .select("doc_id", "bm25").collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    val ra = bm.sortBy { case (id, s) => (-s, id) }.take(100)
+      .zipWithIndex.map { case ((id, _), i) => id -> (i + 1L) }.toMap
+    val ppm = graft.ops.CurationOps.qbScoreFor(
+        graft.ops.table(spark, sfDir, "documents"), None)
+      .select("doc_id", "ppm").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val rb = ppm.sortBy { case (id, p) => (p, id) }.take(100)
+      .zipWithIndex.map { case ((id, _), i) => id -> (i + 1L) }.toMap
+    val expected = (ra.keySet ++ rb.keySet).toSeq.map { id =>
+      val a = ra.get(id).map(r => 1.0 / (60 + r)).getOrElse(0.0)
+      val b = rb.get(id).map(r => 1.0 / (60 + r)).getOrElse(0.0)
+      (id, ra.get(id), rb.get(id), a + b)
+    }.sortBy { case (id, _, _, s) => (-s, id) }.take(20)
+    val got = q("q_text_rank_fusion").collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getLong(1)),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)),
+        r.getDouble(3))).toSeq
+    assert(got == expected, "fusion differs from the driver-side RRF")
+    // docs on BOTH lists outrank equal-rank single-list docs by design
+    assert(got.head._4 <= 2.0 / 61.0 + 1e-12)
+  }
 }
