@@ -60,6 +60,17 @@ object DiagOps extends QueryModule {
   private val CmDepth = 4
   private val CmWidth = 512L
 
+  /** Shared seasonal-profile projections over (n, nt, svd, svtd) — ONE
+    * formula set evaluated by both engines: per-(type, hour-of-day) event
+    * share, mean value, and deviation from the type's overall mean.
+    * svd/svtd are exact-DECIMAL sums surfaced as DOUBLE once (< 2^64
+    * scaled — the replay rule); everything after is IEEE-exact division
+    * and subtraction in a fixed order. */
+  private val seasonalFormulas = Seq(
+    "CAST(n AS DOUBLE) / nt AS share",
+    "svd / n AS mean_v",
+    "svd / n - svtd / nt AS dev_from_mean")
+
   /** Shared EWMA projection over (num, den) — ONE formula string evaluated
     * by both engines. num ≤ 255 × per-hour cent sum stays < 2^53 at any
     * recorded fixture scale, so the BIGINT→DOUBLE casts are exact; /100.0
@@ -518,6 +529,30 @@ object DiagOps extends QueryModule {
         .orderBy("event_type", "hour_idx")
     }),
 
+    // Hour-of-day seasonal profile per event type — the seasonality
+    // DECOMPOSITION read next to q_ts_acf's correlogram: per (type,
+    // hour-of-day) the event share, mean value, and deviation from the
+    // type's overall mean. Scale: ONE map-side-combinable hash agg
+    // collapses the corpus to ≤ #types × 24 rows; the per-type rollup
+    // derives FROM that relation (sums of partials — no second scan) and
+    // broadcasts back (event_type is an application-level enum, a
+    // domain-bounded count side like simhash's 2^16, never O(#rows)).
+    "q_ts_seasonal" -> ((s: SparkSession, dir: String) => {
+      val hod = table(s, dir, "events")
+        .withColumn("hod", expr(s"(unix_micros(ts) div $HourUs) % 24"))
+        .groupBy("event_type", "hod")
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,4)")).as("svdec"))
+      val tot = hod.groupBy("event_type")
+        .agg(sum(col("n")).as("nt"), sum(col("svdec")).as("svtdec"))
+      hod.join(broadcast(tot), "event_type")
+        .withColumn("svd", col("svdec").cast("double"))
+        .withColumn("svtd", col("svtdec").cast("double"))
+        .selectExpr(Seq("event_type", "CAST(hod AS BIGINT) AS hod",
+          "CAST(n AS BIGINT) AS n") ++ seasonalFormulas: _*)
+        .orderBy("event_type", "hod")
+    }),
+
     // Count-Min sketch over the l_partkey frequency stream — the bounded-
     // memory frequency estimator a 100 TB pipeline keeps when the exact
     // per-key relation is too large to hold (the streaming-side twin of
@@ -779,6 +814,23 @@ object DiagOps extends QueryModule {
          |SELECT event_type, h AS hour_idx, n_lags,
          |       $ewmaFormula
          |FROM m ORDER BY event_type, hour_idx""".stripMargin,
+
+    "q_ts_seasonal" ->
+      s"""WITH h AS (
+         |  SELECT event_type, (epoch_us(ts) // $HourUs) % 24 AS hod,
+         |         count(*) AS n, sum(CAST(value AS DECIMAL(18,4))) AS svdec
+         |  FROM events GROUP BY 1, 2),
+         |t AS (
+         |  SELECT event_type, CAST(sum(n) AS BIGINT) AS nt,
+         |         sum(svdec) AS svtdec
+         |  FROM h GROUP BY event_type),
+         |j AS (
+         |  SELECT h.event_type, h.hod, CAST(h.n AS BIGINT) AS n, t.nt,
+         |         CAST(h.svdec AS DOUBLE) AS svd, CAST(t.svtdec AS DOUBLE) AS svtd
+         |  FROM h JOIN t USING (event_type))
+         |SELECT event_type, hod, n,
+         |       ${seasonalFormulas.mkString(",\n       ")}
+         |FROM j ORDER BY event_type, hod""".stripMargin,
 
     "q_agg_countmin" -> {
       val P = ReplayableHash.P

@@ -214,6 +214,25 @@ class MixDiagSpec extends SparkTestBase {
     assert(msk / tot > 0.05 && msk / tot < 0.3, s"mask rate ${msk / tot}")
   }
 
+  test("seasonal profile: shares sum to 1, deviations mass-balance to 0") {
+    val rows = q("q_ts_seasonal").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, hod, n, share, _, _) =>
+      assert(hod >= 0 && hod < 24 && n > 0 && share > 0.0 && share <= 1.0)
+    }
+    rows.groupBy(_._1).foreach { case (t, hs) =>
+      assert(math.abs(hs.map(_._4).sum - 1.0) < 1e-9, s"$t shares")
+      // count-weighted deviation mass cancels: Σ n·dev = Σ n·mean − N·mean_t
+      val wdev = hs.map(h => h._3 * h._6).sum
+      val scale = hs.map(h => h._3 * math.abs(h._5)).sum.max(1.0)
+      assert(math.abs(wdev) / scale < 1e-9, s"$t deviation mass $wdev")
+    }
+    val total = graft.ops.table(spark, sfDir, "events").count()
+    assert(rows.map(_._3).sum == total, "per-cell counts partition the corpus")
+  }
+
   test("countmin estimates replay exactly and honor the CM guarantees") {
     import graft.functions.ReplayableHash
     val P = ReplayableHash.P
