@@ -56,9 +56,10 @@ object DiagOps extends QueryModule {
   private val EwmaLags = 8L
 
   /** q_agg_countmin: sketch depth (rows — one [[ReplayableHash]] affine
-    * hash each, salt 11) and width (columns per row). */
-  private val CmDepth = 4
-  private val CmWidth = 512L
+    * hash each, salt 11) and width (columns per row). Shared with the
+    * streaming twin (streaming.StreamingCountMin). */
+  private[graft] val CmDepth = 4
+  private[graft] val CmWidth = 512L
 
   /** Shared seasonal-profile projections over (n, nt, svd, svtd) — ONE
     * formula set evaluated by both engines: per-(type, hour-of-day) event
