@@ -286,6 +286,31 @@ object Pipelines {
       targetSource: String = "src0"): DataFrame =
     CurationOps.importanceWeights(spark, docs, targetSource)
 
+  /** Association-rule mining over order lines (l_orderkey, l_partkey):
+    * top-k part pairs by lift with support/confidence. See
+    * AnalyticsOps.basketRules for the basket-width pairing bound. */
+  def basketRules(lines: DataFrame, minSupport: Long = 2L,
+      topK: Int = 25): DataFrame =
+    AnalyticsOps.basketRules(lines, minSupport, topK)
+
+  /** Hour-of-day seasonal profile of an events frame (event_type, ts,
+    * value): per-cell share, mean, and deviation from the type mean. */
+  def seasonalProfile(events: DataFrame): DataFrame =
+    DiagOps.seasonalProfile(events)
+
+  /** Truncated-EWMA smoothing (K=8, α=1/2) of the zero-filled hourly
+    * value series of an events frame. */
+  def ewmaSmooth(events: DataFrame): DataFrame = DiagOps.ewmaSmooth(events)
+
+  /** Per-doc BM25 relation against the fixed query (doc_id, dl, n_terms,
+    * bm25) — docs matching ≥ 1 term; order + limit for a top-k. */
+  def bm25(docs: DataFrame): DataFrame = TextOps.bm25Doc(docs)
+
+  /** RRF-fuse two bounded rank relations (doc_id, ra) / (doc_id, rb).
+    * Inputs must already be bounded top-k cuts. */
+  def rrfFuse(a: DataFrame, b: DataFrame, topK: Int = 20): DataFrame =
+    CurationOps.rrfFuse(a, b, topK)
+
   /** Install + enable the opt-in LSH similarity-join rewrite on a live
     * session: a `a JOIN b ON cosine_sim(...) >= tau` written naively is
     * re-planned as a sign-LSH bucket equi-join (approximate — the cosine

@@ -165,28 +165,36 @@ object AnalyticsOps extends QueryModule {
     // 1-row relation. Lift/confidence evaluate via ONE shared formula
     // string, and the top-25 rides TakeOrderedAndProject with a unique
     // (lift, part_a, part_b) tie-broken total order.
-    "q_analytics_basket" -> ((s: SparkSession, dir: String) => {
-      val baskets = table(s, dir, "lineitem")
-        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-        .distinct()
-        .localCheckpoint(true) // feeds nOrders + supp + BOTH pair sides
-      val nOrders = baskets.agg(count_distinct(col("ok")).as("n"))
-      val supp = baskets.groupBy("pk").agg(count(lit(1)).as("s"))
-      val pairs = baskets
-        .join(baskets.select(col("ok"), col("pk").as("pk2")), "ok")
-        .where(col("pk") < col("pk2"))
-        .groupBy("pk", "pk2").agg(count(lit(1)).as("sab"))
-        .where(col("sab") >= BasketMinSupport)
-      pairs
-        .join(supp.select(col("pk"), col("s").as("sa")), "pk")
-        .join(supp.select(col("pk").as("pk2"), col("s").as("sb")), "pk2")
-        .crossJoin(broadcast(nOrders))
-        .selectExpr(Seq("pk AS part_a", "pk2 AS part_b", "sab AS supp_pair",
-          "sa AS supp_a", "sb AS supp_b") ++ basketFormulas: _*)
-        .orderBy(desc("lift"), asc("part_a"), asc("part_b"))
-        .limit(25)
-    })
+    "q_analytics_basket" -> ((s: SparkSession, dir: String) =>
+      basketRules(table(s, dir, "lineitem")))
   )
+
+  /** Association-rule mining over (l_orderkey, l_partkey) lines — the
+    * q_analytics_basket primitive, exposed for [[graft.Pipelines]]. See
+    * the query comment for the basket-width pairing bound and the
+    * never-broadcast support-rejoin rationale. */
+  private[graft] def basketRules(lines: DataFrame,
+      minSupport: Long = BasketMinSupport, topK: Int = 25): DataFrame = {
+    val baskets = lines
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+      .localCheckpoint(true) // feeds nOrders + supp + BOTH pair sides
+    val nOrders = baskets.agg(count_distinct(col("ok")).as("n"))
+    val supp = baskets.groupBy("pk").agg(count(lit(1)).as("s"))
+    val pairs = baskets
+      .join(baskets.select(col("ok"), col("pk").as("pk2")), "ok")
+      .where(col("pk") < col("pk2"))
+      .groupBy("pk", "pk2").agg(count(lit(1)).as("sab"))
+      .where(col("sab") >= minSupport)
+    pairs
+      .join(supp.select(col("pk"), col("s").as("sa")), "pk")
+      .join(supp.select(col("pk").as("pk2"), col("s").as("sb")), "pk2")
+      .crossJoin(broadcast(nOrders))
+      .selectExpr(Seq("pk AS part_a", "pk2 AS part_b", "sab AS supp_pair",
+        "sa AS supp_a", "sb AS supp_b") ++ basketFormulas: _*)
+      .orderBy(desc("lift"), asc("part_a"), asc("part_b"))
+      .limit(topK)
+  }
 
   def oracle: Seq[(String, String)] = Seq(
     "q_funnel_steps" ->

@@ -44,6 +44,16 @@ object CurationOps extends QueryModule {
     s"COALESCE(CAST(1 AS DOUBLE) / ($RrfC + ra), CAST(0 AS DOUBLE))" +
       s" + COALESCE(CAST(1 AS DOUBLE) / ($RrfC + rb), CAST(0 AS DOUBLE)) AS rrf"
 
+  /** RRF-fuse two bounded rank relations `(doc_id, ra)` / `(doc_id, rb)` —
+    * the q_text_rank_fusion primitive, exposed for [[graft.Pipelines]].
+    * Both inputs must already be bounded top-k cuts (the fusion join is
+    * only constant-sized because its inputs are). */
+  private[graft] def rrfFuse(a: DataFrame, b: DataFrame,
+      topK: Int = 20): DataFrame =
+    a.join(b, Seq("doc_id"), "full_outer")
+      .selectExpr("doc_id", "ra", "rb", rrfFormula)
+      .orderBy(desc("rrf"), asc("doc_id")).limit(topK)
+
   /** q_llm_cdc_chunks parameters: k-gram width of the rolling boundary
     * hash and the cut modulus (a cut fires when hash % mod == 0, so the
     * expected gap between cuts is ~mod codepoints past the k-gram). */
@@ -998,7 +1008,7 @@ object CurationOps extends QueryModule {
     // when only a bounded head fuses). Both ranks are tie-broken by doc_id
     // and the two RRF addends evaluate in fixed list order.
     "q_text_rank_fusion" -> ((s: SparkSession, dir: String) => {
-      val a = TextOps.bm25Doc(s, dir)
+      val a = TextOps.bm25Doc(table(s, dir, "documents"))
         .orderBy(desc("bm25"), asc("doc_id")).limit(RrfK)
         .select(col("doc_id"), row_number().over(
           Window.orderBy(desc("bm25"), asc("doc_id"))).cast("long").as("ra"))
@@ -1007,9 +1017,7 @@ object CurationOps extends QueryModule {
         .orderBy(asc("ppm"), asc("doc_id")).limit(RrfK)
         .select(col("doc_id"), row_number().over(
           Window.orderBy(asc("ppm"), asc("doc_id"))).cast("long").as("rb"))
-      a.join(b, Seq("doc_id"), "full_outer")
-        .selectExpr("doc_id", "ra", "rb", rrfFormula)
-        .orderBy(desc("rrf"), asc("doc_id")).limit(20)
+      rrfFuse(a, b)
     }),
 
     // Deterministic stratified sampling for training-mix curation: per-lang

@@ -499,36 +499,8 @@ object DiagOps extends QueryModule {
     // weights are exact integers; num = Σ w·k ≤ 255 × per-hour cent sum
     // < 2^53 ⇒ the final DOUBLE casts and the shared division formula are
     // IEEE-exact in both engines.
-    "q_ts_ewma" -> ((s: SparkSession, dir: String) => {
-      val ev = table(s, dir, "events")
-        .withColumn("h", expr(s"unix_micros(ts) div $HourUs"))
-      val rng = ev.agg(min("h").as("h0"), max("h").as("h1"))
-      val grid = ev.select("event_type").distinct()
-        .crossJoin(broadcast(rng))
-        .select(col("event_type"), explode(expr("sequence(h0, h1)")).as("h"))
-      val actual = ev.groupBy("event_type", "h")
-        .agg(dsum(col("value")).as("sv"))
-      val g = grid.join(actual, Seq("event_type", "h"), "left")
-        .select(col("event_type"), col("h"),
-          expr("CAST(round(coalesce(sv, 0.0) * 100) AS BIGINT)").as("k"))
-      val pairs = g
-        .withColumn("lag_h", explode(expr(
-          s"sequence(CAST(0 AS BIGINT), CAST(${EwmaLags - 1} AS BIGINT))")))
-        .join(g.select(col("event_type").as("et2"), col("h").as("h2"),
-          col("k").as("k2")),
-          col("event_type") === col("et2") && col("h2") === col("h") - col("lag_h"))
-        .select(col("event_type"), col("h"),
-          expr(s"shiftleft(CAST(1 AS BIGINT), " +
-            s"CAST(${EwmaLags - 1} - lag_h AS INT))").as("w"),
-          col("k2"))
-      pairs.groupBy("event_type", "h")
-        .agg(asLong(count(lit(1))).as("n_lags"),
-          sum(col("w") * col("k2")).as("num"),
-          sum(col("w")).as("den"))
-        .selectExpr("event_type", "CAST(h AS BIGINT) AS hour_idx", "n_lags",
-          ewmaFormula)
-        .orderBy("event_type", "hour_idx")
-    }),
+    "q_ts_ewma" -> ((s: SparkSession, dir: String) =>
+      ewmaSmooth(table(s, dir, "events"))),
 
     // Hour-of-day seasonal profile per event type — the seasonality
     // DECOMPOSITION read next to q_ts_acf's correlogram: per (type,
@@ -538,21 +510,8 @@ object DiagOps extends QueryModule {
     // derives FROM that relation (sums of partials — no second scan) and
     // broadcasts back (event_type is an application-level enum, a
     // domain-bounded count side like simhash's 2^16, never O(#rows)).
-    "q_ts_seasonal" -> ((s: SparkSession, dir: String) => {
-      val hod = table(s, dir, "events")
-        .withColumn("hod", expr(s"(unix_micros(ts) div $HourUs) % 24"))
-        .groupBy("event_type", "hod")
-        .agg(count(lit(1)).as("n"),
-          sum(col("value").cast("decimal(18,4)")).as("svdec"))
-      val tot = hod.groupBy("event_type")
-        .agg(sum(col("n")).as("nt"), sum(col("svdec")).as("svtdec"))
-      hod.join(broadcast(tot), "event_type")
-        .withColumn("svd", col("svdec").cast("double"))
-        .withColumn("svtd", col("svtdec").cast("double"))
-        .selectExpr(Seq("event_type", "CAST(hod AS BIGINT) AS hod",
-          "CAST(n AS BIGINT) AS n") ++ seasonalFormulas: _*)
-        .orderBy("event_type", "hod")
-    }),
+    "q_ts_seasonal" -> ((s: SparkSession, dir: String) =>
+      seasonalProfile(table(s, dir, "events"))),
 
     // Count-Min sketch over the l_partkey frequency stream — the bounded-
     // memory frequency estimator a 100 TB pipeline keeps when the exact
@@ -590,6 +549,60 @@ object DiagOps extends QueryModule {
         .orderBy(desc("c_true"), asc("l_partkey"))
     })
   )
+
+  /** Hour-of-day seasonal profile over an events frame (event_type, ts,
+    * value) — the q_ts_seasonal primitive, exposed for
+    * [[graft.Pipelines]]. See the query comment for the single-agg +
+    * domain-bounded-broadcast shape. */
+  private[graft] def seasonalProfile(events: DataFrame): DataFrame = {
+    val hod = events
+      .withColumn("hod", expr(s"(unix_micros(ts) div $HourUs) % 24"))
+      .groupBy("event_type", "hod")
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,4)")).as("svdec"))
+    val tot = hod.groupBy("event_type")
+      .agg(sum(col("n")).as("nt"), sum(col("svdec")).as("svtdec"))
+    hod.join(broadcast(tot), "event_type")
+      .withColumn("svd", col("svdec").cast("double"))
+      .withColumn("svtd", col("svtdec").cast("double"))
+      .selectExpr(Seq("event_type", "CAST(hod AS BIGINT) AS hod",
+        "CAST(n AS BIGINT) AS n") ++ seasonalFormulas: _*)
+      .orderBy("event_type", "hod")
+  }
+
+  /** Truncated-EWMA smoothing of the zero-filled hourly series of an
+    * events frame — the q_ts_ewma primitive, exposed for
+    * [[graft.Pipelines]]. See the query comment for the grid-bounded
+    * fan-out shape and the exact-integer replay bound. */
+  private[graft] def ewmaSmooth(events: DataFrame): DataFrame = {
+    val ev = events.withColumn("h", expr(s"unix_micros(ts) div $HourUs"))
+    val rng = ev.agg(min("h").as("h0"), max("h").as("h1"))
+    val grid = ev.select("event_type").distinct()
+      .crossJoin(broadcast(rng))
+      .select(col("event_type"), explode(expr("sequence(h0, h1)")).as("h"))
+    val actual = ev.groupBy("event_type", "h")
+      .agg(dsum(col("value")).as("sv"))
+    val g = grid.join(actual, Seq("event_type", "h"), "left")
+      .select(col("event_type"), col("h"),
+        expr("CAST(round(coalesce(sv, 0.0) * 100) AS BIGINT)").as("k"))
+    val pairs = g
+      .withColumn("lag_h", explode(expr(
+        s"sequence(CAST(0 AS BIGINT), CAST(${EwmaLags - 1} AS BIGINT))")))
+      .join(g.select(col("event_type").as("et2"), col("h").as("h2"),
+        col("k").as("k2")),
+        col("event_type") === col("et2") && col("h2") === col("h") - col("lag_h"))
+      .select(col("event_type"), col("h"),
+        expr(s"shiftleft(CAST(1 AS BIGINT), " +
+          s"CAST(${EwmaLags - 1} - lag_h AS INT))").as("w"),
+        col("k2"))
+    pairs.groupBy("event_type", "h")
+      .agg(asLong(count(lit(1))).as("n_lags"),
+        sum(col("w") * col("k2")).as("num"),
+        sum(col("w")).as("den"))
+      .selectExpr("event_type", "CAST(h AS BIGINT) AS hour_idx", "n_lags",
+        ewmaFormula)
+      .orderBy("event_type", "hour_idx")
+  }
 
   def oracle: Seq[(String, String)] = Seq(
     "q_profile_table" -> {

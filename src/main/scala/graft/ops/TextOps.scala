@@ -343,16 +343,16 @@ object TextOps extends QueryModule {
     // addition is order-sensitive — a sum() over an unordered group would
     // not replay); top-20 rides TakeOrderedAndProject.
     "q_text_bm25" -> ((s: SparkSession, dir: String) =>
-      bm25Doc(s, dir)
+      bm25Doc(table(s, dir, "documents"))
         .orderBy(desc("bm25"), asc("doc_id"))
         .limit(20))
   )
 
   /** The per-doc BM25 relation (doc_id, dl, n_terms, bm25) over the fixed
     * [[Bm25Terms]] query — docs matching ≥ 1 term. The q_text_bm25
-    * primitive, exposed for the rank-fusion operator (CurationOps). */
-  private[graft] def bm25Doc(s: SparkSession, dir: String): DataFrame = {
-    val docs = table(s, dir, "documents")
+    * primitive, exposed for the rank-fusion operator (CurationOps) and
+    * [[graft.Pipelines]]. */
+  private[graft] def bm25Doc(docs: DataFrame): DataFrame = {
     val toks = docs
       .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
       .where(length(col("token")) > 0)

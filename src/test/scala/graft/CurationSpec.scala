@@ -628,7 +628,7 @@ class CurationSpec extends SparkTestBase {
   }
 
   test("rank fusion equals a driver-side RRF over the two engine lists") {
-    val bm = graft.ops.TextOps.bm25Doc(spark, sfDir)
+    val bm = graft.ops.TextOps.bm25Doc(graft.ops.table(spark, sfDir, "documents"))
       .select("doc_id", "bm25").collect()
       .map(r => (r.getLong(0), r.getDouble(1)))
     val ra = bm.sortBy { case (id, s) => (-s, id) }.take(100)

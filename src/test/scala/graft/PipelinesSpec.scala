@@ -226,4 +226,35 @@ class PipelinesSpec extends SparkTestBase {
     val mpQ = SparkEntry.queries("q_llm_emb_semdedup_mp")(spark, sfDir).collect()
     assert(mp.map(_.toSeq).toSeq == mpQ.map(_.toSeq).toSeq)
   }
+
+  test("r9-continuation facade primitives agree with their declared queries") {
+    val events = ops.table(spark, sfDir, "events")
+    val sp = Pipelines.seasonalProfile(events).collect()
+    val spQ = SparkEntry.queries("q_ts_seasonal")(spark, sfDir).collect()
+    assert(sp.map(_.toSeq).toSeq == spQ.map(_.toSeq).toSeq)
+
+    val ew = Pipelines.ewmaSmooth(events).collect()
+    val ewQ = SparkEntry.queries("q_ts_ewma")(spark, sfDir).collect()
+    assert(ew.map(_.toSeq).toSeq == ewQ.map(_.toSeq).toSeq)
+
+    val br = Pipelines.basketRules(ops.table(spark, sfDir, "lineitem")).collect()
+    val brQ = SparkEntry.queries("q_analytics_basket")(spark, sfDir).collect()
+    assert(br.map(_.toSeq).toSeq == brQ.map(_.toSeq).toSeq)
+
+    val docs = ops.table(spark, sfDir, "documents")
+    val bm = Pipelines.bm25(docs)
+      .orderBy(desc("bm25"), asc("doc_id")).limit(20).collect()
+    val bmQ = SparkEntry.queries("q_text_bm25")(spark, sfDir).collect()
+    assert(bm.map(_.toSeq).toSeq == bmQ.map(_.toSeq).toSeq)
+
+    // rrfFuse on two hand-built bounded lists: a doc on both lists with
+    // middling ranks outscores single-list rank-1 docs (the RRF point)
+    import spark.implicits._
+    val a = Seq((1L, 1L), (3L, 2L)).toDF("doc_id", "ra")
+    val b = Seq((2L, 1L), (3L, 3L)).toDF("doc_id", "rb")
+    val fused = Pipelines.rrfFuse(a, b, topK = 3).collect()
+      .map(r => (r.getLong(0), r.getDouble(3)))
+    assert(fused.head._1 == 3L, "both-list doc must lead")
+    assert(math.abs(fused.head._2 - (1.0 / 62 + 1.0 / 63)) < 1e-15)
+  }
 }
