@@ -397,6 +397,7 @@ object ScaleProbe {
     ops.DiagOps.clearIndexCache()
     ops.StreamAnalogOps.clearIndexCache()
     ops.GraphOps.clearIndexCache()
+    ops.AnalyticsOps.clearIndexCache()
     val cold = pass("cold")
     val warm = pass("warm")
     println(f"[scale] amortize build-share ${(cold - warm) / cold * 100}%.0f%%" +

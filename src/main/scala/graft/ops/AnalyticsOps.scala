@@ -166,19 +166,42 @@ object AnalyticsOps extends QueryModule {
     // string, and the top-25 rides TakeOrderedAndProject with a unique
     // (lift, part_a, part_b) tie-broken total order.
     "q_analytics_basket" -> ((s: SparkSession, dir: String) =>
-      basketRules(table(s, dir, "lineitem")))
+      basketRules(table(s, dir, "lineitem"),
+        cacheKey = Some(SourceSinkOps.fixtureKey(dir, "lineitem.parquet"))))
   )
 
   /** Association-rule mining over (l_orderkey, l_partkey) lines — the
     * q_analytics_basket primitive, exposed for [[graft.Pipelines]]. See
     * the query comment for the basket-width pairing bound and the
     * never-broadcast support-rejoin rationale. */
-  private[graft] def basketRules(lines: DataFrame,
-      minSupport: Long = BasketMinSupport, topK: Int = 25): DataFrame = {
-    val baskets = lines
+  /** Session-lifetime memo of the distinct (order, part) basket relation
+    * per fixture content digest — the maintained-index pattern
+    * (CLAUDE.md): the distinct shuffle is the dominant per-call cost and
+    * feeds four consumers. Cleared via [[clearIndexCache]]. */
+  private val basketIndexCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  private[graft] def clearIndexCache(): Unit = basketIndexCache.clear()
+
+  private[graft] def basketsFor(lines: DataFrame,
+      cacheKey: Option[String]): DataFrame = {
+    def build(): DataFrame = lines
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
       .distinct()
       .localCheckpoint(true) // feeds nOrders + supp + BOTH pair sides
+    cacheKey match {
+      case Some(k) =>
+        val full = System.identityHashCode(
+          lines.sparkSession.sparkContext).toString + "|baskets|" + k
+        basketIndexCache.computeIfAbsent(full, _ => build())
+      case None => build()
+    }
+  }
+
+  private[graft] def basketRules(lines: DataFrame,
+      minSupport: Long = BasketMinSupport, topK: Int = 25,
+      cacheKey: Option[String] = None): DataFrame = {
+    val baskets = basketsFor(lines, cacheKey)
     val nOrders = baskets.agg(count_distinct(col("ok")).as("n"))
     val supp = baskets.groupBy("pk").agg(count(lit(1)).as("s"))
     val pairs = baskets
