@@ -164,7 +164,10 @@ object ScaleProbe {
       // r9 continuation: RRF fusion — both lists are bounded top-100 cuts,
       // so only the list builders (bm25 aggs + the memoized ppm scorer)
       // scale with the corpus
-      "q_text_rank_fusion")
+      "q_text_rank_fusion",
+      // r9 continuation: clustering coefficient — the triangles wedge
+      // shape plus a degree rejoin, warm on the shared mutual-KNN index
+      "q_graph_clustercoef")
     // warmup
     SparkEntry.queries("q_agg_basic")(spark, outDir).count()
     val results = probes.map { name =>

@@ -471,6 +471,28 @@ object GraphOps extends QueryModule {
       col("r").as("pr"))
   }
 
+  /** Per-node triangle participation counts `(p, n_tri)` over oriented
+    * mutual-KNN edges — the wedge join + closing-edge shape shared by
+    * q_graph_triangles and q_graph_clustercoef. Wedge work is bounded at
+    * n·K² at any corpus size (the keep-first-K discipline). */
+  private def trianglesPerNode(e: DataFrame): DataFrame = {
+    val tri = e.as("e1").join(e.as("e2"),
+        col("e1.u") === col("e2.u") && col("e1.v") < col("e2.v"))
+      .select(col("e1.u").as("x"), col("e1.v").as("y"), col("e2.v").as("z"))
+      .join(e.as("e3"), col("y") === col("e3.u") && col("z") === col("e3.v"))
+      .select("x", "y", "z")
+    tri.select(col("x").as("p"))
+      .union(tri.select(col("y").as("p")))
+      .union(tri.select(col("z").as("p")))
+      .groupBy("p").agg(asLong(count(lit(1))).as("n_tri"))
+  }
+
+  /** Shared clustering-coefficient projection over (n_tri, degree) —
+    * ONE formula string; 2·n_tri and deg·(deg−1) are exact BIGINTs
+    * (degree ≤ KnnK), then one IEEE-exact double division. */
+  private val clusterCoefFormula =
+    "CAST(2 * n_tri AS DOUBLE) / (degree * (degree - 1)) AS coef"
+
   def queries: Seq[(String, Q)] = Seq(
     // PageRank over the purchase graph: who are the most central
     // customers/suppliers by recursive link weight. Top-50 via
@@ -514,21 +536,29 @@ object GraphOps extends QueryModule {
     // edge. Wedge work is bounded at n·K² at ANY corpus size (the
     // keep-first-K discipline), and the cap + tie-break replay exactly in
     // the oracle. Top-50 parts by triangle participation.
-    "q_graph_triangles" -> ((s: SparkSession, dir: String) => {
-      // mutual-KNN edges (shared memoized index), oriented u < v,
-      // reused by all three join roles
-      val e = mutualKnnEdges(s, dir)
-      val tri = e.as("e1").join(e.as("e2"),
-          col("e1.u") === col("e2.u") && col("e1.v") < col("e2.v"))
-        .select(col("e1.u").as("x"), col("e1.v").as("y"), col("e2.v").as("z"))
-        .join(e.as("e3"), col("y") === col("e3.u") && col("z") === col("e3.v"))
-        .select("x", "y", "z")
-      tri.select(col("x").as("p"))
-        .union(tri.select(col("y").as("p")))
-        .union(tri.select(col("z").as("p")))
-        .groupBy("p").agg(asLong(count(lit(1))).as("n_tri"))
+    "q_graph_triangles" -> ((s: SparkSession, dir: String) =>
+      trianglesPerNode(mutualKnnEdges(s, dir))
         .select(col("p").as("partkey"), col("n_tri"))
-        .orderBy(desc("n_tri"), asc("partkey")).limit(50)
+        .orderBy(desc("n_tri"), asc("partkey")).limit(50)),
+
+    // Local clustering coefficient on the mutual-KNN graph: per node,
+    // 2·T / (deg·(deg−1)) over its realized neighbor pairs — the
+    // community-density signal next to raw triangle counts. Same bounded
+    // wedge machinery as q_graph_triangles (n·K² at any corpus size);
+    // degree ≤ KnnK, so deg·(deg−1) never overflows and the one double
+    // division is IEEE-exact. Zero-triangle nodes report coef 0 (left
+    // join, coalesce); nodes of degree < 2 have no defined coefficient
+    // and are out of scope.
+    "q_graph_clustercoef" -> ((s: SparkSession, dir: String) => {
+      val e = mutualKnnEdges(s, dir)
+      val tc = trianglesPerNode(e)
+      val deg = e.select(col("u").as("p")).union(e.select(col("v").as("p")))
+        .groupBy("p").agg(asLong(count(lit(1))).as("degree"))
+      deg.where(col("degree") >= 2)
+        .join(tc, Seq("p"), "left")
+        .withColumn("n_tri", coalesce(col("n_tri"), lit(0L)))
+        .selectExpr("p AS partkey", "degree", "n_tri", clusterCoefFormula)
+        .orderBy(desc("coef"), asc("partkey")).limit(50)
     }),
 
     // k-core of the mutual-KNN co-purchase graph: the maximal subgraph
@@ -754,6 +784,31 @@ object GraphOps extends QueryModule {
          |  UNION ALL SELECT z FROM t)
          |SELECT p AS partkey, CAST(count(*) AS BIGINT) AS n_tri
          |FROM roles GROUP BY p ORDER BY n_tri DESC, partkey LIMIT 50""".stripMargin,
+
+    "q_graph_clustercoef" ->
+      s"""WITH $copurchaseCte,
+         |$mutualKnnCte,
+         |t AS (
+         |  SELECT e1.u AS x, e1.v AS y, e2.v AS z
+         |  FROM e e1
+         |  JOIN e e2 ON e1.u = e2.u AND e1.v < e2.v
+         |  JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v),
+         |roles AS (
+         |  SELECT x AS p FROM t
+         |  UNION ALL SELECT y FROM t
+         |  UNION ALL SELECT z FROM t),
+         |tc AS (SELECT p, CAST(count(*) AS BIGINT) AS n_tri
+         |       FROM roles GROUP BY p),
+         |nd AS (SELECT u AS p FROM e UNION ALL SELECT v AS p FROM e),
+         |dg AS (SELECT p, CAST(count(*) AS BIGINT) AS degree
+         |       FROM nd GROUP BY p),
+         |j AS (
+         |  SELECT dg.p AS partkey, dg.degree,
+         |         CAST(COALESCE(tc.n_tri, 0) AS BIGINT) AS n_tri
+         |  FROM dg LEFT JOIN tc USING (p) WHERE dg.degree >= 2)
+         |SELECT partkey, degree, n_tri,
+         |       $clusterCoefFormula
+         |FROM j ORDER BY coef DESC, partkey LIMIT 50""".stripMargin,
 
     "q_graph_simnodes" ->
       s"""WITH $copurchaseCte,

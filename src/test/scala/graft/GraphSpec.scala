@@ -141,6 +141,29 @@ class GraphSpec extends SparkTestBase {
     assert(got == expected, "top-50 triangle counts or order differ")
   }
 
+  test("clustering coefficients equal a brute-force replay, including order") {
+    val und = mutualEdges.flatMap { case (u, v) => Seq((u, v), (v, u)) }
+    val nbrs = und.toSeq.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val triCnt = scala.collection.mutable.Map[Long, Long]().withDefaultValue(0L)
+    val onbrs = mutualEdges.toSeq.groupBy(_._1).view
+      .mapValues(_.map(_._2).toSet).toMap
+    for ((u, vs) <- onbrs; v <- vs; w <- vs if v < w
+         if onbrs.getOrElse(v, Set.empty[Long])(w)) {
+      triCnt(u) += 1; triCnt(v) += 1; triCnt(w) += 1
+    }
+    val expected = nbrs.toSeq.collect { case (p, ns) if ns.size >= 2 =>
+      val d = ns.size.toLong
+      (p, d, triCnt(p), (2 * triCnt(p)).toDouble / (d * (d - 1)))
+    }.sortBy { case (p, _, _, c) => (-c, p) }.take(50)
+    val got = q("q_graph_clustercoef").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(got == expected, "coefficient list or order differs")
+    got.foreach { case (p, d, t, c) =>
+      assert(c >= 0.0 && c <= 1.0 + 1e-12, s"node $p coef $c out of range")
+      assert(t <= d * (d - 1) / 2, s"node $p has more triangles than pairs")
+    }
+  }
+
   test("simnodes equal a brute-force neighbor-Jaccard replay, including order") {
     // undirected neighbor sets from the mutual edges
     val nbr = scala.collection.mutable.Map[Long, Set[Long]]()
