@@ -255,6 +255,27 @@ object DiagOps extends QueryModule {
           min("v").as("min_v"), max("v").as("max_v"))
         .orderBy("col_name")),
 
+    // Referential-integrity audit across the star schema — the
+    // expectation-suite pass a pipeline runs before trusting joins: per
+    // (child, fk, parent) edge, child rows, orphan rows (no matching
+    // parent key), and the orphan rate. Each edge is ONE left-anti join
+    // on the fk (shuffle on the key, parent side pre-collapsed to its
+    // DISTINCT keys — O(#parent-keys) rows); the four audited edges union
+    // to a 4-row report. Orphan counts are exact BIGINTs; the rate is a
+    // single IEEE division.
+    "q_profile_integrity" -> ((s: SparkSession, dir: String) => {
+      val li = table(s, dir, "lineitem")
+      integrityEdge(li, "l_orderkey", table(s, dir, "orders"), "o_orderkey",
+          "lineitem->orders")
+        .union(integrityEdge(li, "l_partkey", table(s, dir, "part"),
+          "p_partkey", "lineitem->part"))
+        .union(integrityEdge(li, "l_suppkey", table(s, dir, "supplier"),
+          "s_suppkey", "lineitem->supplier"))
+        .union(integrityEdge(table(s, dir, "orders"), "o_custkey",
+          table(s, dir, "customer"), "c_custkey", "orders->customer"))
+        .orderBy("fk_edge")
+    }),
+
     // Heavy-hitter / skew diagnosis on lineitem.l_partkey: top-20 keys by
     // frequency with share and cumulative share of the table. The count
     // relation is a hash agg (#distinct keys rows), top-k is
@@ -550,6 +571,21 @@ object DiagOps extends QueryModule {
     })
   )
 
+  /** One referential-integrity audit row for a (child, fk, parent, pk)
+    * edge — the q_profile_integrity primitive, exposed for
+    * [[graft.Pipelines]] and the orphan-injection spec. ONE left-anti
+    * join on the fk; the parent pre-collapses to its distinct keys. */
+  private[graft] def integrityEdge(child: DataFrame, fk: String,
+      parent: DataFrame, pk: String, label: String): DataFrame = {
+    val keys = parent.select(col(pk).as(fk)).distinct()
+    val n = child.agg(count(lit(1)).as("n_child"))
+    child.select(fk).join(keys, Seq(fk), "left_anti")
+      .agg(count(lit(1)).as("n_orphans"))
+      .crossJoin(broadcast(n))
+      .select(lit(label).as("fk_edge"), col("n_child"), col("n_orphans"),
+        (col("n_orphans").cast("double") / col("n_child")).as("orphan_rate"))
+  }
+
   /** Hour-of-day seasonal profile over an events frame (event_type, ts,
     * value) — the q_ts_seasonal primitive, exposed for
     * [[graft.Pipelines]]. See the query comment for the single-agg +
@@ -828,6 +864,24 @@ object DiagOps extends QueryModule {
          |SELECT event_type, h AS hour_idx, n_lags,
          |       $ewmaFormula
          |FROM m ORDER BY event_type, hour_idx""".stripMargin,
+
+    "q_profile_integrity" -> {
+      def edge(child: String, fk: String, parent: String, pk: String,
+          label: String) =
+        s"""SELECT '$label' AS fk_edge,
+           |       (SELECT CAST(count(*) AS BIGINT) FROM $child) AS n_child,
+           |       CAST(count(*) AS BIGINT) AS n_orphans,
+           |       CAST(count(*) AS DOUBLE)
+           |         / (SELECT count(*) FROM $child) AS orphan_rate
+           |FROM $child c
+           |WHERE NOT EXISTS (SELECT 1 FROM $parent p WHERE p.$pk = c.$fk)""".stripMargin
+      Seq(
+        edge("lineitem", "l_orderkey", "orders", "o_orderkey", "lineitem->orders"),
+        edge("lineitem", "l_partkey", "part", "p_partkey", "lineitem->part"),
+        edge("lineitem", "l_suppkey", "supplier", "s_suppkey", "lineitem->supplier"),
+        edge("orders", "o_custkey", "customer", "c_custkey", "orders->customer"))
+        .mkString("SELECT * FROM (\n", "\nUNION ALL\n", "\n) ORDER BY fk_edge")
+    },
 
     "q_ts_seasonal" ->
       s"""WITH h AS (

@@ -214,6 +214,28 @@ class MixDiagSpec extends SparkTestBase {
     assert(msk / tot > 0.05 && msk / tot < 0.3, s"mask rate ${msk / tot}")
   }
 
+  test("integrity audit is clean on the fixture and catches injected orphans") {
+    import spark.implicits._
+    val rows = q("q_profile_integrity").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.length == 4, "one row per audited fk edge")
+    rows.foreach { case (e, n, orph, rate) =>
+      assert(n > 0, s"$e child count")
+      assert(orph == 0L && rate == 0.0, s"fixture schema must be consistent: $e")
+    }
+    // inject 3 orphans into a copy of the child: the edge must report them
+    val li = graft.ops.table(spark, sfDir, "lineitem")
+    val broken = li.select("l_orderkey").limit(0)
+      .union(Seq(-1L, -2L, -3L).toDF("l_orderkey"))
+      .union(li.select("l_orderkey"))
+    val audited = graft.ops.DiagOps.integrityEdge(
+        broken, "l_orderkey", graft.ops.table(spark, sfDir, "orders"),
+        "o_orderkey", "broken").collect().head
+    assert(audited.getLong(2) == 3L, "injected orphans must be counted")
+    assert(audited.getDouble(3) ==
+      3.0 / (li.count() + 3), "orphan rate over the child count")
+  }
+
   test("seasonal profile: shares sum to 1, deviations mass-balance to 0") {
     val rows = q("q_ts_seasonal").collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
