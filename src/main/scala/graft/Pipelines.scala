@@ -311,6 +311,12 @@ object Pipelines {
   def rrfFuse(a: DataFrame, b: DataFrame, topK: Int = 20): DataFrame =
     CurationOps.rrfFuse(a, b, topK)
 
+  /** One referential-integrity audit row for a (child, fk, parent, pk)
+    * edge: child count, orphans, orphan rate. */
+  def integrityEdge(child: DataFrame, fk: String, parent: DataFrame,
+      pk: String, label: String): DataFrame =
+    DiagOps.integrityEdge(child, fk, parent, pk, label)
+
   /** Install + enable the opt-in LSH similarity-join rewrite on a live
     * session: a `a JOIN b ON cosine_sim(...) >= tau` written naively is
     * re-planned as a sign-LSH bucket equi-join (approximate — the cosine
