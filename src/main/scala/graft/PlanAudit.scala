@@ -85,8 +85,8 @@ object PlanAudit {
     * [[TokenShuffleExempt]] with its justification. Anything else should
     * hash the token to an int64 (ReplayableHash) before shuffling. */
   private def tokenLike(name: String): Boolean =
-    name.matches("(?i)(tok|token|shingle|chunk|word|ngram|bigram|trigram)s?\\d*") ||
-      name.matches("(?i).*_(tok|token|shingle|chunk|word|ngram|bigram|trigram)s?\\d*")
+    name.matches("(?i)(tok|token|shingle|chunk|word|ngram|bigram|trigram|phrase)s?\\d*") ||
+      name.matches("(?i).*_(tok|token|shingle|chunk|word|ngram|bigram|trigram|phrase)s?\\d*")
 
   /** Declared rule-5b exemptions: query -> (exempt COLUMN NAMES, why
     * shuffling that bounded token text is the intended design). The
@@ -100,7 +100,14 @@ object PlanAudit {
       ("the token IS the group key and the result payload (per-doc top-3 " +
         "tokens): the exchanges carry one row per distinct (doc, token) " +
         "after map-side partial aggregation, and the output must surface " +
-        "the token string — hashing it would drop the answer")))
+        "the token string — hashing it would drop the answer")),
+    "q_text_rake" -> (Set("token", "phrase") ->
+      ("RAKE's word-score group key (token) and the keyphrase type key " +
+        "(phrase, ≤ 4 tokens) are both the result payload: the word-stat " +
+        "exchange carries one row per distinct token after partial " +
+        "aggregation, the phrase-type exchange one row per (doc, phrase) " +
+        "occurrence, and the top-50 output must surface the phrase text — " +
+        "hashing either would drop the answer")))
 
   /** Violations for one physical plan (empty = clean). */
   def auditPlan(name: String, plan: SparkPlan): Seq[String] = {

@@ -167,7 +167,10 @@ object ScaleProbe {
       "q_text_rank_fusion",
       // r9 continuation: clustering coefficient — the triangles wedge
       // shape plus a degree rejoin, warm on the shared mutual-KNN index
-      "q_graph_clustercoef")
+      "q_graph_clustercoef",
+      // r9 continuation: RAKE — per-doc segmentation windows + token/
+      // phrase aggs (declared 5b exemptions); integrity — four anti-joins
+      "q_text_rake", "q_profile_integrity")
     // warmup
     SparkEntry.queries("q_agg_basic")(spark, outDir).count()
     val results = probes.map { name =>
@@ -344,7 +347,12 @@ object ScaleProbe {
       // r9 continuation: fusion under mass duplication — clone ties in
       // both lists resolve by doc_id; the bounded top-100 cuts keep the
       // fusion join size fixed however hot the clone scores are
-      "q_text_rank_fusion")
+      "q_text_rank_fusion",
+      // r9 continuation: RAKE under mass duplication — the clones share
+      // one segmentation, so their phrase occurrences collapse in the
+      // (doc, pid) agg and the hot phrase type carries counts + ONE text
+      // payload row per occurrence, never a window over the hot key
+      "q_text_rake")
     for ((dir, label) <- Seq((srcDir, "uniform"), (degDir, "degen"))) {
       family.foreach { name =>
         val t0 = System.nanoTime()

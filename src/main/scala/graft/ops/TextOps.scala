@@ -135,6 +135,14 @@ object TextOps extends QueryModule {
       " / (tf + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE)" +
       " + CAST(0.75 AS DOUBLE) * (CAST(dl AS DOUBLE) * n / sdl)))) AS s"
 
+  /** q_text_rake parameters: corpus-derived stopword count (top-N by
+    * document frequency), max candidate phrase length, report size, and
+    * the integer score scale. */
+  private val RakeStops = 10
+  private val RakeMaxLen = 4
+  private val RakeTopK = 50
+  private val RakeScale = 1000000L
+
   /** Non-empty whitespace tokens, with multiplicity. */
   private def tokens(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("token"))
@@ -345,7 +353,59 @@ object TextOps extends QueryModule {
     "q_text_bm25" -> ((s: SparkSession, dir: String) =>
       bm25Doc(table(s, dir, "documents"))
         .orderBy(desc("bm25"), asc("doc_id"))
-        .limit(20))
+        .limit(20)),
+
+    // RAKE keyphrase extraction (Rose et al.): candidate phrases are
+    // maximal runs of non-stopword tokens (stopwords = the corpus top-10
+    // by document frequency — data-derived, deterministic tie-break);
+    // each word scores deg/freq where deg sums the lengths of the phrases
+    // it appears in; a phrase scores Σdeg·10⁶ div Σfreq as ONE exact
+    // integer division (the log-free replay discipline — a per-word
+    // double-ratio sum would be FP-order-sensitive). Scale: the
+    // segmentation windows ride per-DOC sorts (high-cardinality key);
+    // word stats and phrase types are hash aggs on the token/phrase
+    // strings — a DECLARED PlanAudit 5b exemption (like tfidf, the
+    // strings are the group keys and the result payload); phrase length
+    // caps at 4 so the per-phrase collect is constant-bounded. Integer
+    // bound: Σdeg·10⁶ < 2^63 up to ~10^12 member occurrences — beyond
+    // that drop the scale factor (the collocations rule).
+    "q_text_rake" -> ((s: SparkSession, dir: String) => {
+      val toks = table(s, dir, "documents")
+        .select(col("doc_id"), posexplode(
+          expr("filter(split(text, ' '), t -> length(t) > 0)"))
+          .as(Seq("pos", "token")))
+      val stops = toks.select("doc_id", "token").distinct()
+        .groupBy("token").agg(count(lit(1)).as("dfc"))
+        .orderBy(desc("dfc"), asc("token")).limit(RakeStops)
+        .select(col("token"), lit(1).as("is_stop"))
+      val w = Window.partitionBy("doc_id").orderBy("pos")
+      val members = toks
+        .join(broadcast(stops), Seq("token"), "left")
+        .withColumn("pid", sum(coalesce(col("is_stop"), lit(0)))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .where(col("is_stop").isNull)
+        .withColumn("plen", count(lit(1)).over(
+          Window.partitionBy("doc_id", "pid")))
+      val wstats = members.groupBy("token")
+        .agg(count(lit(1)).as("freq"), sum(col("plen")).as("deg"))
+      members.join(wstats, "token")
+        .groupBy("doc_id", "pid")
+        .agg(
+          concat_ws(" ", expr(
+            "transform(array_sort(collect_list(struct(pos, token))), s -> s.token)"))
+            .as("phrase"),
+          count(lit(1)).as("plen2"),
+          sum(col("deg")).as("num"), sum(col("freq")).as("den"))
+        .groupBy("phrase")
+        .agg(asLong(count(lit(1))).as("support"),
+          asLong(min(col("plen2"))).as("n_words"),
+          min(col("num")).as("num"), min(col("den")).as("den"))
+        .where(col("n_words") <= RakeMaxLen)
+        .selectExpr("phrase", "n_words", "support",
+          s"num * $RakeScale div den AS score")
+        .orderBy(desc("score"), asc("phrase"))
+        .limit(RakeTopK)
+    })
   )
 
   /** The per-doc BM25 relation (doc_id, dl, n_terms, bm25) over the fixed
@@ -581,7 +641,50 @@ object TextOps extends QueryModule {
     "q_text_bm25" ->
       s"""WITH $bm25DocCte
          |SELECT doc_id, dl, n_terms, bm25
-         |FROM bmdoc ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin
+         |FROM bmdoc ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin,
+
+    "q_text_rake" ->
+      s"""WITH t0 AS (
+         |  SELECT doc_id, toks, unnest(generate_series(1, len(toks))) AS i
+         |  FROM (SELECT doc_id,
+         |               list_filter(string_split(text, ' '), x -> length(x) > 0) AS toks
+         |        FROM documents)),
+         |tok AS MATERIALIZED (
+         |  SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, toks[i] AS token FROM t0),
+         |st AS (
+         |  SELECT token, 1 AS is_stop FROM (
+         |    SELECT token, count(DISTINCT doc_id) AS dfc FROM tok GROUP BY token)
+         |  ORDER BY dfc DESC, token LIMIT $RakeStops),
+         |m1 AS (
+         |  SELECT k.doc_id, k.pos, k.token, st.is_stop,
+         |         sum(COALESCE(st.is_stop, 0)) OVER (
+         |           PARTITION BY k.doc_id ORDER BY k.pos
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pid
+         |  FROM tok k LEFT JOIN st USING (token)),
+         |mem AS MATERIALIZED (
+         |  SELECT doc_id, pid, pos, token,
+         |         count(*) OVER (PARTITION BY doc_id, pid) AS plen
+         |  FROM m1 WHERE is_stop IS NULL),
+         |ws AS (
+         |  SELECT token, CAST(count(*) AS BIGINT) AS freq,
+         |         CAST(sum(plen) AS BIGINT) AS deg
+         |  FROM mem GROUP BY token),
+         |ph AS (
+         |  SELECT mem.doc_id, mem.pid,
+         |         string_agg(mem.token, ' ' ORDER BY mem.pos) AS phrase,
+         |         CAST(count(*) AS BIGINT) AS plen2,
+         |         CAST(sum(ws.deg) AS BIGINT) AS num,
+         |         CAST(sum(ws.freq) AS BIGINT) AS den
+         |  FROM mem JOIN ws USING (token)
+         |  GROUP BY mem.doc_id, mem.pid),
+         |ty AS (
+         |  SELECT phrase, CAST(count(*) AS BIGINT) AS support,
+         |         CAST(min(plen2) AS BIGINT) AS n_words,
+         |         min(num) AS num, min(den) AS den
+         |  FROM ph GROUP BY phrase)
+         |SELECT phrase, n_words, support, num * $RakeScale // den AS score
+         |FROM ty WHERE n_words <= $RakeMaxLen
+         |ORDER BY score DESC, phrase LIMIT $RakeTopK""".stripMargin
   )
 
   /** Oracle CTE chain computing [[bm25Doc]]'s relation, ending with

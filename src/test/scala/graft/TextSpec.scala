@@ -279,6 +279,47 @@ class TextSpec extends SparkTestBase {
     }
   }
 
+  test("rake keyphrases equal a driver-side replay, including order") {
+    val docs = graft.ops.table(spark, sfDir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).split(' ').filter(_.nonEmpty).toSeq))
+    val dfc = docs.flatMap { case (id, ts) => ts.distinct.map(_ -> id) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).distinct.size).toMap
+    val stops = dfc.toSeq.sortBy { case (t, c) => (-c, t) }
+      .take(10).map(_._1).toSet
+    // phrase occurrences: maximal non-stop runs, as token seqs
+    val occs = docs.flatMap { case (_, ts) =>
+      val runs = collection.mutable.Buffer[Seq[String]]()
+      var cur = collection.mutable.Buffer[String]()
+      ts.foreach { t =>
+        if (stops(t)) { if (cur.nonEmpty) { runs += cur.toSeq; cur = collection.mutable.Buffer() } }
+        else cur += t
+      }
+      if (cur.nonEmpty) runs += cur.toSeq
+      runs
+    }
+    val freq = occs.flatten.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val deg = occs.flatMap(p => p.map(_ -> p.length.toLong))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val expected = occs
+      .map(p => (p.mkString(" "), p.length.toLong,
+        p.map(deg).sum, p.map(freq).sum))
+      .groupBy(_._1).toSeq
+      .map { case (ph, os) =>
+        (ph, os.head._2, os.size.toLong, os.head._3 * 1000000L / os.head._4) }
+      .filter(_._2 <= 4)
+      .sortBy { case (ph, _, _, s) => (-s, ph) }.take(50)
+      .map { case (ph, nw, sup, s) => (ph, nw, sup, s) }
+    val got = q("q_text_rake").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == expected, "keyphrase list or order differs from the replay")
+    // structural sanity: no stopword inside any emitted phrase
+    got.foreach { case (ph, nw, _, _) =>
+      val ws = ph.split(' ')
+      assert(ws.length == nw && ws.forall(!stops(_)), s"bad phrase '$ph'")
+    }
+  }
+
   test("bm25 top-20 equals a driver-side scoring replay, same FP order") {
     val terms = Seq("spark", "hash", "merge", "window")
     val docs = graft.ops.table(spark, sfDir, "documents")
