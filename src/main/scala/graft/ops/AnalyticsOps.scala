@@ -22,6 +22,12 @@ object AnalyticsOps extends QueryModule {
   /** q_analytics_basket: minimum pair support (baskets containing both). */
   private val BasketMinSupport = 2L
 
+  /** q_analytics_pattern: per-step window (micros) — 24 h: the fixture's
+    * mean per-user inter-event gap is ~10.6 h, so a 1 h step window never
+    * fires (measured 0 matches at sf0.01); one day yields real signal
+    * while keeping the strict-chain semantics. */
+  private val PatternStepUs = 86400000000L
+
   /** Shared association-rule projections over (sab, sa, sb, n) — ONE
     * formula string evaluated by both engines. At fixture scales every
     * product stays < 2^53 so the DOUBLE chain is exact; at 100 TB the
@@ -167,7 +173,51 @@ object AnalyticsOps extends QueryModule {
     // (lift, part_a, part_b) tie-broken total order.
     "q_analytics_basket" -> ((s: SparkSession, dir: String) =>
       basketRules(table(s, dir, "lineitem"),
-        cacheKey = Some(SourceSinkOps.fixtureKey(dir, "lineitem.parquet"))))
+        cacheKey = Some(SourceSinkOps.fixtureKey(dir, "lineitem.parquet")))),
+
+    // Sequential-pattern detection: per day, how many purchases complete
+    // the strict view→click→purchase chain with each step at most 24 hours
+    // after the previous — the conversion-path health report next to the
+    // funnel (which tracks EARLIEST chains; this one uses LAST-TOUCH
+    // semantics: the most recent strictly-prior click, and that click's
+    // most recent strictly-prior view — the streaming-friendly reading,
+    // same rule as attribution). Two struct-max running-best windows ride
+    // ONE per-user sort (same partition/order spec); the (ts, kind, id)
+    // order makes prior-row sets deterministic and the strict `<` guards
+    // exclude equal-instant steps (the r8 attribution tie rule). Struct
+    // max compares field-by-field with the unique (t, id) prefix, so the
+    // carried view timestamp never influences ordering.
+    "q_analytics_pattern" -> ((s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.expressions.Window
+      val tl = table(s, dir, "events")
+        .where(col("event_type").isin("view", "click", "purchase"))
+        .select(col("user_id"), unix_micros(col("ts")).as("t"),
+          col("event_id"), col("event_type"),
+          when(col("event_type") === "view", 0)
+            .when(col("event_type") === "click", 1).otherwise(2).as("kind"))
+      val prior = Window.partitionBy("user_id")
+        .orderBy(col("t"), col("kind"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val withV = tl.withColumn("vb",
+        max(when(col("kind") === 0, struct(col("t").as("vt"),
+          col("event_id").as("vid")))).over(prior))
+      val withC = withV.withColumn("cb",
+        max(when(col("kind") === 1, struct(col("t").as("ct"),
+          col("event_id").as("cid"), col("vb.vt").as("vt")))).over(prior))
+      withC.where(col("kind") === 2)
+        .withColumn("matched",
+          col("cb").isNotNull &&
+            col("cb.ct") < col("t") && col("cb.ct") >= col("t") - lit(PatternStepUs) &&
+            col("cb.vt").isNotNull &&
+            col("cb.vt") < col("cb.ct") && col("cb.vt") >= col("cb.ct") - lit(PatternStepUs))
+        .withColumn("day", expr(s"t div $DayUs"))
+        .groupBy("day")
+        .agg(asLong(count(lit(1))).as("n_purchases"),
+          asLong(sum(when(col("matched"), 1L).otherwise(0L))).as("n_matched"))
+        .select(asLong(col("day")).as("day"), col("n_purchases"), col("n_matched"),
+          (col("n_matched").cast("double") / col("n_purchases")).as("match_rate"))
+        .orderBy("day")
+    })
   )
 
   /** Association-rule mining over (l_orderkey, l_partkey) lines — the
@@ -320,6 +370,40 @@ object AnalyticsOps extends QueryModule {
          |         JOIN s sb ON sb.pk = p.pk2 CROSS JOIN nq)
          |SELECT part_a, part_b, sab AS supp_pair, sa AS supp_a, sb AS supp_b,
          |       ${basketFormulas.mkString(",\n       ")}
-         |FROM j ORDER BY lift DESC, part_a, part_b LIMIT 25""".stripMargin
+         |FROM j ORDER BY lift DESC, part_a, part_b LIMIT 25""".stripMargin,
+
+    "q_analytics_pattern" ->
+      s"""WITH tl AS (
+         |  SELECT user_id, epoch_us(ts) AS t, event_id,
+         |         CASE event_type WHEN 'view' THEN 0
+         |                         WHEN 'click' THEN 1 ELSE 2 END AS kind
+         |  FROM events WHERE event_type IN ('view', 'click', 'purchase')),
+         |w1 AS (
+         |  SELECT *,
+         |         max(CASE WHEN kind = 0
+         |                  THEN {'vt': t, 'vid': event_id} END) OVER (
+         |           PARTITION BY user_id ORDER BY t, kind, event_id
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS vb
+         |  FROM tl),
+         |w2 AS (
+         |  SELECT *,
+         |         max(CASE WHEN kind = 1
+         |                  THEN {'ct': t, 'cid': event_id, 'vt': vb.vt} END) OVER (
+         |           PARTITION BY user_id ORDER BY t, kind, event_id
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS cb
+         |  FROM w1),
+         |p AS (
+         |  SELECT t // $DayUs AS day,
+         |         CASE WHEN cb IS NOT NULL
+         |               AND cb.ct < t AND cb.ct >= t - $PatternStepUs
+         |               AND cb.vt IS NOT NULL
+         |               AND cb.vt < cb.ct AND cb.vt >= cb.ct - $PatternStepUs
+         |              THEN 1 ELSE 0 END AS matched
+         |  FROM w2 WHERE kind = 2)
+         |SELECT CAST(day AS BIGINT) AS day,
+         |       CAST(count(*) AS BIGINT) AS n_purchases,
+         |       CAST(sum(matched) AS BIGINT) AS n_matched,
+         |       CAST(sum(matched) AS DOUBLE) / count(*) AS match_rate
+         |FROM p GROUP BY day ORDER BY day""".stripMargin
   )
 }

@@ -105,6 +105,45 @@ class AnalyticsSpec extends SparkTestBase {
     }
   }
 
+  test("pattern detection equals a driver-side last-touch chain replay") {
+    val step = 86400000000L // 24 h per chain step (PatternStepUs)
+    val ev = graft.ops.table(spark, sfDir, "events")
+      .where(col("event_type").isin("view", "click", "purchase"))
+      .select(col("user_id"), expr("unix_micros(ts)").as("t"),
+        col("event_id"), col("event_type")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val perDay = collection.mutable.Map[Long, (Long, Long)]()
+      .withDefaultValue((0L, 0L))
+    ev.groupBy(_._1).foreach { case (_, es) =>
+      val kind = Map("view" -> 0, "click" -> 1, "purchase" -> 2)
+      val sorted = es.sortBy(e => (e._2, kind(e._4), e._3))
+      var bestView: Option[Long] = None
+      var bestClick: Option[(Long, Long)] = None // (clickT, viewT-at-click or -1)
+      sorted.foreach { case (_, t, _, tpe) =>
+        if (tpe == "purchase") {
+          val matched = bestClick.exists { case (ct, vt) =>
+            ct < t && ct >= t - step && vt >= 0 && vt < ct && vt >= ct - step
+          }
+          val day = t / 86400000000L
+          val (n, m) = perDay(day)
+          perDay(day) = (n + 1, m + (if (matched) 1L else 0L))
+        }
+        // update running bests AFTER processing (strictly-prior semantics)
+        if (tpe == "view") bestView = Some(bestView.fold(t)(math.max(_, t)))
+        if (tpe == "click") {
+          val cand = (t, bestView.getOrElse(-1L))
+          bestClick = Some(bestClick.fold(cand)(b => if (cand._1 >= b._1) cand else b))
+        }
+      }
+    }
+    val expected = perDay.toSeq.sortBy(_._1).map { case (d, (n, m)) =>
+      (d, n, m, m.toDouble / n) }
+    val got = q("q_analytics_pattern").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(got == expected, "daily pattern report differs from the replay")
+    assert(got.map(_._3).sum > 0, "fixture should contain completed chains")
+  }
+
   test("basket rules equal a driver-side support/confidence/lift replay") {
     val rows = q("q_analytics_basket").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
