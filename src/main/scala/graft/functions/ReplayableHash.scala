@@ -88,6 +88,9 @@ object ReplayableHash extends Serializable {
     * registry in CLAUDE.md). Depth 4: one affine hash per sketch row. */
   val CountMinParams: IndexedSeq[(Long, Long)] = params(4, salt = 11)
 
+  /** A/B-arm assignment hash (q_analytics_abtest; salt 12). */
+  val AbTestParams: IndexedSeq[(Long, Long)] = params(1, salt = 12)
+
   // ---- DuckDB SQL twins (generated from the same constants) --------------
 
   /** SQL computing [[tokenHash]] of a string expression. */

@@ -28,6 +28,27 @@ object AnalyticsOps extends QueryModule {
     * while keeping the strict-chain semantics. */
   private val PatternStepUs = 86400000000L
 
+  /** Shared A/B-test projections over (na, nb, s1a, s2a, s1b, s2b) — ONE
+    * formula set evaluated by both engines: per-arm mean, unbiased sample
+    * variance (computed from exact DECIMAL moments surfaced as DOUBLE),
+    * and the Welch t statistic. sqrt and each division are IEEE-exact-
+    * rounded, composed in the same order in both engines; no p-value —
+    * the CDF would need erf/libm, which does not replay bit-exact. */
+  private val abFormulas: Seq[String] = {
+    def mean(s: String, n: String) = s"($s / $n)"
+    def v(s1: String, s2: String, n: String) =
+      s"(($s2 / $n - ${mean(s1, n)} * ${mean(s1, n)}) * $n / ($n - 1))"
+    val va = v("s1a", "s2a", "na")
+    val vb = v("s1b", "s2b", "nb")
+    Seq(
+      s"${mean("s1a", "na")} AS mean_a",
+      s"${mean("s1b", "nb")} AS mean_b",
+      s"$va AS var_a",
+      s"$vb AS var_b",
+      s"(${mean("s1a", "na")} - ${mean("s1b", "nb")})" +
+        s" / sqrt($va / na + $vb / nb) AS t_stat")
+  }
+
   /** Shared association-rule projections over (sab, sa, sb, n) — ONE
     * formula string evaluated by both engines. At fixture scales every
     * product stays < 2^53 so the DOUBLE chain is exact; at 100 TB the
@@ -174,6 +195,36 @@ object AnalyticsOps extends QueryModule {
     "q_analytics_basket" -> ((s: SparkSession, dir: String) =>
       basketRules(table(s, dir, "lineitem"),
         cacheKey = Some(SourceSinkOps.fixtureKey(dir, "lineitem.parquet")))),
+
+    // Deterministic A/B-test readout: users hash into two arms
+    // (ReplayableHash salt 12 — reproducible assignment, the split_assign
+    // discipline), the metric is purchase value, and the report is one
+    // row of per-arm counts/means/variances plus the Welch t statistic.
+    // Scale: arm assignment is scan-side integer arithmetic; the whole
+    // corpus collapses in ONE map-side-combinable hash agg to two rows,
+    // pivoted into a single row with conditional max (no FP-order
+    // hazard — each conditional picks exactly one partial). Moments
+    // accumulate as exact DECIMAL and surface as DOUBLE once (§7.4).
+    "q_analytics_abtest" -> ((s: SparkSession, dir: String) => {
+      val (a, b) = graft.functions.ReplayableHash.AbTestParams.head
+      val P = graft.functions.ReplayableHash.P
+      val dec = col("value").cast("decimal(18,4)")
+      table(s, dir, "events")
+        .where(col("event_type") === "purchase")
+        .withColumn("arm", expr(s"(($a * (user_id % $P) + $b) % $P) % 2"))
+        .groupBy("arm")
+        .agg(count(lit(1)).as("n"),
+          sum(dec).cast("double").as("s1"),
+          sum(dec * dec).cast("double").as("s2"))
+        .agg(
+          max(when(col("arm") === 0, col("n"))).as("na"),
+          max(when(col("arm") === 1, col("n"))).as("nb"),
+          max(when(col("arm") === 0, col("s1"))).as("s1a"),
+          max(when(col("arm") === 0, col("s2"))).as("s2a"),
+          max(when(col("arm") === 1, col("s1"))).as("s1b"),
+          max(when(col("arm") === 1, col("s2"))).as("s2b"))
+        .selectExpr(Seq("na", "nb") ++ abFormulas: _*)
+    }),
 
     // Sequential-pattern detection: per day, how many purchases complete
     // the strict view→click→purchase chain with each step at most 24 hours
@@ -371,6 +422,31 @@ object AnalyticsOps extends QueryModule {
          |SELECT part_a, part_b, sab AS supp_pair, sa AS supp_a, sb AS supp_b,
          |       ${basketFormulas.mkString(",\n       ")}
          |FROM j ORDER BY lift DESC, part_a, part_b LIMIT 25""".stripMargin,
+
+    "q_analytics_abtest" -> {
+      val (a, b) = graft.functions.ReplayableHash.AbTestParams.head
+      val P = graft.functions.ReplayableHash.P
+      s"""WITH e AS (
+         |  SELECT (($a * (user_id % $P) + $b) % $P) % 2 AS arm, value
+         |  FROM events WHERE event_type = 'purchase'),
+         |st AS (
+         |  SELECT arm, CAST(count(*) AS BIGINT) AS n,
+         |         CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS s1,
+         |         CAST(sum(CAST(value AS DECIMAL(18,4))
+         |                   * CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS s2
+         |  FROM e GROUP BY arm),
+         |pv AS (
+         |  SELECT max(CASE WHEN arm = 0 THEN n END) AS na,
+         |         max(CASE WHEN arm = 1 THEN n END) AS nb,
+         |         max(CASE WHEN arm = 0 THEN s1 END) AS s1a,
+         |         max(CASE WHEN arm = 0 THEN s2 END) AS s2a,
+         |         max(CASE WHEN arm = 1 THEN s1 END) AS s1b,
+         |         max(CASE WHEN arm = 1 THEN s2 END) AS s2b
+         |  FROM st)
+         |SELECT na, nb,
+         |       ${abFormulas.mkString(",\n       ")}
+         |FROM pv""".stripMargin
+    },
 
     "q_analytics_pattern" ->
       s"""WITH tl AS (

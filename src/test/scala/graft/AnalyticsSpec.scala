@@ -144,6 +144,36 @@ class AnalyticsSpec extends SparkTestBase {
     assert(got.map(_._3).sum > 0, "fixture should contain completed chains")
   }
 
+  test("abtest equals a driver-side Welch replay, same FP order") {
+    import graft.functions.ReplayableHash
+    val (a, b) = ReplayableHash.AbTestParams.head
+    val P = ReplayableHash.P
+    val ev = ops.table(spark, sfDir, "events")
+      .where(col("event_type") === "purchase")
+      .select("user_id", "value").collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    val arms = ev.groupBy { case (u, _) => (a * (u % P) + b) % P % 2 }
+    def st(arm: Long) = {
+      val vs = arms(arm).map(e =>
+        BigDecimal(e._2).setScale(4, BigDecimal.RoundingMode.HALF_UP))
+      (vs.length.toLong, vs.sum.toDouble, vs.map(v => v * v).sum.toDouble)
+    }
+    val (na, s1a, s2a) = st(0); val (nb, s1b, s2b) = st(1)
+    def mv(n: Long, s1: Double, s2: Double) = {
+      val m = s1 / n
+      (m, (s2 / n - m * m) * n / (n - 1))
+    }
+    val (ma, va) = mv(na, s1a, s2a); val (mb, vb) = mv(nb, s1b, s2b)
+    val t = (ma - mb) / math.sqrt(va / na + vb / nb)
+    val r = q("q_analytics_abtest").collect().head
+    assert((r.getLong(0), r.getLong(1)) == ((na, nb)))
+    assert(r.getDouble(2) == ma && r.getDouble(3) == mb)
+    assert(r.getDouble(4) == va && r.getDouble(5) == vb)
+    assert(r.getDouble(6) == t, s"t ${r.getDouble(6)} vs replay $t")
+    // a hash split should produce arms of comparable size (3x band)
+    assert(na > 0 && nb > 0 && na < 3 * nb && nb < 3 * na)
+  }
+
   test("basket rules equal a driver-side support/confidence/lift replay") {
     val rows = q("q_analytics_basket").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
