@@ -72,6 +72,18 @@ object DiagOps extends QueryModule {
     "svd / n AS mean_v",
     "svd / n - svtd / nt AS dev_from_mean")
 
+  /** Shared changepoint projections over (s1d, n1, sd, n) — ONE formula
+    * set: the between-segment sum-of-squares gain of splitting the hourly
+    * cent series after a candidate hour (S1²/n1 + S2²/n2 − S²/n, the
+    * two-segment least-squares criterion), plus the two segment means in
+    * dollars. Cent sums stay < 2^53 ⇒ the DOUBLE casts are exact and the
+    * multiply/divide chain is IEEE-exact in a fixed order. */
+  private val cpGainExpr =
+    "s1d * s1d / n1 + (sd - s1d) * (sd - s1d) / (n - n1) - sd * sd / n"
+  private val changepointMeans: Seq[String] = Seq(
+    "s1d / n1 / 100.0 AS mean_left",
+    "(sd - s1d) / (n - n1) / 100.0 AS mean_right")
+
   /** Shared EWMA projection over (num, den) — ONE formula string evaluated
     * by both engines. num ≤ 255 × per-hour cent sum stays < 2^53 at any
     * recorded fixture scale, so the BIGINT→DOUBLE casts are exact; /100.0
@@ -523,6 +535,48 @@ object DiagOps extends QueryModule {
     "q_ts_ewma" -> ((s: SparkSession, dir: String) =>
       ewmaSmooth(table(s, dir, "events"))),
 
+    // Single changepoint detection per event type: the hour whose split
+    // maximizes the two-segment least-squares gain over the zero-filled
+    // hourly cent series (the classic mean-shift detector, exact — no
+    // iteration). Every window runs over the time-span-bounded grid (the
+    // interpolate precedent: per-type partitions hold #hours rows, never
+    // corpus rows); the prefix sums, totals, and argmax rank all ride the
+    // grid; the gain evaluates through ONE shared formula set and the
+    // argmax tie-breaks on the hour, so selection replays exactly.
+    "q_ts_changepoint" -> ((s: SparkSession, dir: String) => {
+      val ev = table(s, dir, "events")
+        .withColumn("h", expr(s"unix_micros(ts) div $HourUs"))
+      val rng = ev.agg(min("h").as("h0"), max("h").as("h1"))
+      val grid = ev.select("event_type").distinct()
+        .crossJoin(broadcast(rng))
+        .select(col("event_type"), explode(expr("sequence(h0, h1)")).as("h"))
+      val actual = ev.groupBy("event_type", "h")
+        .agg(dsum(col("value")).as("sv"))
+      val g = grid.join(actual, Seq("event_type", "h"), "left")
+        .select(col("event_type"), col("h"),
+          expr("CAST(round(coalesce(sv, 0.0) * 100) AS BIGINT)").as("k"))
+      val wCum = Window.partitionBy("event_type").orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val tot = g.groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("stot"))
+      val scored = g
+        .withColumn("n1", row_number().over(
+          Window.partitionBy("event_type").orderBy("h")).cast("long"))
+        .withColumn("s1", sum(col("k")).over(wCum))
+        .join(broadcast(tot), "event_type")
+        .where(col("n1") < col("n"))
+        .withColumn("s1d", col("s1").cast("double"))
+        .withColumn("sd", col("stot").cast("double"))
+      scored
+        .withColumn("gain", expr(cpGainExpr))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("event_type").orderBy(desc("gain"), asc("h"))))
+        .where(col("rk") === 1)
+        .selectExpr(Seq("event_type", "CAST(h AS BIGINT) AS split_hour",
+          "n1 AS n_left", "gain") ++ changepointMeans: _*)
+        .orderBy("event_type")
+    }),
+
     // Hour-of-day seasonal profile per event type — the seasonality
     // DECOMPOSITION read next to q_ts_acf's correlogram: per (type,
     // hour-of-day) the event share, mean value, and deviation from the
@@ -833,6 +887,43 @@ object DiagOps extends QueryModule {
          |       arg_max(value, okey) AS close,
          |       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS volume
          |FROM e GROUP BY event_type, h ORDER BY event_type, hour_idx""".stripMargin,
+
+    "q_ts_changepoint" ->
+      s"""WITH e AS (
+         |  SELECT event_type, epoch_us(ts) // $HourUs AS h, value FROM events),
+         |r AS (SELECT min(h) AS h0, max(h) AS h1 FROM e),
+         |g0 AS (
+         |  SELECT t.event_type, unnest(generate_series(r.h0, r.h1)) AS h
+         |  FROM (SELECT DISTINCT event_type FROM e) t CROSS JOIN r),
+         |a AS (
+         |  SELECT event_type, h,
+         |         CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sv
+         |  FROM e GROUP BY event_type, h),
+         |g AS MATERIALIZED (
+         |  SELECT g0.event_type, g0.h,
+         |         CAST(round(COALESCE(a.sv, 0.0) * 100) AS BIGINT) AS k
+         |  FROM g0 LEFT JOIN a USING (event_type, h)),
+         |tq AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         |              CAST(sum(k) AS BIGINT) AS stot
+         |       FROM g GROUP BY event_type),
+         |cu AS (
+         |  SELECT event_type, h,
+         |         CAST(row_number() OVER (PARTITION BY event_type ORDER BY h) AS BIGINT) AS n1,
+         |         CAST(sum(k) OVER (PARTITION BY event_type ORDER BY h
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS s1
+         |  FROM g),
+         |sc AS (
+         |  SELECT cu.event_type, cu.h, cu.n1, tq.n,
+         |         CAST(cu.s1 AS DOUBLE) AS s1d, CAST(tq.stot AS DOUBLE) AS sd
+         |  FROM cu JOIN tq USING (event_type) WHERE cu.n1 < tq.n),
+         |sg AS (
+         |  SELECT *, $cpGainExpr AS gain,
+         |         row_number() OVER (PARTITION BY event_type
+         |                            ORDER BY $cpGainExpr DESC, h) AS rk
+         |  FROM sc)
+         |SELECT event_type, h AS split_hour, n1 AS n_left, gain,
+         |       ${changepointMeans.mkString(",\n       ")}
+         |FROM sg WHERE rk = 1 ORDER BY event_type""".stripMargin,
 
     "q_ts_ewma" ->
       s"""WITH e AS (

@@ -290,6 +290,41 @@ class MixDiagSpec extends SparkTestBase {
     assert(rows.map(r => (r._1, r._2)).toSeq == expectTop)
   }
 
+  test("changepoint equals an exhaustive driver-side split search") {
+    val rows = q("q_ts_changepoint").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5)))
+    assert(rows.nonEmpty)
+    val ev = graft.ops.table(spark, sfDir, "events")
+      .select(expr("unix_micros(ts) div 3600000000").as("h"),
+        col("event_type"), col("value")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    val (h0, h1) = (ev.map(_._1).min, ev.map(_._1).max)
+    val series = ev.groupBy(_._2).map { case (t, es) =>
+      val sums = es.groupBy(_._1).view.mapValues(
+        _.map(e => BigDecimal(e._3).setScale(4, BigDecimal.RoundingMode.HALF_UP))
+          .sum).toMap
+      t -> (h0 to h1).map(h =>
+        (sums.getOrElse(h, BigDecimal(0)) * 100).toLong).toArray
+    }
+    rows.foreach { case (t, splitH, nLeft, gain, ml, mr) =>
+      val v = series(t)
+      val n = v.length.toLong
+      val sd = v.sum.toDouble
+      // exhaustive split search with the engine's exact FP formula
+      val best = (1L until n).map { n1 =>
+        val s1d = v.take(n1.toInt).sum.toDouble
+        val g = s1d * s1d / n1 + (sd - s1d) * (sd - s1d) / (n - n1) - sd * sd / n
+        (h0 + n1 - 1, n1, g, s1d)
+      }.maxBy { case (h, _, g, _) => (g, -h) }
+      assert((splitH, nLeft, gain) == ((best._1, best._2, best._3)),
+        s"$t: split $splitH/$nLeft/$gain vs replay $best")
+      assert(ml == best._4 / best._2 / 100.0)
+      assert(mr == (sd - best._4) / (n - best._2) / 100.0)
+      assert(gain >= -1e-6, "the optimal split gain is non-negative")
+    }
+  }
+
   test("ewma equals a driver-side truncated geometric-weight replay") {
     val rows = q("q_ts_ewma").collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
