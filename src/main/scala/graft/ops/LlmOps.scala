@@ -22,6 +22,10 @@ object LlmOps extends QueryModule {
 
   private val MaxBucket = 50
   private val MaxEmbBucket = 200
+
+  /** q_llm_ann_recall: probe-set size and recall depth. */
+  private val AnnEvalProbes = 20
+  private val AnnEvalK = 10
   private val SemDedupTau = 0.4
   private val NumHashes = 16
   private val NumBands  = 8 // 2 rows per band
@@ -640,6 +644,56 @@ object LlmOps extends QueryModule {
     "q_llm_sim_knn_ivf" -> ivfQuery(nprobe = 1),
     "q_llm_sim_knn_ivf2" -> ivfQuery(nprobe = 2),
 
+    // ANN EVALUATION harness: recall@10 of the sign-LSH search against the
+    // exact top-10, measured over the first 20 vectors as probes — the
+    // index-quality report an ANN deployment ships next to the index (the
+    // spec-level recall pins, promoted to a declared query). Cost model:
+    // the probe relation is a BOUNDED broadcast (20 rows), so the whole
+    // evaluation is ONE corpus scan fanned ×20 — a sampled-probe audit by
+    // construction, never probes × corpus scans; both per-probe top-10
+    // ranks carry a rank ≤ 10 filter that triggers WindowGroupLimit
+    // (partial top-k before any exchange, the langid shape). Determinism:
+    // identical index-ordered cosine folds on both engines, (cs, vec_id)
+    // tie-broken ranks.
+    "q_llm_ann_recall" -> ((s: SparkSession, dir: String) => {
+      val emb = embDouble(s, dir)
+      val bucketOf: Column => Column = e =>
+        SimKnnPlanes.zipWithIndex.map { case (plane, p) =>
+          when(vdot(s)(e, typedlit(plane)) > 0, lit(1L << p)).otherwise(lit(0L))
+        }.reduce(_ + _)
+      val b = emb.select(col("vec_id"), col("emb"),
+        bucketOf(col("emb")).as("bucket"))
+      val probes = b.where(col("vec_id") < AnnEvalProbes)
+        .select(col("vec_id").as("probe_id"), col("emb").as("pemb"),
+          col("bucket").as("pbucket"))
+        .limit(AnnEvalProbes) // no-op on the dense id prefix; PROVES the bound
+      val sc = b.crossJoin(broadcast(probes))
+        .where(col("vec_id") =!= col("probe_id"))
+        .select(col("probe_id"), col("vec_id"),
+          cosine(s)(col("emb"), col("pemb")).as("cs"),
+          (col("bucket") === col("pbucket")).as("inb"))
+      def top10(df: DataFrame): DataFrame = df
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("probe_id").orderBy(desc("cs"), asc("vec_id"))))
+        .where(col("rn") <= AnnEvalK)
+        .select("probe_id", "vec_id")
+      val ex = top10(sc)
+      val ls = top10(sc.where(col("inb")))
+      val hits = ex.join(ls, Seq("probe_id", "vec_id"))
+        .groupBy("probe_id").agg(count(lit(1)).as("n_hits"))
+      val lsn = ls.groupBy("probe_id").agg(count(lit(1)).as("n_lsh"))
+      ex.groupBy("probe_id").agg(count(lit(1)).as("n_exact"))
+        .join(broadcast(lsn), Seq("probe_id"), "left")
+        .join(broadcast(hits), Seq("probe_id"), "left")
+        .select(col("probe_id"),
+          asLong(col("n_exact")).as("n_exact"),
+          asLong(coalesce(col("n_lsh"), lit(0L))).as("n_lsh"),
+          asLong(coalesce(col("n_hits"), lit(0L))).as("n_hits"),
+          (coalesce(col("n_hits"), lit(0L)).cast("double") / col("n_exact"))
+            .as("recall"))
+        .orderBy("probe_id")
+    }),
+
     // MinHash-LSH near-dup candidate pairs. Fully oracled since round 4
     // (ReplayableHash family); LlmSpec additionally checks candidate
     // quality against exact Jaccard — a property the hash gate can't see.
@@ -1038,6 +1092,41 @@ object LlmOps extends QueryModule {
          |  FROM b CROSS JOIN p WHERE b.vec_id <> 0 AND b.bucket = p.pbucket)
          |SELECT vec_id, label, cos_sim FROM sc
          |ORDER BY cos_sim DESC, vec_id ASC LIMIT 10""".stripMargin,
+
+    "q_llm_ann_recall" ->
+      s"""WITH $embCte,
+         |b AS MATERIALIZED (
+         |  SELECT vec_id, emb, ${bucketSql("emb", SimKnnPlanes)} AS bucket FROM e),
+         |p AS (SELECT vec_id AS probe_id, emb AS pemb, bucket AS pbucket
+         |      FROM b WHERE vec_id < $AnnEvalProbes),
+         |sc AS MATERIALIZED (
+         |  SELECT p.probe_id, b.vec_id, ${cosSql("b.emb", "p.pemb")} AS cs,
+         |         b.bucket = p.pbucket AS inb
+         |  FROM b CROSS JOIN p WHERE b.vec_id <> p.probe_id),
+         |ex AS MATERIALIZED (
+         |  SELECT probe_id, vec_id FROM (
+         |    SELECT probe_id, vec_id,
+         |           row_number() OVER (PARTITION BY probe_id
+         |                              ORDER BY cs DESC, vec_id) AS rn
+         |    FROM sc) WHERE rn <= $AnnEvalK),
+         |ls AS MATERIALIZED (
+         |  SELECT probe_id, vec_id FROM (
+         |    SELECT probe_id, vec_id,
+         |           row_number() OVER (PARTITION BY probe_id
+         |                              ORDER BY cs DESC, vec_id) AS rn
+         |    FROM sc WHERE inb) WHERE rn <= $AnnEvalK),
+         |h AS (SELECT probe_id, CAST(count(*) AS BIGINT) AS n_hits
+         |      FROM ex JOIN ls USING (probe_id, vec_id) GROUP BY probe_id),
+         |ln AS (SELECT probe_id, CAST(count(*) AS BIGINT) AS n_lsh
+         |       FROM ls GROUP BY probe_id),
+         |en AS (SELECT probe_id, CAST(count(*) AS BIGINT) AS n_exact
+         |       FROM ex GROUP BY probe_id)
+         |SELECT en.probe_id, en.n_exact,
+         |       CAST(COALESCE(ln.n_lsh, 0) AS BIGINT) AS n_lsh,
+         |       CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+         |       CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / en.n_exact AS recall
+         |FROM en LEFT JOIN ln USING (probe_id) LEFT JOIN h USING (probe_id)
+         |ORDER BY probe_id""".stripMargin,
 
     "q_llm_embed_neardup" ->
       s"""WITH $embCte,
