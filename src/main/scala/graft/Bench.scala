@@ -90,7 +90,12 @@ object Bench {
   private val replayTwins = Set(
     "q_llm_sim_knn_lsh", "q_llm_embed_neardup",
     "q_llm_sim_knn_ivf", "q_llm_sim_knn_ivf2",
-    "q_llm_emb_semdedup", "q_llm_emb_semdedup_mp")
+    "q_llm_emb_semdedup", "q_llm_emb_semdedup_mp",
+    // r9 continuation: the 20-probe recall harness fans the float-fold
+    // cosine replay ×20 (~10 s in DuckDB at sf0.1) — same bit-exactness
+    // tax as the other cosine twins, excluded so the raw ratio can't
+    // flatter
+    "q_llm_ann_recall")
 
   /** `,"duckdb_total":…,"spark_on_common":…,"vs_duckdb_ratio":…` plus the
     * `_ex_twins` variants (replay-twin set excluded) if the pinned baseline
