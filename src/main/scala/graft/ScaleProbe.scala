@@ -170,7 +170,13 @@ object ScaleProbe {
       "q_graph_clustercoef",
       // r9 continuation: RAKE — per-doc segmentation windows + token/
       // phrase aggs (declared 5b exemptions); integrity — four anti-joins
-      "q_text_rake", "q_profile_integrity")
+      "q_text_rake", "q_profile_integrity",
+      // r9 continuation: seasonal/changepoint ride the grid axis like
+      // ewma/acf; pattern is two windows on one per-user sort; abtest is
+      // one hash agg; ann_recall fans ONE corpus scan ×20 bounded probes;
+      // xml re-reads the exported row files
+      "q_ts_seasonal", "q_ts_changepoint", "q_analytics_pattern",
+      "q_analytics_abtest", "q_llm_ann_recall", "q_src_xml_roundtrip")
     // warmup
     SparkEntry.queries("q_agg_basic")(spark, outDir).count()
     val results = probes.map { name =>
