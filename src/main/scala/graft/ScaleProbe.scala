@@ -176,7 +176,11 @@ object ScaleProbe {
       // one hash agg; ann_recall fans ONE corpus scan ×20 bounded probes;
       // xml re-reads the exported row files
       "q_ts_seasonal", "q_ts_changepoint", "q_analytics_pattern",
-      "q_analytics_abtest", "q_llm_ann_recall", "q_src_xml_roundtrip")
+      "q_analytics_abtest", "q_llm_ann_recall", "q_src_xml_roundtrip",
+      // r9 continuation: assortativity (degree rejoin + one agg, warm on
+      // the shared mutual-KNN index) and the drift audit (one hash agg +
+      // bounded ordered fold)
+      "q_graph_assortativity", "q_profile_drift")
     // warmup
     SparkEntry.queries("q_agg_basic")(spark, outDir).count()
     val results = probes.map { name =>

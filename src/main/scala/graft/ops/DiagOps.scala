@@ -78,6 +78,17 @@ object DiagOps extends QueryModule {
     * two-segment least-squares criterion), plus the two segment means in
     * dollars. Cent sums stay < 2^53 ⇒ the DOUBLE casts are exact and the
     * multiply/divide chain is IEEE-exact in a fixed order. */
+  /** Shared per-bucket chi-square term over (c1, c2, n1, n2) — the
+    * two-sample homogeneity statistic's bucket contribution in the
+    * algebraic form (c1·n2 − c2·n1)²/((c1+c2)·n1·n2). The BIGINT
+    * difference stays < 2^53 (exact DOUBLE cast); the square and the
+    * three divisions are IEEE-exact in a fixed order. Integer bound:
+    * c·n < 2^63 up to ~3·10⁹ rows per half — beyond that pre-divide the
+    * counts (the collocations scale rule). */
+  private val driftTermExpr =
+    "CAST(c1 * n2 - c2 * n1 AS DOUBLE) * CAST(c1 * n2 - c2 * n1 AS DOUBLE)" +
+      " / CAST(c1 + c2 AS DOUBLE) / n1 / n2"
+
   private val cpGainExpr =
     "s1d * s1d / n1 + (sd - s1d) * (sd - s1d) / (n - n1) - sd * sd / n"
   private val changepointMeans: Seq[String] = Seq(
@@ -577,6 +588,47 @@ object DiagOps extends QueryModule {
         .orderBy("event_type")
     }),
 
+    // Distribution-drift audit between the corpus' first and second time
+    // halves — the train/serve drift check a pipeline runs before trusting
+    // a model: value histograms (4096-cent buckets, value-domain-bounded)
+    // per half, the two-sample chi-square homogeneity statistic, and both
+    // halves' exact means. FP-order discipline: the per-bucket double
+    // terms sum through an ORDERED fold over the bucket-sorted collected
+    // array (the index-ordered cosine-fold rule — an unordered SUM() of
+    // doubles would not replay); the collect is value-domain-bounded, not
+    // corpus-bounded. One corpus scan → one hash agg; the half boundary
+    // is a broadcast 1-row relation.
+    "q_profile_drift" -> ((s: SparkSession, dir: String) => {
+      val ev = table(s, dir, "events")
+        .withColumn("h", expr(s"unix_micros(ts) div $HourUs"))
+        .withColumn("bucket",
+          expr(s"CAST(round(value * 100) AS BIGINT) div $WinsorBucket"))
+      val mid = ev.agg(expr("(min(h) + max(h)) div 2").as("hmid"))
+      val dec = col("value").cast("decimal(18,4)")
+      val bk = ev.crossJoin(broadcast(mid))
+        .withColumn("first_half", col("h") <= col("hmid"))
+        .groupBy("bucket")
+        .agg(sum(when(col("first_half"), 1L).otherwise(0L)).as("c1"),
+          sum(when(!col("first_half"), 1L).otherwise(0L)).as("c2"),
+          sum(when(col("first_half"), dec)).as("s1dec"),
+          sum(when(!col("first_half"), dec)).as("s2dec"))
+      val tot = bk.agg(sum("c1").as("n1"), sum("c2").as("n2"),
+        sum("s1dec").as("s1t"), sum("s2dec").as("s2t"))
+      bk.crossJoin(broadcast(tot))
+        .withColumn("term", expr(driftTermExpr))
+        .agg(
+          first(col("n1")).as("n1"), first(col("n2")).as("n2"),
+          asLong(count(lit(1))).as("n_buckets"),
+          first(col("s1t").cast("double")).as("s1d"),
+          first(col("s2t").cast("double")).as("s2d"),
+          sort_array(collect_list(struct(col("bucket"), col("term"))))
+            .as("terms"))
+        .selectExpr("CAST(n1 AS BIGINT) AS n1", "CAST(n2 AS BIGINT) AS n2",
+          "n_buckets",
+          "s1d / n1 AS mean_first", "s2d / n2 AS mean_second",
+          "aggregate(terms, CAST(0 AS DOUBLE), (a, x) -> a + x.term) AS chi2")
+    }),
+
     // Hour-of-day seasonal profile per event type — the seasonality
     // DECOMPOSITION read next to q_ts_acf's correlogram: per (type,
     // hour-of-day) the event share, mean value, and deviation from the
@@ -955,6 +1007,37 @@ object DiagOps extends QueryModule {
          |SELECT event_type, h AS hour_idx, n_lags,
          |       $ewmaFormula
          |FROM m ORDER BY event_type, hour_idx""".stripMargin,
+
+    "q_profile_drift" ->
+      s"""WITH e AS (
+         |  SELECT epoch_us(ts) // $HourUs AS h,
+         |         CAST(round(value * 100) AS BIGINT) // $WinsorBucket AS bucket,
+         |         value
+         |  FROM events),
+         |md AS (SELECT (min(h) + max(h)) // 2 AS hmid FROM e),
+         |bk AS MATERIALIZED (
+         |  SELECT bucket,
+         |         CAST(sum(CASE WHEN h <= md.hmid THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+         |         CAST(sum(CASE WHEN h > md.hmid THEN 1 ELSE 0 END) AS BIGINT) AS c2,
+         |         sum(CASE WHEN h <= md.hmid THEN CAST(value AS DECIMAL(18,4)) END) AS s1dec,
+         |         sum(CASE WHEN h > md.hmid THEN CAST(value AS DECIMAL(18,4)) END) AS s2dec
+         |  FROM e CROSS JOIN md GROUP BY bucket),
+         |tot AS (
+         |  SELECT CAST(sum(c1) AS BIGINT) AS n1, CAST(sum(c2) AS BIGINT) AS n2,
+         |         CAST(sum(s1dec) AS DOUBLE) AS s1d, CAST(sum(s2dec) AS DOUBLE) AS s2d
+         |  FROM bk),
+         |tm AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_buckets,
+         |         list(struct_pack(bucket := bucket, term := $driftTermExpr)
+         |              ORDER BY bucket) AS terms
+         |  FROM bk CROSS JOIN tot)
+         |SELECT tot.n1, tot.n2, tm.n_buckets,
+         |       tot.s1d / tot.n1 AS mean_first, tot.s2d / tot.n2 AS mean_second,
+         |       list_reduce(
+         |         list_prepend(CAST(0 AS DOUBLE),
+         |                      list_transform(tm.terms, x -> x.term)),
+         |         (a, b) -> a + b) AS chi2
+         |FROM tm CROSS JOIN tot""".stripMargin,
 
     "q_profile_integrity" -> {
       def edge(child: String, fk: String, parent: String, pk: String,

@@ -493,6 +493,16 @@ object GraphOps extends QueryModule {
   private val clusterCoefFormula =
     "CAST(2 * n_tri AS DOUBLE) / (degree * (degree - 1)) AS coef"
 
+  /** Shared degree-assortativity projection over (m, s1, s2, sp) — the
+    * Newman degree-correlation coefficient r of an undirected edge list
+    * (s1 = Σ(dᵤ+dᵥ), s2 = Σ(dᵤ²+dᵥ²), sp = Σdᵤdᵥ). Degrees are ≤ KnnK so
+    * every integer sum stays < 2^53; the double chain is one shared
+    * string, fixed order. */
+  private val assortativityFormula =
+    "(CAST(sp AS DOUBLE) / m - (CAST(s1 AS DOUBLE) / (2 * m)) * (CAST(s1 AS DOUBLE) / (2 * m)))" +
+      " / (CAST(s2 AS DOUBLE) / (2 * m) - (CAST(s1 AS DOUBLE) / (2 * m)) * (CAST(s1 AS DOUBLE) / (2 * m)))" +
+      " AS assortativity"
+
   def queries: Seq[(String, Q)] = Seq(
     // PageRank over the purchase graph: who are the most central
     // customers/suppliers by recursive link weight. Top-50 via
@@ -572,6 +582,27 @@ object GraphOps extends QueryModule {
         .groupBy("src").agg(asLong(count(lit(1))).as("degree"))
         .groupBy("degree").agg(asLong(count(lit(1))).as("n_nodes"))
         .orderBy("degree")
+    }),
+
+    // Degree assortativity of the mutual-KNN graph: Newman's degree-
+    // correlation coefficient r over the undirected edge list — positive r
+    // means hubs link to hubs (community structure signal the graph family
+    // reads next to clustering coefficients). Degrees join onto both edge
+    // endpoints (shuffled node-keyed joins — O(#nodes) relation, never
+    // broadcast), the corpus collapses in ONE hash agg to four exact
+    // BIGINT sums (each < 2^53: degree ≤ KnnK), and r evaluates through
+    // one shared formula string. Single-row report.
+    "q_graph_assortativity" -> ((s: SparkSession, dir: String) => {
+      val e = mutualKnnEdges(s, dir)
+      val deg = e.select(col("u").as("p")).union(e.select(col("v").as("p")))
+        .groupBy("p").agg(asLong(count(lit(1))).as("d"))
+      e.join(deg.select(col("p").as("u"), col("d").as("du")), "u")
+        .join(deg.select(col("p").as("v"), col("d").as("dv")), "v")
+        .agg(asLong(count(lit(1))).as("m"),
+          sum(col("du") + col("dv")).as("s1"),
+          sum(col("du") * col("du") + col("dv") * col("dv")).as("s2"),
+          sum(col("du") * col("dv")).as("sp"))
+        .selectExpr("m", "s1", "s2", "sp", assortativityFormula)
     }),
 
     // Single-source BFS hop layers from the deterministic min-id node of
@@ -809,6 +840,24 @@ object GraphOps extends QueryModule {
          |SELECT partkey, degree, n_tri,
          |       $clusterCoefFormula
          |FROM j ORDER BY coef DESC, partkey LIMIT 50""".stripMargin,
+
+    "q_graph_assortativity" ->
+      s"""WITH $copurchaseCte,
+         |$mutualKnnCte,
+         |na AS (
+         |  SELECT u AS p FROM e
+         |  UNION ALL
+         |  SELECT v AS p FROM e),
+         |dg AS MATERIALIZED (
+         |  SELECT p, CAST(count(*) AS BIGINT) AS d FROM na GROUP BY p),
+         |ag AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS m,
+         |         CAST(sum(du.d + dv.d) AS BIGINT) AS s1,
+         |         CAST(sum(du.d * du.d + dv.d * dv.d) AS BIGINT) AS s2,
+         |         CAST(sum(du.d * dv.d) AS BIGINT) AS sp
+         |  FROM e JOIN dg du ON du.p = e.u JOIN dg dv ON dv.p = e.v)
+         |SELECT m, s1, s2, sp, $assortativityFormula
+         |FROM ag""".stripMargin,
 
     "q_graph_simnodes" ->
       s"""WITH $copurchaseCte,

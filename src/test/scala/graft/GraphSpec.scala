@@ -141,6 +141,23 @@ class GraphSpec extends SparkTestBase {
     assert(got == expected, "top-50 triangle counts or order differ")
   }
 
+  test("assortativity equals a driver-side Newman-r replay, same FP order") {
+    val und = mutualEdges.flatMap { case (u, v) => Seq((u, v), (v, u)) }
+    val deg = und.toSeq.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val es = mutualEdges.toSeq
+    val m = es.length.toLong
+    val s1 = es.map { case (u, v) => deg(u) + deg(v) }.sum
+    val s2 = es.map { case (u, v) => deg(u) * deg(u) + deg(v) * deg(v) }.sum
+    val sp = es.map { case (u, v) => deg(u) * deg(v) }.sum
+    val mu = s1.toDouble / (2 * m)
+    val expected = (sp.toDouble / m - mu * mu) / (s2.toDouble / (2 * m) - mu * mu)
+    val r = q("q_graph_assortativity").collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((m, s1, s2, sp)))
+    assert(r.getDouble(4) == expected, s"r ${r.getDouble(4)} vs $expected")
+    assert(r.getDouble(4) >= -1.0 - 1e-9 && r.getDouble(4) <= 1.0 + 1e-9)
+  }
+
   test("clustering coefficients equal a brute-force replay, including order") {
     val und = mutualEdges.flatMap { case (u, v) => Seq((u, v), (v, u)) }
     val nbrs = und.toSeq.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap

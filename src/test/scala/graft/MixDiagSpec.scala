@@ -290,6 +290,33 @@ class MixDiagSpec extends SparkTestBase {
     assert(rows.map(r => (r._1, r._2)).toSeq == expectTop)
   }
 
+  test("drift audit equals a driver-side chi-square replay, same fold order") {
+    val ev = graft.ops.table(spark, sfDir, "events")
+      .select(expr("unix_micros(ts) div 3600000000").as("h"), col("value"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val hmid = (ev.map(_._1).min + ev.map(_._1).max) / 2
+    val (a, b) = ev.partition(_._1 <= hmid)
+    def hist(xs: Array[(Long, Double)]) = xs.groupBy(e =>
+      math.round(e._2 * 100) / 4096).view.mapValues(_.length.toLong).toMap
+    val (h1, h2) = (hist(a), hist(b))
+    val (n1, n2) = (a.length.toLong, b.length.toLong)
+    val terms = (h1.keySet ++ h2.keySet).toSeq.sorted.map { bkt =>
+      val (c1, c2) = (h1.getOrElse(bkt, 0L), h2.getOrElse(bkt, 0L))
+      (c1 * n2 - c2 * n1).toDouble * (c1 * n2 - c2 * n1).toDouble /
+        (c1 + c2).toDouble / n1 / n2
+    }
+    val chi2 = terms.foldLeft(0.0)(_ + _)
+    def mean(xs: Array[(Long, Double)]) = xs.map(e =>
+      BigDecimal(e._2).setScale(4, BigDecimal.RoundingMode.HALF_UP))
+      .sum.toDouble / xs.length
+    val r = q("q_profile_drift").collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) ==
+      ((n1, n2, (h1.keySet ++ h2.keySet).size.toLong)))
+    assert(r.getDouble(3) == mean(a) && r.getDouble(4) == mean(b))
+    assert(r.getDouble(5) == chi2, s"chi2 ${r.getDouble(5)} vs replay $chi2")
+    assert(chi2 >= 0.0)
+  }
+
   test("changepoint equals an exhaustive driver-side split search") {
     val rows = q("q_ts_changepoint").collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3),
