@@ -997,6 +997,40 @@ object CurationOps extends QueryModule {
     "q_llm_importance_weights" -> ((s: SparkSession, dir: String) =>
       importanceWeights(s, table(s, dir, "documents")).orderBy("doc_id")),
 
+    // Dataset card: the one-row release summary a curated corpus ships —
+    // corpus size, vocabulary-bearing token mass, language/source
+    // diversity, exact-duplicate rate, and length statistics. Every field
+    // is a map-side-combinable aggregate over ONE corpus scan (token
+    // counts via scan-side size(filter(split)), duplicate groups via a
+    // sha2-digest hash agg — no text on any exchange), assembled with
+    // broadcast 1-row crossJoins; rates are single IEEE divisions over
+    // exact BIGINTs.
+    "q_llm_dataset_card" -> ((s: SparkSession, dir: String) => {
+      val docs = table(s, dir, "documents")
+      val base = docs.agg(
+        count(lit(1)).as("n_docs"),
+        count_distinct(col("lang")).as("n_langs"),
+        count_distinct(col("source")).as("n_sources"),
+        sum(expr("size(filter(split(text, ' '), t -> length(t) > 0))"))
+          .as("n_tokens"),
+        sum(col("n_chars")).as("sum_chars"))
+      val dups = docs.select(sha2(col("text"), 256).as("h"))
+        .groupBy("h").agg(count(lit(1)).as("c"))
+        .agg(count(lit(1)).as("n_distinct_texts"),
+          sum(when(col("c") > 1, col("c")).otherwise(0L)).as("n_in_dup_groups"))
+      base.crossJoin(broadcast(dups))
+        .selectExpr(
+          "CAST(n_docs AS BIGINT) AS n_docs",
+          "CAST(n_langs AS BIGINT) AS n_langs",
+          "CAST(n_sources AS BIGINT) AS n_sources",
+          "CAST(n_tokens AS BIGINT) AS n_tokens",
+          "CAST(n_distinct_texts AS BIGINT) AS n_distinct_texts",
+          "CAST(n_docs - n_distinct_texts AS BIGINT) AS n_exact_dups",
+          "CAST(n_in_dup_groups AS DOUBLE) / n_docs AS dup_rate",
+          "CAST(n_tokens AS DOUBLE) / n_docs AS mean_tokens",
+          "CAST(sum_chars AS DOUBLE) / n_docs AS mean_chars")
+    }),
+
     // Reciprocal-rank fusion of two retrieval signals — the top-20 docs
     // fusing the BM25 relevance list (TextOps.bm25Doc, fixed 4-term query)
     // with the LM-cleanliness list (ascending qbScoreFor ppm) via classic
@@ -1709,6 +1743,27 @@ object CurationOps extends QueryModule {
          |       CAST(n_chunks - n_distinct_chunks AS DOUBLE) / n_chunks AS dup_chunk_ratio
          |FROM nd JOIN per USING (source) ORDER BY nd.source""".stripMargin
     },
+
+    "q_llm_dataset_card" ->
+      """WITH base AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |         CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+        |         CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+        |         CAST(sum(len(list_filter(string_split(text, ' '),
+        |                                  x -> length(x) > 0))) AS BIGINT) AS n_tokens,
+        |         CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |  FROM documents),
+        |g AS (SELECT sha256(text) AS h, count(*) AS c FROM documents GROUP BY h),
+        |dups AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_distinct_texts,
+        |         CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS n_in_dup_groups
+        |  FROM g)
+        |SELECT n_docs, n_langs, n_sources, n_tokens, n_distinct_texts,
+        |       CAST(n_docs - n_distinct_texts AS BIGINT) AS n_exact_dups,
+        |       CAST(n_in_dup_groups AS DOUBLE) / n_docs AS dup_rate,
+        |       CAST(n_tokens AS DOUBLE) / n_docs AS mean_tokens,
+        |       CAST(sum_chars AS DOUBLE) / n_docs AS mean_chars
+        |FROM base CROSS JOIN dups""".stripMargin,
 
     "q_text_rank_fusion" ->
       s"""WITH ${TextOps.bm25DocCte},

@@ -627,6 +627,28 @@ class CurationSpec extends SparkTestBase {
       "src0 docs do not score above the rest on average")
   }
 
+  test("dataset card equals a driver-side corpus summary replay") {
+    val r = q("q_llm_dataset_card").collect().head
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("text", "lang", "source", "n_chars").collect()
+      .map(x => (x.getString(0), x.getString(1), x.getString(2), x.getLong(3)))
+    val nDocs = docs.length.toLong
+    val nTokens = docs.map(_._1.split(' ').count(_.nonEmpty).toLong).sum
+    val groups = docs.groupBy(_._1)
+    val nDistinct = groups.size.toLong
+    val inDup = groups.valuesIterator.map(_.length.toLong).filter(_ > 1).sum
+    assert(r.getLong(0) == nDocs)
+    assert(r.getLong(1) == docs.map(_._2).distinct.length.toLong)
+    assert(r.getLong(2) == docs.map(_._3).distinct.length.toLong)
+    assert(r.getLong(3) == nTokens)
+    assert(r.getLong(4) == nDistinct && r.getLong(5) == nDocs - nDistinct)
+    assert(r.getDouble(6) == inDup.toDouble / nDocs)
+    assert(r.getDouble(7) == nTokens.toDouble / nDocs)
+    assert(r.getDouble(8) == docs.map(_._4).sum.toDouble / nDocs)
+    // internal consistency: duplicate mass covers at least the dup docs
+    assert(r.getDouble(6) * nDocs >= r.getLong(5))
+  }
+
   test("rank fusion equals a driver-side RRF over the two engine lists") {
     val bm = graft.ops.TextOps.bm25Doc(graft.ops.table(spark, sfDir, "documents"))
       .select("doc_id", "bm25").collect()
