@@ -78,6 +78,14 @@ object DiagOps extends QueryModule {
     * two-segment least-squares criterion), plus the two segment means in
     * dollars. Cent sums stay < 2^53 ⇒ the DOUBLE casts are exact and the
     * multiply/divide chain is IEEE-exact in a fixed order. */
+  /** Shared diversity projections over (n, sc2) — HHI concentration,
+    * Gini impurity, and effective category count, each a fixed IEEE
+    * division chain over exact BIGINTs. */
+  private val diversityFormulas: Seq[String] = Seq(
+    "CAST(sc2 AS DOUBLE) / n / n AS hhi",
+    "CAST(1 AS DOUBLE) - CAST(sc2 AS DOUBLE) / n / n AS gini",
+    "CAST(1 AS DOUBLE) / (CAST(sc2 AS DOUBLE) / n / n) AS effective_langs")
+
   /** Shared per-bucket chi-square term over (c1, c2, n1, n2) — the
     * two-sample homogeneity statistic's bucket contribution in the
     * algebraic form (c1·n2 − c2·n1)²/((c1+c2)·n1·n2). The BIGINT
@@ -277,6 +285,27 @@ object DiagOps extends QueryModule {
           asLong(count_distinct(col("v"))).as("n_distinct"),
           min("v").as("min_v"), max("v").as("max_v"))
         .orderBy("col_name")),
+
+    // Per-source diversity profile of the document corpus: language-
+    // distribution concentration (HHI = Σ(cᵢ/n)², its Gini-impurity
+    // complement, and the effective language count 1/HHI) — the balance
+    // diagnostic of a training-mix report. Gini/HHI replace Shannon
+    // entropy BY DESIGN: ln is libm-dependent and would not replay (the
+    // bm25 idf rule); HHI is the standard log-free concentration measure.
+    // Two chained hash aggs (source×lang, then source); Σcᵢ² stays
+    // < 2^63 up to ~3·10⁹ docs per (source, lang); one IEEE division
+    // chain per row via a shared formula set.
+    "q_agg_diversity" -> ((s: SparkSession, dir: String) => {
+      val cl = table(s, dir, "documents")
+        .groupBy("source", "lang").agg(count(lit(1)).as("c"))
+      cl.groupBy("source")
+        .agg(sum(col("c")).as("n"),
+          asLong(count(lit(1))).as("n_langs"),
+          sum(col("c") * col("c")).as("sc2"))
+        .selectExpr(Seq("source", "CAST(n AS BIGINT) AS n", "n_langs")
+          ++ diversityFormulas: _*)
+        .orderBy("source")
+    }),
 
     // Referential-integrity audit across the star schema — the
     // expectation-suite pass a pipeline runs before trusting joins: per
@@ -1007,6 +1036,19 @@ object DiagOps extends QueryModule {
          |SELECT event_type, h AS hour_idx, n_lags,
          |       $ewmaFormula
          |FROM m ORDER BY event_type, hour_idx""".stripMargin,
+
+    "q_agg_diversity" ->
+      s"""WITH cl AS (
+         |  SELECT source, lang, CAST(count(*) AS BIGINT) AS c
+         |  FROM documents GROUP BY source, lang),
+         |sr AS (
+         |  SELECT source, CAST(sum(c) AS BIGINT) AS n,
+         |         CAST(count(*) AS BIGINT) AS n_langs,
+         |         CAST(sum(c * c) AS BIGINT) AS sc2
+         |  FROM cl GROUP BY source)
+         |SELECT source, n, n_langs,
+         |       ${diversityFormulas.mkString(",\n       ")}
+         |FROM sr ORDER BY source""".stripMargin,
 
     "q_profile_drift" ->
       s"""WITH e AS (

@@ -290,6 +290,28 @@ class MixDiagSpec extends SparkTestBase {
     assert(rows.map(r => (r._1, r._2)).toSeq == expectTop)
   }
 
+  test("diversity profile equals a driver-side HHI replay") {
+    val docs = graft.ops.table(spark, sfDir, "documents")
+      .select("source", "lang").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val expected = docs.groupBy(_._1).toSeq.map { case (src, ds) =>
+      val n = ds.length.toLong
+      val cs = ds.groupBy(_._2).values.map(_.length.toLong)
+      val sc2 = cs.map(c => c * c).sum
+      val hhi = sc2.toDouble / n / n
+      (src, n, cs.size.toLong, hhi, 1.0 - hhi, 1.0 / hhi)
+    }.sortBy(_._1)
+    val got = q("q_agg_diversity").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5))).toSeq
+    assert(got == expected, "diversity profile differs from the replay")
+    got.foreach { case (_, _, nl, hhi, gini, eff) =>
+      assert(hhi >= 1.0 / nl - 1e-12 && hhi <= 1.0 + 1e-12)
+      assert(gini >= -1e-12 && gini < 1.0)
+      assert(eff >= 1.0 - 1e-12 && eff <= nl + 1e-9)
+    }
+  }
+
   test("drift audit equals a driver-side chi-square replay, same fold order") {
     val ev = graft.ops.table(spark, sfDir, "events")
       .select(expr("unix_micros(ts) div 3600000000").as("h"), col("value"))
