@@ -317,6 +317,10 @@ object Pipelines {
       pk: String, label: String): DataFrame =
     DiagOps.integrityEdge(child, fk, parent, pk, label)
 
+  /** One-row dataset-card release summary over a documents frame (size,
+    * token mass, diversity, exact-dup rate, mean lengths). */
+  def datasetCard(docs: DataFrame): DataFrame = CurationOps.datasetCard(docs)
+
   /** Install + enable the opt-in LSH similarity-join rewrite on a live
     * session: a `a JOIN b ON cosine_sim(...) >= tau` written naively is
     * re-planned as a sign-LSH bucket equi-join (approximate — the cosine

@@ -180,7 +180,10 @@ object ScaleProbe {
       // r9 continuation: assortativity (degree rejoin + one agg, warm on
       // the shared mutual-KNN index) and the drift audit (one hash agg +
       // bounded ordered fold)
-      "q_graph_assortativity", "q_profile_drift")
+      "q_graph_assortativity", "q_profile_drift",
+      // r9 continuation: the dataset card (one scan + digest agg) and the
+      // diversity profile (two chained hash aggs)
+      "q_llm_dataset_card", "q_agg_diversity")
     // warmup
     SparkEntry.queries("q_agg_basic")(spark, outDir).count()
     val results = probes.map { name =>
@@ -362,7 +365,11 @@ object ScaleProbe {
       // one segmentation, so their phrase occurrences collapse in the
       // (doc, pid) agg and the hot phrase type carries counts + ONE text
       // payload row per occurrence, never a window over the hot key
-      "q_text_rake")
+      "q_text_rake",
+      // r9 continuation: the dataset card under mass duplication — the
+      // clones collapse onto one digest row and dup_rate is exactly what
+      // the audit must surface; diversity under the 90%-one-source skew
+      "q_llm_dataset_card", "q_agg_diversity")
     for ((dir, label) <- Seq((srcDir, "uniform"), (degDir, "degen"))) {
       family.foreach { name =>
         val t0 = System.nanoTime()

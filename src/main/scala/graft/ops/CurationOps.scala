@@ -44,6 +44,34 @@ object CurationOps extends QueryModule {
     s"COALESCE(CAST(1 AS DOUBLE) / ($RrfC + ra), CAST(0 AS DOUBLE))" +
       s" + COALESCE(CAST(1 AS DOUBLE) / ($RrfC + rb), CAST(0 AS DOUBLE)) AS rrf"
 
+  /** One-row dataset-card summary over a documents frame — the
+    * q_llm_dataset_card primitive, exposed for [[graft.Pipelines]]. See
+    * the query comment for the one-scan/digest-agg shape. */
+  private[graft] def datasetCard(docs: DataFrame): DataFrame = {
+    val base = docs.agg(
+      count(lit(1)).as("n_docs"),
+      count_distinct(col("lang")).as("n_langs"),
+      count_distinct(col("source")).as("n_sources"),
+      sum(expr("size(filter(split(text, ' '), t -> length(t) > 0))"))
+        .as("n_tokens"),
+      sum(col("n_chars")).as("sum_chars"))
+    val dups = docs.select(sha2(col("text"), 256).as("h"))
+      .groupBy("h").agg(count(lit(1)).as("c"))
+      .agg(count(lit(1)).as("n_distinct_texts"),
+        sum(when(col("c") > 1, col("c")).otherwise(0L)).as("n_in_dup_groups"))
+    base.crossJoin(broadcast(dups))
+      .selectExpr(
+        "CAST(n_docs AS BIGINT) AS n_docs",
+        "CAST(n_langs AS BIGINT) AS n_langs",
+        "CAST(n_sources AS BIGINT) AS n_sources",
+        "CAST(n_tokens AS BIGINT) AS n_tokens",
+        "CAST(n_distinct_texts AS BIGINT) AS n_distinct_texts",
+        "CAST(n_docs - n_distinct_texts AS BIGINT) AS n_exact_dups",
+        "CAST(n_in_dup_groups AS DOUBLE) / n_docs AS dup_rate",
+        "CAST(n_tokens AS DOUBLE) / n_docs AS mean_tokens",
+        "CAST(sum_chars AS DOUBLE) / n_docs AS mean_chars")
+  }
+
   /** RRF-fuse two bounded rank relations `(doc_id, ra)` / `(doc_id, rb)` —
     * the q_text_rank_fusion primitive, exposed for [[graft.Pipelines]].
     * Both inputs must already be bounded top-k cuts (the fusion join is
@@ -1005,31 +1033,8 @@ object CurationOps extends QueryModule {
     // sha2-digest hash agg — no text on any exchange), assembled with
     // broadcast 1-row crossJoins; rates are single IEEE divisions over
     // exact BIGINTs.
-    "q_llm_dataset_card" -> ((s: SparkSession, dir: String) => {
-      val docs = table(s, dir, "documents")
-      val base = docs.agg(
-        count(lit(1)).as("n_docs"),
-        count_distinct(col("lang")).as("n_langs"),
-        count_distinct(col("source")).as("n_sources"),
-        sum(expr("size(filter(split(text, ' '), t -> length(t) > 0))"))
-          .as("n_tokens"),
-        sum(col("n_chars")).as("sum_chars"))
-      val dups = docs.select(sha2(col("text"), 256).as("h"))
-        .groupBy("h").agg(count(lit(1)).as("c"))
-        .agg(count(lit(1)).as("n_distinct_texts"),
-          sum(when(col("c") > 1, col("c")).otherwise(0L)).as("n_in_dup_groups"))
-      base.crossJoin(broadcast(dups))
-        .selectExpr(
-          "CAST(n_docs AS BIGINT) AS n_docs",
-          "CAST(n_langs AS BIGINT) AS n_langs",
-          "CAST(n_sources AS BIGINT) AS n_sources",
-          "CAST(n_tokens AS BIGINT) AS n_tokens",
-          "CAST(n_distinct_texts AS BIGINT) AS n_distinct_texts",
-          "CAST(n_docs - n_distinct_texts AS BIGINT) AS n_exact_dups",
-          "CAST(n_in_dup_groups AS DOUBLE) / n_docs AS dup_rate",
-          "CAST(n_tokens AS DOUBLE) / n_docs AS mean_tokens",
-          "CAST(sum_chars AS DOUBLE) / n_docs AS mean_chars")
-    }),
+    "q_llm_dataset_card" -> ((s: SparkSession, dir: String) =>
+      datasetCard(table(s, dir, "documents"))),
 
     // Reciprocal-rank fusion of two retrieval signals — the top-20 docs
     // fusing the BM25 relevance list (TextOps.bm25Doc, fixed 4-term query)
