@@ -194,6 +194,44 @@ object JoinOps extends QueryModule {
     "q_join_asof_fwd" -> ((s: SparkSession, dir: String) =>
       asofMerge(s, dir, forward = true)),
 
+    // Nearest as-of WITHIN a stream: per purchase, the same user's click
+    // closest in time in EITHER direction — the bidirectional neighbor
+    // lookup the directional as-ofs can't express (and, unlike an
+    // events-vs-orders pairing, one the fixture genuinely exercises both
+    // ways: clicks scatter around purchases). Two struct-extremum windows
+    // ride ONE per-user sort (the sessionize discipline — user_id is the
+    // high-cardinality key); equal-instant clicks sort before the
+    // purchase (kind order) and land in the backward frame at distance 0
+    // (documented inclusive-backward tie); µs distances compare in exact
+    // integers, ties resolve backward.
+    "q_join_asof_nearest" -> ((s: SparkSession, dir: String) => {
+      val tl = table(s, dir, "events")
+        .where(col("event_type").isin("click", "purchase"))
+        .select(col("user_id"), unix_micros(col("ts")).as("t"),
+          col("event_id"),
+          when(col("event_type") === "click", 0).otherwise(1).as("kind"))
+      val base = Window.partitionBy("user_id")
+        .orderBy(col("t"), col("kind"), col("event_id"))
+      val wB = base.rowsBetween(Window.unboundedPreceding, -1)
+      val wF = base.rowsBetween(1, Window.unboundedFollowing)
+      val clickStruct = when(col("kind") === 0,
+        struct(col("t").as("ct"), col("event_id").as("cid")))
+      val pickBwd = col("bb").isNotNull &&
+        (col("fb").isNull || col("t") - col("bb.ct") <= col("fb.ct") - col("t"))
+      tl.withColumn("bb", max(clickStruct).over(wB))
+        .withColumn("fb", min(clickStruct).over(wF))
+        .where(col("kind") === 1)
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          when(pickBwd, col("bb.cid")).otherwise(col("fb.cid")).as("click_id"),
+          when(col("bb").isNull && col("fb").isNull, lit(null).cast("long"))
+            .when(pickBwd, col("t") - col("bb.ct"))
+            .otherwise(col("fb.ct") - col("t")).as("dt_us"),
+          when(col("bb").isNull && col("fb").isNull, lit(null).cast("string"))
+            .when(pickBwd, lit("backward")).otherwise(lit("forward"))
+            .as("direction"))
+        .orderBy("purchase_id")
+    }),
+
     // Interval overlap: same-user event pairs within a 5-minute horizon.
     // Time-bucketed blocking: joining on user_id alone makes pair
     // generation quadratic in per-user event density (measured 36 s at a
@@ -304,6 +342,36 @@ object JoinOps extends QueryModule {
         |    ON o.o_custkey = e.user_id AND o.o_orderdate >= e.ts)
         |SELECT event_id, user_id, o_orderkey, epoch_ms(o_orderdate) AS order_date_ms
         |FROM j WHERE rn = 1 ORDER BY event_id""".stripMargin,
+
+    "q_join_asof_nearest" ->
+      """WITH tl AS (
+        |  SELECT user_id, epoch_us(ts) AS t, event_id,
+        |         CASE WHEN event_type = 'click' THEN 0 ELSE 1 END AS kind
+        |  FROM events WHERE event_type IN ('click', 'purchase')),
+        |w AS (
+        |  SELECT *,
+        |         max(CASE WHEN kind = 0
+        |                  THEN {'ct': t, 'cid': event_id} END) OVER (
+        |           PARTITION BY user_id ORDER BY t, kind, event_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS bb,
+        |         min(CASE WHEN kind = 0
+        |                  THEN {'ct': t, 'cid': event_id} END) OVER (
+        |           PARTITION BY user_id ORDER BY t, kind, event_id
+        |           ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS fb
+        |  FROM tl),
+        |p AS (
+        |  SELECT event_id AS purchase_id, user_id, t, bb, fb,
+        |         (bb IS NOT NULL AND (fb IS NULL
+        |            OR t - bb.ct <= fb.ct - t)) AS pick_bwd
+        |  FROM w WHERE kind = 1)
+        |SELECT purchase_id, user_id,
+        |       CASE WHEN pick_bwd THEN bb.cid ELSE fb.cid END AS click_id,
+        |       CAST(CASE WHEN bb IS NULL AND fb IS NULL THEN NULL
+        |                 WHEN pick_bwd THEN t - bb.ct
+        |                 ELSE fb.ct - t END AS BIGINT) AS dt_us,
+        |       CASE WHEN bb IS NULL AND fb IS NULL THEN NULL
+        |            WHEN pick_bwd THEN 'backward' ELSE 'forward' END AS direction
+        |FROM p ORDER BY purchase_id""".stripMargin,
 
     "q_join_interval" ->
       """SELECT e1.user_id, count(*) AS n_pairs
