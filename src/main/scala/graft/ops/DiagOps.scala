@@ -97,6 +97,25 @@ object DiagOps extends QueryModule {
     "CAST(c1 * n2 - c2 * n1 AS DOUBLE) * CAST(c1 * n2 - c2 * n1 AS DOUBLE)" +
       " / CAST(c1 + c2 AS DOUBLE) / n1 / n2"
 
+  /** Shared OLS-trend projections over (n, sxd, syd, sxxd, sxyd, syyhi,
+    * syylo) — slope/intercept/r² of the hourly cent series against the
+    * 0-based hour index. Every raw sum is an exact BIGINT < 2^53 (x ≤
+    * #hours, x·k ≤ #hours · per-hour cents) surfaced as DOUBLE once —
+    * EXCEPT Σk², which is hi/lo-split (div/% 2^30) like the acf second
+    * moments; products like n·Σxy then happen in doubles (deterministic
+    * IEEE, fixed order). Slope/intercept reported in dollars (/100). */
+  private val trendFormulas: Seq[String] = {
+    val syy = s"(syyhi * $MomentSplit.0 + syylo)"
+    val num = "(n * sxyd - sxd * syd)"
+    val den = "(n * sxxd - sxd * sxd)"
+    val slope = s"$num / $den"
+    Seq(
+      s"$slope / 100.0 AS slope_per_hour",
+      s"((syd - $slope * sxd) / n) / 100.0 AS intercept",
+      s"CASE WHEN (n * $syy - syd * syd) > 0" +
+        s" THEN $num * $num / ($den * (n * $syy - syd * syd)) END AS r2")
+  }
+
   private val cpGainExpr =
     "s1d * s1d / n1 + (sd - s1d) * (sd - s1d) / (n - n1) - sd * sd / n"
   private val changepointMeans: Seq[String] = Seq(
@@ -575,6 +594,41 @@ object DiagOps extends QueryModule {
     "q_ts_ewma" -> ((s: SparkSession, dir: String) =>
       ewmaSmooth(table(s, dir, "events"))),
 
+    // Linear trend per event type: OLS slope/intercept/r² of the
+    // zero-filled hourly cent series against the hour index — with
+    // q_ts_seasonal and q_ts_changepoint this completes the classic
+    // trend + seasonal + shift decomposition reads. All sums ride the
+    // time-span-bounded grid and stay exact BIGINTs < 2^53 (Σk² hi/lo-
+    // split like the acf moments); slope algebra runs in doubles through
+    // ONE shared formula set.
+    "q_ts_trend" -> ((s: SparkSession, dir: String) => {
+      val ev = table(s, dir, "events")
+        .withColumn("h", expr(s"unix_micros(ts) div $HourUs"))
+      val rng = ev.agg(min("h").as("h0"), max("h").as("h1"))
+      val grid = ev.select("event_type").distinct()
+        .crossJoin(broadcast(rng))
+        .select(col("event_type"), col("h0"),
+          explode(expr("sequence(h0, h1)")).as("h"))
+      val actual = ev.groupBy("event_type", "h")
+        .agg(dsum(col("value")).as("sv"))
+      val g = grid.join(actual, Seq("event_type", "h"), "left")
+        .select(col("event_type"), (col("h") - col("h0")).as("x"),
+          expr("CAST(round(coalesce(sv, 0.0) * 100) AS BIGINT)").as("k"))
+      g.withColumn("k2", col("k") * col("k"))
+        .groupBy("event_type")
+        .agg(asLong(count(lit(1))).as("n"),
+          sum(col("x")).cast("double").as("sxd"),
+          sum(col("k")).cast("double").as("syd"),
+          sum(col("x") * col("x")).cast("double").as("sxxd"),
+          sum(col("x") * col("k")).cast("double").as("sxyd"),
+          sum(expr(s"k2 div $MomentSplit").cast("decimal(38,0)"))
+            .cast("double").as("syyhi"),
+          sum(expr(s"k2 % $MomentSplit").cast("decimal(38,0)"))
+            .cast("double").as("syylo"))
+        .selectExpr(Seq("event_type", "n") ++ trendFormulas: _*)
+        .orderBy("event_type")
+    }),
+
     // Single changepoint detection per event type: the hour whose split
     // maximizes the two-segment least-squares gain over the zero-filled
     // hourly cent series (the classic mean-shift detector, exact — no
@@ -968,6 +1022,34 @@ object DiagOps extends QueryModule {
          |       arg_max(value, okey) AS close,
          |       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS volume
          |FROM e GROUP BY event_type, h ORDER BY event_type, hour_idx""".stripMargin,
+
+    "q_ts_trend" ->
+      s"""WITH e AS (
+         |  SELECT event_type, epoch_us(ts) // $HourUs AS h, value FROM events),
+         |r AS (SELECT min(h) AS h0, max(h) AS h1 FROM e),
+         |g0 AS (
+         |  SELECT t.event_type, r.h0, unnest(generate_series(r.h0, r.h1)) AS h
+         |  FROM (SELECT DISTINCT event_type FROM e) t CROSS JOIN r),
+         |a AS (
+         |  SELECT event_type, h,
+         |         CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sv
+         |  FROM e GROUP BY event_type, h),
+         |g AS (
+         |  SELECT g0.event_type, g0.h - g0.h0 AS x,
+         |         CAST(round(COALESCE(a.sv, 0.0) * 100) AS BIGINT) AS k
+         |  FROM g0 LEFT JOIN a USING (event_type, h)),
+         |m AS (
+         |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         |         CAST(sum(x) AS DOUBLE) AS sxd,
+         |         CAST(sum(k) AS DOUBLE) AS syd,
+         |         CAST(sum(x * x) AS DOUBLE) AS sxxd,
+         |         CAST(sum(x * k) AS DOUBLE) AS sxyd,
+         |         CAST(sum(CAST((k * k) // $MomentSplit AS DECIMAL(38,0))) AS DOUBLE) AS syyhi,
+         |         CAST(sum(CAST((k * k) % $MomentSplit AS DECIMAL(38,0))) AS DOUBLE) AS syylo
+         |  FROM g GROUP BY event_type)
+         |SELECT event_type, n,
+         |       ${trendFormulas.mkString(",\n       ")}
+         |FROM m ORDER BY event_type""".stripMargin,
 
     "q_ts_changepoint" ->
       s"""WITH e AS (

@@ -339,6 +339,42 @@ class MixDiagSpec extends SparkTestBase {
     assert(chi2 >= 0.0)
   }
 
+  test("trend equals a driver-side OLS replay, same FP order") {
+    val rows = q("q_ts_trend").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        if (r.isNullAt(4)) None else Some(r.getDouble(4))))
+    assert(rows.nonEmpty)
+    val ev = graft.ops.table(spark, sfDir, "events")
+      .select(expr("unix_micros(ts) div 3600000000").as("h"),
+        col("event_type"), col("value")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    val (h0, h1) = (ev.map(_._1).min, ev.map(_._1).max)
+    val split = 1073741824L
+    rows.foreach { case (t, n, slope, icpt, r2) =>
+      val sums = ev.filter(_._2 == t).groupBy(_._1).view.mapValues(
+        _.map(e => BigDecimal(e._3).setScale(4, BigDecimal.RoundingMode.HALF_UP))
+          .sum).toMap
+      val ks = (h0 to h1).map(h => (sums.getOrElse(h, BigDecimal(0)) * 100).toLong)
+      assert(n == ks.length)
+      val xs = ks.indices.map(_.toLong)
+      val (sxd, syd) = (xs.sum.toDouble, ks.sum.toDouble)
+      val sxxd = xs.map(x => x * x).sum.toDouble
+      val sxyd = xs.zip(ks).map { case (x, k) => x * k }.sum.toDouble
+      val syyhi = ks.map(k => k * k / split).sum.toDouble
+      val syylo = ks.map(k => k * k % split).sum.toDouble
+      val syy = syyhi * split.toDouble + syylo
+      val num = n * sxyd - sxd * syd
+      val den = n * sxxd - sxd * sxd
+      assert(slope == num / den / 100.0, s"$t slope")
+      assert(icpt == (syd - num / den * sxd) / n / 100.0, s"$t intercept")
+      val dy = n * syy - syd * syd
+      if (dy > 0) {
+        assert(r2.contains(num * num / (den * dy)), s"$t r2")
+        assert(r2.get >= -1e-12 && r2.get <= 1.0 + 1e-9)
+      } else assert(r2.isEmpty)
+    }
+  }
+
   test("changepoint equals an exhaustive driver-side split search") {
     val rows = q("q_ts_changepoint").collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3),
