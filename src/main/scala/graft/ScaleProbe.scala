@@ -183,7 +183,10 @@ object ScaleProbe {
       "q_graph_assortativity", "q_profile_drift",
       // r9 continuation: the dataset card (one scan + digest agg) and the
       // diversity profile (two chained hash aggs)
-      "q_llm_dataset_card", "q_agg_diversity")
+      "q_llm_dataset_card", "q_agg_diversity",
+      // r9 continuation: OLS trend (grid axis) and the in-stream nearest
+      // as-of (two windows on one per-user sort)
+      "q_ts_trend", "q_join_asof_nearest")
     // warmup
     SparkEntry.queries("q_agg_basic")(spark, outDir).count()
     val results = probes.map { name =>
