@@ -95,7 +95,13 @@ object Bench {
     // cosine replay ×20 (~10 s in DuckDB at sf0.1) — same bit-exactness
     // tax as the other cosine twins, excluded so the raw ratio can't
     // flatter
-    "q_llm_ann_recall")
+    "q_llm_ann_recall",
+    // r10: the PageRank twin replays the engine's ~98-round limit-cycle
+    // loop as PrIters unrolled MATERIALIZED stages (~160 s in DuckDB at
+    // sf0.1) — an iteration-replay tax, not a fair native baseline (a
+    // DuckDB user would run a float recursive CTE), excluded so the raw
+    // ratio can't flatter
+    "q_graph_pagerank")
 
   /** `,"duckdb_total":…,"spark_on_common":…,"vs_duckdb_ratio":…` plus the
     * `_ex_twins` variants (replay-twin set excluded) if the pinned baseline

@@ -248,12 +248,14 @@ object Pipelines {
   def cdcChunkReport(spark: SparkSession, docs: DataFrame): DataFrame =
     CurationOps.cdcChunkReport(spark, docs)
 
-  /** Integer-scaled PageRank (r9) over an arbitrary directed `(src, dst)`
-    * arc frame: returns (node_id, r) after [[ops.GraphOps.PrIters]]
-    * damped iterations, r in units of [[ops.GraphOps.PrScale]] per node.
-    * Give every node an out-arc (e.g. arcs both ways for an undirected
-    * graph) — dangling mass is not redistributed. NOTE: runs Spark jobs at
-    * call time (the per-iteration rank checkpoint). See q_graph_pagerank. */
+  /** Integer-scaled PageRank (r9; fixpoint since r10) over an arbitrary
+    * directed `(src, dst)` arc frame: returns (node_id, r) after damped
+    * iterations run to the exact integer fixpoint (Σ|Δr| = 0; throws past
+    * [[ops.GraphOps.PrMaxRounds]] rounds — the refusal discipline), r in
+    * units of [[ops.GraphOps.PrScale]] per node. Give every node an
+    * out-arc (e.g. arcs both ways for an undirected graph) — dangling mass
+    * is not redistributed. NOTE: runs Spark jobs at call time (the
+    * per-iteration rank materialization). See q_graph_pagerank. */
   def pagerank(edges: DataFrame): DataFrame = {
     val e = edges.select(col("src"), col("dst")).localCheckpoint(true)
     val deg = e.groupBy("src").agg(count(lit(1)).cast("long").as("d"))

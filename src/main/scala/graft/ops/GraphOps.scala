@@ -13,14 +13,32 @@ import org.apache.spark.sql.functions._
   * Replay discipline: ranks are SCALED BIGINTs (start 10^6 per node) and
   * every update is integer arithmetic — `r div deg` per edge, damped as
   * `(0.15 + 0.85·m)` in the same scale via `(15·S + 85·m) div 100`. Both
-  * engines floor-divide positive operands identically, so three unrolled
-  * CTE stages replay the Spark loop bit-exactly (the q_llm_bpe_train
-  * pattern). Max value bound: m ≤ N·S ≈ 2^41 at a billion nodes, 85·m ≈
-  * 2^48 — no BIGINT overflow on either engine at any realistic scale.
+  * engines floor-divide positive operands identically, so [[PrIters]]
+  * unrolled CTE stages replay the Spark loop bit-exactly (the
+  * q_llm_bpe_train pattern — the engine early-exits at the quantized
+  * period-2 limit cycle and both sides report the cycle's elementwise
+  * min, which is invariant under the oracle's extra rounds). Max
+  * value bound: m ≤ N·S ≈ 2^41 at a billion nodes, 85·m ≈ 2^48 — no
+  * BIGINT overflow on either engine at any realistic scale.
   */
 object GraphOps extends QueryModule {
 
-  private[graft] val PrIters = 3
+  /** Unroll depth of the PageRank ORACLE stages. The engine iterates to
+    * the quantized LIMIT CYCLE with early exit (r_k = r_{k−2} elementwise,
+    * see [[pagerankRanks]]) and refuses non-convergence, and both engine
+    * and oracle report the elementwise min of the two cycle states — so
+    * engine ≡ oracle for ANY unroll depth ≥ the measured cycle-entry depth
+    * + 1 (both unrolled states in-cycle). Entry depth is geometry-light —
+    * contraction is the 0.85 damping factor, so depth ≈
+    * log(PrScale)/log(1/0.85) ≈ 85 regardless of graph size; fixture
+    * measurements are recorded in SCALING.md (r10). The margin rule is
+    * CcIters': a fixture entering the cycle later fails the hash gate
+    * loudly. */
+  private[graft] val PrIters = 110
+
+  /** Engine-side fixpoint round cap (the CcMaxRounds refusal discipline). */
+  private[graft] val PrMaxRounds = 200
+
   private[graft] val PrScale = 1000000L
 
   /** Plain min-label rounds unrolled in the q_graph_concomp ORACLE. The
@@ -106,11 +124,11 @@ object GraphOps extends QueryModule {
     graphCache.computeIfAbsent(key, _ => buildPurchaseGraph(s, dir))
   }
 
-  /** The converged-rank relation is memoized too (already checkpointed by
-    * construction — the last iteration's localCheckpoint IS the
-    * materialization), keyed like the graph: it's the maintained index a
-    * production ranking pipeline serves from, the same accounting as the
-    * memoized duplicate-cluster labels (CurationOps.dupClustersFor). */
+  /** The converged-rank relation is memoized too (already materialized by
+    * construction — the last fixpoint round's persisted row RDD IS the
+    * leaf), keyed like the graph: it's the maintained index a production
+    * ranking pipeline serves from, the same accounting as the memoized
+    * duplicate-cluster labels (CurationOps.dupClustersFor). */
   private val rankCache =
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
 
@@ -437,31 +455,88 @@ object GraphOps extends QueryModule {
     lab
   }
 
-  /** The [[PrIters]]-iteration core over arbitrary `(src, dst)` arcs +
-    * `(src, d)` degrees (both expected checkpointed) — exposed for
-    * [[graft.Pipelines]]. Returns `(node_id, r)`. Per iteration: one join
-    * of the rank relation against deg (node-sized SMJ), one join of the
-    * edge relation against the per-src contribution (the message-passing
-    * shuffle — one fixed-width long per edge), one map-side-combinable sum
-    * on dst. Every node has an in-edge (undirected construction), so the
+  /** Damped integer PageRank converged to the quantized LIMIT CYCLE over
+    * arbitrary `(src, dst)` arcs + `(src, d)` degrees (both expected
+    * checkpointed) — exposed for [[graft.Pipelines]]. Returns
+    * `(node_id, r)`.
+    *
+    * Convergence contract: the floor-quantized damped map has no exact
+    * integer fixpoint in general — measured on every fixture, it settles
+    * into a PERIOD-2 limit cycle (a constant Σ|r_k − r_{k−1}| of a few
+    * thousand units spread over all nodes, i.e. low-digit flicker).
+    * Because the map is deterministic, a single observed equality
+    * r_k = r_{k−2} proves the cycle: r_{k+1} = f(r_k) = f(r_{k−2}) =
+    * r_{k−1} forever after. The reported rank is the elementwise MIN of
+    * the two cycle states — canonical (parity-independent), exact, and
+    * within one flickering low digit of either state. A true fixpoint is
+    * the period-1 special case (min of two equal states). The oracle
+    * unrolls [[PrIters]] plain rounds and takes `least(r_{K−1}, r_K)`:
+    * both states are in-cycle for any K ≥ entry depth + 1, so the unroll
+    * replays the loop bit-exactly (the CcIters margin discipline — a
+    * fixture entering the cycle later fails the hash gate loudly).
+    * Non-convergence within `maxRounds` (a period > 2 cycle) throws — the
+    * dupClusters refusal discipline.
+    *
+    * Per iteration: one join of the rank relation against deg (node-sized
+    * SMJ), one join of the edge relation against the per-src contribution
+    * (the message-passing shuffle — one fixed-width long per edge), one
+    * map-side-combinable sum on dst, then the damped update rejoined
+    * against the carried state so the round's EXACT Σ|r_k − r_{k−2}| rides
+    * the same materializing action (the minLabelRounds one-job-per-round
+    * shape). Every node has an in-edge (undirected construction), so the
     * damping term never needs a left-join backfill. */
-  private[graft] def pagerankRanks(edges: DataFrame, deg: DataFrame): DataFrame = {
-    // each iteration's rank relation is checkpointed (node-sized): it cuts
-    // the deg-derived lineage (the rank ⋈ deg join would otherwise be an
-    // ambiguous self-join) and keeps the plan shallow however many
-    // iterations run — the q_llm_dup_clusters propagation discipline
-    var ranks = deg.select(col("src").as("node_id"), lit(PrScale).as("r"))
-      .localCheckpoint(true)
-    for (_ <- 1 to PrIters) {
-      val contrib = ranks.join(deg, ranks("node_id") === deg("src"))
+  private[graft] def pagerankRanks(edges: DataFrame, deg: DataFrame,
+      maxRounds: Int = PrMaxRounds): DataFrame = {
+    val spark = edges.sparkSession
+    var prevRdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = null
+    // one JOB per round: persist the round's (node_id, r, rp, dl) rows and
+    // fold the cycle-detection sum in the same action, then rewrap as a
+    // clean leaf (also cuts the deg-derived lineage that would otherwise
+    // trip the ambiguous-self-join check — the q_llm_dup_clusters pattern).
+    // Unlike the ≤12-round sibling loops, this one runs ~90 rounds, deep
+    // enough that plain persist() overflows the stack serializing the
+    // accumulated RDD lineage — localCheckpoint() TRUNCATES lineage at the
+    // materializing action, keeping the per-round object graph constant.
+    def materialize(df: DataFrame): (DataFrame, BigInt) = {
+      val rdd = df.rdd
+      rdd.localCheckpoint()
+      val s = rdd.mapPartitions { it =>
+        var acc = BigInt(0); it.foreach(r => acc += r.getLong(3)); Iterator(acc)
+      }.fold(BigInt(0))(_ + _)
+      if (prevRdd != null) prevRdd.unpersist(blocking = false)
+      prevRdd = rdd
+      (spark.createDataFrame(rdd, df.schema), s)
+    }
+    // state rows carry (node_id, r = r_{k}, rp = r_{k-1}, dl); rp seeds at
+    // -1 (impossible rank) so the cycle test cannot fire before round 2
+    var (state, _) = materialize(
+      deg.select(col("src").as("node_id"), lit(PrScale).as("r"),
+        lit(-1L).as("rp"), lit(1L).as("dl")))
+    var converged = state.isEmpty // empty graph: nothing to rank
+    var it = 0
+    while (!converged && it < maxRounds) {
+      val contrib = state.join(deg, state("node_id") === deg("src"))
         .select(deg("src").as("csrc"), expr("r div d").as("cb"))
       val msg = edges.join(contrib, edges("src") === contrib("csrc"))
         .groupBy(col("dst")).agg(sum(col("cb")).as("m"))
-      ranks = msg.select(col("dst").as("node_id"),
-        expr(s"(${15 * PrScale} + 85 * m) div 100").as("r"))
-        .localCheckpoint(true)
+      val (next, dsum) = materialize(
+        state.join(msg, state("node_id") === msg("dst"))
+          .withColumn("r2", expr(s"(${15 * PrScale} + 85 * m) div 100"))
+          .select(col("node_id"), col("r2").as("r"), col("r").as("rp"),
+            abs(col("r2") - col("rp")).as("dl")))
+      state = next
+      converged = dsum == 0 // r_k == r_{k-2} elementwise: cycle proven
+      it += 1
+      if (sys.env.get("SPARK_GRAFT_DEBUG").contains("2"))
+        System.err.println(s"[pagerank] round $it dsum2=$dsum")
     }
-    ranks
+    if (sys.env.get("SPARK_GRAFT_DEBUG").contains("1"))
+      System.err.println(s"[pagerank] rounds: $it (converged=$converged)")
+    if (!converged)
+      throw new IllegalStateException(
+        s"PageRank did not reach its period-<=2 limit cycle in $maxRounds " +
+          "rounds; refusing to return unconverged ranks")
+    state.select(col("node_id"), least(col("r"), col("rp")).as("r"))
   }
 
   private[graft] def pagerank(s: SparkSession, dir: String): DataFrame = {
@@ -650,28 +725,39 @@ object GraphOps extends QueryModule {
     })
   )
 
-  /** Shared graph CTEs: e0 (distinct purchase pairs), edges, deg, r0. */
+  /** Shared graph CTEs: e0 (distinct purchase pairs), edges, deg, r0.
+    * `edges` and `deg` are `AS MATERIALIZED`: every one of the [[PrIters]]
+    * unrolled stages references both, and DuckDB's default inlining would
+    * re-run the lineitem ⋈ orders distinct per reference (the round-9
+    * multiply-referenced-CTE rule — the triangles twin measured 8.7 s from
+    * inlining alone). Materialization is the oracle-side analog of the
+    * Spark builder's localCheckpoint. */
   private def graphCte: String =
     s"""e0 AS (
        |  SELECT DISTINCT o_custkey AS c, l_suppkey AS s
        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
-       |edges AS (
+       |edges AS MATERIALIZED (
        |  SELECT 2 * c AS src, 2 * s + 1 AS dst FROM e0
        |  UNION ALL
        |  SELECT 2 * s + 1 AS src, 2 * c AS dst FROM e0),
-       |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS d FROM edges GROUP BY src)""".stripMargin
+       |deg AS MATERIALIZED (
+       |  SELECT src, CAST(count(*) AS BIGINT) AS d FROM edges GROUP BY src)""".stripMargin
 
-  /** The unrolled iteration stages m1/r1 … — generated from the same
-    * constants as the Spark loop (single source of truth, the
-    * bpeMergeStagesCte pattern). */
+  /** Pre-divided per-src contribution joined once: `csrc` fuses the
+    * rank ⋈ deg join so each unrolled stage is ONE edges join + agg. Every
+    * stage is `AS MATERIALIZED` (the ccStagesCte lesson: a [[PrIters]]-deep
+    * inlined chain is pathological to plan and re-runs shared inputs).
+    * Generated from the same constants as the Spark loop (single source of
+    * truth, the bpeMergeStagesCte pattern). */
   private def prStagesCte: String =
     (1 to PrIters).map { k =>
-      s"""m$k AS (
+      s"""m$k AS MATERIALIZED (
          |  SELECT e.dst AS node_id, sum(r.r // g.d) AS m
          |  FROM edges e JOIN r${k - 1} r ON e.src = r.node_id
          |    JOIN deg g ON e.src = g.src
          |  GROUP BY e.dst),
-         |r$k AS (SELECT node_id, (${15 * PrScale} + 85 * m) // 100 AS r FROM m$k)""".stripMargin
+         |r$k AS MATERIALIZED (
+         |  SELECT node_id, (${15 * PrScale} + 85 * m) // 100 AS r FROM m$k)""".stripMargin
     }.mkString(",\n")
 
   /** Shared co-purchase CTEs (e0cp/cap/pr/adj) — generated from the same
@@ -877,14 +963,19 @@ object GraphOps extends QueryModule {
          |FROM c JOIN dg da ON c.a = da.m JOIN dg db ON c.b = db.m
          |ORDER BY jaccard DESC, a, b LIMIT 100""".stripMargin,
 
+    // the engine converges to the quantized period-<=2 limit cycle and
+    // reports the elementwise MIN of the two cycle states; the twin takes
+    // least() of the last two unrolled stages — identical for any unroll
+    // depth >= cycle entry + 1 (see PrIters)
     "q_graph_pagerank" ->
       s"""WITH $graphCte,
          |r0 AS (SELECT src AS node_id, CAST($PrScale AS BIGINT) AS r FROM deg),
          |$prStagesCte
-         |SELECT node_id,
-         |  CASE WHEN node_id % 2 = 0 THEN 'customer' ELSE 'supplier' END AS node_type,
-         |  r AS pr
-         |FROM r$PrIters ORDER BY pr DESC, node_id LIMIT 50""".stripMargin,
+         |SELECT a.node_id,
+         |  CASE WHEN a.node_id % 2 = 0 THEN 'customer' ELSE 'supplier' END AS node_type,
+         |  least(a.r, b.r) AS pr
+         |FROM r${PrIters - 1} a JOIN r$PrIters b ON a.node_id = b.node_id
+         |ORDER BY pr DESC, a.node_id LIMIT 50""".stripMargin,
 
     "q_graph_degree" ->
       s"""WITH $graphCte

@@ -25,17 +25,40 @@ class GraphSpec extends SparkTestBase {
       pairs.map { case (c, s) => (2 * s + 1, 2 * c) })
   }
 
-  private lazy val driverRanks: Map[Long, Long] = {
+  /** Driver-side limit-cycle replay: same integer arithmetic, iterated
+    * until r_k == r_{k−2} (the quantized map settles into a period-2
+    * cycle, not an exact fixpoint — the engine's documented contract),
+    * result = elementwise min of the two cycle states. Converged by
+    * construction, so equality also pins that the engine's early-exit loop
+    * (and the oracle's PrIters-round unroll + least()) truly reach the
+    * cycle. */
+  private lazy val (driverRanks: Map[Long, Long], driverPrRounds: Int) = {
     val deg = edges.groupBy(_._1).view.mapValues(_.length.toLong).toMap
     val S = GraphOps.PrScale
     var r = deg.keys.map(_ -> S).toMap
-    for (_ <- 1 to GraphOps.PrIters) {
+    var rPrev = Map.empty[Long, Long]
+    var rounds = 0
+    var inCycle = false
+    while (!inCycle && rounds < GraphOps.PrMaxRounds) {
       val contrib = r.map { case (n, v) => n -> v / deg(n) }
       val m = edges.groupBy(_._2).view
         .mapValues(_.map(e => contrib(e._1)).sum).toMap
-      r = m.map { case (n, v) => n -> (15 * S + 85 * v) / 100 }
+      val next = m.map { case (n, v) => n -> (15 * S + 85 * v) / 100 }
+      inCycle = rounds >= 1 && next == rPrev
+      rPrev = r
+      r = next
+      rounds += 1
     }
-    r
+    assert(inCycle, "driver replay did not reach the period-2 limit cycle")
+    (r.map { case (n, v) => n -> math.min(v, rPrev(n)) }, rounds)
+  }
+
+  test("driver cycle-entry depth fits inside the oracle unroll with margin") {
+    // the oracle needs both of its last two stages in-cycle, i.e. unroll
+    // depth >= entry + 1; driverPrRounds already includes the confirming
+    // r_k == r_{k-2} round, so <= would suffice and < carries slack
+    assert(driverPrRounds < GraphOps.PrIters,
+      s"cycle entry $driverPrRounds ≥ oracle unroll ${GraphOps.PrIters}")
   }
 
   test("pagerank equals an independent driver-side integer replay, including order") {
@@ -59,7 +82,7 @@ class GraphSpec extends SparkTestBase {
     val n = driverRanks.size
     val total = driverRanks.values.sum
     assert(total <= n * S)
-    assert(total >= n * S - GraphOps.PrIters * 2L * n * 100,
+    assert(total >= n * S - driverPrRounds.toLong * 2L * n * 100,
       "integer floor lost more mass than the bound allows")
   }
 
