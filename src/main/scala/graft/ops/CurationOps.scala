@@ -1364,7 +1364,7 @@ object CurationOps extends QueryModule {
       """WITH t AS (
         |  SELECT doc_id, list_filter(string_split(text, ' '), x -> length(x) > 0) AS toks
         |  FROM documents),
-        |b AS (
+        |b AS MATERIALIZED (
         |  SELECT toks[i] AS w1, toks[i + 1] AS w2
         |  FROM (SELECT toks, unnest(generate_series(1, len(toks) - 1)) AS i
         |        FROM t WHERE len(toks) >= 2)),
@@ -1379,7 +1379,7 @@ object CurationOps extends QueryModule {
       """WITH t AS (
         |  SELECT doc_id, list_filter(string_split(text, ' '), x -> length(x) > 0) AS toks
         |  FROM documents),
-        |b AS (
+        |b AS MATERIALIZED (
         |  SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
         |  FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 1)) AS i
         |        FROM t WHERE len(toks) >= 2)),
@@ -1396,7 +1396,7 @@ object CurationOps extends QueryModule {
       """WITH t AS (
         |  SELECT doc_id, list_filter(string_split(text, ' '), x -> length(x) > 0) AS toks
         |  FROM documents),
-        |b AS (
+        |b AS MATERIALIZED (
         |  SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
         |  FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 1)) AS i
         |        FROM t WHERE len(toks) >= 2)),
@@ -1466,7 +1466,7 @@ object CurationOps extends QueryModule {
       """WITH t AS (
         |  SELECT doc_id, list_filter(string_split(text, ' '), x -> length(x) > 0) AS toks
         |  FROM documents),
-        |b AS (
+        |b AS MATERIALIZED (
         |  SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
         |  FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 1)) AS i
         |        FROM t WHERE len(toks) >= 2)),
@@ -1511,7 +1511,7 @@ object CurationOps extends QueryModule {
       """WITH t AS (
         |  SELECT doc_id, list_filter(string_split(text, ' '), x -> length(x) > 0) AS toks
         |  FROM documents),
-        |b AS (
+        |b AS MATERIALIZED (
         |  SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
         |  FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 1)) AS i
         |        FROM t WHERE len(toks) >= 2)),
@@ -1537,7 +1537,7 @@ object CurationOps extends QueryModule {
          |  FROM (SELECT doc_id, source, toks,
          |               unnest(generate_series(1, len(toks) - 1)) AS i
          |        FROM t WHERE len(toks) >= 2)),
-         |k AS (SELECT doc_id, source, ${graft.functions.ReplayableHash.shingleKeySql("bgr")} AS key
+         |k AS MATERIALIZED (SELECT doc_id, source, ${graft.functions.ReplayableHash.shingleKeySql("bgr")} AS key
          |      FROM b),
          |c AS (SELECT key,
          |             CAST(count(*) AS BIGINT) AS c_all,
@@ -1775,7 +1775,7 @@ object CurationOps extends QueryModule {
          |t AS (
          |  SELECT doc_id, list_filter(string_split(text, ' '), x -> length(x) > 0) AS toks
          |  FROM documents),
-         |b AS (
+         |b AS MATERIALIZED (
          |  SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
          |  FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 1)) AS i
          |        FROM t WHERE len(toks) >= 2)),

@@ -72,12 +72,6 @@ object DiagOps extends QueryModule {
     "svd / n AS mean_v",
     "svd / n - svtd / nt AS dev_from_mean")
 
-  /** Shared changepoint projections over (s1d, n1, sd, n) — ONE formula
-    * set: the between-segment sum-of-squares gain of splitting the hourly
-    * cent series after a candidate hour (S1²/n1 + S2²/n2 − S²/n, the
-    * two-segment least-squares criterion), plus the two segment means in
-    * dollars. Cent sums stay < 2^53 ⇒ the DOUBLE casts are exact and the
-    * multiply/divide chain is IEEE-exact in a fixed order. */
   /** Shared diversity projections over (n, sc2) — HHI concentration,
     * Gini impurity, and effective category count, each a fixed IEEE
     * division chain over exact BIGINTs. */
@@ -116,6 +110,12 @@ object DiagOps extends QueryModule {
         s" THEN $num * $num / ($den * (n * $syy - syd * syd)) END AS r2")
   }
 
+  /** Shared changepoint projections over (s1d, n1, sd, n) — ONE formula
+    * set: the between-segment sum-of-squares gain of splitting the hourly
+    * cent series after a candidate hour (S1²/n1 + S2²/n2 − S²/n, the
+    * two-segment least-squares criterion), plus the two segment means in
+    * dollars. Cent sums stay < 2^53 ⇒ the DOUBLE casts are exact and the
+    * multiply/divide chain is IEEE-exact in a fixed order. */
   private val cpGainExpr =
     "s1d * s1d / n1 + (sd - s1d) * (sd - s1d) / (n - n1) - sd * sd / n"
   private val changepointMeans: Seq[String] = Seq(

@@ -14,12 +14,15 @@ import graft.ops.DiagOps
   * Where StreamingTopK keeps the MG *candidate table* (which keys are
   * frequent), Count-Min answers point *frequency* queries for ANY key with
   * the textbook overestimate guarantee. State is one counter per touched
-  * sketch cell: ≤ depth × width = 4 × 512 = 2,048 groups FOREVER,
-  * regardless of stream length or key cardinality — the same deterministic
-  * `ReplayableHash` affine rows (salt 11) as the batch sketch, so after
-  * any prefix of the stream the cell table EQUALS the batch sketch of the
-  * rows seen so far and point estimates agree exactly
-  * (StreamingCountMinSpec pins both against q_agg_countmin).
+  * sketch cell: ≤ depth × (2·width − 1) = 4 × 1,023 groups FOREVER
+  * (≤ depth × width = 2,048 when every key is non-negative — the column
+  * hash is remainder-signed, see [[cellIds]]), regardless of stream length
+  * or key cardinality — the same deterministic `ReplayableHash` affine
+  * rows (salt 11) AND the same remainder arithmetic as the batch sketch,
+  * so after any prefix of the stream the cell table EQUALS the batch
+  * sketch of the rows seen so far and point estimates agree exactly for
+  * any LONG key, negative included (StreamingCountMinSpec pins both
+  * against q_agg_countmin and a mixed-sign driver replay).
   *
   * Each micro-batch pre-aggregates arrivals per cell (one state update per
   * touched cell, not per row) and emits the touched cells' running counts
@@ -33,14 +36,21 @@ object StreamingCountMin {
   final case class CellState(version: Long, cnt: Long)
 
   /** Scan-side fan-out of a LONG key column to its [[DiagOps.CmDepth]]
-    * cell ids (`r * width + col`) — the SAME arithmetic as the batch
-    * sketch: mod-P before multiply, affine row params from salt 11. */
+    * cell ids — the SAME arithmetic as the batch sketch (and the % the
+    * DuckDB twin replays): `((a·(key % P) + b) % P) % width` with the
+    * REMAINDER operator, affine row params from salt 11, mod-P before
+    * multiply. Remainder (not pmod) is load-bearing: for negative keys (a
+    * key space the repo uses — round-8 synthetic ids are negative) the
+    * batch formula yields a NEGATIVE column hash, and matching it exactly
+    * is what keeps the cell table equal to the batch sketch for ANY key.
+    * The flat encoding `h + (2r+1)·width` keeps per-row id ranges disjoint
+    * over the full remainder range h ∈ (−width, width). */
   private[graft] def cellIds(key: Column): Column = {
     val P = ReplayableHash.P
     val cells = ReplayableHash.CountMinParams.take(DiagOps.CmDepth).zipWithIndex
       .map { case ((a, b), r) =>
-        (((lit(a) * pmod(key, lit(P)) + lit(b)) % lit(P)) % lit(DiagOps.CmWidth)
-          + lit(r * DiagOps.CmWidth)).cast("int")
+        (((lit(a) * (key % lit(P)) + lit(b)) % lit(P)) % lit(DiagOps.CmWidth)
+          + lit((2 * r + 1) * DiagOps.CmWidth)).cast("int")
       }
     array(cells: _*)
   }

@@ -65,4 +65,45 @@ class StreamingCountMinSpec extends SparkTestBase {
         "each emission bumps the cell version by exactly 1"))
     } finally query.stop()
   }
+
+  test("mixed-sign keys: estimates equal a driver-side remainder sketch") {
+    // negative keys are a real key space (round-8 synthetic ids); the
+    // documented contract is remainder (%) arithmetic identical to the
+    // batch sketch for ANY long key, so the streaming estimates must match
+    // a driver replay of ((a·(k % P) + b) % P) % width with Java remainder
+    // semantics (negative column hashes included)
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val P = functions.ReplayableHash.P
+    val params = functions.ReplayableHash.CountMinParams
+    val W = ops.DiagOps.CmWidth
+    val keys: Seq[Long] = Seq(-5L, -1L, 42L, -5L, 42L, -5L, 7L,
+      -999999999999L, 7L, -1L, Long.MinValue + 1, 0L)
+    def cellsOf(k: Long): Seq[(Int, Long)] =
+      params.zipWithIndex.map { case ((a, b), r) =>
+        (r, ((a * (k % P) + b) % P) % W)
+      }
+    val cellCnt = scala.collection.mutable.Map[(Int, Long), Long]()
+      .withDefaultValue(0L)
+    keys.foreach(k => cellsOf(k).foreach(c => cellCnt(c) += 1))
+    def est(k: Long): Long = cellsOf(k).map(cellCnt).min
+
+    val input = MemoryStream[Long]
+    val query = StreamingCountMin.cells(input.toDF().toDF("key"))
+      .writeStream.format("memory").queryName("cm_neg")
+      .outputMode(OutputMode.Update())
+      .option("checkpointLocation", checkpoint())
+      .start()
+    try {
+      input.addData(keys)
+      query.processAllAvailable()
+      val cellTable = StreamingCountMin.latestCells(spark.table("cm_neg"))
+      val got = StreamingCountMin.estimates(
+          keys.distinct.toDF("key"), cellTable).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toMap
+      val expected = keys.distinct.map(k => k -> est(k)).toMap
+      assert(got == expected,
+        "streaming estimates diverge from the remainder-arithmetic replay")
+    } finally query.stop()
+  }
 }
