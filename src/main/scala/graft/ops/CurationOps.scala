@@ -27,6 +27,13 @@ object CurationOps extends QueryModule {
     * signal, and would emit O(n²) edges. Same constant in the oracle. */
   private val MaxShingleDocs = 50
 
+  /** Decontamination n-gram length for the public-standard variant
+    * (q_llm_contamination13): 13 is the n the GPT-3/PaLM/Llama-class
+    * reports use for benchmark decontamination. The 5-gram
+    * q_llm_contamination keeps the aggressive near-dup-sensitive setting;
+    * the 13-gram key is the eval-ship gate (long exact overlaps only). */
+  private[graft] val DecontamN = 13
+
   /** q_llm_collocations: min bigram support and report size. */
   private val CollMinSupport = 5
   private val CollTopK = 100
@@ -297,6 +304,40 @@ object CurationOps extends QueryModule {
           + least(lit(1.0), col("n_chars") / 500.0) * 0.5).as("quality"))
   }
 
+  /** n-parameterized contamination twin — ONE builder for the 5-gram and
+    * the public-standard 13-gram keys, generated from the same
+    * MaxShingleDocs constant and the shared pairing-digest SQL so the two
+    * twins (and the engine) cannot drift. `b AS MATERIALIZED` discipline:
+    * `sh0` is referenced twice (keep + sh). */
+  private def contaminationOracle(n: Int): String = {
+    val concat = (0 until n).map(j => if (j == 0) "toks[i]" else s"toks[i+$j]")
+      .mkString(" || ' ' || ")
+    s"""WITH
+       |t AS (
+       |  SELECT doc_id, list_filter(string_split(text, ' '), x -> length(x) > 0) AS toks
+       |  FROM documents),
+       |sgen AS (
+       |  SELECT doc_id, toks, unnest(generate_series(1, greatest(len(toks) - ${n - 1}, 0))) AS i
+       |  FROM t),
+       |sh0 AS MATERIALIZED (
+       |  SELECT DISTINCT doc_id, $concat AS shingle
+       |  FROM sgen),
+       |keep AS (SELECT shingle FROM sh0 GROUP BY shingle HAVING count(*) <= $MaxShingleDocs),
+       |sh AS (
+       |  SELECT sh0.doc_id,
+       |         ${graft.functions.ReplayableHash.shingleKeySql("shingle")} AS sh_key,
+       |         d.source
+       |  FROM sh0 JOIN keep USING (shingle) JOIN documents d USING (doc_id)),
+       |ev AS (SELECT sh_key, doc_id AS eval_doc FROM sh WHERE source = 'src0'),
+       |tr AS (SELECT sh_key, doc_id FROM sh WHERE source <> 'src0')
+       |SELECT tr.doc_id,
+       |       CAST(count(*) AS BIGINT) AS n_hits,
+       |       CAST(count(DISTINCT tr.sh_key) AS BIGINT) AS n_shingles,
+       |       min(ev.eval_doc) AS first_eval_doc
+       |FROM tr JOIN ev USING (sh_key)
+       |GROUP BY tr.doc_id ORDER BY tr.doc_id""".stripMargin
+  }
+
   /** Shared DuckDB CTE fragments — single source for every cluster-derived
     * oracle so the SQL twins cannot drift from each other. `clusterCte`
     * ends with `cl(doc_id, cluster_id)`; `qualCte` defines
@@ -339,16 +380,18 @@ object CurationOps extends QueryModule {
        |               x -> x IN (${TextOps.Stopwords.map(w => s"'$w'").mkString(", ")}))) AS n_stop
        |    FROM documents))""".stripMargin
 
-  /** Distinct (doc_id, 5-word-shingle) pairs with stop-shingles removed,
-    * plus the 60-bit replayable pairing digest `sh_key` (ShingleKey).
-    * Downstream equi-joins (contamination, split leakage) join on `sh_key`
-    * so their exchanges ship 8-byte longs, never repeated shingle text —
-    * the PlanAudit rule-5b digest discipline; the string column stays on
-    * the frame for consumers that genuinely need it (cluster edges). */
-  private def clusterShingles(s: SparkSession, docs: DataFrame): DataFrame = {
+  /** Distinct (doc_id, n-word-shingle) pairs (default 5) with
+    * stop-shingles removed, plus the 60-bit replayable pairing digest
+    * `sh_key` (ShingleKey). Downstream equi-joins (contamination, split
+    * leakage) join on `sh_key` so their exchanges ship 8-byte longs,
+    * never repeated shingle text — the PlanAudit rule-5b digest
+    * discipline; the string column stays on the frame for consumers that
+    * genuinely need it (cluster edges). */
+  private def clusterShingles(s: SparkSession, docs: DataFrame,
+      n: Int = 5): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     val sh = docs
-      .select(col("doc_id"), call_function("shingles", col("text"), lit(5)))
+      .select(col("doc_id"), call_function("shingles", col("text"), lit(n)))
       .select(col("doc_id"), col("shingle"))
       .distinct()
     // Document frequency via hash agg + equi-join, NOT a count window over
@@ -474,18 +517,21 @@ object CurationOps extends QueryModule {
         Some(keptShinglesFor(s, dir))).localCheckpoint(true))
   }
 
-  /** Memoized kept-shingle frame (same content-keyed pattern): the
-    * distinct (doc_id, shingle) pairs with stop-shingle hygiene are the
-    * shared substrate of clustering AND contamination; the explode +
-    * distinct + document-frequency pass is paid once per corpus. */
+  /** Memoized kept-shingle frame (same content-keyed pattern), keyed per
+    * (corpus digest, n): the distinct (doc_id, shingle) pairs with
+    * stop-shingle hygiene are the shared substrate of clustering AND
+    * contamination; the explode + distinct + document-frequency pass is
+    * paid once per (corpus, n). */
   private val shingleCache =
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
 
-  private[graft] def keptShinglesFor(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def keptShinglesFor(s: SparkSession, dir: String,
+      n: Int = 5): DataFrame = {
     val key = System.identityHashCode(s.sparkContext).toString + "|" +
-      SourceSinkOps.fixtureKey(dir, "documents.parquet")
+      SourceSinkOps.fixtureKey(dir, "documents.parquet") + "|n=" + n
     shingleCache.computeIfAbsent(key,
-      _ => clusterShingles(s, table(s, dir, "documents")).localCheckpoint(true))
+      _ => clusterShingles(s, table(s, dir, "documents"), n)
+        .localCheckpoint(true))
   }
 
   /** Drop the memoized indexes (ScaleProbe's amortization probe uses
@@ -495,6 +541,32 @@ object CurationOps extends QueryModule {
     shingleCache.clear()
     bpeCache.clear()
     qbScoreCache.clear()
+  }
+
+  /** Train/eval contamination audit over a kept-shingle frame — the
+    * q_llm_contamination / q_llm_contamination13 primitive: per TRAINING
+    * doc (source ≠ src0), the kept shingles it shares with any
+    * "benchmark" doc (source src0), with hit/shingle counts and the
+    * smallest contaminated eval doc. The join is equi on the 60-bit
+    * shingle DIGEST (sh_key), never the string and never all-pairs: every
+    * exchange ships 8-byte longs (rule 5b), and the stop-shingle df cap
+    * bounds per-key join work at cap² on any corpus. n_shingles counts
+    * distinct digests — identical to distinct shingles absent a
+    * ~2^-60-per-pair double-polynomial collision. */
+  private[graft] def contaminationFromShingles(sh0: DataFrame,
+      docs: DataFrame): DataFrame = {
+    val sh = sh0.select("doc_id", "sh_key")
+      .join(docs.select("doc_id", "source"), "doc_id")
+    val evalSh = sh.where(col("source") === "src0")
+      .select(col("sh_key"), col("doc_id").as("eval_doc"))
+    val trainSh = sh.where(col("source") =!= "src0")
+      .select(col("sh_key"), col("doc_id"))
+    trainSh.join(evalSh, "sh_key")
+      .groupBy("doc_id")
+      .agg(asLong(count(lit(1))).as("n_hits"),
+        asLong(count_distinct(col("sh_key"))).as("n_shingles"),
+        min(col("eval_doc")).as("first_eval_doc"))
+      .orderBy("doc_id")
   }
 
   /** Split-leakage audit over a kept-shingle frame — the
@@ -1078,21 +1150,19 @@ object CurationOps extends QueryModule {
     // corpus's shingle text and shuffling one long per kept (doc, shingle).
     // n_shingles counts distinct digests — identical to distinct shingles
     // absent a ~2^-60-per-pair double-polynomial collision.
-    "q_llm_contamination" -> ((s: SparkSession, dir: String) => {
-      val docs = table(s, dir, "documents")
-      val sh = keptShinglesFor(s, dir).select("doc_id", "sh_key")
-        .join(docs.select("doc_id", "source"), "doc_id")
-      val evalSh = sh.where(col("source") === "src0")
-        .select(col("sh_key"), col("doc_id").as("eval_doc"))
-      val trainSh = sh.where(col("source") =!= "src0")
-        .select(col("sh_key"), col("doc_id"))
-      trainSh.join(evalSh, "sh_key")
-        .groupBy("doc_id")
-        .agg(asLong(count(lit(1))).as("n_hits"),
-          asLong(count_distinct(col("sh_key"))).as("n_shingles"),
-          min(col("eval_doc")).as("first_eval_doc"))
-        .orderBy("doc_id")
-    }),
+    "q_llm_contamination" -> ((s: SparkSession, dir: String) =>
+      contaminationFromShingles(keptShinglesFor(s, dir),
+        table(s, dir, "documents"))),
+
+    // Benchmark decontamination at the public-standard n = 13: same
+    // digest-join machinery as q_llm_contamination on 13-word shingles —
+    // the n GPT-3/PaLM/Llama-class reports decontaminate at. Only long
+    // exact overlaps fire (quotations, copies), which is exactly the
+    // eval-ship gate; the 5-gram key stays as the aggressive variant.
+    // Substrate memoized per (corpus, n=13).
+    "q_llm_contamination13" -> ((s: SparkSession, dir: String) =>
+      contaminationFromShingles(keptShinglesFor(s, dir, DecontamN),
+        table(s, dir, "documents"))),
 
     // Train/test split-leakage audit (r8): for each TEST-split document,
     // the kept 5-word shingles it shares with any TRAIN-split document —
@@ -1560,33 +1630,9 @@ object CurationOps extends QueryModule {
          |WHERE doc_id % 100 < $rateCaseSql
          |ORDER BY doc_id""".stripMargin,
 
-    "q_llm_contamination" ->
-      s"""WITH
-         |t AS (
-         |  SELECT doc_id, list_filter(string_split(text, ' '), x -> length(x) > 0) AS toks
-         |  FROM documents),
-         |sgen AS (
-         |  SELECT doc_id, toks, unnest(generate_series(1, greatest(len(toks) - 4, 0))) AS i
-         |  FROM t),
-         |sh0 AS (
-         |  SELECT DISTINCT doc_id,
-         |         toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' ||
-         |         toks[i+3] || ' ' || toks[i+4] AS shingle
-         |  FROM sgen),
-         |keep AS (SELECT shingle FROM sh0 GROUP BY shingle HAVING count(*) <= $MaxShingleDocs),
-         |sh AS (
-         |  SELECT sh0.doc_id,
-         |         ${graft.functions.ReplayableHash.shingleKeySql("shingle")} AS sh_key,
-         |         d.source
-         |  FROM sh0 JOIN keep USING (shingle) JOIN documents d USING (doc_id)),
-         |ev AS (SELECT sh_key, doc_id AS eval_doc FROM sh WHERE source = 'src0'),
-         |tr AS (SELECT sh_key, doc_id FROM sh WHERE source <> 'src0')
-         |SELECT tr.doc_id,
-         |       CAST(count(*) AS BIGINT) AS n_hits,
-         |       CAST(count(DISTINCT tr.sh_key) AS BIGINT) AS n_shingles,
-         |       min(ev.eval_doc) AS first_eval_doc
-         |FROM tr JOIN ev USING (sh_key)
-         |GROUP BY tr.doc_id ORDER BY tr.doc_id""".stripMargin,
+    "q_llm_contamination" -> contaminationOracle(5),
+
+    "q_llm_contamination13" -> contaminationOracle(DecontamN),
 
     "q_llm_split_leakage" ->
       s"""WITH

@@ -675,4 +675,45 @@ class CurationSpec extends SparkTestBase {
     // docs on BOTH lists outrank equal-rank single-list docs by design
     assert(got.head._4 <= 2.0 / 61.0 + 1e-12)
   }
+
+  test("13-gram decontamination equals a brute-force driver replay") {
+    // independent reimplementation on raw strings: distinct 13-token
+    // windows per doc, df-capped stop-shingle hygiene, train docs
+    // (source != src0) x eval docs (src0) sharing any kept shingle
+    val meta = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    val n = ops.CurationOps.DecontamN
+    val docSh: Map[Long, Set[String]] = docTexts.map { case (id, t) =>
+      val toks = Option(t).getOrElse("").split(' ').filter(_.nonEmpty)
+      id -> toks.sliding(n).filter(_.length == n).map(_.mkString(" ")).toSet
+    }.toMap
+    val df = docSh.toSeq.flatMap { case (id, ss) => ss.map(_ -> id) }
+      .groupBy(_._1).view.mapValues(_.size).toMap
+    val kept = df.collect { case (sh, d) if d <= 50 => sh }.toSet
+    val evalOwners: Map[String, Seq[Long]] = docSh.toSeq
+      .filter { case (id, _) => meta(id) == "src0" }
+      .flatMap { case (id, ss) => (ss & kept).map(_ -> id) }
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val expected = docSh.toSeq
+      .filter { case (id, _) => meta(id) != "src0" }
+      .flatMap { case (id, ss) =>
+        val hits = (ss & kept).toSeq.flatMap(sh =>
+          evalOwners.getOrElse(sh, Nil).map(ev => (sh, ev)))
+        if (hits.isEmpty) Nil
+        else Seq((id, hits.size.toLong, hits.map(_._1).distinct.size.toLong,
+          hits.map(_._2).min))
+      }.sortBy(_._1)
+    val got = q("q_llm_contamination13").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == expected, "13-gram contamination differs from brute force")
+    // the fixture's exact/near duplicates make the audit non-vacuous, and
+    // the 13-gram hit set is a subset of the 5-gram one doc-wise (a shared
+    // 13-gram implies shared 5-grams; df caps can only shrink the looser set
+    // further on pathological corpora, so assert on this fixture only)
+    assert(got.nonEmpty, "fixture yields no 13-gram contamination — weak test")
+    val g5 = q("q_llm_contamination").collect().map(_.getLong(0)).toSet
+    assert(got.map(_._1).toSet.subsetOf(g5),
+      "13-gram-flagged docs must be 5-gram-flagged on this fixture")
+  }
 }
