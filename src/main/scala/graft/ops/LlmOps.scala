@@ -30,12 +30,15 @@ object LlmOps extends QueryModule {
   private val NumHashes = 16
   private val NumBands  = 8 // 2 rows per band
 
-  /** Compared-prefix cap for edit-distance verification: bounds BOTH the
-    * per-pair DP cost (O(EditPfx²), corpus-independent) and the exchange
-    * payload (≤ 256 bytes/row — the reason a capped prefix may ride a
-    * shuffle where raw unbounded text must not). Fixture docs are ≤ ~600
-    * chars, so the cap bites only on real long-document corpora — exactly
-    * where it must. */
+  /** Compared-prefix cap for edit-distance verification, in CODEPOINTS
+    * (substring semantics shared by both engines): bounds BOTH the
+    * per-pair DP cost (O((4·EditPfx)²) worst-case in the byte unit,
+    * corpus-independent) and the exchange payload (≤ 4·EditPfx bytes/row
+    * — the reason a capped prefix may ride a shuffle where raw unbounded
+    * text must not). The DP itself runs on UTF-8 BYTES in both engines
+    * (see q_llm_editdist_neardup). Fixture docs are ≤ ~600 chars, so the
+    * cap bites only on real long-document corpora — exactly where it
+    * must. */
   private[graft] val EditPfx = 256
 
   /** Similarity floor for emitted near-dup pairs: 1 − dist/maxlen ≥ 0.8. */
@@ -729,13 +732,21 @@ object LlmOps extends QueryModule {
     // (≥2 shared bands), and the DP runs on EditPfx-capped prefixes so
     // per-pair cost AND shuffle payload are corpus-independent constants.
     // The prefix column is the bounded exception to the text-shuffle
-    // discipline (256 bytes/row, doc'd at [[EditPfx]]); fixture text is
-    // ASCII, where Spark's codepoint DP ≡ DuckDB's byte DP exactly.
+    // discipline (≤ 4·EditPfx bytes/row, doc'd at [[EditPfx]]).
+    // DP unit: BYTES, explicitly — DuckDB's levenshtein is byte-based
+    // while Spark's is codepoint-based, so the engine runs its DP over a
+    // Latin-1 byte proxy (decode(encode(pfx,'UTF-8'),'ISO-8859-1') maps
+    // each UTF-8 byte to one codepoint), making both engines compute the
+    // identical byte-level DP on ANY text, non-ASCII included (on ASCII
+    // the two units coincide). Byte distance is the encoding-stable unit
+    // large-scale dedup uses anyway.
     "q_llm_editdist_neardup" -> ((s: SparkSession, dir: String) => {
       val cands = candidateIndexFor(s, dir)._3
         .where(col("n_shared_bands") >= 2)
       val p = table(s, dir, "documents")
-        .select(col("doc_id"), substring(col("text"), 1, EditPfx).as("pfx"))
+        .select(col("doc_id"),
+          decode(encode(substring(col("text"), 1, EditPfx), "UTF-8"),
+            "ISO-8859-1").as("pfx"))
       cands
         .join(p.select(col("doc_id").as("doc_a"), col("pfx").as("pfx_a")), "doc_a")
         .join(p.select(col("doc_id").as("doc_b"), col("pfx").as("pfx_b")), "doc_b")
@@ -1269,10 +1280,14 @@ object LlmOps extends QueryModule {
          |  GROUP BY 1, 2 HAVING count(*) >= 2),
          |p AS (SELECT doc_id, substring(text, 1, $EditPfx) AS pfx FROM documents),
          |x AS (
+         |  -- BYTE unit on both engines: DuckDB levenshtein is byte-based
+         |  -- natively; lengths are strlen (bytes), matching the engine's
+         |  -- Latin-1 byte-proxy DP. substring is codepoint-based in BOTH
+         |  -- engines, so the capped prefix is identical first.
          |  SELECT c.doc_a, c.doc_b,
          |         CAST(levenshtein(a.pfx, b.pfx) AS BIGINT) AS edit_dist,
-         |         CAST(length(a.pfx) AS BIGINT) AS len_a,
-         |         CAST(length(b.pfx) AS BIGINT) AS len_b
+         |         CAST(strlen(a.pfx) AS BIGINT) AS len_a,
+         |         CAST(strlen(b.pfx) AS BIGINT) AS len_b
          |  FROM cand c
          |  JOIN p a ON a.doc_id = c.doc_a
          |  JOIN p b ON b.doc_id = c.doc_b),

@@ -126,32 +126,50 @@ class LlmSpec extends SparkTestBase {
     }
   }
 
-  test("editdist_neardup equals an independent driver-side Levenshtein DP over the candidates") {
-    def lev(a: String, b: String): Int = {
-      val prev = new Array[Int](b.length + 1)
-      val cur = new Array[Int](b.length + 1)
-      for (j <- 0 to b.length) prev(j) = j
-      for (i <- 1 to a.length) {
-        cur(0) = i
-        for (j <- 1 to b.length)
-          cur(j) = math.min(math.min(cur(j - 1) + 1, prev(j) + 1),
-            prev(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
-        Array.copy(cur, 0, prev, 0, b.length + 1)
-      }
-      prev(b.length)
+  /** Byte-level Levenshtein DP — the query's DECLARED unit (both engines
+    * compute the DP over UTF-8 bytes; on ASCII it coincides with the
+    * codepoint unit). */
+  private def levBytes(sa: String, sb: String): Int = {
+    val a = sa.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val b = sb.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val prev = new Array[Int](b.length + 1)
+    val cur = new Array[Int](b.length + 1)
+    for (j <- 0 to b.length) prev(j) = j
+    for (i <- 1 to a.length) {
+      cur(0) = i
+      for (j <- 1 to b.length)
+        cur(j) = math.min(math.min(cur(j - 1) + 1, prev(j) + 1),
+          prev(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      Array.copy(cur, 0, prev, 0, b.length + 1)
     }
+    prev(b.length)
+  }
+
+  /** First n CODEPOINTS (both engines' substring unit — String.take would
+    * split astral surrogate pairs). */
+  private def cpPrefix(s: String, n: Int): String = {
+    val it = s.codePoints().iterator()
+    val sb = new java.lang.StringBuilder
+    var k = 0
+    while (k < n && it.hasNext) { sb.appendCodePoint(it.next()); k += 1 }
+    sb.toString
+  }
+
+  test("editdist_neardup equals an independent driver-side byte DP over the candidates") {
     val texts = docsDf.select("doc_id", "text").collect()
-      .map(r => (r.getLong(0), r.getString(1).take(graft.ops.LlmOps.EditPfx)))
+      .map(r => (r.getLong(0), cpPrefix(r.getString(1), graft.ops.LlmOps.EditPfx)))
       .toMap
     // the full (unlimited) memoized candidate relation the query reads
     val cands = graft.ops.LlmOps.candidateIndexFor(spark, sfDir)._3.collect()
       .filter(_.getAs[Long]("n_shared_bands") >= 2)
       .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))
+    def blen(s: String): Long =
+      s.getBytes(java.nio.charset.StandardCharsets.UTF_8).length.toLong
     val expected = cands.map { case (a, b) =>
       val (ta, tb) = (texts(a), texts(b))
-      val d = lev(ta, tb).toLong
-      val mx = math.max(1L, math.max(ta.length.toLong, tb.length.toLong))
-      (a, b, d, ta.length.toLong, tb.length.toLong, 1.0 - d.toDouble / mx)
+      val d = levBytes(ta, tb).toLong
+      val mx = math.max(1L, math.max(blen(ta), blen(tb)))
+      (a, b, d, blen(ta), blen(tb), 1.0 - d.toDouble / mx)
     }.filter(_._6 >= graft.ops.LlmOps.EditSimTau)
       .sortBy { case (a, b, _, _, _, s) => (-s, a, b) }.toSeq
     val got = q("q_llm_editdist_neardup").collect()
@@ -159,6 +177,41 @@ class LlmSpec extends SparkTestBase {
         r.getLong(4), r.getDouble(5))).toSeq
     assert(got == expected, "edit-distance pairs differ from the driver DP")
     assert(got.nonEmpty, "fixture should surface at least one near-dup pair")
+  }
+
+  test("edit-distance byte unit holds on non-ASCII text across both engines") {
+    // the round-9 verdict's latent hole: Spark levenshtein is
+    // codepoint-based, DuckDB's is byte-based — the declared unit is BYTES,
+    // realized on the Spark side via the Latin-1 byte proxy. Pin the
+    // engine expression AND the DuckDB twin to the same driver byte-DP on
+    // accented/CJK/astral text (each a different UTF-8 width).
+    import org.apache.spark.sql.functions._
+    val rows = Seq(
+      ("résumé", "resume"),       // 2-byte chars vs ASCII
+      ("naïve café", "naive cafe"),
+      ("日本語テキスト", "日本語テキスト!"), // 3-byte chars, 1-byte append
+      ("emoji 😀 doc", "emoji doc"), // astral (4-byte)
+      ("plain ascii", "plain ascii"))
+    val df = spark.createDataFrame(rows).toDF("a", "b")
+      .select(col("a"), col("b"),
+        levenshtein(
+          decode(encode(col("a"), "UTF-8"), "ISO-8859-1"),
+          decode(encode(col("b"), "UTF-8"), "ISO-8859-1")).as("d"))
+    val gotSpark = df.collect().map(r => (r.getString(0), r.getString(1), r.getInt(2)))
+    gotSpark.foreach { case (a, b, d) =>
+      assert(d == levBytes(a, b), s"spark byte-proxy DP diverges on ($a, $b)")
+    }
+    // the test must BITE: without the proxy, Spark's codepoint DP disagrees
+    // with the byte unit on at least one of these rows (résumé/resume is
+    // 2 codepoint edits but 4 byte edits)
+    val plain = spark.createDataFrame(rows).toDF("a", "b")
+      .select(levenshtein(col("a"), col("b"))).collect().map(_.getInt(0))
+    assert(plain.zip(gotSpark.map(_._3)).exists { case (cp, by) => cp != by },
+      "every probe row is unit-insensitive — strengthen the fixture")
+    // (DuckDB's native levenshtein is byte-based — probed directly this
+    // round: lev('é','e') = 2, lev('€','e') = 3 — so the twin needs no
+    // proxy; scripts/oracle_lint.py binds the twin and the ASCII fixture
+    // gate pins the shared-unit arithmetic end-to-end.)
   }
 
   test("brute-force kNN matches a driver-side exact reimplementation") {
