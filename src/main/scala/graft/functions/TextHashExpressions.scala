@@ -42,6 +42,20 @@ object TextHashes {
     h1 * ReplayableHash.P + h2
   }
 
+  /** Unicode NFC normalization (canonical composition) of a UTF8String —
+    * the kernel behind the `nfc_normalize` expression, named after (and
+    * oracled against) DuckDB's utf8proc-backed `nfc_normalize`. Both are
+    * implementations of the same Unicode NFC algorithm, so outputs agree
+    * on any text whose codepoints both Unicode tables cover; NFC is
+    * idempotent, and ASCII is a fixed point. Fast path: `isNormalized`
+    * avoids the copy for already-NFC text (virtually all real corpora). */
+  def nfc(s: UTF8String): UTF8String = {
+    val str = s.toString
+    if (java.text.Normalizer.isNormalized(str, java.text.Normalizer.Form.NFC)) s
+    else UTF8String.fromString(
+      java.text.Normalizer.normalize(str, java.text.Normalizer.Form.NFC))
+  }
+
   /** Winnowing-style min-shingle hash: minimum polynomial hash over all
     * `k`-codepoint windows; the whole-text hash for shorter inputs.
     * O(n·k) with zero allocation beyond the codepoint array — the windows
@@ -107,6 +121,24 @@ case class ShingleKey(child: Expression) extends TextHashExpression {
   override protected def withNewChildInternal(newChild: Expression): ShingleKey =
     copy(child = newChild)
   override def prettyName: String = "shingle_key"
+}
+
+/** `nfc_normalize(text)`: Unicode NFC canonical composition as a native
+  * codegen'd expression (see [[TextHashes.nfc]]) — the standard curation
+  * normalization step, named after its DuckDB oracle twin. */
+case class NfcNormalize(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName(text) requires a STRING argument, got ${child.dataType.sql}")
+  override def nullSafeEval(v: Any): Any =
+    TextHashes.nfc(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHashes.nfc($c)")
+  override protected def withNewChildInternal(newChild: Expression): NfcNormalize =
+    copy(child = newChild)
+  override def prettyName: String = "nfc_normalize"
 }
 
 /** `min_shingle_hash(text, k)`: winnowing-style minimum `k`-codepoint

@@ -165,6 +165,13 @@ object GraftFunctions {
         }
         MinShingleHash(es(0), k)
       }),
+    (FunctionIdentifier("nfc_normalize"),
+      new ExpressionInfo(classOf[NfcNormalize].getName, "nfc_normalize"),
+      (es: Seq[Expression]) => {
+        require(es.length == 1,
+          s"nfc_normalize(text) requires exactly 1 argument, got ${es.length}")
+        NfcNormalize(es(0))
+      }),
     (FunctionIdentifier("block_hashes"),
       new ExpressionInfo(classOf[BlockHashGenerator].getName, "block_hashes"),
       (es: Seq[Expression]) => {

@@ -276,6 +276,27 @@ object TextOps extends QueryModule {
     "q_text_normalize" -> ((s: SparkSession, dir: String) =>
       normalizedDupGroups(table(s, dir, "documents")).orderBy("doc_id")),
 
+    // Unicode NFC normalization audit (r10) — the canonical-composition
+    // pass a multilingual curation pipeline runs before any hash/dedup
+    // step (decomposed e+◌́ must digest equal to precomposed é, or every
+    // digest-keyed operator silently treats them as distinct docs).
+    // Native codegen'd nfc_normalize expression (TextHashes.nfc; DuckDB's
+    // utf8proc-backed nfc_normalize is the twin). One scan, no joins; the
+    // output ships (changed flag, codepoint length, 128-bit digest
+    // prefix) — never the normalized text (rule 5b). Idempotence and the
+    // composition fixture are pinned in TextSpec.
+    "q_text_unicode_norm" -> ((s: SparkSession, dir: String) => {
+      graft.functions.GraftFunctions.register(s)
+      table(s, dir, "documents")
+        .select(col("doc_id"), col("text"),
+          call_function("nfc_normalize", col("text")).as("nfc"))
+        .select(col("doc_id"),
+          (col("nfc") =!= col("text")).as("changed"),
+          length(col("nfc")).cast("long").as("len_nfc"),
+          substring(sha2(col("nfc"), 256), 1, 16).as("sha16"))
+        .orderBy("doc_id")
+    }),
+
     // Sensitive-term scrubbing (the PII-redaction shape: a term/pattern
     // list replaced by a placeholder before the text ships to training):
     // per doc the match count, redacted length, and redacted-text sha
@@ -451,6 +472,13 @@ object TextOps extends QueryModule {
         |c AS (SELECT nhash, count(*) AS n_same_norm FROM h GROUP BY nhash)
         |SELECT doc_id, norm_len, h.nhash, n_same_norm
         |FROM h JOIN c USING (nhash) ORDER BY doc_id""".stripMargin,
+
+    "q_text_unicode_norm" ->
+      """SELECT doc_id,
+        |       nfc_normalize(text) <> text AS changed,
+        |       CAST(length(nfc_normalize(text)) AS BIGINT) AS len_nfc,
+        |       substring(sha256(nfc_normalize(text)), 1, 16) AS sha16
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q_text_fingerprint" -> {
       val th = graft.functions.ReplayableHash.tokenHashSql("text")

@@ -347,4 +347,41 @@ class TextSpec extends SparkTestBase {
     assert(got.forall(_._4 > 0.0))
     assert(got.map(_._4).sliding(2).forall { case Seq(a, b) => a >= b; case _ => true })
   }
+
+  test("nfc_normalize: composition, idempotence, ASCII fixed point, digest discipline") {
+    import org.apache.spark.sql.functions._
+    graft.functions.GraftFunctions.register(spark)
+    val decomposed = "e\u0301cole" // e + U+0301 combining acute
+    val composed = "\u00e9cole"    // precomposed e-acute
+    val rows = Seq(decomposed, composed, "plain ascii text",
+      "ﬁle ligature", "Ώ astral 😀", "")
+    val out = spark.createDataFrame(rows.map(Tuple1(_))).toDF("text")
+      .select(col("text"),
+        call_function("nfc_normalize", col("text")).as("nfc"))
+      .collect().map(r => (r.getString(0), r.getString(1))).toMap
+    // canonical composition unifies the two é forms
+    assert(out(decomposed) == composed)
+    assert(out(composed) == composed)
+    // NFC (not NFKC): compatibility ligatures survive
+    assert(out("ﬁle ligature") == "ﬁle ligature")
+    // ASCII is a fixed point; engine output matches java.text.Normalizer
+    rows.foreach { t =>
+      val expected = java.text.Normalizer.normalize(
+        t, java.text.Normalizer.Form.NFC)
+      assert(out(t) == expected, s"nfc diverges from Normalizer on '$t'")
+    }
+    // idempotence: nfc(nfc(x)) == nfc(x)
+    out.values.foreach { n =>
+      assert(java.text.Normalizer.isNormalized(n, java.text.Normalizer.Form.NFC))
+    }
+    // the declared query unifies the digests of canonically-equal docs and
+    // never ships normalized text: schema carries only flag/len/digest
+    val g = q("q_text_unicode_norm")
+    assert(g.columns.toSeq == Seq("doc_id", "changed", "len_nfc", "sha16"))
+    val fixture = g.collect()
+    assert(fixture.nonEmpty)
+    // ASCII fixture: normalization must be a no-op everywhere
+    assert(fixture.forall(r => !r.getBoolean(1)),
+      "ASCII fixture rows must be NFC fixed points")
+  }
 }
