@@ -21,12 +21,12 @@ import org.apache.spark.sql.functions._
 object LlmOps extends QueryModule {
 
   private val MaxBucket = 50
-  private val MaxEmbBucket = 200
+  private[graft] val MaxEmbBucket = 200
 
   /** q_llm_ann_recall: probe-set size and recall depth. */
   private val AnnEvalProbes = 20
   private val AnnEvalK = 10
-  private val SemDedupTau = 0.4
+  private[graft] val SemDedupTau = 0.4
   private val NumHashes = 16
   private val NumBands  = 8 // 2 rows per band
 
