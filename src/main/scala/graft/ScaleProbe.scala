@@ -26,7 +26,11 @@ object ScaleProbe {
     // `runMain graft.ScaleProbe lshjoin` = naive-vs-rewritten similarity
     // join timing only (uses the existing ×10 fixture if present)
     val lshOnly = args.headOption.contains("lshjoin")
-    val outDir = args.headOption.filterNot(a => a == "degen" || a == "lshjoin")
+    // `runMain graft.ScaleProbe aqe` = run EVERY declared query at sf0.1
+    // with AQE explicitly ON and fail loudly on any error
+    val aqeOnly = args.headOption.contains("aqe")
+    val outDir = args.headOption
+      .filterNot(a => a == "degen" || a == "lshjoin" || a == "aqe")
       .getOrElse("/tmp/graft-sfbig")
     val copies = 10
     val spark = SparkSession.builder()
@@ -45,6 +49,11 @@ object ScaleProbe {
     }
     if (lshOnly) {
       lshJoinProbe(spark, srcDir)
+      spark.stop()
+      return
+    }
+    if (aqeOnly) {
+      aqeProbe(spark, srcDir)
       spark.stop()
       return
     }
@@ -224,6 +233,39 @@ object ScaleProbe {
     * hash-agg cluster sizes, WindowGroupLimit pre-truncation) are what
     * bound it, and this probe is where that claim is MEASURED.
     */
+  /** AQE-on smoke (r10): PlanAudit gates STATIC plans with AQE off —
+    * correct for the 100× shape argument — but the driver's session runs
+    * Spark's default (AQE on since 3.2), so an AQE-only planning quirk
+    * (runtime join-strategy switch, coalesced partitions, skew-join
+    * splits) could in principle break a query no static gate sees. This
+    * probe runs EVERY declared query at sf0.1 with
+    * `spark.sql.adaptive.enabled=true` pinned explicitly and throws on
+    * any failure, making "green under AQE" a measured fact instead of an
+    * assumption. */
+  private def aqeProbe(spark: SparkSession, srcDir: String): Unit = {
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    println(s"[aqe] session default spark.sql.adaptive.enabled=$prev")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    try {
+      val t0 = System.nanoTime()
+      var failed = List.empty[String]
+      SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+        try { fn(spark, srcDir).count(); () }
+        catch { case e: Throwable =>
+          failed ::= name
+          println(s"[aqe] $name FAILED: ${e.getMessage}")
+        }
+      }
+      val dt = (System.nanoTime() - t0) / 1e9
+      if (failed.nonEmpty)
+        throw new IllegalStateException(
+          s"${failed.size} queries failed with AQE on: " +
+            failed.sorted.mkString(", "))
+      println(f"[aqe] all ${SparkEntry.queries.size} declared queries green " +
+        f"with AQE on ($dt%.1f s at sf0.1)")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
   /** Naive-vs-rewritten similarity join (plans.LshJoinRewrite): time the
     * brute-force `cosine_sim >= tau` self-join against the rewritten
     * bucket equi-join on sf0.1 and (when the ×10 fixture exists) at ×10 —
