@@ -15,7 +15,8 @@ object SparkEntry {
   private val modules: Seq[QueryModule] = Seq(
     SourceSinkOps, RelationalOps, JoinOps, AggOps, WindowOps,
     ScalarFnOps, StreamAnalogOps, UdxOps, LlmOps, TextOps, CurationOps,
-    AnalyticsOps, MixOps, DiagOps, GraphOps, graft.multimodal.MultimodalOps)
+    AnalyticsOps, MixOps, DiagOps, GraphOps, SqlOps,
+    graft.multimodal.MultimodalOps)
 
   /** Flagship query (SURVEY §7.2): the full reference-pipeline analog
     * (dedup → frame → batchify → windowed delivery stats) on sf0.001. */

@@ -268,6 +268,71 @@ object AnalyticsOps extends QueryModule {
         .select(asLong(col("day")).as("day"), col("n_purchases"), col("n_matched"),
           (col("n_matched").cast("double") / col("n_purchases")).as("match_rate"))
         .orderBy("day")
+    }),
+
+    // RFM customer segmentation — the classic CRM cube: per customer
+    // recency (days since last order vs the corpus max date), frequency
+    // (#orders), monetary (lifetime cents, exact via the round(×100)
+    // money discipline), each cut into quintiles by DETERMINISTIC global
+    // rank (total order (metric, cust) — the tie-break lives inside the
+    // bucket key, so the q_llm_curriculum two-level numbering reproduces
+    // the exact global row_number with per-bucket sorts ≤64k rows even
+    // when one metric value dominates, e.g. the freq=1 heap). The offsets
+    // relation is ≤ #distinct-metric + #cust/65536 rows — recency and
+    // freq are value-domain-bounded, monetary ranks over whole DOLLARS
+    // (cents div 100) to keep the distinct domain in the same class.
+    // Output: ≤125 (r,f,m) segments with exact counts and one BIGINT→
+    // DOUBLE cast for the money total. Scores: 5 = best (most recent /
+    // most frequent / highest spend).
+    "q_analytics_rfm" -> ((s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.expressions.Window
+      val base = table(s, dir, "orders")
+        .select(col("o_custkey").as("cust"),
+          ntzMillis(col("o_orderdate")).as("ms"),
+          expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+        .withColumn("day", expr("ms div 86400000"))
+        .groupBy("cust")
+        .agg(asLong(max("day")).as("last_day"),
+          asLong(count(lit(1))).as("freq"),
+          asLong(sum("cents")).as("cents"))
+        .localCheckpoint(true) // feeds the totals row + three rank branches ×2
+      val tot = base.agg(asLong(max("last_day")).as("max_day"),
+        asLong(count(lit(1))).as("n_cust"))
+      val rfm = base.crossJoin(broadcast(tot))
+        .withColumn("rec", col("max_day") - col("last_day"))
+        .withColumn("mon", expr("cents div 100"))
+      // exact global rank of (metric, cust) → quintile 1..5 (ascending
+      // metric); bucket key (metric, cust div 65536) is a PREFIX of the
+      // total order, so local ranks + cumulative bucket offsets compose
+      // to the exact global row_number (curriculumOrder's shape)
+      def quint(metric: String, out: String): DataFrame = {
+        val withB = rfm.select(col("cust"), col("n_cust"),
+            col(metric).as("_m"))
+          .withColumn("_b", expr("cust div 65536"))
+        val local = withB.withColumn("_l", row_number().over(
+          Window.partitionBy("_m", "_b").orderBy("cust")))
+        val offsets = withB.groupBy("_m", "_b").agg(count(lit(1)).as("_c"))
+          .withColumn("_o", coalesce(
+            sum("_c").over(Window.orderBy("_m", "_b")
+              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+          .select(col("_m").as("_m2"), col("_b").as("_b2"), col("_o"))
+        local.join(broadcast(offsets),
+            local("_m") === col("_m2") && local("_b") === col("_b2"))
+          .select(col("cust"),
+            expr("(_l + _o - 1) * 5 div n_cust + 1").as(out))
+      }
+      rfm.select("cust", "cents")
+        .join(quint("rec", "rq"), "cust")
+        .join(quint("freq", "fq"), "cust")
+        .join(quint("mon", "mq"), "cust")
+        .select(col("cust"), col("cents"),
+          asLong(lit(6) - col("rq")).as("r_score"),
+          asLong(col("fq")).as("f_score"),
+          asLong(col("mq")).as("m_score"))
+        .groupBy("r_score", "f_score", "m_score")
+        .agg(asLong(count(lit(1))).as("n_customers"),
+          (asLong(sum("cents")).cast("double") / 100).as("monetary_total"))
+        .orderBy("r_score", "f_score", "m_score")
     })
   )
 
@@ -480,6 +545,38 @@ object AnalyticsOps extends QueryModule {
          |       CAST(count(*) AS BIGINT) AS n_purchases,
          |       CAST(sum(matched) AS BIGINT) AS n_matched,
          |       CAST(sum(matched) AS DOUBLE) / count(*) AS match_rate
-         |FROM p GROUP BY day ORDER BY day""".stripMargin
+         |FROM p GROUP BY day ORDER BY day""".stripMargin,
+
+    // base is read twice (the totals row + the per-customer relation) ->
+    // MATERIALIZED per the multiply-referenced CTE rule
+    "q_analytics_rfm" ->
+      """WITH o AS (
+        |  SELECT o_custkey AS cust,
+        |         epoch_ms(o_orderdate) // 86400000 AS day,
+        |         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders),
+        |base AS MATERIALIZED (
+        |  SELECT cust, CAST(max(day) AS BIGINT) AS last_day,
+        |         CAST(count(*) AS BIGINT) AS freq,
+        |         CAST(sum(cents) AS BIGINT) AS cents
+        |  FROM o GROUP BY cust),
+        |t AS (SELECT CAST(max(last_day) AS BIGINT) AS max_day,
+        |             CAST(count(*) AS BIGINT) AS n_cust FROM base),
+        |r AS (
+        |  SELECT cust, cents, n_cust,
+        |         max_day - last_day AS rec, freq, cents // 100 AS mon
+        |  FROM base CROSS JOIN t),
+        |q AS (
+        |  SELECT cust, cents, n_cust,
+        |         CAST(row_number() OVER (ORDER BY rec, cust) AS BIGINT) AS rr,
+        |         CAST(row_number() OVER (ORDER BY freq, cust) AS BIGINT) AS fr,
+        |         CAST(row_number() OVER (ORDER BY mon, cust) AS BIGINT) AS mr
+        |  FROM r)
+        |SELECT CAST(6 - ((rr - 1) * 5 // n_cust + 1) AS BIGINT) AS r_score,
+        |       CAST((fr - 1) * 5 // n_cust + 1 AS BIGINT) AS f_score,
+        |       CAST((mr - 1) * 5 // n_cust + 1 AS BIGINT) AS m_score,
+        |       CAST(count(*) AS BIGINT) AS n_customers,
+        |       CAST(CAST(sum(cents) AS BIGINT) AS DOUBLE) / 100 AS monetary_total
+        |FROM q GROUP BY 1, 2, 3 ORDER BY r_score, f_score, m_score""".stripMargin
   )
 }

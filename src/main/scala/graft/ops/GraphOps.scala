@@ -108,6 +108,20 @@ object GraphOps extends QueryModule {
     * MaxEmbBucket, with the cap and tie-break replayed in the oracle. */
   private[graft] val KnnK = 20
 
+  /** Integer scale of the resource-allocation link-prediction score:
+    * each shared middle w contributes `RaScale div d(w)` (exact BIGINT on
+    * both engines — the replayable analog of the 1/deg(w) RA index; mutual
+    * degrees are ≤ [[KnnK]], so each contribution is ≥ RaScale/K and the
+    * bounded-wedge sum never overflows). */
+  private[graft] val RaScale = 1L << 20
+
+  /** hi/lo split base for the Σd_c² modularity moment — the q_agg_skew
+    * replay rule: each DECIMAL partial sum stays < 2^53, so the DOUBLE
+    * recombination is exact. d_c² itself must stay < 2^63 ⇒ valid to
+    * ~3·10⁹ arcs per community; beyond that pre-divide (the collocations
+    * scale rule). */
+  private[graft] val ModSplit = 1L << 30
+
   /** Session-lifetime memo of the (edges, deg) relations per fixture
     * content digest — the graph an operator maintains once, read by both
     * graph queries and every bench/probe rep (the LlmOps.candidateIndexFor
@@ -578,6 +592,15 @@ object GraphOps extends QueryModule {
       " / (CAST(s2 AS DOUBLE) / (2 * m) - (CAST(s1 AS DOUBLE) / (2 * m)) * (CAST(s1 AS DOUBLE) / (2 * m)))" +
       " AS assortativity"
 
+  /** Shared modularity projection over (within_arcs, m_arcs, s2hi, s2lo) —
+    * Newman's Q = Σ_c (a_c/M − (d_c/M)²) in the algebraic form
+    * ΣA/M − Σd_c²/M/M: the two numerator sums are exact BIGINTs (Σd_c²
+    * hi/lo-split), so the whole per-community double-sum-order problem
+    * disappears and the division chain is IEEE-exact in a fixed order. */
+  private val modularityFormula =
+    s"CAST(within_arcs AS DOUBLE) / m_arcs" +
+      s" - (s2hi * $ModSplit.0 + s2lo) / m_arcs / m_arcs AS modularity"
+
   def queries: Seq[(String, Q)] = Seq(
     // PageRank over the purchase graph: who are the most central
     // customers/suppliers by recursive link weight. Top-50 via
@@ -722,6 +745,76 @@ object GraphOps extends QueryModule {
           (col("n_common").cast("double") /
             (col("deg_a") + col("deg_b") - col("n_common"))).as("jaccard"))
         .orderBy(desc("jaccard"), asc("a"), asc("b")).limit(100)
+    }),
+
+    // Link prediction ("products likely to be co-bought next"): the
+    // resource-allocation index Σ_w 1/deg(w) over shared mutual-KNN
+    // neighbors w, integer-scaled as Σ RaScale div d(w) so the score is an
+    // exact BIGINT in both engines (no FP sum-order surface). Candidates
+    // are the two-hop wedges (n·K²-bounded, never all-pairs — the
+    // triangles discipline); pairs already connected are removed by a
+    // left-anti join against the edge list. Per-middle contributions are
+    // attached BEFORE pair generation (one node-keyed join over the
+    // O(n·K) adjacency, not the O(n·K²) candidate set).
+    "q_graph_linkpred" -> ((s: SparkSession, dir: String) => {
+      val e = mutualKnnEdges(s, dir)
+      // materialized once: the wedge self-join reads the contribution
+      // relation twice (the simnodes adjacency rationale)
+      val adj = e.select(col("u").as("m"), col("v").as("x"))
+        .union(e.select(col("v").as("m"), col("u").as("x")))
+        .localCheckpoint(true)
+      val deg = adj.groupBy("m").agg(asLong(count(lit(1))).as("d"))
+      val adc = adj.join(deg, "m")
+        .select(col("m"), col("x"), expr(s"$RaScale div d").as("c"))
+        .localCheckpoint(true)
+      val cand = adc.as("p").join(adc.as("q"),
+          col("p.m") === col("q.m") && col("p.x") < col("q.x"))
+        .groupBy(col("p.x").as("a"), col("q.x").as("b"))
+        .agg(asLong(count(lit(1))).as("n_common"),
+          asLong(sum(col("p.c"))).as("ra_score"))
+      cand.join(e, col("a") === col("u") && col("b") === col("v"), "left_anti")
+        .orderBy(desc("ra_score"), asc("a"), asc("b")).limit(100)
+    }),
+
+    // Modularity Q of the BRAND partition over the strong co-purchase
+    // graph: do same-brand parts get co-bought more than a degree-
+    // preserving random rewiring predicts — the categorical community-
+    // quality score a pipeline evaluates candidate partitions with. (The
+    // partition is an EXTERNAL attribute on purpose: connected components
+    // score exactly Q=0 whenever the strong graph is one blob — every arc
+    // is within-component and Σd_c² = M² — so component labels make a
+    // degenerate partition for this metric.) Q = ΣA/M − Σd_c²/M/M over
+    // the directed-both-ways arc list (algebraically identical to
+    // Newman's undirected Q): brands attach via two node-keyed joins
+    // against `part`, then ONE brand-keyed agg yields both d_c (arcs by
+    // src brand) and a_c (arcs with equal endpoint brands) — no
+    // per-community left join, nothing broadcast, no second arc scan.
+    // Σd_c² is hi/lo-split (the q_agg_skew replay rule; d_c² < 2^63 holds
+    // to ~3·10⁹ arcs per brand — beyond that pre-divide). Single-row
+    // report.
+    "q_graph_modularity" -> ((s: SparkSession, dir: String) => {
+      val arcs = copurchaseAdj(s, dir)
+        .where(col("n") >= StrongSupport).select("src", "dst")
+      val brand = table(s, dir, "part")
+        .select(col("p_partkey"), col("p_brand"))
+      val j = arcs
+        .join(brand.select(col("p_partkey").as("sn"),
+          col("p_brand").as("bs")), col("src") === col("sn"))
+        .join(brand.select(col("p_partkey").as("dn"),
+          col("p_brand").as("bd")), col("dst") === col("dn"))
+      j.groupBy("bs")
+        .agg(asLong(count(lit(1))).as("d_tot"),
+          asLong(sum(when(col("bs") === col("bd"), 1L).otherwise(0L)))
+            .as("a_in"))
+        .withColumn("d2", col("d_tot") * col("d_tot"))
+        .agg(asLong(sum("d_tot")).as("m_arcs"),
+          asLong(count(lit(1))).as("n_comms"),
+          asLong(sum("a_in")).as("within_arcs"),
+          sum(expr(s"d2 div $ModSplit").cast("decimal(38,0)"))
+            .cast("double").as("s2hi"),
+          sum(expr(s"d2 % $ModSplit").cast("decimal(38,0)"))
+            .cast("double").as("s2lo"))
+        .selectExpr("m_arcs", "n_comms", "within_arcs", modularityFormula)
     })
   )
 
@@ -982,6 +1075,53 @@ object GraphOps extends QueryModule {
          |SELECT CASE WHEN src % 2 = 0 THEN 'customer' ELSE 'supplier' END AS node_type,
          |       d AS degree,
          |       CAST(count(*) AS BIGINT) AS n_nodes
-         |FROM deg GROUP BY 1, 2 ORDER BY node_type, degree""".stripMargin
+         |FROM deg GROUP BY 1, 2 ORDER BY node_type, degree""".stripMargin,
+
+    // na and adc are each read twice (degree agg + both wedge sides /
+    // both self-join sides) -> MATERIALIZED per the multiply-referenced
+    // CTE rule; e is already materialized inside mutualKnnCte
+    "q_graph_linkpred" ->
+      s"""WITH $copurchaseCte,
+         |$mutualKnnCte,
+         |na AS MATERIALIZED (
+         |  SELECT u AS m, v AS x FROM e
+         |  UNION ALL
+         |  SELECT v AS m, u AS x FROM e),
+         |dg AS (SELECT m, CAST(count(*) AS BIGINT) AS d FROM na GROUP BY m),
+         |adc AS MATERIALIZED (
+         |  SELECT na.m, na.x, $RaScale // dg.d AS c
+         |  FROM na JOIN dg USING (m)),
+         |cand AS (
+         |  SELECT p.x AS a, q.x AS b,
+         |         CAST(count(*) AS BIGINT) AS n_common,
+         |         CAST(sum(p.c) AS BIGINT) AS ra_score
+         |  FROM adc p JOIN adc q ON p.m = q.m AND p.x < q.x
+         |  GROUP BY 1, 2)
+         |SELECT a, b, n_common, ra_score
+         |FROM cand
+         |WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.u = cand.a AND e.v = cand.b)
+         |ORDER BY ra_score DESC, a, b LIMIT 100""".stripMargin,
+
+    "q_graph_modularity" ->
+      s"""WITH $copurchaseCte,
+         |arcs AS (SELECT src, dst FROM adj WHERE n >= $StrongSupport),
+         |j AS (
+         |  SELECT ps.p_brand AS bs, pd.p_brand AS bd
+         |  FROM arcs JOIN part ps ON arcs.src = ps.p_partkey
+         |            JOIN part pd ON arcs.dst = pd.p_partkey),
+         |pb AS (
+         |  SELECT bs, CAST(count(*) AS BIGINT) AS d_tot,
+         |         CAST(sum(CASE WHEN bs = bd THEN 1 ELSE 0 END) AS BIGINT) AS a_in
+         |  FROM j GROUP BY bs),
+         |st AS (SELECT d_tot, a_in, d_tot * d_tot AS d2 FROM pb),
+         |ag AS (
+         |  SELECT CAST(sum(d_tot) AS BIGINT) AS m_arcs,
+         |         CAST(count(*) AS BIGINT) AS n_comms,
+         |         CAST(sum(a_in) AS BIGINT) AS within_arcs,
+         |         CAST(sum(CAST(d2 // $ModSplit AS DECIMAL(38,0))) AS DOUBLE) AS s2hi,
+         |         CAST(sum(CAST(d2 % $ModSplit AS DECIMAL(38,0))) AS DOUBLE) AS s2lo
+         |  FROM st)
+         |SELECT m_arcs, n_comms, within_arcs, $modularityFormula
+         |FROM ag""".stripMargin
   )
 }

@@ -297,6 +297,47 @@ object TextOps extends QueryModule {
         .orderBy("doc_id")
     }),
 
+    // Source↔token mutual information (r10) — how distinguishable the
+    // corpus sources are by unigram distribution: the information-gain
+    // number a mix designer reads before reweighting (MI ≈ 0 ⇒ sources
+    // are interchangeable token-wise; MI near H(source) ⇒ token choice
+    // identifies the source). All three entropies in the round-9
+    // INTEGER-log2 quanta (exact BIGINT both engines; c·ilog2(c) < 2^63
+    // to ~1.4e17 tokens), so MI_q = H_q(S) + H_q(T) − H_q(S,T) replays
+    // bit-exact. NOTE the floor-log quantization can push mi_q slightly
+    // negative — it is a deterministic proxy, not an estimator. Tokens
+    // travel as the 60-bit shingle_key digest (rule 5b); the (source,
+    // key) count relation is localCheckpointed once for its three
+    // marginal consumers; mi_rate is ONE IEEE division.
+    "q_text_source_mi" -> ((s: SparkSession, dir: String) => {
+      graft.functions.GraftFunctions.register(s)
+      def ilog2(c: org.apache.spark.sql.Column) = length(bin(c)) - 1
+      val tf = table(s, dir, "documents")
+        .select(col("source"), explode(split(col("text"), " ")).as("token"))
+        .where(length(col("token")) > 0)
+        .select(col("source"),
+          call_function("shingle_key", col("token")).as("key"))
+        .groupBy("source", "key").agg(count(lit(1)).as("c"))
+        .localCheckpoint(true) // feeds joint + both marginal sums
+      val j = tf.agg(asLong(sum("c")).as("n"),
+        asLong(sum(col("c") * ilog2(col("c")))).as("sj"))
+      val tm = tf.groupBy("key").agg(asLong(sum("c")).as("ck"))
+        .agg(asLong(count(lit(1))).as("n_vocab"),
+          asLong(sum(col("ck") * ilog2(col("ck")))).as("st"))
+      val sm = tf.groupBy("source").agg(asLong(sum("c")).as("cs"))
+        .agg(asLong(count(lit(1))).as("n_sources"),
+          asLong(sum(col("cs") * ilog2(col("cs")))).as("ss"))
+      j.crossJoin(broadcast(tm)).crossJoin(broadcast(sm))
+        .withColumn("nl", col("n") * ilog2(col("n")))
+        .select(col("n").as("n_tokens"), col("n_sources"), col("n_vocab"),
+          (col("nl") - col("ss")).as("h_source_q"),
+          (col("nl") - col("st")).as("h_token_q"),
+          (col("nl") - col("sj")).as("h_joint_q"))
+        .withColumn("mi_q",
+          col("h_source_q") + col("h_token_q") - col("h_joint_q"))
+        .withColumn("mi_rate", col("mi_q").cast("double") / col("n_tokens"))
+    }),
+
     // Sensitive-term scrubbing (the PII-redaction shape: a term/pattern
     // list replaced by a placeholder before the text ships to training):
     // per doc the match count, redacted length, and redacted-text sha
@@ -527,6 +568,31 @@ object TextOps extends QueryModule {
          |       CAST(n_tokens * (length(bin(n_tokens)) - 1) - s_tlog AS DOUBLE)
          |         / n_tokens AS ent_rate
          |FROM a ORDER BY doc_id""".stripMargin,
+
+    // tf is read three times (joint + both marginals) -> MATERIALIZED
+    "q_text_source_mi" ->
+      s"""WITH tf AS MATERIALIZED (
+         |  SELECT source, ${graft.functions.ReplayableHash.shingleKeySql("token")} AS key,
+         |         count(*) AS c FROM (
+         |    SELECT source, unnest(string_split(text, ' ')) AS token FROM documents)
+         |  WHERE length(token) > 0 GROUP BY 1, 2),
+         |j AS (SELECT CAST(sum(c) AS BIGINT) AS n,
+         |             CAST(sum(c * (length(bin(c)) - 1)) AS BIGINT) AS sj FROM tf),
+         |tm AS (SELECT CAST(count(*) AS BIGINT) AS n_vocab,
+         |              CAST(sum(ck * (length(bin(ck)) - 1)) AS BIGINT) AS st
+         |       FROM (SELECT CAST(sum(c) AS BIGINT) AS ck FROM tf GROUP BY key)),
+         |sm AS (SELECT CAST(count(*) AS BIGINT) AS n_sources,
+         |              CAST(sum(cs * (length(bin(cs)) - 1)) AS BIGINT) AS ss
+         |       FROM (SELECT CAST(sum(c) AS BIGINT) AS cs FROM tf GROUP BY source))
+         |SELECT n AS n_tokens, n_sources, n_vocab,
+         |       n * (length(bin(n)) - 1) - ss AS h_source_q,
+         |       n * (length(bin(n)) - 1) - st AS h_token_q,
+         |       n * (length(bin(n)) - 1) - sj AS h_joint_q,
+         |       (n * (length(bin(n)) - 1) - ss) + (n * (length(bin(n)) - 1) - st)
+         |         - (n * (length(bin(n)) - 1) - sj) AS mi_q,
+         |       CAST((n * (length(bin(n)) - 1) - ss) + (n * (length(bin(n)) - 1) - st)
+         |            - (n * (length(bin(n)) - 1) - sj) AS DOUBLE) / n AS mi_rate
+         |FROM j CROSS JOIN tm CROSS JOIN sm""".stripMargin,
 
     "q_text_langid" ->
       """WITH tok AS (

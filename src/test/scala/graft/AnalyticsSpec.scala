@@ -199,4 +199,39 @@ class AnalyticsSpec extends SparkTestBase {
       assert(lift > 0.0)
     }
   }
+
+  test("rfm segments equal a driver-side quintile replay, including order") {
+    val os = ops.table(spark, sfDir, "orders")
+      .select(col("o_custkey"),
+        unix_millis(col("o_orderdate").cast("timestamp")).as("ms"),
+        col("o_totalprice"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val base = os.groupBy(_._1).map { case (c, rs) =>
+      (c, rs.map(_._2 / 86400000L).max, rs.length.toLong,
+        rs.map(x => math.round(x._3 * 100)).sum)
+    }.toSeq
+    val maxDay = base.map(_._2).max
+    val n = base.length.toLong
+    // exact global rank of (metric, cust) → quintile, same integer math
+    def quint(metric: Map[Long, Long]): Map[Long, Long] = base.map(_._1)
+      .sortBy(c => (metric(c), c)).zipWithIndex
+      .map { case (c, i) => c -> (i.toLong * 5 / n + 1) }.toMap
+    val rq = quint(base.map(b => b._1 -> (maxDay - b._2)).toMap)
+    val fq = quint(base.map(b => b._1 -> b._3).toMap)
+    val mq = quint(base.map(b => b._1 -> b._4 / 100).toMap)
+    val cents = base.map(b => b._1 -> b._4).toMap
+    val expected = base.map(_._1).groupBy(c => (6 - rq(c), fq(c), mq(c)))
+      .map { case ((r, f, m), cs) =>
+        (r, f, m, cs.size.toLong, cs.map(cents).sum.toDouble / 100)
+      }.toSeq.sortBy(t => (t._1, t._2, t._3))
+    val got = q("q_analytics_rfm").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).toSeq
+    assert(got == expected, "segment table differs from the naive replay")
+    // quintile machinery sanity: scores span the full 1..5 range on each
+    // axis and every segment is within bounds
+    assert(got.forall { case (r, f, m, _, _) =>
+      r >= 1 && r <= 5 && f >= 1 && f <= 5 && m >= 1 && m <= 5 })
+    assert(got.map(_._1).distinct.size == 5 || n < 25)
+  }
 }

@@ -56,4 +56,36 @@ class FacadeSpec extends SparkTestBase {
     val sims = rows.map(_.getAs[Double]("cos_sim")).toSeq
     assert(sims == sims.sorted.reverse)
   }
+
+  test("SQL entry point: views register, SQL text equals the DSL result") {
+    // the declared SQL keys return rows and agree with a hand-built DSL
+    // equivalent on the same session — the SQL surface adds no semantics
+    val sql = SparkEntry.queries("q_sql_shipping_priority")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getString(2)))
+    assert(sql.nonEmpty && sql.length <= 10)
+    val dsl = ops.table(spark, sfDir, "customer")
+      .where(col("c_mktsegment") === "BUILDING")
+      .join(ops.table(spark, sfDir, "orders"),
+        col("c_custkey") === col("o_custkey"))
+      .where(col("o_orderdate").cast("date") <
+        org.apache.spark.sql.functions.lit(java.sql.Date.valueOf("1998-06-01")))
+      .join(ops.table(spark, sfDir, "lineitem"),
+        col("l_orderkey") === col("o_orderkey"))
+      .where(col("l_shipdate").cast("date") >
+        org.apache.spark.sql.functions.lit(java.sql.Date.valueOf("1998-06-01")))
+      .groupBy("l_orderkey", "o_orderpriority")
+      .agg(graft.ops.dsum(col("l_extendedprice")
+        * (org.apache.spark.sql.functions.lit(1) - col("l_discount")))
+        .as("revenue"))
+      .select(col("l_orderkey"), col("revenue"), col("o_orderpriority"))
+      .orderBy(org.apache.spark.sql.functions.desc("revenue"),
+        col("l_orderkey")).limit(10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getString(2)))
+    assert(sql.toSeq == dsl.toSeq, "SQL text and DSL plan disagree")
+    // registration is idempotent and repoints cleanly
+    GraftSql.register(spark, sfDir)
+    GraftSql.register(spark, sfDir)
+    assert(GraftSql.run(spark, sfDir,
+      "SELECT count(*) AS n FROM region").head.getLong(0) == 5L)
+  }
 }

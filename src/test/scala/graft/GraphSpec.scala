@@ -228,6 +228,74 @@ class GraphSpec extends SparkTestBase {
     assert(got == expected, "top-100 similarity pairs or order differ")
   }
 
+  test("linkpred equals a brute-force resource-allocation replay, including order") {
+    val nbr = scala.collection.mutable.Map[Long, Set[Long]]()
+      .withDefaultValue(Set.empty)
+    mutualEdges.foreach { case (u, v) =>
+      nbr(u) = nbr(u) + v; nbr(v) = nbr(v) + u
+    }
+    val pairs = nbr.toSeq.flatMap { case (_, vs) =>
+      val s = vs.toSeq.sorted
+      for (i <- s.indices; j <- (i + 1) until s.length) yield (s(i), s(j))
+    }.distinct
+    val expected = pairs
+      .filterNot(mutualEdges.contains)
+      .map { case (a, b) =>
+        val common = (nbr(a) & nbr(b)).toSeq.sorted
+        val score = common.map(w => GraphOps.RaScale / nbr(w).size).sum
+        (a, b, common.size.toLong, score)
+      }
+      .sortBy { case (a, b, _, s) => (-s, a, b) }.take(100)
+    val got = q("q_graph_linkpred").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(got == expected, "top-100 RA predictions or order differ")
+    assert(got.nonEmpty && got.forall { case (a, b, _, _) =>
+      !mutualEdges((a, b)) }, "a predicted pair is already an edge")
+  }
+
+  test("modularity equals a driver-side replay on the brand partition") {
+    // strong arcs (support >= StrongSupport), both directions — the same
+    // relation the engine derives, none of its execution
+    val op = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select("l_orderkey", "l_partkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).distinct.toSeq
+    val support = op.groupBy(_._1).toSeq.flatMap { case (_, ps) =>
+      val parts = ps.map(_._2).sorted.take(GraphOps.MaxBasket)
+      for (i <- parts.indices; j <- (i + 1) until parts.length)
+        yield (parts(i), parts(j))
+    }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val arcs = support.toSeq.filter(_._2 >= GraphOps.StrongSupport)
+      .flatMap { case ((a, b), _) => Seq((a, b), (b, a)) }
+    val brand = spark.read.parquet(s"$sfDir/part.parquet")
+      .select("p_partkey", "p_brand").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val perBrand = arcs.groupBy { case (a, _) => brand(a) }.view
+      .mapValues { as =>
+        (as.size.toLong,
+          as.count { case (a, b) => brand(a) == brand(b) }.toLong)
+      }.toMap
+    val m = perBrand.values.map(_._1).sum
+    val within = perBrand.values.map(_._2).sum
+    val s2hi = perBrand.values
+      .map { case (d, _) => (d * d) / GraphOps.ModSplit }.sum.toDouble
+    val s2lo = perBrand.values
+      .map { case (d, _) => (d * d) % GraphOps.ModSplit }.sum.toDouble
+    val expectedQ = within.toDouble / m -
+      (s2hi * GraphOps.ModSplit.toDouble + s2lo) / m / m
+    val row = q("q_graph_modularity").collect().head
+    assert(row.getLong(0) == m, "m_arcs differs")
+    assert(row.getLong(1) == perBrand.size.toLong, "n_comms differs")
+    assert(row.getLong(2) == within, "within_arcs differs")
+    assert(row.getDouble(3) == expectedQ, "modularity differs")
+    // the partition is non-degenerate on the fixture: many brands, and
+    // arcs do cross brand boundaries (a Q pinned structurally to 0 —
+    // e.g. connected components on a connected graph — is exactly what
+    // this operator redesign avoided)
+    assert(perBrand.size > 1 && within < m,
+      "brand partition should be non-degenerate on the fixture")
+  }
+
   test("kcore equals a brute-force peel to the fixpoint") {
     // driver-side peel on the mutual-KNN graph: converged by construction,
     // so equality also pins that the engine's early-exit loop (and the

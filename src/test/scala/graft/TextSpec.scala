@@ -384,4 +384,34 @@ class TextSpec extends SparkTestBase {
     assert(fixture.forall(r => !r.getBoolean(1)),
       "ASCII fixture rows must be NFC fixed points")
   }
+
+  test("source-MI equals a driver-side integer-log2 replay") {
+    def ilog2(n: Long): Long = 63L - java.lang.Long.numberOfLeadingZeros(n)
+    val toks = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("source", "text").collect()
+      .flatMap(r => r.getString(1).split(" ").filter(_.nonEmpty)
+        .map(t => (r.getString(0), t)))
+    val joint = toks.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val byTok = toks.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val bySrc = toks.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val n = toks.length.toLong
+    val nl = n * ilog2(n)
+    val hs = nl - bySrc.values.map(c => c * ilog2(c)).sum
+    val ht = nl - byTok.values.map(c => c * ilog2(c)).sum
+    val hj = nl - joint.values.map(c => c * ilog2(c)).sum
+    val r = q("q_text_source_mi").collect().head
+    assert(r.getLong(0) == n, "n_tokens differs")
+    assert(r.getLong(1) == bySrc.size.toLong, "n_sources differs")
+    assert(r.getLong(2) == byTok.size.toLong, "n_vocab differs")
+    assert((r.getLong(3), r.getLong(4), r.getLong(5)) == ((hs, ht, hj)),
+      "entropy quanta differ from the replay")
+    assert(r.getLong(6) == hs + ht - hj, "mi_q is not the entropy identity")
+    assert(r.getDouble(7) == (hs + ht - hj).toDouble / n)
+    // H(S,T) ≥ max(H(S), H(T)) holds EXACTLY in quanta (splitting a count
+    // can only lower Σ c·ilog2(c), since ilog2 is monotone), so
+    // mi_q ≤ min(H_q(S), H_q(T)) with no slack; only the ≥0 side of true
+    // MI is lost to floor-log quantization
+    assert(r.getLong(6) <= math.min(hs, ht),
+      "mi exceeds the marginal-entropy bound")
+  }
 }
