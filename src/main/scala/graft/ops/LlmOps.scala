@@ -338,6 +338,20 @@ object LlmOps extends QueryModule {
     * lattice, and everything built from it, replays in SQL. */
   private[graft] val QScale = 1L << 20
 
+  /** q_llm_emb_dim_stats shared projections over (n, qsum, q2hi, q2lo,
+    * qmin, qmax) — per-dim mean/variance/range back in float units, each a
+    * fixed IEEE chain over exact BIGINT-derived doubles (Σq² recombined
+    * from its 2^30 hi/lo split). ONE formula set for both engines. */
+  private val dimStatFormulas: Seq[String] = {
+    val mean = "(CAST(qsum AS DOUBLE) / n / 65536.0)"
+    Seq(
+      s"$mean AS mean_v",
+      "(q2hi * 1073741824.0 + q2lo) / n / 65536.0 / 65536.0" +
+        s" - $mean * $mean AS var_v",
+      "CAST(qmin AS DOUBLE) / 65536.0 AS min_v",
+      "CAST(qmax AS DOUBLE) / 65536.0 AS max_v")
+  }
+
   /** embeddings + the quantized index lattice: (vec_id, label, emb, qv). */
   private[graft] def embWithLattice(s: SparkSession, dir: String): DataFrame =
     table(s, dir, "embeddings")
@@ -583,7 +597,7 @@ object LlmOps extends QueryModule {
 
     // Per-label exact mean embedding (class centroids — the
     // nearest-class-mean building block of an embedding pipeline). Floats
-    // scale EXACTLY by 2^16 (power of two only shifts the exponent), so
+    // scale EXACTLY by 2^16 (a power of two only shifts the exponent), so
     // round() has no ties and the per-dimension accumulation is exact
     // BIGINT; the mean is one IEEE division of exact values — fully
     // SQL-replayable, unlike a naive float sum (order-dependent) or a
@@ -599,6 +613,34 @@ object LlmOps extends QueryModule {
           col("dim").cast("long").as("dim"), col("n"),
           (col("qsum").cast("double") / (col("n") * lit(65536.0))).as("centroid"))
         .orderBy("label", "dim")),
+
+    // Embedding dimension health report (r10) — the per-dimension
+    // mean/variance/range table an embedding pipeline reads to catch
+    // collapsed ("dead") and exploding dimensions before any similarity
+    // operator trusts the space. Same exact-quantization discipline as
+    // q_llm_emb_centroid (float × 2^16 is exact — a power of two only
+    // shifts the exponent — so the per-dim sums are exact BIGINTs);
+    // Σq² is hi/lo-split on 2^30 (the q_agg_skew rule; q² < 2^63 holds to
+    // |x| < 2^15, far beyond any normalized embedding), variance and the
+    // surfaced float bounds evaluate through ONE shared formula set in a
+    // fixed IEEE order. One explode + one map-side-combinable hash agg to
+    // a #dims-row report at any corpus size.
+    "q_llm_emb_dim_stats" -> ((s: SparkSession, dir: String) =>
+      table(s, dir, "embeddings")
+        .select(posexplode(col("embedding")).as(Seq("dim", "x")))
+        .withColumn("q", expr("CAST(round(CAST(x AS DOUBLE) * 65536) AS BIGINT)"))
+        .withColumn("q2", col("q") * col("q"))
+        .groupBy("dim")
+        .agg(count(lit(1)).as("n"),
+          asLong(sum("q")).as("qsum"),
+          sum(expr("q2 div 1073741824").cast("decimal(38,0)"))
+            .cast("double").as("q2hi"),
+          sum(expr("q2 % 1073741824").cast("decimal(38,0)"))
+            .cast("double").as("q2lo"),
+          asLong(min("q")).as("qmin"), asLong(max("q")).as("qmax"))
+        .selectExpr(Seq("CAST(dim AS BIGINT) AS dim", "n") ++
+          dimStatFormulas: _*)
+        .orderBy("dim")),
 
     // Nearest-class-mean classification — the capstone of the embedding
     // family: build the exact per-label centroid arrays (same quantized
@@ -1084,6 +1126,22 @@ object LlmOps extends QueryModule {
         |       CAST(sum(CAST(round(CAST(x AS DOUBLE) * 65536) AS BIGINT)) AS DOUBLE)
         |         / (count(*) * 65536.0) AS centroid
         |FROM x GROUP BY label, i ORDER BY label, dim""".stripMargin,
+
+    "q_llm_emb_dim_stats" ->
+      s"""WITH x AS (
+         |  SELECT i, embedding[i] AS x
+         |  FROM (SELECT embedding, unnest(generate_series(1, len(embedding))) AS i
+         |        FROM embeddings)),
+         |a AS (
+         |  SELECT CAST(i - 1 AS BIGINT) AS dim, count(*) AS n,
+         |         CAST(sum(q) AS BIGINT) AS qsum,
+         |         CAST(sum(CAST(q * q // 1073741824 AS DECIMAL(38,0))) AS DOUBLE) AS q2hi,
+         |         CAST(sum(CAST(q * q % 1073741824 AS DECIMAL(38,0))) AS DOUBLE) AS q2lo,
+         |         CAST(min(q) AS BIGINT) AS qmin, CAST(max(q) AS BIGINT) AS qmax
+         |  FROM (SELECT i, CAST(round(CAST(x AS DOUBLE) * 65536) AS BIGINT) AS q FROM x)
+         |  GROUP BY i)
+         |SELECT dim, n, ${dimStatFormulas.mkString(",\n       ")}
+         |FROM a ORDER BY dim""".stripMargin,
 
     "q_llm_sim_knn" ->
       s"""WITH $embCte,

@@ -603,4 +603,36 @@ class LlmSpec extends SparkTestBase {
     assert(rows.head._4 == (ex0 & ls0).size.toLong,
       "probe 0 hit count disagrees with the declared knn queries")
   }
+
+  test("embedding dim stats equal a driver-side quantized replay") {
+    val vecs = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select("embedding").collect()
+      .map(_.getSeq[Float](0).toArray)
+    val dims = vecs.head.length
+    val got = SparkEntry.queries("q_llm_emb_dim_stats")(spark, sfDir)
+      .collect()
+    assert(got.length == dims, "one row per dimension")
+    got.foreach { r =>
+      val d = r.getLong(0).toInt
+      // Spark round() is HALF_UP on the exact double product (math.round
+      // would diverge on negative .5 ties — it rounds toward +inf)
+      val qs = vecs.map(v => BigDecimal(v(d).toDouble * 65536)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong)
+      val n = qs.length.toLong
+      val qsum = qs.sum
+      val q2hi = qs.map(q => (q * q) / 1073741824L).sum.toDouble
+      val q2lo = qs.map(q => (q * q) % 1073741824L).sum.toDouble
+      val mean = qsum.toDouble / n / 65536.0
+      val variance =
+        (q2hi * 1073741824.0 + q2lo) / n / 65536.0 / 65536.0 - mean * mean
+      assert(r.getLong(1) == n, s"dim $d: n differs")
+      assert(r.getDouble(2) == mean, s"dim $d: mean differs")
+      assert(r.getDouble(3) == variance, s"dim $d: variance differs")
+      assert(r.getDouble(4) == qs.min.toDouble / 65536.0, s"dim $d: min")
+      assert(r.getDouble(5) == qs.max.toDouble / 65536.0, s"dim $d: max")
+      // a health report must be able to SEE spread: var ≥ 0 and the
+      // bounds bracket the mean
+      assert(variance >= 0.0 && r.getDouble(4) <= mean && mean <= r.getDouble(5))
+    }
+  }
 }
