@@ -48,6 +48,30 @@ object DiagOps extends QueryModule {
     * the round-6 hash gate). */
   private[graft] val MomentSplit = 1073741824L // 2^30
 
+  /** q_profile_corr variable list: (short name, source column) over
+    * lineitem's four measures, cents-quantized to exact BIGINTs. Sorted
+    * by short name so the generated pair rows carry a total order. */
+  private val corrVars: Seq[(String, String)] = Seq(
+    "di" -> "l_discount", "ep" -> "l_extendedprice",
+    "qt" -> "l_quantity", "tx" -> "l_tax")
+
+  /** Unordered (a, b) pairs INCLUDING a=a — the self pairs are the
+    * variance moments the r denominator reads. */
+  private val corrSelfAndCross: Seq[(String, String)] =
+    for (i <- corrVars.indices; j <- i until corrVars.length)
+      yield (corrVars(i)._1, corrVars(j)._1)
+
+  private def corrMoment(a: String, b: String): String =
+    s"(m_${a}_${b}_hi * $MomentSplit.0 + m_${a}_${b}_lo)"
+
+  /** Pearson r over the exact moments — ONE generated formula string per
+    * pair, evaluated identically by both engines (numerator, then two
+    * sqrt divisions, fixed order). */
+  private def corrFormula(a: String, b: String): String =
+    s"(n * ${corrMoment(a, b)} - s_$a * s_$b)" +
+      s" / sqrt(n * ${corrMoment(a, a)} - s_$a * s_$a)" +
+      s" / sqrt(n * ${corrMoment(b, b)} - s_$b * s_$b)"
+
   /** q_ts_acf: max lag of the correlogram. */
   private val AcfMaxLag = 5L
 
@@ -712,6 +736,41 @@ object DiagOps extends QueryModule {
           "aggregate(terms, CAST(0 AS DOUBLE), (a, x) -> a + x.term) AS chi2")
     }),
 
+    // Pearson correlation matrix over lineitem's four measures (r10) —
+    // the standard profiling read next to q_profile_table: which metrics
+    // move together (quantity↔extended-price is the structural pair;
+    // discount/tax are the independence control). ONE scan computes every
+    // moment exactly: cents-quantized BIGINTs, all ten second moments
+    // (4 squares + 6 cross) hi/lo-split on 2^30 (the q_agg_skew rule —
+    // each partial stays < 2^53; first moments are plain BIGINT sums,
+    // exact to ~8·10^11 rows at cent scale, the collocations bound), and
+    // the six r values evaluate from the SAME generated formula strings
+    // in a fixed IEEE order. The pair rows explode from one struct array
+    // over the 1-row moment relation — no union, nothing recomputed.
+    "q_profile_corr" -> ((s: SparkSession, dir: String) => {
+      val base = table(s, dir, "lineitem").select(
+        corrVars.map { case (nm, src) =>
+          expr(s"CAST(round($src * 100) AS BIGINT)").as(nm) }: _*)
+      val aggs = Seq(count(lit(1)).as("n")) ++
+        corrVars.map { case (nm, _) =>
+          sum(col(nm)).cast("double").as(s"s_$nm") } ++
+        corrSelfAndCross.flatMap { case (a, b) => Seq(
+          sum(expr(s"($a * $b) div $MomentSplit").cast("decimal(38,0)"))
+            .cast("double").as(s"m_${a}_${b}_hi"),
+          sum(expr(s"($a * $b) % $MomentSplit").cast("decimal(38,0)"))
+            .cast("double").as(s"m_${a}_${b}_lo"))
+        }
+      val mom = base.agg(aggs.head, aggs.tail: _*)
+      val pairStructs = corrSelfAndCross.filter { case (a, b) => a != b }
+        .map { case (a, b) =>
+          struct(lit(a).as("var_a"), lit(b).as("var_b"),
+            col("n").cast("long").as("n"),
+            expr(corrFormula(a, b)).as("corr"))
+        }
+      mom.select(explode(array(pairStructs: _*)).as("p")).select("p.*")
+        .orderBy("var_a", "var_b")
+    }),
+
     // Hour-of-day seasonal profile per event type — the seasonality
     // DECOMPOSITION read next to q_ts_acf's correlogram: per (type,
     // hour-of-day) the event share, mean value, and deviation from the
@@ -1162,6 +1221,33 @@ object DiagOps extends QueryModule {
          |                      list_transform(tm.terms, x -> x.term)),
          |         (a, b) -> a + b) AS chi2
          |FROM tm CROSS JOIN tot""".stripMargin,
+
+    // mom is read by all six pair rows -> MATERIALIZED; every SELECT is
+    // generated from the same Scala builders as the engine formulas
+    "q_profile_corr" -> {
+      val quant = corrVars.map { case (nm, src) =>
+        s"CAST(round($src * 100) AS BIGINT) AS $nm" }.mkString(",\n         |       ")
+      val sums = corrVars.map { case (nm, _) =>
+        s"CAST(CAST(sum($nm) AS BIGINT) AS DOUBLE) AS s_$nm" }
+      val moments = corrSelfAndCross.flatMap { case (a, b) => Seq(
+        s"CAST(sum(CAST($a * $b // $MomentSplit AS DECIMAL(38,0))) AS DOUBLE) AS m_${a}_${b}_hi",
+        s"CAST(sum(CAST($a * $b % $MomentSplit AS DECIMAL(38,0))) AS DOUBLE) AS m_${a}_${b}_lo")
+      }
+      val rows = corrSelfAndCross.filter { case (a, b) => a != b }
+        .map { case (a, b) =>
+          s"SELECT '$a' AS var_a, '$b' AS var_b, n, ${corrFormula(a, b)} AS corr FROM mom"
+        }
+      s"""WITH q AS (
+         |  SELECT $quant
+         |  FROM lineitem),
+         |mom AS MATERIALIZED (
+         |  SELECT CAST(count(*) AS BIGINT) AS n,
+         |       ${(sums ++ moments).mkString(",\n         |       ")}
+         |  FROM q)
+         |SELECT * FROM (
+         |${rows.mkString("\n|UNION ALL\n")}
+         |) ORDER BY var_a, var_b""".stripMargin
+    },
 
     "q_profile_integrity" -> {
       def edge(child: String, fk: String, parent: String, pk: String,

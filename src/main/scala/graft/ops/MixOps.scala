@@ -31,6 +31,13 @@ object MixOps extends QueryModule {
   /** Context-window capacity (tokens) for concat-and-chunk packing. */
   private val ChunkTokens = 512L
 
+  /** q_llm_packing_efficiency shared projection over (total_tokens,
+    * pad_chunks, ctx) — the per-doc padding waste share, one fixed IEEE
+    * chain over exact BIGINTs. */
+  private val packWasteFormula =
+    "CAST(1 AS DOUBLE) - CAST(total_tokens AS DOUBLE) / (pad_chunks * ctx)" +
+      " AS pad_waste_ratio"
+
   /** doc_id bucket width for the two-level cumsum. */
   private val PackBucket = 4096L
 
@@ -326,6 +333,33 @@ object MixOps extends QueryModule {
     "q_llm_pack_chunks" -> ((s: SparkSession, dir: String) =>
       packChunks(table(s, dir, "documents")).orderBy("doc_id")),
 
+    // Context-length sizing report (r10) — the padding-waste table read
+    // before choosing a training context length: for each candidate ctx,
+    // per-doc padding (every doc rounded up to whole chunks — the
+    // no-packing layout) vs concat packing (q_llm_pack_chunks' layout,
+    // whose waste is at most one chunk total). Pure integer arithmetic on
+    // one scan's token counts; the waste ratio is ONE shared formula
+    // string. The 4-candidate explode multiplies rows 4× BEFORE a
+    // map-side-combinable agg to 4 rows — CPU-only fan-out, no shuffle
+    // growth.
+    "q_llm_packing_efficiency" -> ((s: SparkSession, dir: String) =>
+      table(s, dir, "documents")
+        .select(asLong(expr(
+          "size(filter(split(text, ' '), t -> length(t) > 0))")).as("t"))
+        .where(col("t") > 0)
+        .select(explode(expr("array(256, 512, 1024, 2048)")).as("ctx"),
+          col("t"))
+        .groupBy("ctx")
+        .agg(asLong(count(lit(1))).as("n_docs"),
+          asLong(sum("t")).as("total_tokens"),
+          asLong(sum(expr("(t + ctx - 1) div ctx"))).as("pad_chunks"))
+        .select(asLong(col("ctx")).as("ctx"), col("n_docs"),
+          col("total_tokens"), col("pad_chunks"))
+        .selectExpr("ctx", "n_docs", "total_tokens", "pad_chunks",
+          "(total_tokens + ctx - 1) div ctx AS concat_chunks",
+          packWasteFormula)
+        .orderBy("ctx")),
+
     // Embedding L2-normalization + int8 scalar quantization — the storage
     // layout an ANN-serving pipeline actually ships (×4 smaller than
     // float32). The norm is the index-ordered IEEE fold of squares (the
@@ -599,6 +633,23 @@ object MixOps extends QueryModule {
          |       (start_off + n_tokens - 1) // $ChunkTokens
          |         - start_off // $ChunkTokens + 1 AS n_chunks
          |FROM c ORDER BY doc_id""".stripMargin,
+
+    "q_llm_packing_efficiency" ->
+      s"""WITH tk AS (
+         |  SELECT CAST(len(list_filter(string_split(text, ' '), x -> length(x) > 0)) AS BIGINT) AS t
+         |  FROM documents),
+         |e AS (
+         |  SELECT ctx, t FROM (SELECT t FROM tk WHERE t > 0)
+         |  CROSS JOIN (SELECT CAST(unnest([256, 512, 1024, 2048]) AS BIGINT) AS ctx)),
+         |a AS (
+         |  SELECT ctx, CAST(count(*) AS BIGINT) AS n_docs,
+         |         CAST(sum(t) AS BIGINT) AS total_tokens,
+         |         CAST(sum((t + ctx - 1) // ctx) AS BIGINT) AS pad_chunks
+         |  FROM e GROUP BY ctx)
+         |SELECT ctx, n_docs, total_tokens, pad_chunks,
+         |       (total_tokens + ctx - 1) // ctx AS concat_chunks,
+         |       $packWasteFormula
+         |FROM a ORDER BY ctx""".stripMargin,
 
     "q_text_boilerplate" ->
       s"""WITH t AS (

@@ -660,4 +660,65 @@ class MixDiagSpec extends SparkTestBase {
       assert(math.abs(rate - dup.toDouble / n) == 0.0)
     }
   }
+
+  test("packing_efficiency equals a driver-side replay; waste falls as ctx shrinks") {
+    val toks = ops.table(spark, sfDir, "documents")
+      .select("text").collect()
+      .map(_.getString(0).split(" ").count(_.nonEmpty).toLong)
+      .filter(_ > 0)
+    val got = q("q_llm_packing_efficiency").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))
+    assert(got.map(_._1).toSeq == Seq(256L, 512L, 1024L, 2048L))
+    got.foreach { case (ctx, nDocs, total, pad, concat, waste) =>
+      val expPad = toks.map(t => (t + ctx - 1) / ctx).sum
+      assert(nDocs == toks.length.toLong && total == toks.sum)
+      assert(pad == expPad, s"ctx $ctx pad chunks")
+      assert(concat == (total + ctx - 1) / ctx)
+      assert(waste == 1.0 - total.toDouble / (pad * ctx))
+      // concat packing never pads more than per-doc padding
+      assert(concat <= pad)
+    }
+    // padding waste is monotone in ctx on any fixed corpus
+    val wastes = got.map(_._6).toSeq
+    assert(wastes == wastes.sorted, "waste must grow with ctx")
+  }
+
+  test("profile_corr equals a driver-side exact-moment replay") {
+    val rows = ops.table(spark, sfDir, "lineitem")
+      .select("l_discount", "l_extendedprice", "l_quantity", "l_tax")
+      .collect()
+      .map(r => Array(r.getDouble(0), r.getDouble(1), r.getDouble(2),
+        r.getDouble(3)).map(v => BigDecimal(v * 100)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong))
+    val names = Seq("di", "ep", "qt", "tx")
+    val n = rows.length.toLong
+    def s(i: Int) = rows.map(_(i)).sum.toDouble
+    def m(i: Int, j: Int) = {
+      val hi = rows.map(r => (r(i) * r(j)) / 1073741824L).sum.toDouble
+      val lo = rows.map(r => (r(i) * r(j)) % 1073741824L).sum.toDouble
+      hi * 1073741824.0 + lo
+    }
+    def corr(i: Int, j: Int) =
+      (n * m(i, j) - s(i) * s(j)) /
+        math.sqrt(n * m(i, i) - s(i) * s(i)) /
+        math.sqrt(n * m(j, j) - s(j) * s(j))
+    val got = q("q_profile_corr").collect()
+      .map(r => ((r.getString(0), r.getString(1)), (r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(got.size == 6, "six unordered pairs")
+    for (i <- names.indices; j <- (i + 1) until names.length) {
+      val (gn, gc) = got((names(i), names(j)))
+      assert(gn == n)
+      assert(gc == corr(i, j), s"corr(${names(i)},${names(j)}) differs")
+      assert(gc >= -1.0 - 1e-12 && gc <= 1.0 + 1e-12)
+    }
+    // the fixture draws its four measures INDEPENDENTLY (unlike TPC-H,
+    // where extendedprice = qty x unit price), so the honest report is
+    // every |r| small — pin that the operator does not hallucinate
+    // structure that is not there
+    got.values.foreach { case (_, c) =>
+      assert(math.abs(c) < 0.2, s"spurious correlation $c on independent draws")
+    }
+  }
 }
