@@ -270,6 +270,62 @@ object AnalyticsOps extends QueryModule {
         .orderBy("day")
     }),
 
+    // Revenue-concentration report (r10) — the Pareto/"whale" read next
+    // to RFM: how much of lifetime revenue sits above the p50/p90/p99
+    // per-customer spend cuts. The cuts are EXACT order statistics of
+    // per-customer cents selected via the bucketed valueAtRanks machinery
+    // (single constant group; the bucket histogram is value-DOMAIN-
+    // bounded — never a per-group sort or a full rank; an exact Gini
+    // would need a corpus-sized ordered prefix sum, so the operator
+    // reports threshold shares, the semantics that stay exact AND
+    // scale-safe). Census = one agg over the checkpointed customer
+    // relation with BIGINT conditional sums; shares are single IEEE
+    // divisions of exact values.
+    "q_analytics_revenue_conc" -> ((s: SparkSession, dir: String) => {
+      val cust = table(s, dir, "orders")
+        .select(col("o_custkey").as("cust"),
+          expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+        .groupBy("cust").agg(asLong(sum("cents")).as("cents"))
+        .withColumn("grp", lit("all"))
+        .withColumn("spend", col("cents") / lit(100.0))
+        .localCheckpoint(true) // feeds the rank histogram + the census agg
+      val (cuts, _) = DiagOps.valueAtRanks(cust, "grp", "spend", nRel =>
+        nRel.select(col("grp"), explode(array(
+          struct(lit("p50").as("which"), expr("(n + 1) div 2").as("rank")),
+          struct(lit("p90").as("which"), expr("(9 * n + 9) div 10").as("rank")),
+          struct(lit("p99").as("which"), expr("(99 * n + 99) div 100").as("rank"))))
+          .as("t"))
+          .select(col("grp"), col("t.which").as("which"),
+            col("t.rank").as("rank")))
+      val cutRel = cuts.groupBy("grp")
+        .agg(min(when(col("which") === "p50", col("value"))).as("p50_spend"),
+          min(when(col("which") === "p90", col("value"))).as("p90_spend"),
+          min(when(col("which") === "p99", col("value"))).as("p99_spend"))
+        .withColumn("c90", expr("CAST(round(p90_spend * 100) AS BIGINT)"))
+        .withColumn("c99", expr("CAST(round(p99_spend * 100) AS BIGINT)"))
+      cust.join(broadcast(cutRel), "grp")
+        .groupBy("grp")
+        .agg(asLong(count(lit(1))).as("n_cust"),
+          asLong(sum("cents")).as("tot"),
+          min("p50_spend").as("p50_spend"),
+          min("p90_spend").as("p90_spend"),
+          min("p99_spend").as("p99_spend"),
+          asLong(sum(when(col("cents") > col("c90"), 1L).otherwise(0L)))
+            .as("n_above_p90"),
+          asLong(sum(when(col("cents") > col("c99"), 1L).otherwise(0L)))
+            .as("n_above_p99"),
+          asLong(sum(when(col("cents") > col("c90"), col("cents"))
+            .otherwise(0L))).as("ab90"),
+          asLong(sum(when(col("cents") > col("c99"), col("cents"))
+            .otherwise(0L))).as("ab99"))
+        .selectExpr("n_cust",
+          "CAST(tot AS DOUBLE) / 100 AS total_rev",
+          "p50_spend", "p90_spend", "p99_spend",
+          "n_above_p90", "n_above_p99",
+          "CAST(ab90 AS DOUBLE) / tot AS share_above_p90",
+          "CAST(ab99 AS DOUBLE) / tot AS share_above_p99")
+    }),
+
     // RFM customer segmentation — the classic CRM cube: per customer
     // recency (days since last order vs the corpus max date), frequency
     // (#orders), monetary (lifetime cents, exact via the round(×100)
@@ -550,6 +606,38 @@ object AnalyticsOps extends QueryModule {
          |       CAST(sum(matched) AS BIGINT) AS n_matched,
          |       CAST(sum(matched) AS DOUBLE) / count(*) AS match_rate
          |FROM p GROUP BY day ORDER BY day""".stripMargin,
+
+    // cust is read by the rank window AND the final census -> MATERIALIZED;
+    // the cuts are the lower-median row_number idiom (ties share a cent
+    // value, so the selected cut is deterministic)
+    "q_analytics_revenue_conc" ->
+      """WITH cust AS MATERIALIZED (
+        |  SELECT o_custkey,
+        |         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM orders GROUP BY o_custkey),
+        |s AS (
+        |  SELECT cents, row_number() OVER (ORDER BY cents) AS rn,
+        |         count(*) OVER () AS n
+        |  FROM cust),
+        |c AS (
+        |  SELECT CAST(max(n) AS BIGINT) AS n_cust,
+        |         max(CASE WHEN rn = (n + 1) // 2 THEN cents END) AS c50,
+        |         max(CASE WHEN rn = (9 * n + 9) // 10 THEN cents END) AS c90,
+        |         max(CASE WHEN rn = (99 * n + 99) // 100 THEN cents END) AS c99
+        |  FROM s)
+        |SELECT c.n_cust,
+        |       CAST(CAST(sum(cents) AS BIGINT) AS DOUBLE) / 100 AS total_rev,
+        |       CAST(c.c50 AS DOUBLE) / 100.0 AS p50_spend,
+        |       CAST(c.c90 AS DOUBLE) / 100.0 AS p90_spend,
+        |       CAST(c.c99 AS DOUBLE) / 100.0 AS p99_spend,
+        |       CAST(sum(CASE WHEN cents > c.c90 THEN 1 ELSE 0 END) AS BIGINT) AS n_above_p90,
+        |       CAST(sum(CASE WHEN cents > c.c99 THEN 1 ELSE 0 END) AS BIGINT) AS n_above_p99,
+        |       CAST(CAST(sum(CASE WHEN cents > c.c90 THEN cents ELSE 0 END) AS BIGINT) AS DOUBLE)
+        |         / CAST(sum(cents) AS BIGINT) AS share_above_p90,
+        |       CAST(CAST(sum(CASE WHEN cents > c.c99 THEN cents ELSE 0 END) AS BIGINT) AS DOUBLE)
+        |         / CAST(sum(cents) AS BIGINT) AS share_above_p99
+        |FROM cust CROSS JOIN c
+        |GROUP BY c.n_cust, c.c50, c.c90, c.c99""".stripMargin,
 
     // base is read twice (the totals row + the per-customer relation) ->
     // MATERIALIZED per the multiply-referenced CTE rule

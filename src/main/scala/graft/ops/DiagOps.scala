@@ -61,6 +61,13 @@ object DiagOps extends QueryModule {
     for (i <- corrVars.indices; j <- i until corrVars.length)
       yield (corrVars(i)._1, corrVars(j)._1)
 
+  /** q_ts_forecast_naive shared projections over (n_scored, sae, se) —
+    * MAE and signed bias back in value units, one IEEE division chain
+    * each over exact BIGINT cent sums. */
+  private val forecastFormulas: Seq[String] = Seq(
+    "CAST(sae AS DOUBLE) / n_scored / 100 AS mae",
+    "CAST(se AS DOUBLE) / n_scored / 100 AS bias")
+
   private def corrMoment(a: String, b: String): String =
     s"(m_${a}_${b}_hi * $MomentSplit.0 + m_${a}_${b}_lo)"
 
@@ -653,6 +660,38 @@ object DiagOps extends QueryModule {
         .orderBy("event_type")
     }),
 
+    // Seasonal-naive forecast backtest per event type (r10) — the
+    // completion of the ts family: forecast(h) = value(h − 24) on the
+    // zero-filled hourly cent grid (daily period), scored over every
+    // hour with a 24-h-old observation. MAE and signed bias accumulate
+    // as exact BIGINT cents (one IEEE division each at the end), the lag
+    // rides a per-type window over the time-span-bounded grid (the
+    // interpolate precedent: partitions hold #hours rows, never corpus
+    // rows). The honest baseline every fancier forecaster must beat —
+    // and the operator a pipeline runs to decide if it needs one.
+    "q_ts_forecast_naive" -> ((s: SparkSession, dir: String) => {
+      val ev = table(s, dir, "events")
+        .withColumn("h", expr(s"unix_micros(ts) div $HourUs"))
+      val rng = ev.agg(min("h").as("h0"), max("h").as("h1"))
+      val grid = ev.select("event_type").distinct()
+        .crossJoin(broadcast(rng))
+        .select(col("event_type"), explode(expr("sequence(h0, h1)")).as("h"))
+      val actual = ev.groupBy("event_type", "h")
+        .agg(dsum(col("value")).as("sv"))
+      val g = grid.join(actual, Seq("event_type", "h"), "left")
+        .select(col("event_type"), col("h"),
+          expr("CAST(round(coalesce(sv, 0.0) * 100) AS BIGINT)").as("k"))
+      val w = Window.partitionBy("event_type").orderBy("h")
+      g.withColumn("f", lag("k", 24).over(w))
+        .where(col("f").isNotNull)
+        .groupBy("event_type")
+        .agg(asLong(count(lit(1))).as("n_scored"),
+          asLong(sum(expr("abs(k - f)"))).as("sae"),
+          asLong(sum(expr("k - f"))).as("se"))
+        .selectExpr(Seq("event_type", "n_scored") ++ forecastFormulas: _*)
+        .orderBy("event_type")
+    }),
+
     // Single changepoint detection per event type: the hour whose split
     // maximizes the two-segment least-squares gain over the zero-filled
     // hourly cent series (the classic mean-shift detector, exact — no
@@ -734,6 +773,49 @@ object DiagOps extends QueryModule {
           "n_buckets",
           "s1d / n1 AS mean_first", "s2d / n2 AS mean_second",
           "aggregate(terms, CAST(0 AS DOUBLE), (a, x) -> a + x.term) AS chi2")
+    }),
+
+    // Robust anomaly report per event type (r10): median / MAD (median
+    // absolute deviation) and the |x − med| > 3·MAD outlier census — the
+    // robust twin of q_agg_zscore_outlier (one 750× spike corrupts a
+    // mean/stddev gate, but moves the median and MAD not at all). Both
+    // medians are EXACT lower medians (rank (n+1) div 2) selected via the
+    // bucketed valueAtRanks order-statistic machinery — never a
+    // per-group sort, and the first selection SHARES the winsorize
+    // histogram memo (same (event_type, value) spec + cache key). The
+    // deviation pass re-derives cents integers, so the MAD selection is
+    // exact too; the 3·MAD gate compares BIGINTs.
+    "q_ts_anomaly_mad" -> ((s: SparkSession, dir: String) => {
+      val ev = table(s, dir, "events")
+        .select(col("event_id"), col("event_type"), col("value"))
+      val (medSel, _) = valueAtRanks(ev, "event_type", "value", nRel =>
+        nRel.select(col("event_type"), lit("med").as("which"),
+          expr("(n + 1) div 2").as("rank")),
+        Some("winsor-events|" +
+          SourceSinkOps.fixtureKey(dir, "events.parquet")))
+      val med = medSel.groupBy("event_type")
+        .agg(min(when(col("which") === "med", col("value"))).as("med"))
+      val dev = ev.join(broadcast(med), "event_type")
+        .withColumn("dev_c", expr(
+          "abs(CAST(round(value * 100) AS BIGINT)" +
+            " - CAST(round(med * 100) AS BIGINT))"))
+      val devRel = dev.select(col("event_type"),
+        (col("dev_c") / lit(100.0)).as("value"))
+      val (madSel, _) = valueAtRanks(devRel, "event_type", "value", nRel =>
+        nRel.select(col("event_type"), lit("mad").as("which"),
+          expr("(n + 1) div 2").as("rank")))
+      val mad = madSel.groupBy("event_type")
+        .agg(min(when(col("which") === "mad", col("value"))).as("mad"))
+        .withColumn("mad_c", expr("CAST(round(mad * 100) AS BIGINT)"))
+      dev.join(broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(asLong(count(lit(1))).as("n"),
+          min("med").as("med"), min("mad").as("mad"),
+          asLong(sum(when(col("dev_c") > lit(3L) * col("mad_c"), 1L)
+            .otherwise(0L))).as("n_outliers"))
+        .withColumn("outlier_rate",
+          col("n_outliers").cast("double") / col("n"))
+        .orderBy("event_type")
     }),
 
     // Pearson correlation matrix over lineitem's four measures (r10) —
@@ -1221,6 +1303,68 @@ object DiagOps extends QueryModule {
          |                      list_transform(tm.terms, x -> x.term)),
          |         (a, b) -> a + b) AS chi2
          |FROM tm CROSS JOIN tot""".stripMargin,
+
+    "q_ts_forecast_naive" ->
+      s"""WITH e AS (
+         |  SELECT event_type, epoch_us(ts) // $HourUs AS h, value FROM events),
+         |r AS (SELECT min(h) AS h0, max(h) AS h1 FROM e),
+         |g0 AS (
+         |  SELECT t.event_type, unnest(generate_series(r.h0, r.h1)) AS h
+         |  FROM (SELECT DISTINCT event_type FROM e) t CROSS JOIN r),
+         |a AS (
+         |  SELECT event_type, h,
+         |         CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sv
+         |  FROM e GROUP BY event_type, h),
+         |g AS (
+         |  SELECT g0.event_type, g0.h,
+         |         CAST(round(COALESCE(a.sv, 0.0) * 100) AS BIGINT) AS k
+         |  FROM g0 LEFT JOIN a USING (event_type, h)),
+         |l AS (
+         |  SELECT event_type, k,
+         |         lag(k, 24) OVER (PARTITION BY event_type ORDER BY h) AS f
+         |  FROM g)
+         |SELECT event_type, n_scored,
+         |       ${forecastFormulas.mkString(",\n       ")}
+         |FROM (SELECT event_type, CAST(count(*) AS BIGINT) AS n_scored,
+         |             CAST(sum(abs(k - f)) AS BIGINT) AS sae,
+         |             CAST(sum(k - f) AS BIGINT) AS se
+         |      FROM l WHERE f IS NOT NULL GROUP BY event_type)
+         |ORDER BY event_type""".stripMargin,
+
+    // d is read by the deviation-median window AND the final census ->
+    // MATERIALIZED; both medians are the lower-median row_number idiom
+    // (ties share a cent key, so the selected VALUE is deterministic)
+    "q_ts_anomaly_mad" ->
+      """WITH s AS (
+        |  SELECT event_type, value,
+        |         row_number() OVER (PARTITION BY event_type ORDER BY round(value * 100)) AS rn,
+        |         count(*) OVER (PARTITION BY event_type) AS n
+        |  FROM events),
+        |m AS (
+        |  SELECT event_type, max(CASE WHEN rn = (n + 1) // 2 THEN value END) AS med
+        |  FROM s GROUP BY event_type),
+        |d AS MATERIALIZED (
+        |  SELECT e.event_type, m.med,
+        |         abs(CAST(round(e.value * 100) AS BIGINT)
+        |             - CAST(round(m.med * 100) AS BIGINT)) AS dev_c
+        |  FROM events e JOIN m USING (event_type)),
+        |s2 AS (
+        |  SELECT event_type, dev_c,
+        |         row_number() OVER (PARTITION BY event_type ORDER BY dev_c) AS rn,
+        |         count(*) OVER (PARTITION BY event_type) AS n
+        |  FROM d),
+        |md AS (
+        |  SELECT event_type,
+        |         max(CASE WHEN rn = (n + 1) // 2 THEN dev_c END) AS mad_c
+        |  FROM s2 GROUP BY event_type)
+        |SELECT d.event_type, CAST(count(*) AS BIGINT) AS n,
+        |       min(d.med) AS med,
+        |       CAST(min(md.mad_c) AS DOUBLE) / 100.0 AS mad,
+        |       CAST(sum(CASE WHEN d.dev_c > 3 * md.mad_c THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+        |       CAST(sum(CASE WHEN d.dev_c > 3 * md.mad_c THEN 1 ELSE 0 END) AS DOUBLE)
+        |         / count(*) AS outlier_rate
+        |FROM d JOIN md USING (event_type)
+        |GROUP BY d.event_type ORDER BY event_type""".stripMargin,
 
     // mom is read by all six pair rows -> MATERIALIZED; every SELECT is
     // generated from the same Scala builders as the engine formulas

@@ -234,4 +234,33 @@ class AnalyticsSpec extends SparkTestBase {
       r >= 1 && r <= 5 && f >= 1 && f <= 5 && m >= 1 && m <= 5 })
     assert(got.map(_._1).distinct.size == 5 || n < 25)
   }
+
+  test("revenue concentration equals a driver-side order-statistic replay") {
+    val cents = ops.table(spark, sfDir, "orders")
+      .select(col("o_custkey"), col("o_totalprice")).collect()
+      .map(r => (r.getLong(0), math.round(r.getDouble(1) * 100)))
+      .groupBy(_._1).values.map(_.map(_._2).sum).toSeq.sorted
+    val n = cents.length.toLong
+    def cut(rank: Long): Long = cents(rank.toInt - 1)
+    val (c50, c90, c99) =
+      (cut((n + 1) / 2), cut((9 * n + 9) / 10), cut((99 * n + 99) / 100))
+    val tot = cents.sum
+    val ab90 = cents.filter(_ > c90)
+    val ab99 = cents.filter(_ > c99)
+    val r = q("q_analytics_revenue_conc").collect().head
+    assert(r.getLong(0) == n)
+    assert(r.getDouble(1) == tot.toDouble / 100)
+    assert(r.getDouble(2) == c50.toDouble / 100.0)
+    assert(r.getDouble(3) == c90.toDouble / 100.0)
+    assert(r.getDouble(4) == c99.toDouble / 100.0)
+    assert(r.getLong(5) == ab90.length.toLong)
+    assert(r.getLong(6) == ab99.length.toLong)
+    assert(r.getDouble(7) == ab90.sum.toDouble / tot)
+    assert(r.getDouble(8) == ab99.sum.toDouble / tot)
+    // the report's reason to exist: concentration is real but bounded —
+    // the top decile-by-cut holds more than its population share and the
+    // strict-above populations respect their percentile definitions
+    assert(r.getLong(5) <= n / 10 && r.getLong(6) <= n / 100 + 1)
+    assert(r.getDouble(7) > 0.05)
+  }
 }

@@ -684,6 +684,66 @@ class MixDiagSpec extends SparkTestBase {
     assert(wastes == wastes.sorted, "waste must grow with ctx")
   }
 
+  test("forecast_naive equals a driver-side lag-24 backtest replay") {
+    val ev = ops.table(spark, sfDir, "events")
+      .selectExpr("event_type", "unix_micros(ts) div 3600000000 AS h", "value")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    val h0 = ev.map(_._2).min
+    val h1 = ev.map(_._2).max
+    val sums = ev.groupBy(e => (e._1, e._2)).view
+      .mapValues(es => math.round(es.map(x =>
+        BigDecimal(x._3).setScale(4, BigDecimal.RoundingMode.HALF_UP))
+        .sum.toDouble * 100)).toMap
+    val got = q("q_ts_forecast_naive").collect()
+    assert(got.length == ev.map(_._1).distinct.length)
+    got.foreach { r =>
+      val t = r.getString(0)
+      val series = (h0 to h1).map(h => sums.getOrElse((t, h), 0L))
+      val scored = (24 until series.length)
+        .map(i => (series(i), series(i - 24)))
+      val sae = scored.map { case (k, f) => math.abs(k - f) }.sum
+      val se = scored.map { case (k, f) => k - f }.sum
+      assert(r.getLong(1) == scored.length.toLong, s"$t: n_scored")
+      assert(r.getDouble(2) == sae.toDouble / scored.length / 100, s"$t: mae")
+      assert(r.getDouble(3) == se.toDouble / scored.length / 100, s"$t: bias")
+      assert(r.getDouble(2) >= math.abs(r.getDouble(3)),
+        s"$t: MAE must dominate |bias|")
+    }
+  }
+
+  test("anomaly_mad equals a driver-side median/MAD replay") {
+    val ev = ops.table(spark, sfDir, "events")
+      .select("event_type", "value").collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+    def lowerMedianCents(xs: Seq[Long]): Long = {
+      val s = xs.sorted
+      s(((s.length + 1) / 2) - 1)
+    }
+    val byType = ev.groupBy(_._1)
+    val got = q("q_ts_anomaly_mad").collect()
+    assert(got.length == byType.size)
+    got.foreach { r =>
+      val t = r.getString(0)
+      val vals = byType(t).map(_._2).toSeq
+      val cents = vals.map(v => math.round(v * 100))
+      val medC = lowerMedianCents(cents)
+      // the engine surfaces the ORIGINAL double at the median rank
+      val medV = vals.filter(v => math.round(v * 100) == medC).head
+      val devs = cents.map(c => math.abs(c - medC))
+      val madC = lowerMedianCents(devs)
+      val outliers = devs.count(_ > 3 * madC).toLong
+      assert(r.getLong(1) == vals.length.toLong, s"$t: n")
+      assert(r.getDouble(2) == medV, s"$t: median")
+      assert(r.getDouble(3) == madC.toDouble / 100.0, s"$t: MAD")
+      assert(r.getLong(4) == outliers, s"$t: outlier count")
+      assert(r.getDouble(5) == outliers.toDouble / vals.length, s"$t: rate")
+      // robustness: the outlier gate must flag a small minority, and MAD
+      // must be no larger than the worst absolute deviation
+      assert(outliers * 5 <= vals.length, s"$t flags too much")
+      assert(madC <= devs.max)
+    }
+  }
+
   test("profile_corr equals a driver-side exact-moment replay") {
     val rows = ops.table(spark, sfDir, "lineitem")
       .select("l_discount", "l_extendedprice", "l_quantity", "l_tax")
