@@ -63,8 +63,10 @@ object DiagOps extends QueryModule {
 
   /** q_ts_forecast_naive shared projections over (n_scored, sae, se) —
     * MAE and signed bias back in value units, one IEEE division chain
-    * each over exact BIGINT cent sums. */
-  private val forecastFormulas: Seq[String] = Seq(
+    * each over exact BIGINT cent sums. private[graft]: the streaming twin
+    * (StreamingForecastNaive.latestReport) evaluates the SAME strings so
+    * the two reports cannot drift. */
+  private[graft] val forecastFormulas: Seq[String] = Seq(
     "CAST(sae AS DOUBLE) / n_scored / 100 AS mae",
     "CAST(se AS DOUBLE) / n_scored / 100 AS bias")
 

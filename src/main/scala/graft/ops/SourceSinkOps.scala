@@ -206,6 +206,45 @@ object SourceSinkOps extends QueryModule {
         .orderBy("lang")
     }),
 
+    // Bucketed-table sink + co-located join (r10): lineitem AND orders
+    // written `bucketBy(16, orderkey)` + sorted, then joined on the bucket
+    // key — the classic pre-shuffle layout a 100 TB pipeline maintains for
+    // its hottest fact-fact join. Because BOTH sides carry the same
+    // bucketing, the sort-merge join plans with ZERO Exchange below it
+    // (SinkSpec asserts the plan literally); only the tiny priority agg
+    // shuffles. Tables are external (tmpdir path keyed by fixture digest)
+    // and re-registered per session — the write is the one-time index
+    // build, every later read pays no shuffle forever.
+    "q_sink_bucketed" -> ((s: SparkSession, dir: String) => {
+      val key = fixtureKey(dir, "lineitem.parquet")
+        .replaceAll("[^0-9a-fA-F]", "").toLowerCase
+      def ensure(src: String, name: String, bucketCol: String,
+          cols: Seq[String]): String = {
+        val tbl = s"graft_${name}_b16_$key"
+        if (!s.catalog.tableExists(tbl)) {
+          val path = new java.io.File(
+            System.getProperty("java.io.tmpdir"),
+            s"graft-bucketed-$name-$key").getAbsolutePath
+          table(s, dir, src).selectExpr(cols: _*)
+            .write.mode("overwrite")
+            .option("path", path)
+            .bucketBy(16, bucketCol).sortBy(bucketCol)
+            .format("parquet").saveAsTable(tbl)
+        }
+        tbl
+      }
+      val lt = ensure("lineitem", "lineitem", "l_orderkey",
+        Seq("l_orderkey", "l_extendedprice", "l_discount"))
+      val ot = ensure("orders", "orders", "o_orderkey",
+        Seq("o_orderkey", "o_orderpriority"))
+      s.table(lt).join(s.table(ot), col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(asLong(count(lit(1))).as("n_lines"),
+          dsum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .as("revenue"))
+        .orderBy("o_orderpriority")
+    }),
+
     // Assign records to ≤500-element delivery batches (ProducerSettings cap).
     // Batch ids come from the two-pass bucketed row number (ops.globalRowNumber)
     // — same ids as a global-ordered window, no single-partition exchange.
@@ -277,6 +316,16 @@ object SourceSinkOps extends QueryModule {
         |SELECT CAST((rn - 1) // 500 AS BIGINT) AS batch_id,
         |       count(*) AS n_records,
         |       min(event_id) AS first_id, max(event_id) AS last_id
-        |FROM t GROUP BY 1 ORDER BY batch_id""".stripMargin
+        |FROM t GROUP BY 1 ORDER BY batch_id""".stripMargin,
+
+    // the bucketed tables hold the SAME rows as the sources, so the twin
+    // reads the originals — the layout is a performance property (asserted
+    // plan-level in SinkSpec), not a semantic one
+    "q_sink_bucketed" ->
+      """SELECT o_orderpriority,
+        |       CAST(count(*) AS BIGINT) AS n_lines,
+        |       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
   )
 }

@@ -45,6 +45,52 @@ class OpsSpec extends SparkTestBase {
       full.where(col("lang") === "en").count())
   }
 
+  test("bucketed sink: both join sides pre-bucketed, no exchange below the join") {
+    // static plan (AQE off) so the join subtree is directly inspectable —
+    // the PlanAudit convention; broadcast disabled because at the TOY
+    // fixture size Spark would (correctly) broadcast the tiny side and
+    // never exercise the bucket path this test exists to pin
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+    val df = SparkEntry.queries("q_sink_bucketed")(spark, sfDir)
+    // the co-location claim, asserted on the PHYSICAL plan: the sort-merge
+    // join consumes both bucketed scans directly — any Exchange below the
+    // join would mean the layout bought nothing
+    val plan = df.queryExecution.executedPlan
+    val smj = plan.collect {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+    }
+    assert(smj.nonEmpty, "expected a sort-merge join over the bucketed tables")
+    val exchangesBelowJoin = smj.head.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(exchangesBelowJoin.isEmpty,
+      s"bucketed join must not shuffle either side:\n$plan")
+    assert(plan.toString.contains("SelectedBucketsCount"),
+      "expected bucketed file scans")
+    // and the content equals the plain join on the sources
+    import org.apache.spark.sql.functions.{col, count, lit}
+    val got = df.collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    val want = graft.ops.table(spark, sfDir, "lineitem")
+      .join(graft.ops.table(spark, sfDir, "orders"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).cast("long").as("n"),
+        graft.ops.dsum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .as("revenue"))
+      .orderBy("o_orderpriority")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got == want, "bucketed-layout join content differs from the sources")
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", prev)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+    }
+  }
+
   test("FP-sensitive aggregates are run-to-run deterministic") {
     for (name <- Seq("q_agg_basic", "q_join_multiway", "q_udaf_weighted", "q_win_moving")) {
       val a = SparkEntry.queries(name)(spark, sfDir).collect().toSeq
