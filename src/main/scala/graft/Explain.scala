@@ -17,7 +17,11 @@ object Explain {
         "q_sink_batchify", "q_llm_sim_knn_lsh", "q_text_tfidf", "q_funnel_steps",
         "q_win_ntile", "q_text_normalize", "q_llm_emb_classify",
         "q_win_winsorize", "q_llm_pack_chunks", "q_profile_table",
-        "q_agg_heavy_hitters", "q_ts_gapfill")
+        "q_agg_heavy_hitters", "q_ts_gapfill",
+        // r10 shape classes: stacked-rank RFM, co-located bucketed join,
+        // SQL-text entry, wedge link prediction, one-pass moment matrix
+        "q_analytics_rfm", "q_sink_bucketed", "q_sql_revenue_by_nation",
+        "q_graph_linkpred", "q_profile_corr")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
