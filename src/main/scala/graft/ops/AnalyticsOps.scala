@@ -270,6 +270,34 @@ object AnalyticsOps extends QueryModule {
         .orderBy("day")
     }),
 
+    // First-order Markov transition matrix over per-user event sequences
+    // (r10) — the behavior model a product pipeline reads next to the
+    // funnel: P(next event type | current), from consecutive-pair counts.
+    // ONE per-user sort (high-cardinality partitions — the analytics
+    // window discipline), unique (t, event_id) tie-break so the chain is
+    // deterministic, then a hash agg to ≤ |types|² rows; the per-from
+    // totals derive FROM that relation (sums of partials, no second
+    // scan) and broadcast back (event_type is a domain-bounded enum —
+    // the seasonal-profile rule, never O(#rows)). One IEEE division.
+    "q_analytics_markov" -> ((s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.expressions.Window
+      val tl = table(s, dir, "events")
+        .select(col("user_id"), unix_micros(col("ts")).as("t"),
+          col("event_id"), col("event_type"))
+      val w = Window.partitionBy("user_id").orderBy("t", "event_id")
+      val pairs = tl
+        .withColumn("to_type", lead("event_type", 1).over(w))
+        .where(col("to_type").isNotNull)
+        .groupBy(col("event_type").as("from_type"), col("to_type"))
+        .agg(asLong(count(lit(1))).as("n"))
+      val totals = pairs.groupBy("from_type")
+        .agg(asLong(sum("n")).as("n_from"))
+      pairs.join(broadcast(totals), "from_type")
+        .select(col("from_type"), col("to_type"), col("n"), col("n_from"),
+          (col("n").cast("double") / col("n_from")).as("p"))
+        .orderBy("from_type", "to_type")
+    }),
+
     // Revenue-concentration report (r10) — the Pareto/"whale" read next
     // to RFM: how much of lifetime revenue sits above the p50/p90/p99
     // per-customer spend cuts. The cuts are EXACT order statistics of
@@ -606,6 +634,24 @@ object AnalyticsOps extends QueryModule {
          |       CAST(sum(matched) AS BIGINT) AS n_matched,
          |       CAST(sum(matched) AS DOUBLE) / count(*) AS match_rate
          |FROM p GROUP BY day ORDER BY day""".stripMargin,
+
+    // c is read by the totals rollup AND the final projection -> MATERIALIZED
+    "q_analytics_markov" ->
+      """WITH tl AS (
+        |  SELECT user_id, epoch_us(ts) AS t, event_id, event_type FROM events),
+        |pr AS (
+        |  SELECT event_type AS from_type,
+        |         lead(event_type, 1) OVER (
+        |           PARTITION BY user_id ORDER BY t, event_id) AS to_type
+        |  FROM tl),
+        |c AS MATERIALIZED (
+        |  SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+        |  FROM pr WHERE to_type IS NOT NULL GROUP BY 1, 2),
+        |tot AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS n_from FROM c GROUP BY 1)
+        |SELECT c.from_type, c.to_type, c.n, tot.n_from,
+        |       CAST(c.n AS DOUBLE) / tot.n_from AS p
+        |FROM c JOIN tot USING (from_type)
+        |ORDER BY from_type, to_type""".stripMargin,
 
     // cust is read by the rank window AND the final census -> MATERIALIZED;
     // the cuts are the lower-median row_number idiom (ties share a cent

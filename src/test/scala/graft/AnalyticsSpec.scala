@@ -235,6 +235,32 @@ class AnalyticsSpec extends SparkTestBase {
     assert(got.map(_._1).distinct.size == 5 || n < 25)
   }
 
+  test("markov transitions equal a driver-side chain replay; rows normalize") {
+    val ev = ops.table(spark, sfDir, "events")
+      .select(col("user_id"), unix_micros(col("ts")).as("t"),
+        col("event_id"), col("event_type"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val pairs = ev.groupBy(_._1).values.flatMap { es =>
+      val seq = es.sortBy(e => (e._2, e._3)).map(_._4).toSeq
+      seq.zip(seq.tail)
+    }.toSeq
+    val counts = pairs.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val fromTot = pairs.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val expected = counts.toSeq.map { case ((f, t), n) =>
+      (f, t, n, fromTot(f), n.toDouble / fromTot(f))
+    }.sortBy(x => (x._1, x._2))
+    val got = q("q_analytics_markov").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).toSeq
+    assert(got == expected, "transition matrix differs from the chain replay")
+    // each from-row's probabilities sum to ~1 (exact n/n_from fractions)
+    got.groupBy(_._1).foreach { case (f, rs) =>
+      assert(rs.map(_._3).sum == rs.head._4, s"$f: counts don't total n_from")
+      assert(math.abs(rs.map(_._5).sum - 1.0) < 1e-9, s"$f: row not normalized")
+    }
+  }
+
   test("revenue concentration equals a driver-side order-statistic replay") {
     val cents = ops.table(spark, sfDir, "orders")
       .select(col("o_custkey"), col("o_totalprice")).collect()
