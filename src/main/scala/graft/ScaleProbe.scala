@@ -195,7 +195,24 @@ object ScaleProbe {
       "q_llm_dataset_card", "q_agg_diversity",
       // r9 continuation: OLS trend (grid axis) and the in-stream nearest
       // as-of (two windows on one per-user sort)
-      "q_ts_trend", "q_join_asof_nearest")
+      "q_ts_trend", "q_join_asof_nearest",
+      // r10: n=13 decontamination (its own memoized kept-shingle
+      // substrate), NFC audit (one scan, isNormalized fast path), RA link
+      // prediction + brand modularity (warm on the shared graph indexes),
+      // RFM (stacked two-level ranks), source MI (digest agg + marginals)
+      "q_llm_contamination13", "q_text_unicode_norm",
+      "q_graph_linkpred", "q_graph_modularity",
+      "q_analytics_rfm", "q_text_source_mi",
+      // r10: SQL-text entry (plans like the DSL), dim stats (explode +
+      // one agg), packing report (literal fan-out), corr matrix (ONE
+      // 25-column moment agg), MAD census + revenue concentration
+      // (bucketed order statistics), lag-24 backtest (grid axis),
+      // bucketed co-located join (cold row = the one-time write),
+      // markov transitions (per-user lead window, enum-bounded rejoin)
+      "q_sql_shipping_priority", "q_sql_revenue_by_nation",
+      "q_llm_emb_dim_stats", "q_llm_packing_efficiency", "q_profile_corr",
+      "q_ts_anomaly_mad", "q_analytics_revenue_conc", "q_ts_forecast_naive",
+      "q_sink_bucketed", "q_analytics_markov")
     // warmup
     SparkEntry.queries("q_agg_basic")(spark, outDir).count()
     val results = probes.map { name =>
