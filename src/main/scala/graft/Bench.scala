@@ -76,8 +76,17 @@ object Bench {
     // the two engines on the SAME queries only (oracled ∩ benched, both
     // succeeded), so adding oracle-less queries can't skew it.
     val baseline = duckdbRatio(results)
+    // Summary WITHOUT the ~5k-char per-query map: the driver records only
+    // the last 2000 chars of output, and round 10's tail lost the
+    // totals/ratio to the map + shutdown noise (BENCH_r10 parsed: null).
+    // The compact line is printed FIRST (so a head-capture has it) and
+    // again LAST — after spark.stop(), so no shutdown logging can follow
+    // it and the tail is always a complete, parseable JSON object.
+    val summary = s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed$baseline,"sf":"$sfDir"}"""
+    println(summary)
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed$baseline,"sf":"$sfDir"}""")
     spark.stop()
+    println(summary)
   }
 
   /** The DuckDB twins of these queries are written for BIT-EXACT float

@@ -248,11 +248,13 @@ object Pipelines {
   def cdcChunkReport(spark: SparkSession, docs: DataFrame): DataFrame =
     CurationOps.cdcChunkReport(spark, docs)
 
-  /** Integer-scaled PageRank (r9; fixpoint since r10) over an arbitrary
-    * directed `(src, dst)` arc frame: returns (node_id, r) after damped
-    * iterations run to the exact integer fixpoint (Σ|Δr| = 0; throws past
-    * [[ops.GraphOps.PrMaxRounds]] rounds — the refusal discipline), r in
-    * units of [[ops.GraphOps.PrScale]] per node. Give every node an
+  /** Integer-scaled PageRank (r9; limit-cycle contract since r10) over an
+    * arbitrary directed `(src, dst)` arc frame: returns (node_id, r). The
+    * floor-quantized damped map generally has NO exact integer fixpoint, so
+    * iterations run until the exact period-≤2 limit cycle is detected
+    * (Σ|r_k − r_{k−2}| = 0; throws past [[ops.GraphOps.PrMaxRounds]] rounds
+    * — the refusal discipline) and the result is the elementwise min of the
+    * two cycle states, r in units of [[ops.GraphOps.PrScale]] per node. Give every node an
     * out-arc (e.g. arcs both ways for an undirected graph) — dangling mass
     * is not redistributed. NOTE: runs Spark jobs at call time (the
     * per-iteration rank materialization). See q_graph_pagerank. */

@@ -56,6 +56,20 @@ object TextHashes {
       java.text.Normalizer.normalize(str, java.text.Normalizer.Form.NFC))
   }
 
+  /** Unicode NFKC normalization (compatibility composition) — the
+    * aggressive curation fold (ligatures ﬁ→fi, full-width Ａ→A, circled
+    * ①→1, superscripts ²→2) run before tokenization when compatibility
+    * variants must share a digest. ORACLE-LESS by declaration: DuckDB
+    * ships only NFC (`nfc_normalize`), so this key is spec-gated (the
+    * HLL/GK precedent) — idempotence, NFC∘NFKC = NFKC, and known fold
+    * cases are pinned in TextSpec. Same fast path as [[nfc]]. */
+  def nfkc(s: UTF8String): UTF8String = {
+    val str = s.toString
+    if (java.text.Normalizer.isNormalized(str, java.text.Normalizer.Form.NFKC)) s
+    else UTF8String.fromString(
+      java.text.Normalizer.normalize(str, java.text.Normalizer.Form.NFKC))
+  }
+
   /** Winnowing-style min-shingle hash: minimum polynomial hash over all
     * `k`-codepoint windows; the whole-text hash for shorter inputs.
     * O(n·k) with zero allocation beyond the codepoint array — the windows
@@ -139,6 +153,24 @@ case class NfcNormalize(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(newChild: Expression): NfcNormalize =
     copy(child = newChild)
   override def prettyName: String = "nfc_normalize"
+}
+
+/** `nfkc_normalize(text)`: Unicode NFKC compatibility composition as a
+  * native codegen'd expression (see [[TextHashes.nfkc]]). Declared
+  * oracle-less — DuckDB has no NFKC — and spec-gated instead (r11). */
+case class NfkcNormalize(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName(text) requires a STRING argument, got ${child.dataType.sql}")
+  override def nullSafeEval(v: Any): Any =
+    TextHashes.nfkc(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHashes.nfkc($c)")
+  override protected def withNewChildInternal(newChild: Expression): NfkcNormalize =
+    copy(child = newChild)
+  override def prettyName: String = "nfkc_normalize"
 }
 
 /** `min_shingle_hash(text, k)`: winnowing-style minimum `k`-codepoint

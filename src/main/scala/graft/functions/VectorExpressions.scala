@@ -172,6 +172,13 @@ object GraftFunctions {
           s"nfc_normalize(text) requires exactly 1 argument, got ${es.length}")
         NfcNormalize(es(0))
       }),
+    (FunctionIdentifier("nfkc_normalize"),
+      new ExpressionInfo(classOf[NfkcNormalize].getName, "nfkc_normalize"),
+      (es: Seq[Expression]) => {
+        require(es.length == 1,
+          s"nfkc_normalize(text) requires exactly 1 argument, got ${es.length}")
+        NfkcNormalize(es(0))
+      }),
     (FunctionIdentifier("block_hashes"),
       new ExpressionInfo(classOf[BlockHashGenerator].getName, "block_hashes"),
       (es: Seq[Expression]) => {

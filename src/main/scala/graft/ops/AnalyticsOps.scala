@@ -40,13 +40,47 @@ object AnalyticsOps extends QueryModule {
       s"(($s2 / $n - ${mean(s1, n)} * ${mean(s1, n)}) * $n / ($n - 1))"
     val va = v("s1a", "s2a", "na")
     val vb = v("s1b", "s2b", "nb")
+    // Welch–Satterthwaite df and a significant-at-0.05 verdict (r11).
+    // The t critical value comes from the Cornish–Fisher/Peiser expansion
+    // t_crit(ν) ≈ z + (z³+z)/4ν + (5z⁵+16z³+3z)/96ν² + (3z⁷+19z⁵+17z³−15z)/384ν³
+    // with z = Φ⁻¹(0.975) — a PURE rational function of df (no erf/exp,
+    // which are libm-dependent and do not replay; accurate to ~1e-4 for
+    // ν ≥ 10, pinned against t-table values in AnalyticsSpec). Every
+    // fractional constant is CAST to DOUBLE (the round-9 DECIMAL-literal
+    // rule); both engines evaluate the identical expression tree in IEEE
+    // doubles, so the boolean verdict replays even at a knife edge.
+    val se2a = s"($va / na)"
+    val se2b = s"($vb / nb)"
+    val tExpr = s"(${mean("s1a", "na")} - ${mean("s1b", "nb")})" +
+      s" / sqrt($se2a + $se2b)"
+    val dfExpr = s"(($se2a + $se2b) * ($se2a + $se2b)" +
+      s" / ($se2a * $se2a / (na - 1) + $se2b * $se2b / (nb - 1)))"
+    val z = "CAST(1.959963984540054 AS DOUBLE)"
+    val tCrit =
+      s"($z + ($z*$z*$z + $z) / (4 * $dfExpr)" +
+        s" + (5*$z*$z*$z*$z*$z + 16*$z*$z*$z + 3*$z)" +
+        s" / (96 * $dfExpr * $dfExpr)" +
+        s" + (3*$z*$z*$z*$z*$z*$z*$z + 19*$z*$z*$z*$z*$z + 17*$z*$z*$z - 15*$z)" +
+        s" / (384 * $dfExpr * $dfExpr * $dfExpr))"
     Seq(
       s"${mean("s1a", "na")} AS mean_a",
       s"${mean("s1b", "nb")} AS mean_b",
       s"$va AS var_a",
       s"$vb AS var_b",
-      s"(${mean("s1a", "na")} - ${mean("s1b", "nb")})" +
-        s" / sqrt($va / na + $vb / nb) AS t_stat")
+      s"$tExpr AS t_stat",
+      s"$dfExpr AS df",
+      s"$tCrit AS t_crit_05",
+      s"abs($tExpr) > $tCrit AS significant_05")
+  }
+
+  /** The shared t-critical expansion as a pure Scala function — the
+    * driver-side replay AnalyticsSpec pins the SQL expansion (and the
+    * t-table) against. Same operation order as the formula string. */
+  private[graft] def tCrit05(df: Double): Double = {
+    val z = 1.959963984540054
+    z + (z*z*z + z) / (4 * df) +
+      (5*z*z*z*z*z + 16*z*z*z + 3*z) / (96 * df * df) +
+      (3*z*z*z*z*z*z*z + 19*z*z*z*z*z + 17*z*z*z - 15*z) / (384 * df * df * df)
   }
 
   /** Shared association-rule projections over (sab, sa, sb, n) — ONE

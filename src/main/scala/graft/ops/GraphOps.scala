@@ -858,7 +858,12 @@ object GraphOps extends QueryModule {
     * stage is `AS MATERIALIZED` (the ccStagesCte lesson: a [[PrIters]]-deep
     * inlined chain is pathological to plan and re-runs shared inputs).
     * Generated from the same constants as the Spark loop (single source of
-    * truth, the bpeMergeStagesCte pattern). */
+    * truth, the bpeMergeStagesCte pattern). Each `r\$k` stage CASTs back to
+    * BIGINT: DuckDB widens `sum(BIGINT)` to HUGEINT and the int128 type
+    * would otherwise propagate through every stage into the output column
+    * (the §7.4 "computed ints cast to BIGINT on both sides" invariant —
+    * values were bit-identical but the driver's type-sensitive hash gate
+    * failed on the width; oracle_lint now asserts no HUGEINT outputs). */
   private def prStagesCte: String =
     (1 to PrIters).map { k =>
       s"""m$k AS MATERIALIZED (
@@ -867,7 +872,7 @@ object GraphOps extends QueryModule {
          |    JOIN deg g ON e.src = g.src
          |  GROUP BY e.dst),
          |r$k AS MATERIALIZED (
-         |  SELECT node_id, (${15 * PrScale} + 85 * m) // 100 AS r FROM m$k)""".stripMargin
+         |  SELECT node_id, CAST((${15 * PrScale} + 85 * m) // 100 AS BIGINT) AS r FROM m$k)""".stripMargin
     }.mkString(",\n")
 
   /** Shared co-purchase CTEs (e0cp/cap/pr/adj) — generated from the same

@@ -61,16 +61,69 @@ object SqlOps extends QueryModule {
       |GROUP BY n_name
       |ORDER BY revenue DESC, n_name""".stripMargin
 
+  /** TPC-H Q4 analog ("order priority checking", r11): correlated EXISTS
+    * from SQL text — orders in one fixture year having at least one
+    * RETURNED lineitem (the fixture has no commit/receipt dates, so the
+    * Q4 lateness predicate becomes a returnflag test). Spark plans the
+    * EXISTS as a left-semi hash join on l_orderkey (shuffle-keyed, no
+    * per-row subquery execution) — the subquery machinery the round-10
+    * entry point never exercised. */
+  private val orderPrioritySql =
+    """SELECT o_orderpriority,
+      |       CAST(count(*) AS BIGINT) AS order_count
+      |FROM orders
+      |WHERE CAST(o_orderdate AS DATE) >= DATE '1997-01-01'
+      |  AND CAST(o_orderdate AS DATE) < DATE '1998-01-01'
+      |  AND EXISTS (SELECT 1 FROM lineitem
+      |              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
+  /** CTE + window analog (r11): each customer's single top-revenue order
+    * (row_number over the HIGH-cardinality o_custkey partition — the
+    * bucketed-rank rule is about low-cardinality partitions; per-customer
+    * groups are bounded by that customer's order count), rolled up by
+    * priority. Money stays DECIMAL through BOTH aggregation levels (an
+    * outer sum over DOUBLE partials would be FP-order-dependent — §7.4)
+    * and surfaces as DOUBLE only in the final projection. */
+  private val topOrderPerCustomerSql =
+    """WITH order_rev AS (
+      |  SELECT o_custkey, o_orderkey, o_orderpriority,
+      |         sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS revenue
+      |  FROM orders
+      |  JOIN lineitem ON l_orderkey = o_orderkey
+      |  GROUP BY o_custkey, o_orderkey, o_orderpriority),
+      |ranked AS (
+      |  SELECT o_custkey, o_orderpriority, revenue,
+      |         row_number() OVER (PARTITION BY o_custkey
+      |                            ORDER BY revenue DESC, o_orderkey) AS rk
+      |  FROM order_rev)
+      |SELECT o_orderpriority,
+      |       CAST(count(*) AS BIGINT) AS n_customers,
+      |       CAST(sum(revenue) AS DOUBLE) AS top_order_revenue
+      |FROM ranked
+      |WHERE rk = 1
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
   def queries: Seq[(String, Q)] = Seq(
     "q_sql_shipping_priority" -> ((s: SparkSession, dir: String) =>
       graft.GraftSql.run(s, dir, shippingPrioritySql)),
 
     "q_sql_revenue_by_nation" -> ((s: SparkSession, dir: String) =>
-      graft.GraftSql.run(s, dir, revenueByNationSql))
+      graft.GraftSql.run(s, dir, revenueByNationSql)),
+
+    "q_sql_order_priority" -> ((s: SparkSession, dir: String) =>
+      graft.GraftSql.run(s, dir, orderPrioritySql)),
+
+    "q_sql_top_order_per_cust" -> ((s: SparkSession, dir: String) =>
+      graft.GraftSql.run(s, dir, topOrderPerCustomerSql))
   )
 
   def oracle: Seq[(String, String)] = Seq(
     "q_sql_shipping_priority" -> shippingPrioritySql,
-    "q_sql_revenue_by_nation" -> revenueByNationSql
+    "q_sql_revenue_by_nation" -> revenueByNationSql,
+    "q_sql_order_priority" -> orderPrioritySql,
+    "q_sql_top_order_per_cust" -> topOrderPerCustomerSql
   )
 }

@@ -297,6 +297,25 @@ object TextOps extends QueryModule {
         .orderBy("doc_id")
     }),
 
+    // Unicode NFKC normalization audit (r11) — the aggressive
+    // compatibility fold (ligatures, full-width forms, circled digits)
+    // a multilingual pipeline applies when compatibility variants must
+    // tokenize identically. ORACLE-LESS by declaration: DuckDB ships
+    // only NFC, so this key is spec-gated instead (the HLL/GK
+    // precedent) — TextSpec pins idempotence, NFC∘NFKC = NFKC and the
+    // canonical fold cases. Same one-scan shape as q_text_unicode_norm.
+    "q_text_nfkc" -> ((s: SparkSession, dir: String) => {
+      graft.functions.GraftFunctions.register(s)
+      table(s, dir, "documents")
+        .select(col("doc_id"), col("text"),
+          call_function("nfkc_normalize", col("text")).as("nfkc"))
+        .select(col("doc_id"),
+          (col("nfkc") =!= col("text")).as("changed"),
+          length(col("nfkc")).cast("long").as("len_nfkc"),
+          substring(sha2(col("nfkc"), 256), 1, 16).as("sha16"))
+        .orderBy("doc_id")
+    }),
+
     // Source↔token mutual information (r10) — how distinguishable the
     // corpus sources are by unigram distribution: the information-gain
     // number a mix designer reads before reweighting (MI ≈ 0 ⇒ sources

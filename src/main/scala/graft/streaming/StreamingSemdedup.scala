@@ -105,7 +105,13 @@ object StreamingSemdedup {
     var embs = st.embs.iterator.map(_.toArray).toVector
     val out = Vector.newBuilder[Verdict]
     arrivals.toSeq.sortBy(_._1).foreach { case (id, embSeq) =>
-      if (ids.length >= cap) out += Verdict(id, bucket, keep = true, None)
+      // Redelivery idempotence (the StreamingSampleK contract): an id
+      // already remembered in state is a re-delivered arrival — emit
+      // nothing, consume no cap slot. Only under-cap arrivals are in
+      // state, so an over-cap redelivery re-emits its pass-through keep
+      // verdict (harmless: verdicts are keyed by vec_id downstream).
+      if (ids.contains(id)) ()
+      else if (ids.length >= cap) out += Verdict(id, bucket, keep = true, None)
       else {
         val e = embSeq.toArray
         var dupOf = Long.MaxValue

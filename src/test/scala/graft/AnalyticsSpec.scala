@@ -172,6 +172,35 @@ class AnalyticsSpec extends SparkTestBase {
     assert(r.getDouble(6) == t, s"t ${r.getDouble(6)} vs replay $t")
     // a hash split should produce arms of comparable size (3x band)
     assert(na > 0 && nb > 0 && na < 3 * nb && nb < 3 * na)
+
+    // r11 significance columns: Welch–Satterthwaite df + the
+    // Cornish–Fisher t-critical replay (same op order as the SQL string)
+    val sea = va / na; val seb = vb / nb
+    val df = (sea + seb) * (sea + seb) /
+      (sea * sea / (na - 1) + seb * seb / (nb - 1))
+    assert(r.getDouble(7) == df, s"df ${r.getDouble(7)} vs replay $df")
+    val tc = graft.ops.AnalyticsOps.tCrit05(df)
+    assert(r.getDouble(8) == tc, s"t_crit ${r.getDouble(8)} vs replay $tc")
+    assert(r.getBoolean(9) == (math.abs(t) > tc))
+    // df is large on this fixture, so t_crit must sit near the z limit
+    assert(df > 30.0 && tc > 1.9599 && tc < 2.05)
+  }
+
+  test("tCrit05 expansion matches two-sided 0.05 t-table values (r11)") {
+    // published two-sided 0.05 critical values; the pure-rational
+    // expansion must land within 2e-3 down to ν = 10 (it is the
+    // replayable stand-in for the libm-dependent erf path)
+    val table = Seq(
+      10.0 -> 2.228139, 20.0 -> 2.085963, 30.0 -> 2.042272,
+      60.0 -> 2.000298, 100.0 -> 1.983972, 1000.0 -> 1.962339)
+    table.foreach { case (df, expect) =>
+      val got = graft.ops.AnalyticsOps.tCrit05(df)
+      assert(math.abs(got - expect) < 2e-3,
+        s"tCrit05($df) = $got, table $expect")
+    }
+    // monotone decreasing toward the z limit
+    val zs = Seq(10.0, 30.0, 100.0, 1e4, 1e8).map(graft.ops.AnalyticsOps.tCrit05)
+    assert(zs == zs.sorted.reverse && zs.last > 1.9599 && zs.last < 1.96)
   }
 
   test("basket rules equal a driver-side support/confidence/lift replay") {

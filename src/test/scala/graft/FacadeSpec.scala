@@ -88,4 +88,43 @@ class FacadeSpec extends SparkTestBase {
     assert(GraftSql.run(spark, sfDir,
       "SELECT count(*) AS n FROM region").head.getLong(0) == 5L)
   }
+
+  test("SQL entry point: correlated EXISTS plans as a semi join (r11)") {
+    import org.apache.spark.sql.functions.{count, lit}
+    val df = SparkEntry.queries("q_sql_order_priority")(spark, sfDir)
+    // the subquery must be decorrelated into a join, never a per-row
+    // subquery execution — the 100 TB shape from SQL text
+    val plan = df.queryExecution.optimizedPlan.toString
+    assert(plan.contains("LeftSemi"), s"EXISTS must plan as a semi join:\n$plan")
+    val sql = df.collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(sql.nonEmpty && sql.length <= 5)
+    val d = (s: String) => java.sql.Date.valueOf(s)
+    val dsl = ops.table(spark, sfDir, "orders")
+      .where(col("o_orderdate").cast("date") >= lit(d("1997-01-01")) &&
+        col("o_orderdate").cast("date") < lit(d("1998-01-01")))
+      .join(ops.table(spark, sfDir, "lineitem")
+          .where(col("l_returnflag") === "R"),
+        col("l_orderkey") === col("o_orderkey"), "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).cast("long").as("order_count"))
+      .orderBy("o_orderpriority")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(sql == dsl, "SQL EXISTS and DSL semi join disagree")
+  }
+
+  test("SQL entry point: CTE + window picks one top order per customer (r11)") {
+    val rows = SparkEntry.queries("q_sql_top_order_per_cust")(spark, sfDir)
+      .collect()
+    assert(rows.nonEmpty && rows.length <= 5)
+    // rk = 1 keeps exactly one row per customer-with-orders: the priority
+    // counts must sum to the distinct ordering-customer count
+    val totalCust = rows.map(_.getLong(1)).sum
+    val expect = ops.table(spark, sfDir, "orders")
+      .join(ops.table(spark, sfDir, "lineitem"),
+        col("l_orderkey") === col("o_orderkey"), "left_semi")
+      .select("o_custkey").distinct().count()
+    assert(totalCust == expect,
+      s"one top order per customer: got $totalCust vs $expect customers")
+    assert(rows.forall(_.getDouble(2) > 0.0))
+  }
 }

@@ -50,6 +50,28 @@ class StreamingSemdedupSpec extends SparkTestBase {
     assert(out2 == Seq(Verdict(15L, 0L, keep = false, Some(10L))))
   }
 
+  test("cellUpdate: a redelivered wave emits nothing and consumes no cap slot") {
+    import org.apache.spark.api.java.Optional
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+    val e1 = Seq(1.0, 0.0)
+    val e1b = Seq(0.999, 0.001)
+    def st() = TestGroupState.create[CellState](
+      Optional.empty(), GroupStateTimeout.NoTimeout, 0L, Optional.empty(), false)
+    val s = st()
+    StreamingSemdedup.cellUpdate(0L, Iterator((10L, e1), (11L, e1b)), s,
+      tau = 0.9, cap = 3).toSeq
+    // full redelivery of the same wave: zero verdicts, state untouched —
+    // the StreamingSampleK idempotence contract
+    val redelivered = StreamingSemdedup.cellUpdate(0L,
+      Iterator((10L, e1), (11L, e1b)), s, tau = 0.9, cap = 3).toSeq
+    assert(redelivered.isEmpty, "redelivered ids must emit no verdicts")
+    assert(s.get.ids == Seq(10L, 11L), "redelivery must not grow state")
+    // the cap slot was NOT consumed: a genuinely new arrival still pairs
+    val out = StreamingSemdedup.cellUpdate(0L, Iterator((12L, e1b)), s,
+      tau = 0.9, cap = 3).toSeq
+    assert(out == Seq(Verdict(12L, 0L, keep = false, Some(10L))))
+  }
+
   test("id-ordered chunked replay equals batch q_llm_emb_semdedup exactly") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext

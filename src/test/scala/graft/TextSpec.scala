@@ -385,6 +385,48 @@ class TextSpec extends SparkTestBase {
       "ASCII fixture rows must be NFC fixed points")
   }
 
+  test("nfkc_normalize: compatibility folds, idempotence, NFC∘NFKC = NFKC (r11)") {
+    import org.apache.spark.sql.functions._
+    graft.functions.GraftFunctions.register(spark)
+    val cases = Seq(
+      "ﬁle ligature",          // U+FB01 LATIN SMALL LIGATURE FI → "fi"
+      "Ｆｕｌｌｗｉｄｔｈ",      // full-width forms → ASCII
+      "① circled ②",           // circled digits → 1, 2
+      "x² + y³",               // superscripts → plain digits
+      "école",           // canonical composition still applies
+      "plain ascii text", "")
+    val out = spark.createDataFrame(cases.map(Tuple1(_))).toDF("text")
+      .select(col("text"),
+        call_function("nfkc_normalize", col("text")).as("nfkc"))
+      .collect().map(r => (r.getString(0), r.getString(1))).toMap
+    // the canonical compatibility folds
+    assert(out("ﬁle ligature") == "file ligature")
+    assert(out("Ｆｕｌｌｗｉｄｔｈ") == "Fullwidth")
+    assert(out("① circled ②") == "1 circled 2")
+    assert(out("x² + y³") == "x2 + y3")
+    assert(out("école") == "école")
+    // engine output matches java.text.Normalizer everywhere
+    cases.foreach { t =>
+      val expected = java.text.Normalizer.normalize(
+        t, java.text.Normalizer.Form.NFKC)
+      assert(out(t) == expected, s"nfkc diverges from Normalizer on '$t'")
+    }
+    // idempotence + NFC∘NFKC = NFKC (NFKC output is already canonical)
+    out.values.foreach { n =>
+      assert(java.text.Normalizer.isNormalized(n, java.text.Normalizer.Form.NFKC))
+      assert(java.text.Normalizer.normalize(
+        n, java.text.Normalizer.Form.NFC) == n)
+    }
+    // the declared (oracle-less) query: same digest-discipline schema as
+    // the NFC twin; ASCII fixture rows are NFKC fixed points
+    val g = q("q_text_nfkc")
+    assert(g.columns.toSeq == Seq("doc_id", "changed", "len_nfkc", "sha16"))
+    val fixture = g.collect()
+    assert(fixture.nonEmpty)
+    assert(fixture.forall(r => !r.getBoolean(1)),
+      "ASCII fixture rows must be NFKC fixed points")
+  }
+
   test("source-MI equals a driver-side integer-log2 replay") {
     def ilog2(n: Long): Long = 63L - java.lang.Long.numberOfLeadingZeros(n)
     val toks = spark.read.parquet(s"$sfDir/documents.parquet")
