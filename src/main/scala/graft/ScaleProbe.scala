@@ -488,6 +488,7 @@ object ScaleProbe {
     ops.StreamAnalogOps.clearIndexCache()
     ops.GraphOps.clearIndexCache()
     ops.AnalyticsOps.clearIndexCache()
+    ops.TextOps.clearIndexCache()
     val cold = pass("cold")
     val warm = pass("warm")
     println(f"[scale] amortize build-share ${(cold - warm) / cold * 100}%.0f%%" +

@@ -455,6 +455,39 @@ object AnalyticsOps extends QueryModule {
         .agg(asLong(count(lit(1))).as("n_customers"),
           (asLong(sum("cents")).cast("double") / 100).as("monetary_total"))
         .orderBy("r_score", "f_score", "m_score")
+    }),
+
+    // Cohort lifetime value (r11): cohort = a user's first-purchase week;
+    // cell (cohort_week, week_offset) = buyers + exact revenue; cumulative
+    // LTV per cohort member via a running DECIMAL sum. Scale: both cohort
+    // assignment and cells are user/week hash aggs (map-side combinable);
+    // the cumulative window runs over the AGGREGATED cell relation
+    // (≤ weeks² rows — time-domain-bounded, not corpus-sized) and cohort
+    // sizes are a broadcast ≤#weeks relation. Money: revenue accumulates
+    // in DECIMAL(18,4) through BOTH the cell agg and the running window
+    // (an outer sum over DOUBLE partials would be FP-order-dependent) and
+    // surfaces as DOUBLE once; ltv_per_user is ONE double/long division.
+    "q_analytics_ltv" -> ((s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = table(s, dir, "events")
+        .where(col("event_type") === "purchase")
+        .select(col("user_id"),
+          expr(s"unix_micros(ts) div $WeekUs").as("week"), col("value"))
+      val fw = ev.groupBy("user_id").agg(min("week").as("cohort_week"))
+      val sizes = fw.groupBy("cohort_week").agg(count(lit(1)).as("cohort_size"))
+      val cells = ev.join(fw, "user_id")
+        .groupBy(col("cohort_week"), (col("week") - col("cohort_week")).as("week_offset"))
+        .agg(asLong(count_distinct(col("user_id"))).as("n_buyers"),
+          sum(col("value").cast("decimal(18,4)")).as("rev_dec"))
+      val w = Window.partitionBy("cohort_week").orderBy("week_offset")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      cells.withColumn("cum_dec", sum(col("rev_dec")).over(w))
+        .join(broadcast(sizes), "cohort_week")
+        .select(col("cohort_week"), col("week_offset"), col("n_buyers"),
+          col("rev_dec").cast("double").as("revenue"),
+          col("cum_dec").cast("double").as("cum_revenue"),
+          (col("cum_dec").cast("double") / col("cohort_size")).as("ltv_per_user"))
+        .orderBy("cohort_week", "week_offset")
     })
   )
 
@@ -749,6 +782,36 @@ object AnalyticsOps extends QueryModule {
         |       CAST((mr - 1) * 5 // n_cust + 1 AS BIGINT) AS m_score,
         |       CAST(count(*) AS BIGINT) AS n_customers,
         |       CAST(CAST(sum(cents) AS BIGINT) AS DOUBLE) / 100 AS monetary_total
-        |FROM q GROUP BY 1, 2, 3 ORDER BY r_score, f_score, m_score""".stripMargin
+        |FROM q GROUP BY 1, 2, 3 ORDER BY r_score, f_score, m_score""".stripMargin,
+
+    // ev and fw are each read twice -> MATERIALIZED per the
+    // multiply-referenced CTE rule; DECIMAL through both the cell agg and
+    // the running window, DOUBLE only in the final projection (§7.4).
+    "q_analytics_ltv" ->
+      s"""WITH ev AS MATERIALIZED (
+         |  SELECT user_id, epoch_us(ts) // $WeekUs AS week, value
+         |  FROM events WHERE event_type = 'purchase'),
+         |fw AS MATERIALIZED (
+         |  SELECT user_id, min(week) AS cohort_week FROM ev GROUP BY user_id),
+         |sizes AS (
+         |  SELECT cohort_week, CAST(count(*) AS BIGINT) AS cohort_size
+         |  FROM fw GROUP BY cohort_week),
+         |cells AS (
+         |  SELECT cohort_week, ev.week - cohort_week AS week_offset,
+         |         CAST(count(DISTINCT ev.user_id) AS BIGINT) AS n_buyers,
+         |         sum(CAST(value AS DECIMAL(18,4))) AS rev_dec
+         |  FROM ev JOIN fw USING (user_id)
+         |  GROUP BY cohort_week, week_offset),
+         |cum AS (
+         |  SELECT cohort_week, week_offset, n_buyers, rev_dec,
+         |         sum(rev_dec) OVER (PARTITION BY cohort_week ORDER BY week_offset
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_dec
+         |  FROM cells)
+         |SELECT cohort_week, week_offset, n_buyers,
+         |       CAST(rev_dec AS DOUBLE) AS revenue,
+         |       CAST(cum_dec AS DOUBLE) AS cum_revenue,
+         |       CAST(cum_dec AS DOUBLE) / cohort_size AS ltv_per_user
+         |FROM cum JOIN sizes USING (cohort_week)
+         |ORDER BY cohort_week, week_offset""".stripMargin
   )
 }

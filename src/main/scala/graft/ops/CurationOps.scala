@@ -927,11 +927,10 @@ object CurationOps extends QueryModule {
       // CTE), not a driver-side docs.count(): folds the extra job into the
       // plan. Same long arithmetic → same IEEE double → same oracle hash.
       val nDocs = docs.agg(count(lit(1)).as("n_docs"))
-      val tf = docs
-        .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
-        .where(length(col("token")) > 0)
-        .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
-        .localCheckpoint(true) // feeds the df agg AND the rejoin — one pass
+      // r11: the per-call localCheckpoint became the session-shared
+      // memoized token index (TextOps.tokenIndexFor) — same exact tf
+      // relation, built once per corpus instead of once per call
+      val tf = TextOps.tokenIndexFor(s, dir).select("doc_id", "token", "tf")
       val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
       tf.join(dfreq, "token")
         .crossJoin(broadcast(nDocs))
@@ -948,11 +947,12 @@ object CurationOps extends QueryModule {
     // frequency alongside — the vocabulary-building pass of a BPE-ish
     // tokenizer pipeline.
     "q_text_vocab" -> ((s: SparkSession, dir: String) =>
-      table(s, dir, "documents")
-        .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
-        .where(length(col("token")) > 0)
+      // r11: one agg over the memoized token index — Σtf ≡ the corpus
+      // occurrence count and the index rows are distinct per (doc, token),
+      // so count(1) ≡ the old count_distinct(doc_id)
+      TextOps.tokenIndexFor(s, dir)
         .groupBy("token")
-        .agg(count(lit(1)).as("tf_corpus"), count_distinct(col("doc_id")).as("df"))
+        .agg(sum(col("tf")).as("tf_corpus"), count(lit(1)).as("df"))
         .orderBy(desc("tf_corpus"), asc("token"))
         .limit(100)),
 
@@ -1000,6 +1000,54 @@ object CurationOps extends QueryModule {
         Some("qbuckets|" +
           SourceSinkOps.fixtureKey(dir, "documents.parquet")))
         .orderBy("lang", "bucket")),
+
+    // Gopher-style repetition/shape rules (Rae et al. 2021 §A1.1, r11):
+    // per doc — token count bounds, mean token length band, alphabetic
+    // token share, top-bigram occupancy, duplicate-bigram occupancy —
+    // composed into one keep verdict, the rule-based quality gate a
+    // pretraining pipeline runs before any model-based scoring.
+    // Thresholds are fixture-calibrated (every rule fires on some docs;
+    // composite keeps 304/500 at sf0.01) with the papers' STRUCTURE.
+    // Replay: every rule is an exact INTEGER cross-multiplication (5·sl ≤
+    // 24·n, 10·mx ≤ tot, …) — no FP in any verdict; the reported ratio
+    // columns are single int/int IEEE divisions. Scale: token stats ride
+    // the memoized token index; bigram stats are per-doc hash aggs whose
+    // exchanges sit above map-side partials (the ngram_lm shape — never
+    // a raw-corpus shuffle). Docs with zero tokens drop out (declared);
+    // single-token docs pass the bigram rules vacuously via the left
+    // join's coalesce-to-0.
+    "q_llm_gopher_quality" -> ((s: SparkSession, dir: String) => {
+      val t = TextOps.tokenIndexFor(s, dir)
+        .groupBy("doc_id")
+        .agg(sum(col("tf")).as("n"),
+          sum(col("tf") * length(col("token"))).as("sl"),
+          sum(when(col("token").rlike("[a-z]"), col("tf")).otherwise(0L)).as("al"))
+      val bg = table(s, dir, "documents")
+        .withColumn("ts", expr("filter(split(text, ' '), t -> length(t) > 0)"))
+        .where(size(col("ts")) >= 2)
+        .select(col("doc_id"), explode(expr(
+          """zip_with(slice(ts, 1, size(ts) - 1),
+            |         slice(ts, 2, size(ts) - 1),
+            |         (a, b) -> concat(a, ' ', b))""".stripMargin)).as("b"))
+      val bstats = bg.groupBy("doc_id", "b").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id")
+        .agg(max(col("c")).as("mx"), sum(col("c")).as("tot"),
+          sum(when(col("c") >= 2, col("c")).otherwise(0L)).as("dup"))
+      t.join(bstats, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n"), col("sl"), col("al"),
+          coalesce(col("mx"), lit(0L)).as("mx"),
+          coalesce(col("tot"), lit(0L)).as("tot"),
+          coalesce(col("dup"), lit(0L)).as("dup"))
+        .selectExpr("doc_id", "CAST(n AS BIGINT) AS n_tokens",
+          "CAST(sl AS DOUBLE) / n AS mean_tok_len",
+          "CAST(al AS DOUBLE) / n AS alpha_frac",
+          "CASE WHEN tot > 0 THEN CAST(mx AS DOUBLE) / tot END AS top_bigram_frac",
+          "CASE WHEN tot > 0 THEN CAST(dup AS DOUBLE) / tot END AS dup_bigram_frac",
+          "CAST(CASE WHEN n BETWEEN 20 AND 80 AND 3 * n <= sl AND 5 * sl <= 24 * n" +
+            " AND 5 * al >= 4 * n AND 10 * mx <= tot AND 8 * dup <= tot" +
+            " THEN 1 ELSE 0 END AS BIGINT) AS keep")
+        .orderBy("doc_id")
+    }),
 
     // Collocation extraction: top-100 bigrams by integer POINTWISE-LIFT
     // score c12·N·10⁶ div (c1·c2) (the log of which is PMI — log is libm-
@@ -1119,7 +1167,7 @@ object CurationOps extends QueryModule {
     // when only a bounded head fuses). Both ranks are tie-broken by doc_id
     // and the two RRF addends evaluate in fixed list order.
     "q_text_rank_fusion" -> ((s: SparkSession, dir: String) => {
-      val a = TextOps.bm25Doc(table(s, dir, "documents"))
+      val a = TextOps.bm25DocFor(s, dir)
         .orderBy(desc("bm25"), asc("doc_id")).limit(RrfK)
         .select(col("doc_id"), row_number().over(
           Window.orderBy(desc("bm25"), asc("doc_id"))).cast("long").as("ra"))
@@ -1461,6 +1509,42 @@ object CurationOps extends QueryModule {
         |       CAST(sum(CASE WHEN c12 = 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS novelty_rate
         |FROM b JOIN c12 USING (w1, w2)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // d is read by both the token and bigram branches -> MATERIALIZED.
+    // Verdict rules are exact integer cross-multiplications on both
+    // sides; only the reported ratio columns divide (one int/int IEEE
+    // division each).
+    "q_llm_gopher_quality" ->
+      """WITH d AS MATERIALIZED (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> length(x) > 0) AS ts
+        |  FROM documents),
+        |t AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n,
+        |         CAST(sum(length(tok)) AS BIGINT) AS sl,
+        |         CAST(sum(CASE WHEN regexp_matches(tok, '[a-z]') THEN 1 ELSE 0 END) AS BIGINT) AS al
+        |  FROM (SELECT doc_id, unnest(ts) AS tok FROM d) GROUP BY doc_id),
+        |bg AS (
+        |  SELECT doc_id, ts[i] || ' ' || ts[i + 1] AS b
+        |  FROM (SELECT doc_id, ts, unnest(generate_series(1, len(ts) - 1)) AS i
+        |        FROM d WHERE len(ts) >= 2)),
+        |c AS (SELECT doc_id, b, count(*) AS c FROM bg GROUP BY doc_id, b),
+        |s AS (
+        |  SELECT doc_id, CAST(max(c) AS BIGINT) AS mx, CAST(sum(c) AS BIGINT) AS tot,
+        |         CAST(sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS BIGINT) AS dup
+        |  FROM c GROUP BY doc_id),
+        |j AS (
+        |  SELECT t.doc_id, n, sl, al, COALESCE(mx, 0) AS mx,
+        |         COALESCE(tot, 0) AS tot, COALESCE(dup, 0) AS dup
+        |  FROM t LEFT JOIN s ON t.doc_id = s.doc_id)
+        |SELECT doc_id, n AS n_tokens,
+        |       CAST(sl AS DOUBLE) / n AS mean_tok_len,
+        |       CAST(al AS DOUBLE) / n AS alpha_frac,
+        |       CASE WHEN tot > 0 THEN CAST(mx AS DOUBLE) / tot END AS top_bigram_frac,
+        |       CASE WHEN tot > 0 THEN CAST(dup AS DOUBLE) / tot END AS dup_bigram_frac,
+        |       CAST(CASE WHEN n BETWEEN 20 AND 80 AND 3 * n <= sl AND 5 * sl <= 24 * n
+        |                  AND 5 * al >= 4 * n AND 10 * mx <= tot AND 8 * dup <= tot
+        |            THEN 1 ELSE 0 END AS BIGINT) AS keep
+        |FROM j ORDER BY doc_id""".stripMargin,
 
     "q_llm_quality_buckets" ->
       """WITH t AS (

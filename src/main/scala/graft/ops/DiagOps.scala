@@ -174,6 +174,12 @@ object DiagOps extends QueryModule {
     Seq(s"CASE WHEN $den > 0 THEN ($sxy - sx * sy / n) / $den END AS acf")
   }
 
+  /** q_ts_crosscorr: the identical Pearson-over-split-moments projection,
+    * aliased for the cross-series output column (sharing the string keeps
+    * the IEEE op sequence pinned to q_ts_acf's). */
+  private val ccfFormula: Seq[String] =
+    acfFormula.map(_.replace(" AS acf", " AS ccf"))
+
   /** Shared skew/kurtosis projections over (n, s1d, s2d, s3hid, s3lod,
     * s4aad, s4abd, s4bbd) — ONE formula string evaluated by both engines
     * (Spark selectExpr and the DuckDB oracle), so the IEEE op sequence
@@ -582,6 +588,54 @@ object DiagOps extends QueryModule {
           sum(expr(s"pxy % $MomentSplit").cast("decimal(38,0)")).cast("double").as("sxylo"))
       agg.selectExpr(Seq("event_type", "lag_h", "n") ++ acfFormula: _*)
         .orderBy("event_type", "lag_h")
+    }),
+
+    // Lagged cross-correlation between event-type series (r11) — the
+    // lead/lag coupling signal ("do clicks lead purchases?") a metrics
+    // pipeline reads off a correlogram. Same hourly cent-quantized grid
+    // and hi/lo-split exact moments as q_ts_acf, but pairing DISTINCT
+    // series: ccf(a, b, lag) correlates k_a(h) with k_b(h − lag) for lags
+    // 0..5 (ordered pairs — ccf is asymmetric). Scale: the grid is
+    // time-domain-bounded (#types × #hours, corpus-INDEPENDENT), the
+    // pair fan-out is an equi join on the lagged hour over that bounded
+    // grid, and the moment agg reduces to ≤ types² × lags rows.
+    "q_ts_crosscorr" -> ((s: SparkSession, dir: String) => {
+      val ev = table(s, dir, "events")
+        .withColumn("h", expr(s"unix_micros(ts) div $HourUs"))
+      val rng = ev.agg(min("h").as("h0"), max("h").as("h1"))
+      val grid = ev.select("event_type").distinct()
+        .crossJoin(broadcast(rng))
+        .select(col("event_type"), explode(expr("sequence(h0, h1)")).as("h"))
+      val actual = ev.groupBy("event_type", "h")
+        .agg(dsum(col("value")).as("sv"))
+      val g = grid.join(actual, Seq("event_type", "h"), "left")
+        .select(col("event_type"), col("h"),
+          expr("CAST(round(coalesce(sv, 0.0) * 100) AS BIGINT)").as("k"))
+      val pairs = g
+        .withColumn("lag_h", explode(expr(
+          s"sequence(CAST(0 AS BIGINT), CAST($AcfMaxLag AS BIGINT))")))
+        .join(g.select(col("event_type").as("et_b"), col("h").as("h2"),
+          col("k").as("k2")),
+          col("h2") === col("h") - col("lag_h"))
+        .where(col("event_type") =!= col("et_b"))
+        .select(col("event_type").as("et_a"), col("et_b"), col("lag_h"),
+          col("k").as("x"), col("k2").as("y"))
+      val agg = pairs
+        .withColumn("pxx", col("x") * col("x"))
+        .withColumn("pyy", col("y") * col("y"))
+        .withColumn("pxy", col("x") * col("y"))
+        .groupBy("et_a", "et_b", "lag_h")
+        .agg(asLong(count(lit(1))).as("n"),
+          sum(col("x")).cast("double").as("sx"),
+          sum(col("y")).cast("double").as("sy"),
+          sum(expr(s"pxx div $MomentSplit").cast("decimal(38,0)")).cast("double").as("sxxhi"),
+          sum(expr(s"pxx % $MomentSplit").cast("decimal(38,0)")).cast("double").as("sxxlo"),
+          sum(expr(s"pyy div $MomentSplit").cast("decimal(38,0)")).cast("double").as("syyhi"),
+          sum(expr(s"pyy % $MomentSplit").cast("decimal(38,0)")).cast("double").as("syylo"),
+          sum(expr(s"pxy div $MomentSplit").cast("decimal(38,0)")).cast("double").as("sxyhi"),
+          sum(expr(s"pxy % $MomentSplit").cast("decimal(38,0)")).cast("double").as("sxylo"))
+      agg.selectExpr(Seq("et_a", "et_b", "lag_h", "n") ++ ccfFormula: _*)
+        .orderBy("et_a", "et_b", "lag_h")
     }),
 
     // OHLC downsampling bars: per (event_type, hour) the open/high/low/
@@ -1155,6 +1209,43 @@ object DiagOps extends QueryModule {
          |SELECT event_type, lag_h, n,
          |       ${acfFormula.mkString(",\n       ")}
          |FROM m ORDER BY event_type, lag_h""".stripMargin,
+
+    "q_ts_crosscorr" ->
+      s"""WITH e AS (
+         |  SELECT event_type, epoch_us(ts) // $HourUs AS h, value FROM events),
+         |r AS (SELECT min(h) AS h0, max(h) AS h1 FROM e),
+         |g0 AS (
+         |  SELECT t.event_type, unnest(generate_series(r.h0, r.h1)) AS h
+         |  FROM (SELECT DISTINCT event_type FROM e) t CROSS JOIN r),
+         |a AS (
+         |  SELECT event_type, h,
+         |         CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sv
+         |  FROM e GROUP BY event_type, h),
+         |g AS MATERIALIZED (
+         |  SELECT g0.event_type, g0.h,
+         |         CAST(round(COALESCE(a.sv, 0.0) * 100) AS BIGINT) AS k
+         |  FROM g0 LEFT JOIN a USING (event_type, h)),
+         |l AS (SELECT unnest(generate_series(0, $AcfMaxLag)) AS lag_h),
+         |p AS (
+         |  SELECT x.event_type AS et_a, y.event_type AS et_b, l.lag_h,
+         |         x.k AS x, y.k AS y
+         |  FROM g x CROSS JOIN l
+         |  JOIN g y ON y.h = x.h - l.lag_h AND y.event_type <> x.event_type),
+         |m AS (
+         |  SELECT et_a, et_b, CAST(lag_h AS BIGINT) AS lag_h,
+         |         CAST(count(*) AS BIGINT) AS n,
+         |         CAST(sum(x) AS DOUBLE) AS sx,
+         |         CAST(sum(y) AS DOUBLE) AS sy,
+         |         CAST(sum(CAST((x * x) // $MomentSplit AS DECIMAL(38,0))) AS DOUBLE) AS sxxhi,
+         |         CAST(sum(CAST((x * x) % $MomentSplit AS DECIMAL(38,0))) AS DOUBLE) AS sxxlo,
+         |         CAST(sum(CAST((y * y) // $MomentSplit AS DECIMAL(38,0))) AS DOUBLE) AS syyhi,
+         |         CAST(sum(CAST((y * y) % $MomentSplit AS DECIMAL(38,0))) AS DOUBLE) AS syylo,
+         |         CAST(sum(CAST((x * y) // $MomentSplit AS DECIMAL(38,0))) AS DOUBLE) AS sxyhi,
+         |         CAST(sum(CAST((x * y) % $MomentSplit AS DECIMAL(38,0))) AS DOUBLE) AS sxylo
+         |  FROM p GROUP BY et_a, et_b, lag_h)
+         |SELECT et_a, et_b, lag_h, n,
+         |       ${ccfFormula.mkString(",\n       ")}
+         |FROM m ORDER BY et_a, et_b, lag_h""".stripMargin,
 
     "q_ts_ohlc" ->
       s"""WITH e AS (

@@ -106,6 +106,53 @@ object SqlOps extends QueryModule {
       |GROUP BY o_orderpriority
       |ORDER BY o_orderpriority""".stripMargin
 
+  /** TPC-H Q17 analog ("small-quantity revenue", r11): a CORRELATED
+    * scalar aggregate subquery from SQL text — lineitems whose quantity
+    * is below a fifth of their part's mean, rolled up by brand. The mean
+    * never divides: the predicate is the exact integer cross-
+    * multiplication q·5·count < sum (quantities are integral BIGINTs in
+    * both engines — DuckDB rounds double→int casts while Spark
+    * truncates, so a fractional-quantity fixture would need round()
+    * first). Spark decorrelates both subqueries into per-partkey
+    * aggregates joined on l_partkey — the shuffled fact-fact shape Q17
+    * wants, never a per-row subquery loop. */
+  private val smallQtyRevenueSql =
+    """SELECT p_brand,
+      |       CAST(count(*) AS BIGINT) AS n_small,
+      |       CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS small_revenue
+      |FROM lineitem l
+      |JOIN part p ON p.p_partkey = l.l_partkey
+      |WHERE CAST(l.l_quantity AS BIGINT) * 5 *
+      |        (SELECT count(*) FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)
+      |      < (SELECT sum(CAST(l3.l_quantity AS BIGINT))
+      |         FROM lineitem l3 WHERE l3.l_partkey = l.l_partkey)
+      |GROUP BY p_brand
+      |ORDER BY p_brand""".stripMargin
+
+  /** TPC-H Q22 analog ("high-balance, never-urgent customers", r11):
+    * NOT EXISTS anti-join + an UNCORRELATED scalar subquery pair from SQL
+    * text. The "above-mean balance" predicate is division-free: balance ×
+    * count > total in exact DECIMAL (the count is cast to DECIMAL(12,0)
+    * so the product stays at precision 31 — an uncast BIGINT multiplicand
+    * would push Spark past DECIMAL(38) and force scale-losing rounding
+    * that DuckDB's exact product would not reproduce). The fixture gives
+    * every customer at least one order, so the anti predicate tests for
+    * no URGENT order (203 qualifying customers at sf0.01, not zero). */
+  private val topBalanceInactiveSql =
+    """SELECT c_mktsegment,
+      |       CAST(count(*) AS BIGINT) AS n_customers,
+      |       CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS total_acctbal
+      |FROM customer c
+      |WHERE CAST(c_acctbal AS DECIMAL(18,4)) *
+      |        CAST((SELECT count(*) FROM customer c2 WHERE c2.c_acctbal > 0.0) AS DECIMAL(12,0))
+      |      > (SELECT sum(CAST(c3.c_acctbal AS DECIMAL(18,4)))
+      |         FROM customer c3 WHERE c3.c_acctbal > 0.0)
+      |  AND NOT EXISTS (SELECT 1 FROM orders o
+      |                  WHERE o.o_custkey = c.c_custkey
+      |                    AND o.o_orderpriority = '1-URGENT')
+      |GROUP BY c_mktsegment
+      |ORDER BY c_mktsegment""".stripMargin
+
   def queries: Seq[(String, Q)] = Seq(
     "q_sql_shipping_priority" -> ((s: SparkSession, dir: String) =>
       graft.GraftSql.run(s, dir, shippingPrioritySql)),
@@ -117,13 +164,21 @@ object SqlOps extends QueryModule {
       graft.GraftSql.run(s, dir, orderPrioritySql)),
 
     "q_sql_top_order_per_cust" -> ((s: SparkSession, dir: String) =>
-      graft.GraftSql.run(s, dir, topOrderPerCustomerSql))
+      graft.GraftSql.run(s, dir, topOrderPerCustomerSql)),
+
+    "q_sql_small_qty_revenue" -> ((s: SparkSession, dir: String) =>
+      graft.GraftSql.run(s, dir, smallQtyRevenueSql)),
+
+    "q_sql_top_balance_inactive" -> ((s: SparkSession, dir: String) =>
+      graft.GraftSql.run(s, dir, topBalanceInactiveSql))
   )
 
   def oracle: Seq[(String, String)] = Seq(
     "q_sql_shipping_priority" -> shippingPrioritySql,
     "q_sql_revenue_by_nation" -> revenueByNationSql,
     "q_sql_order_priority" -> orderPrioritySql,
-    "q_sql_top_order_per_cust" -> topOrderPerCustomerSql
+    "q_sql_top_order_per_cust" -> topOrderPerCustomerSql,
+    "q_sql_small_qty_revenue" -> smallQtyRevenueSql,
+    "q_sql_top_balance_inactive" -> topBalanceInactiveSql
   )
 }

@@ -148,24 +148,56 @@ object TextOps extends QueryModule {
     docs.select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("token"))
       .where(length(col("token")) > 0)
 
+  /** Session-lifetime memo of the per-doc term-frequency index
+    * `(doc_id, lang, token, tf)` — the inverted-index substrate shared by
+    * langid / tfidf / the BM25 chain (rank fusion) / rake's stopword
+    * derivation, keyed per (SparkContext, corpus content digest) like
+    * CurationOps.dupClustersFor. One corpus explode + one token-keyed
+    * aggregation is paid per session; every consumer then aggregates or
+    * joins the far smaller distinct-(doc, token) relation. Exact-integer
+    * tf counts, so every derived statistic (dl = Σtf, df = count,
+    * corpus token total = Σtf) is bit-identical to a direct recount and
+    * the DuckDB hash gate is untouched. The build's token-keyed exchange
+    * sits above a map-side partial agg (PlanAudit 5b's bounded shape);
+    * consumers joining the materialized leaf on the token string carry
+    * their own declared exemptions. */
+  private val tokenIndexCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  private[graft] def tokenIndexFor(s: SparkSession, dir: String): DataFrame = {
+    val key = System.identityHashCode(s.sparkContext).toString + "|" +
+      SourceSinkOps.fixtureKey(dir, "documents.parquet")
+    tokenIndexCache.computeIfAbsent(key, _ =>
+      tokens(table(s, dir, "documents"))
+        .groupBy("doc_id", "lang", "token").agg(count(lit(1)).as("tf"))
+        .localCheckpoint(true))
+  }
+
+  /** Drop the memoized token index (ScaleProbe cold-build measurement). */
+  private[graft] def clearIndexCache(): Unit = tokenIndexCache.clear()
+
   def queries: Seq[(String, Q)] = Seq(
     // Language ID: per-language token profile (top-20 by frequency, built
     // from the corpus itself), score each doc by distinct-token overlap with
     // each profile, predict the argmax (ties broken by language asc).
     "q_text_langid" -> ((s: SparkSession, dir: String) => {
       val docs = table(s, dir, "documents")
-      // the token explode feeds the profile agg AND the per-doc distinct;
-      // measured r6: re-exploding per branch beats materializing the 10×
-      // token rows (the aggs shrink before any shuffle), so NO checkpoint
-      val toks = tokens(docs)
-      val freq = toks.groupBy("lang", "token").agg(count(lit(1)).as("c"))
+      // r11: reads the memoized token index — the profile agg sums tf,
+      // and the index rows ARE the per-doc distinct tokens, so the old
+      // explode + distinct passes disappear on the warm path. (The r6
+      // "no checkpoint" note covered materializing RAW token rows; the
+      // tf-aggregated index is ~10× smaller and session-shared.)
+      val idx = tokenIndexFor(s, dir)
+      val freq = idx.groupBy("lang", "token").agg(sum(col("tf")).as("c"))
       val prof = freq
         .withColumn("prof_rn", row_number().over(
           Window.partitionBy("lang").orderBy(desc("c"), asc("token"))))
         .where(col("prof_rn") <= 20)
         .select(col("lang").as("plang"), col("token"))
-      val dtok = toks.select("doc_id", "token").distinct()
-      val score = dtok.join(prof, "token").groupBy("doc_id", "plang")
+      // prof is ≤ 20×|langs| rows but sits on an RDD-leaf lineage (stats
+      // unknown — the r7 rule), so the broadcast must be explicit
+      val score = idx.select("doc_id", "token").join(broadcast(prof), "token")
+        .groupBy("doc_id", "plang")
         .agg(count(lit(1)).as("s"))
       val best = score
         .withColumn("best_rn", row_number().over(
@@ -208,15 +240,18 @@ object TextOps extends QueryModule {
     // tracks. The tiny vocabulary is broadcast; the token stream joins it
     // without shuffling.
     "q_text_oov" -> ((s: SparkSession, dir: String) => {
-      val toks = tokens(table(s, dir, "documents")).select("doc_id", "token")
-        .localCheckpoint(true) // feeds the vocab agg AND the rejoin
-      val vocab = toks.groupBy("token").agg(count(lit(1)).as("tf"))
-        .orderBy(desc("tf"), asc("token")).limit(30)
+      // r11: the per-call localCheckpoint became the session-shared token
+      // index; occurrence counts ride the tf column (Σtf ≡ the old
+      // per-occurrence count — exact BIGINTs, hash gate untouched)
+      val idx = tokenIndexFor(s, dir).select("doc_id", "token", "tf")
+      val vocab = idx.groupBy("token").agg(sum(col("tf")).as("tfc"))
+        .orderBy(desc("tfc"), asc("token")).limit(30)
         .select(col("token"), lit(1L).as("in_vocab"))
-      toks.join(broadcast(vocab), Seq("token"), "left")
+      idx.join(broadcast(vocab), Seq("token"), "left")
         .groupBy("doc_id")
-        .agg(asLong(count(lit(1))).as("n_tokens"),
-          asLong(count(lit(1)) - sum(coalesce(col("in_vocab"), lit(0L)))).as("n_oov"))
+        .agg(asLong(sum(col("tf"))).as("n_tokens"),
+          asLong(sum(col("tf"))
+            - sum(col("tf") * coalesce(col("in_vocab"), lit(0L)))).as("n_oov"))
         .withColumn("oov_rate", col("n_oov").cast("double") / col("n_tokens"))
         .orderBy("doc_id")
     }),
@@ -229,8 +264,7 @@ object TextOps extends QueryModule {
     // correctly-rounded IEEE ops, so the hash gate holds (the entropy
     // formulation would need log() — libm-dependent, rejected).
     "q_text_repetition" -> ((s: SparkSession, dir: String) =>
-      tokens(table(s, dir, "documents"))
-        .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+      tokenIndexFor(s, dir) // = the same (doc_id, token, tf) relation
         .groupBy("doc_id")
         .agg(asLong(sum(col("tf"))).as("n_tokens"),
           asLong(count(lit(1))).as("n_distinct"),
@@ -432,7 +466,7 @@ object TextOps extends QueryModule {
     // addition is order-sensitive — a sum() over an unordered group would
     // not replay); top-20 rides TakeOrderedAndProject.
     "q_text_bm25" -> ((s: SparkSession, dir: String) =>
-      bm25Doc(table(s, dir, "documents"))
+      bm25DocFor(s, dir)
         .orderBy(desc("bm25"), asc("doc_id"))
         .limit(20)),
 
@@ -455,7 +489,10 @@ object TextOps extends QueryModule {
         .select(col("doc_id"), posexplode(
           expr("filter(split(text, ' '), t -> length(t) > 0)"))
           .as(Seq("pos", "token")))
-      val stops = toks.select("doc_id", "token").distinct()
+      // document frequency = one count over the memoized token index
+      // (its rows ARE the distinct (doc, token) pairs) — the old
+      // explode + distinct + agg tree collapses to one warm-leaf agg
+      val stops = tokenIndexFor(s, dir)
         .groupBy("token").agg(count(lit(1)).as("dfc"))
         .orderBy(desc("dfc"), asc("token")).limit(RakeStops)
         .select(col("token"), lit(1).as("is_stop"))
@@ -497,18 +534,35 @@ object TextOps extends QueryModule {
     val toks = docs
       .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
       .where(length(col("token")) > 0)
-    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    bm25FromCounts(docs,
+      toks.groupBy("doc_id", "token").agg(count(lit(1)).as("tf")))
+  }
+
+  /** [[bm25Doc]] over the memoized [[tokenIndexFor]] index — identical
+    * relation (dl = Σtf, sdl = ΣΣtf, per-term tf/df are the same exact
+    * BIGINTs), but the warm path aggregates the materialized
+    * distinct-(doc, token) leaf instead of re-exploding the corpus three
+    * times. Used by q_text_bm25 and the rank-fusion chain. */
+  private[graft] def bm25DocFor(s: SparkSession, dir: String): DataFrame =
+    bm25FromCounts(table(s, dir, "documents"),
+      tokenIndexFor(s, dir).select("doc_id", "token", "tf"))
+
+  /** BM25 over a per-doc term-count relation `(doc_id, token, tf)`. */
+  private def bm25FromCounts(docs: DataFrame, counts: DataFrame): DataFrame = {
+    val dl = counts.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
     val stats = docs.agg(count(lit(1)).as("n"))
-      .crossJoin(toks.agg(count(lit(1)).as("sdl")))
+      .crossJoin(broadcast(counts.agg(sum(col("tf")).as("sdl"))))
     val termId = Bm25Terms.zipWithIndex
       .foldLeft(lit(null).cast("long")) { case (acc, (t, i)) =>
         when(col("token") === t, i.toLong).otherwise(acc)
       }
-    val tf = toks.withColumn("term_id", termId)
+    val tf = counts.withColumn("term_id", termId)
       .where(col("term_id").isNotNull).drop("token")
-      .groupBy("doc_id", "term_id").agg(count(lit(1)).as("tf"))
+      .groupBy("doc_id", "term_id").agg(sum(col("tf")).as("tf"))
     val dfreq = tf.groupBy("term_id").agg(count(lit(1)).as("df"))
-    val scored = tf.join(dfreq, "term_id").join(dl, "doc_id")
+    // dfreq is ≤ |Bm25Terms| rows; with an RDD-leaf lineage the planner
+    // cannot see that (r7 rule) — broadcast explicitly
+    val scored = tf.join(broadcast(dfreq), "term_id").join(dl, "doc_id")
       .crossJoin(broadcast(stats))
       .selectExpr("doc_id", "term_id", bm25TermFormula)
     val pivots = Bm25Terms.indices.map(i =>

@@ -318,4 +318,38 @@ class AnalyticsSpec extends SparkTestBase {
     assert(r.getLong(5) <= n / 10 && r.getLong(6) <= n / 100 + 1)
     assert(r.getDouble(7) > 0.05)
   }
+
+  test("ltv: cohort cells reconcile against a driver-side replay") {
+    val weekUs = 7L * 86400L * 1000000L
+    val rows = q("q_analytics_ltv").collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5)))
+    assert(rows.nonEmpty)
+    // driver-side replay on the sf0.001 purchase stream
+    val ev = ops.table(spark, sfDir, "events")
+      .where(col("event_type") === "purchase")
+      .select(col("user_id"), expr(s"unix_micros(ts) div $weekUs"), col("value"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val cohortOf = ev.groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+    val cohortSize = cohortOf.values.groupBy(identity).view.mapValues(_.size).toMap
+    val cellRev = ev.groupBy(e => (cohortOf(e._1), e._2 - cohortOf(e._1)))
+      .view.mapValues(_.map(e =>
+        BigDecimal(e._3).setScale(4, BigDecimal.RoundingMode.HALF_UP)).sum).toMap
+    val cellBuyers = ev.groupBy(e => (cohortOf(e._1), e._2 - cohortOf(e._1)))
+      .view.mapValues(_.map(_._1).distinct.size).toMap
+    assert(rows.length == cellRev.size, "one row per active (cohort, offset) cell")
+    rows.groupBy(_._1).foreach { case (cw, cells) =>
+      val sorted = cells.sortBy(_._2)
+      var cum = BigDecimal(0)
+      sorted.foreach { case (_, off, buyers, rev, cumRev, ltv) =>
+        assert(buyers == cellBuyers((cw, off)).toLong)
+        assert(rev == cellRev((cw, off)).toDouble)
+        cum += cellRev((cw, off))
+        assert(cumRev == cum.toDouble, s"cum revenue at ($cw, $off)")
+        assert(ltv == cum.toDouble / cohortSize(cw))
+      }
+      // every cohort is active at offset 0 (its members' first purchase)
+      assert(sorted.head._2 == 0L)
+    }
+  }
 }

@@ -716,4 +716,36 @@ class CurationSpec extends SparkTestBase {
     assert(got.map(_._1).toSet.subsetOf(g5),
       "13-gram-flagged docs must be 5-gram-flagged on this fixture")
   }
+
+  test("gopher rules replay exactly against a brute-force driver pass") {
+    val rows = q("q_llm_gopher_quality").collect()
+    val docs = ops.table(spark, sfDir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows.length == docs.size, "one row per (tokenized) doc")
+    var kept = 0
+    rows.foreach { r =>
+      val toks = docs(r.getLong(0)).split(" ").filter(_.nonEmpty)
+      val n = toks.length.toLong
+      val sl = toks.map(_.length.toLong).sum
+      val al = toks.count(_.exists(c => c >= 'a' && c <= 'z')).toLong
+      val bgs = toks.sliding(2).filter(_.length == 2).map(_.mkString(" ")).toSeq
+      val cnt = bgs.groupBy(identity).view.mapValues(_.size.toLong)
+      val (mx, tot) = (if (cnt.isEmpty) 0L else cnt.values.max, bgs.size.toLong)
+      val dup = cnt.values.filter(_ >= 2).sum
+      assert(r.getLong(1) == n)
+      assert(r.getDouble(2) == sl.toDouble / n)
+      assert(r.getDouble(3) == al.toDouble / n)
+      if (tot > 0) {
+        assert(r.getDouble(4) == mx.toDouble / tot)
+        assert(r.getDouble(5) == dup.toDouble / tot)
+      } else assert(r.isNullAt(4) && r.isNullAt(5))
+      val keep = n >= 20 && n <= 80 && 3 * n <= sl && 5 * sl <= 24 * n &&
+        5 * al >= 4 * n && 10 * mx <= tot && 8 * dup <= tot
+      assert(r.getLong(6) == (if (keep) 1L else 0L), s"keep at doc ${r.getLong(0)}")
+      if (keep) kept += 1
+    }
+    // every rule must have teeth on the fixture: both classes non-empty
+    assert(kept > 0 && kept < rows.length)
+  }
 }

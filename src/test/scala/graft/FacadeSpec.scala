@@ -127,4 +127,55 @@ class FacadeSpec extends SparkTestBase {
       s"one top order per customer: got $totalCust vs $expect customers")
     assert(rows.forall(_.getDouble(2) > 0.0))
   }
+
+  test("SQL entry point: correlated scalar subquery decorrelates to aggregates (r11)") {
+    import org.apache.spark.sql.functions.{count, lit, sum}
+    val df = SparkEntry.queries("q_sql_small_qty_revenue")(spark, sfDir)
+    val plan = df.queryExecution.optimizedPlan.toString
+    // both correlated scalar aggs must become per-partkey aggregates
+    // joined back — never a per-row subquery loop
+    assert(!plan.contains("scalar-subquery"),
+      s"correlated scalar subquery did not decorrelate:\n$plan")
+    val sql = df.collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(sql.nonEmpty)
+    val li = ops.table(spark, sfDir, "lineitem")
+    val per = li.groupBy(col("l_partkey").as("pk"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("l_quantity").cast("long")).as("qsum"))
+    val dsl = li.join(per, col("l_partkey") === col("pk"))
+      .where(col("l_quantity").cast("long") * 5 * col("cnt") < col("qsum"))
+      .join(ops.table(spark, sfDir, "part"),
+        col("p_partkey") === col("l_partkey"))
+      .groupBy("p_brand")
+      .agg(count(lit(1)).cast("long").as("n_small"),
+        sum(col("l_extendedprice").cast("decimal(18,4)")).cast("double")
+          .as("small_revenue"))
+      .orderBy("p_brand")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(sql == dsl, "SQL correlated subquery and DSL agg-join disagree")
+  }
+
+  test("SQL entry point: NOT EXISTS plans as an anti join (r11)") {
+    val df = SparkEntry.queries("q_sql_top_balance_inactive")(spark, sfDir)
+    val plan = df.queryExecution.optimizedPlan.toString
+    assert(plan.contains("LeftAnti"), s"NOT EXISTS must plan as an anti join:\n$plan")
+    val rows = df.collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.nonEmpty && rows.length <= 5)
+    // replay the verdict set: above-mean balance (exact cross-multiplied
+    // decimals) and no urgent order
+    val cust = ops.table(spark, sfDir, "customer")
+      .select("c_custkey", "c_mktsegment", "c_acctbal").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    val pos = cust.filter(_._3 > 0.0)
+    val cnt = pos.length
+    val tot = pos.map(c => BigDecimal(c._3).setScale(4, BigDecimal.RoundingMode.HALF_UP)).sum
+    val urgent = ops.table(spark, sfDir, "orders")
+      .where(col("o_orderpriority") === "1-URGENT")
+      .select("o_custkey").distinct().collect().map(_.getLong(0)).toSet
+    val qualify = cust.filter(c =>
+      BigDecimal(c._3).setScale(4, BigDecimal.RoundingMode.HALF_UP) * cnt > tot &&
+        !urgent(c._1))
+    assert(rows.map(_._2).sum == qualify.length.toLong)
+    assert(qualify.nonEmpty, "fixture yields no qualifying customers — weak test")
+  }
 }

@@ -178,6 +178,47 @@ class MixDiagSpec extends SparkTestBase {
     }
   }
 
+  test("crosscorr matches a naive driver-side cross-correlogram over distinct pairs") {
+    val rows = q("q_ts_crosscorr").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        if (r.isNullAt(4)) None else Some(r.getDouble(4))))
+    assert(rows.nonEmpty)
+    val ev = graft.ops.table(spark, sfDir, "events")
+      .select(expr("unix_micros(ts) div 3600000000").as("h"),
+        col("event_type"), col("value")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    val (h0, h1) = (ev.map(_._1).min, ev.map(_._1).max)
+    val series = ev.groupBy(_._2).map { case (t, es) =>
+      val sums = es.groupBy(_._1).view.mapValues(
+        _.map(e => BigDecimal(e._3).setScale(4, BigDecimal.RoundingMode.HALF_UP))
+          .sum).toMap
+      t -> (h0 to h1).map(h =>
+        (sums.getOrElse(h, BigDecimal(0)) * 100).toLong).toArray
+    }
+    val nt = series.size
+    // ordered distinct pairs × lags 0..5, ccf asymmetric by construction
+    assert(rows.length == nt * (nt - 1) * 6)
+    rows.foreach { case (ta, tb, lagH, n, ccf) =>
+      assert(ta != tb)
+      val (va, vb) = (series(ta), series(tb))
+      assert(n == va.length - lagH, "one pair per overlapping grid hour")
+      val xs = va.drop(lagH.toInt).map(_.toDouble)
+      val ys = vb.dropRight(lagH.toInt).map(_.toDouble)
+      val (mx, my) = (xs.sum / n, ys.sum / n)
+      val den = math.sqrt(xs.map(x => (x - mx) * (x - mx)).sum) *
+        math.sqrt(ys.map(y => (y - my) * (y - my)).sum)
+      if (den > 0) {
+        val expected = xs.zip(ys).map { case (x, y) => (x - mx) * (y - my) }.sum / den
+        assert(math.abs(ccf.get - expected) < 1e-6,
+          s"($ta, $tb) lag $lagH: ${ccf.get} vs naive $expected")
+        assert(ccf.get >= -1.0 - 1e-9 && ccf.get <= 1.0 + 1e-9)
+      } else assert(ccf.isEmpty)
+    }
+    // lag 0 is symmetric: ccf(a, b, 0) == ccf(b, a, 0)
+    val at0 = rows.filter(_._3 == 0L).map(r => ((r._1, r._2), r._5)).toMap
+    at0.foreach { case ((a, b), v) => assert(at0((b, a)) == v) }
+  }
+
   test("span_corrupt equals a driver-side mask replay with exact island merge") {
     import graft.functions.ReplayableHash
     val P = ReplayableHash.P
