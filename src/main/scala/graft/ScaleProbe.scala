@@ -212,7 +212,17 @@ object ScaleProbe {
       "q_sql_shipping_priority", "q_sql_revenue_by_nation",
       "q_llm_emb_dim_stats", "q_llm_packing_efficiency", "q_profile_corr",
       "q_ts_anomaly_mad", "q_analytics_revenue_conc", "q_ts_forecast_naive",
-      "q_sink_bucketed", "q_analytics_markov")
+      "q_sink_bucketed", "q_analytics_markov",
+      // r10 close + r11: SQL subquery analogs (decorrelated agg joins /
+      // anti join from SQL text), NFKC audit (one scan), abtest verdict
+      // (same one-agg shape, now with the rational t-critical), cohort
+      // LTV (user/week aggs + tiny-relation window), cross-correlation
+      // (grid axis like acf), gopher rules (token-index agg + per-doc
+      // bigram partials)
+      "q_sql_order_priority", "q_sql_top_order_per_cust",
+      "q_sql_small_qty_revenue", "q_sql_top_balance_inactive",
+      "q_text_nfkc", "q_analytics_ltv", "q_ts_crosscorr",
+      "q_llm_gopher_quality")
     // warmup
     SparkEntry.queries("q_agg_basic")(spark, outDir).count()
     val results = probes.map { name =>

@@ -254,8 +254,61 @@ object SourceSinkOps extends QueryModule {
         .groupBy("batch_id")
         .agg(count(lit(1)).as("n_records"),
           min("event_id").as("first_id"), max("event_id").as("last_id"))
-        .orderBy("batch_id"))
+        .orderBy("batch_id")),
+
+    // Z-order (Morton) layout analysis (r11b) — the clustering-key study
+    // behind a 100 TB table-layout decision: interleave the low
+    // [[ZorderBits]] bits of (l_orderkey, l_partkey), cut the key space
+    // into fixed 2^12 cells (64-value per-dimension extent), and report
+    // per-layout locality (cells, rows, avg/max key spans per cell) for
+    // the Morton order NEXT TO the lexicographic (orderkey-major)
+    // baseline. The punchline the report shows: z-order bounds the
+    // SECOND dimension's span per cell at the cell's 64-value extent
+    // (multi-column min/max file skipping works on both predicates); the
+    // linear order leaves it at the full partkey domain — OpsSpec pins
+    // the inequality. ONE scan: both layouts fan out via stack() before
+    // the cell agg (map-side combinable); the zkey arithmetic is
+    // GENERATED from one constant set for both engines (zkeyExpr — the
+    // corrFormula pattern); exact integers until the two avg divisions.
+    "q_layout_zorder" -> ((s: SparkSession, dir: String) => {
+      val cell = 1L << 12
+      table(s, dir, "lineitem")
+        .selectExpr("l_orderkey AS ka", "l_partkey AS kb",
+          s"(${zkeyExpr("l_orderkey", "l_partkey", spark = true)}) AS zkey")
+        .selectExpr("ka", "kb",
+          s"stack(2, 'zorder', zkey div $cell," +
+            s" 'linear', (ka * 65536 + kb) div $cell) AS (layout, cellid)")
+        .groupBy("layout", "cellid")
+        .agg(count(lit(1)).as("nr"),
+          (max("ka") - min("ka") + 1).as("kas"),
+          (max("kb") - min("kb") + 1).as("kbs"))
+        .groupBy("layout")
+        .agg(asLong(count(lit(1))).as("n_cells"),
+          asLong(sum("nr")).as("n_rows"),
+          (sum("kas").cast("double") / count(lit(1))).as("avg_a_span"),
+          (sum("kbs").cast("double") / count(lit(1))).as("avg_b_span"),
+          asLong(max("kas")).as("max_a_span"),
+          asLong(max("kbs")).as("max_b_span"))
+        .orderBy("layout")
+    })
   )
+
+  /** Morton (Z-order) interleave of the low [[ZorderBits]] bits of two
+    * BIGINT key columns — ONE constant set generates BOTH engine strings
+    * (Spark shiftleft/shiftright functions, DuckDB <<//>> operators), the
+    * corrFormula discipline, so the twins cannot drift. Low-bits-only is
+    * the declared fixture regime; a wider-key deployment raises
+    * [[ZorderBits]] and the formula regenerates. */
+  private[graft] val ZorderBits = 16
+  private[graft] def zkeyExpr(pk: String, sk: String, spark: Boolean): String =
+    (0 until ZorderBits).flatMap { i =>
+      if (spark) Seq(
+        s"shiftleft(shiftright($pk, $i) & 1, ${2 * i})",
+        s"shiftleft(shiftright($sk, $i) & 1, ${2 * i + 1})")
+      else Seq(
+        s"((($pk >> $i) & 1) << ${2 * i})",
+        s"((($sk >> $i) & 1) << ${2 * i + 1})")
+    }.mkString(" + ")
 
   def oracle: Seq[(String, String)] = Seq(
     "q_scan_parquet" ->
@@ -326,6 +379,29 @@ object SourceSinkOps extends QueryModule {
         |       CAST(count(*) AS BIGINT) AS n_lines,
         |       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    // base is read by both layout branches -> MATERIALIZED; the zkey
+    // string is GENERATED from the same constants as the engine's
+    "q_layout_zorder" ->
+      s"""WITH base AS MATERIALIZED (
+         |  SELECT l_orderkey AS ka, l_partkey AS kb,
+         |         (${zkeyExpr("l_orderkey", "l_partkey", spark = false)}) AS zkey
+         |  FROM lineitem),
+         |cells AS (
+         |  SELECT layout, cellid, count(*) AS nr,
+         |         max(ka) - min(ka) + 1 AS kas, max(kb) - min(kb) + 1 AS kbs
+         |  FROM (
+         |    SELECT 'zorder' AS layout, zkey // ${1L << 12} AS cellid, ka, kb FROM base
+         |    UNION ALL
+         |    SELECT 'linear' AS layout, (ka * 65536 + kb) // ${1L << 12} AS cellid, ka, kb FROM base)
+         |  GROUP BY layout, cellid)
+         |SELECT layout, CAST(count(*) AS BIGINT) AS n_cells,
+         |       CAST(sum(nr) AS BIGINT) AS n_rows,
+         |       CAST(sum(kas) AS DOUBLE) / count(*) AS avg_a_span,
+         |       CAST(sum(kbs) AS DOUBLE) / count(*) AS avg_b_span,
+         |       CAST(max(kas) AS BIGINT) AS max_a_span,
+         |       CAST(max(kbs) AS BIGINT) AS max_b_span
+         |FROM cells GROUP BY layout ORDER BY layout""".stripMargin
   )
 }

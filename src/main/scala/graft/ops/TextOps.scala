@@ -391,6 +391,61 @@ object TextOps extends QueryModule {
         .withColumn("mi_rate", col("mi_q").cast("double") / col("n_tokens"))
     }),
 
+    // Pairwise source-distribution divergence (r11b) — the size-weighted
+    // Jensen–Shannon divergence between every source pair's unigram
+    // distributions, the "how different are my sources really" number a
+    // mix designer reads per PAIR (q_text_source_mi gives the one global
+    // gain; this localizes it). With size weights π = nᵢ/n the weighted
+    // JSD IS the two-source restriction of MI(S;T), so the same
+    // integer-log2 quanta replay exactly: jsd_q = H_q(pool) − H_q(a) −
+    // H_q(b) with H_q(X) = n·ilog2(n) − Σ c·ilog2(c). The pooled sum
+    // splits into shared-key terms (one digest equi self-join) plus the
+    // single-source remainders (marginal sums minus their shared parts) —
+    // keys present in only one source never need a full-outer join.
+    // Scale: tokens travel as 60-bit digests (rule 5b); the self-join
+    // reuses ONE localCheckpointed count relation; pair rows ≤ sources².
+    // Quantization caveat as mi_q: a deterministic proxy, not an
+    // estimator (floor-log can push tiny divergences negative).
+    "q_text_source_jsd" -> ((s: SparkSession, dir: String) => {
+      graft.functions.GraftFunctions.register(s)
+      def ilog2(c: org.apache.spark.sql.Column) = length(bin(c)) - 1
+      val tf = table(s, dir, "documents")
+        .select(col("source"), explode(split(col("text"), " ")).as("token"))
+        .where(length(col("token")) > 0)
+        .select(col("source"),
+          call_function("shingle_key", col("token")).as("key"))
+        .groupBy("source", "key").agg(count(lit(1)).as("c"))
+        .localCheckpoint(true) // feeds the self-join AND the marginals
+      val marg = tf.groupBy("source").agg(asLong(sum("c")).as("ns"),
+        asLong(sum(col("c") * ilog2(col("c")))).as("ssum"))
+      val shared = tf.select(col("source").as("src_a"), col("key"), col("c").as("ca"))
+        .join(tf.select(col("source").as("src_b"), col("key"), col("c").as("cb")),
+          "key")
+        .where(col("src_a") < col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(
+          asLong(sum((col("ca") + col("cb"))
+            * ilog2(col("ca") + col("cb")))).as("sp_sh"),
+          asLong(sum(col("ca") * ilog2(col("ca")))).as("sa_sh"),
+          asLong(sum(col("cb") * ilog2(col("cb")))).as("sb_sh"))
+      shared
+        .join(broadcast(marg.select(col("source").as("src_a"),
+          col("ns").as("na"), col("ssum").as("sa"))), "src_a")
+        .join(broadcast(marg.select(col("source").as("src_b"),
+          col("ns").as("nb"), col("ssum").as("sb"))), "src_b")
+        .withColumn("n", col("na") + col("nb"))
+        .withColumn("spool",
+          col("sp_sh") + (col("sa") - col("sa_sh")) + (col("sb") - col("sb_sh")))
+        .select(col("src_a"), col("src_b"), col("n").as("n_tokens"),
+          (col("n") * ilog2(col("n")) - col("spool")).as("h_pool_q"),
+          (col("na") * ilog2(col("na")) - col("sa")).as("h_a_q"),
+          (col("nb") * ilog2(col("nb")) - col("sb")).as("h_b_q"))
+        .withColumn("jsd_q",
+          col("h_pool_q") - col("h_a_q") - col("h_b_q"))
+        .withColumn("jsd_rate", col("jsd_q").cast("double") / col("n_tokens"))
+        .orderBy("src_a", "src_b")
+    }),
+
     // Sensitive-term scrubbing (the PII-redaction shape: a term/pattern
     // list replaced by a placeholder before the text ships to training):
     // per doc the match count, redacted length, and redacted-text sha
@@ -666,6 +721,42 @@ object TextOps extends QueryModule {
          |       CAST((n * (length(bin(n)) - 1) - ss) + (n * (length(bin(n)) - 1) - st)
          |            - (n * (length(bin(n)) - 1) - sj) AS DOUBLE) / n AS mi_rate
          |FROM j CROSS JOIN tm CROSS JOIN sm""".stripMargin,
+
+    "q_text_source_jsd" ->
+      s"""WITH tf AS MATERIALIZED (
+         |  SELECT source, ${graft.functions.ReplayableHash.shingleKeySql("token")} AS key,
+         |         count(*) AS c FROM (
+         |    SELECT source, unnest(string_split(text, ' ')) AS token FROM documents)
+         |  WHERE length(token) > 0 GROUP BY 1, 2),
+         |marg AS MATERIALIZED (
+         |  SELECT source, CAST(sum(c) AS BIGINT) AS ns,
+         |         CAST(sum(c * (length(bin(c)) - 1)) AS BIGINT) AS ssum
+         |  FROM tf GROUP BY source),
+         |shared AS (
+         |  SELECT x.source AS src_a, y.source AS src_b,
+         |         CAST(sum((x.c + y.c) * (length(bin(x.c + y.c)) - 1)) AS BIGINT) AS sp_sh,
+         |         CAST(sum(x.c * (length(bin(x.c)) - 1)) AS BIGINT) AS sa_sh,
+         |         CAST(sum(y.c * (length(bin(y.c)) - 1)) AS BIGINT) AS sb_sh
+         |  FROM tf x JOIN tf y ON x.key = y.key AND x.source < y.source
+         |  GROUP BY 1, 2),
+         |j AS (
+         |  SELECT src_a, src_b, a.ns + b.ns AS n,
+         |         sp_sh + (a.ssum - sa_sh) + (b.ssum - sb_sh) AS spool,
+         |         a.ns AS na, b.ns AS nb, a.ssum AS sa, b.ssum AS sb
+         |  FROM shared
+         |  JOIN marg a ON a.source = src_a
+         |  JOIN marg b ON b.source = src_b)
+         |SELECT src_a, src_b, n AS n_tokens,
+         |       n * (length(bin(n)) - 1) - spool AS h_pool_q,
+         |       na * (length(bin(na)) - 1) - sa AS h_a_q,
+         |       nb * (length(bin(nb)) - 1) - sb AS h_b_q,
+         |       (n * (length(bin(n)) - 1) - spool)
+         |         - (na * (length(bin(na)) - 1) - sa)
+         |         - (nb * (length(bin(nb)) - 1) - sb) AS jsd_q,
+         |       CAST((n * (length(bin(n)) - 1) - spool)
+         |            - (na * (length(bin(na)) - 1) - sa)
+         |            - (nb * (length(bin(nb)) - 1) - sb) AS DOUBLE) / n AS jsd_rate
+         |FROM j ORDER BY src_a, src_b""".stripMargin,
 
     "q_text_langid" ->
       """WITH tok AS (

@@ -227,4 +227,38 @@ class OpsSpec extends SparkTestBase {
     assert(dirs == Seq("backward", "forward"), s"directions seen: $dirs")
     got.foreach { case (_, _, _, dt, _) => dt.foreach(d => assert(d >= 0)) }
   }
+
+  test("zorder layout report: interleave replay + the locality punchline") {
+    val rows = SparkEntry.queries("q_layout_zorder")(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getLong(5), r.getLong(6))).toMap
+    assert(rows.keySet == Set("linear", "zorder"))
+    // driver-side Morton replay over the raw keys
+    def morton(ka: Long, kb: Long): Long =
+      (0 until 16).foldLeft(0L) { (acc, i) =>
+        acc | (((ka >> i) & 1L) << (2 * i)) | (((kb >> i) & 1L) << (2 * i + 1))
+      }
+    val keys = ops.table(spark, sfDir, "lineitem")
+      .select("l_orderkey", "l_partkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val cell = 1L << 12
+    def spans(assign: ((Long, Long)) => Long) = {
+      val cells = keys.groupBy(assign)
+      val aSpans = cells.values.map(v => v.map(_._1).max - v.map(_._1).min + 1)
+      val bSpans = cells.values.map(v => v.map(_._2).max - v.map(_._2).min + 1)
+      (cells.size.toLong, aSpans.sum.toDouble / cells.size,
+        bSpans.sum.toDouble / cells.size, aSpans.max, bSpans.max)
+    }
+    val (zc, za, zb, zam, zbm) = spans { case (ka, kb) => morton(ka, kb) / cell }
+    val (lc, la, lb, lam, lbm) = spans { case (ka, kb) => (ka * 65536 + kb) / cell }
+    assert(rows("zorder") == ((zc, keys.length.toLong, za, zb, zam, zbm)))
+    assert(rows("linear") == ((lc, keys.length.toLong, la, lb, lam, lbm)))
+    // the punchline: z-order bounds the SECOND dimension's worst-case
+    // span at the cell's 64-value extent; the orderkey-major linear
+    // layout leaves it near the full partkey domain
+    assert(rows("zorder")._6 <= 64L,
+      "z-order must bound the partkey span at the cell extent")
+    assert(rows("zorder")._6 < rows("linear")._6,
+      "z-order must bound the partkey span below the linear layout's")
+  }
 }

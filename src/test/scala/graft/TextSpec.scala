@@ -456,4 +456,40 @@ class TextSpec extends SparkTestBase {
     assert(r.getLong(6) <= math.min(hs, ht),
       "mi exceeds the marginal-entropy bound")
   }
+
+  test("source jsd replays exactly against a driver-side quanta computation") {
+    val rows = q("q_text_source_jsd").collect()
+      .map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))))
+      .toMap
+    // driver replay over token STRINGS (the digest is injective on the
+    // fixture — the engine's own shingle-key discipline)
+    val toks = graft.ops.table(spark, sfDir, "documents")
+      .selectExpr("source", "explode(split(text, ' ')) AS t")
+      .where("length(t) > 0").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    def ilog2(c: Long): Long = 63 - java.lang.Long.numberOfLeadingZeros(c)
+    def hq(counts: Iterable[Long]): Long = {
+      val n = counts.sum
+      n * ilog2(n) - counts.map(c => c * ilog2(c)).sum
+    }
+    val bySrc = toks.groupBy(_._1).view
+      .mapValues(_.groupBy(_._2).view.mapValues(_.size.toLong).toMap).toMap
+    val srcs = bySrc.keys.toSeq.sorted
+    val pairs = for (i <- srcs.indices; j <- i + 1 until srcs.length)
+      yield (srcs(i), srcs(j))
+    assert(rows.keySet == pairs.toSet, "one row per source pair")
+    pairs.foreach { case (a, b) =>
+      val (ca, cb) = (bySrc(a), bySrc(b))
+      val pool = (ca.keySet ++ cb.keySet).toSeq
+        .map(t => ca.getOrElse(t, 0L) + cb.getOrElse(t, 0L))
+      val (ha, hb, hp) = (hq(ca.values), hq(cb.values), hq(pool))
+      val n = ca.values.sum + cb.values.sum
+      assert(rows((a, b)) == ((n, hp, ha, hb, hp - ha - hb)),
+        s"jsd mismatch for ($a, $b)")
+    }
+    // NOTE: no quanta-order invariants here — H_q(pool) ≥ H_q(part) is
+    // FALSE under floor-log (brute-force counterexample [1,4]/[1,7]);
+    // the exact replay above is the whole contract
+  }
 }
