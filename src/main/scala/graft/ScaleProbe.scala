@@ -222,7 +222,13 @@ object ScaleProbe {
       "q_sql_order_priority", "q_sql_top_order_per_cust",
       "q_sql_small_qty_revenue", "q_sql_top_balance_inactive",
       "q_text_nfkc", "q_analytics_ltv", "q_ts_crosscorr",
-      "q_llm_gopher_quality")
+      "q_llm_gopher_quality",
+      // r11b: source-pair JSD (digest self-join over the count relation),
+      // z-order layout study (scan-side bit math + two-level agg), the
+      // salted skew join (×8 dim explode), and the α=0.5 mix allocator
+      // (per-source aggs + bounded windows)
+      "q_text_source_jsd", "q_layout_zorder",
+      "q_join_skew_salted", "q_llm_mix_alpha")
     // warmup
     SparkEntry.queries("q_agg_basic")(spark, outDir).count()
     val results = probes.map { name =>

@@ -15,6 +15,10 @@ import org.apache.spark.sql.functions._
   */
 object JoinOps extends QueryModule {
 
+  /** q_join_skew_salted: dim-side replication factor — a hot fact key's
+    * rows scatter across this many shuffle partitions. */
+  private[graft] val SaltFactor = 8
+
   /** Shared merge-scan as-of implementation (both directions), salted by a
     * coarse time bucket so no single hot key ever sorts its whole timeline
     * in one task.
@@ -165,6 +169,36 @@ object JoinOps extends QueryModule {
         .orderBy("o_custkey")
     }),
 
+    // Salted skewed join (r11b) — the manual skew-mitigation shape for a
+    // shuffled fact↔dim join whose key distribution is hot: the dim side
+    // replicates ×[[SaltFactor]] (one row per salt value via a literal
+    // sequence explode), the fact side draws a DETERMINISTIC salt from an
+    // unrelated unique column (l_linenumber — no RNG, replays exactly),
+    // and the join key becomes (partkey, salt), so a hot partkey's rows
+    // scatter across [[SaltFactor]] shuffle partitions instead of
+    // funneling one task. Results are IDENTICAL to the unsalted join by
+    // construction (every fact row meets exactly one replica); the oracle
+    // is the PLAIN join — the salt is pure execution shape, asserted
+    // plan-level in JoinSpec (salt column present in the shuffle keys).
+    // AQE's skew-join handles sort-merge cases adaptively; the salt is
+    // the static-plan insurance a 100 TB pipeline writes for its known
+    // hot keys (the CLAUDE.md count-over-hot-key discipline, join form).
+    "q_join_skew_salted" -> ((s: SparkSession, dir: String) => {
+      val fact = table(s, dir, "lineitem")
+        .select(col("l_partkey"), col("l_extendedprice"), col("l_discount"),
+          pmod(col("l_linenumber"), lit(SaltFactor)).as("salt"))
+      val dim = table(s, dir, "part")
+        .select(col("p_partkey"), col("p_brand"),
+          explode(expr(s"sequence(0, ${SaltFactor - 1})")).as("salt"))
+      fact.join(dim,
+          col("l_partkey") === col("p_partkey") && fact("salt") === dim("salt"))
+        .groupBy("p_brand")
+        .agg(asLong(count(lit(1))).as("n_lines"),
+          dsum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .as("revenue"))
+        .orderBy("p_brand")
+    }),
+
     // Banded self-join: equi on p_size bounds the pair blow-up per band.
     "q_join_theta" -> ((s: SparkSession, dir: String) => {
       val p1 = table(s, dir, "part").select(
@@ -259,6 +293,15 @@ object JoinOps extends QueryModule {
   )
 
   def oracle: Seq[(String, String)] = Seq(
+    // the salt is pure execution shape (every fact row meets exactly one
+    // dim replica), so the twin is the PLAIN join
+    "q_join_skew_salted" ->
+      """SELECT p_brand,
+        |       CAST(count(*) AS BIGINT) AS n_lines,
+        |       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+
     "q_join_inner" ->
       """SELECT o_orderkey, o_totalprice, c_name, c_mktsegment
         |FROM orders JOIN customer ON o_custkey = c_custkey

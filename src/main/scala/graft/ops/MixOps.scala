@@ -421,7 +421,43 @@ object MixOps extends QueryModule {
     // DECIMAL(38,0)/HUGEINT so no engine overflows at any corpus size).
     // One corpus scan; the remainder-rank window sees #sources rows.
     "q_llm_token_budget" -> ((s: SparkSession, dir: String) =>
-      tokenBudget(table(s, dir, "documents")).orderBy("source"))
+      tokenBudget(table(s, dir, "documents")).orderBy("source")),
+
+    // Temperature-scaled mixing allocation (r11b) — the α = 0.5 sampling
+    // reweight of multilingual/multi-source training mixes (w_i ∝ n_i^α:
+    // upsample small sources, downsample huge ones; α = 0.5 because
+    // sqrt is IEEE-correctly-rounded in BOTH engines, so this is the one
+    // temperature whose weights replay bit-exactly — a 0.3/0.7 power
+    // would be libm-dependent, rejected). Largest-remainder allocation
+    // over the DOUBLE quotas: the weight total accumulates via an
+    // ORDERED cumulative window (source asc — FP addition order is part
+    // of the replay contract, the bm25 pivot rule in window form), every
+    // quota/remainder is the same two-op double expression in both
+    // engines, and Σ alloc = budget exactly. All windows run over the
+    // per-source aggregate (≤ #sources rows), never corpus rows.
+    "q_llm_mix_alpha" -> ((s: SparkSession, dir: String) => {
+      val withW = table(s, dir, "documents")
+        .withColumn("n_tok",
+          asLong(expr("size(filter(split(text, ' '), t -> length(t) > 0))")))
+        .groupBy("source").agg(asLong(sum(col("n_tok"))).as("n_tokens"))
+        .withColumn("w", sqrt(col("n_tokens").cast("double")))
+        .withColumn("cw", sum("w").over(Window.orderBy("source")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val tot = withW.agg(max("cw").as("wtot"))
+      val based = withW.crossJoin(broadcast(tot))
+        .withColumn("quota",
+          lit(TokenBudget.toDouble) * col("w") / col("wtot"))
+        .withColumn("base", expr("CAST(floor(quota) AS BIGINT)"))
+        .withColumn("rem", expr("quota - CAST(base AS DOUBLE)"))
+      val leftover = based.agg((lit(TokenBudget) - sum("base")).as("leftover"))
+      based.crossJoin(broadcast(leftover))
+        .withColumn("rk", row_number().over(
+          Window.orderBy(desc("rem"), asc("source"))))
+        .select(col("source"), col("n_tokens"), col("w").as("weight"),
+          (col("base") + when(col("rk") <= col("leftover"), 1L).otherwise(0L))
+            .as("alloc_tokens"))
+        .orderBy("source")
+    })
   )
 
   /** Largest-remainder token-budget allocation — the q_llm_token_budget
@@ -714,6 +750,37 @@ object MixOps extends QueryModule {
          |         row_number() OVER (ORDER BY rem DESC, source ASC) AS rk
          |  FROM b)
          |SELECT source, n_tokens,
+         |       CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT) AS alloc_tokens
+         |FROM r CROSS JOIN l ORDER BY source""".stripMargin,
+
+    // the cumulative-window total pins FP addition order (source asc) in
+    // both engines; quota/rem are the same two-op double expressions
+    "q_llm_mix_alpha" ->
+      s"""WITH t AS (
+         |  SELECT source,
+         |         CAST(sum(len(list_filter(string_split(text, ' '), x -> length(x) > 0))) AS BIGINT) AS n_tokens
+         |  FROM documents GROUP BY source),
+         |w AS MATERIALIZED (
+         |  SELECT source, n_tokens, sqrt(CAST(n_tokens AS DOUBLE)) AS w,
+         |         sum(sqrt(CAST(n_tokens AS DOUBLE)))
+         |           OVER (ORDER BY source ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw
+         |  FROM t),
+         |tot AS (SELECT max(cw) AS wtot FROM w),
+         |b AS (
+         |  SELECT source, n_tokens, w,
+         |         CAST($TokenBudget AS DOUBLE) * w / wtot AS quota
+         |  FROM w CROSS JOIN tot),
+         |b2 AS MATERIALIZED (
+         |  SELECT source, n_tokens, w, quota,
+         |         CAST(floor(quota) AS BIGINT) AS base,
+         |         quota - CAST(CAST(floor(quota) AS BIGINT) AS DOUBLE) AS rem
+         |  FROM b),
+         |l AS (SELECT $TokenBudget - CAST(sum(base) AS BIGINT) AS leftover FROM b2),
+         |r AS (
+         |  SELECT source, n_tokens, w, base,
+         |         row_number() OVER (ORDER BY rem DESC, source ASC) AS rk
+         |  FROM b2)
+         |SELECT source, n_tokens, w AS weight,
          |       CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT) AS alloc_tokens
          |FROM r CROSS JOIN l ORDER BY source""".stripMargin,
 

@@ -822,4 +822,34 @@ class MixDiagSpec extends SparkTestBase {
       assert(math.abs(c) < 0.2, s"spurious correlation $c on independent draws")
     }
   }
+
+  test("mix_alpha: sqrt-weighted largest-remainder allocation replays exactly") {
+    val budget = 1000000L
+    val rows = q("q_llm_mix_alpha").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    assert(rows.map(_._4).sum == budget, "allocations must sum to the budget")
+    // driver replay: same ordered weight total, same quotas, same ranking
+    val n = rows.map(r => r._1 -> r._2).toMap
+    val srcs = rows.map(_._1).sorted.toSeq
+    val w = srcs.map(s => s -> math.sqrt(n(s).toDouble)).toMap
+    val wtot = srcs.foldLeft(0.0)((acc, s) => acc + w(s)) // source-asc order
+    val quota = srcs.map(s => s -> (budget.toDouble * w(s) / wtot)).toMap
+    val base = srcs.map(s => s -> quota(s).floor.toLong).toMap
+    val leftover = budget - base.values.sum
+    val ranked = srcs.sortBy(s => (-(quota(s) - base(s).toDouble), s))
+    val topped = ranked.take(leftover.toInt).toSet
+    rows.foreach { case (s, _, weight, alloc) =>
+      assert(weight == w(s), s"weight mismatch for $s")
+      assert(alloc == base(s) + (if (topped(s)) 1L else 0L),
+        s"allocation mismatch for $s")
+    }
+    // the temperature property: the allocation is strictly flatter than
+    // proportional — the largest source yields share, the smallest gains
+    val tot = rows.map(_._2).sum
+    val big = rows.maxBy(_._2); val small = rows.minBy(_._2)
+    assert(big._4.toDouble / budget < big._2.toDouble / tot,
+      "alpha=0.5 must downsample the largest source")
+    assert(small._4.toDouble / budget > small._2.toDouble / tot,
+      "alpha=0.5 must upsample the smallest source")
+  }
 }

@@ -261,4 +261,38 @@ class OpsSpec extends SparkTestBase {
     assert(rows("zorder")._6 < rows("linear")._6,
       "z-order must bound the partkey span below the linear layout's")
   }
+
+  test("salted skew join: identical to the plain join, salt in the shuffle keys") {
+    import org.apache.spark.sql.functions.{col, count, lit}
+    val df = SparkEntry.queries("q_join_skew_salted")(spark, sfDir)
+    val salted = df.collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    val plain = ops.table(spark, sfDir, "lineitem")
+      .join(ops.table(spark, sfDir, "part"), col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand")
+      .agg(count(lit(1)).cast("long").as("n_lines"),
+        org.apache.spark.sql.functions.sum(
+          (col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .cast("decimal(18,4)")).cast("double").as("revenue"))
+      .orderBy("p_brand")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(salted.toSeq == plain.toSeq,
+      "salting must not change the join result")
+    // with broadcast disabled the static plan must shuffle on (key, salt):
+    // a hot partkey's rows scatter across SaltFactor partitions
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = SparkEntry.queries("q_join_skew_salted")(spark, sfDir)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("salt"), s"salt column missing from the plan:\n$plan")
+      val joinKeys = "hashpartitioning\\([^)]*salt".r
+      assert(joinKeys.findFirstIn(plan).isDefined,
+        s"shuffle must partition on the salted key:\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    }
+  }
 }
