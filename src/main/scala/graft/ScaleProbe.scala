@@ -228,7 +228,11 @@ object ScaleProbe {
       // salted skew join (×8 dim explode), and the α=0.5 mix allocator
       // (per-source aggs + bounded windows)
       "q_text_source_jsd", "q_layout_zorder",
-      "q_join_skew_salted", "q_llm_mix_alpha")
+      "q_join_skew_salted", "q_llm_mix_alpha",
+      // r11b: the capped-LSH recall report (warm on the shared candidate
+      // index; a cold subset run pays the toks→sigs→pairs build, ~12 s
+      // at x10 — the documented amortization)
+      "q_llm_minhash_recall")
     // warmup
     SparkEntry.queries("q_agg_basic")(spark, outDir).count()
     val results = probes.map { name =>

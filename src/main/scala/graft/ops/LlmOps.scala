@@ -26,6 +26,10 @@ object LlmOps extends QueryModule {
   /** q_llm_ann_recall: probe-set size and recall depth. */
   private val AnnEvalProbes = 20
   private val AnnEvalK = 10
+
+  /** q_llm_minhash_recall: probe-doc count and ground-truth depth. */
+  private val MhEvalProbes = 50
+  private val MhEvalK = 10
   private[graft] val SemDedupTau = 0.4
   private val NumHashes = 16
   private val NumBands  = 8 // 2 rows per band
@@ -739,6 +743,55 @@ object LlmOps extends QueryModule {
         .orderBy("probe_id")
     }),
 
+    // MinHash-LSH EVALUATION harness (r11b) — recall of the capped banded
+    // LSH candidate set against the exact token-set-Jaccard top-10, over
+    // the first 50 docs as probes: the q_llm_ann_recall analog for the
+    // Jaccard family (LlmSpec's uncapped recall pins, promoted to a
+    // declared per-probe report that quantifies what the production caps
+    // cost). Ground truth joins the probe tokens BROADCAST (≤ 50 docs of
+    // tokens — never a corpus token-string shuffle), so the whole exact
+    // pass is one scan of the memoized token index fanned ×probes; the
+    // Jaccard is ONE exact-int division and ranks tie-break by doc_id.
+    // Output keeps probes with ≥ 1 positive-Jaccard neighbor (declared —
+    // every doc shares common tokens on any real corpus).
+    "q_llm_minhash_recall" -> ((s: SparkSession, dir: String) => {
+      val (toks, _, cands) = candidateIndexFor(s, dir)
+      val sz = toks.groupBy("doc_id").agg(count(lit(1)).as("n_tok"))
+      val probeToks = toks.where(col("doc_id") < MhEvalProbes)
+        .select(col("doc_id").as("probe_id"), col("token"))
+      val inter = toks.join(broadcast(probeToks), "token")
+        .where(col("doc_id") =!= col("probe_id"))
+        .groupBy("probe_id", "doc_id").agg(count(lit(1)).as("inter"))
+      val scored = inter
+        .join(sz, "doc_id")
+        .join(broadcast(sz.where(col("doc_id") < MhEvalProbes)
+          .select(col("doc_id").as("probe_id"), col("n_tok").as("np"))),
+          "probe_id")
+        .withColumn("jac", col("inter").cast("double")
+          / (col("np") + col("n_tok") - col("inter")))
+      val exact = scored
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("probe_id").orderBy(desc("jac"), asc("doc_id"))))
+        .where(col("rn") <= MhEvalK)
+        .select("probe_id", "doc_id")
+      val cand = cands.select(col("doc_a").as("probe_id"), col("doc_b").as("doc_id"))
+        .union(cands.select(col("doc_b").as("probe_id"), col("doc_a").as("doc_id")))
+        .where(col("probe_id") < MhEvalProbes)
+      val hits = exact.join(cand, Seq("probe_id", "doc_id"), "left_semi")
+        .groupBy("probe_id").agg(count(lit(1)).as("n_hits"))
+      val ncand = cand.groupBy("probe_id").agg(count(lit(1)).as("n_cand"))
+      exact.groupBy("probe_id").agg(asLong(count(lit(1))).as("n_exact"))
+        .join(broadcast(ncand), Seq("probe_id"), "left")
+        .join(broadcast(hits), Seq("probe_id"), "left")
+        .select(col("probe_id"),
+          col("n_exact"),
+          asLong(coalesce(col("n_cand"), lit(0L))).as("n_cand"),
+          asLong(coalesce(col("n_hits"), lit(0L))).as("n_hits"),
+          (coalesce(col("n_hits"), lit(0L)).cast("double") / col("n_exact"))
+            .as("recall"))
+        .orderBy("probe_id")
+    }),
+
     // MinHash-LSH near-dup candidate pairs. Fully oracled since round 4
     // (ReplayableHash family); LlmSpec additionally checks candidate
     // quality against exact Jaccard — a property the hash gate can't see.
@@ -1283,6 +1336,51 @@ object LlmOps extends QueryModule {
          |SELECT doc_a, doc_b, count(*) AS n_shared_bands
          |FROM pairs GROUP BY doc_a, doc_b
          |ORDER BY n_shared_bands DESC, doc_a, doc_b LIMIT 500""".stripMargin,
+
+    "q_llm_minhash_recall" ->
+      s"""WITH
+         |${RH.tokenHashCte},
+         |${RH.minhashSigsCte(NumHashes)},
+         |${RH.lshBandsCte},
+         |${cappedBandsSql(MaxBucket)},
+         |cand0 AS (
+         |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b
+         |  FROM capped x JOIN capped y USING (band, bh)
+         |  WHERE x.doc_id < y.doc_id
+         |  GROUP BY 1, 2),
+         |cand AS MATERIALIZED (
+         |  SELECT doc_a AS probe_id, doc_b AS doc_id FROM cand0 WHERE doc_a < $MhEvalProbes
+         |  UNION ALL
+         |  SELECT doc_b, doc_a FROM cand0 WHERE doc_b < $MhEvalProbes),
+         |sz AS MATERIALIZED (SELECT doc_id, count(*) AS n_tok FROM tok GROUP BY doc_id),
+         |inter AS (
+         |  SELECT p.doc_id AS probe_id, t.doc_id AS doc_id, count(*) AS inter
+         |  FROM tok p JOIN tok t USING (token)
+         |  WHERE p.doc_id < $MhEvalProbes AND t.doc_id <> p.doc_id
+         |  GROUP BY 1, 2),
+         |scored AS (
+         |  SELECT i.probe_id, i.doc_id,
+         |         CAST(i.inter AS DOUBLE) / (sp.n_tok + st.n_tok - i.inter) AS jac
+         |  FROM inter i
+         |  JOIN sz sp ON sp.doc_id = i.probe_id
+         |  JOIN sz st ON st.doc_id = i.doc_id),
+         |exact AS MATERIALIZED (
+         |  SELECT probe_id, doc_id FROM (
+         |    SELECT probe_id, doc_id,
+         |           row_number() OVER (PARTITION BY probe_id ORDER BY jac DESC, doc_id) AS rn
+         |    FROM scored) WHERE rn <= $MhEvalK),
+         |nc AS (SELECT probe_id, CAST(count(*) AS BIGINT) AS n_cand FROM cand GROUP BY probe_id),
+         |h AS (
+         |  SELECT e.probe_id, CAST(count(*) AS BIGINT) AS n_hits
+         |  FROM exact e JOIN cand c ON c.probe_id = e.probe_id AND c.doc_id = e.doc_id
+         |  GROUP BY 1),
+         |ex AS (SELECT probe_id, CAST(count(*) AS BIGINT) AS n_exact FROM exact GROUP BY probe_id)
+         |SELECT ex.probe_id, n_exact,
+         |       CAST(COALESCE(n_cand, 0) AS BIGINT) AS n_cand,
+         |       CAST(COALESCE(n_hits, 0) AS BIGINT) AS n_hits,
+         |       CAST(COALESCE(n_hits, 0) AS DOUBLE) / n_exact AS recall
+         |FROM ex LEFT JOIN nc USING (probe_id) LEFT JOIN h USING (probe_id)
+         |ORDER BY probe_id""".stripMargin,
 
     "q_llm_minhash_est" ->
       s"""WITH
