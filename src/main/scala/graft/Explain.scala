@@ -21,7 +21,12 @@ object Explain {
         // r10 shape classes: stacked-rank RFM, co-located bucketed join,
         // SQL-text entry, wedge link prediction, one-pass moment matrix
         "q_analytics_rfm", "q_sink_bucketed", "q_sql_revenue_by_nation",
-        "q_graph_linkpred", "q_profile_corr")
+        "q_graph_linkpred", "q_profile_corr",
+        // r11 shape classes: decorrelated scalar subqueries, the salted
+        // skew join, the Morton stack fan-out, the digest self-join JSD,
+        // the broadcast-probe recall harness
+        "q_sql_small_qty_revenue", "q_join_skew_salted", "q_layout_zorder",
+        "q_text_source_jsd", "q_llm_minhash_recall")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

@@ -231,8 +231,9 @@ object ScaleProbe {
       "q_join_skew_salted", "q_llm_mix_alpha",
       // r11b: the capped-LSH recall report (warm on the shared candidate
       // index; a cold subset run pays the toks→sigs→pairs build, ~12 s
-      // at x10 — the documented amortization)
-      "q_llm_minhash_recall")
+      // at x10 — the documented amortization), and the LTTB downsample
+      // (one scan + time-bounded neighbor joins + max_by argmax)
+      "q_llm_minhash_recall", "q_ts_downsample")
     // warmup
     SparkEntry.queries("q_agg_basic")(spark, outDir).count()
     val results = probes.map { name =>

@@ -879,6 +879,62 @@ object DiagOps extends QueryModule {
         .orderBy("event_type")
     }),
 
+    // LTTB-style visualization downsampling (r11b) — per (type, hour
+    // bucket) keep the ONE point forming the largest triangle with the
+    // neighbor buckets' mean points (Steinarsson's
+    // largest-triangle-three-buckets, in the parallel bucket-mean variant:
+    // the sequential selected-point recurrence would serialize the scan;
+    // the mean-anchored form is embarrassingly parallel and is the
+    // standard approximation). Exact replay: areas compare as INTEGERS —
+    // the 2·area expression with mean anchors multiplies through by
+    // np²·nn (constant within a bucket, so the argmax is unchanged):
+    // |(sxp·nn − sxn·np)(y·np − syp) − (sxp − xr·np)(syn·np − syp·nn)|,
+    // every factor an exact BIGINT (x rebased to the corpus min so
+    // Σxr < 2^63 up to ~10^6 rows/bucket at month span — beyond that
+    // rebase per bucket), products in DECIMAL(38,0) (HUGEINT in the twin,
+    // the ohlc okey precedent) — values ≤ ~10^35 stay exact in both.
+    // Scale: one scan + a (type, bucket) hash agg; neighbor attachment
+    // joins the TIME-BOUNDED agg relation on b±1 (empty-hour gaps drop
+    // their neighbors in both engines identically — interior buckets
+    // only, declared); the per-bucket argmax is max_by (map-side
+    // combinable), never a window over raw events.
+    "q_ts_downsample" -> ((s: SparkSession, dir: String) => {
+      val D = "decimal(38,0)"
+      val pts = table(s, dir, "events").select(col("event_type").as("et"),
+        unix_micros(col("ts")).as("x"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("y"))
+      val x0 = pts.agg(min("x").as("x0"))
+      val b = pts.crossJoin(broadcast(x0))
+        .select(col("et"), col("x"), col("y"),
+          (col("x") - col("x0")).as("xr"),
+          expr(s"x div $HourUs").as("b"))
+      val agg = b.groupBy("et", "b").agg(asLong(count(lit(1))).as("n"),
+        asLong(sum("xr")).as("sx"), asLong(sum("y")).as("sy"))
+      val prev = agg.select(col("et").as("et_p"), (col("b") + 1).as("b_p"),
+        col("n").as("np"), col("sx").as("sxp"), col("sy").as("syp"))
+      val next = agg.select(col("et").as("et_n"), (col("b") - 1).as("b_n"),
+        col("n").as("nn"), col("sx").as("sxn"), col("sy").as("syn"))
+      val nbr = agg
+        .join(prev, col("et") === col("et_p") && col("b") === col("b_p"))
+        .join(next, col("et") === col("et_n") && col("b") === col("b_n"))
+        .select("et", "b", "n", "np", "sxp", "syp", "nn", "sxn", "syn")
+      val sc = b.join(nbr, Seq("et", "b"))
+        .withColumn("score", abs(
+          (col("sxp").cast(D) * col("nn") - col("sxn").cast(D) * col("np"))
+            * (col("y").cast(D) * col("np") - col("syp"))
+          - (col("sxp").cast(D) - col("xr").cast(D) * col("np"))
+            * (col("syn").cast(D) * col("np") - col("syp").cast(D) * col("nn"))))
+      sc.groupBy("et", "b")
+        .agg(max_by(struct(col("x"), col("y")),
+          struct(col("score"), (-col("x")).as("nx"))).as("pt"),
+          asLong(min("n")).as("n"))
+        .select(col("et").as("event_type"), col("b").as("bucket"),
+          col("pt.x").as("ts_us"),
+          (col("pt.y").cast("double") / 100).as("value"),
+          col("n"))
+        .orderBy("event_type", "bucket")
+    }),
+
     // Pearson correlation matrix over lineitem's four measures (r10) —
     // the standard profiling read next to q_profile_table: which metrics
     // move together (quantity↔extended-price is the structural pair;
@@ -1209,6 +1265,45 @@ object DiagOps extends QueryModule {
          |SELECT event_type, lag_h, n,
          |       ${acfFormula.mkString(",\n       ")}
          |FROM m ORDER BY event_type, lag_h""".stripMargin,
+
+    // b and agg are each read twice -> MATERIALIZED; the score runs in
+    // HUGEINT where the engine uses DECIMAL(38,0) (the ohlc okey
+    // precedent) — identical integers, and the score never reaches the
+    // output schema
+    "q_ts_downsample" ->
+      s"""WITH p AS (
+         |  SELECT event_type AS et, epoch_us(ts) AS x,
+         |         CAST(round(value * 100) AS BIGINT) AS y
+         |  FROM events),
+         |x0 AS (SELECT min(x) AS x0 FROM p),
+         |b AS MATERIALIZED (
+         |  SELECT et, x, y, x - x0 AS xr, x // $HourUs AS b
+         |  FROM p CROSS JOIN x0),
+         |agg AS MATERIALIZED (
+         |  SELECT et, b, CAST(count(*) AS BIGINT) AS n,
+         |         CAST(sum(xr) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy
+         |  FROM b GROUP BY et, b),
+         |nbr AS (
+         |  SELECT a.et, a.b, a.n,
+         |         pv.n AS np, pv.sx AS sxp, pv.sy AS syp,
+         |         nx.n AS nn, nx.sx AS sxn, nx.sy AS syn
+         |  FROM agg a
+         |  JOIN agg pv ON pv.et = a.et AND pv.b = a.b - 1
+         |  JOIN agg nx ON nx.et = a.et AND nx.b = a.b + 1),
+         |sc AS (
+         |  SELECT b.et, b.b, b.x, b.y, nbr.n,
+         |         abs((CAST(sxp AS HUGEINT) * nn - CAST(sxn AS HUGEINT) * np)
+         |               * (CAST(b.y AS HUGEINT) * np - syp)
+         |             - (CAST(sxp AS HUGEINT) - CAST(b.xr AS HUGEINT) * np)
+         |               * (CAST(syn AS HUGEINT) * np - CAST(syp AS HUGEINT) * nn)) AS score
+         |  FROM b JOIN nbr ON nbr.et = b.et AND nbr.b = b.b),
+         |r AS (
+         |  SELECT et, b, x, y, n,
+         |         row_number() OVER (PARTITION BY et, b ORDER BY score DESC, x) AS rn
+         |  FROM sc)
+         |SELECT et AS event_type, b AS bucket, x AS ts_us,
+         |       CAST(y AS DOUBLE) / 100 AS value, n
+         |FROM r WHERE rn = 1 ORDER BY event_type, bucket""".stripMargin,
 
     "q_ts_crosscorr" ->
       s"""WITH e AS (

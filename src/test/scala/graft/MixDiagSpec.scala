@@ -823,6 +823,44 @@ class MixDiagSpec extends SparkTestBase {
     }
   }
 
+  test("lttb downsample picks the exact integer-area argmax per interior bucket") {
+    val hourUs = 3600000000L
+    val rows = q("q_ts_downsample").collect()
+      .map(r => ((r.getString(0), r.getLong(1)),
+        (r.getLong(2), r.getDouble(3), r.getLong(4)))).toMap
+    assert(rows.nonEmpty)
+    val ev = graft.ops.table(spark, sfDir, "events")
+      .selectExpr("event_type", "unix_micros(ts) AS x",
+        "CAST(round(value * 100) AS BIGINT) AS y")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val x0 = ev.map(_._2).min
+    val byBucket = ev.groupBy(e => (e._1, e._2 / hourUs))
+    val aggs = byBucket.view.mapValues(v =>
+      (v.size.toLong, v.map(e => e._2 - x0).sum, v.map(_._3).sum)).toMap
+    var matched = 0
+    byBucket.foreach { case ((et, bkt), pts) =>
+      (aggs.get((et, bkt - 1)), aggs.get((et, bkt + 1))) match {
+        case (Some((np, sxp, syp)), Some((nn, sxn, syn))) =>
+          val sel = pts.map { case (_, x, y) =>
+            val xr = BigInt(x - x0)
+            val score = ((BigInt(sxp) * nn - BigInt(sxn) * np)
+              * (BigInt(y) * np - syp)
+              - (BigInt(sxp) - xr * np)
+                * (BigInt(syn) * np - BigInt(syp) * nn)).abs
+            (score, x, y)
+          }.maxBy(t => (t._1, -t._2))
+          val got = rows((et, bkt))
+          assert(got._1 == sel._2, s"selected ts at ($et, $bkt)")
+          assert(got._2 == sel._3.toDouble / 100, s"selected value at ($et, $bkt)")
+          assert(got._3 == pts.size.toLong)
+          matched += 1
+        case _ =>
+          assert(!rows.contains((et, bkt)), "edge bucket must not be emitted")
+      }
+    }
+    assert(matched == rows.size && matched > 0)
+  }
+
   test("mix_alpha: sqrt-weighted largest-remainder allocation replays exactly") {
     val budget = 1000000L
     val rows = q("q_llm_mix_alpha").collect()
