@@ -115,6 +115,13 @@ object MultimodalOps extends QueryModule {
   /** Keep-first-K per bucket, replayed identically in SQL. */
   private val MaxNdBucket = 200
 
+  /** q_mm_audio_chunks: 16 kHz contract — 30 s windows on a 25 s stride,
+    * sample count stubbed at 6,250 samples per payload byte. */
+  private val AudioRate = 16000L
+  private val AudioWin = 480000L
+  private val AudioHop = 400000L
+  private val AudioSamplesPerByte = 6250L
+
   /** (asset_id, ms, bucket) — the q_mm_neardup bucketing stage, exposed for
     * ScaleProbe's bucket-size histogram (SCALING.md superlinear-row audit). */
   private[graft] def latticeBuckets(s: SparkSession, dir: String): DataFrame = {
@@ -146,6 +153,33 @@ object MultimodalOps extends QueryModule {
         .select(col("asset_id"),
           explode(sequence(lit(0L), col("n_frames") - 1, lit(5L))).as("frame_idx"))
         .orderBy("asset_id", "frame_idx")),
+
+    // Audio windowing (r11b) — the whisper-style preprocessing cut: each
+    // audio asset becomes fixed 30 s windows on a 25 s stride (5 s
+    // overlap), ready for a per-window encoder. The sample count derives
+    // from the payload length by a declared stub formula (6,250 samples
+    // per byte at the 16 kHz contract — a real decoder would read the
+    // container header; the WINDOW arithmetic is the load-bearing part
+    // and is exact). Pure scan-side fan-out via explode(sequence(...)),
+    // zero shuffle before the presentation sort; the two second-columns
+    // are single long/long IEEE divisions (hop and window are exact
+    // multiples of the rate, so the doubles are integers ±ulp-free).
+    "q_mm_audio_chunks" -> ((s: SparkSession, dir: String) =>
+      decoded(s, dir).toDF()
+        .where(col("kind") === "audio")
+        .withColumn("n_samples", col("n_bytes") * lit(AudioSamplesPerByte))
+        .select(col("asset_id"), col("n_samples"),
+          explode(sequence(lit(0L), col("n_samples") - 1,
+            lit(AudioHop))).as("start_sample"))
+        .select(col("asset_id"),
+          expr(s"start_sample div $AudioHop").as("chunk_id"),
+          col("start_sample"),
+          least(lit(AudioWin), col("n_samples") - col("start_sample"))
+            .as("chunk_samples"),
+          (col("start_sample").cast("double") / AudioRate).as("start_sec"),
+          (least(lit(AudioWin), col("n_samples") - col("start_sample"))
+            .cast("double") / AudioRate).as("dur_sec"))
+        .orderBy("asset_id", "chunk_id")),
 
     // Resize: stub payload, but the byte-level output is oracle-checkable.
     "q_mm_resize" -> ((s: SparkSession, dir: String) => {
@@ -263,6 +297,22 @@ object MultimodalOps extends QueryModule {
         |SELECT asset_id, unnest(generate_series(0, (1 + n // 100) - 1, 5)) AS frame_idx
         |FROM a WHERE kind = 'video'
         |ORDER BY asset_id, frame_idx""".stripMargin,
+
+    "q_mm_audio_chunks" ->
+      s"""WITH a AS (
+         |  SELECT doc_id AS asset_id,
+         |         ['image', 'audio', 'video'][CAST(doc_id % 3 + 1 AS INT)] AS kind,
+         |         CAST(length(text) AS BIGINT) * $AudioSamplesPerByte AS n_samples
+         |  FROM documents),
+         |c AS (
+         |  SELECT asset_id, n_samples,
+         |         unnest(generate_series(0, n_samples - 1, $AudioHop)) AS start_sample
+         |  FROM a WHERE kind = 'audio')
+         |SELECT asset_id, start_sample // $AudioHop AS chunk_id, start_sample,
+         |       least($AudioWin, n_samples - start_sample) AS chunk_samples,
+         |       CAST(start_sample AS DOUBLE) / $AudioRate AS start_sec,
+         |       CAST(least($AudioWin, n_samples - start_sample) AS DOUBLE) / $AudioRate AS dur_sec
+         |FROM c ORDER BY asset_id, chunk_id""".stripMargin,
 
     "q_mm_resize" ->
       """SELECT doc_id AS asset_id,

@@ -74,4 +74,31 @@ class MultimodalSpec extends SparkTestBase {
       assert(r.getAs[Long]("n") == r.getAs[Long]("max_idx") / 5 + 1)
     }
   }
+
+  test("audio chunking tiles each audio asset: 30s windows on a 25s stride") {
+    val (rate, win, hop, spb) = (16000L, 480000L, 400000L, 6250L)
+    val rows = SparkEntry.queries("q_mm_audio_chunks")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5)))
+    assert(rows.nonEmpty)
+    // driver replay from the asset metadata contract
+    val nBytes = graft.ops.table(spark, sfDir, "documents")
+      .where("doc_id % 3 = 1") // audio slot of the round-robin kind
+      .selectExpr("doc_id", "CAST(length(text) AS BIGINT)")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(rows.map(_._1).toSet == nBytes.keySet, "one group per audio asset")
+    rows.groupBy(_._1).foreach { case (aid, cs) =>
+      val n = nBytes(aid) * spb
+      val expectStarts = (0L until n by hop).toSeq
+      val sorted = cs.sortBy(_._2)
+      assert(sorted.map(_._3).toSeq == expectStarts, s"chunk starts of $aid")
+      sorted.foreach { case (_, cid, start, len, ssec, dsec) =>
+        assert(cid == start / hop)
+        assert(len == math.min(win, n - start))
+        assert(ssec == start.toDouble / rate && dsec == len.toDouble / rate)
+      }
+      // every sample is covered: consecutive full windows overlap by 5s
+      assert(sorted.last._3 + sorted.last._4 == n, s"tail coverage of $aid")
+    }
+  }
 }
