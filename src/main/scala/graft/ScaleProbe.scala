@@ -233,7 +233,8 @@ object ScaleProbe {
       // index; a cold subset run pays the toks→sigs→pairs build, ~12 s
       // at x10 — the documented amortization), and the LTTB downsample
       // (one scan + time-bounded neighbor joins + max_by argmax)
-      "q_llm_minhash_recall", "q_ts_downsample", "q_mm_audio_chunks")
+      "q_llm_minhash_recall", "q_ts_downsample", "q_mm_audio_chunks",
+      "q_analytics_stage_latency")
     // warmup
     SparkEntry.queries("q_agg_basic")(spark, outDir).count()
     val results = probes.map { name =>

@@ -131,29 +131,97 @@ object AnalyticsOps extends QueryModule {
       .agg(count(lit(1)).as("n_conv"), dsum(col("value")).as("revenue"))
   }
 
+  /** Per-user ordered funnel times (view_us, click_us, purchase_us) —
+    * the SINGLE implementation behind q_funnel_steps and the r11b
+    * stage-latency report so the two cannot drift: earliest view,
+    * earliest click at/after it, earliest purchase at/after that, as
+    * three chained conditional-min hash aggregates on user_id. */
+  private def funnelTimes(s: SparkSession, dir: String): DataFrame = {
+    val ev = table(s, dir, "events")
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("ts_us"))
+    val t1 = ev.groupBy("user_id")
+      .agg(min(when(col("event_type") === "view", col("ts_us"))).as("view_us"))
+    val t2 = ev.join(t1, "user_id")
+      .groupBy("user_id", "view_us")
+      .agg(min(when(col("event_type") === "click" && col("ts_us") >= col("view_us"),
+        col("ts_us"))).as("click_us"))
+    ev.join(t2, "user_id")
+      .groupBy("user_id", "view_us", "click_us")
+      .agg(min(when(col("event_type") === "purchase" && col("ts_us") >= col("click_us"),
+        col("ts_us"))).as("purchase_us"))
+  }
+
+  /** The funnelTimes CTE chain (ends with t3) — shared by the funnel and
+    * stage-latency oracles, mirroring [[funnelTimes]]. */
+  private val funnelTimesCte =
+    """ev AS (
+      |  SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
+      |t1 AS (
+      |  SELECT user_id,
+      |         min(CASE WHEN event_type = 'view' THEN ts_us END) AS view_us
+      |  FROM ev GROUP BY user_id),
+      |t2 AS (
+      |  SELECT ev.user_id, t1.view_us,
+      |         min(CASE WHEN ev.event_type = 'click' AND ev.ts_us >= t1.view_us
+      |                  THEN ev.ts_us END) AS click_us
+      |  FROM ev JOIN t1 USING (user_id) GROUP BY ev.user_id, t1.view_us),
+      |t3 AS (
+      |  SELECT ev.user_id, t2.view_us, t2.click_us,
+      |         min(CASE WHEN ev.event_type = 'purchase' AND ev.ts_us >= t2.click_us
+      |                  THEN ev.ts_us END) AS purchase_us
+      |  FROM ev JOIN t2 USING (user_id) GROUP BY ev.user_id, t2.view_us, t2.click_us)""".stripMargin
+
   def queries: Seq[(String, Q)] = Seq(
     // Ordered funnel per user: earliest view, earliest click at/after that
     // view, earliest purchase at/after that click; stage = how deep the
     // user got. Three conditional-min hash aggregates chained on user_id.
-    "q_funnel_steps" -> ((s: SparkSession, dir: String) => {
-      val ev = table(s, dir, "events")
-        .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("ts_us"))
-      val t1 = ev.groupBy("user_id")
-        .agg(min(when(col("event_type") === "view", col("ts_us"))).as("view_us"))
-      val t2 = ev.join(t1, "user_id")
-        .groupBy("user_id", "view_us")
-        .agg(min(when(col("event_type") === "click" && col("ts_us") >= col("view_us"),
-          col("ts_us"))).as("click_us"))
-      val t3 = ev.join(t2, "user_id")
-        .groupBy("user_id", "view_us", "click_us")
-        .agg(min(when(col("event_type") === "purchase" && col("ts_us") >= col("click_us"),
-          col("ts_us"))).as("purchase_us"))
-      t3.select(col("user_id"), col("view_us"), col("click_us"), col("purchase_us"),
+    "q_funnel_steps" -> ((s: SparkSession, dir: String) =>
+      funnelTimes(s, dir)
+        .select(col("user_id"), col("view_us"), col("click_us"), col("purchase_us"),
           asLong(when(col("purchase_us").isNotNull, 3)
             .when(col("click_us").isNotNull, 2)
             .when(col("view_us").isNotNull, 1)
             .otherwise(0)).as("funnel_stage"))
-        .orderBy("user_id")
+        .orderBy("user_id")),
+
+    // Funnel stage-transition latency report (r11b) — the "how long do
+    // users take between stages" read next to q_funnel_steps' depth
+    // census: per transition (view→click, click→purchase) the converting
+    // user count, exact mean seconds, and the lower-median second. Scale:
+    // latencies are ONE ROW PER CONVERTING USER (already reduced by the
+    // funnel aggs); the median runs over the SECOND-quantized (stage,
+    // sec) histogram — time-span-bounded, the StreamingQuantile /
+    // anomaly_mad argument — via a cumulative window on that bounded agg,
+    // never a per-stage window over user rows (stage is a 2-value key —
+    // the mktsegment funnel trap). Replay: latencies are exact µs BIGINTs;
+    // mean_sec is the same two-division double chain in both engines;
+    // p50 selects an integer second by value.
+    "q_analytics_stage_latency" -> ((s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.expressions.Window
+      val lat = funnelTimes(s, dir)
+        .select(explode(array(
+          struct(lit("1_view_to_click").as("stage"),
+            (col("click_us") - col("view_us")).as("lat_us")),
+          struct(lit("2_click_to_purchase").as("stage"),
+            (col("purchase_us") - col("click_us")).as("lat_us")))).as("x"))
+        .select(col("x.stage").as("stage"), col("x.lat_us").as("lat_us"))
+        .where(col("lat_us").isNotNull)
+      val bySec = lat.withColumn("sec", expr("lat_us div 1000000"))
+        .groupBy("stage", "sec")
+        .agg(count(lit(1)).as("c"), sum("lat_us").as("su"))
+      val tot = bySec.groupBy("stage")
+        .agg(sum(col("c")).as("n"), sum(col("su")).as("sum_us"))
+      val w = Window.partitionBy("stage").orderBy("sec")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val med = bySec.withColumn("cum", sum(col("c")).over(w))
+        .join(broadcast(tot.select(col("stage"), col("n"))), "stage")
+        .groupBy("stage")
+        .agg(min(when(col("cum") >= expr("(n + 1) div 2"), col("sec"))).as("p50_sec"))
+      tot.join(broadcast(med), "stage")
+        .select(col("stage"), asLong(col("n")).as("n_users"),
+          expr("CAST(sum_us AS DOUBLE) / n / CAST(1000000 AS DOUBLE)").as("mean_sec"),
+          asLong(col("p50_sec")).as("p50_sec"))
+        .orderBy("stage")
     }),
 
     // Cohort retention: cohort = integer week of a user's first event,
@@ -542,28 +610,45 @@ object AnalyticsOps extends QueryModule {
 
   def oracle: Seq[(String, String)] = Seq(
     "q_funnel_steps" ->
-      """WITH ev AS (
-        |  SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
-        |t1 AS (
-        |  SELECT user_id,
-        |         min(CASE WHEN event_type = 'view' THEN ts_us END) AS view_us
-        |  FROM ev GROUP BY user_id),
-        |t2 AS (
-        |  SELECT ev.user_id, t1.view_us,
-        |         min(CASE WHEN ev.event_type = 'click' AND ev.ts_us >= t1.view_us
-        |                  THEN ev.ts_us END) AS click_us
-        |  FROM ev JOIN t1 USING (user_id) GROUP BY ev.user_id, t1.view_us),
-        |t3 AS (
-        |  SELECT ev.user_id, t2.view_us, t2.click_us,
-        |         min(CASE WHEN ev.event_type = 'purchase' AND ev.ts_us >= t2.click_us
-        |                  THEN ev.ts_us END) AS purchase_us
-        |  FROM ev JOIN t2 USING (user_id) GROUP BY ev.user_id, t2.view_us, t2.click_us)
-        |SELECT user_id, view_us, click_us, purchase_us,
-        |       CAST(CASE WHEN purchase_us IS NOT NULL THEN 3
-        |                 WHEN click_us IS NOT NULL THEN 2
-        |                 WHEN view_us IS NOT NULL THEN 1
-        |                 ELSE 0 END AS BIGINT) AS funnel_stage
-        |FROM t3 ORDER BY user_id""".stripMargin,
+      s"""WITH $funnelTimesCte
+         |SELECT user_id, view_us, click_us, purchase_us,
+         |       CAST(CASE WHEN purchase_us IS NOT NULL THEN 3
+         |                 WHEN click_us IS NOT NULL THEN 2
+         |                 WHEN view_us IS NOT NULL THEN 1
+         |                 ELSE 0 END AS BIGINT) AS funnel_stage
+         |FROM t3 ORDER BY user_id""".stripMargin,
+
+    // the latency rows are one per converting user; the median selects an
+    // integer second by value over the (stage, sec) histogram; the mean
+    // is the identical two-division double chain (bySec and tot are each
+    // read twice -> MATERIALIZED)
+    "q_analytics_stage_latency" ->
+      s"""WITH $funnelTimesCte,
+         |lat AS (
+         |  SELECT stage, lat_us FROM (
+         |    SELECT '1_view_to_click' AS stage, click_us - view_us AS lat_us FROM t3
+         |    UNION ALL
+         |    SELECT '2_click_to_purchase', purchase_us - click_us FROM t3)
+         |  WHERE lat_us IS NOT NULL),
+         |bysec AS MATERIALIZED (
+         |  SELECT stage, lat_us // 1000000 AS sec, count(*) AS c, sum(lat_us) AS su
+         |  FROM lat GROUP BY stage, sec),
+         |tot AS MATERIALIZED (
+         |  SELECT stage, CAST(sum(c) AS BIGINT) AS n, CAST(sum(su) AS BIGINT) AS sum_us
+         |  FROM bysec GROUP BY stage),
+         |med AS (
+         |  SELECT b.stage, min(CASE WHEN cum >= (n + 1) // 2 THEN sec END) AS p50_sec
+         |  FROM (SELECT stage, sec,
+         |               sum(c) OVER (PARTITION BY stage ORDER BY sec
+         |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |        FROM bysec) b
+         |  JOIN tot USING (stage)
+         |  GROUP BY b.stage)
+         |SELECT stage, n AS n_users,
+         |       CAST(sum_us AS DOUBLE) / n / CAST(1000000 AS DOUBLE) AS mean_sec,
+         |       CAST(p50_sec AS BIGINT) AS p50_sec
+         |FROM tot JOIN med USING (stage)
+         |ORDER BY stage""".stripMargin,
 
     "q_retention_cohort" ->
       s"""WITH ev AS (

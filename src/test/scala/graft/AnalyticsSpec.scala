@@ -352,4 +352,27 @@ class AnalyticsSpec extends SparkTestBase {
       assert(sorted.head._2 == 0L)
     }
   }
+
+  test("stage latency reconciles with the funnel relation, medians by value") {
+    val rows = q("q_analytics_stage_latency").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getLong(3)))
+      .toMap
+    assert(rows.keySet == Set("1_view_to_click", "2_click_to_purchase"))
+    val fs = q("q_funnel_steps").collect().map(r =>
+      (if (r.isNullAt(1)) None else Some(r.getLong(1)),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)),
+        if (r.isNullAt(3)) None else Some(r.getLong(3))))
+    def replay(lats: Seq[Long]) = {
+      val n = lats.size.toLong
+      val mean = lats.sum.toDouble / n / 1000000.0
+      val secs = lats.map(_ / 1000000L).sorted
+      val p50 = secs((((n + 1) / 2) - 1).toInt)
+      (n, mean, p50)
+    }
+    val vc = fs.collect { case (Some(v), Some(c), _) => c - v }
+    val cp = fs.collect { case (_, Some(c), Some(p)) => p - c }
+    assert(vc.nonEmpty && cp.nonEmpty, "fixture has converting users")
+    assert(rows("1_view_to_click") == replay(vc.toSeq))
+    assert(rows("2_click_to_purchase") == replay(cp.toSeq))
+  }
 }
