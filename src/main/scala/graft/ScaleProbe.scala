@@ -453,7 +453,18 @@ object ScaleProbe {
       // r9 continuation: the dataset card under mass duplication — the
       // clones collapse onto one digest row and dup_rate is exactly what
       // the audit must surface; diversity under the 90%-one-source skew
-      "q_llm_dataset_card", "q_agg_diversity")
+      "q_llm_dataset_card", "q_agg_diversity",
+      // r11: gopher rules under mass duplication (the hot doc's bigram
+      // stats compute once per doc — per-doc aggs collapse map-side;
+      // duplicate-bigram occupancy is exactly what the rule must flag),
+      // source JSD under the 90%-one-source skew (one marginal dominates:
+      // the self-join still carries one row per shared digest), the
+      // capped-LSH recall harness under the clone mega-bucket (caps bound
+      // candidate work; recall is WHAT the harness quantifies), and the
+      // mix allocator under source dominance (sqrt flattens exactly the
+      // skew the probe manufactures)
+      "q_llm_gopher_quality", "q_text_source_jsd",
+      "q_llm_minhash_recall", "q_llm_mix_alpha")
     for ((dir, label) <- Seq((srcDir, "uniform"), (degDir, "degen"))) {
       family.foreach { name =>
         val t0 = System.nanoTime()
