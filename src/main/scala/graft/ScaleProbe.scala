@@ -234,7 +234,10 @@ object ScaleProbe {
       // at x10 — the documented amortization), and the LTTB downsample
       // (one scan + time-bounded neighbor joins + max_by argmax)
       "q_llm_minhash_recall", "q_ts_downsample", "q_mm_audio_chunks",
-      "q_analytics_stage_latency")
+      "q_analytics_stage_latency",
+      // r11b close: the langid confusion report (cold subset pays the
+      // shared token-index build, same amortization note)
+      "q_text_langid_eval")
     // warmup
     SparkEntry.queries("q_agg_basic")(spark, outDir).count()
     val results = probes.map { name =>

@@ -176,36 +176,61 @@ object TextOps extends QueryModule {
   /** Drop the memoized token index (ScaleProbe cold-build measurement). */
   private[graft] def clearIndexCache(): Unit = tokenIndexCache.clear()
 
+  /** Per-doc language prediction (doc_id, lang, lang_guess) — the SINGLE
+    * implementation behind q_text_langid and the r11b confusion-matrix
+    * eval. r11: reads the memoized token index — the profile agg sums tf,
+    * and the index rows ARE the per-doc distinct tokens, so the old
+    * explode + distinct passes disappear on the warm path. (The r6
+    * "no checkpoint" note covered materializing RAW token rows; the
+    * tf-aggregated index is ~10× smaller and session-shared.) */
+  private def langidOf(s: SparkSession, dir: String): DataFrame = {
+    val docs = table(s, dir, "documents")
+    val idx = tokenIndexFor(s, dir)
+    val freq = idx.groupBy("lang", "token").agg(sum(col("tf")).as("c"))
+    val prof = freq
+      .withColumn("prof_rn", row_number().over(
+        Window.partitionBy("lang").orderBy(desc("c"), asc("token"))))
+      .where(col("prof_rn") <= 20)
+      .select(col("lang").as("plang"), col("token"))
+    // prof is ≤ 20×|langs| rows but sits on an RDD-leaf lineage (stats
+    // unknown — the r7 rule), so the broadcast must be explicit
+    val score = idx.select("doc_id", "token").join(broadcast(prof), "token")
+      .groupBy("doc_id", "plang")
+      .agg(count(lit(1)).as("s"))
+    val best = score
+      .withColumn("best_rn", row_number().over(
+        Window.partitionBy("doc_id").orderBy(desc("s"), asc("plang"))))
+      .where(col("best_rn") === 1)
+      .select(col("doc_id"), col("plang").as("lang_guess"))
+    docs.select("doc_id", "lang").join(best, Seq("doc_id"), "left")
+  }
+
   def queries: Seq[(String, Q)] = Seq(
     // Language ID: per-language token profile (top-20 by frequency, built
     // from the corpus itself), score each doc by distinct-token overlap with
     // each profile, predict the argmax (ties broken by language asc).
-    "q_text_langid" -> ((s: SparkSession, dir: String) => {
-      val docs = table(s, dir, "documents")
-      // r11: reads the memoized token index — the profile agg sums tf,
-      // and the index rows ARE the per-doc distinct tokens, so the old
-      // explode + distinct passes disappear on the warm path. (The r6
-      // "no checkpoint" note covered materializing RAW token rows; the
-      // tf-aggregated index is ~10× smaller and session-shared.)
-      val idx = tokenIndexFor(s, dir)
-      val freq = idx.groupBy("lang", "token").agg(sum(col("tf")).as("c"))
-      val prof = freq
-        .withColumn("prof_rn", row_number().over(
-          Window.partitionBy("lang").orderBy(desc("c"), asc("token"))))
-        .where(col("prof_rn") <= 20)
-        .select(col("lang").as("plang"), col("token"))
-      // prof is ≤ 20×|langs| rows but sits on an RDD-leaf lineage (stats
-      // unknown — the r7 rule), so the broadcast must be explicit
-      val score = idx.select("doc_id", "token").join(broadcast(prof), "token")
-        .groupBy("doc_id", "plang")
-        .agg(count(lit(1)).as("s"))
-      val best = score
-        .withColumn("best_rn", row_number().over(
-          Window.partitionBy("doc_id").orderBy(desc("s"), asc("plang"))))
-        .where(col("best_rn") === 1)
-        .select(col("doc_id"), col("plang").as("lang_guess"))
-      docs.select("doc_id", "lang").join(best, Seq("doc_id"), "left")
-        .orderBy("doc_id")
+    "q_text_langid" -> ((s: SparkSession, dir: String) =>
+      langidOf(s, dir).orderBy("doc_id")),
+
+    // Language-ID EVALUATION harness (r11b) — the confusion matrix +
+    // per-lang share report next to the predictor itself (the third eval
+    // harness after q_llm_ann_recall and q_llm_minhash_recall): per
+    // (actual lang, predicted guess) cell the doc count, the lang's
+    // total, the share (ONE int/int division), and a hit flag. Shares
+    // ONE langidOf implementation (and one oracle CTE chain) with
+    // q_text_langid so predictor and report cannot drift. Scale: the
+    // matrix is a hash agg to ≤ langs² rows; lang totals broadcast.
+    "q_text_langid_eval" -> ((s: SparkSession, dir: String) => {
+      val m = langidOf(s, dir)
+        .groupBy(col("lang"),
+          coalesce(col("lang_guess"), lit("none")).as("guess"))
+        .agg(asLong(count(lit(1))).as("n"))
+      val tot = m.groupBy("lang").agg(asLong(sum(col("n"))).as("lang_total"))
+      m.join(broadcast(tot), "lang")
+        .select(col("lang"), col("guess"), col("n"), col("lang_total"),
+          (col("n").cast("double") / col("lang_total")).as("share"),
+          asLong((col("lang") === col("guess")).cast("long")).as("is_hit"))
+        .orderBy("lang", "guess")
     }),
 
     // Quality scoring: stopword ratio + length score → composite quality.
@@ -631,6 +656,33 @@ object TextOps extends QueryModule {
           .mkString("", " + ", " AS bm25"))
   }
 
+  /** The language-ID oracle CTE chain, ending with
+    * `rel(doc_id, lang, lang_guess)` — shared by the predictor and the
+    * confusion-matrix eval so the twins cannot drift. */
+  private val langidCte =
+    """tok AS (
+      |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS token
+      |  FROM documents),
+      |tokf AS (SELECT * FROM tok WHERE length(token) > 0),
+      |freq AS (SELECT lang, token, count(*) AS c FROM tokf GROUP BY lang, token),
+      |prof AS (
+      |  SELECT lang AS plang, token FROM (
+      |    SELECT lang, token,
+      |           row_number() OVER (PARTITION BY lang ORDER BY c DESC, token ASC) AS prof_rn
+      |    FROM freq) WHERE prof_rn <= 20),
+      |dtok AS (SELECT DISTINCT doc_id, token FROM tokf),
+      |score AS (
+      |  SELECT d.doc_id, p.plang, count(*) AS s
+      |  FROM dtok d JOIN prof p USING (token) GROUP BY d.doc_id, p.plang),
+      |best AS (
+      |  SELECT doc_id, plang AS lang_guess FROM (
+      |    SELECT doc_id, plang, s,
+      |           row_number() OVER (PARTITION BY doc_id ORDER BY s DESC, plang ASC) AS best_rn
+      |    FROM score) WHERE best_rn = 1),
+      |rel AS (
+      |  SELECT d.doc_id, d.lang, b.lang_guess
+      |  FROM documents d LEFT JOIN best b USING (doc_id))""".stripMargin
+
   def oracle: Seq[(String, String)] = Seq(
     "q_text_normalize" ->
       """WITH h AS (
@@ -759,28 +811,22 @@ object TextOps extends QueryModule {
          |FROM j ORDER BY src_a, src_b""".stripMargin,
 
     "q_text_langid" ->
-      """WITH tok AS (
-        |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS token
-        |  FROM documents),
-        |tokf AS (SELECT * FROM tok WHERE length(token) > 0),
-        |freq AS (SELECT lang, token, count(*) AS c FROM tokf GROUP BY lang, token),
-        |prof AS (
-        |  SELECT lang AS plang, token FROM (
-        |    SELECT lang, token,
-        |           row_number() OVER (PARTITION BY lang ORDER BY c DESC, token ASC) AS prof_rn
-        |    FROM freq) WHERE prof_rn <= 20),
-        |dtok AS (SELECT DISTINCT doc_id, token FROM tokf),
-        |score AS (
-        |  SELECT d.doc_id, p.plang, count(*) AS s
-        |  FROM dtok d JOIN prof p USING (token) GROUP BY d.doc_id, p.plang),
-        |best AS (
-        |  SELECT doc_id, plang AS lang_guess FROM (
-        |    SELECT doc_id, plang, s,
-        |           row_number() OVER (PARTITION BY doc_id ORDER BY s DESC, plang ASC) AS best_rn
-        |    FROM score) WHERE best_rn = 1)
-        |SELECT d.doc_id, d.lang, b.lang_guess
-        |FROM documents d LEFT JOIN best b USING (doc_id)
-        |ORDER BY d.doc_id""".stripMargin,
+      s"""WITH $langidCte
+         |SELECT doc_id, lang, lang_guess FROM rel ORDER BY doc_id""".stripMargin,
+
+    // m is read twice -> MATERIALIZED; share is ONE int/int division
+    "q_text_langid_eval" ->
+      s"""WITH $langidCte,
+         |m AS MATERIALIZED (
+         |  SELECT lang, COALESCE(lang_guess, 'none') AS guess,
+         |         CAST(count(*) AS BIGINT) AS n
+         |  FROM rel GROUP BY 1, 2),
+         |tot AS (SELECT lang, CAST(sum(n) AS BIGINT) AS lang_total FROM m GROUP BY lang)
+         |SELECT lang, guess, n, lang_total,
+         |       CAST(n AS DOUBLE) / lang_total AS share,
+         |       CAST(CASE WHEN lang = guess THEN 1 ELSE 0 END AS BIGINT) AS is_hit
+         |FROM m JOIN tot USING (lang)
+         |ORDER BY lang, guess""".stripMargin,
 
     "q_text_quality" ->
       s"""WITH t AS (
