@@ -115,12 +115,32 @@ object MultimodalOps extends QueryModule {
   /** Keep-first-K per bucket, replayed identically in SQL. */
   private val MaxNdBucket = 200
 
-  /** q_mm_audio_chunks: 16 kHz contract — 30 s windows on a 25 s stride,
-    * sample count stubbed at 6,250 samples per payload byte. */
-  private val AudioRate = 16000L
-  private val AudioWin = 480000L
-  private val AudioHop = 400000L
-  private val AudioSamplesPerByte = 6250L
+  /** q_mm_audio_chunks: 30 s windows on a 25 s stride, in SAMPLES at the
+    * rate PARSED from each asset's RIFF/WAV header (r12: real container
+    * decode — the r11 per-byte sample-count stub is gone). */
+  private val AudioWinSec = 30L
+  private val AudioHopSec = 25L
+
+  /** Per-asset PCM sample rates, cycled by asset_id % 4 at ENCODE time. */
+  private[graft] val AudioRates = Seq(8000, 16000, 32000, 48000)
+
+  /** Audio-kind assets wrapped in a REAL canonical PCM WAV container:
+    * 16-bit mono at a per-asset rate from [[AudioRates]], data = the
+    * document's UTF-8 bytes. The query side reads sample rate and sample
+    * count from [[RiffWav.parse]]'s little-endian chunk walk — nSamples
+    * floors to len/2 (blockAlign 2 drops a ragged trailing byte, exactly
+    * as a real decoder does). */
+  def audioWavAssets(s: SparkSession, dir: String): Dataset[MediaAsset] = {
+    import s.implicits._
+    assets(s, dir)
+      .filter(_.kind == "audio")
+      .mapPartitions { it =>
+        it.map { a =>
+          val rate = AudioRates(((a.asset_id % 4) + 4).toInt % 4)
+          a.copy(content = RiffWav.encode(rate, 16, 1, a.content))
+        }
+      }
+  }
 
   /** (asset_id, ms, bucket) — the q_mm_neardup bucketing stage, exposed for
     * ScaleProbe's bucket-size histogram (SCALING.md superlinear-row audit). */
@@ -154,32 +174,47 @@ object MultimodalOps extends QueryModule {
           explode(sequence(lit(0L), col("n_frames") - 1, lit(5L))).as("frame_idx"))
         .orderBy("asset_id", "frame_idx")),
 
-    // Audio windowing (r11b) — the whisper-style preprocessing cut: each
-    // audio asset becomes fixed 30 s windows on a 25 s stride (5 s
-    // overlap), ready for a per-window encoder. The sample count derives
-    // from the payload length by a declared stub formula (6,250 samples
-    // per byte at the 16 kHz contract — a real decoder would read the
-    // container header; the WINDOW arithmetic is the load-bearing part
-    // and is exact). Pure scan-side fan-out via explode(sequence(...)),
-    // zero shuffle before the presentation sort; the two second-columns
-    // are single long/long IEEE divisions (hop and window are exact
-    // multiples of the rate, so the doubles are integers ±ulp-free).
-    "q_mm_audio_chunks" -> ((s: SparkSession, dir: String) =>
-      decoded(s, dir).toDF()
-        .where(col("kind") === "audio")
-        .withColumn("n_samples", col("n_bytes") * lit(AudioSamplesPerByte))
-        .select(col("asset_id"), col("n_samples"),
+    // Audio windowing (r11b, r12 real-decode) — the whisper-style
+    // preprocessing cut: each audio asset becomes fixed 30 s windows on a
+    // 25 s stride (5 s overlap), ready for a per-window encoder. r12: the
+    // sample rate and sample count come from an ACTUAL RIFF/WAV header
+    // parse over the binary payload (RiffWav.parse's chunk walk — the r11
+    // per-byte stub formula is gone), so window sizes vary per asset with
+    // the parsed rate. Zero-sample payloads are filtered BEFORE the
+    // explode (Spark's sequence throws on start > stop; DuckDB's
+    // generate_series returns no rows — r11 ADVICE guard, mirrored in the
+    // oracle). Pure scan-side fan-out via explode(sequence(...)); the two
+    // second-columns are single long/long IEEE divisions.
+    "q_mm_audio_chunks" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val parsed = audioWavAssets(s, dir)
+        .mapPartitions { it =>
+          it.map { a =>
+            val m = RiffWav.parse(a.content).getOrElse(
+              sys.error(s"unparseable WAV container for asset ${a.asset_id}"))
+            (a.asset_id, m.sampleRate.toLong, m.nSamples)
+          }
+        }
+        .toDF("asset_id", "sample_rate", "n_samples")
+      parsed
+        .where(col("n_samples") > 0)
+        .withColumn("hop", col("sample_rate") * AudioHopSec)
+        .withColumn("win", col("sample_rate") * AudioWinSec)
+        .select(col("asset_id"), col("sample_rate"), col("hop"), col("win"),
+          col("n_samples"),
           explode(sequence(lit(0L), col("n_samples") - 1,
-            lit(AudioHop))).as("start_sample"))
-        .select(col("asset_id"),
-          expr(s"start_sample div $AudioHop").as("chunk_id"),
+            col("hop"))).as("start_sample"))
+        .select(col("asset_id"), col("sample_rate"),
+          expr("start_sample div hop").as("chunk_id"),
           col("start_sample"),
-          least(lit(AudioWin), col("n_samples") - col("start_sample"))
+          least(col("win"), col("n_samples") - col("start_sample"))
             .as("chunk_samples"),
-          (col("start_sample").cast("double") / AudioRate).as("start_sec"),
-          (least(lit(AudioWin), col("n_samples") - col("start_sample"))
-            .cast("double") / AudioRate).as("dur_sec"))
-        .orderBy("asset_id", "chunk_id")),
+          (col("start_sample").cast("double") / col("sample_rate"))
+            .as("start_sec"),
+          (least(col("win"), col("n_samples") - col("start_sample"))
+            .cast("double") / col("sample_rate")).as("dur_sec"))
+        .orderBy("asset_id", "chunk_id")
+    }),
 
     // Resize: stub payload, but the byte-level output is oracle-checkable.
     "q_mm_resize" -> ((s: SparkSession, dir: String) => {
@@ -298,21 +333,30 @@ object MultimodalOps extends QueryModule {
         |FROM a WHERE kind = 'video'
         |ORDER BY asset_id, frame_idx""".stripMargin,
 
-    "q_mm_audio_chunks" ->
+    // Ground-truth replay of the WAV roundtrip: the engine ENCODES a
+    // canonical 16-bit mono PCM container (rate cycled by asset_id % 4)
+    // and PARSES it back, so the oracle replays the known metadata —
+    // n_samples = len // blockAlign(2), rate from the same cycle. The
+    // parse itself is pinned by RiffWavSpec's adversarial containers
+    // (extra LIST chunk, odd-size padding, truncation, bad magic).
+    "q_mm_audio_chunks" -> {
+      val rates = AudioRates.mkString("[", ", ", "]")
       s"""WITH a AS (
          |  SELECT doc_id AS asset_id,
-         |         ['image', 'audio', 'video'][CAST(doc_id % 3 + 1 AS INT)] AS kind,
-         |         CAST(length(text) AS BIGINT) * $AudioSamplesPerByte AS n_samples
-         |  FROM documents),
+         |         CAST($rates[CAST(doc_id % 4 + 1 AS INT)] AS BIGINT) AS sample_rate,
+         |         CAST(length(text) AS BIGINT) // 2 AS n_samples
+         |  FROM documents WHERE doc_id % 3 = 1),
          |c AS (
-         |  SELECT asset_id, n_samples,
-         |         unnest(generate_series(0, n_samples - 1, $AudioHop)) AS start_sample
-         |  FROM a WHERE kind = 'audio')
-         |SELECT asset_id, start_sample // $AudioHop AS chunk_id, start_sample,
-         |       least($AudioWin, n_samples - start_sample) AS chunk_samples,
-         |       CAST(start_sample AS DOUBLE) / $AudioRate AS start_sec,
-         |       CAST(least($AudioWin, n_samples - start_sample) AS DOUBLE) / $AudioRate AS dur_sec
-         |FROM c ORDER BY asset_id, chunk_id""".stripMargin,
+         |  SELECT asset_id, sample_rate, n_samples,
+         |         unnest(generate_series(0, n_samples - 1, $AudioHopSec * sample_rate)) AS start_sample
+         |  FROM a WHERE n_samples > 0)
+         |SELECT asset_id, sample_rate,
+         |       start_sample // ($AudioHopSec * sample_rate) AS chunk_id, start_sample,
+         |       least($AudioWinSec * sample_rate, n_samples - start_sample) AS chunk_samples,
+         |       CAST(start_sample AS DOUBLE) / sample_rate AS start_sec,
+         |       CAST(least($AudioWinSec * sample_rate, n_samples - start_sample) AS DOUBLE) / sample_rate AS dur_sec
+         |FROM c ORDER BY asset_id, chunk_id""".stripMargin
+    },
 
     "q_mm_resize" ->
       """SELECT doc_id AS asset_id,

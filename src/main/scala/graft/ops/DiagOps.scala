@@ -926,7 +926,7 @@ object DiagOps extends QueryModule {
             * (col("syn").cast(D) * col("np") - col("syp").cast(D) * col("nn"))))
       sc.groupBy("et", "b")
         .agg(max_by(struct(col("x"), col("y")),
-          struct(col("score"), (-col("x")).as("nx"))).as("pt"),
+          struct(col("score"), (-col("x")).as("nx"), (-col("y")).as("ny"))).as("pt"),
           asLong(min("n")).as("n"))
         .select(col("et").as("event_type"), col("b").as("bucket"),
           col("pt.x").as("ts_us"),
@@ -1299,7 +1299,7 @@ object DiagOps extends QueryModule {
          |  FROM b JOIN nbr ON nbr.et = b.et AND nbr.b = b.b),
          |r AS (
          |  SELECT et, b, x, y, n,
-         |         row_number() OVER (PARTITION BY et, b ORDER BY score DESC, x) AS rn
+         |         row_number() OVER (PARTITION BY et, b ORDER BY score DESC, x, y) AS rn
          |  FROM sc)
          |SELECT et AS event_type, b AS bucket, x AS ts_us,
          |       CAST(y AS DOUBLE) / 100 AS value, n

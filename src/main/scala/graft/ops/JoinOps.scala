@@ -172,8 +172,10 @@ object JoinOps extends QueryModule {
     // Salted skewed join (r11b) — the manual skew-mitigation shape for a
     // shuffled fact↔dim join whose key distribution is hot: the dim side
     // replicates ×[[SaltFactor]] (one row per salt value via a literal
-    // sequence explode), the fact side draws a DETERMINISTIC salt from an
-    // unrelated unique column (l_linenumber — no RNG, replays exactly),
+    // sequence explode), the fact side draws a DETERMINISTIC salt from
+    // unrelated unique columns (l_orderkey + l_linenumber — no RNG,
+    // replays exactly; l_linenumber ALONE only takes values 1..7, which
+    // would leave salt 0 dead and inherit linenumber skew — r11 ADVICE),
     // and the join key becomes (partkey, salt), so a hot partkey's rows
     // scatter across [[SaltFactor]] shuffle partitions instead of
     // funneling one task. Results are IDENTICAL to the unsalted join by
@@ -186,7 +188,7 @@ object JoinOps extends QueryModule {
     "q_join_skew_salted" -> ((s: SparkSession, dir: String) => {
       val fact = table(s, dir, "lineitem")
         .select(col("l_partkey"), col("l_extendedprice"), col("l_discount"),
-          pmod(col("l_linenumber"), lit(SaltFactor)).as("salt"))
+          pmod(col("l_orderkey") + col("l_linenumber"), lit(SaltFactor)).as("salt"))
       val dim = table(s, dir, "part")
         .select(col("p_partkey"), col("p_brand"),
           explode(expr(s"sequence(0, ${SaltFactor - 1})")).as("salt"))

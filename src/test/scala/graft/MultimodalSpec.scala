@@ -75,30 +75,48 @@ class MultimodalSpec extends SparkTestBase {
     }
   }
 
-  test("audio chunking tiles each audio asset: 30s windows on a 25s stride") {
-    val (rate, win, hop, spb) = (16000L, 480000L, 400000L, 6250L)
+  test("audio chunking tiles each asset: 30s/25s windows at the PARSED WAV rate") {
     val rows = SparkEntry.queries("q_mm_audio_chunks")(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
-        r.getDouble(4), r.getDouble(5)))
+        r.getLong(4), r.getDouble(5), r.getDouble(6)))
     assert(rows.nonEmpty)
-    // driver replay from the asset metadata contract
+    // driver replay of the encode-side ground truth (16-bit mono: len // 2)
     val nBytes = graft.ops.table(spark, sfDir, "documents")
       .where("doc_id % 3 = 1") // audio slot of the round-robin kind
       .selectExpr("doc_id", "CAST(length(text) AS BIGINT)")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
-    assert(rows.map(_._1).toSet == nBytes.keySet, "one group per audio asset")
+    assert(rows.map(_._1).toSet == nBytes.filter(_._2 / 2 > 0).keySet,
+      "one group per audio asset with at least one whole sample frame")
     rows.groupBy(_._1).foreach { case (aid, cs) =>
-      val n = nBytes(aid) * spb
-      val expectStarts = (0L until n by hop).toSeq
-      val sorted = cs.sortBy(_._2)
-      assert(sorted.map(_._3).toSeq == expectStarts, s"chunk starts of $aid")
-      sorted.foreach { case (_, cid, start, len, ssec, dsec) =>
+      val n = nBytes(aid) / 2
+      val rate = MultimodalOps.AudioRates(((aid % 4) + 4).toInt % 4).toLong
+      val (win, hop) = (30 * rate, 25 * rate)
+      assert(cs.forall(_._2 == rate), s"parsed rate of $aid")
+      val sorted = cs.sortBy(_._3)
+      assert(sorted.map(_._4).toSeq == (0L until n by hop).toSeq,
+        s"chunk starts of $aid")
+      sorted.foreach { case (_, _, cid, start, len, ssec, dsec) =>
         assert(cid == start / hop)
         assert(len == math.min(win, n - start))
         assert(ssec == start.toDouble / rate && dsec == len.toDouble / rate)
       }
       // every sample is covered: consecutive full windows overlap by 5s
-      assert(sorted.last._3 + sorted.last._4 == n, s"tail coverage of $aid")
+      assert(sorted.last._4 + sorted.last._5 == n, s"tail coverage of $aid")
+    }
+  }
+
+  test("audio payloads are genuine RIFF/WAV containers the parser reads back") {
+    import graft.multimodal.RiffWav
+    val some = MultimodalOps.audioWavAssets(spark, sfDir).take(20)
+    assert(some.nonEmpty)
+    some.foreach { a =>
+      val m = RiffWav.parse(a.content).get
+      assert(new String(a.content.take(4), "US-ASCII") == "RIFF")
+      assert(m.audioFormat == 1 && m.channels == 1 && m.bitsPerSample == 16)
+      assert(m.sampleRate ==
+        MultimodalOps.AudioRates(((a.asset_id % 4) + 4).toInt % 4))
+      assert(m.dataBytes == a.content.length - 44L)
+      assert(m.nSamples == m.dataBytes / 2)
     }
   }
 }
