@@ -184,6 +184,14 @@ object Pipelines {
   def blockDedup(spark: SparkSession, docs: DataFrame, w: Int = 8): DataFrame =
     LlmOps.blockDedupStats(spark, docs, w)
 
+  /** Span-GRANULAR exact-substring dedup report (r12): sliding `w`-token
+    * window digests, dup positions merged gaps-and-islands into MAXIMAL
+    * removable spans of any length/alignment — (doc_id, n_tokens, n_spans,
+    * removed_tokens, kept_tokens, span_fp). The removable-span report;
+    * survivor choice is a downstream policy. See q_llm_span_dedup. */
+  def spanDedup(spark: SparkSession, docs: DataFrame, w: Int = 8): DataFrame =
+    LlmOps.spanDedupReport(spark, docs, w)
+
   /** SemDeDup-shaped per-vector dedup verdict over (vec_id, label,
     * emb ARRAY<DOUBLE>): within a capped sign-LSH cell, drop any vector
     * with a lower-id neighbor at cosine >= tau — (vec_id, label, dup_of,

@@ -237,7 +237,11 @@ object ScaleProbe {
       "q_analytics_stage_latency",
       // r11b close: the langid confusion report (cold subset pays the
       // shared token-index build, same amortization note)
-      "q_text_langid_eval")
+      "q_text_langid_eval",
+      // r12: span-granular dedup (sliding-window digest df rejoin + the
+      // per-doc islands merge window) and the abtest p-value rides the
+      // existing q_analytics_abtest row (same one-agg shape + scalar chain)
+      "q_llm_span_dedup")
     // warmup
     SparkEntry.queries("q_agg_basic")(spark, outDir).count()
     val results = probes.map { name =>
@@ -467,7 +471,14 @@ object ScaleProbe {
       // mix allocator under source dominance (sqrt flattens exactly the
       // skew the probe manufactures)
       "q_llm_gopher_quality", "q_text_source_jsd",
-      "q_llm_minhash_recall", "q_llm_mix_alpha")
+      "q_llm_minhash_recall", "q_llm_mix_alpha",
+      // r12: span-granular dedup under mass duplication — the clones'
+      // sliding windows all collide, so the df rejoin concentrates on the
+      // hot digests (one 3-long row per window occurrence, never text; the
+      // block_dedup precedent) and EVERY clone position goes dup — the
+      // islands merge then runs per doc on full-length dup runs, i.e. the
+      // maximum-work case for the gaps-and-islands window
+      "q_llm_span_dedup")
     for ((dir, label) <- Seq((srcDir, "uniform"), (degDir, "degen"))) {
       family.foreach { name =>
         val t0 = System.nanoTime()

@@ -52,6 +52,15 @@ object ReplayableHash extends Serializable {
     * family, so the no-salt-reuse rule does not apply. */
   val BlockBase: Long = 1000003L
 
+  /** Second fold base for the SLIDING-window span digest
+    * (SlidingHashGenerator): two independent fold chains — BlockBase over
+    * base-131 token hashes and BlockBase2 over base-137 token hashes —
+    * paired injectively as `f1 * P + f2` (~2^60 keyspace), the ShingleKey
+    * discipline applied to token windows: window equi-joins are
+    * collision-safe where a single ~2^30 fold would birthday-collide at
+    * ~50k distinct windows. A combine constant, not an affine salt. */
+  val BlockBase2: Long = 1000033L
+
   /** Polynomial rolling hash over code points, in [0, P). */
   def tokenHash(s: String): Long = tokenHash(s, Base)
 
@@ -121,9 +130,12 @@ object ReplayableHash extends Serializable {
 
   /** SQL computing the [[BlockHashGenerator]] fold over a BIGINT-list
     * expression of token hashes (list order = token order). */
-  def blockFoldSql(listExpr: String): String =
+  def blockFoldSql(listExpr: String): String = blockFoldSql(listExpr, BlockBase)
+
+  /** As [[blockFoldSql]] with an explicit fold base (see [[BlockBase2]]). */
+  def blockFoldSql(listExpr: String, base: Long): String =
     s"""list_reduce(list_prepend(CAST(0 AS BIGINT), $listExpr),
-       |  (h, x) -> (h * $BlockBase + x) % $P)""".stripMargin
+       |  (h, x) -> (h * $base + x) % $P)""".stripMargin
 
   /** Shared oracle prelude over `documents`: distinct non-empty whitespace
     * tokens (the docTokens contract) and their base hashes.

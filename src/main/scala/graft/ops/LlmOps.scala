@@ -196,6 +196,62 @@ object LlmOps extends QueryModule {
         coalesce(col("uniq_fp"), lit(0L)).as("uniq_fp"))
   }
 
+  /** q_llm_span_dedup window width: minimum removable span, in tokens. */
+  private[graft] val SpanW = 8
+
+  /** Span-GRANULAR exact-substring dedup report (r12 — Lee et al. 2022 at
+    * full granularity, promoting the block-granular [[blockDedupStats]]):
+    * SLIDING w-token window digests per doc (SlidingHashGenerator — one
+    * 60-bit pairing digest per position, rolling O(n)/doc, digests only on
+    * every exchange), global occurrence counts per digest, and the dup
+    * positions merged gaps-and-islands into MAXIMAL removable spans — a
+    * repeated span of ANY length ≥ w and ANY alignment reconstructs
+    * exactly, because it contributes dup windows at every contained
+    * offset. Adjacent/overlapping spans merge (pos ≤ prev + w); the
+    * survivor choice (which copy to keep) is a downstream policy — this is
+    * the removable-span REPORT, marking every span whose content occurs
+    * ≥2× in the corpus (including within one doc).
+    *
+    * Scale: the window relation is O(total tokens) rows of 3 longs; the
+    * df-count is a map-side-combinable hash agg; the dup rejoin is a
+    * shuffled digest join (the block_dedup shape — AQE skew-handles a
+    * template-heavy corpus); the islands merge is a per-doc window
+    * (doc_id is corpus-cardinality, never a funnel key). */
+  private[graft] def spanDedupReport(s: SparkSession, docs: DataFrame,
+      w: Int = SpanW): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val P = graft.functions.ReplayableHash.P
+    val B = graft.functions.ReplayableHash.BlockBase
+    val wins = docs.select(col("doc_id"),
+      call_function("sliding_hashes", col("text"), lit(w)))
+    val occ = wins.groupBy("wh").agg(count(lit(1)).as("df"))
+    val dup = wins.join(occ.where(col("df") > 1), Seq("wh"))
+      .select("doc_id", "pos")
+    val byDoc = Window.partitionBy("doc_id").orderBy("pos")
+    val lagPos = lag(col("pos"), 1).over(byDoc)
+    val grp = dup
+      .withColumn("brk",
+        when(lagPos.isNull || col("pos") > lagPos + w, 1L).otherwise(0L))
+      .withColumn("g", sum(col("brk")).over(
+        byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val spans = grp.groupBy("doc_id", "g")
+      .agg(min(col("pos")).as("s"), (max(col("pos")) + w).as("e"))
+    val rep = spans.groupBy("doc_id")
+      .agg(asLong(count(lit(1))).as("n_spans"),
+        asLong(sum(col("e") - col("s"))).as("removed_tokens"),
+        asLong(sum(((col("s") + 1) * lit(B) + col("e")) % P) % P).as("span_fp"))
+    docs.select(col("doc_id"),
+        size(filter(split(col("text"), " "), t => length(t) > 0))
+          .cast("long").as("n_tokens"))
+      .join(rep, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("removed_tokens"), lit(0L)).as("removed_tokens"),
+        (col("n_tokens") - coalesce(col("removed_tokens"), lit(0L)))
+          .as("kept_tokens"),
+        coalesce(col("span_fp"), lit(0L)).as("span_fp"))
+  }
+
   /** distinct (doc_id, token) pairs. */
   private[graft] def docTokens(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
@@ -572,6 +628,14 @@ object LlmOps extends QueryModule {
     // replays it bit-for-bit.
     "q_llm_block_dedup" -> ((s: SparkSession, dir: String) =>
       blockDedupStats(s, table(s, dir, "documents")).orderBy("doc_id")),
+
+    // Span-GRANULAR exact-substring dedup (r12): sliding 8-token window
+    // digests → global df counts → dup positions merged gaps-and-islands
+    // into MAXIMAL removable spans, per-doc report (see spanDedupReport —
+    // the Lee et al. 2022 full-granularity promotion of the
+    // block-granular key above).
+    "q_llm_span_dedup" -> ((s: SparkSession, dir: String) =>
+      spanDedupReport(s, table(s, dir, "documents")).orderBy("doc_id")),
 
     "q_llm_text_stats" -> ((s: SparkSession, dir: String) =>
       table(s, dir, "documents")
@@ -1524,6 +1588,65 @@ object LlmOps extends QueryModule {
          |       COALESCE(st.uniq_fp, 0) AS uniq_fp
          |FROM nt LEFT JOIN st ON st.doc_id = nt.doc_id
          |ORDER BY nt.doc_id""".stripMargin,
+
+    // Sliding-window twin of the block_dedup oracle: per-doc ORDERED token
+    // hash lists (both bases), one 60-bit pairing digest per position via
+    // slice folds, df counts, then the same gaps-and-islands merge the
+    // Spark side runs (equal-width intervals sorted by pos: merge iff
+    // pos ≤ prev + w). `whr` is read twice -> MATERIALIZED (CLAUDE rule).
+    "q_llm_span_dedup" -> {
+      val W = SpanW
+      s"""WITH toks AS (
+         |  SELECT doc_id, list_filter(string_split(text, ' '), t -> length(t) > 0) AS ts
+         |  FROM documents),
+         |tl AS (
+         |  SELECT doc_id,
+         |         list_transform(ts, t -> ${RH.tokenHashSql("t")}) AS t1,
+         |         list_transform(ts, t -> ${RH.tokenHashSql("t", RH.Base2)}) AS t2
+         |  FROM toks),
+         |win AS (
+         |  SELECT doc_id, unnest(range(0, length(t1) - $W + 1)) AS pos, t1, t2
+         |  FROM tl),
+         |whr AS MATERIALIZED (
+         |  SELECT doc_id, pos,
+         |         ${RH.blockFoldSql(s"t1[CAST(pos + 1 AS INT):CAST(pos + $W AS INT)]")} * ${RH.P}
+         |         + ${RH.blockFoldSql(s"t2[CAST(pos + 1 AS INT):CAST(pos + $W AS INT)]", RH.BlockBase2)} AS wh
+         |  FROM win),
+         |occ AS (SELECT wh AS h, count(*) AS df FROM whr GROUP BY wh),
+         |dup AS (
+         |  SELECT w.doc_id, w.pos FROM whr w JOIN occ o ON o.h = w.wh
+         |  WHERE o.df > 1),
+         |brk AS (
+         |  SELECT doc_id, pos,
+         |         CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+         |                   OR pos > lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) + $W
+         |              THEN 1 ELSE 0 END AS b
+         |  FROM dup),
+         |grp AS (
+         |  SELECT doc_id, pos,
+         |         sum(b) OVER (PARTITION BY doc_id ORDER BY pos
+         |                      ROWS UNBOUNDED PRECEDING) AS g
+         |  FROM brk),
+         |spans AS (
+         |  SELECT doc_id, g, min(pos) AS s, max(pos) + $W AS e
+         |  FROM grp GROUP BY doc_id, g),
+         |rep AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+         |         CAST(sum(e - s) AS BIGINT) AS removed_tokens,
+         |         CAST(sum(((s + 1) * ${RH.BlockBase} + e) % ${RH.P}) % ${RH.P} AS BIGINT) AS span_fp
+         |  FROM spans GROUP BY doc_id),
+         |nt AS (
+         |  SELECT doc_id,
+         |         CAST(length(list_filter(string_split(text, ' '), t -> length(t) > 0)) AS BIGINT) AS n_tokens
+         |  FROM documents)
+         |SELECT nt.doc_id AS doc_id, nt.n_tokens AS n_tokens,
+         |       COALESCE(rep.n_spans, 0) AS n_spans,
+         |       COALESCE(rep.removed_tokens, 0) AS removed_tokens,
+         |       nt.n_tokens - COALESCE(rep.removed_tokens, 0) AS kept_tokens,
+         |       COALESCE(rep.span_fp, 0) AS span_fp
+         |FROM nt LEFT JOIN rep ON rep.doc_id = nt.doc_id
+         |ORDER BY nt.doc_id""".stripMargin
+    },
 
     "q_llm_text_stats" ->
       """SELECT lang, count(*) AS n_docs,

@@ -209,6 +209,13 @@ class PipelinesSpec extends SparkTestBase {
     assert(sd.map(_.toSeq).toSeq == sdQ.map(_.toSeq).toSeq)
   }
 
+  test("r12 facade primitives agree with their declared queries") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val sd = Pipelines.spanDedup(spark, docs).orderBy("doc_id").collect()
+    val sdQ = SparkEntry.queries("q_llm_span_dedup")(spark, sfDir).collect()
+    assert(sd.map(_.toSeq).toSeq == sdQ.map(_.toSeq).toSeq)
+  }
+
   test("r9 facade primitives agree with their declared queries") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val bt = Pipelines.bpeTrain(spark, docs).orderBy("merge_rank").collect()
