@@ -32,8 +32,10 @@ object AnalyticsOps extends QueryModule {
     * formula set evaluated by both engines: per-arm mean, unbiased sample
     * variance (computed from exact DECIMAL moments surfaced as DOUBLE),
     * and the Welch t statistic. sqrt and each division are IEEE-exact-
-    * rounded, composed in the same order in both engines; no p-value —
-    * the CDF would need erf/libm, which does not replay bit-exact. */
+    * rounded, composed in the same order in both engines. The p-value is
+    * staged separately (see [[pValueStages]], r12): a libm-free erfc
+    * whose exponential is a fixed Horner Taylor + explicit squarings, so
+    * even the CDF replays bit-exact. */
   private val abFormulas: Seq[String] = {
     def mean(s: String, n: String) = s"($s / $n)"
     def v(s1: String, s2: String, n: String) =
@@ -82,6 +84,71 @@ object AnalyticsOps extends QueryModule {
       (5*z*z*z*z*z + 16*z*z*z + 3*z) / (96 * df * df) +
       (3*z*z*z*z*z*z*z + 19*z*z*z*z*z + 17*z*z*z - 15*z) / (384 * df * df * df)
   }
+
+  /** Replayable two-sided p-value (r12): erfc(|t|/√2) — the LARGE-SAMPLE
+    * normal approximation (df is in the thousands here; a Student-t CDF
+    * would need the incomplete beta, which has no replayable form).
+    *
+    * erfc via Abramowitz–Stegun 7.1.26 (|ε| ≤ 1.5e-7): a degree-5
+    * polynomial in 1/(1+px) times e^{-x²}. The exponential — the usual
+    * libm blocker — is computed REPLAYABLY: u = x²/64 ≤ 1.125 (given the
+    * |t| ≤ 12 clamp; beyond that p < 1e-32 and both engines emit exact 0),
+    * a 14-term alternating Taylor of e^{-u} in Horner form (truncation
+    * < 5e-12 on the range), then six explicit squarings for e^{-x²} =
+    * T(u)^64. Every step is an IEEE +,−,×,/ or sqrt evaluated from the
+    * SAME formula string in both engines, staged as named columns so no
+    * subexpression is ever re-derived — bit-identical by construction.
+    * Fractional constants CAST to DOUBLE (the r9 DECIMAL-literal rule). */
+  private[graft] val pValueStages: Seq[(String, String)] = {
+    def c(d: String) = s"CAST($d AS DOUBLE)"
+    val taylor = (14 to 1 by -1).foldLeft("1") { (acc, k) =>
+      if (k == 1) s"(1 - pv_u * $acc)" else s"(1 - pv_u * $acc / $k)"
+    }
+    val poly = Seq("-1.453152027", "1.421413741", "-0.284496736", "0.254829592")
+      .foldLeft(c("1.061405429")) { (acc, a) => s"($acc * pv_tt + ${c(a)})" }
+    Seq(
+      "pv_u" -> "(t_stat * t_stat / 2) / 64",
+      "pv_e1" -> taylor,
+      "pv_e2" -> "pv_e1 * pv_e1",
+      "pv_e4" -> "pv_e2 * pv_e2",
+      "pv_e8" -> "pv_e4 * pv_e4",
+      "pv_e16" -> "pv_e8 * pv_e8",
+      "pv_e32" -> "pv_e16 * pv_e16",
+      "pv_e64" -> "pv_e32 * pv_e32",
+      "pv_tt" -> s"1 / (1 + ${c("0.3275911")} * (abs(t_stat) / sqrt(${c("2")})))",
+      "p_value" -> (s"CASE WHEN abs(t_stat) > 12 THEN ${c("0")} " +
+        s"ELSE ($poly * pv_tt) * pv_e64 END"))
+  }
+
+  /** Driver-side Scala twin of [[pValueStages]] (same operation order) —
+    * AnalyticsSpec pins it against reference normal-CDF values. */
+  private[graft] def pValueNormal(t: Double): Double = {
+    val u = (t * t / 2) / 64
+    var e = 1.0
+    var k = 14
+    while (k >= 1) { e = if (k == 1) 1 - u * e else 1 - u * e / k; k -= 1 }
+    var e64 = e
+    for (_ <- 0 until 6) e64 = e64 * e64
+    val tt = 1 / (1 + 0.3275911 * (math.abs(t) / math.sqrt(2)))
+    val poly = ((((1.061405429 * tt + -1.453152027) * tt + 1.421413741) * tt
+      + -0.284496736) * tt + 0.254829592)
+    if (math.abs(t) > 12) 0.0 else (poly * tt) * e64
+  }
+
+  /** Chained SQL CTEs applying [[pValueStages]] over a relation exposing
+    * `t_stat`. Returns (cteText, finalRelName). */
+  private[graft] def pValueCtes(fromRel: String): (String, String) = {
+    val ctes = pValueStages.zipWithIndex.map { case ((nm, f), i) =>
+      val src = if (i == 0) fromRel else s"pvs${i - 1}"
+      s"pvs$i AS (SELECT *, $f AS $nm FROM $src)"
+    }
+    (ctes.mkString(",\n"), s"pvs${pValueStages.length - 1}")
+  }
+
+  /** Final abtest output columns (helper pv_* stages dropped). */
+  private[graft] val abOutputCols: Seq[String] = Seq(
+    "na", "nb", "mean_a", "mean_b", "var_a", "var_b",
+    "t_stat", "df", "t_crit_05", "significant_05", "p_value")
 
   /** Shared association-rule projections over (sab, sa, sb, n) — ONE
     * formula string evaluated by both engines. At fixture scales every
@@ -151,6 +218,39 @@ object AnalyticsOps extends QueryModule {
         col("ts_us"))).as("purchase_us"))
   }
 
+  /** Stage-latency report over a (stage, lat_us) frame — the SINGLE
+    * implementation behind q_analytics_stage_latency and
+    * [[graft.streaming.StreamingStageLatency]].report (r12 twin
+    * discipline: shared body, not shared prose). See the query comment
+    * for the histogram/median rationale. */
+  private[graft] def stageLatencyReport(lat: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bySec = lat.withColumn("sec", expr("lat_us div 1000000"))
+      .groupBy("stage", "sec")
+      .agg(count(lit(1)).as("c"), sum("lat_us").as("su"))
+    // cum + totals as WINDOWS over the bounded histogram, then one group —
+    // the StreamingQuantile.quantiles shape: no aggregate-vs-base self-join
+    // (which a memory-sink view cannot resolve, the r9 Spark 4.1 gotcha)
+    // and two broadcast joins fewer than the r11b form; the window
+    // partitions are (stage, sec) HISTOGRAM rows, never user rows, so the
+    // 2-value stage key is not a funnel. Same exact values: c/su are exact
+    // longs, order-free.
+    val cumW = Window.partitionBy("stage").orderBy("sec")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val totW = Window.partitionBy("stage")
+    bySec
+      .withColumn("cum", sum(col("c")).over(cumW))
+      .withColumn("n", sum(col("c")).over(totW))
+      .withColumn("sum_us", sum(col("su")).over(totW))
+      .groupBy("stage")
+      .agg(asLong(max(col("n"))).as("n_users"),
+        max(expr("CAST(sum_us AS DOUBLE) / n / CAST(1000000 AS DOUBLE)"))
+          .as("mean_sec"),
+        asLong(min(when(col("cum") >= expr("(n + 1) div 2"), col("sec"))))
+          .as("p50_sec"))
+      .orderBy("stage")
+  }
+
   /** The funnelTimes CTE chain (ends with t3) — shared by the funnel and
     * stage-latency oracles, mirroring [[funnelTimes]]. */
   private val funnelTimesCte =
@@ -196,33 +296,15 @@ object AnalyticsOps extends QueryModule {
     // the mktsegment funnel trap). Replay: latencies are exact µs BIGINTs;
     // mean_sec is the same two-division double chain in both engines;
     // p50 selects an integer second by value.
-    "q_analytics_stage_latency" -> ((s: SparkSession, dir: String) => {
-      import org.apache.spark.sql.expressions.Window
-      val lat = funnelTimes(s, dir)
+    "q_analytics_stage_latency" -> ((s: SparkSession, dir: String) =>
+      stageLatencyReport(funnelTimes(s, dir)
         .select(explode(array(
           struct(lit("1_view_to_click").as("stage"),
             (col("click_us") - col("view_us")).as("lat_us")),
           struct(lit("2_click_to_purchase").as("stage"),
             (col("purchase_us") - col("click_us")).as("lat_us")))).as("x"))
         .select(col("x.stage").as("stage"), col("x.lat_us").as("lat_us"))
-        .where(col("lat_us").isNotNull)
-      val bySec = lat.withColumn("sec", expr("lat_us div 1000000"))
-        .groupBy("stage", "sec")
-        .agg(count(lit(1)).as("c"), sum("lat_us").as("su"))
-      val tot = bySec.groupBy("stage")
-        .agg(sum(col("c")).as("n"), sum(col("su")).as("sum_us"))
-      val w = Window.partitionBy("stage").orderBy("sec")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val med = bySec.withColumn("cum", sum(col("c")).over(w))
-        .join(broadcast(tot.select(col("stage"), col("n"))), "stage")
-        .groupBy("stage")
-        .agg(min(when(col("cum") >= expr("(n + 1) div 2"), col("sec"))).as("p50_sec"))
-      tot.join(broadcast(med), "stage")
-        .select(col("stage"), asLong(col("n")).as("n_users"),
-          expr("CAST(sum_us AS DOUBLE) / n / CAST(1000000 AS DOUBLE)").as("mean_sec"),
-          asLong(col("p50_sec")).as("p50_sec"))
-        .orderBy("stage")
-    }),
+        .where(col("lat_us").isNotNull))),
 
     // Cohort retention: cohort = integer week of a user's first event,
     // activity = distinct (user, week); cell (cohort_week, week_offset) =
@@ -326,6 +408,12 @@ object AnalyticsOps extends QueryModule {
           max(when(col("arm") === 1, col("s1"))).as("s1b"),
           max(when(col("arm") === 1, col("s2"))).as("s2b"))
         .selectExpr(Seq("na", "nb") ++ abFormulas: _*)
+        .transform { base =>
+          pValueStages.foldLeft(base) { case (d, (nm, f)) =>
+            d.withColumn(nm, expr(f))
+          }
+        }
+        .selectExpr(abOutputCols: _*)
     }),
 
     // Sequential-pattern detection: per day, how many purchases complete
@@ -747,10 +835,14 @@ object AnalyticsOps extends QueryModule {
          |         max(CASE WHEN arm = 0 THEN s2 END) AS s2a,
          |         max(CASE WHEN arm = 1 THEN s1 END) AS s1b,
          |         max(CASE WHEN arm = 1 THEN s2 END) AS s2b
-         |  FROM st)
-         |SELECT na, nb,
-         |       ${abFormulas.mkString(",\n       ")}
-         |FROM pv""".stripMargin
+         |  FROM st),
+         |res AS (
+         |  SELECT na, nb,
+         |         ${abFormulas.mkString(",\n         ")}
+         |  FROM pv),
+         |${pValueCtes("res")._1}
+         |SELECT ${abOutputCols.mkString(", ")}
+         |FROM ${pValueCtes("res")._2}""".stripMargin
     },
 
     "q_analytics_pattern" ->

@@ -184,6 +184,40 @@ class AnalyticsSpec extends SparkTestBase {
     assert(r.getBoolean(9) == (math.abs(t) > tc))
     // df is large on this fixture, so t_crit must sit near the z limit
     assert(df > 30.0 && tc > 1.9599 && tc < 2.05)
+    // r12 replayable p-value: same staged op order as the SQL chain
+    val p = graft.ops.AnalyticsOps.pValueNormal(t)
+    assert(r.getDouble(10) == p, s"p ${r.getDouble(10)} vs replay $p")
+    // consistency with the significance verdict at its own alpha scale:
+    // normal-approx p vs t-critical agree when not at a knife edge
+    if (math.abs(math.abs(t) - tc) > 0.01)
+      assert((p < 0.05) == r.getBoolean(9), s"p=$p vs significant=${r.getBoolean(9)}")
+  }
+
+  test("pValueNormal matches reference two-sided normal tail values (r12)") {
+    // high-precision erfc(|t|/sqrt(2)) references; the A-S 7.1.26 bound is
+    // 1.5e-7 and the staged exp adds < 1e-10
+    val table = Seq(
+      0.0 -> 1.0,
+      0.5 -> 0.6170750774519739,
+      1.0 -> 0.31731050786291415,
+      1.959963984540054 -> 0.05000000000000002,
+      2.0 -> 0.04550026389635842,
+      3.0 -> 0.0026997960632601866,
+      5.0 -> 5.733031437583892e-7,
+      8.0 -> 1.2442169928688156e-15)
+    table.foreach { case (t, expect) =>
+      val got = graft.ops.AnalyticsOps.pValueNormal(t)
+      // A-S 7.1.26 is an ABSOLUTE 1.5e-7 bound; in the far tail the form
+      // stays relatively accurate to ~2% (measured 0.2% at t=5, 1% at t=8)
+      val tol = math.max(4e-7, 0.02 * expect)
+      assert(math.abs(got - expect) < tol, s"pValueNormal($t) = $got, ref $expect")
+      assert(graft.ops.AnalyticsOps.pValueNormal(-t) == got, "two-sided symmetry")
+    }
+    // monotone decreasing in |t|; clamp region emits exact zero
+    val ps = Seq(0.0, 0.5, 1.0, 2.0, 4.0, 8.0, 11.9)
+      .map(graft.ops.AnalyticsOps.pValueNormal)
+    assert(ps == ps.sorted.reverse)
+    assert(graft.ops.AnalyticsOps.pValueNormal(12.5) == 0.0)
   }
 
   test("tCrit05 expansion matches two-sided 0.05 t-table values (r11)") {
