@@ -180,13 +180,20 @@ object AnalyticsOps extends QueryModule {
     val wLocal = Window.partitionBy("user_id", "tb")
       .orderBy(col("ts_us"), col("kind"), col("event_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val summary = tl.groupBy("user_id", "tb")
-      .agg(max(col("touch")).as("bucket_best"))
+    val localized = tl.withColumn("local_best", max(col("touch")).over(wLocal))
+    // r12: the bucket summary derives FROM the windowed branch, not a
+    // second scan — aggregating max(local_best) (≡ the bucket's max touch:
+    // the running max's own maximum) rather than max(touch) keeps the
+    // Window un-prunable in this branch, so the (user, tb) hash agg sits
+    // on the window's own partitioning (no new exchange) and the shared
+    // shuffle becomes a ReusedExchange: one events scan instead of two
+    val summary = localized.groupBy("user_id", "tb")
+      .agg(max(col("local_best")).as("bucket_best"))
       .withColumn("cross_best", max(col("bucket_best")).over(
         Window.partitionBy("user_id").orderBy("tb")
           .rowsBetween(Window.unboundedPreceding, -1)))
       .select("user_id", "tb", "cross_best")
-    tl.withColumn("local_best", max(col("touch")).over(wLocal))
+    localized
       .where(col("kind") === 0)
       .join(summary, Seq("user_id", "tb"))
       .withColumn("best", greatest(col("local_best"), col("cross_best")))
