@@ -124,23 +124,40 @@ object MultimodalOps extends QueryModule {
   /** Per-asset PCM sample rates, cycled by asset_id % 4 at ENCODE time. */
   private[graft] val AudioRates = Seq(8000, 16000, 32000, 48000)
 
-  /** Audio-kind assets wrapped in a REAL canonical PCM WAV container:
-    * 16-bit mono at a per-asset rate from [[AudioRates]], data = the
-    * document's UTF-8 bytes. The query side reads sample rate and sample
-    * count from [[RiffWav.parse]]'s little-endian chunk walk — nSamples
-    * floors to len/2 (blockAlign 2 drops a ragged trailing byte, exactly
-    * as a real decoder does). */
-  def audioWavAssets(s: SparkSession, dir: String): Dataset[MediaAsset] = {
+  /** q_mm_container_meta: video frame interval (25 fps). */
+  private val VideoUsPerFrame = 40000L
+
+  /** ALL assets wrapped in REAL containers (r12): image → 24bpp BMP whose
+    * header carries the decode-contract dims (1+n%320 × 1+(n·7)%200);
+    * audio → canonical PCM WAV (16-bit mono, rate cycled by asset_id % 4
+    * over [[AudioRates]]); video → AVI-lite whose avih carries the
+    * n_frames contract (1 + n/100) at 25 fps with the contract dims.
+    * Query sides read every field back from the ACTUAL bytes via the
+    * fixed-offset little-endian parsers (RiffWav / Bmp / AviLite). */
+  def containerAssets(s: SparkSession, dir: String): Dataset[MediaAsset] = {
     import s.implicits._
-    assets(s, dir)
-      .filter(_.kind == "audio")
-      .mapPartitions { it =>
-        it.map { a =>
-          val rate = AudioRates(((a.asset_id % 4) + 4).toInt % 4)
-          a.copy(content = RiffWav.encode(rate, 16, 1, a.content))
+    assets(s, dir).mapPartitions { it =>
+      it.map { a =>
+        val n = a.content.length.toLong
+        val (w, h) = ((1 + n % 320).toInt, (1 + (n * 7) % 200).toInt)
+        a.kind match {
+          case "image" => a.copy(content = Bmp.encode(w, h, a.content))
+          case "audio" =>
+            val rate = AudioRates(((a.asset_id % 4) + 4).toInt % 4)
+            a.copy(content = RiffWav.encode(rate, 16, 1, a.content))
+          case _ =>
+            a.copy(content =
+              AviLite.encode(VideoUsPerFrame, 1 + n / 100, w, h, a.content))
         }
       }
+    }
   }
+
+  /** Audio-kind assets in their REAL PCM WAV containers — nSamples floors
+    * to len/2 (blockAlign 2 drops a ragged trailing byte, exactly as a
+    * real decoder does). */
+  def audioWavAssets(s: SparkSession, dir: String): Dataset[MediaAsset] =
+    containerAssets(s, dir).filter(_.kind == "audio")
 
   /** (asset_id, ms, bucket) — the q_mm_neardup bucketing stage, exposed for
     * ScaleProbe's bucket-size histogram (SCALING.md superlinear-row audit). */
@@ -214,6 +231,42 @@ object MultimodalOps extends QueryModule {
           (least(col("win"), col("n_samples") - col("start_sample"))
             .cast("double") / col("sample_rate")).as("dur_sec"))
         .orderBy("asset_id", "chunk_id")
+    }),
+
+    // Unified container-metadata decode (r12): EVERY kind's fields come
+    // from an actual byte-level header parse — BMP dims for images, WAV
+    // rate/samples for audio, AVI avih frames/dims for video — over the
+    // real containers containerAssets builds. One scan-side
+    // mapPartitions (a codec handle per partition), no shuffle before
+    // the presentation sort; the oracle replays the encode-side ground
+    // truth and the parsers are pinned by ContainersSpec/RiffWavSpec
+    // adversarial bytes.
+    "q_mm_container_meta" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      containerAssets(s, dir).mapPartitions { it =>
+        it.map { a =>
+          val none = Option.empty[Long]
+          a.kind match {
+            case "image" =>
+              val m = Bmp.parse(a.content).getOrElse(
+                sys.error(s"unparseable BMP for asset ${a.asset_id}"))
+              (a.asset_id, a.kind, Some(m.width.toLong), Some(m.height.toLong),
+                none, none, none)
+            case "audio" =>
+              val m = RiffWav.parse(a.content).getOrElse(
+                sys.error(s"unparseable WAV for asset ${a.asset_id}"))
+              (a.asset_id, a.kind, none, none, none,
+                Some(m.sampleRate.toLong), Some(m.nSamples))
+            case _ =>
+              val m = AviLite.parse(a.content).getOrElse(
+                sys.error(s"unparseable AVI for asset ${a.asset_id}"))
+              (a.asset_id, a.kind, Some(m.width.toLong), Some(m.height.toLong),
+                Some(m.totalFrames), none, none)
+          }
+        }
+      }.toDF("asset_id", "kind", "width", "height", "n_frames",
+          "sample_rate", "n_samples")
+        .orderBy("asset_id")
     }),
 
     // Resize: stub payload, but the byte-level output is oracle-checkable.
@@ -356,6 +409,23 @@ object MultimodalOps extends QueryModule {
          |       CAST(start_sample AS DOUBLE) / sample_rate AS start_sec,
          |       CAST(least($AudioWinSec * sample_rate, n_samples - start_sample) AS DOUBLE) / sample_rate AS dur_sec
          |FROM c ORDER BY asset_id, chunk_id""".stripMargin
+    },
+
+    // Ground-truth replay of the per-kind container roundtrips (the WAV
+    // rule generalized): the engine encodes real BMP/WAV/AVI bytes and
+    // parses them back; the oracle replays the known field formulas.
+    "q_mm_container_meta" -> {
+      val rates = AudioRates.mkString("[", ", ", "]")
+      s"""WITH a AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS n FROM documents)
+         |SELECT doc_id AS asset_id,
+         |       ['image', 'audio', 'video'][CAST(doc_id % 3 + 1 AS INT)] AS kind,
+         |       CASE WHEN doc_id % 3 <> 1 THEN 1 + n % 320 END AS width,
+         |       CASE WHEN doc_id % 3 <> 1 THEN 1 + (n * 7) % 200 END AS height,
+         |       CASE WHEN doc_id % 3 = 2 THEN 1 + n // 100 END AS n_frames,
+         |       CASE WHEN doc_id % 3 = 1
+         |            THEN CAST($rates[CAST(doc_id % 4 + 1 AS INT)] AS BIGINT) END AS sample_rate,
+         |       CASE WHEN doc_id % 3 = 1 THEN n // 2 END AS n_samples
+         |FROM a ORDER BY asset_id""".stripMargin
     },
 
     "q_mm_resize" ->

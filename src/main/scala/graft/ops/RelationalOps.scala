@@ -97,6 +97,28 @@ object RelationalOps extends QueryModule {
       val b = table(s, dir, "orders").where(col("o_totalprice") > 400000)
         .select(col("o_custkey").as("k"))
       a.except(b).orderBy("k")
+    }),
+
+    // BAG-semantics set ops (r12): INTERSECT ALL keeps min(multA, multB)
+    // copies, EXCEPT ALL keeps multA − multB — the multiset semantics the
+    // DISTINCT trio above cannot express (a customer with 5 qualifying
+    // orders on both sides survives 5×, not once). Spark plans both as a
+    // single hash aggregation over (row, side-counts) — one shuffle, no
+    // join; ties in the presentation sort are between identical rows.
+    "q_set_intersect_all" -> ((s: SparkSession, dir: String) => {
+      val a = table(s, dir, "orders").where(col("o_totalprice") > 100000)
+        .select(col("o_custkey").as("k"))
+      val b = table(s, dir, "orders")
+        .where(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_custkey").as("k"))
+      a.intersectAll(b).orderBy("k")
+    }),
+
+    "q_set_except_all" -> ((s: SparkSession, dir: String) => {
+      val a = table(s, dir, "orders").select(col("o_custkey").as("k"))
+      val b = table(s, dir, "orders").where(col("o_orderstatus") === "F")
+        .select(col("o_custkey").as("k"))
+      a.exceptAll(b).orderBy("k")
     })
   )
 
@@ -168,6 +190,18 @@ object RelationalOps extends QueryModule {
       """SELECT c_custkey AS k FROM customer
         |EXCEPT
         |SELECT o_custkey AS k FROM orders WHERE o_totalprice > 400000
+        |ORDER BY k""".stripMargin,
+
+    "q_set_intersect_all" ->
+      """SELECT o_custkey AS k FROM orders WHERE o_totalprice > 100000
+        |INTERSECT ALL
+        |SELECT o_custkey AS k FROM orders WHERE o_orderpriority = '1-URGENT'
+        |ORDER BY k""".stripMargin,
+
+    "q_set_except_all" ->
+      """SELECT o_custkey AS k FROM orders
+        |EXCEPT ALL
+        |SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'F'
         |ORDER BY k""".stripMargin
   )
 }

@@ -153,6 +153,53 @@ object SqlOps extends QueryModule {
       |GROUP BY c_mktsegment
       |ORDER BY c_mktsegment""".stripMargin
 
+  /** TPC-H Q19 analog ("disjunctive predicate revenue", r12): a three-arm
+    * OR of conjunctive (brand, size-range, quantity-range) filters over
+    * the part⨝lineitem join, from SQL text. The shape this key pins:
+    * Catalyst extracts the COMMON join key from the disjunction (the OR
+    * arms all constrain the joined pair, not the join condition), pushes
+    * the p_brand/p_size arms into the part scan and the quantity arms
+    * into lineitem via an OR-of-conjuncts filter, and the join stays a
+    * plain equi hash join — never a nested-loop over the disjunction.
+    * Quantities are integral in the fixture, so the BIGINT casts agree
+    * across engines (the r11 truncate-vs-round rule). */
+  private val disjunctiveRevenueSql =
+    """SELECT CAST(count(*) AS BIGINT) AS n_lines,
+      |       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |JOIN part ON p_partkey = l_partkey
+      |WHERE (p_brand = 'Brand#11' AND p_size BETWEEN 1 AND 15
+      |       AND CAST(l_quantity AS BIGINT) BETWEEN 1 AND 20)
+      |   OR (p_brand = 'Brand#22' AND p_size BETWEEN 10 AND 30
+      |       AND CAST(l_quantity AS BIGINT) BETWEEN 10 AND 30)
+      |   OR (p_brand = 'Brand#33' AND p_size BETWEEN 20 AND 50
+      |       AND CAST(l_quantity AS BIGINT) BETWEEN 20 AND 40)""".stripMargin
+
+  /** TPC-H Q15 analog ("top revenue supplier", r12): a CTE consumed twice
+    * — once as the join input, once under a scalar max subquery — from
+    * SQL text. Spark plans the CTE once per consumer with the scalar max
+    * as a decorrelated one-row subquery join; revenue stays exact DECIMAL
+    * through the equality (a DOUBLE max-equality would be an FP knife
+    * edge), surfacing as DOUBLE only in the projection. The DuckDB twin
+    * inlines the flat CTE per reference (2× a cheap agg — the
+    * MATERIALIZED rule is about expensive/recursive chains; verbatim SQL
+    * sharing wins here). Ties on max revenue emit every winner, ordered
+    * by s_suppkey — deterministic in both engines. */
+  private val topSupplierSql =
+    """WITH revenue AS (
+      |  SELECT l_suppkey AS supplier_no,
+      |         sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS total_revenue
+      |  FROM lineitem
+      |  WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+      |    AND CAST(l_shipdate AS DATE) < DATE '1996-04-01'
+      |  GROUP BY l_suppkey)
+      |SELECT s_suppkey, s_name,
+      |       CAST(total_revenue AS DOUBLE) AS total_revenue
+      |FROM supplier
+      |JOIN revenue ON s_suppkey = supplier_no
+      |WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+      |ORDER BY s_suppkey""".stripMargin
+
   def queries: Seq[(String, Q)] = Seq(
     "q_sql_shipping_priority" -> ((s: SparkSession, dir: String) =>
       graft.GraftSql.run(s, dir, shippingPrioritySql)),
@@ -170,7 +217,13 @@ object SqlOps extends QueryModule {
       graft.GraftSql.run(s, dir, smallQtyRevenueSql)),
 
     "q_sql_top_balance_inactive" -> ((s: SparkSession, dir: String) =>
-      graft.GraftSql.run(s, dir, topBalanceInactiveSql))
+      graft.GraftSql.run(s, dir, topBalanceInactiveSql)),
+
+    "q_sql_disjunctive_revenue" -> ((s: SparkSession, dir: String) =>
+      graft.GraftSql.run(s, dir, disjunctiveRevenueSql)),
+
+    "q_sql_top_supplier" -> ((s: SparkSession, dir: String) =>
+      graft.GraftSql.run(s, dir, topSupplierSql))
   )
 
   def oracle: Seq[(String, String)] = Seq(
@@ -179,6 +232,8 @@ object SqlOps extends QueryModule {
     "q_sql_order_priority" -> orderPrioritySql,
     "q_sql_top_order_per_cust" -> topOrderPerCustomerSql,
     "q_sql_small_qty_revenue" -> smallQtyRevenueSql,
-    "q_sql_top_balance_inactive" -> topBalanceInactiveSql
+    "q_sql_top_balance_inactive" -> topBalanceInactiveSql,
+    "q_sql_disjunctive_revenue" -> disjunctiveRevenueSql,
+    "q_sql_top_supplier" -> topSupplierSql
   )
 }

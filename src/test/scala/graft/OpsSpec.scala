@@ -295,4 +295,29 @@ class OpsSpec extends SparkTestBase {
       spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
     }
   }
+
+  test("bag set ops keep exact multiplicities (r12)") {
+    val orders = ops.table(spark, sfDir, "orders")
+      .select("o_custkey", "o_totalprice", "o_orderpriority", "o_orderstatus")
+      .collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getString(2), r.getString(3)))
+    def mult(ks: Seq[Long]) =
+      ks.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val a1 = mult(orders.filter(_._2 > 100000).map(_._1).toSeq)
+    val b1 = mult(orders.filter(_._3 == "1-URGENT").map(_._1).toSeq)
+    val expInter = (a1.keySet & b1.keySet).iterator
+      .map(k => k -> math.min(a1(k), b1(k))).toMap
+    val gotInter = mult(SparkEntry.queries("q_set_intersect_all")(spark, sfDir)
+      .collect().map(_.getLong(0)).toSeq)
+    assert(gotInter == expInter, "INTERSECT ALL must keep min(multA, multB)")
+
+    val a2 = mult(orders.map(_._1).toSeq)
+    val b2 = mult(orders.filter(_._4 == "F").map(_._1).toSeq)
+    val expExcept = a2.iterator
+      .map { case (k, n) => k -> (n - b2.getOrElse(k, 0L)) }
+      .filter(_._2 > 0).toMap
+    val gotExcept = mult(SparkEntry.queries("q_set_except_all")(spark, sfDir)
+      .collect().map(_.getLong(0)).toSeq)
+    assert(gotExcept == expExcept, "EXCEPT ALL must keep multA - multB")
+  }
 }
