@@ -180,6 +180,31 @@ object DiagOps extends QueryModule {
   private val ccfFormula: Seq[String] =
     acfFormula.map(_.replace(" AS acf", " AS ccf"))
 
+  /** q_ts_bollinger rolling window, in hourly grid rows. */
+  private[graft] val BollWindow = 24
+
+  /** Shared Bollinger projections over (k, n, s1, s2hi, s2lo) — ONE
+    * formula set in both engines: window mean/σ from exact hi/lo-split
+    * BIGINT moments (the q_agg_skew split), sample variance clamped at 0
+    * (an all-equal window's exact-zero variance can land a few ulps
+    * negative in DOUBLE — without the clamp sqrt would emit NaN), bands
+    * at ±2σ, breakout as the band comparison on the cent scale. Every
+    * op is an IEEE +,−,×,/ or sqrt in a fixed order; /100 surfaces cents
+    * as value units last. */
+  private val bollFormulas: Seq[String] = {
+    val s2d = s"(CAST(s2hi AS DOUBLE) * $MomentSplit.0 + CAST(s2lo AS DOUBLE))"
+    val mean = "(CAST(s1 AS DOUBLE) / n)"
+    val varc = s"(($s2d - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n) / (n - 1))"
+    val sd = s"(sqrt(greatest($varc, CAST(0 AS DOUBLE))))"
+    Seq(
+      "CAST(k AS DOUBLE) / 100 AS value",
+      s"$mean / 100 AS mean_val",
+      s"$sd / 100 AS sd_val",
+      s"($mean + 2 * $sd) / 100 AS upper_band",
+      s"($mean - 2 * $sd) / 100 AS lower_band",
+      s"(k > $mean + 2 * $sd OR k < $mean - 2 * $sd) AS breakout")
+  }
+
   /** Shared skew/kurtosis projections over (n, s1d, s2d, s3hid, s3lod,
     * s4aad, s4abd, s4bbd) — ONE formula string evaluated by both engines
     * (Spark selectExpr and the DuckDB oracle), so the IEEE op sequence
@@ -588,6 +613,41 @@ object DiagOps extends QueryModule {
           sum(expr(s"pxy % $MomentSplit").cast("decimal(38,0)")).cast("double").as("sxylo"))
       agg.selectExpr(Seq("event_type", "lag_h", "n") ++ acfFormula: _*)
         .orderBy("event_type", "lag_h")
+    }),
+
+    // Bollinger bands (r12) — the rolling-volatility read next to
+    // q_ts_ewma's level smoothing: per (type, hour) the 24-hour rolling
+    // mean ± 2σ and a breakout flag, over the SAME gapfilled hourly
+    // cent-quantized grid as acf/ewma (zeros for silent hours, so the
+    // ROWS-24 frame is a true 24-HOUR window). Exact replay: the frame
+    // sums cents and hi/lo-split squared cents as BIGINTs (the
+    // q_agg_skew split — each partial < 2^57 even at 2^41-cent hourly
+    // sums), then ONE shared formula set evaluates mean/σ/bands in a
+    // fixed IEEE order. Scale: the grid is time-span-bounded and the
+    // per-type window runs over GRID rows, never events (the ewma/acf
+    // axis); only full windows emit (n = 24).
+    "q_ts_bollinger" -> ((s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = table(s, dir, "events")
+        .withColumn("h", expr(s"unix_micros(ts) div $HourUs"))
+      val rng = ev.agg(min("h").as("h0"), max("h").as("h1"))
+      val grid = ev.select("event_type").distinct()
+        .crossJoin(broadcast(rng))
+        .select(col("event_type"), explode(expr("sequence(h0, h1)")).as("h"))
+      val actual = ev.groupBy("event_type", "h")
+        .agg(dsum(col("value")).as("sv"))
+      val g = grid.join(actual, Seq("event_type", "h"), "left")
+        .select(col("event_type"), col("h"),
+          expr("CAST(round(coalesce(sv, 0.0) * 100) AS BIGINT)").as("k"))
+      val win = Window.partitionBy("event_type").orderBy("h")
+        .rowsBetween(-(BollWindow - 1), 0)
+      g.withColumn("n", count(lit(1)).over(win))
+        .withColumn("s1", sum(col("k")).over(win))
+        .withColumn("s2hi", sum(expr(s"(k * k) div $MomentSplit")).over(win))
+        .withColumn("s2lo", sum(expr(s"(k * k) % $MomentSplit")).over(win))
+        .where(col("n") === BollWindow)
+        .selectExpr(Seq("event_type", "h AS hour") ++ bollFormulas: _*)
+        .orderBy("event_type", "hour")
     }),
 
     // Lagged cross-correlation between event-type series (r11) — the
@@ -1265,6 +1325,36 @@ object DiagOps extends QueryModule {
          |SELECT event_type, lag_h, n,
          |       ${acfFormula.mkString(",\n       ")}
          |FROM m ORDER BY event_type, lag_h""".stripMargin,
+
+    // Same gapfilled grid CTEs as crosscorr; frame moments in BIGINT
+    // (HUGEINT window sums cast back), then the shared formula set.
+    "q_ts_bollinger" ->
+      s"""WITH e AS (
+         |  SELECT event_type, epoch_us(ts) // $HourUs AS h, value FROM events),
+         |r AS (SELECT min(h) AS h0, max(h) AS h1 FROM e),
+         |g0 AS (
+         |  SELECT t.event_type, unnest(generate_series(r.h0, r.h1)) AS h
+         |  FROM (SELECT DISTINCT event_type FROM e) t CROSS JOIN r),
+         |a AS (
+         |  SELECT event_type, h,
+         |         CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sv
+         |  FROM e GROUP BY event_type, h),
+         |g AS (
+         |  SELECT g0.event_type, g0.h,
+         |         CAST(round(COALESCE(a.sv, 0.0) * 100) AS BIGINT) AS k
+         |  FROM g0 LEFT JOIN a USING (event_type, h)),
+         |w AS (
+         |  SELECT event_type, h, k,
+         |         CAST(count(*) OVER win AS BIGINT) AS n,
+         |         CAST(sum(k) OVER win AS BIGINT) AS s1,
+         |         CAST(sum((k * k) // $MomentSplit) OVER win AS BIGINT) AS s2hi,
+         |         CAST(sum((k * k) % $MomentSplit) OVER win AS BIGINT) AS s2lo
+         |  FROM g
+         |  WINDOW win AS (PARTITION BY event_type ORDER BY h
+         |                 ROWS BETWEEN ${BollWindow - 1} PRECEDING AND CURRENT ROW))
+         |SELECT event_type, h AS hour,
+         |       ${bollFormulas.mkString(",\n       ")}
+         |FROM w WHERE n = $BollWindow ORDER BY event_type, hour""".stripMargin,
 
     // b and agg are each read twice -> MATERIALIZED; the score runs in
     // HUGEINT where the engine uses DECIMAL(38,0) (the ohlc okey

@@ -890,4 +890,43 @@ class MixDiagSpec extends SparkTestBase {
     assert(small._4.toDouble / budget > small._2.toDouble / tot,
       "alpha=0.5 must upsample the smallest source")
   }
+
+  test("bollinger bands equal a driver-side rolling replay (r12)") {
+    import org.apache.spark.sql.functions._
+    val rows = q("q_ts_bollinger").collect()
+      .map(r => ((r.getString(0), r.getLong(1)),
+        (r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5),
+          r.getDouble(6), r.getBoolean(7)))).toMap
+    assert(rows.nonEmpty)
+    // driver replay: gapfilled hourly cents per type, rolling 24-row frame
+    val ev = ops.table(spark, sfDir, "events")
+      .select(col("event_type"), expr("unix_micros(ts) div 3600000000").as("h"),
+        col("value")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    val (h0, h1) = (ev.map(_._2).min, ev.map(_._2).max)
+    val byTh = ev.groupBy(e => (e._1, e._2)).view.mapValues { es =>
+      val s = es.map(e => BigDecimal(e._3).setScale(4, BigDecimal.RoundingMode.HALF_UP)).sum
+      BigDecimal(s.toDouble * 100).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    }.toMap
+    ev.map(_._1).distinct.foreach { t =>
+      val ks = (h0 to h1).map(h => byTh.getOrElse((t, h), 0L))
+      for (i <- 23 until ks.length) {
+        val w = ks.slice(i - 23, i + 1)
+        val n = 24.0
+        val s1 = w.sum
+        val s2hi = w.map(k => (k * k) / 1073741824L).sum
+        val s2lo = w.map(k => (k * k) % 1073741824L).sum
+        val mean = s1.toDouble / n
+        val s2d = s2hi.toDouble * 1073741824.0 + s2lo.toDouble
+        val sd = math.sqrt(math.max(
+          (s2d - s1.toDouble * s1.toDouble / n) / (n - 1), 0.0))
+        val (v, m, sdv, up, lo, br) = rows((t, h0 + i))
+        assert(math.abs(v - ks(i).toDouble / 100) < 1e-9, s"value $t ${h0 + i}")
+        assert(math.abs(m - mean / 100) < 1e-6 && math.abs(sdv - sd / 100) < 1e-6)
+        assert(up >= m && m >= lo, "band ordering")
+        assert(br == (ks(i) > mean + 2 * sd || ks(i) < mean - 2 * sd),
+          s"breakout flag $t ${h0 + i}")
+      }
+    }
+  }
 }
