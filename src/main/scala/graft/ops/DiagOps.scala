@@ -183,6 +183,25 @@ object DiagOps extends QueryModule {
   /** q_ts_bollinger rolling window, in hourly grid rows. */
   private[graft] val BollWindow = 24
 
+  /** Gapfilled hourly cent grid over events — the acf/ewma/crosscorr
+    * grid, factored out (r12) so q_ts_bollinger, its streaming twin's
+    * parity harness, and future grid consumers share ONE builder:
+    * (event_type, h, k) with k = round(Σvalue · 100), zeros for silent
+    * hours, one row per (type, hour) across the corpus time span. */
+  private[graft] def hourlyCentGrid(s: SparkSession, dir: String): DataFrame = {
+    val ev = table(s, dir, "events")
+      .withColumn("h", expr(s"unix_micros(ts) div $HourUs"))
+    val rng = ev.agg(min("h").as("h0"), max("h").as("h1"))
+    val grid = ev.select("event_type").distinct()
+      .crossJoin(broadcast(rng))
+      .select(col("event_type"), explode(expr("sequence(h0, h1)")).as("h"))
+    val actual = ev.groupBy("event_type", "h")
+      .agg(dsum(col("value")).as("sv"))
+    grid.join(actual, Seq("event_type", "h"), "left")
+      .select(col("event_type"), col("h"),
+        expr("CAST(round(coalesce(sv, 0.0) * 100) AS BIGINT)").as("k"))
+  }
+
   /** Shared Bollinger projections over (k, n, s1, s2hi, s2lo) — ONE
     * formula set in both engines: window mean/σ from exact hi/lo-split
     * BIGINT moments (the q_agg_skew split), sample variance clamped at 0
@@ -191,7 +210,7 @@ object DiagOps extends QueryModule {
     * at ±2σ, breakout as the band comparison on the cent scale. Every
     * op is an IEEE +,−,×,/ or sqrt in a fixed order; /100 surfaces cents
     * as value units last. */
-  private val bollFormulas: Seq[String] = {
+  private[graft] val bollFormulas: Seq[String] = {
     val s2d = s"(CAST(s2hi AS DOUBLE) * $MomentSplit.0 + CAST(s2lo AS DOUBLE))"
     val mean = "(CAST(s1 AS DOUBLE) / n)"
     val varc = s"(($s2d - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n) / (n - 1))"
@@ -628,17 +647,7 @@ object DiagOps extends QueryModule {
     // axis); only full windows emit (n = 24).
     "q_ts_bollinger" -> ((s: SparkSession, dir: String) => {
       import org.apache.spark.sql.expressions.Window
-      val ev = table(s, dir, "events")
-        .withColumn("h", expr(s"unix_micros(ts) div $HourUs"))
-      val rng = ev.agg(min("h").as("h0"), max("h").as("h1"))
-      val grid = ev.select("event_type").distinct()
-        .crossJoin(broadcast(rng))
-        .select(col("event_type"), explode(expr("sequence(h0, h1)")).as("h"))
-      val actual = ev.groupBy("event_type", "h")
-        .agg(dsum(col("value")).as("sv"))
-      val g = grid.join(actual, Seq("event_type", "h"), "left")
-        .select(col("event_type"), col("h"),
-          expr("CAST(round(coalesce(sv, 0.0) * 100) AS BIGINT)").as("k"))
+      val g = hourlyCentGrid(s, dir)
       val win = Window.partitionBy("event_type").orderBy("h")
         .rowsBetween(-(BollWindow - 1), 0)
       g.withColumn("n", count(lit(1)).over(win))
