@@ -637,6 +637,70 @@ object LlmOps extends QueryModule {
     "q_llm_span_dedup" -> ((s: SparkSession, dir: String) =>
       spanDedupReport(s, table(s, dir, "documents")).orderBy("doc_id")),
 
+    // Dedup-method agreement matrix (r12) — the meta-quality audit a
+    // curation pipeline reads before PICKING a dedup method: per method
+    // pair (exact sha / MinHash-LSH candidate stage, uncapped band
+    // collisions / SimHash 16-bit blocking stage), the flagged-doc
+    // counts, overlap, and Jaccard agreement. Scale: each flag relation
+    // is a count-shaped pipeline (bucket hash agg -> dup-bucket rejoin,
+    // never pairing); the three flag sets collapse to a per-doc bitmask
+    // and then to a ≤8-row mask histogram — the pair matrix is literal
+    // arithmetic over that tiny relation (3-row broadcast cross). The
+    // MinHash sigs ride the session-memoized candidate index.
+    "q_llm_dedup_agreement" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val docs = table(s, dir, "documents")
+      val sha = docs.select(col("doc_id"), sha2(col("text"), 256).as("h"))
+      val exDup = sha.join(
+          sha.groupBy("h").agg(count(lit(1)).as("c")).where(col("c") > 1), "h")
+        .select("doc_id")
+      val (_, sigs, _) = candidateIndexFor(s, dir)
+      val bands = lshBuckets(sigs, Int.MaxValue)
+      val mhDup = bands.join(
+          bands.groupBy("band", "bh").agg(count(lit(1)).as("c"))
+            .where(col("c") > 1), Seq("band", "bh"))
+        .select("doc_id").distinct()
+      val shSigs = simhashSigsFor(s, dir, 64)
+      val sbandCols = (0 until 4).map { b =>
+        struct(lit(b).as("band"),
+          shiftrightunsigned(col("simhash"), 16 * b)
+            .bitwiseAND(lit(0xFFFFL)).as("bv"))
+      }
+      val sbands = shSigs
+        .select(col("doc_id"), explode(array(sbandCols: _*)).as("bb"))
+        .select(col("doc_id"), col("bb.band").as("band"), col("bb.bv").as("bv"))
+      val shDup = sbands.join(
+          sbands.groupBy("band", "bv").agg(count(lit(1)).as("c"))
+            .where(col("c") > 1), Seq("band", "bv"))
+        .select("doc_id").distinct()
+      val flags = exDup.withColumn("bit", lit(1L))
+        .union(mhDup.withColumn("bit", lit(2L)))
+        .union(shDup.withColumn("bit", lit(4L)))
+      val hist = docs.select("doc_id").join(flags, Seq("doc_id"), "left")
+        .groupBy("doc_id").agg(coalesce(sum("bit"), lit(0L)).as("mask"))
+        .groupBy("mask").agg(count(lit(1)).as("c"))
+      val pairDefs = Seq(
+        ("exact", 1L, "minhash", 2L), ("exact", 1L, "simhash", 4L),
+        ("minhash", 2L, "simhash", 4L))
+        .toDF("method_a", "bit_a", "method_b", "bit_b")
+      hist.crossJoin(broadcast(pairDefs))
+        .groupBy("method_a", "method_b")
+        .agg(
+          asLong(sum(when(col("mask").bitwiseAND(col("bit_a")) > 0, col("c"))
+            .otherwise(0L))).as("n_a"),
+          asLong(sum(when(col("mask").bitwiseAND(col("bit_b")) > 0, col("c"))
+            .otherwise(0L))).as("n_b"),
+          asLong(sum(when(col("mask").bitwiseAND(col("bit_a")) > 0
+              && col("mask").bitwiseAND(col("bit_b")) > 0, col("c"))
+            .otherwise(0L))).as("n_both"))
+        .select(col("method_a"), col("method_b"), col("n_a"), col("n_b"),
+          col("n_both"),
+          when(col("n_a") + col("n_b") - col("n_both") > 0,
+            col("n_both").cast("double")
+              / (col("n_a") + col("n_b") - col("n_both"))).as("jaccard"))
+        .orderBy("method_a", "method_b")
+    }),
+
     "q_llm_text_stats" -> ((s: SparkSession, dir: String) =>
       table(s, dir, "documents")
         .withColumn("n_tokens", size(split(col("text"), " ")))
@@ -1588,6 +1652,55 @@ object LlmOps extends QueryModule {
          |       COALESCE(st.uniq_fp, 0) AS uniq_fp
          |FROM nt LEFT JOIN st ON st.doc_id = nt.doc_id
          |ORDER BY nt.doc_id""".stripMargin,
+
+    // Method-agreement oracle: the three flag sets from the SAME shared
+    // CTE builders the dedup oracles use (tokenHashCte / minhashSigsCte /
+    // lshBandsCte / simhashCte — single source of truth), collapsed to a
+    // per-doc bitmask and a mask histogram; the pair matrix is literal
+    // arithmetic. (simhash >> n) & 65535 equals the engine's unsigned
+    // shift under the mask (the simhash_neardup precedent).
+    "q_llm_dedup_agreement" ->
+      s"""WITH
+         |${RH.tokenHashCte},
+         |${RH.minhashSigsCte(NumHashes)},
+         |${RH.lshBandsCte},
+         |${RH.simhashCte(64)},
+         |exf AS (
+         |  SELECT doc_id FROM (
+         |    SELECT doc_id, count(*) OVER (PARTITION BY sha256(text)) AS c
+         |    FROM documents) WHERE c > 1),
+         |mhd AS (SELECT band, bh FROM bands GROUP BY band, bh HAVING count(*) > 1),
+         |mhf AS (SELECT DISTINCT b.doc_id FROM bands b JOIN mhd USING (band, bh)),
+         |shb AS (
+         |  SELECT doc_id, b.band, (simhash >> (16 * b.band)) & 65535 AS bv
+         |  FROM sh CROSS JOIN (SELECT unnest(range(0, 4)) AS band) b),
+         |shd AS (SELECT band, bv FROM shb GROUP BY band, bv HAVING count(*) > 1),
+         |shf AS (SELECT DISTINCT s0.doc_id FROM shb s0 JOIN shd USING (band, bv)),
+         |m AS (
+         |  SELECT d.doc_id,
+         |         (CASE WHEN e.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+         |         + (CASE WHEN mh.doc_id IS NOT NULL THEN 2 ELSE 0 END)
+         |         + (CASE WHEN sf.doc_id IS NOT NULL THEN 4 ELSE 0 END) AS mask
+         |  FROM documents d
+         |  LEFT JOIN exf e ON e.doc_id = d.doc_id
+         |  LEFT JOIN mhf mh ON mh.doc_id = d.doc_id
+         |  LEFT JOIN shf sf ON sf.doc_id = d.doc_id),
+         |h AS (SELECT mask, CAST(count(*) AS BIGINT) AS c FROM m GROUP BY mask),
+         |pr AS (SELECT * FROM (VALUES ('exact', 1, 'minhash', 2),
+         |                            ('exact', 1, 'simhash', 4),
+         |                            ('minhash', 2, 'simhash', 4))
+         |       v(method_a, bit_a, method_b, bit_b)),
+         |ag AS (
+         |  SELECT method_a, method_b,
+         |         CAST(sum(CASE WHEN (mask & bit_a) > 0 THEN c ELSE 0 END) AS BIGINT) AS n_a,
+         |         CAST(sum(CASE WHEN (mask & bit_b) > 0 THEN c ELSE 0 END) AS BIGINT) AS n_b,
+         |         CAST(sum(CASE WHEN (mask & bit_a) > 0 AND (mask & bit_b) > 0
+         |                       THEN c ELSE 0 END) AS BIGINT) AS n_both
+         |  FROM h CROSS JOIN pr GROUP BY method_a, method_b)
+         |SELECT method_a, method_b, n_a, n_b, n_both,
+         |       CASE WHEN n_a + n_b - n_both > 0
+         |            THEN CAST(n_both AS DOUBLE) / (n_a + n_b - n_both) END AS jaccard
+         |FROM ag ORDER BY method_a, method_b""".stripMargin,
 
     // Sliding-window twin of the block_dedup oracle: per-doc ORDERED token
     // hash lists (both bases), one 60-bit pairing digest per position via

@@ -676,4 +676,36 @@ class LlmSpec extends SparkTestBase {
       assert(variance >= 0.0 && r.getDouble(4) <= mean && mean <= r.getDouble(5))
     }
   }
+
+  test("dedup-method agreement: exact dups are contained in both hash methods (r12)") {
+    val rows = SparkEntry.queries("q_llm_dedup_agreement")(spark, sfDir)
+      .collect().map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(rows.keySet == Set(
+      ("exact", "minhash"), ("exact", "simhash"), ("minhash", "simhash")))
+    // driver-side exact-dup count from sha groups (this fixture scale may
+    // have none — only sf0.1 carries exact clones; the containment
+    // equalities hold either way)
+    val nExact = ops.table(spark, sfDir, "documents")
+      .groupBy(org.apache.spark.sql.functions.sha2(
+        org.apache.spark.sql.functions.col("text"), 256))
+      .count().where("count > 1")
+      .agg(org.apache.spark.sql.functions.coalesce(
+        org.apache.spark.sql.functions.sum("count"),
+        org.apache.spark.sql.functions.lit(0L))).collect()
+      .head.getLong(0)
+    rows.foreach { case ((a, b), (na, nb, nboth)) =>
+      assert(nboth <= math.min(na, nb), s"overlap bound for ($a, $b)")
+    }
+    // identical text ⇒ identical token set ⇒ identical MinHash sigs AND
+    // identical SimHash ⇒ band collisions in every band: exact ⊆ both
+    assert(rows(("exact", "minhash"))._1 == nExact)
+    assert(rows(("exact", "minhash"))._3 == nExact,
+      "every exact dup must be minhash-flagged")
+    assert(rows(("exact", "simhash"))._3 == nExact,
+      "every exact dup must be simhash-flagged")
+    // the hash stages must flag SOMETHING on this near-dup-rich fixture
+    assert(rows(("minhash", "simhash"))._1 > 0 &&
+      rows(("minhash", "simhash"))._2 > 0)
+  }
 }
