@@ -183,6 +183,23 @@ object DiagOps extends QueryModule {
   /** q_ts_bollinger rolling window, in hourly grid rows. */
   private[graft] val BollWindow = 24
 
+  /** q_profile_fd column sweep over lineitem: 4 integral keys + 2 enums.
+    * (name, engine BIGINT-digest expr, oracle raw expr). No DOUBLE
+    * columns — engine digests must be injective on the observed domain
+    * and free of cross-engine double→string formatting; enum strings go
+    * through text_full_hash (injective on ≤3 fixed values), ints ride
+    * raw. The oracle counts distinct RAW values — equal by injectivity. */
+  private val FdCols: Seq[(String, String)] = Seq(
+    "l_linenumber" -> "CAST(l_linenumber AS BIGINT)",
+    "l_linestatus" -> "text_full_hash(l_linestatus)",
+    "l_orderkey" -> "l_orderkey",
+    "l_partkey" -> "l_partkey",
+    "l_returnflag" -> "text_full_hash(l_returnflag)",
+    "l_suppkey" -> "l_suppkey")
+
+  private val FdPairs: Seq[(Int, Int)] =
+    for (i <- FdCols.indices; j <- i + 1 until FdCols.length) yield (i, j)
+
   /** Gapfilled hourly cent grid over events — the acf/ewma/crosscorr
     * grid, factored out (r12) so q_ts_bollinger, its streaming twin's
     * parity harness, and future grid consumers share ONE builder:
@@ -632,6 +649,47 @@ object DiagOps extends QueryModule {
           sum(expr(s"pxy % $MomentSplit").cast("decimal(38,0)")).cast("double").as("sxylo"))
       agg.selectExpr(Seq("event_type", "lag_h", "n") ++ acfFormula: _*)
         .orderBy("event_type", "lag_h")
+    }),
+
+    // Functional-dependency + candidate-key discovery (r12) — the
+    // profiling sweep next to q_profile_table/corr: for every unordered
+    // column pair over lineitem's discrete columns, distinct counts of
+    // each side and of the pair, FD verdicts both ways (A→B holds iff
+    // |distinct(A)| = |distinct(A,B)| — the TANE/level-1 rule) and
+    // candidate-key flags (nd = row count). Scale: TWO exchanges total —
+    // a 6-way single-value explode and a 15-way pair explode, both
+    // carrying (tag, digest) longs only, each collapsing through
+    // distinct→count hash aggs; the assembly joins are over ≤15-row
+    // relations (column-count-bounded constants — legal broadcasts).
+    "q_profile_fd" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      graft.functions.GraftFunctions.register(s)
+      val base = table(s, dir, "lineitem").selectExpr(
+        FdCols.map { case (nm, e) => s"$e AS $nm" }: _*)
+      val nRel = base.agg(asLong(count(lit(1))).as("n_rows"))
+      val singles = base.select(explode(array(FdCols.map { case (nm, _) =>
+          struct(lit(nm).as("c"), col(nm).as("v")) }: _*)).as("x"))
+        .select("x.c", "x.v").distinct()
+        .groupBy("c").agg(asLong(count(lit(1))).as("nd"))
+      val pairRel = base.select(explode(array(FdPairs.map { case (i, j) =>
+          struct(lit(s"${FdCols(i)._1}|${FdCols(j)._1}").as("p"),
+            col(FdCols(i)._1).as("va"), col(FdCols(j)._1).as("vb")) }: _*)).as("x"))
+        .select("x.p", "x.va", "x.vb").distinct()
+        .groupBy("p").agg(asLong(count(lit(1))).as("nd_ab"))
+      val defs = FdPairs.map { case (i, j) =>
+        (s"${FdCols(i)._1}|${FdCols(j)._1}", FdCols(i)._1, FdCols(j)._1)
+      }.toDF("p", "col_a", "col_b")
+      defs.join(broadcast(pairRel), "p")
+        .join(broadcast(singles.toDF("col_a", "nd_a")), "col_a")
+        .join(broadcast(singles.toDF("col_b", "nd_b")), "col_b")
+        .crossJoin(broadcast(nRel))
+        .select(col("col_a"), col("col_b"), col("n_rows"),
+          col("nd_a"), col("nd_b"), col("nd_ab"),
+          (col("nd_ab") === col("nd_a")).as("fd_a_to_b"),
+          (col("nd_ab") === col("nd_b")).as("fd_b_to_a"),
+          (col("nd_a") === col("n_rows")).as("key_a"),
+          (col("nd_b") === col("n_rows")).as("key_b"))
+        .orderBy("col_a", "col_b")
     }),
 
     // Bollinger bands (r12) — the rolling-volatility read next to
@@ -1334,6 +1392,39 @@ object DiagOps extends QueryModule {
          |SELECT event_type, lag_h, n,
          |       ${acfFormula.mkString(",\n       ")}
          |FROM m ORDER BY event_type, lag_h""".stripMargin,
+
+    // Generated from the same FdCols/FdPairs lists as the engine (single
+    // source of truth); counts distinct RAW values — equal to the
+    // engine's digest counts by injectivity on the observed domains.
+    // `s` is read twice -> MATERIALIZED (CLAUDE rule).
+    "q_profile_fd" -> {
+      val singleSql = FdCols.map { case (nm, _) =>
+        s"SELECT '$nm' AS c, CAST(count(DISTINCT $nm) AS BIGINT) AS nd FROM lineitem"
+      }.mkString("\n  UNION ALL\n  ")
+      val pairSql = FdPairs.map { case (i, j) =>
+        val (a, b) = (FdCols(i)._1, FdCols(j)._1)
+        s"SELECT '$a|$b' AS p, CAST(count(*) AS BIGINT) AS nd_ab " +
+          s"FROM (SELECT DISTINCT $a, $b FROM lineitem)"
+      }.mkString("\n  UNION ALL\n  ")
+      val defVals = FdPairs.map { case (i, j) =>
+        s"('${FdCols(i)._1}|${FdCols(j)._1}', '${FdCols(i)._1}', '${FdCols(j)._1}')"
+      }.mkString(",\n       ")
+      s"""WITH nr AS (SELECT CAST(count(*) AS BIGINT) AS n_rows FROM lineitem),
+         |s AS MATERIALIZED ($singleSql),
+         |pp AS ($pairSql),
+         |defs AS (SELECT * FROM (VALUES $defVals) v(p, col_a, col_b))
+         |SELECT col_a, col_b, n_rows, sa.nd AS nd_a, sb.nd AS nd_b,
+         |       pp.nd_ab AS nd_ab,
+         |       pp.nd_ab = sa.nd AS fd_a_to_b,
+         |       pp.nd_ab = sb.nd AS fd_b_to_a,
+         |       sa.nd = n_rows AS key_a,
+         |       sb.nd = n_rows AS key_b
+         |FROM defs JOIN pp USING (p)
+         |JOIN s sa ON sa.c = col_a
+         |JOIN s sb ON sb.c = col_b
+         |CROSS JOIN nr
+         |ORDER BY col_a, col_b""".stripMargin
+    },
 
     // Same gapfilled grid CTEs as crosscorr; frame moments in BIGINT
     // (HUGEINT window sums cast back), then the shared formula set.

@@ -891,6 +891,38 @@ class MixDiagSpec extends SparkTestBase {
       "alpha=0.5 must upsample the smallest source")
   }
 
+  test("functional-dependency sweep equals a driver-side replay (r12)") {
+    val rows = q("q_profile_fd").collect().map(r =>
+      ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getBoolean(6), r.getBoolean(7), r.getBoolean(8), r.getBoolean(9))))
+      .toMap
+    assert(rows.size == 15, "C(6,2) unordered pairs")
+    val li = ops.table(spark, sfDir, "lineitem")
+      .selectExpr("l_linenumber", "l_linestatus", "l_orderkey", "l_partkey",
+        "l_returnflag", "l_suppkey").collect()
+      .map(r => Map(
+        "l_linenumber" -> r.get(0).toString, "l_linestatus" -> r.get(1).toString,
+        "l_orderkey" -> r.get(2).toString, "l_partkey" -> r.get(3).toString,
+        "l_returnflag" -> r.get(4).toString, "l_suppkey" -> r.get(5).toString))
+    val n = li.length.toLong
+    def nd(cs: Seq[String]) = li.map(m => cs.map(m)).distinct.length.toLong
+    rows.foreach { case ((a, b), (nr, nda, ndb, ndab, fab, fba, ka, kb)) =>
+      assert(nr == n)
+      assert(nda == nd(Seq(a)) && ndb == nd(Seq(b)), s"single nds of ($a, $b)")
+      assert(ndab == nd(Seq(a, b)), s"pair nd of ($a, $b)")
+      assert(fab == (ndab == nda) && fba == (ndab == ndb))
+      assert(ka == (nda == n) && kb == (ndb == n))
+      // structure sanity: nd(a,b) >= max side, <= min(n, nda * ndb)
+      assert(ndab >= math.max(nda, ndb) && ndab <= n)
+    }
+    // the composite (orderkey, linenumber) is the table key: orderkey alone
+    // must NOT be a key, and orderkey -> linenumber must NOT hold
+    val ok = rows(("l_linenumber", "l_orderkey"))
+    assert(!ok._7 && !ok._8, "no single-column key among the pair")
+    assert(!ok._6, "orderkey does not determine linenumber")
+  }
+
   test("bollinger bands equal a driver-side rolling replay (r12)") {
     import org.apache.spark.sql.functions._
     val rows = q("q_ts_bollinger").collect()
