@@ -100,6 +100,10 @@ object ReplayableHash extends Serializable {
   /** A/B-arm assignment hash (q_analytics_abtest; salt 12). */
   val AbTestParams: IndexedSeq[(Long, Long)] = params(1, salt = 12)
 
+  /** Bloom-prefilter row family (q_join_bloom_prefilter; salt 13 — see
+    * the salt registry in CLAUDE.md). k = 4 probe rows. */
+  val BloomParams: IndexedSeq[(Long, Long)] = params(4, salt = 13)
+
   // ---- DuckDB SQL twins (generated from the same constants) --------------
 
   /** SQL computing [[tokenHash]] of a string expression. */

@@ -19,6 +19,11 @@ object JoinOps extends QueryModule {
     * rows scatter across this many shuffle partitions. */
   private[graft] val SaltFactor = 8
 
+  /** q_join_bloom_prefilter width (bits): 2^16 cells — the set-bit
+    * relation stays domain-bounded and broadcast-legal at any dim size
+    * (the simhash 2^16 rule). */
+  private val BloomBits = 65536L
+
   /** Shared merge-scan as-of implementation (both directions), salted by a
     * coarse time bucket so no single hot key ever sorts its whole timeline
     * in one task.
@@ -201,6 +206,58 @@ object JoinOps extends QueryModule {
         .orderBy("p_brand")
     }),
 
+    // Bloom-prefilter semi-join study (r12) — the "ship a filter, not the
+    // dim table" scale technique: a deterministic Bloom filter
+    // (ReplayableHash salt-13 rows, k=4, 2^16 bits) built over the
+    // selective dim subset prefilters the fact side, and the report
+    // quantifies what a 100 TB pipeline actually cares about — rows
+    // passing vs true members vs false positives, with NO false
+    // negatives (the Bloom guarantee, spec-pinned). Deterministic hash
+    // rows make this "approximate" structure EXACTLY oracled (the
+    // q_agg_countmin rule). Scale: the set-bit relation is bounded by
+    // the 2^16 bit domain (broadcast-legal, the simhash rule); the fact
+    // side collapses to per-key counts FIRST (O(#keys), the countmin
+    // shape); the membership join is a shuffled key join (O(#dim) —
+    // never broadcast, the dup_clusters rule).
+    "q_join_bloom_prefilter" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val RH = graft.functions.ReplayableHash
+      val P = RH.P
+      val prel = RH.BloomParams.zipWithIndex
+        .map { case ((a, b), k) => (k.toLong, a, b) }.toDF("r", "a", "b")
+      val dim = table(s, dir, "part").where(col("p_size") > 40)
+        .select("p_partkey")
+      val positions = dim.crossJoin(broadcast(prel))
+        .select(expr(s"((a * (p_partkey % $P) + b) % $P) % $BloomBits").as("pos"))
+        .distinct()
+      val freq = table(s, dir, "lineitem")
+        .groupBy("l_partkey").agg(count(lit(1)).as("c"))
+      val hits = freq.crossJoin(broadcast(prel))
+        .withColumn("pos", expr(s"((a * (l_partkey % $P) + b) % $P) % $BloomBits"))
+        .join(broadcast(positions), "pos")
+        .groupBy("l_partkey").agg(count(lit(1)).as("nhit"))
+      freq
+        .join(hits, Seq("l_partkey"), "left")
+        .join(dim.select(col("p_partkey").as("l_partkey"))
+          .withColumn("truth", lit(true)), Seq("l_partkey"), "left")
+        .select(col("c"),
+          (coalesce(col("nhit"), lit(0L)) === 4).as("pass"),
+          coalesce(col("truth"), lit(false)).as("is_member"))
+        .agg(
+          asLong(sum(col("c"))).as("n_fact_rows"),
+          asLong(sum(when(col("pass"), col("c")).otherwise(0L)))
+            .as("n_pass_rows"),
+          asLong(sum(when(col("is_member"), col("c")).otherwise(0L)))
+            .as("n_member_rows"),
+          asLong(sum(when(col("pass") && !col("is_member"), col("c"))
+            .otherwise(0L))).as("n_false_pos_rows"))
+        .select(col("n_fact_rows"), col("n_pass_rows"), col("n_member_rows"),
+          col("n_false_pos_rows"),
+          when(col("n_fact_rows") - col("n_member_rows") > 0,
+            col("n_false_pos_rows").cast("double")
+              / (col("n_fact_rows") - col("n_member_rows"))).as("fp_rate"))
+    }),
+
     // Banded self-join: equi on p_size bounds the pair blow-up per band.
     "q_join_theta" -> ((s: SparkSession, dir: String) => {
       val p1 = table(s, dir, "part").select(
@@ -308,6 +365,43 @@ object JoinOps extends QueryModule {
       """SELECT o_orderkey, o_totalprice, c_name, c_mktsegment
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |ORDER BY o_orderkey""".stripMargin,
+
+    // Deterministic Bloom rows replay exactly (the countmin rule): both
+    // engines build the identical set-bit relation and probe counts.
+    "q_join_bloom_prefilter" -> {
+      val RH = graft.functions.ReplayableHash
+      s"""WITH pr AS ${RH.paramsSql(RH.BloomParams, 4, "v")},
+         |dim AS MATERIALIZED (SELECT p_partkey FROM part WHERE p_size > 40),
+         |pos AS (
+         |  SELECT DISTINCT ((pr.a * (p_partkey % ${RH.P}) + pr.b) % ${RH.P}) % $BloomBits AS pos
+         |  FROM dim CROSS JOIN pr),
+         |freq AS MATERIALIZED (
+         |  SELECT l_partkey, CAST(count(*) AS BIGINT) AS c
+         |  FROM lineitem GROUP BY l_partkey),
+         |hits AS (
+         |  SELECT f.l_partkey, count(*) AS nhit
+         |  FROM freq f CROSS JOIN pr
+         |  JOIN pos ON pos.pos = ((pr.a * (f.l_partkey % ${RH.P}) + pr.b) % ${RH.P}) % $BloomBits
+         |  GROUP BY f.l_partkey),
+         |px AS (
+         |  SELECT f.c,
+         |         COALESCE(h.nhit, 0) = 4 AS pass,
+         |         d.p_partkey IS NOT NULL AS is_member
+         |  FROM freq f
+         |  LEFT JOIN hits h ON h.l_partkey = f.l_partkey
+         |  LEFT JOIN dim d ON d.p_partkey = f.l_partkey),
+         |ag AS (
+         |  SELECT CAST(sum(c) AS BIGINT) AS n_fact_rows,
+         |         CAST(sum(CASE WHEN pass THEN c ELSE 0 END) AS BIGINT) AS n_pass_rows,
+         |         CAST(sum(CASE WHEN is_member THEN c ELSE 0 END) AS BIGINT) AS n_member_rows,
+         |         CAST(sum(CASE WHEN pass AND NOT is_member THEN c ELSE 0 END) AS BIGINT) AS n_false_pos_rows
+         |  FROM px)
+         |SELECT n_fact_rows, n_pass_rows, n_member_rows, n_false_pos_rows,
+         |       CASE WHEN n_fact_rows - n_member_rows > 0
+         |            THEN CAST(n_false_pos_rows AS DOUBLE) / (n_fact_rows - n_member_rows)
+         |       END AS fp_rate
+         |FROM ag""".stripMargin
+    },
 
     "q_join_multiway" ->
       """SELECT r_name, n_name,

@@ -296,6 +296,30 @@ class OpsSpec extends SparkTestBase {
     }
   }
 
+  test("bloom prefilter: no false negatives + exact driver replay (r12)") {
+    val r = SparkEntry.queries("q_join_bloom_prefilter")(spark, sfDir)
+      .collect().head
+    val (nf, np, nm, nfp) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    // the Bloom guarantee: every member row passes; pass = member + fp
+    assert(np >= nm && np == nm + nfp)
+    // full driver replay of the filter
+    val P = graft.functions.ReplayableHash.P
+    val pr = graft.functions.ReplayableHash.BloomParams
+    val dimKeys = ops.table(spark, sfDir, "part").where("p_size > 40")
+      .select("p_partkey").collect().map(_.getLong(0)).toSet
+    val posSet = dimKeys.flatMap(k =>
+      pr.map { case (a, b) => ((a * (k % P) + b) % P) % 65536 })
+    val fact = ops.table(spark, sfDir, "lineitem")
+      .select("l_partkey").collect().map(_.getLong(0))
+    val pass = fact.count(k =>
+      pr.forall { case (a, b) => posSet(((a * (k % P) + b) % P) % 65536) })
+    assert(nf == fact.length.toLong && np == pass.toLong)
+    assert(nm == fact.count(dimKeys).toLong)
+    if (!r.isNullAt(4))
+      assert(r.getDouble(4) >= 0.0 && r.getDouble(4) < 1.0)
+  }
+
   test("bag set ops keep exact multiplicities (r12)") {
     val orders = ops.table(spark, sfDir, "orders")
       .select("o_custkey", "o_totalprice", "o_orderpriority", "o_orderstatus")
