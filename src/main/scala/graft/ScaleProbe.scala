@@ -241,7 +241,16 @@ object ScaleProbe {
       // r12: span-granular dedup (sliding-window digest df rejoin + the
       // per-doc islands merge window) and the abtest p-value rides the
       // existing q_analytics_abtest row (same one-agg shape + scalar chain)
-      "q_llm_span_dedup")
+      "q_llm_span_dedup",
+      // r12 batch 2: real container decode (scan-side parse), Bollinger
+      // (grid axis), FD sweep (two digest explodes), Bloom prefilter
+      // (2^16 broadcast + key-count shapes), method agreement (three
+      // count-shaped flag pipelines over the memoized sig indexes), the
+      // Q19/Q15 SQL analogs, and the bag set ops (one hash agg each)
+      "q_mm_container_meta", "q_ts_bollinger", "q_profile_fd",
+      "q_join_bloom_prefilter", "q_llm_dedup_agreement",
+      "q_sql_disjunctive_revenue", "q_sql_top_supplier",
+      "q_set_intersect_all", "q_set_except_all")
     // warmup
     SparkEntry.queries("q_agg_basic")(spark, outDir).count()
     val results = probes.map { name =>
