@@ -252,6 +252,57 @@ object LlmOps extends QueryModule {
         coalesce(col("span_fp"), lit(0L)).as("span_fp"))
   }
 
+  /** The q_llm_span_dedup oracle CTE chain (ends with `rep` + `nt`) —
+    * ONE builder shared by the per-doc report and the per-source rollup
+    * oracles (r12 twin-fragment discipline). */
+  private lazy val spanDedupCte: String = {
+    val RH = graft.functions.ReplayableHash
+    val W = SpanW
+    s"""toks AS (
+       |  SELECT doc_id, list_filter(string_split(text, ' '), t -> length(t) > 0) AS ts
+       |  FROM documents),
+       |tl AS (
+       |  SELECT doc_id,
+       |         list_transform(ts, t -> ${RH.tokenHashSql("t")}) AS t1,
+       |         list_transform(ts, t -> ${RH.tokenHashSql("t", RH.Base2)}) AS t2
+       |  FROM toks),
+       |win AS (
+       |  SELECT doc_id, unnest(range(0, length(t1) - $W + 1)) AS pos, t1, t2
+       |  FROM tl),
+       |whr AS MATERIALIZED (
+       |  SELECT doc_id, pos,
+       |         ${RH.blockFoldSql(s"t1[CAST(pos + 1 AS INT):CAST(pos + $W AS INT)]")} * ${RH.P}
+       |         + ${RH.blockFoldSql(s"t2[CAST(pos + 1 AS INT):CAST(pos + $W AS INT)]", RH.BlockBase2)} AS wh
+       |  FROM win),
+       |occ AS (SELECT wh AS h, count(*) AS df FROM whr GROUP BY wh),
+       |dup AS (
+       |  SELECT w.doc_id, w.pos FROM whr w JOIN occ o ON o.h = w.wh
+       |  WHERE o.df > 1),
+       |brk AS (
+       |  SELECT doc_id, pos,
+       |         CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+       |                   OR pos > lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) + $W
+       |              THEN 1 ELSE 0 END AS b
+       |  FROM dup),
+       |grp AS (
+       |  SELECT doc_id, pos,
+       |         sum(b) OVER (PARTITION BY doc_id ORDER BY pos
+       |                      ROWS UNBOUNDED PRECEDING) AS g
+       |  FROM brk),
+       |spans AS (
+       |  SELECT doc_id, g, min(pos) AS s, max(pos) + $W AS e
+       |  FROM grp GROUP BY doc_id, g),
+       |rep AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+       |         CAST(sum(e - s) AS BIGINT) AS removed_tokens,
+       |         CAST(sum(((s + 1) * ${RH.BlockBase} + e) % ${RH.P}) % ${RH.P} AS BIGINT) AS span_fp
+       |  FROM spans GROUP BY doc_id),
+       |nt AS (
+       |  SELECT doc_id,
+       |         CAST(length(list_filter(string_split(text, ' '), t -> length(t) > 0)) AS BIGINT) AS n_tokens
+       |  FROM documents)""".stripMargin
+  }
+
   /** distinct (doc_id, token) pairs. */
   private[graft] def docTokens(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
@@ -636,6 +687,29 @@ object LlmOps extends QueryModule {
     // block-granular key above).
     "q_llm_span_dedup" -> ((s: SparkSession, dir: String) =>
       spanDedupReport(s, table(s, dir, "documents")).orderBy("doc_id")),
+
+    // Per-source span-dedup burden (r12) — dup_rate_by_source at span
+    // granularity: which provenance carries the repeated-span weight.
+    // One doc_id-keyed join of the per-doc report onto (doc_id, source)
+    // (O(#docs) shuffled join — never broadcast), then a hash agg to
+    // ≤ #sources rows.
+    "q_llm_span_dedup_by_source" -> ((s: SparkSession, dir: String) => {
+      val docs = table(s, dir, "documents")
+      spanDedupReport(s, docs)
+        .join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(asLong(count(lit(1))).as("n_docs"),
+          asLong(sum(when(col("n_spans") > 0, 1L).otherwise(0L)))
+            .as("docs_with_spans"),
+          asLong(sum(col("n_tokens"))).as("total_tokens"),
+          asLong(sum(col("removed_tokens"))).as("removed_tokens"))
+        .select(col("source"), col("n_docs"), col("docs_with_spans"),
+          col("total_tokens"), col("removed_tokens"),
+          when(col("total_tokens") > 0,
+            col("removed_tokens").cast("double")
+              / col("total_tokens").cast("double")).as("removal_rate"))
+        .orderBy("source")
+    }),
 
     // Dedup-method agreement matrix (r12) — the meta-quality audit a
     // curation pipeline reads before PICKING a dedup method: per method
@@ -1707,59 +1781,37 @@ object LlmOps extends QueryModule {
     // slice folds, df counts, then the same gaps-and-islands merge the
     // Spark side runs (equal-width intervals sorted by pos: merge iff
     // pos ≤ prev + w). `whr` is read twice -> MATERIALIZED (CLAUDE rule).
-    "q_llm_span_dedup" -> {
-      val W = SpanW
-      s"""WITH toks AS (
-         |  SELECT doc_id, list_filter(string_split(text, ' '), t -> length(t) > 0) AS ts
-         |  FROM documents),
-         |tl AS (
-         |  SELECT doc_id,
-         |         list_transform(ts, t -> ${RH.tokenHashSql("t")}) AS t1,
-         |         list_transform(ts, t -> ${RH.tokenHashSql("t", RH.Base2)}) AS t2
-         |  FROM toks),
-         |win AS (
-         |  SELECT doc_id, unnest(range(0, length(t1) - $W + 1)) AS pos, t1, t2
-         |  FROM tl),
-         |whr AS MATERIALIZED (
-         |  SELECT doc_id, pos,
-         |         ${RH.blockFoldSql(s"t1[CAST(pos + 1 AS INT):CAST(pos + $W AS INT)]")} * ${RH.P}
-         |         + ${RH.blockFoldSql(s"t2[CAST(pos + 1 AS INT):CAST(pos + $W AS INT)]", RH.BlockBase2)} AS wh
-         |  FROM win),
-         |occ AS (SELECT wh AS h, count(*) AS df FROM whr GROUP BY wh),
-         |dup AS (
-         |  SELECT w.doc_id, w.pos FROM whr w JOIN occ o ON o.h = w.wh
-         |  WHERE o.df > 1),
-         |brk AS (
-         |  SELECT doc_id, pos,
-         |         CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
-         |                   OR pos > lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) + $W
-         |              THEN 1 ELSE 0 END AS b
-         |  FROM dup),
-         |grp AS (
-         |  SELECT doc_id, pos,
-         |         sum(b) OVER (PARTITION BY doc_id ORDER BY pos
-         |                      ROWS UNBOUNDED PRECEDING) AS g
-         |  FROM brk),
-         |spans AS (
-         |  SELECT doc_id, g, min(pos) AS s, max(pos) + $W AS e
-         |  FROM grp GROUP BY doc_id, g),
-         |rep AS (
-         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
-         |         CAST(sum(e - s) AS BIGINT) AS removed_tokens,
-         |         CAST(sum(((s + 1) * ${RH.BlockBase} + e) % ${RH.P}) % ${RH.P} AS BIGINT) AS span_fp
-         |  FROM spans GROUP BY doc_id),
-         |nt AS (
-         |  SELECT doc_id,
-         |         CAST(length(list_filter(string_split(text, ' '), t -> length(t) > 0)) AS BIGINT) AS n_tokens
-         |  FROM documents)
+    // The CTE chain is factored (spanDedupCte) so the per-source rollup
+    // twin cannot drift.
+    "q_llm_span_dedup" ->
+      s"""WITH $spanDedupCte
          |SELECT nt.doc_id AS doc_id, nt.n_tokens AS n_tokens,
          |       COALESCE(rep.n_spans, 0) AS n_spans,
          |       COALESCE(rep.removed_tokens, 0) AS removed_tokens,
          |       nt.n_tokens - COALESCE(rep.removed_tokens, 0) AS kept_tokens,
          |       COALESCE(rep.span_fp, 0) AS span_fp
          |FROM nt LEFT JOIN rep ON rep.doc_id = nt.doc_id
-         |ORDER BY nt.doc_id""".stripMargin
-    },
+         |ORDER BY nt.doc_id""".stripMargin,
+
+    // Per-source rollup over the SAME spanDedupCte chain: removal burden
+    // by provenance (the dup_rate_by_source read at span granularity).
+    "q_llm_span_dedup_by_source" ->
+      s"""WITH $spanDedupCte,
+         |pd AS (
+         |  SELECT nt.doc_id, nt.n_tokens,
+         |         COALESCE(rep.n_spans, 0) AS n_spans,
+         |         COALESCE(rep.removed_tokens, 0) AS removed_tokens
+         |  FROM nt LEFT JOIN rep ON rep.doc_id = nt.doc_id)
+         |SELECT d.source,
+         |       CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(sum(CASE WHEN pd.n_spans > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_spans,
+         |       CAST(sum(pd.n_tokens) AS BIGINT) AS total_tokens,
+         |       CAST(sum(pd.removed_tokens) AS BIGINT) AS removed_tokens,
+         |       CASE WHEN sum(pd.n_tokens) > 0
+         |            THEN CAST(sum(pd.removed_tokens) AS DOUBLE) / CAST(sum(pd.n_tokens) AS DOUBLE)
+         |       END AS removal_rate
+         |FROM pd JOIN documents d ON d.doc_id = pd.doc_id
+         |GROUP BY d.source ORDER BY d.source""".stripMargin,
 
     "q_llm_text_stats" ->
       """SELECT lang, count(*) AS n_docs,

@@ -92,6 +92,30 @@ class SpanDedupSpec extends SparkTestBase {
     }
   }
 
+  test("per-source rollup equals a driver-side fold of the per-doc report (r12)") {
+    val perDoc = SparkEntry.queries("q_llm_span_dedup")(spark, sfDir)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val src = ops.table(spark, sfDir, "documents")
+      .select("doc_id", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val expect = src.groupBy(_._2).view.mapValues { ds =>
+      val reps = ds.map(d => perDoc(d._1))
+      (ds.length.toLong, reps.count(_._2 > 0).toLong,
+        reps.map(_._1).sum, reps.map(_._3).sum)
+    }.toMap
+    val got = SparkEntry.queries("q_llm_span_dedup_by_source")(spark, sfDir)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          if (r.isNullAt(5)) -1.0 else r.getDouble(5)))).toMap
+    assert(got.keySet == expect.keySet)
+    got.foreach { case (s0, (nd, dws, tt, rt, rate)) =>
+      val (en, edws, ett, ert) = expect(s0)
+      assert((nd, dws, tt, rt) == ((en, edws, ett, ert)), s"rollup of $s0")
+      if (ett > 0) assert(rate == ert.toDouble / ett.toDouble)
+    }
+  }
+
   test("randomized: report matches brute force on a template-heavy corpus") {
     val rnd = new scala.util.Random(42)
     val template = (1 to 15).map(i => s"tpl$i")
