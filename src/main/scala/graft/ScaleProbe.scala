@@ -250,7 +250,8 @@ object ScaleProbe {
       "q_mm_container_meta", "q_ts_bollinger", "q_profile_fd",
       "q_join_bloom_prefilter", "q_llm_dedup_agreement",
       "q_sql_disjunctive_revenue", "q_sql_top_supplier",
-      "q_set_intersect_all", "q_set_except_all")
+      "q_set_intersect_all", "q_set_except_all",
+      "q_llm_span_dedup_by_source")
     // warmup
     SparkEntry.queries("q_agg_basic")(spark, outDir).count()
     val results = probes.map { name =>
