@@ -200,6 +200,13 @@ object DiagOps extends QueryModule {
   private val FdPairs: Seq[(Int, Int)] =
     for (i <- FdCols.indices; j <- i + 1 until FdCols.length) yield (i, j)
 
+  /** q_profile_benford expected shares: log10(1 + 1/d) computed ONCE at
+    * code-gen time and embedded as shortest-round-trip double literals —
+    * both engines parse the identical text to the identical double (no
+    * runtime libm anywhere). */
+  private val BenfordShares: Seq[(Int, Double)] =
+    (1 to 9).map(d => d -> math.log10(1.0 + 1.0 / d))
+
   /** Gapfilled hourly cent grid over events — the acf/ewma/crosscorr
     * grid, factored out (r12) so q_ts_bollinger, its streaming twin's
     * parity harness, and future grid consumers share ONE builder:
@@ -649,6 +656,37 @@ object DiagOps extends QueryModule {
           sum(expr(s"pxy % $MomentSplit").cast("decimal(38,0)")).cast("double").as("sxylo"))
       agg.selectExpr(Seq("event_type", "lag_h", "n") ++ acfFormula: _*)
         .orderBy("event_type", "lag_h")
+    }),
+
+    // Benford first-digit audit (r12) — the fraud/synthetic-data
+    // profiling read next to q_profile_drift: observed first-digit
+    // shares of the cent-quantized order totals vs the Benford
+    // expectation, per-digit deviation. Replay: the first digit comes
+    // from the INTEGER-string cast of the cent BIGINT (integers format
+    // identically across engines — never a double format or a runtime
+    // log10; the expected shares are code-gen-time literals). Scale: one
+    // map-side-combinable hash agg to ≤9 rows; the share denominator is
+    // a window over that digit-bounded relation.
+    "q_profile_benford" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val digits = table(s, dir, "orders")
+        .select(expr(
+          "CAST(substring(CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS STRING), 1, 1) AS INT)")
+          .as("first_digit"))
+        .where(col("first_digit").between(1, 9))
+        .groupBy("first_digit").agg(count(lit(1)).as("n"))
+      val tot = digits.agg(asLong(sum(col("n"))).as("total"))
+      val exp9 = BenfordShares.toDF("first_digit", "benford_share")
+      // digits is value-DOMAIN-bounded (≤9 rows forever) — broadcast legal
+      exp9.join(broadcast(digits), Seq("first_digit"), "left")
+        .crossJoin(broadcast(tot))
+        .withColumn("n", coalesce(col("n"), lit(0L)))
+        .select(col("first_digit"), asLong(col("n")).as("n"),
+          (col("n").cast("double") / col("total")).as("share"),
+          col("benford_share"),
+          abs(col("n").cast("double") / col("total") - col("benford_share"))
+            .as("abs_dev"))
+        .orderBy("first_digit")
     }),
 
     // Functional-dependency + candidate-key discovery (r12) — the
@@ -1392,6 +1430,35 @@ object DiagOps extends QueryModule {
          |SELECT event_type, lag_h, n,
          |       ${acfFormula.mkString(",\n       ")}
          |FROM m ORDER BY event_type, lag_h""".stripMargin,
+
+    // Expected shares embedded from the same code-gen-time constants
+    // (shortest-round-trip double literals CAST to DOUBLE parse to the
+    // identical doubles); first digit via the BIGINT string cast.
+    // `g` is read twice -> MATERIALIZED.
+    "q_profile_benford" -> {
+      // `e0` forces a DOUBLE literal parse (strtod, correctly rounded):
+      // a bare decimal literal would parse as DECIMAL and take DuckDB's
+      // limb-wise decimal→double conversion — measured 1 ulp off the
+      // Java shortest-round-trip parse on digit 3 (the r6 rule in
+      // literal form).
+      val vals = BenfordShares
+        .map { case (d, sh) => s"($d, CAST(${sh}e0 AS DOUBLE))" }.mkString(", ")
+      s"""WITH d AS (
+         |  SELECT CAST(substring(CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS first_digit
+         |  FROM orders),
+         |g AS MATERIALIZED (
+         |  SELECT first_digit, CAST(count(*) AS BIGINT) AS n
+         |  FROM d WHERE first_digit BETWEEN 1 AND 9 GROUP BY first_digit),
+         |t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM g),
+         |e AS (SELECT * FROM (VALUES $vals) v(first_digit, benford_share))
+         |SELECT e.first_digit,
+         |       COALESCE(g.n, 0) AS n,
+         |       CAST(COALESCE(g.n, 0) AS DOUBLE) / total AS share,
+         |       e.benford_share,
+         |       abs(CAST(COALESCE(g.n, 0) AS DOUBLE) / total - e.benford_share) AS abs_dev
+         |FROM e LEFT JOIN g USING (first_digit) CROSS JOIN t
+         |ORDER BY e.first_digit""".stripMargin
+    },
 
     // Generated from the same FdCols/FdPairs lists as the engine (single
     // source of truth); counts distinct RAW values — equal to the

@@ -891,6 +891,29 @@ class MixDiagSpec extends SparkTestBase {
       "alpha=0.5 must upsample the smallest source")
   }
 
+  test("benford audit equals a driver-side first-digit replay (r12)") {
+    val rows = q("q_profile_benford").collect().map(r =>
+      (r.getInt(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4)))
+    assert(rows.map(_._1).toSeq == (1 to 9), "one row per digit, ordered")
+    val cents = ops.table(spark, sfDir, "orders")
+      .select("o_totalprice").collect().map(r =>
+        BigDecimal(r.getDouble(0) * 100)
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong)
+    val expect = cents.map(_.toString.charAt(0).asDigit)
+      .filter(d => d >= 1 && d <= 9)
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val total = expect.values.sum
+    rows.foreach { case (d, n, share, bshare, dev) =>
+      assert(n == expect.getOrElse(d, 0L), s"count of digit $d")
+      assert(share == n.toDouble / total)
+      assert(bshare == math.log10(1.0 + 1.0 / d))
+      assert(dev == math.abs(n.toDouble / total - bshare))
+    }
+    // shares are a distribution; expected shares sum to 1 analytically
+    assert(math.abs(rows.map(_._3).sum - 1.0) < 1e-9)
+  }
+
   test("functional-dependency sweep equals a driver-side replay (r12)") {
     val rows = q("q_profile_fd").collect().map(r =>
       ((r.getString(0), r.getString(1)),
