@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -206,6 +206,32 @@ object DiagOps extends QueryModule {
     * runtime libm anywhere). */
   private val BenfordShares: Seq[(Int, Double)] =
     (1 to 9).map(d => d -> math.log10(1.0 + 1.0 / d))
+
+  /** Benford report over a (first_digit, n) count relation — the SINGLE
+    * implementation behind q_profile_benford and
+    * [[graft.streaming.StreamingBenford]].report (r12 twin discipline:
+    * shared body). The count relation is value-domain-bounded (≤9 rows
+    * forever), so both broadcasts are legal at any corpus size. */
+  private[graft] def benfordReport(digits: DataFrame): DataFrame = {
+    val s = digits.sparkSession
+    import s.implicits._
+    val tot = digits.agg(asLong(sum(col("n"))).as("total"))
+    val exp9 = BenfordShares.toDF("first_digit", "benford_share")
+    exp9.join(broadcast(digits), Seq("first_digit"), "left")
+      .crossJoin(broadcast(tot))
+      .withColumn("n", coalesce(col("n"), lit(0L)))
+      .select(col("first_digit"), asLong(col("n")).as("n"),
+        (col("n").cast("double") / col("total")).as("share"),
+        col("benford_share"),
+        abs(col("n").cast("double") / col("total") - col("benford_share"))
+          .as("abs_dev"))
+      .orderBy("first_digit")
+  }
+
+  /** Scan-side first-digit projection over an o_totalprice-bearing frame
+    * (shared by the batch key and the streaming twin's input builder). */
+  private[graft] def firstDigitCol: Column = expr(
+    "CAST(substring(CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS STRING), 1, 1) AS INT)")
 
   /** Gapfilled hourly cent grid over events — the acf/ewma/crosscorr
     * grid, factored out (r12) so q_ts_bollinger, its streaming twin's
@@ -667,27 +693,11 @@ object DiagOps extends QueryModule {
     // log10; the expected shares are code-gen-time literals). Scale: one
     // map-side-combinable hash agg to ≤9 rows; the share denominator is
     // a window over that digit-bounded relation.
-    "q_profile_benford" -> ((s: SparkSession, dir: String) => {
-      import s.implicits._
-      val digits = table(s, dir, "orders")
-        .select(expr(
-          "CAST(substring(CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS STRING), 1, 1) AS INT)")
-          .as("first_digit"))
+    "q_profile_benford" -> ((s: SparkSession, dir: String) =>
+      benfordReport(table(s, dir, "orders")
+        .select(firstDigitCol.as("first_digit"))
         .where(col("first_digit").between(1, 9))
-        .groupBy("first_digit").agg(count(lit(1)).as("n"))
-      val tot = digits.agg(asLong(sum(col("n"))).as("total"))
-      val exp9 = BenfordShares.toDF("first_digit", "benford_share")
-      // digits is value-DOMAIN-bounded (≤9 rows forever) — broadcast legal
-      exp9.join(broadcast(digits), Seq("first_digit"), "left")
-        .crossJoin(broadcast(tot))
-        .withColumn("n", coalesce(col("n"), lit(0L)))
-        .select(col("first_digit"), asLong(col("n")).as("n"),
-          (col("n").cast("double") / col("total")).as("share"),
-          col("benford_share"),
-          abs(col("n").cast("double") / col("total") - col("benford_share"))
-            .as("abs_dev"))
-        .orderBy("first_digit")
-    }),
+        .groupBy("first_digit").agg(count(lit(1)).as("n")))),
 
     // Functional-dependency + candidate-key discovery (r12) — the
     // profiling sweep next to q_profile_table/corr: for every unordered
