@@ -251,7 +251,7 @@ object ScaleProbe {
       "q_join_bloom_prefilter", "q_llm_dedup_agreement",
       "q_sql_disjunctive_revenue", "q_sql_top_supplier",
       "q_set_intersect_all", "q_set_except_all",
-      "q_llm_span_dedup_by_source")
+      "q_llm_span_dedup_by_source", "q_profile_benford")
     // warmup
     SparkEntry.queries("q_agg_basic")(spark, outDir).count()
     val results = probes.map { name =>
@@ -264,11 +264,15 @@ object ScaleProbe {
       (name, dt, n)
     }
     println(f"[scale] TOTAL ${results.map(_._2).sum}%.1f s over ${results.size} probes")
-    bucketHistograms(spark, srcDir, outDir)
-    skewProbe(spark, outDir)
-    amortizationProbe(spark, outDir)
-    streamingProbe(spark, outDir)
-    degenerateProbe(spark, srcDir)
+    // subset runs (explicit query names after the dir) are for one-off
+    // new-operator rows — skip the fixed auxiliary probes there
+    if (args.length <= 1) {
+      bucketHistograms(spark, srcDir, outDir)
+      skewProbe(spark, outDir)
+      amortizationProbe(spark, outDir)
+      streamingProbe(spark, outDir)
+      degenerateProbe(spark, srcDir)
+    }
     spark.stop()
   }
 
