@@ -200,6 +200,60 @@ object SqlOps extends QueryModule {
       |WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
       |ORDER BY s_suppkey""".stripMargin
 
+  /** TPC-H Q21 analog ("suppliers who kept orders waiting", r12): the
+    * double-correlated EXISTS + NOT EXISTS self-reference over the SAME
+    * fact table — the one subquery shape the family didn't cover. The
+    * fixture has no commit/receipt dates, so "late" is l_returnflag = 'R'
+    * (the Q4-analog precedent): count, per supplier in three nations, the
+    * finished multi-supplier orders where THIS supplier returned a line
+    * and NO OTHER supplier did. Spark decorrelates both subqueries into
+    * l_orderkey-keyed semi/anti hash joins against two more lineitem
+    * scans with the `l_suppkey <>` disequality carried as the join's
+    * extra condition — never a per-row loop; the EXISTS/NOT-EXISTS sides
+    * shuffle on the same key as the main join, so AQE can stack the
+    * exchanges. */
+  private val waitingSupplierSql =
+    """SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+      |FROM supplier
+      |JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+      |JOIN orders ON o_orderkey = l1.l_orderkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |WHERE o_orderstatus = 'F'
+      |  AND l1.l_returnflag = 'R'
+      |  AND n_name IN ('NATION_3', 'NATION_7', 'NATION_11')
+      |  AND EXISTS (SELECT 1 FROM lineitem l2
+      |              WHERE l2.l_orderkey = l1.l_orderkey
+      |                AND l2.l_suppkey <> l1.l_suppkey)
+      |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+      |                  WHERE l3.l_orderkey = l1.l_orderkey
+      |                    AND l3.l_suppkey <> l1.l_suppkey
+      |                    AND l3.l_returnflag = 'R')
+      |GROUP BY s_name
+      |ORDER BY numwait DESC, s_name""".stripMargin
+
+  /** TPC-H Q11 analog ("important parts", r12): scalar subqueries inside
+    * HAVING — parts whose revenue exceeds 1.5× the per-part average,
+    * division-free as 2·rev·n > 3·total in exact DECIMAL. The per-group
+    * sum is cast back to DECIMAL(18,4) BEFORE the count multiply (the
+    * raw DECIMAL(28,4) sum × DECIMAL(12,0) would hit precision 41 and
+    * take Spark's scale-losing rounding — the Q22 rule one level up);
+    * n and total come from independent lineitem scans, not a reused CTE
+    * (a thrice-referenced CTE would re-run per reference in DuckDB — the
+    * r9 MATERIALIZED trap — and `AS MATERIALIZED` is not Spark-parseable,
+    * which verbatim sharing forbids). The 1.5× cut keeps the result
+    * scale-free: the fixture's independent-draw revenue concentrates
+    * shares near 1× with max ≈1.75–1.9× at every SF. */
+  private val importantPartsSql =
+    """SELECT p_brand, p_partkey,
+      |       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS part_revenue
+      |FROM lineitem
+      |JOIN part ON p_partkey = l_partkey
+      |GROUP BY p_brand, p_partkey
+      |HAVING CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DECIMAL(18,4)) *
+      |         CAST((SELECT count(DISTINCT l_partkey) FROM lineitem) AS DECIMAL(12,0)) * 2
+      |       > 3 * (SELECT sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) FROM lineitem)
+      |ORDER BY part_revenue DESC, p_partkey""".stripMargin
+
   def queries: Seq[(String, Q)] = Seq(
     "q_sql_shipping_priority" -> ((s: SparkSession, dir: String) =>
       graft.GraftSql.run(s, dir, shippingPrioritySql)),
@@ -223,7 +277,13 @@ object SqlOps extends QueryModule {
       graft.GraftSql.run(s, dir, disjunctiveRevenueSql)),
 
     "q_sql_top_supplier" -> ((s: SparkSession, dir: String) =>
-      graft.GraftSql.run(s, dir, topSupplierSql))
+      graft.GraftSql.run(s, dir, topSupplierSql)),
+
+    "q_sql_waiting_supplier" -> ((s: SparkSession, dir: String) =>
+      graft.GraftSql.run(s, dir, waitingSupplierSql)),
+
+    "q_sql_important_parts" -> ((s: SparkSession, dir: String) =>
+      graft.GraftSql.run(s, dir, importantPartsSql))
   )
 
   def oracle: Seq[(String, String)] = Seq(
@@ -234,6 +294,8 @@ object SqlOps extends QueryModule {
     "q_sql_small_qty_revenue" -> smallQtyRevenueSql,
     "q_sql_top_balance_inactive" -> topBalanceInactiveSql,
     "q_sql_disjunctive_revenue" -> disjunctiveRevenueSql,
-    "q_sql_top_supplier" -> topSupplierSql
+    "q_sql_top_supplier" -> topSupplierSql,
+    "q_sql_waiting_supplier" -> waitingSupplierSql,
+    "q_sql_important_parts" -> importantPartsSql
   )
 }

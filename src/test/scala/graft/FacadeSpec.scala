@@ -178,4 +178,66 @@ class FacadeSpec extends SparkTestBase {
     assert(rows.map(_._2).sum == qualify.length.toLong)
     assert(qualify.nonEmpty, "fixture yields no qualifying customers — weak test")
   }
+
+  test("SQL entry point: Q21 double-correlated EXISTS/NOT EXISTS decorrelates to semi+anti joins (r12)") {
+    import org.apache.spark.sql.functions.{count, lit}
+    val df = SparkEntry.queries("q_sql_waiting_supplier")(spark, sfDir)
+    val plan = df.queryExecution.optimizedPlan.toString
+    // both self-referencing subqueries must become joins — a per-row
+    // subquery over the fact table would be the 100 TB killer
+    assert(plan.contains("LeftSemi"), s"EXISTS must plan as a semi join:\n$plan")
+    assert(plan.contains("LeftAnti"), s"NOT EXISTS must plan as an anti join:\n$plan")
+    val sql = df.collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(sql.nonEmpty)
+    // DSL replay: R-lines on finished orders in the three nations, kept
+    // when another supplier shares the order and no other supplier has an
+    // R-line on it
+    val li = ops.table(spark, sfDir, "lineitem")
+    val l1 = li.where(col("l_returnflag") === "R")
+      .select("l_orderkey", "l_suppkey")
+    val others = li.select(col("l_orderkey").as("ok2"), col("l_suppkey").as("sk2"))
+    val lateOthers = li.where(col("l_returnflag") === "R")
+      .select(col("l_orderkey").as("ok3"), col("l_suppkey").as("sk3"))
+    val dsl = l1
+      .join(others,
+        col("l_orderkey") === col("ok2") && col("l_suppkey") =!= col("sk2"),
+        "left_semi")
+      .join(lateOthers,
+        col("l_orderkey") === col("ok3") && col("l_suppkey") =!= col("sk3"),
+        "left_anti")
+      .join(ops.table(spark, sfDir, "orders").where(col("o_orderstatus") === "F"),
+        col("o_orderkey") === col("l_orderkey"))
+      .join(ops.table(spark, sfDir, "supplier"),
+        col("s_suppkey") === col("l_suppkey"))
+      .join(ops.table(spark, sfDir, "nation")
+          .where(col("n_name").isin("NATION_3", "NATION_7", "NATION_11")),
+        col("n_nationkey") === col("s_nationkey"))
+      .groupBy("s_name")
+      .agg(count(lit(1)).cast("long").as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(sql == dsl, "SQL Q21 analog and DSL semi/anti replay disagree")
+  }
+
+  test("SQL entry point: HAVING scalar subqueries select above-average parts (r12)") {
+    import org.apache.spark.sql.functions.{countDistinct, expr, lit, sum}
+    val df = SparkEntry.queries("q_sql_important_parts")(spark, sfDir)
+    val rows = df.collect().map(r => (r.getLong(1), r.getDouble(2)))
+    val li = ops.table(spark, sfDir, "lineitem")
+    val nParts = li.select(countDistinct(col("l_partkey"))).first().getLong(0)
+    // the cut must be NON-trivial: some parts pass, most don't
+    assert(rows.nonEmpty, "1.5×-average cut selected nothing — fixture drifted")
+    assert(rows.length < nParts / 2,
+      s"cut selected ${rows.length} of $nParts parts — threshold lost its bite")
+    // DSL replay of the division-free predicate in exact DECIMAL
+    val revCol = expr("CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))")
+    val per = li.groupBy(col("l_partkey"))
+      .agg(sum(revCol).cast("decimal(18,4)").as("rev"))
+    val total = li.select(sum(revCol)).first().getDecimal(0)
+    val keep = per.where(col("rev") * lit(nParts).cast("decimal(12,0)") * 2 >
+        lit(total) * 3)
+      .select("l_partkey").collect().map(_.getLong(0)).toSet
+    assert(rows.map(_._1).toSet == keep,
+      "SQL HAVING predicate and DSL decimal replay disagree on the part set")
+  }
 }
