@@ -104,6 +104,12 @@ object ReplayableHash extends Serializable {
     * the salt registry in CLAUDE.md). k = 4 probe rows. */
   val BloomParams: IndexedSeq[(Long, Long)] = params(4, salt = 13)
 
+  /** KMV bottom-k distinct-sketch hash (q_agg_kmv_distinct; salt 14 — see
+    * the salt registry in CLAUDE.md). One affine member: mod-prime affine
+    * maps are bijections on [0, P), so distinct keys below P get distinct
+    * hash values and the bottom-k set is collision-free by construction. */
+  val KmvParams: IndexedSeq[(Long, Long)] = params(1, salt = 14)
+
   // ---- DuckDB SQL twins (generated from the same constants) --------------
 
   /** SQL computing [[tokenHash]] of a string expression. */

@@ -94,6 +94,12 @@ object DiagOps extends QueryModule {
   private[graft] val CmDepth = 4
   private[graft] val CmWidth = 512L
 
+  /** q_agg_kmv_distinct: sketch capacity k — the estimator reads the k-th
+    * smallest distinct hash value; 64 puts the fixture's 150-users-per-type
+    * sf0.01 corpus in the ESTIMATOR branch (rsd ≈ 1/√62 ≈ 13 %) while
+    * sf0.001's 15 users exercise the exact under-capacity branch. */
+  private[graft] val KmvK = 64
+
   /** Shared seasonal-profile projections over (n, nt, svd, svtd) — ONE
     * formula set evaluated by both engines: per-(type, hour-of-day) event
     * share, mean value, and deviation from the type's overall mean.
@@ -1190,8 +1196,98 @@ object DiagOps extends QueryModule {
           asLong(col("c_est")).as("c_est"),
           asLong(col("c_est") - col("c")).as("overest"))
         .orderBy(desc("c_true"), asc("l_partkey"))
+    }),
+
+    // KMV (k-minimum-values / bottom-k) distinct-count sketch per event
+    // type: the bounded-state alternative to countDistinct's expand — a
+    // typed Aggregator holding the 64 smallest distinct salt-14 affine
+    // hashes, map-side combinable (partials merge as sorted-array merges),
+    // O(k) state per group at ANY corpus size. The sketch is DETERMINISTIC
+    // (mod-prime affine is a bijection on [0, P)), so like q_agg_countmin
+    // it gets an EXACT DuckDB oracle — the oracle re-derives the bottom-64
+    // with a window (single-node DuckDB may sort; the ENGINE never does):
+    // under capacity the estimate IS the exact count, at capacity it is
+    // (k−1)·P / h_(k) as a two-op IEEE double chain. n_exact rides along
+    // for the error readout (spec pins the rsd band).
+    "q_agg_kmv_distinct" -> ((s: SparkSession, dir: String) => {
+      val P = ReplayableHash.P
+      val (a, b) = ReplayableHash.KmvParams.head
+      val kmv = udaf(KmvSketch)
+      table(s, dir, "events")
+        .select(col("event_type"), col("user_id"),
+          expr(s"($a * (user_id % $P) + $b) % $P").as("hv"))
+        .groupBy("event_type")
+        .agg(kmv(col("hv")).as("sk"),
+          countDistinct(col("user_id")).as("nd"))
+        .select(col("event_type"),
+          asLong(col("nd")).as("n_exact"),
+          col("sk._1").as("sketch_size"),
+          col("sk._2").as("kth_hash"),
+          col("sk._3").as("est_distinct"))
+        .orderBy("event_type")
     })
   )
+
+  /** KMV sketch buffer: the `n` smallest DISTINCT hash values seen so far,
+    * sorted ascending in `vals(0 until n)` (capacity [[KmvK]]).
+    * `private[graft]`, not `private` — Janino-generated encoder code must
+    * see the class (the round-5 interpreted-fallback trap). */
+  private[graft] case class KmvBuf(var n: Int, vals: Array[Long])
+
+  /** Typed KMV (k-minimum-values) distinct-count sketch: bounded O(k)
+    * state, map-side combinable — the aggregate SHAPE a 100 TB pipeline
+    * keeps when exact countDistinct's expand is too expensive. Input is
+    * the salt-14 affine hash (a bijection on [0, P), so the bottom-k set
+    * is collision-free); output is (sketch_size, kth_hash, est) where the
+    * under-capacity branch is EXACT (= n) and the full branch reads the
+    * classic (k−1)·M / h_(k) estimator as a two-op double chain (63·P is
+    * an exact < 2^53 product; the division is one IEEE op — both replay
+    * in DuckDB verbatim, so this sketch gets an EXACT oracle like
+    * q_agg_countmin, unlike the engine-divergent HLL). */
+  private[graft] object KmvSketch
+      extends org.apache.spark.sql.expressions.Aggregator[Long, KmvBuf, (Long, Long, Double)] {
+    private val K = KmvK
+    def zero: KmvBuf = KmvBuf(0, new Array[Long](K))
+    def reduce(b: KmvBuf, h: Long): KmvBuf = {
+      val pos = java.util.Arrays.binarySearch(b.vals, 0, b.n, h)
+      if (pos >= 0) return b // duplicate hash — KMV holds distinct values
+      val ins = -(pos + 1)
+      if (b.n < K) {
+        System.arraycopy(b.vals, ins, b.vals, ins + 1, b.n - ins)
+        b.vals(ins) = h
+        b.n += 1
+      } else if (ins < K) {
+        System.arraycopy(b.vals, ins, b.vals, ins + 1, K - 1 - ins)
+        b.vals(ins) = h
+      }
+      b
+    }
+    def merge(b1: KmvBuf, b2: KmvBuf): KmvBuf = {
+      val out = new Array[Long](K)
+      var i = 0; var j = 0; var n = 0
+      while (n < K && (i < b1.n || j < b2.n)) {
+        val take =
+          if (i >= b1.n) { val v = b2.vals(j); j += 1; v }
+          else if (j >= b2.n) { val v = b1.vals(i); i += 1; v }
+          else if (b1.vals(i) < b2.vals(j)) { val v = b1.vals(i); i += 1; v }
+          else if (b1.vals(i) > b2.vals(j)) { val v = b2.vals(j); j += 1; v }
+          else { val v = b1.vals(i); i += 1; j += 1; v }
+        out(n) = take; n += 1
+      }
+      KmvBuf(n, out)
+    }
+    def finish(b: KmvBuf): (Long, Long, Double) = {
+      val kth = if (b.n > 0) b.vals(b.n - 1) else -1L
+      val est =
+        if (b.n < K) b.n.toDouble
+        else (K - 1).toDouble * ReplayableHash.P.toDouble / kth.toDouble
+      (b.n.toLong, kth, est)
+    }
+    def bufferEncoder: org.apache.spark.sql.Encoder[KmvBuf] =
+      org.apache.spark.sql.Encoders.product[KmvBuf]
+    def outputEncoder: org.apache.spark.sql.Encoder[(Long, Long, Double)] =
+      org.apache.spark.sql.Encoders.product[(Long, Long, Double)]
+  }
 
   /** One referential-integrity audit row for a (child, fk, parent, pk)
     * edge — the q_profile_integrity primitive, exposed for
@@ -1908,6 +2004,34 @@ object DiagOps extends QueryModule {
          |SELECT l_partkey, c AS c_true, CAST(c_est AS BIGINT) AS c_est,
          |       CAST(c_est - c AS BIGINT) AS overest
          |FROM est ORDER BY c_true DESC, l_partkey""".stripMargin
+    },
+
+    "q_agg_kmv_distinct" -> {
+      val P = ReplayableHash.P
+      val (a, b) = ReplayableHash.KmvParams.head
+      s"""WITH h AS (
+         |  SELECT DISTINCT event_type, ($a * (user_id % $P) + $b) % $P AS hv
+         |  FROM events),
+         |r AS (
+         |  SELECT event_type, hv,
+         |         row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rk,
+         |         count(*) OVER (PARTITION BY event_type) AS nd
+         |  FROM h),
+         |k AS (
+         |  SELECT event_type, min(nd) AS nd,
+         |         max(CASE WHEN rk = least(nd, $KmvK) THEN hv END) AS kth_hash
+         |  FROM r WHERE rk <= $KmvK GROUP BY event_type),
+         |e AS (
+         |  SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact
+         |  FROM events GROUP BY event_type)
+         |SELECT k.event_type, e.n_exact,
+         |       CAST(least(k.nd, $KmvK) AS BIGINT) AS sketch_size,
+         |       CAST(k.kth_hash AS BIGINT) AS kth_hash,
+         |       CASE WHEN k.nd < $KmvK THEN CAST(k.nd AS DOUBLE)
+         |            ELSE CAST(${KmvK - 1} AS DOUBLE) * CAST($P AS DOUBLE) / CAST(k.kth_hash AS DOUBLE)
+         |       END AS est_distinct
+         |FROM k JOIN e ON k.event_type = e.event_type
+         |ORDER BY k.event_type""".stripMargin
     }
   )
 }

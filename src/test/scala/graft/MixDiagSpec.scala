@@ -984,4 +984,61 @@ class MixDiagSpec extends SparkTestBase {
       }
     }
   }
+
+  test("kmv distinct sketch equals a driver-side bottom-k replay (r12)") {
+    import graft.functions.ReplayableHash
+    val K = 64
+    val P = ReplayableHash.P
+    val (a, b) = ReplayableHash.KmvParams.head
+    val rows = q("q_agg_kmv_distinct").collect().map(r =>
+      (r.getString(0), (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))).toMap
+    assert(rows.nonEmpty)
+    val ev = ops.table(spark, sfDir, "events")
+      .select("event_type", "user_id").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    ev.groupBy(_._1).foreach { case (t, es) =>
+      val users = es.map(_._2).distinct
+      val hashes = users.map(u => (a * (u % P) + b) % P).distinct.sorted
+      val bottom = hashes.take(K)
+      val (nExact, size, kth, est) = rows(t)
+      assert(nExact == users.length.toLong, s"$t n_exact")
+      assert(size == bottom.length.toLong, s"$t sketch_size")
+      assert(kth == bottom.last, s"$t kth_hash")
+      val expectEst =
+        if (bottom.length < K) bottom.length.toDouble
+        else (K - 1).toDouble * P.toDouble / bottom.last.toDouble
+      assert(est == expectEst, s"$t est_distinct")
+      // under capacity the sketch IS exact; at capacity pin the KMV rsd
+      // band (generous 4/sqrt(k-2) ≈ 50 % — the hash gate pins exactness,
+      // this pins that the ESTIMATOR is sane)
+      if (bottom.length < K) assert(est == nExact.toDouble, s"$t exact branch")
+      else assert(math.abs(est - nExact) / nExact < 4.0 / math.sqrt(K - 2.0),
+        s"$t estimator error ${math.abs(est - nExact) / nExact}")
+    }
+  }
+
+  test("kmv sketch is deterministic across partitionings (merge path)") {
+    val base = q("q_agg_kmv_distinct").collect().toSeq
+    // repartitioning forces different partial-buffer merge orders — the
+    // sorted-array merge must be order-insensitive
+    val re = {
+      import graft.functions.ReplayableHash
+      val P = ReplayableHash.P
+      val (a, b) = ReplayableHash.KmvParams.head
+      val kmv = udaf(graft.ops.DiagOps.KmvSketch)
+      ops.table(spark, sfDir, "events")
+        .repartition(17)
+        .select(col("event_type"), col("user_id"),
+          expr(s"($a * (user_id % $P) + $b) % $P").as("hv"))
+        .groupBy("event_type")
+        .agg(kmv(col("hv")).as("sk"),
+          countDistinct(col("user_id")).as("nd"))
+        .select(col("event_type"), col("nd").cast("long").as("n_exact"),
+          col("sk._1").as("sketch_size"), col("sk._2").as("kth_hash"),
+          col("sk._3").as("est_distinct"))
+        .orderBy("event_type").collect().toSeq
+    }
+    assert(base == re)
+  }
 }
