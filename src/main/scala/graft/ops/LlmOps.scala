@@ -1234,8 +1234,71 @@ object LlmOps extends QueryModule {
         .select(col("label"), asLong(col("rn")).as("rn"), col("vec_id"),
           col("cos_self"))
         .orderBy("label", "rn")
+    }),
+
+    // Bag-of-words (word-order-invariant) multiset dedup (r12): exact
+    // dedup misses docs whose words were SHUFFLED (templated spam,
+    // list-reordered scrapes); shingle/MinHash screens are order-
+    // sensitive too. The per-doc multiset digest Σ_terms tf·th mod P is
+    // order-invariant by construction and computed on BOTH polynomial
+    // bases, paired injectively (the ShingleKey discipline — a collision
+    // needs both ~2^30 sums to agree, ~2^60 keyspace). Per-source
+    // report: bag-dup docs vs exact-dup docs (sha256) — the gap
+    // (n_reorder_only = n_bag_dup − n_exact_dup, ex-dup ⇒ bag-dup) is
+    // the reorder-duplication the exact pass cannot see. Scale: digests
+    // ride the memoized token index (one hash agg keyed by doc_id, no
+    // token text on any exchange); per-key sizes are groupBy().count()
+    // with ONLY the sz>1 slice broadcast back (the r8 dup_clusters
+    // rule); arithmetic bounds: tf·th < 2^33·2^30 and the per-doc sum
+    // < #terms·P — exact for docs under ~2^33 distinct terms.
+    "q_llm_bow_dedup" -> ((s: SparkSession, dir: String) => {
+      graft.functions.GraftFunctions.register(s)
+      val docs = table(s, dir, "documents")
+      val bags = bagKeys(TextOps.tokenIndexFor(s, dir))
+      val keyed = docs
+        .select(col("doc_id"), col("source"), sha2(col("text"), 256).as("ex_key"))
+        .join(bags, Seq("doc_id"), "left")
+        .withColumn("bag_key", coalesce(col("bag_key"), lit(-1L)))
+      val bsz = keyed.groupBy("bag_key")
+        .agg(count(lit(1)).as("bsz")).where(col("bsz") > 1)
+      val esz = keyed.groupBy("ex_key")
+        .agg(count(lit(1)).as("esz")).where(col("esz") > 1)
+      keyed
+        .join(broadcast(bsz), Seq("bag_key"), "left")
+        .join(broadcast(esz), Seq("ex_key"), "left")
+        .withColumn("bag_dup", coalesce(col("bsz"), lit(1L)) > 1)
+        .withColumn("ex_dup", coalesce(col("esz"), lit(1L)) > 1)
+        .groupBy("source")
+        .agg(asLong(count(lit(1))).as("n_docs"),
+          asLong(sum(when(col("bag_dup"), 1L).otherwise(0L))).as("n_bag_dup"),
+          asLong(sum(when(col("ex_dup"), 1L).otherwise(0L))).as("n_exact_dup"),
+          asLong(sum(when(col("bag_dup") && !col("ex_dup"), 1L).otherwise(0L)))
+            .as("n_reorder_only"),
+          asLong(countDistinct(when(col("bag_dup"), col("bag_key"))))
+            .as("n_bag_clusters"))
+        .withColumn("bag_dup_rate",
+          col("n_bag_dup").cast("double") / col("n_docs"))
+        .orderBy("source")
     })
   )
+
+  /** Word-order-invariant multiset digest over a `(doc_id, token, tf)`
+    * relation → `(doc_id, bag_key)`: per-term contributions
+    * `(tf · th) % P` on both polynomial bases summed per doc and paired
+    * injectively as `d1 · P + d2`. Factored out so the spec can feed
+    * synthetic reordered corpora (the q_llm_bow_dedup primitive). */
+  private[graft] def bagKeys(toks: DataFrame): DataFrame = {
+    val P = graft.functions.ReplayableHash.P
+    toks
+      .select(col("doc_id"), col("tf"),
+        call_function("shingle_key", col("token")).as("sk"))
+      .select(col("doc_id"),
+        expr(s"(tf * (sk div $P)) % $P").as("c1"),
+        expr(s"(tf * (sk % $P)) % $P").as("c2"))
+      .groupBy("doc_id")
+      .agg((sum(col("c1")) % P).as("d1"), (sum(col("c2")) % P).as("d2"))
+      .select(col("doc_id"), expr(s"d1 * $P + d2").as("bag_key"))
+  }
 
   // ---- SQL twins for the float-embedding family --------------------------
   // Ordered IEEE folds reproduce VectorDot/CosineSimilarity bit-for-bit
@@ -1884,7 +1947,42 @@ object LlmOps extends QueryModule {
          |                            ORDER BY cos_self ASC, vec_id ASC) AS rn
          |  FROM sc)
          |SELECT label, CAST(rn AS BIGINT) AS rn, vec_id, cos_self
-         |FROM r WHERE rn <= 5 ORDER BY label, rn""".stripMargin
+         |FROM r WHERE rn <= 5 ORDER BY label, rn""".stripMargin,
+
+    // Same tf/two-base digest arithmetic as bagKeys, generated from the
+    // shared constants (intermediate sums run HUGEINT in DuckDB — the
+    // % P reduction lands them back in BIGINT before any output).
+    "q_llm_bow_dedup" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf FROM (
+         |    SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+         |  WHERE length(token) > 0 GROUP BY doc_id, token),
+         |th2 AS (
+         |  SELECT doc_id, tf, ${RH.tokenHashSql("token")} AS h1,
+         |         ${RH.tokenHashSql("token", RH.Base2)} AS h2
+         |  FROM tok),
+         |bag AS (
+         |  SELECT doc_id,
+         |         CAST(sum((tf * h1) % ${RH.P}) % ${RH.P} AS BIGINT) AS d1,
+         |         CAST(sum((tf * h2) % ${RH.P}) % ${RH.P} AS BIGINT) AS d2
+         |  FROM th2 GROUP BY doc_id),
+         |keyed AS MATERIALIZED (
+         |  SELECT d.doc_id, d.source, sha256(d.text) AS ex_key,
+         |         COALESCE(b.d1 * ${RH.P} + b.d2, -1) AS bag_key
+         |  FROM documents d LEFT JOIN bag b ON b.doc_id = d.doc_id),
+         |bsz AS (SELECT bag_key, count(*) AS bsz FROM keyed GROUP BY bag_key),
+         |esz AS (SELECT ex_key, count(*) AS esz FROM keyed GROUP BY ex_key),
+         |fl AS (
+         |  SELECT k.source, k.bag_key,
+         |         (b.bsz > 1) AS bag_dup, (e.esz > 1) AS ex_dup
+         |  FROM keyed k JOIN bsz b USING (bag_key) JOIN esz e USING (ex_key))
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(sum(CASE WHEN bag_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_bag_dup,
+         |       CAST(sum(CASE WHEN ex_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_exact_dup,
+         |       CAST(sum(CASE WHEN bag_dup AND NOT ex_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_reorder_only,
+         |       CAST(count(DISTINCT CASE WHEN bag_dup THEN bag_key END) AS BIGINT) AS n_bag_clusters,
+         |       CAST(sum(CASE WHEN bag_dup THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS bag_dup_rate
+         |FROM fl GROUP BY source ORDER BY source""".stripMargin
   )
   }
 }

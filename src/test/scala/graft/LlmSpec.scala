@@ -708,4 +708,39 @@ class LlmSpec extends SparkTestBase {
     assert(rows(("minhash", "simhash"))._1 > 0 &&
       rows(("minhash", "simhash"))._2 > 0)
   }
+
+  test("bag-of-words digest is order-invariant and multiset-exact (r12)") {
+    graft.functions.GraftFunctions.register(spark)
+    import spark.implicits._
+    // (doc_id, token, tf) for: base doc, a word-SHUFFLED twin, a
+    // tf-changed doc, and a token-changed doc
+    val toks = Seq(
+      (1L, "alpha", 1L), (1L, "beta", 2L), (1L, "gamma", 1L),
+      (2L, "gamma", 1L), (2L, "beta", 2L), (2L, "alpha", 1L), // reorder of 1
+      (3L, "alpha", 2L), (3L, "beta", 1L), (3L, "gamma", 1L), // tf swapped
+      (4L, "alpha", 1L), (4L, "beta", 2L), (4L, "delta", 1L)  // token changed
+    ).toDF("doc_id", "token", "tf")
+    val keys = graft.ops.LlmOps.bagKeys(toks.withColumn("lang", lit("en")))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(keys(1L) == keys(2L), "word order must not change the bag key")
+    assert(keys(1L) != keys(3L), "term frequencies are part of the multiset")
+    assert(keys(1L) != keys(4L), "different vocabulary must split keys")
+  }
+
+  test("bow dedup per-source report satisfies the containment identities") {
+    val rows = q("q_llm_bow_dedup").collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getDouble(6)))
+    assert(rows.nonEmpty)
+    val nDocs = ops.table(spark, sfDir, "documents").count()
+    assert(rows.map(_._2).sum == nDocs, "every doc attributed to a source")
+    rows.foreach { case (src, n, bag, ex, reo, cl, rate) =>
+      // identical text ⇒ identical bag, so exact-dup ⊆ bag-dup and the
+      // reorder-only slice is EXACTLY the difference
+      assert(ex <= bag, s"$src: exact dups must be bag dups")
+      assert(reo == bag - ex, s"$src: reorder_only identity")
+      assert(cl <= bag, s"$src: a flagged cluster needs >= 1 flagged doc")
+      assert(rate == bag.toDouble / n, s"$src: rate readback")
+    }
+  }
 }
