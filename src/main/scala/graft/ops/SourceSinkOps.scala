@@ -290,6 +290,49 @@ object SourceSinkOps extends QueryModule {
           asLong(max("kas")).as("max_a_span"),
           asLong(max("kbs")).as("max_b_span"))
         .orderBy("layout")
+    }),
+
+    // SCD2 merge (r12): the warehouse MERGE/upsert a parquet-only stack
+    // expresses as a pure query — apply a change batch (customers placing
+    // an URGENT order from 2000 on adopt segment 'UPGRADED' at their
+    // FIRST such order) to the dimension snapshot, emitting the
+    // slowly-changing-dimension type-2 state: unchanged customers keep
+    // one open row; changed customers version into a closed old row
+    // (valid_to = effective ms) plus an open new row. ONE shuffled
+    // left join (change batch is O(#customers) — never broadcast, the
+    // dup_clusters rule) and a scan-side two-element explode; validity
+    // bounds are epoch millis with the 9999-01-01 open horizon (NULL-free
+    // for the hash gate). At 100 TB this is exactly the
+    // dimension-snapshot-plus-delta reconciliation shape: no windows, no
+    // per-key iteration, partition-local fan-out after one equi join.
+    "q_sink_scd2" -> ((s: SparkSession, dir: String) => {
+      val Open = 253402300800000L // 9999-01-01T00:00Z epoch ms
+      val dim = table(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"))
+      val chg = table(s, dir, "orders")
+        .where(col("o_orderpriority") === "1-URGENT" &&
+          col("o_orderdate").cast("date") >=
+            lit(java.sql.Date.valueOf("2000-01-01")))
+        .groupBy(col("o_custkey").as("c_custkey"))
+        .agg(min(ntzMillis(col("o_orderdate"))).as("eff_ms"))
+      dim.join(chg, Seq("c_custkey"), "left")
+        .select(col("c_custkey"), explode(
+          when(col("eff_ms").isNull, array(
+            struct(col("c_mktsegment").as("segment"),
+              lit(0L).as("valid_from"), lit(Open).as("valid_to"),
+              lit(true).as("is_current"))))
+          .otherwise(array(
+            struct(col("c_mktsegment").as("segment"),
+              lit(0L).as("valid_from"), col("eff_ms").as("valid_to"),
+              lit(false).as("is_current")),
+            struct(lit("UPGRADED").as("segment"),
+              col("eff_ms").as("valid_from"), lit(Open).as("valid_to"),
+              lit(true).as("is_current"))))).as("v"))
+        .select(col("c_custkey"), col("v.segment").as("segment"),
+          col("v.valid_from").as("valid_from"),
+          col("v.valid_to").as("valid_to"),
+          col("v.is_current").as("is_current"))
+        .orderBy("c_custkey", "valid_from")
     })
   )
 
@@ -402,6 +445,33 @@ object SourceSinkOps extends QueryModule {
          |       CAST(sum(kbs) AS DOUBLE) / count(*) AS avg_b_span,
          |       CAST(max(kas) AS BIGINT) AS max_a_span,
          |       CAST(max(kbs) AS BIGINT) AS max_b_span
-         |FROM cells GROUP BY layout ORDER BY layout""".stripMargin
+         |FROM cells GROUP BY layout ORDER BY layout""".stripMargin,
+
+    // The three SCD2 branches as UNION ALL; chg is referenced three times
+    // (the r9 MATERIALIZED rule).
+    "q_sink_scd2" ->
+      """WITH chg AS MATERIALIZED (
+        |  SELECT o_custkey AS c_custkey, min(epoch_ms(o_orderdate)) AS eff_ms
+        |  FROM orders
+        |  WHERE o_orderpriority = '1-URGENT'
+        |    AND CAST(o_orderdate AS DATE) >= DATE '2000-01-01'
+        |  GROUP BY o_custkey)
+        |SELECT * FROM (
+        |  SELECT c.c_custkey, c.c_mktsegment AS segment,
+        |         CAST(0 AS BIGINT) AS valid_from,
+        |         CAST(253402300800000 AS BIGINT) AS valid_to, true AS is_current
+        |  FROM customer c LEFT JOIN chg ON chg.c_custkey = c.c_custkey
+        |  WHERE chg.c_custkey IS NULL
+        |  UNION ALL
+        |  SELECT c.c_custkey, c.c_mktsegment AS segment,
+        |         CAST(0 AS BIGINT) AS valid_from,
+        |         chg.eff_ms AS valid_to, false AS is_current
+        |  FROM customer c JOIN chg ON chg.c_custkey = c.c_custkey
+        |  UNION ALL
+        |  SELECT c.c_custkey, 'UPGRADED' AS segment,
+        |         chg.eff_ms AS valid_from,
+        |         CAST(253402300800000 AS BIGINT) AS valid_to, true AS is_current
+        |  FROM customer c JOIN chg ON chg.c_custkey = c.c_custkey)
+        |ORDER BY c_custkey, valid_from""".stripMargin
   )
 }

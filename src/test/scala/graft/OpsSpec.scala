@@ -344,4 +344,35 @@ class OpsSpec extends SparkTestBase {
       .collect().map(_.getLong(0)).toSeq)
     assert(gotExcept == expExcept, "EXCEPT ALL must keep multA - multB")
   }
+
+  test("scd2 merge emits a consistent versioned dimension (r12)") {
+    val rows = SparkEntry.queries("q_sink_scd2")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4)))
+    val Open = 253402300800000L
+    val byCust = rows.groupBy(_._1)
+    val nCust = ops.table(spark, sfDir, "customer").count()
+    assert(byCust.size == nCust.toInt, "every customer appears")
+    byCust.foreach { case (ck, vs) =>
+      val sorted = vs.sortBy(_._3)
+      // exactly one OPEN current row per customer, closing the chain
+      assert(sorted.count(_._5) == 1, s"cust $ck current-row count")
+      assert(sorted.last._5 && sorted.last._4 == Open, s"cust $ck open tail")
+      assert(sorted.head._3 == 0L, s"cust $ck chain starts at epoch 0")
+      // intervals tile without gap or overlap: valid_to(i) == valid_from(i+1)
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a._4 == b._3, s"cust $ck interval chain broken")
+          assert(!a._5, s"cust $ck non-tail row must be closed")
+        case _ =>
+      }
+      assert(sorted.length <= 2, "this change batch versions at most once")
+      if (sorted.length == 2) {
+        assert(sorted.last._2 == "UPGRADED" && sorted.head._2 != "UPGRADED",
+          s"cust $ck upgrade direction")
+      }
+    }
+    // the change batch is non-trivial at every fixture scale
+    assert(byCust.values.count(_.length == 2) > 0, "no customer versioned")
+  }
 }
