@@ -492,7 +492,14 @@ object ScaleProbe {
       // block_dedup precedent) and EVERY clone position goes dup — the
       // islands merge then runs per doc on full-length dup runs, i.e. the
       // maximum-work case for the gaps-and-islands window
-      "q_llm_span_dedup")
+      "q_llm_span_dedup",
+      // r12 continuation: bag-of-words dedup under mass duplication — the
+      // 2,500 clones share ONE bag digest, so the bag-size agg collapses
+      // map-side to a single hot row and the sz>1 rejoin stays a
+      // broadcast against the doc scan (the count-over-hot-key
+      // discipline); every clone flags bag_dup AND ex_dup, so
+      // reorder_only stays 0 on pure clones
+      "q_llm_bow_dedup")
     for ((dir, label) <- Seq((srcDir, "uniform"), (degDir, "degen"))) {
       family.foreach { name =>
         val t0 = System.nanoTime()

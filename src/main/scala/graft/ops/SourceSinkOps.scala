@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -306,35 +306,51 @@ object SourceSinkOps extends QueryModule {
     // dimension-snapshot-plus-delta reconciliation shape: no windows, no
     // per-key iteration, partition-local fan-out after one equi join.
     "q_sink_scd2" -> ((s: SparkSession, dir: String) => {
-      val Open = 253402300800000L // 9999-01-01T00:00Z epoch ms
       val dim = table(s, dir, "customer")
         .select(col("c_custkey"), col("c_mktsegment"))
-      val chg = table(s, dir, "orders")
-        .where(col("o_orderpriority") === "1-URGENT" &&
-          col("o_orderdate").cast("date") >=
-            lit(java.sql.Date.valueOf("2000-01-01")))
-        .groupBy(col("o_custkey").as("c_custkey"))
-        .agg(min(ntzMillis(col("o_orderdate"))).as("eff_ms"))
-      dim.join(chg, Seq("c_custkey"), "left")
-        .select(col("c_custkey"), explode(
-          when(col("eff_ms").isNull, array(
-            struct(col("c_mktsegment").as("segment"),
-              lit(0L).as("valid_from"), lit(Open).as("valid_to"),
-              lit(true).as("is_current"))))
-          .otherwise(array(
-            struct(col("c_mktsegment").as("segment"),
-              lit(0L).as("valid_from"), col("eff_ms").as("valid_to"),
-              lit(false).as("is_current")),
-            struct(lit("UPGRADED").as("segment"),
-              col("eff_ms").as("valid_from"), lit(Open).as("valid_to"),
-              lit(true).as("is_current"))))).as("v"))
-        .select(col("c_custkey"), col("v.segment").as("segment"),
-          col("v.valid_from").as("valid_from"),
-          col("v.valid_to").as("valid_to"),
-          col("v.is_current").as("is_current"))
-        .orderBy("c_custkey", "valid_from")
+      val chg = scd2ChangeEvents(table(s, dir, "orders"))
+        .groupBy("c_custkey")
+        .agg(min(col("chg_ms")).as("eff_ms"))
+      scd2Assembly(dim.join(chg, Seq("c_custkey"), "left"))
     })
   )
+
+  /** The q_sink_scd2 change-event projection — one row per qualifying
+    * change event `(c_custkey, chg_ms)` (first post-2000 URGENT order
+    * wins downstream via min). Shared with the streaming twin
+    * ([[graft.streaming.StreamingScd2]]) so the two cannot drift. */
+  private[graft] def scd2ChangeEvents(orders: DataFrame): DataFrame =
+    orders
+      .where(col("o_orderpriority") === "1-URGENT" &&
+        col("o_orderdate").cast("date") >=
+          lit(java.sql.Date.valueOf("2000-01-01")))
+      .select(col("o_custkey").as("c_custkey"),
+        ntzMillis(col("o_orderdate")).as("chg_ms"))
+
+  /** The q_sink_scd2 version-row assembly over a
+    * `(c_custkey, c_mktsegment, eff_ms NULLABLE)` relation — shared body
+    * (zero drift) between the batch key and the streaming twin's
+    * latest-state readout. */
+  private[graft] def scd2Assembly(j: DataFrame): DataFrame = {
+    val Open = 253402300800000L // 9999-01-01T00:00Z epoch ms
+    j.select(col("c_custkey"), explode(
+        when(col("eff_ms").isNull, array(
+          struct(col("c_mktsegment").as("segment"),
+            lit(0L).as("valid_from"), lit(Open).as("valid_to"),
+            lit(true).as("is_current"))))
+        .otherwise(array(
+          struct(col("c_mktsegment").as("segment"),
+            lit(0L).as("valid_from"), col("eff_ms").as("valid_to"),
+            lit(false).as("is_current")),
+          struct(lit("UPGRADED").as("segment"),
+            col("eff_ms").as("valid_from"), lit(Open).as("valid_to"),
+            lit(true).as("is_current"))))).as("v"))
+      .select(col("c_custkey"), col("v.segment").as("segment"),
+        col("v.valid_from").as("valid_from"),
+        col("v.valid_to").as("valid_to"),
+        col("v.is_current").as("is_current"))
+      .orderBy("c_custkey", "valid_from")
+  }
 
   /** Morton (Z-order) interleave of the low [[ZorderBits]] bits of two
     * BIGINT key columns — ONE constant set generates BOTH engine strings
