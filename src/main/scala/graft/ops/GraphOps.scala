@@ -585,6 +585,57 @@ object GraphOps extends QueryModule {
       col("r").as("pr"))
   }
 
+  /** q_graph_ktruss: peeling rounds and the survival support (k − 2 with
+    * k = 4: every surviving edge must sit in ≥ 2 triangles of the
+    * surviving subgraph). BOUNDED peeling is the declared contract — both
+    * engines run exactly [[KtRounds]] rounds (a fixpoint run would need
+    * convergence detection the oracle can't express without unrolling to
+    * an unknown depth; the per-round report shows how fast the edge set
+    * stabilizes). */
+  private[graft] val KtRounds = 3
+  private[graft] val KtSupport = 2
+
+  /** Bounded k-truss peeling over an oriented (u < v) edge relation: per
+    * round, per-edge triangle support via the shared wedge join (n·K²
+    * bounded), edges below [[KtSupport]] peel off, one report row per
+    * round. Two jobs per round (stats agg + next-edge-set checkpoint off
+    * one persisted support relation — the fused-materialization
+    * discipline); per-round localCheckpoint cuts the lineage like every
+    * iterative graph loop here. Round stats are a handful of longs —
+    * driver-side assembly is the labelSum discipline, not a collect of
+    * data rows. */
+  private def ktrussRounds(s: SparkSession, e0: DataFrame): DataFrame = {
+    import s.implicits._
+    var e = e0.select("u", "v")
+    val stats =
+      scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long, Long, Long)]
+    for (r <- 1 to KtRounds) {
+      val tri = e.as("e1").join(e.as("e2"),
+          col("e1.u") === col("e2.u") && col("e1.v") < col("e2.v"))
+        .select(col("e1.u").as("x"), col("e1.v").as("y"), col("e2.v").as("z"))
+        .join(e.as("e3"), col("y") === col("e3.u") && col("z") === col("e3.v"))
+        .select("x", "y", "z")
+      val sup = tri.select(col("x").as("u"), col("y").as("v"))
+        .union(tri.select(col("x").as("u"), col("z").as("v")))
+        .union(tri.select(col("y").as("u"), col("z").as("v")))
+        .groupBy("u", "v").agg(count(lit(1)).as("sp"))
+      val j = e.join(sup, Seq("u", "v"), "left")
+        .withColumn("sp", coalesce(col("sp"), lit(0L)))
+        .persist()
+      val st = j.agg(count(lit(1)), sum("sp"), max("sp"),
+        sum(when(col("sp") >= KtSupport, 1L).otherwise(0L))).collect().head
+      val nIn = st.getLong(0)
+      val sSum = if (st.isNullAt(1)) 0L else st.getLong(1)
+      val mx = if (st.isNullAt(2)) 0L else st.getLong(2)
+      val nKept = if (st.isNullAt(3)) 0L else st.getLong(3)
+      stats += ((r.toLong, nIn, sSum / 3, mx, nKept, nIn - nKept))
+      e = j.where(col("sp") >= KtSupport).select("u", "v").localCheckpoint(true)
+      j.unpersist()
+    }
+    stats.toSeq
+      .toDF("round", "n_edges_in", "n_tri", "max_support", "n_kept", "n_dropped")
+  }
+
   /** Per-node triangle participation counts `(p, n_tri)` over oriented
     * mutual-KNN edges — the wedge join + closing-edge shape shared by
     * q_graph_triangles and q_graph_clustercoef. Wedge work is bounded at
@@ -693,6 +744,18 @@ object GraphOps extends QueryModule {
         .selectExpr("p AS partkey", "degree", "n_tri", clusterCoefFormula)
         .orderBy(desc("coef"), asc("partkey")).limit(50)
     }),
+
+    // k-truss peeling report (r12): per round, every edge's triangle
+    // support in the SURVIVING subgraph, edges in < 2 triangles peel off
+    // (k = 4) — the edge-level cohesion ladder one step above k-core's
+    // node degrees (an edge survives only inside dense neighborhoods,
+    // not merely between high-degree nodes). Bounded KtRounds peeling is
+    // the declared contract (see ktrussRounds); the report row per round
+    // shows the stabilization. Same n·K²-bounded wedge machinery as
+    // triangles/clustercoef; two jobs per round off one persisted
+    // support relation.
+    "q_graph_ktruss" -> ((s: SparkSession, dir: String) =>
+      ktrussRounds(s, mutualKnnEdges(s, dir)).orderBy("round")),
 
     // k-core of the mutual-KNN co-purchase graph: the maximal subgraph
     // where every part keeps ≥ KCoreK surviving neighbors — the dense
@@ -960,7 +1023,49 @@ object GraphOps extends QueryModule {
          |  FROM b${k - 1} l JOIN bm$k m ON l.node = m.node)""".stripMargin
     }.mkString(",\n")
 
+  /** Unrolled k-truss peeling stages: per round the triangle relation,
+    * per-edge support, the support-joined edge relation (kept for the
+    * final stats reads), and the surviving edge set. Every multiply-
+    * referenced stage is MATERIALIZED (t_r: 3× in the support union;
+    * j_r: e_r + stats; e_r: the next round's three self-join sides). */
+  private def ktStagesCte: String = (1 to KtRounds).map { r =>
+    s"""t$r AS MATERIALIZED (
+       |  SELECT e1.u AS x, e1.v AS y, e2.v AS z
+       |  FROM e${r - 1} e1
+       |  JOIN e${r - 1} e2 ON e1.u = e2.u AND e1.v < e2.v
+       |  JOIN e${r - 1} e3 ON e3.u = e1.v AND e3.v = e2.v),
+       |sp$r AS (
+       |  SELECT u, v, CAST(count(*) AS BIGINT) AS sp FROM (
+       |    SELECT x AS u, y AS v FROM t$r
+       |    UNION ALL SELECT x AS u, z AS v FROM t$r
+       |    UNION ALL SELECT y AS u, z AS v FROM t$r)
+       |  GROUP BY u, v),
+       |j$r AS MATERIALIZED (
+       |  SELECT ee.u, ee.v, COALESCE(sp$r.sp, 0) AS sp
+       |  FROM e${r - 1} ee LEFT JOIN sp$r ON sp$r.u = ee.u AND sp$r.v = ee.v),
+       |e$r AS MATERIALIZED (SELECT u, v FROM j$r WHERE sp >= $KtSupport)""".stripMargin
+  }.mkString(",\n")
+
+  /** One stats row per peeling round, read from the materialized j_r. */
+  private def ktStatsSql: String = (1 to KtRounds).map { r =>
+    s"""SELECT CAST($r AS BIGINT) AS round,
+       |       CAST(count(*) AS BIGINT) AS n_edges_in,
+       |       CAST(COALESCE(sum(sp), 0) // 3 AS BIGINT) AS n_tri,
+       |       CAST(COALESCE(max(sp), 0) AS BIGINT) AS max_support,
+       |       CAST(COALESCE(sum(CASE WHEN sp >= $KtSupport THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_kept,
+       |       CAST(count(*) - COALESCE(sum(CASE WHEN sp >= $KtSupport THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_dropped
+       |FROM j$r""".stripMargin
+  }.mkString("\nUNION ALL\n")
+
   def oracle: Seq[(String, String)] = Seq(
+    "q_graph_ktruss" ->
+      s"""WITH $copurchaseCte,
+         |$mutualKnnCte,
+         |e0 AS MATERIALIZED (SELECT u, v FROM e),
+         |$ktStagesCte
+         |SELECT * FROM ($ktStatsSql)
+         |ORDER BY round""".stripMargin,
+
     "q_graph_bfs" ->
       s"""WITH $copurchaseCte,
          |$mutualKnnCte,

@@ -363,4 +363,36 @@ class GraphSpec extends SparkTestBase {
       .map { case (k, v) => (k._1, k._2, v.size.toLong) }.toSet
     assert(rows.toSet == expected)
   }
+
+  test("ktruss peeling equals a driver-side support replay (r12)") {
+    val rows = q("q_graph_ktruss").collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5))).sortBy(_._1)
+    assert(rows.map(_._1).toSeq == Seq(1L, 2L, 3L), "one row per round")
+    rows.foreach { case (_, nIn, nTri, mx, nKept, nDrop) =>
+      assert(nKept + nDrop == nIn, "kept + dropped partitions the round")
+      assert(nKept <= nIn && nTri >= 0 && mx >= 0)
+    }
+    // the rounds CHAIN: next round starts from this round's survivors
+    rows.sliding(2).foreach {
+      case Array(a, b) => assert(b._2 == a._5, "round chaining broken")
+      case _ =>
+    }
+    // driver-side replay of the full peeling on the collected edge set
+    var es = graft.ops.GraphOps.mutualKnnEdges(spark, sfDir)
+      .select("u", "v").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    rows.foreach { case (_, nIn, nTri, mx, nKept, _) =>
+      assert(nIn == es.size.toLong, "round input size")
+      val adj = es.toSeq.flatMap(e => Seq(e, e.swap))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      val sup = es.toSeq.map { case (u, v) =>
+        (u, v) -> adj(u).intersect(adj(v)).size.toLong
+      }.toMap
+      assert(nTri == sup.values.sum / 3, "triangle count")
+      assert(mx == (if (sup.isEmpty) 0L else sup.values.max), "max support")
+      val kept = es.filter(e => sup(e) >= 2)
+      assert(nKept == kept.size.toLong, "survivor count")
+      es = kept
+    }
+  }
 }
