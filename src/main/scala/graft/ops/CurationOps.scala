@@ -956,6 +956,30 @@ object CurationOps extends QueryModule {
         .orderBy(desc("tf_corpus"), asc("token"))
         .limit(100)),
 
+    // Hapax-legomena / type-token profile per source (r12): the
+    // Zipf-tail corpus-quality readout — a scrape dominated by boiler-
+    // plate has a thin hapax tail and low TTR; OCR noise or random junk
+    // inflates both. vocab / Σtf / once- and twice-seen type counts per
+    // source, then two IEEE divisions. Rides the memoized token index;
+    // the (source, token) exchange sits above a map-side partial agg
+    // (the vocab/5b bounded shape). Exact integers until the ratios.
+    "q_text_hapax" -> ((s: SparkSession, dir: String) => {
+      val docs = table(s, dir, "documents").select("doc_id", "source")
+      TextOps.tokenIndexFor(s, dir).select("doc_id", "token", "tf")
+        .join(docs, "doc_id")
+        .groupBy("source", "token")
+        .agg(sum(col("tf")).as("stf"))
+        .groupBy("source")
+        .agg(asLong(count(lit(1))).as("vocab"),
+          asLong(sum(col("stf"))).as("n_tokens"),
+          asLong(sum(when(col("stf") === 1, 1L).otherwise(0L))).as("n_hapax"),
+          asLong(sum(when(col("stf") === 2, 1L).otherwise(0L))).as("n_dis"))
+        .withColumn("ttr", col("vocab").cast("double") / col("n_tokens"))
+        .withColumn("hapax_share",
+          col("n_hapax").cast("double") / col("vocab"))
+        .orderBy("source")
+    }),
+
     // Bigram language-model statistics — the count-based n-gram LM training
     // pass of a data pipeline: per adjacent token pair, corpus count,
     // left-context count, and the conditional probability p(w2|w1) as ONE
@@ -1477,6 +1501,23 @@ object CurationOps extends QueryModule {
         |GROUP BY token
         |ORDER BY tf_corpus DESC, token ASC
         |LIMIT 100""".stripMargin,
+
+    "q_text_hapax" ->
+      """WITH tok AS (
+        |  SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+        |  WHERE length(token) > 0 GROUP BY doc_id, token),
+        |st AS (
+        |  SELECT d.source, t.token, CAST(sum(t.tf) AS BIGINT) AS stf
+        |  FROM tok t JOIN documents d USING (doc_id)
+        |  GROUP BY d.source, t.token)
+        |SELECT source, CAST(count(*) AS BIGINT) AS vocab,
+        |       CAST(sum(stf) AS BIGINT) AS n_tokens,
+        |       CAST(sum(CASE WHEN stf = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+        |       CAST(sum(CASE WHEN stf = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dis,
+        |       CAST(count(*) AS DOUBLE) / CAST(sum(stf) AS BIGINT) AS ttr,
+        |       CAST(sum(CASE WHEN stf = 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS hapax_share
+        |FROM st GROUP BY source ORDER BY source""".stripMargin,
 
     "q_llm_ngram_lm" ->
       """WITH t AS (

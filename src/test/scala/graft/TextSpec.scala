@@ -523,4 +523,32 @@ class TextSpec extends SparkTestBase {
     // FALSE under floor-log (brute-force counterexample [1,4]/[1,7]);
     // the exact replay above is the whole contract
   }
+
+  test("hapax profile equals a driver-side token recount (r12)") {
+    val rows = q("q_text_hapax").collect().map(r =>
+      (r.getString(0), (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5), r.getDouble(6)))).toMap
+    assert(rows.nonEmpty)
+    val docs = ops.table(spark, sfDir, "documents")
+      .select("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    docs.groupBy(_._1).foreach { case (src, ds) =>
+      val counts = scala.collection.mutable.Map.empty[String, Long]
+      ds.foreach(_._2.split(" ").filter(_.nonEmpty)
+        .foreach(t => counts(t) = counts.getOrElse(t, 0L) + 1L))
+      val vocab = counts.size.toLong
+      val nTok = counts.values.sum
+      val hapax = counts.values.count(_ == 1L).toLong
+      val dis = counts.values.count(_ == 2L).toLong
+      val (v, n, h, d2, ttr, hs) = {
+        val t = rows(src); (t._1, t._2, t._3, t._4, t._5, t._6)
+      }
+      assert((v, n, h, d2) == ((vocab, nTok, hapax, dis)), s"counts for $src")
+      assert(ttr == vocab.toDouble / nTok && hs == hapax.toDouble / vocab,
+        s"ratios for $src")
+      // NOTE: no hapax ≥ dis "Zipf shape" pin — the fixture's templated
+      // ~31-type vocabulary is NOT Zipfian (src14 at sf0.001 has dis=1,
+      // hapax=0); the exact recount above is the whole contract
+    }
+  }
 }
