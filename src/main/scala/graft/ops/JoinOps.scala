@@ -348,6 +348,38 @@ object JoinOps extends QueryModule {
         .groupBy(col("u1").as("user_id"))
         .agg(count(lit(1)).as("n_pairs"))
         .orderBy("user_id")
+    }),
+
+    // Dynamic-partition-pruning study (r12): the star-schema scan
+    // optimization a 100 TB layout lives on — the fact side is written
+    // ONCE as an external parquet table partitioned by the join key
+    // (tmpdir path keyed by fixture digest, the q_sink_bucketed
+    // convention), and the region-filtered nation dim broadcast inserts
+    // a runtime `dynamicpruning` subquery into the fact scan's
+    // PartitionFilters, so only the qualifying nations' directories are
+    // read at all (JoinDppSpec asserts the plan literally). The
+    // partition layout is pure execution shape — the oracle is the
+    // PLAIN three-way join (the q_join_skew_salted precedent).
+    "q_join_dpp" -> ((s: SparkSession, dir: String) => {
+      val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+        "graft-sink-custpart-" + SourceSinkOps
+          .fixtureKey(dir, "customer.parquet")
+          .replaceAll("[^0-9a-fA-F]", "").toLowerCase).getAbsolutePath
+      val marker = new java.io.File(path, "_SUCCESS")
+      if (!marker.exists())
+        table(s, dir, "customer")
+          .write.mode("overwrite").partitionBy("c_nationkey").parquet(path)
+      val cust = s.read.parquet(path)
+      val dim = table(s, dir, "nation")
+        .join(table(s, dir, "region"),
+          col("n_regionkey") === col("r_regionkey"))
+        .where(col("r_name") === "ASIA")
+        .select(col("n_nationkey"), col("n_name"))
+      cust.join(dim, col("c_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(asLong(count(lit(1))).as("n_customers"),
+          dsum(col("c_acctbal")).as("total_acctbal"))
+        .orderBy("n_name")
     })
   )
 
@@ -360,6 +392,17 @@ object JoinOps extends QueryModule {
         |       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+
+    // the partition layout is pure execution shape — plain star join
+    "q_join_dpp" ->
+      """SELECT n_name,
+        |       CAST(count(*) AS BIGINT) AS n_customers,
+        |       CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS total_acctbal
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
 
     "q_join_inner" ->
       """SELECT o_orderkey, o_totalprice, c_name, c_mktsegment

@@ -91,6 +91,34 @@ class OpsSpec extends SparkTestBase {
     }
   }
 
+  test("dpp study: the fact scan carries a runtime dynamicpruning filter (r12)") {
+    import org.apache.spark.sql.functions.col
+    val df = SparkEntry.queries("q_join_dpp")(spark, sfDir)
+    // the whole point of the key: the partitioned customer scan must be
+    // pruned by a RUNTIME subquery from the region-filtered dim side —
+    // a static plan reading all 25 nation directories would mean the
+    // layout bought nothing
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"),
+      s"expected a dynamicpruning PartitionFilter on the fact scan:\n$plan")
+    // content equals the plain star join on the sources
+    val got = df.collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    val want = graft.ops.table(spark, sfDir, "customer")
+      .join(graft.ops.table(spark, sfDir, "nation"),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(graft.ops.table(spark, sfDir, "region"),
+        col("n_regionkey") === col("r_regionkey"))
+      .where(col("r_name") === "ASIA")
+      .groupBy("n_name")
+      .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).cast("long").as("n_customers"),
+        graft.ops.dsum(col("c_acctbal")).as("total_acctbal"))
+      .orderBy("n_name")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got == want, "partitioned-layout join content differs from the sources")
+  }
+
   test("FP-sensitive aggregates are run-to-run deterministic") {
     for (name <- Seq("q_agg_basic", "q_join_multiway", "q_udaf_weighted", "q_win_moving")) {
       val a = SparkEntry.queries(name)(spark, sfDir).collect().toSeq
