@@ -258,6 +258,41 @@ object DiagOps extends QueryModule {
         expr("CAST(round(coalesce(sv, 0.0) * 100) AS BIGINT)").as("k"))
   }
 
+  /** DuckDB replay of [[hourlyCentGrid]] — the zero-filled hourly cent
+    * grid `g(event_type, h, k)` shared by the Bollinger and Mann-Kendall
+    * oracles (ONE text, zero drift). `g` is MATERIALIZED: the MK twin
+    * reads it three times (both pair sides + the tie histogram). */
+  private[graft] val centGridCte: String =
+    s"""e AS (
+       |  SELECT event_type, epoch_us(ts) // $HourUs AS h, value FROM events),
+       |r AS (SELECT min(h) AS h0, max(h) AS h1 FROM e),
+       |g0 AS (
+       |  SELECT t.event_type, unnest(generate_series(r.h0, r.h1)) AS h
+       |  FROM (SELECT DISTINCT event_type FROM e) t CROSS JOIN r),
+       |a AS (
+       |  SELECT event_type, h,
+       |         CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sv
+       |  FROM e GROUP BY event_type, h),
+       |g AS MATERIALIZED (
+       |  SELECT g0.event_type, g0.h,
+       |         CAST(round(COALESCE(a.sv, 0.0) * 100) AS BIGINT) AS k
+       |  FROM g0 LEFT JOIN a USING (event_type, h))""".stripMargin
+
+  /** Shared Mann-Kendall projections: the normalized Z over (s, vnum)
+    * and the verdict over z — STAGED as named columns (the abtest
+    * discipline: no subexpression is re-derived), every op an IEEE
+    * +,−,×,/ or sqrt in a fixed order; the 1.96 critical value is an
+    * e0-exponent literal so BOTH engines parse it as DOUBLE via strtod
+    * (a bare decimal literal takes the limb-wise decimal→double path —
+    * the q_profile_benford rule). */
+  private[graft] val mkZFormula: String =
+    "CASE WHEN s > 0 THEN (CAST(s AS DOUBLE) - 1) / sqrt(CAST(vnum AS DOUBLE) / CAST(18 AS DOUBLE))" +
+      " WHEN s < 0 THEN (CAST(s AS DOUBLE) + 1) / sqrt(CAST(vnum AS DOUBLE) / CAST(18 AS DOUBLE))" +
+      " ELSE CAST(0 AS DOUBLE) END AS z"
+  private[graft] val mkTrendFormula: String =
+    "CASE WHEN z > 1.96e0 THEN 'increasing'" +
+      " WHEN z < -1.96e0 THEN 'decreasing' ELSE 'none' END AS trend"
+
   /** Shared Bollinger projections over (k, n, s1, s2hi, s2lo) — ONE
     * formula set in both engines: window mean/σ from exact hi/lo-split
     * BIGINT moments (the q_agg_skew split), sample variance clamped at 0
@@ -1225,6 +1260,39 @@ object DiagOps extends QueryModule {
           col("sk._2").as("kth_hash"),
           col("sk._3").as("est_distinct"))
         .orderBy("event_type")
+    }),
+
+    // Mann-Kendall trend test (r12) per event type over the zero-filled
+    // hourly cent grid: S = Σ sign(k_j − k_i) over hour pairs i<j — the
+    // standard non-parametric monotone-trend test, EXACT in integers
+    // (the cent grid is the replay substrate; ties contribute 0 and the
+    // tie-corrected variance numerator n(n−1)(2n+5) − Σt(t−1)(2t+5)
+    // stays BIGINT for spans under ~2^21 hours ≈ 239 years). The pair
+    // self-join carries event_type as its equi key and the per-key
+    // density is TIME-SPAN-bounded (grid rows are identical at ×10 —
+    // the q_ts_bollinger axis), so the quadratic never grows with data
+    // volume. z/verdict are the staged shared formulas; the two 5-row
+    // aggregates meet under an explicit broadcast.
+    "q_ts_mann_kendall" -> ((s: SparkSession, dir: String) => {
+      val g = hourlyCentGrid(s, dir).localCheckpoint(true)
+      val pr = g.as("g1").join(g.as("g2"),
+          col("g1.event_type") === col("g2.event_type") &&
+            col("g1.h") < col("g2.h"))
+        .groupBy(col("g1.event_type").as("event_type"))
+        .agg(sum(when(col("g2.k") > col("g1.k"), 1L)
+          .when(col("g2.k") < col("g1.k"), -1L)
+          .otherwise(0L)).as("s"))
+      val tv = g.groupBy("event_type", "k").agg(count(lit(1)).as("t"))
+        .groupBy("event_type")
+        .agg(sum(col("t")).as("n"),
+          sum(expr("t * (t - 1) * (2 * t + 5)")).as("tie_adj"))
+      pr.join(broadcast(tv), "event_type")
+        .withColumn("vnum", expr("n * (n - 1) * (2 * n + 5) - tie_adj"))
+        .selectExpr("event_type", "CAST(s AS BIGINT) AS s_stat",
+          "CAST(vnum AS BIGINT) AS var_num", "s", "vnum")
+        .selectExpr("event_type", "s_stat", "var_num", mkZFormula)
+        .selectExpr("event_type", "s_stat", "var_num", "z", mkTrendFormula)
+        .orderBy("event_type")
     })
   )
 
@@ -1602,20 +1670,7 @@ object DiagOps extends QueryModule {
     // Same gapfilled grid CTEs as crosscorr; frame moments in BIGINT
     // (HUGEINT window sums cast back), then the shared formula set.
     "q_ts_bollinger" ->
-      s"""WITH e AS (
-         |  SELECT event_type, epoch_us(ts) // $HourUs AS h, value FROM events),
-         |r AS (SELECT min(h) AS h0, max(h) AS h1 FROM e),
-         |g0 AS (
-         |  SELECT t.event_type, unnest(generate_series(r.h0, r.h1)) AS h
-         |  FROM (SELECT DISTINCT event_type FROM e) t CROSS JOIN r),
-         |a AS (
-         |  SELECT event_type, h,
-         |         CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sv
-         |  FROM e GROUP BY event_type, h),
-         |g AS (
-         |  SELECT g0.event_type, g0.h,
-         |         CAST(round(COALESCE(a.sv, 0.0) * 100) AS BIGINT) AS k
-         |  FROM g0 LEFT JOIN a USING (event_type, h)),
+      s"""WITH $centGridCte,
          |w AS (
          |  SELECT event_type, h, k,
          |         CAST(count(*) OVER win AS BIGINT) AS n,
@@ -2032,6 +2087,34 @@ object DiagOps extends QueryModule {
          |       END AS est_distinct
          |FROM k JOIN e ON k.event_type = e.event_type
          |ORDER BY k.event_type""".stripMargin
-    }
+    },
+
+    "q_ts_mann_kendall" ->
+      s"""WITH $centGridCte,
+         |pr AS (
+         |  SELECT g1.event_type,
+         |         CAST(sum(CASE WHEN g2.k > g1.k THEN 1
+         |                       WHEN g2.k < g1.k THEN -1 ELSE 0 END) AS BIGINT) AS s
+         |  FROM g g1 JOIN g g2
+         |    ON g1.event_type = g2.event_type AND g1.h < g2.h
+         |  GROUP BY g1.event_type),
+         |tg AS (
+         |  SELECT event_type, k, CAST(count(*) AS BIGINT) AS t
+         |  FROM g GROUP BY event_type, k),
+         |tv AS (
+         |  SELECT event_type, CAST(sum(t) AS BIGINT) AS n,
+         |         CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_adj
+         |  FROM tg GROUP BY event_type),
+         |j AS (
+         |  SELECT pr.event_type, pr.s,
+         |         tv.n * (tv.n - 1) * (2 * tv.n + 5) - tv.tie_adj AS vnum
+         |  FROM pr JOIN tv ON tv.event_type = pr.event_type),
+         |jz AS (
+         |  SELECT event_type, CAST(s AS BIGINT) AS s_stat,
+         |         CAST(vnum AS BIGINT) AS var_num, s, vnum
+         |  FROM j),
+         |z AS (SELECT event_type, s_stat, var_num, $mkZFormula FROM jz)
+         |SELECT event_type, s_stat, var_num, z, $mkTrendFormula
+         |FROM z ORDER BY event_type""".stripMargin
   )
 }

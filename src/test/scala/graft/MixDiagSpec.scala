@@ -1018,6 +1018,36 @@ class MixDiagSpec extends SparkTestBase {
     }
   }
 
+  test("mann-kendall equals a driver-side pair replay (r12)") {
+    val rows = q("q_ts_mann_kendall").collect().map(r =>
+      (r.getString(0), (r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getString(4)))).toMap
+    assert(rows.nonEmpty)
+    val grid = graft.ops.DiagOps.hourlyCentGrid(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    grid.groupBy(_._1).foreach { case (t, g) =>
+      val ks = g.sortBy(_._2).map(_._3)
+      var s = 0L
+      for (i <- ks.indices; j <- (i + 1) until ks.length)
+        s += java.lang.Long.signum(ks(j) - ks(i)).toLong
+      val n = ks.length.toLong
+      val tieAdj = ks.groupBy(identity).values
+        .map(v => { val c = v.length.toLong; c * (c - 1) * (2 * c + 5) }).sum
+      val vnum = n * (n - 1) * (2 * n + 5) - tieAdj
+      val z =
+        if (s > 0) (s.toDouble - 1) / math.sqrt(vnum.toDouble / 18.0)
+        else if (s < 0) (s.toDouble + 1) / math.sqrt(vnum.toDouble / 18.0)
+        else 0.0
+      val (gs, gv, gz, tr) = {
+        val r = rows(t); (r._1, r._2, r._3, r._4)
+      }
+      assert((gs, gv) == ((s, vnum)), s"$t S/variance")
+      assert(gz == z, s"$t z replay")
+      assert(tr == (if (z > 1.96) "increasing"
+        else if (z < -1.96) "decreasing" else "none"), s"$t verdict")
+    }
+  }
+
   test("kmv sketch is deterministic across partitionings (merge path)") {
     val base = q("q_agg_kmv_distinct").collect().toSeq
     // repartitioning forces different partial-buffer merge orders — the
