@@ -585,6 +585,39 @@ object GraphOps extends QueryModule {
       col("r").as("pr"))
   }
 
+  /** q_graph_labelprop: synchronous label-propagation rounds — FIXED
+    * iteration count (the ktruss bounded-iteration contract: both
+    * engines run exactly the unrolled stages; LP famously oscillates
+    * under synchronous updates, so a fixpoint contract would be
+    * ill-defined anyway). Tie-break: among max-frequency neighbor
+    * labels, the SMALLEST label wins — a total order, hash-gate safe. */
+  private[graft] val LpIters = 4
+
+  /** Synchronous label propagation over directed arcs: per round every
+    * node adopts the most frequent label among its in-neighbors
+    * (smallest label on ties, via max(struct(count, −label))). One
+    * shuffled arc⋈label join + two hash aggs per round; src/dst keys
+    * stay uniform even near convergence (unlike min-label pointer
+    * jumping, the counts concentrate in VALUE space, not key space —
+    * the r9 hot-key note does not bite). Per-round localCheckpoint cuts
+    * the lineage. */
+  private def labelPropRounds(s: SparkSession, arcs0: DataFrame): DataFrame = {
+    val arcs = arcs0.localCheckpoint(true)
+    var lab = arcs.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("lab"))
+      .localCheckpoint(true)
+    for (_ <- 1 to LpIters) {
+      val msg = arcs.join(lab, col("dst") === col("node"))
+        .select(col("src"), col("lab"))
+      val cnt = msg.groupBy("src", "lab").agg(count(lit(1)).as("c"))
+      lab = cnt.groupBy("src")
+        .agg(max(struct(col("c"), (-col("lab")).as("nl"))).as("m"))
+        .select(col("src").as("node"), (-col("m.nl")).as("lab"))
+        .localCheckpoint(true)
+    }
+    lab
+  }
+
   /** q_graph_ktruss: peeling rounds and the survival support (k − 2 with
     * k = 4: every surviving edge must sit in ≥ 2 triangles of the
     * surviving subgraph). BOUNDED peeling is the declared contract — both
@@ -711,6 +744,23 @@ object GraphOps extends QueryModule {
       lab.groupBy("lab").agg(count(lit(1)).as("csize"))
         .groupBy("csize").agg(asLong(count(lit(1))).as("n_comps"))
         .select(asLong(col("csize")).as("csize"), col("n_comps"))
+        .orderBy("csize")
+    }),
+
+    // Label-propagation communities (r12): every node adopts its
+    // in-neighbors' most frequent label each round (smallest label on
+    // ties), exactly LpIters synchronous rounds in both engines — the
+    // frequency-based community signal next to concomp's pure
+    // connectivity (on the support-filtered graph LP splits the blob
+    // where min-label gives one component per reachability class).
+    // Same community-size-histogram readout as q_graph_concomp.
+    "q_graph_labelprop" -> ((s: SparkSession, dir: String) => {
+      val arcs = copurchaseAdj(s, dir)
+        .where(col("n") >= StrongSupport).select("src", "dst")
+      labelPropRounds(s, arcs)
+        .groupBy("lab").agg(count(lit(1)).as("csize"))
+        .groupBy("csize").agg(asLong(count(lit(1))).as("n_comms"))
+        .select(asLong(col("csize")).as("csize"), col("n_comms"))
         .orderBy("csize")
     }),
 
@@ -1046,6 +1096,22 @@ object GraphOps extends QueryModule {
        |e$r AS MATERIALIZED (SELECT u, v FROM j$r WHERE sp >= $KtSupport)""".stripMargin
   }.mkString(",\n")
 
+  /** Unrolled synchronous label-propagation stages: per round the
+    * in-neighbor label messages, per-(node, label) counts, and the
+    * deterministic argmax (count DESC, label ASC). l_k is MATERIALIZED —
+    * the next round's join reads it (and the final round the readout). */
+  private def lpStagesCte: String = (1 to LpIters).map { k =>
+    s"""m$k AS (
+       |  SELECT a.src, l.lab FROM arcs a JOIN l${k - 1} l ON l.node = a.dst),
+       |c$k AS (
+       |  SELECT src, lab, count(*) AS c FROM m$k GROUP BY src, lab),
+       |r$k AS (
+       |  SELECT src, lab,
+       |         row_number() OVER (PARTITION BY src ORDER BY c DESC, lab ASC) AS rn
+       |  FROM c$k),
+       |l$k AS MATERIALIZED (SELECT src AS node, lab FROM r$k WHERE rn = 1)""".stripMargin
+  }.mkString(",\n")
+
   /** One stats row per peeling round, read from the materialized j_r. */
   private def ktStatsSql: String = (1 to KtRounds).map { r =>
     s"""SELECT CAST($r AS BIGINT) AS round,
@@ -1058,6 +1124,16 @@ object GraphOps extends QueryModule {
   }.mkString("\nUNION ALL\n")
 
   def oracle: Seq[(String, String)] = Seq(
+    "q_graph_labelprop" ->
+      s"""WITH $copurchaseCte,
+         |arcs AS MATERIALIZED (SELECT src, dst FROM adj WHERE n >= $StrongSupport),
+         |l0 AS MATERIALIZED (SELECT DISTINCT src AS node, src AS lab FROM arcs),
+         |$lpStagesCte,
+         |cs AS (SELECT lab, CAST(count(*) AS BIGINT) AS csize
+         |       FROM l$LpIters GROUP BY lab)
+         |SELECT csize, CAST(count(*) AS BIGINT) AS n_comms
+         |FROM cs GROUP BY csize ORDER BY csize""".stripMargin,
+
     "q_graph_ktruss" ->
       s"""WITH $copurchaseCte,
          |$mutualKnnCte,

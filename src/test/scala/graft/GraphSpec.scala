@@ -364,6 +364,32 @@ class GraphSpec extends SparkTestBase {
     assert(rows.toSet == expected)
   }
 
+  test("label propagation equals a driver-side synchronous replay (r12)") {
+    val rows = q("q_graph_labelprop").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val arcs = graft.ops.GraphOps.copurchaseAdj(spark, sfDir)
+      .where(org.apache.spark.sql.functions.col("n") >=
+        graft.ops.GraphOps.StrongSupport)
+      .select("src", "dst").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val incoming = arcs.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    var lab = incoming.keySet.map(n => n -> n).toMap
+    for (_ <- 1 to 4) {
+      lab = incoming.map { case (node, nbrs) =>
+        val freq = nbrs.map(lab).groupBy(identity).view
+          .mapValues(_.length).toMap
+        val best = freq.toSeq.minBy { case (l, c) => (-c, l) }._1
+        node -> best
+      }
+    }
+    val hist = lab.values.groupBy(identity).values
+      .map(_.size.toLong) // community sizes
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    assert(rows == hist, "LP community-size histogram replay")
+    assert(rows.nonEmpty && rows.keys.max > 1,
+      "LP must form at least one non-trivial community on this graph")
+  }
+
   test("ktruss peeling equals a driver-side support replay (r12)") {
     val rows = q("q_graph_ktruss").collect().map(r =>
       (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
