@@ -1262,6 +1262,36 @@ object DiagOps extends QueryModule {
         .orderBy("event_type")
     }),
 
+    // Theil-Sen robust trend slope (r12) per event type: the LOWER MEDIAN
+    // (the r10 (n+1) div 2 idiom — exact, no midpoint average) of all
+    // pairwise slopes (k_j − k_i)/(h_j − h_i) over the zero-filled hourly
+    // cent grid — the outlier-insensitive complement to q_ts_trend's OLS
+    // slope and the natural companion to the Mann-Kendall verdict. Each
+    // slope is ONE IEEE division of exact integers (replayable); the
+    // median is selected BY VALUE at a fixed rank, so tie order among
+    // equal slopes cannot matter. The per-type rank window runs over the
+    // pair relation whose size is TIME-SPAN-bounded (grid² — identical
+    // at ×10, the bollinger axis), so the 5-partition window never sees
+    // data-volume-scaled input — the low-cardinality-window trap is
+    // about corpus-scaled partitions, declared here.
+    "q_ts_theil_sen" -> ((s: SparkSession, dir: String) => {
+      val g = hourlyCentGrid(s, dir).localCheckpoint(true)
+      val pairs = g.as("g1").join(g.as("g2"),
+          col("g1.event_type") === col("g2.event_type") &&
+            col("g1.h") < col("g2.h"))
+        .select(col("g1.event_type").as("event_type"),
+          expr("CAST(g2.k - g1.k AS DOUBLE) / CAST(g2.h - g1.h AS DOUBLE)")
+            .as("slope"))
+      pairs
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("event_type").orderBy("slope")))
+        .withColumn("np", count(lit(1)).over(Window.partitionBy("event_type")))
+        .where(col("rn") === expr("(np + 1) div 2"))
+        .select(col("event_type"), asLong(col("np")).as("n_pairs"),
+          (col("slope") / lit(100.0)).as("slope_per_hour"))
+        .orderBy("event_type")
+    }),
+
     // Mann-Kendall trend test (r12) per event type over the zero-filled
     // hourly cent grid: S = Σ sign(k_j − k_i) over hour pairs i<j — the
     // standard non-parametric monotone-trend test, EXACT in integers
@@ -2088,6 +2118,23 @@ object DiagOps extends QueryModule {
          |FROM k JOIN e ON k.event_type = e.event_type
          |ORDER BY k.event_type""".stripMargin
     },
+
+    "q_ts_theil_sen" ->
+      s"""WITH $centGridCte,
+         |p AS (
+         |  SELECT g1.event_type,
+         |         CAST(g2.k - g1.k AS DOUBLE) / CAST(g2.h - g1.h AS DOUBLE) AS slope
+         |  FROM g g1 JOIN g g2
+         |    ON g1.event_type = g2.event_type AND g1.h < g2.h),
+         |rk AS (
+         |  SELECT event_type, slope,
+         |         row_number() OVER (PARTITION BY event_type ORDER BY slope) AS rn,
+         |         count(*) OVER (PARTITION BY event_type) AS np
+         |  FROM p)
+         |SELECT event_type, CAST(np AS BIGINT) AS n_pairs,
+         |       slope / CAST(100 AS DOUBLE) AS slope_per_hour
+         |FROM rk WHERE rn = (np + 1) // 2
+         |ORDER BY event_type""".stripMargin,
 
     "q_ts_mann_kendall" ->
       s"""WITH $centGridCte,

@@ -1048,6 +1048,26 @@ class MixDiagSpec extends SparkTestBase {
     }
   }
 
+  test("theil-sen equals a driver-side pairwise-slope replay (r12)") {
+    val rows = q("q_ts_theil_sen").collect().map(r =>
+      (r.getString(0), (r.getLong(1), r.getDouble(2)))).toMap
+    assert(rows.nonEmpty)
+    val grid = graft.ops.DiagOps.hourlyCentGrid(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    grid.groupBy(_._1).foreach { case (t, g) =>
+      val pts = g.sortBy(_._2).map(p => (p._2, p._3))
+      val slopes = (for {
+        i <- pts.indices; j <- (i + 1) until pts.length
+      } yield (pts(j)._2 - pts(i)._2).toDouble /
+          (pts(j)._1 - pts(i)._1).toDouble).sorted
+      val np = slopes.length.toLong
+      val med = slopes(((np + 1) / 2 - 1).toInt) / 100.0
+      val (gn, gs) = rows(t)
+      assert(gn == np, s"$t pair count")
+      assert(gs == med, s"$t lower-median slope replay")
+    }
+  }
+
   test("kmv sketch is deterministic across partitionings (merge path)") {
     val base = q("q_agg_kmv_distinct").collect().toSeq
     // repartitioning forces different partial-buffer merge orders — the
