@@ -254,6 +254,53 @@ object SqlOps extends QueryModule {
       |       > 3 * (SELECT sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) FROM lineitem)
       |ORDER BY part_revenue DESC, p_partkey""".stripMargin
 
+  /** TPC-H Q7 analog ("volume shipping", r12): the SAME dimension table
+    * joined twice under different aliases (supplier nation vs customer
+    * nation) with a symmetric two-arm OR over the alias pair — the
+    * planner must keep both nation broadcasts distinct and push the
+    * disjunction to the joined pair (not nested-loop it). Recent
+    * shipping years only; `year()` is in the ANSI intersection both
+    * engines parse identically over CAST(ts AS DATE). */
+  private val volumeShippingSql =
+    """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+      |       year(CAST(l_shipdate AS DATE)) AS l_year,
+      |       CAST(count(*) AS BIGINT) AS n_lines,
+      |       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+      |FROM supplier
+      |JOIN lineitem ON s_suppkey = l_suppkey
+      |JOIN orders ON o_orderkey = l_orderkey
+      |JOIN customer ON c_custkey = o_custkey
+      |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      |WHERE ((n1.n_name = 'NATION_5' AND n2.n_name = 'NATION_8')
+      |    OR (n1.n_name = 'NATION_8' AND n2.n_name = 'NATION_5'))
+      |  AND CAST(l_shipdate AS DATE) >= DATE '1998-01-01'
+      |GROUP BY n1.n_name, n2.n_name, year(CAST(l_shipdate AS DATE))
+      |ORDER BY supp_nation, cust_nation, l_year""".stripMargin
+
+  /** TPC-H Q8 analog ("national market share", r12): conditional
+    * aggregation — a CASE inside the sum splits one pass into the
+    * nation's volume and the total, with the share division STAGED in an
+    * outer query over the named aggregate columns (no re-derived
+    * subexpression — the abtest discipline); both sums stay exact
+    * DECIMAL until one DOUBLE cast each. NATION_8 has suppliers at every
+    * fixture scale (NATION_5 does not at sf0.001). */
+  private val marketShareSql =
+    """SELECT o_year, nation_volume, total_volume,
+      |       nation_volume / total_volume AS mkt_share
+      |FROM (
+      |  SELECT year(CAST(o_orderdate AS DATE)) AS o_year,
+      |         CAST(sum(CASE WHEN n_name = 'NATION_8'
+      |                       THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))
+      |                       ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) AS nation_volume,
+      |         CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS total_volume
+      |  FROM lineitem
+      |  JOIN orders ON o_orderkey = l_orderkey
+      |  JOIN supplier ON s_suppkey = l_suppkey
+      |  JOIN nation ON s_nationkey = n_nationkey
+      |  GROUP BY year(CAST(o_orderdate AS DATE)))
+      |ORDER BY o_year""".stripMargin
+
   def queries: Seq[(String, Q)] = Seq(
     "q_sql_shipping_priority" -> ((s: SparkSession, dir: String) =>
       graft.GraftSql.run(s, dir, shippingPrioritySql)),
@@ -283,7 +330,13 @@ object SqlOps extends QueryModule {
       graft.GraftSql.run(s, dir, waitingSupplierSql)),
 
     "q_sql_important_parts" -> ((s: SparkSession, dir: String) =>
-      graft.GraftSql.run(s, dir, importantPartsSql))
+      graft.GraftSql.run(s, dir, importantPartsSql)),
+
+    "q_sql_volume_shipping" -> ((s: SparkSession, dir: String) =>
+      graft.GraftSql.run(s, dir, volumeShippingSql)),
+
+    "q_sql_market_share" -> ((s: SparkSession, dir: String) =>
+      graft.GraftSql.run(s, dir, marketShareSql))
   )
 
   def oracle: Seq[(String, String)] = Seq(
@@ -296,6 +349,8 @@ object SqlOps extends QueryModule {
     "q_sql_disjunctive_revenue" -> disjunctiveRevenueSql,
     "q_sql_top_supplier" -> topSupplierSql,
     "q_sql_waiting_supplier" -> waitingSupplierSql,
-    "q_sql_important_parts" -> importantPartsSql
+    "q_sql_important_parts" -> importantPartsSql,
+    "q_sql_volume_shipping" -> volumeShippingSql,
+    "q_sql_market_share" -> marketShareSql
   )
 }

@@ -219,6 +219,52 @@ class FacadeSpec extends SparkTestBase {
     assert(sql == dsl, "SQL Q21 analog and DSL semi/anti replay disagree")
   }
 
+  test("SQL entry point: Q7 twice-aliased dimension resolves both nation roles (r12)") {
+    import org.apache.spark.sql.functions.{count, expr, lit, sum}
+    val df = SparkEntry.queries("q_sql_volume_shipping")(spark, sfDir)
+    val rows = df.collect().map(r =>
+      (r.getString(0), r.getString(1), r.getInt(2), r.getLong(3), r.getDouble(4)))
+    assert(rows.nonEmpty)
+    // the disjunction admits ONLY the symmetric nation pair
+    assert(rows.forall(r => Set(r._1, r._2) == Set("NATION_5", "NATION_8")))
+    // DSL replay with two independent nation dimensions
+    val nat = ops.table(spark, sfDir, "nation")
+    val d = (s: String) => java.sql.Date.valueOf(s)
+    val dsl = ops.table(spark, sfDir, "supplier")
+      .join(ops.table(spark, sfDir, "lineitem")
+          .where(col("l_shipdate").cast("date") >= lit(d("1998-01-01"))),
+        col("s_suppkey") === col("l_suppkey"))
+      .join(ops.table(spark, sfDir, "orders"),
+        col("o_orderkey") === col("l_orderkey"))
+      .join(ops.table(spark, sfDir, "customer"),
+        col("c_custkey") === col("o_custkey"))
+      .join(nat.select(col("n_nationkey").as("nk1"), col("n_name").as("supp_nation")),
+        col("s_nationkey") === col("nk1"))
+      .join(nat.select(col("n_nationkey").as("nk2"), col("n_name").as("cust_nation")),
+        col("c_nationkey") === col("nk2"))
+      .where((col("supp_nation") === "NATION_5" && col("cust_nation") === "NATION_8") ||
+        (col("supp_nation") === "NATION_8" && col("cust_nation") === "NATION_5"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        org.apache.spark.sql.functions.year(col("l_shipdate").cast("date")).as("l_year"))
+      .agg(count(lit(1)).cast("long").as("n_lines"),
+        sum(expr("CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))"))
+          .cast("double").as("revenue"))
+      .orderBy("supp_nation", "cust_nation", "l_year")
+      .collect().map(r =>
+        (r.getString(0), r.getString(1), r.getInt(2), r.getLong(3), r.getDouble(4)))
+    assert(rows.toSeq == dsl.toSeq, "SQL Q7 analog and DSL two-alias replay disagree")
+  }
+
+  test("SQL entry point: Q8 conditional aggregation yields a consistent share (r12)") {
+    val rows = SparkEntry.queries("q_sql_market_share")(spark, sfDir)
+      .collect().map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (y, nv, tv, share) =>
+      assert(nv >= 0.0 && nv <= tv, s"year $y: nation volume within total")
+      assert(share == nv / tv, s"year $y: staged share readback")
+    }
+  }
+
   test("SQL entry point: HAVING scalar subqueries select above-average parts (r12)") {
     import org.apache.spark.sql.functions.{countDistinct, expr, lit, sum}
     val df = SparkEntry.queries("q_sql_important_parts")(spark, sfDir)
