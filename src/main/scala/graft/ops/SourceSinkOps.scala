@@ -292,6 +292,39 @@ object SourceSinkOps extends QueryModule {
         .orderBy("layout")
     }),
 
+    // Schema-evolution roundtrip (r12): two parquet "generations" written
+    // once under a fixture-keyed external path — gen1 WITHOUT user_id
+    // (the old producer), gen2 with it (the evolved producer; the split
+    // is the deterministic event_id parity) — then ONE mergeSchema read
+    // unifies them: old rows surface NULL user_id, and the report counts
+    // exactly the evolved-generation rows per type. The lake reality a
+    // 100 TB pipeline lives with: producers evolve, history doesn't
+    // rewrite; column pruning and predicate pushdown still reach both
+    // generations' scans.
+    "q_src_schema_evolution" -> ((s: SparkSession, dir: String) => {
+      val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+        "graft-src-evo-" + fixtureKey(dir, "events.parquet")
+          .replaceAll("[^0-9a-fA-F]", "").toLowerCase).getAbsolutePath
+      val marker = new java.io.File(path, "_GRAFT_BOTH_GENS")
+      if (!marker.exists()) {
+        val ev = table(s, dir, "events")
+          .select("event_id", "event_type", "value", "user_id")
+        ev.where(col("event_id") % 2 === 0)
+          .select("event_id", "event_type", "value")
+          .write.mode("overwrite").parquet(s"$path/gen1")
+        ev.where(col("event_id") % 2 === 1)
+          .write.mode("overwrite").parquet(s"$path/gen2")
+        java.nio.file.Files.writeString(marker.toPath, "ok")
+      }
+      s.read.option("mergeSchema", "true")
+        .parquet(s"$path/gen1", s"$path/gen2")
+        .groupBy("event_type")
+        .agg(asLong(count(lit(1))).as("n_rows"),
+          asLong(count(col("user_id"))).as("n_with_user"),
+          dsum(col("value")).as("sum_value"))
+        .orderBy("event_type")
+    }),
+
     // SCD2 merge (r12): the warehouse MERGE/upsert a parquet-only stack
     // expresses as a pure query — apply a change batch (customers placing
     // an URGENT order from 2000 on adopt segment 'UPGRADED' at their
@@ -462,6 +495,14 @@ object SourceSinkOps extends QueryModule {
          |       CAST(max(kas) AS BIGINT) AS max_a_span,
          |       CAST(max(kbs) AS BIGINT) AS max_b_span
          |FROM cells GROUP BY layout ORDER BY layout""".stripMargin,
+
+    // the generation split is event_id parity, so the NULL-user_id rows
+    // of the merged read are exactly the even ids
+    "q_src_schema_evolution" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n_rows,
+        |       CAST(sum(CASE WHEN event_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_with_user,
+        |       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     // The three SCD2 branches as UNION ALL; chg is referenced three times
     // (the r9 MATERIALIZED rule).

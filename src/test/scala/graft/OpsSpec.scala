@@ -91,6 +91,28 @@ class OpsSpec extends SparkTestBase {
     }
   }
 
+  test("schema evolution: mergeSchema unifies generations, old rows read NULL (r12)") {
+    import org.apache.spark.sql.functions.col
+    SparkEntry.queries("q_src_schema_evolution")(spark, sfDir).count()
+    val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft-src-evo-" + graft.ops.SourceSinkOps
+        .fixtureKey(sfDir, "events.parquet")
+        .replaceAll("[^0-9a-fA-F]", "").toLowerCase).getAbsolutePath
+    // gen1 alone has NO user_id column; the merged read has it
+    val gen1 = spark.read.parquet(s"$path/gen1")
+    assert(!gen1.columns.contains("user_id"), "gen1 must predate the column")
+    val merged = spark.read.option("mergeSchema", "true")
+      .parquet(s"$path/gen1", s"$path/gen2")
+    assert(merged.columns.contains("user_id"), "merged schema must unify")
+    // every NULL user_id row is a gen1 (even event_id) row and vice versa
+    assert(merged.where(col("user_id").isNull)
+      .where(col("event_id") % 2 =!= 0).count() == 0L)
+    assert(merged.where(col("user_id").isNotNull)
+      .where(col("event_id") % 2 =!= 1).count() == 0L)
+    assert(merged.count() ==
+      ops.table(spark, sfDir, "events").count(), "no rows lost across generations")
+  }
+
   test("dpp study: the fact scan carries a runtime dynamicpruning filter (r12)") {
     import org.apache.spark.sql.functions.col
     val df = SparkEntry.queries("q_join_dpp")(spark, sfDir)
