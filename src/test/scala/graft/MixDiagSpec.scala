@@ -1048,6 +1048,31 @@ class MixDiagSpec extends SparkTestBase {
     }
   }
 
+  test("weighted median equals a driver-side cumulative-weight replay (r12)") {
+    val rows = q("q_agg_weighted_median").collect().map(r =>
+      (r.getString(0), (r.getLong(1), r.getDouble(2)))).toMap
+    assert(rows.keySet == Set("A", "N", "R"))
+    val li = ops.table(spark, sfDir, "lineitem")
+      .select("l_returnflag", "l_extendedprice", "l_quantity").collect()
+      .map(r => (r.getString(0),
+        BigDecimal(r.getDouble(1) * 100)
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong,
+        r.getDouble(2).toLong))
+    li.groupBy(_._1).foreach { case (g, ls) =>
+      val byCent = ls.groupBy(_._2).view.mapValues(_.map(_._3).sum)
+        .toSeq.sortBy(_._1)
+      val tw = byCent.map(_._2).sum
+      var cw = 0L
+      val med = byCent.find { case (_, w) => cw += w; cw * 2 >= tw }.get._1
+      val (gotW, gotM) = rows(g)
+      assert(gotW == tw, s"$g total weight")
+      assert(gotM == med.toDouble / 100, s"$g weighted median")
+      // the defining property: strictly-below weight < half ≤ up-to weight
+      val below = byCent.takeWhile(_._1 < med).map(_._2).sum
+      assert(below * 2 < tw && (below + byCent.find(_._1 == med).get._2) * 2 >= tw)
+    }
+  }
+
   test("theil-sen equals a driver-side pairwise-slope replay (r12)") {
     val rows = q("q_ts_theil_sen").collect().map(r =>
       (r.getString(0), (r.getLong(1), r.getDouble(2)))).toMap
