@@ -278,6 +278,17 @@ object DiagOps extends QueryModule {
        |         CAST(round(COALESCE(a.sv, 0.0) * 100) AS BIGINT) AS k
        |  FROM g0 LEFT JOIN a USING (event_type, h))""".stripMargin
 
+  /** q_ts_anova: the 24-term SSB sum as an EXPLICIT left-associated
+    * addition chain over pivoted per-hour columns — an ordered
+    * cumulative WINDOW does not replay here (DuckDB's windowed sum is
+    * segment-tree pairwise, not sequential; measured last-ulp drift at
+    * sf0.1), so the fixed order is pinned the bm25 way: conditional-max
+    * pivot + one shared formula string. coalesce-to-+0.0 is
+    * addition-neutral (terms are ≥ 0). */
+  private val anovaSumTerm: String =
+    (0 until 24).map(h => s"coalesce(t$h, CAST(0 AS DOUBLE))")
+      .mkString(" + ")
+
   /** Shared Mann-Kendall projections: the normalized Z over (s, vnum)
     * and the verdict over z — STAGED as named columns (the abtest
     * discipline: no subexpression is re-derived), every op an IEEE
@@ -1262,6 +1273,53 @@ object DiagOps extends QueryModule {
         .orderBy("event_type")
     }),
 
+    // One-way ANOVA by hour-of-day (r12): the "is the hourly seasonality
+    // REAL" significance readout next to q_ts_seasonal's descriptive
+    // profile — between-group sum of squares over the 24 hour cells vs
+    // within, eta² and the F statistic. Replay discipline: per-cell and
+    // per-type sums are exact BIGINTs (Σk² hi/lo-split — the skew/
+    // bollinger rule; raw Σk² overflows 2^63 at ×10), SSB's 24-term
+    // float sum is pinned to hod-ascending order by an ordered
+    // cumulative window (the mix_alpha fixed-order rule), and every
+    // later op is a staged IEEE chain over named columns. The cell
+    // relation is ≤ 24·#types rows — the windows run over bounded
+    // input, never event rows.
+    "q_ts_anova" -> ((s: SparkSession, dir: String) => {
+      val ev = table(s, dir, "events")
+        .select(col("event_type"),
+          expr(s"(unix_micros(ts) div $HourUs) % 24").as("hod"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("k"))
+      val cell = ev.groupBy("event_type", "hod")
+        .agg(count(lit(1)).as("nh"), sum(col("k")).as("sh"))
+      val tot = ev.groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sk"),
+          sum(expr(s"(k * k) div $MomentSplit")).as("s2hi"),
+          sum(expr(s"(k * k) % $MomentSplit")).as("s2lo"))
+      val withTerm = cell.withColumn("term",
+        expr("(CAST(sh AS DOUBLE) * CAST(sh AS DOUBLE)) / nh"))
+      val pivotCols = (0 until 24).map(h =>
+        max(when(col("hod") === h, col("term"))).as(s"t$h")) :+
+        asLong(count(lit(1))).as("k_groups")
+      val terms = withTerm.groupBy(col("event_type").as("et"))
+        .agg(pivotCols.head, pivotCols.tail: _*)
+        .withColumn("sumterm", expr(anovaSumTerm))
+        .select(col("et"), col("sumterm"), col("k_groups"))
+      tot.join(broadcast(terms), col("event_type") === col("et"))
+        .selectExpr("event_type", "CAST(n AS BIGINT) AS n", "k_groups",
+          "sumterm", "CAST(sk AS DOUBLE) AS skd",
+          s"(CAST(s2hi AS DOUBLE) * $MomentSplit.0 + CAST(s2lo AS DOUBLE)) AS s2d",
+          "CAST(n AS DOUBLE) AS nd")
+        .selectExpr("event_type", "n", "k_groups",
+          "s2d - skd * skd / nd AS sst",
+          "sumterm - skd * skd / nd AS ssb")
+        .selectExpr("event_type", "n", "k_groups", "sst", "ssb",
+          "sst - ssb AS ssw")
+        .selectExpr("event_type", "n", "sst", "ssb", "ssw",
+          "ssb / sst AS eta_sq",
+          "(ssb / (k_groups - 1)) / (ssw / (n - k_groups)) AS f_stat")
+        .orderBy("event_type")
+    }),
+
     // Exact WEIGHTED median (r12): quantity-weighted price median per
     // returnflag — the order statistic where each value carries a weight
     // (Spark's percentile/approx_percentile weight argument buffers the
@@ -2166,6 +2224,47 @@ object DiagOps extends QueryModule {
          |FROM k JOIN e ON k.event_type = e.event_type
          |ORDER BY k.event_type""".stripMargin
     },
+
+    "q_ts_anova" ->
+      s"""WITH ev AS (
+         |  SELECT event_type, (epoch_us(ts) // $HourUs) % 24 AS hod,
+         |         CAST(round(value * 100) AS BIGINT) AS k
+         |  FROM events),
+         |cell AS (
+         |  SELECT event_type, hod, CAST(count(*) AS BIGINT) AS nh,
+         |         CAST(sum(k) AS BIGINT) AS sh
+         |  FROM ev GROUP BY event_type, hod),
+         |tot AS (
+         |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         |         CAST(sum(k) AS BIGINT) AS sk,
+         |         CAST(sum((k * k) // $MomentSplit) AS BIGINT) AS s2hi,
+         |         CAST(sum((k * k) % $MomentSplit) AS BIGINT) AS s2lo
+         |  FROM ev GROUP BY event_type),
+         |trm AS (
+         |  SELECT event_type,
+         |         ${(0 until 24).map(h =>
+      s"max(CASE WHEN hod = $h THEN (CAST(sh AS DOUBLE) * CAST(sh AS DOUBLE)) / nh END) AS t$h")
+      .mkString(",\n         ")},
+         |         CAST(count(*) AS BIGINT) AS k_groups
+         |  FROM cell GROUP BY event_type),
+         |tm AS (SELECT event_type, $anovaSumTerm AS sumterm, k_groups
+         |       FROM trm),
+         |j AS (
+         |  SELECT t.event_type, t.n, tm.k_groups, tm.sumterm,
+         |         CAST(t.sk AS DOUBLE) AS skd,
+         |         (CAST(t.s2hi AS DOUBLE) * $MomentSplit.0 + CAST(t.s2lo AS DOUBLE)) AS s2d,
+         |         CAST(t.n AS DOUBLE) AS nd
+         |  FROM tot t JOIN tm ON tm.event_type = t.event_type),
+         |ss AS (
+         |  SELECT event_type, n, k_groups,
+         |         s2d - skd * skd / nd AS sst,
+         |         sumterm - skd * skd / nd AS ssb
+         |  FROM j),
+         |sw AS (SELECT event_type, n, k_groups, sst, ssb, sst - ssb AS ssw FROM ss)
+         |SELECT event_type, n, sst, ssb, ssw,
+         |       ssb / sst AS eta_sq,
+         |       (ssb / (k_groups - 1)) / (ssw / (n - k_groups)) AS f_stat
+         |FROM sw ORDER BY event_type""".stripMargin,
 
     // single-node DuckDB may run the naive per-group cumulative — the
     // bucketed two-level shape is the ENGINE's scale discipline, the

@@ -1048,6 +1048,46 @@ class MixDiagSpec extends SparkTestBase {
     }
   }
 
+  test("anova equals a driver-side fixed-order replay (r12)") {
+    val rows = q("q_ts_anova").collect().map(r =>
+      (r.getString(0), (r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5), r.getDouble(6)))).toMap
+    assert(rows.nonEmpty)
+    val ev = ops.table(spark, sfDir, "events")
+      .selectExpr("event_type", s"(unix_micros(ts) div 3600000000) % 24 AS hod",
+        "CAST(round(value * 100) AS BIGINT) AS k")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    ev.groupBy(_._1).foreach { case (t, es) =>
+      val n = es.length.toLong
+      val sk = es.map(_._3).sum
+      val s2 = es.map(e => BigInt(e._3) * BigInt(e._3)).sum
+      val s2hi = (s2 / 1073741824L).toLong
+      val s2lo = (s2 % 1073741824L).toLong
+      val cells = es.groupBy(_._2).view
+        .mapValues(v => (v.length.toLong, v.map(_._3).sum)).toMap
+      // the pivoted explicit chain: hods 0..23 left to right, +0.0 gaps
+      var sumterm = 0.0
+      for (h <- 0 until 24)
+        sumterm += cells.get(h.toLong)
+          .map { case (nh, sh) => sh.toDouble * sh.toDouble / nh }
+          .getOrElse(0.0)
+      val kg = cells.size.toLong
+      val s2d = s2hi.toDouble * 1073741824.0 + s2lo.toDouble
+      val sst = s2d - sk.toDouble * sk.toDouble / n
+      val ssb = sumterm - sk.toDouble * sk.toDouble / n
+      val ssw = sst - ssb
+      val (gn, gsst, gssb, gssw, geta, gf) = {
+        val r = rows(t); (r._1, r._2, r._3, r._4, r._5, r._6)
+      }
+      assert(gn == n, s"$t n")
+      assert(gsst == sst && gssb == ssb && gssw == ssw, s"$t sums of squares")
+      assert(geta == ssb / sst, s"$t eta_sq")
+      assert(gf == (ssb / (kg - 1)) / (ssw / (n - kg)), s"$t f_stat")
+      // decomposition sanity: 0 ≤ SSB ≤ SST (up to fp), F ≥ 0
+      assert(gssb >= -1e-6 && gssb <= gsst + 1e-6 && gf >= 0.0, s"$t ranges")
+    }
+  }
+
   test("weighted median equals a driver-side cumulative-weight replay (r12)") {
     val rows = q("q_agg_weighted_median").collect().map(r =>
       (r.getString(0), (r.getLong(1), r.getDouble(2)))).toMap
