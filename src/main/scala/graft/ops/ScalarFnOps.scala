@@ -89,6 +89,32 @@ object ScalarFnOps extends QueryModule {
         .orderBy("user_id")),
 
     // Null-safe equality (<=> ≙ IS NOT DISTINCT FROM).
+    // ANSI-safe try_* family (r12): Spark 4 runs ANSI mode ON, so raw
+    // division-by-zero / bad casts / integer overflow THROW — try_divide,
+    // try_cast and try_add are the NULL-on-error escape hatches a
+    // migrated workload reaches for first. The report counts the
+    // non-NULL survivors per type (counts only — no FP surface):
+    // deterministic zero-denominators via user_id % 3, an alphabetic
+    // string that can never cast, an id→string→id roundtrip that always
+    // does, and a Long.MaxValue + {0,1} probe whose odd arm overflows.
+    // The oracle replays the SEMANTICS (DuckDB TRY_CAST + CASE arms) —
+    // its arithmetic never faults, the NULL contract is what's pinned.
+    "q_fn_try" -> ((s: SparkSession, dir: String) =>
+      table(s, dir, "events")
+        .select(col("event_type"),
+          expr("try_divide(value, CAST(user_id % 3 AS DOUBLE))").as("d"),
+          expr("try_cast(event_type AS BIGINT)").as("c"),
+          expr("try_cast(CAST(event_id AS STRING) AS BIGINT)").as("rt"),
+          expr("try_add(9223372036854775807, CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END)")
+            .as("a"))
+        .groupBy("event_type")
+        .agg(asLong(count(lit(1))).as("n"),
+          asLong(count(col("d"))).as("n_div_ok"),
+          asLong(count(col("c"))).as("n_cast_ok"),
+          asLong(count(col("rt"))).as("n_roundtrip_ok"),
+          asLong(count(col("a"))).as("n_add_ok"))
+        .orderBy("event_type")),
+
     "q_fn_nullsafe" -> ((s: SparkSession, dir: String) =>
       table(s, dir, "orders")
         .withColumn("pri_n", nullif(col("o_orderpriority"), lit("1-URGENT")))
@@ -201,6 +227,16 @@ object ScalarFnOps extends QueryModule {
         |       CAST(list_sort(embedding)[64] AS DOUBLE) AS max_v,
         |       CAST(len(list_slice(embedding, 5, 14)) AS BIGINT) AS slice_n
         |FROM embeddings ORDER BY vec_id""".stripMargin,
+
+    // semantic replay: DuckDB TRY_CAST for the cast arms, CASE for the
+    // division/overflow NULL contracts (its own arithmetic never faults)
+    "q_fn_try" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(CASE WHEN user_id % 3 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_div_ok,
+        |       CAST(count(TRY_CAST(event_type AS BIGINT)) AS BIGINT) AS n_cast_ok,
+        |       CAST(count(TRY_CAST(CAST(event_id AS VARCHAR) AS BIGINT)) AS BIGINT) AS n_roundtrip_ok,
+        |       CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_add_ok
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q_fn_nullsafe" ->
       """WITH t AS (

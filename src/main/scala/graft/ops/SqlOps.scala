@@ -301,6 +301,128 @@ object SqlOps extends QueryModule {
       |  GROUP BY year(CAST(o_orderdate AS DATE)))
       |ORDER BY o_year""".stripMargin
 
+  /** TPC-H Q1 analog ("pricing summary report", r12): the full eight-column
+    * flag/status rollup — the one classic the family still lacked. Money
+    * discipline per column class: quantities sum as BIGINT (integral in the
+    * fixture), the three price sums accumulate exact DECIMAL and surface as
+    * DOUBLE, and each average is ONE double division of an exact
+    * integer/DECIMAL numerator (avg_disc runs on basis-point BIGINTs — a
+    * raw sum(double) would be FP-order-dependent, §7.4). The charge column
+    * is the family's one SIX-decimal product: a direct
+    * `CAST(ep*(1-d)*(1+t) AS DECIMAL(18,4))` measurably diverged at sf0.01
+    * (the r6 rounding-mode-tie trap — the two-term casts are safe only
+    * because ep·(1-d) is exactly 4dp), so the charge multiplies the safe
+    * 4dp DECIMAL by an exact 2dp DECIMAL (1+tax) and stays exact at scale
+    * 6 until the one DOUBLE surface. */
+  private val pricingSummarySql =
+    """SELECT l_returnflag, l_linestatus,
+      |       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+      |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+      |       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+      |       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))
+      |                * CAST(1 + l_tax AS DECIMAL(4,2))) AS DOUBLE) AS sum_charge,
+      |       CAST(sum(CAST(l_quantity AS BIGINT)) AS DOUBLE) / count(*) AS avg_qty,
+      |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS avg_price,
+      |       CAST(sum(CAST(round(l_discount * 100) AS BIGINT)) AS DOUBLE) / (100 * count(*)) AS avg_disc,
+      |       CAST(count(*) AS BIGINT) AS count_order
+      |FROM lineitem
+      |WHERE CAST(l_shipdate AS DATE) <= DATE '2001-09-01'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  /** TPC-H Q6 analog ("forecasting revenue change", r12): the pure
+    * scan-shape classic — one filter-aggregate with every predicate pushed
+    * to the parquet scan, no join. The discount band compares in exact
+    * basis points (`round(d*100) BETWEEN 5 AND 7`) rather than double
+    * literals, and quantity goes through the integral-BIGINT cast (the
+    * r11 truncate-vs-round rule). */
+  private val forecastRevenueSql =
+    """SELECT CAST(count(*) AS BIGINT) AS n_lines,
+      |       CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue_delta
+      |FROM lineitem
+      |WHERE CAST(l_shipdate AS DATE) >= DATE '1997-01-01'
+      |  AND CAST(l_shipdate AS DATE) < DATE '1998-01-01'
+      |  AND CAST(round(l_discount * 100) AS BIGINT) BETWEEN 5 AND 7
+      |  AND CAST(l_quantity AS BIGINT) < 24""".stripMargin
+
+  /** TPC-H Q9 analog ("product-type profit", r12): profit = revenue minus
+    * cost across a five-way join, by supplier nation and order year. The
+    * fixture ships no partsupp, so unit cost is p_retailprice (declared
+    * adaptation); the per-line profit stays exact DECIMAL end-to-end —
+    * DECIMAL(18,4) revenue minus a DECIMAL(18,4)×DECIMAL(4,0) cost product
+    * (quantity fits (4,0); an uncast BIGINT multiplicand would cross
+    * precision 38, the Q22 rule). Part filter is the classic LIKE on
+    * p_name, pushed to the part scan. */
+  private val productProfitSql =
+    """SELECT n_name AS nation, year(CAST(o_orderdate AS DATE)) AS o_year,
+      |       CAST(count(*) AS BIGINT) AS n_lines,
+      |       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))
+      |              - CAST(p_retailprice AS DECIMAL(18,4)) * CAST(l_quantity AS DECIMAL(4,0))) AS DOUBLE) AS profit
+      |FROM lineitem
+      |JOIN part ON p_partkey = l_partkey
+      |JOIN supplier ON s_suppkey = l_suppkey
+      |JOIN orders ON o_orderkey = l_orderkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |WHERE p_name LIKE '%widget%'
+      |GROUP BY n_name, year(CAST(o_orderdate AS DATE))
+      |ORDER BY nation, o_year""".stripMargin
+
+  /** TPC-H Q10 analog ("returned-item reporting", r12): top-20 customers
+    * by revenue lost to returns in one fixture quarter — the classic
+    * customer⨝orders⨝lineitem⨝nation rollup with a returnflag filter on
+    * the fact scan and both date filters pushed to orders. Unique
+    * c_custkey tie-break makes the LIMIT boundary deterministic. */
+  private val returnedItemsSql =
+    """SELECT c_custkey, c_name, n_name,
+      |       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+      |FROM customer
+      |JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |WHERE l_returnflag = 'R'
+      |  AND CAST(o_orderdate AS DATE) >= DATE '1999-10-01'
+      |  AND CAST(o_orderdate AS DATE) < DATE '2000-01-01'
+      |GROUP BY c_custkey, c_name, n_name
+      |ORDER BY revenue DESC, c_custkey
+      |LIMIT 20""".stripMargin
+
+  /** TPC-H Q13 analog ("customer order-count distribution", r12): the
+    * two-level aggregation over a LEFT OUTER join whose extra predicate
+    * lives in the ON clause (orders filtered WITHOUT dropping orderless
+    * customers — moving it to WHERE would silently turn the join inner,
+    * the classic Q13 trap). count(o_orderkey) counts only matched rows,
+    * so never-matched customers land in the c_count = 0 bucket. */
+  private val custOrderDistSql =
+    """SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+      |FROM (
+      |  SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+      |  FROM customer
+      |  LEFT OUTER JOIN orders ON c_custkey = o_custkey
+      |                        AND o_orderpriority <> '1-URGENT'
+      |  GROUP BY c_custkey) AS c_orders
+      |GROUP BY c_count
+      |ORDER BY custdist DESC, c_count DESC""".stripMargin
+
+  /** TPC-H Q14 analog ("promotion effect", r12): conditional aggregation
+    * over one shipdate month with the percentage division STAGED over the
+    * named aggregate columns in an outer query (the Q8/abtest discipline —
+    * no re-derived subexpression, exactly two double ops in a fixed
+    * order). p_type = 'PROMO' is the fixture's literal type value (no
+    * prefix LIKE needed — the domain is six bare words). */
+  private val promoRevenueSql =
+    """SELECT n_lines, promo_revenue, total_revenue,
+      |       CAST(100 AS DOUBLE) * promo_revenue / total_revenue AS promo_share
+      |FROM (
+      |  SELECT CAST(count(*) AS BIGINT) AS n_lines,
+      |         CAST(sum(CASE WHEN p_type = 'PROMO'
+      |                       THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))
+      |                       ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) AS promo_revenue,
+      |         CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS total_revenue
+      |  FROM lineitem
+      |  JOIN part ON p_partkey = l_partkey
+      |  WHERE CAST(l_shipdate AS DATE) >= DATE '1998-03-01'
+      |    AND CAST(l_shipdate AS DATE) < DATE '1998-04-01') AS m""".stripMargin
+
   def queries: Seq[(String, Q)] = Seq(
     "q_sql_shipping_priority" -> ((s: SparkSession, dir: String) =>
       graft.GraftSql.run(s, dir, shippingPrioritySql)),
@@ -336,7 +458,25 @@ object SqlOps extends QueryModule {
       graft.GraftSql.run(s, dir, volumeShippingSql)),
 
     "q_sql_market_share" -> ((s: SparkSession, dir: String) =>
-      graft.GraftSql.run(s, dir, marketShareSql))
+      graft.GraftSql.run(s, dir, marketShareSql)),
+
+    "q_sql_pricing_summary" -> ((s: SparkSession, dir: String) =>
+      graft.GraftSql.run(s, dir, pricingSummarySql)),
+
+    "q_sql_forecast_revenue" -> ((s: SparkSession, dir: String) =>
+      graft.GraftSql.run(s, dir, forecastRevenueSql)),
+
+    "q_sql_product_profit" -> ((s: SparkSession, dir: String) =>
+      graft.GraftSql.run(s, dir, productProfitSql)),
+
+    "q_sql_returned_items" -> ((s: SparkSession, dir: String) =>
+      graft.GraftSql.run(s, dir, returnedItemsSql)),
+
+    "q_sql_cust_order_dist" -> ((s: SparkSession, dir: String) =>
+      graft.GraftSql.run(s, dir, custOrderDistSql)),
+
+    "q_sql_promo_revenue" -> ((s: SparkSession, dir: String) =>
+      graft.GraftSql.run(s, dir, promoRevenueSql))
   )
 
   def oracle: Seq[(String, String)] = Seq(
@@ -351,6 +491,12 @@ object SqlOps extends QueryModule {
     "q_sql_waiting_supplier" -> waitingSupplierSql,
     "q_sql_important_parts" -> importantPartsSql,
     "q_sql_volume_shipping" -> volumeShippingSql,
-    "q_sql_market_share" -> marketShareSql
+    "q_sql_market_share" -> marketShareSql,
+    "q_sql_pricing_summary" -> pricingSummarySql,
+    "q_sql_forecast_revenue" -> forecastRevenueSql,
+    "q_sql_product_profit" -> productProfitSql,
+    "q_sql_returned_items" -> returnedItemsSql,
+    "q_sql_cust_order_dist" -> custOrderDistSql,
+    "q_sql_promo_revenue" -> promoRevenueSql
   )
 }

@@ -286,4 +286,95 @@ class FacadeSpec extends SparkTestBase {
     assert(rows.map(_._1).toSet == keep,
       "SQL HAVING predicate and DSL decimal replay disagree on the part set")
   }
+
+  test("SQL entry point: Q1 pricing summary rolls up every flag/status pair (r12)") {
+    import org.apache.spark.sql.functions.count
+    val rows = SparkEntry.queries("q_sql_pricing_summary")(spark, sfDir).collect()
+    // the fixture draws flags/statuses independently — all pairs occur
+    val pairs = rows.map(r => (r.getString(0), r.getString(1))).toSet
+    val expect = ops.table(spark, sfDir, "lineitem")
+      .where(col("l_shipdate").cast("date") <=
+        org.apache.spark.sql.functions.lit(java.sql.Date.valueOf("2001-09-01")))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(count(org.apache.spark.sql.functions.lit(1)).as("n"))
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    assert(pairs == expect.keySet, "flag/status pairs disagree with DSL rollup")
+    rows.foreach { r =>
+      val n = r.getAs[Long]("count_order")
+      assert(n == expect((r.getString(0), r.getString(1))), "group count replay")
+      // average readbacks: one double division of the exact numerators
+      assert(r.getAs[Double]("avg_qty") == r.getAs[Long]("sum_qty").toDouble / n)
+      assert(r.getAs[Double]("avg_price") == r.getAs[Double]("sum_base_price") / n)
+      assert(r.getAs[Double]("sum_disc_price") <= r.getAs[Double]("sum_base_price"))
+      assert(r.getAs[Double]("sum_charge") >= r.getAs[Double]("sum_disc_price"))
+    }
+  }
+
+  test("SQL entry point: Q6 forecast revenue is a pure pushed-down scan (r12)") {
+    val df = SparkEntry.queries("q_sql_forecast_revenue")(spark, sfDir)
+    // no join anywhere in the optimized plan — the Q6 scan shape
+    val plan = df.queryExecution.optimizedPlan.toString
+    assert(!plan.toLowerCase.contains("join"), s"Q6 must not join:\n$plan")
+    val row = df.collect().head
+    val d = (s: String) => java.sql.Date.valueOf(s)
+    val expect = ops.table(spark, sfDir, "lineitem")
+      .where(col("l_shipdate").cast("date") >= org.apache.spark.sql.functions.lit(d("1997-01-01")) &&
+        col("l_shipdate").cast("date") < org.apache.spark.sql.functions.lit(d("1998-01-01")) &&
+        org.apache.spark.sql.functions.expr("CAST(round(l_discount * 100) AS BIGINT)").between(5, 7) &&
+        col("l_quantity").cast("long") < 24)
+      .count()
+    assert(row.getLong(0) == expect, "Q6 filter replay")
+    assert(row.getDouble(1) > 0.0)
+  }
+
+  test("SQL entry point: Q9 profit stays below revenue on every nation-year (r12)") {
+    import org.apache.spark.sql.functions.{expr, sum}
+    val rows = SparkEntry.queries("q_sql_product_profit")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    // cost is strictly positive, so profit < pure revenue for the same slice
+    val rev = ops.table(spark, sfDir, "lineitem")
+      .join(ops.table(spark, sfDir, "part").where(col("p_name").like("%widget%")),
+        col("p_partkey") === col("l_partkey"))
+      .join(ops.table(spark, sfDir, "supplier"), col("s_suppkey") === col("l_suppkey"))
+      .join(ops.table(spark, sfDir, "orders"), col("o_orderkey") === col("l_orderkey"))
+      .join(ops.table(spark, sfDir, "nation"), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"), expr("year(CAST(o_orderdate AS DATE))").as("o_year"))
+      .agg(sum(expr("CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))"))
+        .cast("double").as("rev"))
+      .collect().map(r => ((r.getString(0), r.getInt(1)), r.getDouble(2))).toMap
+    rows.foreach { case (n, y, cnt, profit) =>
+      assert(cnt > 0 && profit < rev((n, y)), s"$n/$y: profit must sit below revenue")
+    }
+  }
+
+  test("SQL entry point: Q10 returned-items top-20 is ordered and bounded (r12)") {
+    val rows = SparkEntry.queries("q_sql_returned_items")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getDouble(3)))
+    assert(rows.nonEmpty && rows.length <= 20)
+    val revs = rows.map(_._2).toSeq
+    assert(revs == revs.sorted.reverse, "revenue must be descending")
+    assert(rows.map(_._1).distinct.length == rows.length, "one row per customer")
+  }
+
+  test("SQL entry point: Q13 distribution counts orderless customers in bucket 0 (r12)") {
+    val rows = SparkEntry.queries("q_sql_cust_order_dist")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val nCust = ops.table(spark, sfDir, "customer").count()
+    assert(rows.map(_._2).sum == nCust,
+      "distribution must partition the full customer relation (outer-join contract)")
+    // customers whose every order is URGENT (or who have none) land in bucket 0
+    val urgentOnly = nCust - ops.table(spark, sfDir, "orders")
+      .where(col("o_orderpriority") =!= "1-URGENT")
+      .select("o_custkey").distinct().count()
+    assert(rows.toMap.getOrElse(0L, 0L) == urgentOnly, "bucket-0 replay")
+  }
+
+  test("SQL entry point: Q14 promo share is the staged division readback (r12)") {
+    val r = SparkEntry.queries("q_sql_promo_revenue")(spark, sfDir).collect().head
+    val (n, promo, total, share) =
+      (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getDouble(3))
+    assert(n > 0 && promo >= 0.0 && promo <= total)
+    assert(share == 100.0 * promo / total, "staged share readback")
+  }
 }

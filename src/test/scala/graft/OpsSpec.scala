@@ -91,6 +91,33 @@ class OpsSpec extends SparkTestBase {
     }
   }
 
+  test("try_* functions return NULL on fault instead of ANSI-throwing (r12)") {
+    val rows = SparkEntry.queries("q_fn_try")(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(rows.nonEmpty)
+    val users = ops.table(spark, sfDir, "events")
+      .select("event_type", "user_id").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val byType = users.groupBy(_._1)
+    rows.foreach { case (t, n, divOk, castOk, rtOk, addOk) =>
+      val us = byType(t).map(_._2)
+      assert(n == us.length.toLong, s"$t row count")
+      assert(castOk == 0L, s"$t: an alphabetic string must never cast")
+      assert(rtOk == n, s"$t: the id roundtrip must always cast")
+      assert(divOk == us.count(_ % 3 != 0).toLong, s"$t: zero-denominator NULLs")
+      assert(addOk == us.count(_ % 2 == 0).toLong, s"$t: overflow NULLs")
+      assert(divOk < n && addOk < n, s"$t: both fault arms must actually fire")
+    }
+    // and the raw ANSI behaviors the try_* forms shield against DO throw
+    intercept[Exception] {
+      spark.sql("SELECT CAST('click' AS BIGINT)").collect()
+    }
+    intercept[Exception] {
+      spark.sql("SELECT 9223372036854775807 + 1").collect()
+    }
+  }
+
   test("schema evolution: mergeSchema unifies generations, old rows read NULL (r12)") {
     import org.apache.spark.sql.functions.col
     SparkEntry.queries("q_src_schema_evolution")(spark, sfDir).count()
