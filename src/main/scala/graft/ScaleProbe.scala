@@ -32,6 +32,12 @@ object ScaleProbe {
     val outDir = args.headOption
       .filterNot(a => a == "degen" || a == "lshjoin" || a == "aqe")
       .getOrElse("/tmp/graft-sfbig")
+    // the first arg is the ×10 OUTPUT dir, not a source dir — passing a
+    // fixture path here once clobbered a source table (overwrite-mode
+    // delete fires before any write); refuse the whole tree
+    require(!outDir.startsWith("/root/testdata"),
+      s"ScaleProbe writes ×10 fixtures into its first arg ($outDir) — " +
+        "never point it at the read-only testdata tree")
     val copies = 10
     val spark = SparkSession.builder()
       .master("local[32]")

@@ -38,6 +38,17 @@ object CurationOps extends QueryModule {
   private val CollMinSupport = 5
   private val CollTopK = 100
 
+  /** q_text_zipf: least-squares slope over the ≤64 (x = tf bin,
+    * y = ilog2 type count) points — ONE shared text (the mkZFormula
+    * discipline). All sums are exact BIGINTs (x,y ≤ 63, m ≤ 64 ⇒ every
+    * product < 2^63 by miles); the single division is the one FP op.
+    * The degenerate guard (all points in one bin ⇒ zero denominator)
+    * reads slope 0. */
+  private val zipfSlopeFormula: String =
+    "CASE WHEN m * sxx - sx * sx > 0" +
+      " THEN CAST(m * sxy - sx * sy AS DOUBLE) / CAST(m * sxx - sx * sx AS DOUBLE)" +
+      " ELSE CAST(0 AS DOUBLE) END AS zipf_slope_q"
+
   /** q_text_rank_fusion: per-list depth and the classic RRF constant. */
   private val RrfK = 100
   private val RrfC = 60
@@ -980,6 +991,36 @@ object CurationOps extends QueryModule {
         .orderBy("source")
     }),
 
+    // Zipf-law curve in log2 bins (r12): the corpus-law readout a
+    // curation pipeline checks before trusting token statistics — group
+    // the vocabulary by ilog2(corpus tf) (≤63 bins by construction, so
+    // every post-vocab relation is value-DOMAIN-bounded), report types
+    // and occurrences per bin, and fit the log-log slope (for a Zipfian
+    // corpus with exponent α≈1 the type count per doubling bin falls ≈2×
+    // per bin → slope ≈ −1). The least-squares slope runs on EXACT
+    // BIGINT sums over ≤64 (x=bin, y=ilog2 type count) points — one
+    // double division at the end (the MI quanta discipline: no libm
+    // logs anywhere). Avoids per-token ranks entirely: a global
+    // rank-frequency fit would need a corpus-sized ordered prefix sum
+    // (the exact-Gini trade), the bin histogram needs one vocab agg.
+    "q_text_zipf" -> ((s: SparkSession, dir: String) => {
+      def ilog2(c: org.apache.spark.sql.Column) = length(bin(c)) - 1
+      val tf = TextOps.tokenIndexFor(s, dir)
+        .groupBy("token").agg(sum(col("tf")).as("ctf"))
+      val bins = tf.select(ilog2(col("ctf")).cast("long").as("b"), col("ctf"))
+        .groupBy("b")
+        .agg(asLong(count(lit(1))).as("n_types"),
+          asLong(sum(col("ctf"))).as("n_occurrences"))
+      val fit = bins
+        .select(col("b").as("x"), ilog2(col("n_types")).cast("long").as("y"))
+        .agg(asLong(count(lit(1))).as("m"),
+          asLong(sum("x")).as("sx"), asLong(sum("y")).as("sy"),
+          asLong(sum(expr("x * x"))).as("sxx"),
+          asLong(sum(expr("x * y"))).as("sxy"))
+        .selectExpr(zipfSlopeFormula)
+      bins.crossJoin(broadcast(fit)).orderBy("b")
+    }),
+
     // Bigram language-model statistics — the count-based n-gram LM training
     // pass of a data pipeline: per adjacent token pair, corpus count,
     // left-context count, and the conditional probability p(w2|w1) as ONE
@@ -1518,6 +1559,28 @@ object CurationOps extends QueryModule {
         |       CAST(count(*) AS DOUBLE) / CAST(sum(stf) AS BIGINT) AS ttr,
         |       CAST(sum(CASE WHEN stf = 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS hapax_share
         |FROM st GROUP BY source ORDER BY source""".stripMargin,
+
+    "q_text_zipf" ->
+      s"""WITH tok AS (
+         |  SELECT token, CAST(count(*) AS BIGINT) AS ctf FROM (
+         |    SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+         |  WHERE length(token) > 0 GROUP BY token),
+         |bins AS MATERIALIZED (
+         |  SELECT CAST(length(bin(ctf)) - 1 AS BIGINT) AS b,
+         |         CAST(count(*) AS BIGINT) AS n_types,
+         |         CAST(sum(ctf) AS BIGINT) AS n_occurrences
+         |  FROM tok GROUP BY 1),
+         |pts AS (
+         |  SELECT b AS x, CAST(length(bin(n_types)) - 1 AS BIGINT) AS y
+         |  FROM bins),
+         |fit AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS m,
+         |         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         |         CAST(sum(x * x) AS BIGINT) AS sxx,
+         |         CAST(sum(x * y) AS BIGINT) AS sxy
+         |  FROM pts)
+         |SELECT b, n_types, n_occurrences, $zipfSlopeFormula
+         |FROM bins CROSS JOIN fit ORDER BY b""".stripMargin,
 
     "q_llm_ngram_lm" ->
       """WITH t AS (

@@ -304,6 +304,26 @@ object DiagOps extends QueryModule {
     "CASE WHEN z > 1.96e0 THEN 'increasing'" +
       " WHEN z < -1.96e0 THEN 'decreasing' ELSE 'none' END AS trend"
 
+  /** Shared Wald–Wolfowitz runs-test projections over
+    * (n, n_above, n_below, n_runs) — STAGED named columns, one formula
+    * text per engine (the mkZFormula discipline). The `2·n_above·n_below`
+    * factor appears twice TEXTUALLY but is exact BIGINT arithmetic, so
+    * re-derivation is safe (the no-re-derive rule is about FP
+    * subexpressions); every FP op is an IEEE +,−,×,/ or sqrt in a fixed
+    * left-associated order. */
+  private[graft] val runsEFormula: String =
+    "CAST(1 AS DOUBLE) + CAST(2 * n_above * n_below AS DOUBLE) / CAST(n AS DOUBLE) AS e_runs"
+  private[graft] val runsVFormula: String =
+    "CAST(2 * n_above * n_below AS DOUBLE) * CAST(2 * n_above * n_below - n AS DOUBLE)" +
+      " / CAST(n AS DOUBLE) / CAST(n AS DOUBLE) / CAST(n - 1 AS DOUBLE) AS var_runs"
+  private[graft] val runsZFormula: String =
+    "CASE WHEN var_runs > CAST(0 AS DOUBLE)" +
+      " THEN (CAST(n_runs AS DOUBLE) - e_runs) / sqrt(var_runs)" +
+      " ELSE CAST(0 AS DOUBLE) END AS z"
+  private[graft] val runsVerdictFormula: String =
+    "CASE WHEN z < -1.96e0 THEN 'clustered'" +
+      " WHEN z > 1.96e0 THEN 'oscillating' ELSE 'random' END AS verdict"
+
   /** Shared Bollinger projections over (k, n, s1, s2hi, s2lo) — ONE
     * formula set in both engines: window mean/σ from exact hi/lo-split
     * BIGINT moments (the q_agg_skew split), sample variance clamped at 0
@@ -1429,6 +1449,52 @@ object DiagOps extends QueryModule {
         .selectExpr("event_type", "s_stat", "var_num", mkZFormula)
         .selectExpr("event_type", "s_stat", "var_num", "z", mkTrendFormula)
         .orderBy("event_type")
+    }),
+
+    // Wald–Wolfowitz runs test (r12) per event type over the zero-filled
+    // hourly cent grid: dichotomize each hour's exact cent total against
+    // the per-type MEDIAN hourly total (hours AT the median drop — the
+    // classical treatment; the median is selected by rank (n+1) div 2
+    // under the total order (k, h), so both engines pick the identical
+    // element), count maximal same-sign runs in hour order via one lag,
+    // and read the normal approximation z = (R − E)/√Var through the
+    // staged shared formulas. Scale: the grid is TIME-SPAN-bounded
+    // (identical rows at ×10 — the bollinger/mann_kendall axis), so the
+    // per-type windows never see corpus-scaled input; everything before
+    // them is one map-combinable hash agg off the scan.
+    "q_ts_runs_test" -> ((s: SparkSession, dir: String) => {
+      // checkpointed like mann_kendall: med derives FROM g and joins back
+      // against it (the ambiguous-self-join surface), and the leaf feeds
+      // two consumers; RDD-leaf stats are unknown, so med's broadcast
+      // below is explicit (r7 rule)
+      val g = hourlyCentGrid(s, dir).localCheckpoint(true)
+      val med = g
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("event_type").orderBy("k", "h")))
+        .withColumn("ng", count(lit(1)).over(Window.partitionBy("event_type")))
+        .where(col("rn") === expr("(ng + 1) div 2"))
+        .select(col("event_type"), col("k").as("med_k"))
+      val signed = g.join(broadcast(med), "event_type")
+        .where(col("k") =!= col("med_k"))
+        .withColumn("sgn", when(col("k") > col("med_k"), 1).otherwise(-1))
+      signed
+        .withColumn("prev", lag("sgn", 1).over(
+          Window.partitionBy("event_type").orderBy("h")))
+        .groupBy("event_type")
+        .agg(asLong(count(lit(1))).as("n"),
+          asLong(sum(when(col("sgn") === 1, 1L).otherwise(0L))).as("n_above"),
+          asLong(sum(when(col("sgn") === -1, 1L).otherwise(0L))).as("n_below"),
+          asLong(sum(when(col("prev").isNull || col("prev") =!= col("sgn"), 1L)
+            .otherwise(0L))).as("n_runs"))
+        .selectExpr("event_type", "n", "n_above", "n_below", "n_runs",
+          runsEFormula)
+        .selectExpr("event_type", "n", "n_above", "n_below", "n_runs",
+          "e_runs", runsVFormula)
+        .selectExpr("event_type", "n", "n_above", "n_below", "n_runs",
+          "e_runs", "var_runs", runsZFormula)
+        .selectExpr("event_type", "n", "n_above", "n_below", "n_runs",
+          "e_runs", "var_runs", "z", runsVerdictFormula)
+        .orderBy("event_type")
     })
   )
 
@@ -2328,6 +2394,36 @@ object DiagOps extends QueryModule {
          |  FROM j),
          |z AS (SELECT event_type, s_stat, var_num, $mkZFormula FROM jz)
          |SELECT event_type, s_stat, var_num, z, $mkTrendFormula
-         |FROM z ORDER BY event_type""".stripMargin
+         |FROM z ORDER BY event_type""".stripMargin,
+
+    "q_ts_runs_test" ->
+      s"""WITH $centGridCte,
+         |med AS (
+         |  SELECT event_type, max(CASE WHEN rn = (ng + 1) // 2 THEN k END) AS med_k
+         |  FROM (SELECT event_type, k,
+         |          row_number() OVER (PARTITION BY event_type ORDER BY k, h) AS rn,
+         |          count(*) OVER (PARTITION BY event_type) AS ng
+         |        FROM g) s
+         |  GROUP BY event_type),
+         |sg AS (
+         |  SELECT g.event_type, g.h,
+         |         CASE WHEN g.k > med.med_k THEN 1 ELSE -1 END AS sgn
+         |  FROM g JOIN med USING (event_type)
+         |  WHERE g.k <> med.med_k),
+         |runs AS (
+         |  SELECT event_type,
+         |         CAST(count(*) AS BIGINT) AS n,
+         |         CAST(sum(CASE WHEN sgn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_above,
+         |         CAST(sum(CASE WHEN sgn = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n_below,
+         |         CAST(sum(CASE WHEN prev IS NULL OR prev <> sgn THEN 1 ELSE 0 END) AS BIGINT) AS n_runs
+         |  FROM (SELECT event_type, sgn,
+         |          lag(sgn) OVER (PARTITION BY event_type ORDER BY h) AS prev
+         |        FROM sg) t
+         |  GROUP BY event_type),
+         |st1 AS (SELECT event_type, n, n_above, n_below, n_runs, $runsEFormula FROM runs),
+         |st2 AS (SELECT event_type, n, n_above, n_below, n_runs, e_runs, $runsVFormula FROM st1),
+         |st3 AS (SELECT event_type, n, n_above, n_below, n_runs, e_runs, var_runs, $runsZFormula FROM st2)
+         |SELECT event_type, n, n_above, n_below, n_runs, e_runs, var_runs, z, $runsVerdictFormula
+         |FROM st3 ORDER BY event_type""".stripMargin
   )
 }

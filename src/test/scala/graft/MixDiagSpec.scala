@@ -1156,4 +1156,44 @@ class MixDiagSpec extends SparkTestBase {
     }
     assert(base == re)
   }
+
+  test("runs test equals a driver-side replay (r12)") {
+    val rows = q("q_ts_runs_test").collect().map(r =>
+      (r.getString(0), (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5), r.getDouble(6), r.getDouble(7),
+        r.getString(8)))).toMap
+    assert(rows.nonEmpty)
+    val grid = graft.ops.DiagOps.hourlyCentGrid(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    grid.groupBy(_._1).foreach { case (t, g) =>
+      // median by rank (n+1) div 2 under the total order (k, h)
+      val byVal = g.sortBy(x => (x._3, x._2))
+      val med = byVal(((byVal.length + 1) / 2) - 1)._3
+      val signs = g.sortBy(_._2).filter(_._3 != med)
+        .map(x => if (x._3 > med) 1 else -1)
+      val n = signs.length.toLong
+      val n1 = signs.count(_ == 1).toLong
+      val n2 = n - n1
+      val runs =
+        if (signs.isEmpty) 0L
+        else 1L + signs.sliding(2).count(p => p.length == 2 && p(0) != p(1))
+      val e = 1.0 + (2L * n1 * n2).toDouble / n.toDouble
+      val v = (2L * n1 * n2).toDouble * (2L * n1 * n2 - n).toDouble /
+        n.toDouble / n.toDouble / (n - 1).toDouble
+      val z = if (v > 0) (runs.toDouble - e) / math.sqrt(v) else 0.0
+      val (gn, gA, gB, gR, ge, gv, gz, verdict) = {
+        val r = rows(t); (r._1, r._2, r._3, r._4, r._5, r._6, r._7, r._8)
+      }
+      assert((gn, gA, gB, gR) == ((n, n1, n2, runs)), s"$t counts")
+      assert(ge == e && gv == v && gz == z, s"$t staged formulas")
+      assert(verdict == (if (z < -1.96) "clustered"
+        else if (z > 1.96) "oscillating" else "random"), s"$t verdict")
+    }
+    // NOTE: no "both sides occur" pin — at sf0.001 EVERY type's median
+    // hourly total is 0 (most grid hours are empty), so n_below = 0
+    // across the board and the var>0 guard reads z = 0; the exact replay
+    // above is the whole contract (the q_text_hapax fixture-shape lesson).
+    // sf0.01+ grids do produce two-sided dichotomies — the hash gate
+    // covers those.
+  }
 }

@@ -551,4 +551,33 @@ class TextSpec extends SparkTestBase {
       // hapax=0); the exact recount above is the whole contract
     }
   }
+
+  test("zipf log2-bin curve equals a driver-side exact replay (r12)") {
+    val rows = q("q_text_zipf").collect().map(r =>
+      (r.getLong(0), (r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(rows.nonEmpty)
+    val docs = ops.table(spark, sfDir, "documents")
+      .select("text").collect().map(_.getString(0))
+    val counts = scala.collection.mutable.Map.empty[String, Long]
+    docs.foreach(_.split(" ").filter(_.nonEmpty)
+      .foreach(t => counts(t) = counts.getOrElse(t, 0L) + 1L))
+    def ilog2(x: Long): Long = (63 - java.lang.Long.numberOfLeadingZeros(x)).toLong
+    val bins = counts.values.groupBy(c => ilog2(c))
+      .map { case (b, cs) => (b, (cs.size.toLong, cs.sum)) }
+    val pts = bins.map { case (b, (nt, _)) => (b, ilog2(nt)) }.toSeq
+    val m = pts.length.toLong
+    val sx = pts.map(_._1).sum; val sy = pts.map(_._2).sum
+    val sxx = pts.map(p => p._1 * p._1).sum
+    val sxy = pts.map(p => p._1 * p._2).sum
+    val den = m * sxx - sx * sx
+    val slope = if (den > 0) (m * sxy - sx * sy).toDouble / den.toDouble else 0.0
+    assert(rows.keySet == bins.keySet, "log2 bin set")
+    bins.foreach { case (b, (nt, no)) =>
+      val (gn, go, gs) = rows(b)
+      assert((gn, go) == ((nt, no)), s"bin $b type/occurrence counts")
+      assert(gs == slope, s"slope readback at bin $b")
+    }
+    // the slope is a real fit: the fixture has ≥ 2 occupied bins
+    assert(bins.size >= 2, "fixture collapsed to one tf bin — fit is degenerate")
+  }
 }
