@@ -561,10 +561,43 @@ object LlmOps extends QueryModule {
       _ => kmeansCentroids(s, embWithLattice(s, dir), k, iters))
   }
 
+  /** Product-quantization geometry: 64-dim embeddings split into
+    * [[PqSub]] contiguous subspaces of [[PqSubDims]] dims, each with a
+    * [[PqK]]-code codebook from [[PqIters]] Lloyd round(s) of the SAME
+    * exact-lattice k-means the IVF index uses — so the whole build
+    * replays in DuckDB (integer sum-centroids, index-ordered IEEE
+    * assignment cosines). 4×16 codes = 16 bytes/vector at 4 bits/code:
+    * the compression shape real billion-vector ANN serves from. */
+  private[graft] val PqSub = 4
+  private[graft] val PqK = 16
+  private[graft] val PqIters = 1
+  private[graft] val PqSubDims = 16
+
+  /** Session memo of the UNION of the four per-subspace codebooks
+    * (j, cent_id, cvec) — 64 rows total; the same index-reuse rationale
+    * as centroidCache (a production PQ serves every encode from one
+    * trained codebook set). */
+  private val pqCodebookCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  private def pqCodebooksFor(s: SparkSession, dir: String): DataFrame = {
+    val key = System.identityHashCode(s.sparkContext).toString + "|pq|" +
+      SourceSinkOps.fixtureKey(dir, "embeddings.parquet")
+    pqCodebookCache.computeIfAbsent(key, _ =>
+      (0 until PqSub).map { j =>
+        val sub = embWithLattice(s, dir).select(
+          col("vec_id"), col("label"),
+          slice(col("emb"), j * PqSubDims + 1, PqSubDims).as("emb"),
+          slice(col("qv"), j * PqSubDims + 1, PqSubDims).as("qv"))
+        kmeansCentroids(s, sub, PqK, PqIters).withColumn("j", lit(j))
+      }.reduce(_.union(_)))
+  }
+
   /** Drop the memoized indexes (ScaleProbe's amortization probe uses this
     * to measure genuinely cold builds). */
   private[graft] def clearIndexCache(): Unit = {
     centroidCache.clear()
+    pqCodebookCache.clear()
     candCache.clear()
     simhashSigCache.clear()
     centArraysCache.clear()
@@ -892,6 +925,47 @@ object LlmOps extends QueryModule {
     // its nprobe nearest cells. One implementation behind both declared
     // queries (nprobe=1 scale path, nprobe=2 recall dial) so they cannot
     // drift; see ivfTopK / kmeansCentroids.
+    // Product quantization (r12): encode every vector as PqSub 4-bit
+    // codes (argmax cosine against the per-subspace exact-lattice
+    // codebooks — one corpus scan fanned ×PqSub CPU-only, one broadcast
+    // join against the 64-row codebook union, one partial-aggregating
+    // hash agg), then report the per-(subspace, code) occupancy
+    // histogram with the joint-code stats (distinct 16-bit PQ codes,
+    // largest cell) attached from a 1-row broadcast. The codebook union
+    // sits on RDD leaves (stats unknown) — broadcast is explicit (r7
+    // rule). code/jc domains are value-bounded (16 and 16^4), so every
+    // post-assignment relation is scale-free; the corpus never pairs.
+    "q_llm_emb_pq" -> ((s: SparkSession, dir: String) => {
+      val cb = pqCodebooksFor(s, dir)
+      val stacked = embWithLattice(s, dir)
+        .select(col("vec_id"),
+          explode(expr(s"sequence(0, ${PqSub - 1})")).as("j"), col("qv"))
+        .select(col("vec_id"), col("j"),
+          expr(s"slice(qv, 1 + j * $PqSubDims, $PqSubDims)").as("sqv"))
+      val asg = stacked.join(broadcast(cb), "j")
+        .select(col("vec_id"), col("j"),
+          struct(cosine(s)(col("sqv").cast("array<double>"),
+              col("cvec").cast("array<double>")).as("sim"),
+            (-col("cent_id")).as("neg_id")).as("scored"))
+        .groupBy("vec_id", "j")
+        .agg((-max(col("scored")).getField("neg_id")).as("code"))
+      val hist = asg.groupBy("j", "code")
+        .agg(asLong(count(lit(1))).as("n_vectors"))
+      val jstat = asg.groupBy("vec_id")
+        .agg(max(when(col("j") === 0, col("code"))).as("c0"),
+          max(when(col("j") === 1, col("code"))).as("c1"),
+          max(when(col("j") === 2, col("code"))).as("c2"),
+          max(when(col("j") === 3, col("code"))).as("c3"))
+        .select(expr(s"((c0 * $PqK + c1) * $PqK + c2) * $PqK + c3").as("jc"))
+        .groupBy("jc").agg(count(lit(1)).as("cell_n"))
+        .agg(asLong(count(lit(1))).as("n_joint_codes"),
+          asLong(max("cell_n")).as("max_cell"))
+      hist.crossJoin(broadcast(jstat))
+        .select(col("j").cast("long").as("subspace"), col("code"),
+          col("n_vectors"), col("n_joint_codes"), col("max_cell"))
+        .orderBy("subspace", "code")
+    }),
+
     "q_llm_sim_knn_ivf" -> ivfQuery(nprobe = 1),
     "q_llm_sim_knn_ivf2" -> ivfQuery(nprobe = 2),
 
@@ -1385,6 +1459,70 @@ object LlmOps extends QueryModule {
        |ORDER BY cos_sim DESC, vec_id ASC LIMIT $topK""".stripMargin
   }
 
+  /** Full SQL replay of the PQ build + encode (pqCodebooksFor + the
+    * q_llm_emb_pq assignment): per subspace, the identical exact-lattice
+    * Lloyd machinery as [[ivfOracleSql]] over the SLICED lattice
+    * (DuckDB's 1-based inclusive list slice mirrors Spark's
+    * slice(qv, 1+j·16, 16)), then the argmax-cosine encode, occupancy
+    * histogram, and joint-code stats. Each pqe slice is MATERIALIZED —
+    * it feeds init + one Lloyd round + the final encode (3 references,
+    * the r9 inline-reexecution rule). */
+  private def pqOracleSql: String = {
+    val per = (0 until PqSub).map { j =>
+      val lo = 1 + j * PqSubDims
+      val hi = (j + 1) * PqSubDims
+      def lloyd(i: Int): String = {
+        val prev = s"pqc${j}_$i"
+        s"""pqa${j}_${i + 1} AS (
+           |  SELECT vec_id, qv, cell FROM (
+           |    SELECT e.vec_id, e.qv, c.cent_id AS cell,
+           |           row_number() OVER (PARTITION BY e.vec_id
+           |             ORDER BY ${cosIntSql("e.qv", "c.cvec")} DESC, c.cent_id ASC) AS rn
+           |    FROM pqe$j e CROSS JOIN $prev c) WHERE rn = 1),
+           |pqs${j}_${i + 1} AS (
+           |  SELECT cell, d.i, sum(qv[d.i]) AS sv
+           |  FROM pqa${j}_${i + 1} CROSS JOIN (SELECT unnest(range(1, $PqSubDims + 1)) AS i) d
+           |  GROUP BY cell, d.i),
+           |pqv${j}_${i + 1} AS (
+           |  SELECT cell AS cent_id, list(sv ORDER BY i) AS cvec FROM pqs${j}_${i + 1} GROUP BY cell),
+           |pqc${j}_${i + 1} AS (
+           |  SELECT p.cent_id, coalesce(n.cvec, p.cvec) AS cvec
+           |  FROM $prev p LEFT JOIN pqv${j}_${i + 1} n USING (cent_id))""".stripMargin
+      }
+      val cf = s"pqc${j}_$PqIters"
+      s"""pqe$j AS MATERIALIZED (SELECT vec_id, qv[$lo:$hi] AS qv FROM e),
+         |pqc${j}_0 AS (SELECT vec_id AS cent_id, qv AS cvec FROM pqe$j WHERE vec_id < $PqK),
+         |${(0 until PqIters).map(lloyd).mkString(",\n")},
+         |pqasg$j AS (
+         |  SELECT vec_id, CAST($j AS BIGINT) AS j, code FROM (
+         |    SELECT e.vec_id, c.cent_id AS code,
+         |           row_number() OVER (PARTITION BY e.vec_id
+         |             ORDER BY ${cosIntSql("e.qv", "c.cvec")} DESC, c.cent_id ASC) AS rn
+         |    FROM pqe$j e CROSS JOIN $cf c) WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $embCte0,
+       |$per,
+       |asg AS (${(0 until PqSub).map(j => s"SELECT * FROM pqasg$j").mkString(" UNION ALL ")}),
+       |hist AS (
+       |  SELECT j, code, CAST(count(*) AS BIGINT) AS n_vectors
+       |  FROM asg GROUP BY j, code),
+       |pcodes AS (
+       |  SELECT vec_id,
+       |         max(CASE WHEN j = 0 THEN code END) AS pc0,
+       |         max(CASE WHEN j = 1 THEN code END) AS pc1,
+       |         max(CASE WHEN j = 2 THEN code END) AS pc2,
+       |         max(CASE WHEN j = 3 THEN code END) AS pc3
+       |  FROM asg GROUP BY vec_id),
+       |jstat AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_joint_codes,
+       |         CAST(max(cell_n) AS BIGINT) AS max_cell
+       |  FROM (SELECT ((pc0 * $PqK + pc1) * $PqK + pc2) * $PqK + pc3 AS jc,
+       |               count(*) AS cell_n
+       |        FROM pcodes GROUP BY 1))
+       |SELECT j AS subspace, code, n_vectors, n_joint_codes, max_cell
+       |FROM hist CROSS JOIN jstat ORDER BY subspace, code""".stripMargin
+  }
+
   /** embCte plus the quantized lattice column (the engine's embWithLattice
     * twin): round() resolves dyadic .5 ties away from zero on BOTH engines,
     * and a float times 2^20 is exact, so qv is bit-identical. */
@@ -1409,6 +1547,7 @@ object LlmOps extends QueryModule {
     Seq(
     "q_llm_sim_knn_ivf" -> ivfOracleSql(nprobe = 1),
     "q_llm_sim_knn_ivf2" -> ivfOracleSql(nprobe = 2),
+    "q_llm_emb_pq" -> pqOracleSql,
 
     "q_llm_emb_classify" ->
       s"""WITH $embCte,

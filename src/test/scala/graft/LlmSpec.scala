@@ -743,4 +743,30 @@ class LlmSpec extends SparkTestBase {
       assert(rate == bag.toDouble / n, s"$src: rate readback")
     }
   }
+
+  test("product quantization: occupancy partitions the corpus, codes stay in range (r12)") {
+    import graft.ops.LlmOps.{PqSub, PqK}
+    val rows = q("q_llm_emb_pq").collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val nVec = spark.read.parquet(s"$sfDir/embeddings.parquet").count()
+    // every vector gets exactly one code per subspace
+    val bySub = rows.groupBy(_._1)
+    assert(bySub.keySet == (0 until PqSub).map(_.toLong).toSet, "all subspaces present")
+    bySub.foreach { case (j, rs) =>
+      assert(rs.map(_._3).sum == nVec, s"subspace $j occupancy partitions the corpus")
+      assert(rs.forall(r => r._2 >= 0 && r._2 < PqK), s"subspace $j code range")
+      assert(rs.map(_._2).distinct.length == rs.length, s"subspace $j one row per code")
+    }
+    // joint-code stats are corpus-consistent and constant across rows
+    val (nj, mc) = (rows.map(_._4).distinct, rows.map(_._5).distinct)
+    assert(nj.length == 1 && mc.length == 1, "joint stats broadcast uniformly")
+    assert(nj.head <= nVec && nj.head >= 1 && mc.head >= 1 &&
+      nj.head <= math.pow(PqK, PqSub).toLong, "joint-code cardinality bounds")
+    // pigeonhole: max_cell * n_joint_codes >= nVec
+    assert(mc.head * nj.head >= nVec, "largest cell covers the pigeonhole bound")
+    // the codebook memo makes the encode deterministic run-to-run
+    val again = q("q_llm_emb_pq").collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.toSeq == again.toSeq, "re-run equality (memoized codebooks)")
+  }
 }
