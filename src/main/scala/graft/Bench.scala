@@ -107,8 +107,9 @@ object Bench {
     "q_llm_ann_recall",
     // r12 continuation-2: the PQ twin replays FOUR per-subspace Lloyd
     // builds + encodes as float-fold cross joins (~4.5-8.6 s in DuckDB at
-    // sf0.1) — the same bit-exactness tax as the IVF twins it reuses
-    "q_llm_emb_pq",
+    // sf0.1) — the same bit-exactness tax as the IVF twins it reuses;
+    // the ADC twin rides the same chain plus an exact-cosine fold
+    "q_llm_emb_pq", "q_llm_pq_adc",
     // r10: the PageRank twin replays the engine's ~98-round limit-cycle
     // loop as PrIters unrolled MATERIALIZED stages (~160 s in DuckDB at
     // sf0.1) — an iteration-replay tax, not a fair native baseline (a

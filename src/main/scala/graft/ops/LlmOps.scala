@@ -573,6 +573,17 @@ object LlmOps extends QueryModule {
   private[graft] val PqIters = 1
   private[graft] val PqSubDims = 16
 
+  /** q_llm_pq_adc: ADC shortlist depth, and the staged score over the
+    * pivoted per-subspace cosine lookups — ONE text per engine, explicit
+    * left-associated chain (the bm25 fixed-order rule). The score is
+    * Σⱼ cos(qⱼ, centroid_codeⱼ) — per-subspace cosines are SCALE-
+    * INVARIANT, which matters because kmeansCentroids stores SUM
+    * centroids whose magnitude varies with cell occupancy (a raw
+    * dot-product ADC measurably biased toward crowded cells: recall 0). */
+  private[graft] val AdcShortlist = 100
+  private[graft] val adcScoreFormula: String =
+    "((c0 + c1) + c2) + c3 AS adc_cos"
+
   /** Session memo of the UNION of the four per-subspace codebooks
     * (j, cent_id, cvec) — 64 rows total; the same index-reuse rationale
     * as centroidCache (a production PQ serves every encode from one
@@ -591,6 +602,27 @@ object LlmOps extends QueryModule {
           slice(col("qv"), j * PqSubDims + 1, PqSubDims).as("qv"))
         kmeansCentroids(s, sub, PqK, PqIters).withColumn("j", lit(j))
       }.reduce(_.union(_)))
+  }
+
+  /** PQ encode shared by q_llm_emb_pq and the ADC search: every vector's
+    * argmax-cosine code per subspace — one corpus scan fanned ×PqSub
+    * (CPU-only literal-sequence explode), one broadcast join against the
+    * 64-row codebook union (RDD leaves ⇒ explicit broadcast, r7 rule),
+    * one partial-aggregating hash agg. Returns (vec_id, j, code). */
+  private def pqAssign(s: SparkSession, dir: String): DataFrame = {
+    val cb = pqCodebooksFor(s, dir)
+    embWithLattice(s, dir)
+      .select(col("vec_id"),
+        explode(expr(s"sequence(0, ${PqSub - 1})")).as("j"), col("qv"))
+      .select(col("vec_id"), col("j"),
+        expr(s"slice(qv, 1 + j * $PqSubDims, $PqSubDims)").as("sqv"))
+      .join(broadcast(cb), "j")
+      .select(col("vec_id"), col("j"),
+        struct(cosine(s)(col("sqv").cast("array<double>"),
+            col("cvec").cast("array<double>")).as("sim"),
+          (-col("cent_id")).as("neg_id")).as("scored"))
+      .groupBy("vec_id", "j")
+      .agg((-max(col("scored")).getField("neg_id")).as("code"))
   }
 
   /** Drop the memoized indexes (ScaleProbe's amortization probe uses this
@@ -936,19 +968,7 @@ object LlmOps extends QueryModule {
     // rule). code/jc domains are value-bounded (16 and 16^4), so every
     // post-assignment relation is scale-free; the corpus never pairs.
     "q_llm_emb_pq" -> ((s: SparkSession, dir: String) => {
-      val cb = pqCodebooksFor(s, dir)
-      val stacked = embWithLattice(s, dir)
-        .select(col("vec_id"),
-          explode(expr(s"sequence(0, ${PqSub - 1})")).as("j"), col("qv"))
-        .select(col("vec_id"), col("j"),
-          expr(s"slice(qv, 1 + j * $PqSubDims, $PqSubDims)").as("sqv"))
-      val asg = stacked.join(broadcast(cb), "j")
-        .select(col("vec_id"), col("j"),
-          struct(cosine(s)(col("sqv").cast("array<double>"),
-              col("cvec").cast("array<double>")).as("sim"),
-            (-col("cent_id")).as("neg_id")).as("scored"))
-        .groupBy("vec_id", "j")
-        .agg((-max(col("scored")).getField("neg_id")).as("code"))
+      val asg = pqAssign(s, dir)
       val hist = asg.groupBy("j", "code")
         .agg(asLong(count(lit(1))).as("n_vectors"))
       val jstat = asg.groupBy("vec_id")
@@ -964,6 +984,64 @@ object LlmOps extends QueryModule {
         .select(col("j").cast("long").as("subspace"), col("code"),
           col("n_vectors"), col("n_joint_codes"), col("max_cell"))
         .orderBy("subspace", "code")
+    }),
+
+    // PQ asymmetric-distance search (r12): the two-stage read path that
+    // makes the PQ codes a real index. Stage 1 — the query vector
+    // (vec_id 0, the IVF convention) builds a 64-entry lookup table
+    // (cosine of each query SUBvector against each codebook centroid);
+    // every corpus vector's ADC score is then FOUR table lookups (join
+    // on (j, code)) summed in the staged fixed order — the corpus is
+    // never touched by a float vector op at shortlist time, which is the
+    // entire point of ADC at billion-vector scale. Stage 2 — the
+    // AdcShortlist(=100) best ADC candidates rerank by EXACT cosine (one
+    // corpus scan joined against the broadcast shortlist) and the top-10
+    // survivors report recall@10 vs the exact top-10: |shortlist ∩
+    // exact-10|/10 = 0.4 at the fixture (random near-orthogonal vectors
+    // — the semdedup regime note; do NOT "fix" by deepening the list).
+    // Windows run over the post-limit ≤10-row relation (the ann_recall
+    // explicit-bound discipline).
+    "q_llm_pq_adc" -> ((s: SparkSession, dir: String) => {
+      val emb = embWithLattice(s, dir)
+      val qrow = emb.where(col("vec_id") === 0)
+        .select(col("emb").as("qemb"), col("qv").as("qqv")).limit(1)
+      val qsub = qrow.select(
+        explode(expr(s"sequence(0, ${PqSub - 1})")).as("j"),
+        col("qqv"))
+        .select(col("j"),
+          expr(s"slice(qqv, 1 + j * $PqSubDims, $PqSubDims)").as("qsv"))
+      val tbl = pqCodebooksFor(s, dir).join(broadcast(qsub), "j")
+        .select(col("j"), col("cent_id").as("code"),
+          cosine(s)(col("qsv").cast("array<double>"),
+            col("cvec").cast("array<double>")).as("cj"))
+      val short = pqAssign(s, dir).where(col("vec_id") =!= 0)
+        .join(broadcast(tbl), Seq("j", "code"))
+        .groupBy("vec_id")
+        .agg(max(when(col("j") === 0, col("cj"))).as("c0"),
+          max(when(col("j") === 1, col("cj"))).as("c1"),
+          max(when(col("j") === 2, col("cj"))).as("c2"),
+          max(when(col("j") === 3, col("cj"))).as("c3"))
+        .selectExpr("vec_id", adcScoreFormula)
+        .orderBy(desc("adc_cos"), col("vec_id")).limit(AdcShortlist)
+      val ex = emb.where(col("vec_id") =!= 0)
+        .crossJoin(broadcast(qrow.select(col("qemb"))))
+        .select(col("vec_id"),
+          cosine(s)(col("emb"), col("qemb")).as("exact_cos"))
+      val ext = ex.orderBy(desc("exact_cos"), col("vec_id")).limit(10)
+        .select(col("vec_id").as("ex_id"))
+      ex.join(broadcast(short), "vec_id")
+        .orderBy(desc("exact_cos"), col("vec_id")).limit(10)
+        .join(broadcast(ext), col("vec_id") === col("ex_id"), "left")
+        .select(col("vec_id"), col("adc_cos"), col("exact_cos"),
+          asLong(when(col("ex_id").isNotNull, 1L).otherwise(0L)).as("hit"))
+        .limit(10) // provably bounded input for the global windows below
+        .withColumn("rr_rank", row_number().over(
+          Window.orderBy(desc("exact_cos"), col("vec_id"))).cast("long"))
+        .withColumn("recall_at_10",
+          sum(col("hit")).over(Window.partitionBy()).cast("double") / 10)
+        .select("rr_rank", "vec_id", "adc_cos", "exact_cos", "hit",
+          "recall_at_10")
+        .orderBy("rr_rank")
     }),
 
     "q_llm_sim_knn_ivf" -> ivfQuery(nprobe = 1),
@@ -1467,7 +1545,11 @@ object LlmOps extends QueryModule {
     * histogram, and joint-code stats. Each pqe slice is MATERIALIZED —
     * it feeds init + one Lloyd round + the final encode (3 references,
     * the r9 inline-reexecution rule). */
-  private def pqOracleSql: String = {
+  /** The shared PQ CTE chain — embCte0's `e`, the four sliced Lloyd
+    * builds, and `asg(vec_id, j, code)` — consumed by [[pqOracleSql]]
+    * and [[adcOracleSql]] (the bpeMergeStagesCte one-text rule: the
+    * twins cannot drift because there is only one chain). */
+  private def pqChainCtes: String = {
     val per = (0 until PqSub).map { j =>
       val lo = 1 + j * PqSubDims
       val hi = (j + 1) * PqSubDims
@@ -1500,9 +1582,13 @@ object LlmOps extends QueryModule {
          |             ORDER BY ${cosIntSql("e.qv", "c.cvec")} DESC, c.cent_id ASC) AS rn
          |    FROM pqe$j e CROSS JOIN $cf c) WHERE rn = 1)""".stripMargin
     }.mkString(",\n")
-    s"""WITH $embCte0,
+    s"""$embCte0,
        |$per,
-       |asg AS (${(0 until PqSub).map(j => s"SELECT * FROM pqasg$j").mkString(" UNION ALL ")}),
+       |asg AS (${(0 until PqSub).map(j => s"SELECT * FROM pqasg$j").mkString(" UNION ALL ")})""".stripMargin
+  }
+
+  private def pqOracleSql: String =
+    s"""WITH $pqChainCtes,
        |hist AS (
        |  SELECT j, code, CAST(count(*) AS BIGINT) AS n_vectors
        |  FROM asg GROUP BY j, code),
@@ -1521,6 +1607,51 @@ object LlmOps extends QueryModule {
        |        FROM pcodes GROUP BY 1))
        |SELECT j AS subspace, code, n_vectors, n_joint_codes, max_cell
        |FROM hist CROSS JOIN jstat ORDER BY subspace, code""".stripMargin
+
+  /** Full SQL replay of the two-stage ADC search: the shared PQ chain,
+    * the query's 64-entry per-subspace cosine lookup table, the staged
+    * fixed-order score, the AdcShortlist cut, exact-cosine rerank,
+    * recall@10. */
+  private def adcOracleSql: String = {
+    val qslices = (0 until PqSub).map { j =>
+      val lo = 1 + j * PqSubDims
+      val hi = (j + 1) * PqSubDims
+      s"SELECT CAST($j AS BIGINT) AS j, qqv[$lo:$hi] AS qsv FROM q"
+    }.mkString(" UNION ALL ")
+    val cball = (0 until PqSub).map { j =>
+      s"SELECT CAST($j AS BIGINT) AS j, cent_id AS code, cvec FROM pqc${j}_$PqIters"
+    }.mkString(" UNION ALL ")
+    s"""WITH $pqChainCtes,
+       |q AS (SELECT emb AS qemb, qv AS qqv FROM e WHERE vec_id = 0),
+       |qs AS ($qslices),
+       |cball AS ($cball),
+       |tbl AS (
+       |  SELECT s.j, c.code,
+       |         ${cosIntSql("s.qsv", "c.cvec")} AS cj
+       |  FROM qs s JOIN cball c ON c.j = s.j),
+       |adcv AS (
+       |  SELECT a.vec_id,
+       |         max(CASE WHEN a.j = 0 THEN t.cj END) AS c0,
+       |         max(CASE WHEN a.j = 1 THEN t.cj END) AS c1,
+       |         max(CASE WHEN a.j = 2 THEN t.cj END) AS c2,
+       |         max(CASE WHEN a.j = 3 THEN t.cj END) AS c3
+       |  FROM asg a JOIN tbl t ON t.j = a.j AND t.code = a.code
+       |  WHERE a.vec_id <> 0 GROUP BY a.vec_id),
+       |sts AS (SELECT vec_id, $adcScoreFormula FROM adcv),
+       |short AS (SELECT vec_id, adc_cos FROM sts
+       |          ORDER BY adc_cos DESC, vec_id LIMIT $AdcShortlist),
+       |ex AS (SELECT e.vec_id, ${cosSql("e.emb", "q.qemb")} AS exact_cos
+       |       FROM e CROSS JOIN q WHERE e.vec_id <> 0),
+       |ext AS (SELECT vec_id FROM ex ORDER BY exact_cos DESC, vec_id LIMIT 10),
+       |rr AS (SELECT s.vec_id, s.adc_cos, ex.exact_cos
+       |       FROM short s JOIN ex USING (vec_id)
+       |       ORDER BY ex.exact_cos DESC, s.vec_id LIMIT 10)
+       |SELECT CAST(row_number() OVER (ORDER BY exact_cos DESC, vec_id) AS BIGINT) AS rr_rank,
+       |       vec_id, adc_cos, exact_cos,
+       |       CAST(CASE WHEN vec_id IN (SELECT vec_id FROM ext) THEN 1 ELSE 0 END AS BIGINT) AS hit,
+       |       CAST(sum(CASE WHEN vec_id IN (SELECT vec_id FROM ext) THEN 1 ELSE 0 END) OVER () AS DOUBLE) / 10 AS recall_at_10
+       |FROM rr
+       |ORDER BY rr_rank""".stripMargin
   }
 
   /** embCte plus the quantized lattice column (the engine's embWithLattice
@@ -1548,6 +1679,7 @@ object LlmOps extends QueryModule {
     "q_llm_sim_knn_ivf" -> ivfOracleSql(nprobe = 1),
     "q_llm_sim_knn_ivf2" -> ivfOracleSql(nprobe = 2),
     "q_llm_emb_pq" -> pqOracleSql,
+    "q_llm_pq_adc" -> adcOracleSql,
 
     "q_llm_emb_classify" ->
       s"""WITH $embCte,
