@@ -187,6 +187,51 @@ object SourceSinkOps extends QueryModule {
         .orderBy("lang")
     }),
 
+    // Binary-file source (r12): spark.read.format("binaryFile") — the
+    // bulk multimodal ingestion path (an image/audio asset tree at
+    // 100 TB enters Spark exactly this way: one row per file with
+    // (path, modificationTime, length, content)). Export once: each
+    // document's UTF-8 bytes as doc-<id>.bin via executor-side
+    // foreachPartition (Spark ships no binary WRITER — per-file java.nio
+    // writes from the scan tasks are the real pattern). The read-back
+    // joins the parsed-from-path doc_id to the source table and pins
+    // BYTE fidelity per file (sha2 over file content == sha2 over the
+    // text column — same UTF-8 bytes), rolled up by doc_id % 16. The
+    // oracle replays length as DuckDB's strlen (UTF-8 byte count) and
+    // the digest check as count(*) — byte-exactness is the contract.
+    "q_src_binaryfile" -> ((s: SparkSession, dir: String) => {
+      val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft-src-bin-${fixtureKey(dir, "documents.parquet")}").getAbsolutePath
+      val marker = new java.io.File(path, "_SUCCESS")
+      if (!marker.exists()) {
+        new java.io.File(path).mkdirs()
+        table(s, dir, "documents").select("doc_id", "text")
+          .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+            it.foreach { r =>
+              java.nio.file.Files.write(
+                java.nio.file.Paths.get(path, s"doc-${r.getLong(0)}.bin"),
+                r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            }
+          }
+        marker.createNewFile()
+      }
+      val bin = s.read.format("binaryFile")
+        .option("pathGlobFilter", "*.bin").load(path)
+        .select(
+          expr("CAST(regexp_extract(path, 'doc-(\\\\d+)\\\\.bin$', 1) AS BIGINT)")
+            .as("doc_id"),
+          col("length"), sha2(col("content"), 256).as("dg"))
+      val docs = table(s, dir, "documents")
+        .select(col("doc_id"), sha2(col("text"), 256).as("exp_dg"))
+      bin.join(docs, "doc_id")
+        .groupBy(expr("doc_id % 16").as("bucket"))
+        .agg(asLong(count(lit(1))).as("n_files"),
+          asLong(sum("length")).as("total_bytes"),
+          asLong(sum(when(col("dg") === col("exp_dg"), 1L).otherwise(0L)))
+            .as("n_digest_ok"))
+        .orderBy("bucket")
+    }),
+
     // Partitioned parquet sink round-trip: write documents partitioned by
     // lang (the 100 TB output layout — partition pruning on read, one dir
     // per partition value), re-read from the partitioned layout, aggregate.
@@ -448,6 +493,14 @@ object SourceSinkOps extends QueryModule {
         |       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
         |       min(sha256(text)) AS first_sha
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // byte-exact round trip: file length = UTF-8 byte count (strlen), and
+    // every per-file digest matches by construction
+    "q_src_binaryfile" ->
+      """SELECT doc_id % 16 AS bucket, CAST(count(*) AS BIGINT) AS n_files,
+        |       CAST(sum(strlen(text)) AS BIGINT) AS total_bytes,
+        |       CAST(count(*) AS BIGINT) AS n_digest_ok
+        |FROM documents GROUP BY 1 ORDER BY bucket""".stripMargin,
 
     "q_sink_partitioned" ->
       """SELECT lang, count(*) AS n_docs,

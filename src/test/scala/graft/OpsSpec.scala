@@ -118,6 +118,24 @@ class OpsSpec extends SparkTestBase {
     }
   }
 
+  test("binaryFile source: every exported file reads back byte-exact (r12)") {
+    val rows = SparkEntry.queries("q_src_binaryfile")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    // byte fidelity: every file's sha2 matched its source text's sha2
+    rows.foreach { case (b, n, bytes, ok) =>
+      assert(ok == n, s"bucket $b: $ok of $n files byte-exact")
+      assert(bytes > 0, s"bucket $b: empty byte total")
+    }
+    // the 16 buckets partition the corpus
+    val docs = ops.table(spark, sfDir, "documents")
+      .select("doc_id", "text").collect()
+    assert(rows.map(_._2).sum == docs.length.toLong, "every doc exported once")
+    val expBytes = docs.map(_.getString(1)
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8).length.toLong).sum
+    assert(rows.map(_._3).sum == expBytes, "UTF-8 byte totals")
+  }
+
   test("schema evolution: mergeSchema unifies generations, old rows read NULL (r12)") {
     import org.apache.spark.sql.functions.col
     SparkEntry.queries("q_src_schema_evolution")(spark, sfDir).count()
