@@ -1495,6 +1495,59 @@ object DiagOps extends QueryModule {
         .selectExpr("event_type", "n", "n_above", "n_below", "n_runs",
           "e_runs", "var_runs", "z", runsVerdictFormula)
         .orderBy("event_type")
+    }),
+
+    // One-sided CUSUM change detection (r12) per event type over the
+    // zero-filled hourly cent grid: the classical sequential detector
+    // S_t = max(0, S_{t−1} + (k_t − target)) — a clamped RECURRENCE that
+    // does not window-decompose directly, computed EXACTLY via the
+    // prefix-sum identity S_t = C_t − min_{j≤t} C_j (two integer windows:
+    // running sum + running min — the recursion never materializes).
+    // Target is the per-type MEDIAN hourly total and the alarm threshold
+    // is 3×MAD, both rank-selected under total orders on the grid, so
+    // the whole detector is integer-exact end to end; cents surface as
+    // value units only in the report. Every window runs over the
+    // TIME-SPAN-bounded grid (the mann_kendall exemption class).
+    "q_ts_cusum" -> ((s: SparkSession, dir: String) => {
+      val g = hourlyCentGrid(s, dir).localCheckpoint(true)
+      def rankPick(df: DataFrame, valCol: String, out: String): DataFrame =
+        df.withColumn("rn", row_number().over(
+            Window.partitionBy("event_type").orderBy(col(valCol), col("h"))))
+          .withColumn("ng", count(lit(1)).over(Window.partitionBy("event_type")))
+          .where(col("rn") === expr("(ng + 1) div 2"))
+          .select(col("event_type"), col(valCol).as(out))
+      val med = rankPick(g, "k", "med_k")
+      val dev = g.join(broadcast(med), "event_type")
+        .withColumn("dev", col("k") - col("med_k"))
+      val mad = rankPick(dev.withColumn("adev", abs(col("dev")))
+        .select(col("event_type"), col("adev").as("k"), col("h")), "k", "mad_k")
+      val wOrd = Window.partitionBy("event_type").orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      // allowance (slack) = MAD: the standard CUSUM drift guard — without
+      // it Σ(k − median) accumulates whenever mean ≠ median and the
+      // detector alarms ~95% of hours (measured on the first cut)
+      val cus = dev.join(broadcast(mad), "event_type")
+        .withColumn("y", col("dev") - col("mad_k"))
+        .withColumn("c", sum(col("y")).over(wOrd))
+        // the running min must include the EMPTY prefix (C₀ = 0) or the
+        // identity S_t = C_t − min_{j≤t} C_j under-reads whenever every
+        // prefix sum stays positive — hence least(0, min)
+        .withColumn("rmin", least(lit(0L), min(col("c")).over(wOrd)))
+        .withColumn("s", col("c") - col("rmin"))
+      cus
+        .groupBy("event_type")
+        .agg(asLong(count(lit(1))).as("n_hours"),
+          max(struct(col("s"), (-col("h")).as("nh"))).as("pk"),
+          asLong(sum(when(col("s") > lit(3L) * col("mad_k"), 1L)
+            .otherwise(0L))).as("n_alarms"),
+          asLong(min("med_k")).as("med_c"),
+          asLong(min("mad_k")).as("mad_c"))
+        .selectExpr("event_type", "n_hours",
+          "CAST(pk.s AS DOUBLE) / 100 AS max_cusum",
+          "-pk.nh AS peak_hour", "n_alarms",
+          "CAST(med_c AS DOUBLE) / 100 AS target",
+          "CAST(3 * mad_c AS DOUBLE) / 100 AS threshold")
+        .orderBy("event_type")
     })
   )
 
@@ -2424,6 +2477,51 @@ object DiagOps extends QueryModule {
          |st2 AS (SELECT event_type, n, n_above, n_below, n_runs, e_runs, $runsVFormula FROM st1),
          |st3 AS (SELECT event_type, n, n_above, n_below, n_runs, e_runs, var_runs, $runsZFormula FROM st2)
          |SELECT event_type, n, n_above, n_below, n_runs, e_runs, var_runs, z, $runsVerdictFormula
-         |FROM st3 ORDER BY event_type""".stripMargin
+         |FROM st3 ORDER BY event_type""".stripMargin,
+
+    "q_ts_cusum" ->
+      s"""WITH $centGridCte,
+         |med AS (
+         |  SELECT event_type, max(CASE WHEN rn = (ng + 1) // 2 THEN k END) AS med_k
+         |  FROM (SELECT event_type, k,
+         |          row_number() OVER (PARTITION BY event_type ORDER BY k, h) AS rn,
+         |          count(*) OVER (PARTITION BY event_type) AS ng
+         |        FROM g) s1
+         |  GROUP BY event_type),
+         |dev AS (
+         |  SELECT g.event_type, g.h, g.k - med.med_k AS dev
+         |  FROM g JOIN med USING (event_type)),
+         |mad AS (
+         |  SELECT event_type, max(CASE WHEN rn = (ng + 1) // 2 THEN adev END) AS mad_k
+         |  FROM (SELECT event_type, abs(dev) AS adev, h,
+         |          row_number() OVER (PARTITION BY event_type ORDER BY abs(dev), h) AS rn,
+         |          count(*) OVER (PARTITION BY event_type) AS ng
+         |        FROM dev) s2
+         |  GROUP BY event_type),
+         |c1 AS (
+         |  SELECT event_type, h,
+         |         sum(dev - mad_k) OVER (PARTITION BY event_type ORDER BY h
+         |                                ROWS UNBOUNDED PRECEDING) AS c
+         |  FROM dev JOIN mad USING (event_type)),
+         |c2 AS (
+         |  SELECT event_type, h,
+         |         c - least(0, min(c) OVER (PARTITION BY event_type ORDER BY h
+         |                                   ROWS UNBOUNDED PRECEDING)) AS s
+         |  FROM c1),
+         |pk AS (
+         |  SELECT event_type, s, h FROM (
+         |    SELECT event_type, s, h,
+         |           row_number() OVER (PARTITION BY event_type
+         |                              ORDER BY s DESC, h ASC) AS rn
+         |    FROM c2) WHERE rn = 1)
+         |SELECT c2.event_type, CAST(count(*) AS BIGINT) AS n_hours,
+         |       CAST(min(pk.s) AS DOUBLE) / 100 AS max_cusum,
+         |       CAST(min(pk.h) AS BIGINT) AS peak_hour,
+         |       CAST(sum(CASE WHEN c2.s > 3 * mad.mad_k THEN 1 ELSE 0 END) AS BIGINT) AS n_alarms,
+         |       CAST(min(med.med_k) AS DOUBLE) / 100 AS target,
+         |       CAST(3 * min(mad.mad_k) AS DOUBLE) / 100 AS threshold
+         |FROM c2 JOIN mad USING (event_type) JOIN med USING (event_type)
+         |         JOIN pk USING (event_type)
+         |GROUP BY c2.event_type ORDER BY event_type""".stripMargin
   )
 }

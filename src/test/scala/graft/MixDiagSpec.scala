@@ -1196,4 +1196,41 @@ class MixDiagSpec extends SparkTestBase {
     // sf0.01+ grids do produce two-sided dichotomies — the hash gate
     // covers those.
   }
+
+  test("cusum equals a driver-side clamped-recursion replay (r12)") {
+    val rows = q("q_ts_cusum").collect().map(r =>
+      (r.getString(0), (r.getLong(1), r.getDouble(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5), r.getDouble(6)))).toMap
+    assert(rows.nonEmpty)
+    val grid = graft.ops.DiagOps.hourlyCentGrid(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    grid.groupBy(_._1).foreach { case (t, g) =>
+      val byVal = g.sortBy(x => (x._3, x._2))
+      val med = byVal(((byVal.length + 1) / 2) - 1)._3
+      val devs = g.sortBy(_._2).map(x => (x._2, x._3 - med))
+      val byAbs = devs.sortBy(x => (math.abs(x._2), x._1))
+      val mad = math.abs(byAbs(((byAbs.length + 1) / 2) - 1)._2)
+      // the literal clamped recursion — the engine computes it as
+      // prefix-sum minus running-min; this pins the identity
+      var s = 0L; var mx = Long.MinValue; var mxH = 0L; var alarms = 0L
+      devs.foreach { case (h, d) =>
+        s = math.max(0L, s + d - mad)
+        if (s > mx) { mx = s; mxH = h }
+        if (s > 3L * mad) alarms += 1
+      }
+      val (n, maxC, pkH, nAl, target, thr) = {
+        val r = rows(t); (r._1, r._2, r._3, r._4, r._5, r._6)
+      }
+      assert(n == g.length.toLong, s"$t grid size")
+      assert(maxC == mx.toDouble / 100 && pkH == mxH, s"$t peak replay")
+      assert(nAl == alarms, s"$t alarm count")
+      assert(target == med.toDouble / 100 && thr == 3.0 * mad / 100, s"$t params")
+      // alarm-rate sanity only where the detector has a real scale: at
+      // sf0.001 sparse types read med = mad = 0 (threshold 0 ⇒ every
+      // positive-excursion hour alarms, legally) — the hapax
+      // fixture-shape lesson again
+      if (mad > 0)
+        assert(nAl <= n / 4, s"$t: alarm rate implausibly high (no-slack bug?)")
+    }
+  }
 }
