@@ -295,10 +295,98 @@ object AggOps extends QueryModule {
           round(interp("q75_lo", "q75_hi", 3, 4), 4).as("p75_qty"),
           round(interp("p50_lo", "p50_hi", 1, 2), 4).as("p50_price"))
         .orderBy(grp)
+    }),
+
+    // Bitmap audience overlap (r12): the roaring-bitmap pattern in BIGINT
+    // blocks. Audience per type = users STRICTLY ABOVE the type's median
+    // per-user event count (every user fires every type on this fixture —
+    // the raw any-activity overlap is degenerately 1.0; the heavy-user
+    // cut yields a real ~half split). The median is selected BY VALUE
+    // from the bounded (type, count) histogram via one cumulative window
+    // — never a window over corpus-scaled user rows (the mktsegment
+    // trap). Audience users then compress to one bit in a 63-bit mask
+    // per (type, user_id div 63) block (63, not 64: bit 63 would make
+    // the mask negative in Spark and OVERFLOW DuckDB's checked shift);
+    // pairwise intersections are bit_count(maskA & maskB) summed over
+    // the block equi-join (per-key density = #types, bounded) — the
+    // shape set-intersection runs at 10⁹ users, vs a user-level
+    // self-join's full shuffle. Jaccard is one division of exact
+    // BIGINTs; the ≤ #types totals/median relations broadcast explicit.
+    "q_agg_bitmap_overlap" -> ((s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.expressions.Window
+      val cnt = table(s, dir, "events")
+        .groupBy("event_type", "user_id").agg(count(lit(1)).as("n"))
+      val hist = cnt.groupBy("event_type", "n").agg(count(lit(1)).as("c"))
+      val wCum = Window.partitionBy("event_type").orderBy("n")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val med = hist
+        .withColumn("cum", sum(col("c")).over(wCum))
+        .withColumn("tot", sum(col("c")).over(Window.partitionBy("event_type")))
+        .where(col("cum") >= expr("(tot + 1) div 2"))
+        .groupBy("event_type").agg(min("n").as("med_n"))
+      val bm = cnt.join(broadcast(med), "event_type")
+        .where(col("n") > col("med_n"))
+        .select(col("event_type"), expr("user_id div 63").as("blk"),
+          expr("shiftleft(CAST(1 AS BIGINT), CAST(user_id % 63 AS INT))")
+            .as("bit"))
+        .groupBy("event_type", "blk")
+        .agg(expr("bit_or(bit)").as("mask"))
+      val tot = bm.groupBy("event_type")
+        .agg(asLong(sum(expr("bit_count(mask)"))).as("n_users"))
+      val pr = bm.as("x").join(bm.as("y"),
+          col("x.blk") === col("y.blk") &&
+            col("x.event_type") < col("y.event_type"))
+        .groupBy(col("x.event_type").as("type_a"),
+          col("y.event_type").as("type_b"))
+        .agg(asLong(sum(expr("bit_count(x.mask & y.mask)"))).as("n_common"))
+      pr.join(broadcast(tot.select(col("event_type").as("type_a"),
+          col("n_users").as("n_a"))), "type_a")
+        .join(broadcast(tot.select(col("event_type").as("type_b"),
+          col("n_users").as("n_b"))), "type_b")
+        .selectExpr("type_a", "type_b", "n_a", "n_b", "n_common",
+          "CAST(n_common AS DOUBLE) / (n_a + n_b - n_common) AS jaccard")
+        .orderBy("type_a", "type_b")
     })
   )
 
   def oracle: Seq[(String, String)] = Seq(
+    "q_agg_bitmap_overlap" ->
+      """WITH cnt AS (
+        |  SELECT event_type, user_id, CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY event_type, user_id),
+        |hist AS (
+        |  SELECT event_type, n, CAST(count(*) AS BIGINT) AS c
+        |  FROM cnt GROUP BY event_type, n),
+        |med AS (
+        |  SELECT event_type, min(n) AS med_n FROM (
+        |    SELECT event_type, n,
+        |           sum(c) OVER (PARTITION BY event_type ORDER BY n
+        |                        ROWS UNBOUNDED PRECEDING) AS cum,
+        |           sum(c) OVER (PARTITION BY event_type) AS tot
+        |    FROM hist)
+        |  WHERE cum >= (tot + 1) // 2 GROUP BY event_type),
+        |bm AS (
+        |  SELECT cnt.event_type, user_id // 63 AS blk,
+        |         bit_or(CAST(1 AS BIGINT) << CAST(user_id % 63 AS INT)) AS mask
+        |  FROM cnt JOIN med USING (event_type)
+        |  WHERE cnt.n > med.med_n
+        |  GROUP BY cnt.event_type, blk),
+        |tot AS (
+        |  SELECT event_type, CAST(sum(bit_count(mask)) AS BIGINT) AS n_users
+        |  FROM bm GROUP BY event_type),
+        |pr AS (
+        |  SELECT x.event_type AS type_a, y.event_type AS type_b,
+        |         CAST(sum(bit_count(x.mask & y.mask)) AS BIGINT) AS n_common
+        |  FROM bm x JOIN bm y ON x.blk = y.blk
+        |                     AND x.event_type < y.event_type
+        |  GROUP BY 1, 2)
+        |SELECT pr.type_a, pr.type_b, ta.n_users AS n_a, tb.n_users AS n_b,
+        |       pr.n_common,
+        |       CAST(pr.n_common AS DOUBLE) / (ta.n_users + tb.n_users - pr.n_common) AS jaccard
+        |FROM pr JOIN tot ta ON ta.event_type = pr.type_a
+        |        JOIN tot tb ON tb.event_type = pr.type_b
+        |ORDER BY type_a, type_b""".stripMargin,
+
     "q_agg_hist" ->
       """SELECT CAST(CAST(round(o_totalprice * 100) AS BIGINT) // 2500000 AS BIGINT) AS bin,
         |       count(*) AS n,

@@ -118,6 +118,36 @@ class OpsSpec extends SparkTestBase {
     }
   }
 
+  test("bitmap audience overlap equals a driver-side set replay (r12)") {
+    val rows = SparkEntry.queries("q_agg_bitmap_overlap")(spark, sfDir).collect()
+      .map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    assert(rows.nonEmpty)
+    val ev = ops.table(spark, sfDir, "events")
+      .select("event_type", "user_id").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    // driver-side audiences: users strictly above the per-type LOWER
+    // median event count (selected by value over the count histogram)
+    val aud = ev.groupBy(_._1).map { case (t, es) =>
+      val counts = es.groupBy(_._2).map { case (u, xs) => (u, xs.length.toLong) }
+      val sorted = counts.values.toSeq.sorted
+      val med = sorted(((sorted.length + 1) / 2) - 1)
+      (t, counts.filter(_._2 > med).keySet)
+    }
+    val types = aud.keys.toSeq.sorted
+    for (a <- types; b <- types if a < b) {
+      val (na, nb, common, jac) = rows((a, b))
+      val (sa, sb) = (aud(a), aud(b))
+      val inter = (sa & sb).size.toLong
+      assert((na, nb, common) ==
+        ((sa.size.toLong, sb.size.toLong, inter)), s"$a/$b set sizes")
+      assert(jac == inter.toDouble / (sa.size + sb.size - inter), s"$a/$b jaccard")
+    }
+    // the heavy-user cut is non-degenerate: some but not all users qualify
+    assert(aud.values.forall(s => s.nonEmpty),
+      "empty audience — median cut lost its bite")
+  }
+
   test("binaryFile source: every exported file reads back byte-exact (r12)") {
     val rows = SparkEntry.queries("q_src_binaryfile")(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
