@@ -44,6 +44,10 @@ object CurationOps extends QueryModule {
     * product < 2^63 by miles); the single division is the one FP op.
     * The degenerate guard (all points in one bin ⇒ zero denominator)
     * reads slope 0. */
+  /** q_llm_truncation: the context cap, ~60th percentile of fixture doc
+    * lengths so both sides of the cut are populated. */
+  private val TruncMaxCtx = 64L
+
   private val zipfSlopeFormula: String =
     "CASE WHEN m * sxx - sx * sx > 0" +
       " THEN CAST(m * sxy - sx * sy AS DOUBLE) / CAST(m * sxx - sx * sx AS DOUBLE)" +
@@ -974,6 +978,31 @@ object CurationOps extends QueryModule {
     // source, then two IEEE divisions. Rides the memoized token index;
     // the (source, token) exchange sits above a map-side partial agg
     // (the vocab/5b bounded shape). Exact integers until the ratios.
+    // Context-window truncation audit (r12): what a MaxCtx-token cap
+    // costs per source — docs over the limit and tokens lost to the cut
+    // (Σ max(0, dl − MaxCtx)), the readout a pipeline checks before
+    // committing to a packing length. dl = Σtf rides the memoized token
+    // index; MaxCtx = 64 sits at the fixture's ~60th length percentile
+    // so both sides of the cut are populated. Exact integers until the
+    // one share division.
+    "q_llm_truncation" -> ((s: SparkSession, dir: String) => {
+      val docs = table(s, dir, "documents").select("doc_id", "source")
+      val dl = TextOps.tokenIndexFor(s, dir)
+        .groupBy("doc_id").agg(sum("tf").as("dl"))
+      docs.join(dl, Seq("doc_id"), "left")
+        .select(col("source"), coalesce(col("dl"), lit(0L)).as("dl"))
+        .groupBy("source")
+        .agg(asLong(count(lit(1))).as("n_docs"),
+          asLong(sum(when(col("dl") > TruncMaxCtx, 1L).otherwise(0L)))
+            .as("n_truncated"),
+          asLong(sum("dl")).as("tokens_total"),
+          asLong(sum(greatest(col("dl") - TruncMaxCtx, lit(0L))))
+            .as("tokens_lost"))
+        .withColumn("share_lost",
+          col("tokens_lost").cast("double") / col("tokens_total"))
+        .orderBy("source")
+    }),
+
     "q_text_hapax" -> ((s: SparkSession, dir: String) => {
       val docs = table(s, dir, "documents").select("doc_id", "source")
       TextOps.tokenIndexFor(s, dir).select("doc_id", "token", "tf")
@@ -1559,6 +1588,20 @@ object CurationOps extends QueryModule {
         |       CAST(count(*) AS DOUBLE) / CAST(sum(stf) AS BIGINT) AS ttr,
         |       CAST(sum(CASE WHEN stf = 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS hapax_share
         |FROM st GROUP BY source ORDER BY source""".stripMargin,
+
+    "q_llm_truncation" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM (
+         |    SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+         |  WHERE length(token) > 0 GROUP BY doc_id)
+         |SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(sum(CASE WHEN coalesce(tok.dl, 0) > $TruncMaxCtx THEN 1 ELSE 0 END) AS BIGINT) AS n_truncated,
+         |       CAST(sum(coalesce(tok.dl, 0)) AS BIGINT) AS tokens_total,
+         |       CAST(sum(greatest(coalesce(tok.dl, 0) - $TruncMaxCtx, 0)) AS BIGINT) AS tokens_lost,
+         |       CAST(sum(greatest(coalesce(tok.dl, 0) - $TruncMaxCtx, 0)) AS DOUBLE)
+         |         / sum(coalesce(tok.dl, 0)) AS share_lost
+         |FROM documents d LEFT JOIN tok USING (doc_id)
+         |GROUP BY d.source ORDER BY d.source""".stripMargin,
 
     "q_text_zipf" ->
       s"""WITH tok AS (

@@ -494,6 +494,29 @@ object DiagOps extends QueryModule {
     // count, distinct count, min/max per column. Numeric and date columns
     // project onto DOUBLE (all values < 2^53, so the projection is exact);
     // a per-column-job formulation would scan the table once per column.
+    // Frequent-values profile (r12): the data-profiler staple next to
+    // q_profile_table's numeric summary — top-3 values with share for
+    // each categorical column, stacked through one scan (stack() fans
+    // the row to (col_name, val) pairs map-side, no union of per-column
+    // scans). The rank/total windows run over the (column, value)
+    // relation, bounded by the VALUE DOMAINS (3 statuses × 5 priorities
+    // here), never over corpus rows.
+    "q_profile_freq" -> ((s: SparkSession, dir: String) => {
+      val st = table(s, dir, "orders")
+        .selectExpr("stack(2, 'o_orderstatus', o_orderstatus," +
+          " 'o_orderpriority', o_orderpriority) AS (col_name, val)")
+        .groupBy("col_name", "val").agg(count(lit(1)).as("n"))
+      st.withColumn("tot", sum(col("n")).over(
+          Window.partitionBy("col_name")))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("col_name").orderBy(desc("n"), asc("val"))))
+        .where(col("rk") <= 3)
+        .select(col("col_name"), asLong(col("rk")).as("rk"), col("val"),
+          asLong(col("n")).as("n"),
+          (col("n").cast("double") / col("tot")).as("share"))
+        .orderBy("col_name", "rk")
+    }),
+
     "q_profile_table" -> ((s: SparkSession, dir: String) =>
       table(s, dir, "orders")
         .select(expr(
@@ -1682,6 +1705,24 @@ object DiagOps extends QueryModule {
   }
 
   def oracle: Seq[(String, String)] = Seq(
+    "q_profile_freq" ->
+      """WITH st AS (
+        |  SELECT 'o_orderstatus' AS col_name, o_orderstatus AS val FROM orders
+        |  UNION ALL
+        |  SELECT 'o_orderpriority', o_orderpriority FROM orders),
+        |cnt AS (
+        |  SELECT col_name, val, CAST(count(*) AS BIGINT) AS n
+        |  FROM st GROUP BY 1, 2),
+        |rnk AS (
+        |  SELECT col_name, val, n,
+        |         sum(n) OVER (PARTITION BY col_name) AS tot,
+        |         row_number() OVER (PARTITION BY col_name
+        |                            ORDER BY n DESC, val ASC) AS rk
+        |  FROM cnt)
+        |SELECT col_name, CAST(rk AS BIGINT) AS rk, val, n,
+        |       CAST(n AS DOUBLE) / tot AS share
+        |FROM rnk WHERE rk <= 3 ORDER BY col_name, rk""".stripMargin,
+
     "q_profile_table" -> {
       def one(name: String, sqlExpr: String) =
         s"""SELECT '$name' AS col_name,

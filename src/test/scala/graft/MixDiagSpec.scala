@@ -1197,6 +1197,27 @@ class MixDiagSpec extends SparkTestBase {
     // covers those.
   }
 
+  test("frequent-values profile equals a driver-side recount (r12)") {
+    val rows = q("q_profile_freq").collect().map(r =>
+      ((r.getString(0), r.getLong(1)), (r.getString(2), r.getLong(3),
+        r.getDouble(4)))).toMap
+    assert(rows.nonEmpty)
+    val os = ops.table(spark, sfDir, "orders")
+      .select("o_orderstatus", "o_orderpriority").collect()
+    val cols = Map(
+      "o_orderstatus" -> os.map(_.getString(0)),
+      "o_orderpriority" -> os.map(_.getString(1)))
+    cols.foreach { case (cn, vals) =>
+      val counts = vals.groupBy(identity).map { case (v, xs) => (v, xs.length.toLong) }
+      val top = counts.toSeq.sortBy { case (v, n) => (-n, v) }.take(3)
+      top.zipWithIndex.foreach { case ((v, n), i) =>
+        val (gv, gn, gs) = rows((cn, (i + 1).toLong))
+        assert((gv, gn) == ((v, n)), s"$cn rank ${i + 1}")
+        assert(gs == n.toDouble / vals.length, s"$cn rank ${i + 1} share")
+      }
+    }
+  }
+
   test("cusum equals a driver-side clamped-recursion replay (r12)") {
     val rows = q("q_ts_cusum").collect().map(r =>
       (r.getString(0), (r.getLong(1), r.getDouble(2), r.getLong(3),

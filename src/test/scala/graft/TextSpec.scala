@@ -552,6 +552,32 @@ class TextSpec extends SparkTestBase {
     }
   }
 
+  test("truncation audit equals a driver-side token recount (r12)") {
+    val rows = q("q_llm_truncation").collect().map(r =>
+      (r.getString(0), (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))).toMap
+    assert(rows.nonEmpty)
+    val docs = ops.table(spark, sfDir, "documents")
+      .select("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val MaxCtx = 64L
+    docs.groupBy(_._1).foreach { case (src, ds) =>
+      val dls = ds.map(_._2.split(" ").count(_.nonEmpty).toLong)
+      val (n, nTr, tot, lost, share) = {
+        val r = rows(src); (r._1, r._2, r._3, r._4, r._5)
+      }
+      assert(n == dls.length.toLong, s"$src doc count")
+      assert(nTr == dls.count(_ > MaxCtx).toLong, s"$src truncated count")
+      assert(tot == dls.sum, s"$src token total")
+      assert(lost == dls.map(d => math.max(0L, d - MaxCtx)).sum, s"$src lost")
+      assert(share == lost.toDouble / tot, s"$src share readback")
+    }
+    // the cap bites but does not swallow: both sides populated corpus-wide
+    val all = rows.values
+    assert(all.map(_._2).sum > 0 && all.map(_._2).sum < all.map(_._1).sum,
+      "MaxCtx must split the corpus")
+  }
+
   test("zipf log2-bin curve equals a driver-side exact replay (r12)") {
     val rows = q("q_text_zipf").collect().map(r =>
       (r.getLong(0), (r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
