@@ -317,6 +317,56 @@ object MultimodalOps extends QueryModule {
     // dots are exact integer sums (sign reproducible in SQL), the
     // keep-first-K bucket cap is a row_number both engines compute
     // identically, and the cosine uses only IEEE-exact ops.
+    // Perceptual-hash image near-dup (r12): the dHash pattern over REAL
+    // parsed containers — the engine reads each image's pixel payload
+    // through Bmp.parse's DECLARED data offset (never a hardcoded 54),
+    // samples 72 evenly-strided payload bytes as the grayscale proxy, and
+    // sets bit k iff g[k] > g[k+1] → a 63-bit hash (bit 63 stays 0: the
+    // mask never goes negative in Spark nor overflows DuckDB's checked
+    // shift — the bitmap_overlap rule). Pairing blocks on four 16-bit
+    // bands, keep-first-200 bucket cap, exact hamming = bit_count(xor)
+    // on every candidate — the report is the top-100 NEAREST candidate
+    // pairs (candidates + exact rerank, the ADC two-stage shape) with
+    // dup_flag marking hamming ≤ 3, the slice whose recall the
+    // pigeonhole makes EXACT (≤ 3 flipped bits ⇒ ≥ 1 identical band —
+    // the simhash argument; a threshold-only report was near-empty at
+    // sf0.01, where the templated texts never hash within 3). The oracle
+    // replays the hash from the documents' code points (payload bytes ARE
+    // the ASCII text — the assets() assertion), so the hash gate IS the
+    // container-roundtrip proof (the q_mm_audio_chunks split discipline).
+    "q_mm_phash" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val hashes = containerAssets(s, dir).filter(_.kind == "image")
+        .mapPartitions { it =>
+          it.map { a =>
+            val m = Bmp.parse(a.content).getOrElse(
+              sys.error(s"unparseable BMP for asset ${a.asset_id}"))
+            val payload = java.util.Arrays.copyOfRange(a.content,
+              m.dataOffset.toInt, (m.dataOffset + m.dataBytes).toInt)
+            (a.asset_id, dhash63(payload))
+          }
+        }.toDF("asset_id", "h")
+      val bands = hashes
+        .select(col("asset_id"), col("h"),
+          explode(expr("sequence(0, 3)")).as("bk"))
+        .withColumn("bv",
+          expr("shiftrightunsigned(h, CAST(bk * 16 AS INT)) & 65535"))
+      val capped = graft.ops.LlmOps.capBuckets(
+        bands, Seq("bk", "bv"), "asset_id", MaxNdBucket)
+      val aSide = capped.select(col("bk"), col("bv"),
+        col("asset_id").as("doc_a"), col("h").as("ha"))
+      val bSide = capped.select(col("bk"), col("bv"),
+        col("asset_id").as("doc_b"), col("h").as("hb"))
+      aSide.join(bSide, Seq("bk", "bv"))
+        .where(col("doc_a") < col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(min(expr("bit_count(ha ^ hb)")).as("hm"))
+        .selectExpr("doc_a", "doc_b", "CAST(hm AS BIGINT) AS hamming",
+          s"CAST(CASE WHEN hm <= $PhashMaxHam THEN 1 ELSE 0 END AS BIGINT) AS dup_flag")
+        .orderBy("hamming", "doc_a", "doc_b")
+        .limit(100)
+    }),
+
     "q_mm_neardup" -> ((s: SparkSession, dir: String) => {
       val capped = graft.ops.LlmOps.capBuckets(
         latticeBuckets(s, dir),
@@ -363,7 +413,61 @@ object MultimodalOps extends QueryModule {
     })
   )
 
+  /** q_mm_phash: hamming acceptance threshold — 4 bands of a 63-bit hash
+    * give pigeonhole-exact recall at ≤ 3. */
+  private val PhashMaxHam = 3
+
+  /** Sampled 63-bit dHash over a pixel payload: 72 evenly-strided bytes
+    * as the grayscale proxy, bit k = g(k) > g(k+1). Strides in Long (the
+    * i·n product), bytes unsigned. Empty payload hashes to 0. */
+  private[graft] def dhash63(payload: Array[Byte]): Long = {
+    val n = payload.length
+    if (n == 0) return 0L
+    val g = Array.tabulate(72)(i => payload(((i.toLong * n) / 72).toInt) & 0xFF)
+    var h = 0L
+    var k = 0
+    while (k < 63) { if (g(k) > g(k + 1)) h |= 1L << k; k += 1 }
+    h
+  }
+
   def oracle: Seq[(String, String)] = Seq(
+    "q_mm_phash" ->
+      s"""WITH img AS (
+         |  SELECT doc_id AS asset_id, text, strlen(text) AS n
+         |  FROM documents WHERE doc_id % 3 = 0),
+         |gs AS (
+         |  SELECT asset_id,
+         |         list_transform(range(0, 72), i ->
+         |           ascii(substr(text, CAST((i * n) // 72 AS INT) + 1, 1))) AS g
+         |  FROM img),
+         |hs AS (
+         |  SELECT asset_id,
+         |         list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |           list_transform(range(1, 64), k ->
+         |             CASE WHEN g[k] > g[k + 1]
+         |                  THEN CAST(1 AS BIGINT) << CAST(k - 1 AS INT)
+         |                  ELSE CAST(0 AS BIGINT) END)),
+         |           (a, b) -> a + b) AS h
+         |  FROM gs),
+         |bands AS (
+         |  SELECT asset_id, h, bk,
+         |         (h >> CAST(bk * 16 AS INT)) & 65535 AS bv
+         |  FROM hs CROSS JOIN (SELECT unnest(range(0, 4)) AS bk)),
+         |capped AS (
+         |  SELECT asset_id, h, bk, bv FROM (
+         |    SELECT asset_id, h, bk, bv,
+         |           row_number() OVER (PARTITION BY bk, bv
+         |                              ORDER BY asset_id) AS brn
+         |    FROM bands) WHERE brn <= $MaxNdBucket)
+         |SELECT a.asset_id AS doc_a, b.asset_id AS doc_b,
+         |       CAST(min(bit_count(xor(a.h, b.h))) AS BIGINT) AS hamming,
+         |       CAST(CASE WHEN min(bit_count(xor(a.h, b.h))) <= $PhashMaxHam
+         |                 THEN 1 ELSE 0 END AS BIGINT) AS dup_flag
+         |FROM capped a JOIN capped b
+         |  ON a.bk = b.bk AND a.bv = b.bv AND a.asset_id < b.asset_id
+         |GROUP BY 1, 2
+         |ORDER BY hamming, doc_a, doc_b LIMIT 100""".stripMargin,
+
     "q_mm_decode" ->
       """WITH a AS (
         |  SELECT doc_id AS asset_id,

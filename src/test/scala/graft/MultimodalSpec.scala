@@ -119,4 +119,39 @@ class MultimodalSpec extends SparkTestBase {
       assert(m.nSamples == m.dataBytes / 2)
     }
   }
+
+  test("phash near-dup equals a driver-side dhash-over-text replay (r12)") {
+    val rows = SparkEntry.queries("q_mm_phash")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // driver replay: payload bytes ARE the ASCII text (the assets()
+    // contract), so dhash over text bytes must equal the engine's
+    // dhash over the PARSED container payload
+    val imgs = ops.table(spark, sfDir, "documents")
+      .where(col("doc_id") % 3 === 0)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0),
+        MultimodalOps.dhash63(r.getString(1)
+          .getBytes(java.nio.charset.StandardCharsets.US_ASCII))))
+    val hs = imgs.toMap
+    val imgsSeq: Seq[(Long, Long)] = imgs.toSeq
+    val pairs = scala.collection.mutable.Map.empty[(Long, Long), Long]
+    for (bk <- 0 until 4) {
+      imgsSeq.groupBy { case (_, h) => (h >>> (bk * 16)) & 0xFFFFL }
+        .values.foreach { g =>
+          val kept = g.sortBy(_._1).take(200)
+          for (x <- kept; y <- kept if x._1 < y._1)
+            pairs((x._1, y._1)) = java.lang.Long.bitCount(x._2 ^ y._2).toLong
+        }
+    }
+    val expect = pairs.toSeq
+      .map { case ((a, b), hm) => (a, b, hm, if (hm <= 3) 1L else 0L) }
+      .sortBy { case (a, b, hm, _) => (hm, a, b) }.take(100)
+    assert(rows.toSeq == expect,
+      "engine container-parsed hashes must equal the text-byte replay")
+    // every flagged pair is genuinely close; the hash is non-constant
+    assert(hs.values.toSeq.distinct.length > 1, "hashes collapsed")
+    rows.filter(_._4 == 1L).foreach { case (a, b, hm, _) =>
+      assert(java.lang.Long.bitCount(hs(a) ^ hs(b)) == hm && hm <= 3)
+    }
+  }
 }
