@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Event-analytics operators over `events` (SURVEY §2B, round 3): funnel
@@ -303,6 +304,40 @@ object AnalyticsOps extends QueryModule {
     // the mktsegment funnel trap). Replay: latencies are exact µs BIGINTs;
     // mean_sec is the same two-division double chain in both engines;
     // p50 selects an integer second by value.
+    // Point-in-time feature assembly (r12): the feature-store correctness
+    // primitive — for every purchase (the training label), features
+    // computed from STRICTLY EARLIER events only (rows-frame ending at
+    // 1 PRECEDING under the total order (ts_us, event_id) — equal-instant
+    // rows cannot leak, and the tie order is deterministic in both
+    // engines). Features: prior view/click counts and the µs gap since
+    // the last prior click (-1 when none — an explicit sentinel beats a
+    // NULL in a training matrix). One per-user ordered window pass over
+    // the event scan — user_id is a HIGH-cardinality key (per-partition
+    // size = one user's history, the as-of merge-scan class, not the
+    // 5-value mktsegment trap); no self-join, no per-label subquery.
+    "q_analytics_pit_features" -> ((s: SparkSession, dir: String) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      table(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("ts_us"))
+        .withColumn("n_prior_view",
+          asLong(coalesce(sum(when(col("event_type") === "view", 1L))
+            .over(w), lit(0L))))
+        .withColumn("n_prior_click",
+          asLong(coalesce(sum(when(col("event_type") === "click", 1L))
+            .over(w), lit(0L))))
+        .withColumn("last_click_us",
+          max(when(col("event_type") === "click", col("ts_us"))).over(w))
+        .where(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts_us"),
+          col("n_prior_view"), col("n_prior_click"),
+          coalesce(col("ts_us") - col("last_click_us"), lit(-1L))
+            .as("click_gap_us"))
+        .orderBy("event_id")
+    }),
+
     "q_analytics_stage_latency" -> ((s: SparkSession, dir: String) =>
       stageLatencyReport(funnelTimes(s, dir)
         .select(explode(array(
@@ -704,6 +739,26 @@ object AnalyticsOps extends QueryModule {
   }
 
   def oracle: Seq[(String, String)] = Seq(
+    "q_analytics_pit_features" ->
+      """WITH ev AS (
+        |  SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us
+        |  FROM events),
+        |f AS (
+        |  SELECT event_id, user_id, event_type, ts_us,
+        |         CAST(coalesce(sum(CASE WHEN event_type = 'view' THEN 1 END)
+        |           OVER w, 0) AS BIGINT) AS n_prior_view,
+        |         CAST(coalesce(sum(CASE WHEN event_type = 'click' THEN 1 END)
+        |           OVER w, 0) AS BIGINT) AS n_prior_click,
+        |         max(CASE WHEN event_type = 'click' THEN ts_us END)
+        |           OVER w AS last_click_us
+        |  FROM ev
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+        |SELECT event_id, user_id, ts_us, n_prior_view, n_prior_click,
+        |       coalesce(ts_us - last_click_us, -1) AS click_gap_us
+        |FROM f WHERE event_type = 'purchase'
+        |ORDER BY event_id""".stripMargin,
+
     "q_funnel_steps" ->
       s"""WITH $funnelTimesCte
          |SELECT user_id, view_us, click_us, purchase_us,

@@ -409,4 +409,37 @@ class AnalyticsSpec extends SparkTestBase {
     assert(rows("1_view_to_click") == replay(vc.toSeq))
     assert(rows("2_click_to_purchase") == replay(cp.toSeq))
   }
+
+  test("point-in-time features never leak same-or-later events (r12)") {
+    import org.apache.spark.sql.functions.{col, unix_micros}
+    val rows = q("q_analytics_pit_features").collect().map(r =>
+      (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))).toMap
+    assert(rows.nonEmpty)
+    val ev = ops.table(spark, sfDir, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val byUser = ev.groupBy(_._2)
+    var purchases = 0
+    byUser.values.foreach { es =>
+      val ordered = es.sortBy(e => (e._4, e._1)) // the (ts, id) total order
+      ordered.zipWithIndex.foreach { case ((id, u, tpe, ts), i) =>
+        if (tpe == "purchase") {
+          purchases += 1
+          val prior = ordered.take(i) // STRICTLY earlier under the order
+          val (gu, gts, nv, nc, gap) = {
+            val r = rows(id); (r._1, r._2, r._3, r._4, r._5)
+          }
+          assert(gu == u && gts == ts, s"event $id identity")
+          assert(nv == prior.count(_._3 == "view").toLong, s"event $id views")
+          assert(nc == prior.count(_._3 == "click").toLong, s"event $id clicks")
+          val lastClick = prior.filter(_._3 == "click")
+            .map(_._4).maxOption
+          assert(gap == lastClick.map(ts - _).getOrElse(-1L), s"event $id gap")
+        }
+      }
+    }
+    assert(purchases == rows.size, "one feature row per purchase label")
+  }
 }
