@@ -186,6 +186,107 @@ object DiagOps extends QueryModule {
   private val ccfFormula: Seq[String] =
     acfFormula.map(_.replace(" AS acf", " AS ccf"))
 
+  /** The per-lag Pearson correlogram relation (event_type, lag_h, n, acf)
+    * — the ONE implementation behind q_ts_acf and q_ts_pacf (r12). */
+  private def acfRelOf(s: SparkSession, dir: String): DataFrame = {
+    val ev = table(s, dir, "events")
+      .withColumn("h", expr(s"unix_micros(ts) div $HourUs"))
+    val rng = ev.agg(min("h").as("h0"), max("h").as("h1"))
+    val grid = ev.select("event_type").distinct()
+      .crossJoin(broadcast(rng))
+      .select(col("event_type"), explode(expr("sequence(h0, h1)")).as("h"))
+    val actual = ev.groupBy("event_type", "h")
+      .agg(dsum(col("value")).as("sv"))
+    val g = grid.join(actual, Seq("event_type", "h"), "left")
+      .select(col("event_type"), col("h"),
+        expr("CAST(round(coalesce(sv, 0.0) * 100) AS BIGINT)").as("k"))
+    // lag fan-out via explode on the bounded grid (5 rows per grid row)
+    // — no broadcast-nested-loop join anywhere in the plan
+    val pairs = g
+      .withColumn("lag_h", explode(expr(
+        s"sequence(CAST(1 AS BIGINT), CAST($AcfMaxLag AS BIGINT))")))
+      .join(g.select(col("event_type").as("et2"), col("h").as("h2"),
+        col("k").as("k2")),
+        col("event_type") === col("et2") && col("h2") === col("h") - col("lag_h"))
+      .select(col("event_type"), col("lag_h"), col("k").as("x"), col("k2").as("y"))
+    val agg = pairs
+      .withColumn("pxx", col("x") * col("x"))
+      .withColumn("pyy", col("y") * col("y"))
+      .withColumn("pxy", col("x") * col("y"))
+      .groupBy("event_type", "lag_h")
+      .agg(asLong(count(lit(1))).as("n"),
+        sum(col("x")).cast("double").as("sx"),
+        sum(col("y")).cast("double").as("sy"),
+        sum(expr(s"pxx div $MomentSplit").cast("decimal(38,0)")).cast("double").as("sxxhi"),
+        sum(expr(s"pxx % $MomentSplit").cast("decimal(38,0)")).cast("double").as("sxxlo"),
+        sum(expr(s"pyy div $MomentSplit").cast("decimal(38,0)")).cast("double").as("syyhi"),
+        sum(expr(s"pyy % $MomentSplit").cast("decimal(38,0)")).cast("double").as("syylo"),
+        sum(expr(s"pxy div $MomentSplit").cast("decimal(38,0)")).cast("double").as("sxyhi"),
+        sum(expr(s"pxy % $MomentSplit").cast("decimal(38,0)")).cast("double").as("sxylo"))
+    agg.selectExpr(Seq("event_type", "lag_h", "n") ++ acfFormula: _*)
+  }
+
+  /** q_ts_pacf staged Durbin–Levinson projections (lags 1..3) — ONE text
+    * per engine per stage; num2/den2 both contain the r1·phi11 product
+    * but each engine evaluates the identical double op, so the values
+    * coincide (the exact-integer-re-derivation rule's FP analog: same
+    * inputs + same single op = same result). Zero denominators read 0. */
+  /** The q_ts_acf / q_ts_pacf shared oracle chain — the per-lag Pearson
+    * correlogram to `acfrel(event_type, lag_h, n, acf)` (one text, zero
+    * drift; `g` reads twice inside → MATERIALIZED). */
+  private lazy val acfCte: String =
+    s"""e AS (
+       |  SELECT event_type, epoch_us(ts) // $HourUs AS h, value FROM events),
+       |r AS (SELECT min(h) AS h0, max(h) AS h1 FROM e),
+       |g0 AS (
+       |  SELECT t.event_type, unnest(generate_series(r.h0, r.h1)) AS h
+       |  FROM (SELECT DISTINCT event_type FROM e) t CROSS JOIN r),
+       |a AS (
+       |  SELECT event_type, h,
+       |         CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sv
+       |  FROM e GROUP BY event_type, h),
+       |g AS MATERIALIZED (
+       |  SELECT g0.event_type, g0.h,
+       |         CAST(round(COALESCE(a.sv, 0.0) * 100) AS BIGINT) AS k
+       |  FROM g0 LEFT JOIN a USING (event_type, h)),
+       |l AS (SELECT unnest(generate_series(1, $AcfMaxLag)) AS lag_h),
+       |p AS (
+       |  SELECT x.event_type, l.lag_h, x.k AS x, y.k AS y
+       |  FROM g x CROSS JOIN l
+       |  JOIN g y ON y.event_type = x.event_type AND y.h = x.h - l.lag_h),
+       |m AS (
+       |  SELECT event_type, CAST(lag_h AS BIGINT) AS lag_h,
+       |         CAST(count(*) AS BIGINT) AS n,
+       |         CAST(sum(x) AS DOUBLE) AS sx,
+       |         CAST(sum(y) AS DOUBLE) AS sy,
+       |         CAST(sum(CAST((x * x) // $MomentSplit AS DECIMAL(38,0))) AS DOUBLE) AS sxxhi,
+       |         CAST(sum(CAST((x * x) % $MomentSplit AS DECIMAL(38,0))) AS DOUBLE) AS sxxlo,
+       |         CAST(sum(CAST((y * y) // $MomentSplit AS DECIMAL(38,0))) AS DOUBLE) AS syyhi,
+       |         CAST(sum(CAST((y * y) % $MomentSplit AS DECIMAL(38,0))) AS DOUBLE) AS syylo,
+       |         CAST(sum(CAST((x * y) // $MomentSplit AS DECIMAL(38,0))) AS DOUBLE) AS sxyhi,
+       |         CAST(sum(CAST((x * y) % $MomentSplit AS DECIMAL(38,0))) AS DOUBLE) AS sxylo
+       |  FROM p GROUP BY event_type, lag_h),
+       |acfrel AS (
+       |  SELECT event_type, lag_h, n,
+       |         ${acfFormula.mkString(",\n         ")}
+       |  FROM m)""".stripMargin
+
+  private[graft] val pacfStage1: String = "r1 AS phi11"
+  private[graft] val pacfStage2: Seq[String] = Seq(
+    "CAST(1 AS DOUBLE) - r1 * phi11 AS den2",
+    "r2 - r1 * phi11 AS num2")
+  private[graft] val pacfStage3: String =
+    "CASE WHEN den2 <> CAST(0 AS DOUBLE) THEN num2 / den2" +
+      " ELSE CAST(0 AS DOUBLE) END AS phi22"
+  private[graft] val pacfStage4: String =
+    "phi11 - phi22 * phi11 AS phi21"
+  private[graft] val pacfStage5: Seq[String] = Seq(
+    "(r3 - phi21 * r2) - phi22 * r1 AS num3",
+    "(CAST(1 AS DOUBLE) - phi21 * r1) - phi22 * r2 AS den3")
+  private[graft] val pacfStage6: String =
+    "CASE WHEN den3 <> CAST(0 AS DOUBLE) THEN num3 / den3" +
+      " ELSE CAST(0 AS DOUBLE) END AS phi33"
+
   /** q_ts_bollinger rolling window, in hourly grid rows. */
   private[graft] val BollWindow = 24
 
@@ -740,43 +841,33 @@ object DiagOps extends QueryModule {
     // diverge in ulps), recombined in ONE shared formula string evaluated
     // by both engines. Bound: per-hour cent sums must stay < 3.03e9
     // (|x·y| < 2^63) — ~$30M/hour at 2 decimals, 10^4× the ×10 fixture.
-    "q_ts_acf" -> ((s: SparkSession, dir: String) => {
-      val ev = table(s, dir, "events")
-        .withColumn("h", expr(s"unix_micros(ts) div $HourUs"))
-      val rng = ev.agg(min("h").as("h0"), max("h").as("h1"))
-      val grid = ev.select("event_type").distinct()
-        .crossJoin(broadcast(rng))
-        .select(col("event_type"), explode(expr("sequence(h0, h1)")).as("h"))
-      val actual = ev.groupBy("event_type", "h")
-        .agg(dsum(col("value")).as("sv"))
-      val g = grid.join(actual, Seq("event_type", "h"), "left")
-        .select(col("event_type"), col("h"),
-          expr("CAST(round(coalesce(sv, 0.0) * 100) AS BIGINT)").as("k"))
-      // lag fan-out via explode on the bounded grid (5 rows per grid row)
-      // — no broadcast-nested-loop join anywhere in the plan
-      val pairs = g
-        .withColumn("lag_h", explode(expr(
-          s"sequence(CAST(1 AS BIGINT), CAST($AcfMaxLag AS BIGINT))")))
-        .join(g.select(col("event_type").as("et2"), col("h").as("h2"),
-          col("k").as("k2")),
-          col("event_type") === col("et2") && col("h2") === col("h") - col("lag_h"))
-        .select(col("event_type"), col("lag_h"), col("k").as("x"), col("k2").as("y"))
-      val agg = pairs
-        .withColumn("pxx", col("x") * col("x"))
-        .withColumn("pyy", col("y") * col("y"))
-        .withColumn("pxy", col("x") * col("y"))
-        .groupBy("event_type", "lag_h")
-        .agg(asLong(count(lit(1))).as("n"),
-          sum(col("x")).cast("double").as("sx"),
-          sum(col("y")).cast("double").as("sy"),
-          sum(expr(s"pxx div $MomentSplit").cast("decimal(38,0)")).cast("double").as("sxxhi"),
-          sum(expr(s"pxx % $MomentSplit").cast("decimal(38,0)")).cast("double").as("sxxlo"),
-          sum(expr(s"pyy div $MomentSplit").cast("decimal(38,0)")).cast("double").as("syyhi"),
-          sum(expr(s"pyy % $MomentSplit").cast("decimal(38,0)")).cast("double").as("syylo"),
-          sum(expr(s"pxy div $MomentSplit").cast("decimal(38,0)")).cast("double").as("sxyhi"),
-          sum(expr(s"pxy % $MomentSplit").cast("decimal(38,0)")).cast("double").as("sxylo"))
-      agg.selectExpr(Seq("event_type", "lag_h", "n") ++ acfFormula: _*)
-        .orderBy("event_type", "lag_h")
+    "q_ts_acf" -> ((s: SparkSession, dir: String) =>
+      acfRelOf(s, dir).orderBy("event_type", "lag_h")),
+
+    // Partial autocorrelation (r12): Durbin–Levinson unrolled to lag 3
+    // over the SAME per-lag Pearson r's as q_ts_acf (acfRelOf is the one
+    // implementation) — each recursion level a STAGED named column in a
+    // fixed IEEE order (the abtest/pValueStages discipline; the shared
+    // pacfStageN strings keep the twins drift-free), zero-denominator
+    // guards read 0. The AR-order readout next to acf's raw correlogram:
+    // pacf cutting off after lag p is the classic AR(p) signature.
+    "q_ts_pacf" -> ((s: SparkSession, dir: String) => {
+      val piv = acfRelOf(s, dir).groupBy("event_type")
+        .agg(max(when(col("lag_h") === 1, col("acf"))).as("r1"),
+          max(when(col("lag_h") === 2, col("acf"))).as("r2"),
+          max(when(col("lag_h") === 3, col("acf"))).as("r3"))
+      val base = Seq("event_type", "r1", "r2", "r3")
+      piv
+        .selectExpr(base :+ pacfStage1: _*)
+        .selectExpr(base ++ Seq("phi11") ++ pacfStage2: _*)
+        .selectExpr(base ++ Seq("phi11", "den2", "num2") :+ pacfStage3: _*)
+        .selectExpr(base ++ Seq("phi11", "phi22") :+ pacfStage4: _*)
+        .selectExpr(base ++ Seq("phi11", "phi22", "phi21") ++ pacfStage5: _*)
+        .selectExpr(base ++ Seq("phi11", "phi22", "num3", "den3")
+          :+ pacfStage6: _*)
+        .selectExpr(base ++ Seq("phi11 AS pacf1", "phi22 AS pacf2",
+          "phi33 AS pacf3"): _*)
+        .orderBy("event_type")
     }),
 
     // Benford first-digit audit (r12) — the fraud/synthetic-data
@@ -1866,40 +1957,27 @@ object DiagOps extends QueryModule {
          |FROM w ORDER BY event_type, hour_idx""".stripMargin,
 
     "q_ts_acf" ->
-      s"""WITH e AS (
-         |  SELECT event_type, epoch_us(ts) // $HourUs AS h, value FROM events),
-         |r AS (SELECT min(h) AS h0, max(h) AS h1 FROM e),
-         |g0 AS (
-         |  SELECT t.event_type, unnest(generate_series(r.h0, r.h1)) AS h
-         |  FROM (SELECT DISTINCT event_type FROM e) t CROSS JOIN r),
-         |a AS (
-         |  SELECT event_type, h,
-         |         CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sv
-         |  FROM e GROUP BY event_type, h),
-         |g AS MATERIALIZED (
-         |  SELECT g0.event_type, g0.h,
-         |         CAST(round(COALESCE(a.sv, 0.0) * 100) AS BIGINT) AS k
-         |  FROM g0 LEFT JOIN a USING (event_type, h)),
-         |l AS (SELECT unnest(generate_series(1, $AcfMaxLag)) AS lag_h),
-         |p AS (
-         |  SELECT x.event_type, l.lag_h, x.k AS x, y.k AS y
-         |  FROM g x CROSS JOIN l
-         |  JOIN g y ON y.event_type = x.event_type AND y.h = x.h - l.lag_h),
-         |m AS (
-         |  SELECT event_type, CAST(lag_h AS BIGINT) AS lag_h,
-         |         CAST(count(*) AS BIGINT) AS n,
-         |         CAST(sum(x) AS DOUBLE) AS sx,
-         |         CAST(sum(y) AS DOUBLE) AS sy,
-         |         CAST(sum(CAST((x * x) // $MomentSplit AS DECIMAL(38,0))) AS DOUBLE) AS sxxhi,
-         |         CAST(sum(CAST((x * x) % $MomentSplit AS DECIMAL(38,0))) AS DOUBLE) AS sxxlo,
-         |         CAST(sum(CAST((y * y) // $MomentSplit AS DECIMAL(38,0))) AS DOUBLE) AS syyhi,
-         |         CAST(sum(CAST((y * y) % $MomentSplit AS DECIMAL(38,0))) AS DOUBLE) AS syylo,
-         |         CAST(sum(CAST((x * y) // $MomentSplit AS DECIMAL(38,0))) AS DOUBLE) AS sxyhi,
-         |         CAST(sum(CAST((x * y) % $MomentSplit AS DECIMAL(38,0))) AS DOUBLE) AS sxylo
-         |  FROM p GROUP BY event_type, lag_h)
-         |SELECT event_type, lag_h, n,
-         |       ${acfFormula.mkString(",\n       ")}
-         |FROM m ORDER BY event_type, lag_h""".stripMargin,
+      s"""WITH $acfCte
+         |SELECT event_type, lag_h, n, acf
+         |FROM acfrel ORDER BY event_type, lag_h""".stripMargin,
+
+    "q_ts_pacf" ->
+      s"""WITH $acfCte,
+         |piv AS (
+         |  SELECT event_type,
+         |         max(CASE WHEN lag_h = 1 THEN acf END) AS r1,
+         |         max(CASE WHEN lag_h = 2 THEN acf END) AS r2,
+         |         max(CASE WHEN lag_h = 3 THEN acf END) AS r3
+         |  FROM acfrel GROUP BY event_type),
+         |p1 AS (SELECT event_type, r1, r2, r3, $pacfStage1 FROM piv),
+         |p2 AS (SELECT event_type, r1, r2, r3, phi11, ${pacfStage2.mkString(", ")} FROM p1),
+         |p3 AS (SELECT event_type, r1, r2, r3, phi11, den2, num2, $pacfStage3 FROM p2),
+         |p4 AS (SELECT event_type, r1, r2, r3, phi11, phi22, $pacfStage4 FROM p3),
+         |p5 AS (SELECT event_type, r1, r2, r3, phi11, phi22, phi21, ${pacfStage5.mkString(", ")} FROM p4),
+         |p6 AS (SELECT event_type, r1, r2, r3, phi11, phi22, num3, den3, $pacfStage6 FROM p5)
+         |SELECT event_type, r1, r2, r3,
+         |       phi11 AS pacf1, phi22 AS pacf2, phi33 AS pacf3
+         |FROM p6 ORDER BY event_type""".stripMargin,
 
     // Expected shares embedded from the same code-gen-time constants
     // (shortest-round-trip double literals CAST to DOUBLE parse to the

@@ -1197,6 +1197,31 @@ class MixDiagSpec extends SparkTestBase {
     // covers those.
   }
 
+  test("pacf equals a driver-side Durbin-Levinson replay off the acf rows (r12)") {
+    val acf = q("q_ts_acf").collect()
+      .map(r => ((r.getString(0), r.getLong(1)), r.getDouble(3))).toMap
+    val rows = q("q_ts_pacf").collect().map(r =>
+      (r.getString(0), (r.getDouble(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5), r.getDouble(6)))).toMap
+    assert(rows.nonEmpty)
+    rows.foreach { case (t, (r1, r2, r3, p1, p2, p3)) =>
+      assert(r1 == acf((t, 1L)) && r2 == acf((t, 2L)) && r3 == acf((t, 3L)),
+        s"$t: pacf must read the SAME correlogram as q_ts_acf")
+      // the staged recursion, replicated op-for-op
+      val phi11 = r1
+      val den2 = 1.0 - r1 * phi11
+      val num2 = r2 - r1 * phi11
+      val phi22 = if (den2 != 0.0) num2 / den2 else 0.0
+      val phi21 = phi11 - phi22 * phi11
+      val num3 = (r3 - phi21 * r2) - phi22 * r1
+      val den3 = (1.0 - phi21 * r1) - phi22 * r2
+      val phi33 = if (den3 != 0.0) num3 / den3 else 0.0
+      assert(p1 == phi11 && p2 == phi22 && p3 == phi33, s"$t staged replay")
+      // AR-identity sanity: |pacf| ≤ ~1 on a real correlogram
+      assert(math.abs(p2) <= 1.0 && math.abs(p3) <= 1.5, s"$t magnitude")
+    }
+  }
+
   test("frequent-values profile equals a driver-side recount (r12)") {
     val rows = q("q_profile_freq").collect().map(r =>
       ((r.getString(0), r.getLong(1)), (r.getString(2), r.getLong(3),
