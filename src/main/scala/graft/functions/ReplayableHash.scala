@@ -110,6 +110,12 @@ object ReplayableHash extends Serializable {
     * hash values and the bottom-k set is collision-free by construction. */
   val KmvParams: IndexedSeq[(Long, Long)] = params(1, salt = 14)
 
+  /** Random-walk step-priority family (q_graph_rw_sample; salt 15 — see
+    * the salt registry in CLAUDE.md). One affine member per walk step:
+    * each step picks the neighbor with the minimal hash, and the
+    * mod-prime bijection makes the argmin tie-free on distinct ids. */
+  val RwParams: IndexedSeq[(Long, Long)] = params(4, salt = 15)
+
   // ---- DuckDB SQL twins (generated from the same constants) --------------
 
   /** SQL computing [[tokenHash]] of a string expression. */

@@ -108,6 +108,9 @@ object GraphOps extends QueryModule {
     * MaxEmbBucket, with the cap and tie-break replayed in the oracle. */
   private[graft] val KnnK = 20
 
+  /** q_graph_rw_sample walk length: one salt-15 hash member per step. */
+  private[graft] val RwSteps = 4
+
   /** Integer scale of the resource-allocation link-prediction score:
     * each shared middle w contributes `RaScale div d(w)` (exact BIGINT on
     * both engines — the replayable analog of the 1/deg(w) RA index; mutual
@@ -894,6 +897,39 @@ object GraphOps extends QueryModule {
     // left-anti join against the edge list. Per-middle contributions are
     // attached BEFORE pair generation (one node-keyed join over the
     // O(n·K) adjacency, not the O(n·K²) candidate set).
+    // Deterministic random-walk sampling (r12): the node2vec/DeepWalk
+    // sampling step a graph-embedding pipeline runs at scale — one
+    // 4-step walk per node over the co-purchase adjacency, each step
+    // picking the neighbor with the MINIMAL salt-15 affine hash (one
+    // member per step, the walk "randomness"; the mod-prime bijection
+    // makes every argmin tie-free on distinct ids, so no tie-break
+    // ambiguity can reach the hash gate). Each step is one equi-join on
+    // the memoized adjacency + one partial-aggregating argmin — never a
+    // per-walker loop; 4 steps = 4 bounded-depth jobs regardless of
+    // corpus size. n_unique (distinct nodes on the path) is the
+    // revisit/backtrack readout.
+    "q_graph_rw_sample" -> ((s: SparkSession, dir: String) => {
+      val P = graft.functions.ReplayableHash.P
+      val adj = copurchaseAdj(s, dir)
+      var walk = adj.select(col("src").as("start")).distinct()
+        .withColumn("cur", col("start"))
+      for (t <- 0 until RwSteps) {
+        val (a, b) = graft.functions.ReplayableHash.RwParams(t)
+        val carried = col("start") +: (1 to t).map(i => col(s"n$i"))
+        walk = walk.join(adj, col("cur") === col("src"))
+          .groupBy(carried: _*)
+          .agg(min(struct(
+            expr(s"($a * (dst % $P) + $b) % $P").as("h"),
+            col("dst").as("d"))).as("pick"))
+          .withColumn(s"n${t + 1}", col("pick.d"))
+          .drop("pick")
+          .withColumn("cur", col(s"n${t + 1}"))
+      }
+      walk.selectExpr("start", "n1", "n2", "n3", "n4",
+        "CAST(size(array_distinct(array(start, n1, n2, n3, n4))) AS BIGINT) AS n_unique")
+        .orderBy("start")
+    }),
+
     "q_graph_linkpred" -> ((s: SparkSession, dir: String) => {
       val e = mutualKnnEdges(s, dir)
       val adc = raContributionsFor(s, dir)
@@ -1123,7 +1159,39 @@ object GraphOps extends QueryModule {
        |FROM j$r""".stripMargin
   }.mkString("\nUNION ALL\n")
 
+  /** q_graph_rw_sample twin: [[RwSteps]] unrolled argmin-hash steps over
+    * `adj` — generated from the same RwParams constants as the engine. */
+  private def rwSampleOracle: String = {
+    val P = graft.functions.ReplayableHash.P
+    val steps = (0 until RwSteps).map { t =>
+      val (a, b) = graft.functions.ReplayableHash.RwParams(t)
+      val prev = if (t == 0) "nodes" else s"s$t"
+      val prevCur = if (t == 0) "start" else s"n$t"
+      val carryCols = "start" +: (1 to t).map(i => s"n$i")
+      val carryOut = carryCols.mkString(", ")
+      val carryIn = carryCols.map(c => s"w.$c").mkString(", ")
+      s"""s${t + 1} AS (
+         |  SELECT $carryOut, n${t + 1} FROM (
+         |    SELECT $carryIn, a.dst AS n${t + 1},
+         |           row_number() OVER (PARTITION BY w.start
+         |             ORDER BY ($a * (a.dst % $P) + $b) % $P, a.dst) AS rn
+         |    FROM $prev w JOIN adjm a ON a.src = w.$prevCur) t${t + 1}
+         |  WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    // adjm: the walk reads the adjacency once per step + once for the
+    // node set (5 references) — DuckDB would re-run the basket pair join
+    // per reference without MATERIALIZED (the r9 inlining rule)
+    s"""WITH $copurchaseCte,
+       |adjm AS MATERIALIZED (SELECT src, dst FROM adj),
+       |nodes AS (SELECT DISTINCT src AS start FROM adjm),
+       |$steps
+       |SELECT start, n1, n2, n3, n4,
+       |       CAST(len(list_distinct([start, n1, n2, n3, n4])) AS BIGINT) AS n_unique
+       |FROM s$RwSteps ORDER BY start""".stripMargin
+  }
+
   def oracle: Seq[(String, String)] = Seq(
+    "q_graph_rw_sample" -> rwSampleOracle,
     "q_graph_labelprop" ->
       s"""WITH $copurchaseCte,
          |arcs AS MATERIALIZED (SELECT src, dst FROM adj WHERE n >= $StrongSupport),

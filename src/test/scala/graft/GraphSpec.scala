@@ -421,4 +421,32 @@ class GraphSpec extends SparkTestBase {
       es = kept
     }
   }
+
+  test("random-walk sample equals a driver-side argmin-hash walk replay (r12)") {
+    val rows = q("q_graph_rw_sample").collect().map(r =>
+      (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5)))).toMap
+    assert(rows.nonEmpty)
+    val adj = graft.ops.GraphOps.copurchaseAdj(spark, sfDir)
+      .select("src", "dst").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).map { case (s0, es) => (s0, es.map(_._2)) }
+    val P = graft.functions.ReplayableHash.P
+    val ps = graft.functions.ReplayableHash.RwParams
+    adj.keys.foreach { start =>
+      var cur = start
+      val path = (0 until 4).map { t =>
+        val (a, b) = ps(t)
+        cur = adj(cur).minBy(d => ((a * (d % P) + b) % P, d))
+        cur
+      }
+      val (n1, n2, n3, n4, nu) = {
+        val r = rows(start); (r._1, r._2, r._3, r._4, r._5)
+      }
+      assert((n1, n2, n3, n4) == ((path(0), path(1), path(2), path(3))),
+        s"walk from $start")
+      assert(nu == (start +: path).distinct.length.toLong, s"$start n_unique")
+    }
+    assert(rows.keySet == adj.keySet, "one walk per adjacency node")
+  }
 }
