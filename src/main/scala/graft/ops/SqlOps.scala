@@ -423,7 +423,52 @@ object SqlOps extends QueryModule {
       |  WHERE CAST(l_shipdate AS DATE) >= DATE '1998-03-01'
       |    AND CAST(l_shipdate AS DATE) < DATE '1998-04-01') AS m""".stripMargin
 
+  /** Recursive-CTE BFS (r12): Spark 4's WITH RECURSIVE (SPARK-24497) from
+    * verbatim-shared SQL text — hop-distance histogram from the min node
+    * of a SELF-CONTAINED mutual-KNN co-purchase graph (cap-8 baskets,
+    * per-node top-5 by support, mutual filter ⇒ degree ≤ 5, so the
+    * UNION ALL recursion's path count is ≤ 5³ from one start at ANY
+    * corpus size; the d < 3 bound guarantees termination without
+    * relying on either engine's recursive-dedup semantics). min(d) per
+    * node collapses multi-path visits after the recursion. The graph is
+    * the DECLARED quarter-sample of parts (l_partkey % 4 = 0): Spark's
+    * recursive loop re-evaluates the non-materialized graph plan per
+    * iteration — the unsampled build measured 97 s at ×10 (4 plan
+    * evaluations × the full pair join) and verbatim sharing forbids a
+    * cached temp view, so the sample bounds the per-step cost instead. */
+  private val recursiveBfsSql =
+    """WITH RECURSIVE
+      |base AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+      |         WHERE l_partkey % 4 = 0),
+      |cap AS (
+      |  SELECT o, p FROM (
+      |    SELECT o, p, row_number() OVER (PARTITION BY o ORDER BY p) AS rk
+      |    FROM base) t
+      |  WHERE rk <= 8),
+      |pr AS (
+      |  SELECT a.p AS u, b.p AS v, count(*) AS n
+      |  FROM cap a JOIN cap b ON a.o = b.o AND a.p < b.p
+      |  GROUP BY a.p, b.p),
+      |adj AS (SELECT u, v, n FROM pr UNION ALL SELECT v AS u, u AS v, n FROM pr),
+      |knn AS (
+      |  SELECT u, v FROM (
+      |    SELECT u, v, row_number() OVER (PARTITION BY u ORDER BY n DESC, v) AS rk
+      |    FROM adj) t
+      |  WHERE rk <= 5),
+      |e AS (SELECT a.u, a.v FROM knn a JOIN knn b ON a.u = b.v AND a.v = b.u),
+      |s0 AS (SELECT min(u) AS s FROM e),
+      |bfs(node, d) AS (
+      |  SELECT s, 0 FROM s0
+      |  UNION ALL
+      |  SELECT e.v, bfs.d + 1 FROM bfs JOIN e ON e.u = bfs.node WHERE bfs.d < 3),
+      |lvl AS (SELECT node, CAST(min(d) AS BIGINT) AS hop FROM bfs GROUP BY node)
+      |SELECT hop, CAST(count(*) AS BIGINT) AS n_nodes, CAST(min(node) AS BIGINT) AS first_node
+      |FROM lvl GROUP BY hop ORDER BY hop""".stripMargin
+
   def queries: Seq[(String, Q)] = Seq(
+    "q_sql_recursive_bfs" -> ((s: SparkSession, dir: String) =>
+      graft.GraftSql.run(s, dir, recursiveBfsSql)),
+
     "q_sql_shipping_priority" -> ((s: SparkSession, dir: String) =>
       graft.GraftSql.run(s, dir, shippingPrioritySql)),
 
@@ -480,6 +525,7 @@ object SqlOps extends QueryModule {
   )
 
   def oracle: Seq[(String, String)] = Seq(
+    "q_sql_recursive_bfs" -> recursiveBfsSql,
     "q_sql_shipping_priority" -> shippingPrioritySql,
     "q_sql_revenue_by_nation" -> revenueByNationSql,
     "q_sql_order_priority" -> orderPrioritySql,

@@ -370,6 +370,43 @@ class FacadeSpec extends SparkTestBase {
     assert(rows.toMap.getOrElse(0L, 0L) == urgentOnly, "bucket-0 replay")
   }
 
+  test("SQL entry point: recursive CTE BFS equals a driver-side queue BFS (r12)") {
+    val rows = SparkEntry.queries("q_sql_recursive_bfs")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    assert(rows.nonEmpty && rows.contains(0L))
+    // rebuild the self-contained graph: cap-8 baskets, top-5 by support,
+    // mutual filter
+    val op = ops.table(spark, sfDir, "lineitem")
+      .where(col("l_partkey") % 4 === 0) // the declared quarter-sample
+      .select("l_orderkey", "l_partkey").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val capped = op.groupBy(_._1).values
+      .flatMap(g => g.map(_._2).sorted.take(8).map(p => (g.head._1, p)))
+    val support = scala.collection.mutable.Map.empty[(Long, Long), Long]
+    capped.groupBy(_._1).values.foreach { g =>
+      val ps = g.map(_._2).toSeq.sorted
+      for (a <- ps; b <- ps if a < b)
+        support((a, b)) = support.getOrElse((a, b), 0L) + 1L
+    }
+    val adj = support.toSeq.flatMap { case ((a, b), n) => Seq((a, b, n), (b, a, n)) }
+    val knn = adj.groupBy(_._1).values.flatMap(g =>
+      g.sortBy(x => (-x._3, x._2)).take(5).map(x => (x._1, x._2))).toSet
+    val e = knn.filter { case (u, v) => knn((v, u)) }
+      .groupBy(_._1).map { case (u, es) => (u, es.map(_._2).toSeq) }
+    // queue BFS to depth 3 from the min node
+    val start = e.keys.min
+    var frontier = Set(start)
+    var seen = Map(start -> 0L)
+    for (d <- 1L to 3L) {
+      frontier = frontier.flatMap(n => e.getOrElse(n, Nil))
+        .filterNot(seen.contains)
+      seen ++= frontier.map(_ -> d)
+    }
+    val expect = seen.groupBy(_._2).map { case (d, m) =>
+      (d, (m.size.toLong, m.keys.min)) }
+    assert(rows == expect, "recursive-CTE hops must equal the queue BFS")
+  }
+
   test("SQL entry point: Q14 promo share is the staged division readback (r12)") {
     val r = SparkEntry.queries("q_sql_promo_revenue")(spark, sfDir).collect().head
     val (n, promo, total, share) =
