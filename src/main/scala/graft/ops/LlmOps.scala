@@ -731,6 +731,46 @@ object LlmOps extends QueryModule {
         .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
         .orderBy("keep_id")),
 
+    // Duplication-vs-language χ² audit (r12): is exact duplication
+    // INDEPENDENT of language, or does one lang's scrape pipeline leak
+    // dups? Per-doc dup flag (its sha256 family has >1 member — the
+    // exact_dedup relation read per doc), lang × flag contingency, and
+    // each language's χ² contribution through STAGED single-division
+    // formulas (expected counts from exact BIGINT products). NO
+    // cross-language float total is emitted: a windowed or grouped sum
+    // of the double contributions would be FP-order-dependent (the
+    // anova segment-tree lesson) — the per-lang contributions ARE the
+    // readout ("which language drives the dependence"), and the spec
+    // totals them driver-side against the critical value. Cells are
+    // lang-bounded; the sha relation is corpus-sized but its join key
+    // is the 64-char digest, never raw text.
+    "q_llm_dup_lang_chi2" -> ((s: SparkSession, dir: String) => {
+      val docs = table(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), sha2(col("text"), 256).as("sha"))
+      val fam = docs.groupBy("sha").agg(count(lit(1)).as("nc"))
+      val flagged = docs.join(fam, "sha")
+        .select(col("lang"),
+          when(col("nc") > 1, 1L).otherwise(0L).as("dup"))
+      val byLang = flagged.groupBy("lang")
+        .agg(asLong(count(lit(1))).as("n_docs"),
+          asLong(sum(col("dup"))).as("n_dup"))
+      val tot = byLang.agg(asLong(sum("n_docs")).as("tot_n"),
+        asLong(sum("n_dup")).as("tot_dup"))
+      byLang.crossJoin(broadcast(tot))
+        .selectExpr("lang", "n_docs", "n_dup", "tot_n", "tot_dup",
+          "CAST(n_dup AS DOUBLE) / n_docs AS dup_rate",
+          "CAST(n_docs * tot_dup AS DOUBLE) / tot_n AS e_dup",
+          "CAST(n_docs * (tot_n - tot_dup) AS DOUBLE) / tot_n AS e_keep")
+        .selectExpr("lang", "n_docs", "n_dup", "dup_rate", "e_dup", "e_keep",
+          "CAST(n_dup AS DOUBLE) - e_dup AS d1",
+          "CAST(n_docs - n_dup AS DOUBLE) - e_keep AS d2")
+        .selectExpr("lang", "n_docs", "n_dup", "dup_rate", "e_dup",
+          "CASE WHEN e_dup > CAST(0 AS DOUBLE) AND e_keep > CAST(0 AS DOUBLE)" +
+            " THEN d1 * d1 / e_dup + d2 * d2 / e_keep" +
+            " ELSE CAST(0 AS DOUBLE) END AS chi2_lang")
+        .orderBy("lang")
+    }),
+
     // Span-level exact dedup stats (the "duplicated training-data spans"
     // operator of corpus curation — Lee et al. 2022's substring dedup,
     // block-granular and sized to this corpus's short docs): disjoint
@@ -2024,6 +2064,36 @@ object LlmOps extends QueryModule {
     "q_llm_exact_dedup" ->
       """SELECT sha256(text) AS text_sha, min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY sha256(text) ORDER BY keep_id""".stripMargin,
+
+    "q_llm_dup_lang_chi2" ->
+      """WITH docs AS (
+        |  SELECT doc_id, lang, sha256(text) AS sha FROM documents),
+        |fam AS (SELECT sha, CAST(count(*) AS BIGINT) AS nc FROM docs GROUP BY sha),
+        |flagged AS (
+        |  SELECT d.lang, CASE WHEN fam.nc > 1 THEN 1 ELSE 0 END AS dup
+        |  FROM docs d JOIN fam USING (sha)),
+        |byl AS (
+        |  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |         CAST(sum(dup) AS BIGINT) AS n_dup
+        |  FROM flagged GROUP BY lang),
+        |tot AS (
+        |  SELECT CAST(sum(n_docs) AS BIGINT) AS tot_n,
+        |         CAST(sum(n_dup) AS BIGINT) AS tot_dup
+        |  FROM byl),
+        |st1 AS (
+        |  SELECT lang, n_docs, n_dup, tot_n, tot_dup,
+        |         CAST(n_dup AS DOUBLE) / n_docs AS dup_rate,
+        |         CAST(n_docs * tot_dup AS DOUBLE) / tot_n AS e_dup,
+        |         CAST(n_docs * (tot_n - tot_dup) AS DOUBLE) / tot_n AS e_keep
+        |  FROM byl CROSS JOIN tot),
+        |st2 AS (
+        |  SELECT lang, n_docs, n_dup, dup_rate, e_dup, e_keep,
+        |         CAST(n_dup AS DOUBLE) - e_dup AS d1,
+        |         CAST(n_docs - n_dup AS DOUBLE) - e_keep AS d2
+        |  FROM st1)
+        |SELECT lang, n_docs, n_dup, dup_rate, e_dup,
+        |       CASE WHEN e_dup > CAST(0 AS DOUBLE) AND e_keep > CAST(0 AS DOUBLE) THEN d1 * d1 / e_dup + d2 * d2 / e_keep ELSE CAST(0 AS DOUBLE) END AS chi2_lang
+        |FROM st2 ORDER BY lang""".stripMargin,
 
     // Positional token hashes (NOT the distinct-token tokenHashCte —
     // block identity is order-sensitive), fixed-width complete blocks,

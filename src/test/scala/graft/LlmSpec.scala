@@ -770,6 +770,40 @@ class LlmSpec extends SparkTestBase {
     assert(rows.toSeq == again.toSeq, "re-run equality (memoized codebooks)")
   }
 
+  test("dup-vs-lang chi2 equals a driver-side contingency replay (r12)") {
+    val rows = q("q_llm_dup_lang_chi2").collect().map(r =>
+      (r.getString(0), (r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5)))).toMap
+    assert(rows.nonEmpty)
+    val docs = docsDf.select("lang", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val famSize = docs.groupBy(_._2).map { case (t, xs) => (t, xs.length) }
+    val byLang = docs.groupBy(_._1).map { case (l, ds) =>
+      (l, (ds.length.toLong, ds.count(d => famSize(d._2) > 1).toLong))
+    }
+    val totN = byLang.values.map(_._1).sum
+    val totDup = byLang.values.map(_._2).sum
+    byLang.foreach { case (l, (n, nd)) =>
+      val (gn, gnd, rate, eDup, chi) = {
+        val r = rows(l); (r._1, r._2, r._3, r._4, r._5)
+      }
+      assert((gn, gnd) == ((n, nd)), s"$l contingency")
+      assert(rate == nd.toDouble / n, s"$l rate")
+      val e1 = (n * totDup).toDouble / totN
+      val e0 = (n * (totN - totDup)).toDouble / totN
+      assert(eDup == e1, s"$l expected dups")
+      val d1 = nd.toDouble - e1
+      val d2 = (n - nd).toDouble - e0
+      val expect = if (e1 > 0 && e0 > 0) d1 * d1 / e1 + d2 * d2 / e0 else 0.0
+      assert(chi == expect, s"$l staged chi2 contribution")
+    }
+    // driver-side TOTAL (the engine deliberately emits none — FP-order):
+    // with 5 langs, df = 4, critical value at 5% is 9.488; the statistic
+    // is data, not a pin — just require it finite and non-negative
+    val total = rows.values.map(_._5).sum
+    assert(total >= 0.0 && !total.isNaN && !total.isInfinite)
+  }
+
   test("ADC search: shortlist-then-rerank equals an exact rerank of the shortlist (r12)") {
     val rows = q("q_llm_pq_adc").collect().map(r =>
       (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
