@@ -1029,6 +1029,51 @@ object DiagOps extends QueryModule {
         .orderBy("event_type", "hour_idx")
     }),
 
+    // Candlestick pattern scan (r12) over the hourly OHLC bars — the
+    // rule-based sequential-pattern read next to q_ts_ohlc's raw bars:
+    // three-white-soldiers (three consecutive up bars with strictly
+    // rising closes) and bullish engulfing (an up bar whose CENT body
+    // spans the prior down bar's). All comparisons run on cent BIGINTs
+    // (the raw-double bars would hand the flags to FP equality), bars
+    // pair by CONSECUTIVE-BAR lag in hour order (declared: empty hours
+    // produce no bar and do not break a pattern), and the okey
+    // DECIMAL(38) order key is the ohlc precedent (HUGEINT in the twin,
+    // never reaches the output schema). Windows run over the
+    // span-bounded bar relation; the report is one ≤#types rollup.
+    "q_ts_candles" -> ((s: SparkSession, dir: String) => {
+      val bars = table(s, dir, "events")
+        .withColumn("h", expr(s"unix_micros(ts) div $HourUs"))
+        .withColumn("c", expr("CAST(round(value * 100) AS BIGINT)"))
+        .withColumn("okey", expr(
+          "CAST(unix_micros(ts) AS DECIMAL(38,0)) * 10000000000000000000BD" +
+            " + CAST(event_id AS DECIMAL(38,0))"))
+        .groupBy("event_type", "h")
+        .agg(expr("min_by(c, okey)").as("oc"),
+          expr("max_by(c, okey)").as("cc"))
+      val w = Window.partitionBy("event_type").orderBy("h")
+      bars
+        .withColumn("up", col("cc") > col("oc"))
+        .withColumn("up1", lag("up", 1).over(w))
+        .withColumn("up2", lag("up", 2).over(w))
+        .withColumn("cc1", lag("cc", 1).over(w))
+        .withColumn("cc2", lag("cc", 2).over(w))
+        .withColumn("oc1", lag("oc", 1).over(w))
+        .withColumn("tws", col("up") && col("up1") && col("up2") &&
+          col("cc") > col("cc1") && col("cc1") > col("cc2"))
+        .withColumn("eng", col("up") && !col("up1") &&
+          col("oc") <= col("cc1") && col("cc") >= col("oc1"))
+        .groupBy("event_type")
+        .agg(asLong(count(lit(1))).as("n_bars"),
+          asLong(sum(when(col("up"), 1L).otherwise(0L))).as("n_up"),
+          asLong(sum(when(col("tws"), 1L).otherwise(0L))).as("n_three_white"),
+          asLong(sum(when(col("eng"), 1L).otherwise(0L))).as("n_engulf"),
+          asLong(coalesce(max(when(col("tws"), col("h"))), lit(-1L)))
+            .as("last_three_white"),
+          asLong(coalesce(max(when(col("eng"), col("h"))), lit(-1L)))
+            .as("last_engulf"))
+        .orderBy("event_type")
+    }),
+
     // Truncated EWMA smoothing of the zero-filled hourly value series per
     // event type — the trend/denoise pass before anomaly thresholds or
     // forecast features. Window = the K=8 most recent grid hours with
@@ -2148,6 +2193,40 @@ object DiagOps extends QueryModule {
          |       arg_max(value, okey) AS close,
          |       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS volume
          |FROM e GROUP BY event_type, h ORDER BY event_type, hour_idx""".stripMargin,
+
+    "q_ts_candles" ->
+      s"""WITH e AS (
+         |  SELECT event_type, epoch_us(ts) // $HourUs AS h,
+         |         CAST(round(value * 100) AS BIGINT) AS c,
+         |         CAST(epoch_us(ts) AS HUGEINT) * 10000000000000000000
+         |           + event_id AS okey
+         |  FROM events),
+         |bars AS (
+         |  SELECT event_type, h,
+         |         arg_min(c, okey) AS oc, arg_max(c, okey) AS cc
+         |  FROM e GROUP BY event_type, h),
+         |fl AS (
+         |  SELECT event_type, h, cc > oc AS up,
+         |         lag(cc > oc, 1) OVER w AS up1,
+         |         lag(cc > oc, 2) OVER w AS up2,
+         |         lag(cc, 1) OVER w AS cc1,
+         |         lag(cc, 2) OVER w AS cc2,
+         |         lag(oc, 1) OVER w AS oc1,
+         |         oc, cc
+         |  FROM bars
+         |  WINDOW w AS (PARTITION BY event_type ORDER BY h)),
+         |pt AS (
+         |  SELECT event_type, h, up,
+         |         (up AND up1 AND up2 AND cc > cc1 AND cc1 > cc2) AS tws,
+         |         (up AND NOT up1 AND oc <= cc1 AND cc >= oc1) AS eng
+         |  FROM fl)
+         |SELECT event_type, CAST(count(*) AS BIGINT) AS n_bars,
+         |       CAST(sum(CASE WHEN up THEN 1 ELSE 0 END) AS BIGINT) AS n_up,
+         |       CAST(sum(CASE WHEN tws THEN 1 ELSE 0 END) AS BIGINT) AS n_three_white,
+         |       CAST(sum(CASE WHEN eng THEN 1 ELSE 0 END) AS BIGINT) AS n_engulf,
+         |       CAST(coalesce(max(CASE WHEN tws THEN h END), -1) AS BIGINT) AS last_three_white,
+         |       CAST(coalesce(max(CASE WHEN eng THEN h END), -1) AS BIGINT) AS last_engulf
+         |FROM pt GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q_ts_trend" ->
       s"""WITH e AS (

@@ -1197,6 +1197,45 @@ class MixDiagSpec extends SparkTestBase {
     // covers those.
   }
 
+  test("candlestick patterns equal a driver-side bar replay (r12)") {
+    val rows = q("q_ts_candles").collect().map(r =>
+      (r.getString(0), (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    assert(rows.nonEmpty)
+    val ev = ops.table(spark, sfDir, "events")
+      .selectExpr("event_type", "unix_micros(ts) AS us", "event_id",
+        "CAST(round(value * 100) AS BIGINT) AS c").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    ev.groupBy(_._1).foreach { case (t, es) =>
+      val bars = es.groupBy(e => e._2 / 3600000000L).toSeq.sortBy(_._1)
+        .map { case (h, g) =>
+          val sorted = g.sortBy(e => (e._2, e._3)) // the okey order
+          (h, sorted.head._4, sorted.last._4)      // (hour, open_c, close_c)
+        }
+      var (nUp, nTws, nEng) = (0L, 0L, 0L)
+      var (lastT, lastE) = (-1L, -1L)
+      bars.zipWithIndex.foreach { case ((h, oc, cc), i) =>
+        val up = cc > oc
+        if (up) nUp += 1
+        if (i >= 2) {
+          val (_, o1, c1) = bars(i - 1); val (_, _, c2) = bars(i - 2)
+          if (up && c1 > o1 && bars(i - 2)._3 > bars(i - 2)._2 &&
+              cc > c1 && c1 > c2) { nTws += 1; lastT = h }
+        }
+        if (i >= 1) {
+          val (_, o1, c1) = bars(i - 1)
+          if (up && !(c1 > o1) && oc <= c1 && cc >= o1) { nEng += 1; lastE = h }
+        }
+      }
+      val (nb, gu, gt, ge, lt, le) = {
+        val r = rows(t); (r._1, r._2, r._3, r._4, r._5, r._6)
+      }
+      assert(nb == bars.length.toLong && gu == nUp, s"$t bar/up counts")
+      assert(gt == nTws && ge == nEng, s"$t pattern counts")
+      assert(lt == lastT && le == lastE, s"$t last-occurrence hours")
+    }
+  }
+
   test("pacf equals a driver-side Durbin-Levinson replay off the acf rows (r12)") {
     val acf = q("q_ts_acf").collect()
       .map(r => ((r.getString(0), r.getLong(1)), r.getDouble(3))).toMap
