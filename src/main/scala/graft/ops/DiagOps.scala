@@ -425,6 +425,40 @@ object DiagOps extends QueryModule {
     "CASE WHEN z < -1.96e0 THEN 'clustered'" +
       " WHEN z > 1.96e0 THEN 'oscillating' ELSE 'random' END AS verdict"
 
+  /** q_ts_periodogram: integer-quantized DFT tables. For each probed
+    * period p and residue r ∈ [0, p): cr = round(cos(2πr/p)·2^16),
+    * sr = round(sin(2πr/p)·2^16) — BIGINT literals GENERATED from this one
+    * constant set into both engines (the ReplayableHash discipline), so
+    * neither engine calls libm and no strtod surface exists at query time.
+    * Quantization error ~2^-16 relative on the spectral estimate — a
+    * declared trade, same spirit as the ilog2 quanta entropy. */
+  private[graft] val DftQ = 65536L
+  private[graft] val DftPeriods = Seq(24, 168)
+  private[graft] val dftTable: Seq[(Int, Int, Long, Long)] =
+    DftPeriods.flatMap { p =>
+      (0 until p).map { r =>
+        val th = 2.0 * math.Pi * r / p
+        (p, r, math.round(math.cos(th) * DftQ), math.round(math.sin(th) * DftQ))
+      }
+    }
+  private[graft] val dftTableSql: String =
+    dftTable.map { case (p, r, c, sn) => s"($p, $r, $c, $sn)" }.mkString(", ")
+
+  /** Staged periodogram readout over (asum, bsum, n_hours) — ONE formula
+    * text per engine, each op a single IEEE division / multiply in fixed
+    * left-associated order. asum/bsum are exact integers (|Σ cr·d| ≤
+    * 2^16 · Σ|d| with d = n·s_r − cnt_r·T; ~1.1e17 at sf0.1 — below 2^53
+    * is NOT required: BIGINT→DOUBLE casts are correctly rounded in both
+    * engines, and the oracle funnels its HUGEINT sum through CAST(… AS
+    * BIGINT), which ERRORS loudly past 2^63 — documented bound,
+    * hi/lo-split (the q_agg_skew rule) if a corpus ever approaches it). */
+  private[graft] val dftAFormula: String =
+    s"CAST(asum AS DOUBLE) / CAST($DftQ AS DOUBLE) / CAST(n_hours AS DOUBLE) AS a_dft"
+  private[graft] val dftBFormula: String =
+    s"CAST(bsum AS DOUBLE) / CAST($DftQ AS DOUBLE) / CAST(n_hours AS DOUBLE) AS b_dft"
+  private[graft] val dftPowerFormula: String =
+    "a_dft * a_dft + b_dft * b_dft AS power"
+
   /** Shared Bollinger projections over (k, n, s1, s2hi, s2lo) — ONE
     * formula set in both engines: window mean/σ from exact hi/lo-split
     * BIGINT moments (the q_agg_skew split), sample variance clamped at 0
@@ -1072,6 +1106,48 @@ object DiagOps extends QueryModule {
           asLong(coalesce(max(when(col("eng"), col("h"))), lit(-1L)))
             .as("last_engulf"))
         .orderBy("event_type")
+    }),
+
+    // Integer-quantized periodogram (r12c3): DFT spectral power of the
+    // demeaned zero-filled hourly cent series per event type at the
+    // daily (24 h) and weekly (168 h) candidate periods — the
+    // seasonality-STRENGTH readout next to q_ts_seasonal's profile and
+    // q_ts_acf's correlogram. cos/sin enter as GENERATED 2^16-scaled
+    // BIGINT literals (dftTable — no libm, no strtod), and because the
+    // basis is residue-periodic the per-hour sum collapses to residue
+    // classes: a = Σ_r cr·d_r with d_r = n·s_r − cnt_r·T exactly the
+    // n-scaled demeaned class sum — ALL integer until the three staged
+    // readout ops. FP addition order never matters (integer sums are
+    // order-free — the anova pivot exists because ITS terms are doubles).
+    // Scale: one grid pass fanned ×|periods| into a ≤ #types·Σp residue
+    // agg; the stats join is a broadcast ≤#types relation off an RDD
+    // leaf (explicit, r7 rule); the literal table broadcasts 192 rows.
+    "q_ts_periodogram" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val g = hourlyCentGrid(s, dir).localCheckpoint(true)
+      val st = g.groupBy("event_type")
+        .agg(count(lit(1)).as("n_hours"), sum("k").as("t"))
+      val res = g
+        .select(col("event_type"), col("h"), col("k"),
+          explode(array(DftPeriods.map(p => lit(p)): _*)).as("period"))
+        .groupBy(col("event_type"), col("period"),
+          expr("h % period").as("r"))
+        .agg(sum("k").as("sk"), count(lit(1)).as("cnt"))
+      val tab = dftTable.toDF("period", "r", "cr", "sr")
+      res.join(broadcast(st), "event_type")
+        .withColumn("d", expr("n_hours * sk - cnt * t"))
+        .join(broadcast(tab), Seq("period", "r"))
+        .groupBy("event_type", "period")
+        .agg(asLong(max("n_hours")).as("n_hours"),
+          sum(expr("cr * d")).as("asum"),
+          sum(expr("sr * d")).as("bsum"))
+        .selectExpr("event_type", "CAST(period AS BIGINT) AS period",
+          "n_hours", "asum", "bsum")
+        .selectExpr("event_type", "period", "n_hours", dftAFormula,
+          dftBFormula)
+        .selectExpr("event_type", "period", "n_hours", "a_dft", "b_dft",
+          dftPowerFormula)
+        .orderBy("event_type", "period")
     }),
 
     // Truncated EWMA smoothing of the zero-filled hourly value series per
@@ -2227,6 +2303,36 @@ object DiagOps extends QueryModule {
          |       CAST(coalesce(max(CASE WHEN tws THEN h END), -1) AS BIGINT) AS last_three_white,
          |       CAST(coalesce(max(CASE WHEN eng THEN h END), -1) AS BIGINT) AS last_engulf
          |FROM pt GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_ts_periodogram" ->
+      s"""WITH $centGridCte,
+         |tab(period, rr, cr, sr) AS (VALUES $dftTableSql),
+         |st AS (
+         |  SELECT event_type, count(*) AS n_hours, sum(k) AS t
+         |  FROM g GROUP BY event_type),
+         |res AS (
+         |  SELECT g.event_type, p.period, g.h % p.period AS rr,
+         |         sum(g.k) AS sk, count(*) AS cnt
+         |  FROM g CROSS JOIN (SELECT DISTINCT period FROM tab) p
+         |  GROUP BY 1, 2, 3),
+         |tm AS (
+         |  SELECT res.event_type, res.period,
+         |         max(st.n_hours) AS n_hours,
+         |         CAST(sum(tab.cr * (st.n_hours * res.sk - res.cnt * st.t))
+         |           AS BIGINT) AS asum,
+         |         CAST(sum(tab.sr * (st.n_hours * res.sk - res.cnt * st.t))
+         |           AS BIGINT) AS bsum
+         |  FROM res
+         |  JOIN st USING (event_type)
+         |  JOIN tab ON tab.period = res.period AND tab.rr = res.rr
+         |  GROUP BY 1, 2),
+         |ab AS (
+         |  SELECT event_type, period, n_hours, $dftAFormula, $dftBFormula
+         |  FROM tm)
+         |SELECT event_type, CAST(period AS BIGINT) AS period,
+         |       CAST(n_hours AS BIGINT) AS n_hours, a_dft, b_dft,
+         |       $dftPowerFormula
+         |FROM ab ORDER BY event_type, period""".stripMargin,
 
     "q_ts_trend" ->
       s"""WITH e AS (

@@ -1236,6 +1236,43 @@ class MixDiagSpec extends SparkTestBase {
     }
   }
 
+  test("periodogram equals a driver-side quantized-DFT replay (r12c3)") {
+    val out = q("q_ts_periodogram").collect()
+      .map(r => ((r.getString(0), r.getLong(1)),
+        (r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))))
+      .toMap
+    assert(out.nonEmpty)
+    val grid = ops.DiagOps.hourlyCentGrid(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(grid.nonEmpty)
+    grid.groupBy(_._1).foreach { case (t, rows) =>
+      val n = rows.length.toLong
+      val tot = rows.map(_._3).sum
+      Seq(24, 168).foreach { p =>
+        var asum = 0L
+        var bsum = 0L
+        rows.groupBy(_._2 % p).foreach { case (r, grp) =>
+          val sk = grp.map(_._3).sum
+          val cnt = grp.length.toLong
+          val d = n * sk - cnt * tot
+          val th = 2.0 * math.Pi * r / p
+          asum += math.round(math.cos(th) * 65536) * d
+          bsum += math.round(math.sin(th) * 65536) * d
+        }
+        val a = asum.toDouble / 65536.0d / n.toDouble
+        val b = bsum.toDouble / 65536.0d / n.toDouble
+        val (gn, ga, gb, gp) = out((t, p.toLong))
+        assert(gn == n, s"$t p=$p n_hours")
+        assert(ga == a && gb == b, s"$t p=$p DFT coefficients")
+        assert(gp == a * a + b * b, s"$t p=$p power")
+      }
+    }
+    // the quantized tables themselves: first residue of every period is
+    // the exact (cos 0, sin 0) = (2^16, 0) lattice point
+    assert(ops.DiagOps.dftTable.filter(_._2 == 0)
+      .forall(t => t._3 == 65536L && t._4 == 0L))
+  }
+
   test("pacf equals a driver-side Durbin-Levinson replay off the acf rows (r12)") {
     val acf = q("q_ts_acf").collect()
       .map(r => ((r.getString(0), r.getLong(1)), r.getDouble(3))).toMap
