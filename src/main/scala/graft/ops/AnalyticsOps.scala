@@ -121,6 +121,30 @@ object AnalyticsOps extends QueryModule {
         s"ELSE ($poly * pv_tt) * pv_e64 END"))
   }
 
+  /** The abtest Taylor+squaring exponential GENERALIZED (r12c3): staged
+    * replayable e^(−x) for 0 ≤ x ≤ 16 — u = x/64 ≤ 0.25, the same 14-term
+    * alternating Horner Taylor of e^(−u), six explicit squarings. Every
+    * stage is a NAMED column in both engines (the pValueStages
+    * discipline); callers chain the pairs in order and read
+    * `<prefix>_e64`. q_llm_quality_logit's sigmoid is the first consumer
+    * beyond the p-value. */
+  private[graft] def expNegStages(
+      prefix: String, xExpr: String): Seq[(String, String)] = {
+    val u = s"${prefix}_u"
+    val taylor = (14 to 1 by -1).foldLeft("1") { (acc, k) =>
+      if (k == 1) s"(1 - $u * $acc)" else s"(1 - $u * $acc / $k)"
+    }
+    Seq(
+      u -> s"($xExpr) / 64",
+      s"${prefix}_e1" -> taylor,
+      s"${prefix}_e2" -> s"${prefix}_e1 * ${prefix}_e1",
+      s"${prefix}_e4" -> s"${prefix}_e2 * ${prefix}_e2",
+      s"${prefix}_e8" -> s"${prefix}_e4 * ${prefix}_e4",
+      s"${prefix}_e16" -> s"${prefix}_e8 * ${prefix}_e8",
+      s"${prefix}_e32" -> s"${prefix}_e16 * ${prefix}_e16",
+      s"${prefix}_e64" -> s"${prefix}_e32 * ${prefix}_e32")
+  }
+
   /** Driver-side Scala twin of [[pValueStages]] (same operation order) —
     * AnalyticsSpec pins it against reference normal-CDF values. */
   private[graft] def pValueNormal(t: Double): Double = {
@@ -377,6 +401,50 @@ object AnalyticsOps extends QueryModule {
     // the channel string ((t_us, id) is unique per event).
     "q_analytics_attribution" -> ((s: SparkSession, dir: String) =>
       lastTouchAttribution(table(s, dir, "events")).orderBy("channel")),
+
+    // Discrete-time survival table (r12c3): Kaplan–Meier life table of
+    // time-to-REORDER in week buckets — per customer, each consecutive
+    // pair of distinct order DAYS is an observed event at week
+    // (gap div 7); the LAST order day is right-censored at the corpus'
+    // max order day (the standard censoring treatment; censored subjects
+    // stay in the risk set AT their censor week). Per week: events,
+    // censored, at-risk (n_subj − the exclusive integer cumsum — exact
+    // BIGINT, so window tree shape is irrelevant) and the discrete
+    // hazard d/R as ONE exact-int division. The cumulative product-limit
+    // survivor S(t) is deliberately NOT shipped (an unordered FP product
+    // does not replay — the q_analytics_abtest erf precedent; hazards
+    // carry the full information). Scale: per-customer lead window
+    // (high-cardinality key), one week-keyed agg; only the ≤#weeks
+    // (time-SPAN-bounded) life table crosses the single cum window —
+    // the StreamingQuantile cum+total shape.
+    "q_analytics_survival" -> ((s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.expressions.Window
+      val d0 = table(s, dir, "orders")
+        .select(col("o_custkey").as("cust"),
+          ntzMillis(col("o_orderdate")).as("ms"))
+        .withColumn("day", expr("ms div 86400000"))
+        .select("cust", "day").distinct()
+      val mx = d0.agg(asLong(max("day")).as("max_day"))
+      val nxt = d0.withColumn("nday",
+        lead("day", 1).over(Window.partitionBy("cust").orderBy("day")))
+      val subj = nxt.crossJoin(broadcast(mx))
+        .select(
+          when(col("nday").isNotNull, expr("(nday - day) div 7"))
+            .otherwise(expr("(max_day - day) div 7")).as("w"),
+          when(col("nday").isNotNull, 1L).otherwise(0L).as("ev"))
+      val tbl = subj.groupBy("w")
+        .agg(asLong(sum("ev")).as("d"),
+          asLong(sum(expr("1 - ev"))).as("c"))
+      val tot = tbl.agg(asLong(sum(expr("d + c"))).as("n_subj"))
+      tbl.crossJoin(broadcast(tot))
+        .withColumn("at_risk", asLong(col("n_subj") - coalesce(
+          sum(expr("d + c")).over(Window.orderBy("w")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L))))
+        .selectExpr("CAST(w AS BIGINT) AS week", "d AS n_events",
+          "c AS n_censored", "at_risk",
+          "CAST(d AS DOUBLE) / CAST(at_risk AS DOUBLE) AS hazard")
+        .orderBy("week")
+    }),
 
     // Gap-based sessionization: a user's events split into sessions at
     // >30-minute silences; emit per-session stats (the session relation
@@ -831,6 +899,36 @@ object AnalyticsOps extends QueryModule {
          |       count(*) AS n_conv,
          |       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS revenue
          |FROM w WHERE kind = 0 GROUP BY channel ORDER BY channel""".stripMargin,
+
+    "q_analytics_survival" ->
+      """WITH d0 AS (
+        |  SELECT DISTINCT o_custkey AS cust,
+        |         epoch_ms(o_orderdate) // 86400000 AS day
+        |  FROM orders),
+        |mx AS (SELECT max(day) AS max_day FROM d0),
+        |nx AS (
+        |  SELECT cust, day,
+        |         lead(day, 1) OVER (PARTITION BY cust ORDER BY day) AS nday
+        |  FROM d0),
+        |subj AS (
+        |  SELECT CASE WHEN nday IS NOT NULL THEN (nday - day) // 7
+        |              ELSE (mx.max_day - day) // 7 END AS w,
+        |         CASE WHEN nday IS NOT NULL THEN 1 ELSE 0 END AS ev
+        |  FROM nx CROSS JOIN mx),
+        |tbl AS (
+        |  SELECT w, CAST(sum(ev) AS BIGINT) AS d,
+        |         CAST(sum(1 - ev) AS BIGINT) AS c
+        |  FROM subj GROUP BY w),
+        |tot AS (SELECT CAST(sum(d + c) AS BIGINT) AS n_subj FROM tbl),
+        |rk AS (
+        |  SELECT w, d, c,
+        |         CAST(n_subj - COALESCE(sum(d + c) OVER (ORDER BY w
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |           AS BIGINT) AS at_risk
+        |  FROM tbl CROSS JOIN tot)
+        |SELECT CAST(w AS BIGINT) AS week, d AS n_events, c AS n_censored,
+        |       at_risk, CAST(d AS DOUBLE) / CAST(at_risk AS DOUBLE) AS hazard
+        |FROM rk ORDER BY week""".stripMargin,
 
     "q_analytics_sessionize" ->
       s"""WITH ev AS (

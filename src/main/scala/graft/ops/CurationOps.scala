@@ -53,6 +53,70 @@ object CurationOps extends QueryModule {
       " THEN CAST(m * sxy - sx * sy AS DOUBLE) / CAST(m * sxx - sx * sx AS DOUBLE)" +
       " ELSE CAST(0 AS DOUBLE) END AS zipf_slope_q"
 
+  /** q_text_stem_vocab: the two light-stemmer rewrite stages as ONE
+    * formula text per stage in BOTH engines (the forecastFormulas
+    * twin-body rule) — plain CASE / LIKE / length / substring, all in the
+    * ANSI intersection with identical semantics (char-counted length,
+    * 1-based substring; LIKE special chars live only in the literal
+    * pattern side). Stage 1 is the plural step (sses→ss, ies→i, keep ss,
+    * drop trailing s), stage 2 strips -ing/-ed with minimum-stem-length
+    * guards — an ordered-rule Porter-LIGHT by declaration (no vowel
+    * analysis: a measure-based Porter needs per-char scans that neither
+    * engine expresses in the shared dialect). Lowercase suffixes only
+    * (the corpus tokenization is lowercase; uppercase tokens pass
+    * through, declared). */
+  private[graft] val stemStage1Formula: String =
+    "CASE WHEN length(token) > 4 AND token LIKE '%sses'" +
+      " THEN substring(token, 1, length(token) - 2)" +
+      " WHEN length(token) > 4 AND token LIKE '%ies'" +
+      " THEN substring(token, 1, length(token) - 2)" +
+      " WHEN token LIKE '%ss' THEN token" +
+      " WHEN length(token) > 3 AND token LIKE '%s'" +
+      " THEN substring(token, 1, length(token) - 1)" +
+      " ELSE token END AS st1"
+  /** q_llm_quality_logit: staged fixed-weight logistic scorer. Feature
+    * ratios (one FP division each over exact BIGINTs), the clamped logit
+    * z = −2 + 4·ttr + 0.5·(mwl − 4) + dl/256 in fixed left-associated
+    * order (every fractional constant CAST to DOUBLE — the r9 DECIMAL-
+    * literal rule; 0.5 is exactly representable), then the abtest
+    * Taylor+squaring kernel (AnalyticsOps.expNegStages) for e^(−|z|) and
+    * the two-branch sigmoid — every stage a NAMED column in both engines,
+    * generated from THIS one Seq. */
+  private[graft] val qualityLogitStages: Seq[(String, String)] = {
+    def c(d: String) = s"CAST($d AS DOUBLE)"
+    Seq(
+      "ttr" -> "CAST(types AS DOUBLE) / CAST(dl AS DOUBLE)",
+      "mwl" -> "CAST(chars AS DOUBLE) / CAST(dl AS DOUBLE)",
+      "z_raw" -> (s"${c("-2")} + ${c("4")} * ttr + ${c("0.5")} * (mwl - ${c("4")})" +
+        s" + CAST(dl AS DOUBLE) / ${c("256")}"),
+      "z" -> (s"CASE WHEN z_raw > 16 THEN ${c("16")}" +
+        s" WHEN z_raw < -16 THEN ${c("-16")} ELSE z_raw END")) ++
+      AnalyticsOps.expNegStages("ql", "abs(z)") :+
+      ("q_score" -> ("CASE WHEN z >= 0 THEN 1 / (1 + ql_e64)" +
+        " ELSE ql_e64 / (1 + ql_e64) END"))
+  }
+
+  /** Driver-side Scala twin of [[qualityLogitStages]]' clamp+sigmoid tail
+    * (same operation order) — the spec pins it against math.exp and the
+    * query output. */
+  private[graft] def sigmoidReplay(z: Double): Double = {
+    val zc = if (z > 16) 16.0 else if (z < -16) -16.0 else z
+    val u = math.abs(zc) / 64
+    var e = 1.0
+    var k = 14
+    while (k >= 1) { e = if (k == 1) 1 - u * e else 1 - u * e / k; k -= 1 }
+    var e64 = e
+    for (_ <- 0 until 6) e64 = e64 * e64
+    if (zc >= 0) 1 / (1 + e64) else e64 / (1 + e64)
+  }
+
+  private[graft] val stemStage2Formula: String =
+    "CASE WHEN length(st1) > 5 AND st1 LIKE '%ing'" +
+      " THEN substring(st1, 1, length(st1) - 3)" +
+      " WHEN length(st1) > 4 AND st1 LIKE '%ed'" +
+      " THEN substring(st1, 1, length(st1) - 2)" +
+      " ELSE st1 END AS stem"
+
   /** q_text_rank_fusion: per-list depth and the classic RRF constant. */
   private val RrfK = 100
   private val RrfC = 60
@@ -1020,6 +1084,39 @@ object CurationOps extends QueryModule {
         .orderBy("source")
     }),
 
+    // Rule-based light-stemmer vocabulary audit (r12c3): how much of the
+    // per-language type inventory collapses under a Porter-LIGHT suffix
+    // stemmer (plural step + -ing/-ed step, stemStage1/2Formula — ONE
+    // text per engine) — the normalization-gain readout a tokenizer
+    // pipeline checks before spending vocab slots on inflectional
+    // variants. Per lang: type count, stem count, types rewritten,
+    // largest merged family, Σtf, and the type/stem compression ratio
+    // (one double division over exact integers). Scale: rides the
+    // memoized token index; the (lang, token) and (lang, stem) exchanges
+    // sit above map-side partial aggs (the vocab/5b bounded shape) and
+    // everything after the type agg is vocab-bounded.
+    "q_text_stem_vocab" -> ((s: SparkSession, dir: String) => {
+      val types = TextOps.tokenIndexFor(s, dir)
+        .groupBy("lang", "token")
+        .agg(sum("tf").as("tfl"))
+      val stemmed = types
+        .selectExpr("lang", "token", "tfl", stemStage1Formula)
+        .selectExpr("lang", "token", "tfl", stemStage2Formula)
+      stemmed.groupBy("lang", "stem")
+        .agg(count(lit(1)).as("nt"), sum("tfl").as("tfs"),
+          sum(when(col("stem") =!= col("token"), 1L).otherwise(0L))
+            .as("nch"))
+        .groupBy("lang")
+        .agg(asLong(sum("nt")).as("n_types"),
+          asLong(count(lit(1))).as("n_stems"),
+          asLong(sum("nch")).as("n_changed"),
+          asLong(max("nt")).as("max_family"),
+          asLong(sum("tfs")).as("tokens_total"))
+        .withColumn("type_stem_ratio",
+          expr("CAST(n_types AS DOUBLE) / CAST(n_stems AS DOUBLE)"))
+        .orderBy("lang")
+    }),
+
     // Zipf-law curve in log2 bins (r12): the corpus-law readout a
     // curation pipeline checks before trusting token statistics — group
     // the vocabulary by ilog2(corpus tf) (≤63 bins by construction, so
@@ -1094,6 +1191,31 @@ object CurationOps extends QueryModule {
         Some("qbuckets|" +
           SourceSinkOps.fixtureKey(dir, "documents.parquet")))
         .orderBy("lang", "bucket")),
+
+    // Fixed-weight LOGISTIC quality scorer (r12c3) — the model-shaped
+    // complement to the gopher rule gate: a per-doc sigmoid score from
+    // interpretable features (type-token ratio, mean word length, doc
+    // length), the shape a fasttext-style quality classifier head takes
+    // at inference. The whole scorer REPLAYS bit-exactly: features are
+    // single divisions over exact BIGINTs, the clamped logit is one
+    // fixed-order chain, and e^(−|z|) is the abtest Taylor+squaring
+    // kernel (expNegStages — exp is BUILT, not called; libm never runs).
+    // Weights are fixed constants by declaration (training the head is a
+    // learning problem, not a query). Scale: one agg over the memoized
+    // token index; everything after is per-doc projections off the scan.
+    "q_llm_quality_logit" -> ((s: SparkSession, dir: String) => {
+      val ft = TextOps.tokenIndexFor(s, dir)
+        .groupBy("doc_id")
+        .agg(asLong(sum("tf")).as("dl"),
+          asLong(count(lit(1))).as("types"),
+          asLong(sum(expr("length(token) * tf"))).as("chars"))
+      qualityLogitStages.foldLeft(ft) { case (df, (nm, f)) =>
+        df.selectExpr(df.columns.toIndexedSeq :+ s"$f AS $nm": _*)
+      }
+        .select(col("doc_id"), col("dl"), col("types"), col("chars"),
+          col("ttr"), col("mwl"), col("z"), col("q_score"))
+        .orderBy("doc_id")
+    }),
 
     // Gopher-style repetition/shape rules (Rae et al. 2021 §A1.1, r11):
     // per doc — token count bounds, mean token length band, alphabetic
@@ -1589,6 +1711,33 @@ object CurationOps extends QueryModule {
         |       CAST(sum(CASE WHEN stf = 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS hapax_share
         |FROM st GROUP BY source ORDER BY source""".stripMargin,
 
+    "q_text_stem_vocab" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, lang, token, CAST(count(*) AS BIGINT) AS tf FROM (
+         |    SELECT doc_id, lang, unnest(string_split(text, ' ')) AS token
+         |    FROM documents)
+         |  WHERE length(token) > 0 GROUP BY doc_id, lang, token),
+         |ty AS (
+         |  SELECT lang, token, CAST(sum(tf) AS BIGINT) AS tfl
+         |  FROM tok GROUP BY lang, token),
+         |s1 AS (SELECT lang, token, tfl, $stemStage1Formula FROM ty),
+         |s2 AS (SELECT lang, token, tfl, $stemStage2Formula FROM s1),
+         |fam AS (
+         |  SELECT lang, stem, count(*) AS nt, sum(tfl) AS tfs,
+         |         sum(CASE WHEN stem <> token THEN 1 ELSE 0 END) AS nch
+         |  FROM s2 GROUP BY lang, stem),
+         |rep AS (
+         |  SELECT lang, CAST(sum(nt) AS BIGINT) AS n_types,
+         |         CAST(count(*) AS BIGINT) AS n_stems,
+         |         CAST(sum(nch) AS BIGINT) AS n_changed,
+         |         CAST(max(nt) AS BIGINT) AS max_family,
+         |         CAST(sum(tfs) AS BIGINT) AS tokens_total
+         |  FROM fam GROUP BY lang)
+         |SELECT lang, n_types, n_stems, n_changed, max_family, tokens_total,
+         |       CAST(n_types AS DOUBLE) / CAST(n_stems AS DOUBLE)
+         |         AS type_stem_ratio
+         |FROM rep ORDER BY lang""".stripMargin,
+
     "q_llm_truncation" ->
       s"""WITH tok AS (
          |  SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM (
@@ -1692,6 +1841,27 @@ object CurationOps extends QueryModule {
         |                  AND 5 * al >= 4 * n AND 10 * mx <= tot AND 8 * dup <= tot
         |            THEN 1 ELSE 0 END AS BIGINT) AS keep
         |FROM j ORDER BY doc_id""".stripMargin,
+
+    "q_llm_quality_logit" -> {
+      val stageCtes = qualityLogitStages.zipWithIndex.map { case ((nm, f), i) =>
+        val src = if (i == 0) "ft" else s"qls${i - 1}"
+        s"qls$i AS (SELECT *, $f AS $nm FROM $src)"
+      }.mkString(",\n")
+      val last = s"qls${qualityLogitStages.length - 1}"
+      s"""WITH tok AS (
+         |  SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf FROM (
+         |    SELECT doc_id, unnest(string_split(text, ' ')) AS token
+         |    FROM documents)
+         |  WHERE length(token) > 0 GROUP BY doc_id, token),
+         |ft AS (
+         |  SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl,
+         |         CAST(count(*) AS BIGINT) AS types,
+         |         CAST(sum(length(token) * tf) AS BIGINT) AS chars
+         |  FROM tok GROUP BY doc_id),
+         |$stageCtes
+         |SELECT doc_id, dl, types, chars, ttr, mwl, z, q_score
+         |FROM $last ORDER BY doc_id""".stripMargin
+    },
 
     "q_llm_quality_buckets" ->
       """WITH t AS (

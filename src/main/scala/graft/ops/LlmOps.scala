@@ -48,6 +48,19 @@ object LlmOps extends QueryModule {
   /** Similarity floor for emitted near-dup pairs: 1 − dist/maxlen ≥ 0.8. */
   private[graft] val EditSimTau = 0.8
 
+  /** q_llm_tf_cosine: emission floor and report cap. 0.5 is exactly
+    * representable, so the threshold comparison has no strtod surface. */
+  private[graft] val TfCosTau = 0.5
+  private[graft] val TfCosLimit = 200
+
+  /** Shared tf-cosine readout over exact BIGINT (dot, ss_a, ss_b) — ONE
+    * formula text in both engines: sqrt is IEEE-correctly-rounded (the
+    * mix_alpha rule) and the single divide-by-product is one fixed-order
+    * FP op each. Integer inputs stay < 2^53 (tf² sums over a doc's
+    * vocabulary — documented bound). */
+  private[graft] val tfCosFormula: String =
+    "CAST(dot AS DOUBLE) / (sqrt(CAST(ss_a AS DOUBLE)) * sqrt(CAST(ss_b AS DOUBLE))) AS tf_cos"
+
   /** Deterministic ±1 hyperplane families for the two sign-LSH paths —
     * shared by the Spark queries and their generated SQL twins. Plane dots
     * and cosines over `array<double>` accumulate IEEE doubles in INDEX
@@ -1270,6 +1283,47 @@ object LlmOps extends QueryModule {
         .limit(200)
     }),
 
+    // Exact term-frequency COSINE over the LSH candidates (r12c3) — the
+    // multiset-similarity complement to q_llm_ngram_jaccard's set Jaccard
+    // and q_llm_bow_dedup's exact multiset digest: Jaccard ignores
+    // repetition, the bow digest only answers equal/not-equal, tf-cosine
+    // ranks partial template overlap. Numerator and norms are EXACT
+    // BIGINTs off the memoized tf index (dot = Σ tf_a·tf_b via a
+    // (doc, 60-bit shingle-key digest) equi-join — tokens NEVER ride an
+    // exchange as strings, rule 5b); the readout is the shared
+    // tfCosFormula (sqrt+divide, IEEE-exact). Engine and oracle BOTH
+    // aggregate tf by digest, so a digest collision (merged tf) cannot
+    // split the gate. Pair volume is LSH-cap-bounded; the ss relation is
+    // O(#docs) and joins SHUFFLED (the dup_clusters never-broadcast
+    // rule).
+    "q_llm_tf_cosine" -> ((s: SparkSession, dir: String) => {
+      graft.functions.GraftFunctions.register(s)
+      val cands = candidateIndexFor(s, dir)._3
+        .where(col("n_shared_bands") >= 2)
+      val idx = TextOps.tokenIndexFor(s, dir)
+        .select(col("doc_id"),
+          call_function("shingle_key", col("token")).as("tk"), col("tf"))
+        .groupBy("doc_id", "tk").agg(sum("tf").as("tf"))
+      val ss = idx.groupBy("doc_id").agg(sum(expr("tf * tf")).as("ss"))
+      val dot = cands
+        .join(idx.select(col("doc_id").as("doc_a"), col("tk"),
+          col("tf").as("tfa")), "doc_a")
+        .join(idx.select(col("doc_id").as("doc_b"), col("tk"),
+          col("tf").as("tfb")), Seq("doc_b", "tk"))
+        .groupBy("doc_a", "doc_b").agg(sum(expr("tfa * tfb")).as("dot"))
+      dot
+        .join(ss.select(col("doc_id").as("doc_a"), col("ss").as("ss_a")),
+          "doc_a")
+        .join(ss.select(col("doc_id").as("doc_b"), col("ss").as("ss_b")),
+          "doc_b")
+        .selectExpr("doc_a", "doc_b", "CAST(dot AS BIGINT) AS dot",
+          "CAST(ss_a AS BIGINT) AS ss_a", "CAST(ss_b AS BIGINT) AS ss_b",
+          tfCosFormula)
+        .where(col("tf_cos") >= TfCosTau)
+        .orderBy(desc("tf_cos"), asc("doc_a"), asc("doc_b"))
+        .limit(TfCosLimit)
+    }),
+
     // One-pass MinHash signatures via the typed aggregate
     // (graft.functions.MinHashAgg): one K-long array buffer per group
     // instead of K min() columns — the SURVEY §4.2 sketch-aggregate path.
@@ -2060,6 +2114,42 @@ object LlmOps extends QueryModule {
          |  LEFT JOIN ix ON ix.doc_a = c.doc_a AND ix.doc_b = c.doc_b)
          |SELECT doc_a, doc_b, jaccard FROM jc WHERE jaccard >= 0.2
          |ORDER BY jaccard DESC, doc_a, doc_b LIMIT 200""".stripMargin,
+
+    "q_llm_tf_cosine" ->
+      s"""WITH
+         |${RH.tokenHashCte},
+         |${RH.minhashSigsCte(NumHashes)},
+         |${RH.lshBandsCte},
+         |${cappedBandsSql(MaxBucket)},
+         |cand AS (
+         |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b
+         |  FROM capped x JOIN capped y USING (band, bh)
+         |  WHERE x.doc_id < y.doc_id
+         |  GROUP BY 1, 2 HAVING count(*) >= 2),
+         |tfx AS (
+         |  SELECT doc_id, ${RH.shingleKeySql("token")} AS tk,
+         |         CAST(count(*) AS BIGINT) AS tf FROM (
+         |    SELECT doc_id, unnest(string_split(text, ' ')) AS token
+         |    FROM documents)
+         |  WHERE length(token) > 0 GROUP BY doc_id, tk),
+         |ssq AS (
+         |  SELECT doc_id, CAST(sum(tf * tf) AS BIGINT) AS ss
+         |  FROM tfx GROUP BY doc_id),
+         |dt AS (
+         |  SELECT c.doc_a, c.doc_b, CAST(sum(a.tf * b.tf) AS BIGINT) AS dot
+         |  FROM cand c
+         |  JOIN tfx a ON a.doc_id = c.doc_a
+         |  JOIN tfx b ON b.doc_id = c.doc_b AND b.tk = a.tk
+         |  GROUP BY c.doc_a, c.doc_b),
+         |fin AS (
+         |  SELECT dt.doc_a, dt.doc_b, dt.dot, sa.ss AS ss_a, sb.ss AS ss_b,
+         |         $tfCosFormula
+         |  FROM dt
+         |  JOIN ssq sa ON sa.doc_id = dt.doc_a
+         |  JOIN ssq sb ON sb.doc_id = dt.doc_b)
+         |SELECT doc_a, doc_b, dot, ss_a, ss_b, tf_cos FROM fin
+         |WHERE tf_cos >= $TfCosTau
+         |ORDER BY tf_cos DESC, doc_a, doc_b LIMIT $TfCosLimit""".stripMargin,
 
     "q_llm_exact_dedup" ->
       """SELECT sha256(text) AS text_sha, min(doc_id) AS keep_id, count(*) AS n_copies

@@ -58,6 +58,41 @@ class AnalyticsSpec extends SparkTestBase {
     }
   }
 
+  test("survival life table equals a driver-side KM replay (r12c3)") {
+    val rows = q("q_analytics_survival").collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))))
+    assert(rows.nonEmpty)
+    val orders = ops.table(spark, sfDir, "orders")
+      .selectExpr("o_custkey", "unix_millis(CAST(o_orderdate AS TIMESTAMP)) div 86400000 AS day")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val byCust = orders.distinct.groupBy(_._1).view.mapValues(_.map(_._2).sorted)
+    val maxDay = orders.map(_._2).max
+    val subj = scala.collection.mutable.ArrayBuffer.empty[(Long, Int)]
+    byCust.foreach { case (_, ds) =>
+      ds.zip(ds.tail).foreach { case (a, b) => subj += (((b - a) / 7, 1)) }
+      subj += (((maxDay - ds.last) / 7, 0))
+    }
+    val tbl = subj.groupBy(_._1).view
+      .mapValues(g => (g.count(_._2 == 1).toLong, g.count(_._2 == 0).toLong))
+      .toMap
+    val total = subj.size.toLong
+    assert(rows.map(_._1).toSeq == rows.map(_._1).toSeq.sorted.distinct)
+    var consumed = 0L
+    rows.foreach { case (w, (d, c, atRisk, hz)) =>
+      val (ed, ec) = tbl(w)
+      assert((d, c) == ((ed, ec)), s"week $w event/censor counts")
+      // at-risk = subjects with event-or-censor week >= w; weeks appear
+      // sorted, so the exclusive prefix equals everything consumed so far
+      assert(atRisk == total - consumed, s"week $w at-risk")
+      consumed += d + c
+      assert(hz == d.toDouble / atRisk.toDouble, s"week $w hazard")
+      assert(hz >= 0.0 && hz <= 1.0, s"week $w hazard range")
+    }
+    assert(tbl.keySet == rows.map(_._1).toSet, "occupied week buckets")
+    assert(rows.head._2._3 == total, "week-0 risk set is every subject")
+  }
+
   test("retention offset-0 cell equals the cohort size") {
     val rows = q("q_retention_cohort").collect()
       .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2)))

@@ -717,6 +717,45 @@ class CurationSpec extends SparkTestBase {
       "13-gram-flagged docs must be 5-gram-flagged on this fixture")
   }
 
+  test("quality logit replays the staged sigmoid exactly (r12c3)") {
+    // kernel sanity: the staged sigmoid tracks libm's within the A-S
+    // Taylor truncation budget across the clamp range, saturates beyond
+    for (z <- Seq(-16.5, -16.0, -8.0, -2.0, -0.5, 0.0, 0.5, 2.0, 8.0, 16.0, 20.0)) {
+      val got = graft.ops.CurationOps.sigmoidReplay(z)
+      val zc = math.max(-16.0, math.min(16.0, z))
+      val ref = 1.0 / (1.0 + math.exp(-zc))
+      assert(math.abs(got - ref) < 1e-9, s"sigmoid($z) = $got, ref $ref")
+    }
+    // monotone in z on a grid (the kernel never inverts an order)
+    val grid = (-160 to 160).map(_ / 10.0)
+      .map(graft.ops.CurationOps.sigmoidReplay)
+    assert(grid.zip(grid.tail).forall { case (a, b) => a <= b })
+
+    val rows = q("q_llm_quality_logit").collect()
+    assert(rows.nonEmpty)
+    val docs = ops.table(spark, sfDir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    rows.foreach { r =>
+      val (id, dl, types, chars) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      val toks = docs(id).split(" ").filter(_.nonEmpty)
+      assert(dl == toks.length.toLong, s"dl for $id")
+      assert(types == toks.distinct.length.toLong, s"types for $id")
+      assert(chars == toks.map(_.length.toLong).sum, s"chars for $id")
+      val ttr = types.toDouble / dl.toDouble
+      val mwl = chars.toDouble / dl.toDouble
+      val z = -2.0 + 4.0 * ttr + 0.5 * (mwl - 4.0) + dl.toDouble / 256.0
+      val zc = if (z > 16) 16.0 else if (z < -16) -16.0 else z
+      assert(r.getDouble(4) == ttr && r.getDouble(5) == mwl, s"features $id")
+      assert(r.getDouble(6) == zc, s"logit for $id")
+      assert(r.getDouble(7) == graft.ops.CurationOps.sigmoidReplay(z),
+        s"score for $id")
+    }
+    // the fixture should spread scores, not collapse to one value
+    assert(rows.map(_.getDouble(7)).distinct.length > 10)
+  }
+
   test("gopher rules replay exactly against a brute-force driver pass") {
     val rows = q("q_llm_gopher_quality").collect()
     val docs = ops.table(spark, sfDir, "documents")

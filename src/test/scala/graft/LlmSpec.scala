@@ -133,6 +133,35 @@ class LlmSpec extends SparkTestBase {
     }
   }
 
+  test("tf-cosine rows equal a driver-side multiset recount (r12c3)") {
+    val docs = ops.table(spark, sfDir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0),
+        r.getString(1).split(" ").filter(_.nonEmpty)
+          .groupBy(identity).map { case (t, g) => (t, g.length.toLong) }))
+      .toMap
+    def ssOf(m: Map[String, Long]): Long = m.values.map(v => v * v).sum
+    def dotOf(a: Map[String, Long], b: Map[String, Long]): Long =
+      a.iterator.map { case (t, v) => v * b.getOrElse(t, 0L) }.sum
+    val got = q("q_llm_tf_cosine").collect()
+      .map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))))
+    assert(got.nonEmpty)
+    got.foreach { case ((a, b), (dot, ssa, ssb, cos)) =>
+      val (ma, mb) = (docs(a), docs(b))
+      assert(dot == dotOf(ma, mb) && ssa == ssOf(ma) && ssb == ssOf(mb),
+        s"integer parts for ($a, $b)")
+      val expect = dot.toDouble / (math.sqrt(ssa.toDouble) * math.sqrt(ssb.toDouble))
+      assert(cos == expect, s"cosine replay for ($a, $b)")
+      assert(cos >= 0.5 && cos <= 1.0 + 1e-12, s"cosine range for ($a, $b)")
+    }
+    // multiset-vs-set separation: cosine sees repetition Jaccard cannot —
+    // identical-token-SET pairs with different tf profiles score < 1
+    val anyBelowOne = got.exists(_._2._4 < 1.0 - 1e-12)
+    assert(anyBelowOne || got.size < 3,
+      "every emitted pair scored exactly 1.0 — multiset path untested")
+  }
+
   // ---- similarity search vs driver-side ground truth ---------------------
 
   private lazy val vectors: Array[(Long, Array[Double])] =

@@ -552,6 +552,52 @@ class TextSpec extends SparkTestBase {
     }
   }
 
+  test("stem vocab equals a driver-side stemmer replay (r12c3)") {
+    def stem(t: String): String = {
+      val s1 =
+        if (t.length > 4 && t.endsWith("sses")) t.dropRight(2)
+        else if (t.length > 4 && t.endsWith("ies")) t.dropRight(2)
+        else if (t.endsWith("ss")) t
+        else if (t.length > 3 && t.endsWith("s")) t.dropRight(1)
+        else t
+      if (s1.length > 5 && s1.endsWith("ing")) s1.dropRight(3)
+      else if (s1.length > 4 && s1.endsWith("ed")) s1.dropRight(2)
+      else s1
+    }
+    // rule pins: each stage's branches on canonical cases
+    assert(stem("glasses") == "glass" && stem("flies") == "fli")
+    assert(stem("class") == "class" && stem("dogs") == "dog")
+    assert(stem("its") == "its" && stem("is") == "is") // >3 length guard
+    assert(stem("running") == "run" + "n" && stem("doing") == "doing")
+    assert(stem("walked") == "walk" && stem("used") == "used")
+
+    val rows = q("q_text_stem_vocab").collect().map(r =>
+      (r.getString(0), (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getDouble(6)))).toMap
+    assert(rows.nonEmpty)
+    val docs = ops.table(spark, sfDir, "documents")
+      .select("lang", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    docs.groupBy(_._1).foreach { case (lang, ds) =>
+      val counts = scala.collection.mutable.Map.empty[String, Long]
+      ds.foreach(_._2.split(" ").filter(_.nonEmpty)
+        .foreach(t => counts(t) = counts.getOrElse(t, 0L) + 1L))
+      val fam = counts.toSeq.groupBy { case (t, _) => stem(t) }
+      val nTypes = counts.size.toLong
+      val nStems = fam.size.toLong
+      val nChanged = counts.keys.count(t => stem(t) != t).toLong
+      val maxFam = fam.values.map(_.size).max.toLong
+      val tokTotal = counts.values.sum
+      val (gt, gs, gc, gm, gn, gr) = {
+        val t = rows(lang); (t._1, t._2, t._3, t._4, t._5, t._6)
+      }
+      assert((gt, gs, gc, gm, gn) ==
+        ((nTypes, nStems, nChanged, maxFam, tokTotal)), s"counts for $lang")
+      assert(gr == nTypes.toDouble / nStems.toDouble, s"ratio for $lang")
+      assert(gs <= gt, s"stem count cannot exceed type count for $lang")
+    }
+  }
+
   test("truncation audit equals a driver-side token recount (r12)") {
     val rows = q("q_llm_truncation").collect().map(r =>
       (r.getString(0), (r.getLong(1), r.getLong(2), r.getLong(3),
