@@ -59,6 +59,11 @@ object PlanAudit {
          _: LocalLimitExec | _: CollectLimitExec => true
     case leaf @ (_: RDDScanExec | _: LocalTableScanExec) =>
       leaf.execute().count() < TinySideRows
+    // a literal Range is STATICALLY bounded — and Spark eliminates a
+    // .limit(n) over range(n) (maxRows <= limit), so the limit-proof
+    // idiom never reaches the physical plan for ranges (r12c3,
+    // q_layout_zonemap's predicate relation)
+    case r: RangeExec => r.numElements < TinySideRows
     // a reused exchange is a leaf REFERENCE — judge the exchange it reuses
     case r: ReusedExchangeExec => boundedBelow(r.child)
     case other if other.children.isEmpty => false

@@ -38,7 +38,7 @@ object DiagOps extends QueryModule {
   private val WinsorBucket = 4096L
 
   /** Micros per hour (gap-fill bucket). */
-  private val HourUs = 3600000000L
+  private[graft] val HourUs = 3600000000L
 
   /** hi/lo split base for the 3rd/4th scaled-moment sums: each partial sum
     * stays below 2^53 at the oracle scales, so BOTH engines' (decimal →
@@ -348,13 +348,19 @@ object DiagOps extends QueryModule {
   private[graft] def hourlyCentGrid(s: SparkSession, dir: String): DataFrame = {
     val ev = table(s, dir, "events")
       .withColumn("h", expr(s"unix_micros(ts) div $HourUs"))
-    val rng = ev.agg(min("h").as("h0"), max("h").as("h1"))
-    val grid = ev.select("event_type").distinct()
+    gridOf(ev.groupBy("event_type", "h").agg(dsum(col("value")).as("sv")))
+  }
+
+  /** The grid assembly behind [[hourlyCentGrid]], factored (r12c3) over
+    * any per-hour relation `(event_type, h, sv DOUBLE)` so the streaming
+    * twin's state-table read induces the IDENTICAL zero-filled cent grid
+    * (StreamingPeriodogram.report). Same ops, same round, same types. */
+  private[graft] def gridOf(hourly: DataFrame): DataFrame = {
+    val rng = hourly.agg(min("h").as("h0"), max("h").as("h1"))
+    val grid = hourly.select("event_type").distinct()
       .crossJoin(broadcast(rng))
       .select(col("event_type"), explode(expr("sequence(h0, h1)")).as("h"))
-    val actual = ev.groupBy("event_type", "h")
-      .agg(dsum(col("value")).as("sv"))
-    grid.join(actual, Seq("event_type", "h"), "left")
+    grid.join(hourly, Seq("event_type", "h"), "left")
       .select(col("event_type"), col("h"),
         expr("CAST(round(coalesce(sv, 0.0) * 100) AS BIGINT)").as("k"))
   }
@@ -452,12 +458,64 @@ object DiagOps extends QueryModule {
     * engines, and the oracle funnels its HUGEINT sum through CAST(… AS
     * BIGINT), which ERRORS loudly past 2^63 — documented bound,
     * hi/lo-split (the q_agg_skew rule) if a corpus ever approaches it). */
+  /** q_ts_perm_entropy: ordinal-pattern id of the hour-ordered triple
+    * (a, b, c) = (lag2, lag1, current) under the (value, position)
+    * lexicographic total order (ties rank the EARLIER hour lower — the
+    * standard stable treatment, so the id is always one of the 6 valid
+    * permutations). rank(x) = #elements strictly before x in that order;
+    * id = ra·9 + rb·3 + rc — pure integer CASE sums, ONE formula text in
+    * both engines. */
+  private[graft] val permPatternFormula: String =
+    "(CASE WHEN b < a THEN 1 ELSE 0 END + CASE WHEN c < a THEN 1 ELSE 0 END) * 9" +
+      " + (CASE WHEN a <= b THEN 1 ELSE 0 END + CASE WHEN c < b THEN 1 ELSE 0 END) * 3" +
+      " + (CASE WHEN a <= c THEN 1 ELSE 0 END + CASE WHEN b <= c THEN 1 ELSE 0 END)" +
+      " AS pid"
+
+  /** The six valid (pattern name, id) pairs under [[permPatternFormula]]'s
+    * ra·9+rb·3+rc encoding — 012 means a<b<c (ascending). */
+  private[graft] val permPatterns: Seq[(String, Int)] = Seq(
+    "012" -> 5, "021" -> 7, "102" -> 11, "120" -> 15, "201" -> 19, "210" -> 21)
+
   private[graft] val dftAFormula: String =
     s"CAST(asum AS DOUBLE) / CAST($DftQ AS DOUBLE) / CAST(n_hours AS DOUBLE) AS a_dft"
   private[graft] val dftBFormula: String =
     s"CAST(bsum AS DOUBLE) / CAST($DftQ AS DOUBLE) / CAST(n_hours AS DOUBLE) AS b_dft"
   private[graft] val dftPowerFormula: String =
     "a_dft * a_dft + b_dft * b_dft AS power"
+
+  /** The q_ts_periodogram body over any zero-filled cent grid
+    * `(event_type, h, k)` — factored (r12c3) so the batch key and the
+    * streaming twin's state-table read share ONE implementation
+    * (StreamingPeriodogram.report; the forecastFormulas twin-body
+    * rule). */
+  private[graft] def periodogramOf(grid: DataFrame): DataFrame = {
+    val s = grid.sparkSession
+    import s.implicits._
+    val g = grid.localCheckpoint(true)
+    val st = g.groupBy("event_type")
+      .agg(count(lit(1)).as("n_hours"), sum("k").as("t"))
+    val res = g
+      .select(col("event_type"), col("h"), col("k"),
+        explode(array(DftPeriods.map(p => lit(p)): _*)).as("period"))
+      .groupBy(col("event_type"), col("period"),
+        expr("h % period").as("r"))
+      .agg(sum("k").as("sk"), count(lit(1)).as("cnt"))
+    val tab = dftTable.toDF("period", "r", "cr", "sr")
+    res.join(broadcast(st), "event_type")
+      .withColumn("d", expr("n_hours * sk - cnt * t"))
+      .join(broadcast(tab), Seq("period", "r"))
+      .groupBy("event_type", "period")
+      .agg(asLong(max("n_hours")).as("n_hours"),
+        sum(expr("cr * d")).as("asum"),
+        sum(expr("sr * d")).as("bsum"))
+      .selectExpr("event_type", "CAST(period AS BIGINT) AS period",
+        "n_hours", "asum", "bsum")
+      .selectExpr("event_type", "period", "n_hours", dftAFormula,
+        dftBFormula)
+      .selectExpr("event_type", "period", "n_hours", "a_dft", "b_dft",
+        dftPowerFormula)
+      .orderBy("event_type", "period")
+  }
 
   /** Shared Bollinger projections over (k, n, s1, s2hi, s2lo) — ONE
     * formula set in both engines: window mean/σ from exact hi/lo-split
@@ -1122,32 +1180,46 @@ object DiagOps extends QueryModule {
     // Scale: one grid pass fanned ×|periods| into a ≤ #types·Σp residue
     // agg; the stats join is a broadcast ≤#types relation off an RDD
     // leaf (explicit, r7 rule); the literal table broadcasts 192 rows.
-    "q_ts_periodogram" -> ((s: SparkSession, dir: String) => {
-      import s.implicits._
-      val g = hourlyCentGrid(s, dir).localCheckpoint(true)
-      val st = g.groupBy("event_type")
-        .agg(count(lit(1)).as("n_hours"), sum("k").as("t"))
-      val res = g
-        .select(col("event_type"), col("h"), col("k"),
-          explode(array(DftPeriods.map(p => lit(p)): _*)).as("period"))
-        .groupBy(col("event_type"), col("period"),
-          expr("h % period").as("r"))
-        .agg(sum("k").as("sk"), count(lit(1)).as("cnt"))
-      val tab = dftTable.toDF("period", "r", "cr", "sr")
-      res.join(broadcast(st), "event_type")
-        .withColumn("d", expr("n_hours * sk - cnt * t"))
-        .join(broadcast(tab), Seq("period", "r"))
-        .groupBy("event_type", "period")
-        .agg(asLong(max("n_hours")).as("n_hours"),
-          sum(expr("cr * d")).as("asum"),
-          sum(expr("sr * d")).as("bsum"))
-        .selectExpr("event_type", "CAST(period AS BIGINT) AS period",
-          "n_hours", "asum", "bsum")
-        .selectExpr("event_type", "period", "n_hours", dftAFormula,
-          dftBFormula)
-        .selectExpr("event_type", "period", "n_hours", "a_dft", "b_dft",
-          dftPowerFormula)
-        .orderBy("event_type", "period")
+    "q_ts_periodogram" -> ((s: SparkSession, dir: String) =>
+      periodogramOf(hourlyCentGrid(s, dir))),
+
+    // Permutation entropy (r12c3, Bandt–Pompe 2002 shape): ordinal
+    // 3-patterns of consecutive hourly cent totals per event type — the
+    // model-free complexity readout next to the correlogram (a periodic
+    // or trending series concentrates a few patterns; noise spreads all
+    // six). Ties rank the earlier hour lower (permPatternFormula — one
+    // integer CASE text in both engines, always a valid permutation),
+    // counts per pattern pivot into ONE row per type, and the entropy is
+    // the exact ilog2 QUANTA form H_q = n·ilog2(n) − Σ c·ilog2(c) (the
+    // source_mi machinery; only exact-replay pins are safe for quanta —
+    // the r11 order-relation caution). max_share is one int/int IEEE
+    // division. Scale: lag windows run over the span-bounded grid (the
+    // acf exemption class); everything after is ≤ #types·6 rows.
+    "q_ts_perm_entropy" -> ((s: SparkSession, dir: String) => {
+      val g = hourlyCentGrid(s, dir)
+      val w = Window.partitionBy("event_type").orderBy("h")
+      val pid = g
+        .withColumn("a", lag("k", 2).over(w))
+        .withColumn("b", lag("k", 1).over(w))
+        .withColumn("c", col("k"))
+        .where(col("a").isNotNull)
+        .selectExpr("event_type", permPatternFormula)
+      val byPat = pid.groupBy("event_type", "pid")
+        .agg(count(lit(1)).as("cnt"))
+      def ilog2(c: org.apache.spark.sql.Column) = length(bin(c)) - 1
+      val aggs = permPatterns.map { case (nm, id) =>
+        asLong(coalesce(max(when(col("pid") === id, col("cnt"))),
+          lit(0L))).as(s"c$nm")
+      } ++ Seq(
+        asLong(sum(col("cnt") * ilog2(col("cnt")))).as("spart"),
+        asLong(max("cnt")).as("cmax"))
+      byPat.groupBy("event_type")
+        .agg(asLong(sum("cnt")).as("n_triples"), aggs: _*)
+        .selectExpr("event_type", "n_triples", "c012", "c021", "c102",
+          "c120", "c201", "c210",
+          "n_triples * (length(bin(n_triples)) - 1) - spart AS hq_perm",
+          "CAST(cmax AS DOUBLE) / CAST(n_triples AS DOUBLE) AS max_share")
+        .orderBy("event_type")
     }),
 
     // Truncated EWMA smoothing of the zero-filled hourly value series per
@@ -2333,6 +2405,33 @@ object DiagOps extends QueryModule {
          |       CAST(n_hours AS BIGINT) AS n_hours, a_dft, b_dft,
          |       $dftPowerFormula
          |FROM ab ORDER BY event_type, period""".stripMargin,
+
+    "q_ts_perm_entropy" -> {
+      val patCols = permPatterns.map { case (nm, id) =>
+        s"CAST(coalesce(max(CASE WHEN pid = $id THEN cnt END), 0) AS BIGINT) AS c$nm"
+      }.mkString(",\n         ")
+      s"""WITH $centGridCte,
+         |lagd AS (
+         |  SELECT event_type,
+         |         lag(k, 2) OVER w AS a, lag(k, 1) OVER w AS b, k AS c
+         |  FROM g WINDOW w AS (PARTITION BY event_type ORDER BY h)),
+         |pids AS (
+         |  SELECT event_type, $permPatternFormula
+         |  FROM lagd WHERE a IS NOT NULL),
+         |byp AS (
+         |  SELECT event_type, pid, CAST(count(*) AS BIGINT) AS cnt
+         |  FROM pids GROUP BY event_type, pid),
+         |rep AS (
+         |  SELECT event_type, CAST(sum(cnt) AS BIGINT) AS n_triples,
+         |         $patCols,
+         |         CAST(sum(cnt * (length(bin(cnt)) - 1)) AS BIGINT) AS spart,
+         |         CAST(max(cnt) AS BIGINT) AS cmax
+         |  FROM byp GROUP BY event_type)
+         |SELECT event_type, n_triples, c012, c021, c102, c120, c201, c210,
+         |       n_triples * (length(bin(n_triples)) - 1) - spart AS hq_perm,
+         |       CAST(cmax AS DOUBLE) / CAST(n_triples AS DOUBLE) AS max_share
+         |FROM rep ORDER BY event_type""".stripMargin
+    },
 
     "q_ts_trend" ->
       s"""WITH e AS (

@@ -301,6 +301,67 @@ object SourceSinkOps extends QueryModule {
           min("event_id").as("first_id"), max("event_id").as("last_id"))
         .orderBy("batch_id")),
 
+    // Zone-map skipping audit (r12c3) — the file-pruning COUNTERPART to
+    // q_layout_zorder's locality spans: assign rows to 64 fixed-size
+    // zones (files) under three layouts (ingest order = orderkey blocks,
+    // partkey-range clustering, Morton z-order), record per-zone
+    // (min, max) of the predicate column — exactly the parquet
+    // row-group / zone-map statistics — and replay 8 half-open partkey
+    // octile range predicates against them: zones scanned (min/max
+    // interval overlap, the reader's pruning rule), rows scanned vs rows
+    // actually matched (read amplification), skip ratio. The report a
+    // layout decision is MADE from: range clustering skips ~7/8 of the
+    // zones on its clustered column, ingest order skips none, z-order
+    // sits between. ONE fact scan fans ×3 layouts via stack() into the
+    // zone agg (map-side combinable); predicates derive from a broadcast
+    // 1-row max relation; the audit join is bounded (≤3·65 zones × 8
+    // literal predicates, both sides provably bounded). Exact integers
+    // until the two readout divisions.
+    "q_layout_zonemap" -> ((s: SparkSession, dir: String) => {
+      val f = table(s, dir, "lineitem")
+        .selectExpr("l_orderkey AS ka", "l_partkey AS kb",
+          s"(${zkeyExpr("l_orderkey", "l_partkey", spark = true)}) AS kz")
+      val mx = f.agg(max("ka").as("mka"), max("kb").as("mkb"),
+        max("kz").as("mkz"))
+      val zoned = f.crossJoin(broadcast(mx))
+        .selectExpr("kb",
+          s"stack(3, 'ingest', ka div (mka div $ZonemapZones + 1)," +
+            s" 'pk_range', kb div (mkb div $ZonemapZones + 1)," +
+            s" 'zorder', kz div (mkz div $ZonemapZones + 1))" +
+            " AS (layout, zone)")
+      val zstats = zoned.groupBy("layout", "zone")
+        .agg(count(lit(1)).as("nr"), min("kb").as("zmin"),
+          max("kb").as("zmax"))
+      // the Range leaf is statically bounded (PlanAudit's RangeExec rule;
+      // a .limit proof would be ELIMINATED by Spark over range(n))
+      val preds = s.range(ZonemapPreds).toDF("pid")
+        .crossJoin(broadcast(mx))
+        .selectExpr("pid", s"pid * (mkb + 1) div $ZonemapPreds AS lo",
+          s"(pid + 1) * (mkb + 1) div $ZonemapPreds AS hi")
+      val matched = f.crossJoin(broadcast(preds))
+        .where(col("kb") >= col("lo") && col("kb") < col("hi"))
+        .groupBy("pid").agg(count(lit(1)).as("rows_matched"))
+      zstats.crossJoin(broadcast(preds))
+        .withColumn("hit",
+          !(col("zmax") < col("lo") || col("zmin") >= col("hi")))
+        .groupBy("layout", "pid", "lo", "hi")
+        .agg(asLong(count(lit(1))).as("n_zones"),
+          asLong(sum(when(col("hit"), 1L).otherwise(0L)))
+            .as("zones_scanned"),
+          asLong(sum(when(col("hit"), col("nr")).otherwise(0L)))
+            .as("rows_scanned"))
+        .join(broadcast(matched), Seq("pid"), "left")
+        .selectExpr("layout", "CAST(pid AS BIGINT) AS pid", "lo", "hi",
+          "n_zones", "zones_scanned", "rows_scanned",
+          "CAST(coalesce(rows_matched, 0) AS BIGINT) AS rows_matched",
+          "CAST(n_zones - zones_scanned AS DOUBLE) / CAST(n_zones AS DOUBLE)" +
+            " AS skip_ratio",
+          "CASE WHEN coalesce(rows_matched, 0) > 0" +
+            " THEN CAST(rows_scanned AS DOUBLE) / CAST(rows_matched AS DOUBLE)" +
+            " ELSE CAST(0 AS DOUBLE) END AS read_amp")
+        .orderBy("layout", "pid")
+    }),
+
     // Z-order (Morton) layout analysis (r11b) — the clustering-key study
     // behind a 100 TB table-layout decision: interleave the low
     // [[ZorderBits]] bits of (l_orderkey, l_partkey), cut the key space
@@ -437,6 +498,10 @@ object SourceSinkOps extends QueryModule {
     * the declared fixture regime; a wider-key deployment raises
     * [[ZorderBits]] and the formula regenerates. */
   private[graft] val ZorderBits = 16
+  /** q_layout_zonemap: zone count per layout and predicate count. */
+  private[graft] val ZonemapZones = 64L
+  private[graft] val ZonemapPreds = 8L
+
   private[graft] def zkeyExpr(pk: String, sk: String, spark: Boolean): String =
     (0 until ZorderBits).flatMap { i =>
       if (spark) Seq(
@@ -548,6 +613,54 @@ object SourceSinkOps extends QueryModule {
          |       CAST(max(kas) AS BIGINT) AS max_a_span,
          |       CAST(max(kbs) AS BIGINT) AS max_b_span
          |FROM cells GROUP BY layout ORDER BY layout""".stripMargin,
+
+    "q_layout_zonemap" ->
+      s"""WITH fct AS MATERIALIZED (
+         |  SELECT l_orderkey AS ka, l_partkey AS kb,
+         |         (${zkeyExpr("l_orderkey", "l_partkey", spark = false)}) AS kz
+         |  FROM lineitem),
+         |mx AS (SELECT max(ka) AS mka, max(kb) AS mkb, max(kz) AS mkz FROM fct),
+         |zoned AS (
+         |  SELECT kb, layout, zone FROM (
+         |    SELECT fct.kb,
+         |           unnest(['ingest', 'pk_range', 'zorder']) AS layout,
+         |           unnest([fct.ka // (mx.mka // $ZonemapZones + 1),
+         |                   fct.kb // (mx.mkb // $ZonemapZones + 1),
+         |                   fct.kz // (mx.mkz // $ZonemapZones + 1)]) AS zone
+         |    FROM fct CROSS JOIN mx)),
+         |zstats AS (
+         |  SELECT layout, zone, count(*) AS nr,
+         |         min(kb) AS zmin, max(kb) AS zmax
+         |  FROM zoned GROUP BY layout, zone),
+         |preds AS MATERIALIZED (
+         |  SELECT i AS pid, i * (mkb + 1) // $ZonemapPreds AS lo,
+         |         (i + 1) * (mkb + 1) // $ZonemapPreds AS hi
+         |  FROM (SELECT unnest(generate_series(0, ${ZonemapPreds - 1})) AS i)
+         |  CROSS JOIN mx),
+         |mt AS (
+         |  SELECT p.pid, CAST(count(*) AS BIGINT) AS rows_matched
+         |  FROM fct JOIN preds p ON fct.kb >= p.lo AND fct.kb < p.hi
+         |  GROUP BY p.pid),
+         |aud AS (
+         |  SELECT z.layout, p.pid, p.lo, p.hi,
+         |         CAST(count(*) AS BIGINT) AS n_zones,
+         |         CAST(sum(CASE WHEN NOT (z.zmax < p.lo OR z.zmin >= p.hi)
+         |                       THEN 1 ELSE 0 END) AS BIGINT) AS zones_scanned,
+         |         CAST(sum(CASE WHEN NOT (z.zmax < p.lo OR z.zmin >= p.hi)
+         |                       THEN z.nr ELSE 0 END) AS BIGINT) AS rows_scanned
+         |  FROM zstats z CROSS JOIN preds p
+         |  GROUP BY 1, 2, 3, 4)
+         |SELECT a.layout, CAST(a.pid AS BIGINT) AS pid, a.lo, a.hi, a.n_zones,
+         |       a.zones_scanned, a.rows_scanned,
+         |       CAST(coalesce(mt.rows_matched, 0) AS BIGINT) AS rows_matched,
+         |       CAST(a.n_zones - a.zones_scanned AS DOUBLE)
+         |         / CAST(a.n_zones AS DOUBLE) AS skip_ratio,
+         |       CASE WHEN coalesce(mt.rows_matched, 0) > 0
+         |            THEN CAST(a.rows_scanned AS DOUBLE)
+         |                 / CAST(mt.rows_matched AS DOUBLE)
+         |            ELSE CAST(0 AS DOUBLE) END AS read_amp
+         |FROM aud a LEFT JOIN mt ON mt.pid = a.pid
+         |ORDER BY layout, pid""".stripMargin,
 
     // the generation split is event_id parity, so the NULL-user_id rows
     // of the merged read are exactly the even ids

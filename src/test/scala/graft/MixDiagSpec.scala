@@ -1273,6 +1273,39 @@ class MixDiagSpec extends SparkTestBase {
       .forall(t => t._3 == 65536L && t._4 == 0L))
   }
 
+  test("permutation entropy equals a driver-side ordinal replay (r12c3)") {
+    def ilog2(x: Long): Long = 63 - java.lang.Long.numberOfLeadingZeros(x)
+    val out = q("q_ts_perm_entropy").collect()
+      .map(r => (r.getString(0),
+        ((1 to 8).map(r.getLong).toSeq, r.getDouble(9)))).toMap
+    assert(out.nonEmpty)
+    val grid = ops.DiagOps.hourlyCentGrid(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    grid.groupBy(_._1).foreach { case (t, rows) =>
+      val ks = rows.sortBy(_._2).map(_._3)
+      val pats = ks.sliding(3).filter(_.length == 3).map { tr =>
+        val Seq(a, b, c) = tr.toSeq
+        val ra = (if (b < a) 1 else 0) + (if (c < a) 1 else 0)
+        val rb = (if (a <= b) 1 else 0) + (if (c < b) 1 else 0)
+        val rc = (if (a <= c) 1 else 0) + (if (b <= c) 1 else 0)
+        ra * 9 + rb * 3 + rc
+      }.toSeq
+      val cnt = pats.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      // every emitted id is one of the six valid permutations
+      assert(cnt.keySet.subsetOf(ops.DiagOps.permPatterns.map(_._2).toSet))
+      val n = pats.size.toLong
+      val spart = cnt.values.map(c => c * ilog2(c)).sum
+      val hq = n * ilog2(n) - spart
+      val expect: Seq[Long] = Seq(n) ++
+        ops.DiagOps.permPatterns.map { case (_, id) => cnt.getOrElse(id, 0L) } ++
+        Seq(hq)
+      val (gotLongs, gotShare) = out(t)
+      assert(gotLongs == expect, s"$t counts/entropy")
+      assert(gotShare == cnt.values.max.toDouble / n.toDouble, s"$t max share")
+      assert(hq >= 0L, s"$t H_q nonnegative")
+    }
+  }
+
   test("pacf equals a driver-side Durbin-Levinson replay off the acf rows (r12)") {
     val acf = q("q_ts_acf").collect()
       .map(r => ((r.getString(0), r.getLong(1)), r.getDouble(3))).toMap

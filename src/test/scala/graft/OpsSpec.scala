@@ -387,6 +387,56 @@ class OpsSpec extends SparkTestBase {
       "z-order must bound the partkey span below the linear layout's")
   }
 
+  test("zonemap audit: pruning replay + the range-clustering punchline (r12c3)") {
+    val rows = SparkEntry.queries("q_layout_zonemap")(spark, sfDir).collect()
+      .map(r => ((r.getString(0), r.getLong(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getLong(6), r.getLong(7), r.getDouble(8), r.getDouble(9))))
+      .toMap
+    assert(rows.keys.map(_._1).toSet == Set("ingest", "pk_range", "zorder"))
+    def morton(ka: Long, kb: Long): Long =
+      (0 until 16).foldLeft(0L) { (acc, i) =>
+        acc | (((ka >> i) & 1L) << (2 * i)) | (((kb >> i) & 1L) << (2 * i + 1))
+      }
+    val keys = ops.table(spark, sfDir, "lineitem")
+      .select("l_orderkey", "l_partkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val (mka, mkb) = (keys.map(_._1).max, keys.map(_._2).max)
+    val mkz = keys.map { case (a, b) => morton(a, b) }.max
+    val layouts: Map[String, ((Long, Long)) => Long] = Map(
+      "ingest" -> { case (ka, _) => ka / (mka / 64 + 1) },
+      "pk_range" -> { case (_, kb) => kb / (mkb / 64 + 1) },
+      "zorder" -> { case (ka, kb) => morton(ka, kb) / (mkz / 64 + 1) })
+    (0L until 8L).foreach { pid =>
+      val lo = pid * (mkb + 1) / 8
+      val hi = (pid + 1) * (mkb + 1) / 8
+      val matched = keys.count { case (_, kb) => kb >= lo && kb < hi }.toLong
+      layouts.foreach { case (nm, assign) =>
+        val zones = keys.groupBy(assign)
+        val scanned = zones.filter { case (_, zk) =>
+          val (zmin, zmax) = (zk.map(_._2).min, zk.map(_._2).max)
+          !(zmax < lo || zmin >= hi)
+        }
+        val (gl, gh, gn, gzs, grs, grm, gskip, gamp) = {
+          val t = rows((nm, pid))
+          (t._1, t._2, t._3, t._4, t._5, t._6, t._7, t._8)
+        }
+        assert((gl, gh) == ((lo, hi)), s"$nm/$pid bounds")
+        assert(gn == zones.size.toLong, s"$nm/$pid zone count")
+        assert(gzs == scanned.size.toLong, s"$nm/$pid zones scanned")
+        assert(grs == scanned.values.map(_.length.toLong).sum, s"$nm/$pid rows scanned")
+        assert(grm == matched, s"$nm/$pid rows matched")
+        assert(gskip == (gn - gzs).toDouble / gn.toDouble, s"$nm/$pid skip")
+        val expAmp = if (grm > 0) grs.toDouble / grm.toDouble else 0.0
+        assert(gamp == expAmp, s"$nm/$pid read amp")
+      }
+      // the layout punchline: clustering the predicate column prunes at
+      // least as well as ingest order on every range predicate
+      assert(rows(("pk_range", pid))._4 <= rows(("ingest", pid))._4,
+        s"pred $pid: pk_range must scan no more zones than ingest")
+    }
+  }
+
   test("salted skew join: identical to the plain join, salt in the shuffle keys") {
     import org.apache.spark.sql.functions.{col, count, lit}
     val df = SparkEntry.queries("q_join_skew_salted")(spark, sfDir)
