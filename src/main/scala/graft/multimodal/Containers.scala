@@ -101,6 +101,40 @@ object AviLite extends Serializable {
     "RIFF".getBytes("US-ASCII") ++ le32(body.length.toLong) ++ body
   }
 
+  /** The movi payload (the 00dc chunk's body, pad byte excluded): None on
+    * bad magic, missing LIST(movi)/00dc, or any size field overrunning
+    * the buffer — the same chunk walk as [[parse]], one level down the
+    * DATA side. Foreign top-level and movi-level chunks skip with the
+    * RIFF odd-size pad rule (r12c3, q_mm_video_keyframes). */
+  def moviPayload(bytes: Array[Byte]): Option[Array[Byte]] = {
+    if (bytes.length < 12 || tag(bytes, 0) != "RIFF" || tag(bytes, 8) != "AVI ")
+      return None
+    var off = 12
+    while (off + 8 <= bytes.length) {
+      val id = tag(bytes, off)
+      val sz = u32(bytes, off + 4)
+      val body = off + 8
+      if (body + sz > bytes.length) return None
+      if (id == "LIST" && sz >= 4 && tag(bytes, body) == "movi") {
+        var in = body + 4
+        val end = body + sz.toInt
+        while (in + 8 <= end) {
+          val cid = tag(bytes, in)
+          val csz = u32(bytes, in + 4)
+          val cbody = in + 8
+          if (cbody + csz > end) return None
+          if (cid == "00dc")
+            return Some(java.util.Arrays.copyOfRange(
+              bytes, cbody, cbody + csz.toInt))
+          in = cbody + csz.toInt + (csz.toInt & 1)
+        }
+        return None // movi without a 00dc chunk
+      }
+      off = body + sz.toInt + (sz.toInt & 1)
+    }
+    None
+  }
+
   /** None on: bad RIFF/'AVI ' magic, no LIST(hdrl), no avih inside it,
     * an avih shorter than 40 bytes, or any size field overrunning the
     * buffer. Foreign top-level and hdrl-level chunks are skipped with

@@ -191,6 +191,56 @@ object MultimodalOps extends QueryModule {
           explode(sequence(lit(0L), col("n_frames") - 1, lit(5L))).as("frame_idx"))
         .orderBy("asset_id", "frame_idx")),
 
+    // Video keyframe / scene-cut scan (r12c3) — the static-frame dedup
+    // pass before an encoder sees a video: walk the REAL AVI container
+    // (avih for the frame count, the movi 00dc body via
+    // AviLite.moviPayload — a second parser surface, spec-attacked),
+    // slice the payload into n_frames equal byte segments (ragged tail
+    // ignored, declared), digest each frame with the SAME two-chain
+    // 60-bit kernel as the text shingles (TextHashes.shingleKey; content
+    // is asserted ASCII so the codepoint fold IS the byte fold and the
+    // oracle replays it with shingleKeySql over text slices), and report
+    // per asset: frames, frame size, distinct frames, cuts (digest
+    // changes) and the longest static run. All per-asset work is
+    // scan-side in one mapPartitions — frames per asset are bounded by
+    // the container's own n/100 contract, nothing shuffles but the
+    // one-row-per-asset report.
+    "q_mm_video_keyframes" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      containerAssets(s, dir).filter(_.kind == "video")
+        .mapPartitions { it =>
+          it.flatMap { a =>
+            val bytes = a.content
+            val meta = AviLite.parse(bytes).getOrElse(
+              sys.error(s"unparseable AVI container for asset ${a.asset_id}"))
+            val pay = AviLite.moviPayload(bytes).getOrElse(
+              sys.error(s"missing movi payload for asset ${a.asset_id}"))
+            val f = meta.totalFrames.toInt
+            val fs = if (f > 0) pay.length / f else 0
+            if (fs == 0) None
+            else {
+              val digests = (0 until f).map { i =>
+                graft.functions.TextHashes.shingleKey(
+                  org.apache.spark.unsafe.types.UTF8String
+                    .fromBytes(pay, i * fs, fs))
+              }
+              var cuts = 0L
+              var run = 1L
+              var longest = 1L
+              (1 until f).foreach { i =>
+                if (digests(i) != digests(i - 1)) { cuts += 1; run = 1 }
+                else { run += 1; if (run > longest) longest = run }
+              }
+              Some((a.asset_id, f.toLong, fs.toLong,
+                digests.distinct.size.toLong, cuts, longest))
+            }
+          }
+        }
+        .toDF("asset_id", "n_frames", "frame_size", "n_distinct", "n_cuts",
+          "longest_run")
+        .orderBy("asset_id")
+    }),
+
     // Audio windowing (r11b, r12 real-decode) — the whisper-style
     // preprocessing cut: each audio asset becomes fixed 30 s windows on a
     // 25 s stride (5 s overlap), ready for a per-window encoder. r12: the
@@ -431,6 +481,48 @@ object MultimodalOps extends QueryModule {
   }
 
   def oracle: Seq[(String, String)] = Seq(
+    "q_mm_video_keyframes" ->
+      s"""WITH v AS (
+         |  SELECT doc_id AS asset_id, text, strlen(text) AS n,
+         |         1 + strlen(text) // 100 AS f
+         |  FROM documents WHERE doc_id % 3 = 2 AND strlen(text) > 0),
+         |fr AS (
+         |  SELECT asset_id, f, n // f AS fs, i,
+         |         substring(text, CAST(i * (n // f) + 1 AS INT),
+         |                   CAST(n // f AS INT)) AS seg
+         |  FROM (SELECT asset_id, text, n, f,
+         |               unnest(generate_series(0, f - 1)) AS i
+         |        FROM v)),
+         |dg AS (
+         |  SELECT asset_id, f, fs, i,
+         |         ${graft.functions.ReplayableHash.shingleKeySql("seg")} AS d
+         |  FROM fr),
+         |lg AS MATERIALIZED (
+         |  SELECT asset_id, f, fs, i, d,
+         |         lag(d) OVER (PARTITION BY asset_id ORDER BY i) AS pd
+         |  FROM dg),
+         |isl AS (
+         |  SELECT asset_id, i, d,
+         |         sum(CASE WHEN pd IS NULL OR pd <> d THEN 1 ELSE 0 END)
+         |           OVER (PARTITION BY asset_id ORDER BY i) AS run_id
+         |  FROM lg),
+         |runs AS (
+         |  SELECT asset_id, run_id, CAST(count(*) AS BIGINT) AS rl
+         |  FROM isl GROUP BY asset_id, run_id),
+         |rep AS (
+         |  SELECT asset_id, CAST(max(f) AS BIGINT) AS n_frames,
+         |         CAST(max(fs) AS BIGINT) AS frame_size,
+         |         CAST(count(DISTINCT d) AS BIGINT) AS n_distinct,
+         |         CAST(sum(CASE WHEN pd IS NOT NULL AND pd <> d
+         |                       THEN 1 ELSE 0 END) AS BIGINT) AS n_cuts
+         |  FROM lg GROUP BY asset_id),
+         |mr AS (
+         |  SELECT asset_id, CAST(max(rl) AS BIGINT) AS longest_run
+         |  FROM runs GROUP BY asset_id)
+         |SELECT rep.asset_id, rep.n_frames, rep.frame_size, rep.n_distinct,
+         |       rep.n_cuts, mr.longest_run
+         |FROM rep JOIN mr USING (asset_id) ORDER BY asset_id""".stripMargin,
+
     "q_mm_phash" ->
       s"""WITH img AS (
          |  SELECT doc_id AS asset_id, text, strlen(text) AS n

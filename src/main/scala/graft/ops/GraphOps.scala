@@ -88,6 +88,15 @@ object GraphOps extends QueryModule {
     * raw degree does not). */
   private[graft] val KCoreK = 3
 
+  /** q_graph_stress: source-sample size (the [[StressSources]] smallest
+    * node ids — deterministic, no salt needed) and the BFS horizon. Both
+    * are DECLARED constants (the ktruss/labelprop bounded-iteration
+    * contract): per-source frontiers are ≤ StressSources·KnnK^level rows
+    * by the mutual-KNN degree bound — corpus-size-independent, which is
+    * what makes every frontier/level relation legally broadcastable. */
+  private[graft] val StressSources = 8
+  private[graft] val StressDepth = 3
+
   /** Unroll depth of the k-core ORACLE stages. The engine peels to the
     * FIXPOINT with early exit and refuses non-convergence, so engine ≡
     * oracle exactly when the plain unroll also reaches the fixpoint:
@@ -859,6 +868,64 @@ object GraphOps extends QueryModule {
         .orderBy("hops")
     }),
 
+    // Stress centrality (r12c3, Shimbel — the integer Brandes): for the
+    // StressSources smallest nodes as sources, count the shortest paths
+    // THROUGH each interior node within a StressDepth-hop horizon over
+    // the mutual-KNN graph. Betweenness' FP dependency accumulation
+    // (σ_v/σ_w ratio sums) does NOT replay — unordered double sums; the
+    // stress analog is pure INTEGER: σ (shortest-path counts, forward
+    // frontier expansions with anti-joins against earlier levels = the
+    // BFS-dag levels) and the descendant-path sums h_l(v) = Σ_{succ w}
+    // (1 + h_{l+1}(w)) staged back down; stress(v) = Σ_s σ_s(v)·h_s(v)
+    // for v interior (dist ≥ 1; targets strictly deeper, so never v or
+    // s). Horizon + source count are DECLARED constants (the ktruss
+    // bounded-iteration contract). Scale: every frontier/h relation is
+    // ≤ StressSources·KnnK^level rows (mutual-KNN degree bound —
+    // corpus-size-independent), so the broadcasts are constant-bounded
+    // by construction; arcs is the only corpus-scaled relation.
+    "q_graph_stress" -> ((s: SparkSession, dir: String) => {
+      val e = mutualKnnEdges(s, dir)
+      val arcs = e.select(col("u").as("src"), col("v").as("dst"))
+        .union(e.select(col("v").as("src"), col("u").as("dst")))
+        .localCheckpoint(true)
+      val f0 = arcs.select(col("src").as("node")).distinct()
+        .orderBy("node").limit(StressSources)
+        .select(col("node").as("sp"), col("node"), lit(1L).as("sigma"))
+      def expand(fl: DataFrame): DataFrame =
+        broadcast(fl.select(col("sp"), col("node").as("fn"), col("sigma")))
+          .join(arcs, col("fn") === col("src"))
+          .groupBy(col("sp"), col("dst").as("node"))
+          .agg(sum("sigma").as("sigma"))
+      def minus(df: DataFrame, earlier: DataFrame*): DataFrame =
+        earlier.foldLeft(df)((acc, ex) =>
+          acc.join(broadcast(ex.select("sp", "node")), Seq("sp", "node"),
+            "left_anti"))
+      val f1 = minus(expand(f0), f0)
+      val f2 = minus(expand(f1), f1, f0)
+      val f3 = minus(expand(f2), f2, f1, f0)
+      def succSum(fl: DataFrame, hNext: DataFrame): DataFrame =
+        broadcast(fl.select(col("sp"), col("node").as("vn")))
+          .join(arcs, col("vn") === col("src"))
+          .join(broadcast(hNext.select(col("sp").as("sp2"),
+            col("node").as("wn"), col("h"))),
+            col("sp") === col("sp2") && col("dst") === col("wn"))
+          .groupBy(col("sp"), col("vn").as("node"))
+          .agg(sum(expr("1 + h")).as("hsum"))
+      val h3 = f3.withColumn("h", lit(0L))
+      val h2 = f2.join(broadcast(succSum(f2, h3)), Seq("sp", "node"), "left")
+        .withColumn("h", coalesce(col("hsum"), lit(0L))).drop("hsum")
+      val h1 = f1.join(broadcast(succSum(f1, h2)), Seq("sp", "node"), "left")
+        .withColumn("h", coalesce(col("hsum"), lit(0L))).drop("hsum")
+      h1.select(col("sp"), col("node"), expr("sigma * h").as("c"))
+        .unionByName(h2.select(col("sp"), col("node"),
+          expr("sigma * h").as("c")))
+        .groupBy("node")
+        .agg(asLong(sum("c")).as("stress"),
+          asLong(count_distinct(col("sp"))).as("n_sources"))
+        .where(col("stress") > 0)
+        .orderBy(desc("stress"), asc("node")).limit(100)
+    }),
+
     // Node similarity ("customers also bought"): neighbor-set Jaccard over
     // the mutual-KNN graph. Candidate pairs are the two-hop wedges — parts
     // sharing ≥1 neighbor — so pair work is n·K²-bounded like triangles,
@@ -1227,6 +1294,62 @@ object GraphOps extends QueryModule {
          |SELECT CAST(CASE WHEN d = $BfsInf THEN -1 ELSE d END AS BIGINT) AS hops,
          |       CAST(count(*) AS BIGINT) AS n_nodes
          |FROM b$BfsIters GROUP BY 1 ORDER BY hops""".stripMargin,
+
+    "q_graph_stress" -> {
+      def anti(rel: String, earlier: Seq[String]): String =
+        earlier.map(x =>
+          s"NOT EXISTS (SELECT 1 FROM $x q WHERE q.sp = $rel.sp AND q.node = $rel.node)")
+          .mkString(" AND ")
+      s"""WITH $copurchaseCte,
+         |$mutualKnnCte,
+         |arcs AS MATERIALIZED (
+         |  SELECT u AS src, v AS dst FROM e
+         |  UNION ALL
+         |  SELECT v AS src, u AS dst FROM e),
+         |f0 AS MATERIALIZED (
+         |  SELECT node AS sp, node, CAST(1 AS BIGINT) AS sigma
+         |  FROM (SELECT DISTINCT src AS node FROM arcs
+         |        ORDER BY node LIMIT $StressSources)),
+         |r1 AS (
+         |  SELECT p.sp, a.dst AS node, CAST(sum(p.sigma) AS BIGINT) AS sigma
+         |  FROM f0 p JOIN arcs a ON a.src = p.node GROUP BY 1, 2),
+         |f1 AS MATERIALIZED (SELECT * FROM r1 WHERE ${anti("r1", Seq("f0"))}),
+         |r2 AS (
+         |  SELECT p.sp, a.dst AS node, CAST(sum(p.sigma) AS BIGINT) AS sigma
+         |  FROM f1 p JOIN arcs a ON a.src = p.node GROUP BY 1, 2),
+         |f2 AS MATERIALIZED (
+         |  SELECT * FROM r2 WHERE ${anti("r2", Seq("f1", "f0"))}),
+         |r3 AS (
+         |  SELECT p.sp, a.dst AS node, CAST(sum(p.sigma) AS BIGINT) AS sigma
+         |  FROM f2 p JOIN arcs a ON a.src = p.node GROUP BY 1, 2),
+         |f3 AS MATERIALIZED (
+         |  SELECT * FROM r3 WHERE ${anti("r3", Seq("f2", "f1", "f0"))}),
+         |h3 AS (SELECT sp, node, sigma, CAST(0 AS BIGINT) AS h FROM f3),
+         |sc2 AS (
+         |  SELECT v.sp, v.node, CAST(sum(1 + w.h) AS BIGINT) AS hsum
+         |  FROM f2 v JOIN arcs a ON a.src = v.node
+         |  JOIN h3 w ON w.sp = v.sp AND w.node = a.dst
+         |  GROUP BY 1, 2),
+         |h2 AS MATERIALIZED (
+         |  SELECT f.sp, f.node, f.sigma, coalesce(sc2.hsum, 0) AS h
+         |  FROM f2 f LEFT JOIN sc2 USING (sp, node)),
+         |sc1 AS (
+         |  SELECT v.sp, v.node, CAST(sum(1 + w.h) AS BIGINT) AS hsum
+         |  FROM f1 v JOIN arcs a ON a.src = v.node
+         |  JOIN h2 w ON w.sp = v.sp AND w.node = a.dst
+         |  GROUP BY 1, 2),
+         |h1 AS (
+         |  SELECT f.sp, f.node, f.sigma, coalesce(sc1.hsum, 0) AS h
+         |  FROM f1 f LEFT JOIN sc1 USING (sp, node)),
+         |allc AS (
+         |  SELECT sp, node, sigma * h AS c FROM h1
+         |  UNION ALL
+         |  SELECT sp, node, sigma * h FROM h2)
+         |SELECT node, CAST(sum(c) AS BIGINT) AS stress,
+         |       CAST(count(DISTINCT sp) AS BIGINT) AS n_sources
+         |FROM allc GROUP BY node HAVING CAST(sum(c) AS BIGINT) > 0
+         |ORDER BY stress DESC, node LIMIT 100""".stripMargin
+    },
 
     "q_graph_kcore" ->
       s"""WITH $copurchaseCte,

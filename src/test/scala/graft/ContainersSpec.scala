@@ -64,6 +64,62 @@ class ContainersSpec extends SparkTestBase {
     assert(AviLite.parse(hugeList).isEmpty, "LIST size past the buffer")
   }
 
+  test("AVI moviPayload: roundtrip, foreign chunks, pad rule, refusals (r12c3)") {
+    val pay = Array[Byte](1, 2, 3, 4, 5)
+    val ok = AviLite.encode(1000L, 7L, 16, 9, pay)
+    assert(AviLite.moviPayload(ok).get.toSeq == pay.toSeq,
+      "payload roundtrip (odd size, pad byte excluded)")
+    // a foreign chunk spliced INSIDE the movi LIST before 00dc must skip
+    // with the RIFF odd-size pad rule
+    val moviAt = ok.indexOfSlice("movi".getBytes("US-ASCII"))
+    val junk = "JUNK".getBytes("US-ASCII") ++ le32(3L) ++
+      Array[Byte]('x', 'y', 'z', 0)
+    val spliced = ok.take(moviAt + 4) ++ junk ++ ok.drop(moviAt + 4)
+    le32(spliced.length - 8L).copyToArray(spliced, 4) // RIFF size
+    // the movi LIST's own size field (8 bytes before its 'movi' tag)
+    le32(AviLite.moviPayload(ok).get.length + 8 + 4 + junk.length + 1L)
+      .copyToArray(spliced, moviAt - 4)
+    assert(AviLite.moviPayload(spliced).get.toSeq == pay.toSeq,
+      "foreign movi-level chunk skipped")
+    val badForm = ok.clone(); badForm(8) = 'X'
+    assert(AviLite.moviPayload(badForm).isEmpty, "form type refused")
+    val cut = ok.take(ok.length - 2)
+    assert(AviLite.moviPayload(cut).isEmpty,
+      "movi LIST size overrunning the buffer refused")
+  }
+
+  test("video keyframes equal a driver-side slice-digest replay (r12c3)") {
+    val rows = SparkEntry.queries("q_mm_video_keyframes")(spark, sfDir)
+      .collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))).toMap
+    assert(rows.nonEmpty)
+    val docs = graft.ops.table(spark, sfDir, "documents")
+      .selectExpr("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+      .filter { case (id, t) => id % 3 == 2 && t.nonEmpty }
+    assert(docs.nonEmpty)
+    docs.foreach { case (id, t) =>
+      val n = t.length.toLong
+      val f = 1 + n / 100
+      val fs = n / f
+      val digests = (0L until f).map { i =>
+        graft.functions.TextHashes.shingleKey(
+          org.apache.spark.unsafe.types.UTF8String.fromString(
+            t.substring((i * fs).toInt, ((i + 1) * fs).toInt)))
+      }
+      val cuts = digests.sliding(2).count(p => p.length == 2 && p(0) != p(1))
+      var run = 1L; var longest = 1L
+      (1 until f.toInt).foreach { i =>
+        if (digests(i) == digests(i - 1)) { run += 1; longest = math.max(longest, run) }
+        else run = 1
+      }
+      assert(rows(id) == ((f, fs, digests.distinct.size.toLong,
+        cuts.toLong, longest)), s"asset $id keyframe stats")
+    }
+    assert(rows.keySet == docs.map(_._1).toSet, "video asset coverage")
+  }
+
   test("every fixture asset parses back its encode-side ground truth") {
     import graft.multimodal.RiffWav
     val some = MultimodalOps.containerAssets(spark, sfDir).take(30)

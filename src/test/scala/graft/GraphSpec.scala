@@ -164,6 +164,52 @@ class GraphSpec extends SparkTestBase {
     assert(got == expected, "top-50 triangle counts or order differ")
   }
 
+  test("stress centrality equals a driver-side integer-Brandes replay (r12c3)") {
+    val und = mutualEdges.flatMap { case (u, v) => Seq((u, v), (v, u)) }
+    val nbrs = und.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val sources = nbrs.keys.toSeq.sorted.take(8)
+    val contrib = scala.collection.mutable.Map[Long, Long]().withDefaultValue(0L)
+    val touched = scala.collection.mutable.Map[Long, Set[Long]]()
+      .withDefaultValue(Set.empty)
+    sources.foreach { s0 =>
+      // forward: levels 0..3, sigma = #shortest paths
+      var levels = Vector(Map(s0 -> 1L))
+      var visited = Set(s0)
+      for (_ <- 1 to 3) {
+        val next = scala.collection.mutable.Map[Long, Long]()
+          .withDefaultValue(0L)
+        levels.last.foreach { case (v, sg) =>
+          nbrs.getOrElse(v, Set.empty).foreach { w =>
+            if (!visited(w)) next(w) += sg
+          }
+        }
+        levels :+= next.toMap
+        visited ++= next.keySet
+      }
+      // backward: h_l(v) = sum over succ w of (1 + h_{l+1}(w))
+      var hNext: Map[Long, Long] = levels(3).map { case (v, _) => v -> 0L }
+      for (l <- 2 to 1 by -1) {
+        val hl = levels(l).map { case (v, _) =>
+          v -> nbrs.getOrElse(v, Set.empty).toSeq
+            .flatMap(w => hNext.get(w).map(1L + _)).sum
+        }
+        levels(l).foreach { case (v, sg) =>
+          val c = sg * hl(v)
+          contrib(v) += c
+          touched(v) = touched(v) + s0
+        }
+        hNext = hl
+      }
+    }
+    val expected = contrib.toSeq.filter(_._2 > 0)
+      .map { case (v, c) => (v, c, touched(v).size.toLong) }
+      .sortBy { case (v, c, _) => (-c, v) }.take(100)
+    val got = q("q_graph_stress").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got.nonEmpty, "fixture must produce interior shortest paths")
+    assert(got == expected, "stress rows or order differ from the replay")
+  }
+
   test("assortativity equals a driver-side Newman-r replay, same FP order") {
     val und = mutualEdges.flatMap { case (u, v) => Seq((u, v), (v, u)) }
     val deg = und.toSeq.groupBy(_._1).view.mapValues(_.size.toLong).toMap
