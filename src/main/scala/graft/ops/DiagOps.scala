@@ -431,6 +431,20 @@ object DiagOps extends QueryModule {
     "CASE WHEN z < -1.96e0 THEN 'clustered'" +
       " WHEN z > 1.96e0 THEN 'oscillating' ELSE 'random' END AS verdict"
 
+  /** q_ts_ljung_box: the portmanteau Q statistic over the shared
+    * correlogram — Q = N(N+2)·Σ_{k≤5} ρ_k²/(N−k), with N−k exactly the
+    * pair count n_k acfRelOf already carries and N = n_1 + 1. The 5-term
+    * sum is an EXPLICIT left-associated chain (the anova pivot rule — an
+    * unordered sum of doubles does not replay), each term two ops on a
+    * column read once. The 0.05 critical value for df=5 enters as an
+    * e0-exponent literal (the benford strtod rule). */
+  private[graft] val lbQFormula: String =
+    "CAST(n_obs AS DOUBLE) * CAST(n_obs + 2 AS DOUBLE) * (" +
+      (1 to 5).map(k => s"r$k * r$k / CAST(n$k AS DOUBLE)")
+        .mkString(" + ") + ") AS q_stat"
+  private[graft] val lbVerdictFormula: String =
+    "q_stat > 11.0705e0 AS white_noise_rejected"
+
   /** q_ts_periodogram: integer-quantized DFT tables. For each probed
     * period p and residue r ∈ [0, p): cr = round(cos(2πr/p)·2^16),
     * sr = round(sin(2πr/p)·2^16) — BIGINT literals GENERATED from this one
@@ -959,6 +973,31 @@ object DiagOps extends QueryModule {
           :+ pacfStage6: _*)
         .selectExpr(base ++ Seq("phi11 AS pacf1", "phi22 AS pacf2",
           "phi33 AS pacf3"): _*)
+        .orderBy("event_type")
+    }),
+
+    // Ljung–Box portmanteau test (r12c3): the "is anything left in the
+    // residuals" white-noise read over the SAME per-lag Pearson
+    // correlogram as q_ts_acf/q_ts_pacf (acfRelOf is the one
+    // implementation; the oracle composes the shared acfCte — one text,
+    // zero drift). Q = N(N+2)·Σ ρ_k²/(N−k) with N−k the pair counts the
+    // correlogram already carries; the 5-term sum is an explicit
+    // left-associated chain (lbQFormula) and the df=5 verdict compares
+    // against the 11.0705 χ² literal. Everything after the memoized
+    // grid aggs is a ≤#types pivot.
+    "q_ts_ljung_box" -> ((s: SparkSession, dir: String) => {
+      val aggs = (1 to 5).flatMap(k => Seq(
+        max(when(col("lag_h") === k, col("acf"))).as(s"r$k"),
+        asLong(max(when(col("lag_h") === k, col("n")))).as(s"n$k")))
+      val piv = acfRelOf(s, dir).groupBy("event_type")
+        .agg(aggs.head, aggs.tail: _*)
+        .withColumn("n_obs", expr("n1 + 1"))
+      val base = Seq("event_type", "n_obs") ++ (1 to 5).map(k => s"r$k") ++
+        (1 to 5).map(k => s"n$k")
+      piv
+        .selectExpr(base :+ lbQFormula: _*)
+        .selectExpr(Seq("event_type", "CAST(n_obs AS BIGINT) AS n_obs",
+          "q_stat") :+ lbVerdictFormula: _*)
         .orderBy("event_type")
     }),
 
@@ -2171,6 +2210,25 @@ object DiagOps extends QueryModule {
          |SELECT event_type, r1, r2, r3,
          |       phi11 AS pacf1, phi22 AS pacf2, phi33 AS pacf3
          |FROM p6 ORDER BY event_type""".stripMargin,
+
+    "q_ts_ljung_box" -> {
+      val pivCols = (1 to 5).flatMap(k => Seq(
+        s"max(CASE WHEN lag_h = $k THEN acf END) AS r$k",
+        s"CAST(max(CASE WHEN lag_h = $k THEN n END) AS BIGINT) AS n$k"))
+        .mkString(",\n         ")
+      val baseCols = ((1 to 5).map(k => s"r$k") ++
+        (1 to 5).map(k => s"n$k")).mkString(", ")
+      s"""WITH $acfCte,
+         |piv AS (
+         |  SELECT event_type,
+         |         $pivCols
+         |  FROM acfrel GROUP BY event_type),
+         |pn AS (SELECT event_type, $baseCols, n1 + 1 AS n_obs FROM piv),
+         |qs AS (SELECT event_type, n_obs, $lbQFormula FROM pn)
+         |SELECT event_type, CAST(n_obs AS BIGINT) AS n_obs, q_stat,
+         |       $lbVerdictFormula
+         |FROM qs ORDER BY event_type""".stripMargin
+    },
 
     // Expected shares embedded from the same code-gen-time constants
     // (shortest-round-trip double literals CAST to DOUBLE parse to the

@@ -61,6 +61,19 @@ object LlmOps extends QueryModule {
   private[graft] val tfCosFormula: String =
     "CAST(dot AS DOUBLE) / (sqrt(CAST(ss_a AS DOUBLE)) * sqrt(CAST(ss_b AS DOUBLE))) AS tf_cos"
 
+  /** q_llm_rouge1 staged readout over exact BIGINT (overlap, dl_a, dl_b):
+    * precision/recall are single divisions, F1 re-reads the two NAMED
+    * columns (p+r appears twice but each evaluation is the identical
+    * single IEEE op on identical inputs — the pacf num2/den2 rule). */
+  private[graft] val rougePFormula: String =
+    "CAST(overlap AS DOUBLE) / CAST(dl_a AS DOUBLE) AS rouge_p"
+  private[graft] val rougeRFormula: String =
+    "CAST(overlap AS DOUBLE) / CAST(dl_b AS DOUBLE) AS rouge_r"
+  private[graft] val rougeF1Formula: String =
+    "CASE WHEN rouge_p + rouge_r > 0" +
+      " THEN 2 * rouge_p * rouge_r / (rouge_p + rouge_r)" +
+      " ELSE CAST(0 AS DOUBLE) END AS rouge_f1"
+
   /** Deterministic ±1 hyperplane families for the two sign-LSH paths —
     * shared by the Spark queries and their generated SQL twins. Plane dots
     * and cosines over `array<double>` accumulate IEEE doubles in INDEX
@@ -1324,6 +1337,46 @@ object LlmOps extends QueryModule {
         .limit(TfCosLimit)
     }),
 
+    // ROUGE-1 overlap scoring over the LSH candidates (r12c3) — the
+    // summarization/contamination EVAL metric next to tf-cosine's
+    // geometry: multiset unigram overlap Σ min(tf_a, tf_b) with
+    // precision against doc_a's length, recall against doc_b's, F1 from
+    // the staged named columns. A pair scoring high recall but low
+    // precision is a CONTAINMENT hit (doc_b quoted inside doc_a) —
+    // the read Jaccard and cosine both blur. Same digest-join shape as
+    // q_llm_tf_cosine (tokens never ride exchanges as strings; both
+    // engines aggregate tf by digest); exact BIGINTs until the staged
+    // divisions.
+    "q_llm_rouge1" -> ((s: SparkSession, dir: String) => {
+      graft.functions.GraftFunctions.register(s)
+      val cands = candidateIndexFor(s, dir)._3
+        .where(col("n_shared_bands") >= 2)
+      val idx = TextOps.tokenIndexFor(s, dir)
+        .select(col("doc_id"),
+          call_function("shingle_key", col("token")).as("tk"), col("tf"))
+        .groupBy("doc_id", "tk").agg(sum("tf").as("tf"))
+      val dl = idx.groupBy("doc_id").agg(sum("tf").as("dl"))
+      val ov = cands
+        .join(idx.select(col("doc_id").as("doc_a"), col("tk"),
+          col("tf").as("tfa")), "doc_a")
+        .join(idx.select(col("doc_id").as("doc_b"), col("tk"),
+          col("tf").as("tfb")), Seq("doc_b", "tk"))
+        .groupBy("doc_a", "doc_b")
+        .agg(sum(least(col("tfa"), col("tfb"))).as("overlap"))
+      ov
+        .join(dl.select(col("doc_id").as("doc_a"), col("dl").as("dl_a")),
+          "doc_a")
+        .join(dl.select(col("doc_id").as("doc_b"), col("dl").as("dl_b")),
+          "doc_b")
+        .selectExpr("doc_a", "doc_b", "CAST(overlap AS BIGINT) AS overlap",
+          "CAST(dl_a AS BIGINT) AS dl_a", "CAST(dl_b AS BIGINT) AS dl_b",
+          rougePFormula, rougeRFormula)
+        .selectExpr("doc_a", "doc_b", "overlap", "dl_a", "dl_b",
+          "rouge_p", "rouge_r", rougeF1Formula)
+        .orderBy(desc("rouge_f1"), asc("doc_a"), asc("doc_b"))
+        .limit(200)
+    }),
+
     // One-pass MinHash signatures via the typed aggregate
     // (graft.functions.MinHashAgg): one K-long array buffer per group
     // instead of K min() columns — the SURVEY §4.2 sketch-aggregate path.
@@ -2150,6 +2203,48 @@ object LlmOps extends QueryModule {
          |SELECT doc_a, doc_b, dot, ss_a, ss_b, tf_cos FROM fin
          |WHERE tf_cos >= $TfCosTau
          |ORDER BY tf_cos DESC, doc_a, doc_b LIMIT $TfCosLimit""".stripMargin,
+
+    "q_llm_rouge1" ->
+      s"""WITH
+         |${RH.tokenHashCte},
+         |${RH.minhashSigsCte(NumHashes)},
+         |${RH.lshBandsCte},
+         |${cappedBandsSql(MaxBucket)},
+         |cand AS (
+         |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b
+         |  FROM capped x JOIN capped y USING (band, bh)
+         |  WHERE x.doc_id < y.doc_id
+         |  GROUP BY 1, 2 HAVING count(*) >= 2),
+         |tfx AS (
+         |  SELECT doc_id, ${RH.shingleKeySql("token")} AS tk,
+         |         CAST(count(*) AS BIGINT) AS tf FROM (
+         |    SELECT doc_id, unnest(string_split(text, ' ')) AS token
+         |    FROM documents)
+         |  WHERE length(token) > 0 GROUP BY doc_id, tk),
+         |dlq AS (
+         |  SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl
+         |  FROM tfx GROUP BY doc_id),
+         |ovl AS (
+         |  SELECT c.doc_a, c.doc_b,
+         |         CAST(sum(least(a.tf, b.tf)) AS BIGINT) AS overlap
+         |  FROM cand c
+         |  JOIN tfx a ON a.doc_id = c.doc_a
+         |  JOIN tfx b ON b.doc_id = c.doc_b AND b.tk = a.tk
+         |  GROUP BY c.doc_a, c.doc_b),
+         |wl AS (
+         |  SELECT o.doc_a, o.doc_b, o.overlap,
+         |         da.dl AS dl_a, db.dl AS dl_b
+         |  FROM ovl o
+         |  JOIN dlq da ON da.doc_id = o.doc_a
+         |  JOIN dlq db ON db.doc_id = o.doc_b),
+         |pr2 AS (
+         |  SELECT doc_a, doc_b, overlap, dl_a, dl_b,
+         |         $rougePFormula, $rougeRFormula
+         |  FROM wl)
+         |SELECT doc_a, doc_b, overlap, dl_a, dl_b, rouge_p, rouge_r,
+         |       $rougeF1Formula
+         |FROM pr2
+         |ORDER BY rouge_f1 DESC, doc_a, doc_b LIMIT 200""".stripMargin,
 
     "q_llm_exact_dedup" ->
       """SELECT sha256(text) AS text_sha, min(doc_id) AS keep_id, count(*) AS n_copies

@@ -162,6 +162,35 @@ class LlmSpec extends SparkTestBase {
       "every emitted pair scored exactly 1.0 — multiset path untested")
   }
 
+  test("rouge-1 rows equal a driver-side min-multiset recount (r12c3)") {
+    val docs = ops.table(spark, sfDir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0),
+        r.getString(1).split(" ").filter(_.nonEmpty)
+          .groupBy(identity).map { case (t, g) => (t, g.length.toLong) }))
+      .toMap
+    val got = q("q_llm_rouge1").collect()
+      .map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5),
+          r.getDouble(6), r.getDouble(7))))
+    assert(got.nonEmpty)
+    got.foreach { case ((a, b), (ov, dla, dlb, p, rr, f1)) =>
+      val (ma, mb) = (docs(a), docs(b))
+      val overlap = ma.iterator
+        .map { case (t, v) => math.min(v, mb.getOrElse(t, 0L)) }.sum
+      assert(ov == overlap && dla == ma.values.sum && dlb == mb.values.sum,
+        s"integer parts for ($a, $b)")
+      val ep = ov.toDouble / dla.toDouble
+      val er = ov.toDouble / dlb.toDouble
+      assert(p == ep && rr == er, s"p/r replay for ($a, $b)")
+      val ef1 = if (ep + er > 0) 2 * ep * er / (ep + er) else 0.0
+      assert(f1 == ef1, s"f1 replay for ($a, $b)")
+      // the harmonic mean never exceeds either side
+      assert(f1 <= math.max(p, rr) + 1e-12 && p <= 1.0 && rr <= 1.0,
+        s"rouge bounds for ($a, $b)")
+    }
+  }
+
   // ---- similarity search vs driver-side ground truth ---------------------
 
   private lazy val vectors: Array[(Long, Array[Double])] =

@@ -1306,6 +1306,29 @@ class MixDiagSpec extends SparkTestBase {
     }
   }
 
+  test("ljung-box equals a driver-side Q replay off the acf rows (r12c3)") {
+    val acf = q("q_ts_acf").collect()
+      .map(r => ((r.getString(0), r.getLong(1)), (r.getLong(2), r.getDouble(3))))
+      .toMap
+    val got = q("q_ts_ljung_box").collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getDouble(2), r.getBoolean(3))))
+      .toMap
+    assert(got.nonEmpty)
+    got.foreach { case (t, (nObs, qStat, rej)) =>
+      val (n1, _) = acf((t, 1L))
+      assert(nObs == n1 + 1, s"$t n_obs from the lag-1 pair count")
+      // same left-associated 5-term chain as lbQFormula
+      val terms = (1 to 5).map { k =>
+        val (nk, rk) = acf((t, k.toLong)); rk * rk / nk.toDouble
+      }
+      val expect = nObs.toDouble * (nObs + 2).toDouble *
+        (((terms(0) + terms(1)) + terms(2) + terms(3)) + terms(4))
+      assert(qStat == expect, s"$t Q statistic replay")
+      assert(qStat >= 0.0, s"$t Q nonnegative")
+      assert(rej == (qStat > 11.0705), s"$t verdict")
+    }
+  }
+
   test("pacf equals a driver-side Durbin-Levinson replay off the acf rows (r12)") {
     val acf = q("q_ts_acf").collect()
       .map(r => ((r.getString(0), r.getLong(1)), r.getDouble(3))).toMap
