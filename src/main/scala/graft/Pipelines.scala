@@ -355,4 +355,14 @@ object Pipelines {
     if (!spark.experimental.extraOptimizations.contains(graft.plans.LshJoinRewrite))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ graft.plans.LshJoinRewrite
+
+  /** Idempotently install the opt-in count(DISTINCT) → HLL++ rewrite
+    * (r12c3) WITHOUT enabling it — the [[installLshJoinRewrite]]
+    * discipline for the second approximate rule. */
+  def installApproxDistinct(spark: SparkSession): Unit =
+    if (!spark.experimental.extraOptimizations
+        .contains(graft.plans.ApproxDistinctRewrite))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+
+          graft.plans.ApproxDistinctRewrite
 }

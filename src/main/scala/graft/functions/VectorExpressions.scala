@@ -113,6 +113,9 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     // opt-in (spark.graft.lsh.joinRewrite): brute-force cosine-threshold
     // joins become sign-LSH bucket equi-joins — see plans.LshJoinRewrite
     ext.injectOptimizerRule(_ => graft.plans.LshJoinRewrite)
+    // opt-in (spark.graft.approx.countDistinct): exact count(DISTINCT x)
+    // becomes an HLL++ sketch — see plans.ApproxDistinctRewrite
+    ext.injectOptimizerRule(_ => graft.plans.ApproxDistinctRewrite)
   }
 }
 
