@@ -97,6 +97,40 @@ object GraphOps extends QueryModule {
   private[graft] val StressSources = 8
   private[graft] val StressDepth = 3
 
+  /** Undirected mutual-KNN arc relation (both directions, checkpointed) —
+    * the stress / ecc-sample shared input. */
+  private def undirectedArcsFor(s: SparkSession, dir: String): DataFrame = {
+    val e = mutualKnnEdges(s, dir)
+    e.select(col("u").as("src"), col("v").as("dst"))
+      .union(e.select(col("v").as("src"), col("u").as("dst")))
+      .localCheckpoint(true)
+  }
+
+  /** The sampled-source BFS-dag forward levels f0..f[[StressDepth]] —
+    * factored (r12c3) so q_graph_stress and q_graph_ecc_sample share ONE
+    * implementation (and their oracles share [[stressForwardCtes]] — the
+    * bpeMergeStagesCte one-text rule). Each level: Σσ frontier expansion
+    * over arcs + anti-joins against every earlier level; all small sides
+    * are constant-bounded (StressSources·KnnK^level) broadcasts. */
+  private[graft] def bfsDagLevels(arcs: DataFrame): Seq[DataFrame] = {
+    val f0 = arcs.select(col("src").as("node")).distinct()
+      .orderBy("node").limit(StressSources)
+      .select(col("node").as("sp"), col("node"), lit(1L).as("sigma"))
+    def expand(fl: DataFrame): DataFrame =
+      broadcast(fl.select(col("sp"), col("node").as("fn"), col("sigma")))
+        .join(arcs, col("fn") === col("src"))
+        .groupBy(col("sp"), col("dst").as("node"))
+        .agg(sum("sigma").as("sigma"))
+    def minus(df: DataFrame, earlier: DataFrame*): DataFrame =
+      earlier.foldLeft(df)((acc, ex) =>
+        acc.join(broadcast(ex.select("sp", "node")), Seq("sp", "node"),
+          "left_anti"))
+    val f1 = minus(expand(f0), f0)
+    val f2 = minus(expand(f1), f1, f0)
+    val f3 = minus(expand(f2), f2, f1, f0)
+    Seq(f0, f1, f2, f3)
+  }
+
   /** Unroll depth of the k-core ORACLE stages. The engine peels to the
     * FIXPOINT with early exit and refuses non-convergence, so engine ≡
     * oracle exactly when the plain unroll also reaches the fixpoint:
@@ -884,25 +918,8 @@ object GraphOps extends QueryModule {
     // corpus-size-independent), so the broadcasts are constant-bounded
     // by construction; arcs is the only corpus-scaled relation.
     "q_graph_stress" -> ((s: SparkSession, dir: String) => {
-      val e = mutualKnnEdges(s, dir)
-      val arcs = e.select(col("u").as("src"), col("v").as("dst"))
-        .union(e.select(col("v").as("src"), col("u").as("dst")))
-        .localCheckpoint(true)
-      val f0 = arcs.select(col("src").as("node")).distinct()
-        .orderBy("node").limit(StressSources)
-        .select(col("node").as("sp"), col("node"), lit(1L).as("sigma"))
-      def expand(fl: DataFrame): DataFrame =
-        broadcast(fl.select(col("sp"), col("node").as("fn"), col("sigma")))
-          .join(arcs, col("fn") === col("src"))
-          .groupBy(col("sp"), col("dst").as("node"))
-          .agg(sum("sigma").as("sigma"))
-      def minus(df: DataFrame, earlier: DataFrame*): DataFrame =
-        earlier.foldLeft(df)((acc, ex) =>
-          acc.join(broadcast(ex.select("sp", "node")), Seq("sp", "node"),
-            "left_anti"))
-      val f1 = minus(expand(f0), f0)
-      val f2 = minus(expand(f1), f1, f0)
-      val f3 = minus(expand(f2), f2, f1, f0)
+      val arcs = undirectedArcsFor(s, dir)
+      val Seq(f0, f1, f2, f3) = bfsDagLevels(arcs)
       def succSum(fl: DataFrame, hNext: DataFrame): DataFrame =
         broadcast(fl.select(col("sp"), col("node").as("vn")))
           .join(arcs, col("vn") === col("src"))
@@ -924,6 +941,38 @@ object GraphOps extends QueryModule {
           asLong(count_distinct(col("sp"))).as("n_sources"))
         .where(col("stress") > 0)
         .orderBy(desc("stress"), asc("node")).limit(100)
+    }),
+
+    // Sampled eccentricity / diameter lower bound (r12c3): the second
+    // consumer of the shared BFS-dag levels (bfsDagLevels — one
+    // implementation with q_graph_stress, one oracle text via
+    // stressForwardCtes): per sampled source, nodes reached at each hop
+    // and the CAPPED eccentricity (deepest non-empty frontier within the
+    // StressDepth horizon — a LOWER bound by declaration, the
+    // bounded-iteration contract); diameter_lb = max over sources. The
+    // reachability-profile read a graph-sanity pass wants before trusting
+    // hop-bounded algorithms. All per-source relations constant-bounded.
+    "q_graph_ecc_sample" -> ((s: SparkSession, dir: String) => {
+      val arcs = undirectedArcsFor(s, dir)
+      val Seq(f0, f1, f2, f3) = bfsDagLevels(arcs)
+      def cnt(f: DataFrame, nm: String) =
+        f.groupBy("sp").agg(asLong(count(lit(1))).as(nm))
+      val ec = f0.select(col("sp"))
+        .join(broadcast(cnt(f1, "c1")), Seq("sp"), "left")
+        .join(broadcast(cnt(f2, "c2")), Seq("sp"), "left")
+        .join(broadcast(cnt(f3, "c3")), Seq("sp"), "left")
+        .selectExpr("sp AS source",
+          "CAST(coalesce(c1, 0) AS BIGINT) AS n_d1",
+          "CAST(coalesce(c2, 0) AS BIGINT) AS n_d2",
+          "CAST(coalesce(c3, 0) AS BIGINT) AS n_d3")
+        .selectExpr("source", "n_d1", "n_d2", "n_d3",
+          "CAST(CASE WHEN n_d3 > 0 THEN 3 WHEN n_d2 > 0 THEN 2" +
+            " WHEN n_d1 > 0 THEN 1 ELSE 0 END AS BIGINT) AS ecc_capped")
+      val mx = ec.agg(max("ecc_capped").as("dia"))
+      ec.crossJoin(broadcast(mx))
+        .selectExpr("source", "n_d1", "n_d2", "n_d3", "ecc_capped",
+          "CAST(dia AS BIGINT) AS diameter_lb")
+        .orderBy("source")
     }),
 
     // Node similarity ("customers also bought"): neighbor-set Jaccard over
@@ -1127,6 +1176,40 @@ object GraphOps extends QueryModule {
        |  FROM r a JOIN r b ON a.src = b.dst AND a.dst = b.src
        |  WHERE a.src < a.dst)""".stripMargin
 
+  /** Shared forward BFS-dag CTE chain (arcs, f0 … f[[StressDepth]]) — ONE
+    * text for the q_graph_stress and q_graph_ecc_sample oracles (the
+    * bpeMergeStagesCte rule; the Spark twin is [[bfsDagLevels]]). Each
+    * f-relation is `AS MATERIALIZED`: later levels anti-join every
+    * earlier one, and the backward/readout CTEs re-read them. */
+  private lazy val stressForwardCtes: String = {
+    def anti(rel: String, earlier: Seq[String]): String =
+      earlier.map(x =>
+        s"NOT EXISTS (SELECT 1 FROM $x q WHERE q.sp = $rel.sp AND q.node = $rel.node)")
+        .mkString(" AND ")
+    s"""arcs AS MATERIALIZED (
+       |  SELECT u AS src, v AS dst FROM e
+       |  UNION ALL
+       |  SELECT v AS src, u AS dst FROM e),
+       |f0 AS MATERIALIZED (
+       |  SELECT node AS sp, node, CAST(1 AS BIGINT) AS sigma
+       |  FROM (SELECT DISTINCT src AS node FROM arcs
+       |        ORDER BY node LIMIT $StressSources)),
+       |r1 AS (
+       |  SELECT p.sp, a.dst AS node, CAST(sum(p.sigma) AS BIGINT) AS sigma
+       |  FROM f0 p JOIN arcs a ON a.src = p.node GROUP BY 1, 2),
+       |f1 AS MATERIALIZED (SELECT * FROM r1 WHERE ${anti("r1", Seq("f0"))}),
+       |r2 AS (
+       |  SELECT p.sp, a.dst AS node, CAST(sum(p.sigma) AS BIGINT) AS sigma
+       |  FROM f1 p JOIN arcs a ON a.src = p.node GROUP BY 1, 2),
+       |f2 AS MATERIALIZED (
+       |  SELECT * FROM r2 WHERE ${anti("r2", Seq("f1", "f0"))}),
+       |r3 AS (
+       |  SELECT p.sp, a.dst AS node, CAST(sum(p.sigma) AS BIGINT) AS sigma
+       |  FROM f2 p JOIN arcs a ON a.src = p.node GROUP BY 1, 2),
+       |f3 AS MATERIALIZED (
+       |  SELECT * FROM r3 WHERE ${anti("r3", Seq("f2", "f1", "f0"))})""".stripMargin
+  }
+
   /** Unrolled PLAIN min-label stages l1 … l[[CcIters]] over `arcs`. The
     * engine runs the same relaxation to the fixpoint with early exit (and
     * refuses non-convergence), so the twin needs only enough rounds for
@@ -1295,35 +1378,10 @@ object GraphOps extends QueryModule {
          |       CAST(count(*) AS BIGINT) AS n_nodes
          |FROM b$BfsIters GROUP BY 1 ORDER BY hops""".stripMargin,
 
-    "q_graph_stress" -> {
-      def anti(rel: String, earlier: Seq[String]): String =
-        earlier.map(x =>
-          s"NOT EXISTS (SELECT 1 FROM $x q WHERE q.sp = $rel.sp AND q.node = $rel.node)")
-          .mkString(" AND ")
+    "q_graph_stress" ->
       s"""WITH $copurchaseCte,
          |$mutualKnnCte,
-         |arcs AS MATERIALIZED (
-         |  SELECT u AS src, v AS dst FROM e
-         |  UNION ALL
-         |  SELECT v AS src, u AS dst FROM e),
-         |f0 AS MATERIALIZED (
-         |  SELECT node AS sp, node, CAST(1 AS BIGINT) AS sigma
-         |  FROM (SELECT DISTINCT src AS node FROM arcs
-         |        ORDER BY node LIMIT $StressSources)),
-         |r1 AS (
-         |  SELECT p.sp, a.dst AS node, CAST(sum(p.sigma) AS BIGINT) AS sigma
-         |  FROM f0 p JOIN arcs a ON a.src = p.node GROUP BY 1, 2),
-         |f1 AS MATERIALIZED (SELECT * FROM r1 WHERE ${anti("r1", Seq("f0"))}),
-         |r2 AS (
-         |  SELECT p.sp, a.dst AS node, CAST(sum(p.sigma) AS BIGINT) AS sigma
-         |  FROM f1 p JOIN arcs a ON a.src = p.node GROUP BY 1, 2),
-         |f2 AS MATERIALIZED (
-         |  SELECT * FROM r2 WHERE ${anti("r2", Seq("f1", "f0"))}),
-         |r3 AS (
-         |  SELECT p.sp, a.dst AS node, CAST(sum(p.sigma) AS BIGINT) AS sigma
-         |  FROM f2 p JOIN arcs a ON a.src = p.node GROUP BY 1, 2),
-         |f3 AS MATERIALIZED (
-         |  SELECT * FROM r3 WHERE ${anti("r3", Seq("f2", "f1", "f0"))}),
+         |$stressForwardCtes,
          |h3 AS (SELECT sp, node, sigma, CAST(0 AS BIGINT) AS h FROM f3),
          |sc2 AS (
          |  SELECT v.sp, v.node, CAST(sum(1 + w.h) AS BIGINT) AS hsum
@@ -1348,8 +1406,34 @@ object GraphOps extends QueryModule {
          |SELECT node, CAST(sum(c) AS BIGINT) AS stress,
          |       CAST(count(DISTINCT sp) AS BIGINT) AS n_sources
          |FROM allc GROUP BY node HAVING CAST(sum(c) AS BIGINT) > 0
-         |ORDER BY stress DESC, node LIMIT 100""".stripMargin
-    },
+         |ORDER BY stress DESC, node LIMIT 100""".stripMargin,
+
+    "q_graph_ecc_sample" ->
+      s"""WITH $copurchaseCte,
+         |$mutualKnnCte,
+         |$stressForwardCtes,
+         |c1 AS (SELECT sp, CAST(count(*) AS BIGINT) AS n1 FROM f1 GROUP BY sp),
+         |c2 AS (SELECT sp, CAST(count(*) AS BIGINT) AS n2 FROM f2 GROUP BY sp),
+         |c3 AS (SELECT sp, CAST(count(*) AS BIGINT) AS n3 FROM f3 GROUP BY sp),
+         |ec0 AS (
+         |  SELECT f0.sp AS source,
+         |         CAST(coalesce(c1.n1, 0) AS BIGINT) AS n_d1,
+         |         CAST(coalesce(c2.n2, 0) AS BIGINT) AS n_d2,
+         |         CAST(coalesce(c3.n3, 0) AS BIGINT) AS n_d3
+         |  FROM f0
+         |  LEFT JOIN c1 ON c1.sp = f0.sp
+         |  LEFT JOIN c2 ON c2.sp = f0.sp
+         |  LEFT JOIN c3 ON c3.sp = f0.sp),
+         |ec AS MATERIALIZED (
+         |  SELECT source, n_d1, n_d2, n_d3,
+         |         CAST(CASE WHEN n_d3 > 0 THEN 3 WHEN n_d2 > 0 THEN 2
+         |                   WHEN n_d1 > 0 THEN 1 ELSE 0 END AS BIGINT)
+         |           AS ecc_capped
+         |  FROM ec0),
+         |mx AS (SELECT max(ecc_capped) AS dia FROM ec)
+         |SELECT source, n_d1, n_d2, n_d3, ecc_capped,
+         |       CAST(mx.dia AS BIGINT) AS diameter_lb
+         |FROM ec CROSS JOIN mx ORDER BY source""".stripMargin,
 
     "q_graph_kcore" ->
       s"""WITH $copurchaseCte,

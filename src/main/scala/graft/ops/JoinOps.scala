@@ -19,6 +19,9 @@ object JoinOps extends QueryModule {
     * rows scatter across this many shuffle partitions. */
   private[graft] val SaltFactor = 8
 
+  /** q_join_band: the symmetric band half-width (and bucket width) in µs. */
+  private[graft] val BandUs = 60000000L
+
   /** q_join_bloom_prefilter width (bits): 2^16 cells — the set-bit
     * relation stays domain-bounded and broadcast-legal at any dim size
     * (the simhash 2^16 rule). */
@@ -350,6 +353,36 @@ object JoinOps extends QueryModule {
         .orderBy("user_id")
     }),
 
+    // Symmetric BAND join (r12c3): click↔purchase pairs within ±60 s per
+    // user — the two-sided complement to q_join_interval's forward
+    // window (a band predicate |t₂−t₁| ≤ w has no ≤-direction a range
+    // join could order on). Buckets of exactly the band width make the
+    // adjacent-probe fan COMPLETE (a qualifying pair spans at most one
+    // bucket boundary) and DUPLICATE-FREE (the left row's three probe
+    // buckets are distinct and the right row carries ONE bucket — the
+    // LshJoinRewrite multi-probe argument); the shuffle key (user,
+    // bucket) carries the pairing equi bound the self-join rule
+    // requires. Per-user pair summary with signed gap extremes; exact
+    // integers throughout.
+    "q_join_band" -> ((s: SparkSession, dir: String) => {
+      val ev = table(s, dir, "events")
+        .selectExpr("user_id", "event_type", "unix_micros(ts) AS t_us")
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("user_id"), col("t_us").as("tc"),
+          explode(expr(s"array(t_us div $BandUs - 1, t_us div $BandUs," +
+            s" t_us div $BandUs + 1)")).as("bk"))
+      val purch = ev.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("t_us").as("tp"),
+          expr(s"t_us div $BandUs").as("bk"))
+      clicks.join(purch, Seq("user_id", "bk"))
+        .where(abs(col("tp") - col("tc")) <= BandUs)
+        .groupBy("user_id")
+        .agg(asLong(count(lit(1))).as("n_pairs"),
+          asLong(min(expr("tp - tc"))).as("min_gap_us"),
+          asLong(max(expr("tp - tc"))).as("max_gap_us"))
+        .orderBy(desc("n_pairs"), asc("user_id")).limit(200)
+    }),
+
     // Dynamic-partition-pruning study (r12): the star-schema scan
     // optimization a 100 TB layout lives on — the fact side is written
     // ONCE as an external parquet table partitioned by the join key
@@ -560,6 +593,23 @@ object JoinOps extends QueryModule {
         |FROM events e1 JOIN events e2
         |  ON e2.user_id = e1.user_id AND e2.event_id > e1.event_id
         | AND e2.ts >= e1.ts AND e2.ts <= e1.ts + INTERVAL 5 MINUTE
-        |GROUP BY e1.user_id ORDER BY e1.user_id""".stripMargin
+        |GROUP BY e1.user_id ORDER BY e1.user_id""".stripMargin,
+
+    // the plain band predicate — bucketing is pure execution shape (the
+    // q_join_skew_salted precedent)
+    "q_join_band" ->
+      s"""WITH ev AS (
+         |  SELECT user_id, event_type, epoch_us(ts) AS t_us FROM events),
+         |ck AS (SELECT user_id, t_us AS tc FROM ev WHERE event_type = 'click'),
+         |pu AS (SELECT user_id, t_us AS tp FROM ev WHERE event_type = 'purchase'),
+         |j AS (
+         |  SELECT ck.user_id, ck.tc, pu.tp
+         |  FROM ck JOIN pu ON pu.user_id = ck.user_id
+         |  WHERE abs(pu.tp - ck.tc) <= $BandUs)
+         |SELECT user_id, CAST(count(*) AS BIGINT) AS n_pairs,
+         |       CAST(min(tp - tc) AS BIGINT) AS min_gap_us,
+         |       CAST(max(tp - tc) AS BIGINT) AS max_gap_us
+         |FROM j GROUP BY user_id
+         |ORDER BY n_pairs DESC, user_id LIMIT 200""".stripMargin
   )
 }

@@ -210,6 +210,38 @@ class GraphSpec extends SparkTestBase {
     assert(got == expected, "stress rows or order differ from the replay")
   }
 
+  test("sampled eccentricity equals a driver-side BFS replay (r12c3)") {
+    val und = mutualEdges.flatMap { case (u, v) => Seq((u, v), (v, u)) }
+    val nbrs = und.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val sources = nbrs.keys.toSeq.sorted.take(8)
+    val expected = sources.map { s0 =>
+      var visited = Set(s0)
+      var frontier = Set(s0)
+      val sizes = (1 to 3).map { _ =>
+        val next = frontier.flatMap(v => nbrs.getOrElse(v, Set.empty))
+          .diff(visited)
+        visited ++= next
+        frontier = next
+        next.size.toLong
+      }
+      val ecc =
+        if (sizes(2) > 0) 3L else if (sizes(1) > 0) 2L
+        else if (sizes(0) > 0) 1L else 0L
+      (s0, (sizes(0), sizes(1), sizes(2), ecc))
+    }.toMap
+    val dia = expected.values.map(_._4).max
+    val got = q("q_graph_ecc_sample").collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))).toMap
+    assert(got.keySet == expected.keySet, "source sample")
+    got.foreach { case (s0, (n1, n2, n3, ecc, dlb)) =>
+      val (e1, e2, e3, eEcc) = expected(s0)
+      assert((n1, n2, n3) == ((e1, e2, e3)), s"source $s0 level sizes")
+      assert(ecc == eEcc, s"source $s0 capped eccentricity")
+      assert(dlb == dia, s"source $s0 diameter lower bound")
+    }
+  }
+
   test("assortativity equals a driver-side Newman-r replay, same FP order") {
     val und = mutualEdges.flatMap { case (u, v) => Seq((u, v), (v, u)) }
     val deg = und.toSeq.groupBy(_._1).view.mapValues(_.size.toLong).toMap

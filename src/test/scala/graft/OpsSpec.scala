@@ -437,6 +437,27 @@ class OpsSpec extends SparkTestBase {
     }
   }
 
+  test("band join equals a brute-force per-user replay, probe fan duplicate-free (r12c3)") {
+    val ev = ops.table(spark, sfDir, "events")
+      .selectExpr("user_id", "event_type", "unix_micros(ts) AS t_us")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val byUser = ev.groupBy(_._1)
+    val expected = byUser.flatMap { case (u, es) =>
+      val clicks = es.filter(_._2 == "click").map(_._3)
+      val purch = es.filter(_._2 == "purchase").map(_._3)
+      val gaps = for {
+        tc <- clicks; tp <- purch if math.abs(tp - tc) <= 60000000L
+      } yield tp - tc
+      if (gaps.isEmpty) None
+      else Some((u, (gaps.length.toLong, gaps.min, gaps.max)))
+    }.toSeq.sortBy { case (u, (n, _, _)) => (-n, u) }.take(200)
+    val got = SparkEntry.queries("q_join_band")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toSeq
+    assert(got.nonEmpty, "fixture must produce band pairs")
+    assert(got == expected, "band pairs, gaps, or order differ")
+  }
+
   test("salted skew join: identical to the plain join, salt in the shuffle keys") {
     import org.apache.spark.sql.functions.{col, count, lit}
     val df = SparkEntry.queries("q_join_skew_salted")(spark, sfDir)
