@@ -402,6 +402,47 @@ object AnalyticsOps extends QueryModule {
     "q_analytics_attribution" -> ((s: SparkSession, dir: String) =>
       lastTouchAttribution(table(s, dir, "events")).orderBy("channel")),
 
+    // View-abandonment audit (r12c3): per hour-of-day, the share of VIEW
+    // events NOT followed by a purchase from the same user within 1 h —
+    // the cart-abandonment read next to the funnel/attribution family
+    // (those ask "how far do users get"; this asks "when do they bail").
+    // Forward-window matching via 1 h buckets with a 2-probe fan (the
+    // q_join_band completeness argument for a one-sided window); the
+    // converted-view set is (vid, tv)-DISTINCT so the probe fan can
+    // never double-count a view, then BOTH sides aggregate to ≤24
+    // hour-of-day rows BEFORE they meet — no view-keyed join exists at
+    // all (a per-view flag join would shuffle an O(#views) relation for
+    // a 24-row answer; PlanAudit caught the first draft), and the
+    // bounded meet broadcasts legally. Exact integers until the one
+    // rate division.
+    "q_analytics_abandon" -> ((s: SparkSession, dir: String) => {
+      val H = 3600000000L
+      val ev = table(s, dir, "events")
+        .selectExpr("user_id", "event_type", "event_id",
+          "unix_micros(ts) AS t_us")
+      val vw = ev.where(col("event_type") === "view")
+        .select(col("user_id"), col("event_id").as("vid"),
+          col("t_us").as("tv"))
+      val pu = ev.where(col("event_type") === "purchase")
+        .select(col("user_id").as("pu_user"), col("t_us").as("tp"),
+          expr(s"t_us div $H").as("bp"))
+      val conv = vw
+        .withColumn("bk", explode(expr(s"array(tv div $H, tv div $H + 1)")))
+        .join(pu, col("user_id") === col("pu_user") && col("bk") === col("bp"))
+        .where(col("tp") > col("tv") && col("tp") <= col("tv") + H)
+        .select("vid", "tv").distinct()
+      val va = vw.groupBy(expr(s"(tv div $H) % 24").as("hour_of_day"))
+        .agg(asLong(count(lit(1))).as("n_views"))
+      val ca = conv.groupBy(expr(s"(tv div $H) % 24").as("hour_of_day"))
+        .agg(asLong(count(lit(1))).as("n_converted"))
+      va.join(broadcast(ca), Seq("hour_of_day"), "left")
+        .selectExpr("CAST(hour_of_day AS BIGINT) AS hour_of_day", "n_views",
+          "CAST(coalesce(n_converted, 0) AS BIGINT) AS n_converted",
+          "CAST(n_views - coalesce(n_converted, 0) AS DOUBLE)" +
+            " / CAST(n_views AS DOUBLE) AS abandon_rate")
+        .orderBy("hour_of_day")
+    }),
+
     // Discrete-time survival table (r12c3): Kaplan–Meier life table of
     // time-to-REORDER in week buckets — per customer, each consecutive
     // pair of distinct order DAYS is an observed event at week
@@ -899,6 +940,29 @@ object AnalyticsOps extends QueryModule {
          |       count(*) AS n_conv,
          |       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS revenue
          |FROM w WHERE kind = 0 GROUP BY channel ORDER BY channel""".stripMargin,
+
+    "q_analytics_abandon" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_type, event_id, epoch_us(ts) AS t_us
+        |  FROM events),
+        |vw AS (
+        |  SELECT user_id, event_id AS vid, t_us AS tv
+        |  FROM ev WHERE event_type = 'view'),
+        |pu AS (
+        |  SELECT user_id, t_us AS tp FROM ev WHERE event_type = 'purchase'),
+        |cv AS (
+        |  SELECT DISTINCT vw.vid
+        |  FROM vw JOIN pu ON pu.user_id = vw.user_id
+        |  WHERE pu.tp > vw.tv AND pu.tp <= vw.tv + 3600000000),
+        |fl AS (
+        |  SELECT vw.tv, CASE WHEN cv.vid IS NOT NULL THEN 1 ELSE 0 END AS conv
+        |  FROM vw LEFT JOIN cv ON cv.vid = vw.vid)
+        |SELECT CAST((tv // 3600000000) % 24 AS BIGINT) AS hour_of_day,
+        |       CAST(count(*) AS BIGINT) AS n_views,
+        |       CAST(sum(conv) AS BIGINT) AS n_converted,
+        |       CAST(count(*) - sum(conv) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+        |         AS abandon_rate
+        |FROM fl GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_analytics_survival" ->
       """WITH d0 AS (

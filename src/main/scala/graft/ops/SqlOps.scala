@@ -465,7 +465,29 @@ object SqlOps extends QueryModule {
       |SELECT hop, CAST(count(*) AS BIGINT) AS n_nodes, CAST(min(node) AS BIGINT) AS first_node
       |FROM lvl GROUP BY hop ORDER BY hop""".stripMargin
 
+  /** TPC-H Q12 analog ("shipping modes and order priority", r12c3) on
+    * the fixture's columns: the ship-mode split becomes l_linestatus and
+    * the lateness predicate becomes ship > order + 90 days — `DATE +
+    * INT` is in the shared dialect (date−date is NOT: Spark yields an
+    * interval, DuckDB an integer), so the verbatim text holds. The
+    * classic high/low-priority conditional-count pivot over one
+    * fact-fact equi-join. */
+  private val lateLinesSql =
+    """SELECT l_linestatus,
+      |       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+      |                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+      |       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+      |                     THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count,
+      |       CAST(count(*) AS BIGINT) AS late_lines
+      |FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+      |WHERE CAST(l_shipdate AS DATE) > CAST(o_orderdate AS DATE) + 90
+      |GROUP BY l_linestatus
+      |ORDER BY l_linestatus""".stripMargin
+
   def queries: Seq[(String, Q)] = Seq(
+    "q_sql_late_lines" -> ((s: SparkSession, dir: String) =>
+      graft.GraftSql.run(s, dir, lateLinesSql)),
+
     "q_sql_recursive_bfs" -> ((s: SparkSession, dir: String) =>
       graft.GraftSql.run(s, dir, recursiveBfsSql)),
 
@@ -539,6 +561,7 @@ object SqlOps extends QueryModule {
     "q_sql_volume_shipping" -> volumeShippingSql,
     "q_sql_market_share" -> marketShareSql,
     "q_sql_pricing_summary" -> pricingSummarySql,
+    "q_sql_late_lines" -> lateLinesSql,
     "q_sql_forecast_revenue" -> forecastRevenueSql,
     "q_sql_product_profit" -> productProfitSql,
     "q_sql_returned_items" -> returnedItemsSql,

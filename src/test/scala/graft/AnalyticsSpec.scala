@@ -93,6 +93,35 @@ class AnalyticsSpec extends SparkTestBase {
     assert(rows.head._2._3 == total, "week-0 risk set is every subject")
   }
 
+  test("abandonment audit equals a driver-side window replay (r12c3)") {
+    val ev = ops.table(spark, sfDir, "events")
+      .selectExpr("user_id", "event_type", "event_id", "unix_micros(ts) AS t")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val H = 3600000000L
+    val purByUser = ev.filter(_._2 == "purchase").groupBy(_._1)
+      .view.mapValues(_.map(_._4)).toMap
+    val views = ev.filter(_._2 == "view")
+    val flags = views.map { case (u, _, _, tv) =>
+      val conv = purByUser.getOrElse(u, Array.empty[Long])
+        .exists(tp => tp > tv && tp <= tv + H)
+      ((tv / H) % 24, conv)
+    }
+    val expected = flags.groupBy(_._1).map { case (hod, g) =>
+      val n = g.length.toLong
+      val c = g.count(_._2).toLong
+      (hod, (n, c, (n - c).toDouble / n.toDouble))
+    }
+    val got = q("q_analytics_abandon").collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(got == expected, "per-hour abandonment rows differ")
+    assert(got.values.map(_._1).sum == views.length.toLong,
+      "every view lands in exactly one hour bucket")
+    // no "conversions occur every hour" pin — sparse fixture (r12c2
+    // runs_test lesson); only the exact recount is the contract
+  }
+
   test("retention offset-0 cell equals the cohort size") {
     val rows = q("q_retention_cohort").collect()
       .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2)))

@@ -112,6 +112,30 @@ class FacadeSpec extends SparkTestBase {
     assert(sql == dsl, "SQL EXISTS and DSL semi join disagree")
   }
 
+  test("SQL entry point: Q12-analog late-line priority split equals a DSL replay (r12c3)") {
+    import org.apache.spark.sql.functions.{count, lit, sum, when, expr}
+    val sql = SparkEntry.queries("q_sql_late_lines")(spark, sfDir)
+      .collect().map(r =>
+        (r.getString(0), (r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(sql.nonEmpty)
+    val dsl = ops.table(spark, sfDir, "orders")
+      .join(ops.table(spark, sfDir, "lineitem"),
+        col("l_orderkey") === col("o_orderkey"))
+      .where(expr("CAST(l_shipdate AS DATE) > CAST(o_orderdate AS DATE) + 90"))
+      .groupBy("l_linestatus")
+      .agg(sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+          .otherwise(0L)).as("h"),
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 0L)
+          .otherwise(1L)).as("l"),
+        count(lit(1)).cast("long").as("n"))
+      .collect().map(r =>
+        (r.getString(0), (r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(sql == dsl, "SQL late-line split and DSL replay disagree")
+    sql.values.foreach { case (h, l, n) =>
+      assert(h + l == n, "priority split must partition the late lines")
+    }
+  }
+
   test("SQL entry point: CTE + window picks one top order per customer (r11)") {
     val rows = SparkEntry.queries("q_sql_top_order_per_cust")(spark, sfDir)
       .collect()
