@@ -118,6 +118,42 @@ object SourceSinkOps extends QueryModule {
         .orderBy("event_type")
     }),
 
+    // Malformed-row quarantine (r12c3) — the ingestion surface every lake
+    // pipeline actually hits: a CSV written ONCE (fixture-keyed external
+    // path, the exportOnce convention) with a DETERMINISTIC corruption —
+    // every event_id % 7 = 0 row carries a non-numeric value — read back
+    // under PERMISSIVE with columnNameOfCorruptRecord, so bad rows parse
+    // to NULL fields + the raw line in the quarantine column instead of
+    // failing the job. Report per type: rows, corrupt rows, and the
+    // exact DECIMAL sum over the GOOD rows only (doubles round-trip
+    // text exactly via shortest-repr, so the good-side sum equals the
+    // direct parquet sum). The oracle replays the known corruption
+    // formula off the parquet ground truth (the mm-family split).
+    "q_src_csv_malformed" -> ((s: SparkSession, dir: String) => {
+      val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft-src-csvbad-${fixtureKey(dir, "events.parquet")}")
+        .getAbsolutePath
+      val marker = new java.io.File(path, "_SUCCESS")
+      if (!marker.exists()) {
+        table(s, dir, "events")
+          .selectExpr("event_id", "event_type",
+            "CASE WHEN event_id % 7 = 0 THEN 'corrupted'" +
+              " ELSE CAST(value AS STRING) END AS value")
+          .write.mode("overwrite").option("header", "true").csv(path)
+      }
+      s.read.option("header", "true")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_bad")
+        .schema("event_id LONG, event_type STRING, value DOUBLE, _bad STRING")
+        .csv(path)
+        .groupBy("event_type")
+        .agg(asLong(count(lit(1))).as("n_rows"),
+          asLong(sum(when(col("_bad").isNotNull, 1L).otherwise(0L)))
+            .as("n_corrupt"),
+          dsum(when(col("_bad").isNull, col("value"))).as("good_value_sum"))
+        .orderBy("event_type")
+    }),
+
     // ORC source: Spark-native columnar alternative to parquet (same
     // pushdown/pruning machinery). Round trip is lossless (longs + doubles
     // + strings), so the oracle is the same aggregate straight off parquet.
@@ -613,6 +649,17 @@ object SourceSinkOps extends QueryModule {
          |       CAST(max(kas) AS BIGINT) AS max_a_span,
          |       CAST(max(kbs) AS BIGINT) AS max_b_span
          |FROM cells GROUP BY layout ORDER BY layout""".stripMargin,
+
+    // the corruption is a pure function of event_id, so the quarantine
+    // counts and the good-side sum replay off the parquet ground truth
+    "q_src_csv_malformed" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n_rows,
+        |       CAST(sum(CASE WHEN event_id % 7 = 0 THEN 1 ELSE 0 END)
+        |         AS BIGINT) AS n_corrupt,
+        |       CAST(sum(CASE WHEN event_id % 7 <> 0
+        |                     THEN CAST(value AS DECIMAL(18,4)) END)
+        |         AS DOUBLE) AS good_value_sum
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q_layout_zonemap" ->
       s"""WITH fct AS MATERIALIZED (

@@ -437,6 +437,27 @@ class OpsSpec extends SparkTestBase {
     }
   }
 
+  test("csv malformed-row quarantine equals the ground-truth corruption (r12c3)") {
+    val rows = SparkEntry.queries("q_src_csv_malformed")(spark, sfDir)
+      .collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(rows.nonEmpty)
+    val truth = ops.table(spark, sfDir, "events")
+      .selectExpr("event_type", "event_id", "value").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1)
+    truth.foreach { case (t, es) =>
+      val (n, c, s) = rows(t)
+      assert(n == es.length.toLong, s"$t row count")
+      assert(c == es.count(_._2 % 7 == 0).toLong, s"$t quarantine count")
+      val good = es.filter(_._2 % 7 != 0).map(e => BigDecimal(e._3)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP)).sum
+      assert(s == good.toDouble, s"$t good-side exact sum")
+      assert(c > 0 && c < n, s"$t both sides of the quarantine populated")
+    }
+  }
+
   test("band join equals a brute-force per-user replay, probe fan duplicate-free (r12c3)") {
     val ev = ops.table(spark, sfDir, "events")
       .selectExpr("user_id", "event_type", "unix_micros(ts) AS t_us")
