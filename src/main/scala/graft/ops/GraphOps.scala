@@ -131,6 +131,28 @@ object GraphOps extends QueryModule {
     Seq(f0, f1, f2, f3)
   }
 
+  /** The backward descendant-path sums h1/h2/h3 over the BFS-dag levels —
+    * factored (r12c3) so q_graph_stress and q_graph_edge_stress share ONE
+    * implementation (oracle twin: [[stressBackwardCtes]]). h_l(v) =
+    * Σ_{succ w} (1 + h_{l+1}(w)); each h frame keeps (sp, node, sigma, h). */
+  private[graft] def stressBackward(arcs: DataFrame,
+      f1: DataFrame, f2: DataFrame, f3: DataFrame): Seq[DataFrame] = {
+    def succSum(fl: DataFrame, hNext: DataFrame): DataFrame =
+      broadcast(fl.select(col("sp"), col("node").as("vn")))
+        .join(arcs, col("vn") === col("src"))
+        .join(broadcast(hNext.select(col("sp").as("sp2"),
+          col("node").as("wn"), col("h"))),
+          col("sp") === col("sp2") && col("dst") === col("wn"))
+        .groupBy(col("sp"), col("vn").as("node"))
+        .agg(sum(expr("1 + h")).as("hsum"))
+    val h3 = f3.withColumn("h", lit(0L))
+    val h2 = f2.join(broadcast(succSum(f2, h3)), Seq("sp", "node"), "left")
+      .withColumn("h", coalesce(col("hsum"), lit(0L))).drop("hsum")
+    val h1 = f1.join(broadcast(succSum(f1, h2)), Seq("sp", "node"), "left")
+      .withColumn("h", coalesce(col("hsum"), lit(0L))).drop("hsum")
+    Seq(h1, h2, h3)
+  }
+
   /** Unroll depth of the k-core ORACLE stages. The engine peels to the
     * FIXPOINT with early exit and refuses non-convergence, so engine ≡
     * oracle exactly when the plain unroll also reaches the fixpoint:
@@ -919,20 +941,8 @@ object GraphOps extends QueryModule {
     // by construction; arcs is the only corpus-scaled relation.
     "q_graph_stress" -> ((s: SparkSession, dir: String) => {
       val arcs = undirectedArcsFor(s, dir)
-      val Seq(f0, f1, f2, f3) = bfsDagLevels(arcs)
-      def succSum(fl: DataFrame, hNext: DataFrame): DataFrame =
-        broadcast(fl.select(col("sp"), col("node").as("vn")))
-          .join(arcs, col("vn") === col("src"))
-          .join(broadcast(hNext.select(col("sp").as("sp2"),
-            col("node").as("wn"), col("h"))),
-            col("sp") === col("sp2") && col("dst") === col("wn"))
-          .groupBy(col("sp"), col("vn").as("node"))
-          .agg(sum(expr("1 + h")).as("hsum"))
-      val h3 = f3.withColumn("h", lit(0L))
-      val h2 = f2.join(broadcast(succSum(f2, h3)), Seq("sp", "node"), "left")
-        .withColumn("h", coalesce(col("hsum"), lit(0L))).drop("hsum")
-      val h1 = f1.join(broadcast(succSum(f1, h2)), Seq("sp", "node"), "left")
-        .withColumn("h", coalesce(col("hsum"), lit(0L))).drop("hsum")
+      val Seq(_, f1, f2, f3) = bfsDagLevels(arcs)
+      val Seq(h1, h2, _) = stressBackward(arcs, f1, f2, f3)
       h1.select(col("sp"), col("node"), expr("sigma * h").as("c"))
         .unionByName(h2.select(col("sp"), col("node"),
           expr("sigma * h").as("c")))
@@ -941,6 +951,39 @@ object GraphOps extends QueryModule {
           asLong(count_distinct(col("sp"))).as("n_sources"))
         .where(col("stress") > 0)
         .orderBy(desc("stress"), asc("node")).limit(100)
+    }),
+
+    // Edge stress / critical connections (r12c3): traversal counts per
+    // UNDIRECTED edge from the same sampled shortest-path machinery —
+    // # shortest paths (within the horizon) using dag edge (v, w) =
+    // σ(v)·(1 + h(w)) exactly (σ paths reach v; each continues through
+    // w to w itself or any deeper target), summed over sources and the
+    // edge's two directions. The "which links carry the traffic"
+    // complement to node stress; all three shared frames (bfsDagLevels +
+    // stressBackward, one oracle text via stressForward/BackwardCtes).
+    "q_graph_edge_stress" -> ((s: SparkSession, dir: String) => {
+      val arcs = undirectedArcsFor(s, dir)
+      val Seq(f0, f1, f2, f3) = bfsDagLevels(arcs)
+      val Seq(h1, h2, h3) = stressBackward(arcs, f1, f2, f3)
+      def dagEdges(vSide: DataFrame, hNext: DataFrame): DataFrame =
+        broadcast(vSide.select(col("sp"), col("node").as("vn"),
+          col("sigma")))
+          .join(arcs, col("vn") === col("src"))
+          .join(broadcast(hNext.select(col("sp").as("sp2"),
+            col("node").as("wn"), col("h"))),
+            col("sp") === col("sp2") && col("dst") === col("wn"))
+          .select(col("sp"), col("vn"), col("wn"),
+            expr("sigma * (1 + h)").as("t"))
+      dagEdges(f0, h1)
+        .unionByName(dagEdges(h1, h2))
+        .unionByName(dagEdges(h2, h3))
+        .select(col("sp"), least(col("vn"), col("wn")).as("node_a"),
+          greatest(col("vn"), col("wn")).as("node_b"), col("t"))
+        .groupBy("node_a", "node_b")
+        .agg(asLong(sum("t")).as("traversals"),
+          asLong(count_distinct(col("sp"))).as("n_sources"))
+        .orderBy(desc("traversals"), asc("node_a"), asc("node_b"))
+        .limit(100)
     }),
 
     // Sampled eccentricity / diameter lower bound (r12c3): the second
@@ -1210,6 +1253,30 @@ object GraphOps extends QueryModule {
        |  SELECT * FROM r3 WHERE ${anti("r3", Seq("f2", "f1", "f0"))})""".stripMargin
   }
 
+  /** The backward h-chain over the forward levels — ONE text for the
+    * stress and edge-stress oracles (Spark twin: [[stressBackward]]).
+    * h1/h2/h3 are `AS MATERIALIZED`: the edge oracle reads each twice
+    * (as the v-side of one level and the w-side of the previous). */
+  private lazy val stressBackwardCtes: String =
+    s"""h3 AS MATERIALIZED (
+       |  SELECT sp, node, sigma, CAST(0 AS BIGINT) AS h FROM f3),
+       |sc2 AS (
+       |  SELECT v.sp, v.node, CAST(sum(1 + w.h) AS BIGINT) AS hsum
+       |  FROM f2 v JOIN arcs a ON a.src = v.node
+       |  JOIN h3 w ON w.sp = v.sp AND w.node = a.dst
+       |  GROUP BY 1, 2),
+       |h2 AS MATERIALIZED (
+       |  SELECT f.sp, f.node, f.sigma, coalesce(sc2.hsum, 0) AS h
+       |  FROM f2 f LEFT JOIN sc2 USING (sp, node)),
+       |sc1 AS (
+       |  SELECT v.sp, v.node, CAST(sum(1 + w.h) AS BIGINT) AS hsum
+       |  FROM f1 v JOIN arcs a ON a.src = v.node
+       |  JOIN h2 w ON w.sp = v.sp AND w.node = a.dst
+       |  GROUP BY 1, 2),
+       |h1 AS MATERIALIZED (
+       |  SELECT f.sp, f.node, f.sigma, coalesce(sc1.hsum, 0) AS h
+       |  FROM f1 f LEFT JOIN sc1 USING (sp, node))""".stripMargin
+
   /** Unrolled PLAIN min-label stages l1 … l[[CcIters]] over `arcs`. The
     * engine runs the same relaxation to the fixpoint with early exit (and
     * refuses non-convergence), so the twin needs only enough rounds for
@@ -1382,23 +1449,7 @@ object GraphOps extends QueryModule {
       s"""WITH $copurchaseCte,
          |$mutualKnnCte,
          |$stressForwardCtes,
-         |h3 AS (SELECT sp, node, sigma, CAST(0 AS BIGINT) AS h FROM f3),
-         |sc2 AS (
-         |  SELECT v.sp, v.node, CAST(sum(1 + w.h) AS BIGINT) AS hsum
-         |  FROM f2 v JOIN arcs a ON a.src = v.node
-         |  JOIN h3 w ON w.sp = v.sp AND w.node = a.dst
-         |  GROUP BY 1, 2),
-         |h2 AS MATERIALIZED (
-         |  SELECT f.sp, f.node, f.sigma, coalesce(sc2.hsum, 0) AS h
-         |  FROM f2 f LEFT JOIN sc2 USING (sp, node)),
-         |sc1 AS (
-         |  SELECT v.sp, v.node, CAST(sum(1 + w.h) AS BIGINT) AS hsum
-         |  FROM f1 v JOIN arcs a ON a.src = v.node
-         |  JOIN h2 w ON w.sp = v.sp AND w.node = a.dst
-         |  GROUP BY 1, 2),
-         |h1 AS (
-         |  SELECT f.sp, f.node, f.sigma, coalesce(sc1.hsum, 0) AS h
-         |  FROM f1 f LEFT JOIN sc1 USING (sp, node)),
+         |$stressBackwardCtes,
          |allc AS (
          |  SELECT sp, node, sigma * h AS c FROM h1
          |  UNION ALL
@@ -1407,6 +1458,38 @@ object GraphOps extends QueryModule {
          |       CAST(count(DISTINCT sp) AS BIGINT) AS n_sources
          |FROM allc GROUP BY node HAVING CAST(sum(c) AS BIGINT) > 0
          |ORDER BY stress DESC, node LIMIT 100""".stripMargin,
+
+    "q_graph_edge_stress" ->
+      s"""WITH $copurchaseCte,
+         |$mutualKnnCte,
+         |$stressForwardCtes,
+         |$stressBackwardCtes,
+         |ed0 AS (
+         |  SELECT v.sp, v.node AS vn, w.node AS wn,
+         |         v.sigma * (1 + w.h) AS t
+         |  FROM f0 v JOIN arcs a ON a.src = v.node
+         |  JOIN h1 w ON w.sp = v.sp AND w.node = a.dst),
+         |ed1 AS (
+         |  SELECT v.sp, v.node AS vn, w.node AS wn,
+         |         v.sigma * (1 + w.h) AS t
+         |  FROM h1 v JOIN arcs a ON a.src = v.node
+         |  JOIN h2 w ON w.sp = v.sp AND w.node = a.dst),
+         |ed2 AS (
+         |  SELECT v.sp, v.node AS vn, w.node AS wn,
+         |         v.sigma * (1 + w.h) AS t
+         |  FROM h2 v JOIN arcs a ON a.src = v.node
+         |  JOIN h3 w ON w.sp = v.sp AND w.node = a.dst),
+         |alle AS (
+         |  SELECT sp, least(vn, wn) AS node_a, greatest(vn, wn) AS node_b, t
+         |  FROM ed0
+         |  UNION ALL
+         |  SELECT sp, least(vn, wn), greatest(vn, wn), t FROM ed1
+         |  UNION ALL
+         |  SELECT sp, least(vn, wn), greatest(vn, wn), t FROM ed2)
+         |SELECT node_a, node_b, CAST(sum(t) AS BIGINT) AS traversals,
+         |       CAST(count(DISTINCT sp) AS BIGINT) AS n_sources
+         |FROM alle GROUP BY node_a, node_b
+         |ORDER BY traversals DESC, node_a, node_b LIMIT 100""".stripMargin,
 
     "q_graph_ecc_sample" ->
       s"""WITH $copurchaseCte,

@@ -210,6 +210,61 @@ class GraphSpec extends SparkTestBase {
     assert(got == expected, "stress rows or order differ from the replay")
   }
 
+  test("edge stress equals explicit shortest-path enumeration (r12c3)") {
+    // INDEPENDENT ground truth: enumerate every shortest path (≤3 hops)
+    // from each sampled source by walking the BFS dag, and count edge
+    // usage directly — no σ·(1+h) formula anywhere in the replay
+    val und = mutualEdges.flatMap { case (u, v) => Seq((u, v), (v, u)) }
+    val nbrs = und.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val sources = nbrs.keys.toSeq.sorted.take(8)
+    val usage = scala.collection.mutable
+      .Map[(Long, Long), Long]().withDefaultValue(0L)
+    val touching = scala.collection.mutable
+      .Map[(Long, Long), Set[Long]]().withDefaultValue(Set.empty)
+    sources.foreach { s0 =>
+      // BFS levels (the dag)
+      var levels = Vector(Set(s0))
+      var visited = Set(s0)
+      for (_ <- 1 to 3) {
+        val next = levels.last.flatMap(v => nbrs.getOrElse(v, Set.empty))
+          .diff(visited)
+        levels :+= next; visited ++= next
+      }
+      val levelOf = levels.zipWithIndex
+        .flatMap { case (ns, l) => ns.map(_ -> l) }.toMap
+      // enumerate dag paths: every path prefix ending at each node IS a
+      // shortest path to that node — count each edge once per path that
+      // crosses it (paths to deeper targets recount shallower edges)
+      def walk(v: Long, pathEdges: List[(Long, Long)]): Unit = {
+        pathEdges.foreach { case (a, b) =>
+          val key = (math.min(a, b), math.max(a, b))
+          usage(key) += 1L
+          touching(key) = touching(key) + s0
+        }
+        val lv = levelOf(v)
+        if (lv < 3)
+          nbrs.getOrElse(v, Set.empty)
+            .filter(w => levelOf.get(w).contains(lv + 1))
+            .foreach(w => walk(w, (v, w) :: pathEdges))
+      }
+      // start: each dag edge out of the source begins a path; recursion
+      // counts the edges of every extension exactly once per full path
+      // PREFIX — which is exactly "paths through the edge", because each
+      // shortest path to a target t is one prefix chain
+      nbrs.getOrElse(s0, Set.empty)
+        .filter(w => levelOf.get(w).contains(1))
+        .foreach(w => walk(w, List((s0, w))))
+    }
+    val expected = usage.toSeq
+      .map { case (e, t) => (e._1, e._2, t, touching(e).size.toLong) }
+      .sortBy { case (a, b, t, _) => (-t, a, b) }.take(100)
+    val got = q("q_graph_edge_stress").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(got.nonEmpty)
+    assert(got == expected, "edge traversal counts or order differ")
+  }
+
   test("sampled eccentricity equals a driver-side BFS replay (r12c3)") {
     val und = mutualEdges.flatMap { case (u, v) => Seq((u, v), (v, u)) }
     val nbrs = und.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
