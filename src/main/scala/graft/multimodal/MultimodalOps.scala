@@ -191,6 +191,55 @@ object MultimodalOps extends QueryModule {
           explode(sequence(lit(0L), col("n_frames") - 1, lit(5L))).as("frame_idx"))
         .orderBy("asset_id", "frame_idx")),
 
+    // PCM energy / loudness readout (r12c3) — the first REAL-SAMPLE
+    // audio operator: decode the WAV data chunk's 16-bit LE samples
+    // (RiffWav.dataPayload — the fourth byte-level parser surface,
+    // signed decode, ragged trailing byte dropped exactly as the
+    // blockAlign contract) and report per asset the EXACT integer
+    // energy Σs², |peak| and DC sum, plus the staged RMS (one division
+    // + one sqrt — IEEE-exact). The fixture payloads are asserted-ASCII
+    // text bytes, so every ground-truth sample is ord(c₀) + 256·ord(c₁)
+    // (< 2^15 ⇒ sign bit never set on FIXTURE data — the engine still
+    // decodes signed, and the spec attacks it with ≥0x80 high bytes the
+    // oracle never sees). One scan-side mapPartitions; energy stays
+    // < 2^63 (n·(2^15)² needs n > 2^33 samples per asset to overflow).
+    "q_mm_audio_energy" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      audioWavAssets(s, dir)
+        .mapPartitions { it =>
+          it.flatMap { a =>
+            val m = RiffWav.parse(a.content).getOrElse(
+              sys.error(s"unparseable WAV container for asset ${a.asset_id}"))
+            val data = RiffWav.dataPayload(a.content).getOrElse(
+              sys.error(s"missing data chunk for asset ${a.asset_id}"))
+            val n = data.length / 2
+            if (n == 0) None
+            else {
+              var energy = 0L
+              var peak = 0L
+              var dc = 0L
+              var i = 0
+              while (i < n) {
+                val raw = (data(2 * i) & 0xff) | ((data(2 * i + 1) & 0xff) << 8)
+                val sv = raw.toShort.toLong
+                energy += sv * sv
+                val av = math.abs(sv)
+                if (av > peak) peak = av
+                dc += sv
+                i += 1
+              }
+              Some((a.asset_id, m.sampleRate.toLong, n.toLong, energy, peak, dc))
+            }
+          }
+        }
+        .toDF("asset_id", "sample_rate", "n_samples", "energy", "peak_abs",
+          "dc_sum")
+        .selectExpr("asset_id", "sample_rate", "n_samples", "energy",
+          "peak_abs", "dc_sum",
+          "sqrt(CAST(energy AS DOUBLE) / CAST(n_samples AS DOUBLE)) AS rms")
+        .orderBy("asset_id")
+    }),
+
     // Video keyframe / scene-cut scan (r12c3) — the static-frame dedup
     // pass before an encoder sees a video: walk the REAL AVI container
     // (avih for the frame count, the movi 00dc body via
@@ -481,6 +530,36 @@ object MultimodalOps extends QueryModule {
   }
 
   def oracle: Seq[(String, String)] = Seq(
+    // ground truth: samples over the asserted-ASCII payload are
+    // ord(c₀) + 256·ord(c₁) — always positive on fixture data, so |peak|
+    // = max and the signed path never fires here (the spec covers it)
+    "q_mm_audio_energy" -> {
+      val rates = AudioRates.mkString("[", ", ", "]")
+      s"""WITH a AS (
+         |  SELECT doc_id AS asset_id,
+         |         CAST($rates[CAST(doc_id % 4 + 1 AS INT)] AS BIGINT)
+         |           AS sample_rate,
+         |         text, CAST(strlen(text) AS BIGINT) // 2 AS n
+         |  FROM documents WHERE doc_id % 3 = 1 AND strlen(text) >= 2),
+         |sm AS (
+         |  SELECT asset_id, sample_rate, n,
+         |         list_transform(range(1, CAST(n + 1 AS INT)), i ->
+         |           CAST(ord(substr(text, CAST(2 * i - 1 AS INT), 1))
+         |             + 256 * ord(substr(text, CAST(2 * i AS INT), 1))
+         |             AS BIGINT)) AS ss
+         |  FROM a),
+         |ag AS (
+         |  SELECT asset_id, sample_rate, n AS n_samples,
+         |         CAST(list_aggregate(list_transform(ss, v -> v * v), 'sum')
+         |           AS BIGINT) AS energy,
+         |         CAST(list_aggregate(ss, 'max') AS BIGINT) AS peak_abs,
+         |         CAST(list_aggregate(ss, 'sum') AS BIGINT) AS dc_sum
+         |  FROM sm)
+         |SELECT asset_id, sample_rate, n_samples, energy, peak_abs, dc_sum,
+         |       sqrt(CAST(energy AS DOUBLE) / CAST(n_samples AS DOUBLE)) AS rms
+         |FROM ag ORDER BY asset_id""".stripMargin
+    },
+
     "q_mm_video_keyframes" ->
       s"""WITH v AS (
          |  SELECT doc_id AS asset_id, text, strlen(text) AS n,

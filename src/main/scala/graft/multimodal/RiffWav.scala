@@ -50,6 +50,29 @@ object RiffWav extends Serializable {
   /** Chunk-walking parse. None on: buffer shorter than the RIFF preamble,
     * bad RIFF/WAVE magic, a chunk size running past the buffer, an
     * undersized fmt chunk, or a missing fmt /data chunk. */
+  /** The data chunk's body bytes (pad excluded): None on bad magic,
+    * missing data chunk, or a size field overrunning the buffer — the
+    * same chunk walk as [[parse]], returning the PCM payload itself
+    * (r12c3, q_mm_audio_energy's sample decode). */
+  def dataPayload(bytes: Array[Byte]): Option[Array[Byte]] = {
+    def u32(o: Int): Long =
+      (bytes(o) & 0xffL) | ((bytes(o + 1) & 0xffL) << 8) |
+        ((bytes(o + 2) & 0xffL) << 16) | ((bytes(o + 3) & 0xffL) << 24)
+    def tag(o: Int): String = new String(bytes, o, 4, "US-ASCII")
+    if (bytes.length < 12 || tag(0) != "RIFF" || tag(8) != "WAVE") return None
+    var off = 12
+    while (off + 8 <= bytes.length) {
+      val id = tag(off)
+      val sz = u32(off + 4)
+      val body = off + 8
+      if (body + sz > bytes.length) return None
+      if (id == "data")
+        return Some(java.util.Arrays.copyOfRange(bytes, body, body + sz.toInt))
+      off = body + sz.toInt + (sz.toInt & 1)
+    }
+    None
+  }
+
   def parse(bytes: Array[Byte]): Option[WavMeta] = {
     def u16(o: Int): Int = (bytes(o) & 0xff) | ((bytes(o + 1) & 0xff) << 8)
     def u32(o: Int): Long =

@@ -120,6 +120,54 @@ class ContainersSpec extends SparkTestBase {
     assert(rows.keySet == docs.map(_._1).toSet, "video asset coverage")
   }
 
+  test("WAV dataPayload + signed PCM decode: roundtrip, high bytes, refusals (r12c3)") {
+    import graft.multimodal.RiffWav
+    val pay = Array[Byte](1, 2, 3, 4, 5) // odd size — pad byte excluded
+    val ok = RiffWav.encode(16000, 16, 1, pay)
+    assert(RiffWav.dataPayload(ok).get.toSeq == pay.toSeq)
+    val badForm = ok.clone(); badForm(8) = 'X'
+    assert(RiffWav.dataPayload(badForm).isEmpty, "form type refused")
+    assert(RiffWav.dataPayload(ok.take(ok.length - 2)).isEmpty,
+      "data size overrunning the buffer refused")
+    // signed decode: a high byte ≥ 0x80 makes the sample NEGATIVE —
+    // fixture payloads are ASCII and never exercise this branch, so pin
+    // it on a synthetic container through the QUERY's own arithmetic
+    val hi = Array[Byte](0x00, 0x80.toByte, 0xff.toByte, 0xff.toByte)
+    val data = RiffWav.dataPayload(RiffWav.encode(8000, 16, 1, hi)).get
+    val samples = (0 until data.length / 2).map { i =>
+      (((data(2 * i) & 0xff) | ((data(2 * i + 1) & 0xff) << 8)).toShort).toLong
+    }
+    assert(samples == Seq(-32768L, -1L), "16-bit LE signed decode")
+  }
+
+  test("audio energy equals a driver-side sample recount (r12c3)") {
+    val rows = SparkEntry.queries("q_mm_audio_energy")(spark, sfDir)
+      .collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getDouble(6)))).toMap
+    assert(rows.nonEmpty)
+    val docs = graft.ops.table(spark, sfDir, "documents")
+      .selectExpr("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+      .filter { case (id, t) => id % 3 == 1 && t.length >= 2 }
+    assert(docs.nonEmpty)
+    val ratesSeq = Seq(8000L, 16000L, 32000L, 48000L)
+    docs.foreach { case (id, t) =>
+      val n = t.length / 2
+      val ss = (0 until n)
+        .map(i => t.charAt(2 * i).toLong + 256L * t.charAt(2 * i + 1).toLong)
+      val energy = ss.map(v => v * v).sum
+      val (gr, gn, ge, gp, gd, grms) = {
+        val x = rows(id); (x._1, x._2, x._3, x._4, x._5, x._6)
+      }
+      assert(gr == ratesSeq((id % 4).toInt), s"asset $id rate")
+      assert((gn, ge, gp, gd) == ((n.toLong, energy, ss.max, ss.sum)),
+        s"asset $id sample stats")
+      assert(grms == math.sqrt(energy.toDouble / n.toDouble), s"asset $id rms")
+    }
+    assert(rows.keySet == docs.map(_._1).toSet, "audio asset coverage")
+  }
+
   test("every fixture asset parses back its encode-side ground truth") {
     import graft.multimodal.RiffWav
     val some = MultimodalOps.containerAssets(spark, sfDir).take(30)
