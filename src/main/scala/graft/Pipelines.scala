@@ -365,4 +365,15 @@ object Pipelines {
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+
           graft.plans.ApproxDistinctRewrite
+
+  /** Idempotently install the opt-in Jaccard-threshold → MinHash-bucket
+    * join rewrite (r13) WITHOUT enabling it — the
+    * [[installLshJoinRewrite]] discipline for the third approximate
+    * rule. */
+  def installJaccardJoinRewrite(spark: SparkSession): Unit =
+    if (!spark.experimental.extraOptimizations
+        .contains(graft.plans.JaccardJoinRewrite))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+
+          graft.plans.JaccardJoinRewrite
 }

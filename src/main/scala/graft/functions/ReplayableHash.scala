@@ -116,6 +116,13 @@ object ReplayableHash extends Serializable {
     * mod-prime bijection makes the argmin tie-free on distinct ids. */
   val RwParams: IndexedSeq[(Long, Long)] = params(4, salt = 15)
 
+  /** Ingestion-jitter family (q_analytics_late_events /
+    * StreamingLateEvents; salt 16 — see the salt registry in CLAUDE.md).
+    * One member: each event's simulated network delay is its affine hash
+    * in [0, P) µs ≈ 16.7 min, added to event time to form the arrival
+    * time the watermark audit batches on. */
+  val LateJitterParams: IndexedSeq[(Long, Long)] = params(1, salt = 16)
+
   // ---- DuckDB SQL twins (generated from the same constants) --------------
 
   /** SQL computing [[tokenHash]] of a string expression. */

@@ -116,6 +116,10 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     // opt-in (spark.graft.approx.countDistinct): exact count(DISTINCT x)
     // becomes an HLL++ sketch — see plans.ApproxDistinctRewrite
     ext.injectOptimizerRule(_ => graft.plans.ApproxDistinctRewrite)
+    // opt-in (spark.graft.lsh.jaccardJoinRewrite): brute-force
+    // Jaccard-threshold joins become MinHash bucket equi-joins — see
+    // plans.JaccardJoinRewrite
+    ext.injectOptimizerRule(_ => graft.plans.JaccardJoinRewrite)
   }
 }
 
@@ -148,6 +152,27 @@ object GraftFunctions {
         require(es.length == 1,
           s"shingle_key(text) requires exactly 1 argument, got ${es.length}")
         ShingleKey(es(0))
+      }),
+    (FunctionIdentifier("jaccard_sim"),
+      new ExpressionInfo(classOf[JaccardSimilarity].getName, "jaccard_sim"),
+      (es: Seq[Expression]) => {
+        require(es.length == 2,
+          s"jaccard_sim(a, b) requires exactly 2 arguments, got ${es.length}")
+        JaccardSimilarity(es(0), es(1))
+      }),
+    (FunctionIdentifier("minhash_bucket"),
+      new ExpressionInfo(classOf[MinHashBucket].getName, "minhash_bucket"),
+      (es: Seq[Expression]) => {
+        require(es.length == 1,
+          s"minhash_bucket(a) requires exactly 1 argument, got ${es.length}")
+        MinHashBucket(es(0))
+      }),
+    (FunctionIdentifier("double_order_key"),
+      new ExpressionInfo(classOf[DoubleOrderKey].getName, "double_order_key"),
+      (es: Seq[Expression]) => {
+        require(es.length == 1,
+          s"double_order_key(x) requires exactly 1 argument, got ${es.length}")
+        DoubleOrderKey(es(0))
       }),
     (FunctionIdentifier("text_full_hash"),
       new ExpressionInfo(classOf[TextFullHash].getName, "text_full_hash"),

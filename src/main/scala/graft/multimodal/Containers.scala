@@ -101,11 +101,15 @@ object AviLite extends Serializable {
     "RIFF".getBytes("US-ASCII") ++ le32(body.length.toLong) ++ body
   }
 
-  /** The movi payload (the 00dc chunk's body, pad byte excluded): None on
-    * bad magic, missing LIST(movi)/00dc, or any size field overrunning
-    * the buffer — the same chunk walk as [[parse]], one level down the
-    * DATA side. Foreign top-level and movi-level chunks skip with the
-    * RIFF odd-size pad rule (r12c3, q_mm_video_keyframes). */
+  /** The movi payload (the first 00dc chunk's body, pad byte excluded):
+    * None on bad magic, no 00dc in ANY LIST(movi), or any size field
+    * overrunning the buffer — the same chunk walk as [[parse]], one
+    * level down the DATA side. Foreign top-level and movi-level chunks
+    * skip with the RIFF odd-size pad rule (r12c3, q_mm_video_keyframes).
+    * A LIST(movi) WITHOUT a 00dc falls through to the outer walk (r13,
+    * the advisor note): a real RIFF walker keeps scanning for a later
+    * movi list — committing to the first one was stricter than the
+    * top-level foreign-chunk discipline this parser already follows. */
   def moviPayload(bytes: Array[Byte]): Option[Array[Byte]] = {
     if (bytes.length < 12 || tag(bytes, 0) != "RIFF" || tag(bytes, 8) != "AVI ")
       return None
@@ -128,7 +132,8 @@ object AviLite extends Serializable {
               bytes, cbody, cbody + csz.toInt))
           in = cbody + csz.toInt + (csz.toInt & 1)
         }
-        return None // movi without a 00dc chunk
+        // movi list without a 00dc: keep walking — a later LIST(movi)
+        // may carry the stream data
       }
       off = body + sz.toInt + (sz.toInt & 1)
     }

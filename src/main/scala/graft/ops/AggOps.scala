@@ -82,19 +82,40 @@ object AggOps extends QueryModule {
         .where(col("n_orders") >= 12 && col("total") > 100000)
         .orderBy("o_custkey")),
 
-    // HLL sketch — legitimately oracle-less (sketch differs from DuckDB's).
-    // within_3rsd carries the quantitative bound (default HLL++ rsd=0.05,
-    // 3σ = 15% — the OpsSpec pin) INTO the dumped artifact, so the
-    // driver's row record shows the bound holding, not just a row count.
-    "q_agg_approx_distinct" -> ((s: SparkSession, dir: String) =>
+    // Approximate distinct parts per returnflag — HASH-GATED since r13
+    // (the r12 verdict item): the sketch is the deterministic KMV
+    // bottom-k (the salt-14 family — same KmvSketch Aggregator as
+    // q_agg_kmv_distinct, applied to l_partkey), whose mod-prime affine
+    // member is a bijection on [0, P) ⇒ the bottom-64 set is
+    // collision-free and the "approximate" estimate replays EXACTLY in
+    // DuckDB (the countmin rule). The HLL++ surface stays covered by
+    // plans.ApproxDistinctRewrite + its spec (opt-in rewrite of exact
+    // count(DISTINCT) — ApproxDistinctRewriteSpec pins the 3·rsd bound
+    // there). within_3rsd carries the KMV bound (rsd ≈ 1/√(k−2) = 12.7%
+    // at k=64, 3σ = 38.1%) into the dumped artifact, computed from the
+    // NAMED estimate column so neither engine re-derives the estimator
+    // (the staged-formula discipline).
+    "q_agg_approx_distinct" -> ((s: SparkSession, dir: String) => {
+      val P = graft.functions.ReplayableHash.P
+      val (a, b) = graft.functions.ReplayableHash.KmvParams.head
+      val kmv = udaf(DiagOps.KmvSketch)
       table(s, dir, "lineitem")
+        .select(col("l_returnflag"),
+          expr(s"($a * (l_partkey % $P) + $b) % $P").as("hv"),
+          col("l_partkey"))
         .groupBy("l_returnflag")
-        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
-          count_distinct(col("l_partkey")).as("exact_parts"))
+        .agg(kmv(col("hv")).as("sk"),
+          count_distinct(col("l_partkey")).as("nd"))
+        .select(col("l_returnflag"),
+          asLong(col("nd")).as("exact_parts"),
+          col("sk._1").as("sketch_size"),
+          col("sk._2").as("kth_hash"),
+          col("sk._3").as("approx_parts"))
         .withColumn("within_3rsd",
-          abs(col("approx_parts") - col("exact_parts")).cast("double")
-            <= lit(0.15) * col("exact_parts"))
-        .orderBy("l_returnflag")),
+          abs(col("approx_parts") - col("exact_parts").cast("double"))
+            <= expr("CAST(0.381 AS DOUBLE)") * col("exact_parts").cast("double"))
+        .orderBy("l_returnflag")
+    }),
 
     // Equi-width histogram: bucket o_totalprice into fixed 25k-wide bins by
     // pure integer math (exact 2-dec money → scaled long), count + exact
@@ -350,6 +371,45 @@ object AggOps extends QueryModule {
   )
 
   def oracle: Seq[(String, String)] = Seq(
+    // KMV bottom-k replay (the q_agg_kmv_distinct shape on lineitem
+    // partkeys): the affine member is a bijection so DISTINCT hv counts
+    // equal DISTINCT partkey counts, the bottom-64 set is collision-free,
+    // and the (k−1)·P/h_(k) estimator is the same two double ops in both
+    // engines. approx_parts is NAMED in a subquery so the within_3rsd
+    // flag reads the estimate, never re-derives it.
+    "q_agg_approx_distinct" -> {
+      val P = graft.functions.ReplayableHash.P
+      val (a, b) = graft.functions.ReplayableHash.KmvParams.head
+      val k = DiagOps.KmvK
+      s"""WITH h AS (
+         |  SELECT DISTINCT l_returnflag, ($a * (l_partkey % $P) + $b) % $P AS hv
+         |  FROM lineitem),
+         |r AS (
+         |  SELECT l_returnflag, hv,
+         |         row_number() OVER (PARTITION BY l_returnflag ORDER BY hv) AS rk,
+         |         count(*) OVER (PARTITION BY l_returnflag) AS ndh
+         |  FROM h),
+         |kk AS (
+         |  SELECT l_returnflag, min(ndh) AS ndh,
+         |         max(CASE WHEN rk = least(ndh, $k) THEN hv END) AS kth_hash
+         |  FROM r WHERE rk <= $k GROUP BY l_returnflag),
+         |e AS (
+         |  SELECT l_returnflag, CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts
+         |  FROM lineitem GROUP BY l_returnflag),
+         |est AS (
+         |  SELECT kk.l_returnflag, e.exact_parts,
+         |         CAST(least(kk.ndh, $k) AS BIGINT) AS sketch_size,
+         |         CAST(kk.kth_hash AS BIGINT) AS kth_hash,
+         |         CASE WHEN kk.ndh < $k THEN CAST(kk.ndh AS DOUBLE)
+         |              ELSE CAST(${k - 1} AS DOUBLE) * CAST($P AS DOUBLE) / CAST(kk.kth_hash AS DOUBLE)
+         |         END AS approx_parts
+         |  FROM kk JOIN e ON kk.l_returnflag = e.l_returnflag)
+         |SELECT l_returnflag, exact_parts, sketch_size, kth_hash, approx_parts,
+         |       abs(approx_parts - CAST(exact_parts AS DOUBLE))
+         |         <= CAST(0.381 AS DOUBLE) * CAST(exact_parts AS DOUBLE) AS within_3rsd
+         |FROM est ORDER BY l_returnflag""".stripMargin
+    },
+
     "q_agg_bitmap_overlap" ->
       """WITH cnt AS (
         |  SELECT event_type, user_id, CAST(count(*) AS BIGINT) AS n

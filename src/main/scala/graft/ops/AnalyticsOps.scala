@@ -23,6 +23,37 @@ object AnalyticsOps extends QueryModule {
   /** q_analytics_basket: minimum pair support (baskets containing both). */
   private val BasketMinSupport = 2L
 
+  /** q_analytics_late_events / StreamingLateEvents: allowed lateness —
+    * an event whose event time trails its type's watermark by MORE than
+    * this is late (5 min). */
+  private[graft] val LateDelayUs = 300000000L
+
+  /** Arrival micro-batch width (10 min): the watermark advances at
+    * arrival-batch boundaries — Structured Streaming's actual semantics
+    * (watermarks update per micro-batch, never per record), and what
+    * makes the audit scale-safe: lateness needs only per-batch maxima +
+    * a prefix max over the time-span-bounded batch axis, no per-event
+    * sequencing anywhere. */
+  private[graft] val LateBatchUs = 600000000L
+
+  /** Shared report body over a flagged late/on-time relation
+    * `(event_type, w, cent, late)` — ONE implementation for the batch
+    * query and StreamingLateEvents.report (the twin-body rule in
+    * function form): per (type, hour window) totals, late/on-time
+    * split, and the on-time value sum (exact cents, surfaced as DOUBLE
+    * by one division). */
+  private[graft] def lateReport(flagged: DataFrame): DataFrame =
+    flagged
+      .groupBy("event_type", "w")
+      .agg(asLong(count(lit(1))).as("n_total"),
+        asLong(sum(when(col("late"), 1L).otherwise(0L))).as("n_late"),
+        asLong(sum(when(col("late"), 0L).otherwise(1L))).as("n_ontime"),
+        sum(when(col("late"), 0L).otherwise(col("cent"))).as("ocent"))
+      .select(col("event_type"), asLong(col("w")).as("wstart_hour"),
+        col("n_total"), col("n_late"), col("n_ontime"),
+        (col("ocent").cast("double") / lit(100)).as("ontime_value"))
+      .orderBy("event_type", "wstart_hour")
+
   /** q_analytics_pattern: per-step window (micros) — 24 h: the fixture's
     * mean per-user inter-event gap is ~10.6 h, so a 1 h step window never
     * fires (measured 0 matches at sf0.01); one day yields real signal
@@ -371,6 +402,47 @@ object AnalyticsOps extends QueryModule {
             (col("purchase_us") - col("click_us")).as("lat_us")))).as("x"))
         .select(col("x.stage").as("stage"), col("x.lat_us").as("lat_us"))
         .where(col("lat_us").isNotNull))),
+
+    // Late-data watermark audit (r13, the verdict item): per (event_type,
+    // event-time hour window) how many events arrived LATE — behind the
+    // type's watermark — versus on time, plus the on-time value total.
+    // Ground truth off parquet: each event's ARRIVAL time is its event
+    // time plus a deterministic ingestion jitter (salt-16 affine of
+    // event_id, range [0, P) µs ≈ 16.7 min — simulated network delay);
+    // arrivals group into 10-min micro-batches, the watermark is the max
+    // event time over STRICTLY EARLIER batches (watermarks advance at
+    // batch boundaries — Structured Streaming's real semantics, never
+    // per record), and an event is late when its event time trails that
+    // watermark by more than 5 min. This is exactly the drop/keep
+    // decision a watermarked streaming window makes, surfaced as data;
+    // StreamingLateEvents replays it statefully and
+    // StreamingLateEventsSpec pins report parity. Scale: ONE hash agg to
+    // the (type, arrival-batch) maxima, a prefix-max window over the
+    // TIME-SPAN-BOUNDED batch axis (the hourly-grid argument), and a
+    // broadcast rejoin — no per-event sequencing, no corpus-scaled
+    // window partition anywhere.
+    "q_analytics_late_events" -> ((s: SparkSession, dir: String) => {
+      val P = graft.functions.ReplayableHash.P
+      val (a, b) = graft.functions.ReplayableHash.LateJitterParams.head
+      val ev = table(s, dir, "events")
+        .select(col("event_type"), col("event_id"),
+          expr("unix_micros(ts)").as("tus"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("cent"))
+        .withColumn("ab",
+          expr(s"(($a * (event_id % $P) + $b) % $P + tus) div $LateBatchUs"))
+      val wOff = Window.partitionBy("event_type").orderBy("ab")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val wm = ev.groupBy("event_type", "ab").agg(max("tus").as("bmax"))
+        .withColumn("wmark", max("bmax").over(wOff))
+        .select("event_type", "ab", "wmark")
+      val flagged = ev.join(broadcast(wm), Seq("event_type", "ab"))
+        .select(col("event_type"),
+          expr(s"tus div ${DiagOps.HourUs}").as("w"),
+          col("cent"),
+          (col("wmark").isNotNull &&
+            col("tus") + lit(LateDelayUs) < col("wmark")).as("late"))
+      lateReport(flagged)
+    }),
 
     // Cohort retention: cohort = integer week of a user's first event,
     // activity = distinct (user, week); cell (cohort_week, week_offset) =
@@ -848,6 +920,37 @@ object AnalyticsOps extends QueryModule {
   }
 
   def oracle: Seq[(String, String)] = Seq(
+    "q_analytics_late_events" -> {
+      val P = graft.functions.ReplayableHash.P
+      val (a, b) = graft.functions.ReplayableHash.LateJitterParams.head
+      s"""WITH ev AS (
+         |  SELECT event_type, epoch_us(ts) AS tus,
+         |         CAST(round(value * 100) AS BIGINT) AS cent,
+         |         (($a * (event_id % $P) + $b) % $P + epoch_us(ts)) // $LateBatchUs AS ab,
+         |         epoch_us(ts) // ${DiagOps.HourUs} AS w
+         |  FROM events),
+         |bt AS (
+         |  SELECT event_type, ab, max(tus) AS bmax
+         |  FROM ev GROUP BY event_type, ab),
+         |wm AS (
+         |  SELECT event_type, ab,
+         |         max(bmax) OVER (PARTITION BY event_type ORDER BY ab
+         |                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS wmark
+         |  FROM bt),
+         |f AS (
+         |  SELECT ev.event_type, ev.w, ev.cent,
+         |         CASE WHEN wm.wmark IS NOT NULL AND ev.tus + $LateDelayUs < wm.wmark
+         |              THEN 1 ELSE 0 END AS late
+         |  FROM ev JOIN wm ON ev.event_type = wm.event_type AND ev.ab = wm.ab)
+         |SELECT event_type, CAST(w AS BIGINT) AS wstart_hour,
+         |       CAST(count(*) AS BIGINT) AS n_total,
+         |       CAST(sum(late) AS BIGINT) AS n_late,
+         |       CAST(count(*) - sum(late) AS BIGINT) AS n_ontime,
+         |       CAST(sum(CASE WHEN late = 0 THEN cent ELSE 0 END) AS DOUBLE) / 100 AS ontime_value
+         |FROM f GROUP BY event_type, w
+         |ORDER BY event_type, wstart_hour""".stripMargin
+    },
+
     "q_analytics_pit_features" ->
       """WITH ev AS (
         |  SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us

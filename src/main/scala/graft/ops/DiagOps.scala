@@ -517,6 +517,18 @@ object DiagOps extends QueryModule {
     val tab = dftTable.toDF("period", "r", "cr", "sr")
     res.join(broadcast(st), "event_type")
       .withColumn("d", expr("n_hours * sk - cnt * t"))
+      // r13 (advisor note): Σ cr·d runs in BIGINT on the engine side
+      // while the DuckDB twin funnels HUGEINT through a final BIGINT
+      // cast — an overflow regime must fail loudly in BOTH engines, not
+      // only the oracle. |Σ cr·d| ≤ period·2^16·max|d|, so the per-row
+      // bound below keeps every partial sum in range; ANSI already
+      // throws on the n·sk product itself. If a corpus ever trips this,
+      // hi/lo-split the basis sums (the q_agg_skew rule).
+      .where(coalesce(assert_true(
+        expr(s"abs(d) <= ${Long.MaxValue}L div (65536L * ${DftPeriods.max})"),
+        lit("periodogram guard: demeaned residue sum too large — " +
+          "Σ cr·d could exceed 2^63; hi/lo-split the basis sums")),
+        lit(true)))
       .join(broadcast(tab), Seq("period", "r"))
       .groupBy("event_type", "period")
       .agg(asLong(max("n_hours")).as("n_hours"),
@@ -617,7 +629,10 @@ object DiagOps extends QueryModule {
   private val rankHistCache = new java.util.concurrent.ConcurrentHashMap[
     String, (DataFrame, DataFrame, DataFrame)]()
 
-  private[graft] def clearIndexCache(): Unit = rankHistCache.clear()
+  private[graft] def clearIndexCache(): Unit = {
+    rankHistCache.clear()
+    dblRankCache.clear()
+  }
 
   private[graft] def valueAtRanks(df: DataFrame, grpCol: String,
       valueCol: String, mkRanks: DataFrame => DataFrame,
@@ -680,6 +695,103 @@ object DiagOps extends QueryModule {
       .withColumn("_vr_kprev", coalesce(sum("_vr_kcnt").over(wKey), lit(0L)))
       .where(col("_vr_kprev") < col("_vr_local")
         && col("_vr_kprev") + col("_vr_kcnt") >= col("_vr_local"))
+      .select(col(grpCol) +: col("which") +: col("value") +:
+        extras.map(col): _*)
+    (sel, nRel)
+  }
+
+  /** [[valueAtRanks]] for ARBITRARY doubles — order statistics over the
+    * order-preserving IEEE bit key (`double_order_key`,
+    * [[graft.functions.NumericKeys.orderKey]]). valueAtRanks needs a
+    * value that is exact at 2 decimals (its bucket key is
+    * `round(v*100)`); a derived double (a slope, a ratio) has no such
+    * grid, and bucketing it by any fixed-width numeric interval leaves
+    * the in-bucket distinct-value count unbounded. The bit key fixes
+    * both: it is INJECTIVE on doubles and its four 16-bit digits are
+    * each DOMAIN-bounded (≤ 65536 values), which makes a distributed
+    * GLOBAL PREFIX COUNT computable with every window bounded: gprev(k)
+    * = #elements with key < k telescopes over the radix tree as
+    * prev₁(d₁) + prev₂(d₁,d₂) + prev₃(d₁..d₃) + prev₄(d₁..d₄), where
+    * each prevᵢ is a cumulative count over the DISTINCT values of digit
+    * dᵢ within one prefix cell — ≤ 65536 rows per window partition at
+    * ANY data size, keys uniform (never the 5-partition row-level sort
+    * this replaced). The augmented histogram (one row per distinct
+    * (group, value) with gprev attached) is built ONCE (memoized per
+    * corpus digest when `cacheKey` is given — the valueAtRanks
+    * rankHistCache pattern), and then ANY rank lookup is a single
+    * broadcast-join filter over the leaf: gprev < rank ≤ gprev + cnt
+    * selects the rank-th smallest VALUE exactly (ties share a bit key).
+    * Same contract as [[valueAtRanks]]: `mkRanks(nRel)` returns (grp,
+    * which, rank [, extras]) rows with 1-based ranks, extras ride
+    * through; returns (selection, count relation). */
+  private val dblRankCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  private[graft] def doubleValueAtRanks(df: DataFrame, grpCol: String,
+      valueCol: String, mkRanks: DataFrame => DataFrame,
+      cacheKey: Option[String] = None): (DataFrame, DataFrame) = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    def build(): DataFrame = {
+      // digits: d1 is the SIGNED top 16 bits (arithmetic shift keeps the
+      // long order), d2..d4 are unsigned 16-bit slices — each monotone
+      // within its prefix, together a lossless radix decomposition
+      val kh = df
+        .withColumn("_dv_key", call_function("double_order_key", col(valueCol)))
+        .groupBy(col(grpCol), col("_dv_key"))
+        .agg(count(lit(1)).as("_dv_cnt"), min(col(valueCol)).as("value"))
+        .withColumn("_dv_d1", expr("shiftright(_dv_key, 48)"))
+        .withColumn("_dv_d2", expr("shiftright(_dv_key, 32) & 65535"))
+        .withColumn("_dv_d3", expr("shiftright(_dv_key, 16) & 65535"))
+        .withColumn("_dv_d4", expr("_dv_key & 65535"))
+      def prevOver(h: DataFrame, part: Seq[String], digit: String,
+          cnt: String, out: String): DataFrame =
+        h.withColumn(out, coalesce(
+          sum(cnt).over(Window.partitionBy(part.map(col): _*)
+            .orderBy(digit).rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      // per-level digit histograms: aggregation BEFORE each window caps
+      // the partition at the 16-bit digit domain (a window straight over
+      // kh partitioned by a prefix would be unbounded when values
+      // concentrate in one cell — the degenerate-corpus axis)
+      val h1 = prevOver(
+        kh.groupBy(col(grpCol), col("_dv_d1")).agg(sum("_dv_cnt").as("_c1")),
+        Seq(grpCol), "_dv_d1", "_c1", "_p1")
+      val h2 = prevOver(
+        kh.groupBy(col(grpCol), col("_dv_d1"), col("_dv_d2"))
+          .agg(sum("_dv_cnt").as("_c2")),
+        Seq(grpCol, "_dv_d1"), "_dv_d2", "_c2", "_p2")
+      val h3 = prevOver(
+        kh.groupBy(col(grpCol), col("_dv_d1"), col("_dv_d2"), col("_dv_d3"))
+          .agg(sum("_dv_cnt").as("_c3")),
+        Seq(grpCol, "_dv_d1", "_dv_d2"), "_dv_d3", "_c3", "_p3")
+      // p4 lives on kh itself: keys are distinct, so within a (grp, 48-bit
+      // prefix) cell the d4 values are distinct — ≤ 65536 rows/partition
+      val k4 = prevOver(kh, Seq(grpCol, "_dv_d1", "_dv_d2", "_dv_d3"),
+        "_dv_d4", "_dv_cnt", "_p4")
+      // h1 is domain-bounded (≤ 65536 digits per group — the simhash 2^16
+      // broadcast rule); h2/h3 are prefix-cell histograms, unbounded in
+      // the worst case, so they join SHUFFLED on uniform digest-prefix
+      // keys (never broadcast — the dup_clusters rule)
+      k4.join(broadcast(h1.drop("_c1")), Seq(grpCol, "_dv_d1"))
+        .join(h2.drop("_c2"), Seq(grpCol, "_dv_d1", "_dv_d2"))
+        .join(h3.drop("_c3"), Seq(grpCol, "_dv_d1", "_dv_d2", "_dv_d3"))
+        .select(col(grpCol), col("value"), col("_dv_cnt"),
+          (col("_p1") + col("_p2") + col("_p3") + col("_p4")).as("_dv_gprev"))
+        .localCheckpoint(true)
+    }
+    val akh = cacheKey match {
+      case Some(k) =>
+        val full = System.identityHashCode(
+          df.sparkSession.sparkContext).toString + "|" + k
+        dblRankCache.computeIfAbsent(full, _ => build())
+      case None => build()
+    }
+    val nRel = akh.groupBy(grpCol).agg(sum("_dv_cnt").as("n"))
+    val ranks = mkRanks(nRel)
+    val extras = ranks.columns.toSeq.filterNot(Set(grpCol, "which", "rank"))
+    val sel = akh.join(broadcast(ranks), grpCol)
+      .where(col("_dv_gprev") < col("rank")
+        && col("_dv_gprev") + col("_dv_cnt") >= col("rank"))
       .select(col(grpCol) +: col("which") +: col("value") +:
         extras.map(col): _*)
     (sel, nRel)
@@ -1741,26 +1853,41 @@ object DiagOps extends QueryModule {
     // slope and the natural companion to the Mann-Kendall verdict. Each
     // slope is ONE IEEE division of exact integers (replayable); the
     // median is selected BY VALUE at a fixed rank, so tie order among
-    // equal slopes cannot matter. The per-type rank window runs over the
-    // pair relation whose size is TIME-SPAN-bounded (grid² — identical
-    // at ×10, the bollinger axis), so the 5-partition window never sees
-    // data-volume-scaled input — the low-cardinality-window trap is
-    // about corpus-scaled partitions, declared here.
+    // equal slopes cannot matter. Selection runs through
+    // [[doubleValueAtRanks]] (radix order-statistic over the IEEE bit
+    // key): the ~1.2M slope pairs collapse map-side into a distinct-slope
+    // histogram keyed by (type, bit key) — a HIGH-cardinality shuffle —
+    // and every window after that is a ≤65536-row digit histogram per
+    // type, so no 5-partition row-level sort anywhere (the r12 shape
+    // ranked all pairs in 5 window tasks — the low-cardinality-window
+    // trap the repo bans; the time-span bound made it survivable, not
+    // right). The oracle keeps the naive rank window (the
+    // q_agg_weighted_median rule: single-node DuckDB may run the naive
+    // cumulative — the engine owes the scale discipline, both engines
+    // only have to agree on the selected VALUE).
     "q_ts_theil_sen" -> ((s: SparkSession, dir: String) => {
       val g = hourlyCentGrid(s, dir).localCheckpoint(true)
       val pairs = g.as("g1").join(g.as("g2"),
           col("g1.event_type") === col("g2.event_type") &&
             col("g1.h") < col("g2.h"))
+        // try_divide, not /: the histogram build consumes slope TWICE
+        // (order key + min), and codegen's subexpression elimination
+        // hoists the shared division into the join's consume path BEFORE
+        // the h1 < h2 residual check — ANSI then throws on the h-equal
+        // candidate rows the condition is about to drop. try_divide
+        // tolerates those phantom rows (they never reach the output);
+        // surviving pairs have h2 − h1 ≥ 1, so the quotient is the same
+        // IEEE division the oracle runs.
         .select(col("g1.event_type").as("event_type"),
-          expr("CAST(g2.k - g1.k AS DOUBLE) / CAST(g2.h - g1.h AS DOUBLE)")
+          expr("try_divide(CAST(g2.k - g1.k AS DOUBLE), CAST(g2.h - g1.h AS DOUBLE))")
             .as("slope"))
-      pairs
-        .withColumn("rn", row_number().over(
-          Window.partitionBy("event_type").orderBy("slope")))
-        .withColumn("np", count(lit(1)).over(Window.partitionBy("event_type")))
-        .where(col("rn") === expr("(np + 1) div 2"))
-        .select(col("event_type"), asLong(col("np")).as("n_pairs"),
-          (col("slope") / lit(100.0)).as("slope_per_hour"))
+      val (sel, _) = doubleValueAtRanks(pairs, "event_type", "slope",
+        nRel => nRel.select(col("event_type"), lit("med").as("which"),
+          expr("(n + 1) div 2").as("rank"), col("n")),
+        Some("theil-slopes|" +
+          SourceSinkOps.fixtureKey(dir, "events.parquet")))
+      sel.select(col("event_type"), asLong(col("n")).as("n_pairs"),
+          (col("value") / lit(100.0)).as("slope_per_hour"))
         .orderBy("event_type")
     }),
 

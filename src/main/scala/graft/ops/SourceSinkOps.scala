@@ -135,7 +135,20 @@ object SourceSinkOps extends QueryModule {
         .getAbsolutePath
       val marker = new java.io.File(path, "_SUCCESS")
       if (!marker.exists()) {
+        // the quarantine accounting below reads with the default
+        // multiLine=false, so the written fields must be newline/quote/
+        // comma-benign or rows would be silently mis-split and the
+        // parquet-replay oracle would drift as a bare hash mismatch —
+        // the guard makes a fixture change fail LOUDLY at write time
+        // instead (r13, the multimodal ASCII-guard idiom; value is a
+        // plain numeric print, event_type is the one free-text field)
         table(s, dir, "events")
+          .where(coalesce(assert_true(
+            col("event_type").isNull ||
+              !col("event_type").rlike("[\\x00-\\x1F\",]"),
+            lit("csv_malformed fixture guard: event_type must be free of " +
+              "control chars, quotes and commas for line-based CSV " +
+              "quarantine accounting")), lit(true)))
           .selectExpr("event_id", "event_type",
             "CASE WHEN event_id % 7 = 0 THEN 'corrupted'" +
               " ELSE CAST(value AS STRING) END AS value")

@@ -423,47 +423,97 @@ object SqlOps extends QueryModule {
       |  WHERE CAST(l_shipdate AS DATE) >= DATE '1998-03-01'
       |    AND CAST(l_shipdate AS DATE) < DATE '1998-04-01') AS m""".stripMargin
 
-  /** Recursive-CTE BFS (r12): Spark 4's WITH RECURSIVE (SPARK-24497) from
-    * verbatim-shared SQL text — hop-distance histogram from the min node
-    * of a SELF-CONTAINED mutual-KNN co-purchase graph (cap-8 baskets,
-    * per-node top-5 by support, mutual filter ⇒ degree ≤ 5, so the
-    * UNION ALL recursion's path count is ≤ 5³ from one start at ANY
-    * corpus size; the d < 3 bound guarantees termination without
-    * relying on either engine's recursive-dedup semantics). min(d) per
-    * node collapses multi-path visits after the recursion. The graph is
-    * the DECLARED quarter-sample of parts (l_partkey % 4 = 0): Spark's
-    * recursive loop re-evaluates the non-materialized graph plan per
-    * iteration — the unsampled build measured 97 s at ×10 (4 plan
-    * evaluations × the full pair join) and verbatim sharing forbids a
-    * cached temp view, so the sample bounds the per-step cost instead. */
+  /** Recursive-CTE BFS (r12, rebuilt r13): hop-distance histogram from
+    * the min node of a SELF-CONTAINED mutual-KNN co-purchase graph
+    * (cap-8 baskets, per-node top-5 by support, mutual filter ⇒ degree
+    * ≤ 5, so the UNION ALL recursion's path count is ≤ 5³ from one
+    * start at ANY corpus size; the d < 3 bound guarantees termination
+    * without relying on either engine's recursive-dedup semantics).
+    * min(d) per node collapses multi-path visits after the recursion.
+    *
+    * r13 restructure (the r12 verdict's top item): Spark's recursive
+    * loop re-evaluates every non-materialized CTE per iteration — 4
+    * replans of the full distinct+cap+pair-join chain (97 s at ×10),
+    * which r12 paid for by quarter-sampling the parts, i.e. a coverage
+    * cut for a plan deficiency. Now the GRAPH BUILD is materialized
+    * exactly once per engine: the edge relation is a memoized
+    * localCheckpoint (fixture-digest keyed, [[bfsEdges]]) the recursion
+    * iterates over as a leaf, and the DuckDB twin marks the
+    * multiply-referenced CTEs `AS MATERIALIZED` (the r9 rule — its
+    * recursion re-reads `e` per step too). Both engines run the SAME
+    * generated CTE text ([[bfsGraphCtes]]) for the build and the SAME
+    * recursion tail ([[bfsTailSql]]) — only the materialization
+    * mechanism differs, outputs hash-equal — and the quarter-sample is
+    * GONE (full part coverage restored). */
+  private def bfsGraphCtes(mat: Boolean): String = {
+    // DuckDB inlines CTEs by default; every CTE referenced more than
+    // once (cap/pr/knn by their self-joins, e by s0 + the recursion)
+    // re-runs its subquery per reference unless materialized
+    val m = if (mat) " MATERIALIZED" else ""
+    s"""base AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+       |cap AS$m (
+       |  SELECT o, p FROM (
+       |    SELECT o, p, row_number() OVER (PARTITION BY o ORDER BY p) AS rk
+       |    FROM base) t
+       |  WHERE rk <= 8),
+       |pr AS$m (
+       |  SELECT a.p AS u, b.p AS v, count(*) AS n
+       |  FROM cap a JOIN cap b ON a.o = b.o AND a.p < b.p
+       |  GROUP BY a.p, b.p),
+       |adj AS (SELECT u, v, n FROM pr UNION ALL SELECT v AS u, u AS v, n FROM pr),
+       |knn AS$m (
+       |  SELECT u, v FROM (
+       |    SELECT u, v, row_number() OVER (PARTITION BY u ORDER BY n DESC, v) AS rk
+       |    FROM adj) t
+       |  WHERE rk <= 5),
+       |e AS$m (SELECT a.u, a.v FROM knn a JOIN knn b ON a.u = b.v AND a.v = b.u)""".stripMargin
+  }
+
+  /** The recursion + histogram tail over an edge relation named
+    * `edges` — ONE text for both engines (comment-style hints are legal
+    * in both dialects; DuckDB ignores Spark's broadcast hint). The
+    * frontier side is ≤ 5^d rows by the degree bound, so the engine
+    * broadcasts it against the checkpointed edge leaf (an RDD leaf has
+    * unknown stats — the r7 rule — so the hint is load-bearing). */
+  private def bfsTailSql(edges: String): String =
+    s"""s0 AS (SELECT min(u) AS s FROM $edges),
+       |bfs(node, d) AS (
+       |  SELECT s, 0 FROM s0
+       |  UNION ALL
+       |  SELECT /*+ BROADCAST(bfs) */ e.v, bfs.d + 1
+       |  FROM bfs JOIN $edges e ON e.u = bfs.node WHERE bfs.d < 3),
+       |lvl AS (SELECT node, CAST(min(d) AS BIGINT) AS hop FROM bfs GROUP BY node)
+       |SELECT hop, CAST(count(*) AS BIGINT) AS n_nodes, CAST(min(node) AS BIGINT) AS first_node
+       |FROM lvl GROUP BY hop ORDER BY hop""".stripMargin
+
   private val recursiveBfsSql =
-    """WITH RECURSIVE
-      |base AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
-      |         WHERE l_partkey % 4 = 0),
-      |cap AS (
-      |  SELECT o, p FROM (
-      |    SELECT o, p, row_number() OVER (PARTITION BY o ORDER BY p) AS rk
-      |    FROM base) t
-      |  WHERE rk <= 8),
-      |pr AS (
-      |  SELECT a.p AS u, b.p AS v, count(*) AS n
-      |  FROM cap a JOIN cap b ON a.o = b.o AND a.p < b.p
-      |  GROUP BY a.p, b.p),
-      |adj AS (SELECT u, v, n FROM pr UNION ALL SELECT v AS u, u AS v, n FROM pr),
-      |knn AS (
-      |  SELECT u, v FROM (
-      |    SELECT u, v, row_number() OVER (PARTITION BY u ORDER BY n DESC, v) AS rk
-      |    FROM adj) t
-      |  WHERE rk <= 5),
-      |e AS (SELECT a.u, a.v FROM knn a JOIN knn b ON a.u = b.v AND a.v = b.u),
-      |s0 AS (SELECT min(u) AS s FROM e),
-      |bfs(node, d) AS (
-      |  SELECT s, 0 FROM s0
-      |  UNION ALL
-      |  SELECT e.v, bfs.d + 1 FROM bfs JOIN e ON e.u = bfs.node WHERE bfs.d < 3),
-      |lvl AS (SELECT node, CAST(min(d) AS BIGINT) AS hop FROM bfs GROUP BY node)
-      |SELECT hop, CAST(count(*) AS BIGINT) AS n_nodes, CAST(min(node) AS BIGINT) AS first_node
-      |FROM lvl GROUP BY hop ORDER BY hop""".stripMargin
+    s"""WITH RECURSIVE
+       |${bfsGraphCtes(mat = true)},
+       |${bfsTailSql("e")}""".stripMargin
+
+  /** Memoized mutual-KNN edge leaf for the recursive BFS (fixture-digest
+    * keyed, the copurchaseAdj pattern): built from the SAME generated
+    * CTE text the oracle runs, materialized once, iterated as a leaf. */
+  private val bfsEdgeCache =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.DataFrame]()
+
+  private[graft] def clearIndexCache(): Unit = bfsEdgeCache.clear()
+
+  private def bfsEdges(s: SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+    val key = System.identityHashCode(s.sparkContext).toString + "|" +
+      SourceSinkOps.fixtureKey(dir, "lineitem.parquet")
+    bfsEdgeCache.computeIfAbsent(key, { _ =>
+      graft.GraftSql.run(s, dir,
+          s"WITH ${bfsGraphCtes(mat = false)} SELECT u, v FROM e")
+        .localCheckpoint(true)
+    })
+  }
+
+  private def recursiveBfsRun(s: SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+    // prefixed internal view name (the GraftSql namespace convention)
+    bfsEdges(s, dir).createOrReplaceTempView("rbfs_edges")
+    s.sql(s"WITH RECURSIVE\n${bfsTailSql("rbfs_edges")}")
+  }
 
   /** TPC-H Q12 analog ("shipping modes and order priority", r12c3) on
     * the fixture's columns: the ship-mode split becomes l_linestatus and
@@ -489,7 +539,7 @@ object SqlOps extends QueryModule {
       graft.GraftSql.run(s, dir, lateLinesSql)),
 
     "q_sql_recursive_bfs" -> ((s: SparkSession, dir: String) =>
-      graft.GraftSql.run(s, dir, recursiveBfsSql)),
+      recursiveBfsRun(s, dir)),
 
     "q_sql_shipping_priority" -> ((s: SparkSession, dir: String) =>
       graft.GraftSql.run(s, dir, shippingPrioritySql)),

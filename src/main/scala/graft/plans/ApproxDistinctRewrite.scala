@@ -54,7 +54,11 @@ object ApproxDistinctRewrite extends Rule[LogicalPlan] {
     else plan.transformUp {
       case agg: Aggregate =>
         agg.transformExpressions {
-          case ae @ AggregateExpression(Count(Seq(child)), _, true, _, _) =>
+          // skip foldable children (r13, advisor note): count(DISTINCT
+          // <literal>) is a constant 0/1 per group — HLL++ would return
+          // the right value but pay sketch buffers for it
+          case ae @ AggregateExpression(Count(Seq(child)), _, true, _, _)
+              if !child.foldable =>
             ae.copy(
               aggregateFunction = HyperLogLogPlusPlus(child, rsd, 0, 0),
               isDistinct = false)

@@ -86,6 +86,18 @@ class ContainersSpec extends SparkTestBase {
     val cut = ok.take(ok.length - 2)
     assert(AviLite.moviPayload(cut).isEmpty,
       "movi LIST size overrunning the buffer refused")
+    // r13 (advisor note): an EMPTY LIST(movi) before the real one must
+    // fall through to the outer walk, not return None — the movi-level
+    // walk is no stricter than the top-level foreign-chunk discipline
+    val emptyMovi = "LIST".getBytes("US-ASCII") ++ le32(4L) ++
+      "movi".getBytes("US-ASCII")
+    val hdrlEnd = ok.indexOfSlice("LIST".getBytes("US-ASCII"), 12)
+    val moviListAt = ok.indexOfSlice("movi".getBytes("US-ASCII")) - 8
+    val twoMovi = ok.take(moviListAt) ++ emptyMovi ++ ok.drop(moviListAt)
+    le32(twoMovi.length - 8L).copyToArray(twoMovi, 4) // RIFF size
+    assert(hdrlEnd >= 0 && moviListAt > hdrlEnd)
+    assert(AviLite.moviPayload(twoMovi).get.toSeq == pay.toSeq,
+      "00dc found in a LATER LIST(movi) after an empty one")
   }
 
   test("video keyframes equal a driver-side slice-digest replay (r12c3)") {

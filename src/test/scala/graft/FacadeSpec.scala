@@ -399,9 +399,9 @@ class FacadeSpec extends SparkTestBase {
       .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
     assert(rows.nonEmpty && rows.contains(0L))
     // rebuild the self-contained graph: cap-8 baskets, top-5 by support,
-    // mutual filter
+    // mutual filter (FULL part coverage since r13 — the quarter-sample
+    // died with the materialized-edge restructure)
     val op = ops.table(spark, sfDir, "lineitem")
-      .where(col("l_partkey") % 4 === 0) // the declared quarter-sample
       .select("l_orderkey", "l_partkey").distinct().collect()
       .map(r => (r.getLong(0), r.getLong(1)))
     val capped = op.groupBy(_._1).values
