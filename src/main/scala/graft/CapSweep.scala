@@ -71,10 +71,10 @@ object CapSweep {
       }
     }
 
-    val emb = ops.LlmOps.embDouble(spark, sfDir)
+    val emb = ops.AnnOps.embDouble(spark, sfDir)
     def drops(mp: Boolean, cap: Int): Set[Long] = {
-      val df = if (mp) ops.LlmOps.semdedupMultiProbeVerdicts(spark, emb, cap = cap)
-        else ops.LlmOps.semdedupVerdicts(spark, emb, cap = cap)
+      val df = if (mp) ops.AnnOps.semdedupMultiProbeVerdicts(spark, emb, cap = cap)
+        else ops.AnnOps.semdedupVerdicts(spark, emb, cap = cap)
       df.where(!col("keep")).collect().map(_.getLong(0)).toSet
     }
     for (mp <- Seq(false, true)) {

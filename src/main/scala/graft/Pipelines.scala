@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ops.{AnalyticsOps, CurationOps, DiagOps, GraphOps, LlmOps, MixOps, TextOps}
+import graft.ops.{AnalyticsOps, AnnOps, CurationOps, DiagOps, GraphOps, LlmOps, MixOps, TextOps}
 
 /** Public library surface for the LLM-training-data pipeline operators.
   *
@@ -87,13 +87,13 @@ object Pipelines {
     * deterministic at any parallelism): (c_label, cent ARRAY<DOUBLE>).
     * #labels rows — always broadcastable. */
   def classCentroids(embeddings: DataFrame): DataFrame =
-    LlmOps.embCentroidArrays(embeddings)
+    AnnOps.embCentroidArrays(embeddings)
 
   /** Nearest-class-mean classification: every vector scored against the
     * broadcast class centroids with the fused cosine, argmax with a label
     * tie-break. Returns (vec_id, label, pred_label, best_cos). */
   def classify(spark: SparkSession, embeddings: DataFrame): DataFrame =
-    LlmOps.classifyByCentroids(spark, embeddings)
+    AnnOps.classifyByCentroids(spark, embeddings)
 
   /** Deterministic 90/5/5 train/val/test assignment by a replayable hash
     * of `doc_id` — no RNG, stable under corpus growth, zero shuffle. Adds
@@ -197,7 +197,7 @@ object Pipelines {
     * with a lower-id neighbor at cosine >= tau — (vec_id, label, dup_of,
     * keep). See q_llm_emb_semdedup. */
   def semdedup(spark: SparkSession, emb: DataFrame, tau: Double = 0.4): DataFrame =
-    LlmOps.semdedupVerdicts(spark, emb, tau)
+    AnnOps.semdedupVerdicts(spark, emb, tau)
 
   /** Sensitive-content incidence per source (the pre-scrub audit):
     * (source, n_docs, docs_with_hits, total_hits, max_hits). */
@@ -214,7 +214,7 @@ object Pipelines {
     * q_llm_emb_semdedup_mp. */
   def semdedupMultiProbe(spark: SparkSession, emb: DataFrame,
       tau: Double = 0.4): DataFrame =
-    LlmOps.semdedupMultiProbeVerdicts(spark, emb, tau)
+    AnnOps.semdedupMultiProbeVerdicts(spark, emb, tau)
 
   /** BPE fit (r9): run the merge loop ONCE and get both artifacts — the
     * merge table (merge_rank, p1, p2, pair_count) and the learned symbol

@@ -29,16 +29,26 @@ object ScaleProbe {
     // `runMain graft.ScaleProbe aqe` = run EVERY declared query at sf0.1
     // with AQE explicitly ON and fail loudly on any error
     val aqeOnly = args.headOption.contains("aqe")
-    val outDir = args.headOption
-      .filterNot(a => a == "degen" || a == "lshjoin" || a == "aqe")
+    // `runMain graft.ScaleProbe bigamortize [copies]` (r13, verdict item
+    // 7): generate a ×N fixture (default 30) and measure the three
+    // cost-concentrating index builds (token index, graph adjacency,
+    // MinHash candidate index) with an explicit build-vs-read split —
+    // confirms the ×10 amortization story holds past the probe point.
+    val bigAmortize = args.headOption.contains("bigamortize")
+    val outDir0 = args.headOption
+      .filterNot(a => a == "degen" || a == "lshjoin" || a == "aqe"
+        || a == "bigamortize")
       .getOrElse("/tmp/graft-sfbig")
-    // the first arg is the ×10 OUTPUT dir, not a source dir — passing a
+    val copies =
+      if (bigAmortize) args.drop(1).headOption.map(_.toInt).getOrElse(30)
+      else 10
+    val outDir = if (bigAmortize) s"/tmp/graft-sfx$copies" else outDir0
+    // the first arg is the ×N OUTPUT dir, not a source dir — passing a
     // fixture path here once clobbered a source table (overwrite-mode
     // delete fires before any write); refuse the whole tree
     require(!outDir.startsWith("/root/testdata"),
-      s"ScaleProbe writes ×10 fixtures into its first arg ($outDir) — " +
+      s"ScaleProbe writes ×$copies fixtures into its first arg ($outDir) — " +
         "never point it at the read-only testdata tree")
-    val copies = 10
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -104,6 +114,12 @@ object ScaleProbe {
         ops.table(spark, srcDir, t).write.mode("overwrite").parquet(s"$outDir/$t.parquet")
       java.nio.file.Files.writeString(doneMarker.toPath, srcKey)
       println(f"[scale] generated in ${(System.nanoTime() - t0) / 1e9}%.1f s")
+    }
+
+    if (bigAmortize) {
+      bigAmortizeProbe(spark, outDir, copies)
+      spark.stop()
+      return
     }
 
     val probes = if (args.length > 1) args.drop(1).toSeq else Seq(
@@ -345,7 +361,7 @@ object ScaleProbe {
         println(s"[scale] lshjoin $label: no fixture at $dir, skipped")
         return
       }
-      val e = ops.LlmOps.embDouble(spark, dir)
+      val e = ops.AnnOps.embDouble(spark, dir)
       def joined = {
         val a = e.select(col("vec_id").as("id_a"), col("emb").as("emb_a"))
         val b = e.select(col("vec_id").as("id_b"), col("emb").as("emb_b"))
@@ -531,9 +547,41 @@ object ScaleProbe {
       f"max=${row.getLong(1)} capped_pair_work=${row.getLong(2)}")
   }
 
+  /** ×N build-vs-read split for the three cost-concentrating index
+    * builds (r13, verdict item 7): the tf-aggregated token index
+    * (TextOps.tokenIndexFor), the co-purchase adjacency + mutual-KNN
+    * graph (GraphOps), and the MinHash candidate index
+    * (LlmOps.candidateIndexFor). Per family: the FIRST consumer runs
+    * cold (pays the whole build), the remaining consumers warm — the
+    * ×10 amortization story measured past its probe point (default
+    * ×30). Results go to SCALING.md next to the ×10 rows. */
+  private def bigAmortizeProbe(spark: SparkSession, outDir: String,
+      copies: Int): Unit = {
+    def time(label: String, names: Seq[String]): Unit = names.zipWithIndex
+      .foreach { case (n, i) =>
+        val tag = if (i == 0) "cold" else "warm"
+        val t0 = System.nanoTime()
+        val rows = SparkEntry.queries(n)(spark, outDir).count()
+        println(f"[scale-x$copies] $label%-7s $tag $n%-24s " +
+          f"${(System.nanoTime() - t0) / 1e9}%8.2f s rows=$rows")
+      }
+    // warmup (JIT + parquet footers) on a cheap scan-shaped query
+    SparkEntry.queries("q_agg_basic")(spark, outDir).count()
+    ops.TextOps.clearIndexCache()
+    ops.CurationOps.clearIndexCache()
+    time("token", Seq("q_text_langid", // cold: builds tokenIndexFor
+      "q_text_tfidf", "q_text_oov", "q_text_vocab"))
+    ops.GraphOps.clearIndexCache()
+    time("graph", Seq("q_graph_degree", // cold: co-purchase adjacency
+      "q_graph_triangles", "q_graph_concomp", "q_graph_simnodes"))
+    ops.LlmOps.clearIndexCache()
+    time("minhash", Seq("q_llm_minhash", // cold: candidate index
+      "q_llm_minhash_est", "q_llm_ngram_jaccard", "q_llm_dup_clusters"))
+  }
+
   /** Index-build amortization, measured end-to-end: the expensive index
     * builds (duplicate-cluster labels, IVF centroids) are memoized per
-    * corpus content digest (CurationOps.dupClustersFor, LlmOps.centroidsFor).
+    * corpus content digest (CurationOps.dupClustersFor, AnnOps.centroidsFor).
     * Runs the index-consuming queries twice — cold (memo cleared, the first
     * consumer of each index pays its build) and warm (memo hit) — so the
     * reuse win is a SCALING.md number instead of prose.

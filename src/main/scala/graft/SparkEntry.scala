@@ -14,8 +14,8 @@ object SparkEntry {
 
   private val modules: Seq[QueryModule] = Seq(
     SourceSinkOps, RelationalOps, JoinOps, AggOps, WindowOps,
-    ScalarFnOps, StreamAnalogOps, UdxOps, LlmOps, TextOps, CurationOps,
-    AnalyticsOps, MixOps, DiagOps, GraphOps, SqlOps,
+    ScalarFnOps, StreamAnalogOps, UdxOps, LlmOps, TextOps, CurationOps, VocabOps,
+    AnalyticsOps, MixOps, ProfileOps, TsOps, GraphOps, GraphPathOps, SqlOps, AnnOps,
     graft.multimodal.MultimodalOps)
 
   /** Flagship query (SURVEY §7.2): the full reference-pipeline analog

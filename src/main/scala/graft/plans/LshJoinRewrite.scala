@@ -16,7 +16,7 @@ import graft.functions.CosineSimilarity
   * CartesianProduct (O(|a|·|b|) similarity evaluations) — into a sign-LSH
   * bucket EQUI-join: both sides gain a projected `__graft_lsh_bucket`
   * column (the 8-plane sign bucket over the SAME hyperplane family the
-  * declared near-dup operators use, [[graft.ops.LlmOps.NeardupPlanes]]),
+  * declared near-dup operators use, [[graft.ops.AnnOps.NeardupPlanes]]),
   * the bucket equality joins hash-partitioned, and the original cosine
   * predicate remains as the exact verifier — the candidate/verify shape
   * every LSH pipeline hand-writes, produced automatically from the naive
@@ -69,7 +69,7 @@ object LshJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
     conf.getConfString(MultiProbeKey, "false").toBoolean
 
   private def dotExprs(emb: Expression): Seq[Expression] =
-    graft.ops.LlmOps.NeardupPlanes.map { plane =>
+    graft.ops.AnnOps.NeardupPlanes.map { plane =>
       graft.functions.VectorDot(emb,
         Literal.create(plane, ArrayType(DoubleType)))
     }

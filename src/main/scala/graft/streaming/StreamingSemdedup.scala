@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
-import graft.ops.LlmOps
+import graft.ops.{AnnOps, LlmOps}
 
 /** Streaming embedding-side SemDeDup: per-vector (keep, dup_of) verdicts
   * over an UNBOUNDED vector stream — the semantic-dedup gate a 100 TB
@@ -14,11 +14,11 @@ import graft.ops.LlmOps
   * Shape (the StreamingDedup keyed-state pattern over sign-LSH cells):
   *   1. each arriving vector is routed to its sign-LSH cell — the SAME
   *      deterministic ±1 hyperplane family as batch `q_llm_emb_semdedup`
-  *      ([[LlmOps.NeardupPlanes]]), with the dot product folded in index
+  *      ([[AnnOps.NeardupPlanes]]), with the dot product folded in index
   *      order exactly like the codegen'd `VectorDot` kernel, so the cell
   *      ids are bit-identical across batch and stream;
   *   2. keyed state per cell (`flatMapGroupsWithState`) remembers the
-  *      first [[LlmOps.MaxEmbBucket]] member vectors (keep-first, by
+  *      first [[AnnOps.MaxEmbBucket]] member vectors (keep-first, by
   *      arrival order; micro-batch arrivals are processed in vec_id order
   *      for determinism) — the streaming analog of the batch capBuckets
   *      mega-bucket cap, bounding state at ≤ 2^8 cells × cap vectors
@@ -51,9 +51,9 @@ object StreamingSemdedup {
       embs: Seq[Seq[Double]])
 
   /** The shared plane family as flat arrays (values identical to
-    * [[LlmOps.NeardupPlanes]] — this is a representation change only). */
+    * [[AnnOps.NeardupPlanes]] — this is a representation change only). */
   private val PlanesArr: Array[Array[Double]] =
-    LlmOps.NeardupPlanes.map(_.toArray).toArray
+    AnnOps.NeardupPlanes.map(_.toArray).toArray
 
   /** Sign-LSH cell of an embedding — bit p set iff plane_p · emb > 0,
     * the dot folded in index order (bit-identical to the codegen'd
@@ -98,8 +98,8 @@ object StreamingSemdedup {
   private[graft] def cellUpdate(bucket: Long,
       arrivals: Iterator[(Long, Seq[Double])],
       state: GroupState[CellState],
-      tau: Double = LlmOps.SemDedupTau,
-      cap: Int = LlmOps.MaxEmbBucket): Iterator[Verdict] = {
+      tau: Double = AnnOps.SemDedupTau,
+      cap: Int = AnnOps.MaxEmbBucket): Iterator[Verdict] = {
     val st = state.getOption.getOrElse(CellState(Vector.empty, Vector.empty))
     var ids = st.ids.toVector
     var embs = st.embs.iterator.map(_.toArray).toVector

@@ -355,7 +355,7 @@ class LlmSpec extends SparkTestBase {
 
   test("IVF: exact cosines per result, and nprobe = K searches everything = brute force") {
     val brute = q("q_llm_sim_knn").collect().map(r => (r.getLong(0), r.getDouble(2)))
-    val full = graft.ops.LlmOps.ivfTopK(spark, sfDir, nprobe = 8).collect()
+    val full = graft.ops.AnnOps.ivfTopK(spark, sfDir, nprobe = 8).collect()
       .map(r => (r.getLong(0), r.getDouble(2)))
     assertTopK(full, brute.toSeq)
     val byId = vectors.toMap
@@ -372,7 +372,7 @@ class LlmSpec extends SparkTestBase {
   test("IVF recall monotone in nprobe; k-means cohesion beats seed centroids at K=8 and K=64") {
     val bruteIds = q("q_llm_sim_knn").collect().map(_.getLong(0)).toSet
     def recall(np: Int, k: Int, iters: Int = 2): Double =
-      graft.ops.LlmOps.ivfTopK(spark, sfDir, nprobe = np, k = k, iters = iters)
+      graft.ops.AnnOps.ivfTopK(spark, sfDir, nprobe = np, k = k, iters = iters)
         .collect().map(_.getLong(0)).count(bruteIds.contains).toDouble / bruteIds.size
     val r1 = recall(1, 8)
     val r2 = recall(2, 8)
@@ -397,8 +397,8 @@ class LlmSpec extends SparkTestBase {
       // centroids are integer-sum DIRECTION vectors over the quantized
       // lattice (cosine is scale-invariant), compared against the true
       // float vectors
-      val cents = graft.ops.LlmOps
-        .kmeansCentroids(spark, graft.ops.LlmOps.embWithLattice(spark, sfDir), k, iters)
+      val cents = graft.ops.AnnOps
+        .kmeansCentroids(spark, graft.ops.AnnOps.embWithLattice(spark, sfDir), k, iters)
         .collect().map(_.getSeq[Long](1).map(_.toDouble).toArray)
       byId2.values.map(v => cents.map(c => cosine(v, c)).max).sum / byId2.size
     }
@@ -420,9 +420,9 @@ class LlmSpec extends SparkTestBase {
     // production path memoizes it — so determinism is pinned on two
     // independent uncached builds, under different partitioning (exact
     // BIGINT lattice sums are order-independent by construction)
-    val emb = graft.ops.LlmOps.embWithLattice(spark, sfDir)
+    val emb = graft.ops.AnnOps.embWithLattice(spark, sfDir)
     def build(parts: Int): Seq[(Long, Seq[Long])] =
-      graft.ops.LlmOps.kmeansCentroids(spark, emb.repartition(parts), 8, 2)
+      graft.ops.AnnOps.kmeansCentroids(spark, emb.repartition(parts), 8, 2)
         .collect().map(r => (r.getLong(0), r.getSeq[Long](1))).toSeq.sortBy(_._1)
     assert(build(3) == build(17))
     def run(): Seq[(Long, Double)] =
@@ -548,9 +548,9 @@ class LlmSpec extends SparkTestBase {
     } yield embs(j)._1).toSet
     assert(trueDups.nonEmpty, "fixture sanity: ground truth has dups")
 
-    val emb = graft.ops.LlmOps.embDouble(spark, sfDir)
+    val emb = graft.ops.AnnOps.embDouble(spark, sfDir)
     def recallAt(nPlanes: Int, cap: Int): Double = {
-      val dropped = graft.ops.LlmOps
+      val dropped = graft.ops.AnnOps
         .semdedupVerdicts(spark, emb, tau, nPlanes, cap)
         .where(!col("keep")).collect().map(_.getLong(0)).toSet
       // soundness (pinned elsewhere) implies dropped ⊆ trueDups
@@ -585,7 +585,7 @@ class LlmSpec extends SparkTestBase {
     // the multi-probe variant (weakest-plane flip) must be sound, beat the
     // single-probe recall on the same ground truth, and clear its own
     // measured floor — the recall/cost dial, quantified
-    val mpDropped = graft.ops.LlmOps
+    val mpDropped = graft.ops.AnnOps
       .semdedupMultiProbeVerdicts(spark, emb)
       .where(!col("keep")).collect().map(_.getLong(0)).toSet
     assert(mpDropped.subsetOf(trueDups), "unsound multi-probe drop")
@@ -803,7 +803,7 @@ class LlmSpec extends SparkTestBase {
   }
 
   test("product quantization: occupancy partitions the corpus, codes stay in range (r12)") {
-    import graft.ops.LlmOps.{PqSub, PqK}
+    import graft.ops.AnnOps.{PqSub, PqK}
     val rows = q("q_llm_emb_pq").collect().map(r =>
       (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
     val nVec = spark.read.parquet(s"$sfDir/embeddings.parquet").count()

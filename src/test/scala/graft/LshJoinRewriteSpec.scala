@@ -20,7 +20,7 @@ class LshJoinRewriteSpec extends SparkTestBase {
 
   private def bruteForceJoin(): DataFrame = {
     GraftFunctions.register(spark)
-    val e = ops.LlmOps.embDouble(spark, sfDir)
+    val e = ops.AnnOps.embDouble(spark, sfDir)
     val a = e.select(col("vec_id").as("id_a"), col("emb").as("emb_a"))
     val b = e.select(col("vec_id").as("id_b"), col("emb").as("emb_b"))
     a.join(b,
@@ -46,7 +46,7 @@ class LshJoinRewriteSpec extends SparkTestBase {
   }
 
   private def bucketOf(x: Array[Double]): Long =
-    ops.LlmOps.NeardupPlanes.zipWithIndex.map { case (plane, p) =>
+    ops.AnnOps.NeardupPlanes.zipWithIndex.map { case (plane, p) =>
       var d = 0.0
       var i = 0
       while (i < math.min(x.length, plane.length)) { d += x(i) * plane(i); i += 1 }
@@ -94,7 +94,7 @@ class LshJoinRewriteSpec extends SparkTestBase {
   /** Probe set replay: exact cell + weakest-plane-flipped cell, ties to
     * the lowest plane index (the q_llm_emb_semdedup_mp recipe). */
   private def probeSetOf(x: Array[Double]): Set[Long] = {
-    val dots = ops.LlmOps.NeardupPlanes.map { plane =>
+    val dots = ops.AnnOps.NeardupPlanes.map { plane =>
       var d = 0.0
       var i = 0
       while (i < math.min(x.length, plane.length)) { d += x(i) * plane(i); i += 1 }

@@ -172,7 +172,7 @@ class ScaleTechniqueSpec extends SparkTestBase {
   }
 
   test("IVF cell assignment broadcasts the centroid relation (no K-arm literal expression)") {
-    val plan = graft.ops.LlmOps.ivfTopK(spark, sfDir, nprobe = 1)
+    val plan = graft.ops.AnnOps.ivfTopK(spark, sfDir, nprobe = 1)
       .queryExecution.sparkPlan.toString
     assert(plan.contains("Broadcast"),
       s"expected a broadcast join against the centroid relation, plan:\n$plan")

@@ -76,7 +76,7 @@ class StreamingSemdedupSpec extends SparkTestBase {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
 
-    val vecs = graft.ops.LlmOps.embDouble(spark, sfDir)
+    val vecs = graft.ops.AnnOps.embDouble(spark, sfDir)
       .select(col("vec_id"), col("emb")).as[(Long, Seq[Double])]
       .collect().sortBy(_._1).toSeq
 
