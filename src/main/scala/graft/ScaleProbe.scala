@@ -380,8 +380,52 @@ object ScaleProbe {
       spark.conf.set(graft.plans.LshJoinRewrite.EnabledKey, "false")
       spark.conf.set(graft.plans.LshJoinRewrite.MultiProbeKey, "false")
     }
+    // r13: the Jaccard-threshold rewrite, same naive-vs-rewritten shape
+    // over per-doc token-digest sets (the JaccardJoinRewriteSpec build).
+    // `naive = false` at ×10: the brute force there is 1.25e11 set-Jaccard
+    // evaluations (~50 min measured extrapolation) — being infeasible is
+    // the rewrite's whole argument, so only the rewritten side runs and
+    // the sf0.1 naive row is the comparison anchor.
+    Pipelines.installJaccardJoinRewrite(spark)
+    def runJaccard(dir: String, label: String, naive: Boolean): Unit = {
+      if (!new java.io.File(s"$dir/documents.parquet").exists()) {
+        println(s"[scale] jacjoin $label: no fixture at $dir, skipped")
+        return
+      }
+      val t = ops.table(spark, dir, "documents")
+        .select(col("doc_id"), explode(split(col("text"), "\\s+")).as("tok"))
+        .where(length(col("tok")) > 0)
+        .select(col("doc_id"), call_function("shingle_key", col("tok")).as("key"))
+        .groupBy("doc_id")
+        .agg(array_sort(collect_set(col("key"))).as("toks"))
+        .localCheckpoint(true)
+      def joined = {
+        val a = t.select(col("doc_id").as("id_a"), col("toks").as("toks_a"))
+        val b = t.select(col("doc_id").as("id_b"), col("toks").as("toks_b"))
+        a.join(b, call_function("jaccard_sim", col("toks_a"), col("toks_b"))
+          >= lit(0.3) && col("id_a") < col("id_b"))
+      }
+      for (enabled <- (if (naive) Seq(false, true) else Seq(true))) {
+        spark.conf.set(graft.plans.JaccardJoinRewrite.EnabledKey, enabled.toString)
+        val t0 = System.nanoTime()
+        val n = joined.count()
+        println(f"[scale] jacjoin $label%-6s rewrite=$enabled%-5s " +
+          f"${(System.nanoTime() - t0) / 1e9}%8.2f s  pairs=$n")
+      }
+      spark.conf.set(graft.plans.JaccardJoinRewrite.EnabledKey, "false")
+    }
     run(srcDir, "sf0.1")
     run("/tmp/graft-sfbig", "x10")
+    runJaccard(srcDir, "sf0.1", naive = true)
+    // no ×10 jacjoin row AT ALL: on this 15%-templated corpus the
+    // RESULT SET itself grows quadratically in the dup-cluster sizes
+    // (7.5M surviving pairs at sf0.1 → ~7.5e8 at ×10) — any exact
+    // Jaccard-threshold join pays its own output; measuring it would
+    // time the answer's size, not the plan. The scale path for dup-dense
+    // corpora is the declared CAPPED operators (q_llm_minhash family) —
+    // the rewrite is a pure uncapped prune by contract.
+    println("[scale] jacjoin x10    skipped: output-bound " +
+      "(~7.5e8 surviving pairs — see the declared capped operators)")
   }
 
   private def degenerateProbe(spark: SparkSession, srcDir: String): Unit = {
