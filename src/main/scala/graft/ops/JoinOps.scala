@@ -22,6 +22,10 @@ object JoinOps extends QueryModule {
   /** q_join_band: the symmetric band half-width (and bucket width) in µs. */
   private[graft] val BandUs = 60000000L
 
+  /** q_join_asof_tolerance: max backward gap for a match (30 min, µs) —
+    * pandas merge_asof's `tolerance`. */
+  private[graft] val AsofTolUs = 1800000000L
+
   /** q_join_bloom_prefilter width (bits): 2^16 cells — the set-bit
     * relation stays domain-bounded and broadcast-legal at any dim size
     * (the simhash 2^16 rule). */
@@ -328,6 +332,37 @@ object JoinOps extends QueryModule {
         .orderBy("purchase_id")
     }),
 
+    // Tolerance-bounded backward as-of (r13): per purchase, the same
+    // user's nearest PRIOR click, but a match only counts when the gap
+    // is within AsofTolUs (30 min) — pandas merge_asof's `tolerance`
+    // semantics, the missing dial between the unbounded as-of and the
+    // interval join. Same one-sort merge-scan shape as
+    // q_join_asof_nearest (the backward struct-extremum arm alone);
+    // unmatched purchases keep a NULL click with matched=false (left
+    // semantics preserved — the audit needs the misses). Equal-instant
+    // clicks sort before the purchase (kind order) and match at gap 0.
+    "q_join_asof_tolerance" -> ((s: SparkSession, dir: String) => {
+      val tl = table(s, dir, "events")
+        .where(col("event_type").isin("click", "purchase"))
+        .select(col("user_id"), unix_micros(col("ts")).as("t"),
+          col("event_id"),
+          when(col("event_type") === "click", 0).otherwise(1).as("kind"))
+      val wB = Window.partitionBy("user_id")
+        .orderBy(col("t"), col("kind"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val clickStruct = when(col("kind") === 0,
+        struct(col("t").as("ct"), col("event_id").as("cid")))
+      val matched = col("bb").isNotNull &&
+        col("t") - col("bb.ct") <= lit(AsofTolUs)
+      tl.withColumn("bb", max(clickStruct).over(wB))
+        .where(col("kind") === 1)
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          when(matched, col("bb.cid")).as("click_id"),
+          when(matched, col("t") - col("bb.ct")).as("gap_us"),
+          matched.as("matched"))
+        .orderBy("purchase_id")
+    }),
+
     // Interval overlap: same-user event pairs within a 5-minute horizon.
     // Time-bucketed blocking: joining on user_id alone makes pair
     // generation quadratic in per-user event density (measured 36 s at a
@@ -587,6 +622,28 @@ object JoinOps extends QueryModule {
         |       CASE WHEN bb IS NULL AND fb IS NULL THEN NULL
         |            WHEN pick_bwd THEN 'backward' ELSE 'forward' END AS direction
         |FROM p ORDER BY purchase_id""".stripMargin,
+
+    "q_join_asof_tolerance" ->
+      s"""WITH tl AS (
+         |  SELECT user_id, epoch_us(ts) AS t, event_id,
+         |         CASE WHEN event_type = 'click' THEN 0 ELSE 1 END AS kind
+         |  FROM events WHERE event_type IN ('click', 'purchase')),
+         |w AS (
+         |  SELECT *,
+         |         max(CASE WHEN kind = 0
+         |                  THEN {'ct': t, 'cid': event_id} END) OVER (
+         |           PARTITION BY user_id ORDER BY t, kind, event_id
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS bb
+         |  FROM tl),
+         |p AS (
+         |  SELECT event_id AS purchase_id, user_id, t, bb,
+         |         (bb IS NOT NULL AND t - bb.ct <= $AsofTolUs) AS matched
+         |  FROM w WHERE kind = 1)
+         |SELECT purchase_id, user_id,
+         |       CAST(CASE WHEN matched THEN bb.cid END AS BIGINT) AS click_id,
+         |       CAST(CASE WHEN matched THEN t - bb.ct END AS BIGINT) AS gap_us,
+         |       matched
+         |FROM p ORDER BY purchase_id""".stripMargin,
 
     "q_join_interval" ->
       """SELECT e1.user_id, count(*) AS n_pairs

@@ -264,6 +264,51 @@ object ProfileOps extends QueryModule {
     // doubles would not replay); the collect is value-domain-bounded, not
     // corpus-bounded. One corpus scan → one hash agg; the half boundary
     // is a broadcast 1-row relation.
+    // Two-sample Kolmogorov–Smirnov drift test (r13) per event_type:
+    // first vs second half of the global hour span (q_profile_drift's
+    // split convention), D = sup|F1 − F2| over the exact cent CDFs. The
+    // sup needs only the distinct observed cents (step points), so the
+    // whole statistic is EXACT integers until one final division:
+    // D·n1·n2 = max |cum1·n2 − cum2·n1| over the per-(type, cent)
+    // histogram — BIGINT-safe below ~3e9 rows per half (the
+    // collocations c·n bound; pre-divide the counts past that). The
+    // cumulative window runs over the AGGREGATED (type, cent) relation —
+    // value-DOMAIN-bounded rows per type (the weighted_median argument),
+    // never corpus-scaled. The α=0.05 rejection threshold
+    // c(α)·sqrt((n1+n2)/(n1·n2)) with c = 1.358 is one sqrt + fixed-order
+    // IEEE ops over exact integers — replayable (the mix_alpha sqrt
+    // rule); 1.358 is CAST to DOUBLE in both engines (the bm25 literal
+    // rule).
+    "q_profile_ks_drift" -> ((s: SparkSession, dir: String) => {
+      val ev = table(s, dir, "events")
+        .withColumn("h", expr(s"unix_micros(ts) div $HourUs"))
+        .withColumn("cent", expr("CAST(round(value * 100) AS BIGINT)"))
+      val mid = ev.agg(expr("(min(h) + max(h)) div 2").as("hmid"))
+      val hist = ev.crossJoin(broadcast(mid))
+        .withColumn("first_half", col("h") <= col("hmid"))
+        .groupBy("event_type", "cent")
+        .agg(sum(when(col("first_half"), 1L).otherwise(0L)).as("c1"),
+          sum(when(!col("first_half"), 1L).otherwise(0L)).as("c2"))
+      val wc = Window.partitionBy("event_type").orderBy("cent")
+      hist
+        .withColumn("cum1", sum("c1").over(wc))
+        .withColumn("cum2", sum("c2").over(wc))
+        .withColumn("n1", sum("c1").over(Window.partitionBy("event_type")))
+        .withColumn("n2", sum("c2").over(Window.partitionBy("event_type")))
+        .where(col("n1") > 0 && col("n2") > 0)
+        .groupBy("event_type")
+        .agg(asLong(min("n1")).as("n_first"), asLong(min("n2")).as("n_second"),
+          asLong(max(abs(col("cum1") * col("n2") - col("cum2") * col("n1"))))
+            .as("d_num"))
+        .selectExpr("event_type", "n_first", "n_second", "d_num",
+          "CAST(d_num AS DOUBLE) / n_first / n_second AS ks_d",
+          "CAST(1.358 AS DOUBLE) * sqrt(CAST(n_first + n_second AS DOUBLE)" +
+            " / n_first / n_second) AS crit_05")
+        .selectExpr("event_type", "n_first", "n_second", "d_num", "ks_d",
+          "crit_05", "ks_d > crit_05 AS drift_rejected")
+        .orderBy("event_type")
+    }),
+
     "q_profile_drift" -> ((s: SparkSession, dir: String) => {
       val ev = table(s, dir, "events")
         .withColumn("h", expr(s"unix_micros(ts) div $HourUs"))
@@ -624,6 +669,40 @@ object ProfileOps extends QueryModule {
          |SELECT source, n, n_langs,
          |       ${diversityFormulas.mkString(",\n       ")}
          |FROM sr ORDER BY source""".stripMargin,
+
+    "q_profile_ks_drift" ->
+      s"""WITH e AS (
+         |  SELECT event_type, epoch_us(ts) // $HourUs AS h,
+         |         CAST(round(value * 100) AS BIGINT) AS cent
+         |  FROM events),
+         |m AS (SELECT (min(h) + max(h)) // 2 AS hmid FROM e),
+         |hist AS (
+         |  SELECT event_type, cent,
+         |         CAST(sum(CASE WHEN h <= hmid THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+         |         CAST(sum(CASE WHEN h > hmid THEN 1 ELSE 0 END) AS BIGINT) AS c2
+         |  FROM e CROSS JOIN m GROUP BY event_type, cent),
+         |cum AS (
+         |  SELECT event_type,
+         |         sum(c1) OVER w AS cum1, sum(c2) OVER w AS cum2,
+         |         sum(c1) OVER t AS n1, sum(c2) OVER t AS n2
+         |  FROM hist
+         |  WINDOW w AS (PARTITION BY event_type ORDER BY cent
+         |               ROWS UNBOUNDED PRECEDING),
+         |         t AS (PARTITION BY event_type)),
+         |agg AS (
+         |  SELECT event_type,
+         |         CAST(min(n1) AS BIGINT) AS n_first,
+         |         CAST(min(n2) AS BIGINT) AS n_second,
+         |         CAST(max(abs(cum1 * n2 - cum2 * n1)) AS BIGINT) AS d_num
+         |  FROM cum WHERE n1 > 0 AND n2 > 0 GROUP BY event_type),
+         |sc AS (
+         |  SELECT event_type, n_first, n_second, d_num,
+         |         CAST(d_num AS DOUBLE) / n_first / n_second AS ks_d,
+         |         CAST(1.358 AS DOUBLE) * sqrt(CAST(n_first + n_second AS DOUBLE) / n_first / n_second) AS crit_05
+         |  FROM agg)
+         |SELECT event_type, n_first, n_second, d_num, ks_d, crit_05,
+         |       ks_d > crit_05 AS drift_rejected
+         |FROM sc ORDER BY event_type""".stripMargin,
 
     "q_profile_drift" ->
       s"""WITH e AS (

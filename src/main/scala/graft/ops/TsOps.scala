@@ -24,7 +24,131 @@ object TsOps extends QueryModule {
 
   import DiagOps._
 
+  /** Shared ADF (Dickey–Fuller) projections over (m, sxd, syd, sxxd,
+    * sxyd, syyd) — ONE formula set in both engines. The test regresses
+    * k_t on k_{t−1} (the AR(1) form: β_DF = ρ − 1 algebraically, and
+    * y = k_t keeps EVERY cross-sum nonnegative, so the hi/lo div/%
+    * splits agree across engines — Spark `div` truncates while DuckDB
+    * `//` floors, which only coincide on nonnegative operands; the
+    * Δk-on-lag form would need signed-product splits). Each stage is a
+    * NAMED column (the abtest staging rule — no subexpression is
+    * re-derived), every op an IEEE +,−,×,/ or sqrt in fixed order over
+    * exact-integer-derived doubles. −2.86 is the classic 5% critical
+    * value for the constant-included DF regression at large n. */
+  private val adfStage1: Seq[String] = Seq(
+    "(m * sxyd - sxd * syd) / (m * sxxd - sxd * sxd) AS rho",
+    "(m * sxxd - sxd * sxd) AS den")
+  private val adfStage2: Seq[String] = Seq(
+    "(syd - rho * sxd) / m AS alpha")
+  private val adfStage3: Seq[String] = Seq(
+    "syyd - alpha * syd - rho * sxyd AS sse")
+  private val adfStage4: Seq[String] = Seq(
+    "(rho - CAST(1 AS DOUBLE)) / sqrt(sse / (m - 2) * m / den) AS adf_t")
+
+  /** q_ts_hurst: rescaled-range window widths (hours). Two widths make
+    * the profile a PROFILE (R/S growth across scales is the Hurst
+    * signal); the log-log exponent fit is deliberately NOT computed —
+    * log does not replay across engines (the abtest erf rule), the
+    * per-scale mean R/S carries the information. */
+  private val HurstWindows = Seq(64L, 256L)
+
   def queries: Seq[(String, Q)] = Seq(
+
+    // Rescaled-range (Hurst) profile (r13) per event_type: mean R/S over
+    // complete W-hour windows of the zero-filled cent grid, at W = 64
+    // and 256. All integer until the last two ops: the cumulative
+    // deviation is scaled through by W (W·Z_t = W·P_t − t·T — exact
+    // BIGINT), the range R·W = max(WZ,0) − min(WZ,0) includes the Z₀ = 0
+    // anchor, and R/S collapses to RW / sqrt(W·Σk² − T²) (the W's
+    // cancel), one division + one sqrt over hi/lo-split exact moments.
+    // Zero-variance windows drop (classical R/S undefined). The
+    // per-scale mean accumulates through an ORDERED fold over the
+    // wid-sorted collected windows (the profile_drift rule — an
+    // unordered SUM() of doubles does not replay); windows are
+    // TIME-SPAN-bounded (#hours / W), so the collect is bounded. The
+    // per-window prefix windows partition by (type, wid) — ≤ W rows
+    // each, never corpus-scaled.
+    "q_ts_hurst" -> ((s: SparkSession, dir: String) => {
+      val g = hourlyCentGrid(s, dir)
+      val h0 = g.agg(min("h").as("h0"))
+      val base = g.crossJoin(broadcast(h0))
+        .withColumn("idx", col("h") - col("h0"))
+      val perW = HurstWindows.map { wd =>
+        val b = base.withColumn("wid", expr(s"idx div $wd"))
+        val part = Window.partitionBy("event_type", "wid")
+        val wOrd = part.orderBy("idx")
+        val pre = b
+          .withColumn("pk", sum("k").over(
+            wOrd.rowsBetween(Window.unboundedPreceding, 0)))
+          .withColumn("t", row_number().over(wOrd))
+          .withColumn("tot", sum("k").over(part.rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing)))
+          .withColumn("wz", expr(s"$wd * pk - t * tot"))
+        pre.groupBy("event_type", "wid")
+          .agg(count(lit(1)).as("n"),
+            (greatest(max("wz"), lit(0L)) - least(min("wz"), lit(0L))).as("rw"),
+            min("tot").as("tot"),
+            sum(expr(s"(k * k) div $MomentSplit")).as("skkhi"),
+            sum(expr(s"(k * k) % $MomentSplit")).as("skklo"))
+          .where(col("n") === lit(wd))
+          .selectExpr("event_type", "wid", "rw",
+            s"$wd * (CAST(skkhi AS DOUBLE) * $MomentSplit.0 + CAST(skklo AS DOUBLE))" +
+              " - CAST(tot AS DOUBLE) * CAST(tot AS DOUBLE) AS s2num")
+          .where(col("s2num") > lit(0.0))
+          .selectExpr("event_type", "wid", "CAST(rw AS DOUBLE) / sqrt(s2num) AS rs")
+          .groupBy("event_type")
+          .agg(asLong(count(lit(1))).as("n_windows"),
+            sort_array(collect_list(struct(col("wid"), col("rs")))).as("terms"))
+          .selectExpr("event_type", s"CAST($wd AS BIGINT) AS win_w", "n_windows",
+            "aggregate(terms, CAST(0 AS DOUBLE), (a, x) -> a + x.rs)" +
+              " / n_windows AS mean_rs")
+      }
+      perW.reduce(_.union(_)).orderBy("event_type", "win_w")
+    }),
+
+    // Augmented-Dickey–Fuller-style unit-root test (r13, lag order 0 —
+    // the plain DF statistic) per event_type over the zero-filled hourly
+    // cent grid: t-statistic of (ρ̂ − 1) from the AR(1) regression
+    // k_t = α + ρ·k_{t−1} + ε. The stationarity check that belongs next
+    // to q_ts_trend (deterministic drift) and q_ts_mann_kendall
+    // (monotone trend): a near-unit ρ̂ says shocks persist. Scale: the
+    // lag pairs ride ONE per-type window over the TIME-SPAN-BOUNDED grid
+    // (the acf/bollinger axis); all sums are map-side exact BIGINTs —
+    // Σx², Σxy, Σy² hi/lo-split (the q_agg_skew rule; per-hour cents
+    // < 2^31 keeps each product in range) — and the t-statistic is the
+    // staged shared-formula chain. unit_root_rejected_05 compares
+    // against the −2.86 constant-case 5% critical value.
+    "q_ts_adf" -> ((s: SparkSession, dir: String) => {
+      val g = hourlyCentGrid(s, dir)
+      val w = Window.partitionBy("event_type").orderBy("h")
+      g.withColumn("xk", lag("k", 1).over(w))
+        .where(col("xk").isNotNull)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("m"),
+          sum("xk").as("sx"), sum("k").as("sy"),
+          sum(expr(s"(xk * xk) div $MomentSplit")).as("sxxhi"),
+          sum(expr(s"(xk * xk) % $MomentSplit")).as("sxxlo"),
+          sum(expr(s"(xk * k) div $MomentSplit")).as("sxyhi"),
+          sum(expr(s"(xk * k) % $MomentSplit")).as("sxylo"),
+          sum(expr(s"(k * k) div $MomentSplit")).as("syyhi"),
+          sum(expr(s"(k * k) % $MomentSplit")).as("syylo"))
+        .selectExpr("event_type", "CAST(m AS BIGINT) AS n_pairs", "m",
+          "CAST(sx AS DOUBLE) AS sxd", "CAST(sy AS DOUBLE) AS syd",
+          s"CAST(sxxhi AS DOUBLE) * $MomentSplit.0 + CAST(sxxlo AS DOUBLE) AS sxxd",
+          s"CAST(sxyhi AS DOUBLE) * $MomentSplit.0 + CAST(sxylo AS DOUBLE) AS sxyd",
+          s"CAST(syyhi AS DOUBLE) * $MomentSplit.0 + CAST(syylo AS DOUBLE) AS syyd")
+        .selectExpr(Seq("event_type", "n_pairs", "m", "sxd", "syd",
+          "sxyd", "syyd") ++ adfStage1: _*)
+        .selectExpr(Seq("event_type", "n_pairs", "m", "sxd", "syd",
+          "sxyd", "syyd", "rho", "den") ++ adfStage2: _*)
+        .selectExpr(Seq("event_type", "n_pairs", "m", "syd", "sxyd",
+          "rho", "den", "alpha") ++ adfStage3: _*)
+        .selectExpr(Seq("event_type", "n_pairs", "m", "rho", "den",
+          "sse") ++ adfStage4: _*)
+        .selectExpr("event_type", "n_pairs", "rho", "adf_t",
+          "adf_t < CAST(-2.86 AS DOUBLE) AS unit_root_rejected_05")
+        .orderBy("event_type")
+    }),
 
     // Time-series gap-fill: dense per-(event_type, hour) activity over the
     // corpus' full hour range — absent buckets surface as explicit zero
@@ -822,7 +946,92 @@ object TsOps extends QueryModule {
     })
   )
 
+  /** One per-width R/S CTE chain for the hurst oracle — generated from
+    * the same constants as the engine branch (prefix keeps the two
+    * widths' names disjoint; the r12c CTE-collision rule). */
+  private def hurstCtes(wd: Long, p: String): String =
+    s"""${p}b AS (
+       |  SELECT event_type, k, h, (h - hm.h0) // $wd AS wid
+       |  FROM g CROSS JOIN hm),
+       |${p}pre AS (
+       |  SELECT event_type, wid, k,
+       |         sum(k) OVER (PARTITION BY event_type, wid ORDER BY h
+       |                      ROWS UNBOUNDED PRECEDING) AS pk,
+       |         row_number() OVER (PARTITION BY event_type, wid ORDER BY h) AS t,
+       |         sum(k) OVER (PARTITION BY event_type, wid) AS tot
+       |  FROM ${p}b),
+       |${p}wz AS (
+       |  SELECT event_type, wid, k, tot, $wd * pk - t * tot AS wz
+       |  FROM ${p}pre),
+       |${p}ag AS (
+       |  SELECT event_type, wid, CAST(count(*) AS BIGINT) AS n,
+       |         greatest(max(wz), 0) - least(min(wz), 0) AS rw,
+       |         min(tot) AS tot,
+       |         CAST(sum((k * k) // $MomentSplit) AS BIGINT) AS skkhi,
+       |         CAST(sum((k * k) % $MomentSplit) AS BIGINT) AS skklo
+       |  FROM ${p}wz GROUP BY event_type, wid),
+       |${p}s2 AS (
+       |  SELECT event_type, wid, rw,
+       |         $wd * (CAST(skkhi AS DOUBLE) * $MomentSplit.0 + CAST(skklo AS DOUBLE)) - CAST(tot AS DOUBLE) * CAST(tot AS DOUBLE) AS s2num
+       |  FROM ${p}ag WHERE n = $wd),
+       |${p}rs AS (
+       |  SELECT event_type, wid, CAST(rw AS DOUBLE) / sqrt(s2num) AS rs
+       |  FROM ${p}s2 WHERE s2num > 0.0),
+       |${p}out AS (
+       |  SELECT event_type, CAST($wd AS BIGINT) AS win_w,
+       |         CAST(count(*) AS BIGINT) AS n_windows,
+       |         list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |           list_transform(list(struct_pack(wid := wid, rs := rs)
+       |                               ORDER BY wid), x -> x.rs)),
+       |           (a, b) -> a + b) / count(*) AS mean_rs
+       |  FROM ${p}rs GROUP BY event_type)""".stripMargin
+
   def oracle: Seq[(String, String)] = Seq(
+
+    "q_ts_hurst" ->
+      s"""WITH $centGridCte,
+         |hm AS (SELECT min(h) AS h0 FROM g),
+         |${hurstCtes(HurstWindows(0), "ha")},
+         |${hurstCtes(HurstWindows(1), "hb")}
+         |SELECT * FROM haout
+         |UNION ALL SELECT * FROM hbout
+         |ORDER BY event_type, win_w""".stripMargin,
+
+    "q_ts_adf" ->
+      s"""WITH $centGridCte,
+         |lagd AS (
+         |  SELECT event_type, k,
+         |         lag(k) OVER (PARTITION BY event_type ORDER BY h) AS xk
+         |  FROM g),
+         |ag AS (
+         |  SELECT event_type, CAST(count(*) AS BIGINT) AS m,
+         |         CAST(sum(xk) AS BIGINT) AS sx,
+         |         CAST(sum(k) AS BIGINT) AS sy,
+         |         CAST(sum((xk * xk) // $MomentSplit) AS BIGINT) AS sxxhi,
+         |         CAST(sum((xk * xk) % $MomentSplit) AS BIGINT) AS sxxlo,
+         |         CAST(sum((xk * k) // $MomentSplit) AS BIGINT) AS sxyhi,
+         |         CAST(sum((xk * k) % $MomentSplit) AS BIGINT) AS sxylo,
+         |         CAST(sum((k * k) // $MomentSplit) AS BIGINT) AS syyhi,
+         |         CAST(sum((k * k) % $MomentSplit) AS BIGINT) AS syylo
+         |  FROM lagd WHERE xk IS NOT NULL GROUP BY event_type),
+         |d AS (
+         |  SELECT event_type, CAST(m AS BIGINT) AS n_pairs, m,
+         |         CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd,
+         |         CAST(sxxhi AS DOUBLE) * $MomentSplit.0 + CAST(sxxlo AS DOUBLE) AS sxxd,
+         |         CAST(sxyhi AS DOUBLE) * $MomentSplit.0 + CAST(sxylo AS DOUBLE) AS sxyd,
+         |         CAST(syyhi AS DOUBLE) * $MomentSplit.0 + CAST(syylo AS DOUBLE) AS syyd
+         |  FROM ag),
+         |s1 AS (SELECT event_type, n_pairs, m, sxd, syd, sxyd, syyd,
+         |       ${adfStage1.mkString(",\n       ")} FROM d),
+         |s2 AS (SELECT event_type, n_pairs, m, sxd, syd, sxyd, syyd, rho, den,
+         |       ${adfStage2.mkString(",\n       ")} FROM s1),
+         |s3 AS (SELECT event_type, n_pairs, m, syd, sxyd, rho, den, alpha,
+         |       ${adfStage3.mkString(",\n       ")} FROM s2),
+         |s4 AS (SELECT event_type, n_pairs, m, rho, den, sse,
+         |       ${adfStage4.mkString(",\n       ")} FROM s3)
+         |SELECT event_type, n_pairs, rho, adf_t,
+         |       adf_t < CAST(-2.86 AS DOUBLE) AS unit_root_rejected_05
+         |FROM s4 ORDER BY event_type""".stripMargin,
 
     "q_ts_gapfill" ->
       s"""WITH e AS (

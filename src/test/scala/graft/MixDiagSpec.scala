@@ -353,6 +353,40 @@ class MixDiagSpec extends SparkTestBase {
     }
   }
 
+  test("KS drift test equals a driver-side exact-D replay (r13)") {
+    // math.round rounds negative .5 ties toward +inf — use the HALF_UP
+    // BigDecimal path only if negatives existed; fixture values are >= 0
+    val ev = graft.ops.table(spark, sfDir, "events")
+      .select(expr("unix_micros(ts) div 3600000000").as("h"),
+        col("event_type"), expr("CAST(round(value * 100) AS BIGINT)").as("c"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val hmid = (ev.map(_._1).min + ev.map(_._1).max) / 2
+    val expected = ev.groupBy(_._2).toSeq.map { case (t, es) =>
+      val (a, b) = es.partition(_._1 <= hmid)
+      val (n1, n2) = (a.length.toLong, b.length.toLong)
+      val c1 = a.groupBy(_._3).view.mapValues(_.length.toLong).toMap
+      val c2 = b.groupBy(_._3).view.mapValues(_.length.toLong).toMap
+      val cents = (c1.keySet ++ c2.keySet).toSeq.sorted
+      var (cum1, cum2, dnum) = (0L, 0L, 0L)
+      cents.foreach { c =>
+        cum1 += c1.getOrElse(c, 0L); cum2 += c2.getOrElse(c, 0L)
+        dnum = math.max(dnum, math.abs(cum1 * n2 - cum2 * n1))
+      }
+      val ksD = dnum.toDouble / n1 / n2
+      val crit = 1.358 * math.sqrt((n1 + n2).toDouble / n1 / n2)
+      (t, n1, n2, dnum, ksD, crit, ksD > crit)
+    }.sortBy(_._1)
+    val got = q("q_profile_ks_drift").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5), r.getBoolean(6))).toSeq
+    assert(got == expected, "KS statistic differs from the exact replay")
+    got.foreach { case (_, n1, n2, dnum, ksD, _, _) =>
+      assert(n1 > 0 && n2 > 0)
+      assert(dnum >= 0 && dnum <= n1 * n2, "0 <= D <= 1 in the exact scale")
+      assert(ksD >= 0.0 && ksD <= 1.0)
+    }
+  }
+
   test("drift audit equals a driver-side chi-square replay, same fold order") {
     val ev = graft.ops.table(spark, sfDir, "events")
       .select(expr("unix_micros(ts) div 3600000000").as("h"), col("value"))
@@ -378,6 +412,82 @@ class MixDiagSpec extends SparkTestBase {
     assert(r.getDouble(3) == mean(a) && r.getDouble(4) == mean(b))
     assert(r.getDouble(5) == chi2, s"chi2 ${r.getDouble(5)} vs replay $chi2")
     assert(chi2 >= 0.0)
+  }
+
+  test("ADF unit-root t equals a driver-side staged replay, same FP order (r13)") {
+    val split = 1073741824L
+    val rows = q("q_ts_adf").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getBoolean(4)))
+    assert(rows.length == 5)
+    val ev = graft.ops.table(spark, sfDir, "events")
+      .select(expr("unix_micros(ts) div 3600000000").as("h"),
+        col("event_type"), col("value")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    val (h0, h1) = (ev.map(_._1).min, ev.map(_._1).max)
+    rows.foreach { case (t, n, rho, adfT, rej) =>
+      val sums = ev.filter(_._2 == t).groupBy(_._1).view.mapValues(
+        _.map(e => BigDecimal(e._3).setScale(4, BigDecimal.RoundingMode.HALF_UP))
+          .sum).toMap
+      val ks = (h0 to h1).map(h => (sums.getOrElse(h, BigDecimal(0)) * 100).toLong)
+      val pairs = ks.sliding(2).map(w => (w(0), w(1))).toSeq
+      assert(n == pairs.length)
+      val m = pairs.length.toLong
+      def hiLo(f: ((Long, Long)) => Long): Double = {
+        val hi = pairs.map(p => f(p) / split).sum
+        val lo = pairs.map(p => f(p) % split).sum
+        hi.toDouble * split.toDouble + lo.toDouble
+      }
+      val (sxd, syd) = (pairs.map(_._1).sum.toDouble, pairs.map(_._2).sum.toDouble)
+      val (sxxd, sxyd, syyd) = (hiLo(p => p._1 * p._1),
+        hiLo(p => p._1 * p._2), hiLo(p => p._2 * p._2))
+      // the staged chain, op for op
+      val den = m * sxxd - sxd * sxd
+      val rhoR = (m * sxyd - sxd * syd) / den
+      val alpha = (syd - rhoR * sxd) / m
+      val sse = syyd - alpha * syd - rhoR * sxyd
+      val tR = (rhoR - 1.0) / math.sqrt(sse / (m - 2) * m / den)
+      assert(rho == rhoR, s"$t: rho $rho vs replay $rhoR")
+      assert(adfT == tR, s"$t: adf_t $adfT vs replay $tR")
+      assert(rej == (tR < -2.86))
+    }
+  }
+
+  test("Hurst R/S profile equals a driver-side exact replay (r13)") {
+    val split = 1073741824L
+    val rows = q("q_ts_hurst").collect()
+      .map(r => ((r.getString(0), r.getLong(1)), (r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(rows.nonEmpty)
+    val ev = graft.ops.table(spark, sfDir, "events")
+      .select(expr("unix_micros(ts) div 3600000000").as("h"),
+        col("event_type"), col("value")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    val (h0, h1) = (ev.map(_._1).min, ev.map(_._1).max)
+    val types = ev.map(_._2).distinct.sorted
+    for (t <- types; wd <- Seq(64L, 256L)) {
+      val sums = ev.filter(_._2 == t).groupBy(_._1).view.mapValues(
+        _.map(e => BigDecimal(e._3).setScale(4, BigDecimal.RoundingMode.HALF_UP))
+          .sum).toMap
+      val ks = (h0 to h1).map(h => (sums.getOrElse(h, BigDecimal(0)) * 100).toLong)
+      val wins = ks.grouped(wd.toInt).filter(_.length == wd).toSeq
+      val rss = wins.flatMap { w =>
+        val tot = w.sum
+        val wz = w.scanLeft(0L)(_ + _).drop(1).zipWithIndex.map {
+          case (pk, i) => wd * pk - (i + 1) * tot }
+        val rw = math.max(wz.max, 0L) - math.min(wz.min, 0L)
+        val s2 = wd * (w.map(k => k * k / split).sum.toDouble * split +
+          w.map(k => k * k % split).sum.toDouble) - tot.toDouble * tot.toDouble
+        if (s2 > 0.0) Some(rw.toDouble / math.sqrt(s2)) else None
+      }
+      if (rss.nonEmpty) {
+        val (nW, meanRs) = rows((t, wd))
+        assert(nW == rss.length.toLong, s"$t/$wd window count")
+        assert(meanRs == rss.foldLeft(0.0)(_ + _) / rss.length,
+          s"$t/$wd mean R/S drift")
+        assert(meanRs > 0.0)
+      } else assert(!rows.contains((t, wd)))
+    }
   }
 
   test("trend equals a driver-side OLS replay, same FP order") {

@@ -359,6 +359,37 @@ class OpsSpec extends SparkTestBase {
     got.foreach { case (_, _, _, dt, _) => dt.foreach(d => assert(d >= 0)) }
   }
 
+  test("tolerance as-of equals a driver-side bounded-backward replay (r13)") {
+    val tol = graft.ops.JoinOps.AsofTolUs
+    val ev = graft.ops.table(spark, sfDir, "events")
+      .where("event_type IN ('click', 'purchase')")
+      .selectExpr("user_id", "unix_micros(ts) AS t", "event_id", "event_type")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val expected = ev.groupBy(_._1).toSeq.flatMap { case (u, es) =>
+      val sorted = es.sortBy(e => (e._2, if (e._4 == "click") 0 else 1, e._3))
+      sorted.zipWithIndex.collect { case ((_, t, id, "purchase"), i) =>
+        val bb = sorted.take(i).filter(_._4 == "click")
+          .sortBy(e => (e._2, e._3)).lastOption
+        val m = bb.exists(b => t - b._2 <= tol)
+        (id, u, if (m) Some(bb.get._3) else None,
+          if (m) Some(t - bb.get._2) else None, m)
+      }
+    }.sortBy(_._1)
+    val got = SparkEntry.queries("q_join_asof_tolerance")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        Option(r.get(2)).map(_.asInstanceOf[Long]),
+        Option(r.get(3)).map(_.asInstanceOf[Long]),
+        r.getBoolean(4))).toSeq
+    assert(got == expected, "tolerance-bounded assignment differs from replay")
+    // the tolerance genuinely bites on the fixture: both matched and
+    // unmatched purchases occur, and every gap honors the bound
+    assert(got.exists(_._5) && got.exists(!_._5),
+      s"matched=${got.count(_._5)} of ${got.size} — the bound must split")
+    got.foreach { case (_, _, _, g, m) =>
+      if (m) assert(g.exists(d => d >= 0 && d <= tol)) else assert(g.isEmpty) }
+  }
+
   test("zorder layout report: interleave replay + the locality punchline") {
     val rows = SparkEntry.queries("q_layout_zorder")(spark, sfDir).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3),
