@@ -29,7 +29,14 @@ import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, Cartes
   *      unbounded broadcast side is an accidental cartesian;
   *   5. no hash-partitioned exchange over unbounded input whose payload
   *      carries a raw text column — the digest discipline (pipelines
-  *      shuffle (len, sha256), never document text) made mechanical.
+  *      shuffle (len, sha256), never document text) made mechanical;
+  *   6. no CORPUS-SCALED window over a low-cardinality partition key
+  *      (r13): a window whose unbounded child holds ≥ 50k rows under
+  *      < 64 observed keys AND grew ≥ 5× from sf0.001 to sf0.01 is the
+  *      mktsegment-funnel scale-killer — the two-scale growth test
+  *      auto-passes time-span-bounded inputs (the hourly grid family,
+  *      identical rows at every corpus size), so no exemption list is
+  *      needed.
   *
   * Plans are built with AQE OFF: the audit gates the STATIC plan (what a
   * cost-blind planner would run), so a shape that only AQE rescues still
@@ -187,16 +194,81 @@ object PlanAudit {
     }
   }
 
+  /** Rule 6 thresholds (r13): a window partitioned by a key with fewer
+    * than [[LowCardKeys]] observed values, over an UNBOUNDED child with
+    * at least [[SuspectWindowRows]] rows at the audit scale, whose input
+    * grew by ≥ [[WindowGrowthFactor]]× from sf0.001 to sf0.01 (the
+    * corpus grows 10×; span-bounded inputs — the hourly grid family —
+    * stay ~1×) is the low-cardinality-window scale-killer (CLAUDE.md r5,
+    * the r12-verdict theil_sen flag) made mechanical: N/5 of the corpus
+    * funneling through one sort task. The TWO-SCALE growth test is what
+    * separates corpus-scaled partitions (flagged — valueAtRanks /
+    * two-level-rank territory) from time-span-bounded ones (pass
+    * automatically, no exemption list needed). */
+  val SuspectWindowRows = 50000L
+  val LowCardKeys = 64L
+  val WindowGrowthFactor = 5L
+
+  private def windowKey(w: org.apache.spark.sql.execution.window.WindowExec): String =
+    w.partitionSpec.map(_.sql).mkString(",")
+
+  private def windowsOf(plan: SparkPlan) = plan.collect {
+    case w: org.apache.spark.sql.execution.window.WindowExec
+        if w.partitionSpec.nonEmpty => w
+  }
+
+  /** Rule 6: corpus-scaled window partitions over low-cardinality keys.
+    * `smallPlan` is built lazily — only when a suspect survives the
+    * cheap filters (unbounded child, ≥ SuspectWindowRows rows, < 64
+    * observed partition keys via one approx-distinct pass). */
+  def auditWindowScaling(name: String, plan: SparkPlan,
+      smallPlan: () => SparkPlan): Seq[String] = {
+    val big = windowsOf(plan)
+    if (big.isEmpty) return Nil
+    val suspects = big.flatMap { w =>
+      if (boundedBelow(w.child)) None
+      else {
+        val rows = w.child.execute().count()
+        if (rows < SuspectWindowRows) None
+        else {
+          val exprs = w.partitionSpec
+          val out = w.child.output
+          val d = w.child.execute().mapPartitions { it =>
+            val proj = org.apache.spark.sql.catalyst.expressions
+              .UnsafeProjection.create(exprs, out)
+            it.map(r => proj(r).copy())
+          }.countApproxDistinct(0.02)
+          if (d < LowCardKeys) Some((windowKey(w), rows, d)) else None
+        }
+      }
+    }
+    if (suspects.isEmpty) return Nil
+    val small = windowsOf(smallPlan()).groupBy(windowKey)
+    suspects.flatMap { case (k, nBig, d) =>
+      val nSmall = small.get(k)
+        .map(_.map(_.child.execute().count()).max).getOrElse(0L)
+      if (nSmall > 0 && nBig >= WindowGrowthFactor * nSmall)
+        Some(s"$name: corpus-scaled window over a low-cardinality " +
+          s"partition key [$k] (~$d keys, $nBig rows at audit scale vs " +
+          s"$nSmall at sf0.001) — the per-partition sort grows with the " +
+          "corpus; use the two-level bucketed rank / valueAtRanks shapes")
+      else None
+    }
+  }
+
   /** Audit every declared query at `sfDir`; returns all violations. */
   def auditAll(spark: SparkSession, sfDir: String,
-      countJoinSides: Boolean = true): Seq[String] = {
+      countJoinSides: Boolean = true,
+      windowSmallDir: Option[String] = Some("/root/testdata/sf0.001")): Seq[String] = {
     val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
       SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
         val plan = fn(spark, sfDir).queryExecution.executedPlan
         auditPlan(name, plan) ++
-          (if (countJoinSides) auditJoinSides(name, plan) else Nil)
+          (if (countJoinSides) auditJoinSides(name, plan) else Nil) ++
+          windowSmallDir.toSeq.flatMap(sd => auditWindowScaling(name, plan,
+            () => fn(spark, sd).queryExecution.executedPlan))
       }
     } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
   }

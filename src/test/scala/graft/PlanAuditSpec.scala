@@ -68,6 +68,34 @@ class PlanAuditSpec extends SparkTestBase {
       .isEmpty)
   }
 
+  test("audit flags a corpus-scaled window over a low-cardinality key (rule 6, r13)") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.{Window => W}
+    // the banned mktsegment/returnflag funnel: a rank window over corpus
+    // rows partitioned by a 3-value key — grows 10x with the corpus
+    def bad(dir: String) = planOf(ops.table(spark, dir, "lineitem")
+      .withColumn("rn", row_number().over(
+        W.partitionBy("l_returnflag").orderBy("l_extendedprice"))))
+    assert(PlanAudit.auditWindowScaling("bad_lowcard_window",
+        bad("/root/testdata/sf0.01"), () => bad(sfDir))
+      .exists(_.contains("corpus-scaled window")),
+      "rule 6 must fire on the returnflag rank window")
+    // ...the SAME window over a time-span-bounded input passes with no
+    // exemption: the hourly grid has identical rows at both scales
+    def ok(dir: String) = planOf(
+      SparkEntry.queries("q_ts_bollinger")(spark, dir))
+    assert(PlanAudit.auditWindowScaling("ok_grid_window",
+      ok("/root/testdata/sf0.01"), () => ok(sfDir)).isEmpty,
+      "span-bounded grid windows must auto-pass the growth test")
+    // ...and an aggregated (bounded) child skips the probe entirely
+    def okAgg(dir: String) = planOf(ops.table(spark, dir, "lineitem")
+      .groupBy("l_returnflag", "l_linestatus").count()
+      .withColumn("rn", row_number().over(
+        W.partitionBy("l_returnflag").orderBy("count"))))
+    assert(PlanAudit.auditWindowScaling("ok_agg_window",
+      okAgg("/root/testdata/sf0.01"), () => okAgg(sfDir)).isEmpty)
+  }
+
   test("audit flags a shuffled join with a constant-bounded tiny side") {
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
