@@ -135,6 +135,28 @@ object Pipelines {
     * (see q_win_winsorize). */
   def winsorize(events: DataFrame): DataFrame = DiagOps.winsorize(events)
 
+  /** Zero-filled hourly cent grid `(event_type, h, k)` of an
+    * (event_type, ts TIMESTAMP, value) frame — the shared substrate of
+    * the grid-analytics family (periodogram, ADF, Hurst, Bollinger,
+    * trend tests); k is the hour's exact value sum in cents. */
+  def hourlyGrid(events: DataFrame): DataFrame =
+    graft.ops.DiagOps.gridOf(events
+      .selectExpr("event_type",
+        s"unix_micros(ts) div ${graft.ops.DiagOps.HourUs} AS h",
+        "value")
+      .groupBy("event_type", "h")
+      .agg(sum(col("value").cast("decimal(18,4)")).cast("double").as("sv")))
+
+  /** Dickey–Fuller unit-root report over a [[hourlyGrid]]-shaped frame
+    * (see q_ts_adf): t-stat of (ρ̂ − 1) per event_type, −2.86 critical
+    * value at 5%. */
+  def adf(grid: DataFrame): DataFrame = graft.ops.TsOps.adfOf(grid)
+
+  /** Rescaled-range (Hurst) R/S profile over a [[hourlyGrid]]-shaped
+    * frame (see q_ts_hurst): mean R/S per (event_type, 64/256-hour
+    * window scale). */
+  def hurstProfile(grid: DataFrame): DataFrame = graft.ops.TsOps.hurstOf(grid)
+
   /** Sensitive-term/PII scrubbing: (doc_id, n_sensitive, clean_len,
     * clean_sha) for an RE2-compatible `pattern` replaced by `placeholder`
     * — the scrubbed text never leaves the scan (see q_text_scrub). */

@@ -52,6 +52,80 @@ object TsOps extends QueryModule {
     * per-scale mean R/S carries the information. */
   private val HurstWindows = Seq(64L, 256L)
 
+  /** The q_ts_adf body over ANY `(event_type, h, k)` grid — factored
+    * (the periodogramOf/gridOf twin-body rule in function form) so
+    * [[graft.streaming.StreamingPeriodogram.adfReport]] runs the
+    * IDENTICAL computation over its state-induced grid. */
+  private[graft] def adfOf(g: DataFrame): DataFrame = {
+    val w = Window.partitionBy("event_type").orderBy("h")
+    g.withColumn("xk", lag("k", 1).over(w))
+      .where(col("xk").isNotNull)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("m"),
+        sum("xk").as("sx"), sum("k").as("sy"),
+        sum(expr(s"(xk * xk) div $MomentSplit")).as("sxxhi"),
+        sum(expr(s"(xk * xk) % $MomentSplit")).as("sxxlo"),
+        sum(expr(s"(xk * k) div $MomentSplit")).as("sxyhi"),
+        sum(expr(s"(xk * k) % $MomentSplit")).as("sxylo"),
+        sum(expr(s"(k * k) div $MomentSplit")).as("syyhi"),
+        sum(expr(s"(k * k) % $MomentSplit")).as("syylo"))
+      .selectExpr("event_type", "CAST(m AS BIGINT) AS n_pairs", "m",
+        "CAST(sx AS DOUBLE) AS sxd", "CAST(sy AS DOUBLE) AS syd",
+        s"CAST(sxxhi AS DOUBLE) * $MomentSplit.0 + CAST(sxxlo AS DOUBLE) AS sxxd",
+        s"CAST(sxyhi AS DOUBLE) * $MomentSplit.0 + CAST(sxylo AS DOUBLE) AS sxyd",
+        s"CAST(syyhi AS DOUBLE) * $MomentSplit.0 + CAST(syylo AS DOUBLE) AS syyd")
+      .selectExpr(Seq("event_type", "n_pairs", "m", "sxd", "syd",
+        "sxyd", "syyd") ++ adfStage1: _*)
+      .selectExpr(Seq("event_type", "n_pairs", "m", "sxd", "syd",
+        "sxyd", "syyd", "rho", "den") ++ adfStage2: _*)
+      .selectExpr(Seq("event_type", "n_pairs", "m", "syd", "sxyd",
+        "rho", "den", "alpha") ++ adfStage3: _*)
+      .selectExpr(Seq("event_type", "n_pairs", "m", "rho", "den",
+        "sse") ++ adfStage4: _*)
+      .selectExpr("event_type", "n_pairs", "rho", "adf_t",
+        "adf_t < CAST(-2.86 AS DOUBLE) AS unit_root_rejected_05")
+      .orderBy("event_type")
+  }
+
+  /** The q_ts_hurst body over ANY `(event_type, h, k)` grid — factored
+    * like [[adfOf]] for the streaming state read. */
+  private[graft] def hurstOf(g: DataFrame): DataFrame = {
+    val h0 = g.agg(min("h").as("h0"))
+    val base = g.crossJoin(broadcast(h0))
+      .withColumn("idx", col("h") - col("h0"))
+    val perW = HurstWindows.map { wd =>
+      val b = base.withColumn("wid", expr(s"idx div $wd"))
+      val part = Window.partitionBy("event_type", "wid")
+      val wOrd = part.orderBy("idx")
+      val pre = b
+        .withColumn("pk", sum("k").over(
+          wOrd.rowsBetween(Window.unboundedPreceding, 0)))
+        .withColumn("t", row_number().over(wOrd))
+        .withColumn("tot", sum("k").over(part.rowsBetween(
+          Window.unboundedPreceding, Window.unboundedFollowing)))
+        .withColumn("wz", expr(s"$wd * pk - t * tot"))
+      pre.groupBy("event_type", "wid")
+        .agg(count(lit(1)).as("n"),
+          (greatest(max("wz"), lit(0L)) - least(min("wz"), lit(0L))).as("rw"),
+          min("tot").as("tot"),
+          sum(expr(s"(k * k) div $MomentSplit")).as("skkhi"),
+          sum(expr(s"(k * k) % $MomentSplit")).as("skklo"))
+        .where(col("n") === lit(wd))
+        .selectExpr("event_type", "wid", "rw",
+          s"$wd * (CAST(skkhi AS DOUBLE) * $MomentSplit.0 + CAST(skklo AS DOUBLE))" +
+            " - CAST(tot AS DOUBLE) * CAST(tot AS DOUBLE) AS s2num")
+        .where(col("s2num") > lit(0.0))
+        .selectExpr("event_type", "wid", "CAST(rw AS DOUBLE) / sqrt(s2num) AS rs")
+        .groupBy("event_type")
+        .agg(asLong(count(lit(1))).as("n_windows"),
+          sort_array(collect_list(struct(col("wid"), col("rs")))).as("terms"))
+        .selectExpr("event_type", s"CAST($wd AS BIGINT) AS win_w", "n_windows",
+          "aggregate(terms, CAST(0 AS DOUBLE), (a, x) -> a + x.rs)" +
+            " / n_windows AS mean_rs")
+    }
+    perW.reduce(_.union(_)).orderBy("event_type", "win_w")
+  }
+
   def queries: Seq[(String, Q)] = Seq(
 
     // Rescaled-range (Hurst) profile (r13) per event_type: mean R/S over
@@ -68,43 +142,8 @@ object TsOps extends QueryModule {
     // TIME-SPAN-bounded (#hours / W), so the collect is bounded. The
     // per-window prefix windows partition by (type, wid) — ≤ W rows
     // each, never corpus-scaled.
-    "q_ts_hurst" -> ((s: SparkSession, dir: String) => {
-      val g = hourlyCentGrid(s, dir)
-      val h0 = g.agg(min("h").as("h0"))
-      val base = g.crossJoin(broadcast(h0))
-        .withColumn("idx", col("h") - col("h0"))
-      val perW = HurstWindows.map { wd =>
-        val b = base.withColumn("wid", expr(s"idx div $wd"))
-        val part = Window.partitionBy("event_type", "wid")
-        val wOrd = part.orderBy("idx")
-        val pre = b
-          .withColumn("pk", sum("k").over(
-            wOrd.rowsBetween(Window.unboundedPreceding, 0)))
-          .withColumn("t", row_number().over(wOrd))
-          .withColumn("tot", sum("k").over(part.rowsBetween(
-            Window.unboundedPreceding, Window.unboundedFollowing)))
-          .withColumn("wz", expr(s"$wd * pk - t * tot"))
-        pre.groupBy("event_type", "wid")
-          .agg(count(lit(1)).as("n"),
-            (greatest(max("wz"), lit(0L)) - least(min("wz"), lit(0L))).as("rw"),
-            min("tot").as("tot"),
-            sum(expr(s"(k * k) div $MomentSplit")).as("skkhi"),
-            sum(expr(s"(k * k) % $MomentSplit")).as("skklo"))
-          .where(col("n") === lit(wd))
-          .selectExpr("event_type", "wid", "rw",
-            s"$wd * (CAST(skkhi AS DOUBLE) * $MomentSplit.0 + CAST(skklo AS DOUBLE))" +
-              " - CAST(tot AS DOUBLE) * CAST(tot AS DOUBLE) AS s2num")
-          .where(col("s2num") > lit(0.0))
-          .selectExpr("event_type", "wid", "CAST(rw AS DOUBLE) / sqrt(s2num) AS rs")
-          .groupBy("event_type")
-          .agg(asLong(count(lit(1))).as("n_windows"),
-            sort_array(collect_list(struct(col("wid"), col("rs")))).as("terms"))
-          .selectExpr("event_type", s"CAST($wd AS BIGINT) AS win_w", "n_windows",
-            "aggregate(terms, CAST(0 AS DOUBLE), (a, x) -> a + x.rs)" +
-              " / n_windows AS mean_rs")
-      }
-      perW.reduce(_.union(_)).orderBy("event_type", "win_w")
-    }),
+    "q_ts_hurst" -> ((s: SparkSession, dir: String) =>
+      hurstOf(hourlyCentGrid(s, dir))),
 
     // Augmented-Dickey–Fuller-style unit-root test (r13, lag order 0 —
     // the plain DF statistic) per event_type over the zero-filled hourly
@@ -118,37 +157,8 @@ object TsOps extends QueryModule {
     // < 2^31 keeps each product in range) — and the t-statistic is the
     // staged shared-formula chain. unit_root_rejected_05 compares
     // against the −2.86 constant-case 5% critical value.
-    "q_ts_adf" -> ((s: SparkSession, dir: String) => {
-      val g = hourlyCentGrid(s, dir)
-      val w = Window.partitionBy("event_type").orderBy("h")
-      g.withColumn("xk", lag("k", 1).over(w))
-        .where(col("xk").isNotNull)
-        .groupBy("event_type")
-        .agg(count(lit(1)).as("m"),
-          sum("xk").as("sx"), sum("k").as("sy"),
-          sum(expr(s"(xk * xk) div $MomentSplit")).as("sxxhi"),
-          sum(expr(s"(xk * xk) % $MomentSplit")).as("sxxlo"),
-          sum(expr(s"(xk * k) div $MomentSplit")).as("sxyhi"),
-          sum(expr(s"(xk * k) % $MomentSplit")).as("sxylo"),
-          sum(expr(s"(k * k) div $MomentSplit")).as("syyhi"),
-          sum(expr(s"(k * k) % $MomentSplit")).as("syylo"))
-        .selectExpr("event_type", "CAST(m AS BIGINT) AS n_pairs", "m",
-          "CAST(sx AS DOUBLE) AS sxd", "CAST(sy AS DOUBLE) AS syd",
-          s"CAST(sxxhi AS DOUBLE) * $MomentSplit.0 + CAST(sxxlo AS DOUBLE) AS sxxd",
-          s"CAST(sxyhi AS DOUBLE) * $MomentSplit.0 + CAST(sxylo AS DOUBLE) AS sxyd",
-          s"CAST(syyhi AS DOUBLE) * $MomentSplit.0 + CAST(syylo AS DOUBLE) AS syyd")
-        .selectExpr(Seq("event_type", "n_pairs", "m", "sxd", "syd",
-          "sxyd", "syyd") ++ adfStage1: _*)
-        .selectExpr(Seq("event_type", "n_pairs", "m", "sxd", "syd",
-          "sxyd", "syyd", "rho", "den") ++ adfStage2: _*)
-        .selectExpr(Seq("event_type", "n_pairs", "m", "syd", "sxyd",
-          "rho", "den", "alpha") ++ adfStage3: _*)
-        .selectExpr(Seq("event_type", "n_pairs", "m", "rho", "den",
-          "sse") ++ adfStage4: _*)
-        .selectExpr("event_type", "n_pairs", "rho", "adf_t",
-          "adf_t < CAST(-2.86 AS DOUBLE) AS unit_root_rejected_05")
-        .orderBy("event_type")
-    }),
+    "q_ts_adf" -> ((s: SparkSession, dir: String) =>
+      adfOf(hourlyCentGrid(s, dir))),
 
     // Time-series gap-fill: dense per-(event_type, hour) activity over the
     // corpus' full hour range — absent buckets surface as explicit zero

@@ -63,7 +63,14 @@ object StreamingPeriodogram {
     * StreamingCountMin.latestCells shape) and run the BATCH periodogram
     * over the zero-filled grid they induce: after any exactly-once prefix
     * this EQUALS q_ts_periodogram over the rows seen so far. */
-  def report(emitted: DataFrame): DataFrame = {
+  def report(emitted: DataFrame): DataFrame =
+    DiagOps.periodogramOf(stateGrid(emitted))
+
+  /** The zero-filled cent grid the current state table induces — the
+    * SAME relation q_ts_* batch queries compute from parquet, so every
+    * grid-analytics body reads it unchanged (r13: the twin surface
+    * widened from one read to the family). */
+  private def stateGrid(emitted: DataFrame): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("event_type", "h")
     val hourly = emitted.withColumn("__mxv", max("version").over(w))
@@ -74,6 +81,20 @@ object StreamingPeriodogram {
       // over a memory-sink view that self-join fails resolution (the r9
       // StreamingTopK gotcha); the checkpoint makes it a fresh leaf
       .localCheckpoint(true)
-    DiagOps.periodogramOf(DiagOps.gridOf(hourly))
+    DiagOps.gridOf(hourly)
   }
+
+  /** Dickey–Fuller unit-root read off the CURRENT state — the batch
+    * q_ts_adf body ([[graft.ops.TsOps.adfOf]]) over the state-induced
+    * grid: bit-equal to batch after any exactly-once prefix (the state
+    * sums are the same exact BIGINTs; StreamingPeriodogramSpec pins
+    * it). */
+  def adfReport(emitted: DataFrame): DataFrame =
+    graft.ops.TsOps.adfOf(stateGrid(emitted))
+
+  /** Rescaled-range (Hurst) profile read off the CURRENT state — the
+    * batch q_ts_hurst body ([[graft.ops.TsOps.hurstOf]]), same
+    * bit-equality argument. */
+  def hurstReport(emitted: DataFrame): DataFrame =
+    graft.ops.TsOps.hurstOf(stateGrid(emitted))
 }

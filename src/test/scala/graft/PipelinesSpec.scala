@@ -264,4 +264,27 @@ class PipelinesSpec extends SparkTestBase {
     assert(fused.head._1 == 3L, "both-list doc must lead")
     assert(math.abs(fused.head._2 - (1.0 / 62 + 1.0 / 63)) < 1e-15)
   }
+
+  test("hourlyGrid/adf/hurstProfile equal the declared grid-analytics queries (r13)") {
+    import org.apache.spark.sql.functions._
+    val ev = graft.ops.table(spark, sfDir, "events")
+      .select(col("event_type"), col("ts"), col("value"))
+    val viaGrid = Pipelines.hourlyGrid(ev).collect()
+      .map(r => ((r.getString(0), r.getLong(1)), r.getLong(2))).toMap
+    val direct = graft.ops.DiagOps.hourlyCentGrid(spark, sfDir).collect()
+      .map(r => ((r.getString(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(viaGrid == direct, "facade grid differs from the fixture grid")
+    val viaAdf = Pipelines.adf(Pipelines.hourlyGrid(ev)).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getBoolean(4))).toSeq
+    val qAdf = SparkEntry.queries("q_ts_adf")(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getBoolean(4))).toSeq
+    assert(viaAdf == qAdf)
+    val viaH = Pipelines.hurstProfile(Pipelines.hourlyGrid(ev)).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    val qH = SparkEntry.queries("q_ts_hurst")(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(viaH == qH)
+  }
 }

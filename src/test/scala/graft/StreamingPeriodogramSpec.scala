@@ -72,6 +72,24 @@ class StreamingPeriodogramSpec extends SparkTestBase {
         .agg(max("version").as("mx"), count(lit(1)).as("n_emit")).collect()
       vs.foreach(r => assert(r.getLong(2) == r.getLong(3),
         "each emission bumps the bar version by exactly 1"))
+
+      // r13: the SAME state table serves the whole grid-analytics family
+      // — the ADF and Hurst reads run the batch bodies over the
+      // state-induced grid and must equal their batch queries bit-for-bit
+      val gotAdf = StreamingPeriodogram.adfReport(emitted).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+          r.getDouble(3), r.getBoolean(4))).toSeq
+      val batchAdf = SparkEntry.queries("q_ts_adf")(spark, sfDir).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+          r.getDouble(3), r.getBoolean(4))).toSeq
+      assert(gotAdf == batchAdf, "streaming ADF read drifted from batch")
+      val gotHurst = StreamingPeriodogram.hurstReport(emitted).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getDouble(3))).toSeq
+      val batchHurst = SparkEntry.queries("q_ts_hurst")(spark, sfDir).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getDouble(3))).toSeq
+      assert(gotHurst == batchHurst, "streaming Hurst read drifted from batch")
     } finally query.stop()
   }
 }
