@@ -388,6 +388,16 @@ object Pipelines {
         spark.experimental.extraOptimizations :+
           graft.plans.ApproxDistinctRewrite
 
+  /** Idempotently install the opt-in exact-percentile → GK-sketch
+    * rewrite (r14) WITHOUT enabling it — the [[installLshJoinRewrite]]
+    * discipline applied to the buffering order-statistic aggregate. */
+  def installApproxPercentile(spark: SparkSession): Unit =
+    if (!spark.experimental.extraOptimizations
+        .contains(graft.plans.ApproxPercentileRewrite))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+
+          graft.plans.ApproxPercentileRewrite
+
   /** Idempotently install the opt-in Jaccard-threshold → MinHash-bucket
     * join rewrite (r13) WITHOUT enabling it — the
     * [[installLshJoinRewrite]] discipline for the third approximate

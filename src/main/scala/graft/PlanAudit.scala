@@ -36,7 +36,14 @@ import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, Cartes
   *      mktsegment-funnel scale-killer — the two-scale growth test
   *      auto-passes time-span-bounded inputs (the hourly grid family,
   *      identical rows at every corpus size), so no exemption list is
-  *      needed.
+  *      needed;
+  *   7. no UNBOUNDED-GROUP buffering aggregate (r14): `percentile` /
+  *      `collect_list` / `collect_set` (TypedImperativeAggregates whose
+  *      per-group state is O(group size)) over few observed keys with a
+  *      corpus-scaled child is the AGGREGATE form of the rule-6 trap
+  *      (the r5 `percentile` buffer: N/3 values in one task's memory) —
+  *      same thresholds, same two-scale growth probe, so window-capped
+  *      collects and span-bounded grids auto-pass.
   *
   * Plans are built with AQE OFF: the audit gates the STATIC plan (what a
   * cost-blind planner would run), so a shape that only AQE rescues still
@@ -243,16 +250,111 @@ object PlanAudit {
       }
     }
     if (suspects.isEmpty) return Nil
-    val small = windowsOf(smallPlan()).groupBy(windowKey)
+    val smallWins = windowsOf(smallPlan())
+    val small = smallWins.groupBy(windowKey)
     suspects.flatMap { case (k, nBig, d) =>
+      // r13 advisor note: a suspect that survives the row/cardinality
+      // filters must NOT auto-pass when plan-shape or alias drift breaks
+      // the key match between scales (fail-open). Fall back to the max
+      // window-child count in the small plan; if the small plan has no
+      // windows at all, flag the suspect as unmatched instead of passing.
       val nSmall = small.get(k)
-        .map(_.map(_.child.execute().count()).max).getOrElse(0L)
-      if (nSmall > 0 && nBig >= WindowGrowthFactor * nSmall)
-        Some(s"$name: corpus-scaled window over a low-cardinality " +
-          s"partition key [$k] (~$d keys, $nBig rows at audit scale vs " +
-          s"$nSmall at sf0.001) — the per-partition sort grows with the " +
-          "corpus; use the two-level bucketed rank / valueAtRanks shapes")
-      else None
+        .orElse(if (smallWins.nonEmpty) Some(smallWins) else None)
+        .map(_.map(_.child.execute().count()).max)
+      nSmall match {
+        case Some(ns) if ns > 0 && nBig >= WindowGrowthFactor * ns =>
+          Some(s"$name: corpus-scaled window over a low-cardinality " +
+            s"partition key [$k] (~$d keys, $nBig rows at audit scale vs " +
+            s"$ns at sf0.001) — the per-partition sort grows with the " +
+            "corpus; use the two-level bucketed rank / valueAtRanks shapes")
+        case Some(_) => None
+        case None =>
+          Some(s"$name: corpus-scaled low-cardinality window suspect " +
+            s"[$k] (~$d keys, $nBig rows) has NO matching window in the " +
+            "sf0.001 plan — two-scale growth unverifiable; align the " +
+            "plan shapes or restructure the window")
+      }
+    }
+  }
+
+  /** Aggregate functions whose per-group buffer is O(group size) —
+    * rule 7's suspects. GK/HLL/KMV-style bounded sketches are NOT here
+    * (bounded state is their point). */
+  private val BufferingAggs = Set("Percentile", "PercentileCont",
+    "PercentileDisc", "Median", "CollectList", "CollectSet")
+
+  private def bufferingAggsOf(plan: SparkPlan)
+      : Seq[(org.apache.spark.sql.execution.aggregate.BaseAggregateExec, Seq[String])] = {
+    import org.apache.spark.sql.catalyst.expressions.aggregate.{Complete, Partial}
+    def fns(a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec) =
+      a.aggregateExpressions
+        .filter(ae => ae.mode == Partial || ae.mode == Complete)
+        .map(_.aggregateFunction.getClass.getSimpleName)
+        .filter(BufferingAggs)
+    plan.collect {
+      case a: ObjectHashAggregateExec => (a, fns(a))
+      case a: SortAggregateExec => (a, fns(a))
+      case a: HashAggregateExec => (a, fns(a))
+    }.filter(_._2.nonEmpty)
+  }
+
+  private def aggKey(a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec,
+      fns: Seq[String]): String =
+    a.groupingExpressions.map(_.sql).mkString(",") + "|" +
+      fns.sorted.mkString(",")
+
+  /** Rule 7: unbounded-group buffering aggregates (the r5 `percentile` /
+    * `collect_list` trap, mechanical). Structure mirrors
+    * [[auditWindowScaling]]: cheap filters first (unbounded child,
+    * ≥ [[SuspectWindowRows]] rows, < [[LowCardKeys]] observed group
+    * keys), then the two-scale growth probe; an unmatched suspect flags
+    * instead of auto-passing (the r13 fail-open fix). */
+  def auditAggBuffers(name: String, plan: SparkPlan,
+      smallPlan: () => SparkPlan): Seq[String] = {
+    val big = bufferingAggsOf(plan)
+    if (big.isEmpty) return Nil
+    val suspects = big.flatMap { case (a, fn) =>
+      if (boundedBelow(a.child)) None
+      else {
+        val rows = a.child.execute().count()
+        if (rows < SuspectWindowRows) None
+        else {
+          val d =
+            if (a.groupingExpressions.isEmpty) 1L
+            else {
+              val exprs = a.groupingExpressions
+              val out = a.child.output
+              a.child.execute().mapPartitions { it =>
+                val proj = org.apache.spark.sql.catalyst.expressions
+                  .UnsafeProjection.create(exprs, out)
+                it.map(r => proj(r).copy())
+              }.countApproxDistinct(0.02)
+            }
+          if (d < LowCardKeys) Some((aggKey(a, fn), fn, rows, d)) else None
+        }
+      }
+    }
+    if (suspects.isEmpty) return Nil
+    val smallAggs = bufferingAggsOf(smallPlan())
+    val small = smallAggs.groupBy { case (a, fn) => aggKey(a, fn) }
+    suspects.flatMap { case (k, fn, nBig, d) =>
+      val nSmall = small.get(k)
+        .orElse(if (smallAggs.nonEmpty) Some(smallAggs) else None)
+        .map(_.map(_._1.child.execute().count()).max)
+      nSmall match {
+        case Some(ns) if ns > 0 && nBig >= WindowGrowthFactor * ns =>
+          Some(s"$name: corpus-scaled ${fn.mkString("/")} buffer over a " +
+            s"low-cardinality group key [$k] (~$d keys, $nBig rows at " +
+            s"audit scale vs $ns at sf0.001) — the per-group buffer grows " +
+            "with the corpus; cap/window the group BEFORE collecting, or " +
+            "use the bucketed valueAtRanks selection")
+        case Some(_) => None
+        case None =>
+          Some(s"$name: corpus-scaled buffering-aggregate suspect [$k] " +
+            s"(~$d keys, $nBig rows) has NO matching aggregate in the " +
+            "sf0.001 plan — two-scale growth unverifiable; align the " +
+            "plan shapes or restructure the aggregate")
+      }
     }
   }
 
@@ -267,8 +369,13 @@ object PlanAudit {
         val plan = fn(spark, sfDir).queryExecution.executedPlan
         auditPlan(name, plan) ++
           (if (countJoinSides) auditJoinSides(name, plan) else Nil) ++
-          windowSmallDir.toSeq.flatMap(sd => auditWindowScaling(name, plan,
-            () => fn(spark, sd).queryExecution.executedPlan))
+          windowSmallDir.toSeq.flatMap { sd =>
+            // one shared lazy small plan serves rules 6 and 7 (each only
+            // forces it when a suspect survives the cheap filters)
+            lazy val sp = fn(spark, sd).queryExecution.executedPlan
+            auditWindowScaling(name, plan, () => sp) ++
+              auditAggBuffers(name, plan, () => sp)
+          }
       }
     } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
   }

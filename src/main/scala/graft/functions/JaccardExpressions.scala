@@ -60,6 +60,66 @@ object JaccardKernel {
     }
     best
   }
+
+  // the full 16-member family, 8 bands of 2 rows — EXACTLY the declared
+  // q_llm_minhash banding (LlmOps.NumHashes/NumBands and the injective
+  // sig_even·P + sig_odd pairing), so the banded rewrite and a
+  // hand-built LSH pipeline agree on band membership
+  private val NumHashes = 16
+  private val NumBands = 8
+  private val FamA: Array[Long] =
+    ReplayableHash.MinHashParams.take(NumHashes).map(_._1).toArray
+  private val FamB: Array[Long] =
+    ReplayableHash.MinHashParams.take(NumHashes).map(_._2).toArray
+
+  /** The 8 banded MinHash signatures of a digest array (r14, the banded
+    * Jaccard rewrite): per-member minima over the set, paired
+    * injectively two-per-band. A pair at Jaccard J shares ≥ 1 band with
+    * probability 1 − (1 − J²)⁸ — the banded recall curve, vs the
+    * single-hash J. Empty arrays yield all −1 sentinels, which
+    * [[minHashFirstBand]] refuses to match (empty sets have J = 0). */
+  def minHashBands(a: ArrayData): ArrayData = {
+    val out = new Array[Long](NumBands)
+    val n = a.numElements()
+    if (n == 0) {
+      java.util.Arrays.fill(out, -1L)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+    }
+    val mins = Array.fill(NumHashes)(Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      val x = a.getLong(i) % P
+      var k = 0
+      while (k < NumHashes) {
+        val h = (FamA(k) * x + FamB(k)) % P
+        if (h < mins(k)) mins(k) = h
+        k += 1
+      }
+      i += 1
+    }
+    var b = 0
+    while (b < NumBands) {
+      out(b) = mins(2 * b) * P + mins(2 * b + 1)
+      b += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  /** Smallest band index where two band-signature arrays agree, or −1 —
+    * the banded rewrite's dedup key: a candidate pair survives only at
+    * its FIRST matching band, so the b-fold fan-out stays
+    * multiplicity-preserving (exactly one joined row per pair sharing
+    * ≥ 1 band). −1 sentinels (empty sets) never match. */
+  def minHashFirstBand(a: ArrayData, b: ArrayData): Int = {
+    val n = math.min(a.numElements(), b.numElements())
+    var i = 0
+    while (i < n) {
+      val v = a.getLong(i)
+      if (v != -1L && v == b.getLong(i)) return i
+      i += 1
+    }
+    -1
+  }
 }
 
 /** `jaccard_sim(a, b)`: exact set-Jaccard of two `array<long>` digest
@@ -108,4 +168,49 @@ case class MinHashBucket(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(newChild: Expression): MinHashBucket =
     copy(child = newChild)
   override def prettyName: String = "minhash_bucket"
+}
+
+/** `minhash_bands(a)`: the 8 banded MinHash signatures of a digest array
+  * (see [[JaccardKernel.minHashBands]]), codegen'd — the banded Jaccard
+  * rewrite's fan-out key, exposed so hand pipelines can pre-band with
+  * exactly the rewrite's (and q_llm_minhash's) band membership. */
+case class MinHashBands(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType.isInstanceOf[ArrayType]
+        && child.dataType.asInstanceOf[ArrayType].elementType == LongType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName(a) requires an ARRAY<BIGINT> argument, got ${child.dataType.sql}")
+  override def nullSafeEval(v: Any): Any =
+    JaccardKernel.minHashBands(v.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.JaccardKernel.minHashBands($c)")
+  override protected def withNewChildInternal(newChild: Expression): MinHashBands =
+    copy(child = newChild)
+  override def prettyName: String = "minhash_bands"
+}
+
+/** `minhash_first_band(a, b)`: smallest index where two band-signature
+  * arrays agree, −1 if none (see [[JaccardKernel.minHashFirstBand]]) —
+  * the banded rewrite's first-match dedup residual. */
+case class MinHashFirstBand(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (Seq(left, right).forall(e => e.dataType.isInstanceOf[ArrayType]
+        && e.dataType.asInstanceOf[ArrayType].elementType == LongType))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName(a, b) requires two ARRAY<BIGINT> arguments, got " +
+        s"${left.dataType.sql} and ${right.dataType.sql}")
+  override def nullSafeEval(a: Any, b: Any): Any =
+    JaccardKernel.minHashFirstBand(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.JaccardKernel.minHashFirstBand($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): MinHashFirstBand =
+    copy(left = l, right = r)
+  override def prettyName: String = "minhash_first_band"
 }

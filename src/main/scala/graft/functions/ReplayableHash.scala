@@ -116,6 +116,12 @@ object ReplayableHash extends Serializable {
     * mod-prime bijection makes the argmin tie-free on distinct ids. */
   val RwParams: IndexedSeq[(Long, Long)] = params(4, salt = 15)
 
+  /** Deterministic-sample percentile priority (q_agg_approx_percentile;
+    * salt 17 — see the salt registry in CLAUDE.md). One affine member:
+    * the priority of a lineitem row's composite key; bottom-k by
+    * (priority, key, cents) is a replayable uniform sample. */
+  val SamplePctlParams: IndexedSeq[(Long, Long)] = params(1, salt = 17)
+
   /** Ingestion-jitter family (q_analytics_late_events /
     * StreamingLateEvents; salt 16 — see the salt registry in CLAUDE.md).
     * One member: each event's simulated network delay is its affine hash

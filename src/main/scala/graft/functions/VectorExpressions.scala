@@ -120,6 +120,10 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     // Jaccard-threshold joins become MinHash bucket equi-joins — see
     // plans.JaccardJoinRewrite
     ext.injectOptimizerRule(_ => graft.plans.JaccardJoinRewrite)
+    // opt-in (spark.graft.approx.percentile): exact buffering
+    // percentile(x, p) becomes the bounded GK sketch — see
+    // plans.ApproxPercentileRewrite
+    ext.injectOptimizerRule(_ => graft.plans.ApproxPercentileRewrite)
   }
 }
 
@@ -166,6 +170,20 @@ object GraftFunctions {
         require(es.length == 1,
           s"minhash_bucket(a) requires exactly 1 argument, got ${es.length}")
         MinHashBucket(es(0))
+      }),
+    (FunctionIdentifier("minhash_bands"),
+      new ExpressionInfo(classOf[MinHashBands].getName, "minhash_bands"),
+      (es: Seq[Expression]) => {
+        require(es.length == 1,
+          s"minhash_bands(a) requires exactly 1 argument, got ${es.length}")
+        MinHashBands(es(0))
+      }),
+    (FunctionIdentifier("minhash_first_band"),
+      new ExpressionInfo(classOf[MinHashFirstBand].getName, "minhash_first_band"),
+      (es: Seq[Expression]) => {
+        require(es.length == 2,
+          s"minhash_first_band(a, b) requires exactly 2 arguments, got ${es.length}")
+        MinHashFirstBand(es(0), es(1))
       }),
     (FunctionIdentifier("double_order_key"),
       new ExpressionInfo(classOf[DoubleOrderKey].getName, "double_order_key"),

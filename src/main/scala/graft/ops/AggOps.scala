@@ -175,24 +175,38 @@ object AggOps extends QueryModule {
           count(lit(1)).as("n_members"))
         .orderBy("c_nationkey")),
 
-    // t-digest/GK-sketch approximate percentile — oracle-less (sketch
-    // differs from DuckDB's); exact value alongside for the rows-only gate.
-    // within_eps carries the GK bound (accuracy=1000 → rank ε = 1/1000)
-    // into the dumped artifact: the sketch median must lie between the
-    // exact 0.499 and 0.501 quantiles (one percentile buffer evaluates all
-    // three ranks — this 3-group sketch DIAGNOSTIC deliberately uses the
-    // buffering built-in it is judged against; the exact-percentile
-    // OPERATOR is q_agg_percentile via the bucketed valueAtRanks).
-    "q_agg_approx_percentile" -> ((s: SparkSession, dir: String) =>
+    // Approximate percentile via a DETERMINISTIC bottom-k sample (r14 —
+    // replaces the GK built-in, which is partition-order-dependent and
+    // therefore oracle-less): priority = salt-17 affine hash of the
+    // composite row key, the typed BottomKSample aggregator keeps the
+    // 512 lexicographically smallest (priority, key, cents) triples per
+    // group — bounded O(k) state, map-side combinable, a pure function
+    // of the DATA (not the partitioning), so like KMV/count-min the
+    // "approximate" sketch gets an EXACT DuckDB oracle. approx_p50 is
+    // the lower median of the sample (sorted-rank (n+1)/2), surfaced as
+    // the k/100.0 replayable division. (l_orderkey, l_linenumber) is
+    // NOT unique on this fixture — cents ride in the sort key so tied
+    // boundary triples are interchangeable by value. The GK built-in
+    // remains available behind the opt-in ApproxPercentileRewrite
+    // (the ApproxDistinctRewrite pattern); the exact-percentile
+    // OPERATOR is q_agg_percentile via the bucketed valueAtRanks.
+    "q_agg_approx_percentile" -> ((s: SparkSession, dir: String) => {
+      val P = graft.functions.ReplayableHash.P
+      val (a, b) = graft.functions.ReplayableHash.SamplePctlParams.head
+      val samp = udaf(DiagOps.BottomKSample)
       table(s, dir, "lineitem")
+        .select(col("l_returnflag"),
+          expr("l_orderkey * 8 + l_linenumber").as("uk"),
+          expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("cents"))
+        .withColumn("pri", expr(s"($a * (uk % $P) + $b) % $P"))
         .groupBy("l_returnflag")
-        .agg(expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("approx_p50"),
-          expr("percentile(l_extendedprice, array(0.499D, 0.5D, 0.501D))").as("_ps"))
-        .select(col("l_returnflag"), col("approx_p50"),
-          col("_ps").getItem(1).as("exact_p50"),
-          (col("approx_p50") >= col("_ps").getItem(0)
-            && col("approx_p50") <= col("_ps").getItem(2)).as("within_eps"))
-        .orderBy("l_returnflag")),
+        .agg(samp(col("pri"), col("uk"), col("cents")).as("sk"),
+          count(lit(1)).as("n"))
+        .select(col("l_returnflag"), col("n").cast("long").as("n_rows"),
+          col("sk._1").as("n_sample"),
+          (col("sk._2").cast("double") / lit(100)).as("approx_p50"))
+        .orderBy("l_returnflag")
+    }),
 
     "q_agg_bool" -> ((s: SparkSession, dir: String) =>
       table(s, dir, "lineitem")
@@ -371,6 +385,45 @@ object AggOps extends QueryModule {
   )
 
   def oracle: Seq[(String, String)] = Seq(
+    // Deterministic bottom-k sample replay (salt 17): the oracle
+    // re-derives the 512 lexicographically smallest (pri, uk, cents)
+    // triples per group with a window (single-node DuckDB may sort; the
+    // ENGINE's aggregator never does) and reads the sample's lower
+    // median by value — the same rank-(n+1)/2 selection as the Scala
+    // finish(). cents/100.0 is the replayable k/100.0 division.
+    "q_agg_approx_percentile" -> {
+      val P = graft.functions.ReplayableHash.P
+      val (a, b) = graft.functions.ReplayableHash.SamplePctlParams.head
+      val k = DiagOps.SampleK
+      s"""WITH pri AS (
+         |  SELECT l_returnflag,
+         |         l_orderkey * 8 + l_linenumber AS uk,
+         |         CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+         |         ($a * ((l_orderkey * 8 + l_linenumber) % $P) + $b) % $P AS pri
+         |  FROM lineitem),
+         |bot AS (
+         |  SELECT l_returnflag, cents FROM (
+         |    SELECT l_returnflag, cents,
+         |           row_number() OVER (PARTITION BY l_returnflag
+         |                              ORDER BY pri, uk, cents) AS rk
+         |    FROM pri)
+         |  WHERE rk <= $k),
+         |med AS (
+         |  SELECT l_returnflag, cents,
+         |         row_number() OVER (PARTITION BY l_returnflag ORDER BY cents) AS vr,
+         |         count(*) OVER (PARTITION BY l_returnflag) AS ns
+         |  FROM bot),
+         |n AS (
+         |  SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_rows
+         |  FROM lineitem GROUP BY l_returnflag)
+         |SELECT n.l_returnflag, n.n_rows,
+         |       CAST(med.ns AS BIGINT) AS n_sample,
+         |       CAST(med.cents AS DOUBLE) / CAST(100 AS DOUBLE) AS approx_p50
+         |FROM med JOIN n ON med.l_returnflag = n.l_returnflag
+         |WHERE med.vr = (med.ns + 1) // 2
+         |ORDER BY n.l_returnflag""".stripMargin
+    },
+
     // KMV bottom-k replay (the q_agg_kmv_distinct shape on lineitem
     // partkeys): the affine member is a bijection so DISTINCT hv counts
     // equal DISTINCT partkey counts, the bottom-64 set is collision-free,

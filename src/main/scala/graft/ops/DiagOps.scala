@@ -869,6 +869,89 @@ object DiagOps {
       org.apache.spark.sql.Encoders.product[(Long, Long, Double)]
   }
 
+  /** Bottom-k sample capacity for [[BottomKSample]] (q_agg_approx_
+    * percentile): 512 rows per group bound the buffer at 3·512 longs. */
+  private[graft] val SampleK = 512
+
+  /** Bottom-k sample buffer: the `n` smallest (pri, key, cent) triples
+    * seen so far, sorted lexicographically by (pri, key, cent) in the
+    * parallel arrays. `private[graft]`, not `private` — Janino-generated
+    * encoder code must see the class (the round-5 trap). */
+  private[graft] case class SampBuf(var n: Int, pri: Array[Long],
+      key: Array[Long], cent: Array[Long])
+
+  /** Typed bottom-k-sample aggregator (q_agg_approx_percentile): keeps
+    * the [[SampleK]] lexicographically smallest (priority, key, cents)
+    * triples — a DETERMINISTIC uniform sample when the priority is the
+    * salt-17 affine hash of the row key (a bijection on [0, P), so the
+    * sample is a pure function of the data, independent of partitioning
+    * or arrival order; priority collisions break on (key, cents), and
+    * fully identical triples are interchangeable). Bounded O(k) state,
+    * map-side combinable — the GK-sketch SHAPE with an EXACT DuckDB
+    * oracle (the KMV/count-min rule: deterministic ≠ oracle-less).
+    * Output is (sample size, lower-median sample cents): the sorted
+    * sample's rank-(n+1)/2 value, replayed in SQL as two windows over
+    * the tiny per-group sample. */
+  private[graft] object BottomKSample
+      extends org.apache.spark.sql.expressions.Aggregator[(Long, Long, Long), SampBuf, (Long, Long)] {
+    private val K = SampleK
+    private def lt(p1: Long, k1: Long, c1: Long,
+        p2: Long, k2: Long, c2: Long): Boolean =
+      p1 < p2 || (p1 == p2 && (k1 < k2 || (k1 == k2 && c1 < c2)))
+    private def insPos(b: SampBuf, p: Long, k: Long, c: Long): Int = {
+      var lo = 0; var hi = b.n
+      while (lo < hi) {
+        val mid = (lo + hi) >>> 1
+        if (lt(b.pri(mid), b.key(mid), b.cent(mid), p, k, c)) lo = mid + 1
+        else hi = mid
+      }
+      lo
+    }
+    def zero: SampBuf =
+      SampBuf(0, new Array[Long](K), new Array[Long](K), new Array[Long](K))
+    def reduce(b: SampBuf, t: (Long, Long, Long)): SampBuf = {
+      val (p, k, c) = t
+      if (b.n == K && !lt(p, k, c, b.pri(K - 1), b.key(K - 1), b.cent(K - 1)))
+        return b
+      val ins = insPos(b, p, k, c)
+      val keep = math.min(b.n, K - 1)
+      System.arraycopy(b.pri, ins, b.pri, ins + 1, keep - ins)
+      System.arraycopy(b.key, ins, b.key, ins + 1, keep - ins)
+      System.arraycopy(b.cent, ins, b.cent, ins + 1, keep - ins)
+      b.pri(ins) = p; b.key(ins) = k; b.cent(ins) = c
+      if (b.n < K) b.n += 1
+      b
+    }
+    def merge(b1: SampBuf, b2: SampBuf): SampBuf = {
+      val out = zero
+      var i = 0; var j = 0; var n = 0
+      while (n < K && (i < b1.n || j < b2.n)) {
+        val takeFirst = j >= b2.n || (i < b1.n &&
+          lt(b1.pri(i), b1.key(i), b1.cent(i), b2.pri(j), b2.key(j), b2.cent(j)))
+        if (takeFirst) {
+          out.pri(n) = b1.pri(i); out.key(n) = b1.key(i)
+          out.cent(n) = b1.cent(i); i += 1
+        } else {
+          out.pri(n) = b2.pri(j); out.key(n) = b2.key(j)
+          out.cent(n) = b2.cent(j); j += 1
+        }
+        n += 1
+      }
+      out.n = n
+      out
+    }
+    def finish(b: SampBuf): (Long, Long) = {
+      if (b.n == 0) return (0L, -1L)
+      val vals = java.util.Arrays.copyOfRange(b.cent, 0, b.n)
+      java.util.Arrays.sort(vals)
+      (b.n.toLong, vals((b.n + 1) / 2 - 1))
+    }
+    def bufferEncoder: org.apache.spark.sql.Encoder[SampBuf] =
+      org.apache.spark.sql.Encoders.product[SampBuf]
+    def outputEncoder: org.apache.spark.sql.Encoder[(Long, Long)] =
+      org.apache.spark.sql.Encoders.product[(Long, Long)]
+  }
+
   /** One referential-integrity audit row for a (child, fk, parent, pk)
     * edge — the q_profile_integrity primitive, exposed for
     * [[graft.Pipelines]] and the orphan-injection spec. ONE left-anti

@@ -17,6 +17,22 @@ object TextOps extends QueryModule {
   private[graft] val SensitivePattern = "\\b(customer|vector|key)\\b"
   private[graft] val Redaction = "[REDACTED]"
 
+  /** q_text_nfkc decoration table (r14): fixed compatibility prefixes
+    * injected as a pure function of doc_id so the NFKC fold has real
+    * work on the all-ASCII fixture. Index 0 is deliberately an NFKC
+    * fixed point (exercises changed = false). Quote-free BMP strings
+    * only (they travel as SQL literals). */
+  private[graft] val NfkcDeco: IndexedSeq[String] = IndexedSeq(
+    "plain", "ﬁnal ﬂow", "ｆｕｌｌｗｉｄｔｈ", "№①②③", "x²y³",
+    "ｶﾞｷﾞｸﾞ", "½kg Ⅷ™", "ﬃcial")
+
+  /** Expected NFKC of each [[NfkcDeco]] entry — the ground truth the
+    * DuckDB oracle replays (DuckDB has no NFKC; the oracle literals are
+    * GENERATED from this table, the mm-family split). */
+  private[graft] lazy val NfkcDecoExpected: IndexedSeq[String] =
+    NfkcDeco.map(java.text.Normalizer.normalize(_,
+      java.text.Normalizer.Form.NFKC))
+
   /** Normalization (lowercase/trim/collapse-whitespace) + normalized-
     * exact-dup group sizes for an arbitrary (doc_id, text) frame — the
     * q_text_normalize primitive, exposed for [[graft.Pipelines]]. The
@@ -356,20 +372,41 @@ object TextOps extends QueryModule {
         .orderBy("doc_id")
     }),
 
-    // Unicode NFKC normalization audit (r11) — the aggressive
-    // compatibility fold (ligatures, full-width forms, circled digits)
-    // a multilingual pipeline applies when compatibility variants must
-    // tokenize identically. ORACLE-LESS by declaration: DuckDB ships
-    // only NFC, so this key is spec-gated instead (the HLL/GK
-    // precedent) — TextSpec pins idempotence, NFC∘NFKC = NFKC and the
-    // canonical fold cases. Same one-scan shape as q_text_unicode_norm.
+    // Unicode NFKC normalization audit (r11; hash-gated r14) — the
+    // aggressive compatibility fold (ligatures, full-width forms,
+    // circled digits) a multilingual pipeline applies when
+    // compatibility variants must tokenize identically. DuckDB ships
+    // only NFC, so the oracle rides the mm-family ground-truth split
+    // (the q_mm_audio_chunks precedent): each doc gains a FIXED
+    // compatibility prefix chosen by doc_id % |NfkcDeco|, the engine
+    // runs the real codegen'd nfkc_normalize over the decorated string
+    // distributed, and the oracle replays the known per-variant
+    // expansion (NfkcDecoExpected — literals GENERATED from the same
+    // Scala table, the ReplayableHash-generated-oracle rule) appended
+    // to the raw text. Sound because the fixture text itself is an
+    // NFKC fixed point — asserted LOUDLY per row (the csv_malformed
+    // fixture-guard idiom), so a future non-ASCII fixture fails with a
+    // message, not a bare hash mismatch. The fold itself is
+    // spec-attacked in TextSpec (idempotence, NFC∘NFKC = NFKC,
+    // canonical cases). Same digest-only output as q_text_unicode_norm.
     "q_text_nfkc" -> ((s: SparkSession, dir: String) => {
       graft.functions.GraftFunctions.register(s)
+      val decoArr = array(NfkcDeco.map(lit): _*)
       table(s, dir, "documents")
-        .select(col("doc_id"), col("text"),
-          call_function("nfkc_normalize", col("text")).as("nfkc"))
+        .where(coalesce(assert_true(
+          call_function("nfkc_normalize", concat(lit(" "), col("text")))
+            === concat(lit(" "), col("text")),
+          lit("nfkc guard: fixture text is no longer an NFKC fixed " +
+            "point — the decoration-split oracle is unsound; regenerate " +
+            "the expected-NFKC ground truth")), lit(true)))
         .select(col("doc_id"),
-          (col("nfkc") =!= col("text")).as("changed"),
+          concat(element_at(decoArr,
+              (col("doc_id") % NfkcDeco.size).cast("int") + 1),
+            lit(" "), col("text")).as("raw"))
+        .select(col("doc_id"), col("raw"),
+          call_function("nfkc_normalize", col("raw")).as("nfkc"))
+        .select(col("doc_id"),
+          (col("nfkc") =!= col("raw")).as("changed"),
           length(col("nfkc")).cast("long").as("len_nfkc"),
           substring(sha2(col("nfkc"), 256), 1, 16).as("sha16"))
         .orderBy("doc_id")
@@ -700,6 +737,28 @@ object TextOps extends QueryModule {
         |       CAST(length(nfc_normalize(text)) AS BIGINT) AS len_nfc,
         |       substring(sha256(nfc_normalize(text)), 1, 16) AS sha16
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // Ground-truth replay of the decoration split (r14): the raw and
+    // expected-NFKC prefixes are literals generated from the SAME Scala
+    // table the engine decorates with (NfkcDeco / NfkcDecoExpected);
+    // the ASCII text rides through both unchanged (the engine asserts
+    // that invariant loudly per row).
+    "q_text_nfkc" -> {
+      val k = NfkcDeco.size
+      val rawCase = NfkcDeco.zipWithIndex
+        .map { case (d, i) => s"WHEN $i THEN '$d'" }.mkString(" ")
+      val expCase = NfkcDecoExpected.zipWithIndex
+        .map { case (d, i) => s"WHEN $i THEN '$d'" }.mkString(" ")
+      s"""WITH d AS (
+         |  SELECT doc_id,
+         |         (CASE doc_id % $k $rawCase END) || ' ' || text AS raw,
+         |         (CASE doc_id % $k $expCase END) || ' ' || text AS nfkc
+         |  FROM documents)
+         |SELECT doc_id, nfkc <> raw AS changed,
+         |       CAST(length(nfkc) AS BIGINT) AS len_nfkc,
+         |       substring(sha256(nfkc), 1, 16) AS sha16
+         |FROM d ORDER BY doc_id""".stripMargin
+    },
 
     "q_text_fingerprint" -> {
       val th = graft.functions.ReplayableHash.tokenHashSql("text")

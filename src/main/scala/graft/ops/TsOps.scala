@@ -58,7 +58,17 @@ object TsOps extends QueryModule {
     * IDENTICAL computation over its state-induced grid. */
   private[graft] def adfOf(g: DataFrame): DataFrame = {
     val w = Window.partitionBy("event_type").orderBy("h")
-    g.withColumn("xk", lag("k", 1).over(w))
+    // r13 advisor note: the xk·k hi/lo split replays in DuckDB only while
+    // both operands are nonnegative (Spark `div` truncates, DuckDB `//`
+    // floors — they diverge on signed products). The fixture's cent grid
+    // is nonnegative by construction; a future fixture with negative
+    // event values must fail LOUDLY here, not as a bare hash mismatch.
+    val gg = g.where(coalesce(assert_true(col("k") >= 0,
+      lit("adf guard: negative grid cents — the signed cross-product " +
+        "div/% split diverges between Spark (truncate) and DuckDB " +
+        "(floor); switch to signed-safe splits before re-oracling")),
+      lit(true)))
+    gg.withColumn("xk", lag("k", 1).over(w))
       .where(col("xk").isNotNull)
       .groupBy("event_type")
       .agg(count(lit(1)).as("m"),

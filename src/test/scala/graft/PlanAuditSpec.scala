@@ -96,6 +96,39 @@ class PlanAuditSpec extends SparkTestBase {
       okAgg("/root/testdata/sf0.01"), () => okAgg(sfDir)).isEmpty)
   }
 
+  test("audit flags a corpus-scaled buffering aggregate over few keys (rule 7, r14)") {
+    import org.apache.spark.sql.functions._
+    // the r5 percentile/collect_list trap: a whole-group buffer over
+    // corpus rows under a 3-value key — grows 10x with the corpus
+    def bad(dir: String) = planOf(ops.table(spark, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(expr("percentile(l_extendedprice, 0.5D)").as("p50"),
+        collect_list(col("l_orderkey")).as("keys")))
+    assert(PlanAudit.auditAggBuffers("bad_buffer_agg",
+        bad("/root/testdata/sf0.01"), () => bad(sfDir))
+      .exists(_.contains("buffer")),
+      "rule 7 must fire on the returnflag percentile/collect_list")
+    // ...a global (no grouping) buffering aggregate is the same trap
+    def badGlobal(dir: String) = planOf(ops.table(spark, dir, "lineitem")
+      .agg(collect_set(col("l_partkey")).as("parts")))
+    assert(PlanAudit.auditAggBuffers("bad_global_collect",
+        badGlobal("/root/testdata/sf0.01"), () => badGlobal(sfDir))
+      .nonEmpty, "rule 7 must fire on an ungrouped corpus collect_set")
+    // ...the SAME collect over a high-cardinality key passes (per-group
+    // buffers bounded by group size, no single-task funnel)
+    def okKeys(dir: String) = planOf(ops.table(spark, dir, "lineitem")
+      .groupBy("l_orderkey")
+      .agg(collect_list(col("l_linenumber")).as("lines")))
+    assert(PlanAudit.auditAggBuffers("ok_highcard_collect",
+      okKeys("/root/testdata/sf0.01"), () => okKeys(sfDir)).isEmpty)
+    // ...and a span-bounded declared consumer (hurst's per-type window
+    // collect over the hourly grid) auto-passes the growth probe
+    def okGrid(dir: String) = planOf(
+      SparkEntry.queries("q_ts_hurst")(spark, dir))
+    assert(PlanAudit.auditAggBuffers("ok_grid_collect",
+      okGrid("/root/testdata/sf0.01"), () => okGrid(sfDir)).isEmpty)
+  }
+
   test("audit flags a shuffled join with a constant-bounded tiny side") {
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")

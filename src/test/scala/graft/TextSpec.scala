@@ -417,14 +417,36 @@ class TextSpec extends SparkTestBase {
       assert(java.text.Normalizer.normalize(
         n, java.text.Normalizer.Form.NFC) == n)
     }
-    // the declared (oracle-less) query: same digest-discipline schema as
-    // the NFC twin; ASCII fixture rows are NFKC fixed points
+    // the decorated query (r14 hash gate): same digest-discipline schema
+    // as the NFC twin; the doc_id % |NfkcDeco| prefix drives `changed`
+    // (index 0 is the fixed-point variant), and the engine digest equals
+    // a driver-side replay of expected-prefix || ' ' || text
     val g = q("q_text_nfkc")
     assert(g.columns.toSeq == Seq("doc_id", "changed", "len_nfkc", "sha16"))
     val fixture = g.collect()
     assert(fixture.nonEmpty)
-    assert(fixture.forall(r => !r.getBoolean(1)),
-      "ASCII fixture rows must be NFKC fixed points")
+    val deco = graft.ops.TextOps.NfkcDeco
+    val decoExp = graft.ops.TextOps.NfkcDecoExpected
+    fixture.foreach { r =>
+      val i = (r.getLong(0) % deco.size).toInt
+      assert(r.getBoolean(1) == (deco(i) != decoExp(i)),
+        s"doc ${r.getLong(0)}: changed flag vs decoration table")
+    }
+    assert(fixture.exists(_.getBoolean(1)) && fixture.exists(!_.getBoolean(1)),
+      "both changed branches must occur")
+    val texts = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    fixture.take(50).foreach { r =>
+      val expect = decoExp((r.getLong(0) % deco.size).toInt) + " " +
+        texts(r.getLong(0))
+      assert(r.getLong(2) == expect.codePointCount(0, expect.length),
+        s"doc ${r.getLong(0)}: len_nfkc")
+      val sha = md.digest(expect.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(16)
+      assert(r.getString(3) == sha, s"doc ${r.getLong(0)}: sha16 replay")
+    }
   }
 
   test("source-MI equals a driver-side integer-log2 replay") {
