@@ -405,14 +405,19 @@ object ScaleProbe {
         a.join(b, call_function("jaccard_sim", col("toks_a"), col("toks_b"))
           >= lit(0.3) && col("id_a") < col("id_b"))
       }
-      for (enabled <- (if (naive) Seq(false, true) else Seq(true))) {
+      // (rewrite, bands): naive → single-bucket → 8-band (r14)
+      val modes = (if (naive) Seq((false, false)) else Nil) ++
+        Seq((true, false), (true, true))
+      for ((enabled, bands) <- modes) {
         spark.conf.set(graft.plans.JaccardJoinRewrite.EnabledKey, enabled.toString)
+        spark.conf.set(graft.plans.JaccardJoinRewrite.BandsKey, bands.toString)
         val t0 = System.nanoTime()
         val n = joined.count()
-        println(f"[scale] jacjoin $label%-6s rewrite=$enabled%-5s " +
+        println(f"[scale] jacjoin $label%-6s rewrite=$enabled%-5s bands=$bands%-5s " +
           f"${(System.nanoTime() - t0) / 1e9}%8.2f s  pairs=$n")
       }
       spark.conf.set(graft.plans.JaccardJoinRewrite.EnabledKey, "false")
+      spark.conf.set(graft.plans.JaccardJoinRewrite.BandsKey, "false")
     }
     run(srcDir, "sf0.1")
     run("/tmp/graft-sfbig", "x10")

@@ -289,24 +289,7 @@ object ProfileOps extends QueryModule {
         .groupBy("event_type", "cent")
         .agg(sum(when(col("first_half"), 1L).otherwise(0L)).as("c1"),
           sum(when(!col("first_half"), 1L).otherwise(0L)).as("c2"))
-      val wc = Window.partitionBy("event_type").orderBy("cent")
-      hist
-        .withColumn("cum1", sum("c1").over(wc))
-        .withColumn("cum2", sum("c2").over(wc))
-        .withColumn("n1", sum("c1").over(Window.partitionBy("event_type")))
-        .withColumn("n2", sum("c2").over(Window.partitionBy("event_type")))
-        .where(col("n1") > 0 && col("n2") > 0)
-        .groupBy("event_type")
-        .agg(asLong(min("n1")).as("n_first"), asLong(min("n2")).as("n_second"),
-          asLong(max(abs(col("cum1") * col("n2") - col("cum2") * col("n1"))))
-            .as("d_num"))
-        .selectExpr("event_type", "n_first", "n_second", "d_num",
-          "CAST(d_num AS DOUBLE) / n_first / n_second AS ks_d",
-          "CAST(1.358 AS DOUBLE) * sqrt(CAST(n_first + n_second AS DOUBLE)" +
-            " / n_first / n_second) AS crit_05")
-        .selectExpr("event_type", "n_first", "n_second", "d_num", "ks_d",
-          "crit_05", "ks_d > crit_05 AS drift_rejected")
-        .orderBy("event_type")
+      ksFromHalves(hist)
     }),
 
     "q_profile_drift" -> ((s: SparkSession, dir: String) => {
@@ -488,6 +471,34 @@ object ProfileOps extends QueryModule {
         .orderBy("l_returnflag")
     })
   )
+
+  /** The KS tail over a two-half cent histogram (event_type, cent, c1,
+    * c2) — the q_profile_ks_drift body from the cumulative CDFs onward,
+    * factored (the periodogramOf/gridOf twin-body rule in FUNCTION form)
+    * so [[graft.streaming.StreamingKsDrift.report]] runs the IDENTICAL
+    * computation over its state-induced histogram. The cumulative
+    * windows run over the AGGREGATED (type, cent) relation —
+    * value-DOMAIN-bounded rows per type, never corpus-scaled. */
+  private[graft] def ksFromHalves(hist: DataFrame): DataFrame = {
+    val wc = Window.partitionBy("event_type").orderBy("cent")
+    hist
+      .withColumn("cum1", sum("c1").over(wc))
+      .withColumn("cum2", sum("c2").over(wc))
+      .withColumn("n1", sum("c1").over(Window.partitionBy("event_type")))
+      .withColumn("n2", sum("c2").over(Window.partitionBy("event_type")))
+      .where(col("n1") > 0 && col("n2") > 0)
+      .groupBy("event_type")
+      .agg(asLong(min("n1")).as("n_first"), asLong(min("n2")).as("n_second"),
+        asLong(max(abs(col("cum1") * col("n2") - col("cum2") * col("n1"))))
+          .as("d_num"))
+      .selectExpr("event_type", "n_first", "n_second", "d_num",
+        "CAST(d_num AS DOUBLE) / n_first / n_second AS ks_d",
+        "CAST(1.358 AS DOUBLE) * sqrt(CAST(n_first + n_second AS DOUBLE)" +
+          " / n_first / n_second) AS crit_05")
+      .selectExpr("event_type", "n_first", "n_second", "d_num", "ks_d",
+        "crit_05", "ks_d > crit_05 AS drift_rejected")
+      .orderBy("event_type")
+  }
 
   def oracle: Seq[(String, String)] = Seq(
     "q_profile_freq" ->
