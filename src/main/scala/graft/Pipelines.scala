@@ -157,6 +157,12 @@ object Pipelines {
     * window scale). */
   def hurstProfile(grid: DataFrame): DataFrame = graft.ops.TsOps.hurstOf(grid)
 
+  /** Pairwise Granger-causality screen over a [[hourlyGrid]]-shaped
+    * frame (see q_ts_granger, r14): per ordered type pair, the F test
+    * of whether src's lag improves dst's AR(1) fit; 3.84 critical
+    * value at 5%. */
+  def granger(grid: DataFrame): DataFrame = graft.ops.TsOps.grangerOf(grid)
+
   /** Sensitive-term/PII scrubbing: (doc_id, n_sensitive, clean_len,
     * clean_sha) for an RE2-compatible `pattern` replaced by `placeholder`
     * — the scrubbed text never leaves the scan (see q_text_scrub). */

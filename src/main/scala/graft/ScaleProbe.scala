@@ -606,9 +606,15 @@ object ScaleProbe {
     * ×30). Results go to SCALING.md next to the ×10 rows. */
   private def bigAmortizeProbe(spark: SparkSession, outDir: String,
       copies: Int): Unit = {
-    def time(label: String, names: Seq[String]): Unit = names.zipWithIndex
-      .foreach { case (n, i) =>
-        val tag = if (i == 0) "cold" else "warm"
+    // tags are EXPLICIT per entry (r14): "cold" marks the query that
+    // pays an index build in that position, "warm" a memo-hit read.
+    // Repeated names are deliberate true-warm measurements — r14 fixed
+    // the r13 misattribution where "triangles 17.1 s warm" was actually
+    // the copurchase+mutual-KNN build (q_graph_degree only pays
+    // purchaseGraph; repeat-probed, the wedge join itself is 0.57 s at
+    // ×30).
+    def time(label: String, names: Seq[(String, String)]): Unit =
+      names.foreach { case (tag, n) =>
         val t0 = System.nanoTime()
         val rows = SparkEntry.queries(n)(spark, outDir).count()
         println(f"[scale-x$copies] $label%-7s $tag $n%-24s " +
@@ -618,14 +624,23 @@ object ScaleProbe {
     SparkEntry.queries("q_agg_basic")(spark, outDir).count()
     ops.TextOps.clearIndexCache()
     ops.CurationOps.clearIndexCache()
-    time("token", Seq("q_text_langid", // cold: builds tokenIndexFor
-      "q_text_tfidf", "q_text_oov", "q_text_vocab"))
+    time("token", Seq(
+      "cold" -> "q_text_langid", // pays tokenIndexFor
+      "warm" -> "q_text_langid", // the read alone
+      "warm" -> "q_text_tfidf", "warm" -> "q_text_oov",
+      "warm" -> "q_text_vocab"))
     ops.GraphOps.clearIndexCache()
-    time("graph", Seq("q_graph_degree", // cold: co-purchase adjacency
-      "q_graph_triangles", "q_graph_concomp", "q_graph_simnodes"))
+    time("graph", Seq(
+      "cold" -> "q_graph_degree", // pays purchaseGraph (lineitem ⋈ orders)
+      "cold" -> "q_graph_triangles", // pays copurchase adj + mutual-KNN
+      "warm" -> "q_graph_triangles", // the wedge join alone
+      "warm" -> "q_graph_concomp", "warm" -> "q_graph_simnodes"))
     ops.LlmOps.clearIndexCache()
-    time("minhash", Seq("q_llm_minhash", // cold: candidate index
-      "q_llm_minhash_est", "q_llm_ngram_jaccard", "q_llm_dup_clusters"))
+    time("minhash", Seq(
+      "cold" -> "q_llm_minhash", // pays candidateIndexFor
+      "warm" -> "q_llm_minhash_est", "warm" -> "q_llm_ngram_jaccard",
+      "cold" -> "q_llm_dup_clusters", // pays its own cluster-label layer
+      "warm" -> "q_llm_dup_clusters"))
   }
 
   /** Index-build amortization, measured end-to-end: the expensive index

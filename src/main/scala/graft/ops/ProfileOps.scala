@@ -292,6 +292,55 @@ object ProfileOps extends QueryModule {
       ksFromHalves(hist)
     }),
 
+    // Cramér's V categorical-association profile (r14): the
+    // contingency-table effect size a profiler reads next to
+    // q_profile_corr's numeric matrix — which categorical columns
+    // predict each other (V ≈ 0 independent, V ≈ 1 determined). Two
+    // declared pairs: (o_orderstatus × o_orderpriority) and
+    // (c_mktsegment × c_nationkey). χ² = Σ (c·n − rᵃ·cᵇ)²/(n·rᵃ·cᵇ)
+    // over exact BIGINT contingency counts (t = c·n − rᵃ·cᵇ stays
+    // < 2^63 to ~3e9 rows — the collocations bound); the per-cell
+    // DOUBLE terms sum through an ORDERED fold over the (a, b)-sorted
+    // collected cells (the profile_drift rule — cells are
+    // LEVEL-bounded, ≤ r·k per pair, never corpus-scaled). V =
+    // sqrt(χ²/(n·min(r−1, k−1))) is one division + one sqrt. The
+    // corpus collapses in ONE hash agg per pair stack; the level
+    // relations (rows/cols/totals) broadcast explicit (bounded by the
+    // category domains).
+    "q_profile_cramers_v" -> ((s: SparkSession, dir: String) => {
+      val pairsRel = table(s, dir, "orders")
+        .select(lit("status_x_priority").as("pair"),
+          col("o_orderstatus").as("a"), col("o_orderpriority").as("b"))
+        .union(table(s, dir, "customer")
+          .select(lit("segment_x_nation").as("pair"),
+            col("c_mktsegment").as("a"),
+            expr("CAST(c_nationkey AS STRING)").as("b")))
+      val cells = pairsRel.groupBy("pair", "a", "b")
+        .agg(count(lit(1)).as("c"))
+        .localCheckpoint(true) // level-bounded; four consumers below
+      val ra = cells.groupBy("pair", "a").agg(sum("c").as("ra"))
+      val cb = cells.groupBy("pair", "b").agg(sum("c").as("cb"))
+      val tot = cells.groupBy("pair").agg(sum("c").as("n"),
+        countDistinct("a").cast("long").as("r_levels"),
+        countDistinct("b").cast("long").as("c_levels"))
+      cells
+        .join(broadcast(ra), Seq("pair", "a"))
+        .join(broadcast(cb), Seq("pair", "b"))
+        .join(broadcast(tot), "pair")
+        .withColumn("t", expr("c * n - ra * cb"))
+        .withColumn("term", expr(cramersTermExpr))
+        .groupBy("pair")
+        .agg(first("n").as("n"), first("r_levels").as("r_levels"),
+          first("c_levels").as("c_levels"),
+          sort_array(collect_list(struct(col("a"), col("b"), col("term"))))
+            .as("terms"))
+        .selectExpr("pair", "CAST(n AS BIGINT) AS n", "r_levels", "c_levels",
+          "aggregate(terms, CAST(0 AS DOUBLE), (p, x) -> p + x.term) AS chi2")
+        .selectExpr("pair", "n", "r_levels", "c_levels", "chi2",
+          cramersVFormula)
+        .orderBy("pair")
+    }),
+
     "q_profile_drift" -> ((s: SparkSession, dir: String) => {
       val ev = table(s, dir, "events")
         .withColumn("h", expr(s"unix_micros(ts) div $HourUs"))
@@ -471,6 +520,18 @@ object ProfileOps extends QueryModule {
         .orderBy("l_returnflag")
     })
   )
+
+  /** q_profile_cramers_v per-cell χ² term over the named t = c·n − rᵃ·cᵇ
+    * residual: three sequential IEEE divisions in a fixed order, shared
+    * VERBATIM with the DuckDB oracle (the driftTermExpr pattern). */
+  private[ops] val cramersTermExpr =
+    "CAST(t AS DOUBLE) * CAST(t AS DOUBLE) / CAST(n AS DOUBLE)" +
+      " / CAST(ra AS DOUBLE) / CAST(cb AS DOUBLE)"
+
+  /** Cramér's V from a NAMED chi2 column (the abtest staging rule). */
+  private[ops] val cramersVFormula =
+    "sqrt(chi2 / (CAST(n AS DOUBLE) * least(r_levels - 1, c_levels - 1)))" +
+      " AS cramers_v"
 
   /** The KS tail over a two-half cent histogram (event_type, cent, c1,
     * c2) — the q_profile_ks_drift body from the cumulative CDFs onward,
@@ -714,6 +775,51 @@ object ProfileOps extends QueryModule {
          |SELECT event_type, n_first, n_second, d_num, ks_d, crit_05,
          |       ks_d > crit_05 AS drift_rejected
          |FROM sc ORDER BY event_type""".stripMargin,
+
+    // same generated term/V strings as the engine; cells MATERIALIZED
+    // (four consumers); the ordered fold is the profile_drift idiom
+    "q_profile_cramers_v" ->
+      s"""WITH st AS (
+         |  SELECT 'status_x_priority' AS pair, o_orderstatus AS a,
+         |         o_orderpriority AS b
+         |  FROM orders
+         |  UNION ALL
+         |  SELECT 'segment_x_nation', c_mktsegment,
+         |         CAST(c_nationkey AS VARCHAR)
+         |  FROM customer),
+         |cells AS MATERIALIZED (
+         |  SELECT pair, a, b, CAST(count(*) AS BIGINT) AS c
+         |  FROM st GROUP BY pair, a, b),
+         |rr AS (SELECT pair, a, CAST(sum(c) AS BIGINT) AS ra
+         |       FROM cells GROUP BY pair, a),
+         |cc AS (SELECT pair, b, CAST(sum(c) AS BIGINT) AS cb
+         |       FROM cells GROUP BY pair, b),
+         |tot AS (SELECT pair, CAST(sum(c) AS BIGINT) AS n,
+         |               CAST(count(DISTINCT a) AS BIGINT) AS r_levels,
+         |               CAST(count(DISTINCT b) AS BIGINT) AS c_levels
+         |        FROM cells GROUP BY pair),
+         |tcells AS (
+         |  SELECT cells.pair, cells.a, cells.b, tot.n, tot.r_levels,
+         |         tot.c_levels, rr.ra, cc.cb,
+         |         cells.c * tot.n - rr.ra * cc.cb AS t
+         |  FROM cells
+         |  JOIN rr USING (pair, a) JOIN cc USING (pair, b)
+         |  JOIN tot USING (pair)),
+         |tm AS (
+         |  SELECT pair, n, r_levels, c_levels,
+         |         list(struct_pack(a := a, b := b, term := $cramersTermExpr)
+         |              ORDER BY a, b) AS terms
+         |  FROM tcells GROUP BY pair, n, r_levels, c_levels),
+         |ch AS (
+         |  SELECT pair, n, r_levels, c_levels,
+         |         list_reduce(
+         |           list_prepend(CAST(0 AS DOUBLE),
+         |                        list_transform(terms, x -> x.term)),
+         |           (p, q) -> p + q) AS chi2
+         |  FROM tm)
+         |SELECT pair, n, r_levels, c_levels, chi2,
+         |       $cramersVFormula
+         |FROM ch ORDER BY pair""".stripMargin,
 
     "q_profile_drift" ->
       s"""WITH e AS (

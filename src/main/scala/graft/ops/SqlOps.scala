@@ -534,7 +534,31 @@ object SqlOps extends QueryModule {
       |GROUP BY l_linestatus
       |ORDER BY l_linestatus""".stripMargin
 
+  /** TPC-H Q18 analog ("large-volume customer", r14): orders whose
+    * total quantity tops 250 units, with customer identity and order
+    * value — the IN-subquery-with-HAVING shape from SQL text (Spark
+    * plans the IN as a left-semi aggregate join; q_sql_order_priority
+    * covers EXISTS, this covers IN). Quantities sum as exact DECIMAL
+    * through BOTH the HAVING filter and the output; DOUBLE only in the
+    * final projection (§7.4). */
+  private val bigOrdersSql =
+    """SELECT c_name, c_custkey, o_orderkey,
+      |       CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS total_qty,
+      |       CAST(max(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS order_value
+      |FROM customer
+      |JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+      |                     GROUP BY l_orderkey
+      |                     HAVING sum(CAST(l_quantity AS DECIMAL(18,4))) > 250)
+      |GROUP BY c_name, c_custkey, o_orderkey
+      |ORDER BY total_qty DESC, o_orderkey
+      |LIMIT 100""".stripMargin
+
   def queries: Seq[(String, Q)] = Seq(
+    "q_sql_big_orders" -> ((s: SparkSession, dir: String) =>
+      graft.GraftSql.run(s, dir, bigOrdersSql)),
+
     "q_sql_late_lines" -> ((s: SparkSession, dir: String) =>
       graft.GraftSql.run(s, dir, lateLinesSql)),
 
@@ -597,6 +621,7 @@ object SqlOps extends QueryModule {
   )
 
   def oracle: Seq[(String, String)] = Seq(
+    "q_sql_big_orders" -> bigOrdersSql,
     "q_sql_recursive_bfs" -> recursiveBfsSql,
     "q_sql_shipping_priority" -> shippingPrioritySql,
     "q_sql_revenue_by_nation" -> revenueByNationSql,

@@ -45,6 +45,82 @@ object TsOps extends QueryModule {
   private val adfStage4: Seq[String] = Seq(
     "(rho - CAST(1 AS DOUBLE)) / sqrt(sse / (m - 2) * m / den) AS adf_t")
 
+  /** q_ts_granger stage formulas: centered second moments, the 2×2
+    * normal-equation solve of the unrestricted y ~ (1, y_lag, x_lag)
+    * fit, restricted/unrestricted SSEs, and the F statistic — each a
+    * NAMED column (the abtest staging rule: no subexpression is
+    * re-derived), every op an IEEE +,−,×,/ in fixed order over
+    * exact-integer-derived doubles, shared VERBATIM with the DuckDB
+    * oracle (the adfStage pattern). 3.84 is the F(1, ∞) 5% critical
+    * value (CAST per the bm25 literal rule). */
+  private val grStage1: Seq[String] = Seq(
+    "sx1x1d - sx1d * sx1d / m AS s11",
+    "sx2x2d - sx2d * sx2d / m AS s22",
+    "sx1x2d - sx1d * sx2d / m AS s12",
+    "sx1yd - sx1d * syd / m AS s1y",
+    "sx2yd - sx2d * syd / m AS s2y",
+    "syyd - syd * syd / m AS syy")
+  private val grStage2: Seq[String] = Seq(
+    "s11 * s22 - s12 * s12 AS det")
+  // degenerate fits drop BEFORE any division (a constant or collinear
+  // pair has no defined F; the same predicate runs in both engines)
+  private val grGuardDet = "det > CAST(0 AS DOUBLE) AND s11 > CAST(0 AS DOUBLE)"
+  private val grStage3: Seq[String] = Seq(
+    "(s1y * s22 - s2y * s12) / det AS b1",
+    "(s2y * s11 - s1y * s12) / det AS b2")
+  private val grStage4: Seq[String] = Seq(
+    "syy - b1 * s1y - b2 * s2y AS sse_u",
+    "syy - s1y * s1y / s11 AS sse_r")
+  private val grGuardSse = "sse_u > CAST(0 AS DOUBLE)"
+  private val grStage5: Seq[String] = Seq(
+    "(sse_r - sse_u) * (m - 3) / sse_u AS f_stat")
+
+  /** The q_ts_granger body over ANY `(event_type, h, k)` grid —
+    * factored like [[adfOf]] so a state-induced grid replays it. */
+  private[graft] def grangerOf(g: DataFrame): DataFrame = {
+    val w = Window.partitionBy("event_type").orderBy("h")
+    // the adf nonnegativity guard: signed-product div/% splits diverge
+    // between Spark (truncate) and DuckDB (floor)
+    val gg = g.where(coalesce(assert_true(col("k") >= 0,
+      lit("granger guard: negative grid cents — the signed cross-product " +
+        "div/% split diverges between Spark and DuckDB")), lit(true)))
+    val lagged = gg.withColumn("xk", lag("k", 1).over(w))
+      .where(col("xk").isNotNull)
+    val ys = lagged.select(col("event_type").as("dst_type"), col("h"),
+      col("k").as("y"), col("xk").as("x1"))
+    val xs = lagged.select(col("event_type").as("src_type"), col("h"),
+      col("xk").as("x2"))
+    def split2(e: String, n: String) = Seq(
+      sum(expr(s"($e) div $MomentSplit")).as(s"${n}hi"),
+      sum(expr(s"($e) % $MomentSplit")).as(s"${n}lo"))
+    def recomb(n: String) =
+      s"CAST(${n}hi AS DOUBLE) * $MomentSplit.0 + CAST(${n}lo AS DOUBLE) AS ${n}d"
+    val base = Seq("dst_type", "src_type", "n_pairs", "m")
+    ys.join(xs, "h").where(col("src_type") =!= col("dst_type"))
+      .groupBy("dst_type", "src_type")
+      .agg(count(lit(1)).as("m"),
+        (Seq(sum("x1").as("sx1"), sum("x2").as("sx2"), sum("y").as("sy")) ++
+          split2("x1 * x1", "sx1x1") ++ split2("x2 * x2", "sx2x2") ++
+          split2("x1 * x2", "sx1x2") ++ split2("x1 * y", "sx1y") ++
+          split2("x2 * y", "sx2y") ++ split2("y * y", "syy")): _*)
+      .selectExpr(Seq("dst_type", "src_type", "CAST(m AS BIGINT) AS n_pairs",
+        "m", "CAST(sx1 AS DOUBLE) AS sx1d", "CAST(sx2 AS DOUBLE) AS sx2d",
+        "CAST(sy AS DOUBLE) AS syd") ++
+        Seq("sx1x1", "sx2x2", "sx1x2", "sx1y", "sx2y", "syy").map(recomb): _*)
+      .selectExpr(base ++ Seq("sx1d", "sx2d", "syd", "sx1x1d", "sx2x2d",
+        "sx1x2d", "sx1yd", "sx2yd", "syyd") ++ grStage1: _*)
+      .selectExpr(base ++ Seq("s11", "s22", "s12", "s1y", "s2y", "syy")
+        ++ grStage2: _*)
+      .where(expr(grGuardDet))
+      .selectExpr(base ++ Seq("s11", "s1y", "s2y", "syy") ++ grStage3: _*)
+      .selectExpr(base ++ Seq("s11", "s1y", "s2y", "syy", "b2") ++ grStage4: _*)
+      .where(expr(grGuardSse))
+      .selectExpr(base ++ Seq("b2", "sse_u", "sse_r") ++ grStage5: _*)
+      .selectExpr("dst_type", "src_type", "n_pairs", "b2 AS cross_coef",
+        "f_stat", "f_stat > CAST(3.84 AS DOUBLE) AS granger_rejected_05")
+      .orderBy("dst_type", "src_type")
+  }
+
   /** q_ts_hurst: rescaled-range window widths (hours). Two widths make
     * the profile a PROFILE (R/S growth across scales is the Hurst
     * signal); the log-log exponent fit is deliberately NOT computed —
@@ -169,6 +245,21 @@ object TsOps extends QueryModule {
     // against the −2.86 constant-case 5% critical value.
     "q_ts_adf" -> ((s: SparkSession, dir: String) =>
       adfOf(hourlyCentGrid(s, dir))),
+
+    // Pairwise Granger-causality screen (r14) over the zero-filled
+    // hourly cent grid: for each ordered type pair (src → dst), does
+    // src's lag improve the AR(1) fit of dst? F = ((SSE_r − SSE_u)/1) /
+    // (SSE_u/(m−3)) from exact hi/lo-split BIGINT moments (the adf
+    // discipline; one lag keeps the normal equations a 2×2 closed form
+    // — no iterative solver, no libm). The type-pair fan is a
+    // SPAN-bounded self-join on the hour key (types² × hours rows — the
+    // mann_kendall exemption class, identical at every corpus size);
+    // degenerate fits (constant or collinear series) drop via shared
+    // predicates BEFORE any division. The screen a mix designer reads
+    // next to q_ts_crosscorr: crosscorr says "correlated", Granger says
+    // "src's past adds information about dst's future".
+    "q_ts_granger" -> ((s: SparkSession, dir: String) =>
+      grangerOf(hourlyCentGrid(s, dir))),
 
     // Time-series gap-fill: dense per-(event_type, hour) activity over the
     // corpus' full hour range — absent buckets surface as explicit zero
@@ -1052,6 +1143,62 @@ object TsOps extends QueryModule {
          |SELECT event_type, n_pairs, rho, adf_t,
          |       adf_t < CAST(-2.86 AS DOUBLE) AS unit_root_rejected_05
          |FROM s4 ORDER BY event_type""".stripMargin,
+
+    // Granger replay: same grid, same lag relation (MATERIALIZED — the
+    // pair fan reads it twice), same hi/lo split recombination, and the
+    // IDENTICAL staged formula strings + guard predicates.
+    "q_ts_granger" -> {
+      def split2(e: String, n: String) =
+        s"""CAST(sum(($e) // $MomentSplit) AS BIGINT) AS ${n}hi,
+           |         CAST(sum(($e) % $MomentSplit) AS BIGINT) AS ${n}lo""".stripMargin
+      def recomb(n: String) =
+        s"CAST(${n}hi AS DOUBLE) * $MomentSplit.0 + CAST(${n}lo AS DOUBLE) AS ${n}d"
+      s"""WITH $centGridCte,
+         |lagd AS MATERIALIZED (
+         |  SELECT event_type, h, k,
+         |         lag(k) OVER (PARTITION BY event_type ORDER BY h) AS xk
+         |  FROM g),
+         |p AS (
+         |  SELECT y.event_type AS dst_type, x.event_type AS src_type,
+         |         y.k AS y, y.xk AS x1, x.xk AS x2
+         |  FROM lagd y JOIN lagd x USING (h)
+         |  WHERE y.xk IS NOT NULL AND x.xk IS NOT NULL
+         |    AND y.event_type <> x.event_type),
+         |ag AS (
+         |  SELECT dst_type, src_type, CAST(count(*) AS BIGINT) AS m,
+         |         CAST(sum(x1) AS BIGINT) AS sx1,
+         |         CAST(sum(x2) AS BIGINT) AS sx2,
+         |         CAST(sum(y) AS BIGINT) AS sy,
+         |         ${split2("x1 * x1", "sx1x1")},
+         |         ${split2("x2 * x2", "sx2x2")},
+         |         ${split2("x1 * x2", "sx1x2")},
+         |         ${split2("x1 * y", "sx1y")},
+         |         ${split2("x2 * y", "sx2y")},
+         |         ${split2("y * y", "syy")}
+         |  FROM p GROUP BY dst_type, src_type),
+         |d AS (
+         |  SELECT dst_type, src_type, CAST(m AS BIGINT) AS n_pairs, m,
+         |         CAST(sx1 AS DOUBLE) AS sx1d, CAST(sx2 AS DOUBLE) AS sx2d,
+         |         CAST(sy AS DOUBLE) AS syd,
+         |         ${Seq("sx1x1", "sx2x2", "sx1x2", "sx1y", "sx2y", "syy")
+                      .map(recomb).mkString(",\n         ")}
+         |  FROM ag),
+         |s1 AS (SELECT dst_type, src_type, n_pairs, m,
+         |       ${grStage1.mkString(",\n       ")} FROM d),
+         |s2 AS (SELECT dst_type, src_type, n_pairs, m, s11, s22, s12, s1y, s2y, syy,
+         |       ${grStage2.mkString(",\n       ")} FROM s1),
+         |s2f AS (SELECT * FROM s2 WHERE $grGuardDet),
+         |s3 AS (SELECT dst_type, src_type, n_pairs, m, s11, s1y, s2y, syy,
+         |       ${grStage3.mkString(",\n       ")} FROM s2f),
+         |s4 AS (SELECT dst_type, src_type, n_pairs, m, b2,
+         |       ${grStage4.mkString(",\n       ")} FROM s3),
+         |s4f AS (SELECT * FROM s4 WHERE $grGuardSse),
+         |s5 AS (SELECT dst_type, src_type, n_pairs, b2, sse_u, sse_r,
+         |       ${grStage5.mkString(",\n       ")} FROM s4f)
+         |SELECT dst_type, src_type, n_pairs, b2 AS cross_coef, f_stat,
+         |       f_stat > CAST(3.84 AS DOUBLE) AS granger_rejected_05
+         |FROM s5 ORDER BY dst_type, src_type""".stripMargin
+    },
 
     "q_ts_gapfill" ->
       s"""WITH e AS (

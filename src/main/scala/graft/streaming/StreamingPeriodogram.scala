@@ -97,4 +97,10 @@ object StreamingPeriodogram {
     * bit-equality argument. */
   def hurstReport(emitted: DataFrame): DataFrame =
     graft.ops.TsOps.hurstOf(stateGrid(emitted))
+
+  /** Pairwise Granger screen read off the CURRENT state — the batch
+    * q_ts_granger body ([[graft.ops.TsOps.grangerOf]], r14), same
+    * bit-equality argument. */
+  def grangerReport(emitted: DataFrame): DataFrame =
+    graft.ops.TsOps.grangerOf(stateGrid(emitted))
 }

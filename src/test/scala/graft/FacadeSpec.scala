@@ -112,6 +112,38 @@ class FacadeSpec extends SparkTestBase {
     assert(sql == dsl, "SQL EXISTS and DSL semi join disagree")
   }
 
+  test("SQL entry point: Q18-analog big orders equals a DSL replay; IN plans as semi join (r14)") {
+    import org.apache.spark.sql.functions.{col, count, lit, max, sum}
+    val df = SparkEntry.queries("q_sql_big_orders")(spark, sfDir)
+    val plan = df.queryExecution.optimizedPlan.toString
+    assert(plan.contains("LeftSemi"), s"IN must plan as a semi join:\n$plan")
+    val sql = df.collect()
+      .map(r => (r.getLong(2), (r.getString(0), r.getLong(1),
+        r.getDouble(3), r.getDouble(4)))).toSeq
+    assert(sql.nonEmpty, "threshold must keep some orders on the fixture")
+    val li = ops.table(spark, sfDir, "lineitem")
+    val big = li.groupBy("l_orderkey")
+      .agg(sum(col("l_quantity").cast("decimal(18,4)")).as("tq"))
+      .where(col("tq") > 250)
+    val dsl = ops.table(spark, sfDir, "customer")
+      .join(ops.table(spark, sfDir, "orders"),
+        col("c_custkey") === col("o_custkey"))
+      .join(li, col("l_orderkey") === col("o_orderkey"))
+      .join(big.select(col("l_orderkey").as("bok")),
+        col("o_orderkey") === col("bok"), "left_semi")
+      .groupBy("c_name", "c_custkey", "o_orderkey")
+      .agg(sum(col("l_quantity").cast("decimal(18,4)")).cast("double")
+          .as("total_qty"),
+        max(col("o_totalprice").cast("decimal(18,4)")).cast("double")
+          .as("order_value"))
+      .orderBy(col("total_qty").desc, col("o_orderkey"))
+      .limit(100)
+      .collect()
+      .map(r => (r.getLong(2), (r.getString(0), r.getLong(1),
+        r.getDouble(3), r.getDouble(4)))).toSeq
+    assert(sql == dsl, "SQL IN-subquery and DSL semi join disagree")
+  }
+
   test("SQL entry point: Q12-analog late-line priority split equals a DSL replay (r12c3)") {
     import org.apache.spark.sql.functions.{count, lit, sum, when, expr}
     val sql = SparkEntry.queries("q_sql_late_lines")(spark, sfDir)

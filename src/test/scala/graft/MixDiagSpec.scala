@@ -453,6 +453,111 @@ class MixDiagSpec extends SparkTestBase {
     }
   }
 
+  test("Granger F equals a driver-side staged replay, same FP order (r14)") {
+    val split = 1073741824L
+    val rows = q("q_ts_granger").collect()
+      .map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getDouble(3), r.getDouble(4), r.getBoolean(5))))
+      .toMap
+    assert(rows.nonEmpty)
+    val ev = graft.ops.table(spark, sfDir, "events")
+      .select(expr("unix_micros(ts) div 3600000000").as("h"),
+        col("event_type"), col("value")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    val (h0, h1) = (ev.map(_._1).min, ev.map(_._1).max)
+    val types = ev.map(_._2).distinct.sorted
+    def grid(t: String): IndexedSeq[Long] = {
+      val sums = ev.filter(_._2 == t).groupBy(_._1).view.mapValues(
+        _.map(e => BigDecimal(e._3).setScale(4, BigDecimal.RoundingMode.HALF_UP))
+          .sum).toMap
+      (h0 to h1).map(h => (sums.getOrElse(h, BigDecimal(0)) * 100).toLong)
+    }
+    val grids = types.map(t => t -> grid(t)).toMap
+    var checked = 0
+    for (dst <- types; src <- types if src != dst) {
+      val kd = grids(dst); val ks = grids(src)
+      // triples (y_t, y_{t-1}, x_{t-1}) over the shared hour axis
+      val tri = (1 until kd.length).map(i => (kd(i), kd(i - 1), ks(i - 1)))
+      val m = tri.length.toLong
+      def hiLo(f: ((Long, Long, Long)) => Long): Double = {
+        val hi = tri.map(p => f(p) / split).sum
+        val lo = tri.map(p => f(p) % split).sum
+        hi.toDouble * split.toDouble + lo.toDouble
+      }
+      val sx1d = tri.map(_._2).sum.toDouble
+      val sx2d = tri.map(_._3).sum.toDouble
+      val syd = tri.map(_._1).sum.toDouble
+      val sx1x1d = hiLo(p => p._2 * p._2)
+      val sx2x2d = hiLo(p => p._3 * p._3)
+      val sx1x2d = hiLo(p => p._2 * p._3)
+      val sx1yd = hiLo(p => p._2 * p._1)
+      val sx2yd = hiLo(p => p._3 * p._1)
+      val syyd = hiLo(p => p._1 * p._1)
+      // the staged chain, op for op
+      val s11 = sx1x1d - sx1d * sx1d / m
+      val s22 = sx2x2d - sx2d * sx2d / m
+      val s12 = sx1x2d - sx1d * sx2d / m
+      val s1y = sx1yd - sx1d * syd / m
+      val s2y = sx2yd - sx2d * syd / m
+      val syy = syyd - syd * syd / m
+      val det = s11 * s22 - s12 * s12
+      if (det > 0 && s11 > 0) {
+        val b1 = (s1y * s22 - s2y * s12) / det
+        val b2 = (s2y * s11 - s1y * s12) / det
+        val sseU = syy - b1 * s1y - b2 * s2y
+        val sseR = syy - s1y * s1y / s11
+        if (sseU > 0) {
+          val f = (sseR - sseU) * (m - 3) / sseU
+          val (n, coef, fGot, rej) = rows((dst, src))
+          assert(n == m, s"$dst<-$src: n_pairs")
+          assert(coef == b2, s"$dst<-$src: cross_coef $coef vs replay $b2")
+          assert(fGot == f, s"$dst<-$src: f_stat $fGot vs replay $f")
+          assert(rej == (f > 3.84))
+          checked += 1
+        }
+      }
+    }
+    assert(checked == rows.size, "replay covered every emitted pair")
+    assert(checked >= types.size, "most pairs should survive the guards")
+    // sanity: restricted SSE can never beat unrestricted → F ≥ 0
+    rows.values.foreach { case (_, _, f, _) => assert(f >= 0.0) }
+  }
+
+  test("Cramér's V equals a driver-side ordered-fold replay (r14)") {
+    val rows = q("q_profile_cramers_v").collect()
+      .map(r => (r.getString(0),
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4),
+          r.getDouble(5)))).toMap
+    assert(rows.keySet == Set("status_x_priority", "segment_x_nation"))
+    def replay(pairs: Seq[(String, String)]): (Long, Long, Long, Double, Double) = {
+      val cells = pairs.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val ra = pairs.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+      val cb = pairs.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+      val n = pairs.size.toLong
+      val chi2 = cells.toSeq.sortBy(_._1).foldLeft(0.0) {
+        case (acc, ((a, b), c)) =>
+          val t = c * n - ra(a) * cb(b)
+          acc + t.toDouble * t.toDouble / n.toDouble /
+            ra(a).toDouble / cb(b).toDouble
+      }
+      val v = math.sqrt(
+        chi2 / (n.toDouble * math.min(ra.size - 1, cb.size - 1)))
+      (n, ra.size.toLong, cb.size.toLong, chi2, v)
+    }
+    val ord = graft.ops.table(spark, sfDir, "orders")
+      .select("o_orderstatus", "o_orderpriority").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+    val cust = graft.ops.table(spark, sfDir, "customer")
+      .selectExpr("c_mktsegment", "CAST(c_nationkey AS STRING)").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(rows("status_x_priority") == replay(ord))
+    assert(rows("segment_x_nation") == replay(cust))
+    // independence fixture: both Vs live in [0, 1]
+    rows.values.foreach { case (_, _, _, chi2, v) =>
+      assert(chi2 >= 0.0 && v >= 0.0 && v <= 1.0)
+    }
+  }
+
   test("Hurst R/S profile equals a driver-side exact replay (r13)") {
     val split = 1073741824L
     val rows = q("q_ts_hurst").collect()

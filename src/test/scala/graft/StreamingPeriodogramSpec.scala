@@ -90,6 +90,14 @@ class StreamingPeriodogramSpec extends SparkTestBase {
         .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
           r.getDouble(3))).toSeq
       assert(gotHurst == batchHurst, "streaming Hurst read drifted from batch")
+      // r14: the Granger screen joins the same family
+      val gotGr = StreamingPeriodogram.grangerReport(emitted).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+          r.getDouble(3), r.getDouble(4), r.getBoolean(5))).toSeq
+      val batchGr = SparkEntry.queries("q_ts_granger")(spark, sfDir).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+          r.getDouble(3), r.getDouble(4), r.getBoolean(5))).toSeq
+      assert(gotGr == batchGr, "streaming Granger read drifted from batch")
     } finally query.stop()
   }
 }
