@@ -240,6 +240,27 @@ object MultimodalOps extends QueryModule {
         .orderBy("asset_id")
     }),
 
+    // Frame-to-frame motion energy (r14) — the scene-dynamics read a
+    // video curation pipeline runs before frame sampling: per adjacent
+    // frame pair, the sum of absolute byte differences (SAD) over the
+    // REAL decoded AVI payload (AviLite.parse + moviPayload — the r12
+    // container-decode split: engine does the byte-level roundtrip,
+    // oracle replays the known text-slice ground truth via per-char
+    // ord() folds, the parser+kernel are spec-attacked). Bytes compare
+    // UNSIGNED ((b & 0xFF) — fixture ASCII never sets the high bit; the
+    // spec covers ≥ 0x80 payloads the oracle never sees, the audio
+    // signed-decode precedent). Single-frame assets have no pairs and
+    // drop (f ≥ 2, declared). All per-asset work is scan-side in one
+    // mapPartitions; only the one-row-per-asset report shuffles.
+    "q_mm_video_motion" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      containerAssets(s, dir).filter(_.kind == "video")
+        .mapPartitions(_.flatMap(a => motionStats(a.asset_id, a.content)))
+        .toDF("asset_id", "n_frames", "frame_size", "total_motion",
+          "max_motion", "peak_pair")
+        .orderBy("asset_id")
+    }),
+
     // Video keyframe / scene-cut scan (r12c3) — the static-frame dedup
     // pass before an encoder sees a video: walk the REAL AVI container
     // (avih for the frame count, the movi 00dc body via
@@ -529,6 +550,40 @@ object MultimodalOps extends QueryModule {
     h
   }
 
+  /** The q_mm_video_motion per-asset kernel, factored for the
+    * adversarial spec: parse the AVI container, slice the movi payload
+    * into equal frames (ragged tail ignored — the keyframes contract),
+    * and fold adjacent-pair SADs over UNSIGNED bytes. Returns None for
+    * single-frame or empty-frame assets (no pairs). peak_pair is the
+    * FIRST 1-based pair index attaining the max (deterministic ties). */
+  private[graft] def motionStats(assetId: Long, bytes: Array[Byte])
+      : Option[(Long, Long, Long, Long, Long, Long)] = {
+    val meta = AviLite.parse(bytes).getOrElse(
+      sys.error(s"unparseable AVI container for asset $assetId"))
+    val pay = AviLite.moviPayload(bytes).getOrElse(
+      sys.error(s"missing movi payload for asset $assetId"))
+    val f = meta.totalFrames.toInt
+    val fs = if (f > 0) pay.length / f else 0
+    if (f < 2 || fs == 0) None
+    else {
+      var total = 0L; var mx = -1L; var peak = 0L
+      var i = 1
+      while (i < f) {
+        var sad = 0L
+        var j = 0
+        while (j < fs) {
+          sad += math.abs((pay(i * fs + j) & 0xFF) -
+            (pay((i - 1) * fs + j) & 0xFF))
+          j += 1
+        }
+        total += sad
+        if (sad > mx) { mx = sad; peak = i.toLong }
+        i += 1
+      }
+      Some((assetId, f.toLong, fs.toLong, total, mx, peak))
+    }
+  }
+
   def oracle: Seq[(String, String)] = Seq(
     // ground truth: samples over the asserted-ASCII payload are
     // ord(c₀) + 256·ord(c₁) — always positive on fixture data, so |peak|
@@ -559,6 +614,48 @@ object MultimodalOps extends QueryModule {
          |       sqrt(CAST(energy AS DOUBLE) / CAST(n_samples AS DOUBLE)) AS rms
          |FROM ag ORDER BY asset_id""".stripMargin
     },
+
+    // ground-truth replay over the text slices the encoder packed
+    // (ASCII ⇒ ord(char) = byte); sads read twice (report + argmax) ⇒
+    // MATERIALIZED
+    "q_mm_video_motion" ->
+      """WITH v AS (
+        |  SELECT doc_id AS asset_id, text, strlen(text) AS n,
+        |         1 + strlen(text) // 100 AS f
+        |  FROM documents WHERE doc_id % 3 = 2 AND strlen(text) > 0),
+        |fr AS (
+        |  SELECT asset_id, f, n // f AS fs, i,
+        |         substring(text, CAST(i * (n // f) + 1 AS INT),
+        |                   CAST(n // f AS INT)) AS seg
+        |  FROM (SELECT asset_id, text, n, f,
+        |               unnest(generate_series(0, f - 1)) AS i
+        |        FROM v)
+        |  WHERE f >= 2 AND n // f > 0),
+        |lg AS (
+        |  SELECT asset_id, f, fs, i, seg,
+        |         lag(seg) OVER (PARTITION BY asset_id ORDER BY i) AS pseg
+        |  FROM fr),
+        |sads AS MATERIALIZED (
+        |  SELECT asset_id, f, fs, i,
+        |         CAST(list_sum(list_transform(range(1, CAST(fs AS INT) + 1),
+        |           j -> abs(ord(substring(seg, j, 1))
+        |                    - ord(substring(pseg, j, 1))))) AS BIGINT) AS sad
+        |  FROM lg WHERE pseg IS NOT NULL),
+        |rep AS (
+        |  SELECT asset_id, CAST(max(f) AS BIGINT) AS n_frames,
+        |         CAST(max(fs) AS BIGINT) AS frame_size,
+        |         CAST(sum(sad) AS BIGINT) AS total_motion,
+        |         CAST(max(sad) AS BIGINT) AS max_motion
+        |  FROM sads GROUP BY asset_id),
+        |pk AS (
+        |  SELECT s.asset_id, CAST(min(s.i) AS BIGINT) AS peak_pair
+        |  FROM sads s JOIN rep ON s.asset_id = rep.asset_id
+        |   AND s.sad = rep.max_motion
+        |  GROUP BY s.asset_id)
+        |SELECT rep.asset_id, n_frames, frame_size, total_motion,
+        |       max_motion, peak_pair
+        |FROM rep JOIN pk ON rep.asset_id = pk.asset_id
+        |ORDER BY rep.asset_id""".stripMargin,
 
     "q_mm_video_keyframes" ->
       s"""WITH v AS (

@@ -307,39 +307,22 @@ object ProfileOps extends QueryModule {
     // corpus collapses in ONE hash agg per pair stack; the level
     // relations (rows/cols/totals) broadcast explicit (bounded by the
     // category domains).
-    "q_profile_cramers_v" -> ((s: SparkSession, dir: String) => {
-      val pairsRel = table(s, dir, "orders")
-        .select(lit("status_x_priority").as("pair"),
-          col("o_orderstatus").as("a"), col("o_orderpriority").as("b"))
-        .union(table(s, dir, "customer")
-          .select(lit("segment_x_nation").as("pair"),
-            col("c_mktsegment").as("a"),
-            expr("CAST(c_nationkey AS STRING)").as("b")))
-      val cells = pairsRel.groupBy("pair", "a", "b")
-        .agg(count(lit(1)).as("c"))
-        .localCheckpoint(true) // level-bounded; four consumers below
-      val ra = cells.groupBy("pair", "a").agg(sum("c").as("ra"))
-      val cb = cells.groupBy("pair", "b").agg(sum("c").as("cb"))
-      val tot = cells.groupBy("pair").agg(sum("c").as("n"),
-        countDistinct("a").cast("long").as("r_levels"),
-        countDistinct("b").cast("long").as("c_levels"))
-      cells
-        .join(broadcast(ra), Seq("pair", "a"))
-        .join(broadcast(cb), Seq("pair", "b"))
-        .join(broadcast(tot), "pair")
-        .withColumn("t", expr("c * n - ra * cb"))
-        .withColumn("term", expr(cramersTermExpr))
-        .groupBy("pair")
-        .agg(first("n").as("n"), first("r_levels").as("r_levels"),
-          first("c_levels").as("c_levels"),
-          sort_array(collect_list(struct(col("a"), col("b"), col("term"))))
-            .as("terms"))
-        .selectExpr("pair", "CAST(n AS BIGINT) AS n", "r_levels", "c_levels",
-          "aggregate(terms, CAST(0 AS DOUBLE), (p, x) -> p + x.term) AS chi2")
-        .selectExpr("pair", "n", "r_levels", "c_levels", "chi2",
-          cramersVFormula)
-        .orderBy("pair")
-    }),
+    "q_profile_cramers_v" -> ((s: SparkSession, dir: String) =>
+      cramersFromCells(catCells(s, dir))),
+
+    // Categorical mutual information (r14) over the SAME declared pairs
+    // as q_profile_cramers_v, in the round-9 INTEGER-log2 quanta (the
+    // q_text_source_mi discipline applied to column pairs): MI_q =
+    // H_q(A) + H_q(B) − H_q(A,B) with n·H_q = n·ilog2(n) − Σ c·ilog2(c)
+    // — exact BIGINT in both engines (c·ilog2(c) < 2^63 to ~1.4e17
+    // rows). The two reads answer different questions: V is effect
+    // SIZE, MI is information; together they are the categorical
+    // dependency panel. Same one-agg-per-pair-stack shape; the only
+    // safe order relation for quanta entropies is joint ≥ max marginal
+    // (the r10 bound — pooling bounds are FALSE under floor-log2), and
+    // MixDiagSpec pins it with no slack.
+    "q_profile_cat_mi" -> ((s: SparkSession, dir: String) =>
+      catMiFromCells(catCells(s, dir))),
 
     "q_profile_drift" -> ((s: SparkSession, dir: String) => {
       val ev = table(s, dir, "events")
@@ -532,6 +515,77 @@ object ProfileOps extends QueryModule {
   private[ops] val cramersVFormula =
     "sqrt(chi2 / (CAST(n AS DOUBLE) * least(r_levels - 1, c_levels - 1)))" +
       " AS cramers_v"
+
+  /** The declared categorical pair stack `(pair, a, b)` → contingency
+    * cells `(pair, a, b, c)` — shared by q_profile_cramers_v,
+    * q_profile_cat_mi and the streaming contingency twin. Cells are
+    * LEVEL-bounded (≤ r·k per pair) and localCheckpointed for their
+    * multiple bounded consumers. */
+  private[graft] def catCells(s: SparkSession, dir: String): DataFrame = {
+    val pairsRel = table(s, dir, "orders")
+      .select(lit("status_x_priority").as("pair"),
+        col("o_orderstatus").as("a"), col("o_orderpriority").as("b"))
+      .union(table(s, dir, "customer")
+        .select(lit("segment_x_nation").as("pair"),
+          col("c_mktsegment").as("a"),
+          expr("CAST(c_nationkey AS STRING)").as("b")))
+    pairsRel.groupBy("pair", "a", "b")
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint(true)
+  }
+
+  /** Cramér's V report over a contingency cell relation `(pair, a, b,
+    * c)` — the q_profile_cramers_v tail, factored (the ksFromHalves
+    * twin-body rule) so the streaming contingency twin runs the
+    * IDENTICAL computation over its state-induced cells. */
+  private[graft] def cramersFromCells(cells: DataFrame): DataFrame = {
+    val ra = cells.groupBy("pair", "a").agg(sum("c").as("ra"))
+    val cb = cells.groupBy("pair", "b").agg(sum("c").as("cb"))
+    val tot = cells.groupBy("pair").agg(sum("c").as("n"),
+      countDistinct("a").cast("long").as("r_levels"),
+      countDistinct("b").cast("long").as("c_levels"))
+    cells
+      .join(broadcast(ra), Seq("pair", "a"))
+      .join(broadcast(cb), Seq("pair", "b"))
+      .join(broadcast(tot), "pair")
+      .withColumn("t", expr("c * n - ra * cb"))
+      .withColumn("term", expr(cramersTermExpr))
+      .groupBy("pair")
+      .agg(first("n").as("n"), first("r_levels").as("r_levels"),
+        first("c_levels").as("c_levels"),
+        sort_array(collect_list(struct(col("a"), col("b"), col("term"))))
+          .as("terms"))
+      .selectExpr("pair", "CAST(n AS BIGINT) AS n", "r_levels", "c_levels",
+        "aggregate(terms, CAST(0 AS DOUBLE), (p, x) -> p + x.term) AS chi2")
+      .selectExpr("pair", "n", "r_levels", "c_levels", "chi2",
+        cramersVFormula)
+      .orderBy("pair")
+  }
+
+  /** Quanta-MI report over the same cell relation — the
+    * q_profile_cat_mi tail, factored like [[cramersFromCells]]. All
+    * sums exact BIGINT; mi_rate is the one IEEE division. */
+  private[graft] def catMiFromCells(cells: DataFrame): DataFrame = {
+    def ilog2(c: org.apache.spark.sql.Column) = length(bin(c)) - 1
+    val j = cells.groupBy("pair").agg(
+      asLong(sum("c")).as("n"),
+      asLong(sum(col("c") * ilog2(col("c")))).as("sj"))
+    val sa = cells.groupBy("pair", "a").agg(sum("c").as("ra"))
+      .groupBy("pair").agg(
+        asLong(sum(col("ra") * ilog2(col("ra")))).as("sa"))
+    val sb = cells.groupBy("pair", "b").agg(sum("c").as("cb"))
+      .groupBy("pair").agg(
+        asLong(sum(col("cb") * ilog2(col("cb")))).as("sb"))
+    j.join(broadcast(sa), "pair").join(broadcast(sb), "pair")
+      .withColumn("nl", col("n") * ilog2(col("n")))
+      .select(col("pair"), col("n"),
+        (col("nl") - col("sa")).as("h_a_q"),
+        (col("nl") - col("sb")).as("h_b_q"),
+        (col("nl") - col("sj")).as("h_ab_q"))
+      .withColumn("mi_q", col("h_a_q") + col("h_b_q") - col("h_ab_q"))
+      .withColumn("mi_rate", col("mi_q").cast("double") / col("n"))
+      .orderBy("pair")
+  }
 
   /** The KS tail over a two-half cent histogram (event_type, cent, c1,
     * c2) — the q_profile_ks_drift body from the cumulative CDFs onward,
@@ -820,6 +874,42 @@ object ProfileOps extends QueryModule {
          |SELECT pair, n, r_levels, c_levels, chi2,
          |       $cramersVFormula
          |FROM ch ORDER BY pair""".stripMargin,
+
+    // same ilog2 quanta idiom as the q_text_source_mi oracle, over the
+    // shared categorical pair stack; cells MATERIALIZED (three readers)
+    "q_profile_cat_mi" ->
+      s"""WITH st AS (
+         |  SELECT 'status_x_priority' AS pair, o_orderstatus AS a,
+         |         o_orderpriority AS b
+         |  FROM orders
+         |  UNION ALL
+         |  SELECT 'segment_x_nation', c_mktsegment,
+         |         CAST(c_nationkey AS VARCHAR)
+         |  FROM customer),
+         |cells AS MATERIALIZED (
+         |  SELECT pair, a, b, CAST(count(*) AS BIGINT) AS c
+         |  FROM st GROUP BY pair, a, b),
+         |j AS (SELECT pair, CAST(sum(c) AS BIGINT) AS n,
+         |             CAST(sum(c * (length(bin(c)) - 1)) AS BIGINT) AS sj
+         |      FROM cells GROUP BY pair),
+         |sa AS (SELECT pair,
+         |              CAST(sum(ra * (length(bin(ra)) - 1)) AS BIGINT) AS sa
+         |       FROM (SELECT pair, a, CAST(sum(c) AS BIGINT) AS ra
+         |             FROM cells GROUP BY pair, a) GROUP BY pair),
+         |sb AS (SELECT pair,
+         |              CAST(sum(cb * (length(bin(cb)) - 1)) AS BIGINT) AS sb
+         |       FROM (SELECT pair, b, CAST(sum(c) AS BIGINT) AS cb
+         |             FROM cells GROUP BY pair, b) GROUP BY pair),
+         |m AS (
+         |  SELECT j.pair, j.n,
+         |         j.n * (length(bin(j.n)) - 1) - sa.sa AS h_a_q,
+         |         j.n * (length(bin(j.n)) - 1) - sb.sb AS h_b_q,
+         |         j.n * (length(bin(j.n)) - 1) - j.sj AS h_ab_q
+         |  FROM j JOIN sa USING (pair) JOIN sb USING (pair))
+         |SELECT pair, n, h_a_q, h_b_q, h_ab_q,
+         |       h_a_q + h_b_q - h_ab_q AS mi_q,
+         |       CAST(h_a_q + h_b_q - h_ab_q AS DOUBLE) / n AS mi_rate
+         |FROM m ORDER BY pair""".stripMargin,
 
     "q_profile_drift" ->
       s"""WITH e AS (

@@ -204,4 +204,52 @@ class ContainersSpec extends SparkTestBase {
       assert(n >= 0)
     }
   }
+
+  test("video motion: hand-computed SADs, unsigned high bytes, tie + drop rules (r14)") {
+    // 3 frames of 2 bytes: pairs (1,2)->(3,4) SAD 4, (3,4)->(3,4) SAD 0
+    val pay = Array[Byte](1, 2, 3, 4, 3, 4)
+    val ok = AviLite.encode(1000L, 3L, 16, 9, pay)
+    assert(MultimodalOps.motionStats(7L, ok).get ==
+      ((7L, 3L, 2L, 4L, 4L, 1L)))
+    // UNSIGNED byte compare: 0x00 -> 0xff is |0 - 255| = 255, not signed 1
+    val hi = Array[Byte](0x00, 0xff.toByte)
+    val okHi = AviLite.encode(1000L, 2L, 16, 9, hi)
+    assert(MultimodalOps.motionStats(1L, okHi).get ==
+      ((1L, 2L, 1L, 255L, 255L, 1L)))
+    // argmax ties go to the FIRST pair; ragged tail bytes are ignored
+    val tie = Array[Byte](0, 9, 0, 9, 77) // fs = 5/3... f=3 -> fs=1
+    val okTie = AviLite.encode(1000L, 3L, 16, 9, tie)
+    // frames: [0], [9], [0] -> SADs 9, 9 -> peak = first pair
+    assert(MultimodalOps.motionStats(2L, okTie).get ==
+      ((2L, 3L, 1L, 18L, 9L, 1L)))
+    // single frame: no pairs, dropped
+    assert(MultimodalOps.motionStats(3L,
+      AviLite.encode(1000L, 1L, 16, 9, Array[Byte](1, 2))).isEmpty)
+    // the query equals a driver-side text-slice replay (ASCII ground truth)
+    val rows = SparkEntry.queries("q_mm_video_motion")(spark, sfDir)
+      .collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))).toMap
+    assert(rows.nonEmpty)
+    val docs = graft.ops.table(spark, sfDir, "documents")
+      .selectExpr("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+      .filter { case (id, t) => id % 3 == 2 && t.nonEmpty }
+    docs.foreach { case (id, t) =>
+      val n = t.length.toLong
+      val f = 1 + n / 100
+      val fs = n / f
+      if (f >= 2 && fs > 0) {
+        val sads = (1L until f).map { i =>
+          (0L until fs).map { j =>
+            math.abs(t.charAt((i * fs + j).toInt).toLong -
+              t.charAt(((i - 1) * fs + j).toInt).toLong)
+          }.sum
+        }
+        val mx = sads.max
+        assert(rows(id) == ((f, fs, sads.sum, mx,
+          sads.indexOf(mx).toLong + 1L)), s"asset $id motion stats")
+      } else assert(!rows.contains(id), s"asset $id should have dropped")
+    }
+  }
 }

@@ -558,6 +558,38 @@ class MixDiagSpec extends SparkTestBase {
     }
   }
 
+  test("categorical quanta-MI: exact replay + the joint >= max-marginal bound (r14)") {
+    def ilog2(n: Long): Long = 63L - java.lang.Long.numberOfLeadingZeros(n)
+    val rows = q("q_profile_cat_mi").collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getDouble(6)))).toMap
+    assert(rows.keySet == Set("status_x_priority", "segment_x_nation"))
+    def replay(pairs: Seq[(String, String)]): (Long, Long, Long, Long, Long, Double) = {
+      val n = pairs.size.toLong
+      def hq(groups: Map[_, Long]): Long =
+        n * ilog2(n) - groups.values.map(c => c * ilog2(c)).sum
+      val hA = hq(pairs.groupBy(_._1).view.mapValues(_.size.toLong).toMap)
+      val hB = hq(pairs.groupBy(_._2).view.mapValues(_.size.toLong).toMap)
+      val hAB = hq(pairs.groupBy(identity).view.mapValues(_.size.toLong).toMap)
+      val mi = hA + hB - hAB
+      (n, hA, hB, hAB, mi, mi.toDouble / n)
+    }
+    val ord = graft.ops.table(spark, sfDir, "orders")
+      .select("o_orderstatus", "o_orderpriority").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+    val cust = graft.ops.table(spark, sfDir, "customer")
+      .selectExpr("c_mktsegment", "CAST(c_nationkey AS STRING)").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(rows("status_x_priority") == replay(ord))
+    assert(rows("segment_x_nation") == replay(cust))
+    // the ONE safe quanta order relation (r10): joint >= each marginal,
+    // so mi_q <= min(h_a_q, h_b_q) with NO slack
+    rows.values.foreach { case (_, hA, hB, hAB, mi, _) =>
+      assert(hAB >= math.max(hA, hB), "joint quanta entropy below a marginal")
+      assert(mi <= math.min(hA, hB))
+    }
+  }
+
   test("Hurst R/S profile equals a driver-side exact replay (r13)") {
     val split = 1073741824L
     val rows = q("q_ts_hurst").collect()
