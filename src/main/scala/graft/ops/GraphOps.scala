@@ -377,17 +377,29 @@ object GraphOps extends QueryModule {
       // o_orderkey is high-cardinality, so the per-order rank window never
       // funnels into few tasks (the low-cardinality window trap does not
       // apply); the cap bounds the quadratic pair fan-out per order.
-      // materialized once: BOTH sides of the pair self-join read it, and
-      // without the checkpoint the distinct+window pipeline runs twice
-      // (the rename on side b defeats exchange reuse)
-      val capped = e0
+      // r14: the pair self-join became basket-collect + HOF combination
+      // fan-out — the window already hash-partitions by o, so the
+      // collect_list groupBy adds NO exchange (baskets are window-capped
+      // at MaxBasket BEFORE collecting — the capBuckets rule), the pair
+      // stream is generated MAP-SIDE into the (p1, p2) partial agg, and
+      // the ~C(basket,2)·#orders intermediate rows never cross the join
+      // machinery. Measured cold (copurchase + mutual-KNN via
+      // q_graph_triangles): ×30 a wash (17.0 vs 13.6 s, the box band);
+      // ×100 the self-join OOMed the default 8g heap and took 233.9 s at
+      // 64g — the basket shape runs 38 s at 8g (113.5 s cold-cache at
+      // 64g). The r5 "self-join wins for many-small buckets" reading
+      // inverts once the materialized pair stream dominates memory at
+      // scale; also drops the capped localCheckpoint (one consumer now).
+      val pairs = e0
         .withColumn("rk",
           row_number().over(Window.partitionBy("o").orderBy("p")))
         .where(col("rk") <= MaxBasket).drop("rk")
-        .localCheckpoint(true)
-      val b = capped.select(col("o").as("o2"), col("p").as("p2"))
-      val pairs = capped.join(b, col("o") === col("o2") && col("p") < col("p2"))
-        .groupBy(col("p").as("p1"), col("p2"))
+        .groupBy("o").agg(sort_array(collect_list(col("p"))).as("ps"))
+        .select(explode(expr(
+          "flatten(transform(ps, (x, i) -> " +
+            "transform(slice(ps, i + 2, size(ps)), y -> " +
+            "struct(x AS p1, y AS p2))))")).as("pr"))
+        .groupBy(col("pr.p1").as("p1"), col("pr.p2").as("p2"))
         .agg(asLong(count(lit(1))).as("n"))
       pairs.select(col("p1").as("src"), col("p2").as("dst"), col("n"))
         .union(pairs.select(col("p2").as("src"), col("p1").as("dst"), col("n")))
