@@ -273,7 +273,15 @@ object ScaleProbe {
       "q_join_bloom_prefilter", "q_llm_dedup_agreement",
       "q_sql_disjunctive_revenue", "q_sql_top_supplier",
       "q_set_intersect_all", "q_set_except_all",
-      "q_llm_span_dedup_by_source", "q_profile_benford")
+      "q_llm_span_dedup_by_source", "q_profile_benford",
+      // r14: the deterministic sample percentile (bounded bottom-k
+      // aggregator), the Granger screen (span-bounded pair fan over the
+      // grid), the categorical dependency panel (one agg per pair
+      // stack), the Q18 analog (semi join + two-level agg), and the AVI
+      // motion scan (scan-side SAD kernel)
+      "q_agg_approx_percentile", "q_ts_granger", "q_profile_cramers_v",
+      "q_profile_cat_mi", "q_sql_big_orders", "q_mm_video_motion",
+      "q_ts_coint")
     // warmup
     SparkEntry.queries("q_agg_basic")(spark, outDir).count()
     val results = probes.map { name =>

@@ -173,6 +173,93 @@ object TsOps extends QueryModule {
       .orderBy("event_type")
   }
 
+  /** q_ts_coint OLS stage (the level regression y ~ a + b·x) — exact
+    * hi/lo BIGINT moments in, two staged double formulas out, shared
+    * VERBATIM with the oracle. */
+  private val coStageB: Seq[String] = Seq(
+    "(m * sxyd - sxd * syd) / (m * sxxd - sxd * sxd) AS beta")
+  private val coStageA: Seq[String] = Seq(
+    "(syd - beta * sxd) / m AS alpha0")
+  // the level regression degenerates on a constant x series
+  private val coGuardLevel = "m * sxxd - sxd * sxd > CAST(0 AS DOUBLE)"
+  /** The residual projection — ONE string, fixed op order. */
+  private val coResidual =
+    "(CAST(y AS DOUBLE) - alpha0) - beta * CAST(x AS DOUBLE) AS e"
+  // DF residual-regression guards (the staged chain divides by den and
+  // takes sqrt(sse·…)): degenerate residual series drop in BOTH engines
+  private val coGuardDen = "den > CAST(0 AS DOUBLE)"
+  private val coGuardSse = "sse > CAST(0 AS DOUBLE)"
+
+  /** The q_ts_coint body over ANY `(event_type, h, k)` grid (r14):
+    * Engle–Granger two-step cointegration per ordered type pair —
+    * (1) OLS of dst's level on src's level from exact hi/lo BIGINT
+    * moments; (2) the Dickey–Fuller t on the RESIDUAL series, whose
+    * sums are DOUBLES accumulated through ORDERED folds over the
+    * h-sorted collected residual pairs (the profile_drift rule; the
+    * residual relation is TIME-SPAN-bounded, so the collect is bounded
+    * at any corpus size), feeding the SAME adfStage1..4 formula strings
+    * the batch ADF uses (sums named sxd/syd/… exactly so the stages are
+    * shared verbatim — the twin-body rule). Declared convention:
+    * constant-included DF on residuals, −3.34 Engle–Granger 5% critical
+    * value. */
+  private[graft] def cointOf(g: DataFrame): DataFrame = {
+    val w = Window.partitionBy("dst_type", "src_type").orderBy("h")
+    val gg = g.where(coalesce(assert_true(col("k") >= 0,
+      lit("coint guard: negative grid cents — the signed cross-product " +
+        "div/% split diverges between Spark and DuckDB")), lit(true)))
+    val ys = gg.select(col("event_type").as("dst_type"), col("h"),
+      col("k").as("y"))
+    val xs = gg.select(col("event_type").as("src_type"), col("h"),
+      col("k").as("x"))
+    val rel = ys.join(xs, "h").where(col("src_type") =!= col("dst_type"))
+    def split2(e: String, n: String) = Seq(
+      sum(expr(s"($e) div $MomentSplit")).as(s"${n}hi"),
+      sum(expr(s"($e) % $MomentSplit")).as(s"${n}lo"))
+    def recomb(n: String) =
+      s"CAST(${n}hi AS DOUBLE) * $MomentSplit.0 + CAST(${n}lo AS DOUBLE) AS ${n}d"
+    val ols = rel.groupBy("dst_type", "src_type")
+      .agg(count(lit(1)).as("m"),
+        (Seq(sum("x").as("sx"), sum("y").as("sy")) ++
+          split2("x * x", "sxx") ++ split2("x * y", "sxy")): _*)
+      .selectExpr(Seq("dst_type", "src_type", "m",
+        "CAST(sx AS DOUBLE) AS sxd", "CAST(sy AS DOUBLE) AS syd") ++
+        Seq("sxx", "sxy").map(recomb): _*)
+      .where(expr(coGuardLevel))
+      .selectExpr(Seq("dst_type", "src_type", "m", "sxd", "syd",
+        "sxxd", "sxyd") ++ coStageB: _*)
+      .selectExpr(Seq("dst_type", "src_type", "beta") ++ coStageA: _*)
+    val resid = rel.join(broadcast(ols), Seq("dst_type", "src_type"))
+      .selectExpr("dst_type", "src_type", "h", "beta", coResidual)
+      .withColumn("pe", lag("e", 1).over(w))
+      .where(col("pe").isNotNull)
+    def fold(fieldExpr: String, name: String) =
+      s"aggregate(terms, CAST(0 AS DOUBLE), (acc, t) -> acc + $fieldExpr) AS $name"
+    resid.groupBy("dst_type", "src_type")
+      .agg(first("beta").as("beta"),
+        count(lit(1)).as("m"),
+        sort_array(collect_list(struct(col("h"), col("e"), col("pe"))))
+          .as("terms"))
+      .selectExpr("dst_type", "src_type", "beta",
+        "CAST(m AS BIGINT) AS n_pairs", "m",
+        fold("t.pe", "sxd"), fold("t.e", "syd"),
+        fold("t.pe * t.pe", "sxxd"), fold("t.pe * t.e", "sxyd"),
+        fold("t.e * t.e", "syyd"))
+      .selectExpr(Seq("dst_type", "src_type", "beta", "n_pairs", "m",
+        "sxd", "syd", "sxyd", "syyd") ++ adfStage1: _*)
+      .where(expr(coGuardDen))
+      .selectExpr(Seq("dst_type", "src_type", "beta", "n_pairs", "m",
+        "sxd", "syd", "sxyd", "syyd", "rho", "den") ++ adfStage2: _*)
+      .selectExpr(Seq("dst_type", "src_type", "beta", "n_pairs", "m",
+        "syd", "sxyd", "rho", "den", "alpha") ++ adfStage3: _*)
+      .where(expr(coGuardSse))
+      .selectExpr(Seq("dst_type", "src_type", "beta", "n_pairs", "m",
+        "rho", "den", "sse") ++ adfStage4: _*)
+      .selectExpr("dst_type", "src_type", "n_pairs", "beta", "rho",
+        "adf_t AS resid_adf_t",
+        "adf_t < CAST(-3.34 AS DOUBLE) AS coint_rejected_05")
+      .orderBy("dst_type", "src_type")
+  }
+
   /** The q_ts_hurst body over ANY `(event_type, h, k)` grid — factored
     * like [[adfOf]] for the streaming state read. */
   private[graft] def hurstOf(g: DataFrame): DataFrame = {
@@ -260,6 +347,20 @@ object TsOps extends QueryModule {
     // "src's past adds information about dst's future".
     "q_ts_granger" -> ((s: SparkSession, dir: String) =>
       grangerOf(hourlyCentGrid(s, dir))),
+
+    // Engle–Granger cointegration screen (r14) per ordered type pair
+    // over the hourly cent grid: are two series bound by a long-run
+    // equilibrium (residuals of the level regression stationary)? The
+    // pairs-trading / shared-trend read that complements q_ts_granger
+    // (predictive) and q_ts_adf (per-series). Step 1 is exact-integer
+    // OLS; step 2 runs the SAME adfStage formula strings the batch ADF
+    // uses, over residual sums accumulated through ORDERED folds of the
+    // h-sorted collected residuals (span-bounded collect — the
+    // profile_drift rule; an unordered double sum would not replay).
+    // −3.34 is the EG 5% critical value (2 vars, constant, large n);
+    // the constant-included DF on residuals is the declared convention.
+    "q_ts_coint" -> ((s: SparkSession, dir: String) =>
+      cointOf(hourlyCentGrid(s, dir))),
 
     // Time-series gap-fill: dense per-(event_type, hour) activity over the
     // corpus' full hour range — absent buckets surface as explicit zero
@@ -1143,6 +1244,81 @@ object TsOps extends QueryModule {
          |SELECT event_type, n_pairs, rho, adf_t,
          |       adf_t < CAST(-2.86 AS DOUBLE) AS unit_root_rejected_05
          |FROM s4 ORDER BY event_type""".stripMargin,
+
+    // Cointegration replay: same grid, same level-pair relation
+    // (MATERIALIZED — OLS and residual stages both read it), same hi/lo
+    // recombination, same residual string, the SAME adfStage chain over
+    // the ordered-fold residual sums, and the same guard predicates.
+    "q_ts_coint" -> {
+      def split2(e: String, n: String) =
+        s"""CAST(sum(($e) // $MomentSplit) AS BIGINT) AS ${n}hi,
+           |         CAST(sum(($e) % $MomentSplit) AS BIGINT) AS ${n}lo""".stripMargin
+      def recomb(n: String) =
+        s"CAST(${n}hi AS DOUBLE) * $MomentSplit.0 + CAST(${n}lo AS DOUBLE) AS ${n}d"
+      def fold(fieldExpr: String, name: String) =
+        "list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
+          s"list_transform(terms, t -> $fieldExpr)), (acc, v) -> acc + v) AS $name"
+      s"""WITH $centGridCte,
+         |rel AS MATERIALIZED (
+         |  SELECT y.event_type AS dst_type, x.event_type AS src_type,
+         |         y.h, y.k AS y, x.k AS x
+         |  FROM g y JOIN g x USING (h)
+         |  WHERE y.event_type <> x.event_type),
+         |mo AS (
+         |  SELECT dst_type, src_type, CAST(count(*) AS BIGINT) AS m,
+         |         CAST(sum(x) AS BIGINT) AS sx,
+         |         CAST(sum(y) AS BIGINT) AS sy,
+         |         ${split2("x * x", "sxx")},
+         |         ${split2("x * y", "sxy")}
+         |  FROM rel GROUP BY dst_type, src_type),
+         |d0 AS (
+         |  SELECT dst_type, src_type, m,
+         |         CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd,
+         |         ${recomb("sxx")}, ${recomb("sxy")}
+         |  FROM mo),
+         |d0f AS (SELECT * FROM d0 WHERE $coGuardLevel),
+         |ob AS (SELECT dst_type, src_type, m, sxd, syd,
+         |       ${coStageB.mkString(",\n       ")} FROM d0f),
+         |oa AS (SELECT dst_type, src_type, beta,
+         |       ${coStageA.mkString(",\n       ")} FROM ob),
+         |res AS (
+         |  SELECT rel.dst_type, rel.src_type, rel.h, oa.beta,
+         |         $coResidual
+         |  FROM rel JOIN oa USING (dst_type, src_type)),
+         |lgr AS (
+         |  SELECT dst_type, src_type, h, beta, e,
+         |         lag(e) OVER (PARTITION BY dst_type, src_type
+         |                      ORDER BY h) AS pe
+         |  FROM res),
+         |tm AS (
+         |  SELECT dst_type, src_type, min(beta) AS beta,
+         |         CAST(count(*) AS BIGINT) AS m,
+         |         list(struct_pack(h := h, e := e, pe := pe)
+         |              ORDER BY h) AS terms
+         |  FROM lgr WHERE pe IS NOT NULL GROUP BY dst_type, src_type),
+         |sm AS (
+         |  SELECT dst_type, src_type, beta, m AS n_pairs, m,
+         |         ${fold("t.pe", "sxd")},
+         |         ${fold("t.e", "syd")},
+         |         ${fold("t.pe * t.pe", "sxxd")},
+         |         ${fold("t.pe * t.e", "sxyd")},
+         |         ${fold("t.e * t.e", "syyd")}
+         |  FROM tm),
+         |c1 AS (SELECT dst_type, src_type, beta, n_pairs, m, sxd, syd, sxyd, syyd,
+         |       ${adfStage1.mkString(",\n       ")} FROM sm),
+         |c1f AS (SELECT * FROM c1 WHERE $coGuardDen),
+         |c2 AS (SELECT dst_type, src_type, beta, n_pairs, m, sxd, syd, sxyd, syyd, rho, den,
+         |       ${adfStage2.mkString(",\n       ")} FROM c1f),
+         |c3 AS (SELECT dst_type, src_type, beta, n_pairs, m, syd, sxyd, rho, den, alpha,
+         |       ${adfStage3.mkString(",\n       ")} FROM c2),
+         |c3f AS (SELECT * FROM c3 WHERE $coGuardSse),
+         |c4 AS (SELECT dst_type, src_type, beta, n_pairs, m, rho, den, sse,
+         |       ${adfStage4.mkString(",\n       ")} FROM c3f)
+         |SELECT dst_type, src_type, n_pairs, beta, rho,
+         |       adf_t AS resid_adf_t,
+         |       adf_t < CAST(-3.34 AS DOUBLE) AS coint_rejected_05
+         |FROM c4 ORDER BY dst_type, src_type""".stripMargin
+    },
 
     // Granger replay: same grid, same lag relation (MATERIALIZED — the
     // pair fan reads it twice), same hi/lo split recombination, and the

@@ -523,6 +523,72 @@ class MixDiagSpec extends SparkTestBase {
     rows.values.foreach { case (_, _, f, _) => assert(f >= 0.0) }
   }
 
+  test("Engle-Granger coint equals a driver-side two-step replay, same FP order (r14)") {
+    val split = 1073741824L
+    val rows = q("q_ts_coint").collect()
+      .map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5),
+          r.getBoolean(6)))).toMap
+    assert(rows.nonEmpty)
+    val ev = graft.ops.table(spark, sfDir, "events")
+      .select(expr("unix_micros(ts) div 3600000000").as("h"),
+        col("event_type"), col("value")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    val (h0, h1) = (ev.map(_._1).min, ev.map(_._1).max)
+    val types = ev.map(_._2).distinct.sorted
+    def grid(t: String): IndexedSeq[Long] = {
+      val sums = ev.filter(_._2 == t).groupBy(_._1).view.mapValues(
+        _.map(e => BigDecimal(e._3).setScale(4, BigDecimal.RoundingMode.HALF_UP))
+          .sum).toMap
+      (h0 to h1).map(h => (sums.getOrElse(h, BigDecimal(0)) * 100).toLong)
+    }
+    val grids = types.map(t => t -> grid(t)).toMap
+    var checked = 0
+    for (dst <- types; src <- types if src != dst) {
+      val ys = grids(dst); val xs = grids(src)
+      val m0 = ys.length.toLong
+      def hiLo(f: Int => Long): Double = {
+        val hi = ys.indices.map(i => f(i) / split).sum
+        val lo = ys.indices.map(i => f(i) % split).sum
+        hi.toDouble * split.toDouble + lo.toDouble
+      }
+      val sxd = xs.sum.toDouble; val syd = ys.sum.toDouble
+      val sxxd = hiLo(i => xs(i) * xs(i))
+      val sxyd = hiLo(i => xs(i) * ys(i))
+      if (m0 * sxxd - sxd * sxd > 0) {
+        val beta = (m0 * sxyd - sxd * syd) / (m0 * sxxd - sxd * sxd)
+        val alpha0 = (syd - beta * sxd) / m0
+        val e = ys.indices.map(i => (ys(i).toDouble - alpha0) - beta * xs(i).toDouble)
+        // the five ordered folds, left-associated like aggregate()
+        def fold(f: Int => Double): Double =
+          (1 until e.length).foldLeft(0.0)((acc, i) => acc + f(i))
+        val m = (e.length - 1).toLong
+        val fsx = fold(i => e(i - 1)); val fsy = fold(i => e(i))
+        val fsxx = fold(i => e(i - 1) * e(i - 1))
+        val fsxy = fold(i => e(i - 1) * e(i))
+        val fsyy = fold(i => e(i) * e(i))
+        // the shared adfStage chain, op for op
+        val rho = (m * fsxy - fsx * fsy) / (m * fsxx - fsx * fsx)
+        val den = m * fsxx - fsx * fsx
+        if (den > 0) {
+          val alpha = (fsy - rho * fsx) / m
+          val sse = fsyy - alpha * fsy - rho * fsxy
+          if (sse > 0) {
+            val t = (rho - 1.0) / math.sqrt(sse / (m - 2) * m / den)
+            val (n, betaGot, rhoGot, tGot, rej) = rows((dst, src))
+            assert(n == m, s"$dst~$src: n_pairs")
+            assert(betaGot == beta, s"$dst~$src: beta")
+            assert(rhoGot == rho, s"$dst~$src: rho")
+            assert(tGot == t, s"$dst~$src: resid_adf_t $tGot vs replay $t")
+            assert(rej == (t < -3.34))
+            checked += 1
+          }
+        }
+      }
+    }
+    assert(checked == rows.size, "replay covered every emitted pair")
+  }
+
   test("Cramér's V equals a driver-side ordered-fold replay (r14)") {
     val rows = q("q_profile_cramers_v").collect()
       .map(r => (r.getString(0),
