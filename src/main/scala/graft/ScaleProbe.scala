@@ -281,7 +281,7 @@ object ScaleProbe {
       // motion scan (scan-side SAD kernel)
       "q_agg_approx_percentile", "q_ts_granger", "q_profile_cramers_v",
       "q_profile_cat_mi", "q_sql_big_orders", "q_mm_video_motion",
-      "q_ts_coint")
+      "q_ts_coint", "q_graph_conductance", "q_text_lexicon_score")
     // warmup
     SparkEntry.queries("q_agg_basic")(spark, outDir).count()
     val results = probes.map { name =>

@@ -230,20 +230,8 @@ object GraphPathOps extends QueryModule {
     // Σd_c² is hi/lo-split (the q_agg_skew replay rule; d_c² < 2^63 holds
     // to ~3·10⁹ arcs per brand — beyond that pre-divide). Single-row
     // report.
-    "q_graph_modularity" -> ((s: SparkSession, dir: String) => {
-      val arcs = copurchaseAdj(s, dir)
-        .where(col("n") >= StrongSupport).select("src", "dst")
-      val brand = table(s, dir, "part")
-        .select(col("p_partkey"), col("p_brand"))
-      val j = arcs
-        .join(brand.select(col("p_partkey").as("sn"),
-          col("p_brand").as("bs")), col("src") === col("sn"))
-        .join(brand.select(col("p_partkey").as("dn"),
-          col("p_brand").as("bd")), col("dst") === col("dn"))
-      j.groupBy("bs")
-        .agg(asLong(count(lit(1))).as("d_tot"),
-          asLong(sum(when(col("bs") === col("bd"), 1L).otherwise(0L)))
-            .as("a_in"))
+    "q_graph_modularity" -> ((s: SparkSession, dir: String) =>
+      brandArcAgg(s, dir)
         .withColumn("d2", col("d_tot") * col("d_tot"))
         .agg(asLong(sum("d_tot")).as("m_arcs"),
           asLong(count(lit(1))).as("n_comms"),
@@ -252,9 +240,67 @@ object GraphPathOps extends QueryModule {
             .cast("double").as("s2hi"),
           sum(expr(s"d2 % $ModSplit").cast("decimal(38,0)"))
             .cast("double").as("s2lo"))
-        .selectExpr("m_arcs", "n_comms", "within_arcs", modularityFormula)
+        .selectExpr("m_arcs", "n_comms", "within_arcs", modularityFormula)),
+
+    // Per-brand conductance (r14) over the strong co-purchase graph:
+    // φ(c) = cut(c) / min(vol(c), vol(rest)) — the community-quality
+    // read at COMMUNITY granularity, next to q_graph_modularity's
+    // single global Q (same external p_brand partition, same shared
+    // brand-arc aggregation; a connectivity-derived partition would be
+    // structurally degenerate — the r10c lesson). The arc list carries
+    // both directions, so cut(c) = cut(rest) ≤ vol(rest) and φ ∈ [0,1].
+    // All exact BIGINTs until one final division; the denominator is a
+    // NAMED stage filtered > 0 BEFORE the divide (ANSI; a brand owning
+    // every arc would otherwise divide by zero). Brand domain is
+    // bounded (25), so the 1-row total broadcasts legally.
+    "q_graph_conductance" -> ((s: SparkSession, dir: String) => {
+      val pb = brandArcAgg(s, dir)
+      val tot = pb.agg(asLong(sum("d_tot")).as("m_arcs"))
+      pb.crossJoin(broadcast(tot))
+        .selectExpr("bs AS brand", "d_tot AS vol", "a_in AS within_arcs",
+          "d_tot - a_in AS cut_arcs", "m_arcs",
+          "least(d_tot, m_arcs - d_tot) AS denom")
+        .where(col("denom") > 0)
+        .selectExpr("brand", "vol", "within_arcs", "cut_arcs", "m_arcs",
+          "CAST(cut_arcs AS DOUBLE) / denom AS conductance")
+        .orderBy("brand")
     })
   )
+
+  /** The strong-arc brand aggregation `(bs, d_tot, a_in)` — arcs by
+    * source brand / arcs staying within the brand — shared by
+    * q_graph_modularity and q_graph_conductance (ONE brand-keyed agg
+    * off the directed-both-ways strong arc list; oracle twin:
+    * [[brandArcCte]]). */
+  private[graft] def brandArcAgg(s: SparkSession, dir: String): DataFrame = {
+    val arcs = copurchaseAdj(s, dir)
+      .where(col("n") >= StrongSupport).select("src", "dst")
+    val brand = table(s, dir, "part")
+      .select(col("p_partkey"), col("p_brand"))
+    arcs
+      .join(brand.select(col("p_partkey").as("sn"),
+        col("p_brand").as("bs")), col("src") === col("sn"))
+      .join(brand.select(col("p_partkey").as("dn"),
+        col("p_brand").as("bd")), col("dst") === col("dn"))
+      .groupBy("bs")
+      .agg(asLong(count(lit(1))).as("d_tot"),
+        asLong(sum(when(col("bs") === col("bd"), 1L).otherwise(0L)))
+          .as("a_in"))
+  }
+
+  /** DuckDB replay of [[brandArcAgg]] — the `pb(bs, d_tot, a_in)` CTE
+    * chain shared by the modularity and conductance oracles (ONE text,
+    * zero drift). Expects `adj` from the copurchase CTE prefix. */
+  private[ops] val brandArcCte: String =
+    s"""arcs AS (SELECT src, dst FROM adj WHERE n >= $StrongSupport),
+       |j AS (
+       |  SELECT ps.p_brand AS bs, pd.p_brand AS bd
+       |  FROM arcs JOIN part ps ON arcs.src = ps.p_partkey
+       |            JOIN part pd ON arcs.dst = pd.p_partkey),
+       |pb AS (
+       |  SELECT bs, CAST(count(*) AS BIGINT) AS d_tot,
+       |         CAST(sum(CASE WHEN bs = bd THEN 1 ELSE 0 END) AS BIGINT) AS a_in
+       |  FROM j GROUP BY bs)""".stripMargin
 
   def oracle: Seq[(String, String)] = Seq(
     "q_graph_rw_sample" -> rwSampleOracle,
@@ -393,17 +439,23 @@ object GraphPathOps extends QueryModule {
          |WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.u = cand.a AND e.v = cand.b)
          |ORDER BY ra_score DESC, a, b LIMIT 100""".stripMargin,
 
+    "q_graph_conductance" ->
+      s"""WITH $copurchaseCte,
+         |$brandArcCte,
+         |pbm AS MATERIALIZED (SELECT * FROM pb),
+         |tot AS (SELECT CAST(sum(d_tot) AS BIGINT) AS m_arcs FROM pbm),
+         |st AS (
+         |  SELECT bs AS brand, d_tot AS vol, a_in AS within_arcs,
+         |         d_tot - a_in AS cut_arcs, m_arcs,
+         |         least(d_tot, m_arcs - d_tot) AS denom
+         |  FROM pbm CROSS JOIN tot)
+         |SELECT brand, vol, within_arcs, cut_arcs, m_arcs,
+         |       CAST(cut_arcs AS DOUBLE) / denom AS conductance
+         |FROM st WHERE denom > 0 ORDER BY brand""".stripMargin,
+
     "q_graph_modularity" ->
       s"""WITH $copurchaseCte,
-         |arcs AS (SELECT src, dst FROM adj WHERE n >= $StrongSupport),
-         |j AS (
-         |  SELECT ps.p_brand AS bs, pd.p_brand AS bd
-         |  FROM arcs JOIN part ps ON arcs.src = ps.p_partkey
-         |            JOIN part pd ON arcs.dst = pd.p_partkey),
-         |pb AS (
-         |  SELECT bs, CAST(count(*) AS BIGINT) AS d_tot,
-         |         CAST(sum(CASE WHEN bs = bd THEN 1 ELSE 0 END) AS BIGINT) AS a_in
-         |  FROM j GROUP BY bs),
+         |$brandArcCte,
          |st AS (SELECT d_tot, a_in, d_tot * d_tot AS d2 FROM pb),
          |ag AS (
          |  SELECT CAST(sum(d_tot) AS BIGINT) AS m_arcs,

@@ -33,6 +33,19 @@ object TextOps extends QueryModule {
     NfkcDeco.map(java.text.Normalizer.normalize(_,
       java.text.Normalizer.Form.NFKC))
 
+  /** q_text_lexicon_score category lexicons (r14) — the declared
+    * keyword lists of the safety/domain filter shape (a production
+    * pipeline swaps in its toxicity/PII/domain lists; the SHAPE — tiny
+    * broadcast lexicon, per-doc hit mass, rate columns — is what the
+    * operator pins). Both the engine relation and the oracle VALUES
+    * are generated from this one table. Categories are declared in
+    * OUTPUT COLUMN order. */
+  private[graft] val Lexicons: Seq[(String, Seq[String])] = Seq(
+    "performance" -> Seq("fast", "slow", "big", "small"),
+    "relational" -> Seq("join", "filter", "agg", "group", "sort", "merge",
+      "scan"),
+    "storage" -> Seq("table", "column", "row", "key", "value"))
+
   /** Normalization (lowercase/trim/collapse-whitespace) + normalized-
     * exact-dup group sizes for an arbitrary (doc_id, text) frame — the
     * q_text_normalize primitive, exposed for [[graft.Pipelines]]. The
@@ -412,6 +425,39 @@ object TextOps extends QueryModule {
         .orderBy("doc_id")
     }),
 
+    // Category-lexicon scoring (r14) — the safety/domain filter shape:
+    // per doc, the token mass hitting each declared category lexicon
+    // (production swaps in toxicity/PII/domain lists; the SHAPE is the
+    // operator). The ≤ Σ|lexicon| relation BROADCASTS, so the memoized
+    // tf index never re-shuffles (a broadcast hash join adds no
+    // exchange on the probe side — the token string stays scan-side,
+    // rule 5b holds); per-category hit masses pivot via conditional
+    // sums in ONE hash agg; rates are one exact-int division each.
+    // Docs with zero tokens have no defined rate and are out of scope
+    // (declared — the index has no row for them).
+    "q_text_lexicon_score" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val lexDf = Lexicons
+        .flatMap { case (c, ws) => ws.map(w => (c, w)) }
+        .toDF("cat", "token")
+      val idx = tokenIndexFor(s, dir)
+      val nt = idx.groupBy("doc_id").agg(asLong(sum("tf")).as("n_tokens"))
+      val hitCols = Lexicons.map { case (c, _) =>
+        asLong(sum(when(col("cat") === c, col("tf")).otherwise(0L)))
+          .as(s"${c}_hits")
+      }
+      val hits = idx.join(broadcast(lexDf), "token")
+        .groupBy("doc_id").agg(hitCols.head, hitCols.tail: _*)
+      nt.join(hits, Seq("doc_id"), "left")
+        .select(col("doc_id") +: col("n_tokens") +:
+          Lexicons.flatMap { case (c, _) => Seq(
+            coalesce(col(s"${c}_hits"), lit(0L)).as(s"${c}_hits"),
+            (coalesce(col(s"${c}_hits"), lit(0L)).cast("double") /
+              col("n_tokens")).as(s"${c}_rate"))
+          }: _*)
+        .orderBy("doc_id")
+    }),
+
     // Source↔token mutual information (r10) — how distinguishable the
     // corpus sources are by unigram distribution: the information-gain
     // number a mix designer reads before reweighting (MI ≈ 0 ⇒ sources
@@ -737,6 +783,37 @@ object TextOps extends QueryModule {
         |       CAST(length(nfc_normalize(text)) AS BIGINT) AS len_nfc,
         |       substring(sha256(nfc_normalize(text)), 1, 16) AS sha16
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // lexicon VALUES generated from the same Scala table; tf
+    // MATERIALIZED (two readers: totals + hits)
+    "q_text_lexicon_score" -> {
+      val vals = Lexicons.flatMap { case (c, ws) =>
+        ws.map(w => s"('$c', '$w')") }.mkString(", ")
+      val hitSums = Lexicons.map { case (c, _) =>
+        s"CAST(sum(CASE WHEN cat = '$c' THEN tf ELSE 0 END) AS BIGINT) AS ${c}_hits"
+      }.mkString(",\n         ")
+      val outCols = Lexicons.map { case (c, _) =>
+        s"coalesce(${c}_hits, 0) AS ${c}_hits,\n       " +
+          s"CAST(coalesce(${c}_hits, 0) AS DOUBLE) / n_tokens AS ${c}_rate"
+      }.mkString(",\n       ")
+      s"""WITH lex(cat, word) AS (VALUES $vals),
+         |tf AS MATERIALIZED (
+         |  SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf FROM (
+         |    SELECT doc_id, unnest(string_split(text, ' ')) AS token
+         |    FROM documents)
+         |  WHERE length(token) > 0 GROUP BY doc_id, token),
+         |nt AS (
+         |  SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens
+         |  FROM tf GROUP BY doc_id),
+         |h AS (
+         |  SELECT doc_id,
+         |         $hitSums
+         |  FROM tf JOIN lex ON tf.token = lex.word GROUP BY doc_id)
+         |SELECT nt.doc_id, n_tokens,
+         |       $outCols
+         |FROM nt LEFT JOIN h ON nt.doc_id = h.doc_id
+         |ORDER BY nt.doc_id""".stripMargin
+    },
 
     // Ground-truth replay of the decoration split (r14): the raw and
     // expected-NFKC prefixes are literals generated from the SAME Scala

@@ -103,4 +103,11 @@ object StreamingPeriodogram {
     * bit-equality argument. */
   def grangerReport(emitted: DataFrame): DataFrame =
     graft.ops.TsOps.grangerOf(stateGrid(emitted))
+
+  /** Engle–Granger cointegration read off the CURRENT state — the
+    * batch q_ts_coint body ([[graft.ops.TsOps.cointOf]], r14), same
+    * bit-equality argument (the ordered residual folds see the same
+    * exact-integer-derived doubles in the same h order). */
+  def cointReport(emitted: DataFrame): DataFrame =
+    graft.ops.TsOps.cointOf(stateGrid(emitted))
 }

@@ -427,6 +427,21 @@ class GraphSpec extends SparkTestBase {
     // this operator redesign avoided)
     assert(perBrand.size > 1 && within < m,
       "brand partition should be non-degenerate on the fixture")
+    // r14: per-brand conductance off the SAME brand-arc aggregation —
+    // exact replay, and φ ∈ [0, 1] because the arc list is symmetric
+    // (cut(c) = cut(rest) ≤ vol(rest))
+    val cRows = q("q_graph_conductance").collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))).toMap
+    val expected = perBrand.collect {
+      case (b, (d, a)) if math.min(d, m - d) > 0 =>
+        b -> ((d, a, d - a, m,
+          (d - a).toDouble / math.min(d, m - d)))
+    }
+    assert(cRows == expected, "conductance replay differs")
+    cRows.values.foreach { case (_, _, _, _, phi) =>
+      assert(phi >= 0.0 && phi <= 1.0, "conductance out of [0,1]")
+    }
   }
 
   test("kcore equals a brute-force peel to the fixpoint") {

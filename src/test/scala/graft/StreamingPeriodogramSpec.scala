@@ -98,6 +98,14 @@ class StreamingPeriodogramSpec extends SparkTestBase {
         .map(r => (r.getString(0), r.getString(1), r.getLong(2),
           r.getDouble(3), r.getDouble(4), r.getBoolean(5))).toSeq
       assert(gotGr == batchGr, "streaming Granger read drifted from batch")
+      // r14c: and the cointegration screen
+      val gotCo = StreamingPeriodogram.cointReport(emitted).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+          r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getBoolean(6))).toSeq
+      val batchCo = SparkEntry.queries("q_ts_coint")(spark, sfDir).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+          r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getBoolean(6))).toSeq
+      assert(gotCo == batchCo, "streaming coint read drifted from batch")
     } finally query.stop()
   }
 }

@@ -449,6 +449,36 @@ class TextSpec extends SparkTestBase {
     }
   }
 
+  test("lexicon scores equal a driver-side token recount (r14)") {
+    val lex = graft.ops.TextOps.Lexicons
+    val rows = q("q_text_lexicon_score").collect()
+      .map(r => (r.getLong(0), r.toSeq.drop(1))).toMap
+    assert(rows.nonEmpty)
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    var covered = 0
+    docs.foreach { case (id, t) =>
+      val toks = t.split(" ").filter(_.nonEmpty)
+      if (toks.isEmpty) assert(!rows.contains(id))
+      else {
+        val n = toks.length.toLong
+        val expect: Seq[Any] = n +: lex.flatMap { case (_, ws) =>
+          val hits = toks.count(ws.contains).toLong
+          Seq(hits, hits.toDouble / n)
+        }
+        assert(rows(id) == expect, s"doc $id lexicon scores")
+        covered += 1
+      }
+    }
+    assert(covered == rows.size)
+    // the fixture's DB-themed vocabulary must actually exercise hits
+    assert(rows.values.exists(_.exists {
+      case h: Long => h > 0L
+      case _ => false
+    }), "lexicons must hit on the fixture")
+  }
+
   test("source-MI equals a driver-side integer-log2 replay") {
     def ilog2(n: Long): Long = 63L - java.lang.Long.numberOfLeadingZeros(n)
     val toks = spark.read.parquet(s"$sfDir/documents.parquet")
