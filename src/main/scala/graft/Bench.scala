@@ -19,6 +19,23 @@ object Bench {
     val s = xs.sorted
     if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
   }
+
+  /** Box canary (r15, verdict item 1): a FIXED fixture-independent
+    * calibration job — range → modulo key → hash agg over 200M rows —
+    * whose wall time depends only on available CPU, so timing it before
+    * and after the suite measures box weather in the same window as the
+    * per-query numbers. BENCH_r14's ex-twins ratio was ~25% window
+    * inflation (the whole ts family spiked together); the canary makes
+    * that adjudication mechanical instead of requiring an idle re-run.
+    * Median of 3 inner reps, like the queries. */
+  private def canarySeconds(spark: SparkSession): Double =
+    median((1 to 3).map { _ =>
+      val t0 = System.nanoTime()
+      spark.range(0L, 200000000L, 1L, 32)
+        .selectExpr("id % 4096 AS k", "id")
+        .groupBy("k").sum("id").count()
+      (System.nanoTime() - t0) / 1e9
+    })
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -55,7 +72,8 @@ object Bench {
       case Some(names) => SparkEntry.queries.filter { case (k, _) => names(k) }
       case None        => SparkEntry.queries
     }
-    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
+    def timeQuery(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+        : (Double, Boolean) = {
       val times = (1 to reps).flatMap { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
@@ -64,8 +82,34 @@ object Bench {
       }
       // any failed rep reports -1.0 so a regression can never read as a win
       val ok = times.size == reps
-      (name, if (ok) median(times) else -1.0, ok)
+      (if (ok) median(times) else -1.0, ok)
     }
+    val canaryPre = canarySeconds(spark)
+    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val (sec, ok) = timeQuery(name, fn)
+      (name, sec, ok)
+    }
+    val canaryPost = canarySeconds(spark)
+    // second weather probe: re-time the 3 alphabetically-first succeeded
+    // queries at the END of the window and compare to their in-suite
+    // medians — catches contention that arrives mid-suite after the
+    // canary_pre sample.
+    val retimed = results.collect { case (n, s, true) if s > 0 => (n, s) }
+      .take(3).map { case (n, orig) =>
+        val (sec, ok) = timeQuery(n, selected(n))
+        (n, orig, if (ok) sec else orig)
+      }
+    val requerySkew =
+      if (retimed.isEmpty) 1.0
+      else retimed.map(_._3).sum / retimed.map(_._2).sum
+    val canarySkew = math.max(canaryPre, canaryPost) / math.min(canaryPre, canaryPost)
+    // documented bands (CLAUDE.md r11: this box drifts ±15% idle): a
+    // canary pre/post split > 1.3x, or the end-of-window re-time of the
+    // first 3 queries > 1.5x their in-suite medians, marks the window
+    // contended — the ratio should be re-measured, not trusted.
+    val contended = canarySkew > 1.3 || requerySkew > 1.5
+    val canaryFields =
+      f""","canary_pre":$canaryPre%.3f,"canary_post":$canaryPost%.3f,"canary_skew":$canarySkew%.3f,"requery_skew":$requerySkew%.3f,"window_contended":$contended"""
     val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
@@ -82,9 +126,9 @@ object Bench {
     // The compact line is printed FIRST (so a head-capture has it) and
     // again LAST — after spark.stop(), so no shutdown logging can follow
     // it and the tail is always a complete, parseable JSON object.
-    val summary = s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed$baseline,"sf":"$sfDir"}"""
+    val summary = s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed$baseline$canaryFields,"sf":"$sfDir"}"""
     println(summary)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed$baseline,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed$baseline$canaryFields,"sf":"$sfDir"}""")
     spark.stop()
     println(summary)
   }

@@ -43,7 +43,13 @@ import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, Cartes
   *      corpus-scaled child is the AGGREGATE form of the rule-6 trap
   *      (the r5 `percentile` buffer: N/3 values in one task's memory) —
   *      same thresholds, same two-scale growth probe, so window-capped
-  *      collects and span-bounded grids auto-pass.
+  *      collects and span-bounded grids auto-pass;
+  *   8. no corpus-QUADRATIC pairwise fan (r15): an expanding join
+  *      (output rows exceed both inputs) with a corpus-scaled output must
+  *      grow < 30× between sf0.001 and sf0.01 — the declared-domain
+  *      assumption behind the granger/coint type-pair family, made
+  *      mechanical: a fixed category domain measures ~1×, a linear fan
+  *      ~10×, a corpus-correlated pair domain ~100× and flags.
   *
   * Plans are built with AQE OFF: the audit gates the STATIC plan (what a
   * cost-blind planner would run), so a shape that only AQE rescues still
@@ -255,12 +261,15 @@ object PlanAudit {
     suspects.flatMap { case (k, nBig, d) =>
       // r13 advisor note: a suspect that survives the row/cardinality
       // filters must NOT auto-pass when plan-shape or alias drift breaks
-      // the key match between scales (fail-open). Fall back to the max
-      // window-child count in the small plan; if the small plan has no
-      // windows at all, flag the suspect as unmatched instead of passing.
-      val nSmall = small.get(k)
-        .orElse(if (smallWins.nonEmpty) Some(smallWins) else None)
-        .map(_.map(_.child.execute().count()).max)
+      // the key match between scales (fail-open). A key-matched suspect
+      // compares against its own windows (max over the matched set); a
+      // key-MISMATCHED one falls back to the MIN small-plan window-child
+      // count (r14 advisor: the max fallback could still auto-pass a
+      // corpus-scaled suspect when the small plan holds a different,
+      // larger window); no windows at all flags as unmatched.
+      val nSmall = small.get(k).map(_.map(_.child.execute().count()).max)
+        .orElse(if (smallWins.nonEmpty)
+          Some(smallWins.map(_.child.execute().count()).min) else None)
       nSmall match {
         case Some(ns) if ns > 0 && nBig >= WindowGrowthFactor * ns =>
           Some(s"$name: corpus-scaled window over a low-cardinality " +
@@ -338,9 +347,11 @@ object PlanAudit {
     val smallAggs = bufferingAggsOf(smallPlan())
     val small = smallAggs.groupBy { case (a, fn) => aggKey(a, fn) }
     suspects.flatMap { case (k, fn, nBig, d) =>
-      val nSmall = small.get(k)
-        .orElse(if (smallAggs.nonEmpty) Some(smallAggs) else None)
-        .map(_.map(_._1.child.execute().count()).max)
+      // key-matched: max over the matched set; key-mismatched: MIN
+      // fallback (see auditWindowScaling's r14 note); none: flag.
+      val nSmall = small.get(k).map(_.map(_._1.child.execute().count()).max)
+        .orElse(if (smallAggs.nonEmpty)
+          Some(smallAggs.map(_._1.child.execute().count()).min) else None)
       nSmall match {
         case Some(ns) if ns > 0 && nBig >= WindowGrowthFactor * ns =>
           Some(s"$name: corpus-scaled ${fn.mkString("/")} buffer over a " +
@@ -354,6 +365,87 @@ object PlanAudit {
             s"(~$d keys, $nBig rows) has NO matching aggregate in the " +
             "sf0.001 plan — two-scale growth unverifiable; align the " +
             "plan shapes or restructure the aggregate")
+      }
+    }
+  }
+
+  /** Rule 8 growth bound (r15, verdict item 2): an EXPANDING join — output
+    * rows exceed BOTH inputs, i.e. a pair fan, not a filter/lookup — whose
+    * output is corpus-scaled must grow < this factor from sf0.001 to
+    * sf0.01. The corpus grows ~10× between those scales, so a linear fan
+    * measures ~10× and passes; a fan quadratic in a corpus-correlated
+    * domain (the granger/coint worry: a type-pair fan whose type column
+    * scales with the corpus) measures ~100× and flags; span/domain-bounded
+    * grids (the hourly pairwise family at the fixture's fixed type domain)
+    * measure ~1×. */
+  val PairFanGrowthFactor = 30L
+
+  /** Row count of a subtree, descending through exchanges that do not
+    * support the execute() code path (BroadcastExchange). */
+  private def rowsOf(p: SparkPlan): Long = p match {
+    case b: org.apache.spark.sql.execution.exchange.BroadcastExchangeExec =>
+      rowsOf(b.child)
+    case r: ReusedExchangeExec => rowsOf(r.child)
+    // a BHJ inside WholeStageCodegen wraps its build side as
+    // InputAdapter(BroadcastExchange) — unwrap before executing
+    case i: InputAdapter => rowsOf(i.child)
+    case other => other.execute().count()
+  }
+
+  private def joinNodesOf(plan: SparkPlan): Seq[(String, SparkPlan, SparkPlan, SparkPlan)] = {
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    plan.collect {
+      case j: SortMergeJoinExec =>
+        (j.leftKeys.map(_.sql).mkString(",") + "|" + j.joinType.sql, j, j.left, j.right)
+      case j: ShuffledHashJoinExec =>
+        (j.leftKeys.map(_.sql).mkString(",") + "|" + j.joinType.sql, j, j.left, j.right)
+      case j: BroadcastHashJoinExec =>
+        (j.leftKeys.map(_.sql).mkString(",") + "|" + j.joinType.sql, j, j.left, j.right)
+    }
+  }
+
+  /** Rule 8: pairwise-domain fan joins (r15). The granger/coint-class
+    * shape — all category pairs fanned through a time/domain-keyed join —
+    * is span-bounded only while the category domain is fixed; nothing
+    * structural stops a corpus-correlated category from going quadratic.
+    * Mechanically: an expanding join (output > both inputs) with a
+    * corpus-scaled output must show bounded two-scale growth
+    * (< [[PairFanGrowthFactor]]); an unmatched suspect flags instead of
+    * auto-passing (the rules-6/7 fail-open discipline). */
+  def auditPairFans(name: String, plan: SparkPlan,
+      smallPlan: () => SparkPlan): Seq[String] = {
+    val big = joinNodesOf(plan)
+    if (big.isEmpty) return Nil
+    val suspects = big.flatMap { case (k, j, l, r) =>
+      val out = rowsOf(j)
+      if (out < SuspectWindowRows) None
+      else {
+        val nl = rowsOf(l)
+        val nr = rowsOf(r)
+        if (out > nl && out > nr) Some((k, out)) else None
+      }
+    }
+    if (suspects.isEmpty) return Nil
+    val smallJoins = joinNodesOf(smallPlan())
+    val small = smallJoins.groupBy(_._1)
+    suspects.flatMap { case (k, nBig) =>
+      // key-matched: max output over the matched set; key-mismatched:
+      // MIN fallback over all small-plan joins; none: flag unmatched.
+      val nSmall = small.get(k).map(_.map(t => rowsOf(t._2)).max)
+        .orElse(if (smallJoins.nonEmpty)
+          Some(smallJoins.map(t => rowsOf(t._2)).min) else None)
+      nSmall match {
+        case Some(ns) if ns > 0 && nBig >= PairFanGrowthFactor * ns =>
+          Some(s"$name: expanding join [$k] fans quadratically with the " +
+            s"corpus ($nBig output rows at audit scale vs $ns at sf0.001) — " +
+            "bound the pair domain (equi bucket / declared-domain cap) " +
+            "before pairing")
+        case Some(_) => None
+        case None =>
+          Some(s"$name: corpus-scaled expanding-join suspect [$k] " +
+            s"($nBig output rows) has NO matching join in the sf0.001 " +
+            "plan — two-scale growth unverifiable; align the plan shapes " +
+            "or restructure the fan")
       }
     }
   }
@@ -374,7 +466,8 @@ object PlanAudit {
             // forces it when a suspect survives the cheap filters)
             lazy val sp = fn(spark, sd).queryExecution.executedPlan
             auditWindowScaling(name, plan, () => sp) ++
-              auditAggBuffers(name, plan, () => sp)
+              auditAggBuffers(name, plan, () => sp) ++
+              auditPairFans(name, plan, () => sp)
           }
       }
     } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)

@@ -227,6 +227,7 @@ object GraphOps extends QueryModule {
   private[graft] def clearIndexCache(): Unit = {
     graphCache.clear()
     rankCache.clear()
+    GraphPathOps.hitsCache.clear()
     copurchaseCache.clear()
     mutualKnnCache.clear()
     raContribCache.clear()

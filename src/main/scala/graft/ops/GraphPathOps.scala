@@ -264,8 +264,117 @@ object GraphPathOps extends QueryModule {
         .selectExpr("brand", "vol", "within_arcs", "cut_arcs", "m_arcs",
           "CAST(cut_arcs AS DOUBLE) / denom AS conductance")
         .orderBy("brand")
+    }),
+
+    // HITS hubs/authorities (r15) over the bipartite purchase graph
+    // (customers even / suppliers odd — the q_graph_degree encoding):
+    // hubs = customers whose purchases concentrate on authoritative
+    // suppliers, authorities = suppliers bought by strong hubs. A FIXED
+    // [[HitsIters]]-round contract (the labelprop/ktruss precedent:
+    // power iteration converges to the principal singular pair, a
+    // fixpoint contract would be un-oracle-able) with integer-scaled
+    // scores max-normalized to [[HitsScale]] each half-round — floor
+    // division replays exactly in DuckDB (// — the pagerank damping
+    // idiom), and max-normalization keeps every sum < deg·2^40 at any
+    // corpus size. Per half-round: one linear edges-keyed join + hash
+    // agg + a 1-row max broadcast (the legal crossJoin pattern).
+    "q_graph_hits" -> ((s: SparkSession, dir: String) => {
+      val (h, a) = hitsScoresFor(s, dir)
+      h.select(lit("customer").as("node_type"),
+          expr("node_id div 2").as("orig_id"), col("h").as("score"))
+        .unionByName(a.select(lit("supplier").as("node_type"),
+          expr("(node_id - 1) div 2").as("orig_id"), col("a").as("score")))
+        .orderBy("node_type", "orig_id")
     })
   )
+
+  /** q_graph_hits fixed round count and score scale (shared with the
+    * generated oracle stages — single source of truth, the
+    * prStagesCte/bpeMergeStagesCte pattern). */
+  private[graft] val HitsIters = 3
+  private[graft] val HitsScale = 1L << 20
+
+  /** [[HitsIters]] HITS rounds over the memoized purchase graph: returns
+    * the final (hub, authority) score relations, node-encoded. All
+    * arithmetic BIGINT: scores ≤ [[HitsScale]] after each max-normalize,
+    * so a raw half-round sum is ≤ deg·2^20 and the `· HitsScale` product
+    * ≤ deg·2^40 — safe to ~2^22 neighbors per node.
+    *
+    * Each half-round's raw-sum relation is localCheckpointed (the
+    * pagerank per-round rule: the raw relation feeds BOTH the max and
+    * the normalize, and the chained rounds would otherwise re-expand the
+    * whole upstream subtree per reference); the max itself is a bounded
+    * 1-row driver action over the materialized leaf (the truss-peel
+    * precedent), folded into the normalize as a literal — the oracle
+    * computes the identical integer max in its own stage. The score ⋈
+    * edges joins stay SHUFFLED by design: scores are O(#nodes), the
+    * dup_clusters never-broadcast class. */
+  /** Session-lifetime memo of the converged HITS score relations per
+    * fixture digest — the pagerankRanksFor accounting: the rounds end in
+    * materialized leaves by construction, and the score pair is the
+    * maintained index a ranking pipeline serves from. Cleared via
+    * [[GraphOps.clearIndexCache]]. */
+  private[ops] val hitsCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (DataFrame, DataFrame)]()
+
+  private[graft] def hitsScoresFor(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
+    val key = System.identityHashCode(s.sparkContext).toString + "|" +
+      SourceSinkOps.fixtureKey(dir, "lineitem.parquet") + "|" +
+      SourceSinkOps.fixtureKey(dir, "orders.parquet")
+    hitsCache.computeIfAbsent(key, _ => hitsScores(s, dir))
+  }
+
+  private def hitsScores(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
+    val (edges, _) = purchaseGraph(s, dir)
+    val sToC = edges.where(col("src") % 2 === 1)
+    val cToS = edges.where(col("src") % 2 === 0)
+    var a: DataFrame = sToC.select(col("src").as("node_id")).distinct()
+      .select(col("node_id"), lit(HitsScale).as("a"))
+    var h: DataFrame = a // overwritten in round 1 (HitsIters >= 1)
+    (1 to HitsIters).foreach { _ =>
+      val hRaw = sToC
+        .join(a.select(col("node_id").as("src"), col("a")), "src")
+        .groupBy("dst").agg(asLong(sum(col("a"))).as("hr"))
+        .localCheckpoint(true)
+      val mxh = hRaw.agg(max(col("hr"))).head().getLong(0)
+      h = hRaw.select(col("dst").as("node_id"),
+        expr(s"hr * ${HitsScale}L div ${mxh}L").as("h"))
+      val aRaw = cToS
+        .join(h.select(col("node_id").as("src"), col("h")), "src")
+        .groupBy("dst").agg(asLong(sum(col("h"))).as("ar"))
+        .localCheckpoint(true)
+      val mxa = aRaw.agg(max(col("ar"))).head().getLong(0)
+      a = aRaw.select(col("dst").as("node_id"),
+        expr(s"ar * ${HitsScale}L div ${mxa}L").as("a"))
+    }
+    (h, a)
+  }
+
+  /** Generated HITS stage chain (h1/a1 … h[[HitsIters]]/a[[HitsIters]])
+    * — every stage AS MATERIALIZED (the prStagesCte lesson), every
+    * output CAST to BIGINT (DuckDB sum widens to HUGEINT). Expects
+    * `edges` from graphCte and `a0`. */
+  private[ops] def hitsStagesCte: String =
+    (1 to HitsIters).map { k =>
+      s"""hr$k AS MATERIALIZED (
+         |  SELECT e.dst AS node_id, CAST(sum(a.a) AS BIGINT) AS hr
+         |  FROM edges e JOIN a${k - 1} a ON e.src = a.node_id
+         |  WHERE e.src % 2 = 1 GROUP BY e.dst),
+         |h$k AS MATERIALIZED (
+         |  SELECT node_id,
+         |         CAST(hr * $HitsScale // (SELECT max(hr) FROM hr$k) AS BIGINT) AS h
+         |  FROM hr$k),
+         |ar$k AS MATERIALIZED (
+         |  SELECT e.dst AS node_id, CAST(sum(h.h) AS BIGINT) AS ar
+         |  FROM edges e JOIN h$k h ON e.src = h.node_id
+         |  WHERE e.src % 2 = 0 GROUP BY e.dst),
+         |a$k AS MATERIALIZED (
+         |  SELECT node_id,
+         |         CAST(ar * $HitsScale // (SELECT max(ar) FROM ar$k) AS BIGINT) AS a
+         |  FROM ar$k)""".stripMargin
+    }.mkString(",\n")
 
   /** The strong-arc brand aggregation `(bs, d_tot, a_in)` — arcs by
     * source brand / arcs staying within the brand — shared by
@@ -304,6 +413,22 @@ object GraphPathOps extends QueryModule {
 
   def oracle: Seq[(String, String)] = Seq(
     "q_graph_rw_sample" -> rwSampleOracle,
+
+    "q_graph_hits" ->
+      s"""WITH $graphCte,
+         |a0 AS (
+         |  SELECT DISTINCT src AS node_id, CAST($HitsScale AS BIGINT) AS a
+         |  FROM edges WHERE src % 2 = 1),
+         |$hitsStagesCte
+         |SELECT * FROM (
+         |  SELECT 'customer' AS node_type,
+         |         CAST(node_id // 2 AS BIGINT) AS orig_id, h AS score
+         |  FROM h$HitsIters
+         |  UNION ALL
+         |  SELECT 'supplier' AS node_type,
+         |         CAST((node_id - 1) // 2 AS BIGINT) AS orig_id, a AS score
+         |  FROM a$HitsIters)
+         |ORDER BY node_type, orig_id""".stripMargin,
 
     "q_graph_bfs" ->
       s"""WITH $copurchaseCte,

@@ -20,13 +20,16 @@ import org.apache.spark.sql.functions._
   */
 object LlmOps extends QueryModule {
 
-  private[ops] val MaxBucket = 50
+  // MaxBucket / NumHashes / NumBands are private[graft] (not [ops]) so the
+  // streaming MinHash twin (graft.streaming.StreamingNeardup) shares the
+  // SAME banding constants — the AnnOps.MaxEmbBucket precedent.
+  private[graft] val MaxBucket = 50
 
   /** q_llm_minhash_recall: probe-doc count and ground-truth depth. */
   private[ops] val MhEvalProbes = 50
   private[ops] val MhEvalK = 10
-  private[ops] val NumHashes = 16
-  private[ops] val NumBands  = 8 // 2 rows per band
+  private[graft] val NumHashes = 16
+  private[graft] val NumBands  = 8 // 2 rows per band
 
   /** Compared-prefix cap for edit-distance verification, in CODEPOINTS
     * (substring semantics shared by both engines): bounds BOTH the
@@ -113,6 +116,14 @@ object LlmOps extends QueryModule {
   /** q_llm_span_dedup window width: minimum removable span, in tokens. */
   private[graft] val SpanW = 8
 
+  /** q_llm_span_dedup_multi sweep widths (r15, verdict item 4): the
+    * RefinedWeb-style width sensitivity — removed_tokens(w) is
+    * non-increasing in w (a width-2w dup window implies dup windows at
+    * every contained width-w offset, so LARGER widths flag subsets), and
+    * the per-width rows quantify the precision/recall trade a curation
+    * run picks its minimum span length from. */
+  private[graft] val SpanWidths = Seq(8, 16, 32)
+
   /** Span-GRANULAR exact-substring dedup report (r12 — Lee et al. 2022 at
     * full granularity, promoting the block-granular [[blockDedupStats]]):
     * SLIDING w-token window digests per doc (SlidingHashGenerator — one
@@ -134,13 +145,22 @@ object LlmOps extends QueryModule {
   private[graft] def spanDedupReport(s: SparkSession, docs: DataFrame,
       w: Int = SpanW): DataFrame = {
     graft.functions.GraftFunctions.register(s)
-    val P = graft.functions.ReplayableHash.P
-    val B = graft.functions.ReplayableHash.BlockBase
     val wins = docs.select(col("doc_id"),
       call_function("sliding_hashes", col("text"), lit(w)))
     val occ = wins.groupBy("wh").agg(count(lit(1)).as("df"))
     val dup = wins.join(occ.where(col("df") > 1), Seq("wh"))
       .select("doc_id", "pos")
+    spanReportFromDup(docs, dup, w)
+  }
+
+  /** The islands-merge + per-doc report tail of [[spanDedupReport]] over
+    * an already-computed dup-position relation — factored (r15) so the
+    * streaming span-dedup twin's read runs the IDENTICAL batch tail
+    * (the twin-body rule in function form). */
+  private[graft] def spanReportFromDup(docs: DataFrame, dup: DataFrame,
+      w: Int): DataFrame = {
+    val P = graft.functions.ReplayableHash.P
+    val B = graft.functions.ReplayableHash.BlockBase
     val byDoc = Window.partitionBy("doc_id").orderBy("pos")
     val lagPos = lag(col("pos"), 1).over(byDoc)
     val grp = dup
@@ -166,56 +186,104 @@ object LlmOps extends QueryModule {
         coalesce(col("span_fp"), lit(0L)).as("span_fp"))
   }
 
-  /** The q_llm_span_dedup oracle CTE chain (ends with `rep` + `nt`) —
-    * ONE builder shared by the per-doc report and the per-source rollup
-    * oracles (r12 twin-fragment discipline). */
-  private[ops] lazy val spanDedupCte: String = {
+  /** The shared token-hash prefix of every span-dedup oracle: per-doc
+    * token lists hashed on both polynomial bases. `materializeTl` — the
+    * multi-width sweep reads `tl` once per width (the >1-reference
+    * AS MATERIALIZED rule); the single-width chain keeps the inlined r12
+    * text. */
+  private def spanDedupPrefixCte(materializeTl: Boolean): String = {
     val RH = graft.functions.ReplayableHash
-    val W = SpanW
+    val m = if (materializeTl) " MATERIALIZED" else ""
     s"""toks AS (
        |  SELECT doc_id, list_filter(string_split(text, ' '), t -> length(t) > 0) AS ts
        |  FROM documents),
-       |tl AS (
+       |tl AS$m (
        |  SELECT doc_id,
        |         list_transform(ts, t -> ${RH.tokenHashSql("t")}) AS t1,
        |         list_transform(ts, t -> ${RH.tokenHashSql("t", RH.Base2)}) AS t2
-       |  FROM toks),
-       |win AS (
+       |  FROM toks)""".stripMargin
+  }
+
+  /** Width-parameterized span-dedup CTE chain (win→whr→occ→dup→brk→grp→
+    * spans→rep, names suffixed with `sfx`) over the shared `tl` relation —
+    * ONE builder behind the single-width oracles (sfx = "", text as in
+    * r12) and the r15 multi-width sweep (sfx = the width). */
+  private def spanDedupWidthCtes(W: Int, sfx: String): String = {
+    val RH = graft.functions.ReplayableHash
+    s"""win$sfx AS (
        |  SELECT doc_id, unnest(range(0, length(t1) - $W + 1)) AS pos, t1, t2
        |  FROM tl),
-       |whr AS MATERIALIZED (
+       |whr$sfx AS MATERIALIZED (
        |  SELECT doc_id, pos,
        |         ${RH.blockFoldSql(s"t1[CAST(pos + 1 AS INT):CAST(pos + $W AS INT)]")} * ${RH.P}
        |         + ${RH.blockFoldSql(s"t2[CAST(pos + 1 AS INT):CAST(pos + $W AS INT)]", RH.BlockBase2)} AS wh
-       |  FROM win),
-       |occ AS (SELECT wh AS h, count(*) AS df FROM whr GROUP BY wh),
-       |dup AS (
-       |  SELECT w.doc_id, w.pos FROM whr w JOIN occ o ON o.h = w.wh
+       |  FROM win$sfx),
+       |occ$sfx AS (SELECT wh AS h, count(*) AS df FROM whr$sfx GROUP BY wh),
+       |dup$sfx AS (
+       |  SELECT w.doc_id, w.pos FROM whr$sfx w JOIN occ$sfx o ON o.h = w.wh
        |  WHERE o.df > 1),
-       |brk AS (
+       |brk$sfx AS (
        |  SELECT doc_id, pos,
        |         CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
        |                   OR pos > lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) + $W
        |              THEN 1 ELSE 0 END AS b
-       |  FROM dup),
-       |grp AS (
+       |  FROM dup$sfx),
+       |grp$sfx AS (
        |  SELECT doc_id, pos,
        |         sum(b) OVER (PARTITION BY doc_id ORDER BY pos
        |                      ROWS UNBOUNDED PRECEDING) AS g
-       |  FROM brk),
-       |spans AS (
+       |  FROM brk$sfx),
+       |spans$sfx AS (
        |  SELECT doc_id, g, min(pos) AS s, max(pos) + $W AS e
-       |  FROM grp GROUP BY doc_id, g),
-       |rep AS (
+       |  FROM grp$sfx GROUP BY doc_id, g),
+       |rep$sfx AS (
        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
        |         CAST(sum(e - s) AS BIGINT) AS removed_tokens,
        |         CAST(sum(((s + 1) * ${RH.BlockBase} + e) % ${RH.P}) % ${RH.P} AS BIGINT) AS span_fp
-       |  FROM spans GROUP BY doc_id),
-       |nt AS (
+       |  FROM spans$sfx GROUP BY doc_id)""".stripMargin
+  }
+
+  private val spanDedupNtCte: String =
+    s"""nt AS (
        |  SELECT doc_id,
        |         CAST(length(list_filter(string_split(text, ' '), t -> length(t) > 0)) AS BIGINT) AS n_tokens
        |  FROM documents)""".stripMargin
+
+  /** The q_llm_span_dedup oracle CTE chain (ends with `rep` + `nt`) —
+    * ONE builder shared by the per-doc report and the per-source rollup
+    * oracles (r12 twin-fragment discipline). */
+  private[ops] lazy val spanDedupCte: String =
+    spanDedupPrefixCte(materializeTl = false) + ",\n" +
+      spanDedupWidthCtes(SpanW, "") + ",\n" + spanDedupNtCte
+
+  /** The q_llm_span_dedup_multi oracle chain: shared materialized `tl`,
+    * one width-suffixed chain per sweep width, per-width reps unioned
+    * under a BIGINT `w` tag. Ends with `nt` + `repw`. */
+  private[ops] lazy val spanDedupMultiCte: String = {
+    val widths = SpanWidths.map(w => spanDedupWidthCtes(w, w.toString))
+      .mkString(",\n")
+    val union = SpanWidths
+      .map(w => s"SELECT CAST($w AS BIGINT) AS w, * FROM rep$w")
+      .mkString("\n  UNION ALL ")
+    spanDedupPrefixCte(materializeTl = true) + ",\n" + widths + ",\n" +
+      spanDedupNtCte + ",\n" + s"repw AS (\n  $union)"
   }
+
+  /** Stacked width sweep of [[spanDedupReport]]: one row per (doc, width)
+    * for every width in [[SpanWidths]], tagged `w`. Each branch is the
+    * proven single-width pipeline (digest exchanges, per-doc islands
+    * merge); widths are few and fixed, so the union is a constant fan —
+    * at 100 TB this is 3 passes over the token stream, each individually
+    * scale-safe, and a shared-scan rewrite would trade that for carrying
+    * three window relations through one exchange (no win: the windows ARE
+    * the bulk). */
+  private[graft] def spanDedupMultiReport(s: SparkSession,
+      docs: DataFrame): DataFrame =
+    SpanWidths.map { w =>
+      spanDedupReport(s, docs, w).withColumn("w", lit(w.toLong))
+    }.reduce(_ unionByName _)
+      .select(col("doc_id"), col("w"), col("n_tokens"), col("n_spans"),
+        col("removed_tokens"), col("kept_tokens"), col("span_fp"))
 
   /** distinct (doc_id, token) pairs. */
   private[graft] def docTokens(docs: DataFrame): DataFrame =
@@ -419,6 +487,14 @@ object LlmOps extends QueryModule {
     // block-granular key above).
     "q_llm_span_dedup" -> ((s: SparkSession, dir: String) =>
       spanDedupReport(s, table(s, dir, "documents")).orderBy("doc_id")),
+
+    // Multi-width span-dedup sweep (r15): the same sliding-digest
+    // machinery at w ∈ {8, 16, 32}, one row per (doc, width) — the
+    // variable-length decontamination sensitivity curve (removed_tokens
+    // non-increasing in w by the containment argument; see SpanWidths).
+    "q_llm_span_dedup_multi" -> ((s: SparkSession, dir: String) =>
+      spanDedupMultiReport(s, table(s, dir, "documents"))
+        .orderBy("doc_id", "w")),
 
     // Per-source span-dedup burden (r12) — dup_rate_by_source at span
     // granularity: which provenance carries the repeated-span weight.
@@ -1268,6 +1344,21 @@ object LlmOps extends QueryModule {
          |       COALESCE(rep.span_fp, 0) AS span_fp
          |FROM nt LEFT JOIN rep ON rep.doc_id = nt.doc_id
          |ORDER BY nt.doc_id""".stripMargin,
+
+    // Multi-width sweep over the width-parameterized chains (shared
+    // MATERIALIZED tl prefix; per-width reps unioned in repw): one row
+    // per (doc, width), all widths present per doc via the nt × widths
+    // cross.
+    "q_llm_span_dedup_multi" ->
+      s"""WITH $spanDedupMultiCte
+         |SELECT nt.doc_id AS doc_id, ws.w AS w, nt.n_tokens AS n_tokens,
+         |       COALESCE(repw.n_spans, 0) AS n_spans,
+         |       COALESCE(repw.removed_tokens, 0) AS removed_tokens,
+         |       nt.n_tokens - COALESCE(repw.removed_tokens, 0) AS kept_tokens,
+         |       COALESCE(repw.span_fp, 0) AS span_fp
+         |FROM nt CROSS JOIN (SELECT CAST(unnest([${SpanWidths.mkString(", ")}]) AS BIGINT) AS w) ws
+         |LEFT JOIN repw ON repw.doc_id = nt.doc_id AND repw.w = ws.w
+         |ORDER BY nt.doc_id, ws.w""".stripMargin,
 
     // Per-source rollup over the SAME spanDedupCte chain: removal burden
     // by provenance (the dup_rate_by_source read at span granularity).

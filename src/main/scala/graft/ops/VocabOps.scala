@@ -66,6 +66,34 @@ object VocabOps extends QueryModule {
         .orderBy(desc("tf_corpus"), asc("token"))
         .limit(100)),
 
+    // Token burstiness (r15): Church–Gale dispersion — the
+    // variance-to-mean ratio of a token's per-doc tf over ALL docs
+    // (zeros included: VMR = (n·Σtf² − (Σtf)²) / (n·Σtf), exact BIGINT
+    // numerator/denominator, ONE double division — the §7.4 money
+    // discipline). Bursty tokens (VMR ≫ 1: topical/template words)
+    // versus Poisson-like function words is the content-word signal a
+    // stopword-free quality scorer reads. Rides the memoized token
+    // index; the token group sits above a map-side partial agg (the
+    // vocab/5b bounded shape); top-50 under a total order. Declared
+    // domain bound: (Σtf)² needs Σtf < 2^31·√2 per token — beyond that
+    // pre-divide (the collocations scale rule).
+    "q_text_burstiness" -> ((s: SparkSession, dir: String) => {
+      val nDocs = table(s, dir, "documents").agg(count(lit(1)).as("n"))
+      TextOps.tokenIndexFor(s, dir)
+        .groupBy("token")
+        .agg(asLong(count(lit(1))).as("df"),
+          asLong(sum(col("tf"))).as("sum_tf"),
+          asLong(sum(col("tf") * col("tf"))).as("sum_tf2"),
+          asLong(max(col("tf"))).as("max_tf"))
+        .where(col("df") >= 5)
+        .crossJoin(broadcast(nDocs))
+        .selectExpr("token", "df", "sum_tf", "max_tf",
+          "CAST(n * sum_tf2 - sum_tf * sum_tf AS DOUBLE)" +
+            " / CAST(n * sum_tf AS DOUBLE) AS burstiness")
+        .orderBy(desc("burstiness"), asc("token"))
+        .limit(50)
+    }),
+
     // Hapax-legomena / type-token profile per source (r12): the
     // Zipf-tail corpus-quality readout — a scrape dominated by boiler-
     // plate has a thin hapax tail and low TTR; OCR noise or random junk
@@ -538,6 +566,26 @@ object VocabOps extends QueryModule {
         |GROUP BY token
         |ORDER BY tf_corpus DESC, token ASC
         |LIMIT 100""".stripMargin,
+
+    "q_text_burstiness" ->
+      """WITH tfq AS (
+        |  SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+        |  WHERE length(token) > 0 GROUP BY doc_id, token),
+        |st AS (
+        |  SELECT token, CAST(count(*) AS BIGINT) AS df,
+        |         CAST(sum(tf) AS BIGINT) AS sum_tf,
+        |         CAST(sum(tf * tf) AS BIGINT) AS sum_tf2,
+        |         CAST(max(tf) AS BIGINT) AS max_tf
+        |  FROM tfq GROUP BY token),
+        |nq AS (SELECT count(*) AS n FROM documents)
+        |SELECT token, df, sum_tf, max_tf,
+        |       CAST(n * sum_tf2 - sum_tf * sum_tf AS DOUBLE)
+        |         / CAST(n * sum_tf AS DOUBLE) AS burstiness
+        |FROM st CROSS JOIN nq
+        |WHERE df >= 5
+        |ORDER BY burstiness DESC, token ASC
+        |LIMIT 50""".stripMargin,
 
     "q_text_hapax" ->
       """WITH tok AS (

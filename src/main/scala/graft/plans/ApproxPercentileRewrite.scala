@@ -51,9 +51,26 @@ object ApproxPercentileRewrite extends Rule[LogicalPlan] {
     conf.getConfString(AccuracyKey,
       ApproximatePercentile.DEFAULT_PERCENTILE_ACCURACY.toString).toInt
 
-  private def unitFrequency(e: Expression): Boolean = e match {
-    case Literal(v, _) => v != null && v.toString == "1"
-    case _ => false
+  /** True when the frequency expression is semantically the integral
+    * constant 1 (r14 advisor: the old string-y `v.toString == "1"` guard
+    * matched any type and missed foldable-but-non-literal frequencies
+    * like CAST(1 AS INT)). Foldable expressions are evaluated first, and
+    * the folded value compares as an integral 1 per type. */
+  private def unitFrequency(e: Expression): Boolean = {
+    val lit: Option[Literal] = e match {
+      case l: Literal => Some(l)
+      case f if f.foldable && !f.dataType.isInstanceOf[
+          org.apache.spark.sql.types.DecimalType] =>
+        scala.util.Try(Literal.create(f.eval(), f.dataType)).toOption
+      case _ => None
+    }
+    lit.exists {
+      case Literal(v: Int, org.apache.spark.sql.types.IntegerType) => v == 1
+      case Literal(v: Long, org.apache.spark.sql.types.LongType) => v == 1L
+      case Literal(v: Short, org.apache.spark.sql.types.ShortType) => v == 1
+      case Literal(v: Byte, org.apache.spark.sql.types.ByteType) => v == 1
+      case _ => false
+    }
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan =

@@ -70,12 +70,17 @@ object StreamingKsDrift {
   }
 
   /** Reduce an emitted-cells table (append-everything memory sink) to
-    * the CURRENT cell histogram: the max-version row per cell. */
+    * the CURRENT cell histogram: the max-version row per cell. The
+    * report joins this relation against its own aggregate — over a
+    * memory-sink view that fails resolution (the r9 StreamingTopK
+    * gotcha), so the reduced table is checkpointed into a fresh leaf
+    * (the StreamingContingency.latestCells template). */
   def latestCells(emitted: DataFrame): DataFrame = {
     val w = Window.partitionBy("event_type", "h", "cent")
     emitted.withColumn("__mxv", max("version").over(w))
       .where(col("version") === col("__mxv"))
       .select("event_type", "h", "cent", "cnt")
+      .localCheckpoint(true)
   }
 
   /** The KS drift report over a cell histogram — bit-equal to batch

@@ -597,4 +597,34 @@ class GraphSpec extends SparkTestBase {
     }
     assert(rows.keySet == adj.keySet, "one walk per adjacency node")
   }
+
+  test("HITS equals a driver-side integer power-iteration replay (r15)") {
+    import graft.ops.GraphPathOps.{HitsIters, HitsScale}
+    val rows = q("q_graph_hits").collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // replay: edges is the both-directions arc list (src, dst)
+    val sToC = edges.filter(_._1 % 2 == 1)
+    val cToS = edges.filter(_._1 % 2 == 0)
+    var a: Map[Long, Long] = edges.map(_._1).filter(_ % 2 == 1).distinct
+      .map(_ -> HitsScale).toMap
+    var h: Map[Long, Long] = Map.empty
+    (1 to HitsIters).foreach { _ =>
+      val hr = sToC.groupBy(_._2).view
+        .mapValues(_.map(e => a(e._1)).sum).toMap
+      val mxh = hr.values.max
+      h = hr.view.mapValues(v => Math.floorDiv(v * HitsScale, mxh)).toMap
+      val ar = cToS.groupBy(_._2).view
+        .mapValues(_.map(e => h(e._1)).sum).toMap
+      val mxa = ar.values.max
+      a = ar.view.mapValues(v => Math.floorDiv(v * HitsScale, mxa)).toMap
+    }
+    val expected =
+      h.map { case (n, v) => ("customer", n / 2) -> v } ++
+        a.map { case (n, v) => ("supplier", (n - 1) / 2) -> v }
+    assert(rows == expected, "HITS scores must equal the driver replay")
+    // non-vacuous: normalization pins at least one node per side at the
+    // scale ceiling, and scores differentiate below it
+    assert(rows.values.max == HitsScale)
+    assert(rows.values.toSet.size > 2, "HITS degenerated to constants")
+  }
 }

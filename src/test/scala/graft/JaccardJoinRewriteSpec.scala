@@ -146,6 +146,14 @@ class JaccardJoinRewriteSpec extends SparkTestBase {
       // recall >= the single-hash realized recall on this fixture
       assert(got.size >= single,
         "banded recall fell below the single-hash floor")
+      // r15 (verdict item 7): pin the ABSOLUTE banded floor the way
+      // semdedup's 0.15/0.2 floors are pinned — r14 measured 0.92 vs
+      // single-hash 0.62 at tau 0.3 on this fixture; 0.85 leaves the
+      // documented margin. The exact jaccard_sim >= tau residual is
+      // already re-applied (got ⊆ bruteTruth above), so this is realized
+      // end-to-end recall, not the banding theory bound.
+      assert(got.size.toDouble / bruteTruth.size >= 0.85,
+        "banded recall fell below the pinned 0.85 fixture floor")
     } finally {
       spark.conf.set(JaccardJoinRewrite.EnabledKey, "false")
       spark.conf.set(JaccardJoinRewrite.BandsKey, "false")

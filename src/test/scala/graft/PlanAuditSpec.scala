@@ -129,6 +129,36 @@ class PlanAuditSpec extends SparkTestBase {
       okGrid("/root/testdata/sf0.01"), () => okGrid(sfDir)).isEmpty)
   }
 
+  test("audit flags a corpus-quadratic pairwise fan (rule 8, r15)") {
+    import org.apache.spark.sql.functions._
+    // the granger/coint declared-domain worry made concrete: a self-join
+    // on a 5-value category whose CARRIER table scales with the corpus —
+    // output grows ~100x between scales where the corpus grows ~10x
+    def bad(dir: String) = planOf {
+      val c = ops.table(spark, dir, "customer")
+        .select("c_custkey", "c_mktsegment")
+      c.as("a").join(c.as("b"), "c_mktsegment")
+    }
+    assert(PlanAudit.auditPairFans("bad_pair_fan",
+        bad("/root/testdata/sf0.01"), () => bad(sfDir))
+      .exists(_.contains("fans quadratically")),
+      "rule 8 must fire on the corpus-correlated category self-join")
+    // ...the declared pairwise-grid family passes: the hourly grid's
+    // type domain is fixed, so the fan is span-bounded (~1x growth)
+    def okGrid(dir: String) = planOf(
+      SparkEntry.queries("q_ts_coint")(spark, dir))
+    assert(PlanAudit.auditPairFans("ok_grid_fan",
+      okGrid("/root/testdata/sf0.01"), () => okGrid(sfDir)).isEmpty,
+      "span-bounded pairwise grids must auto-pass the growth test")
+    // ...and a linear (corpus-keyed lookup) join never suspects: output
+    // rows cannot exceed the fact side
+    def okLinear(dir: String) = planOf(ops.table(spark, dir, "lineitem")
+      .join(ops.table(spark, dir, "orders"),
+        expr("l_orderkey = o_orderkey")))
+    assert(PlanAudit.auditPairFans("ok_linear_join",
+      okLinear("/root/testdata/sf0.01"), () => okLinear(sfDir)).isEmpty)
+  }
+
   test("audit flags a shuffled join with a constant-bounded tiny side") {
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")

@@ -138,4 +138,38 @@ class SpanDedupSpec extends SparkTestBase {
       assert(removed == spans.map { case (s, e) => e - s }.sum, s"removed of $id")
     }
   }
+
+  test("multi-width sweep: per-width rows equal the single-width reports; " +
+      "removed_tokens non-increasing in w (r15)") {
+    val docs = ops.table(spark, sfDir, "documents")
+    val multi = SparkEntry.queries("q_llm_span_dedup_multi")(spark, sfDir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))))
+      .toMap
+    val nDocs = docs.count()
+    assert(multi.size == nDocs * LlmOps.SpanWidths.size,
+      "one row per (doc, width)")
+    // each width slice is EXACTLY the single-width report at that width
+    LlmOps.SpanWidths.foreach { w =>
+      val single = LlmOps.spanDedupReport(spark, docs, w).collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5)))).toMap
+      single.foreach { case (id, rep) =>
+        assert(multi((id, w.toLong)) == rep, s"width-$w slice of doc $id")
+      }
+    }
+    // containment: a width-2w dup window implies dup windows at every
+    // contained width-w offset, so removal coverage shrinks as w grows
+    val byDoc = multi.groupBy(_._1._1)
+    byDoc.foreach { case (id, rows) =>
+      val removedByW = rows.map { case ((_, w), (_, _, rm, _, _)) => w -> rm }
+        .toSeq.sortBy(_._1).map(_._2)
+      assert(removedByW == removedByW.sorted.reverse,
+        s"removed_tokens not non-increasing in w for doc $id")
+    }
+    // non-vacuous: the fixture's template corpus has spans at w = 8
+    assert(byDoc.exists { case (_, rows) =>
+      rows.exists { case ((_, w), (_, ns, _, _, _)) => w == 8L && ns > 0 } })
+  }
 }

@@ -704,4 +704,31 @@ class TextSpec extends SparkTestBase {
     // the slope is a real fit: the fixture has ≥ 2 occupied bins
     assert(bins.size >= 2, "fixture collapsed to one tf bin — fit is degenerate")
   }
+
+  test("burstiness equals a driver-side VMR replay, including order (r15)") {
+    val rows = q("q_text_burstiness").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    val docs = ops.table(spark, sfDir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val n = docs.length.toLong
+    val tf = docs.flatMap { case (id, t) =>
+      t.split(' ').filter(_.nonEmpty).groupBy(identity)
+        .map { case (tok, occ) => (tok, id, occ.length.toLong) }
+    }
+    val expected = tf.groupBy(_._1).view.mapValues { xs =>
+      val tfs = xs.map(_._3)
+      (tfs.length.toLong, tfs.sum, tfs.map(x => x * x).sum, tfs.max)
+    }.toMap.collect { case (tok, (df, s1, s2, mx)) if df >= 5 =>
+      (tok, df, s1, mx, (n * s2 - s1 * s1).toDouble / (n * s1).toDouble)
+    }.toSeq
+      .sortBy { case (tok, _, _, _, b) => (-b, tok) }
+      .take(50)
+    assert(rows.toSeq == expected,
+      "burstiness top-50 must equal the driver replay, in order")
+    // non-vacuous: template words are bursty (VMR > 1), and the fixture
+    // also has near-Poisson tokens below the cut
+    assert(rows.head._5 > 1.0, "no bursty token — weak fixture signal")
+  }
 }
