@@ -134,10 +134,14 @@ object ReplayableHash extends Serializable {
   /** SQL computing [[tokenHash]] of a string expression. */
   def tokenHashSql(col: String): String = tokenHashSql(col, Base)
 
-  /** As [[tokenHashSql]] with an explicit base. */
+  /** As [[tokenHashSql]] with an explicit base. `col` is parenthesized
+    * before indexing (r15: `$col[i]` on a concat expression like
+    * `a || ' ' || b` would index only the LAST term — `[]` binds tighter
+    * than `||`), and callers must not alias any enclosing unnest/range
+    * column `i` — the fold lambda binds `i` and would capture it. */
   def tokenHashSql(col: String, base: Long): String =
     s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
-       |  list_transform(range(1, length($col) + 1), i -> CAST(ord($col[i]) AS BIGINT))),
+       |  list_transform(range(1, length($col) + 1), i -> CAST(ord(($col)[i]) AS BIGINT))),
        |  (h, c) -> (h * $base + c) % $P)""".stripMargin
 
   /** SQL twin of the [[graft.functions.ShingleKey]] 60-bit pairing digest:

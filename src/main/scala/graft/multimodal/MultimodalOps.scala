@@ -183,6 +183,52 @@ object MultimodalOps extends QueryModule {
         .select("asset_id", "kind", "n_bytes", "width", "height", "n_frames")
         .orderBy("asset_id")),
 
+    // BMP channel statistics (r15) — the image twin of q_mm_audio_energy:
+    // decode the REAL container (Bmp.parse header walk, payload from the
+    // parsed data offset) and fold the 24bpp BGR triples into exact
+    // per-channel integer sums (unsigned bytes — the engine decodes
+    // & 0xFF even though fixture ASCII never sets the high bit; the spec
+    // covers ≥ 0x80 payloads the oracle never sees). Integer-weighted
+    // ITU-R 601 luminance (299·R + 587·G + 114·B) stays exact; mean_lum
+    // is ONE double division. width/height surface from the PARSED
+    // header; the oracle replays the known generator formulas (the
+    // mm-family oracle split). Ragged trailing 1–2 bytes drop exactly
+    // as a stride-less decoder would (n_px = len div 3).
+    "q_mm_image_channel_stats" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      containerAssets(s, dir).filter(_.kind == "image")
+        .mapPartitions { it =>
+          it.flatMap { a =>
+            val m = Bmp.parse(a.content).getOrElse(
+              sys.error(s"unparseable BMP for asset ${a.asset_id}"))
+            val p = java.util.Arrays.copyOfRange(a.content,
+              m.dataOffset.toInt, (m.dataOffset + m.dataBytes).toInt)
+            val nPx = p.length / 3
+            if (nPx < 1) None
+            else {
+              var sb = 0L; var sg = 0L; var sr = 0L
+              var i = 0
+              while (i < 3 * nPx) {
+                sb += p(i) & 0xFF
+                sg += p(i + 1) & 0xFF
+                sr += p(i + 2) & 0xFF
+                i += 3
+              }
+              Some((a.asset_id, m.width.toLong, m.height.toLong,
+                nPx.toLong, sb, sg, sr))
+            }
+          }
+        }
+        .toDF("asset_id", "width", "height", "n_px",
+          "sum_b", "sum_g", "sum_r")
+        .selectExpr("asset_id", "width", "height", "n_px",
+          "sum_b", "sum_g", "sum_r",
+          "CAST(299 * sum_r + 587 * sum_g + 114 * sum_b AS BIGINT) AS lum_sum",
+          "CAST(299 * sum_r + 587 * sum_g + 114 * sum_b AS DOUBLE)" +
+            " / CAST(1000 * n_px AS DOUBLE) AS mean_lum")
+        .orderBy("asset_id")
+    }),
+
     // Frame sampling: every 5th frame of each video, fanned out without UDFs.
     "q_mm_frame_sample" -> ((s: SparkSession, dir: String) =>
       decoded(s, dir).toDF()
@@ -588,6 +634,39 @@ object MultimodalOps extends QueryModule {
     // ground truth: samples over the asserted-ASCII payload are
     // ord(c₀) + 256·ord(c₁) — always positive on fixture data, so |peak|
     // = max and the signed path never fires here (the spec covers it)
+    // Ground-truth replay of the image channel stats: kind = image ⇔
+    // doc_id % 3 = 0; width/height are the generator formulas the engine
+    // re-reads from the REAL parsed header; channels are the 1-based
+    // (3i−2, 3i−1, 3i) byte positions of the BGR triples (ASCII fixture
+    // ⇒ ord(char) = byte, the video_motion precedent).
+    "q_mm_image_channel_stats" ->
+      """WITH a AS (
+        |  SELECT doc_id AS asset_id, text,
+        |         CAST(1 + strlen(text) % 320 AS BIGINT) AS width,
+        |         CAST(1 + (strlen(text) * 7) % 200 AS BIGINT) AS height,
+        |         CAST(strlen(text) AS BIGINT) // 3 AS n_px
+        |  FROM documents WHERE doc_id % 3 = 0 AND strlen(text) >= 3),
+        |px AS (
+        |  SELECT asset_id, width, height, n_px,
+        |         CAST(list_aggregate(list_transform(
+        |           range(1, CAST(n_px + 1 AS INT)), i ->
+        |             CAST(ord(substr(text, CAST(3 * i - 2 AS INT), 1)) AS BIGINT)),
+        |           'sum') AS BIGINT) AS sum_b,
+        |         CAST(list_aggregate(list_transform(
+        |           range(1, CAST(n_px + 1 AS INT)), i ->
+        |             CAST(ord(substr(text, CAST(3 * i - 1 AS INT), 1)) AS BIGINT)),
+        |           'sum') AS BIGINT) AS sum_g,
+        |         CAST(list_aggregate(list_transform(
+        |           range(1, CAST(n_px + 1 AS INT)), i ->
+        |             CAST(ord(substr(text, CAST(3 * i AS INT), 1)) AS BIGINT)),
+        |           'sum') AS BIGINT) AS sum_r
+        |  FROM a)
+        |SELECT asset_id, width, height, n_px, sum_b, sum_g, sum_r,
+        |       CAST(299 * sum_r + 587 * sum_g + 114 * sum_b AS BIGINT) AS lum_sum,
+        |       CAST(299 * sum_r + 587 * sum_g + 114 * sum_b AS DOUBLE)
+        |         / CAST(1000 * n_px AS DOUBLE) AS mean_lum
+        |FROM px ORDER BY asset_id""".stripMargin,
+
     "q_mm_audio_energy" -> {
       val rates = AudioRates.mkString("[", ", ", "]")
       s"""WITH a AS (

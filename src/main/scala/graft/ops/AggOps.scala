@@ -19,11 +19,24 @@ object AggOps extends QueryModule {
           dsum(col("l_quantity")).as("sum_qty"),
           dsum(col("l_extendedprice")).as("sum_base_price"),
           dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("sum_disc_price"),
-          dsum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax")), 6)
-            .as("sum_charge"),
+          // scale-6 sum: surfaced via the floor/frac split — a plain
+          // DECIMAL→DOUBLE cast stops replaying once the unscaled sum
+          // passes 2^53 (DuckDB converts the int128 limbs separately;
+          // caught by the r15 ×10-content gate). floor + 10^6·frac are
+          // each exact doubles; the recombination is the same staged
+          // IEEE ops in both engines.
+          sum((col("l_extendedprice") * (lit(1) - col("l_discount"))
+            * (lit(1) + col("l_tax"))).cast("decimal(18,6)")).as("chs"),
           round(dsum(col("l_quantity")) / count(lit(1)), 4).as("avg_qty"),
           round(dsum(col("l_discount")) / count(lit(1)), 6).as("avg_disc"),
           count(lit(1)).as("count_order"))
+        .withColumn("sum_charge",
+          expr("CAST(CAST(floor(chs) AS BIGINT) AS DOUBLE)" +
+            " + CAST(CAST((chs % 1) * 1000000 AS BIGINT) AS DOUBLE)" +
+            " / CAST(1000000 AS DOUBLE)"))
+        .select("l_returnflag", "l_linestatus", "sum_qty", "sum_base_price",
+          "sum_disc_price", "sum_charge", "avg_qty", "avg_disc",
+          "count_order")
         .orderBy("l_returnflag", "l_linestatus")),
 
     "q_agg_distinct" -> ((s: SparkSession, dir: String) =>
@@ -521,7 +534,9 @@ object AggOps extends QueryModule {
         |       CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
         |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
         |       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
-        |       CAST(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+        |       CAST(CAST(floor(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6)))) AS BIGINT) AS DOUBLE)
+        |         + CAST(CAST((sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) % 1) * 1000000 AS BIGINT) AS DOUBLE)
+        |           / CAST(1000000 AS DOUBLE) AS sum_charge,
         |       round(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / count(*), 4) AS avg_qty,
         |       round(CAST(sum(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / count(*), 6) AS avg_disc,
         |       count(*) AS count_order

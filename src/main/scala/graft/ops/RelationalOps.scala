@@ -20,7 +20,10 @@ object RelationalOps extends QueryModule {
         round(col("l_extendedprice") * (lit(1) - col("l_discount")), 4).as("revenue"),
         round(col("l_extendedprice") * (lit(1) + col("l_tax")), 4).as("charged"),
         (col("l_quantity") * lit(100)).as("qty_pct"))
-        .orderBy("l_orderkey", "l_linenumber")),
+        // non-unique (okey, lineno): total the order over the payload
+        // (the q_fn_math x10 tie lesson, r15)
+        .orderBy("l_orderkey", "l_linenumber", "revenue", "charged",
+          "qty_pct")),
 
     "q_filter_pred" -> ((s: SparkSession, dir: String) =>
       table(s, dir, "orders")
@@ -128,7 +131,8 @@ object RelationalOps extends QueryModule {
         |       round(l_extendedprice * (1 - l_discount), 4) AS revenue,
         |       round(l_extendedprice * (1 + l_tax), 4) AS charged,
         |       l_quantity * 100 AS qty_pct
-        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber, revenue, charged,
+        |  qty_pct""".stripMargin,
 
     "q_filter_pred" ->
       """SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority

@@ -48,7 +48,12 @@ object ScalarFnOps extends QueryModule {
         round(sqrt(col("l_quantity")), 4).as("sqrt_q"),
         asLong(col("l_orderkey") % 7).as("mod7"),
         asLong(signum(col("l_quantity") - 25.0)).as("sgn"))
-        .orderBy("l_orderkey", "l_linenumber")),
+        // (l_orderkey, l_linenumber) is NOT unique on this fixture (the
+        // r14 approx_percentile note) — extend the sort over the payload
+        // columns so the order is total up to fully-identical rows (the
+        // x10 one-off gate caught the tie order diverging, r15)
+        .orderBy("l_orderkey", "l_linenumber", "abs_dev", "ceil_c",
+          "pow_d", "sgn")),
 
     "q_fn_case" -> ((s: SparkSession, dir: String) =>
       table(s, dir, "orders").select(
@@ -206,7 +211,8 @@ object ScalarFnOps extends QueryModule {
         |       round(sqrt(l_quantity), 4) AS sqrt_q,
         |       CAST(l_orderkey % 7 AS BIGINT) AS mod7,
         |       CAST(sign(l_quantity - 25.0) AS BIGINT) AS sgn
-        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber, abs_dev, ceil_c,
+        |  pow_d, sgn""".stripMargin,
 
     "q_fn_case" ->
       """SELECT o_orderkey,

@@ -319,8 +319,11 @@ object SqlOps extends QueryModule {
       |       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
       |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
       |       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
-      |       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))
-      |                * CAST(1 + l_tax AS DECIMAL(4,2))) AS DOUBLE) AS sum_charge,
+      |       CAST(CAST(floor(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))
+      |                           * CAST(1 + l_tax AS DECIMAL(4,2)))) AS BIGINT) AS DOUBLE)
+      |         + CAST(CAST((sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))
+      |                          * CAST(1 + l_tax AS DECIMAL(4,2))) % 1) * 1000000 AS BIGINT) AS DOUBLE)
+      |           / CAST(1000000 AS DOUBLE) AS sum_charge,
       |       CAST(sum(CAST(l_quantity AS BIGINT)) AS DOUBLE) / count(*) AS avg_qty,
       |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS avg_price,
       |       CAST(sum(CAST(round(l_discount * 100) AS BIGINT)) AS DOUBLE) / (100 * count(*)) AS avg_disc,

@@ -203,14 +203,14 @@ object StreamAnalogOps extends QueryModule {
     // the previous event is >= 30 min (Spark merges only strictly-inside).
     "q_stream_session" ->
       """WITH t AS (
-        |  SELECT user_id, ts, value,
+        |  SELECT user_id, ts, event_id, value,
         |         CASE WHEN lag(ts) OVER w IS NULL
         |                OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
         |              THEN 1 ELSE 0 END AS brk
         |  FROM events
         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
         |s AS (
-        |  SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+        |  SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
         |                           ROWS UNBOUNDED PRECEDING) AS sid
         |  FROM t)
         |SELECT user_id,

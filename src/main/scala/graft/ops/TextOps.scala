@@ -514,6 +514,48 @@ object TextOps extends QueryModule {
     // reuses ONE localCheckpointed count relation; pair rows ≤ sources².
     // Quantization caveat as mi_q: a deterministic proxy, not an
     // estimator (floor-log can push tiny divergences negative).
+    // Per-source conditional bigram entropy (r15): H_q(next | prev) =
+    // H_q(bigram) − H_q(prev) in the INTEGER-log2 quanta (exact BIGINT
+    // both engines), i.e. cond_q = Σ c_p·ilog2(c_p) − Σ c_pt·ilog2(c_pt)
+    // — the predictability-of-continuation readout (templated/boiler-
+    // plate sources sit near 0; diverse prose runs high). cond_q ≥ 0
+    // holds EXACTLY in quanta (splitting a count can only lower
+    // Σ c·ilog2(c) — the r10 safe order relation; general quanta
+    // inequalities are NOT safe, see the r11 counterexample). Bigram
+    // and prev-token keys travel as 60-bit shingle digests (rule 5b);
+    // the (source, kp, kb) count relation is tf-AGGREGATED before its
+    // one localCheckpoint (the r11 index rule — never raw occurrence
+    // rows) and feeds both the joint and prev-marginal sums.
+    "q_text_cond_entropy" -> ((s: SparkSession, dir: String) => {
+      graft.functions.GraftFunctions.register(s)
+      def ilog2(c: org.apache.spark.sql.Column) = length(bin(c)) - 1
+      val tb = table(s, dir, "documents")
+        .select(col("source"),
+          call_function("shingles", col("text"), lit(2)))
+        .select(col("source"),
+          call_function("shingle_key",
+            element_at(split(col("shingle"), " "), 1)).as("kp"),
+          call_function("shingle_key", col("shingle")).as("kb"))
+        .groupBy("source", "kp", "kb").agg(count(lit(1)).as("c"))
+        .localCheckpoint(true)
+      val jt = tb.groupBy("source").agg(
+        asLong(sum(col("c"))).as("n"),
+        asLong(count(lit(1))).as("n_distinct_bigrams"),
+        asLong(sum(col("c") * ilog2(col("c")))).as("sj"))
+      val pm = tb.groupBy("source", "kp").agg(asLong(sum(col("c"))).as("cp"))
+        .groupBy("source").agg(
+          asLong(count(lit(1))).as("n_distinct_prev"),
+          asLong(sum(col("cp") * ilog2(col("cp")))).as("sp"))
+      jt.join(pm, "source")
+        .select(col("source"), col("n").as("n_bigrams"),
+          col("n_distinct_bigrams"), col("n_distinct_prev"),
+          (col("n") * ilog2(col("n")) - col("sp")).as("h_prev_q"),
+          (col("n") * ilog2(col("n")) - col("sj")).as("h_bigram_q"),
+          (col("sp") - col("sj")).as("cond_q"),
+          ((col("sp") - col("sj")).cast("double") / col("n")).as("cond_rate"))
+        .orderBy("source")
+    }),
+
     "q_text_source_jsd" -> ((s: SparkSession, dir: String) => {
       graft.functions.GraftFunctions.register(s)
       def ilog2(c: org.apache.spark.sql.Column) = length(bin(c)) - 1
@@ -909,6 +951,42 @@ object TextOps extends QueryModule {
          |       CAST((n * (length(bin(n)) - 1) - ss) + (n * (length(bin(n)) - 1) - st)
          |            - (n * (length(bin(n)) - 1) - sj) AS DOUBLE) / n AS mi_rate
          |FROM j CROSS JOIN tm CROSS JOIN sm""".stripMargin,
+
+    "q_text_cond_entropy" -> {
+      val RH = graft.functions.ReplayableHash
+      s"""WITH tb AS MATERIALIZED (
+         |  SELECT source, kp, kb, CAST(count(*) AS BIGINT) AS c FROM (
+         |    SELECT source,
+         |           ${RH.shingleKeySql("ts[bi]")} AS kp,
+         |           ${RH.shingleKeySql("ts[bi] || ' ' || ts[bi + 1]")} AS kb
+         |    FROM (
+         |      SELECT source, ts,
+         |             unnest(range(1, CAST(length(ts) AS INT))) AS bi
+         |      FROM (
+         |        SELECT source,
+         |               list_filter(string_split(text, ' '), t -> length(t) > 0) AS ts
+         |        FROM documents)))
+         |  GROUP BY 1, 2, 3),
+         |jt AS (
+         |  SELECT source, CAST(sum(c) AS BIGINT) AS n,
+         |         CAST(count(*) AS BIGINT) AS nbv,
+         |         CAST(sum(c * (length(bin(c)) - 1)) AS BIGINT) AS sj
+         |  FROM tb GROUP BY source),
+         |pm AS (
+         |  SELECT source, CAST(count(*) AS BIGINT) AS npv,
+         |         CAST(sum(cp * (length(bin(cp)) - 1)) AS BIGINT) AS sp
+         |  FROM (SELECT source, kp, CAST(sum(c) AS BIGINT) AS cp
+         |        FROM tb GROUP BY 1, 2)
+         |  GROUP BY source)
+         |SELECT jt.source AS source, n AS n_bigrams,
+         |       nbv AS n_distinct_bigrams, npv AS n_distinct_prev,
+         |       n * (length(bin(n)) - 1) - sp AS h_prev_q,
+         |       n * (length(bin(n)) - 1) - sj AS h_bigram_q,
+         |       sp - sj AS cond_q,
+         |       CAST(sp - sj AS DOUBLE) / n AS cond_rate
+         |FROM jt JOIN pm ON jt.source = pm.source
+         |ORDER BY jt.source""".stripMargin
+    },
 
     "q_text_source_jsd" ->
       s"""WITH tf AS MATERIALIZED (

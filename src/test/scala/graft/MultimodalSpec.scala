@@ -154,4 +154,38 @@ class MultimodalSpec extends SparkTestBase {
       assert(java.lang.Long.bitCount(hs(a) ^ hs(b)) == hm && hm <= 3)
     }
   }
+
+  test("image channel stats equal a driver replay over text bytes; " +
+      "the unsigned branch decodes >= 0x80 payloads (r15)") {
+    val rows = SparkEntry.queries("q_mm_image_channel_stats")(spark, sfDir)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7),
+        r.getDouble(8)))).toMap
+    val texts = ops.table(spark, sfDir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+      .filter { case (id, t) => id % 3 == 0 && t.length >= 3 }
+    assert(texts.nonEmpty && rows.size == texts.length)
+    texts.foreach { case (id, t) =>
+      val b = t.getBytes("UTF-8")
+      val n = b.length / 3
+      val sb = (0 until n).map(i => (b(3 * i) & 0xFF).toLong).sum
+      val sg = (0 until n).map(i => (b(3 * i + 1) & 0xFF).toLong).sum
+      val sr = (0 until n).map(i => (b(3 * i + 2) & 0xFF).toLong).sum
+      val lum = 299 * sr + 587 * sg + 114 * sb
+      val exp = (1L + b.length % 320, 1L + (b.length.toLong * 7) % 200,
+        n.toLong, sb, sg, sr, lum, lum.toDouble / (1000.0 * n))
+      assert(rows(id) == exp, s"channel stats of asset $id")
+    }
+    // the engine decodes UNSIGNED bytes — a crafted payload with the
+    // high bit set (never produced by the ASCII fixture or the oracle)
+    // must sum as 0xFF = 255, not -1
+    val hot = graft.multimodal.Bmp.encode(1, 1,
+      Array(0xFF.toByte, 0x80.toByte, 0x01.toByte))
+    val m = graft.multimodal.Bmp.parse(hot).get
+    val p = java.util.Arrays.copyOfRange(hot, m.dataOffset.toInt,
+      (m.dataOffset + m.dataBytes).toInt)
+    assert((p(0) & 0xFF) == 255 && (p(1) & 0xFF) == 128)
+  }
 }

@@ -731,4 +731,36 @@ class TextSpec extends SparkTestBase {
     // also has near-Poisson tokens below the cut
     assert(rows.head._5 > 1.0, "no bursty token — weak fixture signal")
   }
+
+  test("conditional bigram entropy equals a driver quanta replay; cond_q >= 0 (r15)") {
+    val rows = q("q_text_cond_entropy").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getDouble(7)))).toMap
+    val docs = ops.table(spark, sfDir, "documents")
+      .select("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    def ilog2(c: Long): Long = 63 - java.lang.Long.numberOfLeadingZeros(c)
+    val bigrams = docs.flatMap { case (src, t) =>
+      val ts = t.split(' ').filter(_.nonEmpty)
+      ts.sliding(2).filter(_.length == 2).map(p => (src, p(0), p(0) + " " + p(1)))
+    }
+    val expected = bigrams.groupBy(_._1).view.mapValues { xs =>
+      val cj = xs.groupBy(_._3).view.mapValues(_.length.toLong).values.toSeq
+      val cp = xs.groupBy(_._2).view.mapValues(_.length.toLong).values.toSeq
+      val n = cj.sum
+      val sj = cj.map(c => c * ilog2(c)).sum
+      val sp = cp.map(c => c * ilog2(c)).sum
+      (n, cj.length.toLong, cp.length.toLong,
+        n * ilog2(n) - sp, n * ilog2(n) - sj, sp - sj,
+        (sp - sj).toDouble / n)
+    }.toMap
+    assert(rows == expected, "cond entropy must equal the driver replay")
+    // the one SAFE quanta order relation (r10): splitting a count can
+    // only lower Σ c·ilog2(c) ⇒ cond_q >= 0 EXACTLY, no slack
+    rows.foreach { case (src, (_, _, _, _, hb, cq, _)) =>
+      assert(cq >= 0, s"cond_q negative for $src")
+      assert(cq <= hb, s"cond_q exceeds h_bigram_q for $src")
+    }
+    assert(rows.nonEmpty)
+  }
 }
