@@ -191,12 +191,21 @@ object DiagOps {
   private[ops] def acfRelOf(s: SparkSession, dir: String): DataFrame = {
     val ev = table(s, dir, "events")
       .withColumn("h", expr(s"unix_micros(ts) div $HourUs"))
-    val rng = ev.agg(min("h").as("h0"), max("h").as("h1"))
-    val grid = ev.select("event_type").distinct()
+    acfRelFromHourly(ev.groupBy("event_type", "h")
+      .agg(dsum(col("value")).as("sv")))
+  }
+
+  /** [[acfRelOf]]'s body over an already-aggregated (event_type, h, sv)
+    * hourly relation — factored (r15) so the streaming spectral monitor's
+    * correlogram reads run the IDENTICAL batch chain over the
+    * state-induced bars (the grid-twin widening pattern; the observed
+    * (type, h) set, min/max hours and distinct types are the same
+    * whether derived from event rows or their hourly aggregate). */
+  private[graft] def acfRelFromHourly(actual: DataFrame): DataFrame = {
+    val rng = actual.agg(min("h").as("h0"), max("h").as("h1"))
+    val grid = actual.select("event_type").distinct()
       .crossJoin(broadcast(rng))
       .select(col("event_type"), explode(expr("sequence(h0, h1)")).as("h"))
-    val actual = ev.groupBy("event_type", "h")
-      .agg(dsum(col("value")).as("sv"))
     val g = grid.join(actual, Seq("event_type", "h"), "left")
       .select(col("event_type"), col("h"),
         expr("CAST(round(coalesce(sv, 0.0) * 100) AS BIGINT)").as("k"))
@@ -497,12 +506,59 @@ object DiagOps {
   private[graft] val dftPowerFormula: String =
     "a_dft * a_dft + b_dft * b_dft AS power"
 
+  /** DuckDB replay of [[dftComponentsOf]] — the CTE chain from the cent
+    * grid `g` to the per-(type, period) demeaned DFT components `ab`,
+    * GENERATED into both the periodogram and cross-spectrum oracles from
+    * this one builder (the ReplayableHash no-drift discipline). `mat`
+    * adds `AS MATERIALIZED` on `ab` for the cross-spectrum twin (two
+    * readers — the r9 multi-reference CTE rule) while leaving the
+    * single-reader periodogram text byte-identical to its r12c3 pin. */
+  private[graft] def dftAbCtes(mat: Boolean): String = {
+    val m = if (mat) "MATERIALIZED " else ""
+    s"""tab(period, rr, cr, sr) AS (VALUES $dftTableSql),
+       |st AS (
+       |  SELECT event_type, count(*) AS n_hours, sum(k) AS t
+       |  FROM g GROUP BY event_type),
+       |res AS (
+       |  SELECT g.event_type, p.period, g.h % p.period AS rr,
+       |         sum(g.k) AS sk, count(*) AS cnt
+       |  FROM g CROSS JOIN (SELECT DISTINCT period FROM tab) p
+       |  GROUP BY 1, 2, 3),
+       |tm AS (
+       |  SELECT res.event_type, res.period,
+       |         max(st.n_hours) AS n_hours,
+       |         CAST(sum(tab.cr * (st.n_hours * res.sk - res.cnt * st.t))
+       |           AS BIGINT) AS asum,
+       |         CAST(sum(tab.sr * (st.n_hours * res.sk - res.cnt * st.t))
+       |           AS BIGINT) AS bsum
+       |  FROM res
+       |  JOIN st USING (event_type)
+       |  JOIN tab ON tab.period = res.period AND tab.rr = res.rr
+       |  GROUP BY 1, 2),
+       |ab AS ${m}(
+       |  SELECT event_type, period, n_hours, $dftAFormula, $dftBFormula
+       |  FROM tm)""".stripMargin
+  }
+
   /** The q_ts_periodogram body over any zero-filled cent grid
     * `(event_type, h, k)` — factored (r12c3) so the batch key and the
     * streaming twin's state-table read share ONE implementation
     * (StreamingPeriodogram.report; the forecastFormulas twin-body
-    * rule). */
-  private[graft] def periodogramOf(grid: DataFrame): DataFrame = {
+    * rule). r15 split the per-(type, period) DFT component relation out
+    * as [[dftComponentsOf]] so the cross-spectrum pairing reads the
+    * identical chain. */
+  private[graft] def periodogramOf(grid: DataFrame): DataFrame =
+    dftComponentsOf(grid)
+      .selectExpr("event_type", "period", "n_hours", "a_dft", "b_dft",
+        dftPowerFormula)
+      .orderBy("event_type", "period")
+
+  /** The per-(event_type, period) demeaned DFT component relation
+    * `(event_type, period BIGINT, n_hours BIGINT, a_dft, b_dft)` —
+    * everything of the periodogram chain up to (and including) the
+    * staged a/b readout, shared verbatim by [[periodogramOf]] and the
+    * cross-spectrum pairing ([[crossSpectrumOf]]). */
+  private[graft] def dftComponentsOf(grid: DataFrame): DataFrame = {
     val s = grid.sparkSession
     import s.implicits._
     val g = grid.localCheckpoint(true)
@@ -538,9 +594,55 @@ object DiagOps {
         "n_hours", "asum", "bsum")
       .selectExpr("event_type", "period", "n_hours", dftAFormula,
         dftBFormula)
-      .selectExpr("event_type", "period", "n_hours", "a_dft", "b_dft",
-        dftPowerFormula)
-      .orderBy("event_type", "period")
+  }
+
+  /** Cross-spectrum staged projections over the paired DFT components
+    * (a_a, b_a, a_b, b_b) — co-spectrum, quadrature spectrum and the
+    * per-side powers, each a fixed-order IEEE product-sum on columns
+    * read once (the abtest staged discipline); ONE formula set in both
+    * engines. */
+  private[graft] val crossStage1: Seq[String] = Seq(
+    "a_a * a_b + b_a * b_b AS re_xy",
+    "b_a * a_b - a_a * b_b AS im_xy",
+    "a_a * a_a + b_a * b_a AS p_a",
+    "a_b * a_b + b_b * b_b AS p_b")
+
+  /** Phase-alignment readout over (re_xy, im_xy, p_a, p_b): the cosine /
+    * sine of the phase difference between the two series at the probed
+    * frequency — re/im over sqrt(p_a·p_b), textually re-derived per
+    * formula (the bollFormulas precedent: identical text on named
+    * columns is deterministic in both engines), zero-power pairs read
+    * 0 (the pacf guard convention). */
+  private[graft] val crossStage2: Seq[String] = Seq(
+    "CASE WHEN p_a * p_b > CAST(0 AS DOUBLE)" +
+      " THEN re_xy / sqrt(p_a * p_b) ELSE CAST(0 AS DOUBLE) END AS phase_cos",
+    "CASE WHEN p_a * p_b > CAST(0 AS DOUBLE)" +
+      " THEN im_xy / sqrt(p_a * p_b) ELSE CAST(0 AS DOUBLE) END AS phase_sin")
+
+  /** The q_ts_cross_spectrum body over any zero-filled cent grid — the
+    * co/quadrature spectrum and phase alignment between every ordered
+    * event-type pair at the probed diurnal/weekly periods. The pairing
+    * self-join runs AFTER per-(type, period) aggregation, so its fan is
+    * |types|²·|periods| rows over a ≤|types|·|periods|-row relation at
+    * ANY corpus size (the granger/coint pair shape moved above the
+    * aggregate — never corpus-quadratic); the checkpointed component
+    * relation is an RDD leaf (unknown stats), so the tiny right side is
+    * broadcast explicitly (the r7 rule). */
+  private[graft] def crossSpectrumOf(grid: DataFrame): DataFrame = {
+    val c = dftComponentsOf(grid).localCheckpoint(true)
+    val ca = c.selectExpr("event_type AS type_a", "period", "n_hours",
+      "a_dft AS a_a", "b_dft AS b_a")
+    val cb = c.selectExpr("event_type AS type_b", "period",
+      "a_dft AS a_b", "b_dft AS b_b")
+    ca.join(broadcast(cb), Seq("period"))
+      .where(col("type_a") < col("type_b"))
+      .selectExpr(Seq("type_a", "type_b", "period", "n_hours") ++
+        crossStage1: _*)
+      .selectExpr(Seq("type_a", "type_b", "period", "n_hours", "re_xy",
+        "im_xy", "p_a", "p_b") ++ crossStage2: _*)
+      .selectExpr("type_a", "type_b", "period", "n_hours", "re_xy",
+        "im_xy", "phase_cos", "phase_sin")
+      .orderBy("type_a", "type_b", "period")
   }
 
   /** Shared Bollinger projections over (k, n, s1, s2hi, s2lo) — ONE

@@ -132,6 +132,49 @@ object TsOps extends QueryModule {
     * (the periodogramOf/gridOf twin-body rule in function form) so
     * [[graft.streaming.StreamingPeriodogram.adfReport]] runs the
     * IDENTICAL computation over its state-induced grid. */
+  /** The q_ts_pacf Durbin–Levinson tail over an already-built per-lag
+    * correlogram relation — factored (r15) so the streaming spectral
+    * monitor's pacf read runs the IDENTICAL batch chain (the adfOf/
+    * hurstOf function-form twin-body rule; q_ts_pacf passes
+    * DiagOps.acfRelOf, the stream read passes acfRelFromHourly over the
+    * state bars). */
+  private[graft] def pacfFromRel(rel: DataFrame): DataFrame = {
+    val piv = rel.groupBy("event_type")
+      .agg(max(when(col("lag_h") === 1, col("acf"))).as("r1"),
+        max(when(col("lag_h") === 2, col("acf"))).as("r2"),
+        max(when(col("lag_h") === 3, col("acf"))).as("r3"))
+    val base = Seq("event_type", "r1", "r2", "r3")
+    piv
+      .selectExpr(base :+ pacfStage1: _*)
+      .selectExpr(base ++ Seq("phi11") ++ pacfStage2: _*)
+      .selectExpr(base ++ Seq("phi11", "den2", "num2") :+ pacfStage3: _*)
+      .selectExpr(base ++ Seq("phi11", "phi22") :+ pacfStage4: _*)
+      .selectExpr(base ++ Seq("phi11", "phi22", "phi21") ++ pacfStage5: _*)
+      .selectExpr(base ++ Seq("phi11", "phi22", "num3", "den3")
+        :+ pacfStage6: _*)
+      .selectExpr(base ++ Seq("phi11 AS pacf1", "phi22 AS pacf2",
+        "phi33 AS pacf3"): _*)
+      .orderBy("event_type")
+  }
+
+  /** The q_ts_ljung_box portmanteau tail over an already-built per-lag
+    * correlogram relation — same factoring rationale as [[pacfFromRel]]. */
+  private[graft] def ljungFromRel(rel: DataFrame): DataFrame = {
+    val aggs = (1 to 5).flatMap(k => Seq(
+      max(when(col("lag_h") === k, col("acf"))).as(s"r$k"),
+      asLong(max(when(col("lag_h") === k, col("n")))).as(s"n$k")))
+    val piv = rel.groupBy("event_type")
+      .agg(aggs.head, aggs.tail: _*)
+      .withColumn("n_obs", expr("n1 + 1"))
+    val base = Seq("event_type", "n_obs") ++ (1 to 5).map(k => s"r$k") ++
+      (1 to 5).map(k => s"n$k")
+    piv
+      .selectExpr(base :+ lbQFormula: _*)
+      .selectExpr(Seq("event_type", "CAST(n_obs AS BIGINT) AS n_obs",
+        "q_stat") :+ lbVerdictFormula: _*)
+      .orderBy("event_type")
+  }
+
   private[graft] def adfOf(g: DataFrame): DataFrame = {
     val w = Window.partitionBy("event_type").orderBy("h")
     // r13 advisor note: the xk·k hi/lo split replays in DuckDB only while
@@ -454,24 +497,8 @@ object TsOps extends QueryModule {
     // pacfStageN strings keep the twins drift-free), zero-denominator
     // guards read 0. The AR-order readout next to acf's raw correlogram:
     // pacf cutting off after lag p is the classic AR(p) signature.
-    "q_ts_pacf" -> ((s: SparkSession, dir: String) => {
-      val piv = acfRelOf(s, dir).groupBy("event_type")
-        .agg(max(when(col("lag_h") === 1, col("acf"))).as("r1"),
-          max(when(col("lag_h") === 2, col("acf"))).as("r2"),
-          max(when(col("lag_h") === 3, col("acf"))).as("r3"))
-      val base = Seq("event_type", "r1", "r2", "r3")
-      piv
-        .selectExpr(base :+ pacfStage1: _*)
-        .selectExpr(base ++ Seq("phi11") ++ pacfStage2: _*)
-        .selectExpr(base ++ Seq("phi11", "den2", "num2") :+ pacfStage3: _*)
-        .selectExpr(base ++ Seq("phi11", "phi22") :+ pacfStage4: _*)
-        .selectExpr(base ++ Seq("phi11", "phi22", "phi21") ++ pacfStage5: _*)
-        .selectExpr(base ++ Seq("phi11", "phi22", "num3", "den3")
-          :+ pacfStage6: _*)
-        .selectExpr(base ++ Seq("phi11 AS pacf1", "phi22 AS pacf2",
-          "phi33 AS pacf3"): _*)
-        .orderBy("event_type")
-    }),
+    "q_ts_pacf" -> ((s: SparkSession, dir: String) =>
+      pacfFromRel(acfRelOf(s, dir))),
 
     // Ljung–Box portmanteau test (r12c3): the "is anything left in the
     // residuals" white-noise read over the SAME per-lag Pearson
@@ -482,21 +509,8 @@ object TsOps extends QueryModule {
     // left-associated chain (lbQFormula) and the df=5 verdict compares
     // against the 11.0705 χ² literal. Everything after the memoized
     // grid aggs is a ≤#types pivot.
-    "q_ts_ljung_box" -> ((s: SparkSession, dir: String) => {
-      val aggs = (1 to 5).flatMap(k => Seq(
-        max(when(col("lag_h") === k, col("acf"))).as(s"r$k"),
-        asLong(max(when(col("lag_h") === k, col("n")))).as(s"n$k")))
-      val piv = acfRelOf(s, dir).groupBy("event_type")
-        .agg(aggs.head, aggs.tail: _*)
-        .withColumn("n_obs", expr("n1 + 1"))
-      val base = Seq("event_type", "n_obs") ++ (1 to 5).map(k => s"r$k") ++
-        (1 to 5).map(k => s"n$k")
-      piv
-        .selectExpr(base :+ lbQFormula: _*)
-        .selectExpr(Seq("event_type", "CAST(n_obs AS BIGINT) AS n_obs",
-          "q_stat") :+ lbVerdictFormula: _*)
-        .orderBy("event_type")
-    }),
+    "q_ts_ljung_box" -> ((s: SparkSession, dir: String) =>
+      ljungFromRel(acfRelOf(s, dir))),
 
     // Bollinger bands (r12) — the rolling-volatility read next to
     // q_ts_ewma's level smoothing: per (type, hour) the 24-hour rolling
@@ -662,6 +676,17 @@ object TsOps extends QueryModule {
     // leaf (explicit, r7 rule); the literal table broadcasts 192 rows.
     "q_ts_periodogram" -> ((s: SparkSession, dir: String) =>
       periodogramOf(hourlyCentGrid(s, dir))),
+
+    // Cross-spectrum (r15): co/quadrature spectrum + phase alignment
+    // between every ordered event-type pair at the probed diurnal/
+    // weekly periods — "do logins and purchases share the daily cycle,
+    // and who leads?" phase_cos ≈ 1 means in-phase, phase_sin's sign
+    // gives the lead/lag direction. The pairing self-join runs over the
+    // per-(type, period) AGGREGATE (≤ |types|·|periods| rows at any
+    // corpus size), so the quadratic fan never touches corpus rows —
+    // the granger/coint pair shape lifted above the aggregation.
+    "q_ts_cross_spectrum" -> ((s: SparkSession, dir: String) =>
+      crossSpectrumOf(hourlyCentGrid(s, dir))),
 
     // Permutation entropy (r12c3, Bandt–Pompe 2002 shape): ordinal
     // 3-patterns of consecutive hourly cent totals per event type — the
@@ -1623,33 +1648,30 @@ object TsOps extends QueryModule {
 
     "q_ts_periodogram" ->
       s"""WITH $centGridCte,
-         |tab(period, rr, cr, sr) AS (VALUES $dftTableSql),
-         |st AS (
-         |  SELECT event_type, count(*) AS n_hours, sum(k) AS t
-         |  FROM g GROUP BY event_type),
-         |res AS (
-         |  SELECT g.event_type, p.period, g.h % p.period AS rr,
-         |         sum(g.k) AS sk, count(*) AS cnt
-         |  FROM g CROSS JOIN (SELECT DISTINCT period FROM tab) p
-         |  GROUP BY 1, 2, 3),
-         |tm AS (
-         |  SELECT res.event_type, res.period,
-         |         max(st.n_hours) AS n_hours,
-         |         CAST(sum(tab.cr * (st.n_hours * res.sk - res.cnt * st.t))
-         |           AS BIGINT) AS asum,
-         |         CAST(sum(tab.sr * (st.n_hours * res.sk - res.cnt * st.t))
-         |           AS BIGINT) AS bsum
-         |  FROM res
-         |  JOIN st USING (event_type)
-         |  JOIN tab ON tab.period = res.period AND tab.rr = res.rr
-         |  GROUP BY 1, 2),
-         |ab AS (
-         |  SELECT event_type, period, n_hours, $dftAFormula, $dftBFormula
-         |  FROM tm)
+         |${dftAbCtes(mat = false)}
          |SELECT event_type, CAST(period AS BIGINT) AS period,
          |       CAST(n_hours AS BIGINT) AS n_hours, a_dft, b_dft,
          |       $dftPowerFormula
          |FROM ab ORDER BY event_type, period""".stripMargin,
+
+    "q_ts_cross_spectrum" ->
+      s"""WITH $centGridCte,
+         |${dftAbCtes(mat = true)},
+         |pr AS (
+         |  SELECT x.event_type AS type_a, y.event_type AS type_b,
+         |         x.period, x.n_hours,
+         |         x.a_dft AS a_a, x.b_dft AS b_a,
+         |         y.a_dft AS a_b, y.b_dft AS b_b
+         |  FROM ab x JOIN ab y
+         |    ON x.period = y.period AND x.event_type < y.event_type),
+         |s1 AS (
+         |  SELECT type_a, type_b, period, n_hours,
+         |         ${crossStage1.mkString(",\n         ")}
+         |  FROM pr)
+         |SELECT type_a, type_b, CAST(period AS BIGINT) AS period,
+         |       CAST(n_hours AS BIGINT) AS n_hours, re_xy, im_xy,
+         |       ${crossStage2.mkString(",\n       ")}
+         |FROM s1 ORDER BY type_a, type_b, period""".stripMargin,
 
     "q_ts_perm_entropy" -> {
       val patCols = permPatterns.map { case (nm, id) =>

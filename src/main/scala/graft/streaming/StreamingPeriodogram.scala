@@ -70,18 +70,25 @@ object StreamingPeriodogram {
     * SAME relation q_ts_* batch queries compute from parquet, so every
     * grid-analytics body reads it unchanged (r13: the twin surface
     * widened from one read to the family). */
-  private def stateGrid(emitted: DataFrame): DataFrame = {
+  private def stateGrid(emitted: DataFrame): DataFrame =
+    DiagOps.gridOf(stateHourly(emitted))
+
+  /** The observed (event_type, h, sv) bars the current state induces —
+    * the same hourly-aggregate relation the batch queries compute from
+    * parquet (sum4/10⁴ is the correctly-rounded quotient of the same
+    * exact integers as the batch DECIMAL→DOUBLE cast). */
+  private def stateHourly(emitted: DataFrame): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("event_type", "h")
-    val hourly = emitted.withColumn("__mxv", max("version").over(w))
+    emitted.withColumn("__mxv", max("version").over(w))
       .where(col("version") === col("__mxv"))
       .selectExpr("event_type", "h",
         "CAST(sum4 AS DOUBLE) / CAST(10000 AS DOUBLE) AS sv")
-      // gridOf derives the grid FROM hourly and joins back against it —
-      // over a memory-sink view that self-join fails resolution (the r9
-      // StreamingTopK gotcha); the checkpoint makes it a fresh leaf
+      // gridOf/acfRelFromHourly derive ranges FROM hourly and join back
+      // against it — over a memory-sink view that self-join fails
+      // resolution (the r9 StreamingTopK gotcha); the checkpoint makes
+      // it a fresh leaf
       .localCheckpoint(true)
-    DiagOps.gridOf(hourly)
   }
 
   /** Dickey–Fuller unit-root read off the CURRENT state — the batch
@@ -110,4 +117,31 @@ object StreamingPeriodogram {
     * exact-integer-derived doubles in the same h order). */
   def cointReport(emitted: DataFrame): DataFrame =
     graft.ops.TsOps.cointOf(stateGrid(emitted))
+
+  /** Per-lag Pearson correlogram read off the CURRENT state — the batch
+    * q_ts_acf body (DiagOps.acfRelFromHourly, r15) over the state bars:
+    * bit-equal to batch after any exactly-once prefix (the correlogram
+    * widening of the grid-twin family). */
+  def acfReport(emitted: DataFrame): DataFrame =
+    graft.ops.DiagOps.acfRelFromHourly(stateHourly(emitted))
+      .orderBy("event_type", "lag_h")
+
+  /** Durbin–Levinson PACF read — the batch q_ts_pacf tail
+    * ([[graft.ops.TsOps.pacfFromRel]]) over the state correlogram. */
+  def pacfReport(emitted: DataFrame): DataFrame =
+    graft.ops.TsOps.pacfFromRel(
+      graft.ops.DiagOps.acfRelFromHourly(stateHourly(emitted)))
+
+  /** Ljung–Box portmanteau read — the batch q_ts_ljung_box tail
+    * ([[graft.ops.TsOps.ljungFromRel]]) over the state correlogram. */
+  def ljungReport(emitted: DataFrame): DataFrame =
+    graft.ops.TsOps.ljungFromRel(
+      graft.ops.DiagOps.acfRelFromHourly(stateHourly(emitted)))
+
+  /** Cross-spectrum read (r15) — the batch q_ts_cross_spectrum body
+    * ([[graft.ops.DiagOps.crossSpectrumOf]]) over the state grid:
+    * pairwise phase alignment at the probed periods, bit-equal to batch
+    * after any exactly-once prefix. */
+  def crossSpectrumReport(emitted: DataFrame): DataFrame =
+    graft.ops.DiagOps.crossSpectrumOf(stateGrid(emitted))
 }

@@ -1586,6 +1586,38 @@ class MixDiagSpec extends SparkTestBase {
       .forall(t => t._3 == 65536L && t._4 == 0L))
   }
 
+  test("cross-spectrum equals the paired periodogram components (r15)") {
+    val comp = q("q_ts_periodogram").collect()
+      .map(r => ((r.getString(0), r.getLong(1)),
+        (r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    val out = q("q_ts_cross_spectrum").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4), r.getDouble(5), r.getDouble(6),
+        r.getDouble(7))).toSeq
+    assert(out.nonEmpty)
+    val types = comp.keys.map(_._1).toSeq.distinct.sorted
+    val expected = for {
+      a <- types; b <- types if a < b; p <- Seq(24L, 168L)
+    } yield {
+      val (n, aa, ba) = comp((a, p))
+      val (_, ab, bb) = comp((b, p))
+      val re = aa * ab + ba * bb
+      val im = ba * ab - aa * bb
+      val pa = aa * aa + ba * ba
+      val pb = ab * ab + bb * bb
+      val pc = if (pa * pb > 0) re / math.sqrt(pa * pb) else 0.0
+      val ps = if (pa * pb > 0) im / math.sqrt(pa * pb) else 0.0
+      (a, b, p, n, re, im, pc, ps)
+    }
+    assert(out == expected, "cross-spectrum drifted from the paired replay")
+    // the phase vector lies ON the unit circle wherever power is positive
+    out.foreach { r =>
+      assert(r._7 == 0.0 && r._8 == 0.0 ||
+        math.abs(r._7 * r._7 + r._8 * r._8 - 1.0) < 1e-9,
+        s"${r._1}/${r._2} phase vector off the unit circle")
+    }
+  }
+
   test("permutation entropy equals a driver-side ordinal replay (r12c3)") {
     def ilog2(x: Long): Long = 63 - java.lang.Long.numberOfLeadingZeros(x)
     val out = q("q_ts_perm_entropy").collect()

@@ -106,6 +106,30 @@ class StreamingPeriodogramSpec extends SparkTestBase {
         .map(r => (r.getString(0), r.getString(1), r.getLong(2),
           r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getBoolean(6))).toSeq
       assert(gotCo == batchCo, "streaming coint read drifted from batch")
+      // r15: the correlogram family joins too — acf/pacf/Ljung–Box all
+      // run the factored batch chains over the state bars
+      val gotAcf = StreamingPeriodogram.acfReport(emitted).collect()
+        .map(_.toSeq).toSeq
+      val batchAcf = SparkEntry.queries("q_ts_acf")(spark, sfDir).collect()
+        .map(_.toSeq).toSeq
+      assert(gotAcf == batchAcf, "streaming acf read drifted from batch")
+      val gotPacf = StreamingPeriodogram.pacfReport(emitted).collect()
+        .map(_.toSeq).toSeq
+      val batchPacf = SparkEntry.queries("q_ts_pacf")(spark, sfDir).collect()
+        .map(_.toSeq).toSeq
+      assert(gotPacf == batchPacf, "streaming pacf read drifted from batch")
+      val gotLb = StreamingPeriodogram.ljungReport(emitted).collect()
+        .map(_.toSeq).toSeq
+      val batchLb = SparkEntry.queries("q_ts_ljung_box")(spark, sfDir)
+        .collect().map(_.toSeq).toSeq
+      assert(gotLb == batchLb, "streaming Ljung-Box read drifted from batch")
+      // r15: the cross-spectrum pairing rides the same state grid
+      val gotXs = StreamingPeriodogram.crossSpectrumReport(emitted)
+        .collect().map(_.toSeq).toSeq
+      val batchXs = SparkEntry.queries("q_ts_cross_spectrum")(spark, sfDir)
+        .collect().map(_.toSeq).toSeq
+      assert(gotXs == batchXs,
+        "streaming cross-spectrum read drifted from batch")
     } finally query.stop()
   }
 }
