@@ -645,6 +645,94 @@ object DiagOps {
       .orderBy("type_a", "type_b", "period")
   }
 
+  /** Welch segmentation for [[coherenceOf]]: 72-hour segments (three
+    * diurnal cycles each; a multiple of 24 so every residue class has
+    * exactly 3 members per complete segment) — 10 complete segments on
+    * the fixture's fixed 720-hour span, span-bounded at any corpus
+    * size. */
+  private[graft] val CohSegHours = 72
+
+  /** Per-segment DFT component readout over (asum, bsum) — the
+    * dftA/dftB formulas at the segment length; ONE text per engine. */
+  private[graft] val cohAFormula: String =
+    s"CAST(asum AS DOUBLE) / CAST($DftQ AS DOUBLE) / CAST($CohSegHours AS DOUBLE) AS a_s"
+  private[graft] val cohBFormula: String =
+    s"CAST(bsum AS DOUBLE) / CAST($DftQ AS DOUBLE) / CAST($CohSegHours AS DOUBLE) AS b_s"
+
+  /** Magnitude-squared coherence readout over the segment-summed cross
+    * and auto spectra — |ΣC_xy|²/(ΣP_x·ΣP_y) ∈ [0,1] by Cauchy–Schwarz;
+    * zero-power pairs read 0 (the crossStage2 guard convention). */
+  private[graft] val cohFormula: String =
+    "CASE WHEN sum_px * sum_py > CAST(0 AS DOUBLE)" +
+      " THEN (sum_re * sum_re + sum_im * sum_im) / (sum_px * sum_py)" +
+      " ELSE CAST(0 AS DOUBLE) END AS coherence"
+
+  /** The period-24 rows of [[dftTable]] as a VALUES literal for the
+    * coherence oracle (residue, cos, sin). */
+  private[graft] val cohTab24Sql: String =
+    dftTable.filter(_._1 == 24)
+      .map { case (_, r, c, sn) => s"($r, $c, $sn)" }.mkString(", ")
+
+  /** The q_ts_coherence body over any zero-filled cent grid — Welch
+    * magnitude-squared coherence at the diurnal frequency: per-segment
+    * demeaned DFT components (exact BIGINT sums, the periodogram
+    * machinery at segment scope), per-segment cross/auto spectra via
+    * the SHARED crossStage1 formulas, then seg-ORDERED double folds
+    * (the coint ordered-fold idiom — FP addition order is part of the
+    * replay contract) into |ΣC_xy|²/(ΣP_x·ΣP_y). Unlike the single-bin
+    * [[crossSpectrumOf]] phase vector (unit by construction), the
+    * Welch average carries magnitude: 1 only when every segment is
+    * phase-aligned. Scale shape: components are span·domain-bounded,
+    * the pair fan runs above the per-(type, seg) aggregate, and the
+    * checkpointed component leaf broadcasts its tiny side (the
+    * crossSpectrumOf conventions). */
+  private[graft] def coherenceOf(grid: DataFrame): DataFrame = {
+    val s = grid.sparkSession
+    import s.implicits._
+    val g = grid.selectExpr("event_type", "h", "k",
+      s"h div $CohSegHours AS seg")
+    val st = g.groupBy("event_type", "seg")
+      .agg(count(lit(1)).as("cnt"), sum("k").as("t"))
+      .where(col("cnt") === CohSegHours)
+    val tab24 = dftTable.filter(_._1 == 24)
+      .map { case (_, r, c, sn) => (r.toLong, c, sn) }
+      .toDF("r", "cr", "sr")
+    val comp = g.join(st, Seq("event_type", "seg"))
+      .withColumn("d", expr(s"$CohSegHours * k - t"))
+      // the periodogram overflow discipline: Σ cr·d must stay < 2^63 in
+      // BOTH engines (the oracle funnels HUGEINT through a BIGINT cast)
+      .where(coalesce(assert_true(
+        expr(s"abs(d) <= ${Long.MaxValue}L div (65536L * $CohSegHours)"),
+        lit("coherence guard: demeaned segment value too large — " +
+          "Σ cr·d could exceed 2^63; hi/lo-split the basis sums")),
+        lit(true)))
+      .withColumn("r", expr("h % 24"))
+      .join(broadcast(tab24), Seq("r"))
+      .groupBy("event_type", "seg")
+      .agg(sum(expr("cr * d")).as("asum"), sum(expr("sr * d")).as("bsum"))
+      .selectExpr("event_type", "seg", cohAFormula, cohBFormula)
+      .localCheckpoint(true)
+    val xa = comp.selectExpr("event_type AS type_a", "seg",
+      "a_s AS a_a", "b_s AS b_a")
+    val xb = comp.selectExpr("event_type AS type_b", "seg",
+      "a_s AS a_b", "b_s AS b_b")
+    xa.join(broadcast(xb), Seq("seg"))
+      .where(col("type_a") < col("type_b"))
+      .selectExpr(Seq("type_a", "type_b", "seg") ++ crossStage1: _*)
+      .groupBy("type_a", "type_b")
+      .agg(asLong(count(lit(1))).as("n_seg"),
+        sort_array(collect_list(struct(col("seg"), col("re_xy"),
+          col("im_xy"), col("p_a"), col("p_b")))).as("xs"))
+      .selectExpr("type_a", "type_b", "n_seg",
+        "aggregate(xs, CAST(0 AS DOUBLE), (acc, x) -> acc + x.re_xy) AS sum_re",
+        "aggregate(xs, CAST(0 AS DOUBLE), (acc, x) -> acc + x.im_xy) AS sum_im",
+        "aggregate(xs, CAST(0 AS DOUBLE), (acc, x) -> acc + x.p_a) AS sum_px",
+        "aggregate(xs, CAST(0 AS DOUBLE), (acc, x) -> acc + x.p_b) AS sum_py")
+      .selectExpr(Seq("type_a", "type_b", "n_seg", "sum_re", "sum_im",
+        "sum_px", "sum_py") :+ cohFormula: _*)
+      .orderBy("type_a", "type_b")
+  }
+
   /** Shared Bollinger projections over (k, n, s1, s2hi, s2lo) — ONE
     * formula set in both engines: window mean/σ from exact hi/lo-split
     * BIGINT moments (the q_agg_skew split), sample variance clamped at 0

@@ -688,6 +688,17 @@ object TsOps extends QueryModule {
     "q_ts_cross_spectrum" -> ((s: SparkSession, dir: String) =>
       crossSpectrumOf(hourlyCentGrid(s, dir))),
 
+    // Welch coherence (r15): magnitude-squared coherence at the diurnal
+    // frequency over 72-hour segments — the magnitude-bearing
+    // complement to q_ts_cross_spectrum's unit phase vector (single-bin
+    // phase vectors are unit by the Brahmagupta–Fibonacci identity;
+    // only segment AVERAGING makes "how consistently aligned" a real
+    // number in [0,1]). Per-segment components are exact BIGINT DFT
+    // sums; the segment folds are seg-ORDERED (the coint ordered-fold
+    // rule — FP addition order is part of the replay contract).
+    "q_ts_coherence" -> ((s: SparkSession, dir: String) =>
+      coherenceOf(hourlyCentGrid(s, dir))),
+
     // Permutation entropy (r12c3, Bandt–Pompe 2002 shape): ordinal
     // 3-patterns of consecutive hourly cent totals per event type — the
     // model-free complexity readout next to the correlogram (a periodic
@@ -1672,6 +1683,58 @@ object TsOps extends QueryModule {
          |       CAST(n_hours AS BIGINT) AS n_hours, re_xy, im_xy,
          |       ${crossStage2.mkString(",\n       ")}
          |FROM s1 ORDER BY type_a, type_b, period""".stripMargin,
+
+    "q_ts_coherence" ->
+      s"""WITH $centGridCte,
+         |tab24(rr, cr, sr) AS (VALUES $cohTab24Sql),
+         |gs AS (
+         |  SELECT event_type, h, k, h // $CohSegHours AS seg FROM g),
+         |sg AS (
+         |  SELECT event_type, seg, count(*) AS cnt, sum(k) AS t
+         |  FROM gs GROUP BY 1, 2),
+         |co AS (
+         |  SELECT gs.event_type, gs.seg,
+         |         CAST(sum(tab24.cr * ($CohSegHours * gs.k - sg.t))
+         |           AS BIGINT) AS asum,
+         |         CAST(sum(tab24.sr * ($CohSegHours * gs.k - sg.t))
+         |           AS BIGINT) AS bsum
+         |  FROM gs
+         |  JOIN sg ON sg.event_type = gs.event_type AND sg.seg = gs.seg
+         |         AND sg.cnt = $CohSegHours
+         |  JOIN tab24 ON tab24.rr = gs.h % 24
+         |  GROUP BY 1, 2),
+         |cb AS MATERIALIZED (
+         |  SELECT event_type, seg, $cohAFormula, $cohBFormula
+         |  FROM co),
+         |pr AS (
+         |  SELECT x.event_type AS type_a, y.event_type AS type_b, x.seg,
+         |         x.a_s AS a_a, x.b_s AS b_a, y.a_s AS a_b, y.b_s AS b_b
+         |  FROM cb x JOIN cb y
+         |    ON x.seg = y.seg AND x.event_type < y.event_type),
+         |s1 AS (
+         |  SELECT type_a, type_b, seg,
+         |         ${crossStage1.mkString(",\n         ")}
+         |  FROM pr),
+         |ld AS (
+         |  SELECT type_a, type_b, CAST(count(*) AS BIGINT) AS n_seg,
+         |         list(struct_pack(seg := seg, re_xy := re_xy,
+         |              im_xy := im_xy, p_a := p_a, p_b := p_b)
+         |              ORDER BY seg) AS xs
+         |  FROM s1 GROUP BY 1, 2),
+         |sm AS (
+         |  SELECT type_a, type_b, n_seg,
+         |         list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |           list_transform(xs, v -> v.re_xy)), (p, q) -> p + q) AS sum_re,
+         |         list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |           list_transform(xs, v -> v.im_xy)), (p, q) -> p + q) AS sum_im,
+         |         list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |           list_transform(xs, v -> v.p_a)), (p, q) -> p + q) AS sum_px,
+         |         list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |           list_transform(xs, v -> v.p_b)), (p, q) -> p + q) AS sum_py
+         |  FROM ld)
+         |SELECT type_a, type_b, n_seg, sum_re, sum_im, sum_px, sum_py,
+         |       $cohFormula
+         |FROM sm ORDER BY type_a, type_b""".stripMargin,
 
     "q_ts_perm_entropy" -> {
       val patCols = permPatterns.map { case (nm, id) =>

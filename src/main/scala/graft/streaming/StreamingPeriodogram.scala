@@ -144,4 +144,9 @@ object StreamingPeriodogram {
     * after any exactly-once prefix. */
   def crossSpectrumReport(emitted: DataFrame): DataFrame =
     graft.ops.DiagOps.crossSpectrumOf(stateGrid(emitted))
+
+  /** Welch coherence read (r15) — the batch q_ts_coherence body
+    * ([[graft.ops.DiagOps.coherenceOf]]) over the state grid. */
+  def coherenceReport(emitted: DataFrame): DataFrame =
+    graft.ops.DiagOps.coherenceOf(stateGrid(emitted))
 }

@@ -1618,6 +1618,62 @@ class MixDiagSpec extends SparkTestBase {
     }
   }
 
+  test("Welch coherence equals a driver-side segment-DFT replay (r15)") {
+    val out = q("q_ts_coherence").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getDouble(6),
+        r.getDouble(7))).toSeq
+    assert(out.nonEmpty)
+    val grid = ops.DiagOps.hourlyCentGrid(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val W = ops.DiagOps.CohSegHours.toLong
+    val cos = ops.DiagOps.dftTable.filter(_._1 == 24)
+      .map(t => t._2.toLong -> t._3).toMap
+    val sin = ops.DiagOps.dftTable.filter(_._1 == 24)
+      .map(t => t._2.toLong -> t._4).toMap
+    // per (type, seg): exact BIGINT component sums, complete segs only
+    val comp = grid.groupBy(r => (r._1, Math.floorDiv(r._2, W)))
+      .filter(_._2.length == W.toInt)
+      .map { case ((t, seg), rows) =>
+        val tot = rows.map(_._3).sum
+        var asum = 0L; var bsum = 0L
+        rows.foreach { case (_, h, k) =>
+          val d = W * k - tot
+          asum += cos(h % 24) * d; bsum += sin(h % 24) * d
+        }
+        ((t, seg), (asum.toDouble / 65536.0d / W.toDouble,
+          bsum.toDouble / 65536.0d / W.toDouble))
+      }
+    val types = grid.map(_._1).distinct.sorted
+    val expected = for {
+      a <- types; b <- types if a < b
+    } yield {
+      val segs = comp.keys.filter(_._1 == a).map(_._2).toSeq
+        .filter(sg => comp.contains((b, sg))).sorted
+      var sr = 0.0; var si = 0.0; var spx = 0.0; var spy = 0.0
+      segs.foreach { sg =>
+        val (aa, ba) = comp((a, sg)); val (ab, bb) = comp((b, sg))
+        sr += aa * ab + ba * bb
+        si += ba * ab - aa * bb
+        spx += aa * aa + ba * ba
+        spy += ab * ab + bb * bb
+      }
+      val coh = if (spx * spy > 0)
+        (sr * sr + si * si) / (spx * spy) else 0.0
+      (a, b, segs.length.toLong, sr, si, spx, spy, coh)
+    }
+    assert(out == expected.toSeq,
+      "coherence drifted from the segment replay")
+    // magnitude-bearing by construction: in [0,1] (Cauchy-Schwarz), and
+    // the averaging makes <1 possible (unlike the single-bin unit phase
+    // vector); at least two complete segments on every fixture span
+    out.foreach { r =>
+      assert(r._3 >= 2, s"${r._1}/${r._2} fewer than 2 complete segments")
+      assert(r._8 >= 0.0 && r._8 <= 1.0 + 1e-9,
+        s"${r._1}/${r._2} coherence outside [0,1]")
+    }
+  }
+
   test("permutation entropy equals a driver-side ordinal replay (r12c3)") {
     def ilog2(x: Long): Long = 63 - java.lang.Long.numberOfLeadingZeros(x)
     val out = q("q_ts_perm_entropy").collect()

@@ -130,6 +130,12 @@ class StreamingPeriodogramSpec extends SparkTestBase {
         .collect().map(_.toSeq).toSeq
       assert(gotXs == batchXs,
         "streaming cross-spectrum read drifted from batch")
+      val gotCoh = StreamingPeriodogram.coherenceReport(emitted)
+        .collect().map(_.toSeq).toSeq
+      val batchCoh = SparkEntry.queries("q_ts_coherence")(spark, sfDir)
+        .collect().map(_.toSeq).toSeq
+      assert(gotCoh == batchCoh,
+        "streaming coherence read drifted from batch")
     } finally query.stop()
   }
 }
