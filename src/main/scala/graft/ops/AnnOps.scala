@@ -639,6 +639,174 @@ object AnnOps extends QueryModule {
     centArraysCache.clear()
   }
 
+  // ---- q_llm_emb_pca: top principal component by power iteration --------
+
+  /** Fixed power-iteration rounds (the bounded-iteration contract —
+    * labelprop/HITS precedent: convergence depth is data-dependent, a
+    * fixpoint contract would be un-oracle-able; the report is the
+    * K-round iterate by declaration). */
+  private[graft] val PcaIters = 6
+
+  /** Per-round contribution quantum: each row's per-dim contribution to
+    * C·v is round(xd_i·s·2^20) — an exact BIGINT, so the sum over
+    * corpus ROWS is order-free (the one FP-order surface a distributed
+    * power iteration has). |c| is guarded ≤ 2^29 ⇒ per-dim sums stay
+    * exact to ~2^33 rows; the oracle funnels its HUGEINT sum through a
+    * BIGINT cast, which errors loudly past 2^63 (the periodogram
+    * discipline). */
+  private[graft] val PcaCQ = "1048576e0"
+
+  private[graft] val pcaEvrFormula: String =
+    "CASE WHEN trace_var > CAST(0 AS DOUBLE)" +
+      " THEN eigenvalue / trace_var ELSE CAST(0 AS DOUBLE) END" +
+      " AS explained_var_ratio"
+
+  /** Top principal component of the embedding cloud via [[PcaIters]]
+    * rounds of power iteration on the covariance action — the whitening
+    * / intrinsic-dimension readout an embedding pipeline runs before
+    * trusting distances. Replay design: quantized values (round(x·2^16)
+    * exact BIGINT) give exact per-dim moments; the demeaned doubles and
+    * every per-ROW reduction are index-ordered IEEE folds (the cosine
+    * discipline); the per-DIM reduction over corpus rows — the only
+    * place FP order would be partition-dependent — is quantized to
+    * exact integers ([[PcaCQ]]) so it is order-free. Per-round work is
+    * one corpus scan against the broadcast 1-row v (an RDD leaf — the
+    * r7 explicit-broadcast rule); nothing corpus-sized is collected or
+    * checkpointed, and state between rounds is one 64-double row. */
+  private[graft] def pcaTop(s: SparkSession, dir: String): DataFrame = {
+    val q0 = table(s, dir, "embeddings")
+      .selectExpr("vec_id",
+        "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 65536) AS BIGINT)) AS q")
+    val mom = q0.select(posexplode(col("q")).as(Seq("dim", "qi")))
+      .withColumn("q2", col("qi") * col("qi"))
+      .groupBy("dim")
+      .agg(count(lit(1)).as("n"),
+        asLong(sum("qi")).as("qsum"),
+        sum(expr("q2 div 1073741824").cast("decimal(38,0)"))
+          .cast("double").as("q2hi"),
+        sum(expr("q2 % 1073741824").cast("decimal(38,0)"))
+          .cast("double").as("q2lo"))
+      .localCheckpoint(true) // ≤ #dims rows; feeds the mean AND the trace
+    val mrel = mom.selectExpr(Seq("dim") :+ dimStatFormulas.head: _*)
+      .agg(sort_array(collect_list(struct(col("dim"), col("mean_v"))))
+        .as("ms"))
+      .selectExpr("transform(ms, x -> x.mean_v) AS marr")
+      .localCheckpoint(true)
+    val trRel = mom.selectExpr(Seq("dim", "n", "qsum") :+
+        dimStatFormulas(1): _*)
+      .agg(sort_array(collect_list(struct(col("dim"), col("var_v"))))
+        .as("vs"))
+      .selectExpr("aggregate(transform(vs, x -> x.var_v)," +
+        " CAST(0 AS DOUBLE), (acc, x) -> acc + x) AS trace_var")
+      .localCheckpoint(true)
+    val bx = q0.crossJoin(broadcast(mrel))
+      .selectExpr("vec_id",
+        "zip_with(q, marr, (qq, mm) -> CAST(qq AS DOUBLE) / 65536.0 - mm) AS xd")
+    var v = mrel
+      .selectExpr("transform(marr, mm -> CAST(1 AS DOUBLE)) AS varr",
+        "CAST(0 AS DOUBLE) AS nrm")
+      .localCheckpoint(true)
+    for (_ <- 1 to PcaIters) {
+      val w = bx.crossJoin(broadcast(v.select("varr")))
+        .selectExpr("vec_id", "xd",
+          "aggregate(zip_with(xd, varr, (a, b) -> a * b)," +
+            " CAST(0 AS DOUBLE), (acc, x) -> acc + x) AS sv")
+        .selectExpr("vec_id",
+          s"transform(xd, xx -> CAST(round(xx * sv * $PcaCQ) AS BIGINT)) AS cl")
+        .where(coalesce(assert_true(
+          expr("aggregate(cl, CAST(0 AS BIGINT), (mx, xx) -> " +
+            s"greatest(mx, abs(xx))) <= ${Long.MaxValue >> 34}"),
+          lit("pca guard: quantized contribution too large — per-dim " +
+            "integer sums could overflow 2^63; rescale the 2^20 quantum")),
+          lit(true)))
+        .select(posexplode(col("cl")).as(Seq("i", "c")))
+        .groupBy("i").agg(sum("c").as("wsum"), count(lit(1)).as("nn"))
+        .selectExpr("i",
+          s"CAST(wsum AS DOUBLE) / $PcaCQ / CAST(nn AS DOUBLE) AS wd")
+      v = w.agg(sort_array(collect_list(struct(col("i"), col("wd"))))
+          .as("ws"))
+        .selectExpr("transform(ws, x -> x.wd) AS warr")
+        .selectExpr("warr",
+          "sqrt(aggregate(transform(warr, ww -> ww * ww)," +
+            " CAST(0 AS DOUBLE), (acc, x) -> acc + x)) AS nrm")
+        .selectExpr("transform(warr, ww -> CASE WHEN nrm > CAST(0 AS DOUBLE)" +
+          " THEN ww / nrm ELSE CAST(0 AS DOUBLE) END) AS varr", "nrm")
+        .localCheckpoint(true) // 1-row round state; truncates the chain
+    }
+    v.crossJoin(broadcast(trRel))
+      .select(col("nrm").as("eigenvalue"), col("trace_var"),
+        posexplode(col("varr")).as(Seq("dim", "loading")))
+      .selectExpr(Seq("CAST(dim AS BIGINT) AS dim", "loading",
+        "eigenvalue", "trace_var") :+ pcaEvrFormula: _*)
+      .orderBy("dim")
+  }
+
+  /** The generated DuckDB replay of [[pcaTop]] — base/moment CTEs in the
+    * dim-stats idiom, then [[PcaIters]] unrolled rounds (the pagerank
+    * staged-chain precedent); `q0`/`a`/`bx` are multi-reader ⇒
+    * MATERIALIZED (the r9 CTE rule). Lambda vars avoid `i`/outer-column
+    * capture (the r15 tokenHashSql trap). */
+  private[ops] def pcaOracleSql: String = {
+    val iters = (1 to PcaIters).map { k =>
+      val pv = s"v${k - 1}"
+      s"""s$k AS (
+         |  SELECT vec_id, xd,
+         |         ${foldSql(s"list_transform(range(1, len(xd) + 1), li -> xd[li] * $pv.varr[li])")} AS sv
+         |  FROM bx CROSS JOIN $pv),
+         |c$k AS (
+         |  SELECT vec_id,
+         |         list_transform(xd, xx -> CAST(round(xx * sv * $PcaCQ) AS BIGINT)) AS cl
+         |  FROM s$k),
+         |w$k AS (
+         |  SELECT i, CAST(sum(cl[i]) AS BIGINT) AS wsum, count(*) AS nn
+         |  FROM (SELECT cl, unnest(generate_series(1, len(cl))) AS i FROM c$k)
+         |  GROUP BY i),
+         |v$k AS (
+         |  SELECT list_transform(warr, ww -> CASE WHEN nrm > CAST(0 AS DOUBLE)
+         |           THEN ww / nrm ELSE CAST(0 AS DOUBLE) END) AS varr, nrm
+         |  FROM (SELECT warr,
+         |               sqrt(${foldSql("list_transform(warr, ww -> ww * ww)")}) AS nrm
+         |        FROM (SELECT list(wd ORDER BY i) AS warr
+         |              FROM (SELECT i, CAST(wsum AS DOUBLE) / $PcaCQ
+         |                              / CAST(nn AS DOUBLE) AS wd
+         |                    FROM w$k))))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH q0 AS MATERIALIZED (
+       |  SELECT vec_id,
+       |         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 65536) AS BIGINT)) AS q
+       |  FROM embeddings),
+       |qx AS (
+       |  SELECT i, q[i] AS qi
+       |  FROM (SELECT q, unnest(generate_series(1, len(q))) AS i FROM q0)),
+       |a AS MATERIALIZED (
+       |  SELECT CAST(i - 1 AS BIGINT) AS dim, count(*) AS n,
+       |         CAST(sum(qi) AS BIGINT) AS qsum,
+       |         CAST(sum(CAST(qi * qi // 1073741824 AS DECIMAL(38,0))) AS DOUBLE) AS q2hi,
+       |         CAST(sum(CAST(qi * qi % 1073741824 AS DECIMAL(38,0))) AS DOUBLE) AS q2lo
+       |  FROM qx GROUP BY i),
+       |m AS (
+       |  SELECT list(mean_v ORDER BY dim) AS marr
+       |  FROM (SELECT dim, ${dimStatFormulas.head} FROM a)),
+       |tr AS (
+       |  SELECT ${foldSql("list(var_v ORDER BY dim)")} AS trace_var
+       |  FROM (SELECT dim, ${dimStatFormulas(1)} FROM a)),
+       |bx AS MATERIALIZED (
+       |  SELECT vec_id,
+       |         list_transform(range(1, len(q) + 1), li -> CAST(q[li] AS DOUBLE) / 65536.0 - marr[li]) AS xd
+       |  FROM q0 CROSS JOIN m),
+       |v0 AS (
+       |  SELECT list_transform(marr, mm -> CAST(1 AS DOUBLE)) AS varr FROM m),
+       |$iters,
+       |fin AS (
+       |  SELECT unnest(generate_series(1, len(varr))) AS i, varr,
+       |         nrm AS eigenvalue, trace_var
+       |  FROM v$PcaIters CROSS JOIN tr)
+       |SELECT CAST(i - 1 AS BIGINT) AS dim, varr[i] AS loading,
+       |       eigenvalue, trace_var,
+       |       $pcaEvrFormula
+       |FROM fin ORDER BY dim""".stripMargin
+  }
+
   def queries: Seq[(String, Q)] = Seq(
 
     // Brute-force cosine top-k vs a probe vector — the correctness baseline
@@ -702,6 +870,15 @@ object AnnOps extends QueryModule {
         .selectExpr(Seq("CAST(dim AS BIGINT) AS dim", "n") ++
           dimStatFormulas: _*)
         .orderBy("dim")),
+
+    // Top principal component by fixed-round power iteration (r15) —
+    // the PCA/whitening prep an embedding pipeline runs before trusting
+    // distances: per-dim loadings of the dominant covariance direction,
+    // its eigenvalue estimate ‖C·v‖ and the explained-variance ratio
+    // against the exact trace. See pcaTop for the replay design (the
+    // one partition-order FP surface — the per-dim sum over corpus
+    // rows — is integer-quantized, so it is order-free).
+    "q_llm_emb_pca" -> ((s: SparkSession, dir: String) => pcaTop(s, dir)),
 
     // Nearest-class-mean classification — the capstone of the embedding
     // family: build the exact per-label centroid arrays (same quantized
@@ -1017,6 +1194,8 @@ object AnnOps extends QueryModule {
          |  GROUP BY i)
          |SELECT dim, n, ${dimStatFormulas.mkString(",\n       ")}
          |FROM a ORDER BY dim""".stripMargin,
+
+    "q_llm_emb_pca" -> pcaOracleSql,
 
     "q_llm_sim_knn" ->
       s"""WITH $embCte,

@@ -735,6 +735,66 @@ class LlmSpec extends SparkTestBase {
     }
   }
 
+  test("embedding PCA equals a driver-side power-iteration replay (r15)") {
+    val vecs = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select("embedding").collect()
+      .map(_.getSeq[Float](0).toArray)
+    val dims = vecs.head.length
+    // the dim-stats replay discipline: HALF_UP (away-from-zero) ties
+    def rq(x: Double): Long =
+      BigDecimal(x).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    val qs = vecs.map(v => v.map(x => rq(x.toDouble * 65536)))
+    val n = qs.length.toLong
+    val mean = Array.tabulate(dims) { i =>
+      qs.map(_(i)).sum.toDouble / n / 65536.0
+    }
+    val trace = {
+      var t = 0.0
+      (0 until dims).foreach { i =>
+        val cl = qs.map(_(i))
+        val q2hi = cl.map(v => (v * v) / 1073741824L).sum.toDouble
+        val q2lo = cl.map(v => (v * v) % 1073741824L).sum.toDouble
+        val m = cl.sum.toDouble / n / 65536.0
+        t += (q2hi * 1073741824.0 + q2lo) / n / 65536.0 / 65536.0 - m * m
+      }
+      t
+    }
+    val xd = qs.map(row => Array.tabulate(dims)(i =>
+      row(i).toDouble / 65536.0 - mean(i)))
+    val v = Array.fill(dims)(1.0)
+    var nrm = 0.0
+    (1 to ops.AnnOps.PcaIters).foreach { _ =>
+      val wsum = Array.fill(dims)(0L)
+      xd.foreach { row =>
+        var sv = 0.0
+        var i = 0
+        while (i < dims) { sv += row(i) * v(i); i += 1 }
+        i = 0
+        while (i < dims) {
+          wsum(i) += rq(row(i) * sv * 1048576.0); i += 1
+        }
+      }
+      val wd = wsum.map(_.toDouble / 1048576.0 / n)
+      var s2 = 0.0
+      wd.foreach(w => s2 += w * w)
+      nrm = math.sqrt(s2)
+      (0 until dims).foreach(i => v(i) = if (nrm > 0) wd(i) / nrm else 0.0)
+    }
+    val got = SparkEntry.queries("q_llm_emb_pca")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4))).toSeq
+    val evr = if (trace > 0) nrm / trace else 0.0
+    val expected = (0 until dims)
+      .map(i => (i.toLong, v(i), nrm, trace, evr))
+    assert(got == expected, "PCA drifted from the power-iteration replay")
+    // the readout is a meaningful spectral summary: unit loadings, a
+    // positive dominant eigenvalue bounded by the exact trace
+    val norm2 = got.map(r => r._2 * r._2).sum
+    assert(math.abs(norm2 - 1.0) < 1e-9, "loadings not unit-norm")
+    assert(nrm > 0.0 && evr > 0.0 && evr <= 1.0 + 1e-9,
+      "explained-variance ratio outside (0, 1]")
+  }
+
   test("dedup-method agreement: exact dups are contained in both hash methods (r12)") {
     val rows = SparkEntry.queries("q_llm_dedup_agreement")(spark, sfDir)
       .collect().map(r => ((r.getString(0), r.getString(1)),
