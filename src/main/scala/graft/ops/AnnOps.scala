@@ -637,6 +637,7 @@ object AnnOps extends QueryModule {
     centroidCache.clear()
     pqCodebookCache.clear()
     centArraysCache.clear()
+    pcaCache.clear()
   }
 
   // ---- q_llm_emb_pca: top principal component by power iteration --------
@@ -661,6 +662,49 @@ object AnnOps extends QueryModule {
       " THEN eigenvalue / trace_var ELSE CAST(0 AS DOUBLE) END" +
       " AS explained_var_ratio"
 
+  /** Session-lifetime memo of the 1-row PCA state (marr, varr, nrm,
+    * trace_var) per corpus content — the centroidCache rationale: the
+    * 6-scan power-iteration build serves BOTH the component report
+    * (q_llm_emb_pca) and the per-vector projection (q_llm_emb_whiten);
+    * rebuilding per query would misstate query cost as build cost. */
+  private[ops] val pcaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  private[graft] def pcaStateFor(s: SparkSession, dir: String): DataFrame = {
+    val key = System.identityHashCode(s.sparkContext).toString + "|" +
+      SourceSinkOps.fixtureKey(dir, "embeddings.parquet") + "|pca" + PcaIters
+    pcaCache.computeIfAbsent(key, _ => pcaBuild(s, dir))
+  }
+
+  /** Shared whitening projections over (score, nsq, nrm) — residual
+    * norm off the PC-1 axis and the eigenvalue-standardized score; ONE
+    * formula set in both engines. */
+  private[graft] val pcaWhitenFormulas: Seq[String] = Seq(
+    "sqrt(greatest(nsq - score * score, CAST(0 AS DOUBLE))) AS resid",
+    "CASE WHEN nrm > CAST(0 AS DOUBLE)" +
+      " THEN score / sqrt(nrm) ELSE CAST(0 AS DOUBLE) END AS z")
+
+  /** The demeaned per-vector double rows (vec_id, xd) against the
+    * state's mean array — rebuilt per consumer scan (the corpus is
+    * never materialized; only the 1-row state is). */
+  private[graft] def pcaDemeanedRows(s: SparkSession, dir: String,
+      state: DataFrame): DataFrame =
+    table(s, dir, "embeddings")
+      .selectExpr("vec_id",
+        "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 65536) AS BIGINT)) AS q")
+      .crossJoin(broadcast(state.select("marr")))
+      .selectExpr("vec_id",
+        "zip_with(q, marr, (qq, mm) -> CAST(qq AS DOUBLE) / 65536.0 - mm) AS xd")
+
+  /** The q_llm_emb_pca report off the memoized state. */
+  private[graft] def pcaTop(s: SparkSession, dir: String): DataFrame =
+    pcaStateFor(s, dir)
+      .select(col("nrm").as("eigenvalue"), col("trace_var"),
+        posexplode(col("varr")).as(Seq("dim", "loading")))
+      .selectExpr(Seq("CAST(dim AS BIGINT) AS dim", "loading",
+        "eigenvalue", "trace_var") :+ pcaEvrFormula: _*)
+      .orderBy("dim")
+
   /** Top principal component of the embedding cloud via [[PcaIters]]
     * rounds of power iteration on the covariance action — the whitening
     * / intrinsic-dimension readout an embedding pipeline runs before
@@ -673,7 +717,7 @@ object AnnOps extends QueryModule {
     * one corpus scan against the broadcast 1-row v (an RDD leaf — the
     * r7 explicit-broadcast rule); nothing corpus-sized is collected or
     * checkpointed, and state between rounds is one 64-double row. */
-  private[graft] def pcaTop(s: SparkSession, dir: String): DataFrame = {
+  private def pcaBuild(s: SparkSession, dir: String): DataFrame = {
     val q0 = table(s, dir, "embeddings")
       .selectExpr("vec_id",
         "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 65536) AS BIGINT)) AS q")
@@ -733,20 +777,18 @@ object AnnOps extends QueryModule {
           " THEN ww / nrm ELSE CAST(0 AS DOUBLE) END) AS varr", "nrm")
         .localCheckpoint(true) // 1-row round state; truncates the chain
     }
-    v.crossJoin(broadcast(trRel))
-      .select(col("nrm").as("eigenvalue"), col("trace_var"),
-        posexplode(col("varr")).as(Seq("dim", "loading")))
-      .selectExpr(Seq("CAST(dim AS BIGINT) AS dim", "loading",
-        "eigenvalue", "trace_var") :+ pcaEvrFormula: _*)
-      .orderBy("dim")
+    v.crossJoin(broadcast(mrel)).crossJoin(broadcast(trRel))
+      .localCheckpoint(true) // 1-row state: (varr, nrm, marr, trace_var)
   }
 
-  /** The generated DuckDB replay of [[pcaTop]] — base/moment CTEs in the
-    * dim-stats idiom, then [[PcaIters]] unrolled rounds (the pagerank
-    * staged-chain precedent); `q0`/`a`/`bx` are multi-reader ⇒
-    * MATERIALIZED (the r9 CTE rule). Lambda vars avoid `i`/outer-column
-    * capture (the r15 tokenHashSql trap). */
-  private[ops] def pcaOracleSql: String = {
+  /** The generated DuckDB replay chain shared by the q_llm_emb_pca and
+    * q_llm_emb_whiten oracles (ONE builder, the twin-body rule) —
+    * base/moment CTEs in the dim-stats idiom, then [[PcaIters]]
+    * unrolled rounds (the pagerank staged-chain precedent);
+    * `q0`/`a`/`bx` are multi-reader ⇒ MATERIALIZED (the r9 CTE rule).
+    * Lambda vars avoid `i`/outer-column capture (the r15 tokenHashSql
+    * trap). */
+  private[ops] def pcaChainCtes: String = {
     val iters = (1 to PcaIters).map { k =>
       val pv = s"v${k - 1}"
       s"""s$k AS (
@@ -796,7 +838,11 @@ object AnnOps extends QueryModule {
        |  FROM q0 CROSS JOIN m),
        |v0 AS (
        |  SELECT list_transform(marr, mm -> CAST(1 AS DOUBLE)) AS varr FROM m),
-       |$iters,
+       |$iters""".stripMargin
+  }
+
+  private[ops] def pcaOracleSql: String =
+    s"""$pcaChainCtes,
        |fin AS (
        |  SELECT unnest(generate_series(1, len(varr))) AS i, varr,
        |         nrm AS eigenvalue, trace_var
@@ -805,7 +851,17 @@ object AnnOps extends QueryModule {
        |       eigenvalue, trace_var,
        |       $pcaEvrFormula
        |FROM fin ORDER BY dim""".stripMargin
-  }
+
+  private[ops] def pcaWhitenOracleSql: String =
+    s"""$pcaChainCtes,
+       |sc AS (
+       |  SELECT vec_id,
+       |         ${foldSql(s"list_transform(range(1, len(xd) + 1), li -> xd[li] * v$PcaIters.varr[li])")} AS score,
+       |         ${foldSql("list_transform(xd, xx -> xx * xx)")} AS nsq,
+       |         nrm
+       |  FROM bx CROSS JOIN v$PcaIters)
+       |SELECT vec_id, score, ${pcaWhitenFormulas.mkString(",\n       ")}
+       |FROM sc ORDER BY vec_id""".stripMargin
 
   def queries: Seq[(String, Q)] = Seq(
 
@@ -879,6 +935,27 @@ object AnnOps extends QueryModule {
     // one partition-order FP surface — the per-dim sum over corpus
     // rows — is integer-quantized, so it is order-free).
     "q_llm_emb_pca" -> ((s: SparkSession, dir: String) => pcaTop(s, dir)),
+
+    // PC-1 projection / whitening readout (r15) — the PCA put to work:
+    // per-vector score along the dominant direction (the 1-D
+    // curriculum/diversity axis), residual norm off that axis (the
+    // denoising/outlier readout: a vector that is ALL top-component is
+    // template-like; a huge residual is off-distribution), and the
+    // eigenvalue-standardized z. One corpus scan against the broadcast
+    // 1-row memoized state; every reduction an index-ordered fold.
+    "q_llm_emb_whiten" -> ((s: SparkSession, dir: String) => {
+      val st = pcaStateFor(s, dir)
+      pcaDemeanedRows(s, dir, st)
+        .crossJoin(broadcast(st.select("varr", "nrm")))
+        .selectExpr("vec_id",
+          "aggregate(zip_with(xd, varr, (a, b) -> a * b)," +
+            " CAST(0 AS DOUBLE), (acc, x) -> acc + x) AS score",
+          "aggregate(transform(xd, xx -> xx * xx)," +
+            " CAST(0 AS DOUBLE), (acc, x) -> acc + x) AS nsq",
+          "nrm")
+        .selectExpr(Seq("vec_id", "score") ++ pcaWhitenFormulas: _*)
+        .orderBy("vec_id")
+    }),
 
     // Nearest-class-mean classification — the capstone of the embedding
     // family: build the exact per-label centroid arrays (same quantized
@@ -1196,6 +1273,8 @@ object AnnOps extends QueryModule {
          |FROM a ORDER BY dim""".stripMargin,
 
     "q_llm_emb_pca" -> pcaOracleSql,
+
+    "q_llm_emb_whiten" -> pcaWhitenOracleSql,
 
     "q_llm_sim_knn" ->
       s"""WITH $embCte,

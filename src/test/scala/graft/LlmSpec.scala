@@ -795,6 +795,29 @@ class LlmSpec extends SparkTestBase {
       "explained-variance ratio outside (0, 1]")
   }
 
+  test("PC-1 whitening scores standardize against the reported eigenvalue (r15)") {
+    val rows = SparkEntry.queries("q_llm_emb_whiten")(spark, sfDir)
+      .collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2),
+        r.getDouble(3)))
+    assert(rows.nonEmpty)
+    val lam = SparkEntry.queries("q_llm_emb_pca")(spark, sfDir)
+      .collect().head.getDouble(2)
+    // z is EXACTLY score/sqrt(eigenvalue) (same IEEE ops)
+    rows.foreach { r =>
+      assert(r._4 == r._2 / math.sqrt(lam), s"vec ${r._1}: z drifted")
+      assert(r._3 >= 0.0, s"vec ${r._1}: negative residual norm")
+    }
+    // the score axis carries the eigenvalue's variance: Var(score) ≈ λ
+    // (vᵀCv after 6 rounds; quantization + finite iteration ⇒ loose
+    // band, but a wrong axis or scale would miss by decades)
+    val n = rows.length
+    val meanS = rows.map(_._2).sum / n
+    val varS = rows.map(r => (r._2 - meanS) * (r._2 - meanS)).sum / n
+    assert(math.abs(varS - lam) / lam < 0.2,
+      s"score variance $varS far from eigenvalue $lam")
+  }
+
   test("dedup-method agreement: exact dups are contained in both hash methods (r12)") {
     val rows = SparkEntry.queries("q_llm_dedup_agreement")(spark, sfDir)
       .collect().map(r => ((r.getString(0), r.getString(1)),
