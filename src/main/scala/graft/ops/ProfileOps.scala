@@ -35,6 +35,26 @@ object ProfileOps extends QueryModule {
     // scans). The rank/total windows run over the (column, value)
     // relation, bounded by the VALUE DOMAINS (3 statuses × 5 priorities
     // here), never over corpus rows.
+    // k-anonymity / l-diversity audit (r15): the re-identification-risk
+    // readout a data-governance pass runs before releasing a table —
+    // quasi-identifier classes (nation × $100 balance band), class size
+    // k, sensitive-attribute diversity l (distinct market segments per
+    // class) and the k<5 risk flag. Banding shifts cents by +100000
+    // BEFORE the integer division: Spark `div` truncates toward zero
+    // while DuckDB `//` floors, so signed bands would diverge (the
+    // r12c2 signed-div rule); the class relation is VALUE-DOMAIN-bounded
+    // (≤ nations × balance bands) at any corpus size.
+    "q_profile_k_anon" -> ((s: SparkSession, dir: String) =>
+      table(s, dir, "customer")
+        .selectExpr("CAST(c_nationkey AS BIGINT) AS nation",
+          "(CAST(round(c_acctbal * 100) AS BIGINT) + 100000) div 10000 AS bal_band",
+          "c_mktsegment")
+        .groupBy("nation", "bal_band")
+        .agg(asLong(count(lit(1))).as("k_size"),
+          asLong(countDistinct("c_mktsegment")).as("l_div"))
+        .withColumn("at_risk", col("k_size") < 5)
+        .orderBy("nation", "bal_band")),
+
     "q_profile_freq" -> ((s: SparkSession, dir: String) => {
       val st = table(s, dir, "orders")
         .selectExpr("stack(2, 'o_orderstatus', o_orderstatus," +
@@ -616,6 +636,16 @@ object ProfileOps extends QueryModule {
   }
 
   def oracle: Seq[(String, String)] = Seq(
+    "q_profile_k_anon" ->
+      """SELECT CAST(c_nationkey AS BIGINT) AS nation,
+        |       (CAST(round(c_acctbal * 100) AS BIGINT) + 100000) // 10000 AS bal_band,
+        |       CAST(count(*) AS BIGINT) AS k_size,
+        |       CAST(count(DISTINCT c_mktsegment) AS BIGINT) AS l_div,
+        |       count(*) < 5 AS at_risk
+        |FROM customer
+        |GROUP BY 1, 2
+        |ORDER BY nation, bal_band""".stripMargin,
+
     "q_profile_freq" ->
       """WITH st AS (
         |  SELECT 'o_orderstatus' AS col_name, o_orderstatus AS val FROM orders

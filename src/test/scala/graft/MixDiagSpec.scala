@@ -1618,6 +1618,33 @@ class MixDiagSpec extends SparkTestBase {
     }
   }
 
+  test("k-anonymity audit equals a driver-side class recount (r15)") {
+    val rows = q("q_profile_k_anon").collect()
+      .map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getLong(2), r.getLong(3), r.getBoolean(4)))).toMap
+    assert(rows.nonEmpty)
+    val cust = spark.read.parquet(s"$sfDir/customer.parquet")
+      .select("c_nationkey", "c_acctbal", "c_mktsegment").collect()
+      .map { r =>
+        val cents = BigDecimal(r.getDouble(1) * 100)
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+        (r.getInt(0).toLong, (cents + 100000L) / 10000L, r.getString(2))
+      }
+    val classes = cust.groupBy(c => (c._1, c._2))
+    assert(rows.keySet == classes.keySet, "class set differs")
+    classes.foreach { case (key, ms) =>
+      val (ks, ld, risk) = rows(key)
+      assert(ks == ms.length.toLong, s"$key: k differs")
+      assert(ld == ms.map(_._3).distinct.length.toLong, s"$key: l differs")
+      assert(risk == (ks < 5) && ld <= math.min(ks, 5L), s"$key: flags")
+    }
+    assert(rows.values.map(_._1).sum == cust.length.toLong,
+      "classes do not partition the table")
+    // the audit must be able to FIND risk: $100 bands leave singleton
+    // classes on every fixture scale
+    assert(rows.values.exists(_._3), "no at-risk class found")
+  }
+
   test("Welch coherence equals a driver-side segment-DFT replay (r15)") {
     val out = q("q_ts_coherence").collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2),
