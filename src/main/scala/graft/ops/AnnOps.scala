@@ -696,6 +696,73 @@ object AnnOps extends QueryModule {
       .selectExpr("vec_id",
         "zip_with(q, marr, (qq, mm) -> CAST(qq AS DOUBLE) / 65536.0 - mm) AS xd")
 
+  private[graft] val pcaGapFormula: String =
+    "CASE WHEN eigenvalue1 > CAST(0 AS DOUBLE)" +
+      " THEN eigenvalue2 / eigenvalue1 ELSE CAST(0 AS DOUBLE) END" +
+      " AS gap_ratio"
+
+  /** Second principal component by deflated power iteration — the same
+    * [[PcaIters]]-round loop with a per-round Gram–Schmidt projection
+    * at the 1-row assembly stage: w̃ = Cu, w = w̃ − (v₁·w̃)v₁. Projecting
+    * the ITERATE (not subtracting λ₁v₁v₁ᵀ) removes the v₁ component
+    * EXACTLY even though v₁ is itself a finite-round iterate — the
+    * eigenvalue form measured v₁·v₂ ≈ 0.015 leak from v₁'s residual
+    * non-eigen-ness; the projection form is orthogonal to FP precision.
+    * The corpus pass is IDENTICAL to round one, so the exact-integer
+    * row reduction carries over unchanged. Init u₀ alternates ±1
+    * (deterministic, generically not parallel to v₁). λ₂/λ₁ is the
+    * spectral-gap / intrinsic-dimension readout. */
+  private[graft] def pca2StateFor(s: SparkSession, dir: String): DataFrame = {
+    val key = System.identityHashCode(s.sparkContext).toString + "|" +
+      SourceSinkOps.fixtureKey(dir, "embeddings.parquet") + "|pca2" + PcaIters
+    pcaCache.computeIfAbsent(key, _ => pca2Build(s, dir))
+  }
+
+  private def pca2Build(s: SparkSession, dir: String): DataFrame = {
+    val st1 = pcaStateFor(s, dir)
+    val bx = pcaDemeanedRows(s, dir, st1)
+    val v1 = st1.select(col("varr"), col("nrm"))
+    var u = st1
+      .selectExpr("transform(sequence(0, size(marr) - 1), ii -> " +
+        "CAST(CASE WHEN ii % 2 = 0 THEN 1 ELSE -1 END AS DOUBLE)) AS uarr",
+        "CAST(0 AS DOUBLE) AS nrm2")
+      .localCheckpoint(true)
+    for (_ <- 1 to PcaIters) {
+      val w = bx.crossJoin(broadcast(u.select("uarr")))
+        .selectExpr("vec_id", "xd",
+          "aggregate(zip_with(xd, uarr, (a, b) -> a * b)," +
+            " CAST(0 AS DOUBLE), (acc, x) -> acc + x) AS sv")
+        .selectExpr("vec_id",
+          s"transform(xd, xx -> CAST(round(xx * sv * $PcaCQ) AS BIGINT)) AS cl")
+        .where(coalesce(assert_true(
+          expr("aggregate(cl, CAST(0 AS BIGINT), (mx, xx) -> " +
+            s"greatest(mx, abs(xx))) <= ${Long.MaxValue >> 34}"),
+          lit("pca2 guard: quantized contribution too large — per-dim " +
+            "integer sums could overflow 2^63; rescale the 2^20 quantum")),
+          lit(true)))
+        .select(posexplode(col("cl")).as(Seq("i", "c")))
+        .groupBy("i").agg(sum("c").as("wsum"), count(lit(1)).as("nn"))
+        .selectExpr("i",
+          s"CAST(wsum AS DOUBLE) / $PcaCQ / CAST(nn AS DOUBLE) AS wd")
+        .agg(sort_array(collect_list(struct(col("i"), col("wd"))))
+          .as("ws"))
+        .selectExpr("transform(ws, x -> x.wd) AS warr")
+      u = w.crossJoin(broadcast(v1))
+        .selectExpr("warr", "varr",
+          "aggregate(zip_with(varr, warr, (a, b) -> a * b)," +
+            " CAST(0 AS DOUBLE), (acc, x) -> acc + x) AS ld")
+        .selectExpr("zip_with(warr, varr, (ww, vv) -> ww - ld * vv) AS wadj")
+        .selectExpr("wadj",
+          "sqrt(aggregate(transform(wadj, ww -> ww * ww)," +
+            " CAST(0 AS DOUBLE), (acc, x) -> acc + x)) AS nrm2")
+        .selectExpr("transform(wadj, ww -> CASE WHEN nrm2 > CAST(0 AS DOUBLE)" +
+          " THEN ww / nrm2 ELSE CAST(0 AS DOUBLE) END) AS uarr", "nrm2")
+        .localCheckpoint(true)
+    }
+    u.crossJoin(broadcast(v1.select(col("nrm").as("nrm1"))))
+      .localCheckpoint(true) // 1-row state: (uarr, nrm2, nrm1)
+  }
+
   /** The q_llm_emb_pca report off the memoized state. */
   private[graft] def pcaTop(s: SparkSession, dir: String): DataFrame =
     pcaStateFor(s, dir)
@@ -788,9 +855,16 @@ object AnnOps extends QueryModule {
     * `q0`/`a`/`bx` are multi-reader ⇒ MATERIALIZED (the r9 CTE rule).
     * Lambda vars avoid `i`/outer-column capture (the r15 tokenHashSql
     * trap). */
-  private[ops] def pcaChainCtes: String = {
+  private[ops] def pcaChainCtes: String = pcaChainCtes(matFinal = false)
+
+  /** `matFinal` marks the last v-round MATERIALIZED for the pca2 oracle
+    * (its 6 deflation rounds each read v6 — inlined, every reference
+    * would re-run the whole first chain); false keeps the pca/whiten
+    * oracle texts byte-identical to their pins. */
+  private[ops] def pcaChainCtes(matFinal: Boolean): String = {
     val iters = (1 to PcaIters).map { k =>
       val pv = s"v${k - 1}"
+      val fm = if (matFinal && k == PcaIters) "MATERIALIZED " else ""
       s"""s$k AS (
          |  SELECT vec_id, xd,
          |         ${foldSql(s"list_transform(range(1, len(xd) + 1), li -> xd[li] * $pv.varr[li])")} AS sv
@@ -803,7 +877,7 @@ object AnnOps extends QueryModule {
          |  SELECT i, CAST(sum(cl[i]) AS BIGINT) AS wsum, count(*) AS nn
          |  FROM (SELECT cl, unnest(generate_series(1, len(cl))) AS i FROM c$k)
          |  GROUP BY i),
-         |v$k AS (
+         |v$k AS $fm(
          |  SELECT list_transform(warr, ww -> CASE WHEN nrm > CAST(0 AS DOUBLE)
          |           THEN ww / nrm ELSE CAST(0 AS DOUBLE) END) AS varr, nrm
          |  FROM (SELECT warr,
@@ -851,6 +925,55 @@ object AnnOps extends QueryModule {
        |       eigenvalue, trace_var,
        |       $pcaEvrFormula
        |FROM fin ORDER BY dim""".stripMargin
+
+  /** The q_llm_emb_pca2 replay: the round-one chain with its final v
+    * MATERIALIZED, then [[PcaIters]] deflation rounds. Every u-round is
+    * MATERIALIZED (each is read TWICE — the next corpus stage and the
+    * next deflation stage — so inlining would re-run subtrees 2^K-fold,
+    * the r9 concomp lesson). */
+  private[ops] def pca2OracleSql: String = {
+    val defl = (1 to PcaIters).map { k =>
+      val pu = s"u${k - 1}"
+      s"""t$k AS (
+         |  SELECT vec_id, xd,
+         |         ${foldSql(s"list_transform(range(1, len(xd) + 1), li -> xd[li] * $pu.uarr[li])")} AS sv
+         |  FROM bx CROSS JOIN $pu),
+         |d$k AS (
+         |  SELECT vec_id,
+         |         list_transform(xd, xx -> CAST(round(xx * sv * $PcaCQ) AS BIGINT)) AS cl
+         |  FROM t$k),
+         |e$k AS (
+         |  SELECT i, CAST(sum(cl[i]) AS BIGINT) AS wsum, count(*) AS nn
+         |  FROM (SELECT cl, unnest(generate_series(1, len(cl))) AS i FROM d$k)
+         |  GROUP BY i),
+         |u$k AS MATERIALIZED (
+         |  SELECT list_transform(wadj, ww -> CASE WHEN nrm2 > CAST(0 AS DOUBLE)
+         |           THEN ww / nrm2 ELSE CAST(0 AS DOUBLE) END) AS uarr, nrm2
+         |  FROM (SELECT wadj,
+         |               sqrt(${foldSql("list_transform(wadj, ww -> ww * ww)")}) AS nrm2
+         |        FROM (SELECT list_transform(range(1, len(warr) + 1), li -> warr[li] - ld * varr[li]) AS wadj
+         |              FROM (SELECT warr, varr,
+         |                           ${foldSql("list_transform(range(1, len(varr) + 1), li -> varr[li] * warr[li])")} AS ld
+         |                    FROM (SELECT list(wd ORDER BY i) AS warr
+         |                          FROM (SELECT i, CAST(wsum AS DOUBLE) / $PcaCQ
+         |                                          / CAST(nn AS DOUBLE) AS wd
+         |                                FROM e$k))
+         |                    CROSS JOIN v$PcaIters))))""".stripMargin
+    }.mkString(",\n")
+    s"""${pcaChainCtes(matFinal = true)},
+       |u0 AS MATERIALIZED (
+       |  SELECT list_transform(range(1, len(marr) + 1), ii -> CAST(CASE WHEN (ii - 1) % 2 = 0 THEN 1 ELSE -1 END AS DOUBLE)) AS uarr
+       |  FROM m),
+       |$defl,
+       |fin2 AS (
+       |  SELECT unnest(generate_series(1, len(uarr))) AS i, uarr,
+       |         nrm2 AS eigenvalue2, v$PcaIters.nrm AS eigenvalue1
+       |  FROM u$PcaIters CROSS JOIN v$PcaIters)
+       |SELECT CAST(i - 1 AS BIGINT) AS dim, uarr[i] AS loading2,
+       |       eigenvalue2, eigenvalue1,
+       |       $pcaGapFormula
+       |FROM fin2 ORDER BY dim""".stripMargin
+  }
 
   private[ops] def pcaWhitenOracleSql: String =
     s"""$pcaChainCtes,
@@ -943,6 +1066,20 @@ object AnnOps extends QueryModule {
     // template-like; a huge residual is off-distribution), and the
     // eigenvalue-standardized z. One corpus scan against the broadcast
     // 1-row memoized state; every reduction an index-ordered fold.
+    // Second principal component + spectral gap (r15): deflated power
+    // iteration with per-round Gram–Schmidt projection off v₁ — λ₂/λ₁
+    // is the intrinsic-dimension readout ("is the cloud a line or a
+    // plane?") that decides whether PC-1 whitening suffices. The
+    // projection happens at the 1-row assembly stage, so the corpus
+    // pass is IDENTICAL to round one.
+    "q_llm_emb_pca2" -> ((s: SparkSession, dir: String) =>
+      pca2StateFor(s, dir)
+        .select(col("nrm2").as("eigenvalue2"), col("nrm1").as("eigenvalue1"),
+          posexplode(col("uarr")).as(Seq("dim", "loading2")))
+        .selectExpr(Seq("CAST(dim AS BIGINT) AS dim", "loading2",
+          "eigenvalue2", "eigenvalue1") :+ pcaGapFormula: _*)
+        .orderBy("dim")),
+
     "q_llm_emb_whiten" -> ((s: SparkSession, dir: String) => {
       val st = pcaStateFor(s, dir)
       pcaDemeanedRows(s, dir, st)
@@ -1273,6 +1410,8 @@ object AnnOps extends QueryModule {
          |FROM a ORDER BY dim""".stripMargin,
 
     "q_llm_emb_pca" -> pcaOracleSql,
+
+    "q_llm_emb_pca2" -> pca2OracleSql,
 
     "q_llm_emb_whiten" -> pcaWhitenOracleSql,
 
