@@ -463,8 +463,11 @@ object AnnOps extends QueryModule {
     * BIGINT sum-centroids, probe-cell ranking, final-cell assignment, and
     * float re-rank — every float step an index-ordered IEEE fold, every
     * integer step exact, so the whole index build replays bit-for-bit. */
-  private[ops] def ivfOracleSql(nprobe: Int, k: Int = 8, iters: Int = 2,
-      dims: Int = 64, topK: Int = 10): String = {
+  /** The exact-lattice Lloyd chain (embCte0 → c0 init → `iters` rounds
+    * ending at c$iters) — factored (r15) so the IVF oracles and the
+    * cluster-quality oracle share ONE builder (the dftAbCtes pattern);
+    * composed texts for the existing IVF oracles stay byte-identical. */
+  private[ops] def kmeansChainCtes(k: Int, iters: Int, dims: Int): String = {
     def lloydCtes(i: Int): String = {
       val prev = if (i == 0) "c0" else s"c$i"
       s"""a${i + 1} AS (
@@ -483,10 +486,15 @@ object AnnOps extends QueryModule {
          |  SELECT p.cent_id, coalesce(n.cvec, p.cvec) AS cvec
          |  FROM $prev p LEFT JOIN v${i + 1} n USING (cent_id))""".stripMargin
     }
-    val cf = s"c$iters"
-    s"""WITH $embCte0,
+    s"""$embCte0,
        |c0 AS (SELECT vec_id AS cent_id, qv AS cvec FROM e WHERE vec_id < $k),
-       |${(0 until iters).map(lloydCtes).mkString(",\n")},
+       |${(0 until iters).map(lloydCtes).mkString(",\n")}""".stripMargin
+  }
+
+  private[ops] def ivfOracleSql(nprobe: Int, k: Int = 8, iters: Int = 2,
+      dims: Int = 64, topK: Int = 10): String = {
+    val cf = s"c$iters"
+    s"""WITH ${kmeansChainCtes(k, iters, dims)},
        |p AS (SELECT qv AS pqv, emb AS pemb FROM e WHERE vec_id = 0),
        |pc AS (
        |  SELECT cent_id FROM (
@@ -1072,6 +1080,41 @@ object AnnOps extends QueryModule {
     // plane?") that decides whether PC-1 whitening suffices. The
     // projection happens at the 1-row assembly stage, so the corpus
     // pass is IDENTICAL to round one.
+    // Cluster-quality report over the memoized IVF index (r15): per
+    // cell its size, label purity (top label share — "did unsupervised
+    // cells recover the label structure?") and mean member-to-centroid
+    // cosine (cohesion). The per-row cosines are replayable
+    // index-ordered folds; their per-CELL mean — an unordered double
+    // sum over corpus rows — is quantized to exact BIGINTs first (the
+    // PcaCQ discipline), so it is partition-order-free. Completes the
+    // clustering story: build (kmeansCentroids) → assign → quality.
+    "q_llm_emb_cluster_quality" -> ((s: SparkSession, dir: String) => {
+      val cents = centroidsFor(s, dir, k = 8, iters = 2)
+      embWithLattice(s, dir).join(broadcast(cents))
+        .select(col("vec_id"), col("label"),
+          struct(cosine(s)(col("qv").cast("array<double>"),
+              col("cvec").cast("array<double>")).as("sim"),
+            (-col("cent_id")).as("neg_id")).as("scored"))
+        .groupBy("vec_id")
+        .agg(first(col("label")).as("label"),
+          (-max(col("scored")).getField("neg_id")).as("cell"),
+          max(col("scored")).getField("sim").as("cos_self"))
+        .selectExpr("cell", "label",
+          "CAST(round(cos_self * 1048576e0) AS BIGINT) AS qcos")
+        .groupBy("cell", "label")
+        .agg(count(lit(1)).as("cnt"), sum("qcos").as("sq"))
+        .groupBy("cell")
+        .agg(asLong(sum("cnt")).as("n_members"),
+          sum("sq").as("sqc"),
+          max(struct(col("cnt"), (-col("label")).as("negl"))).as("top"))
+        .selectExpr("CAST(cell AS BIGINT) AS cell", "n_members",
+          "CAST(-top.negl AS BIGINT) AS top_label",
+          "CAST(top.cnt AS BIGINT) AS top_cnt",
+          "CAST(top.cnt AS DOUBLE) / CAST(n_members AS DOUBLE) AS purity",
+          "CAST(sqc AS DOUBLE) / 1048576e0 / CAST(n_members AS DOUBLE) AS mean_cos")
+        .orderBy("cell")
+    }),
+
     "q_llm_emb_pca2" -> ((s: SparkSession, dir: String) =>
       pca2StateFor(s, dir)
         .select(col("nrm2").as("eigenvalue2"), col("nrm1").as("eigenvalue1"),
@@ -1412,6 +1455,38 @@ object AnnOps extends QueryModule {
     "q_llm_emb_pca" -> pcaOracleSql,
 
     "q_llm_emb_pca2" -> pca2OracleSql,
+
+    "q_llm_emb_cluster_quality" -> {
+      val iters = 2
+      s"""WITH ${kmeansChainCtes(k = 8, iters = iters, dims = 64)},
+         |af AS (
+         |  SELECT vec_id, label, cell, sim FROM (
+         |    SELECT e.vec_id, e.label, c.cent_id AS cell,
+         |           ${cosIntSql("e.qv", "c.cvec")} AS sim,
+         |           row_number() OVER (PARTITION BY e.vec_id
+         |             ORDER BY ${cosIntSql("e.qv", "c.cvec")} DESC, c.cent_id ASC) AS rn
+         |    FROM e CROSS JOIN c$iters c) WHERE rn = 1),
+         |bl AS MATERIALIZED (
+         |  SELECT cell, label, CAST(count(*) AS BIGINT) AS cnt,
+         |         CAST(sum(CAST(round(sim * 1048576e0) AS BIGINT)) AS BIGINT) AS sq
+         |  FROM af GROUP BY 1, 2),
+         |ca AS (
+         |  SELECT cell, CAST(sum(cnt) AS BIGINT) AS n_members,
+         |         CAST(sum(sq) AS BIGINT) AS sqc
+         |  FROM bl GROUP BY 1),
+         |tp AS (
+         |  SELECT cell, cnt AS top_cnt, label AS top_label FROM (
+         |    SELECT cell, cnt, label,
+         |           row_number() OVER (PARTITION BY cell
+         |             ORDER BY cnt DESC, label ASC) AS rn
+         |    FROM bl) WHERE rn = 1)
+         |SELECT CAST(ca.cell AS BIGINT) AS cell, n_members,
+         |       CAST(top_label AS BIGINT) AS top_label,
+         |       CAST(top_cnt AS BIGINT) AS top_cnt,
+         |       CAST(top_cnt AS DOUBLE) / CAST(n_members AS DOUBLE) AS purity,
+         |       CAST(sqc AS DOUBLE) / 1048576e0 / CAST(n_members AS DOUBLE) AS mean_cos
+         |FROM ca JOIN tp USING (cell) ORDER BY cell""".stripMargin
+    },
 
     "q_llm_emb_whiten" -> pcaWhitenOracleSql,
 

@@ -795,6 +795,24 @@ class LlmSpec extends SparkTestBase {
       "explained-variance ratio outside (0, 1]")
   }
 
+  test("IVF cluster-quality report is a consistent partition readout (r15)") {
+    val rows = SparkEntry.queries("q_llm_emb_cluster_quality")(spark, sfDir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5)))
+    assert(rows.length == 8, "one row per IVF cell")
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    assert(rows.map(_._2).sum == emb.count(), "cells do not partition")
+    val nLabels = emb.select("label").distinct().count()
+    rows.foreach { r =>
+      assert(r._5 == r._4.toDouble / r._2.toDouble, s"cell ${r._1}: purity ops")
+      // pigeonhole: the top label's count is at least n/#labels
+      assert(r._5 >= 1.0 / nLabels, s"cell ${r._1}: pigeonhole violated")
+      assert(r._6 > 0.0 && r._6 <= 1.0 + 1e-9,
+        s"cell ${r._1}: cohesion outside (0,1]")
+    }
+  }
+
   test("deflated PC-2 is orthogonal to PC-1 with a sub-unit spectral gap (r15)") {
     val pc1 = SparkEntry.queries("q_llm_emb_pca")(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
