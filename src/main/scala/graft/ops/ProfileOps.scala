@@ -45,15 +45,10 @@ object ProfileOps extends QueryModule {
     // r12c2 signed-div rule); the class relation is VALUE-DOMAIN-bounded
     // (≤ nations × balance bands) at any corpus size.
     "q_profile_k_anon" -> ((s: SparkSession, dir: String) =>
-      table(s, dir, "customer")
-        .selectExpr("CAST(c_nationkey AS BIGINT) AS nation",
-          "(CAST(round(c_acctbal * 100) AS BIGINT) + 100000) div 10000 AS bal_band",
-          "c_mktsegment")
+      kAnonAssemble(kAnonBanded(table(s, dir, "customer"))
         .groupBy("nation", "bal_band")
         .agg(asLong(count(lit(1))).as("k_size"),
-          asLong(countDistinct("c_mktsegment")).as("l_div"))
-        .withColumn("at_risk", col("k_size") < 5)
-        .orderBy("nation", "bal_band")),
+          asLong(countDistinct("c_mktsegment")).as("l_div")))),
 
     "q_profile_freq" -> ((s: SparkSession, dir: String) => {
       val st = table(s, dir, "orders")
@@ -634,6 +629,24 @@ object ProfileOps extends QueryModule {
         "crit_05", "ks_d > crit_05 AS drift_rejected")
       .orderBy("event_type")
   }
+
+  /** The quasi-identifier banding behind q_profile_k_anon, shared with
+    * the streaming twin (the twin-body rule): (nation, $100 balance
+    * band, segment). Banding shifts cents nonnegative BEFORE the
+    * integer division (Spark div truncates vs DuckDB // floors on
+    * negatives — the r12c2 signed-div rule). */
+  private[graft] def kAnonBanded(customer: DataFrame): DataFrame =
+    customer.selectExpr("CAST(c_nationkey AS BIGINT) AS nation",
+      "(CAST(round(c_acctbal * 100) AS BIGINT) + 100000) div 10000 AS bal_band",
+      "c_mktsegment")
+
+  /** The k-anonymity report tail over a (nation, bal_band, k_size,
+    * l_div) class relation — shared by the batch key and the streaming
+    * twin's state-induced read; pure integer ops, so the twin is
+    * bit-equal by construction. */
+  private[graft] def kAnonAssemble(classes: DataFrame): DataFrame =
+    classes.withColumn("at_risk", col("k_size") < 5)
+      .orderBy("nation", "bal_band")
 
   def oracle: Seq[(String, String)] = Seq(
     "q_profile_k_anon" ->
