@@ -686,7 +686,10 @@ object DiagOps {
     * the pair fan runs above the per-(type, seg) aggregate, and the
     * checkpointed component leaf broadcasts its tiny side (the
     * crossSpectrumOf conventions). */
-  private[graft] def coherenceOf(grid: DataFrame): DataFrame = {
+  /** The per-(type, complete 72-hour segment) demeaned DFT component
+    * relation behind [[coherenceOf]] — factored (r15) so the Welch
+    * stationarity readout shares the IDENTICAL chain. */
+  private[graft] def cohComponentsOf(grid: DataFrame): DataFrame = {
     val s = grid.sparkSession
     import s.implicits._
     val g = grid.selectExpr("event_type", "h", "k",
@@ -697,7 +700,7 @@ object DiagOps {
     val tab24 = dftTable.filter(_._1 == 24)
       .map { case (_, r, c, sn) => (r.toLong, c, sn) }
       .toDF("r", "cr", "sr")
-    val comp = g.join(st, Seq("event_type", "seg"))
+    g.join(st, Seq("event_type", "seg"))
       .withColumn("d", expr(s"$CohSegHours * k - t"))
       // the periodogram overflow discipline: Σ cr·d must stay < 2^63 in
       // BOTH engines (the oracle funnels HUGEINT through a BIGINT cast)
@@ -712,6 +715,10 @@ object DiagOps {
       .agg(sum(expr("cr * d")).as("asum"), sum(expr("sr * d")).as("bsum"))
       .selectExpr("event_type", "seg", cohAFormula, cohBFormula)
       .localCheckpoint(true)
+  }
+
+  private[graft] def coherenceOf(grid: DataFrame): DataFrame = {
+    val comp = cohComponentsOf(grid)
     val xa = comp.selectExpr("event_type AS type_a", "seg",
       "a_s AS a_a", "b_s AS b_a")
     val xb = comp.selectExpr("event_type AS type_b", "seg",
@@ -731,6 +738,75 @@ object DiagOps {
       .selectExpr(Seq("type_a", "type_b", "n_seg", "sum_re", "sum_im",
         "sum_px", "sum_py") :+ cohFormula: _*)
       .orderBy("type_a", "type_b")
+  }
+
+  /** Per-segment diurnal power — ONE text in both engines (the
+    * crossStage1 p_a formula over the per-type component names). */
+  private[graft] val welchPFormula: String =
+    "a_s * a_s + b_s * b_s AS p_seg"
+
+  /** Welch stationarity readout over (n_seg, sxl, sxxl, sy, sxy):
+    * mean diurnal power and the OLS drift of per-segment power across
+    * segments — seg index sums exact BIGINTs, power sums seg-ORDERED
+    * folds, degenerate (single-segment) series read slope 0. */
+  private[graft] val welchFormulas: Seq[String] = Seq(
+    "sy / CAST(n_seg AS DOUBLE) AS mean_power",
+    "CASE WHEN CAST(n_seg AS DOUBLE) * CAST(sxxl AS DOUBLE)" +
+      " - CAST(sxl AS DOUBLE) * CAST(sxl AS DOUBLE) > CAST(0 AS DOUBLE)" +
+      " THEN (CAST(n_seg AS DOUBLE) * sxy - CAST(sxl AS DOUBLE) * sy)" +
+      " / (CAST(n_seg AS DOUBLE) * CAST(sxxl AS DOUBLE)" +
+      " - CAST(sxl AS DOUBLE) * CAST(sxl AS DOUBLE))" +
+      " ELSE CAST(0 AS DOUBLE) END AS drift_slope")
+
+  /** The q_ts_welch body over any zero-filled cent grid — per-type
+    * Welch-averaged diurnal power plus its across-segment OLS drift
+    * (the spectral STATIONARITY readout: is the daily cycle's
+    * amplitude steady, growing, or fading week over week?). Rides the
+    * identical component chain as [[coherenceOf]]. */
+  private[graft] def welchOf(grid: DataFrame): DataFrame =
+    cohComponentsOf(grid)
+      .selectExpr("event_type", "seg", welchPFormula)
+      .groupBy("event_type")
+      .agg(asLong(count(lit(1))).as("n_seg"),
+        sum("seg").as("sxl"),
+        sum(expr("seg * seg")).as("sxxl"),
+        sort_array(collect_list(struct(col("seg"), col("p_seg"))))
+          .as("xs"))
+      .selectExpr("event_type", "n_seg", "sxl", "sxxl",
+        "aggregate(xs, CAST(0 AS DOUBLE), (acc, x) -> acc + x.p_seg) AS sy",
+        "aggregate(xs, CAST(0 AS DOUBLE)," +
+          " (acc, x) -> acc + CAST(x.seg AS DOUBLE) * x.p_seg) AS sxy")
+      .selectExpr(Seq("event_type", "n_seg", "sy", "sxy") ++
+        welchFormulas: _*)
+      .orderBy("event_type")
+
+  /** DuckDB replay of [[cohComponentsOf]] — the CTE chain from the cent
+    * grid `g` to the per-(type, seg) components `cb`, GENERATED into
+    * the coherence and Welch oracles from one builder (the dftAbCtes
+    * pattern); `mat` marks `cb` MATERIALIZED for the coherence twin's
+    * two readers while the single-reader Welch text stays plain. */
+  private[graft] def cohCbCtes(mat: Boolean): String = {
+    val m = if (mat) "MATERIALIZED " else ""
+    s"""tab24(rr, cr, sr) AS (VALUES $cohTab24Sql),
+       |gs AS (
+       |  SELECT event_type, h, k, h // $CohSegHours AS seg FROM g),
+       |sg AS (
+       |  SELECT event_type, seg, count(*) AS cnt, sum(k) AS t
+       |  FROM gs GROUP BY 1, 2),
+       |co AS (
+       |  SELECT gs.event_type, gs.seg,
+       |         CAST(sum(tab24.cr * ($CohSegHours * gs.k - sg.t))
+       |           AS BIGINT) AS asum,
+       |         CAST(sum(tab24.sr * ($CohSegHours * gs.k - sg.t))
+       |           AS BIGINT) AS bsum
+       |  FROM gs
+       |  JOIN sg ON sg.event_type = gs.event_type AND sg.seg = gs.seg
+       |         AND sg.cnt = $CohSegHours
+       |  JOIN tab24 ON tab24.rr = gs.h % 24
+       |  GROUP BY 1, 2),
+       |cb AS ${m}(
+       |  SELECT event_type, seg, $cohAFormula, $cohBFormula
+       |  FROM co)""".stripMargin
   }
 
   /** Shared Bollinger projections over (k, n, s1, s2hi, s2lo) — ONE

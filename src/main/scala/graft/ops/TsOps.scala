@@ -699,6 +699,15 @@ object TsOps extends QueryModule {
     "q_ts_coherence" -> ((s: SparkSession, dir: String) =>
       coherenceOf(hourlyCentGrid(s, dir))),
 
+    // Welch stationarity (r15): per-type Welch-averaged diurnal power
+    // plus its across-segment OLS drift — "is the daily cycle's
+    // amplitude steady, growing, or fading week over week?" Rides the
+    // same per-segment component chain as q_ts_coherence (factored
+    // cohComponentsOf); segment-index sums exact BIGINT, power sums
+    // seg-ORDERED folds.
+    "q_ts_welch" -> ((s: SparkSession, dir: String) =>
+      welchOf(hourlyCentGrid(s, dir))),
+
     // Permutation entropy (r12c3, Bandt–Pompe 2002 shape): ordinal
     // 3-patterns of consecutive hourly cent totals per event type — the
     // model-free complexity readout next to the correlogram (a periodic
@@ -1686,26 +1695,7 @@ object TsOps extends QueryModule {
 
     "q_ts_coherence" ->
       s"""WITH $centGridCte,
-         |tab24(rr, cr, sr) AS (VALUES $cohTab24Sql),
-         |gs AS (
-         |  SELECT event_type, h, k, h // $CohSegHours AS seg FROM g),
-         |sg AS (
-         |  SELECT event_type, seg, count(*) AS cnt, sum(k) AS t
-         |  FROM gs GROUP BY 1, 2),
-         |co AS (
-         |  SELECT gs.event_type, gs.seg,
-         |         CAST(sum(tab24.cr * ($CohSegHours * gs.k - sg.t))
-         |           AS BIGINT) AS asum,
-         |         CAST(sum(tab24.sr * ($CohSegHours * gs.k - sg.t))
-         |           AS BIGINT) AS bsum
-         |  FROM gs
-         |  JOIN sg ON sg.event_type = gs.event_type AND sg.seg = gs.seg
-         |         AND sg.cnt = $CohSegHours
-         |  JOIN tab24 ON tab24.rr = gs.h % 24
-         |  GROUP BY 1, 2),
-         |cb AS MATERIALIZED (
-         |  SELECT event_type, seg, $cohAFormula, $cohBFormula
-         |  FROM co),
+         |${cohCbCtes(mat = true)},
          |pr AS (
          |  SELECT x.event_type AS type_a, y.event_type AS type_b, x.seg,
          |         x.a_s AS a_a, x.b_s AS b_a, y.a_s AS a_b, y.b_s AS b_b
@@ -1735,6 +1725,31 @@ object TsOps extends QueryModule {
          |SELECT type_a, type_b, n_seg, sum_re, sum_im, sum_px, sum_py,
          |       $cohFormula
          |FROM sm ORDER BY type_a, type_b""".stripMargin,
+
+    "q_ts_welch" ->
+      s"""WITH $centGridCte,
+         |${cohCbCtes(mat = false)},
+         |wp AS (
+         |  SELECT event_type, seg, $welchPFormula
+         |  FROM cb),
+         |wl AS (
+         |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_seg,
+         |         CAST(sum(seg) AS BIGINT) AS sxl,
+         |         CAST(sum(seg * seg) AS BIGINT) AS sxxl,
+         |         list(struct_pack(seg := seg, p_seg := p_seg)
+         |              ORDER BY seg) AS xs
+         |  FROM wp GROUP BY 1),
+         |ws AS (
+         |  SELECT event_type, n_seg, sxl, sxxl,
+         |         list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |           list_transform(xs, v -> v.p_seg)), (p, q) -> p + q) AS sy,
+         |         list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |           list_transform(xs, v -> CAST(v.seg AS DOUBLE) * v.p_seg)),
+         |           (p, q) -> p + q) AS sxy
+         |  FROM wl)
+         |SELECT event_type, n_seg, sy, sxy,
+         |       ${welchFormulas.mkString(",\n       ")}
+         |FROM ws ORDER BY event_type""".stripMargin,
 
     "q_ts_perm_entropy" -> {
       val patCols = permPatterns.map { case (nm, id) =>

@@ -149,4 +149,9 @@ object StreamingPeriodogram {
     * ([[graft.ops.DiagOps.coherenceOf]]) over the state grid. */
   def coherenceReport(emitted: DataFrame): DataFrame =
     graft.ops.DiagOps.coherenceOf(stateGrid(emitted))
+
+  /** Welch stationarity read (r15) — the batch q_ts_welch body
+    * ([[graft.ops.DiagOps.welchOf]]) over the state grid. */
+  def welchReport(emitted: DataFrame): DataFrame =
+    graft.ops.DiagOps.welchOf(stateGrid(emitted))
 }

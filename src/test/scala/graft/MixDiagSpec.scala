@@ -1691,6 +1691,30 @@ class MixDiagSpec extends SparkTestBase {
     }
     assert(out == expected.toSeq,
       "coherence drifted from the segment replay")
+    // the Welch stationarity readout rides the SAME components: replay
+    // its per-type power drift off the comp map built above
+    val welch = q("q_ts_welch").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5))).toSeq
+    val welchExpected = types.map { t =>
+      val segs = comp.keys.filter(_._1 == t).map(_._2).toSeq.sorted
+      val n = segs.length.toLong
+      val sxl = segs.sum
+      val sxxl = segs.map(sg => sg * sg).sum
+      var sy = 0.0; var sxy = 0.0
+      segs.foreach { sg =>
+        val (a, b) = comp((t, sg))
+        val p = a * a + b * b
+        sy += p; sxy += sg.toDouble * p
+      }
+      val nd = n.toDouble
+      val den = nd * sxxl.toDouble - sxl.toDouble * sxl.toDouble
+      val slope =
+        if (den > 0) (nd * sxy - sxl.toDouble * sy) / den else 0.0
+      (t, n, sy, sxy, sy / nd, slope)
+    }
+    assert(welch == welchExpected.toSeq,
+      "Welch stationarity drifted from the segment replay")
     // magnitude-bearing by construction: in [0,1] (Cauchy-Schwarz), and
     // the averaging makes <1 possible (unlike the single-bin unit phase
     // vector); at least two complete segments on every fixture span

@@ -136,6 +136,11 @@ class StreamingPeriodogramSpec extends SparkTestBase {
         .collect().map(_.toSeq).toSeq
       assert(gotCoh == batchCoh,
         "streaming coherence read drifted from batch")
+      val gotW = StreamingPeriodogram.welchReport(emitted)
+        .collect().map(_.toSeq).toSeq
+      val batchW = SparkEntry.queries("q_ts_welch")(spark, sfDir)
+        .collect().map(_.toSeq).toSeq
+      assert(gotW == batchW, "streaming Welch read drifted from batch")
     } finally query.stop()
   }
 }
