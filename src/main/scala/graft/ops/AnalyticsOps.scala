@@ -334,6 +334,52 @@ object AnalyticsOps extends QueryModule {
       |                  THEN ev.ts_us END) AS purchase_us
       |  FROM ev JOIN t2 USING (user_id) GROUP BY ev.user_id, t2.view_us, t2.click_us)""".stripMargin
 
+  /** DuckDB replay of the gap-based session derivation (ev → l → n →
+    * sn) — GENERATED into the sessionize and concurrency oracles from
+    * one builder (the dftAbCtes pattern; the sessionize text stays
+    * byte-identical to its pin). */
+  private[ops] def sessionChainCtes: String =
+    s"""ev AS (
+       |  SELECT user_id, epoch_us(ts) AS t_us, event_id FROM events),
+       |l AS (
+       |  SELECT user_id, t_us, event_id,
+       |         lag(t_us) OVER (PARTITION BY user_id
+       |                         ORDER BY t_us, event_id) AS prev_us
+       |  FROM ev),
+       |n AS (
+       |  SELECT user_id, t_us, event_id,
+       |         CASE WHEN prev_us IS NULL
+       |                OR t_us - prev_us > $SessionGapUs THEN 1
+       |              ELSE 0 END AS is_new
+       |  FROM l),
+       |sn AS (
+       |  SELECT user_id, t_us,
+       |         CAST(sum(is_new) OVER (PARTITION BY user_id
+       |           ORDER BY t_us, event_id
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |           AS session_n
+       |  FROM n)""".stripMargin
+
+  /** The per-session relation (user_id, session_n, n_events, start_us,
+    * end_us) behind q_analytics_sessionize — factored (r15) so the
+    * concurrency profile shares the IDENTICAL gap-based session
+    * derivation (the twin-body rule). */
+  private[graft] def sessionsOf(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("t_us", "event_id")
+    table(s, dir, "events")
+      .select(col("user_id"), unix_micros(col("ts")).as("t_us"),
+        col("event_id"))
+      .withColumn("is_new", when(lag("t_us", 1).over(w).isNull
+          || col("t_us") - lag("t_us", 1).over(w) > lit(SessionGapUs), 1L)
+        .otherwise(0L))
+      .withColumn("session_n", sum("is_new").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "session_n")
+      .agg(asLong(count(lit(1))).as("n_events"),
+        min("t_us").as("start_us"), max("t_us").as("end_us"))
+  }
+
   def queries: Seq[(String, Q)] = Seq(
     // Ordered funnel per user: earliest view, earliest click at/after that
     // view, earliest purchase at/after that click; stage = how deep the
@@ -566,24 +612,44 @@ object AnalyticsOps extends QueryModule {
     // user_id is the high-cardinality event key, not the low-cardinality
     // window trap — and the rollup is a hash agg on (user_id, session_n).
     // Pure integer epoch-µs arithmetic end to end.
-    "q_analytics_sessionize" -> ((s: SparkSession, dir: String) => {
-      import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy("user_id").orderBy("t_us", "event_id")
-      table(s, dir, "events")
-        .select(col("user_id"), unix_micros(col("ts")).as("t_us"),
-          col("event_id"))
-        .withColumn("is_new", when(lag("t_us", 1).over(w).isNull
-            || col("t_us") - lag("t_us", 1).over(w) > lit(SessionGapUs), 1L)
-          .otherwise(0L))
-        .withColumn("session_n", sum("is_new").over(
-          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-        .groupBy("user_id", "session_n")
-        .agg(asLong(count(lit(1))).as("n_events"),
-          min("t_us").as("start_us"), max("t_us").as("end_us"))
+    "q_analytics_sessionize" -> ((s: SparkSession, dir: String) =>
+      sessionsOf(s, dir)
         .select(col("user_id"), col("session_n"), col("n_events"),
           col("start_us"), col("end_us"),
           (col("end_us") - col("start_us")).as("duration_us"))
-        .orderBy("user_id", "session_n")
+        .orderBy("user_id", "session_n")),
+
+    // Concurrency profile (r15): per hour, the MAXIMUM number of
+    // simultaneously-active sessions and the count of active minutes —
+    // the capacity-planning readout over the sessionized stream. Sweep
+    // line at DECLARED minute granularity: ±1 deltas at session
+    // start/end minutes aggregate map-side to a SPAN-BOUNDED net-delta
+    // relation (≤ span minutes at ANY corpus size), zero-filled like
+    // the hourly grid, then ONE exact-integer running sum over the
+    // bounded minute axis (the late_events span-bounded prefix
+    // precedent — a global window over a corpus-scaled stream would be
+    // the single-partition trap; over the bounded grid it is legal).
+    "q_analytics_concurrency" -> ((s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.expressions.Window
+      val sess = sessionsOf(s, dir)
+      val d0 = sess.selectExpr("start_us div 60000000 AS m",
+          "CAST(1 AS BIGINT) AS d")
+        .union(sess.selectExpr("end_us div 60000000 + 1 AS m",
+          "CAST(-1 AS BIGINT) AS d"))
+        .groupBy("m").agg(sum("d").as("net"))
+      val rng = d0.agg(min("m").as("m0"), max("m").as("m1"))
+      val grid = rng.selectExpr("explode(sequence(m0, m1)) AS m")
+      val w = Window.orderBy("m")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      grid.join(d0, Seq("m"), "left")
+        .selectExpr("m", "coalesce(net, CAST(0 AS BIGINT)) AS net")
+        .withColumn("cur", sum("net").over(w))
+        .selectExpr("m div 60 AS hour", "cur")
+        .groupBy("hour")
+        .agg(asLong(max("cur")).as("max_concurrency"),
+          asLong(sum(expr("CASE WHEN cur > 0 THEN 1 ELSE 0 END")))
+            .as("n_active_min"))
+        .orderBy("hour")
     }),
 
     // Market-basket association rules over order baskets: the top-25 part
@@ -1098,31 +1164,43 @@ object AnalyticsOps extends QueryModule {
         |FROM rk ORDER BY week""".stripMargin,
 
     "q_analytics_sessionize" ->
-      s"""WITH ev AS (
-         |  SELECT user_id, epoch_us(ts) AS t_us, event_id FROM events),
-         |l AS (
-         |  SELECT user_id, t_us, event_id,
-         |         lag(t_us) OVER (PARTITION BY user_id
-         |                         ORDER BY t_us, event_id) AS prev_us
-         |  FROM ev),
-         |n AS (
-         |  SELECT user_id, t_us, event_id,
-         |         CASE WHEN prev_us IS NULL
-         |                OR t_us - prev_us > $SessionGapUs THEN 1
-         |              ELSE 0 END AS is_new
-         |  FROM l),
-         |sn AS (
-         |  SELECT user_id, t_us,
-         |         CAST(sum(is_new) OVER (PARTITION BY user_id
-         |           ORDER BY t_us, event_id
-         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
-         |           AS session_n
-         |  FROM n)
+      s"""WITH $sessionChainCtes
          |SELECT user_id, session_n, count(*) AS n_events,
          |       min(t_us) AS start_us, max(t_us) AS end_us,
          |       max(t_us) - min(t_us) AS duration_us
          |FROM sn GROUP BY user_id, session_n
          |ORDER BY user_id, session_n""".stripMargin,
+
+    "q_analytics_concurrency" ->
+      s"""WITH $sessionChainCtes,
+         |sess AS MATERIALIZED (
+         |  SELECT user_id, session_n,
+         |         min(t_us) AS start_us, max(t_us) AS end_us
+         |  FROM sn GROUP BY user_id, session_n),
+         |d0 AS MATERIALIZED (
+         |  SELECT m, CAST(sum(d) AS BIGINT) AS net FROM (
+         |    SELECT start_us // 60000000 AS m, CAST(1 AS BIGINT) AS d
+         |    FROM sess
+         |    UNION ALL
+         |    SELECT end_us // 60000000 + 1 AS m, CAST(-1 AS BIGINT) AS d
+         |    FROM sess)
+         |  GROUP BY m),
+         |rng AS (SELECT min(m) AS m0, max(m) AS m1 FROM d0),
+         |grid AS (
+         |  SELECT unnest(generate_series(rng.m0, rng.m1)) AS m FROM rng),
+         |filled AS (
+         |  SELECT grid.m, COALESCE(d0.net, CAST(0 AS BIGINT)) AS net
+         |  FROM grid LEFT JOIN d0 USING (m)),
+         |run AS (
+         |  SELECT m, CAST(sum(net) OVER (ORDER BY m
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |    AS cur
+         |  FROM filled)
+         |SELECT m // 60 AS hour,
+         |       CAST(max(cur) AS BIGINT) AS max_concurrency,
+         |       CAST(sum(CASE WHEN cur > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |         AS n_active_min
+         |FROM run GROUP BY 1 ORDER BY hour""".stripMargin,
 
     "q_analytics_basket" ->
       s"""WITH b AS MATERIALIZED (

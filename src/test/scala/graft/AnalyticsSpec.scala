@@ -169,6 +169,37 @@ class AnalyticsSpec extends SparkTestBase {
     }
   }
 
+  test("concurrency profile equals a driver-side sweep-line replay (r15)") {
+    val sess = q("q_analytics_sessionize").collect()
+      .map(r => (r.getLong(3), r.getLong(4)))
+    assert(sess.nonEmpty)
+    val deltas = collection.mutable.Map[Long, Long]().withDefaultValue(0L)
+    sess.foreach { case (s0, e0) =>
+      deltas(s0 / 60000000L) += 1L
+      deltas(e0 / 60000000L + 1L) -= 1L
+    }
+    val m0 = deltas.keys.min
+    val m1 = deltas.keys.max
+    var cur = 0L
+    val perHour = collection.mutable.Map[Long, (Long, Long)]()
+    (m0 to m1).foreach { m =>
+      cur += deltas(m)
+      val h = m / 60L
+      val (mx, act) = perHour.getOrElse(h, (Long.MinValue, 0L))
+      perHour(h) = (math.max(mx, cur), act + (if (cur > 0) 1L else 0L))
+    }
+    val got = q("q_analytics_concurrency").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val expected = perHour.toSeq.sortBy(_._1)
+      .map { case (h, (mx, act)) => (h, mx, act) }
+    assert(got == expected, "concurrency drifted from the sweep replay")
+    // every session closes: the final running count returns to zero
+    assert(cur == 0L, "sweep did not return to zero")
+    // peak concurrency is a real overlap readout: >= 1 somewhere and
+    // bounded by the live session count
+    assert(got.map(_._2).max >= 1L && got.map(_._2).max <= sess.length.toLong)
+  }
+
   test("pattern detection equals a driver-side last-touch chain replay") {
     val step = 86400000000L // 24 h per chain step (PatternStepUs)
     val ev = graft.ops.table(spark, sfDir, "events")
