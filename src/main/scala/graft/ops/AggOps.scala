@@ -362,8 +362,16 @@ object AggOps extends QueryModule {
     // BIGINTs; the ≤ #types totals/median relations broadcast explicit.
     "q_agg_bitmap_overlap" -> ((s: SparkSession, dir: String) => {
       import org.apache.spark.sql.expressions.Window
+      // r15 (optimization): cnt is read by BOTH the median chain and the
+      // bitmap build, and bm by the totals and both self-join sides —
+      // unmaterialized, each reference re-ran the events scan + agg
+      // (measured plan: 16 scans / 31 exchanges). Both relations are
+      // aggregated (cnt: per-(type,user); bm: ≤ #types·#blocks rows), so
+      // the checkpoints are the r11 tf-aggregated-index class, not raw
+      // occurrence rows. One events scan total.
       val cnt = table(s, dir, "events")
         .groupBy("event_type", "user_id").agg(count(lit(1)).as("n"))
+        .localCheckpoint(true)
       val hist = cnt.groupBy("event_type", "n").agg(count(lit(1)).as("c"))
       val wCum = Window.partitionBy("event_type").orderBy("n")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -379,6 +387,7 @@ object AggOps extends QueryModule {
             .as("bit"))
         .groupBy("event_type", "blk")
         .agg(expr("bit_or(bit)").as("mask"))
+        .localCheckpoint(true)
       val tot = bm.groupBy("event_type")
         .agg(asLong(sum(expr("bit_count(mask)"))).as("n_users"))
       val pr = bm.as("x").join(bm.as("y"),

@@ -188,27 +188,28 @@ object DiagOps {
 
   /** The per-lag Pearson correlogram relation (event_type, lag_h, n, acf)
     * — the ONE implementation behind q_ts_acf and q_ts_pacf (r12). */
-  private[ops] def acfRelOf(s: SparkSession, dir: String): DataFrame = {
-    val ev = table(s, dir, "events")
-      .withColumn("h", expr(s"unix_micros(ts) div $HourUs"))
-    acfRelFromHourly(ev.groupBy("event_type", "h")
-      .agg(dsum(col("value")).as("sv")))
-  }
+  private[ops] def acfRelOf(s: SparkSession, dir: String): DataFrame =
+    // r15 (optimization): rides the memoized zero-filled grid — the
+    // inline grid assembly this chain used was op-identical to gridOf,
+    // so the correlogram substrate now starts from the span·domain-
+    // bounded leaf instead of re-scanning events per consumer call
+    // (acf / pacf / ljung_box each rebuilt it, with the twice-read g
+    // re-running the events aggregate per reference).
+    acfRelFromGrid(hourlyCentGrid(s, dir))
 
   /** [[acfRelOf]]'s body over an already-aggregated (event_type, h, sv)
     * hourly relation — factored (r15) so the streaming spectral monitor's
     * correlogram reads run the IDENTICAL batch chain over the
     * state-induced bars (the grid-twin widening pattern; the observed
     * (type, h) set, min/max hours and distinct types are the same
-    * whether derived from event rows or their hourly aggregate). */
-  private[graft] def acfRelFromHourly(actual: DataFrame): DataFrame = {
-    val rng = actual.agg(min("h").as("h0"), max("h").as("h1"))
-    val grid = actual.select("event_type").distinct()
-      .crossJoin(broadcast(rng))
-      .select(col("event_type"), explode(expr("sequence(h0, h1)")).as("h"))
-    val g = grid.join(actual, Seq("event_type", "h"), "left")
-      .select(col("event_type"), col("h"),
-        expr("CAST(round(coalesce(sv, 0.0) * 100) AS BIGINT)").as("k"))
+    * whether derived from event rows or their hourly aggregate). The
+    * grid assembly IS [[gridOf]] (one text, zero drift). */
+  private[graft] def acfRelFromHourly(actual: DataFrame): DataFrame =
+    acfRelFromGrid(gridOf(actual))
+
+  /** The correlogram tail over a zero-filled cent grid `(event_type, h,
+    * k)` — the per-lag Pearson moment chain. */
+  private[graft] def acfRelFromGrid(g: DataFrame): DataFrame = {
     // lag fan-out via explode on the bounded grid (5 rows per grid row)
     // — no broadcast-nested-loop join anywhere in the plan
     val pairs = g
@@ -354,10 +355,30 @@ object DiagOps {
     * parity harness, and future grid consumers share ONE builder:
     * (event_type, h, k) with k = round(Σvalue · 100), zeros for silent
     * hours, one row per (type, hour) across the corpus time span. */
+  /** Session-lifetime memo of the zero-filled hourly cent grid per
+    * fixture digest (r15 optimization): the grid is the substrate of the
+    * whole ts family (~20 consumers), is span·domain-bounded
+    * (#types · span-hours rows at ANY corpus size), and was previously
+    * rebuilt per query call — with gridOf's three references to the
+    * per-hour aggregate each re-running the events scan, every grid
+    * consumer paid 3 corpus passes per invocation. A derived-but-
+    * fixture-pure relation memoizes like any index (the r10 mad-dev
+    * rule); exact BIGINT cents, so every consumer is bit-identical.
+    * Clear via [[clearIndexCache]]. */
+  private[ops] val gridCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
   private[graft] def hourlyCentGrid(s: SparkSession, dir: String): DataFrame = {
-    val ev = table(s, dir, "events")
-      .withColumn("h", expr(s"unix_micros(ts) div $HourUs"))
-    gridOf(ev.groupBy("event_type", "h").agg(dsum(col("value")).as("sv")))
+    val key = System.identityHashCode(s.sparkContext).toString + "|" +
+      SourceSinkOps.fixtureKey(dir, "events.parquet")
+    gridCache.computeIfAbsent(key, { _ =>
+      val ev = table(s, dir, "events")
+        .withColumn("h", expr(s"unix_micros(ts) div $HourUs"))
+      val hourly = ev.groupBy("event_type", "h")
+        .agg(dsum(col("value")).as("sv"))
+        .localCheckpoint(true) // gridOf reads it three times
+      gridOf(hourly).localCheckpoint(true)
+    })
   }
 
   /** The grid assembly behind [[hourlyCentGrid]], factored (r12c3) over
@@ -898,6 +919,7 @@ object DiagOps {
   private[graft] def clearIndexCache(): Unit = {
     rankHistCache.clear()
     dblRankCache.clear()
+    gridCache.clear()
   }
 
   private[graft] def valueAtRanks(df: DataFrame, grpCol: String,

@@ -111,11 +111,22 @@ object GraphOps extends QueryModule {
     * implementation (and their oracles share [[stressForwardCtes]] — the
     * bpeMergeStagesCte one-text rule). Each level: Σσ frontier expansion
     * over arcs + anti-joins against every earlier level; all small sides
-    * are constant-bounded (StressSources·KnnK^level) broadcasts. */
+    * are constant-bounded (StressSources·KnnK^level) broadcasts.
+    *
+    * r15 (optimization): every level is eagerly localCheckpointed. Each
+    * level is referenced several times downstream (the later levels'
+    * anti-joins, the backward h-chain, the dagEdges fans), and an
+    * unmaterialized reference re-expands the WHOLE upstream join subtree
+    * per use — the q_graph_edge_stress physical plan measured 906 nodes /
+    * 234 exchanges (~77 arcs-scan joins) from this alone; checkpointed
+    * it is ~8 arcs joins. The frames are constant-bounded
+    * (≤ StressSources·KnnK^level ≤ 64k rows), so the checkpoint jobs are
+    * trivially cheap — the pagerank/hits per-round rule in DAG form. */
   private[graft] def bfsDagLevels(arcs: DataFrame): Seq[DataFrame] = {
     val f0 = arcs.select(col("src").as("node")).distinct()
       .orderBy("node").limit(StressSources)
       .select(col("node").as("sp"), col("node"), lit(1L).as("sigma"))
+      .localCheckpoint(true)
     def expand(fl: DataFrame): DataFrame =
       broadcast(fl.select(col("sp"), col("node").as("fn"), col("sigma")))
         .join(arcs, col("fn") === col("src"))
@@ -125,9 +136,9 @@ object GraphOps extends QueryModule {
       earlier.foldLeft(df)((acc, ex) =>
         acc.join(broadcast(ex.select("sp", "node")), Seq("sp", "node"),
           "left_anti"))
-    val f1 = minus(expand(f0), f0)
-    val f2 = minus(expand(f1), f1, f0)
-    val f3 = minus(expand(f2), f2, f1, f0)
+    val f1 = minus(expand(f0), f0).localCheckpoint(true)
+    val f2 = minus(expand(f1), f1, f0).localCheckpoint(true)
+    val f3 = minus(expand(f2), f2, f1, f0).localCheckpoint(true)
     Seq(f0, f1, f2, f3)
   }
 
@@ -148,9 +159,33 @@ object GraphOps extends QueryModule {
     val h3 = f3.withColumn("h", lit(0L))
     val h2 = f2.join(broadcast(succSum(f2, h3)), Seq("sp", "node"), "left")
       .withColumn("h", coalesce(col("hsum"), lit(0L))).drop("hsum")
+      .localCheckpoint(true)
     val h1 = f1.join(broadcast(succSum(f1, h2)), Seq("sp", "node"), "left")
       .withColumn("h", coalesce(col("hsum"), lit(0L))).drop("hsum")
+      .localCheckpoint(true)
     Seq(h1, h2, h3)
+  }
+
+  /** Memoized stress BFS-dag per fixture digest: the shared
+    * (arcs, f0..f3, h1..h3) frames all three consumers
+    * (q_graph_stress / q_graph_edge_stress / q_graph_ecc_sample) read —
+    * the same maintained-index accounting as [[bfsDistFor]] /
+    * [[kcoreArcsFor]] (r15 optimization: previously each query call
+    * rebuilt the dag, re-running the eager arcs checkpoint plus 6 level
+    * jobs per invocation). Clear via [[clearIndexCache]]. */
+  private[ops] val stressDagCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (DataFrame, Seq[DataFrame], Seq[DataFrame])]()
+
+  private[graft] def stressDagFor(s: SparkSession, dir: String)
+      : (DataFrame, Seq[DataFrame], Seq[DataFrame]) = {
+    val key = System.identityHashCode(s.sparkContext).toString + "|" +
+      SourceSinkOps.fixtureKey(dir, "lineitem.parquet")
+    stressDagCache.computeIfAbsent(key, { _ =>
+      val arcs = undirectedArcsFor(s, dir)
+      val fs = bfsDagLevels(arcs)
+      val hs = stressBackward(arcs, fs(1), fs(2), fs(3))
+      (arcs, fs, hs)
+    })
   }
 
   /** Unroll depth of the k-core ORACLE stages. The engine peels to the
@@ -234,6 +269,7 @@ object GraphOps extends QueryModule {
     labelCache.clear()
     kcoreCache.clear()
     bfsCache.clear()
+    stressDagCache.clear()
   }
 
   /** Memoized min-id-source BFS distances per fixture digest. */

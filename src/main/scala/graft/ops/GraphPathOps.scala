@@ -53,9 +53,7 @@ object GraphPathOps extends QueryModule {
     // corpus-size-independent), so the broadcasts are constant-bounded
     // by construction; arcs is the only corpus-scaled relation.
     "q_graph_stress" -> ((s: SparkSession, dir: String) => {
-      val arcs = undirectedArcsFor(s, dir)
-      val Seq(_, f1, f2, f3) = bfsDagLevels(arcs)
-      val Seq(h1, h2, _) = stressBackward(arcs, f1, f2, f3)
+      val (_, _, Seq(h1, h2, _)) = stressDagFor(s, dir)
       h1.select(col("sp"), col("node"), expr("sigma * h").as("c"))
         .unionByName(h2.select(col("sp"), col("node"),
           expr("sigma * h").as("c")))
@@ -75,9 +73,7 @@ object GraphPathOps extends QueryModule {
     // complement to node stress; all three shared frames (bfsDagLevels +
     // stressBackward, one oracle text via stressForward/BackwardCtes).
     "q_graph_edge_stress" -> ((s: SparkSession, dir: String) => {
-      val arcs = undirectedArcsFor(s, dir)
-      val Seq(f0, f1, f2, f3) = bfsDagLevels(arcs)
-      val Seq(h1, h2, h3) = stressBackward(arcs, f1, f2, f3)
+      val (arcs, Seq(f0, _, _, _), Seq(h1, h2, h3)) = stressDagFor(s, dir)
       def dagEdges(vSide: DataFrame, hNext: DataFrame): DataFrame =
         broadcast(vSide.select(col("sp"), col("node").as("vn"),
           col("sigma")))
@@ -109,8 +105,7 @@ object GraphPathOps extends QueryModule {
     // reachability-profile read a graph-sanity pass wants before trusting
     // hop-bounded algorithms. All per-source relations constant-bounded.
     "q_graph_ecc_sample" -> ((s: SparkSession, dir: String) => {
-      val arcs = undirectedArcsFor(s, dir)
-      val Seq(f0, f1, f2, f3) = bfsDagLevels(arcs)
+      val (_, Seq(f0, f1, f2, f3), _) = stressDagFor(s, dir)
       def cnt(f: DataFrame, nm: String) =
         f.groupBy("sp").agg(asLong(count(lit(1))).as(nm))
       val ec = f0.select(col("sp"))
@@ -175,27 +170,35 @@ object GraphPathOps extends QueryModule {
     // picking the neighbor with the MINIMAL salt-15 affine hash (one
     // member per step, the walk "randomness"; the mod-prime bijection
     // makes every argmin tie-free on distinct ids, so no tie-break
-    // ambiguity can reach the hash gate). Each step is one equi-join on
-    // the memoized adjacency + one partial-aggregating argmin — never a
-    // per-walker loop; 4 steps = 4 bounded-depth jobs regardless of
-    // corpus size. n_unique (distinct nodes on the path) is the
-    // revisit/backtrack readout.
+    // ambiguity can reach the hash gate). r15 (optimization): the step-t
+    // next hop from a node depends ONLY on the node (argmin over ITS
+    // neighbor set under member t), so all four per-node next-hop columns
+    // come out of ONE edge-scaled aggregate (4 argmins share one partial
+    // agg pass — previously each step re-joined the walk against the
+    // EDGE relation and re-ran the argmin per carried prefix: 4
+    // edge-scaled shuffles). The walk then composes by 4 NODE-sized
+    // joins against the checkpointed next-hop table. n_unique (distinct
+    // nodes on the path) is the revisit/backtrack readout.
     "q_graph_rw_sample" -> ((s: SparkSession, dir: String) => {
       val P = graft.functions.ReplayableHash.P
       val adj = copurchaseAdj(s, dir)
-      var walk = adj.select(col("src").as("start")).distinct()
-        .withColumn("cur", col("start"))
-      for (t <- 0 until RwSteps) {
+      val picks = (0 until RwSteps).map { t =>
         val (a, b) = graft.functions.ReplayableHash.RwParams(t)
-        val carried = col("start") +: (1 to t).map(i => col(s"n$i"))
-        walk = walk.join(adj, col("cur") === col("src"))
-          .groupBy(carried: _*)
-          .agg(min(struct(
-            expr(s"($a * (dst % $P) + $b) % $P").as("h"),
-            col("dst").as("d"))).as("pick"))
-          .withColumn(s"n${t + 1}", col("pick.d"))
-          .drop("pick")
-          .withColumn("cur", col(s"n${t + 1}"))
+        min(struct(
+          expr(s"($a * (dst % $P) + $b) % $P").as("h"),
+          col("dst").as("d"))).as(s"p$t")
+      }
+      // (src, nx0..nx3): the per-node next hop under each step's member —
+      // one pass over the adjacency, reused by all 4 composition joins.
+      val nxt = adj.groupBy("src").agg(picks.head, picks.tail: _*)
+        .select(col("src") +:
+          (0 until RwSteps).map(t => col(s"p$t.d").as(s"nx$t")): _*)
+        .localCheckpoint(true)
+      var walk = nxt.select(col("src").as("start"), col("nx0").as("n1"))
+      for (t <- 1 until RwSteps) {
+        walk = walk.join(
+          nxt.select(col("src").as("j"), col(s"nx$t").as(s"n${t + 1}")),
+          col(s"n$t") === col("j")).drop("j")
       }
       walk.selectExpr("start", "n1", "n2", "n3", "n4",
         "CAST(size(array_distinct(array(start, n1, n2, n3, n4))) AS BIGINT) AS n_unique")

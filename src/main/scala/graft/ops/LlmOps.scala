@@ -620,14 +620,20 @@ object LlmOps extends QueryModule {
           "probe_id")
         .withColumn("jac", col("inter").cast("double")
           / (col("np") + col("n_tok") - col("inter")))
+      // r15 (optimization): exact (≤ probes·k rows) and cand (probe-bounded)
+      // are each read twice below — unmaterialized, the corpus-scaled
+      // `inter` join + per-probe rank window re-ran per reference. The
+      // eager checkpoints are constant-bounded frames.
       val exact = scored
         .withColumn("rn", row_number().over(
           Window.partitionBy("probe_id").orderBy(desc("jac"), asc("doc_id"))))
         .where(col("rn") <= MhEvalK)
         .select("probe_id", "doc_id")
+        .localCheckpoint(true)
       val cand = cands.select(col("doc_a").as("probe_id"), col("doc_b").as("doc_id"))
         .union(cands.select(col("doc_b").as("probe_id"), col("doc_a").as("doc_id")))
         .where(col("probe_id") < MhEvalProbes)
+        .localCheckpoint(true)
       val hits = exact.join(cand, Seq("probe_id", "doc_id"), "left_semi")
         .groupBy("probe_id").agg(count(lit(1)).as("n_hits"))
       val ncand = cand.groupBy("probe_id").agg(count(lit(1)).as("n_cand"))
@@ -693,16 +699,26 @@ object LlmOps extends QueryModule {
         .select(col("doc_id"),
           decode(encode(substring(col("text"), 1, EditPfx), "UTF-8"),
             "ISO-8859-1").as("pfx"))
+      // r15 (optimization): every emitted pair has edit_dist ≤
+      // (1 − EditSimTau)·EditPfx (the sim filter), so the DP runs the
+      // 3-arg BANDED levenshtein (O(n·maxDist) band + early exit instead
+      // of the full O(n²) table; Spark ≥3.5). Over-threshold pairs return
+      // −1 and are dropped by the explicit edit_dist ≥ 0 guard BEFORE the
+      // sim filter (−1 would otherwise read as sim > 1); surviving pairs
+      // carry the identical exact distance, so the emitted relation is
+      // unchanged (hash-gated).
+      val maxDist = ((1.0 - EditSimTau) * EditPfx).toInt
       cands
         .join(p.select(col("doc_id").as("doc_a"), col("pfx").as("pfx_a")), "doc_a")
         .join(p.select(col("doc_id").as("doc_b"), col("pfx").as("pfx_b")), "doc_b")
         .select(col("doc_a"), col("doc_b"),
-          levenshtein(col("pfx_a"), col("pfx_b")).cast("long").as("edit_dist"),
+          levenshtein(col("pfx_a"), col("pfx_b"), maxDist)
+            .cast("long").as("edit_dist"),
           length(col("pfx_a")).cast("long").as("len_a"),
           length(col("pfx_b")).cast("long").as("len_b"))
         .withColumn("edit_sim", lit(1.0) - col("edit_dist").cast("double")
           / greatest(col("len_a"), col("len_b"), lit(1L)))
-        .where(col("edit_sim") >= EditSimTau)
+        .where(col("edit_dist") >= 0 && col("edit_sim") >= EditSimTau)
         .orderBy(desc("edit_sim"), asc("doc_a"), asc("doc_b"))
     }),
 

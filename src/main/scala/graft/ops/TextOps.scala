@@ -702,6 +702,11 @@ object TextOps extends QueryModule {
         .orderBy(desc("dfc"), asc("token")).limit(RakeStops)
         .select(col("token"), lit(1).as("is_stop"))
       val w = Window.partitionBy("doc_id").orderBy("pos")
+      // r15 (optimization): members is read by wstats AND the phrase
+      // assembly — unmaterialized, the explode + stop join + BOTH windows
+      // re-ran per reference (the r6 "don't checkpoint token rows" note
+      // is about single-consumer frames — this one re-runs two window
+      // sorts per reference).
       val members = toks
         .join(broadcast(stops), Seq("token"), "left")
         .withColumn("pid", sum(coalesce(col("is_stop"), lit(0)))
@@ -709,6 +714,7 @@ object TextOps extends QueryModule {
         .where(col("is_stop").isNull)
         .withColumn("plen", count(lit(1)).over(
           Window.partitionBy("doc_id", "pid")))
+        .localCheckpoint(true)
       val wstats = members.groupBy("token")
         .agg(count(lit(1)).as("freq"), sum(col("plen")).as("deg"))
       members.join(wstats, "token")

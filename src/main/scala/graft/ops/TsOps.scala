@@ -1051,7 +1051,7 @@ object TsOps extends QueryModule {
     // cumulative — the engine owes the scale discipline, both engines
     // only have to agree on the selected VALUE).
     "q_ts_theil_sen" -> ((s: SparkSession, dir: String) => {
-      val g = hourlyCentGrid(s, dir).localCheckpoint(true)
+      val g = hourlyCentGrid(s, dir) // memoized leaf (r15) — per-call re-checkpoint dropped
       val pairs = g.as("g1").join(g.as("g2"),
           col("g1.event_type") === col("g2.event_type") &&
             col("g1.h") < col("g2.h"))
@@ -1088,7 +1088,7 @@ object TsOps extends QueryModule {
     // volume. z/verdict are the staged shared formulas; the two 5-row
     // aggregates meet under an explicit broadcast.
     "q_ts_mann_kendall" -> ((s: SparkSession, dir: String) => {
-      val g = hourlyCentGrid(s, dir).localCheckpoint(true)
+      val g = hourlyCentGrid(s, dir) // memoized leaf (r15) — per-call re-checkpoint dropped
       val pr = g.as("g1").join(g.as("g2"),
           col("g1.event_type") === col("g2.event_type") &&
             col("g1.h") < col("g2.h"))
@@ -1125,7 +1125,7 @@ object TsOps extends QueryModule {
       // against it (the ambiguous-self-join surface), and the leaf feeds
       // two consumers; RDD-leaf stats are unknown, so med's broadcast
       // below is explicit (r7 rule)
-      val g = hourlyCentGrid(s, dir).localCheckpoint(true)
+      val g = hourlyCentGrid(s, dir) // memoized leaf (r15) — per-call re-checkpoint dropped
       val med = g
         .withColumn("rn", row_number().over(
           Window.partitionBy("event_type").orderBy("k", "h")))
@@ -1167,7 +1167,7 @@ object TsOps extends QueryModule {
     // value units only in the report. Every window runs over the
     // TIME-SPAN-bounded grid (the mann_kendall exemption class).
     "q_ts_cusum" -> ((s: SparkSession, dir: String) => {
-      val g = hourlyCentGrid(s, dir).localCheckpoint(true)
+      val g = hourlyCentGrid(s, dir) // memoized leaf (r15) — per-call re-checkpoint dropped
       def rankPick(df: DataFrame, valCol: String, out: String): DataFrame =
         df.withColumn("rn", row_number().over(
             Window.partitionBy("event_type").orderBy(col(valCol), col("h"))))

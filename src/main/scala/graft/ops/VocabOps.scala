@@ -353,12 +353,23 @@ object VocabOps extends QueryModule {
           call_function("shingle_key", col("p.w1")).as("k1"),
           call_function("shingle_key", col("p.w2")).as("k2"),
           concat(col("p.w1"), lit(" "), col("p.w2")).as("bgr"))
-      val c12 = bg.groupBy("kb").agg(count(lit(1)).as("c12"),
+      // r15 (optimization): ONE corpus explode feeds every count — the
+      // per-occurrence frame is first aggregated by the digest TRIPLE
+      // (map-side combinable, no strings on the exchange), then c12 / c1 /
+      // c2 / nb re-aggregate the tiny distinct-bigram relation. Two-stage
+      // aggregation is exactly the occurrence-level grouping (each
+      // occurrence carries its (kb, k1, k2), so Σ over the triple groups
+      // ≡ the direct count per any sub-key — collision-indifferent, the
+      // r12c3 group-by-digest rule). Previously each of the four counts
+      // re-exploded and re-hashed the corpus (5 scans total with names).
+      val g = bg.groupBy("kb", "k1", "k2").agg(count(lit(1)).as("c"))
+        .localCheckpoint(true)
+      val c12 = g.groupBy("kb").agg(sum(col("c")).as("c12"),
           min(col("k1")).as("k1"), min(col("k2")).as("k2"))
         .where(col("c12") >= CollMinSupport)
-      val c1 = bg.groupBy("k1").agg(count(lit(1)).as("c1"))
-      val c2 = bg.groupBy("k2").agg(count(lit(1)).as("c2"))
-      val nb = bg.agg(count(lit(1)).as("nb"))
+      val c1 = g.groupBy("k1").agg(sum(col("c")).as("c1"))
+      val c2 = g.groupBy("k2").agg(sum(col("c")).as("c2"))
+      val nb = g.agg(sum(col("c")).as("nb"))
       val top = c12.join(c1, "k1").join(c2, "k2").crossJoin(broadcast(nb))
         .withColumn("lift_ppm", expr(
           "(CAST(c12 AS DECIMAL(38,0)) * CAST(nb AS DECIMAL(38,0)) * 1000000)" +
