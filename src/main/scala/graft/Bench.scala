@@ -120,17 +120,25 @@ object Bench {
     // the two engines on the SAME queries only (oracled ∩ benched, both
     // succeeded), so adding oracle-less queries can't skew it.
     val baseline = duckdbRatio(results)
-    // Summary WITHOUT the ~5k-char per-query map: the driver records only
+    // Summary WITHOUT the ~9k-char per-query map: the driver records only
     // the last 2000 chars of output, and round 10's tail lost the
     // totals/ratio to the map + shutdown noise (BENCH_r10 parsed: null).
-    // The compact line is printed FIRST (so a head-capture has it) and
-    // again LAST — after spark.stop(), so no shutdown logging can follow
-    // it and the tail is always a complete, parseable JSON object.
+    // The compact line is printed FIRST (so a head-capture has it); the
+    // FULL line (per-query map included) is printed absolutely LAST —
+    // after spark.stop(), so no shutdown logging can follow it — and is
+    // ALSO written to $SPARK_GRAFT_BENCH_OUT (default /tmp/graft-bench.json)
+    // so the per-query map survives any output-tail truncation (r15
+    // verdict item 1: BENCH_r{12..15} all lost the map to the 2000-byte
+    // tail and the optimization rounds could not be machine-scored).
     val summary = s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed$baseline$canaryFields,"sf":"$sfDir"}"""
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed$baseline$canaryFields,"sf":"$sfDir"}"""
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/graft-bench.json")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), full + "\n")
+    catch { case e: Throwable => System.err.println(s"[bench] could not write $outPath: ${e.getMessage}") }
     println(summary)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed$baseline$canaryFields,"sf":"$sfDir"}""")
+    println(full)
     spark.stop()
-    println(summary)
+    println(full)
   }
 
   /** The DuckDB twins of these queries are written for BIT-EXACT float
