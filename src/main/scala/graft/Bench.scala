@@ -56,12 +56,38 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warmup (untimed): touch the scan, shuffle, regex and hash paths once.
+    // r16: the old 2-job warmup left C2 compilation of the shuffle /
+    // codegen / window machinery still in flight when the suite started —
+    // every full run showed the same signature (canary_pre ≈ 1.5× the
+    // post value, the re-timed first-3 queries ~2.5× faster at window
+    // end), i.e. the alphabetically-first ~30 queries were systematically
+    // measured mid-JIT, not at the documented steady state. The warmup
+    // now also runs the canary shape and a handful of representative
+    // query paths (join + window + explode/HOF + decimal agg) untimed so
+    // canary_pre is an honest box probe and early per-query numbers mean
+    // the same thing as late ones. Timed region unchanged.
     try {
       ops.table(spark, sfDir, "lineitem")
         .groupBy("l_returnflag").count().collect()
       ops.table(spark, sfDir, "documents")
         .selectExpr("sha2(text, 256)", "regexp_extract_all(text, '([a-z]+)', 1)")
         .count()
+      for (_ <- 1 to 3) canarySeconds(spark)
+      val li = ops.table(spark, sfDir, "lineitem")
+      val ord = ops.table(spark, sfDir, "orders")
+      li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(org.apache.spark.sql.functions.sum(
+          org.apache.spark.sql.functions.expr(
+            "CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))")))
+        .count()
+      ord.selectExpr("o_custkey", "o_orderkey", "o_totalprice")
+        .withColumn("rk", org.apache.spark.sql.functions.expr(
+          "row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)"))
+        .where("rk = 1").count()
+      ops.table(spark, sfDir, "documents")
+        .selectExpr("explode(filter(split(text, ' '), t -> length(t) > 0)) AS tok")
+        .groupBy("tok").count().count()
     } catch { case _: Throwable => () }
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     // Optional comma-separated subset for targeted re-runs (perf triage);

@@ -970,9 +970,20 @@ object AnalyticsOps extends QueryModule {
     val baskets = basketsFor(lines, cacheKey)
     val nOrders = baskets.agg(count_distinct(col("ok")).as("n"))
     val supp = baskets.groupBy("pk").agg(count(lit(1)).as("s"))
+    // r16 (verdict item 3): pair generation measured at ×100 in BOTH
+    // shapes — order-key self-join vs basket-collect + HOF combination
+    // fan-out (the r14 copurchase question, re-asked at target scale
+    // for THIS operator). See OPTIMIZATION_r16.md §basket for numbers;
+    // the winner ships. Basket width ≤ 13 bounds the collect and the
+    // per-basket fan (≤ 78 pairs), so the HOF shape is scale-safe.
     val pairs = baskets
-      .join(baskets.select(col("ok"), col("pk").as("pk2")), "ok")
-      .where(col("pk") < col("pk2"))
+      .groupBy("ok").agg(sort_array(collect_list(col("pk"))).as("ps"))
+      .select(explode(expr(
+        """flatten(transform(ps, (x, i) ->
+          |  transform(slice(ps, i + 2, size(ps) - i - 1),
+          |            y -> named_struct('pk', x, 'pk2', y))))""".stripMargin))
+        .as("pr"))
+      .select(col("pr.pk"), col("pr.pk2"))
       .groupBy("pk", "pk2").agg(count(lit(1)).as("sab"))
       .where(col("sab") >= minSupport)
     pairs

@@ -368,16 +368,31 @@ object DiagOps {
   private[ops] val gridCache =
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
 
-  private[graft] def hourlyCentGrid(s: SparkSession, dir: String): DataFrame = {
-    val key = System.identityHashCode(s.sparkContext).toString + "|" +
-      SourceSinkOps.fixtureKey(dir, "events.parquet")
+  /** Session-lifetime memo of the RAW hourly aggregate
+    * `(event_type, h, cnt, sv)` per fixture digest (r16, verdict item 2):
+    * the superset the zero-filled cent grid derives from, widened so
+    * gapfill/interpolate (which need cnt / NULL-preserving sv, not the
+    * coalesced cents) ride the same single events pass as the ~20 cent-
+    * grid consumers. Span·domain-bounded (#types · span-hours rows at
+    * ANY corpus size); count + exact-DECIMAL sum are order-free, so
+    * every derivation is bit-identical to the former inline builds. */
+  private[graft] def hourlyAggFor(s: SparkSession, dir: String): DataFrame = {
+    val key = "hourly|" + System.identityHashCode(s.sparkContext).toString +
+      "|" + SourceSinkOps.fixtureKey(dir, "events.parquet")
     gridCache.computeIfAbsent(key, { _ =>
-      val ev = table(s, dir, "events")
+      table(s, dir, "events")
         .withColumn("h", expr(s"unix_micros(ts) div $HourUs"))
-      val hourly = ev.groupBy("event_type", "h")
-        .agg(dsum(col("value")).as("sv"))
-        .localCheckpoint(true) // gridOf reads it three times
-      gridOf(hourly).localCheckpoint(true)
+        .groupBy("event_type", "h")
+        .agg(count(lit(1)).as("cnt"), dsum(col("value")).as("sv"))
+        .localCheckpoint(true)
+    })
+  }
+
+  private[graft] def hourlyCentGrid(s: SparkSession, dir: String): DataFrame = {
+    val key = "grid|" + System.identityHashCode(s.sparkContext).toString +
+      "|" + SourceSinkOps.fixtureKey(dir, "events.parquet")
+    gridCache.computeIfAbsent(key, { _ =>
+      gridOf(hourlyAggFor(s, dir)).localCheckpoint(true)
     })
   }
 
@@ -1281,15 +1296,17 @@ object DiagOps {
     * fan-out shape and the exact-integer replay bound. */
   private[graft] def ewmaSmooth(events: DataFrame): DataFrame = {
     val ev = events.withColumn("h", expr(s"unix_micros(ts) div $HourUs"))
-    val rng = ev.agg(min("h").as("h0"), max("h").as("h1"))
-    val grid = ev.select("event_type").distinct()
-      .crossJoin(broadcast(rng))
-      .select(col("event_type"), explode(expr("sequence(h0, h1)")).as("h"))
     val actual = ev.groupBy("event_type", "h")
       .agg(dsum(col("value")).as("sv"))
-    val g = grid.join(actual, Seq("event_type", "h"), "left")
-      .select(col("event_type"), col("h"),
-        expr("CAST(round(coalesce(sv, 0.0) * 100) AS BIGINT)").as("k"))
+    ewmaFromGrid(gridOf(actual))
+  }
+
+  /** The EWMA body over an already-assembled zero-filled cent grid
+    * `(event_type, h, k)` — factored (r16) so the declared query rides
+    * the memoized [[hourlyCentGrid]] leaf while the Pipelines primitive
+    * [[ewmaSmooth]] keeps the identical inline assembly via [[gridOf]]
+    * (one text, zero drift — the acfRelFromGrid pattern). */
+  private[graft] def ewmaFromGrid(g: DataFrame): DataFrame = {
     val pairs = g
       .withColumn("lag_h", explode(expr(
         s"sequence(CAST(0 AS BIGINT), CAST(${EwmaLags - 1} AS BIGINT))")))

@@ -700,20 +700,41 @@ object LlmOps extends QueryModule {
           decode(encode(substring(col("text"), 1, EditPfx), "UTF-8"),
             "ISO-8859-1").as("pfx"))
       // r15 (optimization): every emitted pair has edit_dist ≤
-      // (1 − EditSimTau)·EditPfx (the sim filter), so the DP runs the
-      // 3-arg BANDED levenshtein (O(n·maxDist) band + early exit instead
-      // of the full O(n²) table; Spark ≥3.5). Over-threshold pairs return
-      // −1 and are dropped by the explicit edit_dist ≥ 0 guard BEFORE the
-      // sim filter (−1 would otherwise read as sim > 1); surviving pairs
-      // carry the identical exact distance, so the emitted relation is
-      // unchanged (hash-gated).
-      val maxDist = ((1.0 - EditSimTau) * EditPfx).toInt
+      // (1 − EditSimTau)·max byte length (the sim filter), so the DP runs
+      // the 3-arg BANDED levenshtein (O(n·maxDist) band + early exit
+      // instead of the full O(n²) table; Spark ≥3.5). Over-threshold pairs
+      // return −1 and are dropped by the explicit edit_dist ≥ 0 guard
+      // BEFORE the sim filter (−1 would otherwise read as sim > 1);
+      // surviving pairs carry the identical exact distance, so the emitted
+      // relation is unchanged (hash-gated).
+      // r16 (advisor fix): the band must be sized from the BYTE worst
+      // case — EditPfx is codepoints, but the DP and the sim denominator
+      // run over the Latin-1 byte proxy, bounded at 4·EditPfx bytes
+      // (4-byte UTF-8). With the old (1−τ)·EditPfx=51 band, a non-ASCII
+      // pair with max byte length > EditPfx and true distance in
+      // (51, (1−τ)·4·EditPfx] would pass edit_sim ≥ τ yet read −1 and be
+      // dropped, diverging from the oracle (latent: fixture is ASCII).
+      // A flat 204 band would be exact but forfeits the banded win on
+      // short prefixes, so the band is PIECEWISE in the pair's max byte
+      // length L (length() on the Latin-1 proxy IS the byte length):
+      // any emitted pair has dist ≤ floor((1−τ)·L), so a bucket band of
+      // floor((1−τ)·B) is exact for every pair with L ≤ B — pairs a
+      // bucket band rejects (−1) have dist > (1−τ)·B ≥ (1−τ)·L, i.e.
+      // exactly the pairs the sim filter drops. ASCII corpora
+      // (L ≤ EditPfx) always take the tightest 51 band.
+      def banded(t: Int) =
+        levenshtein(col("pfx_a"), col("pfx_b"), t).cast("long")
+      val maxLen = greatest(length(col("pfx_a")), length(col("pfx_b")))
+      val editDist =
+        when(maxLen <= EditPfx, banded(((1.0 - EditSimTau) * EditPfx).toInt))
+          .when(maxLen <= 2 * EditPfx,
+            banded(((1.0 - EditSimTau) * 2 * EditPfx).toInt))
+          .otherwise(banded(((1.0 - EditSimTau) * 4 * EditPfx).toInt))
       cands
         .join(p.select(col("doc_id").as("doc_a"), col("pfx").as("pfx_a")), "doc_a")
         .join(p.select(col("doc_id").as("doc_b"), col("pfx").as("pfx_b")), "doc_b")
         .select(col("doc_a"), col("doc_b"),
-          levenshtein(col("pfx_a"), col("pfx_b"), maxDist)
-            .cast("long").as("edit_dist"),
+          editDist.as("edit_dist"),
           length(col("pfx_a")).cast("long").as("len_a"),
           length(col("pfx_b")).cast("long").as("len_b"))
         .withColumn("edit_sim", lit(1.0) - col("edit_dist").cast("double")

@@ -231,27 +231,36 @@ object SqlOps extends QueryModule {
       |GROUP BY s_name
       |ORDER BY numwait DESC, s_name""".stripMargin
 
-  /** TPC-H Q11 analog ("important parts", r12): scalar subqueries inside
-    * HAVING — parts whose revenue exceeds 1.5× the per-part average,
-    * division-free as 2·rev·n > 3·total in exact DECIMAL. The per-group
-    * sum is cast back to DECIMAL(18,4) BEFORE the count multiply (the
-    * raw DECIMAL(28,4) sum × DECIMAL(12,0) would hit precision 41 and
-    * take Spark's scale-losing rounding — the Q22 rule one level up);
-    * n and total come from independent lineitem scans, not a reused CTE
-    * (a thrice-referenced CTE would re-run per reference in DuckDB — the
-    * r9 MATERIALIZED trap — and `AS MATERIALIZED` is not Spark-parseable,
-    * which verbatim sharing forbids). The 1.5× cut keeps the result
-    * scale-free: the fixture's independent-draw revenue concentrates
-    * shares near 1× with max ≈1.75–1.9× at every SF. */
+  /** TPC-H Q11 analog ("important parts", r12): parts whose revenue
+    * exceeds 1.5× the per-part average, division-free as 2·rev·n >
+    * 3·total in exact DECIMAL. The per-group sum is cast back to
+    * DECIMAL(18,4) BEFORE the count multiply (the raw DECIMAL(28,4) sum
+    * × DECIMAL(12,0) would hit precision 41 and take Spark's
+    * scale-losing rounding — the Q22 rule one level up). r16
+    * (optimization): the two HAVING scalar subqueries each re-scanned
+    * lineitem (3 scans total); they are now ONE `tot` CTE whose two
+    * aggregates share a scan, cross-joined below the filter — both CTEs
+    * are single-referenced, so no `AS MATERIALIZED` is needed and the
+    * text stays verbatim-shareable (2 lineitem scans; the grouped `rev`
+    * and the global `total`/`n_parts` cannot share one pass without the
+    * part join changing the row set, and the exact expressions/types of
+    * the r12 text are preserved term for term). The 1.5× cut keeps the
+    * result scale-free: the fixture's independent-draw revenue
+    * concentrates shares near 1× with max ≈1.75–1.9× at every SF. */
   private val importantPartsSql =
-    """SELECT p_brand, p_partkey,
-      |       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS part_revenue
-      |FROM lineitem
-      |JOIN part ON p_partkey = l_partkey
-      |GROUP BY p_brand, p_partkey
-      |HAVING CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DECIMAL(18,4)) *
-      |         CAST((SELECT count(DISTINCT l_partkey) FROM lineitem) AS DECIMAL(12,0)) * 2
-      |       > 3 * (SELECT sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) FROM lineitem)
+    """WITH pr AS (
+      |  SELECT p_brand, p_partkey,
+      |         sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS rev
+      |  FROM lineitem
+      |  JOIN part ON p_partkey = l_partkey
+      |  GROUP BY p_brand, p_partkey),
+      |tot AS (
+      |  SELECT CAST(count(DISTINCT l_partkey) AS DECIMAL(12,0)) AS n_parts,
+      |         sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS total
+      |  FROM lineitem)
+      |SELECT p_brand, p_partkey, CAST(rev AS DOUBLE) AS part_revenue
+      |FROM pr CROSS JOIN tot
+      |WHERE CAST(rev AS DECIMAL(18,4)) * n_parts * 2 > 3 * total
       |ORDER BY part_revenue DESC, p_partkey""".stripMargin
 
   /** TPC-H Q7 analog ("volume shipping", r12): the SAME dimension table

@@ -202,6 +202,42 @@ object TextOps extends QueryModule {
         .localCheckpoint(true))
   }
 
+  /** Session-lifetime memo of the corpus bigram DIGEST aggregate
+    * `(source, kb, k1, k2, c)` — kb = shingle_key("w1 w2"), k1/k2 the
+    * token digests, c the occurrence count (r16): the build (bigram
+    * explode + 3 polynomial digests per occurrence over every document)
+    * was the dominant cost of BOTH q_text_cond_entropy and
+    * q_llm_collocations, each paying it per call. Both consumers
+    * re-aggregate this leaf (sum over a finer grouping ≡ the direct
+    * count per any sub-key — collision-indifferent, the r12c3
+    * group-by-digest rule; cond_entropy's shingles(text,2) and
+    * collocations' zip_with pairing produce the identical bigram
+    * multiset: both split on ' ', drop empty tokens, join with one
+    * space). Digests-only — no token string rides the exchange or the
+    * checkpoint (rule 5b). */
+  private[graft] def bigramDigestFor(s: SparkSession, dir: String): DataFrame = {
+    val key = "bigram|" + System.identityHashCode(s.sparkContext).toString +
+      "|" + SourceSinkOps.fixtureKey(dir, "documents.parquet")
+    tokenIndexCache.computeIfAbsent(key, { _ =>
+      graft.functions.GraftFunctions.register(s)
+      table(s, dir, "documents")
+        .withColumn("toks", expr("filter(split(text, ' '), t -> length(t) > 0)"))
+        .where(size(col("toks")) >= 2)
+        .select(col("source"), explode(expr(
+          """zip_with(slice(toks, 1, size(toks) - 1),
+            |         slice(toks, 2, size(toks) - 1),
+            |         (a, b) -> named_struct('w1', a, 'w2', b))""".stripMargin))
+          .as("p"))
+        .select(col("source"),
+          call_function("shingle_key",
+            concat(col("p.w1"), lit(" "), col("p.w2"))).as("kb"),
+          call_function("shingle_key", col("p.w1")).as("k1"),
+          call_function("shingle_key", col("p.w2")).as("k2"))
+        .groupBy("source", "kb", "k1", "k2").agg(count(lit(1)).as("c"))
+        .localCheckpoint(true)
+    })
+  }
+
   /** Drop the memoized token index (ScaleProbe cold-build measurement). */
   private[graft] def clearIndexCache(): Unit = tokenIndexCache.clear()
 
@@ -527,16 +563,16 @@ object TextOps extends QueryModule {
     // one localCheckpoint (the r11 index rule — never raw occurrence
     // rows) and feeds both the joint and prev-marginal sums.
     "q_text_cond_entropy" -> ((s: SparkSession, dir: String) => {
-      graft.functions.GraftFunctions.register(s)
       def ilog2(c: org.apache.spark.sql.Column) = length(bin(c)) - 1
-      val tb = table(s, dir, "documents")
-        .select(col("source"),
-          call_function("shingles", col("text"), lit(2)))
-        .select(col("source"),
-          call_function("shingle_key",
-            element_at(split(col("shingle"), " "), 1)).as("kp"),
-          call_function("shingle_key", col("shingle")).as("kb"))
-        .groupBy("source", "kp", "kb").agg(count(lit(1)).as("c"))
+      // r16: rides the shared bigram digest memo (bigramDigestFor) — the
+      // per-call corpus bigram explode + digest pass is amortized across
+      // this query and q_llm_collocations. kp = k1 (digest of the first
+      // token); summing c over the finer (source, kb, k1, k2) grouping
+      // equals the direct (source, kp, kb) count exactly, collisions
+      // included.
+      val tb = bigramDigestFor(s, dir)
+        .select(col("source"), col("k1").as("kp"), col("kb"), col("c"))
+        .groupBy("source", "kp", "kb").agg(sum(col("c")).as("c"))
         .localCheckpoint(true)
       val jt = tb.groupBy("source").agg(
         asLong(sum(col("c"))).as("n"),
@@ -707,6 +743,12 @@ object TextOps extends QueryModule {
       // re-ran per reference (the r6 "don't checkpoint token rows" note
       // is about single-consumer frames — this one re-runs two window
       // sorts per reference).
+      // SCALE CAVEAT (r15 advisor): this pins a per-token-OCCURRENCE
+      // frame on executors — O(total tokens) rows. Win measured at sf0.1;
+      // re-measured at ×10 in r16 (ScaleProbe row in SCALING.md). If
+      // memory pressure appears at larger scale, checkpoint the
+      // aggregated wstats instead and recompute members for the phrase
+      // assembly.
       val members = toks
         .join(broadcast(stops), Seq("token"), "left")
         .withColumn("pid", sum(coalesce(col("is_stop"), lit(0)))

@@ -417,14 +417,16 @@ object TsOps extends QueryModule {
     // hour range is a broadcast 1-row relation; the grid explodes to
     // #types × #hours rows regardless of event count.
     "q_ts_gapfill" -> ((s: SparkSession, dir: String) => {
-      val ev = table(s, dir, "events")
-        .withColumn("h", expr(s"unix_micros(ts) div $HourUs"))
-      val rng = ev.agg(min("h").as("h0"), max("h").as("h1"))
-      val grid = ev.select("event_type").distinct()
+      // r16: rides the memoized (event_type, h, cnt, sv) hourly aggregate
+      // (DiagOps.hourlyAggFor) — count + exact-DECIMAL sum are order-free
+      // and min/max/distinct over the groups equal those over raw events,
+      // so the zero-filled relation is bit-identical to the old inline
+      // build at one (amortized zero) events scan instead of three.
+      val actual = hourlyAggFor(s, dir)
+      val rng = actual.agg(min("h").as("h0"), max("h").as("h1"))
+      val grid = actual.select("event_type").distinct()
         .crossJoin(broadcast(rng))
         .select(col("event_type"), explode(expr("sequence(h0, h1)")).as("h"))
-      val actual = ev.groupBy("event_type", "h")
-        .agg(count(lit(1)).as("cnt"), dsum(col("value")).as("sv"))
       grid.join(actual, Seq("event_type", "h"), "left")
         .select(col("event_type"), col("h").as("hour_idx"),
           coalesce(col("cnt"), lit(0L)).as("n_events"),
@@ -443,14 +445,14 @@ object TsOps extends QueryModule {
     // each IEEE-exact-rounded, composed in the same order in both engines,
     // over exact DECIMAL→DOUBLE hour sums (< 2^53, replayable).
     "q_ts_interpolate" -> ((s: SparkSession, dir: String) => {
-      val ev = table(s, dir, "events")
-        .withColumn("h", expr(s"unix_micros(ts) div $HourUs"))
-      val rng = ev.agg(min("h").as("h0"), max("h").as("h1"))
-      val grid = ev.select("event_type").distinct()
+      // r16: same memoized hourly-aggregate substrate as q_ts_gapfill —
+      // sv keeps its NULL-ness through the left join, so observed/
+      // interpolated values are bit-identical to the old inline build.
+      val actual = hourlyAggFor(s, dir)
+      val rng = actual.agg(min("h").as("h0"), max("h").as("h1"))
+      val grid = actual.select("event_type").distinct()
         .crossJoin(broadcast(rng))
         .select(col("event_type"), explode(expr("sequence(h0, h1)")).as("h"))
-      val actual = ev.groupBy("event_type", "h")
-        .agg(dsum(col("value")).as("sv"))
       val wPrev = Window.partitionBy("event_type").orderBy("h")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val wNext = Window.partitionBy("event_type").orderBy("h")
@@ -547,17 +549,9 @@ object TsOps extends QueryModule {
     // pair fan-out is an equi join on the lagged hour over that bounded
     // grid, and the moment agg reduces to ≤ types² × lags rows.
     "q_ts_crosscorr" -> ((s: SparkSession, dir: String) => {
-      val ev = table(s, dir, "events")
-        .withColumn("h", expr(s"unix_micros(ts) div $HourUs"))
-      val rng = ev.agg(min("h").as("h0"), max("h").as("h1"))
-      val grid = ev.select("event_type").distinct()
-        .crossJoin(broadcast(rng))
-        .select(col("event_type"), explode(expr("sequence(h0, h1)")).as("h"))
-      val actual = ev.groupBy("event_type", "h")
-        .agg(dsum(col("value")).as("sv"))
-      val g = grid.join(actual, Seq("event_type", "h"), "left")
-        .select(col("event_type"), col("h"),
-          expr("CAST(round(coalesce(sv, 0.0) * 100) AS BIGINT)").as("k"))
+      // r16: the inline grid assembly was op-identical to hourlyCentGrid —
+      // ride the memoized leaf (3 events scans → 0 amortized).
+      val g = hourlyCentGrid(s, dir)
       val pairs = g
         .withColumn("lag_h", explode(expr(
           s"sequence(CAST(0 AS BIGINT), CAST($AcfMaxLag AS BIGINT))")))
@@ -758,7 +752,10 @@ object TsOps extends QueryModule {
     // < 2^53 ⇒ the final DOUBLE casts and the shared division formula are
     // IEEE-exact in both engines.
     "q_ts_ewma" -> ((s: SparkSession, dir: String) =>
-      ewmaSmooth(table(s, dir, "events"))),
+      // r16: ride the memoized grid leaf; the Pipelines primitive
+      // ewmaSmooth keeps the identical inline assembly (ewmaFromGrid is
+      // the one body).
+      ewmaFromGrid(hourlyCentGrid(s, dir))),
 
     // Linear trend per event type: OLS slope/intercept/r² of the
     // zero-filled hourly cent series against the hour index — with
@@ -768,18 +765,13 @@ object TsOps extends QueryModule {
     // split like the acf moments); slope algebra runs in doubles through
     // ONE shared formula set.
     "q_ts_trend" -> ((s: SparkSession, dir: String) => {
-      val ev = table(s, dir, "events")
-        .withColumn("h", expr(s"unix_micros(ts) div $HourUs"))
-      val rng = ev.agg(min("h").as("h0"), max("h").as("h1"))
-      val grid = ev.select("event_type").distinct()
-        .crossJoin(broadcast(rng))
-        .select(col("event_type"), col("h0"),
-          explode(expr("sequence(h0, h1)")).as("h"))
-      val actual = ev.groupBy("event_type", "h")
-        .agg(dsum(col("value")).as("sv"))
-      val g = grid.join(actual, Seq("event_type", "h"), "left")
-        .select(col("event_type"), (col("h") - col("h0")).as("x"),
-          expr("CAST(round(coalesce(sv, 0.0) * 100) AS BIGINT)").as("k"))
+      // r16: derive x = h − h0 from the memoized grid (its min h IS h0 —
+      // the grid spans h0..h1 per type by construction), dropping the
+      // 3-scan inline rebuild. Identical x/k values.
+      val g0 = hourlyCentGrid(s, dir)
+      val rng = g0.agg(min("h").as("h0"))
+      val g = g0.crossJoin(broadcast(rng))
+        .select(col("event_type"), (col("h") - col("h0")).as("x"), col("k"))
       g.withColumn("k2", col("k") * col("k"))
         .groupBy("event_type")
         .agg(asLong(count(lit(1))).as("n"),
@@ -805,17 +797,9 @@ object TsOps extends QueryModule {
     // rows). The honest baseline every fancier forecaster must beat —
     // and the operator a pipeline runs to decide if it needs one.
     "q_ts_forecast_naive" -> ((s: SparkSession, dir: String) => {
-      val ev = table(s, dir, "events")
-        .withColumn("h", expr(s"unix_micros(ts) div $HourUs"))
-      val rng = ev.agg(min("h").as("h0"), max("h").as("h1"))
-      val grid = ev.select("event_type").distinct()
-        .crossJoin(broadcast(rng))
-        .select(col("event_type"), explode(expr("sequence(h0, h1)")).as("h"))
-      val actual = ev.groupBy("event_type", "h")
-        .agg(dsum(col("value")).as("sv"))
-      val g = grid.join(actual, Seq("event_type", "h"), "left")
-        .select(col("event_type"), col("h"),
-          expr("CAST(round(coalesce(sv, 0.0) * 100) AS BIGINT)").as("k"))
+      // r16: the inline grid assembly was op-identical to hourlyCentGrid —
+      // ride the memoized leaf.
+      val g = hourlyCentGrid(s, dir)
       val w = Window.partitionBy("event_type").orderBy("h")
       g.withColumn("f", lag("k", 24).over(w))
         .where(col("f").isNotNull)
@@ -836,17 +820,9 @@ object TsOps extends QueryModule {
     // grid; the gain evaluates through ONE shared formula set and the
     // argmax tie-breaks on the hour, so selection replays exactly.
     "q_ts_changepoint" -> ((s: SparkSession, dir: String) => {
-      val ev = table(s, dir, "events")
-        .withColumn("h", expr(s"unix_micros(ts) div $HourUs"))
-      val rng = ev.agg(min("h").as("h0"), max("h").as("h1"))
-      val grid = ev.select("event_type").distinct()
-        .crossJoin(broadcast(rng))
-        .select(col("event_type"), explode(expr("sequence(h0, h1)")).as("h"))
-      val actual = ev.groupBy("event_type", "h")
-        .agg(dsum(col("value")).as("sv"))
-      val g = grid.join(actual, Seq("event_type", "h"), "left")
-        .select(col("event_type"), col("h"),
-          expr("CAST(round(coalesce(sv, 0.0) * 100) AS BIGINT)").as("k"))
+      // r16: the inline grid assembly was op-identical to hourlyCentGrid —
+      // ride the memoized leaf.
+      val g = hourlyCentGrid(s, dir)
       val wCum = Window.partitionBy("event_type").orderBy("h")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val tot = g.groupBy("event_type")

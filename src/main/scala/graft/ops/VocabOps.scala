@@ -362,7 +362,13 @@ object VocabOps extends QueryModule {
       // ≡ the direct count per any sub-key — collision-indifferent, the
       // r12c3 group-by-digest rule). Previously each of the four counts
       // re-exploded and re-hashed the corpus (5 scans total with names).
-      val g = bg.groupBy("kb", "k1", "k2").agg(count(lit(1)).as("c"))
+      // r16: the digest build itself now comes from the shared
+      // TextOps.bigramDigestFor memo (identical bigram multiset, one
+      // extra source key summed away here) — the corpus digest pass is
+      // amortized with q_text_cond_entropy; bg survives only for the
+      // broadcast-filtered top-100 string recovery below.
+      val g = TextOps.bigramDigestFor(s, dir)
+        .groupBy("kb", "k1", "k2").agg(sum(col("c")).as("c"))
         .localCheckpoint(true)
       val c12 = g.groupBy("kb").agg(sum(col("c")).as("c12"),
           min(col("k1")).as("k1"), min(col("k2")).as("k2"))
