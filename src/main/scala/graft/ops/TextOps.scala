@@ -744,11 +744,12 @@ object TextOps extends QueryModule {
       // is about single-consumer frames — this one re-runs two window
       // sorts per reference).
       // SCALE CAVEAT (r15 advisor): this pins a per-token-OCCURRENCE
-      // frame on executors — O(total tokens) rows. Win measured at sf0.1;
-      // re-measured at ×10 in r16 (ScaleProbe row in SCALING.md). If
-      // memory pressure appears at larger scale, checkpoint the
-      // aggregated wstats instead and recompute members for the phrase
-      // assembly.
+      // frame on executors — O(total tokens) rows. Win measured at sf0.1
+      // AND re-measured at ×10 (r16 ScaleProbe: checkpointed 8.60 s
+      // cold / 3.18 s warm vs unmaterialized 9.06 / 3.28 — keep; no
+      // memory pressure at the default heap). If pressure appears at
+      // larger scale, checkpoint the aggregated wstats instead and
+      // recompute members for the phrase assembly.
       val members = toks
         .join(broadcast(stops), Seq("token"), "left")
         .withColumn("pid", sum(coalesce(col("is_stop"), lit(0)))
