@@ -763,12 +763,18 @@ object CurationOps extends QueryModule {
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
 
   /** The memoized (doc_id, lang, n_chars, ppm) score relation behind
-    * [[qualityBuckets]] and [[curriculumOrder]]. */
+    * [[qualityBuckets]] and [[curriculumOrder]]. r16: widened to also
+    * carry docLmScore's raw counts (n_bigrams, n_distinct, n_singleton)
+    * so q_llm_doc_lm_score rides the SAME memo instead of paying its
+    * own bigram pass per call — the inner join on doc_id preserves
+    * exactly docLmScore's row set (every scored doc exists in docs),
+    * so the lm columns read back bit-identical. */
   private[graft] def qbScoreFor(docs: DataFrame,
       cacheKey: Option[String]): DataFrame = {
     def build(): DataFrame = docLmScore(docs)
       .join(docs.select(col("doc_id"), col("lang"), col("n_chars")), "doc_id")
       .select(col("doc_id"), col("lang"), col("n_chars"),
+        col("n_bigrams"), col("n_distinct"), col("n_singleton"),
         expr("n_singleton * 1000000 div n_bigrams").as("ppm"))
       .localCheckpoint(true)
     cacheKey match {

@@ -239,7 +239,18 @@ object VocabOps extends QueryModule {
     // rejoin is an equi-join on the bigram itself: count relation rows =
     // #distinct bigrams, shuffle bounded by token count, never pairs.
     "q_llm_doc_lm_score" -> ((s: SparkSession, dir: String) =>
-      docLmScore(table(s, dir, "documents")).orderBy("doc_id")),
+      // r16: rides the widened qbScoreFor memo (one bigram pass shared
+      // with quality_buckets / curriculum / pareto_prune per session);
+      // the selected lm columns and the recomputed division are exactly
+      // docLmScore's output (the memo's inner join on doc_id preserves
+      // its row set). The Pipelines primitive docLmScore is unchanged.
+      qbScoreFor(table(s, dir, "documents"),
+        Some("qbuckets|" + SourceSinkOps.fixtureKey(dir, "documents.parquet")))
+        .select(col("doc_id"), col("n_bigrams"), col("n_distinct"),
+          col("n_singleton"),
+          (col("n_singleton").cast("double") / col("n_bigrams"))
+            .as("novelty_rate"))
+        .orderBy("doc_id")),
 
     // CCNet-style per-lang head/middle/tail buckets on the integer LM
     // novelty score — see [[qualityBuckets]] (valueAtRanks cuts, never a
